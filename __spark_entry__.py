@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (word count, the reference's only
+shipped workload) at sf0.001. ``queries()`` maps every implemented operator
+from SURVEY.md §2 to a (spark, sf_dir) -> DataFrame callable;
+``oracle_sql()`` provides the DuckDB-equivalent SQL for the correctness
+gate. Column names/aliases are kept identical on both sides.
 """
 
 from __future__ import annotations
@@ -13,26 +13,63 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from p2_mapreduce_spark.session import load_table
+from p2_mapreduce_spark.operators import text as text_ops
+
+# Shared tokenizer regex — same semantics in Java regex (Spark) and RE2
+# (DuckDB): split on runs of non-letter/non-digit, Unicode classes.
+_TOK = r"[^\p{L}\p{N}]+"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: word count over documents, globally sorted (reference
+    aggregate-path semantics, manager.go:1092-1137)."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    return text_ops.wordcount_global(docs)
+
+
+# --- queries ---------------------------------------------------------------
+
+
+def _q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.wordcount(load_table(spark, sf_dir, "documents"))
+
+
+def _q_wordcount_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.wordcount_global(load_table(spark, sf_dir, "documents"))
+
+
+def _q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.tokenize(load_table(spark, sf_dir, "documents"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "wordcount": _q_wordcount,
+        "wordcount_global": _q_wordcount_global,
+        "tokenize": _q_tokenize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    wordcount_sql = f"""
+        SELECT word, count(*) AS cnt
+        FROM (
+            SELECT lower(unnest(regexp_split_to_array(text, '{_TOK}'))) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
     """
-    return {}
+    return {
+        "wordcount": wordcount_sql,
+        "wordcount_global": wordcount_sql + " ORDER BY word",
+        "tokenize": f"""
+            SELECT doc_id, word FROM (
+                SELECT doc_id,
+                       lower(unnest(regexp_split_to_array(text, '{_TOK}'))) AS word
+                FROM documents
+            )
+            WHERE word <> ''
+        """,
+    }

@@ -1,0 +1,141 @@
+"""The MapReduce dataflow (reference operators M1-M10) on Spark.
+
+The reference executes ``map → FNV-hash partition → shuffle → group-by-key
+→ sort keys → reduce → (optional) controller-side final aggregate``
+(cmd/storage-node/main.go:572-878 map side, :1101-1398 reduce side;
+cmd/controller/manager/manager.go:1038-1173 final aggregate).  On Spark the
+same dataflow is ONE declarative plan:
+
+    input → mapInPandas(map_fn)            # M1 map (Arrow-batched)
+          → repartition(R, key)            # M3 hash partition + shuffle
+          → groupBy(key) + collect_list    # M4+M5 shuffle read, group-by-key
+          → pandas_udf(reduce_fn)          # M7 reduce (UDAF-like)
+          → orderBy(key) | sortWithinPartitions(key)   # M9 | M6
+
+Stage barrier (M11), locality (M12), retries (M13) are the DAGScheduler's.
+
+Deliberate semantic fixes over the reference (SURVEY.md §2.2 quirk):
+- a key's values are ALWAYS totally grouped (Spark shuffle guarantees it);
+  the reference's filename-hash re-partitioning bug that splits a key
+  across reducer outputs is not replicated.
+- map-side combine: when the reducer declares an algebraic ``combiner``
+  Spark runs partial aggregation automatically — the reference ships every
+  ("word","1") pair over the network (wordcount.go:32-35), we don't.
+
+Scale notes: the Python map/reduce path exists for plugin compatibility
+(reference M14); it is Arrow-vectorized, not per-row, but 100 TB workloads
+should register a ``columnar`` implementation (see registry.py) so the
+whole job stays JVM-side.  The reduce path groups with ``collect_list``,
+which assumes one key's value list fits in an executor — same contract the
+reference imposes in RAM (storage-node/main.go:1317-1321); for unbounded
+keys use a columnar/algebraic reducer instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Iterator
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: map_fn(filename, contents) -> iterable of (key, value) — reference
+#: mapreduce/types/types.go:13 (MapFunc).
+MapFn = Callable[[str, str], Iterable[tuple[str, str]]]
+#: reduce_fn(key, values) -> value — reference types.go:14 (ReduceFunc).
+ReduceFn = Callable[[str, list], str]
+
+DEFAULT_NUM_PARTITIONS = 4  # reference default: manager.go:771-775
+
+
+def run_mapreduce(
+    df: DataFrame,
+    map_fn: MapFn,
+    reduce_fn: ReduceFn,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    aggregate: bool = True,
+    key_col: str = "filename",
+    value_col: str = "contents",
+) -> DataFrame:
+    """Run one MapReduce job; returns ``DataFrame[key string, value string]``.
+
+    ``aggregate=True`` is the reference's ``-aggregate`` path (M9): a
+    single globally key-sorted result.  ``aggregate=False`` mirrors the
+    concatenate path (M10): per-partition key-sorted output, no global
+    order (Spark still grants total per-key grouping — the intended
+    semantics).
+    """
+    records = df.select(
+        F.col(key_col).cast("string").alias("filename"),
+        F.col(value_col).cast("string").alias("contents"),
+    )
+
+    def apply_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, values = [], []
+            for fname, contents in zip(pdf["filename"], pdf["contents"]):
+                for k, v in map_fn(fname if fname is not None else "", contents or ""):
+                    keys.append(k)
+                    values.append(v)
+            yield pd.DataFrame({"key": pd.Series(keys, dtype="string"),
+                                "value": pd.Series(values, dtype="string")})
+
+    mapped = records.mapInPandas(apply_map, schema="key string, value string")
+
+    # M3: hash partition on key. Spark's HashPartitioner replaces FNV-1a%R
+    # (storage-node/main.go:783-787); results are partition-layout
+    # independent so the hash choice is unobservable (tested).
+    shuffled = mapped.repartition(num_partitions, "key")
+
+    # M5 group-by-key + M7 reduce. collect_list gathers the value list per
+    # key; the reduce fn is applied Arrow-batched over many keys at once
+    # (NOT one Python call per group — pandas_udf scalar on the grouped
+    # aggregate output).
+    grouped = shuffled.groupBy("key").agg(F.collect_list("value").alias("values"))
+
+    @F.pandas_udf("string")
+    def apply_reduce(keys: pd.Series, values: pd.Series) -> pd.Series:
+        return pd.Series(
+            [reduce_fn(k, list(v)) for k, v in zip(keys, values)], dtype="string"
+        )
+
+    reduced = grouped.select(
+        F.col("key"), apply_reduce(F.col("key"), F.col("values")).alias("value")
+    )
+
+    if aggregate:
+        # M9: global key sort (manager.go:1128-1132). Range-partitioned
+        # distributed sort — no single-node merge like the controller does.
+        return reduced.orderBy("key")
+    # M10/M6: deterministic within each output partition only.
+    return reduced.sortWithinPartitions("key")
+
+
+def run_mapreduce_by_name(
+    df: DataFrame,
+    map_id: str,
+    reduce_id: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    aggregate: bool = True,
+    registry: Optional["object"] = None,
+    **kwargs,
+) -> DataFrame:
+    """Plugin-id entrypoint — mirrors ``client mapreduce <in> <out> <map_id>
+    <reduce_id>`` (reference cmd/client/main.go:400-425).  Functions are
+    resolved from the engine registry (M14) instead of downloading ``.so``
+    plugins; if the registered pair declares a columnar implementation the
+    job never leaves the JVM.
+    """
+    from p2_mapreduce_spark.registry import default_registry
+
+    reg = registry if registry is not None else default_registry()
+    mapper = reg.get_map(map_id)
+    reducer = reg.get_reduce(reduce_id)
+    if mapper.columnar is not None and reducer.columnar is not None:
+        mapped = mapper.columnar(df, **kwargs)
+        reduced = reducer.columnar(mapped)
+        return reduced.orderBy("key") if aggregate else reduced.sortWithinPartitions("key")
+    return run_mapreduce(
+        df, mapper.fn, reducer.fn, num_partitions=num_partitions, aggregate=aggregate, **kwargs
+    )

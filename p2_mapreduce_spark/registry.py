@@ -1,0 +1,119 @@
+"""UDF registry — the plugin system (reference M14) without ``.so`` files.
+
+The reference ships user code as compiled Go plugins: client uploads the
+``.so`` (cmd/client/main.go:428-461), the controller stores it in a
+registry (manager.go:1815-1864), storage nodes lazily download + cache +
+``plugin.Open`` + look up exported symbols (storage-node/main.go:603-730).
+On Spark, code shipping is closure pickling — free — so the registry is
+just a named catalog of map/reduce pairs, each optionally carrying a
+``columnar`` DataFrame implementation that keeps the job JVM-side.
+
+Registered defaults reproduce the reference's single shipped workload
+(word count, mapreduce/functions/wordcount.go) plus an identity pair.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Iterable
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from p2_mapreduce_spark.functions.text import tokens_array
+
+# Python-side mirror of TOKEN_SPLIT_REGEX (\p{L}\p{N} ≅ str.isalnum() for
+# the practical plane; Python's re lacks \p classes so we split on
+# non-alphanumeric per Unicode str semantics, which matches Go's
+# IsLetter|IsNumber for all letters/digits, differing only on the rare
+# marks/format runes that neither treats as word chars).
+_PY_SPLIT = re.compile(r"[\W_]+", re.UNICODE)
+
+
+@dataclass(frozen=True)
+class MapUdf:
+    name: str
+    fn: Callable[[str, str], Iterable[tuple[str, str]]]
+    columnar: Optional[Callable[..., DataFrame]] = None  # df -> DataFrame[key,value]
+
+
+@dataclass(frozen=True)
+class ReduceUdf:
+    name: str
+    fn: Callable[[str, list], str]
+    columnar: Optional[Callable[[DataFrame], DataFrame]] = None
+
+
+class UdfRegistry:
+    """Named catalog of map/reduce functions (controller registry analog)."""
+
+    def __init__(self) -> None:
+        self._maps: dict[str, MapUdf] = {}
+        self._reduces: dict[str, ReduceUdf] = {}
+
+    def register_map(self, name, fn, columnar=None) -> None:
+        self._maps[name] = MapUdf(name, fn, columnar)
+
+    def register_reduce(self, name, fn, columnar=None) -> None:
+        self._reduces[name] = ReduceUdf(name, fn, columnar)
+
+    def get_map(self, name: str) -> MapUdf:
+        if name not in self._maps:
+            raise KeyError(f"map function {name!r} not registered (have {sorted(self._maps)})")
+        return self._maps[name]
+
+    def get_reduce(self, name: str) -> ReduceUdf:
+        if name not in self._reduces:
+            raise KeyError(
+                f"reduce function {name!r} not registered (have {sorted(self._reduces)})"
+            )
+        return self._reduces[name]
+
+    def list(self) -> dict[str, list[str]]:
+        return {"map": sorted(self._maps), "reduce": sorted(self._reduces)}
+
+
+# --- the reference's shipped workload, re-expressed -------------------------
+
+
+def wordcount_map(filename: str, contents: str) -> Iterable[tuple[str, str]]:
+    """Tokenize + normalize + emit ("word","1") — wordcount.go:20-37
+    behavior: split on non-letter/non-digit runes, lowercase, drop empties."""
+    for tok in _PY_SPLIT.split(contents):
+        if tok:
+            yield tok.lower(), "1"
+
+
+def wordcount_reduce(key: str, values: list) -> str:
+    """Occurrence count — wordcount.go:41-45 (``len(values)``)."""
+    return str(len(values))
+
+
+def _wordcount_map_columnar(df: DataFrame, value_col: str = "contents", **_) -> DataFrame:
+    col = F.col(value_col)
+    return df.select(F.explode(tokens_array(col)).alias("key"), F.lit("1").alias("value"))
+
+
+def _wordcount_reduce_columnar(mapped: DataFrame) -> DataFrame:
+    # count replaces len(values); Spark adds the map-side partial the
+    # reference lacks (its shuffle volume == token count).
+    return mapped.groupBy("key").agg(F.count("*").cast("string").alias("value"))
+
+
+def identity_map(filename: str, contents: str) -> Iterable[tuple[str, str]]:
+    yield filename, contents
+
+
+def first_value_reduce(key: str, values: list) -> str:
+    return values[0] if values else ""
+
+
+def default_registry() -> UdfRegistry:
+    reg = UdfRegistry()
+    reg.register_map("wordcount", wordcount_map, columnar=_wordcount_map_columnar)
+    reg.register_reduce("wordcount", wordcount_reduce, columnar=_wordcount_reduce_columnar)
+    reg.register_map("identity", identity_map)
+    reg.register_reduce("first", first_value_reduce)
+    return reg

@@ -1,0 +1,87 @@
+"""SparkSession factory + testdata catalog.
+
+Replaces the reference's controller/storage-node/DFS plane (cmd/controller,
+cmd/storage-node — chunk placement, replication, heartbeats, MD5 scrubbing;
+see SURVEY.md §2.1 S1-S7): on Spark all of that is the platform's job
+(input splits, locality, task retry, parquet checksums).
+
+Scale notes (100 TB design):
+- AQE on: runtime partition coalescing, skew-join splitting, dynamic
+  broadcast decisions survive a 1000x scale-up where static plans don't.
+- ``spark.sql.shuffle.partitions`` here is sized for local[32] test runs;
+  on a real cluster set it ~2-3x total executor cores or rely on AQE
+  coalescing from a high initial value.
+- ``maxPartitionBytes`` 128m keeps scan partitions executor-memory-sized;
+  the reference's 4 MiB chunk (cmd/controller/main.go:23) is the same knob
+  at teaching scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver materializes under /root/testdata/sf*/ (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "p2_mapreduce_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    local[N] for tests/bench; on a cluster the master/memory settings come
+    from spark-submit and everything below still applies.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table (SURVEY.md S1: chunked scan → parquet scan).
+
+    Column pruning + predicate pushdown happen automatically downstream;
+    callers must NOT ``.cache()`` here — at 100 TB the scan must stream.
+    """
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every catalog table and register temp views for the SQL API."""
+    out = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

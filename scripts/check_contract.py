@@ -1,0 +1,46 @@
+"""Driver mimic: import __spark_entry__ as the driver does and exercise the
+full contract at sf0.01 (the driver's t2 scale)."""
+import sys, os, json
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as E
+import duckdb
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[8]").appName("driver-mimic")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+# t1 smoke: entry()
+df = E.entry(spark)
+rows = df.collect()
+print("entry(): rows=%d schema=%s first=%s last=%s" % (
+    len(rows), df.schema.simpleString(), tuple(rows[0]), tuple(rows[-1])))
+
+# t2: every queries() entry vs oracle at sf0.01
+SF = os.environ.get("SF", "/root/testdata/sf0.01")
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    p = f"{SF}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+qs, oracles = E.queries(), E.oracle_sql()
+for name, fn in sorted(qs.items()):
+    sdf = fn(spark, SF)
+    spdf = sdf.toPandas()
+    if name not in oracles:
+        print(f"{name}: rows-only rows={len(spdf)} cols={sorted(spdf.columns)}")
+        continue
+    dpdf = con.sql(oracles[name]).df()
+    cols_ok = sorted(spdf.columns) == sorted(dpdf.columns)
+    n_ok = len(spdf) == len(dpdf)
+    cols = sorted(spdf.columns)
+    canon = lambda pdf: sorted(tuple(repr(v) for v in r) for r in pdf[cols].itertuples(index=False))
+    vals_ok = cols_ok and n_ok and canon(spdf) == canon(dpdf)
+    print(f"{name}: rows spark={len(spdf)} duck={len(dpdf)} cols_ok={cols_ok} hash_ok={vals_ok}")
+    if not vals_ok and cols_ok and n_ok:
+        a, b = canon(spdf), canon(dpdf)
+        print("  first diff:", next(((x, y) for x, y in zip(a, b) if x != y), None))
+spark.stop()

@@ -1,0 +1,73 @@
+"""Engine-core tests: the generic (plugin-compat) MapReduce path, partition
+invariance, empty inputs, and the columnar fast path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from p2_mapreduce_spark.mapreduce import run_mapreduce, run_mapreduce_by_name
+from p2_mapreduce_spark.registry import (
+    default_registry,
+    wordcount_map,
+    wordcount_reduce,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        ("a.txt", "the cat and the hat"),
+        ("b.txt", "The HAT; the cat!"),
+        ("c.txt", ""),
+    ]
+    return spark.createDataFrame(rows, ["filename", "contents"])
+
+
+EXPECTED = {"the": 4, "cat": 2, "hat": 2, "and": 1}
+
+
+def test_wordcount_python_path(spark, tiny_docs):
+    out = run_mapreduce(tiny_docs, wordcount_map, wordcount_reduce, aggregate=True)
+    got = {r["key"]: int(r["value"]) for r in out.collect()}
+    assert got == EXPECTED
+    # aggregate path: globally sorted by key
+    keys = [r["key"] for r in out.collect()]
+    assert keys == sorted(keys)
+
+
+@pytest.mark.parametrize("r", [1, 4, 17])
+def test_partition_count_invariance(spark, tiny_docs, r):
+    """Reference M3 takes num_reduce_tasks; results must not depend on it
+    (the reference's filename-hash quirk violated this — we don't)."""
+    out = run_mapreduce(tiny_docs, wordcount_map, wordcount_reduce, num_partitions=r)
+    got = {row["key"]: int(row["value"]) for row in out.collect()}
+    assert got == EXPECTED
+
+
+def test_empty_input(spark):
+    empty = spark.createDataFrame([], "filename string, contents string")
+    out = run_mapreduce(empty, wordcount_map, wordcount_reduce)
+    assert out.count() == 0
+
+
+def test_registry_columnar_path_matches_python_path(spark, tiny_docs):
+    """udf_roundtrip seed: the registered columnar implementation must agree
+    with the Python plugin path exactly."""
+    fast = run_mapreduce_by_name(tiny_docs, "wordcount", "wordcount")
+    slow = run_mapreduce(tiny_docs, wordcount_map, wordcount_reduce)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+
+
+def test_registry_unknown_plugin(spark):
+    reg = default_registry()
+    with pytest.raises(KeyError):
+        reg.get_map("nope")
+
+
+def test_non_aggregate_path_total_grouping(spark, tiny_docs):
+    """aggregate=False (M10 concatenate path): still exactly one output row
+    per key — the intended semantics, not the reference's split-key quirk."""
+    out = run_mapreduce(tiny_docs, wordcount_map, wordcount_reduce, aggregate=False)
+    rows = out.collect()
+    keys = [r["key"] for r in rows]
+    assert len(keys) == len(set(keys))
+    assert {r["key"]: int(r["value"]) for r in rows} == EXPECTED
