@@ -43,11 +43,50 @@ def _q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.tokenize(load_table(spark, sf_dir, "documents"))
 
 
+def _q_udf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic plugin-compat path (reference M14 + M1-M9): Python
+    map/reduce fns shipped through the registry must agree with the
+    columnar oracle."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.mapreduce import run_mapreduce
+    from p2_mapreduce_spark.registry import wordcount_map, wordcount_reduce
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = run_mapreduce(
+        docs, wordcount_map, wordcount_reduce, key_col="doc_id", value_col="text"
+    )
+    return out.select(F.col("key").alias("word"), F.col("value").cast("bigint").alias("cnt"))
+
+
+def _q_partition_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-insensitivity (reference M3): per-key totals must be
+    identical under any reducer count R (here R=17 vs the default 4)."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.mapreduce import run_mapreduce
+    from p2_mapreduce_spark.registry import wordcount_map, wordcount_reduce
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = run_mapreduce(
+        docs,
+        wordcount_map,
+        wordcount_reduce,
+        num_partitions=17,
+        aggregate=False,
+        key_col="doc_id",
+        value_col="text",
+    )
+    return out.select(F.col("key").alias("word"), F.col("value").cast("bigint").alias("cnt"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
         "wordcount_global": _q_wordcount_global,
         "tokenize": _q_tokenize,
+        "udf_roundtrip": _q_udf_roundtrip,
+        "partition_count": _q_partition_count,
     }
 
 
@@ -64,6 +103,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "wordcount": wordcount_sql,
         "wordcount_global": wordcount_sql + " ORDER BY word",
+        "udf_roundtrip": wordcount_sql,
+        "partition_count": wordcount_sql,
         "tokenize": f"""
             SELECT doc_id, word FROM (
                 SELECT doc_id,

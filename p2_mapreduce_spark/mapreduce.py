@@ -33,12 +33,35 @@ keys use a columnar/algebraic reducer instead.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable, Iterable, Iterator
 from typing import Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _ship_by_value(*fns: Callable) -> None:
+    """Code shipping (reference M14: nodes download + dlopen the plugin
+    ``.so``, storage-node/main.go:603-730).  On Spark user code travels by
+    cloudpickle; functions defined in importable modules are pickled *by
+    reference*, which breaks when executors' Python workers don't have the
+    engine repo on their path (e.g. a driver that only put it on the
+    driver's sys.path).  Registering the defining modules for by-value
+    pickling makes every shipped UDF self-contained — the Spark analog of
+    the reference uploading the whole plugin binary."""
+    try:
+        from pyspark import cloudpickle
+    except ImportError:  # pragma: no cover - very old pyspark
+        return
+    for fn in fns:
+        mod = sys.modules.get(getattr(fn, "__module__", None))
+        if mod is not None and not mod.__name__.startswith(("pyspark", "builtins")):
+            try:
+                cloudpickle.register_pickle_by_value(mod)
+            except Exception:
+                pass
 
 #: map_fn(filename, contents) -> iterable of (key, value) — reference
 #: mapreduce/types/types.go:13 (MapFunc).
@@ -66,6 +89,7 @@ def run_mapreduce(
     order (Spark still grants total per-key grouping — the intended
     semantics).
     """
+    _ship_by_value(map_fn, reduce_fn)
     records = df.select(
         F.col(key_col).cast("string").alias("filename"),
         F.col(value_col).cast("string").alias("contents"),
