@@ -80,6 +80,95 @@ def _q_partition_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("key").alias("word"), F.col("value").cast("bigint").alias("cnt"))
 
 
+# --- relational surface (SURVEY.md §2.3 derived ops) -----------------------
+
+
+def _q_scan_lineitem(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem")
+
+
+def _q_filter_project(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import filter_project
+
+    return filter_project(load_table(spark, sf_dir, "lineitem"), "1997-01-01", "1998-01-01")
+
+
+def _q_agg_pricing(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import agg_pricing
+
+    return agg_pricing(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_join_orders_customer(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import join_orders_customer
+
+    return join_orders_customer(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
+def _q_semi_anti(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import semi_anti
+
+    return semi_anti(load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders"))
+
+
+def _q_topk_window(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.relational import topk_per_group
+
+    return topk_per_group(load_table(spark, sf_dir, "orders"), k=3).withColumn(
+        "rnk", F.col("rnk").cast("bigint")
+    )
+
+
+def _q_union_parts(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import union_parts
+
+    return union_parts(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_groupby_collect(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import groupby_collect
+
+    return groupby_collect(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_sorted_output(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import sorted_output
+
+    return sorted_output(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_rollup_nation(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import rollup_nation
+
+    return rollup_nation(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def _q_json_props(spark, sf_dir):
+    from p2_mapreduce_spark.operators.json_ops import json_props_agg
+
+    return json_props_agg(load_table(spark, sf_dir, "events"))
+
+
+def _q_events_tumbling(spark, sf_dir):
+    from p2_mapreduce_spark.streaming.events import tumbling_window_agg
+
+    return tumbling_window_agg(load_table(spark, sf_dir, "events"))
+
+
+def _q_sessionize(spark, sf_dir):
+    from p2_mapreduce_spark.streaming.events import sessionize
+
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -87,6 +176,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize": _q_tokenize,
         "udf_roundtrip": _q_udf_roundtrip,
         "partition_count": _q_partition_count,
+        "scan_lineitem": _q_scan_lineitem,
+        "filter_project": _q_filter_project,
+        "agg_pricing": _q_agg_pricing,
+        "join_orders_customer": _q_join_orders_customer,
+        "semi_anti": _q_semi_anti,
+        "topk_window": _q_topk_window,
+        "union_parts": _q_union_parts,
+        "groupby_collect": _q_groupby_collect,
+        "sorted_output": _q_sorted_output,
+        "rollup_nation": _q_rollup_nation,
+        "json_props": _q_json_props,
+        "events_tumbling": _q_events_tumbling,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -100,11 +202,133 @@ def oracle_sql() -> dict[str, str]:
         WHERE word <> ''
         GROUP BY word
     """
+    # Exact-aggregation twins (see functions/numeric.py): doubles are cast
+    # to DECIMAL before SUM (order-independent, engine-neutral), surfaced
+    # as DOUBLE; averages are one IEEE division. `events.ts` is µs-
+    # truncated on both sides (Spark's native precision).
+    dsum = lambda e, p=18, s=2: f"CAST(SUM(CAST({e} AS DECIMAL({p},{s}))) AS DOUBLE)"  # noqa: E731
+    ev = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
     return {
         "wordcount": wordcount_sql,
         "wordcount_global": wordcount_sql + " ORDER BY word",
         "udf_roundtrip": wordcount_sql,
         "partition_count": wordcount_sql,
+        "scan_lineitem": "SELECT * FROM lineitem",
+        "filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                   l_discount,
+                   l_extendedprice * (1.0 - l_discount) AS disc_price
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+        """,
+        "agg_pricing": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {dsum('l_quantity')} AS sum_qty,
+                   {dsum('l_extendedprice')} AS sum_base_price,
+                   {dsum('l_extendedprice * (1.0 - l_discount)', 24, 4)} AS sum_disc_price,
+                   {dsum('l_quantity')} / COUNT(l_quantity) AS avg_qty,
+                   {dsum('l_extendedprice')} / COUNT(l_extendedprice) AS avg_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "join_orders_customer": f"""
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   {dsum('o_totalprice')} AS sum_totalprice,
+                   COUNT(DISTINCT c_custkey) AS n_customers
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "semi_anti": """
+            SELECT c_custkey, c_name, 'has_orders' AS tag FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            UNION ALL
+            SELECT c_custkey, c_name, 'no_orders' AS tag FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "topk_window": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rnk
+                FROM orders
+            ) WHERE rnk <= 3
+        """,
+        "union_parts": """
+            SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+            FROM lineitem WHERE l_quantity >= 25
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+            FROM lineitem WHERE l_quantity < 25
+        """,
+        "groupby_collect": """
+            SELECT l_orderkey,
+                   array_to_string(list_sort(list(CAST(l_linenumber AS VARCHAR))), ',')
+                       AS linenumbers,
+                   COUNT(*) AS n_lines
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "sorted_output": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem ORDER BY l_orderkey, l_linenumber
+        """,
+        "rollup_nation": f"""
+            SELECT r_name, n_name,
+                   COUNT(*) AS n_customers,
+                   {dsum('c_acctbal')} AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "json_props": f"""
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                       AS sum_k,
+                   CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                       AS min_k,
+                   CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                       AS max_k,
+                   {dsum('value')} AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "events_tumbling": f"""
+            SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   {dsum('value')} AS sum_value
+            FROM {ev} GROUP BY 1, 2
+        """,
+        "sessionize": f"""
+            WITH g AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN epoch_us(ts)
+                                 - LAG(epoch_us(ts)) OVER (
+                                       PARTITION BY user_id ORDER BY ts, event_id
+                                   ) > 1800000000
+                            THEN 1 ELSE 0 END AS is_break
+                FROM {ev}
+            ), s AS (
+                SELECT user_id, ts, value,
+                       SUM(is_break) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_seq
+                FROM g
+            )
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   COUNT(*) AS n_events,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   {dsum('value')} AS sum_value
+            FROM s GROUP BY 1, 2
+        """,
         "tokenize": f"""
             SELECT doc_id, word FROM (
                 SELECT doc_id,

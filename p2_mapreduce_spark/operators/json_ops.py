@@ -1,0 +1,27 @@
+"""Semi-structured (JSON) column operators.
+
+The reference's only JSON is its internal shuffle encoding (JSON-lines of
+KeyValue, storage-node/main.go:790-803) — never user-visible.  This module
+is the *(derived)* user-facing version: parse a JSON string column, extract
+typed fields, aggregate on them.  ``get_json_object``/``from_json`` are
+JVM-side (Jackson) — no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from p2_mapreduce_spark.functions.numeric import dsum
+
+
+def json_props_agg(events: DataFrame) -> DataFrame:
+    """Extract ``props.k`` (int) and aggregate per event_type."""
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        dsum("value").alias("sum_value"),
+    )

@@ -1,0 +1,150 @@
+"""Relational operator surface (SURVEY.md §2.3 *(derived)* ops).
+
+The reference has no relational algebra — its expressible surface is
+map / hash-shuffle / group-reduce (SURVEY.md §2.2).  Each operator here is
+the direct DataFrame expression of a composition of those primitives
+(e.g. reduce-side join = map-tag + group-by-key; top-k per group =
+shuffle + per-key sort M6 + limit), which Catalyst then plans far better
+than the paradigm's hand-rolled form (broadcast instead of shuffle,
+partial aggs, pushdown).
+
+Scale notes per operator are inline; the common rules:
+- dimension tables (region/nation/customer at TPC-H shape) are broadcast —
+  no shuffle of the fact side;
+- every aggregate uses the deterministic decimal protocol
+  (functions/numeric.py) — reproducible under any partitioning;
+- predicates/projections sit directly on the scan so Catalyst pushes them
+  into parquet (verified by plans/explain.py audits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from p2_mapreduce_spark.functions.numeric import davg, dsum
+
+
+def filter_project(lineitem: DataFrame, date_lo: str, date_hi: str) -> DataFrame:
+    """Projection + filter — the map-with-predicate special case of M1.
+    Both the date filter and the 5-column projection reach the parquet
+    scan (PushedFilters/ReadSchema), so at 100 TB this reads a fraction
+    of the table."""
+    return lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        # product of two 2-decimal doubles: deterministic IEEE scalar math
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("disc_price"),
+    )
+
+
+def agg_pricing(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (M5+M7+M9 as one groupBy).
+    Spark runs it partial→final automatically (the map-side combine the
+    reference lacks); 6 groups regardless of scale → the reduce side is
+    trivially small, the scan dominates."""
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, scale=4, precision=24).alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def join_orders_customer(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Equi inner join + aggregate — the reduce-side-join composition.
+    ``customer`` is broadcast: at TPC-H shape it is 1/10 the fact table
+    and joins per-row; broadcasting removes the orders-side shuffle
+    entirely (at true 100 TB with a huge customer table, drop the hint
+    and let AQE pick shuffled hash join)."""
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_totalprice"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+def semi_anti(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-semi (EXISTS) and left-anti (NOT EXISTS) in one result,
+    tagged.  Both sides broadcast the orders key set; no fact shuffle."""
+    okeys = orders.select("o_custkey")
+    semi = customer.join(F.broadcast(okeys), customer.c_custkey == okeys.o_custkey, "left_semi")
+    anti = customer.join(F.broadcast(okeys), customer.c_custkey == okeys.o_custkey, "left_anti")
+    tag = lambda df, t: df.select("c_custkey", "c_name", F.lit(t).alias("tag"))  # noqa: E731
+    return tag(semi, "has_orders").unionAll(tag(anti, "no_orders"))
+
+
+def topk_per_group(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k orders per customer: Window + row_number — the shuffle +
+    per-key sort (M6) + limit composition.  Tie-broken on o_orderkey so
+    the result is deterministic (row_number over a non-unique ordering is
+    not).  One shuffle on the partition key; no global sort."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+def union_parts(lineitem: DataFrame) -> DataFrame:
+    """M10 (concatenate) as a relational op: union of two disjoint
+    filters.  Spark unions are metadata-only (no shuffle, no dedup) —
+    exactly the reference's file concatenation, but lazy."""
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"]
+    high = lineitem.filter(F.col("l_quantity") >= 25).select(*cols)
+    low = lineitem.filter(F.col("l_quantity") < 25).select(*cols)
+    return high.unionAll(low)
+
+
+def groupby_collect(lineitem: DataFrame) -> DataFrame:
+    """M5 made visible: the grouped value list per key.  Sorted and
+    serialized so the result is set-semantics-stable; the raw
+    collect_list order is partition-dependent and must never be exposed
+    (same reason the reference sorts keys before reducing, M6)."""
+    return lineitem.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.sort_array(F.collect_list(F.col("l_linenumber").cast("string"))), ","
+        ).alias("linenumbers"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def sorted_output(lineitem: DataFrame) -> DataFrame:
+    """M9's global sort as an operator: range-partitioned distributed
+    sort (sampled split points), not the reference's single-node merge."""
+    return lineitem.select("l_orderkey", "l_linenumber", "l_quantity").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+def rollup_nation(customer: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
+    """Hierarchical totals region → nation → grand total.  Both dims are
+    broadcast; ROLLUP expands to 3 grouping sets in one pass (no
+    re-scan)."""
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal").alias("sum_acctbal"),
+    )

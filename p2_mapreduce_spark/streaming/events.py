@@ -1,0 +1,88 @@
+"""Event-time operators over the ``events`` table.
+
+Batch first (driver-oracle-checkable), then the Structured Streaming twin
+of the same aggregation — same logical plan, incremental execution with a
+watermark for late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from p2_mapreduce_spark.functions.numeric import dsum
+
+
+def tumbling_window_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window aggregate (batch).  ``window()`` is a
+    plain projection (bucket = floor(ts)) followed by a hash aggregate —
+    one shuffle on (bucket, event_type); partial aggs make the shuffle
+    tiny at any scale."""
+    return (
+        events.groupBy(
+            F.window("ts", width).start.alias("bucket_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    longer than ``gap_minutes``.  lag + running cumsum over a per-user
+    window — one shuffle on user_id; no Python.
+
+    Skew note: a single hyperactive user serializes into one task; at
+    100 TB bound sessions per user per day (composite partition key
+    (user_id, date)) or move to ``session_window`` in streaming.
+    """
+    # event_id tie-break makes the lag/cumsum deterministic under equal
+    # timestamps; gap arithmetic in integer microseconds (exact, and
+    # matches the oracle's epoch_us on µs-truncated timestamps).
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    with_breaks = events.withColumn(
+        "is_break",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1).over(w_user)
+            > F.lit(gap_us)
+        ).cast("int"),
+    ).withColumn(
+        "session_seq",
+        F.sum(F.coalesce(F.col("is_break"), F.lit(0))).over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return with_breaks.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+def tumbling_window_stream(
+    spark,
+    source_dir: str,
+    schema,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Structured Streaming twin of :func:`tumbling_window_agg`:
+    file-source stream → watermark → windowed agg.  The watermark bounds
+    state (buckets older than max(event time) - watermark are finalized
+    and dropped) — the knob that keeps state finite on an unbounded
+    stream.  Caller starts it with ``.writeStream`` (tests use the
+    memory sink + ``processAllAvailable``)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).start.alias("bucket_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
