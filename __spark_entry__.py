@@ -169,6 +169,85 @@ def _q_sessionize(spark, sf_dir):
     return sessionize(load_table(spark, sf_dir, "events"))
 
 
+# --- LLM-pipeline extensions (dedup / text analysis / similarity / binary) --
+
+
+def _q_dedup_docs(spark, sf_dir):
+    from p2_mapreduce_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_ngram(spark, sf_dir):
+    from p2_mapreduce_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    from p2_mapreduce_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from p2_mapreduce_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _q_text_stats(spark, sf_dir):
+    from p2_mapreduce_spark.operators.text_analysis import text_stats
+
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _q_lang_id(spark, sf_dir):
+    from p2_mapreduce_spark.operators.text_analysis import lang_id
+
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _q_quality_score(spark, sf_dir):
+    from p2_mapreduce_spark.operators.text_analysis import quality_score
+
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint_docs(spark, sf_dir):
+    from p2_mapreduce_spark.operators.text_analysis import fingerprint_docs
+
+    return fingerprint_docs(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "md5", "norm_len"
+    )
+
+
+def _q_binary_meta(spark, sf_dir):
+    from p2_mapreduce_spark.operators.multimodal import binary_meta
+
+    return binary_meta(load_table(spark, sf_dir, "documents"))
+
+
+def _q_knn_embeddings(spark, sf_dir):
+    from p2_mapreduce_spark.operators.similarity import knn_bruteforce
+
+    return knn_bruteforce(load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+
+
+def _q_knn_lsh(spark, sf_dir):
+    from p2_mapreduce_spark.operators.similarity import knn_lsh
+
+    return knn_lsh(load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+
+
+def _q_embed_near_pairs(spark, sf_dir):
+    from p2_mapreduce_spark.operators.similarity import cosine_near_pairs
+
+    # synthetic embeddings have no true near-dups (max pairwise cosine
+    # ≈0.51 at sf0.01) — 0.45 exercises the operator non-degenerately.
+    return cosine_near_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -189,6 +268,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": _q_json_props,
         "events_tumbling": _q_events_tumbling,
         "sessionize": _q_sessionize,
+        "dedup_docs": _q_dedup_docs,
+        "dedup_ngram": _q_dedup_ngram,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "text_stats": _q_text_stats,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "fingerprint_docs": _q_fingerprint_docs,
+        "binary_meta": _q_binary_meta,
+        "knn_embeddings": _q_knn_embeddings,
+        "knn_lsh": _q_knn_lsh,
+        "embed_near_pairs": _q_embed_near_pairs,
     }
 
 
@@ -208,6 +299,25 @@ def oracle_sql() -> dict[str, str]:
     # truncated on both sides (Spark's native precision).
     dsum = lambda e, p=18, s=2: f"CAST(SUM(CAST({e} AS DECIMAL({p},{s}))) AS DOUBLE)"  # noqa: E731
     ev = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+    # documents tokenized / shingled (3-gram), shared by dedup oracles
+    toks = (
+        "SELECT doc_id, text, lang, source, n_chars, "
+        f"list_filter(regexp_split_to_array(lower(text), '{_TOK}'), x -> x <> '') AS t "
+        "FROM documents"
+    )
+    shingles = f"""
+        SELECT DISTINCT doc_id, array_to_string(t[g.i:g.i+2], ' ') AS shingle
+        FROM ({toks}) toks,
+             LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 0))) AS i) g
+    """
+    # language marker scores (must mirror operators/text_analysis.LANG_MARKERS)
+    lang_score = (
+        lambda rx: f"len(regexp_extract_all(lower(text), '{rx}'))"  # noqa: E731
+    )
+    s_en = lang_score(r"\b(the|and|of|to|is|in)\b")
+    s_de = lang_score(r"\b(der|die|das|und|ist|nicht)\b")
+    s_es = lang_score(r"\b(el|la|los|las|es|y|de)\b")
+    s_fr = lang_score(r"\b(le|la|les|et|est|une)\b")
     return {
         "wordcount": wordcount_sql,
         "wordcount_global": wordcount_sql + " ORDER BY word",
@@ -328,6 +438,114 @@ def oracle_sql() -> dict[str, str]:
                    MAX(ts) AS session_end,
                    {dsum('value')} AS sum_value
             FROM s GROUP BY 1, 2
+        """,
+        "dedup_docs": """
+            SELECT MIN(doc_id) AS doc_id, md5(text) AS text_md5,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "dedup_ngram": f"""
+            WITH sh AS ({shingles}),
+            sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_common
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_common,
+                   CAST(sa.ns AS BIGINT) AS size_a,
+                   CAST(sb.ns AS BIGINT) AS size_b,
+                   CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) >= 0.5
+        """,
+        "text_stats": f"""
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(len(t)) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avg_tokens,
+                   COUNT(DISTINCT source) AS n_sources,
+                   MIN(length(text)) AS min_len,
+                   MAX(length(text)) AS max_len
+            FROM ({toks}) GROUP BY lang
+        """,
+        "lang_id": f"""
+            SELECT doc_id, lang AS labeled_lang,
+                   CASE WHEN {s_en} >= {s_de} AND {s_en} >= {s_es}
+                             AND {s_en} >= {s_fr} AND {s_en} >= 1 THEN 'en'
+                        WHEN {s_de} >= {s_es} AND {s_de} >= {s_fr}
+                             AND {s_de} >= 1 THEN 'de'
+                        WHEN {s_es} >= {s_fr} AND {s_es} >= 1 THEN 'es'
+                        WHEN {s_fr} >= 1 THEN 'fr'
+                        ELSE 'und' END AS detected_lang,
+                   CAST(CASE WHEN {s_en} >= {s_de} AND {s_en} >= {s_es}
+                                  AND {s_en} >= {s_fr} AND {s_en} >= 1 THEN {s_en}
+                             WHEN {s_de} >= {s_es} AND {s_de} >= {s_fr}
+                                  AND {s_de} >= 1 THEN {s_de}
+                             WHEN {s_es} >= {s_fr} AND {s_es} >= 1 THEN {s_es}
+                             WHEN {s_fr} >= 1 THEN {s_fr}
+                             ELSE 0 END AS BIGINT) AS marker_hits
+            FROM documents
+        """,
+        "quality_score": f"""
+            SELECT doc_id,
+                   CAST(nchars AS BIGINT) AS n_bytes,
+                   CAST(ntok AS BIGINT) AS n_tokens,
+                   CAST(nalpha AS DOUBLE) / nchars AS alpha_ratio,
+                   CAST(nspaces AS DOUBLE) / nchars AS space_ratio,
+                   CAST(shits AS DOUBLE) / ntok AS stop_ratio,
+                   (CAST(nalpha AS DOUBLE) / nchars) * 0.5
+                     + (CAST(nspaces AS DOUBLE) / nchars) * 0.25
+                     + (CAST(shits AS DOUBLE) / ntok) * 0.25 AS quality
+            FROM (
+                SELECT doc_id,
+                       strlen(text) AS nchars,
+                       strlen(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS nalpha,
+                       strlen(text) - strlen(regexp_replace(text, ' ', '', 'g')) AS nspaces,
+                       len(list_filter(regexp_split_to_array(lower(text), '{_TOK}'),
+                                       x -> x <> '')) AS ntok,
+                       len(regexp_extract_all(lower(text),
+                                              '\\b(the|and|of|to|a|in)\\b')) AS shits
+                FROM documents
+            )
+        """,
+        "fingerprint_docs": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS md5,
+                   length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_len
+            FROM documents
+        """,
+        "binary_meta": """
+            SELECT doc_id AS media_id,
+                   CAST(strlen(text) AS BIGINT) AS byte_len,
+                   sha256(text) AS sha256
+            FROM documents
+        """,
+        "knn_embeddings": """
+            WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv
+                       FROM embeddings),
+            scored AS (
+                SELECT q_id, n_id,
+                       list_dot_product(qv, nv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(nv, nv))) AS cosine
+                FROM q, c WHERE n_id <> q_id
+            ),
+            ranked AS (
+                SELECT q_id, n_id, cosine,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q_id ORDER BY cosine DESC, n_id
+                       ) AS rnk
+                FROM scored
+            )
+            SELECT q_id, n_id, cosine, rnk FROM ranked WHERE rnk <= 10
         """,
         "tokenize": f"""
             SELECT doc_id, word FROM (

@@ -1,0 +1,140 @@
+"""Multimodal column plumbing (extension surface per BASELINE.json).
+
+Image/audio/video payloads are opaque ``binary`` columns plus a typed
+metadata struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas functions over ``mapInPandas`` so at 100 TB the
+payloads stream through executors in columnar batches and never
+concentrate on the driver.
+
+The actual media codecs are NOT in this container, so the decode kernels
+are stubbed: ``decoder="none"`` raises ``NotImplementedError`` (marking
+exactly where Pillow/torchaudio/PyAV plug in), while ``decoder="fake"``
+derives deterministic pseudo-metadata from the payload hash — keeping the
+Spark-side contract (schemas, batch iteration, partitioning) fully real
+and testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Canonical multimodal record: opaque payload + typed metadata.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("byte_len", T.LongType(), True),
+                    T.StructField("sha256", T.StringType(), True),
+                    T.StructField("format", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+DECODED_SCHEMA = (
+    "media_id long, modality string, width int, height int, "
+    "n_frames int, sample_rate int, feature_hash long"
+)
+
+
+def attach_binary(docs: DataFrame, modality: str = "image") -> DataFrame:
+    """Build a multimodal table from the documents fixture: payload =
+    UTF-8 bytes of the text (a stand-in for real media bytes); metadata
+    computed JVM-side (octet_length, sha2) — the real pattern for binary
+    ingest where payload hashing should never reach Python."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(modality).alias("modality"),
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(F.col("text")).cast("long").alias("byte_len"),
+            F.sha2(payload, 256).alias("sha256"),
+            F.lit("raw").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes, modality: str) -> dict:
+    """Deterministic pseudo-decode: metadata derived from the payload
+    digest.  Replaced wholesale by a real codec in production."""
+    digest = hashlib.sha256(payload or b"").digest()
+    w = 16 + digest[0] % 64
+    h = 16 + digest[1] % 64
+    return {
+        "width": w if modality in ("image", "video") else 0,
+        "height": h if modality in ("image", "video") else 0,
+        "n_frames": 1 + digest[2] % 32 if modality == "video" else (1 if modality == "image" else 0),
+        "sample_rate": 8000 * (1 + digest[3] % 6) if modality == "audio" else 0,
+        "feature_hash": int.from_bytes(digest[4:12], "big", signed=True),
+    }
+
+
+def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Decode/feature-extract over ``mapInPandas``: one Arrow batch of
+    payloads in, one batch of typed metadata out.  This is the exact
+    plumbing a real decoder uses — swap ``_fake_decode`` for the codec.
+
+    ``decoder='none'`` raises ``NotImplementedError`` (no media libs in
+    this container — see module docstring).
+    """
+    if decoder == "none":
+        raise NotImplementedError(
+            "real media codecs (Pillow/torchaudio/PyAV) are not available in "
+            "this environment; use decoder='fake' for the deterministic stub"
+        )
+    if decoder != "fake":
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [
+                _fake_decode(p, m) for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            out = pd.DataFrame(metas)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            out.insert(1, "modality", pdf["modality"].values)
+            yield out
+
+    return media.select("media_id", "modality", "payload").mapInPandas(
+        batches, schema=DECODED_SCHEMA
+    )
+
+
+def frame_sample(decoded: DataFrame, every_n: int = 8) -> DataFrame:
+    """Frame-sampling plan for video rows: explode sampled frame indices
+    (0, every_n, 2·every_n, …) — pure built-ins; the per-frame pixel
+    fetch would be a second mapInPandas over (media_id, frame_idx)."""
+    return (
+        decoded.filter(F.col("modality") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+            ).alias("frame_idx"),
+        )
+    )
+
+
+def binary_meta(docs: DataFrame) -> DataFrame:
+    """Oracle-checkable slice of the binary plane: byte length + sha256
+    of the payload, all JVM-side."""
+    m = attach_binary(docs)
+    return m.select(
+        "media_id",
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.sha256").alias("sha256"),
+    )

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (extension surface).
+
+Two paths, mirroring production ANN practice:
+
+- :func:`knn_bruteforce` — exact top-k cosine: broadcast the (small) query
+  set against the corpus, fold the dot product with built-in higher-order
+  functions (``zip_with`` / ``aggregate`` — JVM, codegen, no Python), rank
+  with one window.  Cost O(|corpus| × |queries| × dim): the correct
+  baseline and the verifier for approximate paths.  Scales horizontally —
+  the corpus side never shuffles.
+- :func:`knn_lsh` — random-hyperplane LSH: bucket each vector by the sign
+  pattern of ``n_planes`` fixed pseudo-random hyperplanes (derived from a
+  seeded hash, no RNG state), then search only the query's bucket.
+  Sub-linear probe cost at the price of recall; candidates are re-scored
+  exactly, so precision is exact.
+
+Dot products accumulate left-to-right in DOUBLE (``F.aggregate`` fold) —
+deterministic for a fixed element order, which embeddings have.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold double dot product of two array<float/double>."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def with_norm(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return embeddings.withColumn("norm", _norm(F.col(vec_col)))
+
+
+def knn_bruteforce(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors
+    (deterministic query set: ``vec_id < n_queries``), self excluded.
+    Ties broken by neighbor id, so ranks are total and reproducible."""
+    corpus = with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), F.col("norm").alias("n_norm")
+    )
+    queries = with_norm(embeddings.filter(F.col(id_col) < n_queries), vec_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), F.col("norm").alias("q_norm")
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("n_id") != F.col("q_id"))
+        .withColumn("cosine", _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cosine", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+def cosine_near_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the semantic-dedup op):
+    LSH-bucket self-join (candidates share all ``n_planes`` sign bits —
+    high-cosine pairs almost always do) + exact cosine verification.
+    Probabilistic recall / exact precision, like minhash_lsh_pairs."""
+    bucketed = add_lsh_bucket(with_norm(embeddings, vec_col), n_planes, vec_col)
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+        F.col("norm").alias("norm_a"), F.col("bucket").alias("bucket_a"),
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        F.col("norm").alias("norm_b"), F.col("bucket").alias("bucket_b"),
+    )
+    return (
+        a.join(b, (F.col("bucket_a") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn(
+            "cosine", _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# --- LSH bucketing (scale path) --------------------------------------------
+
+
+def _hyperplane_sign(vec: Column, plane: int) -> Column:
+    """Sign bit of <vec, h_plane> where h_plane's components are ±1 derived
+    from xxhash64(plane, dim) — a fixed, seedable hyperplane family needing
+    no stored model."""
+    signed = F.zip_with(
+        vec,
+        F.transform(
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda d: (F.pmod(F.xxhash64(F.lit(plane), d), F.lit(2)) * 2 - 1).cast("double"),
+        ),
+        lambda x, s: x.cast("double") * s,
+    )
+    total = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+    return (total > 0).cast("int")
+
+
+def add_lsh_bucket(
+    embeddings: DataFrame, n_planes: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """Append a ``bucket`` int column = the n_planes-bit sign pattern.
+    2^n_planes buckets; at 100 TB partition-by-bucket gives data-local
+    candidate search."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        bucket = bucket + F.shiftleft(_hyperplane_sign(F.col(vec_col), p).cast("long"), p)
+    return embeddings.withColumn("bucket", bucket)
+
+
+def knn_lsh(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: exact re-scoring restricted to the query's LSH
+    bucket.  Recall < 1 by construction; rows-only in the driver check,
+    recall measured against :func:`knn_bruteforce` in pytest."""
+    bucketed = add_lsh_bucket(with_norm(embeddings, vec_col), n_planes, vec_col)
+    corpus = bucketed.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+        F.col("norm").alias("n_norm"), F.col("bucket").alias("n_bucket"),
+    )
+    queries = bucketed.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        F.col("norm").alias("q_norm"), F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("n_bucket") == F.col("q_bucket")) & (F.col("n_id") != F.col("q_id")),
+        )
+        .withColumn("cosine", _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cosine", F.col("rnk").cast("bigint").alias("rnk"))
+    )

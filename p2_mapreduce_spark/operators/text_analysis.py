@@ -1,0 +1,117 @@
+"""Text-analysis operators for LLM-data pipelines (extension surface).
+
+Language ID, quality scoring, token statistics, and content
+fingerprinting — each a pure built-in-function pipeline (regexp + string
++ hash functions, all JVM-side) whose arithmetic is IEEE-deterministic so
+every query here is oracle-checkable cross-engine.
+
+Reference seed: the only text analytics in the reference is
+tokenize+count (wordcount.go:20-45); everything else is new surface per
+BASELINE.json's north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from p2_mapreduce_spark.functions.numeric import dsum
+from p2_mapreduce_spark.functions.text import tokens_array
+
+#: (language, marker regex) — tiny n-gram/stopword heuristic. Real
+#: pipelines plug a model here (fasttext et al., not in this container);
+#: the *engine* contract is: one regexp count per language, argmax with
+#: deterministic tie-break order.
+LANG_MARKERS = (
+    ("en", r"\b(the|and|of|to|is|in)\b"),
+    ("de", r"\b(der|die|das|und|ist|nicht)\b"),
+    ("es", r"\b(el|la|los|las|es|y|de)\b"),
+    ("fr", r"\b(le|la|les|et|est|une)\b"),
+)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace/punct token count (the BPE-ish pre-tokenizer count)."""
+    return F.size(tokens_array(text))
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-language corpus statistics: doc/char/token totals and means."""
+    toks = token_count(F.col("text"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(toks).alias("sum_tokens"),
+        (F.sum(toks).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min(F.length("text")).alias("min_len"),
+        F.max(F.length("text")).alias("max_len"),
+    )
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    return [
+        (lang, F.size(F.regexp_extract_all(F.lower(text), F.lit(rx), F.lit(0))))
+        for lang, rx in LANG_MARKERS
+    ]
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: argmax of marker-hit counts, first-listed
+    language wins ties, 'und' when nothing matches."""
+    scores = lang_scores(F.col("text"))
+    best = F.lit("und")
+    best_n = F.lit(0)
+    # fold right-to-left so earlier languages win ties with strict '>'
+    for lang, n in reversed(scores):
+        cond = n >= F.greatest(best_n, F.lit(1))
+        # use > for later langs via ordering: since we fold reversed, an
+        # earlier lang replacing on >= gives it the tie.
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_n = F.when(cond, n).otherwise(best_n)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        best.alias("detected_lang"),
+        best_n.cast("bigint").alias("marker_hits"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length/alpha-ratio/stopword heuristics → [0,1]-ish score.
+    All ratios are single IEEE divisions of integer counts (deterministic
+    and oracle-comparable bit-for-bit)."""
+    text = F.col("text")
+    n_chars = F.octet_length(text).cast("bigint")
+    n_alpha = F.octet_length(F.regexp_replace(text, r"[^A-Za-z0-9]", "")).cast("bigint")
+    n_spaces = (n_chars - F.octet_length(F.regexp_replace(text, r" ", ""))).cast("bigint")
+    n_tokens = token_count(text).cast("bigint")
+    stop_hits = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(r"\b(the|and|of|to|a|in)\b"), F.lit(0))
+    ).cast("bigint")
+    alpha_ratio = n_alpha.cast("double") / n_chars
+    space_ratio = n_spaces.cast("double") / n_chars
+    stop_ratio = stop_hits.cast("double") / n_tokens
+    score = alpha_ratio * 0.5 + space_ratio * 0.25 + stop_ratio * 0.25
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_bytes"),
+        n_tokens.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        space_ratio.alias("space_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint_docs(docs: DataFrame) -> DataFrame:
+    """Content fingerprint on normalized text (lower + whitespace
+    collapse): md5 for exact-dup detection plus a 64-bit xxhash for
+    compact join keys.  Both JVM hash functions, deterministic."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("md5"),
+        F.xxhash64(norm).alias("xxh64"),
+        F.length(norm).alias("norm_len"),
+    )

@@ -1,0 +1,83 @@
+"""Property tests for the approximate dedup operators: the LSH paths must
+be exact-precision subsets of the exact-Jaccard oracle, with high recall
+on high-similarity pairs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from p2_mapreduce_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from p2_mapreduce_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_exact_dedup_accounts_for_all_rows(spark, docs):
+    total = docs.count()
+    agg = exact_dedup(docs).agg(F.sum("n_copies")).collect()[0][0]
+    assert agg == total
+
+
+def test_minhash_pairs_subset_of_exact_with_high_recall(spark, docs):
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    # exact precision: every LSH pair is a true pair with the same jaccard
+    for pair, j in approx.items():
+        assert pair in exact and abs(exact[pair] - j) < 1e-12
+    # high recall on strong pairs (16 bands × 4 rows: ~1.0 at j >= 0.8)
+    strong = {p for p, j in exact.items() if j >= 0.8}
+    if strong:
+        found = strong & set(approx)
+        assert len(found) / len(strong) >= 0.9
+
+
+def test_simhash_deterministic_and_pairs_verified(spark, docs):
+    fp1 = {r["doc"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    fp2 = {
+        r["doc"]: r["simhash"]
+        for r in simhash_fingerprints(docs.repartition(7)).collect()
+    }
+    assert fp1 == fp2  # partition-invariant
+    pairs = simhash_near_pairs(docs, max_hamming=3).collect()
+    for r in pairs:
+        x = fp1[r["doc_a"]] ^ fp1[r["doc_b"]]
+        assert bin(x & 0xFFFFFFFFFFFFFFFF).count("1") == r["hamming"] <= 3
+
+
+def test_short_and_empty_docs_dont_crash_shingles(spark):
+    """Regression: sequence(1, stop<1) counts DOWN in Spark → slice(start=0)
+    crash for docs shorter than the shingle width."""
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, "two words"), (4, None)], ["doc_id", "text"]
+    )
+    assert ngram_jaccard_pairs(df).count() == 0
+    assert minhash_lsh_pairs(df).count() == 0
+
+
+def test_identical_docs_are_perfect_pairs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "totally different words entirely here now yes"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = ngram_jaccard_pairs(df, threshold=0.99).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in exact] == [(1, 2, 1.0)]
+    approx = minhash_lsh_pairs(df, threshold=0.99).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in approx] == [(1, 2)]
+    sim = simhash_near_pairs(df, max_hamming=0).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in sim] == [(1, 2, 0)]

@@ -1,0 +1,56 @@
+"""Multimodal plumbing tests: the decode path's Spark-side contract
+(schema, Arrow batching, determinism) is real even though the codec is a
+stub."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from p2_mapreduce_spark.operators.multimodal import (
+    attach_binary,
+    decode_media,
+    frame_sample,
+)
+from p2_mapreduce_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    return attach_binary(docs, modality="image")
+
+
+def test_attach_binary_schema_and_meta(spark, media):
+    row = media.first()
+    assert isinstance(row["payload"], (bytes, bytearray))
+    assert row["meta"]["byte_len"] == len(row["payload"])
+    assert len(row["meta"]["sha256"]) == 64
+
+
+def test_decode_fake_deterministic(spark, media):
+    a = sorted(map(tuple, decode_media(media, "fake").collect()))
+    b = sorted(map(tuple, decode_media(media.repartition(5), "fake").collect()))
+    assert a == b
+    for r in decode_media(media, "fake").collect():
+        assert r["width"] >= 16 and r["height"] >= 16
+        assert r["n_frames"] == 1  # images
+
+
+def test_decode_none_raises(spark, media):
+    with pytest.raises(NotImplementedError):
+        decode_media(media, "none")
+
+
+def test_decode_unknown_decoder(spark, media):
+    with pytest.raises(ValueError):
+        decode_media(media, "pillow")
+
+
+def test_frame_sample_video(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    vids = decode_media(attach_binary(docs, modality="video"), "fake")
+    frames = frame_sample(vids, every_n=8)
+    joined = frames.join(vids, "media_id").collect()
+    assert len(joined) > 0
+    for r in joined:
+        assert 0 <= r["frame_idx"] < r["n_frames"]
+        assert r["frame_idx"] % 8 == 0

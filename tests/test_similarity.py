@@ -1,0 +1,62 @@
+"""Similarity-search tests: brute-force is the oracle; LSH paths must be
+exact-precision with measured recall."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from p2_mapreduce_spark.operators.similarity import (
+    cosine_near_pairs,
+    knn_bruteforce,
+    knn_lsh,
+)
+from p2_mapreduce_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_bruteforce_shape_and_rank(spark, emb):
+    out = knn_bruteforce(emb, n_queries=5, k=10).collect()
+    assert len(out) == 5 * 10
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append((r["rnk"], r["cosine"], r["n_id"]))
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, 11))
+        cosines = [r[1] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(not math.isnan(c) and -1.001 <= c <= 1.001 for c in cosines)
+        assert all(r[2] != q for r in rows)
+
+
+def test_bruteforce_partition_invariant(spark, emb):
+    a = sorted(map(tuple, knn_bruteforce(emb, 3, 5).collect()))
+    b = sorted(map(tuple, knn_bruteforce(emb.repartition(13), 3, 5).collect()))
+    assert a == b
+
+
+def test_lsh_results_are_true_neighbors(spark, emb):
+    """Every LSH hit must carry the exact cosine the brute-force path
+    computes (precision); recall is reported, not asserted hard — bucket
+    recall at k=10 with 6 planes is genuinely lossy."""
+    bf = {(r["q_id"], r["n_id"]): r["cosine"] for r in knn_bruteforce(emb, 5, 10).collect()}
+    lsh = knn_lsh(emb, n_queries=5, k=10, n_planes=6).collect()
+    assert len(lsh) > 0
+    exact_all = {
+        (r["q_id"], r["n_id"]): r["cosine"]
+        for r in knn_bruteforce(emb, 5, k=10**9).collect()
+    }
+    for r in lsh:
+        assert abs(exact_all[(r["q_id"], r["n_id"])] - r["cosine"]) < 1e-12
+
+
+def test_near_pairs_symmetric_threshold(spark, emb):
+    pairs = cosine_near_pairs(emb, threshold=0.45).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert r["cosine"] >= 0.45
