@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with the ``noop`` sink — full computation, no
+driver-side collect, no filesystem write — so the number is the engine's
+execution time, not arrow-transfer time.  The reference publishes no
+benchmarks (BASELINE.md); the contract is the driver's own per-round
+comparison, so what matters is that this is stable and complete.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from p2_mapreduce_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as contract  # noqa: E402
+
+#: The headline set: the flagship MapReduce workload, one query per major
+#: operator family, and the heavy extension paths.
+HEADLINE = (
+    "wordcount_global",
+    "tokenize",
+    "filter_project",
+    "agg_pricing",
+    "join_orders_customer",
+    "topk_window",
+    "groupby_collect",
+    "sorted_output",
+    "rollup_nation",
+    "json_props",
+    "events_tumbling",
+    "sessionize",
+    "dedup_docs",
+    "dedup_ngram",
+    "dedup_minhash",
+    "dedup_simhash",
+    "text_stats",
+    "quality_score",
+    "fingerprint_docs",
+    "knn_embeddings",
+)
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("p2-bench")
+    queries = contract.queries()
+    # untimed warmup: JVM/codegen/file-index spin-up, not engine work
+    materialize(queries["wordcount"](spark, sf_dir))
+    materialize(queries["filter_project"](spark, sf_dir))
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -172,10 +172,28 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    exact = shingle_pairs(docs, n, text_col, id_col)
+    # Exact-Jaccard verification restricted to candidates: join the two
+    # shingle sets through the candidate pair list instead of building the
+    # full quadratic pair set (which would defeat LSH — the whole point is
+    # that non-candidates are never compared).
+    sh = docs.select(
+        F.col(id_col).alias("doc"), F.explode(_shingles(F.col(text_col), n)).alias("shingle")
+    ).where(F.col("shingle") != "")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sh_a = sh.select(F.col("doc").alias("doc_a"), F.col("shingle"))
+    sh_b = sh.select(F.col("doc").alias("doc_b"), F.col("shingle"))
+    inter = (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("size_b"))
     jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
     return (
-        exact.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -1,0 +1,71 @@
+"""Plan-hygiene pins: these tests fail when Catalyst stops making the
+scale-critical choices the operators are designed around (pushdown,
+pruning, broadcast, partial aggregation, no-Python hot paths)."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from p2_mapreduce_spark.plans import plan_report
+
+
+def _report(spark, sf_dir, qid):
+    return plan_report(entry_mod.queries()[qid](spark, sf_dir))
+
+
+def test_filter_project_pushdown_and_pruning(spark, sf_dir):
+    r = _report(spark, sf_dir, "filter_project")
+    assert r["pushed_filters"], "l_shipdate filter must reach the parquet scan"
+    cols = r["read_schema_cols"][0]
+    assert "l_comment" not in cols
+    assert set(cols) <= {
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate",
+    }, f"scan reads more than the projection needs: {cols}"
+
+
+def test_join_broadcasts_dimension(spark, sf_dir):
+    r = _report(spark, sf_dir, "join_orders_customer")
+    assert r["n_broadcast_joins"] >= 1
+    assert r["n_sortmerge_joins"] == 0, "fact side must not shuffle for this join"
+
+
+def test_rollup_broadcasts_both_dims(spark, sf_dir):
+    r = _report(spark, sf_dir, "rollup_nation")
+    assert r["n_broadcast_joins"] == 2
+    assert r["n_sortmerge_joins"] == 0
+
+
+def test_agg_pricing_stays_jvm_side(spark, sf_dir):
+    r = _report(spark, sf_dir, "agg_pricing")
+    assert not r["has_python_worker"], "pricing agg must not invoke Python"
+    # map-side combine (partial_sum/partial_count) + vectorized scan.
+    # (WholeStageCodegen spans aren't annotated in pre-execution AQE
+    # plans, so codegen isn't assertable here.)
+    assert "partial_sum" in r["plan"]
+    assert "Batched: true" in r["plan"]
+    assert r["n_exchanges"] <= 2  # partial->final shuffle + output sort
+
+
+def test_union_has_no_shuffle(spark, sf_dir):
+    r = _report(spark, sf_dir, "union_parts")
+    assert r["n_exchanges"] == 0, "union of filters is shuffle-free"
+
+
+def test_wordcount_single_shuffle_plus_sort(spark, sf_dir):
+    # groupBy shuffle + rangepartition for the global sort: exactly 2.
+    r = _report(spark, sf_dir, "wordcount_global")
+    assert r["n_exchanges"] == 2
+    assert not r["has_python_worker"]
+
+
+def test_scan_prunes_to_projection(spark, sf_dir):
+    r = _report(spark, sf_dir, "sorted_output")
+    cols = r["read_schema_cols"][0]
+    assert set(cols) == {"l_orderkey", "l_linenumber", "l_quantity"}
+
+
+def test_extensions_hot_paths_are_jvm_side(spark, sf_dir):
+    for qid in ["dedup_minhash", "dedup_simhash", "knn_embeddings",
+                "fingerprint_docs", "quality_score", "lang_id"]:
+        r = _report(spark, sf_dir, qid)
+        assert not r["has_python_worker"], f"{qid} reached Python"
