@@ -141,6 +141,68 @@ def _q_sorted_output(spark, sf_dir):
     return sorted_output(load_table(spark, sf_dir, "lineitem"))
 
 
+def _q_cube_agg(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import cube_agg
+
+    return cube_agg(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_pivot_status(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import pivot_status
+
+    return pivot_status(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_intersect_keys(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import intersect_keys
+
+    return intersect_keys(load_table(spark, sf_dir, "orders"))
+
+
+def _q_except_keys(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import except_keys
+
+    return except_keys(load_table(spark, sf_dir, "orders"))
+
+
+def _q_scalar_fns(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import scalar_fns
+
+    return scalar_fns(load_table(spark, sf_dir, "part"))
+
+
+def _q_date_parts(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import date_parts
+
+    return date_parts(load_table(spark, sf_dir, "orders"))
+
+
+def _q_range_join(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import range_join_quantity_bands
+
+    return range_join_quantity_bands(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def _q_asof_join(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import asof_join_purchase_signup
+
+    return asof_join_purchase_signup(load_table(spark, sf_dir, "events"))
+
+
+def _q_distinct_stats(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import distinct_stats
+
+    return distinct_stats(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_approx_distinct(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import approx_distinct
+
+    return approx_distinct(load_table(spark, sf_dir, "lineitem"))
+
+
 def _q_rollup_nation(spark, sf_dir):
     from p2_mapreduce_spark.operators.relational import rollup_nation
 
@@ -264,6 +326,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_parts": _q_union_parts,
         "groupby_collect": _q_groupby_collect,
         "sorted_output": _q_sorted_output,
+        "cube_agg": _q_cube_agg,
+        "pivot_status": _q_pivot_status,
+        "intersect_keys": _q_intersect_keys,
+        "except_keys": _q_except_keys,
+        "scalar_fns": _q_scalar_fns,
+        "date_parts": _q_date_parts,
+        "range_join": _q_range_join,
+        "asof_join": _q_asof_join,
+        "distinct_stats": _q_distinct_stats,
+        "approx_distinct": _q_approx_distinct,
         "rollup_nation": _q_rollup_nation,
         "json_props": _q_json_props,
         "events_tumbling": _q_events_tumbling,
@@ -386,6 +458,78 @@ def oracle_sql() -> dict[str, str]:
         "sorted_output": """
             SELECT l_orderkey, l_linenumber, l_quantity
             FROM lineitem ORDER BY l_orderkey, l_linenumber
+        """,
+        "cube_agg": f"""
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS n_rows,
+                   {dsum('l_quantity')} AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "pivot_status": f"""
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                        FILTER (l_linestatus = 'F') AS DOUBLE) AS "F",
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                        FILTER (l_linestatus = 'O') AS DOUBLE) AS "O"
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "intersect_keys": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "except_keys": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "scalar_fns": """
+            SELECT p_partkey,
+                   upper(substring(p_name, 1, 8)) AS name_prefix,
+                   length(p_name) AS name_len,
+                   concat_ws('_', p_brand, p_type) AS brand_type,
+                   CAST(abs(p_size - 25) AS BIGINT) AS size_dist,
+                   sqrt(p_retailprice) AS price_sqrt,
+                   CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+                   CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+                   p_partkey % 7 AS key_mod7,
+                   p_retailprice * p_size AS price_volume
+            FROM part
+        """,
+        "date_parts": f"""
+            SELECT year(o_orderdate) AS yr,
+                   quarter(o_orderdate) AS qtr,
+                   month(o_orderdate) AS mo,
+                   COUNT(*) AS n_orders,
+                   MIN(day(o_orderdate)) AS first_dom,
+                   MAX(day(o_orderdate)) AS last_dom,
+                   {dsum('o_totalprice')} AS sum_price
+            FROM orders GROUP BY 1, 2, 3
+        """,
+        "range_join": f"""
+            WITH bands AS (SELECT DISTINCT CAST(p_size AS BIGINT) AS band_lo FROM part)
+            SELECT band_lo,
+                   COUNT(*) AS n_items,
+                   {dsum('l_quantity')} AS sum_qty
+            FROM lineitem JOIN bands
+              ON l_quantity >= band_lo AND l_quantity < band_lo + 5
+            GROUP BY band_lo
+        """,
+        "asof_join": f"""
+            WITH p AS (SELECT event_id, user_id, ts FROM {ev}
+                       WHERE event_type = 'purchase'),
+                 s AS (SELECT user_id, ts FROM {ev} WHERE event_type = 'signup')
+            SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+            FROM p ASOF LEFT JOIN s
+              ON p.user_id = s.user_id AND p.ts >= s.ts
+        """,
+        "distinct_stats": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_orderkey) AS n_orders,
+                   COUNT(DISTINCT l_partkey) AS n_parts,
+                   quantile_cont(l_extendedprice, 0.5) AS median_price
+            FROM lineitem GROUP BY l_returnflag
         """,
         "rollup_nation": f"""
             SELECT r_name, n_name,

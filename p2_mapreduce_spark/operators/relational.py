@@ -137,6 +137,159 @@ def sorted_output(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def cube_agg(lineitem: DataFrame) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping sets in one
+    pass — one shuffle, each input row expanded to its grouping-set
+    combinations map-side (partial agg still applies)."""
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+def pivot_status(lineitem: DataFrame) -> DataFrame:
+    """Pivot linestatus values into columns.  The explicit value list
+    ["F","O"] matters at scale: without it Spark runs an extra distinct
+    job to discover pivot values before planning."""
+    return (
+        lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum("l_quantity"))
+    )
+
+
+def intersect_keys(orders: DataFrame) -> DataFrame:
+    """INTERSECT (distinct) — customers with both open and finished
+    orders.  Planned as a hash semi-join on distinct sets."""
+    open_keys = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_keys.intersect(done_keys)
+
+
+def except_keys(orders: DataFrame) -> DataFrame:
+    """EXCEPT (distinct) — customers with open but no finished orders.
+    ``subtract`` is Spark's EXCEPT DISTINCT (``exceptAll`` would keep a
+    key that appears more often on the open side than the finished side)."""
+    open_keys = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_keys.subtract(done_keys)
+
+
+def scalar_fns(part: DataFrame) -> DataFrame:
+    """Scalar string/math function surface in one projection.  Everything
+    chosen here is IEEE-exact cross-engine (sqrt yes, ln/exp no — libm
+    last-bit drift; round() excluded — half-up vs half-even divergence)."""
+    return part.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
+        # bigint casts: DuckDB's length/abs-of-int return BIGINT — keep the
+        # result schema engine-neutral
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat_ws("_", "p_brand", "p_type").alias("brand_type"),
+        F.abs(F.col("p_size") - 25).cast("bigint").alias("size_dist"),
+        F.sqrt(F.col("p_retailprice")).alias("price_sqrt"),
+        F.floor(F.col("p_retailprice")).cast("bigint").alias("price_floor"),
+        F.ceil(F.col("p_retailprice")).cast("bigint").alias("price_ceil"),
+        F.pmod(F.col("p_partkey"), F.lit(7)).alias("key_mod7"),
+        (F.col("p_retailprice") * F.col("p_size")).alias("price_volume"),
+    )
+
+
+def date_parts(orders: DataFrame) -> DataFrame:
+    """Date/time scalar surface: calendar parts + truncation + agg.
+    (dayofweek excluded: Spark counts 1=Sunday, DuckDB 0=Sunday.)"""
+    return (
+        orders.select(
+            # bigint: DuckDB's calendar extractors return BIGINT — keep
+            # the contract's result schema engine-neutral
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+            F.month("o_orderdate").cast("bigint").alias("mo"),
+            F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
+            "o_totalprice",
+        )
+        .groupBy("yr", "qtr", "mo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("dom").alias("first_dom"),
+            F.max("dom").alias("last_dom"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+def range_join_quantity_bands(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Theta (range) join: count lineitems whose quantity falls in
+    [p_size, p_size+5) for each distinct size band.  The band table is
+    tiny → BroadcastNestedLoopJoin: each fact row is tested against the
+    broadcast bands without a shuffle; with a huge band table the scale
+    path is bucketizing the range key into an equi-join."""
+    bands = part.select(F.col("p_size").cast("bigint").alias("band_lo")).distinct()
+    return (
+        lineitem.join(
+            F.broadcast(bands),
+            (F.col("l_quantity") >= F.col("band_lo"))
+            & (F.col("l_quantity") < F.col("band_lo") + 5),
+        )
+        .groupBy("band_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+def asof_join_purchase_signup(events: DataFrame) -> DataFrame:
+    """As-of (backward) join: for each 'purchase' event, the most recent
+    'signup' timestamp of the same user at-or-before it.
+
+    Spark lacks a native ASOF join; the scalable composition is
+    union-the-sides + one per-user window with last_value(ignorenulls) —
+    a single shuffle on user_id, no pairwise comparison (vs. the naive
+    range-join which is quadratic per user).  Ties (signup at exactly the
+    purchase ts) resolve signup-first to match inclusive >= semantics of
+    DuckDB's ASOF JOIN oracle."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_p"), F.lit(None).cast("timestamp").alias("s_ts")
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_p"), F.col("ts").alias("s_ts")
+    )
+    both = purchases.unionByName(signups)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        both.withColumn("signup_ts", F.last("s_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+        .select("event_id", "user_id", "ts", "signup_ts")
+    )
+
+
+def distinct_stats(lineitem: DataFrame) -> DataFrame:
+    """Exact distinct counts + exact interpolated median per group (the
+    approx_* variants — HLL/KLL sketches — are engine-specific and live in
+    approx_distinct/rows-only)."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
+    )
+
+
+def approx_distinct(lineitem: DataFrame) -> DataFrame:
+    """HLL-sketch distinct estimation (rows-only check: sketch internals
+    are engine-specific; pytest asserts the estimate is within rsd of the
+    exact count).  At 100 TB this replaces countDistinct's exact shuffle
+    with fixed-size mergeable sketches."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
 def rollup_nation(customer: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
     """Hierarchical totals region → nation → grand total.  Both dims are
     broadcast; ROLLUP expands to 3 grouping sets in one pass (no
