@@ -231,6 +231,30 @@ def _q_sessionize(spark, sf_dir):
     return sessionize(load_table(spark, sf_dir, "events"))
 
 
+def _q_window_analytics(spark, sf_dir):
+    from p2_mapreduce_spark.operators.analytics import window_analytics
+
+    return window_analytics(load_table(spark, sf_dir, "orders"))
+
+
+def _q_outer_join(spark, sf_dir):
+    from p2_mapreduce_spark.operators.analytics import outer_join_status
+
+    return outer_join_status(load_table(spark, sf_dir, "orders"))
+
+
+def _q_sliding_window(spark, sf_dir):
+    from p2_mapreduce_spark.streaming.events import sliding_window_agg
+
+    return sliding_window_agg(load_table(spark, sf_dir, "events"))
+
+
+def _q_session_window(spark, sf_dir):
+    from p2_mapreduce_spark.streaming.events import session_window_agg
+
+    return session_window_agg(load_table(spark, sf_dir, "events"))
+
+
 # --- LLM-pipeline extensions (dedup / text analysis / similarity / binary) --
 
 
@@ -340,6 +364,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": _q_json_props,
         "events_tumbling": _q_events_tumbling,
         "sessionize": _q_sessionize,
+        "window_analytics": _q_window_analytics,
+        "outer_join": _q_outer_join,
+        "sliding_window": _q_sliding_window,
+        "session_window": _q_session_window,
         "dedup_docs": _q_dedup_docs,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_minhash": _q_dedup_minhash,
@@ -582,6 +610,74 @@ def oracle_sql() -> dict[str, str]:
                    MAX(ts) AS session_end,
                    {dsum('value')} AS sum_value
             FROM s GROUP BY 1, 2
+        """,
+        "window_analytics": """
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   LAG(o_totalprice) OVER w AS prev_price,
+                   LEAD(o_totalprice) OVER w AS next_price,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS run_total,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS DOUBLE)
+                     / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                     AS mov_avg3
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "outer_join": """
+            WITH o AS (SELECT o_custkey, COUNT(*) AS n_open FROM orders
+                       WHERE o_orderstatus = 'O' GROUP BY 1),
+                 f AS (SELECT o_custkey, COUNT(*) AS n_done FROM orders
+                       WHERE o_orderstatus = 'F' GROUP BY 1)
+            SELECT COALESCE(o.o_custkey, f.o_custkey) AS o_custkey,
+                   COALESCE(n_open, 0) AS n_open,
+                   COALESCE(n_done, 0) AS n_done
+            FROM o FULL JOIN f ON o.o_custkey = f.o_custkey
+        """,
+        "sliding_window": f"""
+            WITH e AS (
+                SELECT event_type, value, ts,
+                       make_timestamp(epoch_us(ts) - epoch_us(ts) % 1800000000)
+                           AS b0
+                FROM {ev}
+            ),
+            x AS (
+                SELECT event_type, value, ts,
+                       b0 - k.k * INTERVAL 30 MINUTE AS bucket_start
+                FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+                WHERE b0 - k.k * INTERVAL 30 MINUTE + INTERVAL 60 MINUTE > ts
+            )
+            SELECT bucket_start, event_type,
+                   COUNT(*) AS n_events,
+                   {dsum('value')} AS sum_value
+            FROM x GROUP BY 1, 2
+        """,
+        "session_window": f"""
+            WITH g AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN epoch_us(ts)
+                                 - LAG(epoch_us(ts)) OVER (
+                                       PARTITION BY user_id ORDER BY ts, event_id
+                                   ) >= 1800000000
+                            THEN 1 ELSE 0 END AS brk,
+                       event_id
+                FROM {ev}
+            ), s AS (
+                SELECT user_id, ts, value,
+                       SUM(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS seq
+                FROM g
+            )
+            SELECT MIN(ts) AS session_start, user_id,
+                   COUNT(*) AS n_events,
+                   MAX(ts) AS last_ts,
+                   {dsum('value')} AS sum_value
+            FROM s GROUP BY user_id, seq
         """,
         "dedup_docs": """
             SELECT MIN(doc_id) AS doc_id, md5(text) AS text_md5,

@@ -1,0 +1,67 @@
+"""Window-analytic and outer-join operators (SURVEY.md §2.3 — window
+functions / ranking / analytic frames; set-complete joins).
+
+The reference's paradigm can only express per-key sequential passes as a
+reduce over the grouped value list (SURVEY.md M5-M7); these are the same
+computations as first-class window frames — one shuffle on the partition
+key, sequential frame evaluation inside each partition, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def window_analytics(orders: DataFrame) -> DataFrame:
+    """lag / lead / running total / moving average per customer order
+    history.  One shuffle on o_custkey; all five analytics share the same
+    window partition so Spark evaluates them in a single Window node.
+
+    Determinism: frame order is tie-broken by o_orderkey (unique);
+    running/moving sums use the decimal protocol (functions/numeric.py) so
+    they are exact at any partitioning; the moving average is
+    exact-decimal-sum ÷ count — one IEEE division.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_3 = w.rowsBetween(-2, 0)
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.sum(dec).over(w_run).cast("double").alias("run_total"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
+        (F.sum(dec).over(w_3).cast("double") / F.count(F.lit(1)).over(w_3)).alias(
+            "mov_avg3"
+        ),
+    )
+
+
+def outer_join_status(orders: DataFrame) -> DataFrame:
+    """Full outer join with null-fill: per-customer open-order stats vs
+    finished-order stats.  Both sides are aggregates of the same fact
+    table → after AQE both shuffles reuse the o_custkey partitioning and
+    the join itself is co-partitioned (no third shuffle)."""
+    open_stats = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_open"))
+    )
+    done_stats = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_done"))
+    )
+    return (
+        open_stats.join(done_stats, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            F.coalesce("n_open", F.lit(0)).alias("n_open"),
+            F.coalesce("n_done", F.lit(0)).alias("n_done"),
+        )
+    )

@@ -64,6 +64,50 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def sliding_window_agg(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding event-time windows (batch): each event lands in
+    width/slide buckets (here 2).  Spark's ``window(width, slide)``
+    expands rows map-side before the hash aggregate — shuffle volume is
+    (width/slide)× the tumbling case, the price of overlap; buckets are
+    epoch-aligned (same origin the oracle reconstructs arithmetically)."""
+    return events.groupBy(
+        F.window("ts", width, slide).start.alias("bucket_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native ``session_window`` (gap-merged event-time sessions) in
+    batch.  Same grouping semantics as :func:`sessionize`'s island
+    algorithm but expressed as a first-class session window — Spark merges
+    overlapping [ts, ts+gap) intervals per user in one shuffle; the
+    window start is the session's first event time.
+
+    The session_window column must be the grouping expression itself —
+    interval merging happens inside the aggregation; projecting ``.start``
+    before grouping would freeze each event's provisional [ts, ts+gap)
+    window and nothing would merge."""
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "last_ts",
+            "sum_value",
+        )
+    )
+
+
 def tumbling_window_stream(
     spark,
     source_dir: str,
