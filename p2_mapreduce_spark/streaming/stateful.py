@@ -1,0 +1,104 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState``.
+
+This is the streaming twin of :func:`p2_mapreduce_spark.streaming.events.
+sessionize` as an *arbitrary stateful* operator — the escape hatch for
+semantics the built-in ``session_window`` can't express (per-session
+custom features, early emission policies, side outputs).  State is one
+fixed-size row per active (user) key; event-time timeouts bound state on
+an unbounded stream: a session closes either when a later event of the
+same user arrives past the gap, or when the watermark passes
+session_end + gap (timeout path).
+
+Scale notes: state is keyed and partitioned by user_id (one shuffle);
+each micro-batch touches only keys with new events plus fired timeouts.
+The Python hop is Arrow-batched.  Skewed users are a single state row —
+not a hotspot.  At 100 TB of history the *batch* operator does the
+backfill; this operator owns the live tail.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+#: (session_start_us, last_event_us, n_events, sum_value)
+STATE_SCHEMA = "start long, last long, n long, s double"
+
+_US_PER_MIN = 60 * 1_000_000
+
+
+def _sessionize_fn(gap_minutes: int):
+    gap_us = gap_minutes * _US_PER_MIN
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdf_iter: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple[int, int, int, float]] = []
+
+        if state.hasTimedOut:
+            # watermark passed last_event + gap: the open session is final
+            if state.exists:
+                closed.append(tuple(state.get))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdf_iter), ignore_index=True)
+            rows = rows.sort_values(["ts", "event_id"])
+            # datetime64 unit varies by pandas/Arrow version — normalize
+            ts_us = rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            vals = rows["value"].astype("float64")
+
+            cur = tuple(state.get) if state.exists else None
+            for t, v in zip(ts_us.tolist(), vals.tolist()):
+                if cur is None:
+                    cur = (t, t, 1, v)
+                elif t - cur[1] > gap_us:
+                    closed.append(cur)
+                    cur = (t, t, 1, v)
+                else:
+                    cur = (cur[0], t, cur[2] + 1, cur[3] + v)
+            state.update(cur)
+            # fire when event time passes the session's close boundary
+            state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)  # ms
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(c[0], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "sum_value": [c[3] for c in closed],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stream(events_stream: DataFrame, gap_minutes: int = 30,
+                      watermark: str = "0 seconds") -> DataFrame:
+    """Streaming gap-sessionization over an events stream (needs columns
+    user_id, ts, event_id, value).  Emits one row per CLOSED session
+    (append mode); open sessions stay in state until a later event or the
+    event-time timeout closes them."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn(gap_minutes),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -47,3 +47,70 @@ def test_stream_matches_batch(spark, sf_dir, tmp_path):
     for k, (n, s) in got.items():
         assert batch[k][0] == n
         assert abs(batch[k][1] - s) < 0.05  # double sum: stream order differs
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """The applyInPandasWithState sessionizer must emit exactly the batch
+    sessionizer's sessions once the watermark has flushed all state.
+
+    Batch layout: real events first, then two far-future sentinel events
+    in separate files (maxFilesPerTrigger=1).  Sentinel 1 advances the
+    watermark past every real session's timeout; sentinel 2 triggers the
+    micro-batch in which those timeouts actually fire."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.streaming.events import sessionize
+    from p2_mapreduce_spark.streaming.stateful import sessionize_stream
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_stream")
+    # ONE file for all real events: with a 0s watermark, splitting them
+    # across micro-batches would drop rows older than an earlier file's max
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    for i, days in enumerate((30, 60)):
+        sentinel = spark.createDataFrame(
+            [(-(i + 1), (pd.Timestamp(max_ts) + pd.Timedelta(days=days)).to_pydatetime(),
+              -(i + 1), "sentinel", 0.0, "{}")],
+            schema=events.schema,
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    out = sessionize_stream(
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"]): (
+                r["n_events"],
+                r["sum_value"],
+            )
+            for r in spark.sql(
+                "SELECT * FROM sessions_out WHERE user_id >= 0"
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in sessionize(events).collect()
+    }
+    assert set(got) == set(expected)
+    for k, (n, s) in got.items():
+        assert expected[k][0] == n
+        assert abs(expected[k][1] - s) < 0.01  # float sum vs decimal sum
