@@ -326,6 +326,12 @@ def _q_knn_lsh(spark, sf_dir):
     return knn_lsh(load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10)
 
 
+def _q_knn_ivf(spark, sf_dir):
+    from p2_mapreduce_spark.operators.similarity import knn_ivf
+
+    return knn_ivf(load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+
+
 def _q_embed_near_pairs(spark, sf_dir):
     from p2_mapreduce_spark.operators.similarity import cosine_near_pairs
 
@@ -379,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_meta": _q_binary_meta,
         "knn_embeddings": _q_knn_embeddings,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "embed_near_pairs": _q_embed_near_pairs,
     }
 

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from p2_mapreduce_spark.operators.similarity import (
     cosine_near_pairs,
     knn_bruteforce,
+    knn_ivf,
     knn_lsh,
 )
 from p2_mapreduce_spark.session import load_table
@@ -53,6 +54,28 @@ def test_lsh_results_are_true_neighbors(spark, emb):
     }
     for r in lsh:
         assert abs(exact_all[(r["q_id"], r["n_id"])] - r["cosine"]) < 1e-12
+
+
+def test_ivf_exact_precision_and_deterministic(spark, emb):
+    """IVF hits must carry brute-force-exact cosines; the probe set (and
+    thus the result) must be identical across partitionings.  Recall is
+    probe-bounded (nprobe/n_cells of random data), so it is reported via
+    a floor, not pinned."""
+    exact_all = {
+        (r["q_id"], r["n_id"]): r["cosine"]
+        for r in knn_bruteforce(emb, 5, k=10**9).collect()
+    }
+    ivf = knn_ivf(emb, n_queries=5, k=10, n_cells=16, nprobe=4).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        assert abs(exact_all[(r["q_id"], r["n_id"])] - r["cosine"]) < 1e-12
+    again = knn_ivf(emb.repartition(13), n_queries=5, k=10, n_cells=16, nprobe=4).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, again))
+    top10 = {
+        (r["q_id"], r["n_id"]) for r in knn_bruteforce(emb, 5, 10).collect()
+    }
+    hits = top10 & {(r["q_id"], r["n_id"]) for r in ivf}
+    assert len(hits) / len(top10) >= 0.1  # floor; random data, 4/16 cells
 
 
 def test_near_pairs_symmetric_threshold(spark, emb):
