@@ -255,6 +255,36 @@ def _q_session_window(spark, sf_dir):
     return session_window_agg(load_table(spark, sf_dir, "events"))
 
 
+#: One SQL text, two engines: the engine's SQL front door (spark.sql over
+#: registered views) is checked by feeding the IDENTICAL string to DuckDB.
+_SQL_PRICING = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           MIN(o_orderkey) AS first_order
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-06-01'
+    GROUP BY o_orderpriority
+"""
+
+
+def _q_sql_pricing(spark, sf_dir):
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL_PRICING)
+
+
+def _q_salted_agg(spark, sf_dir):
+    from p2_mapreduce_spark.operators.skew import salted_user_stats
+
+    return salted_user_stats(load_table(spark, sf_dir, "events"))
+
+
+def _q_above_avg(spark, sf_dir):
+    from p2_mapreduce_spark.operators.analytics import above_customer_avg
+
+    return above_customer_avg(load_table(spark, sf_dir, "orders"))
+
+
 # --- LLM-pipeline extensions (dedup / text analysis / similarity / binary) --
 
 
@@ -371,6 +401,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": _q_events_tumbling,
         "sessionize": _q_sessionize,
         "window_analytics": _q_window_analytics,
+        "sql_pricing": _q_sql_pricing,
+        "salted_agg": _q_salted_agg,
+        "above_avg": _q_above_avg,
         "outer_join": _q_outer_join,
         "sliding_window": _q_sliding_window,
         "session_window": _q_session_window,
@@ -617,6 +650,25 @@ def oracle_sql() -> dict[str, str]:
                    MAX(ts) AS session_end,
                    {dsum('value')} AS sum_value
             FROM s GROUP BY 1, 2
+        """,
+        "sql_pricing": _SQL_PRICING,
+        "salted_agg": f"""
+            SELECT user_id,
+                   COUNT(*) AS n_events,
+                   {dsum('value')} AS sum_value,
+                   COUNT(DISTINCT event_type) AS n_event_types
+            FROM events GROUP BY user_id
+        """,
+        "above_avg": """
+            WITH cavg AS (
+                SELECT o_custkey AS ck,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                         / COUNT(o_totalprice) AS cust_avg
+                FROM orders GROUP BY 1
+            )
+            SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+            FROM orders JOIN cavg ON o_custkey = ck
+            WHERE o_totalprice > cust_avg
         """,
         "window_analytics": """
             SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,

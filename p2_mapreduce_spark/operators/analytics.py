@@ -42,6 +42,26 @@ def window_analytics(orders: DataFrame) -> DataFrame:
     )
 
 
+def above_customer_avg(orders: DataFrame) -> DataFrame:
+    """Correlated scalar subquery, decorrelated: orders priced above their
+    customer's average.  The correlated form (``WHERE o_totalprice >
+    (SELECT AVG(...) WHERE same customer)``) decorrelates to exactly this
+    aggregate + self-join — written directly so the plan is explicit: one
+    shuffle for the per-customer average, co-partitioned join back (AQE
+    reuses the o_custkey partitioning)."""
+    cavg = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count("o_totalprice")
+        ).alias("cust_avg")
+    )
+    return (
+        orders.join(cavg, orders.o_custkey == cavg.ck)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
 def outer_join_status(orders: DataFrame) -> DataFrame:
     """Full outer join with null-fill: per-customer open-order stats vs
     finished-order stats.  Both sides are aggregates of the same fact

@@ -1,0 +1,51 @@
+"""Skew-mitigation operators.
+
+At 100 TB a handful of hot keys (one bot user, one viral document) can
+put an entire shuffle partition on one executor.  Two standing answers:
+
+- AQE skew-join splitting (on in session.py) handles skewed JOINS
+  transparently.
+- For skewed AGGREGATIONS, the classic fix is salting: add a uniform
+  salt to the key, aggregate (key, salt) — spreading a hot key over
+  ``n_salts`` tasks — then re-aggregate by key.  Spark's partial
+  aggregation already de-skews simple aggs (partials combine map-side),
+  so salting matters for aggregates whose partial state is large —
+  collect_list/collect_set, exact distinct counts — where every value of
+  the hot key otherwise lands in one reduce task.
+
+Exactness note: the two-phase sum keeps DECIMAL precision between the
+phases (the partial is NOT rounded to double first), so the salted result
+is bit-identical to the unsalted one under any salt count or partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_user_stats(events: DataFrame, n_salts: int = 8) -> DataFrame:
+    """Per-user event stats via salted two-phase aggregation.
+
+    Phase 1 groups by (user_id, salt) — a hot user spreads over
+    ``n_salts`` tasks; phase 2 merges the ≤ n_salts partial rows per
+    user.  The salt is derived from event_id (deterministic, uniform),
+    not from the ordering — results are reproducible by construction.
+    ``collect_set`` is the aggregate that actually needs this: its
+    partial state is the value set itself, which partial aggregation
+    cannot shrink for a hot key."""
+    salted = events.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts))
+    )
+    partial = salted.groupBy("user_id", "salt").agg(
+        F.count(F.lit(1)).alias("p_n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("p_sum"),
+        F.collect_set("event_type").alias("p_types"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("p_n").alias("n_events"),
+        F.sum("p_sum").cast("double").alias("sum_value"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("p_types")))).cast(
+            "bigint"
+        ).alias("n_event_types"),
+    )

@@ -64,6 +64,52 @@ def test_scan_prunes_to_projection(spark, sf_dir):
     assert set(cols) == {"l_orderkey", "l_linenumber", "l_quantity"}
 
 
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides of a join on the join key pre-materializes the
+    co-partitioning: the sort-merge join runs with ZERO Exchange nodes.
+    This is the 100 TB pattern for repeatedly-joined fact tables."""
+    from p2_mapreduce_spark.session import load_table
+
+    for name in ("orders", "lineitem"):
+        (
+            load_table(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .option("path", str(tmp_path / name))
+            .bucketBy(8, "o_orderkey" if name == "orders" else "l_orderkey")
+            .sortBy("o_orderkey" if name == "orders" else "l_orderkey")
+            .saveAsTable(f"b_{name}")
+        )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            spark.table("b_orders").o_orderkey
+            == spark.table("b_lineitem").l_orderkey,
+        )
+        r = plan_report(joined)
+        assert r["n_sortmerge_joins"] == 1
+        assert r["n_exchanges"] == 0, "bucketed join must not shuffle"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_agg_invariant_to_salt_count(spark, sf_dir):
+    """The salted two-phase aggregate must be bit-identical for any salt
+    count (the decimal partial is never rounded between phases)."""
+    from p2_mapreduce_spark.operators.skew import salted_user_stats
+    from p2_mapreduce_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    a = sorted(map(tuple, salted_user_stats(events, n_salts=1).collect()))
+    b = sorted(map(tuple, salted_user_stats(events, n_salts=32).collect()))
+    assert a == b
+
+
 def test_extensions_hot_paths_are_jvm_side(spark, sf_dir):
     for qid in ["dedup_minhash", "dedup_simhash", "knn_embeddings",
                 "fingerprint_docs", "quality_score", "lang_id"]:
