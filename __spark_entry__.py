@@ -203,6 +203,16 @@ def _q_approx_distinct(spark, sf_dir):
     return approx_distinct(load_table(spark, sf_dir, "lineitem"))
 
 
+def _q_shipping_priority(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import shipping_priority
+
+    return shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def _q_rollup_nation(spark, sf_dir):
     from p2_mapreduce_spark.operators.relational import rollup_nation
 
@@ -396,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "distinct_stats": _q_distinct_stats,
         "approx_distinct": _q_approx_distinct,
+        "shipping_priority": _q_shipping_priority,
         "rollup_nation": _q_rollup_nation,
         "json_props": _q_json_props,
         "events_tumbling": _q_events_tumbling,
@@ -598,6 +609,19 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT l_partkey) AS n_parts,
                    quantile_cont(l_extendedprice, 0.5) AS median_price
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "shipping_priority": f"""
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   {dsum('l_extendedprice * (1.0 - l_discount)', 24, 4)} AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-06-01'
+              AND l_shipdate > TIMESTAMP '1997-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
         """,
         "rollup_nation": f"""
             SELECT r_name, n_name,

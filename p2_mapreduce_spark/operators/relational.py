@@ -290,6 +290,43 @@ def approx_distinct(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1997-06-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-shaped three-table join: top-k open orders of one market
+    segment by outstanding revenue.  The filtered customer dim broadcasts
+    (no fact shuffle for the first join); orders↔lineitem is the one real
+    shuffle, on the join key that the aggregate then reuses; both date
+    filters and all projections push to the scans.  Deterministic top-k:
+    revenue (exact decimal) desc, then l_orderkey."""
+    cut = F.lit(cutoff).cast("timestamp")
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    opens = orders.filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    lines = lineitem.filter(F.col("l_shipdate") > cut).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    revenue = dsum(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+        scale=4,
+        precision=24,
+    )
+    return (
+        lines.join(opens, lines.l_orderkey == opens.o_orderkey)
+        .join(F.broadcast(cust), opens.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(k)
+    )
+
+
 def rollup_nation(customer: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
     """Hierarchical totals region → nation → grand total.  Both dims are
     broadcast; ROLLUP expands to 3 grouping sets in one pass (no

@@ -110,6 +110,41 @@ def test_salted_agg_invariant_to_salt_count(spark, sf_dir):
     assert a == b
 
 
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout (sources/writers.write_parquet with
+    partition_by): a filter on the partition column must become a
+    PartitionFilter — pruned at planning, zero data files of other
+    partitions touched.  This is the primary 100 TB scan-cost lever."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.session import load_table
+    from p2_mapreduce_spark.sources.writers import write_parquet
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_date")
+    write_parquet(events, out, partition_by=["event_date"])
+
+    read = spark.read.parquet(out)
+    one_day = read.filter(F.col("event_date") == "2024-01-03")
+    plan = plan_report(one_day)["plan"]
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and "event_date" in m[0], f"no partition filter in scan: {plan[:500]}"
+    n_days = events.select("event_date").distinct().count()
+    assert one_day.count() * n_days < events.count() * 2  # really pruned rows
+
+
+def test_shipping_priority_plan(spark, sf_dir):
+    """Q3 shape: the segment dim broadcasts; only the orders-lineitem side
+    shuffles; date filters reach both fact scans."""
+    r = _report(spark, sf_dir, "shipping_priority")
+    assert r["n_broadcast_joins"] >= 1
+    assert any("l_shipdate" in " ".join(p) for p in r["pushed_filters"]) or any(
+        "l_shipdate" in p for p in r["pushed_filters"]
+    )
+
+
 def test_extensions_hot_paths_are_jvm_side(spark, sf_dir):
     for qid in ["dedup_minhash", "dedup_simhash", "knn_embeddings",
                 "fingerprint_docs", "quality_score", "lang_id"]:
