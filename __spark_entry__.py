@@ -203,6 +203,24 @@ def _q_approx_distinct(spark, sf_dir):
     return approx_distinct(load_table(spark, sf_dir, "lineitem"))
 
 
+def _q_approx_quantiles(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import approx_quantiles
+
+    return approx_quantiles(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_hash_sample(spark, sf_dir):
+    from p2_mapreduce_spark.operators.text_analysis import hash_sample
+
+    return hash_sample(load_table(spark, sf_dir, "documents"))
+
+
+def _q_top_bigrams(spark, sf_dir):
+    from p2_mapreduce_spark.operators.text_analysis import top_bigrams
+
+    return top_bigrams(load_table(spark, sf_dir, "documents"))
+
+
 def _q_shipping_priority(spark, sf_dir):
     from p2_mapreduce_spark.operators.relational import shipping_priority
 
@@ -406,6 +424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "distinct_stats": _q_distinct_stats,
         "approx_distinct": _q_approx_distinct,
+        "approx_quantiles": _q_approx_quantiles,
+        "hash_sample": _q_hash_sample,
+        "top_bigrams": _q_top_bigrams,
         "shipping_priority": _q_shipping_priority,
         "rollup_nation": _q_rollup_nation,
         "json_props": _q_json_props,
@@ -609,6 +630,22 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT l_partkey) AS n_parts,
                    quantile_cont(l_extendedprice, 0.5) AS median_price
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "hash_sample": """
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            WHERE substr(md5(text), 1, 2) <= '28'
+        """,
+        "top_bigrams": f"""
+            SELECT bigram, COUNT(*) AS cnt FROM (
+                SELECT array_to_string(t[g.i:g.i+1], ' ') AS bigram
+                FROM ({toks}) toks,
+                     LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-1, 0))) AS i) g
+            )
+            WHERE bigram <> ''
+            GROUP BY bigram
+            ORDER BY cnt DESC, bigram
+            LIMIT 20
         """,
         "shipping_priority": f"""
             SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -32,7 +32,14 @@ HEADLINE = (
     "filter_project",
     "agg_pricing",
     "join_orders_customer",
+    "shipping_priority",
     "topk_window",
+    "window_analytics",
+    "cube_agg",
+    "salted_agg",
+    "asof_join",
+    "session_window",
+    "sliding_window",
     "groupby_collect",
     "sorted_output",
     "rollup_nation",
@@ -47,6 +54,7 @@ HEADLINE = (
     "quality_score",
     "fingerprint_docs",
     "knn_embeddings",
+    "knn_ivf",
 )
 
 

@@ -327,6 +327,23 @@ def shipping_priority(
     )
 
 
+def approx_quantiles(lineitem: DataFrame) -> DataFrame:
+    """Quantile-sketch aggregation: percentile_approx (Greenwald-Khanna)
+    per group, alongside the exact interpolated percentile for reference.
+    Sketches are mergeable fixed-size state — the 100 TB replacement for
+    exact percentiles, whose state is the whole sorted column.  Rows-only
+    in the driver check (sketch cut points are engine-specific); pytest
+    bounds the sketch error against the exact values."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
+        ).alias("approx_pcts"),
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("exact_pcts"),
+    )
+
+
 def rollup_nation(customer: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
     """Hierarchical totals region → nation → grand total.  Both dims are
     broadcast; ROLLUP expands to 3 grouping sets in one pass (no

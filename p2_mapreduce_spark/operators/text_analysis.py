@@ -115,3 +115,43 @@ def fingerprint_docs(docs: DataFrame) -> DataFrame:
         F.xxhash64(norm).alias("xxh64"),
         F.length(norm).alias("norm_len"),
     )
+
+
+def hash_sample(docs: DataFrame, threshold_hex: str = "28",
+                hash_col: str = "text") -> DataFrame:
+    """Deterministic content-addressed sampling: keep rows whose
+    ``md5(hash_col)`` first byte <= threshold (0x28/0xff ≈ 16%).
+
+    This replaces ``df.sample()`` for pipeline splits at scale:
+    ``sample()`` depends on partition layout (not reproducible across
+    repartitions or engines), while a content hash gives the SAME sample
+    for the same data everywhere — train/holdout splits stay disjoint
+    across runs, engines, and backfills.  Hashing the content (not the
+    id) also keeps exact duplicates in the same split."""
+    pred = F.substring(F.md5(F.col(hash_col)), 1, 2) <= F.lit(threshold_hex)
+    return docs.filter(pred).select("doc_id", "lang", "source", "n_chars")
+
+
+def top_bigrams(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Global top-k token bigrams — n-gram statistics over the corpus
+    (wordcount's M1-M9 dataflow with a 2-token key).  One explode + one
+    partial→final count + a distributed top-k (ties broken by bigram so
+    the cut is total)."""
+    toks = tokens_array(F.col("text"))
+    # sequence(1, stop) counts DOWN when stop < 1 (invalid slice start 0):
+    # single-token docs must short-circuit to an empty array
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .where(F.col("bigram") != "")
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(k)
+    )
