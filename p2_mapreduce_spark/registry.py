@@ -110,10 +110,44 @@ def first_value_reduce(key: str, values: list) -> str:
     return values[0] if values else ""
 
 
+def make_grep_map(pattern: str) -> Callable[[str, str], Iterable[tuple[str, str]]]:
+    """Grep-style plugin factory: emit (filename, line) per matching line.
+    The reference bakes such constants into the compiled ``.so``; here the
+    closure captures them and ships by pickle."""
+    rx = re.compile(pattern)
+
+    def grep_map(filename: str, contents: str) -> Iterable[tuple[str, str]]:
+        for line in (contents or "").splitlines():
+            if rx.search(line):
+                yield filename, line
+
+    return grep_map
+
+
+def sum_reduce(key: str, values: list) -> str:
+    """Integer sum of the value list — the controller's merge semantic
+    (manager.go:1112 ``strconv.Atoi`` + sum) as a plugin reduce fn."""
+    return str(sum(int(v) for v in values))
+
+
+def _sum_reduce_columnar(mapped: DataFrame) -> DataFrame:
+    return mapped.groupBy("key").agg(
+        F.sum(F.col("value").cast("bigint")).cast("string").alias("value")
+    )
+
+
+def count_reduce(key: str, values: list) -> str:
+    """Generic occurrence count (same semantic as wordcount's reduce)."""
+    return str(len(values))
+
+
 def default_registry() -> UdfRegistry:
     reg = UdfRegistry()
     reg.register_map("wordcount", wordcount_map, columnar=_wordcount_map_columnar)
     reg.register_reduce("wordcount", wordcount_reduce, columnar=_wordcount_reduce_columnar)
     reg.register_map("identity", identity_map)
     reg.register_reduce("first", first_value_reduce)
+    reg.register_map("grep_data", make_grep_map(r"data"))
+    reg.register_reduce("sum", sum_reduce, columnar=_sum_reduce_columnar)
+    reg.register_reduce("count", count_reduce)
     return reg

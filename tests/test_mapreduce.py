@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from p2_mapreduce_spark.mapreduce import run_mapreduce, run_mapreduce_by_name
 from p2_mapreduce_spark.registry import (
     default_registry,
+    sum_reduce,
     wordcount_map,
     wordcount_reduce,
 )
@@ -61,6 +62,32 @@ def test_registry_unknown_plugin(spark):
     reg = default_registry()
     with pytest.raises(KeyError):
         reg.get_map("nope")
+
+
+def test_grep_and_count_plugins(spark):
+    """A second plugin workload end-to-end: grep lines + count matches per
+    file — the map emits (filename, line), the generic count reduce tallies
+    them; verified against plain Python."""
+    rows = [
+        ("a.txt", "data line one\nno match\nmore data here"),
+        ("b.txt", "nothing here\nstill nothing"),
+        ("c.txt", "data data data"),
+    ]
+    df = spark.createDataFrame(rows, ["filename", "contents"])
+    out = run_mapreduce_by_name(df, "grep_data", "count")
+    got = {r["key"]: int(r["value"]) for r in out.collect()}
+    assert got == {"a.txt": 2, "c.txt": 1}
+
+
+def test_sum_reduce_python_and_columnar_agree(spark, tiny_docs):
+    """sum over ("word","1") pairs == wordcount; and the columnar sum must
+    match the Python plugin path bit-for-bit."""
+    py = run_mapreduce(tiny_docs, wordcount_map, sum_reduce)
+    assert {r["key"]: int(r["value"]) for r in py.collect()} == EXPECTED
+    reg = default_registry()
+    mapped = reg.get_map("wordcount").columnar(tiny_docs)
+    fast = reg.get_reduce("sum").columnar(mapped)
+    assert {r["key"]: int(r["value"]) for r in fast.collect()} == EXPECTED
 
 
 def test_non_aggregate_path_total_grouping(spark, tiny_docs):
