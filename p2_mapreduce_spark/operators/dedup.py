@@ -28,21 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from p2_mapreduce_spark.functions.text import tokens_array
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Spread a CPU-dense input across all cores before heavy per-row work.
-
-    A small doc table often arrives as ONE scan partition (it fits in a
-    single parquet split), which serializes the expensive tokenize/shingle
-    compute on one core while 31 idle — measured 8× on the local bench.
-    Shuffling the raw rows first is cheap by comparison.  When the scan
-    already has >= defaultParallelism partitions (the 100 TB case) this is
-    a no-op — no shuffle is added at scale."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+from p2_mapreduce_spark.session import spread as _spread
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

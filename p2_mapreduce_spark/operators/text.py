@@ -17,11 +17,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from p2_mapreduce_spark.functions.text import tokens_array
+from p2_mapreduce_spark.session import spread
 
 
 def tokenize(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per (doc, token): the map half (M1+M2) made relational."""
-    return docs.select(
+    return spread(docs).select(
         F.col(id_col), F.explode(tokens_array(F.col(text_col))).alias("word")
     )
 
@@ -29,9 +30,11 @@ def tokenize(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
 def wordcount(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-word totals (M1-M8). Spark's partial aggregation gives the
     map-side combine the reference lacks (its shuffle volume equals the
-    token count; ours equals distinct-words × partitions)."""
+    token count; ours equals distinct-words × partitions).  ``spread``
+    parallelizes the tokenize stage when the scan is a single split."""
     return (
-        docs.select(F.explode(tokens_array(F.col(text_col))).alias("word"))
+        spread(docs)
+        .select(F.explode(tokens_array(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from p2_mapreduce_spark.functions.numeric import dsum
 from p2_mapreduce_spark.functions.text import tokens_array
+from p2_mapreduce_spark.session import spread
 
 #: (language, marker regex) — tiny n-gram/stopword heuristic. Real
 #: pipelines plug a model here (fasttext et al., not in this container);
@@ -38,7 +39,7 @@ def token_count(text: Column) -> Column:
 def text_stats(docs: DataFrame) -> DataFrame:
     """Per-language corpus statistics: doc/char/token totals and means."""
     toks = token_count(F.col("text"))
-    return docs.groupBy("lang").agg(
+    return spread(docs).groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
         F.sum(toks).alias("sum_tokens"),
@@ -69,7 +70,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
         # earlier lang replacing on >= gives it the tie.
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_n = F.when(cond, n).otherwise(best_n)
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         best.alias("detected_lang"),
@@ -93,7 +94,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     space_ratio = n_spaces.cast("double") / n_chars
     stop_ratio = stop_hits.cast("double") / n_tokens
     score = alpha_ratio * 0.5 + space_ratio * 0.25 + stop_ratio * 0.25
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         n_chars.alias("n_bytes"),
         n_tokens.alias("n_tokens"),
@@ -109,7 +110,7 @@ def fingerprint_docs(docs: DataFrame) -> DataFrame:
     collapse): md5 for exact-dup detection plus a 64-bit xxhash for
     compact join keys.  Both JVM hash functions, deterministic."""
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         F.md5(norm).alias("md5"),
         F.xxhash64(norm).alias("xxh64"),
@@ -148,7 +149,7 @@ def top_bigrams(docs: DataFrame, k: int = 20) -> DataFrame:
         ),
     ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        spread(docs).select(F.explode(bigrams).alias("bigram"))
         .where(F.col("bigram") != "")
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))

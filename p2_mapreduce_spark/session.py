@@ -66,6 +66,21 @@ def get_spark(app_name: str = "p2_mapreduce_spark", cpus: int | None = None) -> 
     return spark
 
 
+def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Spread a CPU-dense input across all cores before heavy per-row work.
+
+    A small table often arrives as ONE scan partition (it fits in a single
+    parquet split), which serializes expensive per-row compute (tokenize,
+    shingle, hash) on one core.  Shuffling the raw rows first is cheap by
+    comparison — measured 8× on the local dedup bench.  When the scan
+    already has >= defaultParallelism partitions (the 100 TB case) this is
+    a no-op: no shuffle is added at scale."""
+    target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table (SURVEY.md S1: chunked scan → parquet scan).
 

@@ -52,9 +52,11 @@ def test_union_has_no_shuffle(spark, sf_dir):
 
 
 def test_wordcount_single_shuffle_plus_sort(spark, sf_dir):
-    # groupBy shuffle + rangepartition for the global sort: exactly 2.
+    # spread (single-split input fan-out) + groupBy shuffle +
+    # rangepartition for the global sort: exactly 3.  On a many-split
+    # input spread no-ops and this would be 2.
     r = _report(spark, sf_dir, "wordcount_global")
-    assert r["n_exchanges"] == 2
+    assert r["n_exchanges"] == 3
     assert not r["has_python_worker"]
 
 
