@@ -384,6 +384,19 @@ def _q_knn_lsh(spark, sf_dir):
     return knn_lsh(load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10)
 
 
+def _q_knn_np(spark, sf_dir):
+    from p2_mapreduce_spark.operators.similarity import knn_bruteforce_np
+
+    return knn_bruteforce_np(load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+
+
+def _q_media_decode(spark, sf_dir):
+    from p2_mapreduce_spark.operators.multimodal import attach_binary, decode_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media(attach_binary(docs), decoder="fake")
+
+
 def _q_knn_ivf(spark, sf_dir):
     from p2_mapreduce_spark.operators.similarity import knn_ivf
 
@@ -451,6 +464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_embeddings": _q_knn_embeddings,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
+        "knn_np": _q_knn_np,
+        "media_decode": _q_media_decode,
         "embed_near_pairs": _q_embed_near_pairs,
     }
 

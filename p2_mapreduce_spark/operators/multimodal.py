@@ -99,6 +99,12 @@ def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
     if decoder != "fake":
         raise ValueError(f"unknown decoder {decoder!r}")
 
+    # ship the decode kernel by value: executors' Python workers may not
+    # have the engine repo on sys.path (see mapreduce._ship_by_value)
+    from p2_mapreduce_spark.mapreduce import _ship_by_value
+
+    _ship_by_value(_fake_decode)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             metas = [

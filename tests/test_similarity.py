@@ -78,6 +78,19 @@ def test_ivf_exact_precision_and_deterministic(spark, emb):
     assert len(hits) / len(top10) >= 0.1  # floor; random data, 4/16 cells
 
 
+def test_numpy_knn_matches_hof_knn(spark, emb):
+    """The vectorized (matmul) brute-force must agree with the HOF-fold
+    brute-force: same neighbor sets, cosines within float-summation-order
+    tolerance."""
+    hof = {(r["q_id"], r["n_id"]): r["cosine"] for r in knn_bruteforce(emb, 5, 10).collect()}
+    from p2_mapreduce_spark.operators.similarity import knn_bruteforce_np
+
+    np_ = {(r["q_id"], r["n_id"]): r["cosine"] for r in knn_bruteforce_np(emb, 5, 10).collect()}
+    assert set(hof) == set(np_)
+    for k_, v in np_.items():
+        assert abs(hof[k_] - v) < 1e-9
+
+
 def test_near_pairs_symmetric_threshold(spark, emb):
     pairs = cosine_near_pairs(emb, threshold=0.45).collect()
     for r in pairs:
