@@ -13,12 +13,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from p2_mapreduce_spark.functions.numeric import dsum
+from p2_mapreduce_spark.session import spread
 
 
 def json_props_agg(events: DataFrame) -> DataFrame:
-    """Extract ``props.k`` (int) and aggregate per event_type."""
+    """Extract ``props.k`` (int) and aggregate per event_type.  ``spread``
+    parallelizes the Jackson parse when the scan is a single split."""
     k = F.get_json_object("props", "$.k").cast("bigint")
-    return events.groupBy("event_type").agg(
+    return spread(events).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(k).alias("sum_k"),
         F.min(k).alias("min_k"),
