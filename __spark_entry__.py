@@ -265,6 +265,14 @@ def _q_window_analytics(spark, sf_dir):
     return window_analytics(load_table(spark, sf_dir, "orders"))
 
 
+def _q_left_join_counts(spark, sf_dir):
+    from p2_mapreduce_spark.operators.analytics import customer_order_counts
+
+    return customer_order_counts(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
 def _q_outer_join(spark, sf_dir):
     from p2_mapreduce_spark.operators.analytics import outer_join_status
 
@@ -450,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": _q_salted_agg,
         "above_avg": _q_above_avg,
         "outer_join": _q_outer_join,
+        "left_join_counts": _q_left_join_counts,
         "sliding_window": _q_sliding_window,
         "session_window": _q_session_window,
         "dedup_docs": _q_dedup_docs,
@@ -761,6 +770,16 @@ def oracle_sql() -> dict[str, str]:
                      AS mov_avg3
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "left_join_counts": """
+            SELECT c_custkey, c_name,
+                   COALESCE(n, 0) AS n_orders,
+                   COALESCE(s, 0.0) AS sum_spend
+            FROM customer LEFT JOIN (
+                SELECT o_custkey AS ck, COUNT(*) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+                FROM orders GROUP BY 1
+            ) ON c_custkey = ck
         """,
         "outer_join": """
             WITH o AS (SELECT o_custkey, COUNT(*) AS n_open FROM orders

@@ -62,6 +62,24 @@ def above_customer_avg(orders: DataFrame) -> DataFrame:
     )
 
 
+def customer_order_counts(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left outer join with null-fill: every customer with their order
+    count and spend, zero-filled for order-less customers.  The aggregate
+    side is pre-shrunk to one row per customer before the join (join the
+    aggregate, never the raw fact table, when only aggregates are needed
+    — at 100 TB this is the difference between joining 1e9 and 1e7 rows)."""
+    stats = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("s"),
+    )
+    return customer.join(stats, customer.c_custkey == stats.ck, "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("n", F.lit(0)).alias("n_orders"),
+        F.coalesce("s", F.lit(0.0)).alias("sum_spend"),
+    )
+
+
 def outer_join_status(orders: DataFrame) -> DataFrame:
     """Full outer join with null-fill: per-customer open-order stats vs
     finished-order stats.  Both sides are aggregates of the same fact

@@ -53,3 +53,15 @@ def test_count_distinct_ignores_null(spark):
     ).collect()[0]
     # ANSI: COUNT(col)/COUNT(DISTINCT col) skip nulls, COUNT(*) does not
     assert (row["d"], row["c"], row["n"]) == (2, 3, 4)
+
+
+def test_missing_table_raises_cleanly(spark):
+    """S1 scan of a nonexistent path must fail with AnalysisException at
+    plan time (refuse-don't-corrupt), not at execution."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from p2_mapreduce_spark.session import load_table
+
+    with pytest.raises(AnalysisException):
+        load_table(spark, "/root/testdata/does-not-exist", "lineitem").count()
