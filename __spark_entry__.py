@@ -231,6 +231,16 @@ def _q_shipping_priority(spark, sf_dir):
     )
 
 
+def _q_supplier_by_nation(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import supplier_by_nation
+
+    return supplier_by_nation(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def _q_rollup_nation(spark, sf_dir):
     from p2_mapreduce_spark.operators.relational import rollup_nation
 
@@ -449,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": _q_hash_sample,
         "top_bigrams": _q_top_bigrams,
         "shipping_priority": _q_shipping_priority,
+        "supplier_by_nation": _q_supplier_by_nation,
         "rollup_nation": _q_rollup_nation,
         "json_props": _q_json_props,
         "events_tumbling": _q_events_tumbling,
@@ -683,6 +694,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey
             LIMIT 10
+        """,
+        "supplier_by_nation": f"""
+            WITH ship AS (
+                SELECT l_suppkey AS sk, {dsum('l_quantity')} AS shipped_qty
+                FROM lineitem GROUP BY 1
+            ),
+            per_supp AS (
+                SELECT s_suppkey, s_nationkey, s_acctbal,
+                       COALESCE(shipped_qty, 0.0) AS shipped_qty
+                FROM supplier LEFT JOIN ship ON s_suppkey = sk
+            )
+            SELECT n_name,
+                   COUNT(*) AS n_suppliers,
+                   {dsum('s_acctbal')} AS sum_acctbal,
+                   {dsum('shipped_qty')} AS sum_shipped
+            FROM per_supp JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "rollup_nation": f"""
             SELECT r_name, n_name,

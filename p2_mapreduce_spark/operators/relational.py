@@ -344,6 +344,36 @@ def approx_quantiles(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def supplier_by_nation(
+    supplier: DataFrame, nation: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Supplier-side star join: per-nation supplier counts, balances, and
+    shipped quantity.  The nation dim broadcasts; supplier↔lineitem is the
+    real shuffle, on s_suppkey=l_suppkey; supplier stats are pre-aggregated
+    before the nation join so the broadcast side joins 25 rows, not 10k."""
+    ship = lineitem.groupBy(F.col("l_suppkey").alias("sk")).agg(
+        dsum("l_quantity").alias("shipped_qty")
+    )
+    per_supp = (
+        supplier.join(ship, supplier.s_suppkey == ship.sk, "left")
+        .select(
+            "s_suppkey",
+            "s_nationkey",
+            "s_acctbal",
+            F.coalesce("shipped_qty", F.lit(0.0)).alias("shipped_qty"),
+        )
+    )
+    return (
+        per_supp.join(F.broadcast(nation), per_supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            dsum("s_acctbal").alias("sum_acctbal"),
+            dsum("shipped_qty").alias("sum_shipped"),
+        )
+    )
+
+
 def rollup_nation(customer: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
     """Hierarchical totals region → nation → grand total.  Both dims are
     broadcast; ROLLUP expands to 3 grouping sets in one pass (no

@@ -49,6 +49,35 @@ def test_stream_matches_batch(spark, sf_dir, tmp_path):
         assert abs(batch[k][1] - s) < 0.05  # double sum: stream order differs
 
 
+def test_foreachbatch_sink_idempotent_layout(spark, sf_dir, tmp_path):
+    """foreachBatch sink: every micro-batch owns its batch_id directory;
+    the union of batch outputs equals the input exactly (no loss, no
+    duplication across micro-batches)."""
+    from p2_mapreduce_spark.streaming.sinks import parquet_batch_sink
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    events.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = parquet_batch_sink(stream.select("event_id", "user_id", "value"), out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    written = spark.read.parquet(out)
+    assert written.count() == events.count()
+    assert written.select("event_id").distinct().count() == events.count()
+    # multiple micro-batches actually happened (one per input file)
+    assert written.select("batch_id").distinct().count() >= 2
+
+
 def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
     """The applyInPandasWithState sessionizer must emit exactly the batch
     sessionizer's sessions once the watermark has flushed all state.
