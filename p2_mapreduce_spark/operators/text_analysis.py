@@ -37,16 +37,26 @@ def token_count(text: Column) -> Column:
 
 
 def text_stats(docs: DataFrame) -> DataFrame:
-    """Per-language corpus statistics: doc/char/token totals and means."""
-    toks = token_count(F.col("text"))
-    return spread(docs).groupBy("lang").agg(
+    """Per-language corpus statistics: doc/char/token totals and means.
+    The token count is projected ONCE per row before the aggregate —
+    repeating the tokenize expression inside several agg expressions
+    would re-tokenize per expression (HOF chains sit outside codegen
+    subexpression elimination)."""
+    pre = spread(docs).select(
+        "lang",
+        "source",
+        "n_chars",
+        F.length("text").alias("text_len"),
+        token_count(F.col("text")).alias("ntok"),
+    )
+    return pre.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
-        F.sum(toks).alias("sum_tokens"),
-        (F.sum(toks).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.sum("ntok").alias("sum_tokens"),
+        (F.sum("ntok").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
         F.countDistinct("source").alias("n_sources"),
-        F.min(F.length("text")).alias("min_len"),
-        F.max(F.length("text")).alias("max_len"),
+        F.min("text_len").alias("min_len"),
+        F.max("text_len").alias("max_len"),
     )
 
 
