@@ -114,17 +114,20 @@ def tumbling_window_stream(
     schema,
     width: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ):
-    """Structured Streaming twin of :func:`tumbling_window_agg`:
-    file-source stream → watermark → windowed agg.  The watermark bounds
-    state (buckets older than max(event time) - watermark are finalized
-    and dropped) — the knob that keeps state finite on an unbounded
-    stream.  Caller starts it with ``.writeStream`` (tests use the
-    memory sink + ``processAllAvailable``)."""
+    """Structured Streaming twin of :func:`tumbling_window_agg` (and of
+    :func:`sliding_window_agg` when ``slide`` is given): file-source
+    stream → watermark → windowed agg.  The watermark bounds state
+    (buckets older than max(event time) - watermark are finalized and
+    dropped) — the knob that keeps state finite on an unbounded stream.
+    Caller starts it with ``.writeStream`` (tests use the memory sink +
+    ``processAllAvailable``)."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
+    win = F.window("ts", width, slide) if slide else F.window("ts", width)
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", width).start.alias("bucket_start"), "event_type")
+        .groupBy(win.start.alias("bucket_start"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("sum_value"),

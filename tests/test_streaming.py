@@ -49,6 +49,40 @@ def test_stream_matches_batch(spark, sf_dir, tmp_path):
         assert abs(batch[k][1] - s) < 0.05  # double sum: stream order differs
 
 
+def test_sliding_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Sliding-window streaming twin: same buckets/counts as the batch
+    sliding_window_agg."""
+    from p2_mapreduce_spark.streaming.events import sliding_window_agg
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_sliding")
+    events.write.mode("overwrite").parquet(src)
+
+    batch = {
+        (r["bucket_start"], r["event_type"]): r["n_events"]
+        for r in sliding_window_agg(events).collect()
+    }
+    stream_df = tumbling_window_stream(
+        spark, src, schema=events.schema,
+        width="1 hour", watermark="2 hours", slide="30 minutes",
+    )
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sliding_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["bucket_start"], r["event_type"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM sliding_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch
+
+
 def test_foreachbatch_sink_idempotent_layout(spark, sf_dir, tmp_path):
     """foreachBatch sink: every micro-batch owns its batch_id directory;
     the union of batch outputs equals the input exactly (no loss, no
