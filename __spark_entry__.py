@@ -421,6 +421,12 @@ def _q_knn_ivf(spark, sf_dir):
     return knn_ivf(load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10)
 
 
+def _q_embedding_centroid(spark, sf_dir):
+    from p2_mapreduce_spark.operators.similarity import embedding_centroid
+
+    return embedding_centroid(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_embed_near_pairs(spark, sf_dir):
     from p2_mapreduce_spark.operators.similarity import cosine_near_pairs
 
@@ -486,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": _q_knn_ivf,
         "knn_np": _q_knn_np,
         "media_decode": _q_media_decode,
+        "embedding_centroid": _q_embedding_centroid,
         "embed_near_pairs": _q_embed_near_pairs,
     }
 
@@ -947,6 +954,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS byte_len,
                    sha256(text) AS sha256
             FROM documents
+        """,
+        "embedding_centroid": """
+            SELECT g.i - 1 AS pos,
+                   CAST(CAST(SUM(CAST(CAST(embedding[g.i] AS VARCHAR)
+                                      AS DECIMAL(38,18)))
+                             AS VARCHAR) AS DOUBLE)
+                     / COUNT(*) AS mean_val,
+                   COUNT(*) AS n_vectors
+            FROM embeddings,
+                 LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+            GROUP BY 1
         """,
         "knn_embeddings": """
             WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

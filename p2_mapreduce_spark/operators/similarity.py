@@ -264,6 +264,40 @@ def knn_ivf(
     )
 
 
+def embedding_centroid(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension mean over the whole corpus — the vector-aggregation
+    primitive (k-means centroid update, corpus drift monitoring).
+
+    posexplode → groupBy(pos) turns an array aggregation Spark lacks into
+    a plain distributed agg: dim × n_rows value rows, partial-aggregated
+    map-side to dim rows per partition.  The sum runs over an exact
+    decimal so the mean is order-independent (reproducible under any
+    partitioning); a raw double sum would drift per shuffle order.  The
+    float→decimal cast goes THROUGH THE FLOAT'S STRING FORM: engines
+    disagree on float→decimal directly (exact binary expansion vs
+    shortest round-trip repr), but the shortest string repr is canonical
+    everywhere."""
+    exploded = embeddings.select(
+        F.posexplode(vec_col).alias("pos", "val")
+    )
+    dec = F.col("val").cast("string").cast("decimal(38,18)")
+    # the wide-decimal -> double conversion also goes through the string
+    # form: engines differ by 1 ulp converting an 18-scale decimal
+    # directly, but strtod of its exact digits is correctly rounded
+    # everywhere; the final /n is then one IEEE division.
+    return (
+        exploded.groupBy("pos")
+        .agg(
+            (F.sum(dec).cast("string").cast("double") / F.count(F.lit(1))).alias(
+                "mean_val"
+            ),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
 def knn_lsh(
     embeddings: DataFrame,
     n_queries: int = 5,
