@@ -209,6 +209,36 @@ def _q_approx_quantiles(spark, sf_dir):
     return approx_quantiles(load_table(spark, sf_dir, "lineitem"))
 
 
+def _q_grouping_sets(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import grouping_sets_agg
+
+    return grouping_sets_agg(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_minmax_by(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import minmax_by
+
+    return minmax_by(load_table(spark, sf_dir, "orders"))
+
+
+def _q_conditional_agg(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import conditional_agg
+
+    return conditional_agg(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_corr_stats(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import corr_stats
+
+    return corr_stats(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_vector_norms(spark, sf_dir):
+    from p2_mapreduce_spark.operators.similarity import vector_norms
+
+    return vector_norms(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_hash_sample(spark, sf_dir):
     from p2_mapreduce_spark.operators.text_analysis import hash_sample
 
@@ -493,6 +523,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_np": _q_knn_np,
         "media_decode": _q_media_decode,
         "embedding_centroid": _q_embedding_centroid,
+        "grouping_sets": _q_grouping_sets,
+        "minmax_by": _q_minmax_by,
+        "conditional_agg": _q_conditional_agg,
+        "corr_stats": _q_corr_stats,
+        "vector_norms": _q_vector_norms,
         "embed_near_pairs": _q_embed_near_pairs,
     }
 
@@ -965,6 +1000,66 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings,
                  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
             GROUP BY 1
+        """,
+        "grouping_sets": f"""
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS n_rows,
+                   {dsum('l_quantity')} AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """,
+        "minmax_by": """
+            SELECT o_orderpriority,
+                   arg_max(o_totalprice, o_orderkey) AS price_of_last_key,
+                   arg_min(o_totalprice, o_orderkey) AS price_of_first_key,
+                   MAX(o_orderkey) AS last_key,
+                   MIN(o_orderkey) AS first_key,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "conditional_agg": f"""
+            SELECT l_linestatus,
+                   COUNT(*) AS n_rows,
+                   COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+                   {dsum("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END")}
+                     AS qty_returned,
+                   (COUNT(*) FILTER (WHERE l_returnflag = 'R')) / COUNT(*)
+                     AS return_frac
+            FROM lineitem GROUP BY l_linestatus
+        """,
+        "corr_stats": """
+            WITH t AS (
+                SELECT l_returnflag,
+                       CAST(l_quantity AS DECIMAL(18,2)) AS xd,
+                       CAST(l_extendedprice AS DECIMAL(18,2)) AS yd
+                FROM lineitem
+            ),
+            s AS (
+                SELECT l_returnflag,
+                       COUNT(*) AS n,
+                       CAST(CAST(SUM(xd) AS VARCHAR) AS DOUBLE) AS sx,
+                       CAST(CAST(SUM(yd) AS VARCHAR) AS DOUBLE) AS sy,
+                       CAST(CAST(SUM(xd * xd) AS VARCHAR) AS DOUBLE) AS sxx,
+                       CAST(CAST(SUM(yd * yd) AS VARCHAR) AS DOUBLE) AS syy,
+                       CAST(CAST(SUM(xd * yd) AS VARCHAR) AS DOUBLE) AS sxy
+                FROM t GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n,
+                   (CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+                     AS corr_qty_price,
+                   (CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                     AS covar_samp_qty_price
+            FROM s
+        """,
+        "vector_norms": """
+            SELECT vec_id,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS l2_norm,
+                   len(embedding) AS dim
+            FROM embeddings
         """,
         "knn_embeddings": """
             WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

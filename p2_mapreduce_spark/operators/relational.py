@@ -327,6 +327,93 @@ def shipping_priority(
     )
 
 
+def grouping_sets_agg(lineitem: DataFrame) -> DataFrame:
+    """GROUPING SETS ((l_returnflag), (l_linestatus)) — the general form
+    rollup/cube can't express (non-hierarchical, non-exhaustive set list).
+    One shuffle; each row expands map-side only to the sets it belongs to
+    (2 here vs cube's 4), so shuffle volume scales with the set list, not
+    2^dims."""
+    return lineitem.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+def minmax_by(orders: DataFrame) -> DataFrame:
+    """min_by / max_by (argmin/argmax) per priority: the totalprice carried
+    by the smallest/largest order key.  The ordering column is the UNIQUE
+    primary key, so the result is total-order deterministic — min_by over
+    a column with duplicate extremes is partition-dependent and must not
+    be exposed (same rule as groupby_collect).  Partial-aggregates
+    map-side like any min/max: one tiny shuffle row per group per
+    partition."""
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_totalprice", "o_orderkey").alias("price_of_last_key"),
+        F.min_by("o_totalprice", "o_orderkey").alias("price_of_first_key"),
+        F.max("o_orderkey").alias("last_key"),
+        F.min("o_orderkey").alias("first_key"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def conditional_agg(lineitem: DataFrame) -> DataFrame:
+    """Filtered aggregation (COUNT/SUM ... FILTER): per linestatus, how
+    much of the volume is returned.  One pass, no joins — the conditional
+    folds into the partial aggregate, so this costs exactly one scan +
+    one 2-group shuffle regardless of scale."""
+    returned = F.col("l_returnflag") == "R"
+    return lineitem.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(returned).alias("n_returned"),
+        dsum(F.when(returned, F.col("l_quantity")).otherwise(F.lit(0.0))).alias(
+            "qty_returned"
+        ),
+        (F.count_if(returned) / F.count(F.lit(1))).alias("return_frac"),
+    )
+
+
+def corr_stats(lineitem: DataFrame) -> DataFrame:
+    """Pearson correlation + sample covariance of quantity↔extendedprice
+    per returnflag, via sufficient statistics on the deterministic decimal
+    protocol: the five sums (Σx Σy Σx² Σy² Σxy) aggregate as EXACT
+    decimals (order-independent under any partitioning), and the closing
+    formula is a fixed shape of IEEE double mul/sub/div/sqrt — every op
+    correctly rounded, so the result is bit-identical cross-engine.
+    The built-in ``corr()`` is a streaming co-moment update whose float
+    accumulation is shuffle-order-dependent — unusable under the engine's
+    reproducibility contract (functions/numeric.py)."""
+    # Exact decimals FIRST, then decimal×decimal (exact in any engine) —
+    # never cast a product of large doubles to decimal (the rounding of
+    # its 17-significant-digit repr to a fixed scale is engine-dependent).
+    # Sums surface to double THROUGH THEIR STRING FORM: a >2^53 decimal
+    # cast straight to double can differ by 1 ulp between engines
+    # (one correctly-rounded conversion vs int128→double, then ÷10^scale),
+    # but strtod of the exact digits is correctly rounded everywhere.
+    xd = F.col("l_quantity").cast("decimal(18,2)")
+    yd = F.col("l_extendedprice").cast("decimal(18,2)")
+    surf = lambda c: F.sum(c).cast("string").cast("double")  # noqa: E731
+    sums = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        surf(xd).alias("sx"),
+        surf(yd).alias("sy"),
+        surf(xd * xd).alias("sxx"),
+        surf(yd * yd).alias("syy"),
+        surf(xd * yd).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.select(
+        "l_returnflag",
+        "n",
+        (cov_num / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr_qty_price"),
+        (cov_num / (nd * (nd - F.lit(1.0)))).alias("covar_samp_qty_price"),
+    )
+
+
 def approx_quantiles(lineitem: DataFrame) -> DataFrame:
     """Quantile-sketch aggregation: percentile_approx (Greenwald-Khanna)
     per group, alongside the exact interpolated percentile for reference.

@@ -264,6 +264,20 @@ def knn_ivf(
     )
 
 
+def vector_norms(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-vector L2 norm + dimensionality — the normalize-before-index
+    primitive every ANN path needs.  Pure per-row codegen (``F.aggregate``
+    fold over the array): no explode, no shuffle, embarrassingly parallel
+    at any scale.  The fold accumulates in DOUBLE in array order — a fixed
+    sequence of correctly-rounded IEEE ops, so the value is deterministic
+    and matches DuckDB's ``list_dot_product`` exactly."""
+    return embeddings.select(
+        "vec_id",
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("l2_norm"),
+        F.size(vec_col).cast("bigint").alias("dim"),
+    )
+
+
 def embedding_centroid(
     embeddings: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:
