@@ -44,26 +44,6 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     ).select(id_col, F.md5(F.col(text_col)).alias("text_md5"), "n_copies")
 
 
-def _shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word-n-gram shingles as an array<string> (built-ins only:
-    split → slice → concat_ws, all codegen'd).
-
-    Guarded for docs shorter than ``n`` tokens: ``sequence(1, stop)``
-    counts DOWN when stop < 1 (yielding an invalid slice start of 0), so
-    short docs must short-circuit to an empty array — found by probing,
-    not by the fixtures, which have no short docs."""
-    toks = tokens_array(text)
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        ),
-    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
-
-
 def shingle_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -71,17 +51,21 @@ def shingle_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Inverted-index pair generation: (doc_a, doc_b, n_common, size_a,
-    size_b) for every doc pair sharing ≥1 shingle, doc_a < doc_b."""
-    sh = (
-        _spread(docs)
-        .select(F.col(id_col).alias("doc"), F.explode(_shingles(F.col(text_col), n)).alias("shingle"))
-        .where(F.col("shingle") != "")
-    )
+    size_b) for every doc pair sharing ≥1 shingle, doc_a < doc_b.
+
+    The index is built over :func:`hashed_shingles`, not the shingle
+    strings: set sizes and intersection counts are invariant under an
+    (effectively) injective hash, the self-join key narrows from a
+    ~20-byte string to 8 bytes, and equality comparisons in the join are
+    long==long.  The table feeds the sizes aggregate and BOTH sides of
+    the self-join, so it is persisted rather than recomputed three
+    times (at 100 TB: checkpoint instead; plan shape unchanged)."""
+    sh = hashed_shingles(docs, n, text_col, id_col).persist()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -119,21 +103,32 @@ def hashed_shingles(
     docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(doc, h) — each distinct word-n-gram shingle of each doc as its
-    64-bit ``xxhash64``.  The string is hashed exactly ONCE; everything
-    downstream (the k-hash MinHash family, LSH band hashes, candidate
-    verification joins) works on the 8-byte value.  Hashing the long k
-    times is ~4× cheaper than hashing the shingle string k times
-    (measured 3.2s → 0.8s for k=64 over 260k shingles), and 8-byte join
-    keys shuffle ~3× narrower than shingle strings.  The 2^-64 collision
-    rate is negligible against LSH's own probabilistic recall."""
-    return (
-        _spread(docs)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
-        )
-        .where(F.col("shingle") != "")
-        .select("doc", F.xxhash64("shingle").alias("h"))
+    64-bit ``xxhash64``.  Each shingle is hashed exactly ONCE — directly
+    from the token-array slice, never materializing a shingle string
+    (``xxhash64`` hashes the array value itself, so the concat_ws
+    allocation per shingle disappears) — and everything downstream (the
+    k-hash MinHash family, LSH band hashes, candidate verification
+    joins) works on the 8-byte value.  Hashing the long k times is ~4×
+    cheaper than hashing a shingle string k times (measured 3.2s → 0.8s
+    for k=64 over 260k shingles), and 8-byte join keys shuffle ~3×
+    narrower than strings.  The 2^-64 collision rate (which would
+    perturb set sizes / intersections) is negligible against the
+    sampling error of any downstream consumer."""
+    toks = tokens_array(F.col(text_col))
+    # Short-doc guard: sequence(1, stop) counts DOWN when stop < 1,
+    # yielding an invalid slice start of 0 — docs with < n tokens must
+    # short-circuit to an empty array.
+    hashes = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.xxhash64(F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+    return _spread(docs).select(
+        F.col(id_col).alias("doc"), F.explode(hashes).alias("h")
     )
 
 
@@ -251,20 +246,29 @@ def simhash_fingerprints(
     each token's xxhash64.  64 conditional-sum aggregates in one groupBy —
     JVM-side; for very wide batches a pandas_udf over token arrays is the
     alternative, but the agg form keeps partial aggregation."""
-    tok = _spread(docs).select(
-        F.col(id_col).alias("doc"), F.explode(tokens_array(F.col(text_col))).alias("token")
+    tok = (
+        _spread(docs)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens_array(F.col(text_col))).alias("token"),
+        )
+        .select("doc", F.xxhash64("token").alias("h"))
     )
-    h = F.xxhash64(F.col("token"))
+    # ±1 vote sums rewritten as one-bit sums plus a single shared token
+    # count: sign(Σ±1) ≡ (2·Σbit_i > n).  Halves the per-token expression
+    # work in the partial aggregate (no *2-1 per bit) and the token is
+    # hashed once, pre-explode of the 64 bit extractions.
     votes = [
-        F.sum(
-            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"v{i}")
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"v{i}")
         for i in range(64)
     ]
-    per_doc = tok.groupBy("doc").agg(*votes)
+    per_doc = tok.groupBy("doc").agg(*votes, F.count(F.lit(1)).alias("n_tok"))
     fp = None
     for i in range(64):
-        bit = F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        bit = F.when(
+            F.col(f"v{i}") * 2 > F.col("n_tok"),
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
         fp = bit if fp is None else fp + bit
     return per_doc.select("doc", fp.alias("simhash"))
 
