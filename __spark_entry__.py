@@ -239,6 +239,57 @@ def _q_vector_norms(spark, sf_dir):
     return vector_norms(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_local_supplier_volume(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import local_supplier_volume
+
+    return local_supplier_volume(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def _q_rank_metrics(spark, sf_dir):
+    from p2_mapreduce_spark.operators.analytics import rank_metrics
+
+    return rank_metrics(load_table(spark, sf_dir, "orders"))
+
+
+def _q_cumulative_revenue(spark, sf_dir):
+    from p2_mapreduce_spark.operators.analytics import cumulative_revenue
+
+    return cumulative_revenue(load_table(spark, sf_dir, "orders"))
+
+
+def _q_price_histogram(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import price_histogram
+
+    return price_histogram(load_table(spark, sf_dir, "orders"))
+
+
+def _q_unpivot_pricing(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import unpivot_pricing
+
+    return unpivot_pricing(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_edit_distance_pairs(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import edit_distance_pairs
+
+    return edit_distance_pairs(load_table(spark, sf_dir, "nation"))
+
+
+def _q_dup_clusters(spark, sf_dir):
+    from p2_mapreduce_spark.operators.dedup import ngram_jaccard_pairs
+    from p2_mapreduce_spark.operators.graph import dup_clusters
+
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return dup_clusters(pairs.select("doc_a", "doc_b"))
+
+
 def _q_hash_sample(spark, sf_dir):
     from p2_mapreduce_spark.operators.text_analysis import hash_sample
 
@@ -528,6 +579,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_agg": _q_conditional_agg,
         "corr_stats": _q_corr_stats,
         "vector_norms": _q_vector_norms,
+        "local_supplier_volume": _q_local_supplier_volume,
+        "rank_metrics": _q_rank_metrics,
+        "cumulative_revenue": _q_cumulative_revenue,
+        "price_histogram": _q_price_histogram,
+        "unpivot_pricing": _q_unpivot_pricing,
+        "edit_distance_pairs": _q_edit_distance_pairs,
+        "dup_clusters": _q_dup_clusters,
         "embed_near_pairs": _q_embed_near_pairs,
     }
 
@@ -1060,6 +1118,111 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(embedding AS DOUBLE[]))) AS l2_norm,
                    len(embedding) AS dim
             FROM embeddings
+        """,
+        "local_supplier_volume": f"""
+            SELECT n_name,
+                   {dsum('l_extendedprice * (1.0 - l_discount)', 24, 4)} AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "rank_metrics": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   CAST(rank() OVER w AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey)
+        """,
+        "cumulative_revenue": """
+            WITH daily AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+                       COUNT(*) AS n_orders
+                FROM orders GROUP BY 1
+            )
+            SELECT day, n_orders,
+                   CAST(rev_dec AS DOUBLE) AS day_revenue,
+                   CAST(SUM(rev_dec) OVER (
+                        ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) AS cum_revenue
+            FROM daily
+        """,
+        "price_histogram": f"""
+            WITH b AS (
+                SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+                       o_totalprice
+                FROM orders
+            )
+            SELECT bucket,
+                   bucket * 25000.0 AS lo,
+                   (bucket + 1) * 25000.0 AS hi,
+                   COUNT(*) AS n_orders,
+                   {dsum('o_totalprice')} AS bucket_revenue
+            FROM b GROUP BY bucket
+        """,
+        "unpivot_pricing": f"""
+            WITH wide AS (
+                SELECT l_returnflag,
+                       {dsum('l_quantity')} AS sum_qty,
+                       {dsum('l_extendedprice')} AS sum_price,
+                       {dsum('l_discount')} / COUNT(l_discount) AS avg_disc
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'sum_price', sum_price FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'avg_disc', avg_disc FROM wide
+        """,
+        "edit_distance_pairs": """
+            SELECT a.n_name AS name_a, b.n_name AS name_b,
+                   CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+            FROM nation a JOIN nation b ON a.n_name < b.n_name
+            WHERE levenshtein(a.n_name, b.n_name) <= 8
+        """,
+        "dup_clusters": f"""
+            WITH RECURSIVE sh AS ({shingles}),
+            sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+            np AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS n_common
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            prs AS (
+                SELECT doc_a, doc_b FROM np
+                JOIN sizes sa ON doc_a = sa.doc_id
+                JOIN sizes sb ON doc_b = sb.doc_id
+                WHERE CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) >= 0.5
+            ),
+            edges AS (
+                SELECT doc_a AS u, doc_b AS w FROM prs
+                UNION ALL
+                SELECT doc_b AS u, doc_a AS w FROM prs
+            ),
+            reach(v, lbl) AS (
+                SELECT DISTINCT u, u FROM edges
+                UNION
+                SELECT e.w, r.lbl FROM reach r JOIN edges e ON e.u = r.v
+            ),
+            comp AS (SELECT v, MIN(lbl) AS cluster FROM reach GROUP BY v)
+            SELECT c.v AS doc_id, c.cluster, s2.cluster_size
+            FROM comp c
+            JOIN (SELECT cluster, COUNT(*) AS cluster_size
+                  FROM comp GROUP BY cluster) s2
+              ON c.cluster = s2.cluster
         """,
         "knn_embeddings": """
             WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -42,6 +42,56 @@ def window_analytics(orders: DataFrame) -> DataFrame:
     )
 
 
+def rank_metrics(orders: DataFrame) -> DataFrame:
+    """The full ranking-function family over one shared window: rank /
+    dense_rank / percent_rank / cume_dist / ntile(4) of each order within
+    its priority class by price.  One shuffle on o_orderpriority; all five
+    functions evaluate in a single Window node pass.
+
+    Determinism: ntile assigns by ROW POSITION, so the order-by must be a
+    total order — o_orderkey (unique) breaks price ties.  rank/percent_rank
+    then never actually tie, which keeps the two engines' tie conventions
+    out of the comparison entirely."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+def cumulative_revenue(orders: DataFrame) -> DataFrame:
+    """Running revenue per day: orders are bucketed to their day, summed
+    exactly (decimal protocol), then a running total over an ordered
+    window of one row per day.  The heavy step is the groupBy (scales
+    out); the window then runs over ~#days rows in a SINGLE partition —
+    correct here because the grain is calendar days (bounded), but a
+    running total over an unbounded key would need range partitioning +
+    per-partition offsets instead (documented, not needed at this grain)."""
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "n_orders",
+        F.col("rev_dec").cast("double").alias("day_revenue"),
+        # running sum stays DECIMAL until the final surface cast — exact,
+        # order-independent, engine-neutral
+        F.sum("rev_dec").over(w).cast("double").alias("cum_revenue"),
+    )
+
+
 def above_customer_avg(orders: DataFrame) -> DataFrame:
     """Correlated scalar subquery, decorrelated: orders priced above their
     customer's average.  The correlated form (``WHERE o_totalprice >

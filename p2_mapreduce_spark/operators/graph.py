@@ -1,0 +1,78 @@
+"""Iterative graph operators — connected components for duplicate
+clustering.
+
+Near-dup pair lists (dedup.py) are only half the dedup story: to keep ONE
+representative per duplicate *group*, pairs must be closed into clusters
+(A~B, B~C ⇒ {A,B,C}).  That closure is connected components — an
+inherently iterative algorithm the reference's single-pass map/reduce
+paradigm cannot express (SURVEY.md §2.3) and SQL can only express via
+recursive CTEs; here it is a Spark-native label-propagation loop.
+
+Scale design:
+- Each iteration is one join + one aggregate — both shuffles on the vertex
+  id, which AQE co-partitions across iterations.
+- Iteration count is the graph DIAMETER — for near-dup clusters (small,
+  dense clique-ish components) typically 2-3, never the vertex count.
+  For adversarial long-chain graphs switch to the large-star/small-star
+  algorithm (Kiveris et al., "Connected Components in MapReduce and
+  Beyond"), which converges in O(log^2 n) — same building blocks.
+- ``localCheckpoint`` truncates lineage each round, or the plan tree grows
+  exponentially and the driver OOMs long before the data does.  On a real
+  cluster use reliable ``checkpoint`` to survive executor loss.
+- The convergence probe is a ``limit(1).count()`` on changed labels — an
+  O(1)-result job, not a collect of the label table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(v, component) for every vertex in ``edges``; ``component`` is the
+    minimum vertex id reachable from v — a deterministic canonical label
+    under ANY partitioning/iteration interleaving, since min is
+    order-independent."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("w")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("w"))
+    )
+    labels = (
+        sym.select(F.col("u").alias("v")).distinct().select("v", F.col("v").alias("component"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym.u == labels.v).select(
+            F.col("w").alias("v"), "component"
+        )
+        new_labels = (
+            labels.union(nbr).groupBy("v").agg(F.min("component").alias("component"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_clusters(pairs: DataFrame) -> DataFrame:
+    """Duplicate-group table from a near-dup pair list: (doc_id, cluster,
+    cluster_size), cluster = min doc_id of the group.  Keeping
+    ``doc_id = cluster`` (the representative) and dropping the rest is the
+    dedup sweep; sizes come from one extra tiny aggregate over the label
+    table (not the pair list)."""
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "component").select(
+        F.col("v").alias("doc_id"), F.col("component").alias("cluster"), "cluster_size"
+    )

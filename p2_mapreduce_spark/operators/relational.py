@@ -414,6 +414,110 @@ def corr_stats(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation in one region, counting only
+    lineitems whose supplier and ordering customer share that nation
+    (a 6-table join with a non-hierarchical equality between two
+    dimension paths).
+
+    Scale plan: region→nation is folded FIRST and broadcast, so the fact
+    tables are filtered to the region's nations before any fact-side
+    shuffle; supplier and customer are broadcast (dimension-sized at
+    TPC-H ratios).  The only big shuffle is lineitem⋈orders on orderkey —
+    everything else rides along as broadcast hash joins, which `explain`
+    confirms.  The c_nationkey = s_nationkey condition is applied as a
+    post-broadcast filter, never as a join key (it would skew: 25 nations)."""
+    nations_in_region = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == region_name)),
+            nation.n_regionkey == region.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    cust = customer.join(
+        F.broadcast(nations_in_region),
+        customer.c_nationkey == nations_in_region.n_nationkey,
+    ).select("c_custkey", F.col("c_nationkey").alias("cust_nation"))
+    supp = supplier.join(
+        F.broadcast(nations_in_region),
+        supplier.s_nationkey == nations_in_region.n_nationkey,
+    ).select("s_suppkey", F.col("s_nationkey").alias("supp_nation"), "n_name")
+    return (
+        lineitem.join(orders.select("o_orderkey", "o_custkey"),
+                      lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), lineitem.l_suppkey == supp.s_suppkey)
+        .where(F.col("cust_nation") == F.col("supp_nation"))
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1.0 - F.col("l_discount")), 4, 24)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def price_histogram(orders: DataFrame, bucket_width: float = 25000.0) -> DataFrame:
+    """Fixed-width histogram of order prices: bucket index, bounds, count,
+    exact per-bucket revenue.  The bucket index is ``floor(price/width)``
+    — one IEEE division + floor, deterministic cross-engine — so this is
+    a plain groupBy: partial-aggregated map-side, one tiny shuffle of
+    #buckets rows per partition, no sort, scales like any agg."""
+    bucket = F.floor(F.col("o_totalprice") / bucket_width)
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("bucket_revenue"),
+    ).select(
+        "bucket",
+        (F.col("bucket") * bucket_width).alias("lo"),
+        ((F.col("bucket") + 1) * bucket_width).alias("hi"),
+        "n_orders",
+        "bucket_revenue",
+    )
+
+
+def unpivot_pricing(lineitem: DataFrame) -> DataFrame:
+    """Wide→long reshape (unpivot/melt): the per-returnflag pricing
+    aggregate turned into (flag, measure, value) rows.  The agg shrinks
+    the data to #flags rows BEFORE the unpivot, so the reshape —
+    a map-side expression expansion, no shuffle of its own — touches
+    a handful of rows regardless of input scale."""
+    wide = lineitem.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        davg("l_discount").alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "avg_disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+def edit_distance_pairs(nation: DataFrame, max_dist: int = 8) -> DataFrame:
+    """Fuzzy string matching: Levenshtein distance between every pair of
+    nation names under a cap.  The classic entity-resolution primitive;
+    `levenshtein` is a JVM built-in (classic DP — integer-exact, so
+    oracle-comparable).  The self-join is quadratic by design: apply it
+    only to dimension-sized or pre-blocked inputs (pair with the dedup
+    module's LSH blocking for document-scale fuzzy matching)."""
+    a = nation.select(F.col("n_name").alias("name_a"))
+    b = nation.select(F.col("n_name").alias("name_b"))
+    return (
+        a.join(b, F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .where(F.col("dist") <= max_dist)
+    )
+
+
 def approx_quantiles(lineitem: DataFrame) -> DataFrame:
     """Quantile-sketch aggregation: percentile_approx (Greenwald-Khanna)
     per group, alongside the exact interpolated percentile for reference.

@@ -147,6 +147,24 @@ def test_shipping_priority_plan(spark, sf_dir):
     )
 
 
+def test_local_supplier_volume_plan(spark, sf_dir):
+    """Q5 shape: every dimension path (region→nation, customer, supplier)
+    broadcasts; the ONLY shuffle-joined pair is lineitem⋈orders.  If a
+    dim ever falls out of broadcast this fails before the cluster bill
+    does."""
+    r = _report(spark, sf_dir, "local_supplier_volume")
+    assert r["n_broadcast_joins"] >= 4
+    assert r["n_sortmerge_joins"] <= 1
+    assert not r["has_python_worker"]
+
+
+def test_new_aggregates_stay_jvm_side(spark, sf_dir):
+    for qid in ["rank_metrics", "cumulative_revenue", "price_histogram",
+                "unpivot_pricing", "edit_distance_pairs"]:
+        r = _report(spark, sf_dir, qid)
+        assert not r["has_python_worker"], f"{qid} reached Python"
+
+
 def test_extensions_hot_paths_are_jvm_side(spark, sf_dir):
     for qid in ["dedup_minhash", "dedup_simhash", "knn_embeddings",
                 "fingerprint_docs", "quality_score", "lang_id"]:
