@@ -1,0 +1,74 @@
+"""Dataset catalog — the DFS namespace plane (reference S1/S2/S4/S5).
+
+The reference keeps a flat ``map[string]FileMetadata`` namespace with
+prefix listing (cmd/controller/manager/manager.go:353-363), a
+candidate→commit two-phase store (manager.go:365-429), and delete fan-out
+to replicas (manager.go:328-350).  On Spark, chunk placement, replication,
+and integrity are the storage layer's job; what survives is the *API*: a
+flat string-keyed namespace of datasets with prefix listing, atomic store,
+and idempotent delete.
+
+Implementation goes through the Hadoop ``FileSystem`` API — the same
+abstraction every Spark read/write uses — so one code path serves
+``file://`` in tests and ``hdfs://`` / ``s3a://`` on a cluster; atomic
+visibility comes from the Hadoop commit protocol (the reference's
+candidate→commit dance, for free).  Keys are arbitrary strings (the
+reference allows any byte string); they are percent-encoded into one path
+segment so a key can never escape the root or collide with another.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import quote, unquote
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class DatasetCatalog:
+    """Flat keyed namespace of datasets rooted at ``root`` (any Hadoop
+    filesystem URI: local path, ``hdfs://...``, ``s3a://...``)."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root.rstrip("/")
+        jvm = spark._jvm  # type: ignore[attr-defined]
+        self._jpath = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._jpath(self.root).getFileSystem(
+            spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+        )
+        self._fs.mkdirs(self._jpath(self.root))
+
+    def _path(self, key: str) -> str:
+        if not key:
+            raise ValueError("dataset key must be non-empty")
+        return f"{self.root}/{quote(key, safe='')}"
+
+    # S2: StoreFile + FinishStoreFile (manager.go:385-429, 365-382)
+    def store(
+        self, df: DataFrame, key: str, fmt: str = "parquet", mode: str = "error"
+    ) -> None:
+        """Atomic store. ``mode='error'`` mirrors the reference's
+        output-key-unused check (manager.go:755-762); pass
+        ``mode='overwrite'`` to opt out."""
+        df.write.mode(mode).format(fmt).save(self._path(key))
+
+    # S1: GetFile (manager.go:316-325)
+    def load(self, key: str, fmt: str = "parquet") -> DataFrame:
+        if not self.exists(key):
+            raise KeyError(f"dataset {key!r} not found under {self.root}")
+        return self.spark.read.format(fmt).load(self._path(key))
+
+    # S5: ListFiles — the storage layer's only predicate, strings.HasPrefix
+    # (manager.go:353-363)
+    def list(self, prefix: str = "") -> list[str]:
+        statuses = self._fs.listStatus(self._jpath(self.root))
+        keys = [unquote(s.getPath().getName()) for s in statuses]
+        return sorted(k for k in keys if k.startswith(prefix))
+
+    # S4: DeleteFile (manager.go:328-350); idempotent like the reference's
+    # metadata removal.
+    def delete(self, key: str) -> bool:
+        return bool(self._fs.delete(self._jpath(self._path(key)), True))
+
+    def exists(self, key: str) -> bool:
+        return bool(self._fs.exists(self._jpath(self._path(key))))

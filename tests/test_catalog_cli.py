@@ -1,0 +1,100 @@
+"""Catalog namespace + client-CLI parity tests (reference S1/S2/S4/S5 and
+cmd/client command surface)."""
+
+import os
+
+import pytest
+
+from p2_mapreduce_spark.catalog import DatasetCatalog
+from p2_mapreduce_spark import cli
+
+
+def test_store_load_roundtrip_and_exists(spark, tmp_path):
+    cat = DatasetCatalog(spark, str(tmp_path / "dfs"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    cat.store(df, "t1")
+    assert cat.exists("t1") and not cat.exists("t2")
+    got = sorted(map(tuple, cat.load("t1").collect()))
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_store_refuses_existing_key_like_reference(spark, tmp_path):
+    cat = DatasetCatalog(spark, str(tmp_path / "dfs"))
+    df = spark.createDataFrame([(1,)], ["k"])
+    cat.store(df, "t1")
+    with pytest.raises(Exception):
+        cat.store(df, "t1")  # manager.go:755-762 output-unused check
+    cat.store(df, "t1", mode="overwrite")  # explicit opt-out works
+
+
+def test_prefix_list_and_delete(spark, tmp_path):
+    cat = DatasetCatalog(spark, str(tmp_path / "dfs"))
+    df = spark.createDataFrame([(1,)], ["k"])
+    for key in ("a/one", "a/two", "b.three"):
+        cat.store(df, key)
+    assert cat.list() == ["a/one", "a/two", "b.three"]
+    assert cat.list("a/") == ["a/one", "a/two"]  # strings.HasPrefix semantics
+    assert cat.delete("a/one") is True
+    assert cat.delete("a/one") is False  # idempotent
+    assert cat.list("a/") == ["a/two"]
+
+
+def test_keys_cannot_escape_root(spark, tmp_path):
+    cat = DatasetCatalog(spark, str(tmp_path / "dfs"))
+    df = spark.createDataFrame([(1,)], ["k"])
+    cat.store(df, "../escape")  # percent-encoded: stays one segment
+    assert cat.list() == ["../escape"]
+    assert not (tmp_path / "escape").exists()
+    with pytest.raises(ValueError):
+        cat.store(df, "")
+
+
+def test_cli_wordcount_workflow_end_to_end(spark, tmp_path):
+    """The reference demo workflow: upload → mapreduce → download, checked
+    against known counts."""
+    src = tmp_path / "in.txt"
+    src.write_text("the cat and the dog\nThe end\n")
+    root = str(tmp_path / "dfs")
+    cli.main(["--root", root, "upload", str(src), "in"], spark=spark)
+    cli.main(
+        ["--root", root, "mapreduce", "in", "out", "wordcount", "wordcount"],
+        spark=spark,
+    )
+    assert cli.main(["--root", root, "list"], spark=spark) == "in\nout"
+    dst = tmp_path / "out.tsv"
+    cli.main(["--root", root, "download", "out", str(dst)], spark=spark)
+    lines = dst.read_text().strip().splitlines()
+    got = dict(ln.split("\t") for ln in lines)
+    assert got == {"the": "3", "cat": "1", "and": "1", "dog": "1", "end": "1"}
+    # aggregate path: globally key-sorted (manager.go:1128-1132)
+    assert [ln.split("\t")[0] for ln in lines] == sorted(got)
+
+
+def test_cli_mapreduce_refuses_bad_inputs(spark, tmp_path):
+    root = str(tmp_path / "dfs")
+    src = tmp_path / "in.txt"
+    src.write_text("x\n")
+    cli.main(["--root", root, "upload", str(src), "in"], spark=spark)
+    # output key collision
+    with pytest.raises(SystemExit):
+        cli.main(["--root", root, "mapreduce", "in", "in", "wordcount", "wordcount"],
+                 spark=spark)
+    # non-line-record dataset as mapreduce input
+    cat = DatasetCatalog(spark, root)
+    cat.store(spark.createDataFrame([(1,)], ["k"]), "notext")
+    with pytest.raises(SystemExit):
+        cli.main(["--root", root, "mapreduce", "notext", "o", "wordcount", "wordcount"],
+                 spark=spark)
+
+
+def test_cli_upload_refuses_binary(spark, tmp_path):
+    bad = tmp_path / "bin.dat"
+    bad.write_bytes(b"\x00\x01\x02binary")
+    with pytest.raises(ValueError):
+        cli.main(["--root", str(tmp_path / "dfs"), "upload", str(bad), "b"],
+                 spark=spark)
+
+
+def test_cli_funcs_lists_registry(spark, tmp_path, capsys):
+    out = cli.main(["--root", str(tmp_path / "dfs"), "funcs"], spark=spark)
+    assert "wordcount" in out and "sum" in out
