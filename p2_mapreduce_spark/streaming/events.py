@@ -108,6 +108,28 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def dedup_events_stream(
+    spark,
+    source_dir: str,
+    schema,
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("event_id",),
+):
+    """Streaming exact dedup — the streaming twin of
+    operators/dedup.exact_dedup for an at-least-once event feed.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key and
+    EVICTS entries older than the watermark, so state is bounded by
+    (arrival-skew window × key rate), not by stream lifetime — the only
+    formulation that survives an unbounded 100 TB/day feed.  Plain
+    ``dropDuplicates`` on a stream would grow state forever; the batch
+    operator can't see cross-batch duplicates at all."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def tumbling_window_stream(
     spark,
     source_dir: str,

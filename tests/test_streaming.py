@@ -112,6 +112,40 @@ def test_foreachbatch_sink_idempotent_layout(spark, sf_dir, tmp_path):
     assert written.select("batch_id").distinct().count() >= 2
 
 
+def test_streaming_dedup_collapses_cross_batch_duplicates(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicated at-least-once feed
+    (every event delivered twice, in DIFFERENT micro-batches) collapses
+    to exactly one row per event_id — the case batch dedup per
+    micro-batch cannot catch."""
+    from p2_mapreduce_spark.streaming.events import dedup_events_stream
+
+    events = load_table(spark, sf_dir, "events").limit(500)
+    src = str(tmp_path / "dup_src")
+    # two identical files → the duplicate arrives in a later micro-batch
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    events.coalesce(1).write.mode("append").parquet(src)
+
+    stream = dedup_events_stream(
+        spark, src, schema=events.schema, watermark="10 minutes"
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    finally:
+        q.stop()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids)), "duplicates survived the stream"
+    assert set(ids) == {r["event_id"] for r in events.select("event_id").collect()}
+
+
 def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
     """The applyInPandasWithState sessionizer must emit exactly the batch
     sessionizer's sessions once the watermark has flushed all state.
