@@ -33,8 +33,11 @@ HEADLINE = (
     "agg_pricing",
     "join_orders_customer",
     "shipping_priority",
+    "local_supplier_volume",
     "topk_window",
     "window_analytics",
+    "rank_metrics",
+    "cumulative_revenue",
     "cube_agg",
     "salted_agg",
     "asof_join",
@@ -50,6 +53,7 @@ HEADLINE = (
     "dedup_ngram",
     "dedup_minhash",
     "dedup_simhash",
+    "dup_clusters",
     "text_stats",
     "quality_score",
     "fingerprint_docs",
