@@ -290,6 +290,18 @@ def _q_dup_clusters(spark, sf_dir):
     return dup_clusters(pairs.select("doc_a", "doc_b"))
 
 
+def _q_bpe_pretoken_stats(spark, sf_dir):
+    from p2_mapreduce_spark.operators.text_analysis import bpe_pretoken_stats
+
+    return bpe_pretoken_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _q_embedding_quantize(spark, sf_dir):
+    from p2_mapreduce_spark.operators.similarity import embedding_quantize_stats
+
+    return embedding_quantize_stats(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_hash_sample(spark, sf_dir):
     from p2_mapreduce_spark.operators.text_analysis import hash_sample
 
@@ -586,6 +598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_pricing": _q_unpivot_pricing,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "dup_clusters": _q_dup_clusters,
+        "bpe_pretoken_stats": _q_bpe_pretoken_stats,
+        "embedding_quantize": _q_embedding_quantize,
         "embed_near_pairs": _q_embed_near_pairs,
     }
 
@@ -1223,6 +1237,49 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT cluster, COUNT(*) AS cluster_size
                   FROM comp GROUP BY cluster) s2
               ON c.cluster = s2.cluster
+        """,
+        "bpe_pretoken_stats": rf"""
+            WITH pre AS (
+                SELECT lang,
+                       len(regexp_extract_all(text, '\p{{L}}+|\p{{N}}+|[^\s\p{{L}}\p{{N}}]+'))
+                         AS n_pieces,
+                       len(regexp_extract_all(text, '\p{{L}}+')) AS n_alpha,
+                       len(regexp_extract_all(text, '\p{{N}}+')) AS n_num,
+                       len(list_filter(regexp_split_to_array(lower(text),
+                                                             '[^\p{{L}}\p{{N}}]+'),
+                                       t -> t != '')) AS n_ws
+                FROM documents
+            )
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_pieces) AS BIGINT) AS sum_pieces,
+                   CAST(SUM(n_alpha) AS BIGINT) AS sum_alpha,
+                   CAST(SUM(n_num) AS BIGINT) AS sum_num,
+                   CAST(SUM(n_pieces) - SUM(n_alpha) - SUM(n_num) AS BIGINT)
+                     AS sum_punct,
+                   CAST(SUM(n_pieces) AS DOUBLE) / SUM(n_ws) AS fertility
+            FROM pre GROUP BY lang
+        """,
+        "embedding_quantize": """
+            WITH v AS (
+                SELECT vec_id,
+                       CAST(embedding AS DOUBLE[]) AS xs,
+                       list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                               x -> abs(x))) AS scale
+                FROM embeddings
+            ),
+            qv AS (
+                SELECT vec_id, scale,
+                       list_transform(xs, x -> CAST(FLOOR(x / scale * 127)
+                                                    AS BIGINT)) AS q
+                FROM v WHERE scale > 0
+            )
+            SELECT vec_id, scale,
+                   CAST(list_sum(q) AS BIGINT) AS q_sum,
+                   list_min(q) AS q_min,
+                   list_max(q) AS q_max,
+                   CAST(len(list_filter(q, x -> x = 0)) AS INTEGER) AS n_zero
+            FROM qv
         """,
         "knn_embeddings": """
             WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

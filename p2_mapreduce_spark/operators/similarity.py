@@ -278,6 +278,34 @@ def vector_norms(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame
     )
 
 
+def embedding_quantize_stats(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Int8 scalar quantization (absmax): per-vector scale plus summary
+    stats of the quantized codes — the compression step before an ANN
+    index ships to serving.  q_i = floor(x_i / absmax * 127): floor (not
+    round) because round's half-way rule differs across engines while
+    floor is IEEE-exact; absmax and the division/multiply are all double —
+    one deterministic expression per element, no shuffle, no Python.
+    Summary stats (not the code array itself) keep the result hashable
+    cross-engine; the full array form is the same transform un-aggregated."""
+    xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(xs, F.abs))
+    q = F.transform(F.col("xs"), lambda x: F.floor(x / F.col("scale") * 127))
+    return (
+        embeddings.select("vec_id", xs.alias("xs"), scale.alias("scale"))
+        .where(F.col("scale") > 0)
+        .select(
+            "vec_id",
+            "scale",
+            F.aggregate(q, F.lit(0).cast("bigint"), lambda a, b: a + b).alias("q_sum"),
+            F.array_min(q).alias("q_min"),
+            F.array_max(q).alias("q_max"),
+            F.size(F.filter(q, lambda v: v == 0)).alias("n_zero"),
+        )
+    )
+
+
 def embedding_centroid(
     embeddings: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:

@@ -36,6 +36,41 @@ def token_count(text: Column) -> Column:
     return F.size(tokens_array(text))
 
 
+#: GPT-2-style pre-tokenizer classes: letter runs, digit runs, other
+#: non-space runs.  Same classes in Java regex (Spark) and RE2 (DuckDB).
+BPE_PRETOKEN_REGEX = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+
+
+def bpe_pretoken_stats(docs: DataFrame) -> DataFrame:
+    """Per-language BPE pre-tokenization statistics: piece counts by class
+    (letter/digit/punct runs — the GPT-2 pre-tokenizer split) and the
+    pieces-per-whitespace-token fertility ratio that sizes a training
+    corpus in tokens.
+
+    All per-row counts are projected once in a narrow select, then
+    integer-summed (order-independent); fertility is one double division
+    at the end.  Everything is regexp + size — JVM codegen, no shuffle
+    beyond the #langs-row aggregate."""
+    pre = spread(docs).select(
+        "lang",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_REGEX), F.lit(0)))
+        .alias("n_pieces"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\p{L}+"), F.lit(0)))
+        .alias("n_alpha"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\p{N}+"), F.lit(0)))
+        .alias("n_num"),
+        token_count(F.col("text")).alias("n_ws"),
+    )
+    return pre.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_pieces").alias("sum_pieces"),
+        F.sum("n_alpha").alias("sum_alpha"),
+        F.sum("n_num").alias("sum_num"),
+        (F.sum("n_pieces") - F.sum("n_alpha") - F.sum("n_num")).alias("sum_punct"),
+        (F.sum("n_pieces").cast("double") / F.sum("n_ws")).alias("fertility"),
+    )
+
+
 def text_stats(docs: DataFrame) -> DataFrame:
     """Per-language corpus statistics: doc/char/token totals and means.
     The token count is projected ONCE per row before the aggregate —
