@@ -508,6 +508,21 @@ def _q_media_decode(spark, sf_dir):
     return decode_media(attach_binary(docs), decoder="fake")
 
 
+def _q_media_resize(spark, sf_dir):
+    """Rows-only check (binary payload output isn't SQL-expressible);
+    determinism + geometry are pytest-pinned (tests/test_multimodal.py)."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.multimodal import attach_binary, resize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = resize_media(attach_binary(docs), max_side=32)
+    return out.select(
+        "media_id", "modality", "width", "height",
+        F.sha2("payload", 256).alias("payload_sha"),
+    )
+
+
 def _q_knn_ivf(spark, sf_dir):
     from p2_mapreduce_spark.operators.similarity import knn_ivf
 
@@ -585,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": _q_knn_ivf,
         "knn_np": _q_knn_np,
         "media_decode": _q_media_decode,
+        "media_resize": _q_media_resize,
         "embedding_centroid": _q_embedding_centroid,
         "grouping_sets": _q_grouping_sets,
         "minmax_by": _q_minmax_by,

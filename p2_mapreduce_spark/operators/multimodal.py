@@ -135,6 +135,65 @@ def frame_sample(decoded: DataFrame, every_n: int = 8) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = (
+    "media_id long, modality string, width int, height int, payload binary"
+)
+
+
+def resize_media(media: DataFrame, max_side: int = 32, decoder: str = "fake") -> DataFrame:
+    """Resize stage: payload→payload transform over ``mapInPandas`` — the
+    shape of every pixel-touching kernel (resize, crop, re-encode).  Output
+    dims scale the fake-decoded dims down to ``max_side`` preserving aspect
+    ratio (integer arithmetic — deterministic); the output payload is a
+    stand-in re-encode (sha256 of input ⊕ target dims).  A real Pillow
+    kernel replaces ONLY the body of ``one`` — batch iteration, schema,
+    and binary Arrow transfer are the production plumbing.
+
+    ``decoder='none'`` raises ``NotImplementedError`` like
+    :func:`decode_media` (no codec libs in this container)."""
+    if decoder == "none":
+        raise NotImplementedError(
+            "real media codecs are not available in this environment; "
+            "use decoder='fake' for the deterministic stub"
+        )
+    if decoder != "fake":
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    from p2_mapreduce_spark.mapreduce import _ship_by_value
+
+    _ship_by_value(_fake_decode)
+    cap = int(max_side)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes, modality: str) -> tuple[int, int, bytes]:
+            meta = _fake_decode(payload, modality)
+            w, h = meta["width"], meta["height"]
+            if w <= 0 or h <= 0:  # non-spatial modality: pass through
+                return w, h, payload
+            scale_num, scale_den = (cap, max(w, h)) if max(w, h) > cap else (1, 1)
+            nw, nh = max(1, w * scale_num // scale_den), max(1, h * scale_num // scale_den)
+            fake_pixels = hashlib.sha256(
+                (payload or b"") + nw.to_bytes(4, "big") + nh.to_bytes(4, "big")
+            ).digest()
+            return nw, nh, fake_pixels
+
+        for pdf in it:
+            dims = [one(p, m) for p, m in zip(pdf["payload"], pdf["modality"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "modality": pdf["modality"].values,
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "payload": [d[2] for d in dims],
+                }
+            )
+
+    return media.select("media_id", "modality", "payload").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
 def binary_meta(docs: DataFrame) -> DataFrame:
     """Oracle-checkable slice of the binary plane: byte length + sha256
     of the payload, all JVM-side."""

@@ -54,3 +54,31 @@ def test_frame_sample_video(spark, sf_dir):
     for r in joined:
         assert 0 <= r["frame_idx"] < r["n_frames"]
         assert r["frame_idx"] % 8 == 0
+
+
+def test_resize_caps_long_side_and_keeps_aspect(spark, media):
+    from p2_mapreduce_spark.operators.multimodal import resize_media
+
+    src = {r["media_id"]: r for r in decode_media(media, "fake").collect()}
+    out = resize_media(media, max_side=32).collect()
+    assert len(out) == len(src)
+    for r in out:
+        s = src[r["media_id"]]
+        assert 1 <= r["width"] <= 32 and 1 <= r["height"] <= 32
+        # aspect preserved under integer floor scaling
+        if max(s["width"], s["height"]) > 32:
+            assert r["width"] == s["width"] * 32 // max(s["width"], s["height"])
+            assert r["height"] == s["height"] * 32 // max(s["width"], s["height"])
+        else:
+            assert (r["width"], r["height"]) == (s["width"], s["height"])
+        assert isinstance(r["payload"], (bytes, bytearray)) and len(r["payload"]) == 32
+
+
+def test_resize_deterministic_and_gated(spark, media):
+    from p2_mapreduce_spark.operators.multimodal import resize_media
+
+    a = sorted(map(tuple, resize_media(media, 24).collect()))
+    b = sorted(map(tuple, resize_media(media.repartition(7), 24).collect()))
+    assert a == b
+    with pytest.raises(NotImplementedError):
+        resize_media(media, 24, decoder="none")
