@@ -290,6 +290,18 @@ def _q_dup_clusters(spark, sf_dir):
     return dup_clusters(pairs.select("doc_a", "doc_b"))
 
 
+def _q_stratified_sample(spark, sf_dir):
+    from p2_mapreduce_spark.operators.text_analysis import stratified_sample
+
+    return stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+def _q_global_topk(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import global_topk
+
+    return global_topk(load_table(spark, sf_dir, "orders"))
+
+
 def _q_bpe_pretoken_stats(spark, sf_dir):
     from p2_mapreduce_spark.operators.text_analysis import bpe_pretoken_stats
 
@@ -614,6 +626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_pricing": _q_unpivot_pricing,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "dup_clusters": _q_dup_clusters,
+        "stratified_sample": _q_stratified_sample,
+        "global_topk": _q_global_topk,
         "bpe_pretoken_stats": _q_bpe_pretoken_stats,
         "embedding_quantize": _q_embedding_quantize,
         "embed_near_pairs": _q_embed_near_pairs,
@@ -1253,6 +1267,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT cluster, COUNT(*) AS cluster_size
                   FROM comp GROUP BY cluster) s2
               ON c.cluster = s2.cluster
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            WHERE substr(md5(text), 1, 2) <=
+                  CASE lang WHEN 'en' THEN '20'
+                            WHEN 'de' THEN '80'
+                            WHEN 'es' THEN '80'
+                            WHEN 'fr' THEN '80'
+                            ELSE '40' END
+        """,
+        "global_topk": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
         """,
         "bpe_pretoken_stats": rf"""
             WITH pre AS (

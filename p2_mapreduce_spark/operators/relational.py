@@ -518,6 +518,20 @@ def edit_distance_pairs(nation: DataFrame, max_dist: int = 8) -> DataFrame:
     )
 
 
+def global_topk(orders: DataFrame, k: int = 100) -> DataFrame:
+    """Global top-k (ORDER BY ... LIMIT k): the k most expensive orders,
+    tie-broken by the unique key for a total order.  Spark plans this as
+    TakeOrderedAndProject — each partition keeps only its local top-k and
+    the driver merges k·P rows — NOT a full global sort; at 100 TB this is
+    the difference between a heap pass and a range-partitioned shuffle of
+    everything (sorted_output is the full-sort counterpart)."""
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(k)
+    )
+
+
 def approx_quantiles(lineitem: DataFrame) -> DataFrame:
     """Quantile-sketch aggregation: percentile_approx (Greenwald-Khanna)
     per group, alongside the exact interpolated percentile for reference.

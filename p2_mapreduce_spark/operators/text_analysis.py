@@ -178,6 +178,34 @@ def hash_sample(docs: DataFrame, threshold_hex: str = "28",
     return docs.filter(pred).select("doc_id", "lang", "source", "n_chars")
 
 
+#: Per-language sampling rates as md5-prefix thresholds (2 hex chars ⇒
+#: rate ≈ int(hex,16)/256): quality-weighted corpus mixing — keep most of
+#: the rare languages, downsample the dominant one.
+STRATA_THRESHOLDS = (("en", "20"), ("de", "80"), ("es", "80"), ("fr", "80"))
+DEFAULT_STRATUM_THRESHOLD = "40"
+
+
+def stratified_sample(
+    docs: DataFrame,
+    thresholds: tuple[tuple[str, str], ...] = STRATA_THRESHOLDS,
+    default_threshold: str = DEFAULT_STRATUM_THRESHOLD,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: like :func:`hash_sample` but the
+    keep-threshold depends on the group — the corpus-mixing primitive
+    (downsample the dominant language, keep the rare ones).
+
+    Same scale properties as hash_sample: a pure per-row predicate on a
+    content hash, no shuffle, no RNG state, reproducible across engines,
+    partitionings, and backfills (``sampleBy()`` is none of those).  The
+    threshold map is a CASE expression, not a join — it's configuration,
+    not data."""
+    thr = F.lit(default_threshold)
+    for lang, t in reversed(thresholds):
+        thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
+    pred = F.substring(F.md5(F.col("text")), 1, 2) <= thr
+    return docs.filter(pred).select("doc_id", "lang", "source", "n_chars")
+
+
 def top_bigrams(docs: DataFrame, k: int = 20) -> DataFrame:
     """Global top-k token bigrams — n-gram statistics over the corpus
     (wordcount's M1-M9 dataflow with a 2-token key).  One explode + one
