@@ -290,6 +290,16 @@ def _q_dup_clusters(spark, sf_dir):
     return dup_clusters(pairs.select("doc_a", "doc_b"))
 
 
+def _q_large_volume_orders(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import large_volume_orders
+
+    return large_volume_orders(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     from p2_mapreduce_spark.operators.text_analysis import stratified_sample
 
@@ -626,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_pricing": _q_unpivot_pricing,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "dup_clusters": _q_dup_clusters,
+        "large_volume_orders": _q_large_volume_orders,
         "stratified_sample": _q_stratified_sample,
         "global_topk": _q_global_topk,
         "bpe_pretoken_stats": _q_bpe_pretoken_stats,
@@ -1267,6 +1278,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT cluster, COUNT(*) AS cluster_size
                   FROM comp GROUP BY cluster) s2
               ON c.cluster = s2.cluster
+        """,
+        "large_volume_orders": f"""
+            SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+            FROM orders
+            JOIN (
+                SELECT l_orderkey, {dsum('l_quantity')} AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING {dsum('l_quantity')} > 150.0
+            ) h ON o_orderkey = h.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
         """,
         "stratified_sample": """
             SELECT doc_id, lang, source, n_chars

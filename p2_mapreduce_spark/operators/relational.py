@@ -518,6 +518,34 @@ def edit_distance_pairs(nation: DataFrame, max_dist: int = 8) -> DataFrame:
     )
 
 
+def large_volume_orders(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    customer: DataFrame,
+    min_qty: float = 150.0,
+) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold, with customer names — an aggregate-HAVING filter used as a
+    join pruner.
+
+    Scale plan: aggregate lineitem FIRST and filter to the (rare) heavy
+    orders, so the orders/customer joins see only qualifying keys — the
+    aggregate side shrinks from |lineitem| to |heavy orders| before any
+    join.  The qualifying set is then small enough that AQE turns the
+    orders join into a broadcast at runtime; never join raw lineitem to
+    orders and filter after."""
+    heavy = (
+        lineitem.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > min_qty)
+    )
+    return (
+        orders.join(heavy, orders.o_orderkey == heavy.l_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
 def global_topk(orders: DataFrame, k: int = 100) -> DataFrame:
     """Global top-k (ORDER BY ... LIMIT k): the k most expensive orders,
     tie-broken by the unique key for a total order.  Spark plans this as

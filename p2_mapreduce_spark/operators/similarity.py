@@ -238,6 +238,28 @@ def knn_ivf(
     queries = with_norm(embeddings.filter(F.col(id_col) < n_queries), vec_col).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), F.col("norm").alias("q_norm")
     )
+    return probe_ivf(cents, assign, queries, k, nprobe, vec_col, id_col)
+
+
+def probe_ivf(
+    cents: DataFrame,
+    assign: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    prune_cells: bool = False,
+) -> DataFrame:
+    """The probe half of IVF search, reusable against a live OR persisted
+    index.  ``queries`` is ``(q_id, q_vec, q_norm)``.
+
+    ``prune_cells=True`` is the serving path: collect the ≤ n_cells probed
+    cell ids (config-sized, NOT data-sized — this is not a data collect)
+    and filter the assignment scan with ``isin`` so a cell-partitioned
+    on-disk index (save_ivf_index) is read with partition pruning — only
+    the probed cells' files are touched.  Leave False for large batch
+    query sets where most cells get probed anyway."""
     q_cells = queries.crossJoin(F.broadcast(cents)).withColumn(
         "c_sim", _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
     )
@@ -247,6 +269,9 @@ def knn_ivf(
         .filter(F.col("pr") <= nprobe)
         .select("q_id", "q_vec", "q_norm", "cell")
     )
+    if prune_cells:
+        cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+        assign = assign.filter(F.col("cell").isin(cells))
     corpus = assign.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
         F.col("norm").alias("n_norm"), "cell",
@@ -261,6 +286,22 @@ def knn_ivf(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "cosine", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+def save_ivf_index(cents: DataFrame, assign: DataFrame, root: str) -> None:
+    """Persist an IVF index: centroids as one small parquet, assignments
+    PARTITIONED BY cell — the on-disk layout that makes a pruned probe
+    (probe_ivf(prune_cells=True)) read only the probed cells' files.
+    Build once per corpus snapshot; probe many times."""
+    cents.write.mode("overwrite").parquet(f"{root}/centroids")
+    assign.write.mode("overwrite").partitionBy("cell").parquet(f"{root}/assignments")
+
+
+def load_ivf_index(spark, root: str) -> tuple[DataFrame, DataFrame]:
+    return (
+        spark.read.parquet(f"{root}/centroids"),
+        spark.read.parquet(f"{root}/assignments"),
     )
 
 

@@ -96,3 +96,41 @@ def test_near_pairs_symmetric_threshold(spark, emb):
     for r in pairs:
         assert r["id_a"] < r["id_b"]
         assert r["cosine"] >= 0.45
+
+
+def test_persisted_ivf_index_matches_inline(spark, sf_dir, tmp_path):
+    """save → load → probe must return exactly the inline knn_ivf result,
+    and the pruned probe must hit the cell-partitioned layout with a
+    PartitionFilter (only probed cells' files read)."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.similarity import (
+        build_ivf_cells,
+        knn_ivf,
+        load_ivf_index,
+        probe_ivf,
+        save_ivf_index,
+        with_norm,
+    )
+    from p2_mapreduce_spark.plans import plan_report
+    from p2_mapreduce_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    inline = sorted(map(tuple, knn_ivf(emb, n_queries=3, k=5).collect()))
+
+    cents, assign = build_ivf_cells(emb)
+    root = str(tmp_path / "ivf")
+    save_ivf_index(cents, assign, root)
+    cents2, assign2 = load_ivf_index(spark, root)
+    queries = with_norm(emb.filter(F.col("vec_id") < 3)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    for prune in (False, True):
+        got = probe_ivf(cents2, assign2, queries, k=5, prune_cells=prune)
+        assert sorted(map(tuple, got.collect())) == inline
+    pruned = probe_ivf(cents2, assign2, queries, k=5, prune_cells=True)
+    plan = plan_report(pruned)["plan"]
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "cell" in ln]
+    assert pf, f"pruned probe lost partition pruning: {plan[:600]}"
