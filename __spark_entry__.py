@@ -290,6 +290,33 @@ def _q_dup_clusters(spark, sf_dir):
     return dup_clusters(pairs.select("doc_a", "doc_b"))
 
 
+def _q_trailing_revenue(spark, sf_dir):
+    from p2_mapreduce_spark.operators.analytics import trailing_revenue
+
+    return trailing_revenue(load_table(spark, sf_dir, "orders"))
+
+
+def _q_sql_exists(spark, sf_dir):
+    """Correlated EXISTS through the SQL front door: customers with at
+    least one urgent order but no F(inished) order.  Catalyst rewrites
+    both subqueries into semi/anti joins — the declarative twin of
+    semi_anti."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL_EXISTS)
+
+
+_SQL_EXISTS = """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+"""
+
+
 def _q_large_volume_orders(spark, sf_dir):
     from p2_mapreduce_spark.operators.relational import large_volume_orders
 
@@ -636,6 +663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_pricing": _q_unpivot_pricing,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "dup_clusters": _q_dup_clusters,
+        "trailing_revenue": _q_trailing_revenue,
+        "sql_exists": _q_sql_exists,
         "large_volume_orders": _q_large_volume_orders,
         "stratified_sample": _q_stratified_sample,
         "global_topk": _q_global_topk,
@@ -1278,6 +1307,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT cluster, COUNT(*) AS cluster_size
                   FROM comp GROUP BY cluster) s2
               ON c.cluster = s2.cluster
+        """,
+        "trailing_revenue": """
+            WITH daily AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+                FROM orders GROUP BY 1
+            )
+            SELECT day,
+                   CAST(rev_dec AS DOUBLE) AS day_revenue,
+                   CAST(SUM(rev_dec) OVER w AS DOUBLE) AS trail_7d_revenue,
+                   COUNT(*) OVER w AS n_days_in_window
+            FROM daily
+            WINDOW w AS (ORDER BY day
+                         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+        """,
+        "sql_exists": """
+            SELECT c_custkey, c_name
+            FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         """,
         "large_volume_orders": f"""
             SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty

@@ -92,6 +92,30 @@ def cumulative_revenue(orders: DataFrame) -> DataFrame:
     )
 
 
+def trailing_revenue(orders: DataFrame, days: int = 7) -> DataFrame:
+    """RANGE-frame window: per day, revenue over the trailing ``days``-day
+    window — frame membership by ORDER-KEY VALUE (epoch seconds), not row
+    position, so calendar gaps are handled correctly (a rows-frame would
+    silently span missing days).
+
+    Same scale shape as cumulative_revenue: the heavy groupBy shrinks to
+    one row per day first; the single-partition window is bounded by the
+    calendar grain.  The frame sum stays DECIMAL until the surface cast."""
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec")
+    )
+    w = (
+        Window.orderBy(F.unix_timestamp("day"))
+        .rangeBetween(-(days - 1) * 86400, 0)
+    )
+    return daily.select(
+        "day",
+        F.col("rev_dec").cast("double").alias("day_revenue"),
+        F.sum("rev_dec").over(w).cast("double").alias(f"trail_{days}d_revenue"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_days_in_window"),
+    )
+
+
 def above_customer_avg(orders: DataFrame) -> DataFrame:
     """Correlated scalar subquery, decorrelated: orders priced above their
     customer's average.  The correlated form (``WHERE o_totalprice >
