@@ -218,6 +218,71 @@ def build_ivf_cells(
     return cents, assign
 
 
+def _assign_cells(emb_n: DataFrame, cents: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """argmax-cosine assignment of each vector to a centroid: broadcast
+    cross-score + per-vector top-1 window.  One pass over the corpus."""
+    scored = emb_n.crossJoin(F.broadcast(cents)).withColumn(
+        "c_sim", _dot(F.col(vec_col), F.col("c_vec")) / (F.col("norm") * F.col("c_norm"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), "cell")
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(id_col, vec_col, "norm", "cell", "c_sim")
+    )
+
+
+def refine_cells(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Spherical k-means (Lloyd) refinement of the IVF coarse quantizer:
+    alternate argmax-cosine assignment and normalized-mean centroid
+    update.  Each step is monotone in the spherical k-means objective
+    (Σ max-cosine), so a couple of iterations strictly improve cell
+    balance/recall over the seeded centroids — the production index-build
+    step between sampling and serving.
+
+    Scale shape per iteration: one broadcast cross-score pass (the corpus
+    never shuffles) + one posexplode aggregate of dim×n rows partial-
+    aggregated to #cells×dim — both linear; ``localCheckpoint`` truncates
+    the loop's lineage.  Per-dim means use the exact-decimal protocol so
+    centroids are identical under any partitioning (a raw double mean
+    could flip a borderline assignment between runs).  Cells that lose
+    all members drop out (standard k-means behavior)."""
+    emb_n = with_norm(embeddings, vec_col)
+    cents = cents.select("cell", "c_vec", "c_norm")
+    for _ in range(iters):
+        assign = _assign_cells(emb_n, cents, vec_col, id_col)
+        per_dim = (
+            assign.select("cell", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("string").cast("decimal(38,18)"))
+                    .cast("string")
+                    .cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+        )
+        cents = (
+            per_dim.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c_vec")
+            )
+            .select("cell", "c_vec", _norm(F.col("c_vec")).alias("c_norm"))
+            .localCheckpoint()
+        )
+    return cents
+
+
 def knn_ivf(
     embeddings: DataFrame,
     n_queries: int = 5,

@@ -134,3 +134,41 @@ def test_persisted_ivf_index_matches_inline(spark, sf_dir, tmp_path):
     plan = plan_report(pruned)["plan"]
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "cell" in ln]
     assert pf, f"pruned probe lost partition pruning: {plan[:600]}"
+
+
+def test_kmeans_refinement_improves_objective(spark, sf_dir):
+    """Lloyd iterations must be monotone in the spherical k-means
+    objective (sum of assigned max-cosine) and deterministic across
+    partitionings."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.similarity import (
+        _assign_cells,
+        build_ivf_cells,
+        refine_cells,
+        with_norm,
+    )
+    from p2_mapreduce_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_n = with_norm(emb)
+    cents0, _ = build_ivf_cells(emb, n_cells=8)
+
+    def objective(cents):
+        a = _assign_cells(emb_n, cents.select("cell", "c_vec", "c_norm"),
+                          "embedding", "vec_id")
+        return a.agg(F.sum("c_sim")).first()[0]
+
+    objs = [objective(cents0)]
+    cents = cents0
+    for _ in range(3):
+        cents = refine_cells(emb, cents, iters=1)
+        objs.append(objective(cents))
+    for prev, nxt in zip(objs, objs[1:]):
+        assert nxt >= prev - 1e-9, f"objective decreased: {objs}"
+    assert objs[-1] > objs[0], f"no improvement at all: {objs}"
+
+    # determinism under repartition
+    a = sorted(map(tuple, refine_cells(emb, cents0, iters=2).collect()))
+    b = sorted(map(tuple, refine_cells(emb.repartition(13), cents0, iters=2).collect()))
+    assert a == b
