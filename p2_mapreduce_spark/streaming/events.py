@@ -130,6 +130,55 @@ def dedup_events_stream(
     )
 
 
+def purchase_signup_interval_join(
+    purchases: DataFrame, signups: DataFrame, within: str = "2 hours"
+) -> DataFrame:
+    """Event-time interval join core: each purchase paired with every
+    signup of the same user that happened at-or-before it, within
+    ``within``.  Shared verbatim by the streaming twin and its batch
+    oracle (one logical plan, two execution modes)."""
+    return purchases.join(
+        signups,
+        (purchases.p_user == signups.s_user)
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr(f"INTERVAL {within}")),
+    ).select("p_event", "p_user", "p_ts", "s_ts")
+
+
+def stream_stream_join(
+    spark,
+    source_dir: str,
+    schema,
+    within: str = "2 hours",
+    watermark: str = "2 hours",
+):
+    """Watermarked stream-stream interval join: purchases ⋈ signups of the
+    same user within an event-time band.
+
+    Both sides carry a watermark and the join condition bounds event-time
+    distance, so Spark can EXPIRE buffered state: a signup older than
+    (max event time − watermark − within) can never match a future
+    purchase and is dropped.  Without both bounds a stream-stream join
+    buffers one side forever — the state-boundedness contract is the
+    whole design, same as the windowed aggs."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    signups = (
+        stream.filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", watermark)
+    )
+    return purchase_signup_interval_join(purchases, signups, within)
+
+
 def tumbling_window_stream(
     spark,
     source_dir: str,

@@ -211,3 +211,49 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
     for k, (n, s) in got.items():
         assert expected[k][0] == n
         assert abs(expected[k][1] - s) < 0.01  # float sum vs decimal sum
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """The watermarked purchases⋈signups interval join must produce the
+    same pairs as the identical join run in batch (watermarks only bound
+    state, never change the matched set when no data is late-dropped)."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.streaming.events import (
+        purchase_signup_interval_join,
+        stream_stream_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ssj_src")
+    events.repartition(2).write.mode("overwrite").parquet(src)
+
+    batch = purchase_signup_interval_join(
+        events.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_event"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        ),
+        events.filter(F.col("event_type") == "signup").select(
+            F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts")
+        ),
+    )
+    expected = sorted(map(tuple, batch.collect()))
+    assert expected, "fixture produced no purchase/signup pairs"
+
+    q = (
+        stream_stream_join(spark, src, schema=events.schema)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            map(tuple, spark.sql("SELECT p_event, p_user, p_ts, s_ts FROM ssj_out").collect())
+        )
+    finally:
+        q.stop()
+    assert got == expected
