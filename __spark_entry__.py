@@ -290,6 +290,12 @@ def _q_dup_clusters(spark, sf_dir):
     return dup_clusters(pairs.select("doc_a", "doc_b"))
 
 
+def _q_map_ops(spark, sf_dir):
+    from p2_mapreduce_spark.operators.json_ops import map_ops
+
+    return map_ops(load_table(spark, sf_dir, "lineitem"))
+
+
 def _q_trailing_revenue(spark, sf_dir):
     from p2_mapreduce_spark.operators.analytics import trailing_revenue
 
@@ -663,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_pricing": _q_unpivot_pricing,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "dup_clusters": _q_dup_clusters,
+        "map_ops": _q_map_ops,
         "trailing_revenue": _q_trailing_revenue,
         "sql_exists": _q_sql_exists,
         "large_volume_orders": _q_large_volume_orders,
@@ -1307,6 +1314,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT cluster, COUNT(*) AS cluster_size
                   FROM comp GROUP BY cluster) s2
               ON c.cluster = s2.cluster
+        """,
+        "map_ops": f"""
+            WITH lines AS (
+                SELECT l_orderkey, l_linenumber,
+                       {dsum('l_quantity')} AS line_qty
+                FROM lineitem GROUP BY l_orderkey, l_linenumber
+            )
+            SELECT l_orderkey,
+                   CAST(COUNT(*) AS INTEGER) AS n_lines,
+                   MAX(CASE WHEN l_linenumber = 1 THEN line_qty END)
+                     AS qty_line1,
+                   {dsum('line_qty')} AS qty_total
+            FROM lines GROUP BY l_orderkey
         """,
         "trailing_revenue": """
             WITH daily AS (
