@@ -206,15 +206,7 @@ def build_ivf_cells(
     cents = cents.withColumn(
         "cell", F.row_number().over(Window.orderBy("seed_id")).cast("int") - 1
     )
-    scored = emb_n.crossJoin(F.broadcast(cents)).withColumn(
-        "c_sim", _dot(F.col(vec_col), F.col("c_vec")) / (F.col("norm") * F.col("c_norm"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), "cell")
-    assign = (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select(id_col, vec_col, "norm", "cell")
-    )
+    assign = _assign_cells(emb_n, cents, vec_col, id_col).drop("c_sim")
     return cents, assign
 
 
