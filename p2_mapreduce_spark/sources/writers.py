@@ -32,3 +32,39 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_mb: int = 128,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ``ceil(bytes / target_file_mb)`` files — the standard maintenance pass
+    after streaming/micro-batch ingest, where thousands of KB-sized files
+    destroy scan throughput (per-file open cost + tiny row groups defeat
+    both parallelism and compression).
+
+    File count is derived from the dataset's ACTUAL on-disk bytes (Hadoop
+    ``getContentSummary``), not row counts.  ``sort_by`` uses
+    ``repartitionByRange`` + in-file sort so min/max row-group stats
+    become selective (the poor man's Z-order for one key); without it a
+    plain ``repartition`` round-robins for even file sizes.  Returns the
+    output file count."""
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    jpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[attr-defined]
+    n_bytes = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, -(-int(n_bytes) // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    if sort_by:
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c) for c in sort_by]
+        df = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(dst)
+    return n_files

@@ -1,0 +1,88 @@
+"""Compaction + idempotent streaming-sink tests (sources/writers.py,
+streaming/sinks.py)."""
+
+import glob
+
+from pyspark.sql import functions as F
+
+from p2_mapreduce_spark.session import load_table
+from p2_mapreduce_spark.sources.writers import compact_parquet
+from p2_mapreduce_spark.streaming.sinks import windowed_upsert_sink
+
+
+def test_compaction_collapses_small_files(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem")
+    src = str(tmp_path / "frag")
+    li.repartition(40).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(f"{src}/part-*")) == 40
+
+    dst = str(tmp_path / "compact")
+    n = compact_parquet(spark, src, dst, target_file_mb=128)
+    assert n == 1
+    assert len(glob.glob(f"{dst}/part-*")) == 1
+    assert spark.read.parquet(dst).count() == li.count()
+
+
+def test_compaction_splits_to_target_and_sorts(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem")
+    big = li
+    for _ in range(4):
+        big = big.union(big)  # 16x rows → a few MB on disk
+    src = str(tmp_path / "big")
+    big.repartition(30).write.mode("overwrite").parquet(src)
+
+    dst = str(tmp_path / "sorted")
+    n = compact_parquet(spark, src, dst, target_file_mb=1, sort_by=["l_orderkey"])
+    assert n >= 2
+    assert len(glob.glob(f"{dst}/part-*")) == n
+    out = spark.read.parquet(dst)
+    assert out.count() == big.count()
+    # range partitioning by the sort key → per-file key ranges are disjoint
+    per_file = (
+        out.select("l_orderkey", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next, f"overlapping file key ranges: {spans}"
+
+
+def test_windowed_upsert_sink_rewrites_only_touched_buckets(spark, sf_dir, tmp_path):
+    """Two micro-batches of hourly counts; the final table must equal the
+    batch aggregate, arriving through per-bucket dynamic overwrites."""
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_src")
+    events.repartition(2).write.mode("overwrite").parquet(src)
+
+    def agg(df):
+        return (
+            df.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.date_format(F.col("w.start"), "yyyyMMddHH").alias("bucket"),
+                "n_events",
+            )
+        )
+
+    out, ckpt = str(tmp_path / "mat"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = windowed_upsert_sink(
+        agg(stream.withWatermark("ts", "0 seconds")), out, ckpt, "bucket"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # hive partition-column type inference reads the bucket back as int
+    got = {
+        str(r["bucket"]): r["n_events"] for r in spark.read.parquet(out).collect()
+    }
+    expected = {r["bucket"]: r["n_events"] for r in agg(events).collect()}
+    assert got == expected
