@@ -290,6 +290,18 @@ def _q_dup_clusters(spark, sf_dir):
     return dup_clusters(pairs.select("doc_a", "doc_b"))
 
 
+def _q_cheapest_supplier(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import cheapest_supplier_per_nation
+
+    return cheapest_supplier_per_nation(load_table(spark, sf_dir, "supplier"))
+
+
+def _q_revenue_share(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import revenue_share
+
+    return revenue_share(load_table(spark, sf_dir, "orders"))
+
+
 def _q_map_ops(spark, sf_dir):
     from p2_mapreduce_spark.operators.json_ops import map_ops
 
@@ -669,6 +681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_pricing": _q_unpivot_pricing,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "dup_clusters": _q_dup_clusters,
+        "cheapest_supplier": _q_cheapest_supplier,
+        "revenue_share": _q_revenue_share,
         "map_ops": _q_map_ops,
         "trailing_revenue": _q_trailing_revenue,
         "sql_exists": _q_sql_exists,
@@ -1314,6 +1328,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT cluster, COUNT(*) AS cluster_size
                   FROM comp GROUP BY cluster) s2
               ON c.cluster = s2.cluster
+        """,
+        "cheapest_supplier": """
+            SELECT s_nationkey, s_suppkey, s_name, s_acctbal
+            FROM (
+                SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
+                       MIN(s_acctbal) OVER (PARTITION BY s_nationkey) AS mb
+                FROM supplier
+            ) t WHERE s_acctbal = mb
+        """,
+        "revenue_share": """
+            WITH per AS (
+                SELECT o_orderpriority,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+                       COUNT(*) AS n_orders
+                FROM orders GROUP BY o_orderpriority
+            )
+            SELECT o_orderpriority,
+                   CAST(rev_dec AS DOUBLE) AS revenue,
+                   n_orders,
+                   CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER () AS DOUBLE)
+                     AS revenue_share
+            FROM per
         """,
         "map_ops": f"""
             WITH lines AS (

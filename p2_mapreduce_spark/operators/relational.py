@@ -546,6 +546,45 @@ def large_volume_orders(
     )
 
 
+def cheapest_supplier_per_nation(supplier: DataFrame) -> DataFrame:
+    """Group-extreme filter (TPC-H Q2's inner shape): the supplier(s) with
+    the minimum account balance in each nation, ties included.  One window
+    over the group key — no self-join against a per-group aggregate (the
+    naive decorrelation), which would scan and shuffle the table twice.
+    min/rank comparisons are exact (no arithmetic), so ties are
+    well-defined cross-engine."""
+    w = Window.partitionBy("s_nationkey")
+    return (
+        supplier.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select("s_nationkey", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+def revenue_share(orders: DataFrame) -> DataFrame:
+    """Percent-of-total (ratio_to_report): each priority class's share of
+    total revenue.  Aggregate FIRST (5 rows), then a whole-partition
+    window for the total — the window runs over #groups rows, so the
+    single partition is bounded by the group cardinality, not the data.
+    Shares are exact-decimal sums with one final IEEE division each."""
+    per = orders.groupBy("o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    # the grand total stays DECIMAL through the window (a double window
+    # sum would depend on the groups' partition order), then one division
+    w = Window.partitionBy()
+    return per.select(
+        "o_orderpriority",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        "n_orders",
+        (
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(w).cast("double")
+        ).alias("revenue_share"),
+    )
+
+
 def global_topk(orders: DataFrame, k: int = 100) -> DataFrame:
     """Global top-k (ORDER BY ... LIMIT k): the k most expensive orders,
     tie-broken by the unique key for a total order.  Spark plans this as

@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis) for the engine's cross-cutting
+invariants — the properties every oracle comparison silently relies on:
+
+- tokenizer parity: Spark's Java-regex tokenization equals DuckDB's
+  RE2 tokenization for arbitrary unicode text (the shared `\\p{L}\\p{N}`
+  class semantics);
+- decimal protocol: dsum is exactly the mathematical sum for 2-decimal
+  inputs under ANY partitioning;
+- connected components: the iterative label propagation equals a
+  reference union-find on arbitrary small graphs.
+
+Example counts are small (each example runs Spark jobs); hypothesis still
+explores the weird corners (empty strings, astral-plane runes, negative
+zero, self-loops) far better than hand-picked fixtures.
+"""
+
+import decimal
+
+import duckdb
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from p2_mapreduce_spark.functions.numeric import dsum
+from p2_mapreduce_spark.functions.text import tokens_array
+from p2_mapreduce_spark.operators.graph import connected_components
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",)  # no lone surrogates (invalid UTF-8)
+            ),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_tokenizer_matches_duckdb_on_arbitrary_text(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    got = {
+        r["i"]: r["toks"]
+        for r in df.select("i", tokens_array(F.col("text")).alias("toks")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") v(i, text)",
+        texts,
+    )
+    want = {
+        i: [t for t in toks if t != ""]
+        for i, toks in con.execute(
+            r"SELECT i, regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+') FROM t"
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.decimals(
+            min_value=-10**6, max_value=10**6, places=2, allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(min_value=1, max_value=13),
+)
+def test_dsum_is_exact_under_any_partitioning(spark, values, n_parts):
+    df = spark.createDataFrame(
+        [(float(v),) for v in values], "x double"
+    ).repartition(n_parts)
+    got = df.agg(dsum("x").alias("s")).first()["s"]
+    want = float(sum(values, decimal.Decimal(0)))
+    assert got == want  # exact, not approx — that's the protocol
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    # reference union-find
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {v: find(v) for v in parent}
+    # canonical label = min of component
+    comp_min: dict[int, int] = {}
+    for v, r in want.items():
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {v: comp_min[find(v)] for v in parent}
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r["v"]: r["component"] for r in connected_components(df).collect()}
+    assert got == want
