@@ -72,3 +72,24 @@ class DatasetCatalog:
 
     def exists(self, key: str) -> bool:
         return bool(self._fs.exists(self._jpath(self._path(key))))
+
+    # Raw byte plane — the reference stores plugin binaries in the same
+    # namespace as data (manager.go:1815-1864); these are the
+    # store/retrieve halves for non-dataset payloads (plugin sources,
+    # manifests), still through the Hadoop FS so any root URI works.
+    def store_blob(self, key: str, data: bytes, overwrite: bool = True) -> None:
+        out = self._fs.create(self._jpath(self._path(key)), overwrite)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+
+    def load_blob(self, key: str) -> bytes:
+        if not self.exists(key):
+            raise KeyError(f"blob {key!r} not found under {self.root}")
+        inp = self._fs.open(self._jpath(self._path(key)))
+        try:
+            jvm = self.spark._jvm  # type: ignore[attr-defined]
+            return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(inp))
+        finally:
+            inp.close()

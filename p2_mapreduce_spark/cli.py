@@ -13,6 +13,13 @@ reference command              this CLI
   <map_id> <reduce_id>         (M1-M10 + M14); ``--reducers`` and
   [--reducers N]               ``--aggregate`` mirror the reference flags
   [--no-aggregate]``           (client main.go:60-63, 122-123)
+``upload_plugin <file> <id>``  ship user map/reduce code (M14: the ``.so``
+                               upload, client main.go:428-461) — a Python
+                               file defining ``<id>_map``/``<id>_reduce``,
+                               stored as a blob and lazily loaded at job
+                               time (the node's download+symbol-lookup)
+``node``                       cluster status (executor memory ledger —
+                               the reference's storage-node listing)
 ``funcs``                      list registered plugin pairs (M14 registry)
 =============================  ============================================
 
@@ -79,6 +86,56 @@ def cmd_delete(spark, root: str, key: str) -> str:
     return f"deleted {key}" if removed else f"{key} not found"
 
 
+def _plugin_blob_key(plugin_id: str) -> str:
+    return f"_plugins/{plugin_id}.py"
+
+
+def cmd_upload_plugin(spark, root: str, local_path: str, plugin_id: str) -> str:
+    """Plugin upload (reference M14: client ships the compiled ``.so`` to
+    the controller's registry, cmd/client/main.go:428-461).  Here the
+    plugin is a Python source file defining ``<plugin_id>_map(filename,
+    contents)`` and/or ``<plugin_id>_reduce(key, values)``; it is
+    validated by executing it once locally (the symbol lookup the storage
+    node does at plugin.Open time, storage-node/main.go:698-730), then
+    stored as a blob in the same namespace as data — exactly the
+    reference's layout."""
+    with open(local_path, "rb") as f:
+        src = f.read()
+    ns = _exec_plugin(src, local_path)
+    if f"{plugin_id}_map" not in ns and f"{plugin_id}_reduce" not in ns:
+        raise SystemExit(
+            f"plugin {local_path} defines neither {plugin_id}_map nor "
+            f"{plugin_id}_reduce (symbol lookup failed, cf. storage-node/main.go:698-730)"
+        )
+    _catalog(spark, root).store_blob(_plugin_blob_key(plugin_id), src)
+    return f"plugin {plugin_id} registered"
+
+
+def _exec_plugin(src: bytes, origin: str) -> dict:
+    ns: dict = {}
+    code = compile(src, origin, "exec")
+    exec(code, ns)  # user's own code on the user's own machine — the
+    # same trust model as the reference dlopen'ing a user .so
+    return ns
+
+
+def _resolve_plugin_pair(spark, root: str, map_id: str, reduce_id: str, reg) -> None:
+    """Lazily pull uploaded plugins into the registry (the storage node's
+    download+cache+lookup path, storage-node/main.go:603-730)."""
+    cat = _catalog(spark, root)
+    for pid, kind in ((map_id, "map"), (reduce_id, "reduce")):
+        have = pid in reg.list()[kind]
+        if have:
+            continue
+        key = _plugin_blob_key(pid)
+        if not cat.exists(key):
+            continue  # registry will raise its own KeyError with context
+        ns = _exec_plugin(cat.load_blob(key), key)
+        fn = ns.get(f"{pid}_{kind}")
+        if fn is not None:
+            (reg.register_map if kind == "map" else reg.register_reduce)(pid, fn)
+
+
 def cmd_mapreduce(
     spark,
     root: str,
@@ -91,8 +148,10 @@ def cmd_mapreduce(
 ) -> str:
     """The query path (reference §3.1): validate input exists and output is
     unused (manager.go:742-762), resolve the plugin pair from the registry
-    (M14), run the dataflow, store the result under the output key."""
+    (M14) — including lazily-fetched uploaded plugins — run the dataflow,
+    store the result under the output key."""
     from p2_mapreduce_spark.mapreduce import run_mapreduce_by_name
+    from p2_mapreduce_spark.registry import default_registry
 
     cat = _catalog(spark, root)
     if cat.exists(out_key):
@@ -104,11 +163,30 @@ def cmd_mapreduce(
                 f"dataset {in_key!r} is not a MapReduce input "
                 f"(needs filename/contents line records; has {df.columns})"
             )
+    reg = default_registry()
+    _resolve_plugin_pair(spark, root, map_id, reduce_id, reg)
     out = run_mapreduce_by_name(
-        df, map_id, reduce_id, num_partitions=reducers, aggregate=aggregate
+        df, map_id, reduce_id, num_partitions=reducers, aggregate=aggregate,
+        registry=reg,
     )
     cat.store(out, out_key)
     return f"mapreduce {in_key} -> {out_key} done"
+
+
+def cmd_node(spark, root: str) -> str:
+    """Cluster status (reference `node` command: storage-node listing with
+    free space, manager.go heartbeat ledger).  The Spark analogs: executor
+    memory ledger + parallelism."""
+    sc = spark.sparkContext
+    mem = sc._jsc.sc().getExecutorMemoryStatus()  # type: ignore[attr-defined]
+    it = mem.iterator()
+    lines = []
+    while it.hasNext():
+        e = it.next()
+        total, free = e._2()._1(), e._2()._2()
+        lines.append(f"{e._1()}  total={total} free={free}")
+    lines.append(f"defaultParallelism={sc.defaultParallelism}")
+    return "\n".join(lines)
 
 
 def cmd_funcs(spark, root: str) -> str:
@@ -139,6 +217,10 @@ def _build_parser() -> argparse.ArgumentParser:
     mr.add_argument("reduce_id")
     mr.add_argument("--reducers", type=int, default=4)
     mr.add_argument("--no-aggregate", dest="aggregate", action="store_false")
+    up_pl = sub.add_parser("upload_plugin")
+    up_pl.add_argument("local_path")
+    up_pl.add_argument("plugin_id")
+    sub.add_parser("node")
     sub.add_parser("funcs")
     return p
 
@@ -163,6 +245,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> st
             spark, root, args.in_key, args.out_key, args.map_id, args.reduce_id,
             reducers=args.reducers, aggregate=args.aggregate,
         )
+    elif args.cmd == "upload_plugin":
+        out = cmd_upload_plugin(spark, root, args.local_path, args.plugin_id)
+    elif args.cmd == "node":
+        out = cmd_node(spark, root)
     else:
         out = cmd_funcs(spark, root)
     print(out)

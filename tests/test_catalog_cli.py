@@ -98,3 +98,50 @@ def test_cli_upload_refuses_binary(spark, tmp_path):
 def test_cli_funcs_lists_registry(spark, tmp_path, capsys):
     out = cli.main(["--root", str(tmp_path / "dfs"), "funcs"], spark=spark)
     assert "wordcount" in out and "sum" in out
+
+
+def test_blob_roundtrip(spark, tmp_path):
+    cat = DatasetCatalog(spark, str(tmp_path / "dfs"))
+    payload = b"\x00binary bytes \xf0\x9f\x9a\x80"
+    cat.store_blob("_plugins/x.py", payload)
+    assert cat.load_blob("_plugins/x.py") == payload
+    with pytest.raises(KeyError):
+        cat.load_blob("_plugins/missing.py")
+
+
+def test_cli_uploaded_plugin_runs_end_to_end(spark, tmp_path):
+    """The reference M14 flow: upload_plugin → mapreduce <ids> resolves
+    the stored source, symbol-looks-up <id>_map/<id>_reduce, and runs."""
+    root = str(tmp_path / "dfs")
+    plugin = tmp_path / "lineplug.py"
+    plugin.write_text(
+        "def linelen_map(filename, contents):\n"
+        "    yield str(len(contents or '')), '1'\n"
+        "def linelen_reduce(key, values):\n"
+        "    return str(len(values))\n"
+    )
+    src = tmp_path / "in.txt"
+    src.write_text("abc\nde\nabc\n")
+    cli.main(["--root", root, "upload", str(src), "in"], spark=spark)
+    cli.main(["--root", root, "upload_plugin", str(plugin), "linelen"], spark=spark)
+    cli.main(
+        ["--root", root, "mapreduce", "in", "out", "linelen", "linelen"],
+        spark=spark,
+    )
+    got = {r["key"]: r["value"] for r in DatasetCatalog(spark, root).load("out").collect()}
+    assert got == {"3": "2", "2": "1"}  # two 3-char lines, one 2-char line
+
+
+def test_cli_upload_plugin_rejects_missing_symbols(spark, tmp_path):
+    bad = tmp_path / "bad.py"
+    bad.write_text("def unrelated():\n    pass\n")
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["--root", str(tmp_path / "dfs"), "upload_plugin", str(bad), "nope"],
+            spark=spark,
+        )
+
+
+def test_cli_node_reports_executors(spark, tmp_path):
+    out = cli.main(["--root", str(tmp_path / "dfs"), "node"], spark=spark)
+    assert "defaultParallelism=" in out and "free=" in out
