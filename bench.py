@@ -44,6 +44,8 @@ HEADLINE = (
     "session_window",
     "sliding_window",
     "groupby_collect",
+    "map_ops",
+    "large_volume_orders",
     "sorted_output",
     "rollup_nation",
     "json_props",
@@ -55,6 +57,7 @@ HEADLINE = (
     "dedup_simhash",
     "dup_clusters",
     "text_stats",
+    "bpe_pretoken_stats",
     "quality_score",
     "fingerprint_docs",
     "knn_embeddings",
