@@ -290,6 +290,12 @@ def _q_dup_clusters(spark, sf_dir):
     return dup_clusters(pairs.select("doc_a", "doc_b"))
 
 
+def _q_multiset_ops(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import multiset_ops
+
+    return multiset_ops(load_table(spark, sf_dir, "orders"))
+
+
 def _q_cheapest_supplier(spark, sf_dir):
     from p2_mapreduce_spark.operators.relational import cheapest_supplier_per_nation
 
@@ -681,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_pricing": _q_unpivot_pricing,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "dup_clusters": _q_dup_clusters,
+        "multiset_ops": _q_multiset_ops,
         "cheapest_supplier": _q_cheapest_supplier,
         "revenue_share": _q_revenue_share,
         "map_ops": _q_map_ops,
@@ -1328,6 +1335,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT cluster, COUNT(*) AS cluster_size
                   FROM comp GROUP BY cluster) s2
               ON c.cluster = s2.cluster
+        """,
+        "multiset_ops": """
+            WITH o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+                 f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+            SELECT o_custkey, COUNT(*) AS n, 'except_all' AS op
+            FROM (SELECT * FROM o EXCEPT ALL SELECT * FROM f) GROUP BY o_custkey
+            UNION ALL
+            SELECT o_custkey, COUNT(*) AS n, 'intersect_all' AS op
+            FROM (SELECT * FROM o INTERSECT ALL SELECT * FROM f) GROUP BY o_custkey
         """,
         "cheapest_supplier": """
             SELECT s_nationkey, s_suppkey, s_name, s_acctbal

@@ -175,6 +175,24 @@ def except_keys(orders: DataFrame) -> DataFrame:
     return open_keys.subtract(done_keys)
 
 
+def multiset_ops(orders: DataFrame) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — the multiplicity-preserving set ops
+    (a key appearing 3× open and 1× finished survives EXCEPT ALL twice,
+    INTERSECT ALL once).  Both plan as one count-per-side aggregate +
+    multiplicity arithmetic — one shuffle each, no row explosion — and
+    both outputs are aggregated here to (key, multiplicity) so the result
+    is hashable regardless of row order."""
+    open_keys = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_keys = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    exc = open_keys.exceptAll(done_keys).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select("o_custkey", "n", F.lit("except_all").alias("op"))
+    its = open_keys.intersectAll(done_keys).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select("o_custkey", "n", F.lit("intersect_all").alias("op"))
+    return exc.unionByName(its)
+
+
 def scalar_fns(part: DataFrame) -> DataFrame:
     """Scalar string/math function surface in one projection.  Everything
     chosen here is IEEE-exact cross-engine (sqrt yes, ln/exp no — libm
