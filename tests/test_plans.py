@@ -160,7 +160,12 @@ def test_local_supplier_volume_plan(spark, sf_dir):
 
 def test_new_aggregates_stay_jvm_side(spark, sf_dir):
     for qid in ["rank_metrics", "cumulative_revenue", "price_histogram",
-                "unpivot_pricing", "edit_distance_pairs"]:
+                "unpivot_pricing", "edit_distance_pairs", "trailing_revenue",
+                "cheapest_supplier", "revenue_share", "global_topk",
+                "multiset_ops", "map_ops", "large_volume_orders",
+                "bpe_pretoken_stats", "stratified_sample", "grouping_sets",
+                "minmax_by", "conditional_agg", "corr_stats", "vector_norms",
+                "embedding_quantize"]:
         r = _report(spark, sf_dir, qid)
         assert not r["has_python_worker"], f"{qid} reached Python"
 
