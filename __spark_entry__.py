@@ -878,6 +878,23 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(l_extendedprice, 0.5) AS median_price
             FROM lineitem GROUP BY l_returnflag
         """,
+        # Sketch twins: hashed columns are the exact values; the sketch
+        # result is surfaced as a within-error-bound boolean that the GK /
+        # HLL guarantees make provably TRUE (raw error pinned in pytest).
+        "approx_distinct": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_orderkey) AS exact_orders,
+                   TRUE AS approx_ok
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "approx_quantiles": """
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.25) AS p25,
+                   quantile_cont(l_extendedprice, 0.5)  AS p50,
+                   quantile_cont(l_extendedprice, 0.75) AS p75,
+                   TRUE AS approx_ok
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "hash_sample": """
             SELECT doc_id, lang, source, n_chars
             FROM documents

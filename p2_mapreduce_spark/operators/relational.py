@@ -298,13 +298,23 @@ def distinct_stats(lineitem: DataFrame) -> DataFrame:
 
 
 def approx_distinct(lineitem: DataFrame) -> DataFrame:
-    """HLL-sketch distinct estimation (rows-only check: sketch internals
-    are engine-specific; pytest asserts the estimate is within rsd of the
-    exact count).  At 100 TB this replaces countDistinct's exact shuffle
-    with fixed-size mergeable sketches."""
+    """HLL-sketch distinct estimation.  At 100 TB this replaces
+    countDistinct's exact shuffle with fixed-size mergeable sketches.
+
+    The hash-checked column is the EXACT distinct count; the sketch
+    surfaces as `approx_ok` — the HLL estimate within 3·rsd of exact,
+    deterministic for a fixed dataset (HLL is hash-based, not random) —
+    which the oracle pins as constant TRUE.  pytest bounds the raw
+    estimate."""
     return lineitem.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_orderkey", rsd=0.02)
+                - F.countDistinct("l_orderkey")
+            )
+            <= 0.06 * F.countDistinct("l_orderkey")
+        ).alias("approx_ok"),
     )
 
 
@@ -619,18 +629,32 @@ def global_topk(orders: DataFrame, k: int = 100) -> DataFrame:
 
 def approx_quantiles(lineitem: DataFrame) -> DataFrame:
     """Quantile-sketch aggregation: percentile_approx (Greenwald-Khanna)
-    per group, alongside the exact interpolated percentile for reference.
-    Sketches are mergeable fixed-size state — the 100 TB replacement for
-    exact percentiles, whose state is the whole sorted column.  Rows-only
-    in the driver check (sketch cut points are engine-specific); pytest
-    bounds the sketch error against the exact values."""
-    return lineitem.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
-        ).alias("approx_pcts"),
-        F.percentile(
-            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
-        ).alias("exact_pcts"),
+    per group, alongside the exact interpolated percentile.  Sketches are
+    mergeable fixed-size state — the 100 TB replacement for exact
+    percentiles, whose state is the whole sorted column.
+
+    Hash-checked columns are the EXACT percentiles (Spark `percentile`
+    and DuckDB `quantile_cont` are both type-R7 linear interpolation and
+    agree bit-for-bit on this data); the sketch result surfaces as
+    `approx_ok` — all three GK estimates within 1% relative of exact,
+    which the eps=1e-4 rank guarantee satisfies by orders of magnitude —
+    so the oracle can pin it as a constant TRUE.  pytest additionally
+    bounds the raw sketch error."""
+    pct = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", pct, F.lit(10000)).alias("ap"),
+        F.percentile("l_extendedprice", pct).alias("ex"),
+    )
+    ok = [
+        (F.abs(F.col("ap")[i] - F.col("ex")[i]) <= 0.01 * F.col("ex")[i])
+        for i in range(3)
+    ]
+    return agg.select(
+        "l_returnflag",
+        F.col("ex")[0].alias("p25"),
+        F.col("ex")[1].alias("p50"),
+        F.col("ex")[2].alias("p75"),
+        (ok[0] & ok[1] & ok[2]).alias("approx_ok"),
     )
 
 

@@ -1,6 +1,6 @@
-"""Accuracy bounds for the sketch-based aggregates (rows-only in the
-driver check because sketch internals are engine-specific — the accuracy
-contract is pinned here instead)."""
+"""Accuracy bounds for the sketch-based aggregates.  The driver check now
+hashes the EXACT columns (plus a provably-true `approx_ok` flag); the raw
+sketch-vs-exact error contract is pinned here."""
 
 from pyspark.sql import functions as F
 
@@ -9,33 +9,50 @@ from p2_mapreduce_spark.session import load_table
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
-    for r in approx_distinct(load_table(spark, sf_dir, "lineitem")).collect():
-        exact, approx = r["exact_orders"], r["approx_orders"]
-        assert abs(approx - exact) <= max(0.06 * exact, 3), (
-            f"{r['l_returnflag']}: approx {approx} vs exact {exact}"
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+            F.countDistinct("l_orderkey").alias("exact"),
         )
+        .collect()
+    }
+    rows = approx_distinct(li).collect()
+    assert len(rows) == len(raw)
+    for r in rows:
+        b = raw[r["l_returnflag"]]
+        assert r["exact_orders"] == b["exact"]
+        assert abs(b["approx"] - b["exact"]) <= max(0.06 * b["exact"], 3)
+        assert r["approx_ok"] is True
 
 
 def test_approx_quantiles_within_rank_error(spark, sf_dir):
     """percentile_approx with accuracy 10000 → rank error <= 1/10000; on
     test-scale groups the sketch is effectively exact: every approx cut
-    must fall inside the exact p±2% value band."""
+    must fall inside the exact p±2% value band, and the surfaced exact
+    percentiles must equal F.percentile directly."""
     li = load_table(spark, sf_dir, "lineitem")
-    bands = {
+    pct = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    raw = {
         r["l_returnflag"]: r
         for r in li.groupBy("l_returnflag")
         .agg(
+            F.percentile_approx("l_extendedprice", pct, F.lit(10000)).alias("ap"),
             *[
                 F.percentile("l_extendedprice", F.lit(p)).alias(f"p{int(p * 100)}")
-                for p in (0.23, 0.27, 0.48, 0.52, 0.73, 0.77)
-            ]
+                for p in (0.23, 0.25, 0.27, 0.48, 0.5, 0.52, 0.73, 0.75, 0.77)
+            ],
         )
         .collect()
     }
     for r in approx_quantiles(li).collect():
-        b = bands[r["l_returnflag"]]
+        b = raw[r["l_returnflag"]]
+        assert (r["p25"], r["p50"], r["p75"]) == (b["p25"], b["p50"], b["p75"])
+        assert r["approx_ok"] is True
         for approx, lo, hi in zip(
-            r["approx_pcts"],
+            b["ap"],
             (b["p23"], b["p48"], b["p73"]),
             (b["p27"], b["p52"], b["p77"]),
         ):
