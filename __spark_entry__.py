@@ -702,6 +702,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _ngram_pairs_sql(shingles: str, select_clause: str, threshold: float = 0.5) -> str:
+    """Shared exact-n-gram-Jaccard pair SQL (dedup_ngram / dedup_minhash
+    oracles).  Mirrors operators/dedup.py exactly, INCLUDING the
+    document-frequency cap on shingles (MAX_DF — a no-op at fixture scale
+    but part of the operator's semantics)."""
+    from p2_mapreduce_spark.operators.dedup import MAX_DF
+
+    return f"""
+        WITH sh0 AS ({shingles}),
+        ok AS (SELECT shingle FROM sh0 GROUP BY shingle
+               HAVING COUNT(*) <= {MAX_DF}),
+        sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN ok USING (shingle)),
+        sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        {select_clause}
+        FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) >= {threshold}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     wordcount_sql = f"""
         SELECT word, count(*) AS cnt
@@ -1093,27 +1121,23 @@ def oracle_sql() -> dict[str, str]:
         "dedup_docs": """
             SELECT MIN(doc_id) AS doc_id, md5(text) AS text_md5,
                    COUNT(*) AS n_copies
-            FROM documents GROUP BY text
+            FROM documents GROUP BY md5(text)
         """,
-        "dedup_ngram": f"""
-            WITH sh AS ({shingles}),
-            sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
-            pairs AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       CAST(COUNT(*) AS BIGINT) AS n_common
-                FROM sh a JOIN sh b
-                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
-            SELECT doc_a, doc_b, n_common,
+        "dedup_ngram": _ngram_pairs_sql(
+            shingles,
+            """SELECT doc_a, doc_b, n_common,
                    CAST(sa.ns AS BIGINT) AS size_a,
                    CAST(sb.ns AS BIGINT) AS size_b,
-                   CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) AS jaccard
-            FROM pairs
-            JOIN sizes sa ON doc_a = sa.doc_id
-            JOIN sizes sb ON doc_b = sb.doc_id
-            WHERE CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) >= 0.5
-        """,
+                   CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) AS jaccard""",
+        ),
+        # minhash-LSH emits exact-Jaccard-verified pairs; on the driver
+        # fixtures its recall is total (pinned in tests/test_dedup.py), so
+        # the deterministic pipeline matches the exact-Jaccard SQL.
+        "dedup_minhash": _ngram_pairs_sql(
+            shingles,
+            """SELECT doc_a, doc_b,
+                   CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) AS jaccard""",
+        ),
         "text_stats": f"""
             SELECT lang,
                    COUNT(*) AS n_docs,

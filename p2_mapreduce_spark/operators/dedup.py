@@ -34,14 +34,27 @@ from p2_mapreduce_spark.session import spread as _spread
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate collapse: one row per distinct text, keeping the
     smallest id (deterministic, unlike ``dropDuplicates`` which keeps an
-    arbitrary partition-dependent row).  Grouping on ``md5(text)`` rather
-    than the full text would halve shuffle width at 100 TB; we group on
-    the text itself so the oracle stays trivially expressible, and note
-    the md5 variant is a one-line change."""
-    return docs.groupBy(text_col).agg(
+    arbitrary partition-dependent row).  Groups on ``md5(text)``, NOT the
+    text itself: the shuffle key is 32 bytes regardless of document size,
+    so at 100 TB the exchange carries hashes, not the corpus.  (md5 over
+    xxhash64 because the oracle engine computes the identical digest; a
+    2^-128 collision merging two texts is not a realistic failure mode.)"""
+    return docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("text_md5")
+    ).groupBy("text_md5").agg(
         F.min(id_col).alias(id_col),
         F.count(F.lit(1)).alias("n_copies"),
-    ).select(id_col, F.md5(F.col(text_col)).alias("text_md5"), "n_copies")
+    ).select(id_col, "text_md5", "n_copies")
+
+
+#: Default document-frequency cap on self-join keys (shingles / LSH band
+#: buckets).  A shingle shared by d documents generates O(d²) candidate
+#: pairs — one boilerplate header repeated in 1e6 docs would emit 1e12
+#: pairs.  Keys above the cap are dropped BEFORE the self-join: they carry
+#: no near-dup signal (ubiquitous boilerplate) and are the only quadratic
+#: term.  The default is a no-op at test scale and mirrored verbatim in
+#: the DuckDB oracles, so correctness checks stay exact.
+MAX_DF = 100_000
 
 
 def shingle_pairs(
@@ -49,6 +62,7 @@ def shingle_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int = MAX_DF,
 ) -> DataFrame:
     """Inverted-index pair generation: (doc_a, doc_b, n_common, size_a,
     size_b) for every doc pair sharing ≥1 shingle, doc_a < doc_b.
@@ -59,8 +73,22 @@ def shingle_pairs(
     ~20-byte string to 8 bytes, and equality comparisons in the join are
     long==long.  The table feeds the sizes aggregate and BOTH sides of
     the self-join, so it is persisted rather than recomputed three
-    times (at 100 TB: checkpoint instead; plan shape unchanged)."""
-    sh = hashed_shingles(docs, n, text_col, id_col).persist()
+    times (at 100 TB: checkpoint instead; plan shape unchanged).
+
+    ``max_df`` drops shingles appearing in more than that many documents
+    before the self-join (see :data:`MAX_DF`): Jaccard is then computed
+    over the capped shingle sets — "similarity over non-boilerplate
+    shingles" — which both sizes and intersections use consistently."""
+    sh = hashed_shingles(docs, n, text_col, id_col)
+    if max_df is not None:
+        df_ok = (
+            sh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("h")
+        )
+        sh = sh.join(df_ok, "h")
+    sh = sh.persist()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -80,11 +108,12 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int = MAX_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs at ``jaccard >= threshold``.
     Jaccard = |A∩B| / |A∪B| computed with one integer-exact division per
     pair (deterministic IEEE — oracle-comparable)."""
-    p = shingle_pairs(docs, n, text_col, id_col)
+    p = shingle_pairs(docs, n, text_col, id_col, max_df)
     jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
     return (
         p.withColumn("jaccard", jac)
@@ -169,15 +198,23 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     num_hashes: int = NUM_HASHES,
     num_bands: int = NUM_BANDS,
+    max_bucket: int = MAX_DF,
 ) -> DataFrame:
     """Near-dup pairs via banded LSH, verified with exact Jaccard.
 
     Plan shape: signatures → explode bands → groupBy (band, band_hash)
     bucket join → candidate pairs → exact verify (shingle join restricted
     to candidates).  Probabilistic RECALL (may miss borderline pairs),
-    exact PRECISION (candidates are verified) — hence rows-only in the
-    driver check, with subset/recall properties pytest-asserted against
-    :func:`ngram_jaccard_pairs`."""
+    exact PRECISION (candidates are verified).  ``max_bucket`` drops band
+    buckets holding more than that many docs before the self-join — a
+    bucket of d docs is d² candidates, and a mega-bucket is the signature
+    of boilerplate-dominated content, not near-dups (:data:`MAX_DF`).
+
+    On the driver fixtures LSH recall is empirically total — the output
+    equals :func:`ngram_jaccard_pairs` at the same threshold (pinned in
+    tests/test_dedup.py at sf0.001/0.01) — and the whole pipeline is a
+    pure function of the data, so the exact-Jaccard SQL serves as the
+    oracle; the recall/subset properties are additionally pytest-held."""
     rows_per_band = num_hashes // num_bands
     # The hashed-shingle table feeds three consumers (signature agg, and
     # both sides of the candidate-verification join), so materialize it
@@ -200,6 +237,14 @@ def minhash_lsh_pairs(
             ])
         ).alias("band", "band_hash"),
     )
+    if max_bucket is not None:
+        bucket_ok = (
+            bands.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") <= max_bucket)
+            .select("band", "band_hash")
+        )
+        bands = bands.join(bucket_ok, ["band", "band_hash"])
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
@@ -278,10 +323,12 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int = MAX_DF,
 ) -> DataFrame:
     """Near-dup candidates at Hamming distance ≤ ``max_hamming`` via
     4×16-bit band blocking (a pair within distance 3 matches exactly on
-    ≥1 band), then exact popcount verification."""
+    ≥1 band), then exact popcount verification.  ``max_bucket`` drops
+    oversized band buckets before the self-join (:data:`MAX_DF`)."""
     fps = simhash_fingerprints(docs, text_col, id_col)
     bands = fps.select(
         "doc",
@@ -293,6 +340,14 @@ def simhash_near_pairs(
             ])
         ).alias("band", "band_val"),
     )
+    if max_bucket is not None:
+        bucket_ok = (
+            bands.groupBy("band", "band_val")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") <= max_bucket)
+            .select("band", "band_val")
+        )
+        bands = bands.join(bucket_ok, ["band", "band_val"])
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -9,6 +9,7 @@ from p2_mapreduce_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    shingle_pairs,
     simhash_fingerprints,
     simhash_near_pairs,
 )
@@ -81,3 +82,50 @@ def test_identical_docs_are_perfect_pairs(spark):
     assert [(r["doc_a"], r["doc_b"]) for r in approx] == [(1, 2)]
     sim = simhash_near_pairs(df, max_hamming=0).collect()
     assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in sim] == [(1, 2, 0)]
+
+
+def test_minhash_recall_is_total_on_fixture(spark, docs):
+    """The dedup_minhash ORACLE is the exact-Jaccard SQL — valid only
+    while LSH recall on the fixture is total.  Pin exact set equality
+    (ids AND jaccard values) so any drift fails here before the driver."""
+    exact = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert approx == exact
+
+
+def test_hot_shingle_df_cap_keeps_candidates_linear(spark):
+    """Pathological corpus: every doc shares one boilerplate shingle.
+    Without a df cap the self-join emits all n(n-1)/2 pairs; with the cap
+    the boilerplate key is dropped and only the planted dup pair
+    survives.  This is the 100 TB quadratic-blowup guard."""
+    n = 60
+    rows = [
+        (i, f"common header line followed by unique{i} token{i} filler{i} words{i}")
+        for i in range(n)
+    ]
+    rows.append((n, rows[0][1]))  # planted exact dup of doc 0
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = shingle_pairs(df, max_df=None)
+    assert uncapped.count() == (n + 1) * n / 2  # quadratic: every pair collides
+
+    capped = shingle_pairs(df, max_df=10)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert pairs == {(0, n)}  # linear: only the true dup pair remains
+
+    # jaccard semantics stay consistent: sizes/intersections both use the
+    # capped shingle sets, so the planted dup still scores 1.0
+    j = ngram_jaccard_pairs(df, threshold=0.99, max_df=10).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in j] == [(0, n, 1.0)]
+
+    # minhash band-bucket cap: the boilerplate shingle alone doesn't place
+    # every doc in one bucket (signatures use all shingles), but the cap
+    # path must still return exactly the planted pair
+    mh = minhash_lsh_pairs(df, threshold=0.99, max_bucket=10).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in mh] == [(0, n)]
