@@ -519,9 +519,16 @@ def _q_dedup_minhash(spark, sf_dir):
 
 
 def _q_dedup_simhash(spark, sf_dir):
+    """Uses the md5 token-hash family (60-bit) rather than the xxhash64
+    default: identical semantics and plan shape, but the oracle engine
+    can compute the same fingerprints bit-for-bit, making the whole
+    SimHash pipeline value-hash-checkable (the xx family is covered by
+    tests/test_dedup.py)."""
     from p2_mapreduce_spark.operators.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3, hash_fn="md5"
+    )
 
 
 def _q_text_stats(spark, sf_dir):
@@ -700,6 +707,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": _q_embedding_quantize,
         "embed_near_pairs": _q_embed_near_pairs,
     }
+
+
+def _simhash_sql(toks: str, max_hamming: int = 3) -> str:
+    """DuckDB twin of operators/dedup.py simhash (md5 hash family, 60
+    bits, 4×15-bit bands): same per-bit majority votes, band blocking,
+    bucket cap, and popcount verification — generated expression lists
+    mirror the Spark aggregates one-for-one."""
+    from p2_mapreduce_spark.operators.dedup import MAX_DF, SIMHASH_BITS
+
+    bits = SIMHASH_BITS["md5"]
+    band_bits = bits // 4
+    mask = (1 << band_bits) - 1
+    votes = ",\n                   ".join(
+        f"SUM((h >> {i}) & 1) AS v{i}" for i in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN 2*v{i} > n_tok THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
+    return f"""
+        WITH tokh AS (
+            SELECT doc_id, CAST('0x' || substr(md5(token), 18, 15) AS BIGINT) AS h
+            FROM (SELECT doc_id, unnest(t) AS token FROM ({toks}))
+        ),
+        votes AS (
+            SELECT doc_id, COUNT(*) AS n_tok,
+                   {votes}
+            FROM tokh GROUP BY doc_id
+        ),
+        fps AS (SELECT doc_id AS doc, {fp} AS simhash FROM votes),
+        bands AS (
+            SELECT doc, simhash, band,
+                   (simhash >> (band * {band_bits})) & {mask} AS band_val
+            FROM fps, (SELECT unnest([0, 1, 2, 3]) AS band)
+        ),
+        ok AS (SELECT band, band_val FROM bands GROUP BY 1, 2
+               HAVING COUNT(*) <= {MAX_DF}),
+        capped AS (SELECT bands.* FROM bands JOIN ok USING (band, band_val)),
+        cand AS (
+            SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+                            a.simhash AS sh_a, b.simhash AS sh_b
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.band_val = b.band_val AND a.doc < b.doc
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
 
 
 def _ngram_pairs_sql(shingles: str, select_clause: str, threshold: float = 0.5) -> str:
@@ -1138,6 +1194,7 @@ def oracle_sql() -> dict[str, str]:
             """SELECT doc_a, doc_b,
                    CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) AS jaccard""",
         ),
+        "dedup_simhash": _simhash_sql(toks),
         "text_stats": f"""
             SELECT lang,
                    COUNT(*) AS n_docs,

@@ -284,32 +284,57 @@ def minhash_lsh_pairs(
 # --- SimHash ----------------------------------------------------------------
 
 
+#: Token-hash families for SimHash.  ``xx``: xxhash64, 64 bits — the fast
+#: default.  ``md5``: bits 0..59 taken from the last 15 hex digits of the
+#: token's md5 — marginally slower, but computable bit-for-bit by any SQL
+#: engine with md5 + hex casts, which makes the whole SimHash pipeline
+#: (fingerprints, bands, Hamming verify) oracle-checkable.  Both are good
+#: uniform families; the choice only changes WHICH near-dup hash space is
+#: used, not the operator's semantics or plan shape.
+SIMHASH_BITS = {"xx": 64, "md5": 60}
+
+
+def _simhash_token_hash(col: Column, hash_fn: str) -> Column:
+    if hash_fn == "xx":
+        return F.xxhash64(col)
+    if hash_fn == "md5":
+        # conv() parses the 15-hex-digit tail to a decimal string; 60 bits
+        # always fit a signed long
+        return F.conv(F.substring(F.md5(col), 18, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown simhash hash_fn {hash_fn!r}")
+
+
 def simhash_fingerprints(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xx",
 ) -> DataFrame:
-    """64-bit SimHash per doc: sign of the per-bit sum of ±1 votes from
-    each token's xxhash64.  64 conditional-sum aggregates in one groupBy —
-    JVM-side; for very wide batches a pandas_udf over token arrays is the
-    alternative, but the agg form keeps partial aggregation."""
+    """SimHash per doc: sign of the per-bit sum of ±1 votes from each
+    token's hash (:data:`SIMHASH_BITS` bit widths).  One conditional-sum
+    aggregate per bit in one groupBy — JVM-side; for very wide batches a
+    pandas_udf over token arrays is the alternative, but the agg form
+    keeps partial aggregation."""
+    bits = SIMHASH_BITS[hash_fn]
     tok = (
         _spread(docs)
         .select(
             F.col(id_col).alias("doc"),
             F.explode(tokens_array(F.col(text_col))).alias("token"),
         )
-        .select("doc", F.xxhash64("token").alias("h"))
+        .select("doc", _simhash_token_hash(F.col("token"), hash_fn).alias("h"))
     )
     # ±1 vote sums rewritten as one-bit sums plus a single shared token
     # count: sign(Σ±1) ≡ (2·Σbit_i > n).  Halves the per-token expression
     # work in the partial aggregate (no *2-1 per bit) and the token is
-    # hashed once, pre-explode of the 64 bit extractions.
+    # hashed once, pre-explode of the per-bit extractions.
     votes = [
         F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"v{i}")
-        for i in range(64)
+        for i in range(bits)
     ]
     per_doc = tok.groupBy("doc").agg(*votes, F.count(F.lit(1)).alias("n_tok"))
     fp = None
-    for i in range(64):
+    for i in range(bits):
         bit = F.when(
             F.col(f"v{i}") * 2 > F.col("n_tok"),
             F.shiftleft(F.lit(1).cast("long"), i),
@@ -324,18 +349,22 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int = MAX_DF,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """Near-dup candidates at Hamming distance ≤ ``max_hamming`` via
-    4×16-bit band blocking (a pair within distance 3 matches exactly on
-    ≥1 band), then exact popcount verification.  ``max_bucket`` drops
+    4-band blocking (a pair within distance 3 matches exactly on ≥1
+    band), then exact popcount verification.  ``max_bucket`` drops
     oversized band buckets before the self-join (:data:`MAX_DF`)."""
-    fps = simhash_fingerprints(docs, text_col, id_col)
+    bits = SIMHASH_BITS[hash_fn]
+    band_bits = bits // 4
+    mask = (1 << band_bits) - 1
+    fps = simhash_fingerprints(docs, text_col, id_col, hash_fn)
     bands = fps.select(
         "doc",
         "simhash",
         F.posexplode(
             F.array(*[
-                F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
                 for b in range(4)
             ])
         ).alias("band", "band_val"),
@@ -366,7 +395,7 @@ def simhash_near_pairs(
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        cand.withColumn("hamming", hamming)
+        cand.withColumn("hamming", hamming.cast("bigint"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

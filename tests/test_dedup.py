@@ -129,3 +129,26 @@ def test_hot_shingle_df_cap_keeps_candidates_linear(spark):
     # path must still return exactly the planted pair
     mh = minhash_lsh_pairs(df, threshold=0.99, max_bucket=10).collect()
     assert [(r["doc_a"], r["doc_b"]) for r in mh] == [(0, n)]
+
+
+def test_simhash_md5_family_matches_xx_semantics(spark):
+    """The md5 (60-bit, oracle-comparable) and xx (64-bit) hash families
+    are interchangeable semantically: identical docs collide at hamming 0
+    in both, and fingerprints are partition-invariant in both."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "totally different words entirely here now yes"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for fam in ("xx", "md5"):
+        pairs = simhash_near_pairs(df, max_hamming=0, hash_fn=fam).collect()
+        assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+        fp1 = {r["doc"]: r["simhash"] for r in simhash_fingerprints(df, hash_fn=fam).collect()}
+        fp2 = {
+            r["doc"]: r["simhash"]
+            for r in simhash_fingerprints(df.repartition(5), hash_fn=fam).collect()
+        }
+        assert fp1 == fp2
+        if fam == "md5":  # 60-bit space: fingerprints are non-negative
+            assert all(v >= 0 for v in fp1.values())
