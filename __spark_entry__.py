@@ -576,9 +576,15 @@ def _q_knn_lsh(spark, sf_dir):
 
 
 def _q_knn_np(spark, sf_dir):
+    """quantize=1e6 makes the BLAS kernel hash-comparable: cosines floor
+    to a 1e-6 grid before ranking, so numpy's summation order (which
+    differs from a sequential fold by ~1e-15) cannot affect the output;
+    the raw-float path is pinned against knn_bruteforce in pytest."""
     from p2_mapreduce_spark.operators.similarity import knn_bruteforce_np
 
-    return knn_bruteforce_np(load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+    return knn_bruteforce_np(
+        load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10, quantize=1e6
+    )
 
 
 def _q_media_decode(spark, sf_dir):
@@ -707,6 +713,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": _q_embedding_quantize,
         "embed_near_pairs": _q_embed_near_pairs,
     }
+
+
+#: Random-hyperplane sign matrix used by the LSH oracles: row p, column d
+#: is sign(xxhash64(p, d) mod 2) ∈ {±1} — the exact family
+#: operators/similarity._hyperplane_sign derives on the fly.  These are
+#: ALGORITHM constants (a function of plane/dimension INDEX only, never of
+#: data), materialized here because the oracle engine lacks xxhash64;
+#: regenerate with scripts/gen_lsh_signs.py if the family ever changes.
+#: 8 planes × 64 dims covers every configured (n_planes, dim) in use.
+_LSH_SIGNS = (
+    (1, -1, -1, -1, -1, 1, 1, -1, 1, 1, -1, -1, 1, -1, -1, 1, 1, 1, 1, 1, -1, 1, 1, -1, 1, -1, 1, -1, 1, -1, 1, 1, 1, 1, 1, -1, -1, 1, 1, -1, -1, 1, -1, -1, 1, -1, 1, -1, -1, -1, 1, 1, -1, -1, 1, 1, 1, 1, -1, 1, 1, -1, -1, -1),
+    (-1, 1, -1, 1, -1, -1, 1, -1, -1, -1, 1, 1, -1, -1, 1, -1, -1, 1, 1, 1, -1, -1, -1, -1, 1, -1, 1, -1, -1, 1, -1, -1, 1, -1, -1, 1, 1, -1, -1, 1, 1, 1, 1, 1, 1, -1, -1, 1, 1, 1, 1, 1, 1, -1, 1, 1, 1, 1, 1, -1, 1, 1, -1, -1),
+    (-1, 1, 1, -1, -1, 1, 1, 1, -1, 1, 1, -1, -1, -1, -1, -1, 1, -1, -1, 1, -1, 1, -1, 1, 1, 1, 1, 1, -1, 1, 1, 1, -1, -1, -1, -1, 1, 1, -1, -1, 1, -1, 1, -1, -1, 1, -1, -1, -1, 1, 1, 1, -1, 1, -1, -1, -1, -1, 1, -1, 1, 1, -1, 1),
+    (-1, 1, -1, -1, -1, -1, 1, -1, 1, -1, 1, -1, -1, 1, 1, -1, -1, -1, -1, 1, -1, 1, -1, -1, -1, 1, -1, 1, -1, -1, 1, 1, -1, 1, 1, -1, -1, 1, 1, -1, -1, -1, -1, -1, 1, -1, 1, 1, -1, -1, -1, 1, 1, 1, -1, 1, 1, -1, -1, -1, -1, 1, 1, -1),
+    (1, 1, -1, -1, -1, 1, -1, 1, -1, -1, -1, -1, 1, -1, 1, -1, 1, -1, -1, 1, 1, 1, -1, 1, 1, -1, 1, -1, -1, 1, -1, 1, -1, 1, -1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, 1, -1, -1, -1, 1, 1, 1, -1, 1, -1, -1, -1, 1, 1, -1, -1),
+    (1, 1, 1, -1, 1, 1, 1, -1, -1, -1, -1, 1, 1, 1, 1, -1, -1, -1, -1, 1, 1, 1, -1, -1, 1, -1, -1, 1, -1, -1, 1, -1, 1, 1, 1, -1, -1, -1, -1, 1, -1, 1, 1, 1, -1, -1, 1, -1, 1, -1, 1, 1, 1, -1, -1, -1, -1, 1, -1, 1, -1, 1, 1, -1),
+    (1, -1, -1, -1, 1, 1, -1, 1, 1, -1, 1, -1, -1, -1, -1, -1, 1, 1, 1, 1, 1, 1, 1, -1, 1, -1, 1, 1, 1, -1, -1, -1, 1, 1, -1, -1, -1, -1, 1, 1, -1, -1, 1, -1, -1, -1, -1, 1, -1, 1, 1, 1, -1, -1, 1, -1, -1, -1, -1, 1, -1, 1, -1, -1),
+    (1, -1, 1, -1, 1, 1, 1, 1, -1, 1, -1, 1, -1, 1, -1, -1, -1, 1, 1, -1, 1, -1, -1, 1, -1, 1, 1, 1, -1, 1, -1, 1, 1, -1, -1, -1, -1, 1, 1, 1, 1, -1, -1, 1, 1, 1, -1, 1, 1, 1, -1, -1, -1, 1, -1, -1, -1, -1, 1, 1, 1, 1, 1, -1),
+)
+
+
+def _lsh_bucket_expr(n_planes: int, vec: str = "v") -> str:
+    """DuckDB twin of operators/similarity.add_lsh_bucket: bucket = the
+    n_planes-bit sign pattern of the hyperplane dot products, each dot a
+    sequential left-fold identical to the Spark F.aggregate fold."""
+    terms = []
+    for p in range(n_planes):
+        signs = ", ".join(f"{s}.0" for s in _LSH_SIGNS[p])
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, [{signs}]) > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
 
 
 def _simhash_sql(toks: str, max_hamming: int = 3) -> str:
@@ -1581,6 +1620,116 @@ def oracle_sql() -> dict[str, str]:
                          / (sqrt(list_dot_product(qv, qv))
                             * sqrt(list_dot_product(nv, nv))) AS cosine
                 FROM q, c WHERE n_id <> q_id
+            ),
+            ranked AS (
+                SELECT q_id, n_id, cosine,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q_id ORDER BY cosine DESC, n_id
+                       ) AS rnk
+                FROM scored
+            )
+            SELECT q_id, n_id, cosine, rnk FROM ranked WHERE rnk <= 10
+        """,
+        # BLAS-kernel twin: cosines floor to a 1e-6 grid before ranking
+        # (see _q_knn_np) so summation order is irrelevant; the ranked
+        # window mirrors the Spark (cos_q DESC, n_id) order exactly.
+        "knn_np": """
+            WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv
+                       FROM embeddings),
+            scored AS (
+                SELECT q_id, n_id,
+                       CAST(floor(list_dot_product(qv, nv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(nv, nv))) * 1000000.0)
+                         AS BIGINT) AS cos_q
+                FROM q, c WHERE n_id <> q_id
+            ),
+            ranked AS (
+                SELECT q_id, n_id, cos_q,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q_id ORDER BY cos_q DESC, n_id
+                       ) AS rnk
+                FROM scored
+            )
+            SELECT q_id, n_id, cos_q, rnk FROM ranked WHERE rnk <= 10
+        """,
+        # Hyperplane-LSH twin: buckets from the inlined sign matrix
+        # (_LSH_SIGNS — the algorithm's constants), then the same
+        # bucket-restricted re-score and rank as the Spark plan.
+        "knn_lsh": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+                         {_lsh_bucket_expr(6)} AS bucket
+                  FROM e),
+            q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket
+                  FROM b WHERE vec_id < 5),
+            scored AS (
+                SELECT q_id, c.vec_id AS n_id,
+                       list_dot_product(qv, c.v) / (qn * c.nrm) AS cosine
+                FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.q_id
+            ),
+            ranked AS (
+                SELECT q_id, n_id, cosine,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q_id ORDER BY cosine DESC, n_id
+                       ) AS rnk
+                FROM scored
+            )
+            SELECT q_id, n_id, cosine, rnk FROM ranked WHERE rnk <= 10
+        """,
+        "embed_near_pairs": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+                         {_lsh_bucket_expr(6)} AS bucket
+                  FROM e)
+            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                   list_dot_product(a.v, c.v) / (a.nrm * c.nrm) AS cosine
+            FROM b a JOIN b c
+              ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            WHERE list_dot_product(a.v, c.v) / (a.nrm * c.nrm) >= 0.45
+        """,
+        # IVF twin: md5-seeded centroid sample, argmax-cosine assignment,
+        # top-nprobe probes, candidate re-score — every stage mirrored.
+        "knn_ivf": """
+            WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                              sqrt(list_dot_product(
+                                  CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+                       FROM embeddings),
+            seeds AS (SELECT vec_id, v, nrm FROM n
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+            cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+                             v AS cv, nrm AS cn
+                      FROM seeds),
+            assign AS (
+                SELECT vec_id, v, nrm, cell FROM (
+                    SELECT n.vec_id, n.v, n.nrm, c.cell,
+                           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                               ORDER BY list_dot_product(n.v, c.cv)
+                                        / (n.nrm * c.cn) DESC, c.cell) AS r
+                    FROM n, cents c
+                ) WHERE r = 1
+            ),
+            q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn
+                  FROM n WHERE vec_id < 5),
+            probes AS (
+                SELECT q_id, qv, qn, cell FROM (
+                    SELECT q.q_id, q.qv, q.qn, c.cell,
+                           ROW_NUMBER() OVER (PARTITION BY q.q_id
+                               ORDER BY list_dot_product(q.qv, c.cv)
+                                        / (q.qn * c.cn) DESC, c.cell) AS pr
+                    FROM q, cents c
+                ) WHERE pr <= 4
+            ),
+            scored AS (
+                SELECT p.q_id, a.vec_id AS n_id,
+                       list_dot_product(p.qv, a.v) / (p.qn * a.nrm) AS cosine
+                FROM probes p JOIN assign a
+                  ON a.cell = p.cell AND a.vec_id <> p.q_id
             ),
             ranked AS (
                 SELECT q_id, n_id, cosine,

@@ -136,6 +136,7 @@ def knn_bruteforce_np(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    quantize: float | None = None,
 ) -> DataFrame:
     """Vectorized twin of :func:`knn_bruteforce`: the query block is
     collected once (tiny), broadcast inside an Arrow-batched
@@ -143,7 +144,14 @@ def knn_bruteforce_np(
     one numpy matmul — the BLAS path that wins when dim × queries is
     large enough to amortize the Python hop.  Top-k is still the JVM
     window (distributed).  Cosines differ from the HOF fold only by
-    float-summation order (~1e-15); pytest pins the match at 1e-9."""
+    float-summation order (~1e-15); pytest pins the match at 1e-9.
+
+    ``quantize`` (e.g. 1e6) replaces the raw cosine with
+    ``cos_q = floor(cosine·quantize)`` and ranks on (cos_q, n_id): the
+    BLAS summation order then cannot influence the output at all (any
+    engine's correctly-rounded cosine floors to the same grid cell), so
+    the result is hash-comparable across engines — the driver-checkable
+    form of a kernel whose raw floats are summation-order-dependent."""
     import numpy as np
     import pandas as pd
 
@@ -171,6 +179,16 @@ def knn_bruteforce_np(
     scored = embeddings.select(id_col, vec_col).mapInPandas(
         score, schema="q_id long, n_id long, cosine double"
     )
+    if quantize is not None:
+        scored = scored.withColumn(
+            "cos_q", F.floor(F.col("cosine") * F.lit(float(quantize))).cast("bigint")
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("cos_q").desc(), F.col("n_id"))
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("q_id", "n_id", "cos_q", F.col("rnk").cast("bigint").alias("rnk"))
+        )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -188,15 +206,17 @@ def build_ivf_cells(
     """IVF coarse quantizer: (centroids, assignments).
 
     Centroids are a deterministic pseudo-random sample — the ``n_cells``
-    vectors with the smallest ``xxhash64(id)`` (stable across runs and
-    partitionings; no RNG state, no Lloyd iterations — production IVF
-    would refine with k-means, which only improves cell balance, not the
-    operator's plan shape).  Assignment is a broadcast cross-score +
-    per-vector argmax: one pass over the corpus, centroids broadcast.
-    """
+    vectors with the lexicographically smallest ``md5(id)`` (stable
+    across runs and partitionings; no RNG state; md5 rather than xxhash64
+    so the oracle engine derives the identical sample — both are uniform
+    samplers.  No Lloyd iterations here — production IVF would refine
+    with k-means (:func:`refine_cells`), which only improves cell
+    balance, not the operator's plan shape).  Assignment is a broadcast
+    cross-score + per-vector argmax: one pass over the corpus, centroids
+    broadcast."""
     emb_n = with_norm(embeddings, vec_col)
     cents = (
-        emb_n.withColumn("h", F.xxhash64(F.col(id_col)))
+        emb_n.withColumn("h", F.md5(F.col(id_col).cast("string")))
         .orderBy("h", id_col)
         .limit(n_cells)
         .select(F.col(id_col).alias("seed_id"), F.col(vec_col).alias("c_vec"),
