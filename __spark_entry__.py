@@ -595,8 +595,10 @@ def _q_media_decode(spark, sf_dir):
 
 
 def _q_media_resize(spark, sf_dir):
-    """Rows-only check (binary payload output isn't SQL-expressible);
-    determinism + geometry are pytest-pinned (tests/test_multimodal.py)."""
+    """The resized payload surfaces as its hex encoding (injective, so
+    an equally strong determinism check as re-hashing it) because the
+    fake re-encode kernel derives the payload through the hex-string
+    domain the oracle engine can compute (its sha256 is VARCHAR-only)."""
     from pyspark.sql import functions as F
 
     from p2_mapreduce_spark.operators.multimodal import attach_binary, resize_media
@@ -605,7 +607,7 @@ def _q_media_resize(spark, sf_dir):
     out = resize_media(attach_binary(docs), max_side=32)
     return out.select(
         "media_id", "modality", "width", "height",
-        F.sha2("payload", 256).alias("payload_sha"),
+        F.lower(F.hex("payload")).alias("payload_hex"),
     )
 
 
@@ -1234,6 +1236,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) AS jaccard""",
         ),
         "dedup_simhash": _simhash_sql(toks),
+        # Fake-codec twins (operators/multimodal._fake_decode): metadata is
+        # a pure function of sha256(payload) where payload = UTF-8(text),
+        # so the oracle derives the same bytes from the hex digest.
+        "media_decode": """
+            WITH d AS (
+                SELECT doc_id AS media_id, sha256(COALESCE(text, '')) AS hx
+                FROM documents
+            )
+            SELECT media_id,
+                   'image' AS modality,
+                   CAST(16 + CAST('0x' || substr(hx, 1, 2) AS INT) % 64 AS INT) AS width,
+                   CAST(16 + CAST('0x' || substr(hx, 3, 2) AS INT) % 64 AS INT) AS height,
+                   CAST(1 AS INT) AS n_frames,
+                   CAST(0 AS INT) AS sample_rate,
+                   CAST(CASE WHEN CAST('0x' || substr(hx, 9, 16) AS UBIGINT)
+                                  >= 9223372036854775808
+                             THEN CAST(CAST('0x' || substr(hx, 9, 16) AS UBIGINT) AS HUGEINT)
+                                  - 18446744073709551616
+                             ELSE CAST(CAST('0x' || substr(hx, 9, 16) AS UBIGINT) AS HUGEINT)
+                        END AS BIGINT) AS feature_hash
+            FROM d
+        """,
+        "media_resize": """
+            WITH d AS (
+                SELECT doc_id AS media_id, sha256(COALESCE(text, '')) AS hx
+                FROM documents
+            ),
+            dims AS (
+                SELECT media_id, hx,
+                       16 + CAST('0x' || substr(hx, 1, 2) AS INT) % 64 AS w,
+                       16 + CAST('0x' || substr(hx, 3, 2) AS INT) % 64 AS h
+                FROM d
+            ),
+            scaled AS (
+                SELECT media_id, hx,
+                       CASE WHEN greatest(w, h) > 32
+                            THEN greatest(1, w * 32 // greatest(w, h)) ELSE w END AS nw,
+                       CASE WHEN greatest(w, h) > 32
+                            THEN greatest(1, h * 32 // greatest(w, h)) ELSE h END AS nh
+                FROM dims
+            )
+            SELECT media_id,
+                   'image' AS modality,
+                   CAST(nw AS INT) AS width,
+                   CAST(nh AS INT) AS height,
+                   sha256(hx || CAST(nw AS VARCHAR) || 'x' || CAST(nh AS VARCHAR))
+                       AS payload_hex
+            FROM scaled
+        """,
         "text_stats": f"""
             SELECT lang,
                    COUNT(*) AS n_docs,

@@ -145,9 +145,12 @@ def resize_media(media: DataFrame, max_side: int = 32, decoder: str = "fake") ->
     shape of every pixel-touching kernel (resize, crop, re-encode).  Output
     dims scale the fake-decoded dims down to ``max_side`` preserving aspect
     ratio (integer arithmetic — deterministic); the output payload is a
-    stand-in re-encode (sha256 of input ⊕ target dims).  A real Pillow
-    kernel replaces ONLY the body of ``one`` — batch iteration, schema,
-    and binary Arrow transfer are the production plumbing.
+    stand-in re-encode: the sha256 digest of
+    ``hex(sha256(input)) + "{nw}x{nh}"`` — derived through the hex-string
+    domain so a SQL oracle engine whose sha256 only accepts strings can
+    reproduce it.  A real Pillow kernel replaces ONLY the body of
+    ``one`` — batch iteration, schema, and binary Arrow transfer are the
+    production plumbing.
 
     ``decoder='none'`` raises ``NotImplementedError`` like
     :func:`decode_media` (no codec libs in this container)."""
@@ -173,7 +176,7 @@ def resize_media(media: DataFrame, max_side: int = 32, decoder: str = "fake") ->
             scale_num, scale_den = (cap, max(w, h)) if max(w, h) > cap else (1, 1)
             nw, nh = max(1, w * scale_num // scale_den), max(1, h * scale_num // scale_den)
             fake_pixels = hashlib.sha256(
-                (payload or b"") + nw.to_bytes(4, "big") + nh.to_bytes(4, "big")
+                (hashlib.sha256(payload or b"").hexdigest() + f"{nw}x{nh}").encode()
             ).digest()
             return nw, nh, fake_pixels
 
