@@ -290,6 +290,17 @@ def _q_dup_clusters(spark, sf_dir):
     return dup_clusters(pairs.select("doc_a", "doc_b"))
 
 
+def _q_dup_clusters_star(spark, sf_dir):
+    """Same closure as dup_clusters but via large-star/small-star
+    contraction (O(log² n) rounds on any graph shape — the long-chain
+    fallback); labels are canonical min-ids, so the oracle is shared."""
+    from p2_mapreduce_spark.operators.dedup import ngram_jaccard_pairs
+    from p2_mapreduce_spark.operators.graph import dup_clusters
+
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return dup_clusters(pairs.select("doc_a", "doc_b"), algorithm="star")
+
+
 def _q_multiset_ops(spark, sf_dir):
     from p2_mapreduce_spark.operators.relational import multiset_ops
 
@@ -702,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_pricing": _q_unpivot_pricing,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "dup_clusters": _q_dup_clusters,
+        "dup_clusters_star": _q_dup_clusters_star,
         "multiset_ops": _q_multiset_ops,
         "cheapest_supplier": _q_cheapest_supplier,
         "revenue_share": _q_revenue_share,
@@ -862,7 +874,7 @@ def oracle_sql() -> dict[str, str]:
     s_de = lang_score(r"\b(der|die|das|und|ist|nicht)\b")
     s_es = lang_score(r"\b(el|la|los|las|es|y|de)\b")
     s_fr = lang_score(r"\b(le|la|les|et|est|une)\b")
-    return {
+    out = {
         "wordcount": wordcount_sql,
         "wordcount_global": wordcount_sql + " ORDER BY word",
         "udf_roundtrip": wordcount_sql,
@@ -1800,3 +1812,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE word <> ''
         """,
     }
+    # star-contraction closure produces the same canonical
+    # min-id labels as label propagation — shared oracle
+    out["dup_clusters_star"] = out["dup_clusters"]
+    return out

@@ -13,9 +13,10 @@ Scale design:
   id, which AQE co-partitions across iterations.
 - Iteration count is the graph DIAMETER — for near-dup clusters (small,
   dense clique-ish components) typically 2-3, never the vertex count.
-  For adversarial long-chain graphs switch to the large-star/small-star
-  algorithm (Kiveris et al., "Connected Components in MapReduce and
-  Beyond"), which converges in O(log^2 n) — same building blocks.
+  For adversarial long-chain graphs use
+  :func:`connected_components_star` (Kiveris et al., "Connected
+  Components in MapReduce and Beyond"), which converges in O(log^2 n) —
+  same building blocks, alternating star contractions.
 - ``localCheckpoint`` truncates lineage each round, or the plan tree grows
   exponentially and the driver OOMs long before the data does.  On a real
   cluster use reliable ``checkpoint`` to survive executor loss.
@@ -68,13 +69,106 @@ def connected_components(
     return labels
 
 
-def dup_clusters(pairs: DataFrame) -> DataFrame:
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+    return_rounds: bool = False,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the adversarial-graph fallback to
+    :func:`connected_components`: label propagation needs DIAMETER
+    rounds (a 1e6-long chain = 1e6 shuffles), while star contraction
+    converges in O(log² n) rounds on ANY graph shape.
+
+    Per round, both operations are one groupBy-min + one join on the
+    (always larger→smaller) edge list:
+
+    - large-star: every neighbor v > u re-points to
+      m = min(Γ(u) ∪ {u}) — attaches big nodes to their neighborhood
+      minimum without creating long chains;
+    - small-star: every smaller neighbor (and u itself) re-points to
+      the minimum of u's smaller neighborhood — contracts the partial
+      stars.
+
+    The fixpoint is a forest of depth-1 stars rooted at each
+    component's minimum id, so the label table falls straight out of
+    the final edge list.  Same deterministic min-id labels as
+    :func:`connected_components`, under any partitioning.
+
+    Convergence probe: edge-set equality via count + one-sided
+    subtract — two O(1)-result jobs, no data collected to the driver.
+    """
+    verts = (
+        edges.select(F.col(src).alias("v"))
+        .union(edges.select(F.col(dst).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # orient larger→smaller; self-loops carry no connectivity
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("w"),
+        )
+        .where(F.col("u") != F.col("w"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        prev, prev_n = e, e.count()
+        if prev_n == 0:
+            break
+        rounds += 1
+        # large-star over the symmetrized neighborhood
+        sym = e.union(e.select(F.col("w").alias("u"), F.col("u").alias("w")))
+        lmins = (
+            sym.groupBy("u")
+            .agg(F.min("w").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        ls = (
+            sym.join(lmins, "u")
+            .where(F.col("w") > F.col("u"))
+            .select(F.col("w").alias("u"), F.col("m").alias("w"))
+            .distinct()
+        )
+        # small-star: every edge already points larger→smaller
+        smins = ls.groupBy("u").agg(F.min("w").alias("m"))
+        e = (
+            ls.join(smins, "u")
+            .select(F.col("w").alias("u"), F.col("m").alias("w"))
+            .where(F.col("u") != F.col("w"))
+            .union(smins.select("u", F.col("m").alias("w")))
+            .distinct()
+            .localCheckpoint()
+        )
+        if e.count() == prev_n and e.subtract(prev).limit(1).count() == 0:
+            break
+    labels = verts.join(
+        e.select(F.col("u").alias("v"), F.col("w").alias("component")), "v", "left"
+    ).select("v", F.coalesce("component", "v").alias("component"))
+    if return_rounds:
+        return labels, rounds
+    return labels
+
+
+def dup_clusters(pairs: DataFrame, algorithm: str = "label") -> DataFrame:
     """Duplicate-group table from a near-dup pair list: (doc_id, cluster,
     cluster_size), cluster = min doc_id of the group.  Keeping
     ``doc_id = cluster`` (the representative) and dropping the rest is the
     dedup sweep; sizes come from one extra tiny aggregate over the label
-    table (not the pair list)."""
-    labels = connected_components(pairs)
+    table (not the pair list).
+
+    ``algorithm``: ``label`` (default — diameter-bounded propagation,
+    ideal for the small dense clusters near-dup pairs form) or ``star``
+    (:func:`connected_components_star`, O(log² n) on any shape — pick it
+    when clusters may chain)."""
+    cc = {"label": connected_components, "star": connected_components_star}[algorithm]
+    labels = cc(pairs)
     sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "component").select(
         F.col("v").alias("doc_id"), F.col("component").alias("cluster"), "cluster_size"

@@ -7,7 +7,11 @@ canonical-label determinism, and the dedup-sweep contract.
 
 from pyspark.sql import functions as F
 
-from p2_mapreduce_spark.operators.graph import connected_components, dup_clusters
+from p2_mapreduce_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+    dup_clusters,
+)
 
 
 def _cc(spark, edges):
@@ -52,3 +56,50 @@ def test_partition_count_invariance(spark):
     base = sorted(map(tuple, connected_components(df).collect()))
     repart = sorted(map(tuple, connected_components(df.repartition(7)).collect()))
     assert base == repart
+
+
+def _star(spark, edges):
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    labels, rounds = connected_components_star(df, return_rounds=True)
+    return {r["v"]: r["component"] for r in labels.collect()}, rounds
+
+
+def test_star_matches_label_propagation_on_random_graphs(spark):
+    """Property: both algorithms produce identical min-id labels on
+    random graphs (ER-ish sparse + a few planted cliques)."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(30)
+        ] + [(100 + i, 100 + i + 1) for i in range(5)]
+        edges = [e for e in edges if e[0] != e[1]] or [(0, 1)]
+        star, _ = _star(spark, edges)
+        prop = _cc(spark, edges)
+        assert star == prop, f"trial {trial}"
+
+
+def test_star_long_chain_converges_in_polylog_rounds(spark):
+    """A 200-vertex chain has diameter 199: label propagation needs ~199
+    rounds (more than its max_iter), while star contraction must finish
+    in O(log² n) — well under 12 rounds — with all labels = 0."""
+    n = 200
+    got, rounds = _star(spark, [(i, i + 1) for i in range(n - 1)])
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 12, f"took {rounds} rounds"
+
+
+def test_star_self_loops_and_empty(spark):
+    got, rounds = _star(spark, [(5, 5), (7, 8)])
+    assert got == {5: 5, 7: 7, 8: 7}
+    df = spark.createDataFrame([], "doc_a BIGINT, doc_b BIGINT")
+    assert connected_components_star(df).count() == 0
+
+
+def test_dup_clusters_star_algorithm_parity(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], ["doc_a", "doc_b"])
+    lab = sorted(map(tuple, dup_clusters(pairs, algorithm="label").collect()))
+    star = sorted(map(tuple, dup_clusters(pairs, algorithm="star").collect()))
+    assert lab == star
