@@ -25,11 +25,15 @@ Deliberate semantic fixes over the reference (SURVEY.md §2.2 quirk):
 Scale notes: the Python map/reduce path exists for plugin compatibility
 (reference M14); it is Arrow-vectorized, not per-row, but 100 TB workloads
 should register a ``columnar`` implementation (see registry.py) so the
-whole job stays JVM-side.  The reduce path groups with ``collect_list``,
-which assumes one key's value list fits in an executor — same contract the
-reference imposes in RAM (storage-node/main.go:1317-1321); for unbounded
-keys use a columnar/algebraic reducer instead.
-"""
+whole job stays JVM-side.  The plain reduce path groups with
+``collect_list``, which assumes one key's value list fits in an executor —
+same contract the reference imposes in RAM (storage-node/main.go:
+1317-1321).  A reduce fn that declares associativity (the
+:func:`associative` decorator, or an explicit ``combiner=``) lifts that
+contract: values are partially reduced inside each map batch BEFORE the
+shuffle, so the per-key state that crosses the wire and lands in any one
+task is one partial per upstream batch — bounded by the partition count,
+never by the number of values (the reduceByKey discipline)."""
 
 from __future__ import annotations
 
@@ -72,6 +76,16 @@ ReduceFn = Callable[[str, list], str]
 DEFAULT_NUM_PARTITIONS = 4  # reference default: manager.go:771-775
 
 
+def associative(fn: ReduceFn) -> ReduceFn:
+    """Declare a reduce fn algebraic: ``fn(k, xs)`` must equal
+    ``fn(k, [fn(k, xs1), fn(k, xs2)])`` for any split of ``xs`` (sum, min,
+    max, first-of-equal...).  :func:`run_mapreduce` then uses the fn as
+    its own map-side combiner and never materializes a full per-key value
+    list."""
+    fn.associative = True  # type: ignore[attr-defined]
+    return fn
+
+
 def run_mapreduce(
     df: DataFrame,
     map_fn: MapFn,
@@ -80,6 +94,7 @@ def run_mapreduce(
     aggregate: bool = True,
     key_col: str = "filename",
     value_col: str = "contents",
+    combiner: Optional[ReduceFn] = None,
 ) -> DataFrame:
     """Run one MapReduce job; returns ``DataFrame[key string, value string]``.
 
@@ -88,8 +103,20 @@ def run_mapreduce(
     concatenate path (M10): per-partition key-sorted output, no global
     order (Spark still grants total per-key grouping — the intended
     semantics).
-    """
-    _ship_by_value(map_fn, reduce_fn)
+
+    ``combiner`` switches to the algebraic fast path: it is applied to
+    each key's values inside every map batch (pre-shuffle) and again to
+    the collected partials (post-shuffle), REPLACING ``reduce_fn`` — so
+    it must satisfy ``combiner(k, hierarchical folds of xs) ==
+    reduce_fn(k, xs)`` (for count-style reducers whose values are "1",
+    an integer-sum combiner is that fold).  A ``reduce_fn`` decorated
+    :func:`associative` combines with itself automatically.  Per-key
+    state on the reduce side is then one partial per upstream batch —
+    the skewed hot key that breaks the collect_list contract streams
+    through in O(batches), not O(values)."""
+    if combiner is None and getattr(reduce_fn, "associative", False):
+        combiner = reduce_fn
+    _ship_by_value(map_fn, reduce_fn, *( [combiner] if combiner else [] ))
     records = df.select(
         F.col(key_col).cast("string").alias("filename"),
         F.col(value_col).cast("string").alias("contents"),
@@ -105,7 +132,26 @@ def run_mapreduce(
             yield pd.DataFrame({"key": pd.Series(keys, dtype="string"),
                                 "value": pd.Series(values, dtype="string")})
 
-    mapped = records.mapInPandas(apply_map, schema="key string, value string")
+    def apply_map_combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # map-side combine: fold each key's values within the batch so
+        # the shuffle carries one partial per (key, batch) — state here
+        # is bounded by the batch size, never the corpus
+        for pdf in batches:
+            acc: dict[str, list] = {}
+            for fname, contents in zip(pdf["filename"], pdf["contents"]):
+                for k, v in map_fn(fname if fname is not None else "", contents or ""):
+                    acc.setdefault(k, []).append(v)
+            yield pd.DataFrame({
+                "key": pd.Series(list(acc.keys()), dtype="string"),
+                "value": pd.Series(
+                    [combiner(k, vs) for k, vs in acc.items()], dtype="string"
+                ),
+            })
+
+    mapped = records.mapInPandas(
+        apply_map_combine if combiner is not None else apply_map,
+        schema="key string, value string",
+    )
 
     # M3: hash partition on key. Spark's HashPartitioner replaces FNV-1a%R
     # (storage-node/main.go:783-787); results are partition-layout
@@ -118,10 +164,12 @@ def run_mapreduce(
     # aggregate output).
     grouped = shuffled.groupBy("key").agg(F.collect_list("value").alias("values"))
 
+    final_fn = combiner if combiner is not None else reduce_fn
+
     @F.pandas_udf("string")
     def apply_reduce(keys: pd.Series, values: pd.Series) -> pd.Series:
         return pd.Series(
-            [reduce_fn(k, list(v)) for k, v in zip(keys, values)], dtype="string"
+            [final_fn(k, list(v)) for k, v in zip(keys, values)], dtype="string"
         )
 
     reduced = grouped.select(
@@ -161,5 +209,6 @@ def run_mapreduce_by_name(
         reduced = reducer.columnar(mapped)
         return reduced.orderBy("key") if aggregate else reduced.sortWithinPartitions("key")
     return run_mapreduce(
-        df, mapper.fn, reducer.fn, num_partitions=num_partitions, aggregate=aggregate, **kwargs
+        df, mapper.fn, reducer.fn, num_partitions=num_partitions,
+        aggregate=aggregate, combiner=reducer.combiner, **kwargs
     )

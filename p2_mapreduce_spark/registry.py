@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from p2_mapreduce_spark.functions.text import tokens_array
+from p2_mapreduce_spark.mapreduce import associative
 
 # Python-side mirror of TOKEN_SPLIT_REGEX (\p{L}\p{N} ≅ str.isalnum() for
 # the practical plane; Python's re lacks \p classes so we split on
@@ -44,6 +45,10 @@ class ReduceUdf:
     name: str
     fn: Callable[[str, list], str]
     columnar: Optional[Callable[[DataFrame], DataFrame]] = None
+    #: algebraic combiner for the Python path (see mapreduce.associative /
+    #: run_mapreduce(combiner=...)): folds partials of fn's output so the
+    #: shuffle never carries a full per-key value list
+    combiner: Optional[Callable[[str, list], str]] = None
 
 
 class UdfRegistry:
@@ -56,8 +61,10 @@ class UdfRegistry:
     def register_map(self, name, fn, columnar=None) -> None:
         self._maps[name] = MapUdf(name, fn, columnar)
 
-    def register_reduce(self, name, fn, columnar=None) -> None:
-        self._reduces[name] = ReduceUdf(name, fn, columnar)
+    def register_reduce(self, name, fn, columnar=None, combiner=None) -> None:
+        if combiner is None and getattr(fn, "associative", False):
+            combiner = fn
+        self._reduces[name] = ReduceUdf(name, fn, columnar, combiner)
 
     def get_map(self, name: str) -> MapUdf:
         if name not in self._maps:
@@ -124,9 +131,12 @@ def make_grep_map(pattern: str) -> Callable[[str, str], Iterable[tuple[str, str]
     return grep_map
 
 
+@associative
 def sum_reduce(key: str, values: list) -> str:
     """Integer sum of the value list — the controller's merge semantic
-    (manager.go:1112 ``strconv.Atoi`` + sum) as a plugin reduce fn."""
+    (manager.go:1112 ``strconv.Atoi`` + sum) as a plugin reduce fn.
+    Associative: a sum of partial sums is the total sum, so it is its own
+    map-side combiner."""
     return str(sum(int(v) for v in values))
 
 
@@ -144,10 +154,17 @@ def count_reduce(key: str, values: list) -> str:
 def default_registry() -> UdfRegistry:
     reg = UdfRegistry()
     reg.register_map("wordcount", wordcount_map, columnar=_wordcount_map_columnar)
-    reg.register_reduce("wordcount", wordcount_reduce, columnar=_wordcount_reduce_columnar)
     reg.register_map("identity", identity_map)
     reg.register_reduce("first", first_value_reduce)
     reg.register_map("grep_data", make_grep_map(r"data"))
     reg.register_reduce("sum", sum_reduce, columnar=_sum_reduce_columnar)
+    # count over ARBITRARY values has a two-stage fold (len, then sum) a
+    # self-combiner cannot express — it stays on the plain path (or the
+    # columnar one); wordcount's map contract emits only "1"s, for which
+    # integer sum IS the hierarchical fold of len, so it combines.
     reg.register_reduce("count", count_reduce)
+    reg.register_reduce(
+        "wordcount", wordcount_reduce,
+        columnar=_wordcount_reduce_columnar, combiner=sum_reduce,
+    )
     return reg

@@ -98,3 +98,63 @@ def test_non_aggregate_path_total_grouping(spark, tiny_docs):
     keys = [r["key"] for r in rows]
     assert len(keys) == len(set(keys))
     assert {r["key"]: int(r["value"]) for r in rows} == EXPECTED
+
+
+def test_combiner_path_matches_plain_reduce(spark, tiny_docs):
+    """sum_reduce is @associative → combines with itself; the combined
+    result must equal the plain collect_list path exactly."""
+    plain = run_mapreduce(tiny_docs, wordcount_map, sum_reduce, aggregate=True)
+    combined = run_mapreduce(
+        tiny_docs, wordcount_map, sum_reduce, aggregate=True, combiner=sum_reduce
+    )
+    auto = run_mapreduce(tiny_docs, wordcount_map, sum_reduce, aggregate=True)
+    rows = lambda df: [(r["key"], r["value"]) for r in df.collect()]
+    assert rows(plain) == rows(combined) == rows(auto)
+    assert dict(rows(combined)) == {k: str(v) for k, v in EXPECTED.items()}
+
+
+def test_registry_wordcount_combiner_replaces_len(spark, tiny_docs):
+    """The registered wordcount pair carries sum_reduce as its combiner
+    (its map emits only "1"s, whose hierarchical fold of len IS integer
+    sum); forcing the non-columnar path must route through it and still
+    produce exact counts.  'count' over arbitrary values has a two-stage
+    fold a self-combiner can't express — it stays plain (see registry)."""
+    import p2_mapreduce_spark.registry as R
+
+    reg = R.default_registry()
+    assert reg.get_reduce("wordcount").combiner is R.sum_reduce
+    assert reg.get_reduce("count").combiner is None
+    out = run_mapreduce(
+        tiny_docs, wordcount_map, wordcount_reduce, aggregate=True,
+        combiner=reg.get_reduce("wordcount").combiner,
+    )
+    assert {r["key"]: r["value"] for r in out.collect()} == {
+        k: str(v) for k, v in EXPECTED.items()
+    }
+
+
+def test_combiner_bounds_per_key_state_on_skewed_input(spark):
+    """Skewed-key fixture: one key carries 50k values spread over many
+    input rows/partitions.  With the combiner, no reduce-side value list
+    may exceed the number of upstream batches (far below the value
+    count) — asserted by running the reduce through a wrapper that
+    records list lengths via the result encoding."""
+    rows = [("f%d" % i, " ".join(["hot"] * 500)) for i in range(100)]
+    rows += [("g%d" % i, "cold%d" % i) for i in range(20)]
+    df = spark.createDataFrame(rows, ["filename", "contents"]).repartition(8)
+
+    # encode the observed list length into the output so the assertion
+    # needs no executor-side state channel
+    def counting_sum(key, values):
+        total = sum(int(v.split(":")[-1]) if ":" in v else int(v) for v in values)
+        return f"{len(values)}:{total}"
+
+    out = run_mapreduce(
+        df, wordcount_map, counting_sum, aggregate=True, combiner=counting_sum
+    )
+    got = {r["key"]: r["value"] for r in out.collect()}
+    hot_lists, hot_total = got["hot"].split(":")
+    assert int(hot_total) == 100 * 500
+    # 8 input partitions → at most 8 partials reach the final fold (one
+    # Arrow batch per small partition); the uncombined path would be 50000
+    assert int(hot_lists) <= 8
