@@ -6,12 +6,14 @@ Arrow-batched pandas functions over ``mapInPandas`` so at 100 TB the
 payloads stream through executors in columnar batches and never
 concentrate on the driver.
 
-The actual media codecs are NOT in this container, so the decode kernels
-are stubbed: ``decoder="none"`` raises ``NotImplementedError`` (marking
-exactly where Pillow/torchaudio/PyAV plug in), while ``decoder="fake"``
-derives deterministic pseudo-metadata from the payload hash — keeping the
-Spark-side contract (schemas, batch iteration, partitioning) fully real
-and testable.
+Decoders: ``decoder="headers"`` is a real, dependency-free codec that
+parses dimensions from PNG IHDR / JPEG SOF header bytes;
+``decoder="fake"`` derives deterministic pseudo-metadata from the payload
+hash (the oracle-checkable stand-in); ``decoder="none"`` raises
+``NotImplementedError``, marking exactly where full pixel codecs
+(Pillow/torchaudio/PyAV — not in this container) plug in.  The Spark-side
+contract (schemas, batch iteration, partitioning) is identical across all
+three.
 """
 
 from __future__ import annotations
@@ -83,32 +85,98 @@ def _fake_decode(payload: bytes, modality: str) -> dict:
     }
 
 
+def _parse_png(b: bytes) -> tuple[int, int] | None:
+    """Width/height from a PNG IHDR — the first chunk after the 8-byte
+    signature is required to be IHDR (PNG spec §11.2.2), whose first two
+    fields are the big-endian 32-bit dimensions."""
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        return (
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+        )
+    return None
+
+
+def _parse_jpeg(b: bytes) -> tuple[int, int] | None:
+    """Width/height from the first JPEG SOF segment: walk the marker
+    stream from SOI; any SOFn (0xC0-0xCF except DHT/JPG/DAC) carries
+    [precision:1][height:2][width:2] after the segment length."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 9 <= len(b):
+        if b[i] != 0xFF:
+            return None  # broken marker stream
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # bare markers
+            i += 2
+            continue
+        seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return (
+                int.from_bytes(b[i + 7 : i + 9], "big"),
+                int.from_bytes(b[i + 5 : i + 7], "big"),
+            )
+        i += 2 + seglen
+    return None
+
+
+def _headers_decode(payload: bytes, modality: str) -> dict:
+    """Real (dependency-free) image decode: dimensions parsed from PNG /
+    JPEG header bytes; the feature hash stays the payload digest.
+    Unparseable payloads surface as 0×0 rather than failing the batch —
+    at 100 TB a corrupt blob must quarantine, not kill the stage."""
+    b = payload or b""
+    dims = _parse_png(b) or _parse_jpeg(b)
+    w, h = dims if dims else (0, 0)
+    digest = hashlib.sha256(b).digest()
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": 1 if dims else 0,
+        "sample_rate": 0,
+        "feature_hash": int.from_bytes(digest[4:12], "big", signed=True),
+    }
+
+
+_DECODERS = {"fake": _fake_decode, "headers": _headers_decode}
+
+
 def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """Decode/feature-extract over ``mapInPandas``: one Arrow batch of
     payloads in, one batch of typed metadata out.  This is the exact
-    plumbing a real decoder uses — swap ``_fake_decode`` for the codec.
+    plumbing a real decoder uses.
 
-    ``decoder='none'`` raises ``NotImplementedError`` (no media libs in
-    this container — see module docstring).
+    ``decoder='headers'`` is a real dependency-free codec: PNG IHDR /
+    JPEG SOF header parsing (``_headers_decode``).  ``decoder='fake'``
+    derives deterministic pseudo-metadata from the payload hash (the
+    correctness-harness stand-in).  ``decoder='none'`` raises
+    ``NotImplementedError``, marking where full pixel codecs
+    (Pillow/torchaudio/PyAV — not in this container) plug in.
     """
     if decoder == "none":
         raise NotImplementedError(
-            "real media codecs (Pillow/torchaudio/PyAV) are not available in "
-            "this environment; use decoder='fake' for the deterministic stub"
+            "full media codecs (Pillow/torchaudio/PyAV) are not available in "
+            "this environment; use decoder='headers' (header parsing) or "
+            "'fake' (deterministic stub)"
         )
-    if decoder != "fake":
+    if decoder not in _DECODERS:
         raise ValueError(f"unknown decoder {decoder!r}")
+    kernel = _DECODERS[decoder]
 
     # ship the decode kernel by value: executors' Python workers may not
     # have the engine repo on sys.path (see mapreduce._ship_by_value)
     from p2_mapreduce_spark.mapreduce import _ship_by_value
 
-    _ship_by_value(_fake_decode)
+    _ship_by_value(kernel)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             metas = [
-                _fake_decode(p, m) for p, m in zip(pdf["payload"], pdf["modality"])
+                kernel(p, m) for p, m in zip(pdf["payload"], pdf["modality"])
             ]
             out = pd.DataFrame(metas)
             out.insert(0, "media_id", pdf["media_id"].values)
