@@ -62,6 +62,9 @@ HEADLINE = (
     "fingerprint_docs",
     "knn_embeddings",
     "knn_ivf",
+    "knn_lsh",
+    "embed_near_pairs",
+    "dup_clusters_star",
 )
 
 

@@ -79,16 +79,22 @@ def shingle_pairs(
     before the self-join (see :data:`MAX_DF`): Jaccard is then computed
     over the capped shingle sets — "similarity over non-boilerplate
     shingles" — which both sizes and intersections use consistently."""
-    sh = hashed_shingles(docs, n, text_col, id_col)
+    # persist the RAW shingle table before deriving the df filter from it
+    # — otherwise the explode pipeline (the dominant stage) runs once for
+    # the frequency aggregate and again for the join's probe side
+    base = hashed_shingles(docs, n, text_col, id_col).persist()
+    sh = base
     if max_df is not None:
-        df_ok = (
-            sh.groupBy("h")
+        # the HOT set (df > cap) is tiny by construction — total/cap at
+        # most — so it broadcasts and the cap costs one aggregate plus a
+        # broadcast anti-join, never a shuffle of the shingle table
+        hot = (
+            base.groupBy("h")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
+            .filter(F.col("df") > max_df)
             .select("h")
         )
-        sh = sh.join(df_ok, "h")
-    sh = sh.persist()
+        sh = base.join(F.broadcast(hot), "h", "left_anti").persist()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -238,13 +244,17 @@ def minhash_lsh_pairs(
         ).alias("band", "band_hash"),
     )
     if max_bucket is not None:
-        bucket_ok = (
+        # persist the band table (docs × num_bands rows — tiny) so the
+        # bucket-size aggregate doesn't re-run the 64-min signature agg;
+        # oversized buckets are a tiny set → broadcast anti-join
+        bands = bands.persist()
+        hot = (
             bands.groupBy("band", "band_hash")
             .agg(F.count(F.lit(1)).alias("bsz"))
-            .filter(F.col("bsz") <= max_bucket)
+            .filter(F.col("bsz") > max_bucket)
             .select("band", "band_hash")
         )
-        bands = bands.join(bucket_ok, ["band", "band_hash"])
+        bands = bands.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
@@ -370,13 +380,16 @@ def simhash_near_pairs(
         ).alias("band", "band_val"),
     )
     if max_bucket is not None:
-        bucket_ok = (
+        # persist (docs × 4 rows) so the bucket-size aggregate doesn't
+        # re-run the per-bit vote aggregation; hot buckets broadcast
+        bands = bands.persist()
+        hot = (
             bands.groupBy("band", "band_val")
             .agg(F.count(F.lit(1)).alias("bsz"))
-            .filter(F.col("bsz") <= max_bucket)
+            .filter(F.col("bsz") > max_bucket)
             .select("band", "band_val")
         )
-        bands = bands.join(bucket_ok, ["band", "band_val"])
+        bands = bands.join(F.broadcast(hot), ["band", "band_val"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
