@@ -70,6 +70,10 @@ HEADLINE = (
 
 def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+    # the dedup/similarity pipelines persist() intermediates scoped to the
+    # query; drop them so accumulated cache pressure doesn't bleed into
+    # later queries' numbers
+    df.sparkSession.catalog.clearCache()
 
 
 def main() -> None:

@@ -118,10 +118,11 @@ def connected_components_star(
         .localCheckpoint()
     )
     rounds = 0
+    n = e.count()
     for _ in range(max_iter):
-        prev, prev_n = e, e.count()
-        if prev_n == 0:
+        if n == 0:
             break
+        prev, prev_n = e, n
         rounds += 1
         # large-star over the symmetrized neighborhood
         sym = e.union(e.select(F.col("w").alias("u"), F.col("u").alias("w")))
@@ -146,7 +147,8 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()
         )
-        if e.count() == prev_n and e.subtract(prev).limit(1).count() == 0:
+        n = e.count()
+        if n == prev_n and e.subtract(prev).limit(1).count() == 0:
             break
     labels = verts.join(
         e.select(F.col("u").alias("v"), F.col("w").alias("component")), "v", "left"

@@ -175,3 +175,17 @@ def test_extensions_hot_paths_are_jvm_side(spark, sf_dir):
                 "fingerprint_docs", "quality_score", "lang_id"]:
         r = _report(spark, sf_dir, qid)
         assert not r["has_python_worker"], f"{qid} reached Python"
+
+
+def test_df_cap_is_broadcast_anti_join(spark, sf_dir):
+    """The hot-shingle cap must cost one aggregate + a broadcast
+    LEFT ANTI against the (tiny) hot-key set — NOT a shuffled join
+    against the full non-hot key set."""
+    from p2_mapreduce_spark.operators.dedup import shingle_pairs
+    from p2_mapreduce_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = shingle_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight" in plan or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    ), plan[:2000]
