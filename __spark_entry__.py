@@ -622,6 +622,29 @@ def _q_media_resize(spark, sf_dir):
     )
 
 
+def _q_media_mixed(spark, sf_dir):
+    """Mixed-modality decode: modality cycles image/audio/video by id, so
+    every branch of the decode kernel (spatial dims, audio sample rate,
+    video frame counts) lands in the checked output."""
+    from p2_mapreduce_spark.operators.multimodal import attach_binary_mixed, decode_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media(attach_binary_mixed(docs), decoder="fake")
+
+
+def _q_media_frames(spark, sf_dir):
+    """Frame-sampling plan over the mixed table's video rows: one
+    (media_id, frame_idx) row per sampled frame (every 8th)."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_binary_mixed,
+        decode_media,
+        frame_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(decode_media(attach_binary_mixed(docs), decoder="fake"), every_n=8)
+
+
 def _q_knn_ivf(spark, sf_dir):
     from p2_mapreduce_spark.operators.similarity import knn_ivf
 
@@ -700,6 +723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_np": _q_knn_np,
         "media_decode": _q_media_decode,
         "media_resize": _q_media_resize,
+        "media_mixed": _q_media_mixed,
+        "media_frames": _q_media_frames,
         "embedding_centroid": _q_embedding_centroid,
         "grouping_sets": _q_grouping_sets,
         "minmax_by": _q_minmax_by,
@@ -1269,6 +1294,48 @@ def oracle_sql() -> dict[str, str]:
                              ELSE CAST(CAST('0x' || substr(hx, 9, 16) AS UBIGINT) AS HUGEINT)
                         END AS BIGINT) AS feature_hash
             FROM d
+        """,
+        "media_mixed": """
+            WITH d AS (
+                SELECT doc_id AS media_id,
+                       CASE doc_id % 3 WHEN 0 THEN 'image'
+                                       WHEN 1 THEN 'audio'
+                                       ELSE 'video' END AS modality,
+                       sha256(COALESCE(text, '')) AS hx
+                FROM documents
+            )
+            SELECT media_id, modality,
+                   CAST(CASE WHEN modality IN ('image', 'video')
+                        THEN 16 + CAST('0x' || substr(hx, 1, 2) AS INT) % 64
+                        ELSE 0 END AS INT) AS width,
+                   CAST(CASE WHEN modality IN ('image', 'video')
+                        THEN 16 + CAST('0x' || substr(hx, 3, 2) AS INT) % 64
+                        ELSE 0 END AS INT) AS height,
+                   CAST(CASE WHEN modality = 'video'
+                             THEN 1 + CAST('0x' || substr(hx, 5, 2) AS INT) % 32
+                             WHEN modality = 'image' THEN 1
+                             ELSE 0 END AS INT) AS n_frames,
+                   CAST(CASE WHEN modality = 'audio'
+                        THEN 8000 * (1 + CAST('0x' || substr(hx, 7, 2) AS INT) % 6)
+                        ELSE 0 END AS INT) AS sample_rate,
+                   CAST(CASE WHEN CAST('0x' || substr(hx, 9, 16) AS UBIGINT)
+                                  >= 9223372036854775808
+                             THEN CAST(CAST('0x' || substr(hx, 9, 16) AS UBIGINT) AS HUGEINT)
+                                  - 18446744073709551616
+                             ELSE CAST(CAST('0x' || substr(hx, 9, 16) AS UBIGINT) AS HUGEINT)
+                        END AS BIGINT) AS feature_hash
+            FROM d
+        """,
+        "media_frames": """
+            WITH v AS (
+                SELECT doc_id AS media_id,
+                       1 + CAST('0x' || substr(sha256(COALESCE(text, '')), 5, 2) AS INT) % 32
+                           AS n_frames
+                FROM documents WHERE doc_id % 3 = 2
+            )
+            SELECT media_id, CAST(unnest(generate_series(0, n_frames - 1, 8)) AS INT)
+                       AS frame_idx
+            FROM v
         """,
         "media_resize": """
             WITH d AS (

@@ -57,10 +57,25 @@ def attach_binary(docs: DataFrame, modality: str = "image") -> DataFrame:
     UTF-8 bytes of the text (a stand-in for real media bytes); metadata
     computed JVM-side (octet_length, sha2) — the real pattern for binary
     ingest where payload hashing should never reach Python."""
+    return _attach(docs, F.lit(modality))
+
+
+def attach_binary_mixed(docs: DataFrame) -> DataFrame:
+    """Mixed-modality variant: modality cycles image/audio/video by
+    ``doc_id % 3``, exercising every decode branch (spatial dims, sample
+    rate, frame counts) in one table."""
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return _attach(docs, modality)
+
+
+def _attach(docs: DataFrame, modality) -> DataFrame:
     payload = F.encode(F.col("text"), "UTF-8")
     return docs.select(
         F.col("doc_id").alias("media_id"),
-        F.lit(modality).alias("modality"),
+        modality.alias("modality"),
         payload.alias("payload"),
         F.struct(
             F.octet_length(F.col("text")).cast("long").alias("byte_len"),
