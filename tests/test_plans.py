@@ -189,3 +189,19 @@ def test_df_cap_is_broadcast_anti_join(spark, sf_dir):
     assert "LeftAnti, BuildRight" in plan or (
         "LeftAnti" in plan and "BroadcastHashJoin" in plan
     ), plan[:2000]
+
+
+def test_exact_dedup_shuffles_digests_not_documents(spark, sf_dir):
+    """exact_dedup's exchange must partition on the 32-byte md5, and the
+    document text must be projected away BEFORE the shuffle — at 100 TB
+    the wire carries digests, not the corpus."""
+    from p2_mapreduce_spark.operators.dedup import exact_dedup
+    from p2_mapreduce_spark.session import load_table
+
+    plan = (
+        exact_dedup(load_table(spark, sf_dir, "documents"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning(text_md5" in plan, plan[:2000]
+    # no exchange keyed on the raw text column
+    assert "hashpartitioning(text#" not in plan and "hashpartitioning(text," not in plan

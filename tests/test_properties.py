@@ -31,7 +31,14 @@ from p2_mapreduce_spark.operators.graph import connected_components
     st.lists(
         st.text(
             alphabet=st.characters(
-                blacklist_categories=("Cs",)  # no lone surrogates (invalid UTF-8)
+                blacklist_categories=("Cs",),  # no lone surrogates (invalid UTF-8)
+                # the JVM regex engine and RE2 ship different Unicode
+                # table versions: codepoints added in newer Unicode (e.g.
+                # U+31350, CJK ext H, Unicode 15) are \p{L} to one engine
+                # and not the other.  The parity contract is over
+                # codepoints BOTH engines classify identically — cap at
+                # the pre-ext-H planes (covers every real-world script).
+                max_codepoint=0x2FFFF,
             ),
             max_size=80,
         ),
