@@ -568,6 +568,29 @@ def _q_fingerprint_docs(spark, sf_dir):
     )
 
 
+def _q_repetition_stats(spark, sf_dir):
+    from p2_mapreduce_spark.operators.curation import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _q_contamination(spark, sf_dir):
+    from p2_mapreduce_spark.operators.curation import benchmark_contamination
+
+    # n=3 / low threshold: the fixture vocabulary is ~30 words, so 3-gram
+    # overlap actually fires there (5-gram hits are ~0); the operator
+    # default stays at the real-pipeline n=5.
+    return benchmark_contamination(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.05
+    )
+
+
+def _q_pii_scrub(spark, sf_dir):
+    from p2_mapreduce_spark.operators.curation import pii_scrub
+
+    return pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
 def _q_binary_meta(spark, sf_dir):
     from p2_mapreduce_spark.operators.multimodal import binary_meta
 
@@ -751,6 +774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pretoken_stats": _q_bpe_pretoken_stats,
         "embedding_quantize": _q_embedding_quantize,
         "embed_near_pairs": _q_embed_near_pairs,
+        "repetition_stats": _q_repetition_stats,
+        "contamination": _q_contamination,
+        "pii_scrub": _q_pii_scrub,
     }
 
 
@@ -1877,6 +1903,95 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE word <> ''
+        """,
+        # Gopher-style repetition profile: token + bigram histograms per
+        # doc, exact-int ratio divisions (curation.repetition_stats twin).
+        "repetition_stats": f"""
+            WITH toks AS ({toks}),
+            tok AS (SELECT doc_id, unnest(t) AS g FROM toks),
+            tc AS (SELECT doc_id, g, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+            ts AS (SELECT doc_id,
+                          CAST(SUM(c) AS BIGINT) AS n_tokens,
+                          CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                          MAX(c) AS top_token_cnt
+                   FROM tc GROUP BY 1),
+            bg AS (SELECT doc_id, array_to_string(t[g.i:g.i+1], ' ') AS g
+                   FROM toks,
+                        LATERAL (SELECT unnest(generate_series(
+                            1, greatest(len(t)-1, 0))) AS i) g),
+            bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+            bs AS (SELECT doc_id,
+                          CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                          MAX(c) AS top_bigram_cnt
+                   FROM bc GROUP BY 1)
+            SELECT ts.doc_id, n_tokens, n_distinct,
+                   CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+                   CAST(top_token_cnt AS DOUBLE) / n_tokens AS top_token_ratio,
+                   CASE WHEN coalesce(n_bigrams, 0) > 0
+                        THEN CAST(top_bigram_cnt AS DOUBLE) / n_bigrams
+                        ELSE 0.0 END AS top_bigram_ratio,
+                   n_tokens >= 20 AND (
+                       (CASE WHEN coalesce(n_bigrams, 0) > 0
+                             THEN CAST(top_bigram_cnt AS DOUBLE) / n_bigrams
+                             ELSE 0.0 END > 0.18)
+                       OR (CAST(n_distinct AS DOUBLE) / n_tokens < 0.5)
+                   ) AS repetitive
+            FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+        """,
+        # benchmark decontamination twin: held-out slice doc_id%25=0,
+        # distinct 3-gram shingles, membership counts, exact-int ratio.
+        "contamination": f"""
+            WITH toks AS ({toks}),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(t[g.i:g.i+2], ' ') AS shingle
+                   FROM toks,
+                        LATERAL (SELECT unnest(generate_series(
+                            1, greatest(len(t)-2, 0))) AS i) g),
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 25 = 0),
+            corp AS (SELECT * FROM sh WHERE doc_id % 25 <> 0)
+            SELECT corp.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(SUM(CASE WHEN bench.shingle IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_contaminated,
+                   CAST(SUM(CASE WHEN bench.shingle IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                       AS contamination_ratio,
+                   CAST(SUM(CASE WHEN bench.shingle IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                       >= 0.05 AS contaminated
+            FROM corp LEFT JOIN bench ON corp.shingle = bench.shingle
+            GROUP BY corp.doc_id
+        """,
+        # PII/blocklist scrub twin: identical RE2/Java-shared patterns,
+        # identical replacement order (curation.SCRUB_PATTERNS).
+        "pii_scrub": r"""
+            WITH c AS (
+                SELECT doc_id, text,
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(text,
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g'),
+                          'https?://[^\s]+', '<URL>', 'g'),
+                        '[0-9]{6,}', '<NUM>', 'g'),
+                      '\b(customer|supplier)\b', '<BLOCKED>', 'g') AS clean
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text, 'https?://[^\s]+'))
+                       AS BIGINT) AS n_url,
+                   CAST(len(regexp_extract_all(text, '[0-9]{6,}'))
+                       AS BIGINT) AS n_longnum,
+                   CAST(len(regexp_extract_all(text,
+                       '\b(customer|supplier)\b')) AS BIGINT) AS n_blocked,
+                   CAST(length(clean) AS BIGINT) AS clean_len,
+                   md5(clean) AS clean_md5
+            FROM c
         """,
     }
     # star-contraction closure produces the same canonical

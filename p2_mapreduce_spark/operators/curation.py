@@ -1,0 +1,244 @@
+"""Training-data curation operators (extension surface).
+
+Gopher-style repetition scoring, benchmark-contamination detection, and
+PII / blocklist scrubbing — the filter stages a pretraining pipeline runs
+over the raw corpus before tokenization.  Like the rest of the extension
+surface, every kernel is a built-in-function pipeline (split / regexp /
+hash / integer aggregates, all JVM codegen) whose arithmetic is exact or
+single-IEEE-division, so each query is oracle-checkable cross-engine.
+
+Reference seed: none — the reference's analytics surface stops at
+tokenize+count (mapreduce/functions/wordcount.go:20-45); these are new
+components per BASELINE.json's north star (LLM-data pipeline ops as
+first-class operators).
+
+Scale notes (100 TB contract):
+- ``repetition_stats``: per-doc token/bigram histograms via exploded
+  groupBy — partial aggregation (map-side combine) bounds the shuffle to
+  distinct (doc, gram) pairs; all ratios are one exact-int division.
+- ``benchmark_contamination``: the benchmark shingle set is by
+  construction tiny (a benchmark, not a corpus) — it broadcasts, the
+  corpus side never shuffles on shingles, and the only exchange is the
+  per-doc count aggregate.
+- ``pii_scrub``: embarrassingly parallel map — regexp counts + chained
+  ``regexp_replace``, zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from p2_mapreduce_spark.functions.text import tokens_array
+from p2_mapreduce_spark.session import spread
+
+
+def _bigrams(toks: Column) -> Column:
+    """``array<string>`` of space-joined adjacent token pairs.
+
+    Built with two slices + ``zip_with`` (codegen, no Python).  Short-doc
+    guard mirrors dedup.hashed_shingles: ``sequence``/``slice`` semantics
+    require an explicit empty for < 2 tokens.
+    """
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition profile (the Gopher/MassiveText quality
+    rules): token count, distinct-token ratio, most-frequent-token share,
+    most-frequent-bigram share, and the resulting ``repetitive`` flag.
+
+    Two exploded histograms (tokens, bigrams), each collapsed with ONE
+    groupBy(doc, gram) + groupBy(doc) cascade: Spark's partial aggregation
+    combines counts map-side, so the exchange carries distinct grams per
+    doc, not the corpus.  The two profiles join on ``doc_id`` — both sides
+    already hash-partitioned on it by their final aggregate, so AQE plans
+    the join without a new shuffle.  Ratios are exact-int IEEE divisions
+    (oracle-identical); the flag thresholds follow Gopher Table A1
+    (top-bigram share > 0.18, distinct ratio < 0.5), gated on
+    ``n_tokens >= 20`` — repetition shares are meaningless on very short
+    docs (a 5-token doc's top bigram is ≥ 0.25 by pigeonhole), which is
+    why MassiveText applies a min-word-count filter before these rules.
+    """
+    toks = spread(docs).select(
+        F.col(id_col), tokens_array(F.col(text_col)).alias("t")
+    )
+    tok_hist = (
+        toks.select(id_col, F.explode("t").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_token_cnt"),
+        )
+    )
+    bg_hist = (
+        toks.select(id_col, F.explode(_bigrams(F.col("t"))).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_cnt"))
+    )
+    distinct_ratio = F.col("n_distinct") / F.col("n_tokens")
+    top_token_ratio = F.col("top_token_cnt") / F.col("n_tokens")
+    top_bigram_ratio = F.when(
+        F.col("n_bigrams") > 0, F.col("top_bigram_cnt") / F.col("n_bigrams")
+    ).otherwise(F.lit(0.0))
+    return (
+        tok_hist.join(bg_hist, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct",
+            distinct_ratio.alias("distinct_ratio"),
+            top_token_ratio.alias("top_token_ratio"),
+            top_bigram_ratio.alias("top_bigram_ratio"),
+        )
+        .withColumn(
+            "repetitive",
+            (F.col("n_tokens") >= 20)
+            & ((F.col("top_bigram_ratio") > 0.18) | (F.col("distinct_ratio") < 0.5)),
+        )
+    )
+
+
+def _string_shingles(
+    docs: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams as strings.
+
+    The string (not xxhash64) variant exists for set-membership against an
+    external reference list (benchmarks ship as text).  At 100 TB both
+    sides would be pre-hashed to 8 bytes (dedup.hashed_shingles); string
+    equality against a broadcast set is already shuffle-free, so the only
+    cost is comparison width.
+    """
+    toks = tokens_array(F.col(text_col))
+    sh = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    return spread(docs).select(
+        F.col(id_col), F.explode(sh).alias("shingle")
+    )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    n: int = 5,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram contamination against a benchmark set — the
+    decontamination stage every pretraining pipeline runs so eval data
+    does not leak into training data (GPT-3 appendix C / PaLM sec. 8
+    methodology: 13-gram / n-gram overlap).
+
+    ``benchmark`` defaults to the deterministic held-out slice
+    ``doc_id % 25 == 0`` (stands in for an external eval set).  Its
+    distinct shingle set is broadcast — a benchmark is KBs-to-MBs, never
+    corpus-sized — so the corpus side streams map-local through the
+    membership join; the only shuffle is the final per-doc count
+    aggregate.  Output: one row per non-benchmark doc with its distinct
+    shingle count, the number hitting the benchmark set, the exact-int
+    contamination ratio, and the ``contaminated`` flag.
+    """
+    if benchmark is None:
+        benchmark = docs.filter((F.col(id_col) % 25) == 0)
+        corpus = docs.filter((F.col(id_col) % 25) != 0)
+    else:
+        corpus = docs
+    bench_sh = (
+        _string_shingles(benchmark, n, text_col, id_col)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    doc_sh = _string_shingles(corpus, n, text_col, id_col)
+    ratio = F.col("n_contaminated") / F.col("n_shingles")
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_contaminated",
+            ratio.alias("contamination_ratio"),
+            (ratio >= threshold).alias("contaminated"),
+        )
+    )
+
+
+#: Scrub patterns, applied IN ORDER (order is part of the contract — a
+#: URL contains no '@' after the email pass, etc.).  Every pattern is
+#: shared Java-regex / RE2 syntax (no backrefs, no lookaround) so the
+#: oracle applies the identical automaton.
+SCRUB_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("longnum", r"[0-9]{6,}", "<NUM>"),
+)
+
+
+def pii_scrub(
+    docs: DataFrame,
+    blocklist: tuple[str, ...] = ("customer", "supplier"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PII / blocklist scrubbing: counts and redacts emails, URLs, long
+    digit runs, and a configurable term blocklist (known-bad domains /
+    terms in a real pipeline).
+
+    A pure per-row map — regexp counts via ``regexp_extract_all`` +
+    chained ``regexp_replace`` — with zero shuffles at any scale; the
+    output carries ``clean_md5`` instead of the scrubbed body so the
+    verification surface stays narrow (the full text would be written to
+    a sink, not collected).
+    """
+    text = F.col(text_col)
+    counts = []
+    clean = text
+    for name, pat, token in SCRUB_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+        clean = F.regexp_replace(clean, pat, token)
+    block_pat = r"\b(" + "|".join(blocklist) + r")\b"
+    counts.append(
+        F.size(F.regexp_extract_all(text, F.lit(block_pat), F.lit(0)))
+        .cast("bigint")
+        .alias("n_blocked")
+    )
+    clean = F.regexp_replace(clean, block_pat, "<BLOCKED>")
+    return spread(docs).select(
+        F.col(id_col),
+        *counts,
+        F.length(clean).cast("bigint").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )

@@ -1,0 +1,117 @@
+"""Unit tests for the training-data curation operators (operators/curation.py)."""
+
+import hashlib
+
+from pyspark.sql import Row
+
+from p2_mapreduce_spark.operators.curation import (
+    benchmark_contamination,
+    pii_scrub,
+    repetition_stats,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+class TestRepetitionStats:
+    def test_repetitive_doc_flagged(self, spark):
+        rep_text = " ".join(["a"] * 24 + ["b"])          # 25 tokens, 2 distinct
+        div_text = " ".join(f"tok{i}" for i in range(25))  # 25 distinct tokens
+        out = {
+            r["doc_id"]: r
+            for r in repetition_stats(_docs(spark, [rep_text, div_text])).collect()
+        }
+        rep = out[0]
+        assert rep["n_tokens"] == 25
+        assert rep["n_distinct"] == 2
+        assert rep["top_token_ratio"] == 24 / 25
+        # bigrams: "a a" x23, "a b" x1 -> top share 23/24
+        assert rep["top_bigram_ratio"] == 23 / 24
+        assert rep["repetitive"]
+        div = out[1]
+        assert div["distinct_ratio"] == 1.0
+        assert div["top_bigram_ratio"] == 1 / 24
+        assert not div["repetitive"]
+
+    def test_short_doc_never_flagged(self, spark):
+        # < 20 tokens: repetition shares are pigeonhole-inflated, so the
+        # flag is gated off (MassiveText min-word-count rule)
+        row = repetition_stats(_docs(spark, ["a a a a b"])).collect()[0]
+        assert row["top_bigram_ratio"] == 3 / 4
+        assert not row["repetitive"]
+
+    def test_single_token_doc_has_zero_bigram_ratio(self, spark):
+        row = repetition_stats(_docs(spark, ["hello"])).collect()[0]
+        assert row["n_tokens"] == 1
+        assert row["top_bigram_ratio"] == 0.0
+        # distinct_ratio 1.0, bigram 0.0 -> not repetitive
+        assert not row["repetitive"]
+
+    def test_zero_token_doc_dropped(self, spark):
+        # punctuation-only docs tokenize to nothing and produce no row
+        # (same as the unnest-of-empty oracle semantics)
+        assert repetition_stats(_docs(spark, ["!!! ...", "ok doc here"])).count() == 1
+
+
+class TestBenchmarkContamination:
+    def test_overlap_counted_against_explicit_benchmark(self, spark):
+        bench = _docs(spark, ["alpha beta gamma delta"])
+        corpus = spark.createDataFrame(
+            [
+                # shares the 3-gram "alpha beta gamma" and "beta gamma delta"
+                Row(doc_id=10, text="x alpha beta gamma delta y"),
+                Row(doc_id=11, text="totally unrelated words only here"),
+            ]
+        )
+        out = {
+            r["doc_id"]: r
+            for r in benchmark_contamination(
+                corpus, benchmark=bench, n=3, threshold=0.2
+            ).collect()
+        }
+        hit = out[10]
+        assert hit["n_shingles"] == 4
+        assert hit["n_contaminated"] == 2
+        assert hit["contamination_ratio"] == 0.5
+        assert hit["contaminated"]
+        assert out[11]["n_contaminated"] == 0
+        assert not out[11]["contaminated"]
+
+    def test_default_benchmark_is_deterministic_slice(self, spark):
+        docs = _docs(spark, [f"w{i} common trigram here tail{i}" for i in range(50)])
+        out = benchmark_contamination(docs, n=3, threshold=0.05)
+        ids = [r["doc_id"] for r in out.collect()]
+        # benchmark docs (doc_id % 25 == 0) are excluded from the output
+        assert 0 not in ids and 25 not in ids
+        assert len(ids) == 48
+
+
+class TestPiiScrub:
+    def test_counts_and_redaction(self, spark):
+        text = (
+            "contact bob@example.com or https://ex.com/a?b=1 "
+            "card 1234567890 customer supplier customer end"
+        )
+        row = pii_scrub(_docs(spark, [text])).collect()[0]
+        assert row["n_email"] == 1
+        assert row["n_url"] == 1
+        assert row["n_longnum"] == 1
+        assert row["n_blocked"] == 3
+        clean = (
+            "contact <EMAIL> or <URL> "
+            "card <NUM> <BLOCKED> <BLOCKED> <BLOCKED> end"
+        )
+        assert row["clean_len"] == len(clean)
+        assert row["clean_md5"] == hashlib.md5(clean.encode()).hexdigest()
+
+    def test_clean_text_passthrough(self, spark):
+        text = "no pii in this document at all"
+        row = pii_scrub(_docs(spark, [text])).collect()[0]
+        assert (
+            row["n_email"] == row["n_url"] == row["n_longnum"] == row["n_blocked"] == 0
+        )
+        assert row["clean_md5"] == hashlib.md5(text.encode()).hexdigest()
