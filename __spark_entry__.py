@@ -568,6 +568,100 @@ def _q_fingerprint_docs(spark, sf_dir):
     )
 
 
+def _q_volume_shipping(spark, sf_dir):
+    from p2_mapreduce_spark.operators.tpch import volume_shipping
+
+    return volume_shipping(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _q_market_share(spark, sf_dir):
+    from p2_mapreduce_spark.operators.tpch import market_share
+
+    return market_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        part=load_table(spark, sf_dir, "part"),
+    )
+
+
+def _q_product_revenue(spark, sf_dir):
+    from p2_mapreduce_spark.operators.tpch import product_revenue
+
+    return product_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def _q_returned_items(spark, sf_dir):
+    from p2_mapreduce_spark.operators.tpch import returned_items
+
+    return returned_items(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _q_ship_lag_priority(spark, sf_dir):
+    from p2_mapreduce_spark.operators.tpch import ship_lag_priority
+
+    return ship_lag_priority(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def _q_promo_revenue(spark, sf_dir):
+    from p2_mapreduce_spark.operators.tpch import promo_revenue
+
+    return promo_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def _q_supplier_part_variety(spark, sf_dir):
+    from p2_mapreduce_spark.operators.tpch import supplier_part_variety
+
+    return supplier_part_variety(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def _q_disjunctive_pricing(spark, sf_dir):
+    from p2_mapreduce_spark.operators.tpch import disjunctive_pricing
+
+    return disjunctive_pricing(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def _q_idle_rich_customers(spark, sf_dir):
+    from p2_mapreduce_spark.operators.tpch import idle_rich_customers
+
+    return idle_rich_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 def _q_repetition_stats(spark, sf_dir):
     from p2_mapreduce_spark.operators.curation import repetition_stats
 
@@ -777,6 +871,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "contamination": _q_contamination,
         "pii_scrub": _q_pii_scrub,
+        "volume_shipping": _q_volume_shipping,
+        "market_share": _q_market_share,
+        "product_revenue": _q_product_revenue,
+        "returned_items": _q_returned_items,
+        "ship_lag_priority": _q_ship_lag_priority,
+        "promo_revenue": _q_promo_revenue,
+        "supplier_part_variety": _q_supplier_part_variety,
+        "disjunctive_pricing": _q_disjunctive_pricing,
+        "idle_rich_customers": _q_idle_rich_customers,
     }
 
 
@@ -1962,6 +2065,142 @@ def oracle_sql() -> dict[str, str]:
                        >= 0.05 AS contaminated
             FROM corp LEFT JOIN bench ON corp.shingle = bench.shingle
             GROUP BY corp.doc_id
+        """,
+        # TPC-H-analog twins (operators/tpch.py) — same trimmed-schema
+        # adaptations, same exact-decimal revenue protocol.
+        "volume_shipping": f"""
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   {dsum('l_extendedprice * (1.0 - l_discount)', 24, 4)}
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+              AND cn.n_name IN ('NATION_1', 'NATION_2')
+              AND sn.n_name <> cn.n_name
+            GROUP BY 1, 2, 3
+        """,
+        "market_share": f"""
+            SELECT year(o_orderdate) AS o_year,
+                   {dsum("CASE WHEN sn.n_name = 'NATION_3' "
+                         "THEN l_extendedprice * (1.0 - l_discount) "
+                         "ELSE 0.0 END", 24, 4)} AS nation_rev,
+                   {dsum('l_extendedprice * (1.0 - l_discount)', 24, 4)}
+                       AS total_rev,
+                   {dsum("CASE WHEN sn.n_name = 'NATION_3' "
+                         "THEN l_extendedprice * (1.0 - l_discount) "
+                         "ELSE 0.0 END", 24, 4)}
+                   / {dsum('l_extendedprice * (1.0 - l_discount)', 24, 4)}
+                       AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            GROUP BY 1
+        """,
+        "product_revenue": f"""
+            SELECT sn.n_name AS nation, year(o_orderdate) AS o_year,
+                   {dsum('l_extendedprice * (1.0 - l_discount)', 24, 4)}
+                       AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+                     AND p_name LIKE '%widget%'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            GROUP BY 1, 2
+        """,
+        "returned_items": f"""
+            SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+                   {dsum('l_extendedprice * (1.0 - l_discount)', 24, 4)}
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-04-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "ship_lag_priority": """
+            SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+                        THEN 'fast'
+                        WHEN date_diff('day', o_orderdate, l_shipdate) <= 90
+                        THEN 'medium'
+                        ELSE 'slow' END AS lag_bucket,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        """,
+        "promo_revenue": f"""
+            SELECT {dsum("CASE WHEN p_type = 'PROMO' "
+                         "THEN l_extendedprice * (1.0 - l_discount) "
+                         "ELSE 0.0 END", 24, 4)} AS promo_rev,
+                   {dsum('l_extendedprice * (1.0 - l_discount)', 24, 4)}
+                       AS total_rev,
+                   100.0 * {dsum("CASE WHEN p_type = 'PROMO' "
+                                 "THEN l_extendedprice * (1.0 - l_discount) "
+                                 "ELSE 0.0 END", 24, 4)}
+                   / {dsum('l_extendedprice * (1.0 - l_discount)', 24, 4)}
+                       AS promo_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-02-01'
+        """,
+        "supplier_part_variety": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#11' AND p_size <= 25
+            GROUP BY 1, 2, 3
+        """,
+        "disjunctive_pricing": f"""
+            SELECT {dsum('l_extendedprice * (1.0 - l_discount)', 24, 4)}
+                       AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_quantity BETWEEN 1 AND 30
+              AND (
+                (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+                 AND l_quantity BETWEEN 1 AND 11)
+                OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10
+                    AND l_quantity BETWEEN 10 AND 20)
+                OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15
+                    AND l_quantity BETWEEN 20 AND 30)
+              )
+        """,
+        "idle_rich_customers": f"""
+            WITH seg AS (
+                SELECT c_mktsegment AS seg,
+                       {dsum('c_acctbal')} / COUNT(*) AS avg_bal
+                FROM customer WHERE c_acctbal > 0 GROUP BY 1
+            ),
+            active AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_cust,
+                   {dsum('c_acctbal')} AS total_bal
+            FROM customer
+            JOIN seg ON c_mktsegment = seg.seg
+            WHERE c_acctbal > avg_bal
+              AND c_custkey NOT IN (SELECT o_custkey FROM active)
+            GROUP BY 1
         """,
         # PII/blocklist scrub twin: identical RE2/Java-shared patterns,
         # identical replacement order (curation.SCRUB_PATTERNS).

@@ -1,0 +1,361 @@
+"""TPC-H-analog analytic queries over the trimmed star schema.
+
+The reference engine's users run ad-hoc analytics through its MapReduce
+verbs; this module closes the standard warehouse-query surface the way a
+Spark user would write it — declarative DataFrame plans that Catalyst
+turns into broadcast/shuffle joins with pushed-down filters.  Each query
+is adapted to the driver fixture's trimmed TPC-H schema (no partsupp, no
+l_shipmode/l_commitdate — see TESTDATA.md), keeping the *shape* of the
+classic query: the join graph, the aggregation grain, and the plan
+hazards (disjunctive pushdown, anti joins, share-of-total divisions).
+
+All money math follows the functions/numeric.py protocol: exact DECIMAL
+partial sums surfaced as DOUBLE, divisions as single IEEE ops — identical
+in the DuckDB oracle and reproducible under any partitioning/AQE re-plan.
+
+Scale notes are per-function; the common ones: ``nation``/``region`` are
+O(25)/O(5) rows and always broadcast; fact-fact joins shuffle on their
+keys and rely on AQE for skew; every filter is expressed on the base
+column so it reaches the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from p2_mapreduce_spark.functions.numeric import dsum
+
+#: line revenue at exact DECIMAL(24,4): price and discount are 2-decimal,
+#: their product is 4-decimal — exact, order-independent partial sums.
+_REV = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+def _rev_sum():
+    return dsum(_REV, scale=4, precision=24)
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """Q7 shape: bilateral trade volume between two nations by ship year.
+
+    Supplier-side and customer-side nation names join through the tiny
+    ``nation`` dim — both broadcast, so the only shuffles are the three
+    fact joins (lineitem⋈orders on orderkey, ⋈customer on custkey,
+    ⋈supplier on suppkey) and the final 2×#years-row aggregate.  The
+    nation-pair filter is applied to each dim *before* its broadcast, so
+    the fact-side hash joins drop non-qualifying rows at probe time —
+    the classic "filter the dimension, not the fact" pushdown.
+    """
+    n1 = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp = supplier.join(F.broadcast(n1), supplier.s_nationkey == n1.s_nk).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust = customer.join(F.broadcast(n2), customer.c_nationkey == n2.c_nk).select(
+        "c_custkey", "cust_nation"
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, lineitem.l_suppkey == supp.s_suppkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(_rev_sum().alias("revenue"))
+    )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_3",
+    target_region: str = "ASIA",
+    part: DataFrame | None = None,
+    part_type: str = "PROMO",
+) -> DataFrame:
+    """Q8 shape: the target nation's share of revenue per order year,
+    within one customer region and one part type.
+
+    The share is a per-year division of two exact-decimal sums computed
+    in ONE aggregate pass (conditional sum, not a self-join): Catalyst
+    folds the CASE into the partial aggregate, so the plan is scan →
+    joins → single groupBy(year) — no second traversal for the
+    denominator.  Customer-region and part-type dims broadcast.
+    """
+    reg = region.filter(F.col("r_name") == target_region).select("r_regionkey")
+    cnat = nation.join(
+        F.broadcast(reg), nation.n_regionkey == reg.r_regionkey
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    cust = customer.join(F.broadcast(cnat), customer.c_nationkey == F.col("c_nk")
+                         ).select("c_custkey")
+    snat = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    supp = supplier.join(F.broadcast(snat), supplier.s_nationkey == F.col("s_nk")
+                         ).select("s_suppkey", "supp_nation")
+    li = lineitem
+    if part is not None:
+        pk = part.filter(F.col("p_type") == part_type).select("p_partkey")
+        li = li.join(F.broadcast(pk), li.l_partkey == F.col("p_partkey"))
+    target_rev = F.when(F.col("supp_nation") == target_nation, _REV).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            dsum(target_rev, scale=4, precision=24).alias("nation_rev"),
+            _rev_sum().alias("total_rev"),
+        )
+        .select(
+            "o_year",
+            "nation_rev",
+            "total_rev",
+            (F.col("nation_rev") / F.col("total_rev")).alias("mkt_share"),
+        )
+    )
+
+
+def product_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    name_substr: str = "widget",
+) -> DataFrame:
+    """Q9 shape (sans partsupp — the fixture carries no supplycost):
+    revenue by supplier nation × order year for parts whose name contains
+    a substring.
+
+    The part filter is a non-sargable ``contains`` — it can't push to the
+    parquet reader, but it runs over the *part* dim (small) whose
+    surviving keys broadcast to the lineitem probe, so the fact table
+    still never materializes non-qualifying rows past the scan.
+    """
+    pk = part.filter(F.col("p_name").contains(name_substr)).select("p_partkey")
+    snat = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    supp = supplier.join(F.broadcast(snat), supplier.s_nationkey == F.col("s_nk")
+                         ).select("s_suppkey", "nation")
+    return (
+        lineitem.join(F.broadcast(pk), lineitem.l_partkey == F.col("p_partkey"))
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(supp, lineitem.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("bigint").alias("o_year")
+        )
+        .agg(_rev_sum().alias("sum_profit"))
+    )
+
+
+def returned_items(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """Q10 shape: top-k customers by revenue lost to returns in a
+    quarter.
+
+    Filters (returnflag, orderdate range) are base-column predicates —
+    both push to their scans before any join.  The top-k is a global
+    ``orderBy().limit(k)``: Spark plans TakeOrderedAndProject, which
+    keeps k rows per partition then k at the driver — no full sort at
+    any scale.  Ties broken on ``c_custkey`` so the k-set is
+    deterministic cross-engine.
+    """
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    )
+    nat = nation.select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation")
+    )
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(ords, lineitem.l_orderkey == ords.o_orderkey)
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(nat), customer.c_nationkey == F.col("nk"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "nation")
+        .agg(_rev_sum().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(k)
+    )
+
+
+def ship_lag_priority(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Q12 shape (the fixture has no shipmode/commitdate — the lag bucket
+    of ``l_shipdate - o_orderdate`` stands in for the shipmode): per
+    fulfillment-speed bucket, how many lines belong to high- vs
+    low-priority orders.
+
+    One fact-fact join on orderkey, then a 3-row aggregate; the CASE
+    priority split folds into the partial aggregate (single pass).
+    """
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(lag <= 30, "fast").when(lag <= 90, "medium").otherwise("slow")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("lag_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-02-01",
+) -> DataFrame:
+    """Q14 shape: percent of a month's revenue from promo-type parts.
+
+    Single-row answer computed in one pass (conditional numerator inside
+    the same aggregate); the shipdate range pushes to the lineitem scan
+    and the part dim broadcasts.  The percentage is one IEEE division of
+    two exact-decimal-as-double sums — oracle-identical.
+    """
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    )
+    p = part.select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", _REV).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            dsum(promo, scale=4, precision=24).alias("promo_rev"),
+            _rev_sum().alias("total_rev"),
+        )
+        .select(
+            "promo_rev",
+            "total_rev",
+            (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias(
+                "promo_pct"
+            ),
+        )
+    )
+
+
+def supplier_part_variety(
+    lineitem: DataFrame,
+    part: DataFrame,
+    excluded_brand: str = "Brand#11",
+    max_size: int = 25,
+) -> DataFrame:
+    """Q16 shape (partsupp replaced by the observed lineitem
+    part-supplier pairs): how many distinct suppliers ship each
+    (brand, type, size) class, excluding one brand and large sizes.
+
+    ``countDistinct`` over (grain, supplier) plans as two-level partial
+    aggregation (dedup then count) — no row explosion; the part filter
+    broadcasts its surviving keys.
+    """
+    pk = part.filter(
+        (F.col("p_brand") != excluded_brand) & (F.col("p_size") <= max_size)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(pk), F.col("l_partkey") == pk.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def disjunctive_pricing(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Q19 shape: revenue under an OR-of-ANDs predicate over three
+    brand/size/quantity envelopes.
+
+    The plan hazard Q19 exists to test: the disjunction must not defeat
+    pushdown.  The quantity bounds ``l_quantity BETWEEN 1 AND 30`` (the
+    hull of the three branches) are implied conjuncts — stated explicitly
+    so they reach the parquet scan even though the full OR can't.
+    Per-branch conditions evaluate post-join on the broadcast part dim.
+    """
+    li = lineitem.filter(F.col("l_quantity").between(1, 30))
+    p = part.select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 5)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 10)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(1, 15)
+           & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(_rev_sum().alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame, orders: DataFrame, since: str = "1999-01-01"
+) -> DataFrame:
+    """Q22 shape: per market segment, customers who hold above the
+    segment's average positive balance but have placed no order since a
+    cutoff date (every fixture customer has *some* order, so the classic
+    never-ordered variant is vacuous — recency keeps the anti-join shape
+    with real signal: the dormant high-balance cohort).
+
+    The segment averages are a 5-row aggregate → broadcast back onto
+    customer (no shuffle of the customer table for the threshold); the
+    recency test is a LEFT ANTI join against the *distinct custkeys of
+    recent orders* — date-filtered and projected to the key column before
+    the join, so the anti side shuffles recent keys, not order rows.
+    Output is one row per segment: count + exact-sum balance.
+    """
+    seg_avg = customer.filter(F.col("c_acctbal") > 0).groupBy(
+        F.col("c_mktsegment").alias("seg")
+    ).agg(
+        (dsum("c_acctbal") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    active = (
+        orders.filter(F.col("o_orderdate") >= F.lit(since).cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        customer.join(
+            F.broadcast(seg_avg), customer.c_mktsegment == F.col("seg")
+        )
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(active, customer.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )
