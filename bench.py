@@ -65,6 +65,12 @@ HEADLINE = (
     "knn_lsh",
     "embed_near_pairs",
     "dup_clusters_star",
+    "volume_shipping",
+    "market_share",
+    "returned_items",
+    "repetition_stats",
+    "contamination",
+    "pii_scrub",
 )
 
 

@@ -58,38 +58,55 @@ def repetition_stats(
     rules): token count, distinct-token ratio, most-frequent-token share,
     most-frequent-bigram share, and the resulting ``repetitive`` flag.
 
-    Two exploded histograms (tokens, bigrams), each collapsed with ONE
-    groupBy(doc, gram) + groupBy(doc) cascade: Spark's partial aggregation
-    combines counts map-side, so the exchange carries distinct grams per
-    doc, not the corpus.  The two profiles join on ``doc_id`` — both sides
-    already hash-partitioned on it by their final aggregate, so AQE plans
-    the join without a new shuffle.  Ratios are exact-int IEEE divisions
-    (oracle-identical); the flag thresholds follow Gopher Table A1
-    (top-bigram share > 0.18, distinct ratio < 0.5), gated on
-    ``n_tokens >= 20`` — repetition shares are meaningless on very short
-    docs (a 5-token doc's top bigram is ≥ 0.25 by pigeonhole), which is
-    why MassiveText applies a min-word-count filter before these rules.
+    ONE pass over the corpus: tokens and bigrams are concatenated into a
+    single tagged gram array (bigrams carry an order marker), exploded
+    once, and collapsed with one groupBy(doc, gram) + groupBy(doc)
+    cascade of conditional aggregates — the text is read, split, and
+    shuffled exactly once (a tokens-histogram + bigrams-histogram join
+    would tokenize and explode the corpus twice for no information
+    gain).  Spark's partial aggregation combines counts map-side, so the
+    exchange carries distinct grams per doc, not the corpus.  Ratios are
+    exact-int IEEE divisions (oracle-identical); the flag thresholds
+    follow Gopher Table A1 (top-bigram share > 0.18, distinct ratio <
+    0.5), gated on ``n_tokens >= 20`` — repetition shares are
+    meaningless on very short docs (a 5-token doc's top bigram is ≥ 0.25
+    by pigeonhole), which is why MassiveText applies a min-word-count
+    filter before these rules.
     """
     toks = spread(docs).select(
         F.col(id_col), tokens_array(F.col(text_col)).alias("t")
     )
-    tok_hist = (
-        toks.select(id_col, F.explode("t").alias("g"))
-        .groupBy(id_col, "g")
+    # tag: 1-grams vs 2-grams share one explode; a bigram's space makes
+    # it collision-free against tokens, but the explicit order byte keeps
+    # the split logic self-evident and n-gram-order generic
+    tagged = toks.select(
+        id_col,
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.col("t"), lambda x: F.struct(x.alias("g"), F.lit(1).alias("o"))
+                ),
+                F.transform(
+                    _bigrams(F.col("t")),
+                    lambda x: F.struct(x.alias("g"), F.lit(2).alias("o")),
+                ),
+            )
+        ).alias("gr"),
+    ).select(id_col, F.col("gr.g").alias("g"), F.col("gr.o").alias("o"))
+    is_tok = F.col("o") == 1
+    hist = (
+        tagged.groupBy(id_col, "g", "o")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy(id_col)
         .agg(
-            F.sum("c").alias("n_tokens"),
-            F.count(F.lit(1)).alias("n_distinct"),
-            F.max("c").alias("top_token_cnt"),
+            F.sum(F.when(is_tok, F.col("c"))).alias("n_tokens"),
+            F.count(F.when(is_tok, F.lit(1))).alias("n_distinct"),
+            F.max(F.when(is_tok, F.col("c"))).alias("top_token_cnt"),
+            F.coalesce(
+                F.sum(F.when(~is_tok, F.col("c"))), F.lit(0)
+            ).alias("n_bigrams"),
+            F.max(F.when(~is_tok, F.col("c"))).alias("top_bigram_cnt"),
         )
-    )
-    bg_hist = (
-        toks.select(id_col, F.explode(_bigrams(F.col("t"))).alias("g"))
-        .groupBy(id_col, "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_cnt"))
     )
     distinct_ratio = F.col("n_distinct") / F.col("n_tokens")
     top_token_ratio = F.col("top_token_cnt") / F.col("n_tokens")
@@ -97,8 +114,7 @@ def repetition_stats(
         F.col("n_bigrams") > 0, F.col("top_bigram_cnt") / F.col("n_bigrams")
     ).otherwise(F.lit(0.0))
     return (
-        tok_hist.join(bg_hist, id_col, "left")
-        .select(
+        hist.select(
             id_col,
             "n_tokens",
             "n_distinct",
@@ -163,17 +179,27 @@ def benchmark_contamination(
     contamination ratio, and the ``contaminated`` flag.
     """
     if benchmark is None:
-        benchmark = docs.filter((F.col(id_col) % 25) == 0)
-        corpus = docs.filter((F.col(id_col) % 25) != 0)
+        # held-out-slice mode: shingle the corpus ONCE and split the
+        # result — two _string_shingles passes would scan + tokenize +
+        # explode the whole table twice.  persist() before deriving both
+        # sides, or the upstream explode re-executes per consumer (same
+        # protocol as dedup.shingle_pairs; at 100 TB: checkpoint).
+        all_sh = _string_shingles(docs, n, text_col, id_col).persist()
+        bench_sh = (
+            all_sh.filter((F.col(id_col) % 25) == 0)
+            .select("shingle")
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        doc_sh = all_sh.filter((F.col(id_col) % 25) != 0)
     else:
-        corpus = docs
-    bench_sh = (
-        _string_shingles(benchmark, n, text_col, id_col)
-        .select("shingle")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    doc_sh = _string_shingles(corpus, n, text_col, id_col)
+        bench_sh = (
+            _string_shingles(benchmark, n, text_col, id_col)
+            .select("shingle")
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        doc_sh = _string_shingles(docs, n, text_col, id_col)
     ratio = F.col("n_contaminated") / F.col("n_shingles")
     return (
         doc_sh.join(F.broadcast(bench_sh), "shingle", "left")
