@@ -685,6 +685,12 @@ def _q_pii_scrub(spark, sf_dir):
     return pii_scrub(load_table(spark, sf_dir, "documents"))
 
 
+def _q_pack_sequences(spark, sf_dir):
+    from p2_mapreduce_spark.operators.curation import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
 def _q_binary_meta(spark, sf_dir):
     from p2_mapreduce_spark.operators.multimodal import binary_meta
 
@@ -871,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "contamination": _q_contamination,
         "pii_scrub": _q_pii_scrub,
+        "pack_sequences": _q_pack_sequences,
         "volume_shipping": _q_volume_shipping,
         "market_share": _q_market_share,
         "product_revenue": _q_product_revenue,
@@ -2065,6 +2072,23 @@ def oracle_sql() -> dict[str, str]:
                        >= 0.05 AS contaminated
             FROM corp LEFT JOIN bench ON corp.shingle = bench.shingle
             GROUP BY corp.doc_id
+        """,
+        # sequence-packing twin: the two-phase distributed prefix sum is
+        # partitioning-independent, so plain window cumsum in doc_id
+        # order reproduces it exactly.
+        "pack_sequences": f"""
+            WITH toks AS ({toks}),
+            c AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+                  FROM toks),
+            s AS (SELECT doc_id, n_tokens,
+                         SUM(n_tokens) OVER (
+                             ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+                         ) AS cum
+                  FROM c)
+            SELECT doc_id, n_tokens,
+                   CAST(cum - n_tokens AS BIGINT) AS token_offset,
+                   CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_id
+            FROM s
         """,
         # TPC-H-analog twins (operators/tpch.py) — same trimmed-schema
         # adaptations, same exact-decimal revenue protocol.

@@ -218,6 +218,83 @@ def benchmark_contamination(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    cap: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Sequence packing: assign each document a position in the
+    concatenated token stream and the fixed-size training sequence its
+    first token lands in — the chunking step that turns a curated corpus
+    into ``cap``-token training examples.
+
+    The global token offset is a prefix sum in ``doc_id`` order.  A
+    naive ``Window.orderBy(doc_id)`` with no partition key funnels the
+    corpus through ONE task — the classic scale-killer — so this is the
+    two-phase distributed prefix sum instead:
+
+    1. range-repartition by ``doc_id`` and materialize the partition id
+       (ranges are assigned to ascending partition ids, so pid order ==
+       key order);
+    2. within-partition running sum (parallel window, partitioned by
+       pid);
+    3. per-partition totals — a #partitions-row aggregate — prefix-summed
+       with a single-partition window that is *grain-bounded by
+       configuration* (#partitions, not data) and joined back broadcast.
+
+    The result is partitioning-INDEPENDENT (any range split reconstructs
+    the same global order), so the oracle is a plain SQL window cumsum.
+    ``offset / cap`` uses exact-int floor on values < 2^53 — identical
+    cross-engine.
+    """
+    from pyspark.sql import Window
+
+    from p2_mapreduce_spark.operators.text_analysis import token_count
+
+    toks = spread(docs).select(
+        F.col(id_col), token_count(F.col(text_col)).cast("bigint").alias("n_tokens")
+    )
+    if partitions:
+        toks = toks.repartitionByRange(partitions, F.col(id_col))
+    else:
+        toks = toks.repartitionByRange(F.col(id_col))
+    t = toks.withColumn("pid", F.spark_partition_id())
+    within = F.sum("n_tokens").over(
+        Window.partitionBy("pid").orderBy(id_col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    t = t.withColumn("local_cum", within)
+    part_offsets = (
+        t.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("part_total"))
+        .withColumn(
+            "part_offset",
+            F.coalesce(
+                F.sum("part_total").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "part_offset")
+    )
+    offset = F.col("part_offset") + F.col("local_cum") - F.col("n_tokens")
+    return (
+        t.join(F.broadcast(part_offsets), "pid")
+        .select(
+            id_col,
+            "n_tokens",
+            offset.alias("token_offset"),
+            F.floor(offset / F.lit(float(cap))).cast("bigint").alias("seq_id"),
+        )
+    )
+
+
 #: Scrub patterns, applied IN ORDER (order is part of the contract — a
 #: URL contains no '@' after the email pass, etc.).  Every pattern is
 #: shared Java-regex / RE2 syntax (no backrefs, no lookaround) so the

@@ -6,6 +6,7 @@ from pyspark.sql import Row
 
 from p2_mapreduce_spark.operators.curation import (
     benchmark_contamination,
+    pack_sequences,
     pii_scrub,
     repetition_stats,
 )
@@ -88,6 +89,37 @@ class TestBenchmarkContamination:
         # benchmark docs (doc_id % 25 == 0) are excluded from the output
         assert 0 not in ids and 25 not in ids
         assert len(ids) == 48
+
+
+class TestPackSequences:
+    def test_offsets_and_bins(self, spark):
+        # 4, 3, 5, 2 tokens in doc_id order; cap=6
+        texts = ["a b c d", "e f g", "h i j k l", "m n"]
+        rows = {
+            r["doc_id"]: r
+            for r in pack_sequences(_docs(spark, texts), cap=6).collect()
+        }
+        assert [rows[i]["token_offset"] for i in range(4)] == [0, 4, 7, 12]
+        # seq = floor(offset / 6)
+        assert [rows[i]["seq_id"] for i in range(4)] == [0, 0, 1, 2]
+
+    def test_partition_count_invariance(self, spark):
+        texts = [f"{'w ' * (i % 7 + 1)}end" for i in range(40)]
+        docs = _docs(spark, texts)
+        a = sorted(map(tuple, pack_sequences(docs, cap=16, partitions=2).collect()))
+        b = sorted(map(tuple, pack_sequences(docs, cap=16, partitions=7).collect()))
+        assert a == b
+
+    def test_offsets_are_prefix_sums(self, spark):
+        texts = ["x y", "z", "p q r"]
+        out = sorted(
+            pack_sequences(_docs(spark, texts), cap=100).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        cum = 0
+        for r in out:
+            assert r["token_offset"] == cum
+            cum += r["n_tokens"]
 
 
 class TestPiiScrub:
