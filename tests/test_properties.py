@@ -125,3 +125,65 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
     got = {r["v"]: r["component"] for r in connected_components(df).collect()}
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=2, max_value=9),
+)
+def test_pack_sequences_is_a_prefix_sum_under_any_partitioning(
+    spark, token_counts, cap, n_parts
+):
+    """pack_sequences == the driver-side prefix sum, for any doc sizes
+    (incl. zero-token docs), any cap, any range-partition count."""
+    from p2_mapreduce_spark.operators.curation import pack_sequences
+
+    texts = [(i, " ".join(["w"] * n)) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["token_offset"], r["seq_id"])
+        for r in pack_sequences(df, cap=cap, partitions=n_parts).collect()
+    }
+    cum = 0
+    for i, n in enumerate(token_counts):
+        assert got[i] == (n, cum, cum // cap)
+        cum += n
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdefg"), min_size=0, max_size=30
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_repetition_stats_matches_local_histograms(spark, texts):
+    """repetition_stats == a local Counter over tokens/bigrams, for
+    arbitrary small-alphabet docs (high collision rates stress the
+    tagged single-explode path)."""
+    from collections import Counter
+
+    from p2_mapreduce_spark.operators.curation import repetition_stats
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    for i, text in enumerate(texts):
+        toks = [t for t in text.split() if t]
+        if not toks:
+            assert i not in got
+            continue
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        tc, bc = Counter(toks), Counter(bigrams)
+        r = got[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_distinct"] == len(tc)
+        assert r["top_token_ratio"] == max(tc.values()) / len(toks)
+        if bigrams:
+            assert r["top_bigram_ratio"] == max(bc.values()) / len(bigrams)
+        else:
+            assert r["top_bigram_ratio"] == 0.0
