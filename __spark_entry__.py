@@ -685,6 +685,12 @@ def _q_pii_scrub(spark, sf_dir):
     return pii_scrub(load_table(spark, sf_dir, "documents"))
 
 
+def _q_heavy_hitters(spark, sf_dir):
+    from p2_mapreduce_spark.operators.text_analysis import heavy_hitters
+
+    return heavy_hitters(load_table(spark, sf_dir, "documents"))
+
+
 def _q_pack_sequences(spark, sf_dir):
     from p2_mapreduce_spark.operators.curation import pack_sequences
 
@@ -878,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": _q_pack_sequences,
+        "heavy_hitters": _q_heavy_hitters,
         "volume_shipping": _q_volume_shipping,
         "market_share": _q_market_share,
         "product_revenue": _q_product_revenue,
@@ -2072,6 +2079,43 @@ def oracle_sql() -> dict[str, str]:
                        >= 0.05 AS contaminated
             FROM corp LEFT JOIN bench ON corp.shingle = bench.shingle
             GROUP BY corp.doc_id
+        """,
+        # CMS heavy-hitters twin: md5-60-bit bucket hash (the SimHash md5
+        # family) makes the whole sketch — not just the exact counts —
+        # value-hash comparable; overcount >= 0 is the CMS guarantee as
+        # data.
+        "heavy_hitters": f"""
+            WITH tok AS (
+                SELECT word FROM (
+                    SELECT lower(unnest(regexp_split_to_array(text, '{_TOK}')))
+                        AS word
+                    FROM documents
+                ) WHERE word <> ''
+            ),
+            tc AS (SELECT word, COUNT(*) AS c FROM tok GROUP BY 1),
+            seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+            sb AS (
+                SELECT seed,
+                       CAST(CAST('0x' || substr(md5(
+                           CAST(seed AS VARCHAR) || ':' || word), 18, 15)
+                           AS BIGINT) % 256 AS BIGINT) AS b,
+                       CAST(SUM(c) AS BIGINT) AS bucket_cnt
+                FROM tc CROSS JOIN seeds GROUP BY 1, 2
+            ),
+            topk AS (SELECT word, c FROM tc
+                     ORDER BY c DESC, word LIMIT 10),
+            probes AS (
+                SELECT t.word, t.c, s.seed,
+                       CAST(CAST('0x' || substr(md5(
+                           CAST(s.seed AS VARCHAR) || ':' || t.word), 18, 15)
+                           AS BIGINT) % 256 AS BIGINT) AS b
+                FROM topk t CROSS JOIN seeds s
+            )
+            SELECT p.word, CAST(p.c AS BIGINT) AS exact_cnt,
+                   MIN(sb.bucket_cnt) AS cms_est,
+                   MIN(sb.bucket_cnt) - CAST(p.c AS BIGINT) AS overcount
+            FROM probes p JOIN sb ON sb.seed = p.seed AND sb.b = p.b
+            GROUP BY 1, 2
         """,
         # sequence-packing twin: the two-phase distributed prefix sum is
         # partitioning-independent, so plain window cumsum in doc_id

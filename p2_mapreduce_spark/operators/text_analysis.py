@@ -229,3 +229,95 @@ def top_bigrams(docs: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "bigram")
         .limit(k)
     )
+
+
+def _md5_60(col: Column) -> Column:
+    """Oracle-computable 60-bit hash (same family as the SimHash md5
+    variant, dedup.py _simhash_token_hash): the 15-hex-digit md5 tail as
+    a non-negative long — DuckDB reproduces it with
+    ``CAST('0x'||substr(md5(x),18,15) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(col), 18, 15), 16, 10).cast("long")
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    k: int = 10,
+    depth: int = 4,
+    width: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-Min-Sketch heavy hitters: the exact top-k tokens with their
+    CMS estimates and the sketch's signature one-sided overcount.
+
+    The sketch is built FROM the per-token count table, not the raw token
+    stream: bucket counts are sums of token counts, so aggregating the
+    (already shuffled) distinct-token table gives the identical sketch at
+    a fraction of the cost — one corpus-wide shuffle total, then
+    everything downstream operates on distinct tokens (bounded by
+    vocabulary, not corpus).  The sketch itself is ``depth × width`` rows
+    — configuration-sized, broadcast to the top-k probe.
+
+    Every column is exactly reproducible cross-engine (md5-60-bit bucket
+    hash, integer sums), so unlike most sketches this one is value-hash
+    oracle-checkable end to end; ``overcount = cms_est - exact >= 0`` is
+    the CMS guarantee, surfaced as data instead of a pytest-only bound.
+    """
+    toks = spread(docs).select(
+        F.explode(tokens_array(F.col(text_col))).alias("word")
+    )
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    seeds = list(range(depth))
+    # distinct-token table → (seed, bucket, sum of counts): the CMS rows
+    buckets = (
+        counts.select(
+            "cnt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("seed"),
+                            (
+                                _md5_60(
+                                    F.concat(F.lit(f"{s}:"), F.col("word"))
+                                )
+                                % width
+                            ).alias("b"),
+                        )
+                        for s in seeds
+                    ]
+                )
+            ).alias("sb"),
+        )
+        .groupBy(F.col("sb.seed").alias("seed"), F.col("sb.b").alias("b"))
+        .agg(F.sum("cnt").alias("bucket_cnt"))
+    )
+    topk = counts.orderBy(F.col("cnt").desc(), "word").limit(k)
+    probes = topk.select(
+        "word",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        (
+                            _md5_60(F.concat(F.lit(f"{s}:"), F.col("word")))
+                            % width
+                        ).alias("b"),
+                    )
+                    for s in seeds
+                ]
+            )
+        ).alias("sb"),
+    ).select("word", "cnt", F.col("sb.seed").alias("seed"), F.col("sb.b").alias("b"))
+    return (
+        probes.join(F.broadcast(buckets), ["seed", "b"])
+        .groupBy("word", "cnt")
+        .agg(F.min("bucket_cnt").alias("cms_est"))
+        .select(
+            "word",
+            F.col("cnt").alias("exact_cnt"),
+            "cms_est",
+            (F.col("cms_est") - F.col("cnt")).alias("overcount"),
+        )
+    )

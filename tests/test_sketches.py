@@ -57,3 +57,32 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
             (b["p27"], b["p52"], b["p77"]),
         ):
             assert lo <= approx <= hi
+
+
+class TestHeavyHitters:
+    def test_cms_overcount_is_one_sided(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.text_analysis import heavy_hitters
+        from p2_mapreduce_spark.session import load_table
+
+        out = heavy_hitters(load_table(spark, sf_dir, "documents"), k=10).collect()
+        assert len(out) == 10
+        for r in out:
+            # the Count-Min guarantee: estimates never undercount
+            assert r["cms_est"] >= r["exact_cnt"]
+            assert r["overcount"] == r["cms_est"] - r["exact_cnt"]
+
+    def test_exact_counts_match_local_counter(self, spark):
+        from collections import Counter
+
+        from pyspark.sql import Row
+
+        from p2_mapreduce_spark.operators.text_analysis import heavy_hitters
+
+        texts = ["a a a b b c", "a b c d", "a e e e"]
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        )
+        counts = Counter(" ".join(texts).split())
+        got = {r["word"]: r["exact_cnt"] for r in heavy_hitters(df, k=3).collect()}
+        want = dict(sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
+        assert got == want
