@@ -75,6 +75,11 @@ def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     comparison — measured 8× on the local dedup bench.  When the scan
     already has >= defaultParallelism partitions (the 100 TB case) this is
     a no-op: no shuffle is added at scale."""
+    if df.isStreaming:
+        # micro-batch partitioning is the source's business (and .rdd is
+        # illegal on a streaming plan) — pass through untouched so every
+        # stateless operator built on spread() runs on readStream as-is
+        return df
     target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

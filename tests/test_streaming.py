@@ -257,3 +257,38 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_streaming_pii_scrub_matches_batch(spark, sf_dir, tmp_path):
+    """Stateless curation ops run unchanged on streams: the same
+    pii_scrub plan over readStream produces exactly the batch rows
+    (append mode, no watermark needed — zero state)."""
+    from p2_mapreduce_spark.operators.curation import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_stream")
+    docs.write.mode("overwrite").parquet(src)
+
+    batch = {tuple(r) for r in pii_scrub(docs).collect()}
+
+    stream_docs = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        pii_scrub(stream_docs)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pii_stream_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            tuple(r)
+            for r in spark.sql("SELECT * FROM pii_stream_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch
