@@ -685,6 +685,29 @@ def _q_pii_scrub(spark, sf_dir):
     return pii_scrub(load_table(spark, sf_dir, "documents"))
 
 
+def _q_salted_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.functions.numeric import dsum
+    from p2_mapreduce_spark.operators.skew import salted_join
+
+    joined = salted_join(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+        salt_source="l_linenumber",
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            scale=4,
+            precision=24,
+        ).alias("revenue"),
+    )
+
+
 def _q_heavy_hitters(spark, sf_dir):
     from p2_mapreduce_spark.operators.text_analysis import heavy_hitters
 
@@ -885,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": _q_pack_sequences,
         "heavy_hitters": _q_heavy_hitters,
+        "salted_join": _q_salted_join,
         "volume_shipping": _q_volume_shipping,
         "market_share": _q_market_share,
         "product_revenue": _q_product_revenue,
@@ -2079,6 +2103,15 @@ def oracle_sql() -> dict[str, str]:
                        >= 0.05 AS contaminated
             FROM corp LEFT JOIN bench ON corp.shingle = bench.shingle
             GROUP BY corp.doc_id
+        """,
+        # salted-join twin: salting is a physical redistribution only —
+        # the oracle is the PLAIN join (result-set equality is the spec).
+        "salted_join": f"""
+            SELECT o_orderstatus, COUNT(*) AS n_lines,
+                   {dsum('l_extendedprice * (1.0 - l_discount)', 24, 4)}
+                       AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
         """,
         # CMS heavy-hitters twin: md5-60-bit bucket hash (the SimHash md5
         # family) makes the whole sketch — not just the exact counts —

@@ -49,3 +49,45 @@ def salted_user_stats(events: DataFrame, n_salts: int = 8) -> DataFrame:
             "bigint"
         ).alias("n_event_types"),
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 8,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Skew-safe equi join: salt the fact side, REPLICATE the dim side.
+
+    When the build side is too big to broadcast and a handful of fact
+    keys are hot, a plain shuffle join puts every row of a hot key in one
+    task.  The standing fix (pre-AQE, and still the answer when AQE's
+    split heuristics miss — e.g. the skew is in a later stage's input,
+    not shuffle files): append ``salt = hash(row) % n_salts`` to the fact
+    key, cross the dim side with ``explode(sequence(0, n_salts-1))`` so
+    every (dim_key, salt) pair exists, and join on (key, salt) — the hot
+    key now spreads over ``n_salts`` tasks at the cost of writing the dim
+    side ``n_salts``× into the shuffle (dim is the SMALL side; the fact
+    side is written once, unchanged).
+
+    The salt derives from a deterministic uniform hash of
+    ``salt_source`` (default: the fact key itself plus a row-unique
+    column is better — pass e.g. the fact table's line number), so the
+    result set is identical for ANY ``n_salts`` — pinned by the
+    partition/salt invariance test.  Join semantics are inner; the salt
+    columns never escape.
+    """
+    src = salt_source or fact_key
+    f = fact.withColumn("__salt", F.pmod(F.xxhash64(F.col(src)), F.lit(n_salts)))
+    d = dim.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>")),
+    )
+    out = f.join(
+        d,
+        (F.col(fact_key) == F.col(dim_key)) & (f["__salt"] == d["__salt"]),
+        "inner",
+    )
+    return out.drop(f["__salt"]).drop(d["__salt"])

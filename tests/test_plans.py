@@ -205,3 +205,26 @@ def test_exact_dedup_shuffles_digests_not_documents(spark, sf_dir):
     assert "hashpartitioning(text_md5" in plan, plan[:2000]
     # no exchange keyed on the raw text column
     assert "hashpartitioning(text#" not in plan and "hashpartitioning(text," not in plan
+
+
+def test_salted_join_result_is_salt_invariant(spark, sf_dir):
+    """salted_join == plain join for any salt count (salting is physical
+    redistribution, never semantics), and the salt columns don't leak."""
+    from p2_mapreduce_spark.session import load_table
+    from p2_mapreduce_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    want = sorted(map(tuple, plain.collect()))
+    for n_salts in (1, 8):
+        got = salted_join(
+            li, orders, "l_orderkey", "o_orderkey",
+            n_salts=n_salts, salt_source="l_linenumber",
+        )
+        assert "__salt" not in got.columns
+        assert sorted(map(tuple, got.collect())) == want
