@@ -685,6 +685,12 @@ def _q_pii_scrub(spark, sf_dir):
     return pii_scrub(load_table(spark, sf_dir, "documents"))
 
 
+def _q_ohlc_rollup(spark, sf_dir):
+    from p2_mapreduce_spark.streaming.events import ohlc_rollup
+
+    return ohlc_rollup(load_table(spark, sf_dir, "events"))
+
+
 def _q_salted_join(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -909,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "heavy_hitters": _q_heavy_hitters,
         "salted_join": _q_salted_join,
+        "ohlc_rollup": _q_ohlc_rollup,
         "volume_shipping": _q_volume_shipping,
         "market_share": _q_market_share,
         "product_revenue": _q_product_revenue,
@@ -2103,6 +2110,22 @@ def oracle_sql() -> dict[str, str]:
                        >= 0.05 AS contaminated
             FROM corp LEFT JOIN bench ON corp.shingle = bench.shingle
             GROUP BY corp.doc_id
+        """,
+        # OHLC rollup twin: same zero-padded (epoch µs, event_id) string
+        # key for the deterministic open/close pick.
+        "ohlc_rollup": f"""
+            SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+                   arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                           || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+                       AS open,
+                   arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                           || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+                       AS close,
+                   MAX(value) AS high, MIN(value) AS low,
+                   COUNT(*) AS n_events,
+                   {dsum('value')} AS sum_value
+            FROM {ev}
+            GROUP BY 1, 2
         """,
         # salted-join twin: salting is a physical redistribution only —
         # the oracle is the PLAIN join (result-set equality is the spec).

@@ -204,3 +204,36 @@ def tumbling_window_stream(
             F.sum("value").alias("sum_value"),
         )
     )
+
+
+def ohlc_rollup(events: DataFrame, width: str = "hour") -> DataFrame:
+    """Hypertable-style OHLC rollup: per (time bucket, event_type) the
+    opening/closing/high/low ``value`` plus count and exact sum — the
+    continuous-aggregate downsampling a time-series store materializes.
+
+    One projection + one hash aggregate (a shuffle on the bucket grain
+    only — partial aggs shrink it map-side), same shape as
+    :func:`tumbling_window_agg`; open/close use ``min_by``/``max_by``
+    over a zero-padded ``(epoch µs, event_id)`` string key, which makes
+    the pick deterministic even when two events share a timestamp (the
+    cross-engine contract: lexicographic on the padded key ==
+    lexicographic on the tuple; a bare ``min_by(value, ts)`` would be
+    partition-order-dependent on ties).
+    """
+    sort_key = F.format_string(
+        "%020d%010d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    return (
+        events.groupBy(
+            F.date_trunc(width, F.col("ts")).alias("bucket_start"),
+            "event_type",
+        )
+        .agg(
+            F.min_by("value", sort_key).alias("open"),
+            F.max_by("value", sort_key).alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )

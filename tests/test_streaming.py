@@ -292,3 +292,27 @@ def test_streaming_pii_scrub_matches_batch(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got == batch
+
+
+def test_ohlc_rollup_open_close_deterministic_on_ts_ties(spark):
+    """Two events in one bucket with the SAME timestamp: open/close must
+    break the tie on event_id, not partition order."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from p2_mapreduce_spark.streaming.events import ohlc_rollup
+
+    t = datetime.datetime(2000, 1, 1, 10, 15)
+    rows = [
+        Row(event_id=2, ts=t, user_id=1, event_type="x", value=50.0),
+        Row(event_id=1, ts=t, user_id=1, event_type="x", value=10.0),
+        Row(event_id=3, ts=t + datetime.timedelta(minutes=5), user_id=1,
+            event_type="x", value=30.0),
+    ]
+    out = ohlc_rollup(spark.createDataFrame(rows).repartition(3)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["open"] == 10.0   # event_id 1 wins the tie
+    assert r["close"] == 30.0  # latest ts
+    assert (r["high"], r["low"], r["n_events"]) == (50.0, 10.0, 3)
