@@ -21,6 +21,11 @@ reference command              this CLI
 ``node``                       cluster status (executor memory ledger —
                                the reference's storage-node listing)
 ``funcs``                      list registered plugin pairs (M14 registry)
+``sql "<query>"``              extension verb: ad-hoc Catalyst SQL over the
+                               star-schema tables (``--tables-dir``) and
+                               every catalog dataset (no reference analog —
+                               the reference answers one-off questions by
+                               writing a plugin)
 =============================  ============================================
 
 A user of the reference can run the same workflows verbatim:
@@ -33,6 +38,7 @@ from __future__ import annotations
 import argparse
 import glob
 import os
+import re
 import shutil
 import sys
 import tempfile
@@ -189,6 +195,37 @@ def cmd_node(spark, root: str) -> str:
     return "\n".join(lines)
 
 
+def cmd_sql(
+    spark, root: str, query: str, tables_dir: str | None = None, limit: int = 100
+) -> str:
+    """Ad-hoc SQL front door (extension verb — the reference has no query
+    language; this is the Spark-native replacement for writing a plugin
+    for every one-off question).
+
+    Registers the star-schema parquet tables from ``tables_dir`` (if
+    given) and every catalog text dataset as temp views, runs the query
+    through ``spark.sql`` (full Catalyst: pushdown, broadcast, AQE), and
+    prints a TSV page of at most ``limit`` rows — the *print* is
+    driver-side paged, the query itself is unrestricted."""
+    if tables_dir:
+        from p2_mapreduce_spark.session import TABLES, load_table
+
+        for t in TABLES:
+            if os.path.exists(os.path.join(tables_dir, f"{t}.parquet")):
+                load_table(spark, tables_dir, t).createOrReplaceTempView(t)
+    cat = _catalog(spark, root)
+    for key in cat.list():
+        if key.startswith("_blobs/"):
+            continue
+        safe = re.sub(r"[^A-Za-z0-9_]", "_", key)
+        cat.load(key).createOrReplaceTempView(safe)
+    df = spark.sql(query)
+    rows = df.limit(limit).collect()
+    header = "\t".join(df.columns)
+    body = "\n".join("\t".join(str(v) for v in r) for r in rows)
+    return f"{header}\n{body}" if body else header
+
+
 def cmd_funcs(spark, root: str) -> str:
     from p2_mapreduce_spark.registry import default_registry
 
@@ -222,6 +259,11 @@ def _build_parser() -> argparse.ArgumentParser:
     up_pl.add_argument("plugin_id")
     sub.add_parser("node")
     sub.add_parser("funcs")
+    sq = sub.add_parser("sql")
+    sq.add_argument("query")
+    sq.add_argument("--tables-dir", default=None,
+                    help="register star-schema parquet tables from this dir")
+    sq.add_argument("--limit", type=int, default=100)
     return p
 
 
@@ -249,6 +291,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> st
         out = cmd_upload_plugin(spark, root, args.local_path, args.plugin_id)
     elif args.cmd == "node":
         out = cmd_node(spark, root)
+    elif args.cmd == "sql":
+        out = cmd_sql(spark, root, args.query,
+                      tables_dir=args.tables_dir, limit=args.limit)
     else:
         out = cmd_funcs(spark, root)
     print(out)

@@ -145,3 +145,34 @@ def test_cli_upload_plugin_rejects_missing_symbols(spark, tmp_path):
 def test_cli_node_reports_executors(spark, tmp_path):
     out = cli.main(["--root", str(tmp_path / "dfs"), "node"], spark=spark)
     assert "defaultParallelism=" in out and "free=" in out
+
+
+def test_cli_sql_verb_over_tables_and_catalog(spark, sf_dir, tmp_path):
+    """`sql` runs ad-hoc Catalyst SQL over the star schema and catalog
+    datasets; output is a TSV page."""
+    from p2_mapreduce_spark import cli
+
+    root = str(tmp_path / "dfs")
+    out = cli.main(
+        [
+            "--root", root,
+            "sql",
+            "SELECT r_name, COUNT(*) AS n FROM region GROUP BY 1 ORDER BY 1",
+            "--tables-dir", sf_dir,
+        ],
+        spark=spark,
+    )
+    lines = out.splitlines()
+    assert lines[0] == "r_name\tn"
+    assert len(lines) == 6  # 5 regions + header
+
+    # catalog datasets are visible as views too
+    smallt = str(tmp_path / "smallt.txt")
+    with open(smallt, "w") as f:
+        f.write("alpha beta\nbeta\n")
+    cli.main(["--root", root, "upload", smallt, "smallt"], spark=spark)
+    out2 = cli.main(
+        ["--root", root, "sql", "SELECT COUNT(*) AS n FROM smallt"],
+        spark=spark,
+    )
+    assert out2.splitlines()[1] == "2"
