@@ -685,6 +685,19 @@ def _q_pii_scrub(spark, sf_dir):
     return pii_scrub(load_table(spark, sf_dir, "documents"))
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.dedup import minhash_lsh_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    # deterministic ingest split: the "new batch" is doc_id % 5 == 4
+    return minhash_lsh_incremental(
+        docs.filter((F.col("doc_id") % 5) == 4),
+        docs.filter((F.col("doc_id") % 5) != 4),
+    )
+
+
 def _q_ohlc_rollup(spark, sf_dir):
     from p2_mapreduce_spark.streaming.events import ohlc_rollup
 
@@ -916,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "salted_join": _q_salted_join,
         "ohlc_rollup": _q_ohlc_rollup,
+        "dedup_incremental": _q_dedup_incremental,
         "volume_shipping": _q_volume_shipping,
         "market_share": _q_market_share,
         "product_revenue": _q_product_revenue,
@@ -1446,6 +1460,19 @@ def oracle_sql() -> dict[str, str]:
             """SELECT doc_a, doc_b,
                    CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) AS jaccard""",
         ),
+        # incremental twin: the cross-side slice of the exact-Jaccard
+        # pairs (LSH recall is total on the fixtures — same empirical-
+        # equality oracle as dedup_minhash, restricted to pairs that
+        # straddle the new/corpus split)
+        "dedup_incremental": f"""
+            SELECT * FROM ({_ngram_pairs_sql(
+                shingles,
+                '''SELECT doc_a, doc_b,
+                   CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common)
+                       AS jaccard''',
+            )})
+            WHERE (doc_a % 5 = 4) <> (doc_b % 5 = 4)
+        """,
         "dedup_simhash": _simhash_sql(toks),
         # Fake-codec twins (operators/multimodal._fake_decode): metadata is
         # a pure function of sha256(payload) where payload = UTF-8(text),

@@ -412,3 +412,103 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    max_bucket: int = MAX_DF,
+) -> DataFrame:
+    """Incremental near-dup: which NEW documents duplicate the existing
+    corpus — the daily-ingest contract.  Only cross-side candidate pairs
+    are generated; new×new and corpus×corpus comparisons never happen
+    (the corpus is already deduped, and re-verifying it every batch is
+    the difference between O(|new|·collisions) and re-running the whole
+    job).
+
+    Same LSH machinery as :func:`minhash_lsh_pairs`, with the self-join
+    replaced by a two-sided band join.  At 100 TB the corpus-side
+    artifacts (bands + hashed shingles + sizes — pure functions of each
+    doc) are write-once: persist them alongside the corpus like the IVF
+    index (similarity.save_ivf_index) and each batch only computes the
+    new side.  The hot-bucket cap counts bucket membership across BOTH
+    sides — a boilerplate bucket is quadratic regardless of which side
+    its members came from.
+
+    Output: (doc_a, doc_b, jaccard) with ``doc_a < doc_b`` (one row per
+    cross pair at ``jaccard >= threshold``), directly comparable to the
+    cross-side slice of :func:`ngram_jaccard_pairs`."""
+    rows_per_band = num_hashes // num_bands
+
+    def _side(docs: DataFrame):
+        hs = hashed_shingles(docs, n, text_col, id_col).persist()
+        per_doc = hs.groupBy("doc").agg(
+            *_minhash_aggs(num_hashes), F.count(F.lit(1)).alias("n_shingles")
+        )
+        bands = per_doc.select(
+            "doc",
+            F.posexplode(
+                F.array(*[
+                    F.xxhash64(*[
+                        F.col(f"mh{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ])
+                    for b in range(num_bands)
+                ])
+            ).alias("band", "band_hash"),
+        )
+        return hs, per_doc.select("doc", "n_shingles"), bands
+
+    hs_n, sizes_n, bands_n = _side(new_docs)
+    hs_c, sizes_c, bands_c = _side(corpus_docs)
+    if max_bucket is not None:
+        both = bands_n.select("band", "band_hash").union(
+            bands_c.select("band", "band_hash")
+        )
+        hot = (
+            both.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") > max_bucket)
+            .select("band", "band_hash")
+        )
+        bands_n = bands_n.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
+        bands_c = bands_c.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
+    nb, cb = bands_n.alias("nb"), bands_c.alias("cb")
+    candidates = (
+        nb.join(
+            cb,
+            (F.col("nb.band") == F.col("cb.band"))
+            & (F.col("nb.band_hash") == F.col("cb.band_hash")),
+        )
+        .select(
+            F.least(F.col("nb.doc"), F.col("cb.doc")).alias("doc_a"),
+            F.greatest(F.col("nb.doc"), F.col("cb.doc")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh = hs_n.union(hs_c)
+    sizes = sizes_n.union(sizes_c)
+    sh_a = sh.select(F.col("doc").alias("doc_a"), F.col("h"))
+    sh_b = sh.select(F.col("doc").alias("doc_b"), F.col("h"))
+    inter = (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

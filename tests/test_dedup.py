@@ -152,3 +152,31 @@ def test_simhash_md5_family_matches_xx_semantics(spark):
         assert fp1 == fp2
         if fam == "md5":  # 60-bit space: fingerprints are non-negative
             assert all(v >= 0 for v in fp1.values())
+
+
+def test_incremental_equals_cross_split_slice_of_batch(spark, sf_dir):
+    """Incremental LSH over a (new, corpus) split finds exactly the
+    cross-split subset of the full-batch pairs — no pair invented, none
+    lost at the boundary."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.dedup import (
+        minhash_lsh_incremental,
+        minhash_lsh_pairs,
+    )
+    from p2_mapreduce_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs).collect()
+        if (r["doc_a"] % 5 == 4) != (r["doc_b"] % 5 == 4)
+    }
+    inc = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_incremental(
+            docs.filter((F.col("doc_id") % 5) == 4),
+            docs.filter((F.col("doc_id") % 5) != 4),
+        ).collect()
+    }
+    assert inc == full
