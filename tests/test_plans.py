@@ -8,6 +8,16 @@ import __spark_entry__ as entry_mod
 from p2_mapreduce_spark.plans import plan_report
 
 
+@pytest.fixture(autouse=True)
+def _clear_cache(spark):
+    # plan pins must see the uncached plan: earlier tests persist()
+    # fragments (e.g. heavy_hitters' token-count table) that Spark's
+    # CacheManager would otherwise substitute into a matching new query
+    # (InMemoryTableScan swallows the pinned Exchanges)
+    spark.catalog.clearCache()
+    yield
+
+
 def _report(spark, sf_dir, qid):
     return plan_report(entry_mod.queries()[qid](spark, sf_dir))
 
