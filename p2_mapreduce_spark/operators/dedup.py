@@ -178,6 +178,18 @@ def _minhash_aggs(num_hashes: int) -> list[Column]:
     ]
 
 
+def _band_hash_array(num_bands: int, rows_per_band: int) -> Column:
+    """array<long>[num_bands]: one xxhash64 per band over its signature
+    rows — the LSH bucket keys (shared by the self-join and incremental
+    paths; the band hash IS the index format, so both must agree)."""
+    return F.array(*[
+        F.xxhash64(*[
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ])
+        for b in range(num_bands)
+    ])
+
+
 def minhash_signatures(
     docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = NUM_HASHES,
@@ -236,12 +248,9 @@ def minhash_lsh_pairs(
     )
     bands = per_doc.select(
         "doc",
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
-                for b in range(num_bands)
-            ])
-        ).alias("band", "band_hash"),
+        F.posexplode(_band_hash_array(num_bands, rows_per_band)).alias(
+            "band", "band_hash"
+        ),
     )
     if max_bucket is not None:
         # persist the band table (docs × num_bands rows — tiny) so the
@@ -414,9 +423,57 @@ def simhash_near_pairs(
     )
 
 
+def build_lsh_artifacts(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(hashed shingles, sizes, band table) for one document set — the
+    per-doc LSH artifacts, each a pure function of its document, so a
+    corpus's artifacts are write-once (:func:`save_lsh_index`) and every
+    ingest batch computes only its own."""
+    rows_per_band = num_hashes // num_bands
+    hs = hashed_shingles(docs, n, text_col, id_col).persist()
+    per_doc = hs.groupBy("doc").agg(
+        *_minhash_aggs(num_hashes), F.count(F.lit(1)).alias("n_shingles")
+    )
+    bands = per_doc.select(
+        "doc",
+        F.posexplode(_band_hash_array(num_bands, rows_per_band)).alias(
+            "band", "band_hash"
+        ),
+    )
+    return hs, per_doc.select("doc", "n_shingles"), bands
+
+
+def save_lsh_index(
+    artifacts: tuple[DataFrame, DataFrame, DataFrame], root: str
+) -> None:
+    """Persist a corpus's LSH artifacts (mirrors similarity.save_ivf_index):
+    shingles + sizes as plain parquet, the band table PARTITIONED BY band
+    — an ingest batch's bucket join prunes to the band files it probes."""
+    hs, sizes, bands = artifacts
+    hs.write.mode("overwrite").parquet(f"{root}/shingles")
+    sizes.write.mode("overwrite").parquet(f"{root}/sizes")
+    bands.write.mode("overwrite").partitionBy("band").parquet(f"{root}/bands")
+
+
+def load_lsh_index(spark, root: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    return (
+        spark.read.parquet(f"{root}/shingles"),
+        spark.read.parquet(f"{root}/sizes"),
+        # hive partition columns come back type-inferred; band is an int
+        # position 0..num_bands-1 either way
+        spark.read.parquet(f"{root}/bands").select("doc", "band", "band_hash"),
+    )
+
+
 def minhash_lsh_incremental(
     new_docs: DataFrame,
-    corpus_docs: DataFrame,
+    corpus_docs: DataFrame | None = None,
     threshold: float = 0.5,
     n: int = 3,
     text_col: str = "text",
@@ -424,6 +481,7 @@ def minhash_lsh_incremental(
     num_hashes: int = NUM_HASHES,
     num_bands: int = NUM_BANDS,
     max_bucket: int = MAX_DF,
+    corpus_index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental near-dup: which NEW documents duplicate the existing
     corpus — the daily-ingest contract.  Only cross-side candidate pairs
@@ -443,30 +501,22 @@ def minhash_lsh_incremental(
 
     Output: (doc_a, doc_b, jaccard) with ``doc_a < doc_b`` (one row per
     cross pair at ``jaccard >= threshold``), directly comparable to the
-    cross-side slice of :func:`ngram_jaccard_pairs`."""
-    rows_per_band = num_hashes // num_bands
+    cross-side slice of :func:`ngram_jaccard_pairs`.
 
-    def _side(docs: DataFrame):
-        hs = hashed_shingles(docs, n, text_col, id_col).persist()
-        per_doc = hs.groupBy("doc").agg(
-            *_minhash_aggs(num_hashes), F.count(F.lit(1)).alias("n_shingles")
+    ``corpus_index`` (from :func:`build_lsh_artifacts` /
+    :func:`load_lsh_index`) replaces ``corpus_docs``: the batch then
+    touches only the new documents and the index files."""
+    hs_n, sizes_n, bands_n = build_lsh_artifacts(
+        new_docs, n, text_col, id_col, num_hashes, num_bands
+    )
+    if corpus_index is not None:
+        hs_c, sizes_c, bands_c = corpus_index
+    else:
+        if corpus_docs is None:
+            raise ValueError("need corpus_docs or corpus_index")
+        hs_c, sizes_c, bands_c = build_lsh_artifacts(
+            corpus_docs, n, text_col, id_col, num_hashes, num_bands
         )
-        bands = per_doc.select(
-            "doc",
-            F.posexplode(
-                F.array(*[
-                    F.xxhash64(*[
-                        F.col(f"mh{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ])
-                    for b in range(num_bands)
-                ])
-            ).alias("band", "band_hash"),
-        )
-        return hs, per_doc.select("doc", "n_shingles"), bands
-
-    hs_n, sizes_n, bands_n = _side(new_docs)
-    hs_c, sizes_c, bands_c = _side(corpus_docs)
     if max_bucket is not None:
         both = bands_n.select("band", "band_hash").union(
             bands_c.select("band", "band_hash")

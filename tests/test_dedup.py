@@ -180,3 +180,34 @@ def test_incremental_equals_cross_split_slice_of_batch(spark, sf_dir):
         ).collect()
     }
     assert inc == full
+
+
+def test_incremental_from_persisted_index_matches_direct(spark, sf_dir, tmp_path):
+    """save_lsh_index → load_lsh_index → incremental == incremental
+    computed directly from the corpus docs."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.dedup import (
+        build_lsh_artifacts,
+        load_lsh_index,
+        minhash_lsh_incremental,
+        save_lsh_index,
+    )
+    from p2_mapreduce_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter((F.col("doc_id") % 5) == 4)
+    corpus = docs.filter((F.col("doc_id") % 5) != 4)
+
+    direct = {
+        tuple(r) for r in minhash_lsh_incremental(new, corpus).collect()
+    }
+    root = str(tmp_path / "lsh_index")
+    save_lsh_index(build_lsh_artifacts(corpus), root)
+    via_index = {
+        tuple(r)
+        for r in minhash_lsh_incremental(
+            new, corpus_index=load_lsh_index(spark, root)
+        ).collect()
+    }
+    assert via_index == direct and direct
