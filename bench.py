@@ -71,6 +71,10 @@ HEADLINE = (
     "repetition_stats",
     "contamination",
     "pii_scrub",
+    "pack_sequences",
+    "heavy_hitters",
+    "dedup_incremental",
+    "ohlc_rollup",
 )
 
 

@@ -68,3 +68,34 @@ def compact_parquet(
         df = df.repartition(n_files)
     df.write.mode("overwrite").parquet(dst)
     return n_files
+
+
+def write_parquet_audited(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, "Column"] | None = None,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Write parquet AND return audit metrics from the same pass —
+    ``df.observe()`` attaches aggregate accumulators to the write job, so
+    row counts / checksum sums cost zero extra scans (the naive
+    ``df.count(); df.write...`` reads the data twice, which at 100 TB is
+    the whole job twice).
+
+    ``metrics`` defaults to a row count; pass named aggregate Columns
+    (e.g. ``{"sum_qty": F.sum("l_quantity")}``) for content checksums.
+    Returns the observed metric dict for the pipeline's audit ledger.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    if metrics is None:
+        metrics = {"n_rows": F.count(F.lit(1))}
+    obs = Observation("write_audit")
+    observed = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
+    writer = observed.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return obs.get

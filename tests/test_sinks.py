@@ -86,3 +86,32 @@ def test_windowed_upsert_sink_rewrites_only_touched_buckets(spark, sf_dir, tmp_p
     }
     expected = {r["bucket"]: r["n_events"] for r in agg(events).collect()}
     assert got == expected
+
+
+def test_audited_write_reports_metrics_in_one_pass(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.session import load_table
+    from p2_mapreduce_spark.sources.writers import write_parquet_audited
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    want_rows = li.count()
+    want_qty = li.agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+    ).collect()[0][0]
+    out = str(tmp_path / "audited")
+    got = write_parquet_audited(
+        li,
+        out,
+        metrics={
+            "n_rows": F.count(F.lit(1)),
+            "sum_qty": F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast(
+                "double"
+            ),
+        },
+    )
+    assert got["n_rows"] == want_rows
+    assert got["sum_qty"] == want_qty
+    assert spark.read.parquet(out).count() == want_rows
