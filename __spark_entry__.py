@@ -662,6 +662,43 @@ def _q_idle_rich_customers(spark, sf_dir):
     )
 
 
+def _q_order_priority_check(spark, sf_dir):
+    from p2_mapreduce_spark.operators.tpch import order_priority_check
+
+    return order_priority_check(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def _q_top_supplier(spark, sf_dir):
+    from p2_mapreduce_spark.operators.tpch import top_supplier
+
+    return top_supplier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def _q_small_qty_revenue(spark, sf_dir):
+    from p2_mapreduce_spark.operators.tpch import small_qty_revenue
+
+    return small_qty_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def _q_sole_returner(spark, sf_dir):
+    from p2_mapreduce_spark.operators.tpch import sole_returner
+
+    return sole_returner(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
 def _q_repetition_stats(spark, sf_dir):
     from p2_mapreduce_spark.operators.curation import repetition_stats
 
@@ -939,6 +976,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_variety": _q_supplier_part_variety,
         "disjunctive_pricing": _q_disjunctive_pricing,
         "idle_rich_customers": _q_idle_rich_customers,
+        "order_priority_check": _q_order_priority_check,
+        "top_supplier": _q_top_supplier,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "sole_returner": _q_sole_returner,
     }
 
 
@@ -2352,6 +2393,69 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_acctbal > avg_bal
               AND c_custkey NOT IN (SELECT o_custkey FROM active)
             GROUP BY 1
+        """,
+        "order_priority_check": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY 1
+        """,
+        "top_supplier": f"""
+            WITH rev AS (
+                SELECT l_suppkey,
+                       {dsum('l_extendedprice * (1.0 - l_discount)', 24, 4)}
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "small_qty_revenue": f"""
+            WITH li AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#1'
+            ),
+            pavg AS (
+                SELECT l_partkey AS ak,
+                       {dsum('l_quantity')} / COUNT(*) AS avg_qty
+                FROM li GROUP BY 1
+            )
+            SELECT {dsum('l_extendedprice')} / 7.0 AS avg_yearly
+            FROM li JOIN pavg ON l_partkey = ak
+            WHERE l_quantity < 0.5 * avg_qty
+        """,
+        "sole_returner": """
+            WITH pairs AS (
+                SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            ),
+            ret AS (
+                SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                WHERE l_returnflag = 'R'
+            )
+            SELECT s_name, COUNT(*) AS numwait
+            FROM ret r
+            JOIN supplier ON r.l_suppkey = s_suppkey
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_orderkey = r.l_orderkey
+                            AND o_orderstatus = 'F')
+              AND EXISTS (SELECT 1 FROM pairs p
+                          WHERE p.l_orderkey = r.l_orderkey
+                            AND p.l_suppkey <> r.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM ret r2
+                              WHERE r2.l_orderkey = r.l_orderkey
+                                AND r2.l_suppkey <> r.l_suppkey)
+            GROUP BY 1
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
         """,
         # PII/blocklist scrub twin: identical RE2/Java-shared patterns,
         # identical replacement order (curation.SCRUB_PATTERNS).

@@ -359,3 +359,157 @@ def idle_rich_customers(
             dsum("c_acctbal").alias("total_bal"),
         )
     )
+
+
+def order_priority_check(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-04-01",
+) -> DataFrame:
+    """Q4 shape: orders per priority in a quarter that had at least one
+    returned line (the fixture has no l_commitdate, so ``EXISTS (late
+    line)`` becomes ``EXISTS (returned line)`` — same decorrelated plan).
+
+    The EXISTS is a LEFT SEMI join: the lineitem side is filtered and
+    projected to the join key *before* the shuffle, so the probe ships
+    distinct-able keys only — never full rows.  The date range is a
+    base-column predicate on orders and pushes to its scan.  Output is
+    O(#priorities) rows from a single partial→final count.
+    """
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    )
+    flagged = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        ords.join(flagged, ords.o_orderkey == flagged.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-04-01",
+) -> DataFrame:
+    """Q15 shape: the supplier(s) whose quarterly revenue equals the
+    maximum quarterly revenue (the classic view + MAX subquery).
+
+    One shuffle builds the per-supplier revenue table (≤ #suppliers
+    rows) which is explicitly persisted — Catalyst does NOT merge the
+    MAX branch and the filter branch into one exchange, so without the
+    persist the 100 TB fact table would be scanned twice.  The MAX is
+    then a 1-row aggregate over the cached table that broadcasts back
+    as the filter.  Revenue follows the exact-decimal protocol, so the
+    equality join on the max is bit-stable under any partitioning.
+    Supplier names arrive via a broadcast dim join after the filter,
+    when only the winners remain.
+    """
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(_rev_sum().alias("total_revenue"))
+        .persist()
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("max_revenue"))
+        .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def small_qty_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#1",
+    frac: float = 0.5,
+) -> DataFrame:
+    """Q17 shape: yearly revenue forfeited to small orders — lines of
+    one brand whose quantity sits below ``frac`` × that part's average
+    quantity (the classic correlated AVG subquery, decorrelated into a
+    self-aggregate join).
+
+    The brand filter lives on the part dim, whose surviving keys
+    broadcast into the lineitem probe — the fact table narrows to the
+    brand's lines in ONE scan, which is then persisted implicitly by
+    reuse inside a single plan: Catalyst computes the per-part averages
+    and re-joins them against the same filtered branch without a second
+    lineitem pass (the exchange is reused).  The threshold compare is
+    one IEEE multiply on the exact-decimal mean — deterministic under
+    re-partitioning.
+    """
+    pk = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(F.broadcast(pk), lineitem.l_partkey == F.col("p_partkey"))
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ak"))
+        .filter(F.col("l_quantity") < F.lit(frac) * F.col("avg_qty"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+def sole_returner(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """Q21 shape: suppliers who alone returned lines on multi-supplier
+    finished orders — the EXISTS / NOT EXISTS pair (the fixture lacks
+    receipt/commit dates, so "kept waiting" becomes "returned": supplier
+    S has a returned line on order O, some OTHER supplier also shipped
+    on O, and no other supplier returned on O).
+
+    Both correlated subqueries become joins against the same distinct
+    (orderkey, suppkey) projection, computed once: a LEFT SEMI with a
+    ``suppkey <>`` residual for the EXISTS, a LEFT ANTI with the same
+    residual restricted to returned lines for the NOT EXISTS.  Each side
+    shuffles distinct key pairs, never lines.  Top-k is
+    TakeOrderedAndProject on (count DESC, name ASC) — total order, no
+    full sort.
+    """
+    forders = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    pairs = lineitem.select("l_orderkey", "l_suppkey").distinct()
+    ret_pairs = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    base = ret_pairs.join(
+        forders, ret_pairs.l_orderkey == forders.o_orderkey, "left_semi"
+    )
+    others = pairs.select(
+        F.col("l_orderkey").alias("p_ok"), F.col("l_suppkey").alias("p_sk")
+    )
+    other_ret = ret_pairs.select(
+        F.col("l_orderkey").alias("r_ok"), F.col("l_suppkey").alias("r_sk")
+    )
+    sole = (
+        base.join(
+            others,
+            (base.l_orderkey == F.col("p_ok"))
+            & (base.l_suppkey != F.col("p_sk")),
+            "left_semi",
+        )
+        .join(
+            other_ret,
+            (base.l_orderkey == F.col("r_ok"))
+            & (base.l_suppkey != F.col("r_sk")),
+            "left_anti",
+        )
+    )
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(k)
+    )

@@ -27,7 +27,10 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 qs, oracles = E.queries(), E.oracle_sql()
+only = set(sys.argv[1:])  # optional: check just the named queries
 for name, fn in sorted(qs.items()):
+    if only and name not in only:
+        continue
     sdf = fn(spark, SF)
     spdf = sdf.toPandas()
     if name not in oracles:

@@ -75,3 +75,87 @@ def test_market_share_single_aggregate_pass(spark, sf_dir):
     # (×2: formatted plans print every node twice)
     assert r["plan"].count("Scan parquet") <= 16
     assert not r["has_python_worker"]
+
+
+def test_order_priority_check_semi_join_on_keys(spark, sf_dir):
+    r = _report(spark, sf_dir, "order_priority_check")
+    # EXISTS must plan as a semi join, never a full join + distinct
+    assert "LeftSemi" in r["plan"]
+    pushed = " ".join(r["pushed_filters"])
+    assert "o_orderdate" in pushed
+    assert "l_returnflag" in pushed
+    assert not r["has_python_worker"]
+
+
+def test_top_supplier_reuses_revenue_exchange(spark, sf_dir):
+    r = _report(spark, sf_dir, "top_supplier")
+    pushed = " ".join(r["pushed_filters"])
+    assert "l_shipdate" in pushed
+    # the per-supplier revenue table is persisted and feeds both the MAX
+    # and the equality filter from ONE lineitem scan: the plan reads the
+    # cache twice and parquet only inside the single cached branch
+    assert r["plan"].count("InMemoryTableScan") >= 2
+    assert r["plan"].count("Scan parquet lineitem") <= 2  # tree+detail
+    assert r["n_broadcast_joins"] >= 2  # max scalar + supplier dim
+
+
+def test_small_qty_revenue_brand_broadcast(spark, sf_dir):
+    r = _report(spark, sf_dir, "small_qty_revenue")
+    assert r["n_broadcast_joins"] >= 2  # part keys + per-part averages
+    assert not r["has_python_worker"]
+    # sanity: threshold actually excludes rows (strictly below the mean
+    # keeps roughly half the brand's lines, never all of them)
+    from p2_mapreduce_spark.operators.tpch import small_qty_revenue
+    from p2_mapreduce_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    kept = small_qty_revenue(li, part, frac=2.0).collect()[0][0]
+    below = small_qty_revenue(li, part, frac=0.5).collect()[0][0]
+    assert below is not None and kept is not None and below < kept
+
+
+def test_sole_returner_plans_semi_and_anti(spark, sf_dir):
+    r = _report(spark, sf_dir, "sole_returner")
+    assert "LeftSemi" in r["plan"]
+    assert "LeftAnti" in r["plan"]
+    assert "TakeOrderedAndProject" in r["plan"]
+    assert "l_returnflag" in " ".join(r["pushed_filters"])
+
+
+def test_sole_returner_is_sole(spark, sf_dir):
+    # every reported supplier must be the ONLY returner on ≥1 'F' order
+    # with other suppliers present: re-derive per-order returner counts
+    import pyspark.sql.functions as F
+
+    from p2_mapreduce_spark.operators.tpch import sole_returner
+    from p2_mapreduce_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    out = sole_returner(li, orders, supplier, k=1000)
+    got = {r["s_name"]: r["numwait"] for r in out.collect()}
+
+    ret = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    per_order = ret.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_ret"),
+    )
+    n_supp = li.select("l_orderkey", "l_suppkey").distinct().groupBy(
+        "l_orderkey"
+    ).agg(F.count(F.lit(1)).alias("n_supp"))
+    fkeys = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    expect = (
+        ret.join(per_order, "l_orderkey")
+        .join(n_supp, "l_orderkey")
+        .join(fkeys, ret.l_orderkey == fkeys.o_orderkey, "left_semi")
+        .filter((F.col("n_ret") == 1) & (F.col("n_supp") > 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+    )
+    want = {r["s_name"]: r["numwait"] for r in expect.collect()}
+    assert got == want
