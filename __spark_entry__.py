@@ -699,6 +699,18 @@ def _q_sole_returner(spark, sf_dir):
     )
 
 
+def _q_funnel_steps(spark, sf_dir):
+    from p2_mapreduce_spark.operators.events_analytics import funnel_counts
+
+    return funnel_counts(load_table(spark, sf_dir, "events"))
+
+
+def _q_cohort_retention(spark, sf_dir):
+    from p2_mapreduce_spark.operators.events_analytics import cohort_retention
+
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
 def _q_repetition_stats(spark, sf_dir):
     from p2_mapreduce_spark.operators.curation import repetition_stats
 
@@ -976,6 +988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_variety": _q_supplier_part_variety,
         "disjunctive_pricing": _q_disjunctive_pricing,
         "idle_rich_customers": _q_idle_rich_customers,
+        "funnel_steps": _q_funnel_steps,
+        "cohort_retention": _q_cohort_retention,
         "order_priority_check": _q_order_priority_check,
         "top_supplier": _q_top_supplier,
         "small_qty_revenue": _q_small_qty_revenue,
@@ -2393,6 +2407,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_acctbal > avg_bal
               AND c_custkey NOT IN (SELECT o_custkey FROM active)
             GROUP BY 1
+        """,
+        # Event product analytics (operators/events_analytics.py): the
+        # funnel oracle mirrors the strictly-after chain as nested
+        # min-joins; retention mirrors the integer day/7 bucketing.
+        "funnel_steps": f"""
+            WITH u1 AS (
+                SELECT user_id, min(ts) AS t1 FROM {ev} e
+                WHERE event_type = 'view' GROUP BY 1
+            ),
+            u2 AS (
+                SELECT e.user_id, min(e.ts) AS t2 FROM {ev} e
+                JOIN u1 ON e.user_id = u1.user_id
+                WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1
+            ),
+            u3 AS (
+                SELECT e.user_id, min(e.ts) AS t3 FROM {ev} e
+                JOIN u2 ON e.user_id = u2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1
+            )
+            SELECT (SELECT COUNT(*) FROM u1) AS users_view,
+                   (SELECT COUNT(*) FROM u2) AS users_click,
+                   (SELECT COUNT(*) FROM u3) AS users_purchase
+        """,
+        "cohort_retention": f"""
+            WITH days AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM {ev}
+            ),
+            first AS (
+                SELECT user_id, min(d) AS cohort_d FROM days GROUP BY 1
+            )
+            SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_date,
+                   CAST(floor(date_diff('day', cohort_d, d) / 7.0) AS BIGINT)
+                       AS week_offset,
+                   COUNT(DISTINCT days.user_id) AS active_users
+            FROM days JOIN first ON days.user_id = first.user_id
+            GROUP BY 1, 2
         """,
         "order_priority_check": """
             SELECT o_orderpriority, COUNT(*) AS order_count

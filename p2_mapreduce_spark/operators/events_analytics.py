@@ -1,0 +1,115 @@
+"""Event-stream product analytics: ordered funnels and cohort retention
+(SURVEY.md §2.3 extension surface — the `events` table).
+
+The reference expresses per-user sequential logic as a reduce over the
+grouped value list (SURVEY.md M5-M7: `map[user][]event` in RAM); these
+operators keep that per-user contract but run it JVM-side: ONE shuffle
+on ``user_id``, then higher-order array functions over the per-user
+event-time lists — no Python workers, partial aggregation on the
+collect, per-task memory bounded by the busiest single user (the same
+bound the reference imposes on every reduce key).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: default funnel: the fixture's natural conversion path
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_users(
+    events: DataFrame, steps: Sequence[str] = FUNNEL_STEPS
+) -> DataFrame:
+    """Per-user ordered-funnel times: for steps (s1, s2, ..., sk) compute
+    t1 = earliest s1 event, t2 = earliest s2 event STRICTLY after t1,
+    ... tk = earliest sk strictly after t(k-1).  A user's funnel depth is
+    the number of non-null t columns.
+
+    Single-shuffle design: one ``groupBy(user_id)`` collects each step's
+    event-time list (partial-aggregated map-side, so the shuffle carries
+    per-user-per-step time arrays, not raw events — the type filter
+    prunes every non-step event at the scan).  The sequential "strictly
+    after" chain is then per-row ``array_min(filter(...))`` — pure
+    whole-stage-codegen expressions, no window, no Python.  Ties between
+    different steps at the same microsecond resolve by the strict ``>``
+    comparison identically in any engine — no ordering ambiguity.
+
+    Returns ``(user_id, t1..tk)`` with tn null once the chain breaks.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    aggs = [
+        # collect_list drops the nulls the when() leaves for other steps
+        F.collect_list(
+            F.when(F.col("event_type") == s, F.col("ts"))
+        ).alias(f"_ts{i}")
+        for i, s in enumerate(steps, start=1)
+    ]
+    per_user = (
+        events.filter(F.col("event_type").isin(*steps))
+        .groupBy("user_id")
+        .agg(*aggs)
+    )
+
+    def _earliest_after(arr: Column, prev: Column) -> Column:
+        # min over the unordered list — collect_list order never matters
+        return F.array_min(F.filter(arr, lambda x: x > prev))
+
+    cols: list[Column] = [F.array_min(F.col("_ts1")).alias("t1")]
+    prev = F.array_min(F.col("_ts1"))
+    for i in range(2, len(steps) + 1):
+        nxt = _earliest_after(F.col(f"_ts{i}"), prev)
+        cols.append(nxt.alias(f"t{i}"))
+        prev = nxt
+    return per_user.select("user_id", *cols)
+
+
+def funnel_counts(
+    events: DataFrame, steps: Sequence[str] = FUNNEL_STEPS
+) -> DataFrame:
+    """One-row funnel summary: how many users reached each step in
+    order.  Column ``users_<step>`` counts users whose chain extends at
+    least that far; counts are non-increasing along the funnel.  The
+    final aggregate is a count of non-nulls over the per-user table —
+    a second (1-row) reduction after :func:`funnel_users`' single
+    shuffle.
+    """
+    per_user = funnel_users(events, steps)
+    return per_user.agg(
+        *[
+            F.count(F.col(f"t{i}")).alias(f"users_{s}")
+            for i, s in enumerate(steps, start=1)
+        ]
+    )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by first-activity
+    date, counted as active in each 7-day offset bucket they return in.
+
+    Two narrow shuffles: (1) the distinct (user, activity-date) grid —
+    events collapse to at most #users × #days rows at the scan's
+    partial-distinct, (2) per-user first date, joined back on user_id
+    and re-aggregated to the cohort × offset grain.  All date math is
+    integer day arithmetic (floor of day-diff / 7) — engine-exact; the
+    cohort label is a formatted string so the column round-trips every
+    engine's date repr identically.
+    """
+    days = events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = days.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        days.join(first, "user_id")
+        .select(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_date"),
+            F.floor(F.datediff(F.col("d"), F.col("cohort_d")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_date", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

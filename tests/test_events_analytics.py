@@ -1,0 +1,99 @@
+"""Semantic and plan pins for the event product-analytics operators
+(operators/events_analytics.py)."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as entry_mod
+from p2_mapreduce_spark.operators.events_analytics import (
+    cohort_retention,
+    funnel_counts,
+    funnel_users,
+)
+from p2_mapreduce_spark.plans import plan_report
+from p2_mapreduce_spark.session import load_table
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [(i, _ts(ts), uid, et, 0.0) for i, (ts, uid, et) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+
+
+def test_funnel_strictly_after_chain(spark):
+    ev = _mk_events(
+        spark,
+        [
+            # u1 completes the funnel in order
+            ("2024-01-01T00:00:01", 1, "view"),
+            ("2024-01-01T00:00:02", 1, "click"),
+            ("2024-01-01T00:00:03", 1, "purchase"),
+            # u2: purchase BEFORE click -> chain stops at click
+            ("2024-01-01T00:00:01", 2, "view"),
+            ("2024-01-01T00:00:03", 2, "click"),
+            ("2024-01-01T00:00:02", 2, "purchase"),
+            # u3: click exactly AT the first view -> strict > excludes it
+            ("2024-01-01T00:00:01", 3, "view"),
+            ("2024-01-01T00:00:01", 3, "click"),
+            # u4: never views -> depth 0 even with later steps
+            ("2024-01-01T00:00:01", 4, "click"),
+            ("2024-01-01T00:00:02", 4, "purchase"),
+        ],
+    )
+    got = {r["user_id"]: (r["t1"], r["t2"], r["t3"])
+           for r in funnel_users(ev).collect()}
+    assert got[1] == (_ts("2024-01-01T00:00:01"), _ts("2024-01-01T00:00:02"),
+                      _ts("2024-01-01T00:00:03"))
+    assert got[2][:2] == (_ts("2024-01-01T00:00:01"),
+                          _ts("2024-01-01T00:00:03")) and got[2][2] is None
+    assert got[3] == (_ts("2024-01-01T00:00:01"), None, None)
+    assert got[4] == (None, None, None)
+    counts = funnel_counts(ev).collect()[0]
+    assert (counts["users_view"], counts["users_click"],
+            counts["users_purchase"]) == (3, 2, 1)
+
+
+def test_funnel_counts_monotone_on_fixture(spark, sf_dir):
+    row = funnel_counts(load_table(spark, sf_dir, "events")).collect()[0]
+    v, c, p = row["users_view"], row["users_click"], row["users_purchase"]
+    assert v >= c >= p >= 0
+    assert v > 0  # the fixture has viewers
+
+
+def test_funnel_plan_is_one_jvm_shuffle(spark, sf_dir):
+    r = plan_report(entry_mod.queries()["funnel_steps"](spark, sf_dir))
+    assert not r["has_python_worker"]
+    assert r["has_partial_agg"]
+    # groupBy(user) + the 1-row final reduction; no window, no join
+    assert "Window" not in r["plan"]
+    assert "Join" not in r["plan"]
+
+
+def test_cohort_retention_offsets(spark, sf_dir):
+    out = cohort_retention(load_table(spark, sf_dir, "events"))
+    rows = out.collect()
+    assert all(r["week_offset"] >= 0 for r in rows)
+    # every cohort is active at offset 0 (its members' first day)
+    cohorts = {r["cohort_date"] for r in rows}
+    zero = {r["cohort_date"] for r in rows if r["week_offset"] == 0}
+    assert cohorts == zero
+    # offset-0 activity is the cohort's max over later offsets
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r["cohort_date"], {})[r["week_offset"]] = (
+            r["active_users"]
+        )
+    for c, offs in by_c.items():
+        assert offs[0] == max(offs.values())
+
+
+def test_cohort_retention_no_python(spark, sf_dir):
+    r = plan_report(entry_mod.queries()["cohort_retention"](spark, sf_dir))
+    assert not r["has_python_worker"]
