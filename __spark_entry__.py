@@ -699,6 +699,12 @@ def _q_sole_returner(spark, sf_dir):
     )
 
 
+def _q_zorder_cluster(spark, sf_dir):
+    from p2_mapreduce_spark.operators.layout import zorder_cluster
+
+    return zorder_cluster(load_table(spark, sf_dir, "lineitem"))
+
+
 def _q_funnel_steps(spark, sf_dir):
     from p2_mapreduce_spark.operators.events_analytics import funnel_counts
 
@@ -988,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_variety": _q_supplier_part_variety,
         "disjunctive_pricing": _q_disjunctive_pricing,
         "idle_rich_customers": _q_idle_rich_customers,
+        "zorder_cluster": _q_zorder_cluster,
         "funnel_steps": _q_funnel_steps,
         "cohort_retention": _q_cohort_retention,
         "order_priority_check": _q_order_priority_check,
@@ -1104,6 +1111,24 @@ def _ngram_pairs_sql(shingles: str, select_clause: str, threshold: float = 0.5) 
         JOIN sizes sa ON doc_a = sa.doc_id
         JOIN sizes sb ON doc_b = sb.doc_id
         WHERE CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) >= {threshold}
+    """
+
+
+def _zorder_cluster_oracle() -> str:
+    from p2_mapreduce_spark.operators.layout import zvalue_sql
+
+    zexpr = zvalue_sql(("l_partkey", "l_suppkey"))
+    return f"""
+        WITH z AS (
+            SELECT l_partkey, l_suppkey, ({zexpr}) >> 10 AS bucket
+            FROM lineitem
+        )
+        SELECT bucket, COUNT(*) AS n_lines,
+               min(l_partkey) AS min_l_partkey,
+               max(l_partkey) AS max_l_partkey,
+               min(l_suppkey) AS min_l_suppkey,
+               max(l_suppkey) AS max_l_suppkey
+        FROM z GROUP BY 1
     """
 
 
@@ -2408,6 +2433,9 @@ def oracle_sql() -> dict[str, str]:
               AND c_custkey NOT IN (SELECT o_custkey FROM active)
             GROUP BY 1
         """,
+        # Z-order layout audit (operators/layout.py): the oracle builds
+        # the IDENTICAL bit-interleave expression via zvalue_sql().
+        "zorder_cluster": _zorder_cluster_oracle(),
         # Event product analytics (operators/events_analytics.py): the
         # funnel oracle mirrors the strictly-after chain as nested
         # min-joins; retention mirrors the integer day/7 bucketing.
