@@ -699,6 +699,15 @@ def _q_sole_returner(spark, sf_dir):
     )
 
 
+def _q_pagerank_trade(spark, sf_dir):
+    from p2_mapreduce_spark.operators.graph import trade_graph_pagerank
+
+    return trade_graph_pagerank(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 def _q_zorder_cluster(spark, sf_dir):
     from p2_mapreduce_spark.operators.layout import zorder_cluster
 
@@ -994,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_variety": _q_supplier_part_variety,
         "disjunctive_pricing": _q_disjunctive_pricing,
         "idle_rich_customers": _q_idle_rich_customers,
+        "pagerank_trade": _q_pagerank_trade,
         "zorder_cluster": _q_zorder_cluster,
         "funnel_steps": _q_funnel_steps,
         "cohort_retention": _q_cohort_retention,
@@ -1112,6 +1122,34 @@ def _ngram_pairs_sql(shingles: str, select_clause: str, threshold: float = 0.5) 
         JOIN sizes sb ON doc_b = sb.doc_id
         WHERE CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) >= {threshold}
     """
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    from p2_mapreduce_spark.operators.graph import PR_SCALE
+
+    cte = f"""
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        bi AS (SELECT src AS u, dst AS w FROM pairs
+               UNION ALL SELECT dst, src FROM pairs),
+        deg AS (SELECT u AS node, COUNT(*) AS deg FROM bi GROUP BY 1),
+        nn AS (SELECT COUNT(*) AS n FROM deg),
+        r0 AS (SELECT node, deg, n,
+                      CAST({PR_SCALE} // n AS BIGINT) AS rank_q
+               FROM deg, nn)"""
+    for i in range(1, iterations + 1):
+        cte += f""",
+        i{i} AS (SELECT w AS node,
+                        CAST(SUM(rank_q // deg) AS BIGINT) AS s
+                 FROM bi JOIN r{i - 1} ON bi.u = r{i - 1}.node GROUP BY 1),
+        r{i} AS (SELECT p.node, p.deg, p.n,
+                        CAST(floor((1.0 - 0.85) * {float(PR_SCALE)} / p.n)
+                             AS BIGINT)
+                        + CAST(floor(0.85 * i{i}.s) AS BIGINT) AS rank_q
+                 FROM r{i - 1} p JOIN i{i} ON p.node = i{i}.node)"""
+    return cte + f"\n        SELECT node, rank_q FROM r{iterations}"
 
 
 def _zorder_cluster_oracle() -> str:
@@ -2433,6 +2471,11 @@ def oracle_sql() -> dict[str, str]:
               AND c_custkey NOT IN (SELECT o_custkey FROM active)
             GROUP BY 1
         """,
+        # Quantized PageRank (operators/graph.py): the 3-iteration loop
+        # unrolls to chained CTEs; all arithmetic is exact fixed-point
+        # (BIGINT // and exact-double scalar multiplies), so the oracle
+        # reproduces every rank bit-for-bit.
+        "pagerank_trade": _pagerank_oracle(iterations=3),
         # Z-order layout audit (operators/layout.py): the oracle builds
         # the IDENTICAL bit-interleave expression via zvalue_sql().
         "zorder_cluster": _zorder_cluster_oracle(),

@@ -175,3 +175,105 @@ def dup_clusters(pairs: DataFrame, algorithm: str = "label") -> DataFrame:
     return labels.join(sizes, "component").select(
         F.col("v").alias("doc_id"), F.col("component").alias("cluster"), "cluster_size"
     )
+
+
+#: fixed-point scale for the quantized PageRank arithmetic: ranks are
+#: carried as integer multiples of 1e-12 so every cross-engine sum is an
+#: exact BIGINT sum — order-independent under any partitioning.
+PR_SCALE = 1_000_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge list, in exact
+    fixed-point arithmetic: ``(node, rank_q)`` where ``rank_q`` is the
+    rank in units of 1/PR_SCALE.
+
+    Iterative algorithms are the canonical thing the reference's
+    single-pass paradigm cannot express (SURVEY.md §2.3); unlike the
+    connected-components loop this one is *numeric*, so determinism
+    needs more than min(): floating-point partial sums depend on
+    partitioning.  The fix is the dedup-family protocol taken to its
+    limit — quantize ONCE at the start (rank_q = PR_SCALE // n), then
+    per-edge contributions are integer division ``rank_q div degree``
+    and per-node inflow is an exact BIGINT sum.  The only float ops are
+    two scalar multiplies per node per round (damping × inflow, both <
+    2^53 so the doubles are exact), making every iteration bit-identical
+    across engines, partitionings, and re-runs — and therefore fully
+    value-hash oracle-checkable by unrolling the loop in SQL.
+
+    Scale design: symmetrized edges materialize once (localCheckpoint);
+    each round is one join (shuffle on node id, AQE co-partitions across
+    rounds) + one aggregate; ranks localCheckpoint per round to keep the
+    plan tree flat.  Undirected edges mean every node has degree ≥ 1 —
+    no dangling-mass redistribution term.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("w")))
+        .localCheckpoint()
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = (
+        deg.join(F.broadcast(n))
+        .select(
+            "node",
+            "deg",
+            "n",
+            F.expr(f"{PR_SCALE} div n").alias("rank_q"),
+        )
+        .localCheckpoint()
+    )
+    base = F.floor(F.lit(1.0 - damping) * F.lit(float(PR_SCALE)) / F.col("n"))
+    for _ in range(iterations):
+        contrib = sym.join(
+            ranks, sym.u == ranks.node
+        ).select(
+            F.col("w").alias("to_node"),
+            F.expr("rank_q div deg").alias("c"),
+        )
+        inflow = contrib.groupBy("to_node").agg(F.sum("c").alias("s"))
+        ranks = (
+            ranks.select("node", "deg", "n")
+            .join(inflow, ranks.node == inflow.to_node)
+            .select(
+                "node",
+                "deg",
+                "n",
+                (
+                    base.cast("long")
+                    + F.floor(F.lit(damping) * F.col("s")).cast("long")
+                ).alias("rank_q"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", "rank_q")
+
+
+def trade_graph_pagerank(
+    lineitem: DataFrame, orders: DataFrame, iterations: int = 3
+) -> DataFrame:
+    """PageRank centrality of the customer-supplier trade graph: an edge
+    per distinct (customer, supplier) trading pair, customers encoded as
+    even node ids (2k) and suppliers odd (2k+1).
+
+    The edge derivation is one distinct over the order-line join —
+    shuffle width is the distinct pair count, not line count.
+    """
+    pairs = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(pairs, iterations=iterations)

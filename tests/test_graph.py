@@ -103,3 +103,34 @@ def test_dup_clusters_star_algorithm_parity(spark):
     lab = sorted(map(tuple, dup_clusters(pairs, algorithm="label").collect()))
     star = sorted(map(tuple, dup_clusters(pairs, algorithm="star").collect()))
     assert lab == star
+
+
+def test_pagerank_star_graph_ranks_hub_highest(spark):
+    from p2_mapreduce_spark.operators.graph import PR_SCALE, pagerank
+
+    # star: hub 0 joined to leaves 1..6 — hub must outrank every leaf,
+    # leaves are symmetric so their ranks must be identical
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)], "src long, dst long"
+    )
+    ranks = {r["node"]: r["rank_q"] for r in pagerank(edges).collect()}
+    assert len(ranks) == 7
+    leaf_ranks = {v for k, v in ranks.items() if k != 0}
+    assert len(leaf_ranks) == 1
+    assert ranks[0] > leaf_ranks.pop()
+    # quantized mass is conserved up to floor losses (never created)
+    total = sum(ranks.values())
+    assert 0.95 * PR_SCALE < total <= PR_SCALE
+
+
+def test_pagerank_trade_graph_mass_and_shape(spark, sf_dir):
+    import __spark_entry__ as entry_mod
+    from p2_mapreduce_spark.operators.graph import PR_SCALE
+
+    df = entry_mod.queries()["pagerank_trade"](spark, sf_dir)
+    rows = df.collect()
+    assert all(r["rank_q"] > 0 for r in rows)
+    total = sum(r["rank_q"] for r in rows)
+    assert 0.95 * PR_SCALE < total <= PR_SCALE
+    # both node namespaces present (even customers, odd suppliers)
+    assert {r["node"] % 2 for r in rows} == {0, 1}
