@@ -699,6 +699,54 @@ def _q_sole_returner(spark, sf_dir):
     )
 
 
+def _q_merge_upsert(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.functions.numeric import dsum
+    from p2_mapreduce_spark.operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    # change batch: price-correct the recent orders (+1000.00 stays
+    # 2-decimal-exact) and insert the same rows re-keyed as new orders
+    updates = recent.withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    ).unionByName(
+        recent.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(100000000))
+    )
+    merged = merge_upsert(orders, updates, keys=("o_orderkey",))
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+def _q_bloom_semi_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.functions.numeric import dsum
+    from p2_mapreduce_spark.operators.prefilter import bloom_semi_join
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000.0
+    )
+    return bloom_semi_join(
+        lineitem, big, "l_orderkey", "o_orderkey"
+    ).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+def _q_profile_orders(spark, sf_dir):
+    from p2_mapreduce_spark.operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "orders"))
+
+
 def _q_pagerank_trade(spark, sf_dir):
     from p2_mapreduce_spark.operators.graph import trade_graph_pagerank
 
@@ -1003,6 +1051,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_variety": _q_supplier_part_variety,
         "disjunctive_pricing": _q_disjunctive_pricing,
         "idle_rich_customers": _q_idle_rich_customers,
+        "merge_upsert": _q_merge_upsert,
+        "bloom_semi_join": _q_bloom_semi_join,
+        "profile_orders": _q_profile_orders,
         "pagerank_trade": _q_pagerank_trade,
         "zorder_cluster": _q_zorder_cluster,
         "funnel_steps": _q_funnel_steps,
@@ -1122,6 +1173,21 @@ def _ngram_pairs_sql(shingles: str, select_clause: str, threshold: float = 0.5) 
         JOIN sizes sb ON doc_b = sb.doc_id
         WHERE CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) >= {threshold}
     """
+
+
+def _profile_oracle(table: str, cols: list[str]) -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_s,
+               CAST(max({c}) AS VARCHAR) AS max_s
+        FROM {table}"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
 
 
 def _pagerank_oracle(iterations: int = 3) -> str:
@@ -2471,6 +2537,50 @@ def oracle_sql() -> dict[str, str]:
               AND c_custkey NOT IN (SELECT o_custkey FROM active)
             GROUP BY 1
         """,
+        # Batch MERGE twin: updates ∪ (target anti updates) == the same
+        # CTE in SQL; the +1000.00 bump stays 2-decimal so dsum is exact.
+        "merge_upsert": f"""
+            WITH recent AS (
+                SELECT * FROM orders
+                WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+            ),
+            updates AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus,
+                       o_totalprice + 1000.0 AS o_totalprice,
+                       o_orderdate, o_orderpriority
+                FROM recent
+                UNION ALL
+                SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+                       o_totalprice, o_orderdate, o_orderpriority
+                FROM recent
+            ),
+            merged AS (
+                SELECT * FROM updates
+                UNION ALL
+                SELECT * FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM updates u
+                                  WHERE u.o_orderkey = o.o_orderkey)
+            )
+            SELECT o_orderstatus, COUNT(*) AS n_orders,
+                   {dsum('o_totalprice')} AS total_price
+            FROM merged GROUP BY 1
+        """,
+        # Bloom prefilter is result-transparent: the oracle is the PLAIN
+        # semi join — false positives must all die in the exact join.
+        "bloom_semi_join": f"""
+            SELECT l_returnflag, COUNT(*) AS n_lines,
+                   {dsum('l_extendedprice')} AS sum_price
+            FROM lineitem
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_orderkey = l_orderkey
+                            AND o_totalprice > 400000.0)
+            GROUP BY 1
+        """,
+        "profile_orders": _profile_oracle(
+            "orders",
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderdate", "o_orderpriority"],
+        ),
         # Quantized PageRank (operators/graph.py): the 3-iteration loop
         # unrolls to chained CTEs; all arithmetic is exact fixed-point
         # (BIGINT // and exact-double scalar multiplies), so the oracle

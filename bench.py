@@ -75,6 +75,12 @@ HEADLINE = (
     "heavy_hitters",
     "dedup_incremental",
     "ohlc_rollup",
+    "sole_returner",
+    "top_supplier",
+    "funnel_steps",
+    "cohort_retention",
+    "zorder_cluster",
+    "pagerank_trade",
 )
 
 

@@ -1,0 +1,56 @@
+"""Batch MERGE / upsert — applying a change batch to a keyed table.
+
+The reference's storage plane is immutable puts (SURVEY.md §2.1 S2:
+store + finish-store); the warehouse counterpart every pipeline needs is
+MERGE: apply a batch of upserts (CDC rows, corrections, late records) to
+a keyed target.  Spark has no MERGE outside Delta/Iceberg, but the
+whole-row-replace case folds into plain relational algebra:
+
+    merged = updates ∪ (target ⟕anti updates)
+
+which is ONE anti join (shuffle on the key, update side is usually small
+→ broadcast) plus a zero-shuffle union — strictly narrower than the
+textbook full-outer-join formulation, which shuffles BOTH full tables
+and rebuilds every row through a coalesce projection.  The full-outer
+path is still the right tool when updates carry partial columns; it is
+provided as ``merge_patch``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame, updates: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Whole-row upsert: rows from ``updates`` win on key match, other
+    ``target`` rows pass through, unmatched update rows insert.
+
+    Plan: LEFT ANTI join on the keys (the only shuffle — and Catalyst
+    broadcasts the update side when it is small) + union.  The target
+    never passes through a wide outer join, so at 100 TB the cost is one
+    key-shuffle of the target (or none, if the anti side broadcasts),
+    not a rebuild of every row.
+    """
+    survivors = target.join(updates, on=list(keys), how="left_anti")
+    return updates.unionByName(survivors)
+
+
+def merge_patch(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Partial-column merge: ``updates`` may carry NULLs meaning "keep
+    the target's value" — the classic COALESCE-over-full-outer MERGE.
+    Use only when updates are genuinely partial; for whole-row batches
+    :func:`merge_upsert`'s anti-join plan is strictly cheaper.
+    """
+    t, u = target.alias("t"), updates.alias("u")
+    cond = [t[k].eqNullSafe(u[k]) for k in keys]
+    cols = [F.coalesce(u[c], t[c]).alias(c) for c in target.columns]
+    return t.join(u, cond, "full_outer").select(*cols)
