@@ -699,6 +699,42 @@ def _q_sole_returner(spark, sf_dir):
     )
 
 
+def _q_gap_fill(spark, sf_dir):
+    from p2_mapreduce_spark.operators.timeseries import gap_fill_hourly
+
+    return gap_fill_hourly(load_table(spark, sf_dir, "events"))
+
+
+def _q_diff_orders(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.merge import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    # snapshot b: drop every 97th order (removed), bump recent prices
+    # (changed), append re-keyed copies of the dropped rows (added)
+    dropped = orders.filter(F.col("o_orderkey") % 97 == 0)
+    b = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderdate")
+                >= F.lit("2001-01-01").cast("timestamp"),
+                F.col("o_totalprice") + F.lit(1000.0),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            dropped.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+            )
+        )
+    )
+    return table_diff(orders, b, keys=("o_orderkey",)).groupBy(
+        "status"
+    ).agg(F.count(F.lit(1)).alias("n_keys"))
+
+
 def _q_merge_upsert(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1051,6 +1087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_variety": _q_supplier_part_variety,
         "disjunctive_pricing": _q_disjunctive_pricing,
         "idle_rich_customers": _q_idle_rich_customers,
+        "gap_fill": _q_gap_fill,
+        "diff_orders": _q_diff_orders,
         "merge_upsert": _q_merge_upsert,
         "bloom_semi_join": _q_bloom_semi_join,
         "profile_orders": _q_profile_orders,
@@ -2536,6 +2574,69 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_acctbal > avg_bal
               AND c_custkey NOT IN (SELECT o_custkey FROM active)
             GROUP BY 1
+        """,
+        # Dense-grid gap fill: generate_series grid + IGNORE NULLS
+        # forward fill — the filled metric is max(value) (no float sums)
+        # so the chain is bit-exact.
+        "gap_fill": f"""
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       COUNT(*) AS n, max(value) AS mx
+                FROM {ev} GROUP BY 1, 2
+            ),
+            bounds AS (
+                SELECT event_type, min(hour) AS mn, max(hour) AS mxh
+                FROM hourly GROUP BY 1
+            ),
+            grid AS (
+                SELECT event_type,
+                       unnest(generate_series(mn, mxh, INTERVAL 1 HOUR))
+                           AS hour
+                FROM bounds
+            )
+            SELECT g.event_type, g.hour,
+                   CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+                   last_value(h.mx IGNORE NULLS) OVER (
+                       PARTITION BY g.event_type ORDER BY g.hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS filled_max
+            FROM grid g
+            LEFT JOIN hourly h
+              ON g.event_type = h.event_type AND g.hour = h.hour
+        """,
+        # Snapshot reconciliation twin: same synthetic b-snapshot, same
+        # presence-flag/null-safe-equality semantics via FULL OUTER.
+        "diff_orders": """
+            WITH b AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus,
+                       CASE WHEN o_orderdate >= TIMESTAMP '2001-01-01'
+                            THEN o_totalprice + 1000.0
+                            ELSE o_totalprice END AS o_totalprice,
+                       o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 97 <> 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+                       o_totalprice, o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 97 = 0
+            ),
+            d AS (
+                SELECT CASE
+                         WHEN a.o_orderkey IS NULL THEN 'added'
+                         WHEN b.o_orderkey IS NULL THEN 'removed'
+                         WHEN a.o_custkey IS NOT DISTINCT FROM b.o_custkey
+                          AND a.o_orderstatus
+                              IS NOT DISTINCT FROM b.o_orderstatus
+                          AND a.o_totalprice
+                              IS NOT DISTINCT FROM b.o_totalprice
+                          AND a.o_orderdate
+                              IS NOT DISTINCT FROM b.o_orderdate
+                          AND a.o_orderpriority
+                              IS NOT DISTINCT FROM b.o_orderpriority
+                         THEN 'same' ELSE 'changed' END AS status
+                FROM orders a FULL OUTER JOIN b
+                  ON a.o_orderkey = b.o_orderkey
+            )
+            SELECT status, COUNT(*) AS n_keys FROM d GROUP BY 1
         """,
         # Batch MERGE twin: updates ∪ (target anti updates) == the same
         # CTE in SQL; the +1000.00 bump stays 2-decimal so dsum is exact.

@@ -54,3 +54,52 @@ def merge_patch(
     cond = [t[k].eqNullSafe(u[k]) for k in keys]
     cols = [F.coalesce(u[c], t[c]).alias(c) for c in target.columns]
     return t.join(u, cond, "full_outer").select(*cols)
+
+
+def table_diff(
+    a: DataFrame, b: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Keyed reconciliation of two snapshots: one row per key with
+    ``status ∈ {added, removed, changed, same}`` (b relative to a).
+
+    The anti-entropy sweep every CDC/merge pipeline needs to audit
+    itself: one full-outer join on the keys (the only shuffle), presence
+    flags instead of null-probing the key columns (a legitimate NULL key
+    would otherwise masquerade as absence), and a null-safe
+    all-columns-equal conjunction that Catalyst folds into codegen — no
+    row serialization, no Python.  At 100 TB both sides shuffle once on
+    the key; comparing hashes instead of columns would halve the width
+    but ties the result to an engine-specific hash — columns keep the
+    operator oracle-checkable.
+    """
+    vals = [c for c in a.columns if c not in keys]
+    aa = a.select(
+        *[F.col(k).alias(f"ka_{k}") for k in keys],
+        *[F.col(c).alias(f"va_{c}") for c in vals],
+        F.lit(1).alias("_pa"),
+    )
+    bb = b.select(
+        *[F.col(k).alias(f"kb_{k}") for k in keys],
+        *[F.col(c).alias(f"vb_{c}") for c in vals],
+        F.lit(1).alias("_pb"),
+    )
+    cond = None
+    for k in keys:
+        c = aa[f"ka_{k}"].eqNullSafe(bb[f"kb_{k}"])
+        cond = c if cond is None else cond & c
+    same = F.lit(True)
+    for c in vals:
+        same = same & aa[f"va_{c}"].eqNullSafe(bb[f"vb_{c}"])
+    status = (
+        F.when(F.col("_pa").isNull(), F.lit("added"))
+        .when(F.col("_pb").isNull(), F.lit("removed"))
+        .when(same, F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return aa.join(bb, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"ka_{k}"), F.col(f"kb_{k}")).alias(k)
+            for k in keys
+        ],
+        status.alias("status"),
+    )

@@ -97,3 +97,51 @@ def test_profile_table_single_scan(spark, sf_dir):
     # print each node twice in formatted plans)
     assert r["plan"].count("Scan parquet") <= 2
     assert not r["has_python_worker"]
+
+
+def test_table_diff_statuses(spark):
+    a = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "k long, v string"
+    )
+    b = spark.createDataFrame(
+        [(2, "B"), (3, None), (4, "d")], "k long, v string"
+    )
+    from p2_mapreduce_spark.operators.merge import table_diff
+
+    got = {r["k"]: r["status"] for r in table_diff(a, b, ["k"]).collect()}
+    # null == null must compare as SAME (eqNullSafe), not changed
+    assert got == {1: "removed", 2: "changed", 3: "same", 4: "added"}
+
+
+def test_gap_fill_fills_holes_forward(spark):
+    import datetime as dt
+
+    from p2_mapreduce_spark.operators.timeseries import gap_fill_hourly
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    ev = spark.createDataFrame(
+        [
+            (1, t0, 1, "a", 5.0),
+            # hour 1 and 2 empty, next event in hour 3
+            (2, t0 + dt.timedelta(hours=3), 1, "a", 7.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    rows = sorted(gap_fill_hourly(ev).collect(), key=lambda r: r["hour"])
+    assert len(rows) == 4  # hours 0..3 dense
+    assert [r["n_events"] for r in rows] == [1, 0, 0, 1]
+    # holes carry the last observation forward
+    assert [r["filled_max"] for r in rows] == [5.0, 5.0, 5.0, 7.0]
+
+
+def test_gap_fill_plan_no_python(spark, sf_dir):
+    r = plan_report(entry_mod.queries()["gap_fill"](spark, sf_dir))
+    assert not r["has_python_worker"]
+    assert "Generate" in r["plan"]  # the sequence explode
+
+
+def test_diff_orders_plan_single_shuffle_join(spark, sf_dir):
+    r = plan_report(entry_mod.queries()["diff_orders"](spark, sf_dir))
+    assert "FullOuter" in r["plan"]
+    assert not r["has_python_worker"]
