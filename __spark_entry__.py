@@ -699,6 +699,38 @@ def _q_sole_returner(spark, sf_dir):
     )
 
 
+def _q_equidepth_histogram(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import equidepth_histogram
+
+    return equidepth_histogram(load_table(spark, sf_dir, "orders"))
+
+
+def _q_fk_integrity(spark, sf_dir):
+    from p2_mapreduce_spark.operators.relational import fk_integrity
+
+    return fk_integrity(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def _q_event_transitions(spark, sf_dir):
+    from p2_mapreduce_spark.operators.events_analytics import event_transitions
+
+    return event_transitions(load_table(spark, sf_dir, "events"))
+
+
+def _q_attribution(spark, sf_dir):
+    from p2_mapreduce_spark.operators.events_analytics import (
+        last_touch_attribution,
+    )
+
+    return last_touch_attribution(load_table(spark, sf_dir, "events"))
+
+
 def _q_gap_fill(spark, sf_dir):
     from p2_mapreduce_spark.operators.timeseries import gap_fill_hourly
 
@@ -1087,6 +1119,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_variety": _q_supplier_part_variety,
         "disjunctive_pricing": _q_disjunctive_pricing,
         "idle_rich_customers": _q_idle_rich_customers,
+        "equidepth_histogram": _q_equidepth_histogram,
+        "fk_integrity": _q_fk_integrity,
+        "event_transitions": _q_event_transitions,
+        "attribution": _q_attribution,
         "gap_fill": _q_gap_fill,
         "diff_orders": _q_diff_orders,
         "merge_upsert": _q_merge_upsert,
@@ -1210,6 +1246,27 @@ def _ngram_pairs_sql(shingles: str, select_clause: str, threshold: float = 0.5) 
         JOIN sizes sa ON doc_a = sa.doc_id
         JOIN sizes sb ON doc_b = sb.doc_id
         WHERE CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) >= {threshold}
+    """
+
+
+def _equidepth_oracle(n_buckets: int = 10) -> str:
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = ", ".join(
+        f"quantile_cont(o_totalprice, {f!r}) AS _b{i}"
+        for i, f in enumerate(fracs, start=1)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN o_totalprice > _b{i} THEN 1 ELSE 0 END)"
+        for i in range(1, n_buckets)
+    )
+    return f"""
+        WITH b AS (SELECT {bounds} FROM orders)
+        SELECT CAST({bucket} AS BIGINT) AS bucket,
+               COUNT(*) AS n_orders,
+               min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS bucket_revenue
+        FROM orders, b GROUP BY 1
     """
 
 
@@ -2574,6 +2631,54 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_acctbal > avg_bal
               AND c_custkey NOT IN (SELECT o_custkey FROM active)
             GROUP BY 1
+        """,
+        # Equi-depth histogram: type-R7 quantile boundaries are bit-
+        # identical (Spark percentile == DuckDB quantile_cont), so the
+        # strictly-above bucket assignment matches row for row.
+        "equidepth_histogram": _equidepth_oracle(),
+        "fk_integrity": """
+            SELECT 'lineitem->orders' AS relation, COUNT(*) AS n_orphans
+            FROM lineitem WHERE NOT EXISTS
+                (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+            UNION ALL
+            SELECT 'lineitem->part', COUNT(*)
+            FROM lineitem WHERE NOT EXISTS
+                (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+            UNION ALL
+            SELECT 'lineitem->supplier', COUNT(*)
+            FROM lineitem WHERE NOT EXISTS
+                (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+            UNION ALL
+            SELECT 'orders->customer', COUNT(*)
+            FROM orders WHERE NOT EXISTS
+                (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        """,
+        "event_transitions": f"""
+            WITH t AS (
+                SELECT event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                           AS prev_type
+                FROM {ev}
+            )
+            SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+            FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        """,
+        # Last-touch attribution twin: identical total frame order
+        # (ts, event_id) and IGNORE NULLS window lookup.
+        "attribution": f"""
+            WITH t AS (
+                SELECT event_type,
+                       last_value(CASE WHEN event_type <> 'purchase'
+                                       THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS source_type
+                FROM {ev}
+            )
+            SELECT COALESCE(source_type, 'direct') AS source_type,
+                   COUNT(*) AS n_purchases
+            FROM t WHERE event_type = 'purchase' GROUP BY 1
         """,
         # Dense-grid gap fill: generate_series grid + IGNORE NULLS
         # forward fill — the filled metric is max(value) (no float sums)

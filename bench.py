@@ -81,6 +81,13 @@ HEADLINE = (
     "cohort_retention",
     "zorder_cluster",
     "pagerank_trade",
+    "merge_upsert",
+    "bloom_semi_join",
+    "gap_fill",
+    "diff_orders",
+    "attribution",
+    "equidepth_histogram",
+    "event_transitions",
 )
 
 

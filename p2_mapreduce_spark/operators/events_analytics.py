@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: default funnel: the fixture's natural conversion path
@@ -112,4 +112,54 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         )
         .groupBy("cohort_date", "week_offset")
         .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+def last_touch_attribution(events: DataFrame) -> DataFrame:
+    """Last-touch attribution: every purchase credits the user's most
+    recent PRECEDING non-purchase event; purchases with no prior touch
+    credit ``direct``.  Output is the credit tally per source type.
+
+    The self-as-of lookup needs no join at all: one window per user
+    ordered by (ts, event_id) — the unique event id breaks timestamp
+    ties so the frame order is total — and ``last(ignorenulls)`` over
+    the UNBOUNDED..-1 frame picks the nearest earlier touch.  One
+    shuffle on user_id; partition height is the user's event history
+    (the same per-key bound the reference's grouped reduce imposes).
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.withColumn("source_type", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.coalesce("source_type", F.lit("direct")).alias("source_type"))
+        .groupBy("source_type")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition counts: how often each event type
+    follows each other type within a user's history —
+    ``(prev_type, next_type, n)``.
+
+    One window per user ordered by the total (ts, event_id) key gives
+    every event its predecessor via ``lag`` — a single shuffle on
+    user_id, then an ordinary #types² aggregate.  The totally-ordered
+    tie-break makes the transition sequence (and the counts) identical
+    in any engine.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
     )

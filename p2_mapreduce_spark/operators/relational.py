@@ -699,3 +699,79 @@ def rollup_nation(customer: DataFrame, nation: DataFrame, region: DataFrame) -> 
         F.count(F.lit(1)).alias("n_customers"),
         dsum("c_acctbal").alias("sum_acctbal"),
     )
+
+
+def equidepth_histogram(orders: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Equi-depth (equal-population) histogram WITHOUT a global sort:
+    bucket boundaries are the exact interpolated percentiles — computed
+    in ONE aggregate pass over the column — broadcast back as scalars,
+    and each row's bucket id is the count of boundaries strictly below
+    its value (n_buckets-1 codegen comparisons, no window).
+
+    The naive equi-depth construction is ``ntile`` over a global sort —
+    a single-partition WindowExec that dies at scale.  This plan is two
+    narrow aggregates instead: percentile state is the only thing that
+    grows with data, and Spark/DuckDB both implement exact type-R7
+    interpolation, so the boundaries (and therefore every bucket id)
+    are bit-identical cross-engine.  Complements the fixed-width
+    :func:`price_histogram` (equi-width: cheap, skew-blind; equi-depth:
+    skew-adaptive, one extra pass).
+    """
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = orders.agg(
+        *[
+            F.percentile("o_totalprice", F.lit(f)).alias(f"_b{i}")
+            for i, f in enumerate(fracs, start=1)
+        ]
+    )
+    bucket = None
+    for i in range(1, n_buckets):
+        term = (F.col("o_totalprice") > F.col(f"_b{i}")).cast("int")
+        bucket = term if bucket is None else bucket + term
+    return (
+        orders.join(F.broadcast(bounds))
+        .groupBy(bucket.cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dsum("o_totalprice").alias("bucket_revenue"),
+        )
+    )
+
+
+def fk_integrity(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """Referential-integrity audit: orphan-row counts for every foreign
+    key in the star schema — ``(relation, n_orphans)``.
+
+    Each check is a LEFT ANTI join (fact side projected to the key
+    before the shuffle; dimension sides broadcast when small) feeding a
+    1-row count; the four audits union into one result.  This is the
+    ingest-gate validation the reference's storage plane has no language
+    for — on Spark it is four cheap plans sharing the fact scans.
+    """
+    def orphans(fact, key, dim, dkey, name):
+        f = fact.select(F.col(key).alias("_fk"))
+        d = dim.select(F.col(dkey).alias("_dk"))
+        return (
+            f.join(d, F.col("_fk") == F.col("_dk"), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("relation"), "n_orphans")
+        )
+
+    return (
+        orphans(lineitem, "l_orderkey", orders, "o_orderkey",
+                "lineitem->orders")
+        .unionByName(orphans(lineitem, "l_partkey", part, "p_partkey",
+                             "lineitem->part"))
+        .unionByName(orphans(lineitem, "l_suppkey", supplier, "s_suppkey",
+                             "lineitem->supplier"))
+        .unionByName(orphans(orders, "o_custkey", customer, "c_custkey",
+                             "orders->customer"))
+    )

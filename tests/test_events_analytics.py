@@ -97,3 +97,68 @@ def test_cohort_retention_offsets(spark, sf_dir):
 def test_cohort_retention_no_python(spark, sf_dir):
     r = plan_report(entry_mod.queries()["cohort_retention"](spark, sf_dir))
     assert not r["has_python_worker"]
+
+
+def test_last_touch_attribution_semantics(spark):
+    from p2_mapreduce_spark.operators.events_analytics import (
+        last_touch_attribution,
+    )
+
+    ev = _mk_events(
+        spark,
+        [
+            # u1: view -> purchase (credit view), then another purchase
+            # right after (credit view again — purchases don't credit)
+            ("2024-01-01T00:00:01", 1, "view"),
+            ("2024-01-01T00:00:02", 1, "purchase"),
+            ("2024-01-01T00:00:03", 1, "purchase"),
+            # u2: purchase with no prior event -> direct
+            ("2024-01-01T00:00:01", 2, "purchase"),
+            # u3: click then view then purchase -> credit view (nearest)
+            ("2024-01-01T00:00:01", 3, "click"),
+            ("2024-01-01T00:00:02", 3, "view"),
+            ("2024-01-01T00:00:03", 3, "purchase"),
+        ],
+    )
+    got = {
+        r["source_type"]: r["n_purchases"]
+        for r in last_touch_attribution(ev).collect()
+    }
+    assert got == {"view": 3, "direct": 1}
+
+
+def test_attribution_plan_no_python_one_window(spark, sf_dir):
+    r = plan_report(entry_mod.queries()["attribution"](spark, sf_dir))
+    assert not r["has_python_worker"]
+    assert r["plan"].count("(") and "Window" in r["plan"]
+
+
+def test_event_transitions_counts(spark):
+    from p2_mapreduce_spark.operators.events_analytics import event_transitions
+
+    ev = _mk_events(
+        spark,
+        [
+            ("2024-01-01T00:00:01", 1, "view"),
+            ("2024-01-01T00:00:02", 1, "click"),
+            ("2024-01-01T00:00:03", 1, "view"),
+            ("2024-01-01T00:00:01", 2, "view"),
+            ("2024-01-01T00:00:02", 2, "click"),
+        ],
+    )
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in event_transitions(ev).collect()
+    }
+    assert got == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_event_transitions_conservation(spark, sf_dir):
+    from p2_mapreduce_spark.operators.events_analytics import event_transitions
+
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    trans = event_transitions(ev)
+    # every event except each user's first is somebody's successor
+    assert sum(r["n"] for r in trans.collect()) == total - n_users

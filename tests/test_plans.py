@@ -238,3 +238,45 @@ def test_salted_join_result_is_salt_invariant(spark, sf_dir):
         )
         assert "__salt" not in got.columns
         assert sorted(map(tuple, got.collect())) == want
+
+
+def test_equidepth_histogram_no_global_sort(spark, sf_dir):
+    import __spark_entry__ as entry_mod
+
+    from p2_mapreduce_spark.plans import plan_report
+
+    r = plan_report(entry_mod.queries()["equidepth_histogram"](spark, sf_dir))
+    # the whole point: equi-depth WITHOUT ntile/global sort
+    assert "Window" not in r["plan"]
+    assert not r["has_python_worker"]
+    # the 1-row boundary table broadcasts (nested-loop: no join keys)
+    assert "BroadcastNestedLoopJoin" in r["plan"]
+    rows = entry_mod.queries()["equidepth_histogram"](spark, sf_dir).collect()
+    counts = [r2["n_orders"] for r2 in rows]
+    # equal-population within interpolation slack
+    assert max(counts) - min(counts) <= max(2, sum(counts) // 100)
+
+
+def test_fk_integrity_detects_injected_orphans(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from p2_mapreduce_spark.operators.relational import fk_integrity
+    from p2_mapreduce_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    clean = {
+        r["relation"]: r["n_orphans"]
+        for r in fk_integrity(li, orders, customer, part, supplier).collect()
+    }
+    assert set(clean.values()) == {0}  # the fixture FKs are intact
+    # break one FK: drop half the suppliers (sf0.001 has 10 of them)
+    broken = fk_integrity(
+        li, orders, customer, part, supplier.filter(F.col("s_suppkey") < 5)
+    )
+    got = {r["relation"]: r["n_orphans"] for r in broken.collect()}
+    assert got["lineitem->supplier"] > 0
+    assert got["lineitem->orders"] == 0

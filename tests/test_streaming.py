@@ -316,3 +316,50 @@ def test_ohlc_rollup_open_close_deterministic_on_ts_ties(spark):
     assert r["open"] == 10.0   # event_id 1 wins the tie
     assert r["close"] == 30.0  # latest ts
     assert (r["high"], r["low"], r["n_events"]) == (50.0, 10.0, 3)
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static join: enriching a stream with a broadcastable batch
+    dimension needs no watermark and no state — every micro-batch hash-
+    joins the static side.  The attribution of event values to the
+    user's segment must equal the batch twin exactly."""
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_us_static")
+    events.write.mode("overwrite").parquet(src)
+
+    # static dim derived once: user -> segment (pure function of id)
+    seg = (
+        events.select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 4).cast("string"))
+    )
+
+    def enrich(df):
+        return (
+            df.join(F.broadcast(seg), "user_id")
+            .groupBy("segment", "event_type")
+            .count()
+        )
+
+    batch = {
+        (r["segment"], r["event_type"]): r["count"]
+        for r in enrich(events).collect()
+    }
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        enrich(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_static_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["segment"], r["event_type"]): r["count"]
+            for r in spark.sql("SELECT * FROM stream_static_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch
