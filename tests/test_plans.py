@@ -280,3 +280,36 @@ def test_fk_integrity_detects_injected_orphans(spark, sf_dir):
     got = {r["relation"]: r["n_orphans"] for r in broken.collect()}
     assert got["lineitem->supplier"] > 0
     assert got["lineitem->orders"] == 0
+
+
+#: queries whose plans legitimately reach Python: the MapReduce Python
+#: API (by-value-shipped plugin fns) and the Arrow-batched kernels
+#: (numpy knn, multimodal decode).  EVERYTHING else must stay JVM-side.
+PYTHON_ALLOWED = {
+    "partition_count",
+    "udf_roundtrip",
+    "knn_np",
+    "media_decode",
+    "media_resize",
+    "media_mixed",
+    "media_frames",
+}
+
+
+def test_every_query_plan_is_jvm_side_unless_allowlisted(spark, sf_dir):
+    """Blanket hot-path audit: no query may silently grow a Python
+    worker.  A new Arrow kernel is a deliberate decision — add it to
+    PYTHON_ALLOWED with a justification, or the suite fails."""
+    import __spark_entry__ as entry_mod
+
+    from p2_mapreduce_spark.plans import plan_report
+
+    offenders, missing = [], []
+    for name, fn in sorted(entry_mod.queries().items()):
+        has_py = plan_report(fn(spark, sf_dir))["has_python_worker"]
+        if has_py and name not in PYTHON_ALLOWED:
+            offenders.append(name)
+        if not has_py and name in PYTHON_ALLOWED:
+            missing.append(name)
+    assert not offenders, f"unexpected Python workers: {offenders}"
+    assert not missing, f"stale PYTHON_ALLOWED entries: {missing}"
