@@ -718,10 +718,16 @@ def equidepth_histogram(orders: DataFrame, n_buckets: int = 10) -> DataFrame:
     skew-adaptive, one extra pass).
     """
     fracs = [i / n_buckets for i in range(1, n_buckets)]
+    # ONE percentile aggregate with an array of fractions: a single
+    # sorted-column state instead of n_buckets-1 copies of it
     bounds = orders.agg(
+        F.percentile(
+            "o_totalprice", F.array(*[F.lit(f) for f in fracs])
+        ).alias("_bs")
+    ).select(
         *[
-            F.percentile("o_totalprice", F.lit(f)).alias(f"_b{i}")
-            for i, f in enumerate(fracs, start=1)
+            F.col("_bs").getItem(i - 1).alias(f"_b{i}")
+            for i in range(1, n_buckets)
         ]
     )
     bucket = None
