@@ -699,6 +699,18 @@ def _q_sole_returner(spark, sf_dir):
     )
 
 
+def _q_mom_revenue(spark, sf_dir):
+    from p2_mapreduce_spark.operators.timeseries import mom_revenue
+
+    return mom_revenue(load_table(spark, sf_dir, "orders"))
+
+
+def _q_rolling_active_users(spark, sf_dir):
+    from p2_mapreduce_spark.operators.timeseries import rolling_active_users
+
+    return rolling_active_users(load_table(spark, sf_dir, "events"))
+
+
 def _q_equidepth_histogram(spark, sf_dir):
     from p2_mapreduce_spark.operators.relational import equidepth_histogram
 
@@ -1119,6 +1131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_variety": _q_supplier_part_variety,
         "disjunctive_pricing": _q_disjunctive_pricing,
         "idle_rich_customers": _q_idle_rich_customers,
+        "mom_revenue": _q_mom_revenue,
+        "rolling_active_users": _q_rolling_active_users,
         "equidepth_histogram": _q_equidepth_histogram,
         "fk_integrity": _q_fk_integrity,
         "event_transitions": _q_event_transitions,
@@ -2630,6 +2644,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN seg ON c_mktsegment = seg.seg
             WHERE c_acctbal > avg_bal
               AND c_custkey NOT IN (SELECT o_custkey FROM active)
+            GROUP BY 1
+        """,
+        "mom_revenue": f"""
+            WITH m AS (
+                SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                       {dsum('o_totalprice')} AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT month, revenue,
+                   lag(revenue) OVER (ORDER BY month) AS prev_rev,
+                   revenue - lag(revenue) OVER (ORDER BY month)
+                       AS mom_delta,
+                   revenue / lag(revenue) OVER (ORDER BY month)
+                       AS mom_ratio
+            FROM m
+        """,
+        "rolling_active_users": f"""
+            WITH grid AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS ad FROM {ev}
+            ),
+            b AS (SELECT min(CAST(ts AS DATE)) AS lo,
+                         max(CAST(ts AS DATE)) AS hi FROM {ev}),
+            cal AS (SELECT CAST(unnest(generate_series(lo, hi,
+                                INTERVAL 1 DAY)) AS DATE) AS d FROM b)
+            SELECT strftime(d, '%Y-%m-%d') AS d,
+                   COUNT(DISTINCT user_id) AS active_users
+            FROM grid JOIN cal
+              ON ad <= d AND ad > d - INTERVAL 7 DAY
             GROUP BY 1
         """,
         # Equi-depth histogram: type-R7 quantile boundaries are bit-

@@ -61,3 +61,68 @@ def gap_fill_hourly(events: DataFrame) -> DataFrame:
             F.last("mx", ignorenulls=True).over(w).alias("filled_max"),
         )
     )
+
+
+def mom_revenue(orders: DataFrame) -> DataFrame:
+    """Month-over-month revenue: per-month exact totals plus the delta
+    and ratio against the previous month — ``(month, revenue, prev_rev,
+    mom_delta, mom_ratio)``.
+
+    The heavy lifting is an ordinary partial→final aggregate to month
+    grain; the lag/delta window then runs over #months rows (grain-
+    bounded — a 100-year history is 1200 rows), so the unpartitioned
+    window is a deliberate, safe single-partition pass over a tiny
+    pre-aggregate, never over the fact table.  Delta and ratio are
+    single IEEE ops on exact-decimal sums — deterministic cross-engine.
+    """
+    from p2_mapreduce_spark.functions.numeric import dsum
+
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        F.lag("revenue").over(w).alias("prev_rev"),
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("mom_delta"),
+        (F.col("revenue") / F.lag("revenue").over(w)).alias("mom_ratio"),
+    )
+
+
+def rolling_active_users(events: DataFrame, days: int = 7) -> DataFrame:
+    """Trailing-N-day distinct active users per calendar day — the
+    WAU-style metric ``(d, active_users)`` for every day in the events'
+    date range.
+
+    COUNT(DISTINCT) over a sliding window has no streaming-friendly
+    partial form, so the scalable construction is: collapse events to
+    the distinct (user, day) activity grid at the scan's partial-
+    distinct (at most #users × #days rows), then RANGE-join each grid
+    row to the ≤N calendar days it contributes to, and count distinct
+    users per day.  Work is |grid| × N rows — bounded by users × days ×
+    window, independent of raw event volume.
+    """
+    grid = events.select(
+        "user_id", F.to_date("ts").alias("ad")
+    ).distinct()
+    cal = (
+        events.agg(
+            F.min(F.to_date("ts")).alias("lo"),
+            F.max(F.to_date("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 day"))
+            ).alias("d")
+        )
+    )
+    joined = grid.join(
+        F.broadcast(cal),
+        (F.col("ad") <= F.col("d"))
+        & (F.col("ad") > F.date_sub(F.col("d"), days)),
+    )
+    return (
+        joined.groupBy(F.date_format("d", "yyyy-MM-dd").alias("d"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

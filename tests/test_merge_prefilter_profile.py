@@ -145,3 +145,42 @@ def test_diff_orders_plan_single_shuffle_join(spark, sf_dir):
     r = plan_report(entry_mod.queries()["diff_orders"](spark, sf_dir))
     assert "FullOuter" in r["plan"]
     assert not r["has_python_worker"]
+
+
+def test_rolling_active_users_semantics(spark):
+    import datetime as dt
+
+    from p2_mapreduce_spark.operators.timeseries import rolling_active_users
+
+    def e(day, uid):
+        return (day * 100 + uid, dt.datetime(2024, 1, day, 12), uid,
+                "view", 1.0)
+
+    ev = spark.createDataFrame(
+        [e(1, 1), e(1, 2), e(3, 1), e(9, 3)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    got = {r["d"]: r["active_users"]
+           for r in rolling_active_users(ev, days=7).collect()}
+    # day 1: users {1,2}; day 7: window 1..7 = {1,2}
+    # day 8: window 2..8 = {1}; day 9: window 3..9 = {1,3}
+    assert got["2024-01-01"] == 2
+    assert got["2024-01-07"] == 2
+    assert got["2024-01-08"] == 1
+    assert got["2024-01-09"] == 2
+    assert len(got) == 9  # dense calendar between first and last day
+
+
+def test_mom_revenue_delta_consistency(spark, sf_dir):
+    from p2_mapreduce_spark.operators.timeseries import mom_revenue
+    from p2_mapreduce_spark.session import load_table
+
+    rows = sorted(
+        mom_revenue(load_table(spark, sf_dir, "orders")).collect(),
+        key=lambda r: r["month"],
+    )
+    assert rows[0]["prev_rev"] is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["prev_rev"] == prev["revenue"]
+        assert cur["mom_delta"] == cur["revenue"] - cur["prev_rev"]
