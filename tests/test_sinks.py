@@ -115,3 +115,26 @@ def test_audited_write_reports_metrics_in_one_pass(spark, sf_dir, tmp_path):
     assert got["n_rows"] == want_rows
     assert got["sum_qty"] == want_qty
     assert spark.read.parquet(out).count() == want_rows
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Evolving a dataset by adding a column must not strand old files:
+    mergeSchema reconciles v1 (no column) and v2 (new column) footers
+    into one schema with NULLs for the missing values — the standard
+    parquet schema-evolution contract a long-lived 100 TB dataset relies
+    on (per-file footers differ; the union schema is computed at read)."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "evolving")
+    v1 = spark.range(3).select(F.col("id").alias("k"))
+    v1.write.parquet(base + "/batch=1")
+    v2 = spark.range(3, 6).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("extra")
+    )
+    v2.write.parquet(base + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"k", "extra", "batch"}
+    rows = {r["k"]: r["extra"] for r in merged.collect()}
+    assert rows[0] is None and rows[5] == 50
+    assert merged.count() == 6
