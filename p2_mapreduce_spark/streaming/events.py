@@ -30,21 +30,20 @@ def tumbling_window_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
-def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
-    """Gap-based sessionization: a new session starts when a user is idle
-    longer than ``gap_minutes``.  lag + running cumsum over a per-user
-    window — one shuffle on user_id; no Python.
+def assign_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Event-level session assignment: the input rows plus a per-user
+    ``session_seq`` (0-based) that increments whenever the idle gap
+    exceeds ``gap_minutes``.  The building block :func:`sessionize`
+    aggregates, and composable session-scoped analytics (e.g. the
+    per-session funnel) group by.
 
-    Skew note: a single hyperactive user serializes into one task; at
-    100 TB bound sessions per user per day (composite partition key
-    (user_id, date)) or move to ``session_window`` in streaming.
+    The event_id tie-break makes the lag/cumsum deterministic under
+    equal timestamps; gap arithmetic is integer microseconds (exact,
+    and matches the oracle's epoch_us on µs-truncated timestamps).
     """
-    # event_id tie-break makes the lag/cumsum deterministic under equal
-    # timestamps; gap arithmetic in integer microseconds (exact, and
-    # matches the oracle's epoch_us on µs-truncated timestamps).
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = gap_minutes * 60 * 1_000_000
-    with_breaks = events.withColumn(
+    return events.withColumn(
         "is_break",
         (
             F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1).over(w_user)
@@ -55,8 +54,21 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.sum(F.coalesce(F.col("is_break"), F.lit(0))).over(
             w_user.rowsBetween(Window.unboundedPreceding, 0)
         ),
-    )
-    return with_breaks.groupBy("user_id", "session_seq").agg(
+    ).drop("is_break")
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    longer than ``gap_minutes``.  lag + running cumsum over a per-user
+    window — one shuffle on user_id; no Python.
+
+    Skew note: a single hyperactive user serializes into one task; at
+    100 TB bound sessions per user per day (composite partition key
+    (user_id, date)) or move to ``session_window`` in streaming.
+    """
+    return assign_sessions(events, gap_minutes).groupBy(
+        "user_id", "session_seq"
+    ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
