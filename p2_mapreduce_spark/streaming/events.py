@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from p2_mapreduce_spark.functions.numeric import dsum
 
@@ -38,16 +39,18 @@ def assign_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     per-session funnel) group by.
 
     The event_id tie-break makes the lag/cumsum deterministic under
-    equal timestamps; gap arithmetic is integer microseconds (exact,
-    and matches the oracle's epoch_us on µs-truncated timestamps).
+    equal timestamps; gap arithmetic is timestamp subtraction → an exact
+    day-time interval, which works for both TIMESTAMP and TIMESTAMP_NTZ
+    inputs (``unix_micros`` rejects NTZ) and never consults the session
+    time zone — the cross-engine contract with the oracle's epoch_us
+    difference on µs-truncated naive timestamps.
     """
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = gap_minutes * 60 * 1_000_000
     return events.withColumn(
         "is_break",
         (
-            F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1).over(w_user)
-            > F.lit(gap_us)
+            F.col("ts") - F.lag(F.col("ts"), 1).over(w_user)
+            > F.expr(f"INTERVAL '{int(gap_minutes)}' MINUTE")
         ).cast("int"),
     ).withColumn(
         "session_seq",
@@ -120,6 +123,20 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def as_event_time(df: DataFrame, *cols: str) -> DataFrame:
+    """Normalize event-time columns to TIMESTAMP.  Parquet written without
+    ``isAdjustedToUTC`` reads back as TIMESTAMP_NTZ, which Spark rejects
+    as a watermark / event-time column
+    (``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``).  Under the engine's pinned
+    UTC session the cast is a type re-tag — the naive wall-clock value is
+    unchanged — so the streaming twins stay value-identical to their NTZ
+    batch counterparts.  No-op for columns already TIMESTAMP."""
+    for c in cols or ("ts",):
+        if isinstance(df.schema[c].dataType, T.TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def dedup_events_stream(
     spark,
     source_dir: str,
@@ -136,7 +153,7 @@ def dedup_events_stream(
     formulation that survives an unbounded 100 TB/day feed.  Plain
     ``dropDuplicates`` on a stream would grow state forever; the batch
     operator can't see cross-batch duplicates at all."""
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    stream = as_event_time(spark.readStream.schema(schema).parquet(source_dir))
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
@@ -173,7 +190,7 @@ def stream_stream_join(
     purchase and is dropped.  Without both bounds a stream-stream join
     buffers one side forever — the state-boundedness contract is the
     whole design, same as the windowed aggs."""
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    stream = as_event_time(spark.readStream.schema(schema).parquet(source_dir))
     purchases = (
         stream.filter(F.col("event_type") == "purchase")
         .select(
@@ -206,7 +223,7 @@ def tumbling_window_stream(
     dropped) — the knob that keeps state finite on an unbounded stream.
     Caller starts it with ``.writeStream`` (tests use the memory sink +
     ``processAllAvailable``)."""
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    stream = as_event_time(spark.readStream.schema(schema).parquet(source_dir))
     win = F.window("ts", width, slide) if slide else F.window("ts", width)
     return (
         stream.withWatermark("ts", watermark)
@@ -226,14 +243,20 @@ def ohlc_rollup(events: DataFrame, width: str = "hour") -> DataFrame:
     One projection + one hash aggregate (a shuffle on the bucket grain
     only — partial aggs shrink it map-side), same shape as
     :func:`tumbling_window_agg`; open/close use ``min_by``/``max_by``
-    over a zero-padded ``(epoch µs, event_id)`` string key, which makes
-    the pick deterministic even when two events share a timestamp (the
-    cross-engine contract: lexicographic on the padded key ==
-    lexicographic on the tuple; a bare ``min_by(value, ts)`` would be
-    partition-order-dependent on ties).
+    over a zero-padded ``(timestamp digits, event_id)`` string key,
+    which makes the pick deterministic even when two events share a
+    timestamp.  The timestamp digits come from ``date_format(ts,
+    'yyyyMMddHHmmssSSSSSS')`` — fixed-width, so lexicographic on the
+    padded key == lexicographic on the ``(ts, event_id)`` tuple, and on
+    TIMESTAMP_NTZ it formats the naive value without consulting the
+    session time zone (``unix_micros`` rejects NTZ outright).  The
+    oracle orders by ``(epoch_us, event_id)``; both keys are strictly
+    increasing in the tuple, so the pick agrees cross-engine.  A bare
+    ``min_by(value, ts)`` would be partition-order-dependent on ties.
     """
-    sort_key = F.format_string(
-        "%020d%010d", F.unix_micros(F.col("ts")), F.col("event_id")
+    sort_key = F.concat(
+        F.date_format(F.col("ts"), "yyyyMMddHHmmssSSSSSS"),
+        F.format_string("%010d", F.col("event_id")),
     )
     return (
         events.groupBy(

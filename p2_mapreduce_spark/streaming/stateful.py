@@ -91,8 +91,10 @@ def sessionize_stream(events_stream: DataFrame, gap_minutes: int = 30,
     user_id, ts, event_id, value).  Emits one row per CLOSED session
     (append mode); open sessions stay in state until a later event or the
     event-time timeout closes them."""
+    from p2_mapreduce_spark.streaming.events import as_event_time
+
     return (
-        events_stream.withWatermark("ts", watermark)
+        as_event_time(events_stream).withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             _sessionize_fn(gap_minutes),

@@ -28,15 +28,26 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 
 qs, oracles = E.queries(), E.oracle_sql()
 only = set(sys.argv[1:])  # optional: check just the named queries
+n_err = 0
 for name, fn in sorted(qs.items()):
     if only and name not in only:
         continue
-    sdf = fn(spark, SF)
-    spdf = sdf.toPandas()
+    try:
+        sdf = fn(spark, SF)
+        spdf = sdf.toPandas()
+    except Exception as exc:  # keep going — the driver records per-query errs
+        n_err += 1
+        print(f"{name}: ERROR {type(exc).__name__}: {str(exc).splitlines()[0][:200]}")
+        continue
     if name not in oracles:
         print(f"{name}: rows-only rows={len(spdf)} cols={sorted(spdf.columns)}")
         continue
-    dpdf = con.sql(oracles[name]).df()
+    try:
+        dpdf = con.sql(oracles[name]).df()
+    except Exception as exc:
+        n_err += 1
+        print(f"{name}: ORACLE ERROR {type(exc).__name__}: {str(exc).splitlines()[0][:200]}")
+        continue
     cols_ok = sorted(spdf.columns) == sorted(dpdf.columns)
     n_ok = len(spdf) == len(dpdf)
     cols = sorted(spdf.columns)
@@ -46,4 +57,5 @@ for name, fn in sorted(qs.items()):
     if not vals_ok and cols_ok and n_ok:
         a, b = canon(spdf), canon(dpdf)
         print("  first diff:", next(((x, y) for x, y in zip(a, b) if x != y), None))
+print(f"SUMMARY: errors={n_err}")
 spark.stop()

@@ -26,27 +26,58 @@ from p2_mapreduce_spark.functions.text import tokens_array
 from p2_mapreduce_spark.operators.graph import connected_components
 
 
-@settings(max_examples=8, deadline=None)
-@given(
-    st.lists(
-        st.text(
-            alphabet=st.characters(
-                blacklist_categories=("Cs",),  # no lone surrogates (invalid UTF-8)
-                # the JVM regex engine and RE2 ship different Unicode
-                # table versions: codepoints added in newer Unicode (e.g.
-                # U+31350, CJK ext H, Unicode 15) are \p{L} to one engine
-                # and not the other.  The parity contract is over
-                # codepoints BOTH engines classify identically — cap at
-                # the pre-ext-H planes (covers every real-world script).
-                max_codepoint=0x2FFFF,
-            ),
-            max_size=80,
-        ),
-        min_size=1,
-        max_size=12,
+_AGREED_ALPHABET: str | None = None
+
+
+def _agreement_alphabet(spark) -> str:
+    """Codepoints on which BOTH regex engines agree about membership in
+    ``[\\p{L}\\p{N}]`` and about ``lower()`` — the domain of the parity
+    contract.  Java 17 ships Unicode 13 tables while DuckDB's
+    RE2/utf8proc ship newer ones, and newly-assigned letters land
+    *inside* old planes (e.g. U+1E4D0 Nag Mundari, Unicode 15), so no
+    static cap or block list stays correct across engine upgrades —
+    calibrate empirically once per session instead."""
+    global _AGREED_ALPHABET
+    if _AGREED_ALPHABET is not None:
+        return _AGREED_ALPHABET
+    cps = [c for c in range(0x30000) if not 0xD800 <= c <= 0xDFFF]
+    jvm = {
+        r["cp"]: (r["lo"], r["w"])
+        for r in spark.createDataFrame(
+            [(c, chr(c)) for c in cps], "cp long, ch string"
+        )
+        .select(
+            "cp",
+            F.lower("ch").alias("lo"),
+            F.col("ch").rlike("^[\\p{L}\\p{N}]$").alias("w"),
+        )
+        .collect()
+    }
+    duck = duckdb.connect().execute(
+        r"SELECT cp, lower(chr(cp::INT)), regexp_matches(chr(cp::INT), '^[\p{L}\p{N}]$')"
+        r" FROM range(196608) t(cp) WHERE cp NOT BETWEEN 55296 AND 57343"
+    ).fetchall()
+    _AGREED_ALPHABET = "".join(
+        chr(cp) for cp, lo, w in duck if jvm[cp] == (lo, w)
     )
-)
-def test_tokenizer_matches_duckdb_on_arbitrary_text(spark, texts):
+    # sanity: the engines agree on every real-world script's core
+    assert {"a", "Z", "9", "é", "中", "א"} <= set(_AGREED_ALPHABET)
+    return _AGREED_ALPHABET
+
+
+@settings(max_examples=8, deadline=None)
+@given(data=st.data())
+def test_tokenizer_matches_duckdb_on_arbitrary_text(spark, data):
+    texts = data.draw(
+        st.lists(
+            st.text(
+                alphabet=st.sampled_from(_agreement_alphabet(spark)),
+                max_size=80,
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
     got = {
         r["i"]: r["toks"]

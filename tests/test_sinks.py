@@ -72,8 +72,10 @@ def test_windowed_upsert_sink_rewrites_only_touched_buckets(spark, sf_dir, tmp_p
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
+    from p2_mapreduce_spark.streaming.events import as_event_time
+
     q = windowed_upsert_sink(
-        agg(stream.withWatermark("ts", "0 seconds")), out, ckpt, "bucket"
+        agg(as_event_time(stream).withWatermark("ts", "0 seconds")), out, ckpt, "bucket"
     )
     try:
         q.processAllAvailable()
