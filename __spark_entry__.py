@@ -1028,6 +1028,18 @@ def _q_embed_near_pairs(spark, sf_dir):
     return cosine_near_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+def _q_tfidf_top_terms(spark, sf_dir):
+    from p2_mapreduce_spark.operators.text_analysis import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+def _q_triangle_census(spark, sf_dir):
+    from p2_mapreduce_spark.operators.graph import cosupply_triangle_stats
+
+    return cosupply_triangle_stats(load_table(spark, sf_dir, "lineitem"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -1150,6 +1162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": _q_top_supplier,
         "small_qty_revenue": _q_small_qty_revenue,
         "sole_returner": _q_sole_returner,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "triangle_census": _q_triangle_census,
     }
 
 
@@ -2965,6 +2979,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(clean) AS BIGINT) AS clean_len,
                    md5(clean) AS clean_md5
             FROM c
+        """,
+        "tfidf_top_terms": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '{_TOK}'),
+                           x -> x <> '')) AS term
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+            dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT doc_id, term, tf, df,
+                       CAST(tf * n_docs AS DOUBLE) / df AS score
+                FROM tf JOIN dft USING (term) CROSS JOIN n
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+                FROM scored
+            )
+            SELECT doc_id, term, tf, df, score FROM ranked WHERE rn <= 5
+        """,
+        "triangle_census": """
+            WITH sup AS (
+                SELECT DISTINCT l_orderkey AS k, l_suppkey AS s FROM lineitem
+            ),
+            e AS (
+                SELECT DISTINCT sa.s AS a, sb.s AS b
+                FROM sup sa JOIN sup sb ON sa.k = sb.k AND sa.s < sb.s
+            ),
+            deg AS (
+                SELECT node, COUNT(*) AS deg FROM (
+                    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+                ) GROUP BY 1
+            ),
+            keyed AS (SELECT node, deg * 4294967296 + node AS kq FROM deg),
+            ek AS (
+                SELECT CASE WHEN ka.kq < kb.kq THEN e.a ELSE e.b END AS src,
+                       CASE WHEN ka.kq < kb.kq THEN e.b ELSE e.a END AS dst,
+                       greatest(ka.kq, kb.kq) AS kdst
+                FROM e JOIN keyed ka ON e.a = ka.node
+                       JOIN keyed kb ON e.b = kb.node
+            ),
+            tri AS (
+                SELECT COUNT(*) AS n_triangles
+                FROM ek e1
+                JOIN ek e2 ON e1.src = e2.src AND e1.kdst < e2.kdst
+                JOIN ek e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+            ),
+            tot AS (
+                SELECT COUNT(*) AS n_nodes,
+                       CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
+                       CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges
+                FROM deg
+            )
+            SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                   CAST(n_triangles * 3 AS DOUBLE) / n_wedges AS clustering
+            FROM tot CROSS JOIN tri
         """,
     }
     # star-contraction closure produces the same canonical

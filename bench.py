@@ -88,6 +88,8 @@ HEADLINE = (
     "attribution",
     "equidepth_histogram",
     "event_transitions",
+    "tfidf_top_terms",
+    "triangle_census",
 )
 
 

@@ -277,3 +277,105 @@ def trade_graph_pagerank(
         .distinct()
     )
     return pagerank(pairs, iterations=iterations)
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected graph: node/edge/wedge/
+    triangle counts and the global clustering coefficient — the standard
+    graph-shape profile (community density, spam-ring detection).
+
+    Input: one row per undirected edge as ``(u, v)`` BIGINT pairs (either
+    orientation, duplicates allowed — symmetrized and deduped here).
+
+    Algorithm: degree-ordered edge orientation (Cohen's MapReduce
+    triangle counting; also Suri & Vassilvitskii, WWW'11).  Every edge is
+    directed from its lower-``(degree, id)`` endpoint to the higher, so a
+    hub of degree d keeps only out-neighbors of HIGHER degree — the
+    out-degree is bounded by O(sqrt(m)) and the wedge self-join on the
+    shared source never explodes on hubs (the naive id-ordering puts all
+    d·(d-1)/2 wedges of a low-id hub in one task).  Each triangle is then
+    counted exactly once: wedges (u→v, u→w) with key(v) < key(w) joined
+    against the oriented edge (v→w).
+
+    The orientation key packs ``degree * 2^32 + id`` into one BIGINT —
+    exact in both engines, no float comparisons.  Wedge count uses the
+    UNDIRECTED degrees (sum of deg·(deg−1)/2, the clustering-coefficient
+    denominator); all counts are exact integers, the coefficient is one
+    correctly-rounded double division at the end.
+
+    Shape at 100 TB: two shuffles on node id (degree count, orientation
+    join), one self-join on the oriented source, one join on the wedge
+    (v, w) pair — every join key is bounded-skew by construction.
+    """
+    sym = (
+        edges.select(F.col("u").cast("long").alias("a"),
+                     F.col("v").cast("long").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        sym.select(F.col("a").alias("node"))
+        .union(sym.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    key = (F.col("deg") * F.lit(2**32) + F.col("node")).alias("k")
+    keyed = deg.select("node", key)
+    # orient each edge low-key -> high-key, carrying the dst key
+    ek = (
+        sym.join(keyed.select(F.col("node").alias("a"), F.col("k").alias("ka")), "a")
+        .join(keyed.select(F.col("node").alias("b"), F.col("k").alias("kb")), "b")
+        .select(
+            F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.greatest("ka", "kb").alias("kdst"),
+        )
+    )
+    e1, e2 = ek.alias("e1"), ek.alias("e2")
+    wedges = (
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.kdst") < F.col("e2.kdst")),
+        )
+        .select(F.col("e1.dst").alias("v"), F.col("e2.dst").alias("w"))
+    )
+    tri = wedges.join(
+        ek.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"]
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    totals = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.expr("sum(deg) div 2").alias("n_edges"),
+            F.expr("sum(deg * (deg - 1)) div 2").alias("n_wedges"),
+        )
+    )
+    return totals.join(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        ((F.col("n_triangles") * 3).cast("double") / F.col("n_wedges"))
+        .alias("clustering"),
+    )
+
+
+def cosupply_triangle_stats(lineitem: DataFrame) -> DataFrame:
+    """Triangle census of the supplier co-supply graph: suppliers are
+    adjacent when they supply the same order.  Order sizes are bounded
+    (≤7 lines in the TPC-H-ish generator), so the per-order supplier
+    pair expansion is O(lines), and the distinct projection collapses it
+    to the pair dictionary before any heavy work."""
+    sup = lineitem.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = sup.alias("sa"), sup.alias("sb")
+    pairs = (
+        a.join(b, (F.col("sa.k") == F.col("sb.k")) & (F.col("sa.s") < F.col("sb.s")))
+        .select(F.col("sa.s").alias("u"), F.col("sb.s").alias("v"))
+        .distinct()
+    )
+    return triangle_stats(pairs)

@@ -321,3 +321,52 @@ def heavy_hitters(
             (F.col("cms_est") - F.col("cnt")).alias("overcount"),
         )
     )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Rarity-weighted top-``k`` terms per document — the tf-idf keyword
+    extraction every retrieval / labeling pipeline runs over a corpus.
+
+    Score is ``(tf * n_docs) / df``: one integer multiply and one IEEE
+    double division, both correctly-rounded operations, so the value (and
+    therefore the ranking) is bit-identical cross-engine.  Classic tf-idf
+    multiplies by ``ln(n/df)`` instead; ``ln`` is *not* IEEE-pinned (libm
+    differs per engine), and since ln is monotone in ``n/df`` the per-term
+    rarity ORDER is identical — only the absolute scale differs.
+
+    Shape at 100 TB: tokenize+explode is a zero-shuffle map; per-doc term
+    counts shuffle on (doc_id, term) with map-side combine (shuffle width
+    = distinct pairs, not tokens); the document-frequency table shuffles
+    on term the same way.  The tf⋈df join is skewed on stopword-grade
+    terms — AQE skew-join splits those partitions (enabled in the session
+    factory); a df ceiling (drop terms with df > x% of corpus) is the
+    standard pre-filter when only rare terms matter.  The corpus size
+    joins in as a broadcast single-row aggregate, never a driver round
+    trip.  Top-k per doc is one window over the (doc_id, term) grain.
+    """
+    toks = spread(docs).select(
+        "doc_id", F.explode(tokens_array(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"))
+            .alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

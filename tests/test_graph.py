@@ -134,3 +134,59 @@ def test_pagerank_trade_graph_mass_and_shape(spark, sf_dir):
     assert 0.95 * PR_SCALE < total <= PR_SCALE
     # both node namespaces present (even customers, odd suppliers)
     assert {r["node"] % 2 for r in rows} == {0, 1}
+
+
+def test_triangle_stats_on_known_graph(spark):
+    """K4 plus a pendant vertex: 4 triangles, 6+1 edges, known wedges."""
+    from p2_mapreduce_spark.operators.graph import triangle_stats
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4 + [(3, 4), (4, 3)], "u long, v long")
+    r = triangle_stats(edges).collect()[0]
+    assert r["n_nodes"] == 5
+    assert r["n_edges"] == 7  # the duplicated (3,4)/(4,3) row collapses
+    # degrees 3,3,3,4,1 -> wedges = 3*3 + 6 + 0 = 15
+    assert r["n_wedges"] == 15
+    assert r["n_triangles"] == 4
+    assert r["clustering"] == 12.0 / 15.0
+
+
+def test_triangle_stats_triangle_free(spark):
+    """A path graph has wedges but zero triangles."""
+    from p2_mapreduce_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "u long, v long"
+    )
+    r = triangle_stats(edges).collect()[0]
+    assert r["n_triangles"] == 0
+    assert r["n_wedges"] == 4
+    assert r["clustering"] == 0.0
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    """A term unique to one doc must outscore corpus-wide stopwords."""
+    from p2_mapreduce_spark.operators.text_analysis import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the log"),
+            (3, "the bird flew over the xylophone"),
+        ],
+        "doc_id long, text string",
+    )
+    top = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in top:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        assert len(rows) == 2
+        # every doc's #1 term is doc-unique (df == 1), never 'the'
+        best = max(rows, key=lambda r: (r["score"], r["term"]))
+        assert best["df"] == 1
+        assert best["term"] != "the"
+    # 'the' appears twice per doc but in all 3 docs: score 2*3/3 = 2.0
+    the_rows = [r for r in top if r["term"] == "the"]
+    for r in the_rows:
+        assert r["score"] == 2.0
