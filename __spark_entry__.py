@@ -1040,6 +1040,38 @@ def _q_triangle_census(spark, sf_dir):
     return cosupply_triangle_stats(load_table(spark, sf_dir, "lineitem"))
 
 
+def _q_chunk_documents(spark, sf_dir):
+    from p2_mapreduce_spark.operators.curation import chunk_documents
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+def _q_incremental_agg(spark, sf_dir):
+    """Base state (orders before 1997) ⊕ delta state (1997 onward) must
+    equal the direct aggregate over everything — the oracle IS the
+    direct aggregate, proving the algebraic-merge equivalence."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.merge import (
+        agg_state,
+        finalize_agg_state,
+        merge_agg_states,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys = ["o_orderstatus", "o_orderpriority"]
+    split = F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")
+    base = agg_state(orders.filter(split), keys, "o_totalprice")
+    delta = agg_state(orders.filter(~split), keys, "o_totalprice")
+    return finalize_agg_state(merge_agg_states(base, delta, keys), keys)
+
+
+def _q_value_outliers(spark, sf_dir):
+    from p2_mapreduce_spark.operators.timeseries import value_outliers
+
+    return value_outliers(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -1164,6 +1196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sole_returner": _q_sole_returner,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "triangle_census": _q_triangle_census,
+        "chunk_documents": _q_chunk_documents,
+        "incremental_agg": _q_incremental_agg,
+        "value_outliers": _q_value_outliers,
     }
 
 
@@ -3039,6 +3074,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_nodes, n_edges, n_wedges, n_triangles,
                    CAST(n_triangles * 3 AS DOUBLE) / n_wedges AS clustering
             FROM tot CROSS JOIN tri
+        """,
+        "chunk_documents": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '{_TOK}'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            tt AS (
+                SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+            )
+            SELECT doc_id,
+                   CAST((s.start - 1) // 48 AS BIGINT) AS chunk_id,
+                   CAST(least(64, n - s.start + 1) AS BIGINT) AS n_tokens,
+                   array_to_string(toks[s.start : s.start + 63], ' ')
+                       AS chunk_text
+            FROM tt, LATERAL (
+                SELECT unnest(generate_series(1, greatest(n - 16, 1), 48))
+                       AS start
+            ) s
+        """,
+        "incremental_agg": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_v,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*) AS avg_v,
+                   MIN(o_totalprice) AS min_v,
+                   MAX(o_totalprice) AS max_v
+            FROM orders
+            GROUP BY 1, 2
+        """,
+        "value_outliers": """
+            WITH stats AS (
+                SELECT event_type, COUNT(*) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+                       CAST(SUM(CAST(value AS DECIMAL(12,2))
+                                * CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                           AS s2
+                FROM events GROUP BY 1
+            ),
+            st AS (
+                SELECT event_type,
+                       s1 / n AS mu,
+                       sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sigma
+                FROM stats
+            )
+            SELECT event_id, e.event_type, value, mu, sigma,
+                   (value - mu) / sigma AS z
+            FROM events e JOIN st ON e.event_type = st.event_type
+            WHERE sigma > 0 AND abs((value - mu) / sigma) > 3.0
         """,
     }
     # star-contraction closure produces the same canonical

@@ -90,6 +90,9 @@ HEADLINE = (
     "event_transitions",
     "tfidf_top_terms",
     "triangle_census",
+    "chunk_documents",
+    "value_outliers",
+    "incremental_agg",
 )
 
 

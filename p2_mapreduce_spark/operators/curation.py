@@ -345,3 +345,52 @@ def pii_scrub(
         F.length(clean).cast("bigint").alias("clean_len"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16
+) -> DataFrame:
+    """RAG-style document chunking: overlapping token windows of
+    ``chunk_tokens`` tokens with ``overlap`` tokens shared between
+    consecutive chunks — the splitting stage of every retrieval /
+    embedding-index pipeline.
+
+    Chunk starts are ``1, 1+stride, …`` (stride = chunk − overlap) up to
+    ``n − overlap``, so every token lands in ≥1 chunk and the tail chunk
+    is never a bare overlap remnant.  ``chunk_id`` is the 0-based window
+    index (``posexplode`` position — equal to ``(start−1)/stride``, the
+    form the oracle computes).
+
+    Shape at 100 TB: tokenize + ``sequence``/``posexplode`` + ``slice``
+    is a zero-shuffle per-row map (output rows ≈ tokens/stride); there is
+    no aggregate and no join — the operator scales with input bytes.
+    Chunk text re-joins tokens with single spaces (both engines build
+    the identical string; original whitespace is not preserved — chunks
+    feed a tokenizer, not a renderer).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = (
+        spread(docs)
+        .select("doc_id", tokens_array(F.col("text")).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+    )
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.col("n") - F.lit(overlap), F.lit(1)),
+        F.lit(stride),
+    )
+    return t.select(
+        "doc_id", "toks", "n", F.posexplode(starts).alias("chunk_id", "start")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.least(F.lit(chunk_tokens), F.col("n") - F.col("start") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+        F.array_join(
+            F.expr(f"slice(toks, start, {chunk_tokens})"), " "
+        ).alias("chunk_text"),
+    )

@@ -103,3 +103,54 @@ def table_diff(
         ],
         status.alias("status"),
     )
+
+
+def agg_state(df: DataFrame, keys: Sequence[str], value_col: str) -> DataFrame:
+    """Per-key mergeable aggregate state: ``(n_rows, sum_state, min_v,
+    max_v)`` with the sum kept as an EXACT decimal — the materialized
+    partial an incremental pipeline stores per partition/day and folds
+    with :func:`merge_agg_states` instead of rescanning history.
+
+    The state carries the decimal, not the surfaced double: decimal sums
+    are associative, so merging states is exactly the aggregate over the
+    union — the algebraic property that makes incremental maintenance
+    correct at all (a double-typed state would drift per merge order).
+    """
+    dec = F.col(value_col).cast("decimal(18,2)")
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dec).alias("sum_state"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    )
+
+
+def merge_agg_states(a: DataFrame, b: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Fold two aggregate states: count/sum add, min/max combine — one
+    shuffle on the key grain (state rows, not fact rows).  At 100 TB the
+    base state is millions of rows where the fact table is billions;
+    applying a delta costs the DELTA's aggregation plus this state-grain
+    merge, never a rescan of the base."""
+    return (
+        a.unionByName(b)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_state").alias("sum_state"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )
+
+
+def finalize_agg_state(state: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Surface a state as the engine-neutral result schema: exact sum as
+    double, mean as one IEEE division (the dsum/davg protocol)."""
+    return state.select(
+        *keys,
+        "n_rows",
+        F.col("sum_state").cast("double").alias("sum_v"),
+        (F.col("sum_state").cast("double") / F.col("n_rows")).alias("avg_v"),
+        "min_v",
+        "max_v",
+    )

@@ -126,3 +126,50 @@ def rolling_active_users(events: DataFrame, days: int = 7) -> DataFrame:
         joined.groupBy(F.date_format("d", "yyyy-MM-dd").alias("d"))
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+def value_outliers(events: DataFrame, threshold: float = 3.0) -> DataFrame:
+    """Z-score anomaly detection per event_type: rows whose ``value``
+    sits more than ``threshold`` standard deviations from their group
+    mean, with the group stats and the z-score attached.
+
+    Moments are exact where it matters for reproducibility: the sum and
+    sum-of-squares aggregate as exact decimals (2-decimal inputs), then
+    ONE cast to double each, and every scalar after that is a
+    correctly-rounded IEEE op evaluated in a pinned expression tree —
+    ``mu = s1/n``, ``var = (s2 − s1·s1/n)/(n−1)``, ``sigma = sqrt(var)``
+    — so flags and z-scores are bit-identical cross-engine and invariant
+    under partitioning.  (The textbook caveat: the ``s2 − s1²/n`` form
+    cancels catastrophically when sigma ≪ mu; with 2-decimal telemetry
+    magnitudes the error is ≪ 1 ulp of the flag boundary.  A Welford
+    pass would be more accurate but is order-DEPENDENT — the wrong trade
+    for a reproducibility-contracted engine.)
+
+    Shape at 100 TB: one map-side-combined aggregate to #group rows, the
+    stats re-join is a broadcast, and the flag filter is a zero-shuffle
+    scan — two passes over the facts, no wide shuffle anywhere.
+    """
+    dec = F.col("value").cast("decimal(12,2)")
+    stats = (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).cast("double").alias("s1"),
+            F.sum(dec * dec).cast("double").alias("s2"),
+        )
+        .select(
+            "event_type",
+            (F.col("s1") / F.col("n")).alias("mu"),
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("sigma"),
+        )
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .filter(F.col("sigma") > 0)
+        .filter(F.abs(z) > threshold)
+        .select("event_id", "event_type", "value", "mu", "sigma", z.alias("z"))
+    )

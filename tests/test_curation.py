@@ -147,3 +147,39 @@ class TestPiiScrub:
             row["n_email"] == row["n_url"] == row["n_longnum"] == row["n_blocked"] == 0
         )
         assert row["clean_md5"] == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_chunk_documents_boundaries(spark):
+    from p2_mapreduce_spark.operators.curation import chunk_documents
+
+    words = " ".join(f"w{i:03d}" for i in range(70))
+    docs = spark.createDataFrame(
+        [
+            (1, words),                                  # 70 tokens
+            (2, " ".join(f"w{i}" for i in range(64))),   # exactly one chunk
+            (3, "solo"),
+            (4, "!!! ???"),                              # tokenizes to nothing
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=64, overlap=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 4 not in by_doc  # empty docs emit no chunks
+    assert [r["n_tokens"] for r in sorted(by_doc[1], key=lambda r: r["chunk_id"])] == [64, 22]
+    c0, c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    # consecutive chunks share exactly `overlap` tokens
+    assert c0["chunk_text"].split()[48:] == c1["chunk_text"].split()[:16]
+    assert [r["n_tokens"] for r in by_doc[2]] == [64]
+    assert by_doc[3][0]["chunk_text"] == "solo"
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from p2_mapreduce_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)

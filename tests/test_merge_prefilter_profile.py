@@ -184,3 +184,64 @@ def test_mom_revenue_delta_consistency(spark, sf_dir):
     for prev, cur in zip(rows, rows[1:]):
         assert cur["prev_rev"] == prev["revenue"]
         assert cur["mom_delta"] == cur["revenue"] - cur["prev_rev"]
+
+
+def test_agg_state_merge_equals_direct(spark, sf_dir):
+    """Folding per-split states == aggregating the union directly, for
+    any split — the algebraic contract incremental maintenance rests on."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.merge import (
+        agg_state,
+        finalize_agg_state,
+        merge_agg_states,
+    )
+    from p2_mapreduce_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys = ["o_orderstatus"]
+    thirds = F.pmod(F.col("o_orderkey"), F.lit(3))
+    parts = [orders.filter(thirds == i) for i in range(3)]
+    state = agg_state(parts[0], keys, "o_totalprice")
+    for p in parts[1:]:
+        state = merge_agg_states(state, agg_state(p, keys, "o_totalprice"), keys)
+    got = {
+        r["o_orderstatus"]: r
+        for r in finalize_agg_state(state, keys).collect()
+    }
+    want = {
+        r["o_orderstatus"]: r
+        for r in finalize_agg_state(
+            agg_state(orders, keys, "o_totalprice"), keys
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        for c in ("n_rows", "sum_v", "avg_v", "min_v", "max_v"):
+            assert got[k][c] == want[k][c], (k, c)  # exact, incl. doubles
+
+
+def test_agg_state_merge_with_empty_delta(spark):
+    from p2_mapreduce_spark.operators.merge import agg_state, merge_agg_states
+
+    base = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("B", 5.0)], "k string, v double"
+    )
+    empty = base.filter("v < 0")
+    s = agg_state(base, ["k"], "v")
+    merged = merge_agg_states(s, agg_state(empty, ["k"], "v"), ["k"]).collect()
+    assert {(r["k"], r["n_rows"]) for r in merged} == {("A", 2), ("B", 1)}
+
+
+def test_value_outliers_flags_known_anomaly(spark):
+    from p2_mapreduce_spark.operators.timeseries import value_outliers
+
+    rows = [(i, "click", 10.0 + (i % 7) * 0.5) for i in range(200)]
+    rows.append((999, "click", 500.0))          # unmistakable anomaly
+    rows += [(1000 + i, "view", 5.0) for i in range(50)]  # sigma == 0 group
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = value_outliers(df).collect()
+    assert [r["event_id"] for r in out] == [999]
+    assert out[0]["z"] > 3.0
+    # constant-valued group (sigma 0) produced no flags and no NaN rows
+    assert all(r["event_type"] == "click" for r in out)
