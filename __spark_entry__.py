@@ -1066,6 +1066,53 @@ def _q_incremental_agg(spark, sf_dir):
     return finalize_agg_state(merge_agg_states(base, delta, keys), keys)
 
 
+def _q_position_attribution(spark, sf_dir):
+    from p2_mapreduce_spark.operators.events_analytics import position_attribution
+
+    return position_attribution(load_table(spark, sf_dir, "events"))
+
+
+def _q_pseudonymize(spark, sf_dir):
+    from p2_mapreduce_spark.operators.curation import pseudonymize
+
+    cust = load_table(spark, sf_dir, "customer")
+    return pseudonymize(cust, ["c_custkey", "c_name"], salt="k1").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+
+
+def _q_hll_distinct(spark, sf_dir):
+    from p2_mapreduce_spark.operators.profile import hll_distinct_rollup
+
+    return hll_distinct_rollup(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def _q_udtf_sentences(spark, sf_dir):
+    from p2_mapreduce_spark.registry import apply_table_udf, default_registry
+
+    reg = default_registry()
+    docs = load_table(spark, sf_dir, "documents")
+    return apply_table_udf(docs, reg.get_table("sentence_split"), "doc_id", "text")
+
+
+def _q_triangle_doulion(spark, sf_dir):
+    from p2_mapreduce_spark.operators.graph import cosupply_triangle_doulion
+
+    return cosupply_triangle_doulion(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_bfs_trade(spark, sf_dir):
+    from p2_mapreduce_spark.operators.graph import trade_graph_bfs
+
+    return trade_graph_bfs(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+
+
 def _q_value_outliers(spark, sf_dir):
     from p2_mapreduce_spark.operators.timeseries import value_outliers
 
@@ -1199,6 +1246,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "incremental_agg": _q_incremental_agg,
         "value_outliers": _q_value_outliers,
+        "bfs_trade": _q_bfs_trade,
+        "triangle_doulion": _q_triangle_doulion,
+        "udtf_sentences": _q_udtf_sentences,
+        "hll_distinct": _q_hll_distinct,
+        "position_attribution": _q_position_attribution,
+        "pseudonymize_customers": _q_pseudonymize,
     }
 
 
@@ -3126,6 +3179,167 @@ def oracle_sql() -> dict[str, str]:
                    (value - mu) / sigma AS z
             FROM events e JOIN st ON e.event_type = st.event_type
             WHERE sigma > 0 AND abs((value - mu) / sigma) > 3.0
+        """,
+        "bfs_trade": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            bfs AS (
+                SELECT CAST(2 AS BIGINT) AS node, 0 AS hop
+                UNION
+                SELECT s.b, bfs.hop + 1
+                FROM bfs JOIN sym s ON s.a = bfs.node
+                WHERE bfs.hop < 6
+            )
+            SELECT node, CAST(MIN(hop) AS INT) AS hop
+            FROM bfs GROUP BY node
+        """,
+        "triangle_doulion": """
+            WITH sup AS (
+                SELECT DISTINCT l_orderkey AS k, l_suppkey AS s FROM lineitem
+            ),
+            raw AS (
+                SELECT DISTINCT sa.s AS a, sb.s AS b
+                FROM sup sa JOIN sup sb ON sa.k = sb.k AND sa.s < sb.s
+            ),
+            e AS (
+                SELECT a, b FROM raw
+                WHERE CAST('0x' || substr(md5(a || ':' || b), 18, 15)
+                           AS BIGINT) % 8 = 0
+            ),
+            deg AS (
+                SELECT node, COUNT(*) AS deg FROM (
+                    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+                ) GROUP BY 1
+            ),
+            keyed AS (SELECT node, deg * 4294967296 + node AS kq FROM deg),
+            ek AS (
+                SELECT CASE WHEN ka.kq < kb.kq THEN e.a ELSE e.b END AS src,
+                       CASE WHEN ka.kq < kb.kq THEN e.b ELSE e.a END AS dst,
+                       greatest(ka.kq, kb.kq) AS kdst
+                FROM e JOIN keyed ka ON e.a = ka.node
+                       JOIN keyed kb ON e.b = kb.node
+            ),
+            tri AS (
+                SELECT COUNT(*) AS n_triangles
+                FROM ek e1
+                JOIN ek e2 ON e1.src = e2.src AND e1.kdst < e2.kdst
+                JOIN ek e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+            ),
+            tot AS (
+                SELECT COUNT(*) AS n_nodes,
+                       CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
+                       CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges
+                FROM deg
+            )
+            SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                   n_triangles * 512 AS est_triangles
+            FROM tot CROSS JOIN tri
+        """,
+        "udtf_sentences": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(
+                               regexp_split_to_array(text, '[.!?]+'),
+                               s -> trim(s, ' ' || chr(9) || chr(10) || chr(13))),
+                           s -> s <> '') AS sents
+                FROM documents
+            )
+            SELECT doc_id, CAST(g.i - 1 AS INT) AS sentence_idx,
+                   sents[g.i] AS sentence
+            FROM t, LATERAL (
+                SELECT unnest(generate_series(1, len(sents))) AS i
+            ) g
+        """,
+        "hll_distinct": """
+            WITH base AS (
+                SELECT r_name, n_nationkey, c_custkey,
+                       CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                           18, 15) AS BIGINT) AS h
+                FROM customer
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+            ),
+            jr AS (
+                SELECT r_name, n_nationkey, h % 64 AS j,
+                       least(40, CASE WHEN h // 64 = 0 THEN 55
+                                 ELSE 54 - length(bin(h // 64)) + 1 END) AS r
+                FROM base
+            ),
+            nation_regs AS (
+                SELECT r_name, n_nationkey, j, MAX(r) AS r
+                FROM jr GROUP BY 1, 2, 3
+            ),
+            region_regs AS (
+                SELECT r_name, j, MAX(r) AS r FROM nation_regs GROUP BY 1, 2
+            ),
+            sums AS (
+                SELECT r_name, COUNT(*) AS nz,
+                       SUM(1.0 / (CAST(1 AS BIGINT) << r)) AS snz
+                FROM region_regs GROUP BY 1
+            ),
+            ex AS (
+                SELECT r_name, COUNT(DISTINCT c_custkey) AS exact_distinct
+                FROM base GROUP BY 1
+            )
+            SELECT ex.r_name, exact_distinct,
+                   (0.709 * 4096.0) / (snz + (64.0 - nz)) AS est_distinct,
+                   ((0.709 * 4096.0) / (snz + (64.0 - nz)) - exact_distinct)
+                       / exact_distinct AS rel_err
+            FROM ex JOIN sums ON ex.r_name = sums.r_name
+        """,
+        "position_attribution": """
+            WITH wj AS (
+                SELECT *, COUNT(*) FILTER (WHERE event_type = 'purchase')
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS journey
+                FROM events
+            ),
+            touches AS (SELECT * FROM wj WHERE event_type <> 'purchase'),
+            purch AS (SELECT user_id, journey FROM wj
+                      WHERE event_type = 'purchase'),
+            sized AS (
+                SELECT t.event_type,
+                       row_number() OVER (PARTITION BY t.user_id, t.journey
+                                          ORDER BY ts, event_id) AS pos,
+                       COUNT(*) OVER (PARTITION BY t.user_id, t.journey)
+                           AS k
+                FROM touches t
+                WHERE EXISTS (SELECT 1 FROM purch p
+                              WHERE p.user_id = t.user_id
+                                AND p.journey = t.journey)
+            ),
+            credited AS (
+                SELECT event_type AS source_type,
+                       CASE WHEN k = 1 THEN 1000000
+                            WHEN k = 2 THEN 500000
+                            WHEN pos = 1 THEN 400000
+                            WHEN pos = k THEN 400000
+                            ELSE 200000 // (k - 2) END AS micros
+                FROM sized
+            ),
+            direct AS (
+                SELECT 'direct' AS source_type, 1000000 AS micros
+                FROM wj w
+                WHERE event_type = 'purchase'
+                  AND NOT EXISTS (SELECT 1 FROM touches t
+                                  WHERE t.user_id = w.user_id
+                                    AND t.journey = w.journey)
+            )
+            SELECT source_type, COUNT(*) AS n_touches,
+                   CAST(SUM(micros) AS DOUBLE) / 1000000.0 AS credit
+            FROM (SELECT * FROM credited UNION ALL SELECT * FROM direct)
+            GROUP BY 1
+        """,
+        "pseudonymize_customers": """
+            SELECT md5('k1:' || CAST(c_custkey AS VARCHAR)) AS c_custkey,
+                   md5('k1:' || c_name) AS c_name,
+                   c_mktsegment, c_acctbal
+            FROM customer
         """,
     }
     # star-contraction closure produces the same canonical

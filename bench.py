@@ -89,10 +89,15 @@ HEADLINE = (
     "equidepth_histogram",
     "event_transitions",
     "tfidf_top_terms",
-    "triangle_census",
+    # the exact census (triangle_census) stays oracle-checked at sf0.01;
+    # the bench-scale co-supply graph is near-complete, where the honest
+    # benchmark entry is the DOULION estimator, not a Θ(n³) exact count
+    "triangle_doulion",
     "chunk_documents",
     "value_outliers",
     "incremental_agg",
+    "bfs_trade",
+    "hll_distinct",
 )
 
 

@@ -26,6 +26,8 @@ Scale notes (100 TB contract):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -394,3 +396,24 @@ def chunk_documents(
             F.expr(f"slice(toks, start, {chunk_tokens})"), " "
         ).alias("chunk_text"),
     )
+
+
+def pseudonymize(df: DataFrame, cols: Sequence[str], salt: str = "k1") -> DataFrame:
+    """Deterministic pseudonymization: each identifier column is replaced
+    by ``md5(salt:value)`` — referential integrity survives (equal values
+    map to equal tokens, so joins and distinct-counts still work on the
+    tokenized view) while the raw identifiers never leave the scan.
+    Rotate ``salt`` to break linkage between releases.
+
+    Zero-shuffle map (one md5 per cell, JVM codegen) — the complement of
+    :func:`pii_scrub`, which redacts free text; this tokenizes keyed
+    identifiers.  NOT encryption: md5 here is a one-way label, and
+    small-domain columns remain guessable by dictionary attack without a
+    secret salt — the salt is the secret.
+    """
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c, F.md5(F.concat_ws(":", F.lit(salt), F.col(c).cast("string")))
+        )
+    return out

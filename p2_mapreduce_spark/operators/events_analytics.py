@@ -163,3 +163,78 @@ def event_transitions(events: DataFrame) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def position_attribution(events: DataFrame) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each purchase
+    closes a *journey* (the touches since the user's previous purchase);
+    within a journey the first and last touch earn 40% each and the
+    middles split the remaining 20% — the standard marketing-credit
+    model beyond :func:`last_touch_attribution`'s winner-takes-all.
+
+    Credits are integer MICRO-units (parts-per-million), so every rule is
+    exact integer arithmetic with no float in sight: k=1 → 1e6, k=2 →
+    5e5 each, k≥3 → 4e5 / ``200000 div (k-2)`` / 4e5 (the middle share
+    truncates — at most k−2 micro-units per journey evaporate,
+    documented, deterministic, and identical cross-engine; banker's
+    redistribution would need a remainder cascade for no analytic gain).
+    Purchases with an empty journey credit ``direct``.
+
+    Shape: journey segmentation is one per-user window (count of
+    preceding purchases — same single shuffle as sessionize), journey
+    size/position one more window at the same partitioning (no second
+    shuffle: same key), and the tally is a map-side-combined aggregate
+    on source_type.  The final ``sum(micros)/1e6`` is the protocol's one
+    IEEE division.
+    """
+    w_hist = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_journey = events.withColumn(
+        "journey",
+        F.count(F.when(F.col("event_type") == "purchase", 1)).over(w_hist),
+    )
+    touches = with_journey.filter(F.col("event_type") != "purchase")
+    purchases = with_journey.filter(F.col("event_type") == "purchase").select(
+        "user_id", "journey"
+    )
+    w_j = Window.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    sized = (
+        touches.join(purchases, ["user_id", "journey"], "left_semi")
+        .withColumn("pos", F.row_number().over(w_j))
+        .withColumn("k", F.count(F.lit(1)).over(
+            Window.partitionBy("user_id", "journey")
+        ))
+    )
+    micros = (
+        F.when(F.col("k") == 1, F.lit(1_000_000))
+        .when(F.col("k") == 2, F.lit(500_000))
+        .when(F.col("pos") == 1, F.lit(400_000))
+        .when(F.col("pos") == F.col("k"), F.lit(400_000))
+        .otherwise(F.expr("200000 div (k - 2)"))
+    )
+    credited = sized.select(
+        F.col("event_type").alias("source_type"), micros.alias("micros")
+    )
+    direct = (
+        with_journey.filter(F.col("event_type") == "purchase")
+        .join(
+            touches.select("user_id", "journey").distinct(),
+            ["user_id", "journey"],
+            "left_anti",
+        )
+        .select(
+            F.lit("direct").alias("source_type"),
+            F.lit(1_000_000).alias("micros"),
+        )
+    )
+    return (
+        credited.unionByName(direct)
+        .groupBy("source_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            (F.sum("micros").cast("double") / F.lit(1e6)).alias("credit"),
+        )
+    )

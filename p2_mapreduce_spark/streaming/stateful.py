@@ -104,3 +104,63 @@ def sessionize_stream(events_stream: DataFrame, gap_minutes: int = 30,
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+RUNNING_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, sum_value double, max_value double"
+)
+#: (n_events, sum as exact integer cents, running max)
+RUNNING_STATE_SCHEMA = "n long, cents long, mx double"
+
+
+def _running_totals_fn(
+    key, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, cents, mx = state.get if state.exists else (0, 0, float("-inf"))
+    for pdf in pdf_iter:
+        n += int(len(pdf))
+        # 2-decimal telemetry: accumulate exact integer cents, so the
+        # running sum is order/partitioning-independent (the dsum
+        # protocol transplanted into streaming state)
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        mx = max(mx, float(pdf["value"].max()))
+    state.update((n, cents, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "sum_value": [cents / 100.0],
+            "max_value": [mx],
+        }
+    )
+
+
+def running_totals_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming per-user running totals changelog: each micro-batch
+    emits the updated ``(count, sum, max)`` for exactly the users it
+    touched (update mode) — the live materialized-aggregate pattern that
+    pairs with :func:`p2_mapreduce_spark.operators.merge.agg_state` for
+    batch backfill.
+
+    The exact-cents accumulator makes the emitted running sum equal to
+    the batch ``dsum`` bit-for-bit at every prefix: ``cents/100.0`` and
+    ``CAST(SUM(DECIMAL(18,2)) AS DOUBLE)`` are the same correctly-rounded
+    rational.  State is one fixed-size tuple per user; output is sized by
+    per-batch activity, not by keyspace.
+
+    Implemented on ``applyInPandasWithState``.  Spark 4's successor API
+    (``transformWithStateInPandas`` — typed state handles, timers, TTL)
+    expresses the same operator, but its PySpark driver worker needs the
+    ``protobuf`` package, which this container does not ship (import
+    fails inside the worker with STREAMING_PYTHON_RUNNER_INITIALIZATION
+    _FAILURE) — same policy as the stubbed media codecs: the available
+    engine path is the tested one.
+    """
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -183,3 +183,18 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_pseudonymize_preserves_joins_and_rotates_with_salt(spark):
+    from p2_mapreduce_spark.operators.curation import pseudonymize
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (1, "a")], "k long, payload string"
+    )
+    p1 = pseudonymize(df, ["k"], salt="s1")
+    toks = [r["k"] for r in p1.collect()]
+    assert toks[0] == toks[2] != toks[1]          # equality preserved
+    assert all(len(t) == 32 for t in toks)         # md5 hex, raw gone
+    assert p1.select("k").distinct().count() == df.select("k").distinct().count()
+    p2 = pseudonymize(df, ["k"], salt="s2")
+    assert set(r["k"] for r in p2.collect()).isdisjoint(toks)  # salt rotates

@@ -162,3 +162,43 @@ def test_event_transitions_conservation(spark, sf_dir):
     trans = event_transitions(ev)
     # every event except each user's first is somebody's successor
     assert sum(r["n"] for r in trans.collect()) == total - n_users
+
+
+def test_position_attribution_known_journeys(spark):
+    """Hand-built journeys: k=1 (full credit), k=2 (half/half), k=4
+    (U-shape with truncating middle split), and a direct purchase."""
+    from datetime import datetime
+
+    from p2_mapreduce_spark.operators.events_analytics import position_attribution
+
+    def ev(i, user, typ):
+        return (i, datetime(2026, 1, 1, 0, i), user, typ, 1.0, "{}")
+
+    rows = [
+        # user 1: view -> purchase             (k=1: view 1.0)
+        ev(1, 1, "view"), ev(2, 1, "purchase"),
+        # user 2: view, click -> purchase      (k=2: 0.5 each)
+        ev(3, 2, "view"), ev(4, 2, "click"),  ev(5, 2, "purchase"),
+        # user 3: view, click, error, view -> purchase
+        #   (k=4: 0.4 / 0.1 / 0.1 / 0.4 — 200000 div 2 = 100000)
+        ev(6, 3, "view"), ev(7, 3, "click"), ev(8, 3, "error"),
+        ev(9, 3, "view"), ev(10, 3, "purchase"),
+        # user 4: bare purchase                (direct 1.0)
+        ev(11, 4, "purchase"),
+        # user 3 again: second purchase right after -> direct
+        ev(12, 3, "purchase"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    got = {r["source_type"]: (r["n_touches"], r["credit"])
+           for r in position_attribution(events).collect()}
+    assert got["direct"] == (2, 2.0)
+    # view: 1.0 (u1) + 0.5 (u2) + 0.4 + 0.4 (u3 first+last) = 2.3
+    assert got["view"] == (4, 2.3)
+    # click: 0.5 (u2) + 0.1 (u3 middle) = 0.6
+    assert got["click"] == (2, 0.6)
+    assert got["error"] == (1, 0.1)
+    # conservation: total credit == purchases with journeys (3) + direct(2)
+    assert abs(sum(c for _, c in got.values()) - 5.0) < 1e-9

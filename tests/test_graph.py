@@ -190,3 +190,25 @@ def test_tfidf_rare_term_outranks_common(spark):
     the_rows = [r for r in top if r["term"] == "the"]
     for r in the_rows:
         assert r["score"] == 2.0
+
+
+def test_bfs_hops_on_known_graph(spark):
+    """Path 0-1-2-3-4 plus chord (0,2): hops 0,1,1,2,3."""
+    from p2_mapreduce_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 2)], "u long, v long"
+    )
+    got = {r["node"]: r["hop"] for r in bfs_hops(edges, source=0).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_hops_respects_max_hops_and_disconnection(spark):
+    from p2_mapreduce_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)] + [(100, 101)], "u long, v long"
+    )
+    got = {r["node"]: r["hop"] for r in bfs_hops(edges, 0, max_hops=4).collect()}
+    assert got == {i: i for i in range(5)}  # truncated at 4 hops
+    assert 100 not in got and 101 not in got  # other component unreached

@@ -158,3 +158,35 @@ def test_combiner_bounds_per_key_state_on_skewed_input(spark):
     # 8 input partitions → at most 8 partials reach the final fold (one
     # Arrow batch per small partition); the uncombined path would be 50000
     assert int(hot_lists) <= 8
+
+
+def test_table_udf_sentence_split(spark):
+    from p2_mapreduce_spark.registry import apply_table_udf, default_registry
+
+    reg = default_registry()
+    assert "sentence_split" in reg.list()["table"]
+    docs = spark.createDataFrame(
+        [
+            (1, "First one. Second!  Third?"),
+            (2, "no terminator"),
+            (3, "..."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = apply_table_udf(docs, reg.get_table("sentence_split"), "doc_id", "text")
+    got = sorted((r["doc_id"], r["sentence_idx"], r["sentence"]) for r in rows.collect())
+    assert got == [
+        (1, 0, "First one"),
+        (1, 1, "Second"),
+        (1, 2, "Third"),
+        (2, 0, "no terminator"),
+    ]
+
+
+def test_table_udf_unknown_name_raises():
+    import pytest as _pytest
+
+    from p2_mapreduce_spark.registry import default_registry
+
+    with _pytest.raises(KeyError):
+        default_registry().get_table("nope")

@@ -293,6 +293,9 @@ PYTHON_ALLOWED = {
     "media_resize",
     "media_mixed",
     "media_frames",
+    # the registry's UDTF path IS the Python escape hatch (row-generating
+    # plugins); the built-ins (explode/sequence) stay the hot path
+    "udtf_sentences",
 }
 
 

@@ -86,3 +86,84 @@ class TestHeavyHitters:
         got = {r["word"]: r["exact_cnt"] for r in heavy_hitters(df, k=3).collect()}
         want = dict(sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
         assert got == want
+
+
+def test_hll_rollup_merge_equals_direct_registers(spark, sf_dir):
+    """Nation→region register MAX-merge must equal registers computed
+    directly at region grain (sketch-merge associativity), and the
+    estimate must land near the exact count."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.profile import hll_distinct_rollup
+    from p2_mapreduce_spark.session import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    h = F.conv(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 18, 15), 16, 10
+    ).cast("long")
+    base = (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("r_name", "n_nationkey", h.alias("h"))
+    )
+    jr = base.select(
+        "r_name",
+        "n_nationkey",
+        (F.col("h") % 64).alias("j"),
+        F.expr(
+            "least(40, CASE WHEN h div 64 = 0 THEN 55 "
+            "ELSE 54 - length(bin(h div 64)) + 1 END)"
+        ).alias("r"),
+    )
+    via_nation = (
+        jr.groupBy("r_name", "n_nationkey", "j").agg(F.max("r").alias("r"))
+        .groupBy("r_name", "j").agg(F.max("r").alias("r"))
+    )
+    direct = jr.groupBy("r_name", "j").agg(F.max("r").alias("r"))
+    assert via_nation.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_nation).count() == 0
+
+    # accuracy needs the raw estimator's regime (n >= ~2.5 m): the tiny
+    # test fixture (~30/region) is below it, so assert on a synthetic
+    # corpus comfortably inside — 3σ of the m=64 sketch is ~40%
+    cust = spark.createDataFrame(
+        [(i, i % 3) for i in range(3000)], "c_custkey long, c_nationkey long"
+    )
+    nat = spark.createDataFrame(
+        [(i, f"N{i}", 0) for i in range(3)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    reg = spark.createDataFrame([(0, "R0")], "r_regionkey long, r_name string")
+    (row,) = hll_distinct_rollup(cust, nat, reg).collect()
+    assert row["exact_distinct"] == 3000
+    assert abs(row["rel_err"]) < 0.4, row["rel_err"]
+
+
+def test_hll_registers_are_duplicate_insensitive(spark):
+    """Feeding each key k times must give the identical sketch (max is
+    idempotent) — the property that makes the estimate a DISTINCT count."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.profile import hll_distinct_rollup
+
+    cust1 = spark.createDataFrame(
+        [(i, i % 3) for i in range(300)], "c_custkey long, c_nationkey long"
+    )
+    cust3 = spark.createDataFrame(
+        [(i, i % 3) for i in range(300) for _ in range(3)],
+        "c_custkey long, c_nationkey long",
+    )
+    nation = spark.createDataFrame(
+        [(i, f"N{i}", 0) for i in range(3)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    region = spark.createDataFrame(
+        [(0, "R0")], "r_regionkey long, r_name string"
+    )
+    a = hll_distinct_rollup(cust1, nation, region).collect()[0]
+    b = hll_distinct_rollup(cust3, nation, region).collect()[0]
+    assert a["est_distinct"] == b["est_distinct"]
+    assert a["exact_distinct"] == b["exact_distinct"] == 300

@@ -363,3 +363,56 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got == batch
+
+
+def test_running_totals_changelog_matches_batch(spark, sf_dir, tmp_path):
+    """Stateful running-totals changelog: the LAST update emitted per
+    user equals the batch aggregate exactly (count, dsum-exact sum, max)
+    after all micro-batches drain."""
+    from p2_mapreduce_spark.functions.numeric import dsum
+    from p2_mapreduce_spark.streaming.stateful import running_totals_stream
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_src")
+    events.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        running_totals_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # update-mode memory sink appends each batch's changelog; the
+        # final state per user is the row with the largest n_events
+        # (monotone), ties broken by any since equal rows are equal
+        got = {
+            r["user_id"]: (r["n_events"], r["sum_value"], r["max_value"])
+            for r in spark.sql(
+                """SELECT user_id, n_events, sum_value, max_value FROM (
+                     SELECT *, row_number() OVER (
+                       PARTITION BY user_id ORDER BY n_events DESC) rn
+                     FROM running_totals) WHERE rn = 1"""
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    want = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["max_value"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert got == want  # exact equality, doubles included
