@@ -3120,12 +3120,15 @@ def oracle_sql() -> dict[str, str]:
             ),
             tot AS (
                 SELECT COUNT(*) AS n_nodes,
-                       CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
-                       CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges
+                       CAST(COALESCE(SUM(deg) // 2, 0) AS BIGINT) AS n_edges,
+                       CAST(COALESCE(SUM(deg * (deg - 1)) // 2, 0) AS BIGINT)
+                           AS n_wedges
                 FROM deg
             )
             SELECT n_nodes, n_edges, n_wedges, n_triangles,
-                   CAST(n_triangles * 3 AS DOUBLE) / n_wedges AS clustering
+                   CASE WHEN n_wedges > 0
+                        THEN CAST(n_triangles * 3 AS DOUBLE) / n_wedges
+                        ELSE 0.0 END AS clustering
             FROM tot CROSS JOIN tri
         """,
         "chunk_documents": f"""
@@ -3230,8 +3233,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             tot AS (
                 SELECT COUNT(*) AS n_nodes,
-                       CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
-                       CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges
+                       CAST(COALESCE(SUM(deg) // 2, 0) AS BIGINT) AS n_edges,
+                       CAST(COALESCE(SUM(deg * (deg - 1)) // 2, 0) AS BIGINT)
+                           AS n_wedges
                 FROM deg
             )
             SELECT n_nodes, n_edges, n_wedges, n_triangles,

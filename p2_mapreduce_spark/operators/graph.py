@@ -354,11 +354,17 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     tri = wedges.join(
         ek.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"]
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    # coalesce: aggs over an EMPTY degree table (all input edges were
+    # self-loops) return NULL sums; the census of the empty graph is 0s.
+    # clustering guards n_wedges = 0 — ANSI mode (Spark 4 default) makes
+    # a bare division THROW on zero, not null.
     totals = (
         deg.agg(
             F.count(F.lit(1)).alias("n_nodes"),
-            F.expr("sum(deg) div 2").alias("n_edges"),
-            F.expr("sum(deg * (deg - 1)) div 2").alias("n_wedges"),
+            F.coalesce(F.expr("sum(deg) div 2"), F.lit(0)).alias("n_edges"),
+            F.coalesce(F.expr("sum(deg * (deg - 1)) div 2"), F.lit(0)).alias(
+                "n_wedges"
+            ),
         )
     )
     return totals.join(F.broadcast(tri)).select(
@@ -366,7 +372,11 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         "n_edges",
         "n_wedges",
         "n_triangles",
-        ((F.col("n_triangles") * 3).cast("double") / F.col("n_wedges"))
+        F.when(
+            F.col("n_wedges") > 0,
+            (F.col("n_triangles") * 3).cast("double") / F.col("n_wedges"),
+        )
+        .otherwise(F.lit(0.0))
         .alias("clustering"),
     )
 

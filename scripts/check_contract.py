@@ -8,6 +8,10 @@ from pyspark.sql import SparkSession
 
 spark = (SparkSession.builder.master("local[8]").appName("driver-mimic")
          .config("spark.sql.shuffle.partitions", "8")
+         # default 1g driver heap OOMs the heavy graph queries when this
+         # mimic is pointed at sf0.1 (SF=... env); the grading harness
+         # runs with a real heap, so match that
+         .config("spark.driver.memory", "8g")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")

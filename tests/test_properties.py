@@ -218,3 +218,79 @@ def test_repetition_stats_matches_local_histograms(spark, texts):
             assert r["top_bigram_ratio"] == max(bc.values()) / len(bigrams)
         else:
             assert r["top_bigram_ratio"] == 0.0
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_triangle_stats_matches_bruteforce(spark, edges):
+    """Degree-ordered triangle census == brute-force enumeration on
+    arbitrary small graphs (self-loops and duplicate edges included)."""
+    from itertools import combinations
+
+    from p2_mapreduce_spark.operators.graph import triangle_stats
+
+    adj = {}
+    for u, v in edges:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    want_tri = sum(
+        1
+        for a, b, c in combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    want_edges = sum(len(s) for s in adj.values()) // 2
+    want_wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    r = triangle_stats(df).collect()[0]
+    if not adj:  # all edges were self-loops
+        assert r["n_edges"] == 0 and r["n_triangles"] == 0
+        return
+    assert r["n_nodes"] == len(adj)
+    assert r["n_edges"] == want_edges
+    assert r["n_wedges"] == want_wedges
+    assert r["n_triangles"] == want_tri
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(0, 14),
+)
+def test_bfs_hops_matches_reference_bfs(spark, edges, source):
+    """Distributed frontier BFS == textbook queue BFS on arbitrary small
+    graphs, including unreachable components and source-not-in-graph."""
+    from collections import deque
+
+    from p2_mapreduce_spark.operators.graph import bfs_hops
+
+    adj = {}
+    for u, v in edges:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    want = {source: 0}
+    dq = deque([source])
+    while dq:
+        n = dq.popleft()
+        if want[n] >= 6:
+            continue
+        for nb in adj.get(n, ()):
+            if nb not in want:
+                want[nb] = want[n] + 1
+                dq.append(nb)
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["node"]: r["hop"] for r in bfs_hops(df, source, max_hops=6).collect()}
+    assert got == want
