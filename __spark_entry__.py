@@ -1081,6 +1081,69 @@ def _q_pseudonymize(spark, sf_dir):
     )
 
 
+def _kcore_oracle(k: int = 8, rounds: int = 4) -> str:
+    """Unrolled peeling oracle for the k-core query: ``rounds`` is a
+    fixed unroll ≥ the fixture's convergence depth (2 at sf0.01, pinned
+    in pytest) — peeling is idempotent at the fixpoint, so extra rounds
+    change nothing and the fixed-depth SQL equals the converge-then-stop
+    Spark loop exactly."""
+    sql = ["""
+        WITH sup AS (
+            SELECT DISTINCT l_orderkey AS kk, l_suppkey AS s FROM lineitem
+        ),
+        raw AS (
+            SELECT DISTINCT sa.s AS a, sb.s AS b
+            FROM sup sa JOIN sup sb ON sa.kk = sb.kk AND sa.s < sb.s
+        ),
+        samp AS (
+            SELECT a, b FROM raw
+            WHERE CAST('0x' || substr(md5(a || ':' || b), 18, 15)
+                       AS BIGINT) % 8 = 0
+        ),
+        e0 AS (SELECT a, b FROM samp UNION ALL SELECT b, a FROM samp)"""]
+    for i in range(rounds):
+        sql.append(f""",
+        w{i} AS (
+            SELECT a FROM e{i} GROUP BY a HAVING COUNT(*) < {k}
+        ),
+        e{i + 1} AS (
+            SELECT a, b FROM e{i}
+            WHERE a NOT IN (SELECT a FROM w{i})
+              AND b NOT IN (SELECT a FROM w{i})
+        )""")
+    sql.append(f"""
+        SELECT a AS node, COUNT(*) AS deg FROM e{rounds} GROUP BY 1""")
+    return "".join(sql)
+
+
+def _q_k_core(spark, sf_dir):
+    from p2_mapreduce_spark.operators.graph import cosupply_k_core
+
+    return cosupply_k_core(load_table(spark, sf_dir, "lineitem"), k=8)
+
+
+#: mixture rates used by the sampling query and its oracle — exact
+#: integer thresholds floor(rate·2^60)
+_MIX_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
+_MIX_DEFAULT = 0.1
+
+
+def _q_mixture_sample(spark, sf_dir):
+    from p2_mapreduce_spark.operators.curation import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(docs, _MIX_RATES, default_rate=_MIX_DEFAULT).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+def _q_budget_sample(spark, sf_dir):
+    from p2_mapreduce_spark.operators.curation import budget_sample
+
+    # ~1500 tokens/source at sf0.01 — 800 exercises real truncation
+    return budget_sample(load_table(spark, sf_dir, "documents"), 800)
+
+
 def _q_hll_distinct(spark, sf_dir):
     from p2_mapreduce_spark.operators.profile import hll_distinct_rollup
 
@@ -1252,6 +1315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "position_attribution": _q_position_attribution,
         "pseudonymize_customers": _q_pseudonymize,
+        "mixture_sample": _q_mixture_sample,
+        "budget_sample": _q_budget_sample,
+        "k_core": _q_k_core,
     }
 
 
@@ -3345,6 +3411,40 @@ def oracle_sql() -> dict[str, str]:
                    c_mktsegment, c_acctbal
             FROM customer
         """,
+        "mixture_sample": f"""
+            SELECT doc_id, source, lang, n_chars
+            FROM documents
+            WHERE CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                                      18, 15) AS BIGINT)
+                  < CASE source
+                      WHEN 'src0' THEN {int(0.8 * (1 << 60))}
+                      WHEN 'src1' THEN {int(0.5 * (1 << 60))}
+                      WHEN 'src2' THEN {int(0.25 * (1 << 60))}
+                      ELSE {int(0.1 * (1 << 60))} END
+        """,
+        "budget_sample": f"""
+            WITH sized AS (
+                SELECT doc_id, source,
+                       CAST('0x' || substr(md5('budget:'
+                                || CAST(doc_id AS VARCHAR)), 18, 15)
+                            AS BIGINT) AS coin,
+                       CAST(len(list_filter(
+                           regexp_split_to_array(lower(text), '{_TOK}'),
+                           x -> x <> '')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, source, n_tokens,
+                       CAST(SUM(n_tokens) OVER (
+                           PARTITION BY source ORDER BY coin, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS cum_tokens
+                FROM sized
+            )
+            SELECT doc_id, source, n_tokens, cum_tokens
+            FROM c WHERE cum_tokens <= 800
+        """,
+        "k_core": _kcore_oracle(),
     }
     # star-contraction closure produces the same canonical
     # min-id labels as label propagation — shared oracle

@@ -98,6 +98,8 @@ HEADLINE = (
     "incremental_agg",
     "bfs_trade",
     "hll_distinct",
+    "budget_sample",
+    "k_core",
 )
 
 

@@ -417,3 +417,94 @@ def pseudonymize(df: DataFrame, cols: Sequence[str], salt: str = "k1") -> DataFr
             c, F.md5(F.concat_ws(":", F.lit(salt), F.col(c).cast("string")))
         )
     return out
+
+
+#: 2^60 — the md5-60 coin space (text_analysis._md5_60 family).
+_COIN_SPACE = 1 << 60
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic mixture construction: keep each document with its
+    source's target rate — the domain-reweighting step of a pretraining
+    pipeline ("30% of src A, 5% of src B, drop the rest").
+
+    The coin is the doc's md5-60 hash compared against
+    ``floor(rate · 2^60)`` — an INTEGER comparison, no floats, so the
+    sample is exact, reproducible under any partitioning/retry, and
+    consistent across engines AND across runs (the same doc always makes
+    the same cut — downstream joins on previously-sampled snapshots stay
+    consistent).  Zero-shuffle map; thresholds travel inline as a CASE
+    over the (config-sized) rate table.
+    """
+    thresholds = {s: int(r * _COIN_SPACE) for s, r in rates.items()}
+    coin = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("mix"), F.col(id_col).cast("string"))), 18, 15),
+        16,
+        10,
+    ).cast("long")
+    thr = None
+    for s, t in sorted(thresholds.items()):
+        cond = F.when(F.col(source_col) == s, F.lit(t))
+        thr = cond if thr is None else thr.when(F.col(source_col) == s, F.lit(t))
+    thr = (
+        thr.otherwise(F.lit(int(default_rate * _COIN_SPACE)))
+        if thr is not None
+        else F.lit(int(default_rate * _COIN_SPACE))
+    )
+    return docs.filter(coin < thr)
+
+
+def budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget truncation per source: walk each source's documents
+    in deterministic md5-hash order and keep whole documents while the
+    running token total stays within ``budget_tokens`` — "at most N
+    tokens per domain", the quota companion to :func:`mixture_sample`'s
+    rate-based thinning.
+
+    Hash order (not doc_id order) makes the kept set an unbiased,
+    reproducible sample of the source rather than a prefix artifact of
+    load order.  One shuffle on the source key; the running sum is a
+    window cumsum of exact integer token counts (the pack_sequences
+    discipline).  A single source's documents serialize into one
+    partition per window semantics — sources are the natural parallel
+    unit; a skewed mega-source would move to the two-phase distributed
+    prefix sum (``pack_sequences``).
+    """
+    from pyspark.sql import Window
+
+    from p2_mapreduce_spark.operators.text_analysis import token_count
+
+    coin = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("budget"), F.col(id_col).cast("string"))), 18, 15),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(source_col).orderBy("coin", id_col)
+    sized = spread(docs).select(
+        id_col,
+        source_col,
+        coin.alias("coin"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    return (
+        sized.withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(id_col, source_col, "n_tokens", "cum_tokens")
+    )

@@ -528,3 +528,67 @@ def cosupply_triangle_doulion(lineitem: DataFrame, mod: int = 8) -> DataFrame:
         .select(F.col("sa.s").alias("u"), F.col("sb.s").alias("v"))
     )
     return triangle_doulion(pairs, mod)
+
+
+def k_core(edges: DataFrame, k: int = 3, max_iter: int = 30) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every node keeps degree ≥ k — the standard dense-region extractor
+    (community kernels, spam-ring cores, influencer backbones).
+
+    Iterative peeling: drop all nodes with degree < k, recompute, repeat
+    to fixpoint.  Each round is one aggregate + two anti joins on the
+    (shrinking) edge list with `localCheckpoint` lineage truncation; the
+    convergence probe is an O(1)-result ``limit(1).count()``.  Round
+    count is bounded by the peeling depth — small for real (heavy-tailed)
+    graphs, though adversarial paths need O(n) rounds, hence
+    ``max_iter`` (same posture as the CC label-propagation bound).
+
+    Peeling is IDEMPOTENT once converged — re-applying the round to the
+    fixpoint changes nothing — which is what lets a fixed-depth unrolled
+    SQL oracle compare exactly: unroll ≥ convergence rounds and the two
+    engines agree bit-for-bit (the pytest pins the fixture's depth).
+
+    Returns ``(node, deg)`` — core members with their in-core degree.
+    """
+    sym = (
+        edges.select(F.col("u").cast("long").alias("a"),
+                     F.col("v").cast("long").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    e = sym.union(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        weak = deg.filter(F.col("deg") < k).select("a")
+        if weak.limit(1).count() == 0:
+            break
+        e = (
+            e.join(weak, "a", "left_anti")
+            .join(weak.select(F.col("a").alias("b")), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    return e.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+
+
+def cosupply_k_core(lineitem: DataFrame, k: int = 8, mod: int = 8) -> DataFrame:
+    """k-core of the DOULION-sampled supplier co-supply graph (the same
+    md5-coin 1/``mod`` edge sample as :func:`cosupply_triangle_doulion`,
+    so the peeling runs on a realistically sparse graph)."""
+    sup = lineitem.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = sup.alias("sa"), sup.alias("sb")
+    pairs = (
+        a.join(b, (F.col("sa.k") == F.col("sb.k")) & (F.col("sa.s") < F.col("sb.s")))
+        .select(F.col("sa.s").alias("u"), F.col("sb.s").alias("v"))
+    )
+    coin = F.conv(
+        F.substring(F.md5(F.concat_ws(":", "u", "v")), 18, 15), 16, 10
+    ).cast("long")
+    return k_core(pairs.filter(coin % mod == 0), k)

@@ -160,17 +160,24 @@ def dedup_events_stream(
 
 
 def purchase_signup_interval_join(
-    purchases: DataFrame, signups: DataFrame, within: str = "2 hours"
+    purchases: DataFrame, signups: DataFrame, within: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Event-time interval join core: each purchase paired with every
     signup of the same user that happened at-or-before it, within
     ``within``.  Shared verbatim by the streaming twin and its batch
-    oracle (one logical plan, two execution modes)."""
+    oracle (one logical plan, two execution modes).
+
+    ``how="left_outer"`` keeps unmatched purchases (null ``s_ts``) — in
+    the streaming mode Spark emits those rows only when the watermark
+    proves no future signup can match (state-eviction-as-result), so
+    outer results trail the inner ones by the watermark delay."""
     return purchases.join(
         signups,
         (purchases.p_user == signups.s_user)
         & (F.col("p_ts") >= F.col("s_ts"))
         & (F.col("p_ts") <= F.col("s_ts") + F.expr(f"INTERVAL {within}")),
+        how,
     ).select("p_event", "p_user", "p_ts", "s_ts")
 
 
@@ -180,6 +187,7 @@ def stream_stream_join(
     schema,
     within: str = "2 hours",
     watermark: str = "2 hours",
+    how: str = "inner",
 ):
     """Watermarked stream-stream interval join: purchases ⋈ signups of the
     same user within an event-time band.
@@ -205,7 +213,7 @@ def stream_stream_join(
         .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
         .withWatermark("s_ts", watermark)
     )
-    return purchase_signup_interval_join(purchases, signups, within)
+    return purchase_signup_interval_join(purchases, signups, within, how)
 
 
 def tumbling_window_stream(

@@ -198,3 +198,53 @@ def test_pseudonymize_preserves_joins_and_rotates_with_salt(spark):
     assert p1.select("k").distinct().count() == df.select("k").distinct().count()
     p2 = pseudonymize(df, ["k"], salt="s2")
     assert set(r["k"] for r in p2.collect()).isdisjoint(toks)  # salt rotates
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from p2_mapreduce_spark.operators.curation import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}", "x") for i in range(400)],
+        "doc_id long, source string, text string",
+    )
+    all_kept = mixture_sample(docs, {"s0": 1.0, "s1": 1.0})
+    assert all_kept.count() == 400
+    none_kept = mixture_sample(docs, {"s0": 0.0}, default_rate=0.0)
+    assert none_kept.count() == 0
+    half = mixture_sample(docs, {"s0": 0.5}, default_rate=0.25)
+    ids1 = sorted(r["doc_id"] for r in half.collect())
+    ids2 = sorted(r["doc_id"] for r in half.collect())
+    assert ids1 == ids2  # deterministic md5 coin — no RNG in sight
+    n_s0 = sum(1 for i in ids1 if i % 2 == 0)
+    n_s1 = len(ids1) - n_s0
+    assert 60 <= n_s0 <= 140   # ~100 of 200 at rate .5
+    assert 20 <= n_s1 <= 80    # ~50 of 200 at rate .25
+
+
+def test_budget_sample_is_hash_order_prefix_per_source(spark):
+    import hashlib
+
+    from p2_mapreduce_spark.operators.curation import budget_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", " ".join(["w"] * (5 + i % 7))) for i in range(60)],
+        "doc_id long, source string, text string",
+    )
+    budget = 40
+    got = {r["doc_id"]: r for r in budget_sample(docs, budget).collect()}
+
+    def coin(i):
+        return int(hashlib.md5(f"budget:{i}".encode()).hexdigest()[17:32], 16)
+
+    for s in range(3):
+        members = sorted(
+            (i for i in range(60) if i % 3 == s), key=lambda i: (coin(i), i)
+        )
+        cum = 0
+        for i in members:
+            n = 5 + i % 7
+            cum += n
+            if cum <= budget:
+                assert i in got and got[i]["cum_tokens"] == cum, i
+            else:
+                assert i not in got, i

@@ -212,3 +212,56 @@ def test_bfs_hops_respects_max_hops_and_disconnection(spark):
     got = {r["node"]: r["hop"] for r in bfs_hops(edges, 0, max_hops=4).collect()}
     assert got == {i: i for i in range(5)}  # truncated at 4 hops
     assert 100 not in got and 101 not in got  # other component unreached
+
+
+def test_k_core_peels_cascade(spark):
+    """K5 with a pendant path attached: the path peels away in cascade
+    rounds (each removal exposes the next), leaving exactly the K5 as
+    the 4-core."""
+    from p2_mapreduce_spark.operators.graph import k_core
+
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    path = [(4, 5), (5, 6), (6, 7)]
+    edges = spark.createDataFrame(k5 + path, "u long, v long")
+    rows = {r["node"]: r["deg"] for r in k_core(edges, k=4).collect()}
+    assert rows == {i: 4 for i in range(5)}
+    # k above the clique degree empties the graph entirely
+    assert k_core(edges, k=5).count() == 0
+
+
+def test_k_core_fixture_converges_within_oracle_unroll(spark, sf_dir):
+    """The sf fixture's peeling depth must stay within the oracle's
+    4-round unroll (idempotence covers the slack, but only past the
+    fixpoint — a deeper fixture would silently diverge)."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s")).distinct()
+    a, b = sup.alias("sa"), sup.alias("sb")
+    pairs = (
+        a.join(b, (F.col("sa.k") == F.col("sb.k")) & (F.col("sa.s") < F.col("sb.s")))
+        .select(F.col("sa.s").alias("u"), F.col("sb.s").alias("v"))
+    )
+    coin = F.conv(
+        F.substring(F.md5(F.concat_ws(":", "u", "v")), 18, 15), 16, 10
+    ).cast("long")
+    edges = [(r["u"], r["v"]) for r in pairs.filter(coin % 8 == 0).distinct().collect()]
+    import collections
+
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    rounds = 0
+    while True:
+        weak = [n for n, s in adj.items() if len(s) < 8]
+        if not weak:
+            break
+        rounds += 1
+        for n in weak:
+            for nb in adj[n]:
+                adj[nb].discard(n)
+            del adj[n]
+    assert rounds <= 4, f"fixture peeling depth {rounds} exceeds oracle unroll"

@@ -140,3 +140,47 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     rows = {r["k"]: r["extra"] for r in merged.collect()}
     assert rows[0] is None and rows[5] == 50
     assert merged.count() == 6
+
+
+def test_read_table_csv_json_roundtrip_and_failfast(spark, sf_dir, tmp_path):
+    """Format dispatch: CSV (schema-driven) and JSONL round-trip the same
+    rows as parquet; malformed input FAILS the job rather than silently
+    nulling (the refuse-don't-corrupt stance)."""
+    import pytest as _pytest
+
+    from p2_mapreduce_spark.sources.readers import read_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    want = {tuple(r) for r in orders.collect()}
+
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    orders.write.option("header", True).csv(csv_dir)
+    orders.write.json(json_dir)
+
+    got_csv = read_table(
+        spark, csv_dir, "csv",
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, "
+               "o_totalprice double",
+        header=True,
+    )
+    assert {tuple(r) for r in got_csv.collect()} == want
+    got_json = read_table(
+        spark, json_dir, "json",
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, "
+               "o_totalprice double",
+    )
+    assert {tuple(r) for r in got_json.collect()} == want
+
+    bad = str(tmp_path / "bad.csv")
+    with open(bad, "w") as f:
+        f.write("o_orderkey,o_custkey\n1,2\nnot_a_number,3\n")
+    with _pytest.raises(Exception):
+        read_table(
+            spark, bad, "csv", schema="o_orderkey long, o_custkey long",
+            header=True,
+        ).collect()
+
+    with _pytest.raises(ValueError):
+        read_table(spark, csv_dir, "avro")

@@ -416,3 +416,73 @@ def test_running_totals_changelog_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want  # exact equality, doubles included
+
+
+def test_stream_stream_left_outer_join_emits_unmatched_on_eviction(
+    spark, sf_dir, tmp_path
+):
+    """Left-outer stream-stream join: unmatched purchases surface with a
+    null signup only once the watermark PROVES no future signup can match
+    (state eviction as result).  A far-future flush event advances the
+    watermark past every real purchase; the final set must then equal
+    the batch left join exactly."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.streaming.events import (
+        purchase_signup_interval_join,
+        stream_stream_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ssjo_src")
+    events.repartition(2).write.mode("overwrite").parquet(src)
+
+    batch = purchase_signup_interval_join(
+        events.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_event"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        ),
+        events.filter(F.col("event_type") == "signup").select(
+            F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts")
+        ),
+        how="left_outer",
+    )
+    expected = sorted(map(tuple, batch.collect()))
+    n_unmatched = sum(1 for r in expected if r[3] is None)
+    assert n_unmatched, "fixture has no unmatched purchases — test is vacuous"
+
+    q = (
+        stream_stream_join(spark, src, schema=events.schema, how="left_outer")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssjo_out")
+        .option("checkpointLocation", str(tmp_path / "ssjo_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # the watermark only advances through rows that SURVIVE each
+        # branch's filter — flush with one far-future purchase and one
+        # far-future signup (excluded from the comparison), then one more
+        # batch so the eviction actually fires
+        for i, (day, typ) in enumerate([(1, "purchase"), (1, "signup"), (2, "signup")]):
+            spark.createDataFrame(
+                [(10**9 + i, datetime.datetime(2030, 1, day), -1, typ, 0.0, "{}")],
+                events.schema,
+            ).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        got = sorted(
+            map(
+                tuple,
+                spark.sql(
+                    "SELECT p_event, p_user, p_ts, s_ts FROM ssjo_out"
+                    " WHERE p_user >= 0"
+                ).collect(),
+            )
+        )
+    finally:
+        q.stop()
+    assert got == expected
