@@ -1182,6 +1182,50 @@ def _q_value_outliers(spark, sf_dir):
     return value_outliers(load_table(spark, sf_dir, "events"))
 
 
+def _q_revenue_forecast(spark, sf_dir):
+    from p2_mapreduce_spark.operators.tpch import revenue_forecast
+
+    return revenue_forecast(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_important_parts(spark, sf_dir):
+    from p2_mapreduce_spark.operators.tpch import important_parts
+
+    return important_parts(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_dominant_suppliers(spark, sf_dir):
+    from p2_mapreduce_spark.operators.tpch import dominant_suppliers
+
+    return dominant_suppliers(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+def _q_vocab_topk(spark, sf_dir):
+    from p2_mapreduce_spark.operators.text_analysis import build_vocab
+
+    return build_vocab(load_table(spark, sf_dir, "documents"), k=1000)
+
+
+def _q_oov_rate(spark, sf_dir):
+    from p2_mapreduce_spark.operators.text_analysis import oov_stats
+
+    return oov_stats(load_table(spark, sf_dir, "documents"), vocab_k=512)
+
+
+def _q_pmi_bigrams(spark, sf_dir):
+    from p2_mapreduce_spark.operators.text_analysis import pmi_bigrams
+
+    return pmi_bigrams(load_table(spark, sf_dir, "documents"), min_count=5, k=50)
+
+
+def _q_curation_decision(spark, sf_dir):
+    from p2_mapreduce_spark.operators.curation import curation_decision
+
+    return curation_decision(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -1318,6 +1362,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "budget_sample": _q_budget_sample,
         "k_core": _q_k_core,
+        "revenue_forecast": _q_revenue_forecast,
+        "important_parts": _q_important_parts,
+        "dominant_suppliers": _q_dominant_suppliers,
+        "vocab_topk": _q_vocab_topk,
+        "oov_rate": _q_oov_rate,
+        "pmi_bigrams": _q_pmi_bigrams,
+        "curation_decision": _q_curation_decision,
     }
 
 
@@ -3445,6 +3496,182 @@ def oracle_sql() -> dict[str, str]:
             FROM c WHERE cum_tokens <= 800
         """,
         "k_core": _kcore_oracle(),
+        "revenue_forecast": """
+            SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "important_parts": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                                   AS DECIMAL(24,4))) AS DOUBLE) AS part_value,
+                       COUNT(*) AS n_lines
+                FROM lineitem GROUP BY l_partkey
+            ),
+            total AS (
+                SELECT CAST(SUM(CAST(part_value AS DECIMAL(30,4))) AS DOUBLE)
+                       AS total_value
+                FROM per_part
+            )
+            SELECT l_partkey, part_value, n_lines,
+                   part_value / total_value AS share
+            FROM per_part, total
+            WHERE part_value * 1000000 > 600 * total_value
+        """,
+        "dominant_suppliers": """
+            WITH sp AS (
+                SELECT l_suppkey, l_partkey,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS supp_qty
+                FROM lineitem GROUP BY l_suppkey, l_partkey
+            ),
+            pt AS (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(supp_qty AS DECIMAL(18,2))) AS DOUBLE)
+                       AS part_qty,
+                       COUNT(*) AS n_suppliers
+                FROM sp GROUP BY l_partkey
+            ),
+            dom AS (
+                SELECT sp.l_suppkey, sp.supp_qty
+                FROM sp JOIN pt USING (l_partkey)
+                WHERE supp_qty > 0.15 * part_qty AND n_suppliers >= 2
+            ),
+            per AS (
+                SELECT l_suppkey, COUNT(*) AS n_dominated_parts,
+                       CAST(SUM(CAST(supp_qty AS DECIMAL(24,2))) AS DOUBLE)
+                       AS dominated_qty
+                FROM dom GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, n_dominated_parts, dominated_qty
+            FROM per JOIN supplier ON l_suppkey = s_suppkey
+        """,
+        "vocab_topk": f"""
+            WITH counts AS (
+                SELECT word AS token, COUNT(*) AS cnt FROM (
+                    SELECT lower(unnest(regexp_split_to_array(text, '{_TOK}')))
+                           AS word
+                    FROM documents
+                ) WHERE word <> '' GROUP BY word
+                ORDER BY cnt DESC, token LIMIT 1000
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1 AS token_id,
+                   token, cnt
+            FROM counts
+        """,
+        "oov_rate": f"""
+            WITH counts AS (
+                SELECT word AS token, COUNT(*) AS cnt FROM (
+                    SELECT lower(unnest(regexp_split_to_array(text, '{_TOK}')))
+                           AS word
+                    FROM documents
+                ) WHERE word <> '' GROUP BY word
+                ORDER BY cnt DESC, token LIMIT 512
+            ),
+            tok AS (
+                SELECT doc_id,
+                       lower(unnest(regexp_split_to_array(text, '{_TOK}')))
+                       AS token
+                FROM documents
+            ),
+            flagged AS (
+                SELECT t.doc_id, t.token, v.token AS in_vocab
+                FROM tok t LEFT JOIN counts v ON t.token = v.token
+                WHERE t.token <> ''
+            )
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   COUNT(CASE WHEN in_vocab IS NULL THEN 1 END) AS n_oov,
+                   CAST(COUNT(CASE WHEN in_vocab IS NULL THEN 1 END) AS DOUBLE)
+                     / COUNT(*) AS oov_rate
+            FROM flagged GROUP BY doc_id
+        """,
+        "pmi_bigrams": f"""
+            WITH base AS (
+                SELECT list_filter(regexp_split_to_array(lower(text), '{_TOK}'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ),
+            uc AS (
+                SELECT w, COUNT(*) AS c
+                FROM (SELECT unnest(t) AS w FROM base) GROUP BY w
+            ),
+            n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uc),
+            bg AS (
+                SELECT t[g.i] AS w1, t[g.i+1] AS w2
+                FROM base,
+                     LATERAL (SELECT unnest(generate_series(1,
+                              greatest(len(t)-1, 0))) AS i) g
+            ),
+            bc AS (
+                SELECT w1, w2, COUNT(*) AS c_xy
+                FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= 5
+            )
+            SELECT w1, w2, c_xy, u1.c AS c_x, u2.c AS c_y,
+                   CAST(c_xy * n_tokens AS DOUBLE)
+                     / CAST(u1.c * u2.c AS DOUBLE) AS lift
+            FROM bc
+            JOIN uc u1 ON bc.w1 = u1.w
+            JOIN uc u2 ON bc.w2 = u2.w
+            CROSS JOIN n
+            ORDER BY lift DESC, w1, w2 LIMIT 50
+        """,
+        "curation_decision": f"""
+            WITH lang AS (
+                SELECT doc_id,
+                       CASE WHEN {s_en} >= {s_de} AND {s_en} >= {s_es}
+                                 AND {s_en} >= {s_fr} AND {s_en} >= 1 THEN 'en'
+                            WHEN {s_de} >= {s_es} AND {s_de} >= {s_fr}
+                                 AND {s_de} >= 1 THEN 'de'
+                            WHEN {s_es} >= {s_fr} AND {s_es} >= 1 THEN 'es'
+                            WHEN {s_fr} >= 1 THEN 'fr'
+                            ELSE 'und' END AS detected_lang
+                FROM documents
+            ),
+            qual AS (
+                SELECT doc_id,
+                       (CAST(nalpha AS DOUBLE) / nchars) * 0.5
+                         + (CAST(nspaces AS DOUBLE) / nchars) * 0.25
+                         + (CAST(shits AS DOUBLE) / ntok) * 0.25 AS quality
+                FROM (
+                    SELECT doc_id,
+                           strlen(text) AS nchars,
+                           strlen(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                             AS nalpha,
+                           strlen(text)
+                             - strlen(regexp_replace(text, ' ', '', 'g'))
+                             AS nspaces,
+                           len(list_filter(
+                               regexp_split_to_array(lower(text), '{_TOK}'),
+                               x -> x <> '')) AS ntok,
+                           len(regexp_extract_all(lower(text),
+                               '\\b(the|and|of|to|a|in)\\b')) AS shits
+                    FROM documents
+                )
+            ),
+            base AS (SELECT doc_id, md5(text) AS text_md5 FROM documents),
+            canon AS (
+                SELECT text_md5, MIN(doc_id) AS canon_id
+                FROM base GROUP BY text_md5
+            )
+            SELECT b.doc_id, detected_lang, quality,
+                   b.doc_id = canon_id AS is_canonical,
+                   (b.doc_id = canon_id AND detected_lang <> 'und'
+                    AND quality >= 0.5) AS keep,
+                   CASE WHEN b.doc_id <> canon_id THEN 'duplicate'
+                        WHEN detected_lang = 'und' THEN 'language'
+                        WHEN quality < 0.5 THEN 'quality'
+                        ELSE 'kept' END AS reason
+            FROM base b
+            JOIN canon USING (text_md5)
+            JOIN lang ON lang.doc_id = b.doc_id
+            JOIN qual ON qual.doc_id = b.doc_id
+        """,
     }
     # star-contraction closure produces the same canonical
     # min-id labels as label propagation — shared oracle

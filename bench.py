@@ -78,6 +78,12 @@ HEADLINE = (
     "sole_returner",
     "top_supplier",
     "funnel_steps",
+    "important_parts",
+    "dominant_suppliers",
+    "vocab_topk",
+    "oov_rate",
+    "pmi_bigrams",
+    "curation_decision",
     "cohort_retention",
     "zorder_cluster",
     "pagerank_trade",

@@ -508,3 +508,53 @@ def budget_sample(
         .filter(F.col("cum_tokens") <= budget_tokens)
         .select(id_col, source_col, "n_tokens", "cum_tokens")
     )
+
+
+def curation_decision(
+    docs: DataFrame, min_quality: float = 0.5
+) -> DataFrame:
+    """End-to-end keep/drop decision table — the composed curation pass a
+    training-data pipeline runs before tokenization: language ID, quality
+    scoring, and exact dedup evaluated in ONE DataFrame DAG, with the
+    drop *reason* surfaced so filtering is auditable.
+
+    A document is kept iff it is the canonical copy of its content
+    (smallest doc_id per md5, the exact_dedup rule), its detected
+    language is a supported one (not 'und'), and its quality score
+    clears ``min_quality``.  The reason column reports the FIRST failed
+    check in that order — deterministic, so the whole table is
+    value-hash oracle-checkable.
+
+    Shape at 100 TB: lang and quality are zero-shuffle per-row maps
+    computed in the same stage as the md5 projection; the only exchange
+    is the md5 group for canonical-copy election (32-byte key, see
+    exact_dedup); the canonical table joins back on md5 — same key, same
+    partitioning, AQE reuses the exchange.  One scan of the corpus."""
+    from p2_mapreduce_spark.operators.text_analysis import lang_id, quality_score
+
+    base = docs.select("doc_id", F.md5("text").alias("text_md5"))
+    canon = base.groupBy("text_md5").agg(F.min("doc_id").alias("canon_id"))
+    signals = (
+        lang_id(docs)
+        .select("doc_id", "detected_lang")
+        .join(quality_score(docs).select("doc_id", "quality"), "doc_id")
+        .join(base, "doc_id")
+        .join(canon, "text_md5")
+    )
+    is_canon = F.col("doc_id") == F.col("canon_id")
+    lang_ok = F.col("detected_lang") != F.lit("und")
+    qual_ok = F.col("quality") >= F.lit(min_quality)
+    reason = (
+        F.when(~is_canon, F.lit("duplicate"))
+        .when(~lang_ok, F.lit("language"))
+        .when(~qual_ok, F.lit("quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return signals.select(
+        "doc_id",
+        "detected_lang",
+        "quality",
+        is_canon.alias("is_canonical"),
+        (is_canon & lang_ok & qual_ok).alias("keep"),
+        reason.alias("reason"),
+    )

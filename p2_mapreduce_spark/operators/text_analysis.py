@@ -370,3 +370,127 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def build_vocab(docs: DataFrame, k: int = 1000) -> DataFrame:
+    """Top-``k`` token vocabulary with dense rank ids — the first step of
+    every tokenizer-training / feature-hashing pipeline (the reference's
+    wordcount M1-M9 dataflow plus an id assignment).
+
+    Shape at 100 TB: token counts shuffle once with map-side combine
+    (shuffle width = distinct tokens); the top-k cut is a distributed
+    ``TakeOrderedAndProject`` heap pass (count desc, token asc — a total
+    order, so the cut is deterministic); id assignment is a window over
+    the already-bounded k-row result, not the corpus.  Vocab ids are
+    frequency-rank ids (0 = most frequent), the convention BPE/WordPiece
+    vocabularies use."""
+    counts = (
+        spread(docs)
+        .select(F.explode(tokens_array(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    # k rows by construction — the unpartitioned window is grain-bounded
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    return counts.select(
+        (F.row_number().over(w) - 1).alias("token_id"), "token", "cnt"
+    )
+
+
+def oov_stats(docs: DataFrame, vocab_k: int = 512) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-``k``
+    vocabulary — the cheap tokenizer-coverage / quality signal (a high
+    OOV rate flags boilerplate, non-target-language, or mojibake docs).
+
+    The vocab is a k-row broadcast; per-doc token rows join it
+    broadcast-side (the corpus never shuffles on token), then aggregate
+    on doc_id with map-side combine.  ``oov_rate`` is one IEEE division
+    of two exact integers — bit-stable cross-engine."""
+    vocab = build_vocab(docs, vocab_k).select("token")
+    toks = spread(docs).select(
+        "doc_id", F.explode(tokens_array(F.col("text"))).alias("token")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "token", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # count-of-when, not sum-of-flag: both engines type it BIGINT
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )
+
+
+def pmi_bigrams(docs: DataFrame, min_count: int = 5, k: int = 50) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information — the
+    phrase-mining pass (word2vec-style phrase joining, stopword-free
+    keyphrase extraction) over the corpus bigram/unigram tables.
+
+    The score is the PMI *lift* ``(c_xy · N) / (c_x · c_y)`` rather than
+    its logarithm: ln is monotone, so the ranking is identical, and the
+    lift is one BIGINT multiply per side plus one correctly-rounded IEEE
+    division — bit-stable cross-engine, where libm's ln is not.
+
+    Shape at 100 TB: unigram and bigram counts are two map-side-combined
+    shuffles (width = distinct grams); the bigram⋈unigram joins are on
+    the token key — stopword-heavy tokens are exactly the AQE-skew-join
+    case; ``min_count`` prunes the long tail before the joins; final cut
+    is a TakeOrderedAndProject heap with a total order."""
+    toks = tokens_array(F.col("text"))
+    base = spread(docs).select(toks.alias("toks"))
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tokens = uni.agg(F.sum("c").alias("n_tokens"))
+    pairs = base.select(
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("w1"),
+                        F.element_at("toks", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.expr("array()")),
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    scored = (
+        big.join(c1, "w1")
+        .join(c2, "w2")
+        .join(F.broadcast(n_tokens))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            (
+                (F.col("c_xy") * F.col("n_tokens")).cast("double")
+                / (F.col("c_x") * F.col("c_y")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "w1", "w2").limit(k)

@@ -513,3 +513,108 @@ def sole_returner(
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(k)
     )
+
+
+def revenue_forecast(lineitem: DataFrame) -> DataFrame:
+    """Q6 shape: the what-if revenue of discount elimination — a single
+    tight-range scan-aggregate, the canonical predicate-pushdown probe.
+
+    All three predicates (shipdate year, discount band, quantity cap) are
+    base-column comparisons, so they reach the parquet scan as
+    PushedFilters and prune row groups by footer min/max; the aggregate
+    is one exact-decimal partial→final sum — no shuffle wider than one
+    row per task.  At 100 TB this query reads only the matching row
+    groups of three columns."""
+    forecast = (
+        F.col("l_extendedprice") * F.col("l_discount")
+    )
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(forecast, scale=4, precision=24).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def important_parts(lineitem: DataFrame, threshold_ppm: int = 600) -> DataFrame:
+    """Q11 shape: parts whose traded value exceeds a fraction of the
+    whole market — the global-scalar-threshold pattern (HAVING against a
+    subquery over *all* groups).
+
+    One shuffle builds the per-part value table, which is persisted so
+    BOTH consumers — the global re-aggregate and the share projection —
+    read the materialized part-grain table instead of re-scanning the
+    fact (same pattern as the dedup shingle table; on a cluster swap
+    persist() for a reliable checkpoint).  The total joins back as a
+    broadcast single row (BroadcastNestedLoopJoin degenerate case: one
+    row × N parts) — never a driver round-trip.  The
+    share threshold is integer parts-per-million to keep the cut exact:
+    ``value * 1e6 > threshold_ppm * total`` compares two exact decimals
+    scaled by integers, no division involved in the predicate."""
+    per_part = lineitem.groupBy("l_partkey").agg(
+        dsum(_REV, scale=4, precision=24).alias("part_value"),
+        F.count(F.lit(1)).alias("n_lines"),
+    ).persist()
+    total = per_part.agg(dsum("part_value", scale=4, precision=30).alias("total_value"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("part_value") * F.lit(1_000_000)
+            > F.lit(threshold_ppm) * F.col("total_value")
+        )
+        .select(
+            "l_partkey",
+            "part_value",
+            "n_lines",
+            (F.col("part_value") / F.col("total_value")).alias("share"),
+        )
+    )
+
+
+def dominant_suppliers(
+    lineitem: DataFrame, supplier: DataFrame, min_share: float = 0.15
+) -> DataFrame:
+    """Q20 shape: suppliers who dominate the supply of at least one part
+    (their shipped quantity exceeds ``min_share`` of that part's total) —
+    the nested-aggregate semi-join chain (Q20's "excess availability"
+    predicate re-expressed against lineitem, the fixture's partsupp).
+
+    The (supplier, part) quantity table is built in one shuffle; the
+    per-part total is re-aggregated from it (grain contraction, not a
+    rescan); the share filter runs BEFORE the supplier dim joins in, so
+    the join input is already collapsed to qualifying suppliers.  Both
+    aggregates are exact decimals; the share predicate multiplies instead
+    of divides (``supp_qty > min_share * part_qty``) so decimal rounding never
+    enters the predicate."""
+    sp = lineitem.groupBy("l_suppkey", "l_partkey").agg(
+        dsum("l_quantity").alias("supp_qty")
+    )
+    pt = sp.groupBy("l_partkey").agg(
+        dsum("supp_qty").alias("part_qty"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    dominated = (
+        sp.join(pt, "l_partkey")
+        .filter(F.col("supp_qty") > F.lit(min_share) * F.col("part_qty"))
+        # a part with a single supplier is trivially dominated; keep only
+        # contested parts so the signal means displacement
+        .filter(F.col("n_suppliers") >= 2)
+    )
+    per_supp = dominated.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_dominated_parts"),
+        dsum("supp_qty", scale=2, precision=24).alias("dominated_qty"),
+    )
+    return (
+        per_supp.join(
+            supplier.select("s_suppkey", "s_name"),
+            per_supp.l_suppkey == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "n_dominated_parts", "dominated_qty")
+    )
