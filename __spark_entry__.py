@@ -1226,6 +1226,44 @@ def _q_curation_decision(spark, sf_dir):
     return curation_decision(load_table(spark, sf_dir, "documents"))
 
 
+def _q_gram_matrix(spark, sf_dir):
+    from p2_mapreduce_spark.operators.similarity import gram_matrix
+
+    return gram_matrix(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_copurchase(spark, sf_dir):
+    from p2_mapreduce_spark.operators.analytics import copurchase_pairs
+
+    return copurchase_pairs(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_span_dedup(spark, sf_dir):
+    from p2_mapreduce_spark.operators.dedup import span_dedup
+
+    return span_dedup(load_table(spark, sf_dir, "documents"), span_tokens=10)
+
+
+def _q_quantile_sketch(spark, sf_dir):
+    from p2_mapreduce_spark.operators.profile import hist_quantiles, hist_state
+
+    li = load_table(spark, sf_dir, "lineitem")
+    state = hist_state(
+        li, "l_quantity", ["l_returnflag"], lo_c=0, hi_c=5_000, n_buckets=50
+    )
+    return hist_quantiles(
+        state, ["l_returnflag"], lo_c=0, hi_c=5_000, n_buckets=50
+    )
+
+
+def _q_key_skew(spark, sf_dir):
+    from p2_mapreduce_spark.operators.profile import key_skew_profile
+
+    return key_skew_profile(
+        load_table(spark, sf_dir, "lineitem"), "l_partkey", top_n=20
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -1369,6 +1407,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": _q_oov_rate,
         "pmi_bigrams": _q_pmi_bigrams,
         "curation_decision": _q_curation_decision,
+        "span_dedup": _q_span_dedup,
+        "quantile_sketch": _q_quantile_sketch,
+        "key_skew": _q_key_skew,
+        "gram_matrix": _q_gram_matrix,
+        "copurchase": _q_copurchase,
     }
 
 
@@ -3671,6 +3714,105 @@ def oracle_sql() -> dict[str, str]:
             JOIN canon USING (text_md5)
             JOIN lang ON lang.doc_id = b.doc_id
             JOIN qual ON qual.doc_id = b.doc_id
+        """,
+        "span_dedup": f"""
+            WITH toks AS (
+                SELECT doc_id AS doc,
+                       list_filter(regexp_split_to_array(lower(text), '{_TOK}'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ),
+            spans AS (
+                SELECT doc, g.i AS span_idx,
+                       array_to_string(t[g.i * 10 + 1 : g.i * 10 + 10], ' ')
+                         AS span_text
+                FROM toks,
+                     LATERAL (SELECT unnest(generate_series(0,
+                                  (len(t) - 1) // 10)) AS i) g
+                WHERE len(t) > 0
+            ),
+            ranked AS (
+                SELECT doc, span_idx, span_text,
+                       row_number() OVER (PARTITION BY md5(span_text)
+                                          ORDER BY doc, span_idx) AS rn
+                FROM spans
+            )
+            SELECT doc AS doc_id,
+                   count(*) AS n_spans,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_kept,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN span_text END,
+                                       ' ' ORDER BY span_idx), '')
+                     AS clean_text
+            FROM ranked GROUP BY doc
+        """,
+        "quantile_sketch": """
+            WITH b AS (
+                SELECT l_returnflag,
+                       least(49, greatest(0,
+                           CAST(floor(l_quantity * 100) AS BIGINT) * 50 // 5000))
+                         AS bucket,
+                       count(*) AS cnt
+                FROM lineitem GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT l_returnflag, bucket,
+                       sum(cnt) OVER (PARTITION BY l_returnflag
+                                      ORDER BY bucket) AS cum,
+                       sum(cnt) OVER (PARTITION BY l_returnflag) AS total
+                FROM b
+            )
+            SELECT l_returnflag,
+                   CAST(max(total) AS BIGINT) AS n_rows,
+                   CAST(min(CASE WHEN cum * 1000000 >= 500000 * total
+                                 THEN (bucket + 1) * 100 END) AS BIGINT)
+                     / 100.0 AS p50,
+                   CAST(min(CASE WHEN cum * 1000000 >= 900000 * total
+                                 THEN (bucket + 1) * 100 END) AS BIGINT)
+                     / 100.0 AS p90,
+                   CAST(min(CASE WHEN cum * 1000000 >= 990000 * total
+                                 THEN (bucket + 1) * 100 END) AS BIGINT)
+                     / 100.0 AS p99
+            FROM c GROUP BY l_returnflag
+        """,
+        "gram_matrix": """
+            WITH q AS (
+                SELECT vec_id, g.i - 1 AS i,
+                       CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576)
+                            AS BIGINT) AS qx
+                FROM embeddings,
+                     LATERAL (SELECT unnest(generate_series(1,
+                                  len(embedding))) AS i) g
+            )
+            SELECT a.i AS i, b.i AS j,
+                   CAST(SUM(CAST(a.qx * b.qx AS DECIMAL(38,0))) AS DOUBLE)
+                     / 1099511627776.0 AS gram
+            FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+            GROUP BY a.i, b.i
+        """,
+        "copurchase": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            )
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS n_orders
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            ORDER BY n_orders DESC, part_a, part_b LIMIT 50
+        """,
+        "key_skew": """
+            WITH c AS (
+                SELECT l_partkey AS key, count(*) AS cnt
+                FROM lineitem GROUP BY 1
+            ),
+            t AS (SELECT count(*) AS total FROM lineitem)
+            SELECT key, cnt,
+                   CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+                   total
+            FROM c CROSS JOIN t
+            ORDER BY cnt DESC, key ASC LIMIT 20
         """,
     }
     # star-contraction closure produces the same canonical

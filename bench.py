@@ -106,6 +106,10 @@ HEADLINE = (
     "hll_distinct",
     "budget_sample",
     "k_core",
+    "span_dedup",
+    "quantile_sketch",
+    "gram_matrix",
+    "copurchase",
 )
 
 

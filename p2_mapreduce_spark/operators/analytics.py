@@ -177,3 +177,36 @@ def outer_join_status(orders: DataFrame) -> DataFrame:
             F.coalesce("n_done", F.lit(0)).alias("n_done"),
         )
     )
+
+
+def copurchase_pairs(lineitem: DataFrame, top_n: int = 50) -> DataFrame:
+    """Market-basket co-occurrence: the ``top_n`` part pairs most often
+    bought in the same order — the counting core of item-item
+    collaborative filtering ("customers who bought X also bought Y").
+
+    One distinct pass to (order, part) grain, then a self-join on the
+    order key.  The quadratic term is bounded by BASKET size (items per
+    order — single digits in any retail schema), not by catalog or order
+    count, so the join output is ~avg_basket²/2 × orders: linear in the
+    fact table.  A pathological mega-basket would show up in
+    :func:`~p2_mapreduce_spark.operators.profile.key_skew_profile` on the
+    order key before it hurt.  ``part_a < part_b`` halves the pairs and
+    canonicalizes orientation; the final cut is TakeOrderedAndProject
+    (count desc, then pair asc — fully deterministic)."""
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(top_n)
+    )

@@ -562,3 +562,82 @@ def minhash_lsh_incremental(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def span_dedup(
+    docs: DataFrame,
+    span_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document (span-level) exact dedup — the C4/RefinedWeb move of
+    removing REPEATED SPANS from otherwise-unique documents (boilerplate
+    headers, license blocks, navigation chrome), which whole-document
+    dedup by definition cannot touch.
+
+    Each document splits into consecutive ``span_tokens``-token windows
+    (tail partial span included); a span survives iff it is the FIRST
+    occurrence of its content corpus-wide, "first" = smallest
+    ``(doc_id, span_idx)`` — deterministic under any partitioning.
+    Documents are then reassembled from their surviving spans in order.
+
+    Plan shape at 100 TB: the explode is a zero-shuffle per-row map;
+    election is ONE shuffle on ``md5(span)`` (span text rides the
+    exchange once — unavoidable, the reassembly needs it); reassembly is
+    one shuffle back on ``doc_id``.  No joins, no quadratic term: total
+    work is O(corpus tokens) regardless of duplication structure.
+    Compare :func:`exact_dedup` (whole-doc, hash-only shuffle) and
+    :func:`minhash_lsh_pairs` (near-dup pairs); this one rewrites the
+    corpus.
+
+    Returns ``(doc_id, n_spans, n_kept, clean_text)``; documents with
+    zero tokens produce no spans and drop out (they carry no text to
+    keep)."""
+    from pyspark.sql import Window
+
+    toks = tokens_array(F.col(text_col))
+    spans = (
+        docs.select(F.col(id_col).alias("doc"), toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc",
+            "toks",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.expr(f"(size(toks) - 1) div {span_tokens}").cast("bigint"),
+                )
+            ).alias("span_idx"),
+        )
+        .select(
+            "doc",
+            "span_idx",
+            F.array_join(
+                F.slice(
+                    "toks",
+                    (F.col("span_idx") * span_tokens + 1).cast("int"),
+                    span_tokens,
+                ),
+                " ",
+            ).alias("span_text"),
+        )
+    )
+    w = Window.partitionBy(F.md5("span_text")).orderBy("doc", "span_idx")
+    ranked = spans.select(
+        "doc", "span_idx", "span_text", F.row_number().over(w).alias("rn")
+    )
+    kept = F.when(F.col("rn") == 1, F.struct("span_idx", "span_text"))
+    return (
+        ranked.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("rn") == 1).cast("bigint")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s.span_text
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(F.col("doc").alias(id_col), "n_spans", "n_kept", "clean_text")
+    )

@@ -57,6 +57,148 @@ def profile_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame
     ).select("p.*")
 
 
+def hist_state(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lo_c: int,
+    hi_c: int,
+    n_buckets: int,
+) -> DataFrame:
+    """Mergeable fixed-histogram quantile-sketch STATE: per-group bucket
+    counts over ``[lo_c, hi_c)`` cents (integer hundredths of the value).
+
+    The quantile companion to :func:`hll_distinct_rollup` — a 100 TB
+    pipeline stores one ``(group, bucket, cnt)`` table per partition/day
+    (≤ ``n_buckets`` rows per group, regardless of data volume) and
+    answers percentile queries at any grain by merging states
+    (:func:`merge_hist_states`) instead of rescanning facts.  Buckets are
+    equi-width, so the state is a *sketch*: quantile estimates carry
+    ± one bucket width of error, surfaced honestly by returning the
+    bucket's upper boundary (KLL/t-digest trade tighter error for
+    float-ordering internals that are not oracle-checkable; this one is
+    bit-exact cross-engine).
+
+    Every step is integer arithmetic on exact values:
+
+    - ``cents = floor(v·100)`` — the IEEE product and floor are identical
+      in any engine, and the cast of an integral double to BIGINT is
+      exact;
+    - ``bucket = least(n-1, greatest(0, (cents - lo_c)·n div (hi_c -
+      lo_c)))`` — pure BIGINT ops, both tails clamped into the edge
+      buckets.
+
+    ``(hi_c - lo_c)`` must be divisible by ``n_buckets`` so bucket
+    boundaries are whole cents (asserted); counts merge by SUM
+    (associative ⇒ state(a ∪ b) == state(a) ⊕ state(b), pinned in
+    pytest)."""
+    if (hi_c - lo_c) % n_buckets:
+        raise ValueError("(hi_c - lo_c) must be divisible by n_buckets")
+    # div (integer), not /: Spark's / on bigints is a double divide
+    bucket = F.least(
+        F.lit(int(n_buckets - 1)).cast("bigint"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.expr(
+                f"(cast(floor({value_col} * 100) as bigint) - {lo_c}) "
+                f"* {n_buckets} div {hi_c - lo_c}"
+            ),
+        ),
+    )
+    return (
+        df.groupBy(*group_cols, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_hist_states(*states: DataFrame) -> DataFrame:
+    """Fold any number of histogram states into one: union + re-sum.
+    Exact by BIGINT associativity — merging daily states equals building
+    the state over the concatenated data (pytest-pinned)."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    group_cols = [c for c in out.columns if c not in ("cnt",)]
+    return out.groupBy(*group_cols).agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    state: DataFrame,
+    group_cols: Sequence[str],
+    lo_c: int,
+    hi_c: int,
+    n_buckets: int,
+    qs_ppm: Sequence[int] = (500_000, 900_000, 990_000),
+) -> DataFrame:
+    """Quantile estimates from a histogram state: for each q (in parts
+    per million), the upper boundary of the first bucket whose cumulative
+    count reaches ``q·total`` — the classic histogram-CDF inversion,
+    conservative by ≤ one bucket width.
+
+    The threshold test is ``cum·1e6 ≥ q_ppm·total`` in BIGINT (no
+    ratio, no float compare), and boundaries are whole cents divided by
+    100.0 once at the surface — one IEEE division per output value, so
+    the doubles are bit-identical cross-engine.  All window work runs at
+    state grain (≤ groups × n_buckets rows), never data grain."""
+    from pyspark.sql import Window
+
+    width_c = (hi_c - lo_c) // n_buckets
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*group_cols)
+    cum = state.select(
+        *group_cols,
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    aggs = [
+        (
+            F.min(
+                F.when(
+                    F.col("cum") * 1_000_000 >= F.lit(q) * F.col("total"),
+                    (F.col("bucket") + 1) * width_c + lo_c,
+                )
+            )
+            / 100.0
+        ).alias(f"p{q // 10_000}")
+        for q in qs_ppm
+    ]
+    return cum.groupBy(*group_cols).agg(F.max("total").alias("n_rows"), *aggs)
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
+    """Join/agg-key skew diagnosis: the ``top_n`` heaviest keys with
+    exact counts and parts-per-million share of the table — the number
+    you read before deciding whether a 100 TB shuffle needs salting
+    (operators/skew.py) or an AQE skew-join will do.
+
+    One partial→final count aggregate at key grain; the total rides in
+    via a broadcast one-row cross join (never a second scan); the top-N
+    cut is ``TakeOrderedAndProject`` (per-partition heaps, no global
+    sort).  ``share_ppm`` is exact BIGINT arithmetic — no ratio column
+    to drift cross-engine.  Ties broken by key ascending so the cut is
+    deterministic."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "cnt",
+            F.expr("cnt * 1000000 div total").alias("share_ppm"),
+            "total",
+        )
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(top_n)
+    )
+
+
 def hll_distinct_rollup(
     customer: DataFrame,
     nation: DataFrame,

@@ -491,3 +491,52 @@ def knn_lsh(
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "cosine", F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+def gram_matrix(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Distributed Gram / scatter matrix ``S[i,j] = Σ_n x_n[i]·x_n[j]`` —
+    the X^T X building block of PCA/whitening at corpus scale: S is d×d
+    (tiny) however many rows X has, so the eigensolve happens driver-side
+    on KBs while the data never leaves the executors.
+
+    Scale shape: the upper-triangle products are generated per row as a
+    pure array expression (no join, no explode-then-self-join — that
+    would shuffle N·d² rows); the only shuffle is the (i,j)-grain
+    partial→final SUM, i.e. d(d+1)/2 keys × partitions, independent of N.
+
+    Exactness (the repo's fixed-point discipline, cf. ``pagerank``):
+    components quantize to ``floor(x·2^scale_bits)`` BIGINTs (floor and
+    the float→double widening are IEEE-identical in any engine), products
+    and sums stay in exact integer DECIMAL(38,0) — order-independent
+    under any partitioning/AQE re-plan — and ONE double division by
+    2^(2·scale_bits) at the surface. Quantization error is bounded by
+    2^-scale_bits per component, which is the documented trade for a
+    bit-reproducible, oracle-checkable matrix."""
+    q = F.expr(
+        f"transform({vec_col}, x -> "
+        f"cast(floor(cast(x as double) * {1 << scale_bits}) as bigint))"
+    )
+    pairs = F.expr(
+        "flatten(transform(qarr, (xi, i) -> "
+        "transform(slice(qarr, i + 1, size(qarr) - i), (xj, j) -> "
+        "struct(i AS i, i + j AS j, xi * xj AS p))))"
+    )
+    return (
+        embeddings.select(q.alias("qarr"))
+        .select(F.explode(pairs).alias("e"))
+        .select(
+            F.col("e.i").cast("bigint").alias("i"),
+            F.col("e.j").cast("bigint").alias("j"),
+            F.col("e.p").cast("decimal(38,0)").alias("p"),
+        )
+        .groupBy("i", "j")
+        .agg(
+            (
+                F.sum("p").cast("double") / float(1 << (2 * scale_bits))
+            ).alias("gram")
+        )
+    )

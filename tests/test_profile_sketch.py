@@ -1,0 +1,153 @@
+"""Tests for the histogram-quantile sketch, key-skew profiler, and
+span-level dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from p2_mapreduce_spark.operators.dedup import span_dedup
+from p2_mapreduce_spark.operators.profile import (
+    hist_quantiles,
+    hist_state,
+    key_skew_profile,
+    merge_hist_states,
+)
+
+
+# --- histogram quantile sketch --------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    # 1..100 with a heavy tail of 100s: exact percentiles are known
+    rows = [(i % 2, float(v)) for i, v in enumerate(range(1, 101))] + [
+        (0, 100.0)
+    ] * 50
+    return spark.createDataFrame(rows, "g int, v double")
+
+
+def test_hist_state_is_bounded_and_exact(spark, values):
+    st = hist_state(values, "v", ["g"], lo_c=0, hi_c=10_000, n_buckets=100)
+    rows = st.collect()
+    # state grain: at most groups x buckets, counts sum to input size
+    assert len(rows) <= 2 * 100
+    assert sum(r["cnt"] for r in rows) == values.count()
+    # v=100.0 (cents 10000) clamps into the top bucket
+    top = [r for r in rows if r["bucket"] == 99]
+    assert sum(r["cnt"] for r in top) >= 50
+
+
+def test_hist_merge_equals_direct(spark, values):
+    """State associativity: splitting the data, sketching each split, and
+    merging must equal sketching the whole — the property that lets daily
+    states roll up without rescans."""
+    a = values.filter(F.col("v") <= 40)
+    b = values.filter((F.col("v") > 40) & (F.col("v") <= 80))
+    c = values.filter(F.col("v") > 80)
+    kw = dict(lo_c=0, hi_c=10_000, n_buckets=100)
+    direct = {
+        (r["g"], r["bucket"]): r["cnt"]
+        for r in hist_state(values, "v", ["g"], **kw).collect()
+    }
+    merged = {
+        (r["g"], r["bucket"]): r["cnt"]
+        for r in merge_hist_states(
+            hist_state(a, "v", ["g"], **kw),
+            hist_state(b, "v", ["g"], **kw),
+            hist_state(c, "v", ["g"], **kw),
+        ).collect()
+    }
+    assert direct == merged
+
+
+def test_hist_quantiles_within_one_bucket(spark):
+    """With unit-width buckets over integer data, the estimate is the exact
+    percentile's upper boundary."""
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 101)], "g string, v double"
+    )
+    st = hist_state(df, "v", ["g"], lo_c=0, hi_c=10_000, n_buckets=100)
+    out = hist_quantiles(st, ["g"], lo_c=0, hi_c=10_000, n_buckets=100).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_rows"] == 100
+    # v=50 sits at the lower edge of bucket 50 ([50,51)): the estimate is
+    # that bucket's UPPER boundary — conservative by < one bucket width
+    assert r["p50"] == 51.0
+    assert r["p90"] == 91.0
+    assert r["p99"] == 100.0
+
+
+def test_hist_state_rejects_ragged_buckets(spark, values):
+    with pytest.raises(ValueError):
+        hist_state(values, "v", ["g"], lo_c=0, hi_c=1_000, n_buckets=7)
+
+
+# --- key skew profiler -----------------------------------------------------
+
+
+def test_key_skew_profile_counts_and_share(spark):
+    rows = [("hot",)] * 70 + [("warm",)] * 20 + [("k%d" % i,) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_profile(df, "k", top_n=3).collect()
+    assert [r["key"] for r in out] == ["hot", "warm", "k0"]
+    assert out[0]["cnt"] == 70 and out[0]["total"] == 100
+    assert out[0]["share_ppm"] == 700_000
+    assert out[1]["share_ppm"] == 200_000
+    # singleton ties broken by key ascending
+    assert out[2]["cnt"] == 1 and out[2]["share_ppm"] == 10_000
+
+
+# --- span dedup ------------------------------------------------------------
+
+
+def test_span_dedup_removes_repeated_spans(spark):
+    """A span repeated across documents survives only at its first
+    (doc_id, span_idx) occurrence; unique spans always survive."""
+    boiler = " ".join(f"b{i}" for i in range(10))  # one exact 10-token span
+    u1 = " ".join(f"x{i}" for i in range(10))
+    u2 = " ".join(f"y{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + u1),
+            (2, boiler + " " + u2),
+            (3, u1),  # whole doc duplicates doc 1's second span
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_dedup(docs, span_tokens=10).collect()}
+    assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["clean_text"] == boiler + " " + u1
+    # doc 2 loses the boilerplate span but keeps its unique one
+    assert out[2]["n_spans"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == u2
+    # doc 3's only span already appeared in doc 1
+    assert out[3]["n_spans"] == 1 and out[3]["n_kept"] == 0
+    assert out[3]["clean_text"] == ""
+
+
+def test_span_dedup_tail_span_and_order(spark):
+    """Partial tail spans are real spans; reassembly preserves span
+    order."""
+    text = " ".join(f"t{i}" for i in range(25))  # spans of 10/10/5 tokens
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    out = span_dedup(docs, span_tokens=10).collect()[0]
+    assert out["n_spans"] == 3 and out["n_kept"] == 3
+    assert out["clean_text"] == text
+
+
+def test_span_dedup_is_partitioning_invariant(spark):
+    """The keeper election must not depend on physical layout."""
+    docs = spark.createDataFrame(
+        [(i, "same span of ten tokens exactly here now ok fin") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = {
+        (r["doc_id"], r["n_kept"]) for r in span_dedup(docs).collect()
+    }
+    b = {
+        (r["doc_id"], r["n_kept"])
+        for r in span_dedup(docs.repartition(13)).collect()
+    }
+    assert a == b
+    # exactly one keeper: the smallest doc_id
+    assert (0, 1) in a and sum(k for _, k in a) == 1
