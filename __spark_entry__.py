@@ -1226,6 +1226,18 @@ def _q_curation_decision(spark, sf_dir):
     return curation_decision(load_table(spark, sf_dir, "documents"))
 
 
+def _q_event_dedup(spark, sf_dir):
+    from p2_mapreduce_spark.operators.events_analytics import event_dedup
+
+    return event_dedup(load_table(spark, sf_dir, "events"), window_seconds=60)
+
+
+def _q_grouped_trend(spark, sf_dir):
+    from p2_mapreduce_spark.operators.timeseries import grouped_trend
+
+    return grouped_trend(load_table(spark, sf_dir, "events"))
+
+
 def _q_gram_matrix(spark, sf_dir):
     from p2_mapreduce_spark.operators.similarity import gram_matrix
 
@@ -1412,6 +1424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": _q_key_skew,
         "gram_matrix": _q_gram_matrix,
         "copurchase": _q_copurchase,
+        "event_dedup": _q_event_dedup,
+        "grouped_trend": _q_grouped_trend,
     }
 
 
@@ -3775,6 +3789,75 @@ def oracle_sql() -> dict[str, str]:
                      / 100.0 AS p99
             FROM c GROUP BY l_returnflag
         """,
+        "event_dedup": f"""
+            WITH l AS (
+                SELECT user_id, event_type, event_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (
+                                PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id)
+                              > INTERVAL 60 SECOND
+                            THEN 1 ELSE 0 END AS brk
+                FROM {{ev}}
+            ),
+            i AS (
+                SELECT *, sum(brk) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+                FROM l
+            ),
+            g AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY user_id, event_type, island
+                           ORDER BY ts, event_id) AS rn,
+                       count(*) OVER (
+                           PARTITION BY user_id, event_type, island) AS n
+                FROM i
+            )
+            SELECT event_id, user_id, event_type, ts,
+                   CAST(n - 1 AS BIGINT) AS n_suppressed
+            FROM g WHERE rn = 1
+        """.format(ev=ev),
+        "grouped_trend": f"""
+            WITH b AS (
+                SELECT event_type,
+                       datediff('second',
+                                TIMESTAMP '2024-01-01 00:00:00', ts) AS x,
+                       CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                         AS yc
+                FROM {{ev}}
+            ),
+            s AS (
+                SELECT event_type, count(*) AS n,
+                       SUM(CAST(x AS DECIMAL(28,0))) AS sx,
+                       SUM(CAST(yc AS DECIMAL(28,0))) AS sy,
+                       SUM(CAST(x * yc AS DECIMAL(38,0))) AS sxy,
+                       SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                       SUM(CAST(yc * yc AS DECIMAL(38,0))) AS syy
+                FROM b GROUP BY event_type
+            ),
+            d AS (
+                SELECT event_type, n,
+                       CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                       CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+                       CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary,
+                       CAST(sx AS DOUBLE) AS dsx,
+                       CAST(sy AS DOUBLE) AS dsy
+                FROM s
+            )
+            SELECT event_type, n,
+                   CASE WHEN den <> 0 THEN num / den END * 86400.0 / 100.0
+                     AS slope_per_day,
+                   (dsy - CASE WHEN den <> 0 THEN num / den END * dsx)
+                     / CAST(n AS DOUBLE) / 100.0 AS intercept,
+                   CASE WHEN den <> 0 AND vary <> 0
+                        THEN num * num / (den * vary) END AS r2
+            FROM d
+        """.format(ev=ev),
         "gram_matrix": """
             WITH q AS (
                 SELECT vec_id, g.i - 1 AS i,

@@ -110,6 +110,8 @@ HEADLINE = (
     "quantile_sketch",
     "gram_matrix",
     "copurchase",
+    "event_dedup",
+    "grouped_trend",
 )
 
 

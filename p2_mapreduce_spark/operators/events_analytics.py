@@ -238,3 +238,53 @@ def position_attribution(events: DataFrame) -> DataFrame:
             (F.sum("micros").cast("double") / F.lit(1e6)).alias("credit"),
         )
     )
+
+
+def event_dedup(events: DataFrame, window_seconds: int = 60) -> DataFrame:
+    """Windowed duplicate-event suppression (debounce): collapse bursts
+    of the same ``(user_id, event_type)`` arriving within
+    ``window_seconds`` of each other to their FIRST event, reporting how
+    many repeats were suppressed — the bot-click / double-fire cleanup
+    every clickstream pipeline runs before counting anything.
+
+    Semantics are gaps-and-islands (the same machinery as
+    :func:`~p2_mapreduce_spark.streaming.events.assign_sessions`): a new
+    island starts when the gap from the PREVIOUS event exceeds the
+    window, so a long burst collapses to one survivor however long it
+    lasts (a plain ``lag > N`` filter would re-admit every other event
+    of a steady burst).  Tie-break on ``(ts, event_id)`` keeps the
+    election deterministic; gap arithmetic is timestamp subtraction
+    (exact day-time interval, NTZ-safe).
+
+    One shuffle on ``(user_id, event_type)``; both windows and the
+    groupBy reuse that partitioning.  Returns the surviving events as
+    ``(event_id, user_id, event_type, ts, n_suppressed)``."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    brk = (
+        (
+            F.col("ts") - F.lag("ts", 1).over(w)
+            > F.expr(f"INTERVAL '{int(window_seconds)}' SECOND")
+        )
+        .cast("int")
+    )
+    islands = events.withColumn(
+        "island",
+        F.sum(F.coalesce(brk, F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    first = F.min(F.struct("ts", "event_id"))
+    return (
+        islands.groupBy("user_id", "event_type", "island")
+        .agg(
+            first.alias("f"),
+            (F.count(F.lit(1)) - 1).alias("n_suppressed"),
+        )
+        .select(
+            F.col("f.event_id").alias("event_id"),
+            "user_id",
+            "event_type",
+            F.col("f.ts").alias("ts"),
+            "n_suppressed",
+        )
+    )

@@ -173,3 +173,75 @@ def value_outliers(events: DataFrame, threshold: float = 3.0) -> DataFrame:
         .filter(F.abs(z) > threshold)
         .select("event_id", "event_type", "value", "mu", "sigma", z.alias("z"))
     )
+
+
+def grouped_trend(
+    events: DataFrame, base: str = "2024-01-01 00:00:00"
+) -> DataFrame:
+    """Per-group linear trend (OLS of ``value`` against time) by
+    SUFFICIENT STATISTICS — the distributed-regression pattern: one
+    map-side-combined aggregate collects (n, Σx, Σy, Σxy, Σx², Σy²) per
+    ``event_type``, and slope/intercept/R² fall out of closed forms on
+    those six numbers.  The facts are scanned once and never shuffled —
+    only #group stat rows move — so the plan is identical at 100 TB.
+
+    Exactness discipline (cf. :func:`value_outliers`): x = whole seconds
+    since ``base`` (``timestampdiff`` — BIGINT, NTZ-safe), y = exact
+    cents via DECIMAL(12,2); every product is a BIGINT×BIGINT that fits
+    63 bits at any realistic span, every SUM accumulates in exact
+    DECIMAL(38,0) (order-independent under AQE/partitioning), and the
+    closed forms are ONE pinned IEEE tree per output —
+    ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²)`` etc. — so results are
+    bit-identical cross-engine.  Groups with zero variance in x (or <2
+    rows) surface NULL slope rather than a divide-by-zero.
+
+    Returns ``(event_type, n, slope_per_day, intercept, r2)`` — slope in
+    value units per day, intercept in value units at ``base``."""
+    x = F.expr(f"timestampdiff(SECOND, TIMESTAMP '{base}', ts)")
+    yc = F.expr("cast(cast(value as decimal(12,2)) * 100 as bigint)")
+    agg = (
+        events.select(F.col("event_type"), x.alias("x"), yc.alias("yc"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("decimal(28,0)")).alias("sx"),
+            F.sum(F.col("yc").cast("decimal(28,0)")).alias("sy"),
+            F.sum((F.col("x") * F.col("yc")).cast("decimal(38,0)")).alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+            F.sum((F.col("yc") * F.col("yc")).cast("decimal(38,0)")).alias("syy"),
+        )
+    )
+    # one pinned double tree per output, mirrored verbatim in the oracle
+    derived = agg.select(
+        "event_type",
+        "n",
+        F.expr(
+            "cast(n as double) * cast(sxy as double)"
+            " - cast(sx as double) * cast(sy as double)"
+        ).alias("num"),
+        F.expr(
+            "cast(n as double) * cast(sxx as double)"
+            " - cast(sx as double) * cast(sx as double)"
+        ).alias("den"),
+        F.expr(
+            "cast(n as double) * cast(syy as double)"
+            " - cast(sy as double) * cast(sy as double)"
+        ).alias("vary"),
+        F.expr("cast(sx as double)").alias("dsx"),
+        F.expr("cast(sy as double)").alias("dsy"),
+    )
+    slope_cs = F.when(F.col("den") != 0, F.col("num") / F.col("den"))
+    return derived.select(
+        "event_type",
+        "n",
+        (slope_cs * 86400.0 / 100.0).alias("slope_per_day"),
+        (
+            (F.col("dsy") - slope_cs * F.col("dsx"))
+            / F.col("n").cast("double")
+            / 100.0
+        ).alias("intercept"),
+        F.when(
+            (F.col("den") != 0) & (F.col("vary") != 0),
+            F.col("num") * F.col("num") / (F.col("den") * F.col("vary")),
+        ).alias("r2"),
+    )

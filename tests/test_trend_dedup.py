@@ -1,0 +1,85 @@
+"""Tests for windowed event dedup (debounce) and grouped OLS trend."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from p2_mapreduce_spark.operators.events_analytics import event_dedup
+from p2_mapreduce_spark.operators.timeseries import grouped_trend
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(eid, user, typ, sec, value=1.0):
+    return (eid, T0 + dt.timedelta(seconds=sec), user, typ, value, "{}")
+
+
+SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def test_event_dedup_collapses_steady_burst(spark):
+    """A steady burst (every 30 s, window 60 s) spans 150 s total but
+    collapses to ONE survivor — the island semantics a plain lag-filter
+    would get wrong (it would re-admit nothing here, but WOULD re-admit
+    alternating events at 61 s spacing... tested below)."""
+    rows = [_ev(i, 1, "click", i * 30) for i in range(6)]  # 0..150 s
+    out = event_dedup(spark.createDataFrame(rows, SCHEMA), 60).collect()
+    assert len(out) == 1
+    assert out[0]["event_id"] == 0 and out[0]["n_suppressed"] == 5
+
+
+def test_event_dedup_gap_starts_new_island(spark):
+    rows = [
+        _ev(0, 1, "click", 0),
+        _ev(1, 1, "click", 30),     # suppressed
+        _ev(2, 1, "click", 120),    # gap 90 s > 60 s: survives
+        _ev(3, 1, "view", 5),       # different type: own island
+        _ev(4, 2, "click", 1),      # different user: own island
+    ]
+    out = {
+        r["event_id"]: r["n_suppressed"]
+        for r in event_dedup(spark.createDataFrame(rows, SCHEMA), 60).collect()
+    }
+    assert out == {0: 1, 2: 0, 3: 0, 4: 0}
+
+
+def test_event_dedup_tie_break_is_event_id(spark):
+    rows = [_ev(7, 1, "click", 0), _ev(3, 1, "click", 0)]
+    out = event_dedup(spark.createDataFrame(rows, SCHEMA), 60).collect()
+    assert len(out) == 1 and out[0]["event_id"] == 3
+
+
+def test_grouped_trend_recovers_exact_line(spark):
+    """y = 2·t_days + 5 exactly: slope_per_day == 2, intercept == 5,
+    r2 == 1 — the sufficient-statistics forms are exact on exact data."""
+    rows = []
+    for i in range(10):
+        sec = i * 86400  # one sample per day
+        rows.append(_ev(i, 1, "a", sec, 2.0 * i + 5.0))
+    out = grouped_trend(spark.createDataFrame(rows, SCHEMA)).collect()
+    r = out[0]
+    assert r["n"] == 10
+    assert abs(r["slope_per_day"] - 2.0) < 1e-9
+    assert abs(r["intercept"] - 5.0) < 1e-9
+    assert abs(r["r2"] - 1.0) < 1e-12
+
+
+def test_grouped_trend_degenerate_groups_are_null(spark):
+    # all samples at the same instant: den == 0 -> NULL slope/r2
+    rows = [_ev(i, 1, "flat", 0, float(i)) for i in range(5)]
+    r = grouped_trend(spark.createDataFrame(rows, SCHEMA)).collect()[0]
+    assert r["slope_per_day"] is None and r["r2"] is None
+
+
+def test_grouped_trend_partitioning_invariant(spark):
+    rows = [
+        _ev(i, 1, "a", i * 3600 + (i % 7), float((i * 13) % 101) + 0.25)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    a = sorted(map(tuple, grouped_trend(df).collect()))
+    b = sorted(map(tuple, grouped_trend(df.repartition(17)).collect()))
+    assert a == b  # exact sums: bit-identical, not approximately equal
