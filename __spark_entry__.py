@@ -1238,6 +1238,35 @@ def _q_grouped_trend(spark, sf_dir):
     return grouped_trend(load_table(spark, sf_dir, "events"))
 
 
+def _q_cusum_changepoint(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.timeseries import cusum_changepoint
+
+    out = cusum_changepoint(load_table(spark, sf_dir, "events"))
+    # day surfaced as a calendar string: engines disagree on whether
+    # date_trunc('day') is DATE or TIMESTAMP, the string is unambiguous
+    return out.select(
+        "event_type",
+        "n_days",
+        F.date_format("change_day", "yyyy-MM-dd").alias("change_day"),
+        "peak_dev",
+    )
+
+
+def _q_winsorize(spark, sf_dir):
+    from p2_mapreduce_spark.operators.profile import winsorize
+
+    return winsorize(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        ["l_returnflag"],
+        lo_c=0,
+        hi_c=11_000_000,
+        n_buckets=1100,
+    )
+
+
 def _q_gram_matrix(spark, sf_dir):
     from p2_mapreduce_spark.operators.similarity import gram_matrix
 
@@ -1426,6 +1455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase": _q_copurchase,
         "event_dedup": _q_event_dedup,
         "grouped_trend": _q_grouped_trend,
+        "cusum_changepoint": _q_cusum_changepoint,
+        "winsorize": _q_winsorize,
     }
 
 
@@ -3858,6 +3889,69 @@ def oracle_sql() -> dict[str, str]:
                         THEN num * num / (den * vary) END AS r2
             FROM d
         """.format(ev=ev),
+        "cusum_changepoint": f"""
+            WITH daily AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM {{ev}} GROUP BY 1, 2
+            ),
+            scored AS (
+                SELECT event_type, day,
+                       count(*) OVER (PARTITION BY event_type) AS n_days,
+                       CAST(count(*) OVER (PARTITION BY event_type)
+                          * sum(cents) OVER (PARTITION BY event_type
+                                             ORDER BY day
+                                             ROWS UNBOUNDED PRECEDING)
+                          - row_number() OVER (PARTITION BY event_type
+                                               ORDER BY day)
+                          * sum(cents) OVER (PARTITION BY event_type)
+                         AS BIGINT) AS c_scaled
+                FROM daily
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY abs(c_scaled) DESC, day ASC) AS rk
+                FROM scored
+            )
+            SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+                   strftime(day, '%Y-%m-%d') AS change_day,
+                   CAST(c_scaled AS DOUBLE) / CAST(n_days AS DOUBLE) / 100.0
+                     AS peak_dev
+            FROM r WHERE rk = 1
+        """.format(ev=ev),
+        "winsorize": """
+            WITH b AS (
+                SELECT l_returnflag,
+                       least(1099, greatest(0,
+                           CAST(floor(l_extendedprice * 100) AS BIGINT)
+                           * 1100 // 11000000)) AS bucket,
+                       count(*) AS cnt
+                FROM lineitem GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT l_returnflag, bucket,
+                       sum(cnt) OVER (PARTITION BY l_returnflag
+                                      ORDER BY bucket) AS cum,
+                       sum(cnt) OVER (PARTITION BY l_returnflag) AS total
+                FROM b
+            ),
+            q AS (
+                SELECT l_returnflag,
+                       CAST(min(CASE WHEN cum * 1000000 >= 10000 * total
+                                     THEN (bucket + 1) * 10000 END)
+                            AS BIGINT) / 100.0 - 100.0 AS clip_lo,
+                       CAST(min(CASE WHEN cum * 1000000 >= 990000 * total
+                                     THEN (bucket + 1) * 10000 END)
+                            AS BIGINT) / 100.0 AS clip_hi
+                FROM c GROUP BY l_returnflag
+            )
+            SELECT l.*, q.clip_lo, q.clip_hi,
+                   least(greatest(l.l_extendedprice, q.clip_lo), q.clip_hi)
+                     AS clipped
+            FROM lineitem l JOIN q USING (l_returnflag)
+        """,
         "gram_matrix": """
             WITH q AS (
                 SELECT vec_id, g.i - 1 AS i,

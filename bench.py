@@ -112,6 +112,8 @@ HEADLINE = (
     "copurchase",
     "event_dedup",
     "grouped_trend",
+    "cusum_changepoint",
+    "winsorize",
 )
 
 

@@ -277,3 +277,50 @@ def hll_distinct_rollup(
             "rel_err"
         ),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lo_c: int,
+    hi_c: int,
+    n_buckets: int,
+    q_lo_ppm: int = 10_000,
+    q_hi_ppm: int = 990_000,
+) -> DataFrame:
+    """Per-group outlier clipping at sketched percentiles: clamp
+    ``value_col`` into [p_lo, p_hi] computed from the histogram sketch —
+    the standard robustification pass before feeding a metric to
+    training or aggregation, composed entirely from
+    :func:`hist_state` → :func:`hist_quantiles`.
+
+    Two scans of the facts (one to sketch, one to clip), both
+    zero-shuffle on the fact side: the sketch aggregate map-side-
+    combines to state grain, and the boundaries come back as a BROADCAST
+    join (#groups rows).  Clipping is ``least(greatest(v, lo), hi)`` on
+    doubles — the boundaries are whole cents / 100.0, so the clamp is
+    deterministic cross-engine.  Like any equi-width-sketch percentile,
+    boundaries are conservative by ≤ one bucket width."""
+    state = hist_state(df, value_col, group_cols, lo_c, hi_c, n_buckets)
+    qs = hist_quantiles(
+        state, group_cols, lo_c, hi_c, n_buckets, qs_ppm=(q_lo_ppm, q_hi_ppm)
+    )
+    lo_name = f"p{q_lo_ppm // 10_000}"
+    hi_name = f"p{q_hi_ppm // 10_000}"
+    # hist_quantiles returns bucket UPPER boundaries; the low clip uses
+    # the selected bucket's LOWER boundary instead, so both bounds are
+    # conservative OUTWARD and no value inside the central mass's own
+    # buckets is ever modified
+    width_units = ((hi_c - lo_c) // n_buckets) / 100.0
+    bounds = qs.select(
+        *group_cols,
+        (F.col(lo_name) - width_units).alias("clip_lo"),
+        F.col(hi_name).alias("clip_hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col(value_col), F.col("clip_lo")), F.col("clip_hi")
+    )
+    return df.join(F.broadcast(bounds), list(group_cols)).select(
+        *df.columns, "clip_lo", "clip_hi", clipped.alias("clipped")
+    )

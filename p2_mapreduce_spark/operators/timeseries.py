@@ -245,3 +245,82 @@ def grouped_trend(
             F.col("num") * F.col("num") / (F.col("den") * F.col("vary")),
         ).alias("r2"),
     )
+
+
+def cusum_changepoint(events: DataFrame) -> DataFrame:
+    """Change-point detection per ``event_type``: the day where the
+    cumulative deviation from the series mean peaks (CUSUM argmax) — the
+    monitoring primitive that answers "when did this metric shift?"
+    without scanning anything twice.
+
+    Integer-exact throughout: daily totals are exact cents (BIGINT);
+    instead of subtracting the fractional mean per day, the statistic is
+    multiplied through by n — ``C'_k = n·prefix_k − k·total`` — which
+    preserves the argmax and keeps every intermediate a BIGINT, so the
+    detected day is bit-deterministic cross-engine (a float CUSUM could
+    flip the argmax on ties).  The peak magnitude is scaled back
+    (``/n /100``) with two IEEE ops at the surface.
+
+    Shape at 100 TB: one map-side-combined aggregate to day×type grain
+    (calendar-bounded — thousands of rows, not events), then windows
+    over that tiny series.  Ties at the peak break to the earliest day.
+
+    Returns ``(event_type, n_days, change_day, peak_dev)`` — peak_dev in
+    value units, signed (positive = the series ran above its mean up to
+    that day)."""
+    from pyspark.sql import Window
+
+    daily = (
+        events.groupBy(
+            F.col("event_type"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.expr("cast(cast(value as decimal(12,2)) * 100 as bigint)")
+            ).alias("cents")
+        )
+    )
+    w_ord = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    scored = daily.select(
+        "event_type",
+        "day",
+        (
+            F.count(F.lit(1)).over(w_all) * F.sum("cents").over(w_ord)
+            - F.row_number().over(Window.partitionBy("event_type").orderBy("day"))
+            * F.sum("cents").over(w_all)
+        ).alias("c_scaled"),
+        F.count(F.lit(1)).over(w_all).alias("n_days"),
+    )
+    pick = F.max(
+        F.struct(
+            F.abs("c_scaled").alias("mag"),
+            # negate the day so the lexicographic max prefers the
+            # EARLIEST day among equal magnitudes (timestampdiff is
+            # NTZ-safe; unix_timestamp is not)
+            (
+                -F.expr("timestampdiff(SECOND, TIMESTAMP '1970-01-01', day)")
+            ).alias("neg_day"),
+            F.col("c_scaled").alias("c"),
+            F.col("day").alias("day"),
+        )
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(F.max("n_days").alias("n_days"), pick.alias("p"))
+        .select(
+            "event_type",
+            "n_days",
+            F.col("p.day").alias("change_day"),
+            (
+                F.col("p.c").cast("double")
+                / F.col("n_days").cast("double")
+                / 100.0
+            ).alias("peak_dev"),
+        )
+    )

@@ -184,3 +184,32 @@ def test_read_table_csv_json_roundtrip_and_failfast(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError):
         read_table(spark, csv_dir, "avro")
+
+
+def test_read_table_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC is the remaining built-in columnar format: rows, schema, AND
+    scan-level filter pushdown must survive the roundtrip (ORC carries
+    stripe stats just like parquet footers)."""
+    from p2_mapreduce_spark.sources.readers import read_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    want = {tuple(r) for r in orders.collect()}
+    orc_dir = str(tmp_path / "orc")
+    orders.write.orc(orc_dir)
+
+    got = read_table(spark, orc_dir, "orc")
+    assert got.schema == orders.schema
+    assert {tuple(r) for r in got.collect()} == want
+
+    plan = (
+        got.filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan.split(
+        "PushedFilters"
+    )[1][:120]

@@ -83,3 +83,58 @@ def test_grouped_trend_partitioning_invariant(spark):
     a = sorted(map(tuple, grouped_trend(df).collect()))
     b = sorted(map(tuple, grouped_trend(df.repartition(17)).collect()))
     assert a == b  # exact sums: bit-identical, not approximately equal
+
+
+# --- CUSUM change point ----------------------------------------------------
+
+
+def test_cusum_finds_step_change(spark):
+    """A level shift on day 10 of 20 must put the CUSUM peak at the last
+    day of the old level (day 9): the cumulative deviation from the
+    global mean is extremal exactly at the change boundary."""
+    from p2_mapreduce_spark.operators.timeseries import cusum_changepoint
+
+    rows = []
+    for d in range(20):
+        level = 10.0 if d < 10 else 50.0
+        rows.append(_ev(d, 1, "metric", d * 86400 + 60, level))
+    out = cusum_changepoint(spark.createDataFrame(rows, SCHEMA)).collect()
+    r = out[0]
+    assert r["n_days"] == 20
+    assert r["change_day"] == T0 + dt.timedelta(days=9)
+    # deviation peaks at 10 days x (10 - 30) = -200 value units / day
+    # scaled: |C'| / n = 10*20*... ; sign negative (ran below the mean)
+    assert r["peak_dev"] < 0
+
+
+def test_cusum_flat_series_peaks_at_zero(spark):
+    from p2_mapreduce_spark.operators.timeseries import cusum_changepoint
+
+    rows = [_ev(d, 1, "flat", d * 86400, 7.0) for d in range(5)]
+    r = cusum_changepoint(spark.createDataFrame(rows, SCHEMA)).collect()[0]
+    assert r["peak_dev"] == 0.0
+    # all days tie at zero: earliest day wins deterministically
+    assert r["change_day"] == T0
+
+
+# --- winsorize -------------------------------------------------------------
+
+
+def test_winsorize_clamps_tails_only(spark):
+    from p2_mapreduce_spark.operators.profile import winsorize
+
+    rows = [(i, "g", float(v)) for i, v in enumerate([1] * 5 + [50] * 90 + [999] * 5)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = winsorize(
+        df, "v", ["g"], lo_c=0, hi_c=100_000, n_buckets=1000, q_lo_ppm=100_000,
+        q_hi_ppm=900_000,
+    ).collect()
+    by_v = {}
+    for r in out:
+        by_v.setdefault(r["v"], set()).add(r["clipped"])
+    # the middle mass is untouched (its own bucket's lower boundary is
+    # the low clip); both tails are pulled to the bounds
+    assert by_v[50.0] == {50.0}
+    assert by_v[1.0] == {50.0}
+    assert by_v[999.0] == {51.0}
+    assert len(out) == 100
