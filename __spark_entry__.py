@@ -1238,6 +1238,12 @@ def _q_grouped_trend(spark, sf_dir):
     return grouped_trend(load_table(spark, sf_dir, "events"))
 
 
+def _q_ab_conversion(spark, sf_dir):
+    from p2_mapreduce_spark.operators.events_analytics import ab_conversion
+
+    return ab_conversion(load_table(spark, sf_dir, "events"))
+
+
 def _q_cusum_changepoint(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1457,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_trend": _q_grouped_trend,
         "cusum_changepoint": _q_cusum_changepoint,
         "winsorize": _q_winsorize,
+        "ab_conversion": _q_ab_conversion,
     }
 
 
@@ -3888,6 +3895,47 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN den <> 0 AND vary <> 0
                         THEN num * num / (den * vary) END AS r2
             FROM d
+        """.format(ev=ev),
+        "ab_conversion": f"""
+            WITH u AS (SELECT DISTINCT user_id FROM {{ev}}),
+            conv AS (SELECT DISTINCT user_id FROM {{ev}}
+                     WHERE event_type = 'purchase'),
+            tagged AS (
+                SELECT CAST('0x' || substr(md5(CAST(u.user_id AS VARCHAR)),
+                                           18, 15) AS BIGINT) % 2 AS arm,
+                       CASE WHEN conv.user_id IS NOT NULL
+                            THEN 1 ELSE 0 END AS c
+                FROM u LEFT JOIN conv USING (user_id)
+            ),
+            cells AS (
+                SELECT
+                    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_a,
+                    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_b,
+                    CAST(SUM(CASE WHEN arm = 0 THEN c ELSE 0 END)
+                         AS BIGINT) AS conv_a,
+                    CAST(SUM(CASE WHEN arm = 1 THEN c ELSE 0 END)
+                         AS BIGINT) AS conv_b
+                FROM tagged
+            )
+            SELECT n_a, n_b, conv_a, conv_b,
+                   CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+                   CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+                   CASE WHEN n_a > 0 AND n_b > 0
+                         AND conv_a + conv_b > 0
+                         AND (n_a - conv_a) + (n_b - conv_b) > 0 THEN
+                     CAST(n_a + n_b AS DOUBLE)
+                     * CAST(conv_a * (n_b - conv_b)
+                            - (n_a - conv_a) * conv_b AS DOUBLE)
+                     * CAST(conv_a * (n_b - conv_b)
+                            - (n_a - conv_a) * conv_b AS DOUBLE)
+                     / (CAST(n_a * n_b AS DOUBLE)
+                        * CAST((conv_a + conv_b)
+                               * ((n_a - conv_a) + (n_b - conv_b))
+                          AS DOUBLE))
+                   END AS chi2
+            FROM cells
         """.format(ev=ev),
         "cusum_changepoint": f"""
             WITH daily AS (

@@ -114,6 +114,7 @@ HEADLINE = (
     "grouped_trend",
     "cusum_changepoint",
     "winsorize",
+    "ab_conversion",
 )
 
 

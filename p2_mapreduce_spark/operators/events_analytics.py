@@ -288,3 +288,69 @@ def event_dedup(events: DataFrame, window_seconds: int = 60) -> DataFrame:
             "n_suppressed",
         )
     )
+
+
+def ab_conversion(events: DataFrame, convert_type: str = "purchase") -> DataFrame:
+    """Deterministic A/B experiment readout: users split into variants by
+    an md5 coin on ``user_id`` (the same user ALWAYS lands in the same
+    arm — reproducible across runs, snapshots, and engines, unlike an
+    RNG split), conversion = reaching ``convert_type`` at least once;
+    output is the 2×2 table plus rates and the Pearson χ² statistic.
+
+    Shape at 100 TB: two user-grain distincts (exposed, converted) whose
+    partial aggregates collapse map-side; the converter flag comes from
+    one left join on user_id; everything after is a single-row
+    conditional aggregate — no variant shuffle, no pivot.
+
+    Arithmetic: counts are exact BIGINTs; ``ad − bc`` and the margin
+    products stay in BIGINT (exact); χ² and rates are one pinned IEEE
+    tree mirrored in the oracle, so the statistic is bit-identical
+    cross-engine.  (The χ² → p-value CDF is deliberately out of scope:
+    no IEEE-pinned erf/gamma exists across engines — compare χ² against
+    3.841 for the usual α=0.05, 1 dof.)"""
+    coin = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 18, 15), 16, 10)
+        .cast("long")
+        % 2
+    )
+    exposed = events.select("user_id").distinct()
+    converted = (
+        events.filter(F.col("event_type") == convert_type)
+        .select("user_id")
+        .distinct()
+        .withColumn("conv", F.lit(1))
+    )
+    tagged = (
+        exposed.join(converted, "user_id", "left")
+        .select(
+            coin.alias("arm"),
+            F.coalesce("conv", F.lit(0)).cast("bigint").alias("conv"),
+        )
+    )
+    cells = tagged.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("conv_b"),
+    )
+    # a=conv_a b=miss_a c=conv_b d=miss_b; chi2 = N(ad-bc)^2 / margins
+    return cells.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.expr("cast(conv_a as double) / cast(n_a as double)").alias("rate_a"),
+        F.expr("cast(conv_b as double) / cast(n_b as double)").alias("rate_b"),
+        F.expr(
+            "CASE WHEN n_a > 0 AND n_b > 0"
+            " AND conv_a + conv_b > 0"
+            " AND (n_a - conv_a) + (n_b - conv_b) > 0 THEN"
+            " cast(n_a + n_b as double)"
+            " * cast(conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b as double)"
+            " * cast(conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b as double)"
+            " / (cast(n_a * n_b as double)"
+            "    * cast((conv_a + conv_b)"
+            "           * ((n_a - conv_a) + (n_b - conv_b)) as double))"
+            " END"
+        ).alias("chi2"),
+    )

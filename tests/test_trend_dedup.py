@@ -138,3 +138,46 @@ def test_winsorize_clamps_tails_only(spark):
     assert by_v[1.0] == {50.0}
     assert by_v[999.0] == {51.0}
     assert len(out) == 100
+
+
+# --- A/B conversion --------------------------------------------------------
+
+
+def test_ab_conversion_cells_and_chi2(spark):
+    import hashlib
+
+    from p2_mapreduce_spark.operators.events_analytics import ab_conversion
+
+    rows = []
+    for u in range(40):
+        rows.append(_ev(u * 10, u, "view", u))
+        if u % 3 == 0:
+            rows.append(_ev(u * 10 + 1, u, "purchase", u + 100))
+    df = spark.createDataFrame(rows, SCHEMA)
+    r = ab_conversion(df).collect()[0]
+
+    def arm(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[17:32], 16) % 2
+
+    exp_a = [u for u in range(40) if arm(u) == 0]
+    exp_b = [u for u in range(40) if arm(u) == 1]
+    assert r["n_a"] == len(exp_a) and r["n_b"] == len(exp_b)
+    assert r["conv_a"] == sum(1 for u in exp_a if u % 3 == 0)
+    assert r["conv_b"] == sum(1 for u in exp_b if u % 3 == 0)
+    # recompute chi2 from the cells the operator itself reports
+    a, b = r["conv_a"], r["n_a"] - r["conv_a"]
+    c, d = r["conv_b"], r["n_b"] - r["conv_b"]
+    n = r["n_a"] + r["n_b"]
+    chi2 = n * float(a * d - b * c) ** 2 / (
+        float(r["n_a"] * r["n_b"]) * float((a + c) * (b + d))
+    )
+    assert abs(r["chi2"] - chi2) < 1e-9
+    assert abs(r["rate_a"] - a / r["n_a"]) < 1e-12
+
+
+def test_ab_conversion_degenerate_is_null(spark):
+    from p2_mapreduce_spark.operators.events_analytics import ab_conversion
+
+    rows = [_ev(u, u, "view", u) for u in range(10)]  # nobody converts
+    r = ab_conversion(spark.createDataFrame(rows, SCHEMA)).collect()[0]
+    assert r["conv_a"] == 0 and r["conv_b"] == 0 and r["chi2"] is None
