@@ -486,3 +486,81 @@ def test_stream_stream_left_outer_join_emits_unmatched_on_eviction(
     finally:
         q.stop()
     assert got == expected
+
+
+def test_incremental_state_sink_matches_direct_aggregate(spark, sf_dir, tmp_path):
+    """Streaming incremental view maintenance: after all micro-batches
+    fold into the persisted state, the finalized state equals the direct
+    batch aggregate over all data — exactly, doubles included (decimal
+    state associativity)."""
+    from p2_mapreduce_spark.operators.merge import agg_state, finalize_agg_state
+    from p2_mapreduce_spark.streaming.sinks import (
+        incremental_state_sink,
+        load_latest_state,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_src")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    state_dir = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = incremental_state_sink(
+        stream, state_dir, str(tmp_path / "ckpt"), ["event_type"], "value"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        tuple(r)
+        for r in finalize_agg_state(
+            load_latest_state(spark, state_dir), ["event_type"]
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in finalize_agg_state(
+            agg_state(events, ["event_type"], "value"), ["event_type"]
+        ).collect()
+    }
+    assert got == want
+
+
+def test_fold_state_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """A replayed micro-batch (same batch_id, after a crash between sink
+    commit and checkpoint commit) must overwrite its own version, not
+    fold twice."""
+    from p2_mapreduce_spark.operators.merge import finalize_agg_state
+    from p2_mapreduce_spark.streaming.sinks import (
+        fold_state_batch,
+        load_latest_state,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    b0 = events.filter(F.col("user_id") % 2 == 0)
+    b1 = events.filter(F.col("user_id") % 2 == 1)
+    state_dir = str(tmp_path / "state")
+
+    fold_state_batch(b0, 0, state_dir, ["event_type"], "value")
+    fold_state_batch(b1, 1, state_dir, ["event_type"], "value")
+    once = {
+        tuple(r)
+        for r in finalize_agg_state(
+            load_latest_state(spark, state_dir), ["event_type"]
+        ).collect()
+    }
+    # replay batch 1
+    fold_state_batch(b1, 1, state_dir, ["event_type"], "value")
+    twice = {
+        tuple(r)
+        for r in finalize_agg_state(
+            load_latest_state(spark, state_dir), ["event_type"]
+        ).collect()
+    }
+    assert once == twice
