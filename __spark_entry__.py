@@ -1311,6 +1311,77 @@ def _q_key_skew(spark, sf_dir):
     )
 
 
+def _q_interval_concurrency(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.timeseries import interval_concurrency
+
+    out = interval_concurrency(load_table(spark, sf_dir, "events"))
+    # instant surfaced as a calendar string (engine-neutral, like
+    # cusum_changepoint's change_day)
+    return out.select(
+        "event_type",
+        "peak_concurrency",
+        F.date_format("peak_at", "yyyy-MM-dd HH:mm:ss").alias("peak_at"),
+    )
+
+
+def _q_scd2_orders(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.merge import scd2_apply
+
+    orders = load_table(spark, sf_dir, "orders")
+    history = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.lit("1995-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    # CDC batch derived deterministically from the snapshot: every 5th
+    # key arrives in the batch, but only every 10th actually changes —
+    # the other half are no-ops the operator must drop, not re-version
+    updates = orders.filter(F.col("o_orderkey") % 5 == 3).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 3, F.lit("9-RECLASS"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+        "o_totalprice",
+    )
+    out = scd2_apply(
+        history, updates, ["o_orderkey"], ["o_orderpriority"], "1998-06-01"
+    )
+    return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    from p2_mapreduce_spark.operators.similarity import semantic_dedup
+
+    out = semantic_dedup(load_table(spark, sf_dir, "embeddings"), tau=0.3)
+    return out.withColumn("cell", out["cell"].cast("bigint"))
+
+
+def _q_quality_classifier(spark, sf_dir):
+    from p2_mapreduce_spark.operators.curation import quality_classifier
+
+    return quality_classifier(load_table(spark, sf_dir, "documents"))
+
+
+def _q_sample_exact_k(spark, sf_dir):
+    from p2_mapreduce_spark.operators.curation import sample_exact_k
+
+    return sample_exact_k(load_table(spark, sf_dir, "documents"), k=100)
+
+
+def _q_boilerplate_ngrams(spark, sf_dir):
+    from p2_mapreduce_spark.operators.dedup import boilerplate_ngrams
+
+    return boilerplate_ngrams(
+        load_table(spark, sf_dir, "documents"), n=3, min_df=2, top_n=50
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -1464,6 +1535,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint": _q_cusum_changepoint,
         "winsorize": _q_winsorize,
         "ab_conversion": _q_ab_conversion,
+        "interval_concurrency": _q_interval_concurrency,
+        "scd2_orders": _q_scd2_orders,
+        "semantic_dedup": _q_semantic_dedup,
+        "quality_classifier": _q_quality_classifier,
+        "sample_exact_k": _q_sample_exact_k,
+        "boilerplate_ngrams": _q_boilerplate_ngrams,
     }
 
 
@@ -4038,6 +4115,134 @@ def oracle_sql() -> dict[str, str]:
                    total
             FROM c CROSS JOIN t
             ORDER BY cnt DESC, key ASC LIMIT 20
+        """,
+        # sweep-line twin: identical half-open pre-agg, single window
+        # cumsum (fine at oracle scale), earliest-peak tie-break
+        "interval_concurrency": f"""
+            WITH deltas AS (
+                SELECT event_type, ts AS t, 1 AS d FROM {ev}
+                UNION ALL
+                SELECT event_type, ts + INTERVAL 60 MINUTE, -1 FROM {ev}
+            ),
+            g AS (SELECT event_type, t, SUM(d) AS d
+                  FROM deltas GROUP BY 1, 2),
+            c AS (SELECT event_type, t,
+                         SUM(d) OVER (PARTITION BY event_type ORDER BY t
+                                      ROWS UNBOUNDED PRECEDING) AS conc
+                  FROM g),
+            r AS (SELECT event_type, conc, t,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                             ORDER BY conc DESC, t ASC) AS rk
+                  FROM c)
+            SELECT event_type, CAST(conc AS BIGINT) AS peak_concurrency,
+                   strftime(t, '%Y-%m-%d %H:%M:%S') AS peak_at
+            FROM r WHERE rk = 1
+        """,
+        "scd2_orders": """
+            WITH hist AS (
+                SELECT o_orderkey, o_orderpriority, o_totalprice,
+                       '1995-01-01' AS valid_from,
+                       CAST(NULL AS VARCHAR) AS valid_to
+                FROM orders
+            ),
+            upd AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 10 = 3 THEN '9-RECLASS'
+                            ELSE o_orderpriority END AS o_orderpriority,
+                       o_totalprice
+                FROM orders WHERE o_orderkey % 5 = 3
+            ),
+            changed AS (
+                SELECT u.* FROM upd u
+                JOIN hist c ON u.o_orderkey = c.o_orderkey
+                           AND c.valid_to IS NULL
+                WHERE u.o_orderpriority IS DISTINCT FROM c.o_orderpriority
+            ),
+            stamped AS (
+                SELECT h.o_orderkey, h.o_orderpriority, h.o_totalprice,
+                       h.valid_from,
+                       CASE WHEN ck.o_orderkey IS NOT NULL
+                             AND h.valid_to IS NULL
+                            THEN '1998-06-01' ELSE h.valid_to END AS valid_to
+                FROM hist h
+                LEFT JOIN (SELECT DISTINCT o_orderkey FROM changed) ck
+                  ON h.o_orderkey = ck.o_orderkey
+            ),
+            allrows AS (
+                SELECT * FROM stamped
+                UNION ALL
+                SELECT o_orderkey, o_orderpriority, o_totalprice,
+                       '1998-06-01', CAST(NULL AS VARCHAR)
+                FROM changed
+            )
+            SELECT *, valid_to IS NULL AS is_current FROM allrows
+        """,
+        # SemDeDup twin: same md5-seeded cells as knn_ivf, dominator
+        # election as one within-cell self-join
+        "semantic_dedup": """
+            WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                              sqrt(list_dot_product(
+                                  CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+                       FROM embeddings),
+            seeds AS (SELECT vec_id, v, nrm FROM n
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+            cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+                             v AS cv, nrm AS cn
+                      FROM seeds),
+            assign AS (
+                SELECT vec_id, v, nrm, cell FROM (
+                    SELECT n.vec_id, n.v, n.nrm, c.cell,
+                           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                               ORDER BY list_dot_product(n.v, c.cv)
+                                        / (n.nrm * c.cn) DESC, c.cell) AS r
+                    FROM n, cents c
+                ) WHERE r = 1
+            ),
+            dom AS (
+                SELECT DISTINCT b.vec_id
+                FROM assign a JOIN assign b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+                WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.3
+            )
+            SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+                   (d.vec_id IS NOT NULL) AS dropped
+            FROM assign a LEFT JOIN dom d ON a.vec_id = d.vec_id
+        """,
+        "quality_classifier": f"""
+            SELECT doc_id,
+                   CAST(ntok AS BIGINT) AS n_tokens,
+                   CAST(nuniq AS BIGINT) AS n_uniq,
+                   CAST(shits AS BIGINT) AS n_stop,
+                   CAST(-500 + 5 * ntok + 20 * nuniq - 2 * nchars
+                        + 100 * shits AS BIGINT) AS margin,
+                   (-500 + 5 * ntok + 20 * nuniq - 2 * nchars
+                        + 100 * shits) > 0 AS keep
+            FROM (
+                SELECT doc_id,
+                       len(t) AS ntok,
+                       len(list_distinct(t)) AS nuniq,
+                       strlen(text) AS nchars,
+                       len(regexp_extract_all(lower(text),
+                           '\\b(the|and|of|to|a|in)\\b')) AS shits
+                FROM ({toks})
+            )
+        """,
+        "sample_exact_k": """
+            SELECT * FROM documents
+            ORDER BY md5('s0:' || CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT 100
+        """,
+        "boilerplate_ngrams": f"""
+            WITH sh AS ({shingles})
+            SELECT sh.shingle,
+                   CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources
+            FROM sh JOIN documents d ON sh.doc_id = d.doc_id
+            GROUP BY sh.shingle
+            HAVING COUNT(*) >= 2
+            ORDER BY df DESC, sh.shingle
+            LIMIT 50
         """,
     }
     # star-contraction closure produces the same canonical

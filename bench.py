@@ -115,6 +115,11 @@ HEADLINE = (
     "cusum_changepoint",
     "winsorize",
     "ab_conversion",
+    "interval_concurrency",
+    "scd2_orders",
+    "semantic_dedup",
+    "quality_classifier",
+    "boilerplate_ngrams",
 )
 
 

@@ -558,3 +558,96 @@ def curation_decision(
         (is_canon & lang_ok & qual_ok).alias("keep"),
         reason.alias("reason"),
     )
+
+
+#: quality_classifier weights: integer micro-weights over integer
+#: features so the margin is a BIGINT — exact, order-independent, and
+#: value-hash oracle-checkable.  The values are an illustrative
+#: hand-tuned filter (reward length and lexical diversity, penalize
+#: raw-byte bloat); swapping in learned weights changes nothing about
+#: the plan.
+QUALITY_WEIGHTS: dict[str, int] = {
+    "bias": -500,
+    "n_tokens": 5,
+    "n_uniq": 20,
+    "n_chars": -2,
+    "n_stop": 100,
+}
+
+
+def quality_classifier(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Model-based quality filtering, the fasttext/logistic stage of a
+    pretraining pipeline, reduced to its distributed-systems essence: a
+    broadcast weight vector dotted with per-document integer features,
+    keep = margin > 0 — ``(doc_id, n_tokens, n_uniq, n_stop, margin,
+    keep)``.
+
+    The features (token count, distinct-token count, byte length,
+    stopword hits) are pure codegen expressions — one corpus scan, ZERO
+    shuffles, no Python.  The margin is an exact BIGINT dot product (the
+    monotone part of a logistic model; the sigmoid is omitted because
+    only the sign gates the keep decision), so the decision is
+    bit-identical under any partitioning and any engine.  A learned
+    model slots in by replacing :data:`QUALITY_WEIGHTS` — at 100 TB the
+    classifier cost stays exactly one map pass either way.
+
+    Reference seed: none (extension — quality filtering per
+    BASELINE.json's curation surface; complements the heuristic
+    text_analysis.quality_score with a weighted-decision form).
+    """
+    w = QUALITY_WEIGHTS
+    text = F.col(text_col)
+    toks = tokens_array(text)
+    n_tokens = F.size(toks).cast("bigint")
+    n_uniq = F.size(F.array_distinct(toks)).cast("bigint")
+    n_chars = F.octet_length(text).cast("bigint")
+    n_stop = F.size(
+        F.regexp_extract_all(
+            F.lower(text), F.lit(r"\b(the|and|of|to|a|in)\b"), F.lit(0)
+        )
+    ).cast("bigint")
+    margin = (
+        F.lit(w["bias"])
+        + F.lit(w["n_tokens"]) * n_tokens
+        + F.lit(w["n_uniq"]) * n_uniq
+        + F.lit(w["n_chars"]) * n_chars
+        + F.lit(w["n_stop"]) * n_stop
+    ).cast("bigint")
+    return spread(docs).select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        n_uniq.alias("n_uniq"),
+        n_stop.alias("n_stop"),
+        margin.alias("margin"),
+        (margin > 0).alias("keep"),
+    )
+
+
+def sample_exact_k(
+    df: DataFrame, k: int, id_col: str = "doc_id", salt: str = "s0"
+) -> DataFrame:
+    """Exactly-k uniform sample without replacement: keep the ``k`` rows
+    with the smallest ``md5(salt || id)`` — the deterministic
+    distributed replacement for reservoir sampling.
+
+    A true streaming reservoir needs sequential state; the hash-order
+    prefix is the shuffle-free equivalent (uniform because md5 is, exact
+    because the cut is a count not a rate) and is what you actually run
+    on a cluster: Spark plans ``orderBy(...).limit(k)`` as
+    TakeOrderedAndProject — a per-partition top-k heap + driver merge of
+    #partitions × k candidate rows, NEVER a global sort.  Same-salt
+    invocations are repeatable; rotating ``salt`` redraws the sample.
+    Complements :func:`mixture_sample` (Bernoulli, rate-based) and
+    budget_sample (quota by token mass).
+
+    Reference seed: none (extension).
+    """
+    h = F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("__h", h)
+        .orderBy("__h", id_col)
+        .limit(int(k))
+        .drop("__h")
+    )

@@ -641,3 +641,51 @@ def span_dedup(
         )
         .select(F.col("doc").alias(id_col), "n_spans", "n_kept", "clean_text")
     )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    n: int = 5,
+    min_df: int = 3,
+    top_n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate inventory (the C4/RefinedWeb "remove frequent lines"
+    rule lifted to n-grams, since this corpus has no line structure):
+    the ``top_n`` word n-grams appearing in the most DISTINCT documents,
+    with document frequency and source spread — ``(shingle, df,
+    n_sources)``.
+
+    This is the analysis face of the :data:`MAX_DF` cap the near-dup
+    family applies blindly: before capping a corpus you inventory what
+    the cap would remove (page headers, navigation chrome, license
+    blurbs — content that repeats across unrelated documents).  High
+    ``n_sources`` at high ``df`` is the boilerplate signature; high
+    ``df`` within one source is template reuse.
+
+    Scale shape: distinct-per-doc shingles (explode, map-side combined),
+    ONE count aggregate at shingle grain, ``min_df`` HAVING prune, then
+    a TakeOrderedAndProject top-``top_n`` heap cut — no self-join, no
+    quadratic term anywhere, output bounded by config.  The string
+    shingle (not xxhash64) is deliberate: the inventory is for humans
+    and downstream regex filters.
+
+    Reference seed: tokenize+count (wordcount.go:20-45) is the 1-gram
+    seed; the df/spread analysis is extension surface.
+    """
+    from p2_mapreduce_spark.operators.curation import _string_shingles
+
+    sh = _string_shingles(docs, n, text_col, id_col)
+    src = docs.select(F.col(id_col), "source")
+    return (
+        sh.join(src, id_col)
+        .groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("df") >= min_df)
+        .orderBy(F.col("df").desc(), F.col("shingle"))
+        .limit(int(top_n))
+    )

@@ -540,3 +540,68 @@ def gram_matrix(
             ).alias("gram")
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    tau: float = 0.8,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023): coarse
+    k-means-like cells, then within each cell drop every vector whose
+    cosine to a LOWER-ID cellmate exceeds ``tau`` — ``(vec_id, cell,
+    dropped)``.
+
+    This is the dominator variant (v is dropped if ANY earlier cellmate
+    is within ``tau``, whether or not that cellmate itself survives):
+    a single self-join pass, deterministic under any partitioning, and
+    at most as aggressive as the greedy chain — the standard large-scale
+    simplification.
+
+    Scale shape: cells come from :func:`build_ivf_cells` (broadcast
+    centroids, one corpus pass); the candidate join is WITHIN-CELL only,
+    so the quadratic term is bounded by the largest cell, not the corpus
+    — at 100 TB you raise ``n_cells`` so cells stay ~1e4-1e5 vectors
+    (production SemDeDup uses tens of thousands of clusters), and
+    :func:`refine_cells` balances them.  The dedup election itself is a
+    semi-join-shaped aggregate: ``bool_or`` over candidates at the
+    victim's grain.
+
+    Reference seed: none (extension per BASELINE.json — embedding-space
+    dedup for training corpora).
+    """
+    _, assign = build_ivf_cells(embeddings, n_cells, vec_col, id_col)
+    a = assign.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col("norm").alias("norm_a"),
+        F.col("cell").alias("cell"),
+    )
+    b = assign.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("norm").alias("norm_b"),
+        F.col("cell").alias("cell"),
+    )
+    dominated = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            _dot(F.col("vec_a"), F.col("vec_b"))
+            / (F.col("norm_a") * F.col("norm_b"))
+            > F.lit(float(tau))
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dom", F.lit(True))
+    )
+    return (
+        assign.join(dominated, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(F.col("__dom"), F.lit(False)).alias("dropped"),
+        )
+    )

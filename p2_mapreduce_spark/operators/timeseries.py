@@ -324,3 +324,93 @@ def cusum_changepoint(events: DataFrame) -> DataFrame:
             ).alias("peak_dev"),
         )
     )
+
+
+def interval_concurrency(
+    events: DataFrame, duration_minutes: int = 60
+) -> DataFrame:
+    """Sweep-line peak concurrency: treating each event as occupying the
+    half-open interval ``[ts, ts + duration_minutes)``, find per
+    event_type the maximum number of simultaneously-open intervals and
+    the earliest instant it is reached — ``(event_type, peak_concurrency,
+    peak_at)``.
+
+    The classic sweep: every interval contributes a ``+1`` delta at its
+    start and a ``-1`` at its end; the running sum of deltas in time
+    order is the concurrency curve.  Half-open semantics fall out of
+    pre-aggregating deltas per distinct instant (an interval ending at
+    ``t`` cancels one starting at ``t`` before the prefix sum ever sees
+    them), which also makes the curve insensitive to row order — the
+    peak and its earliest instant are bit-deterministic.
+
+    Scale shape: the delta stream is 2× events but immediately contracts
+    to (event_type, instant) grain via a map-side-combined aggregate.
+    The prefix sum is the same two-phase distributed pattern as
+    curation.pack_sequences: range-partition each type's timeline,
+    within-partition running sums in parallel, then a #partitions-row
+    offset table (grain-bounded by CONFIG, not data) broadcast back.  No
+    single-task funnel over the full timeline.
+
+    Reference seed: none (extension — the reference has no time axis at
+    all; its closest notion is the per-job task counter,
+    manager.go:70-97).
+    """
+    dur = F.expr(f"interval {int(duration_minutes)} minutes")
+    starts = events.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = events.select(
+        "event_type", (F.col("ts") + dur).alias("t"), F.lit(-1).alias("delta")
+    )
+    deltas = (
+        starts.unionByName(ends)
+        .groupBy("event_type", "t")
+        .agg(F.sum("delta").cast("bigint").alias("d"))
+    )
+    # two-phase distributed prefix sum over each type's timeline
+    deltas = deltas.repartitionByRange("event_type", F.col("t"))
+    t = deltas.withColumn("pid", F.spark_partition_id())
+    local = F.sum("d").over(
+        Window.partitionBy("event_type", "pid")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = t.withColumn("local_cum", local)
+    part_offsets = (
+        t.groupBy("event_type", "pid")
+        .agg(F.sum("d").alias("part_total"))
+        .withColumn(
+            "part_offset",
+            F.coalesce(
+                F.sum("part_total").over(
+                    Window.partitionBy("event_type")
+                    .orderBy("pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("event_type", "pid", "part_offset")
+    )
+    curve = t.join(F.broadcast(part_offsets), ["event_type", "pid"]).select(
+        "event_type", "t", (F.col("part_offset") + F.col("local_cum")).alias("conc")
+    )
+    # peak + earliest instant achieving it: one lexicographic struct max
+    pick = F.max(
+        F.struct(
+            F.col("conc").alias("c"),
+            (-F.expr("timestampdiff(SECOND, TIMESTAMP '1970-01-01', t)")).alias(
+                "neg_t"
+            ),
+            F.col("t").alias("t"),
+        )
+    )
+    return (
+        curve.groupBy("event_type")
+        .agg(pick.alias("p"))
+        .select(
+            "event_type",
+            F.col("p.c").alias("peak_concurrency"),
+            F.col("p.t").alias("peak_at"),
+        )
+    )
