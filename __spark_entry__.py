@@ -1382,6 +1382,68 @@ def _q_boilerplate_ngrams(spark, sf_dir):
     )
 
 
+#: stratified_split coin thresholds — the SAME cumulative-float loop the
+#: operator runs over its default fractions (0.8, 0.1, 0.1), so the
+#: BIGINT literals in the oracle are bit-identical to the Spark side's.
+_SPLIT_BOUNDS = []
+_cum = 0.0
+for _f in (0.8, 0.1):
+    _cum += _f
+    _SPLIT_BOUNDS.append(int(_cum * (1 << 60)))
+del _cum, _f
+
+
+def _q_postings(spark, sf_dir):
+    from p2_mapreduce_spark.operators.search import build_postings
+
+    return build_postings(load_table(spark, sf_dir, "documents"))
+
+
+def _q_bm25_search(spark, sf_dir):
+    from p2_mapreduce_spark.operators.search import bm25_search
+
+    return bm25_search(
+        load_table(spark, sf_dir, "documents"),
+        ["spark", "table", "window"],
+        top_n=20,
+    )
+
+
+def _q_feature_bin(spark, sf_dir):
+    from p2_mapreduce_spark.operators.profile import feature_bin
+
+    return feature_bin(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        ["l_returnflag"],
+        lo_c=0,
+        hi_c=11_000_000,
+        n_buckets=1100,
+    )
+
+
+def _q_dict_encode(spark, sf_dir):
+    from p2_mapreduce_spark.operators.curation import dict_encode
+
+    return dict_encode(
+        load_table(spark, sf_dir, "orders"), "o_orderpriority", "o_orderkey"
+    )
+
+
+def _q_stratified_split(spark, sf_dir):
+    from p2_mapreduce_spark.operators.curation import stratified_split
+
+    return stratified_split(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "split"
+    )
+
+
+def _q_skyline_parts(spark, sf_dir):
+    from p2_mapreduce_spark.operators.analytics import skyline_frontier
+
+    return skyline_frontier(load_table(spark, sf_dir, "part"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -1541,6 +1603,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "sample_exact_k": _q_sample_exact_k,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
+        "postings": _q_postings,
+        "bm25_search": _q_bm25_search,
+        "feature_bin": _q_feature_bin,
+        "dict_encode": _q_dict_encode,
+        "stratified_split": _q_stratified_split,
+        "skyline_parts": _q_skyline_parts,
     }
 
 
@@ -4243,6 +4311,149 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 2
             ORDER BY df DESC, sh.shingle
             LIMIT 50
+        """,
+        "postings": f"""
+            SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+                   CAST(MIN(pos) AS BIGINT) AS first_pos
+            FROM (
+                SELECT doc_id, g.i - 1 AS pos, t[g.i] AS token
+                FROM ({toks}),
+                     LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g
+            )
+            GROUP BY token, doc_id
+        """,
+        # BM25 twin: every float expression tree is written in the SAME
+        # shape and association order as the Spark side (ln-free
+        # Robertson lift, fixed-order pivoted term sum)
+        "bm25_search": f"""
+            WITH tok AS (SELECT doc_id, unnest(t) AS token FROM ({toks})),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+            corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len
+                       FROM dl),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+                   WHERE token IN ('spark', 'table', 'window')
+                   GROUP BY 1, 2),
+            dfs AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            piv AS (SELECT doc_id,
+                       MAX(CASE WHEN token = 'spark' THEN tf END) AS tf_0,
+                       MAX(CASE WHEN token = 'table' THEN tf END) AS tf_1,
+                       MAX(CASE WHEN token = 'window' THEN tf END) AS tf_2
+                    FROM tf GROUP BY doc_id),
+            dfp AS (SELECT
+                       COALESCE(MAX(CASE WHEN token = 'spark' THEN df END), 0) AS df_0,
+                       COALESCE(MAX(CASE WHEN token = 'table' THEN df END), 0) AS df_1,
+                       COALESCE(MAX(CASE WHEN token = 'window' THEN df END), 0) AS df_2
+                    FROM dfs),
+            scored AS (
+                SELECT p.doc_id,
+                       CAST(0 + (CASE WHEN tf_0 IS NOT NULL THEN 1 ELSE 0 END)
+                              + (CASE WHEN tf_1 IS NOT NULL THEN 1 ELSE 0 END)
+                              + (CASE WHEN tf_2 IS NOT NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_terms_hit,
+                       0.0
+                       + (CASE WHEN tf_0 IS NOT NULL THEN
+                            ((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5)
+                             / (CAST(df_0 AS DOUBLE) + 0.5))
+                            * (CAST(tf_0 AS DOUBLE) * 2.2)
+                            / (CAST(tf_0 AS DOUBLE)
+                               + 1.2 * (0.25 + (0.75 * CAST(d.dl AS DOUBLE))
+                                        / (CAST(total_len AS DOUBLE)
+                                           / CAST(n_docs AS DOUBLE))))
+                          ELSE 0.0 END)
+                       + (CASE WHEN tf_1 IS NOT NULL THEN
+                            ((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5)
+                             / (CAST(df_1 AS DOUBLE) + 0.5))
+                            * (CAST(tf_1 AS DOUBLE) * 2.2)
+                            / (CAST(tf_1 AS DOUBLE)
+                               + 1.2 * (0.25 + (0.75 * CAST(d.dl AS DOUBLE))
+                                        / (CAST(total_len AS DOUBLE)
+                                           / CAST(n_docs AS DOUBLE))))
+                          ELSE 0.0 END)
+                       + (CASE WHEN tf_2 IS NOT NULL THEN
+                            ((CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5)
+                             / (CAST(df_2 AS DOUBLE) + 0.5))
+                            * (CAST(tf_2 AS DOUBLE) * 2.2)
+                            / (CAST(tf_2 AS DOUBLE)
+                               + 1.2 * (0.25 + (0.75 * CAST(d.dl AS DOUBLE))
+                                        / (CAST(total_len AS DOUBLE)
+                                           / CAST(n_docs AS DOUBLE))))
+                          ELSE 0.0 END) AS score
+                FROM piv p JOIN dl d ON p.doc_id = d.doc_id
+                CROSS JOIN corpus CROSS JOIN dfp
+            )
+            SELECT doc_id, n_terms_hit, score FROM scored
+            ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        # equi-depth binning twin: same integer-cent bucket/boundary
+        # arithmetic as the winsorize oracle, bins by upper-boundary
+        # comparison
+        "feature_bin": """
+            WITH b AS (
+                SELECT l_returnflag,
+                       least(1099, greatest(0,
+                           CAST(floor(l_extendedprice * 100) AS BIGINT)
+                           * 1100 // 11000000)) AS bucket,
+                       count(*) AS cnt
+                FROM lineitem GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT l_returnflag, bucket,
+                       sum(cnt) OVER (PARTITION BY l_returnflag
+                                      ORDER BY bucket) AS cum,
+                       sum(cnt) OVER (PARTITION BY l_returnflag) AS total
+                FROM b
+            ),
+            q AS (
+                SELECT l_returnflag,
+                       CAST(min(CASE WHEN cum * 1000000 >= 250000 * total
+                                     THEN (bucket + 1) * 10000 END)
+                            AS BIGINT) / 100.0 AS p25,
+                       CAST(min(CASE WHEN cum * 1000000 >= 500000 * total
+                                     THEN (bucket + 1) * 10000 END)
+                            AS BIGINT) / 100.0 AS p50,
+                       CAST(min(CASE WHEN cum * 1000000 >= 750000 * total
+                                     THEN (bucket + 1) * 10000 END)
+                            AS BIGINT) / 100.0 AS p75
+                FROM c GROUP BY l_returnflag
+            )
+            SELECT l.*,
+                   CAST((CASE WHEN l.l_extendedprice > q.p25 THEN 1 ELSE 0 END)
+                        + (CASE WHEN l.l_extendedprice > q.p50 THEN 1 ELSE 0 END)
+                        + (CASE WHEN l.l_extendedprice > q.p75 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS bin
+            FROM lineitem l JOIN q USING (l_returnflag)
+        """,
+        "dict_encode": """
+            WITH v AS (SELECT o_orderpriority, COUNT(*) AS n
+                       FROM orders GROUP BY 1),
+            d AS (SELECT o_orderpriority,
+                         CAST(ROW_NUMBER() OVER (
+                             ORDER BY n DESC, o_orderpriority) - 1
+                           AS BIGINT) AS code
+                  FROM v)
+            SELECT o.o_orderkey, o.o_orderpriority, d.code
+            FROM orders o JOIN d USING (o_orderpriority)
+        """,
+        "stratified_split": f"""
+            SELECT doc_id, source,
+                   CASE WHEN CAST('0x' || substr(md5('split:'
+                            || CAST(doc_id AS VARCHAR)), 18, 15) AS BIGINT)
+                          < {_SPLIT_BOUNDS[0]} THEN 'train'
+                        WHEN CAST('0x' || substr(md5('split:'
+                            || CAST(doc_id AS VARCHAR)), 18, 15) AS BIGINT)
+                          < {_SPLIT_BOUNDS[1]} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "skyline_parts": """
+            SELECT p.* FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part q
+                WHERE q.p_retailprice <= p.p_retailprice
+                  AND q.p_size >= p.p_size
+                  AND (q.p_retailprice < p.p_retailprice
+                       OR q.p_size > p.p_size)
+            )
         """,
     }
     # star-contraction closure produces the same canonical

@@ -120,6 +120,11 @@ HEADLINE = (
     "semantic_dedup",
     "quality_classifier",
     "boilerplate_ngrams",
+    "postings",
+    "bm25_search",
+    "feature_bin",
+    "dict_encode",
+    "skyline_parts",
 )
 
 

@@ -210,3 +210,69 @@ def copurchase_pairs(lineitem: DataFrame, top_n: int = 50) -> DataFrame:
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(top_n)
     )
+
+
+def skyline_frontier(
+    part: DataFrame,
+    price_col: str = "p_retailprice",
+    size_col: str = "p_size",
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): the parts for which no other part
+    is both cheaper-or-equal AND larger-or-equal with at least one
+    strict — the rows a price/size trade-off query can never exclude.
+
+    The naive skyline is an all-pairs dominance anti-join (quadratic).
+    In 2-D it collapses to a PREFIX MAX: p is dominated iff the max
+    size among strictly-cheaper parts reaches p's size, or an
+    equal-priced part is strictly larger.  So: contract to price grain
+    (max size per distinct price — one map-side-combined aggregate),
+    strict-prefix-max over ascending price via the same two-phase
+    distributed pattern as curation.pack_sequences (range-partitioned,
+    parallel local windows, config-bounded offset table broadcast
+    back), then ONE broadcast join back to rows with a pure comparison
+    — no self-join, nothing quadratic, fact table shuffled once (the
+    price-grain aggregate).
+
+    Reference seed: none (extension — classic Börzsönyi et al. skyline
+    operator, expressed Spark-first).
+    """
+    from pyspark.sql import Window
+
+    grain = (
+        part.groupBy(price_col)
+        .agg(F.max(size_col).alias("msize"))
+        .repartitionByRange(F.col(price_col))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    local_prev = F.max("msize").over(
+        Window.partitionBy("pid")
+        .orderBy(price_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = grain.withColumn("local_prev", local_prev)
+    offsets = (
+        g.groupBy("pid")
+        .agg(F.max("msize").alias("part_max"))
+        .withColumn(
+            "prev_max",
+            F.max("part_max").over(
+                Window.orderBy("pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("pid", "prev_max")
+    )
+    # strict-prefix max; greatest() skips NULLs, NULL iff globally first
+    g = g.join(F.broadcast(offsets), "pid").select(
+        price_col,
+        "msize",
+        F.greatest("local_prev", "prev_max").alias("prefix_max"),
+    )
+    # no broadcast hint here: the grain table is #distinct prices —
+    # usually tiny, but data-bounded, so let AQE pick the strategy
+    joined = part.join(g, price_col)
+    dominated = F.coalesce(
+        F.col("prefix_max") >= F.col(size_col), F.lit(False)
+    ) | (F.col("msize") > F.col(size_col))
+    return joined.filter(~dominated).select(*part.columns)

@@ -651,3 +651,79 @@ def sample_exact_k(
         .limit(int(k))
         .drop("__h")
     )
+
+
+def stratified_split(
+    docs: DataFrame,
+    fractions: Sequence[float] = (0.8, 0.1, 0.1),
+    names: Sequence[str] = ("train", "val", "test"),
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in the
+    split whose cumulative-fraction interval contains its md5-60 coin —
+    ``docs + (split)``.
+
+    The coin is the same integer md5-60 device as :func:`mixture_sample`
+    (no RNG, no floats in the comparison: thresholds are
+    ``floor(cumfrac · 2^60)`` BIGINTs), so the assignment is exact,
+    engine-neutral, and STABLE — re-running on a grown corpus never
+    moves an old row between splits, the property that keeps eval sets
+    uncontaminated across releases.  Zero-shuffle map.  Stratification
+    is implicit: within every source/language/length stratum the hash is
+    uniform, so each stratum splits at the same fractions (law of large
+    numbers, not a per-stratum quota — exact quotas would need a
+    per-stratum rank, i.e. a shuffle; see sample_exact_k for that
+    trade).
+
+    Reference seed: none (extension).
+    """
+    cum, bounds = 0.0, []
+    for f in fractions[:-1]:
+        cum += f
+        bounds.append(int(cum * _COIN_SPACE))
+    coin = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+            18,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    expr = F.lit(names[-1])
+    for thr, name in zip(reversed(bounds), reversed(list(names[:-1]))):
+        expr = F.when(coin < F.lit(thr), F.lit(name)).otherwise(expr)
+    return docs.withColumn("split", expr)
+
+
+def dict_encode(
+    df: DataFrame, col: str, id_col: str
+) -> DataFrame:
+    """Frequency-rank dictionary encoding of a categorical column:
+    ``(id_col, col, code)`` where code 0 is the most frequent value
+    (ties broken by value ascending) — the label-encoding step of
+    feature engineering, done the way a columnar engine does dictionary
+    compression.
+
+    The dictionary is ONE count aggregate at value grain plus a rank
+    window over the (vocabulary-bounded) value table; rows encode via a
+    broadcast join — the fact table never shuffles.  Mirrors
+    text_analysis.vocab_topk's build but keeps every value (a feature
+    encoder must be total).
+
+    Reference seed: none (extension).
+    """
+    from pyspark.sql import Window
+
+    vocab = df.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+    # vocabulary grain: the single-partition rank window is bounded by
+    # the number of DISTINCT values, never rows
+    vocab = vocab.withColumn(
+        "code",
+        F.row_number().over(Window.orderBy(F.col("n").desc(), F.col(col)))
+        - 1,
+    ).select(col, F.col("code").cast("bigint").alias("code"))
+    return df.select(id_col, col).join(F.broadcast(vocab), col).select(
+        id_col, col, "code"
+    )

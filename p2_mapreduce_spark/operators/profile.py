@@ -324,3 +324,45 @@ def winsorize(
     return df.join(F.broadcast(bounds), list(group_cols)).select(
         *df.columns, "clip_lo", "clip_hi", clipped.alias("clipped")
     )
+
+
+def feature_bin(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lo_c: int,
+    hi_c: int,
+    n_buckets: int,
+    qs_ppm: Sequence[int] = (250_000, 500_000, 750_000),
+) -> DataFrame:
+    """Quantile discretization (the ML feature-binning step): assign
+    each row the index of its per-group quantile interval — ``df +
+    (bin)`` with bin ∈ [0, len(qs_ppm)] — using boundaries from the
+    mergeable histogram sketch, not an exact sort.
+
+    Composes :func:`hist_state` → :func:`hist_quantiles` (boundaries at
+    group grain, ≤ groups × n_buckets state rows) and returns the
+    boundaries as a BROADCAST join back onto the rows; the assignment
+    is a chain of integer-cent comparisons — the fact table never
+    shuffles, and the whole operator costs one scan for the sketch plus
+    one scan for the assignment.  Same-boundary ties bin LEFT (value ≤
+    boundary), matching hist_quantiles' conservative upper-boundary
+    convention, so bins are bit-deterministic cross-engine.
+
+    Reference seed: none (extension; the row-level face of
+    `equidepth_histogram`'s boundary computation).
+    """
+    state = hist_state(df, value_col, group_cols, lo_c, hi_c, n_buckets)
+    qcols = [f"p{q // 10_000}" for q in qs_ppm]
+    bounds = hist_quantiles(
+        state, group_cols, lo_c, hi_c, n_buckets, qs_ppm
+    ).select(*group_cols, *qcols)
+    out = df.join(F.broadcast(bounds), list(group_cols))
+    binned = F.lit(0)
+    for qc in qcols:
+        binned = binned + F.when(
+            F.col(value_col) > F.col(qc), 1
+        ).otherwise(0)
+    return out.select(
+        *df.columns, binned.cast("bigint").alias("bin")
+    )

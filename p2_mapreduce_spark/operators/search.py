@@ -1,0 +1,143 @@
+"""Full-text search indexing: inverted-index construction and BM25
+retrieval over the documents table.
+
+The reference's wordcount (mapreduce/functions/wordcount.go:20-45) is the
+degenerate 1-doc-corpus case of an inverted index; these operators are
+the real thing — the map→shuffle→reduce dataflow whose reduce key is the
+TERM and whose values are per-document statistics.
+
+Spark-first shape: the index is one ``posexplode`` + one partial→final
+aggregate at (term, doc) grain — the same one-shuffle contract as
+wordcount, just with a composite key.  Retrieval never scans the corpus
+per query: term statistics contract to term grain, corpus constants to
+ONE row, and both come back as broadcasts.
+
+Determinism: every statistic is an exact BIGINT; the only floats are the
+BM25 per-term kernels, each a fixed expression tree over exact inputs,
+summed in FIXED textual order (one pivoted column per query term) — no
+float reduction over an unordered set anywhere, so scores are bit-equal
+cross-engine and the ranking is stable under any partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from p2_mapreduce_spark.functions.text import tokens_array
+from p2_mapreduce_spark.session import spread
+
+
+def build_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Inverted index at (term, doc) grain: ``(token, doc_id, tf,
+    first_pos)`` — term frequency and the first 0-based token position.
+
+    ONE wide exchange (the (token, doc) aggregate, map-side combined);
+    at 100 TB you'd follow with ``repartitionByRange('token')`` + a
+    sorted partitioned write so each term's posting list is a contiguous
+    run — the layout face is writers.write_partitioned's job, the plan
+    here is the index build itself.
+    """
+    toks = spread(docs).select(
+        F.col(id_col),
+        F.posexplode(tokens_array(F.col(text_col))).alias("pos", "token"),
+    )
+    return toks.groupBy("token", id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ln-free BM25 retrieval for a fixed bag of query ``terms`` —
+    ``(doc_id, n_terms_hit, score)`` for the ``top_n`` best documents.
+
+    The idf factor is the Robertson lift WITHOUT the log —
+    ``(N - df + ½)/(df + ½)`` — monotone in the classic idf, so the
+    RANKING is BM25's while every score stays a small fixed IEEE tree
+    (log is the one transcendental whose last bit differs across
+    engines; same dodge as text_analysis.tfidf_top_terms).
+
+    Plan shape: tokens are filtered to the query bag BEFORE the (term,
+    doc) aggregate (the explode stream drops to matching terms only);
+    df contracts to ≤|terms| rows and joins back broadcast; corpus
+    length stats contract to ONE broadcast row.  Per-doc scores sum one
+    pivoted column per term in fixed textual order.  The final cut is
+    TakeOrderedAndProject (heap, no global sort).
+    """
+    term_list = sorted(set(terms))
+    toks = spread(docs).select(
+        F.col(id_col), F.explode(tokens_array(F.col(text_col))).alias("token")
+    )
+    # per-doc length over ALL tokens (before the query filter)
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    hits = toks.filter(F.col("token").isin(term_list))
+    tf = hits.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    # one tf column per term, fixed order — the float sum is a literal
+    # expression chain, never an unordered aggregate
+    pivoted = tf.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("token") == t, F.col("tf"))).alias(f"tf_{i}")
+            for i, t in enumerate(term_list)
+        ]
+    )
+    scored = (
+        pivoted.join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .crossJoin(
+            F.broadcast(
+                df_t.groupBy().pivot("token", term_list).sum("df").select(
+                    *[
+                        F.coalesce(F.col(f"`{t}`"), F.lit(0)).alias(f"df_{i}")
+                        for i, t in enumerate(term_list)
+                    ]
+                )
+            )
+        )
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl").cast("double") / avgdl
+    )
+    score = F.lit(0.0)
+    n_hit = F.lit(0)
+    for i in range(len(term_list)):
+        tf_i = F.col(f"tf_{i}")
+        idf = (
+            F.col("n_docs").cast("double") - F.col(f"df_{i}").cast("double") + 0.5
+        ) / (F.col(f"df_{i}").cast("double") + 0.5)
+        kernel = (
+            idf
+            * (tf_i.cast("double") * F.lit(float(k1) + 1.0))
+            / (tf_i.cast("double") + norm)
+        )
+        score = score + F.when(tf_i.isNotNull(), kernel).otherwise(F.lit(0.0))
+        n_hit = n_hit + F.when(tf_i.isNotNull(), 1).otherwise(0)
+    return (
+        scored.select(
+            id_col,
+            n_hit.cast("bigint").alias("n_terms_hit"),
+            score.alias("score"),
+        )
+        .orderBy(F.col("score").desc(), id_col)
+        .limit(int(top_n))
+    )
