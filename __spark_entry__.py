@@ -1444,6 +1444,56 @@ def _q_skyline_parts(spark, sf_dir):
     return skyline_frontier(load_table(spark, sf_dir, "part"))
 
 
+def _q_grouped_ols2(spark, sf_dir):
+    from p2_mapreduce_spark.operators.timeseries import grouped_ols2
+
+    return grouped_ols2(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_hll_overlap(spark, sf_dir):
+    from p2_mapreduce_spark.operators.profile import hll_overlap
+
+    return hll_overlap(load_table(spark, sf_dir, "documents"))
+
+
+def _q_changelog_compact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.merge import compact_changelog
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    # synthetic deterministic changelog: v1 = the snapshot, v2 re-prices
+    # every 3rd key, v3 tombstones every 9th
+    log = (
+        o.select(
+            "*", F.lit(1).alias("version"), F.lit("upsert").alias("op")
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 3 == 0).select(
+                "o_orderkey",
+                "o_custkey",
+                (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+                "o_orderstatus",
+                F.lit(2).alias("version"),
+                F.lit("upsert").alias("op"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 9 == 0).select(
+                "o_orderkey",
+                "o_custkey",
+                "o_totalprice",
+                "o_orderstatus",
+                F.lit(3).alias("version"),
+                F.lit("delete").alias("op"),
+            )
+        )
+    )
+    return compact_changelog(log, ["o_orderkey"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -1609,6 +1659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_encode": _q_dict_encode,
         "stratified_split": _q_stratified_split,
         "skyline_parts": _q_skyline_parts,
+        "grouped_ols2": _q_grouped_ols2,
+        "hll_overlap": _q_hll_overlap,
+        "changelog_compact": _q_changelog_compact,
     }
 
 
@@ -1831,6 +1884,24 @@ def oracle_sql() -> dict[str, str]:
         FROM ({toks}) toks,
              LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 0))) AS i) g
     """
+    # grouped_ols2 twins: exact cent sums + the SHARED Cramer formula
+    # strings from operators/timeseries.py (identical IEEE trees)
+    from p2_mapreduce_spark.operators.timeseries import (
+        OLS2_B0 as _OLS2_B0,
+        OLS2_B1 as _OLS2_B1,
+        OLS2_B2 as _OLS2_B2,
+        OLS2_DET as _OLS2_DET,
+    )
+
+    _cents = lambda c: f"CAST(floor({c} * 100) AS BIGINT)"  # noqa: E731
+    _OLS_S = (  # noqa: E731
+        lambda c, name: f"CAST(SUM(CAST({_cents(c)} AS DECIMAL(38,0))) "
+        f"AS DOUBLE) AS {name}"
+    )
+    _OLS_P = (  # noqa: E731
+        lambda a, b, name: f"CAST(SUM(CAST({_cents(a)} * {_cents(b)} "
+        f"AS DECIMAL(38,0))) AS DOUBLE) AS {name}"
+    )
     # language marker scores (must mirror operators/text_analysis.LANG_MARKERS)
     lang_score = (
         lambda rx: f"len(regexp_extract_all(lower(text), '{rx}'))"  # noqa: E731
@@ -4454,6 +4525,118 @@ def oracle_sql() -> dict[str, str]:
                   AND (q.p_retailprice < p.p_retailprice
                        OR q.p_size > p.p_size)
             )
+        """,
+        # Cramer-rule twin: the coefficient formulas are the SAME Python
+        # string constants the Spark side compiles (OLS2_*), so the IEEE
+        # trees match term-for-term
+        "grouped_ols2": f"""
+            WITH stats AS (
+                SELECT l_returnflag,
+                       COUNT(*) AS n_obs,
+                       CAST(COUNT(*) AS DOUBLE) AS n,
+                       {_OLS_S('l_quantity', 's1')},
+                       {_OLS_S('l_discount', 's2')},
+                       {_OLS_S('l_extendedprice', 'sy')},
+                       {_OLS_P('l_quantity', 'l_quantity', 's11')},
+                       {_OLS_P('l_discount', 'l_discount', 's22')},
+                       {_OLS_P('l_quantity', 'l_discount', 's12')},
+                       {_OLS_P('l_quantity', 'l_extendedprice', 's1y')},
+                       {_OLS_P('l_discount', 'l_extendedprice', 's2y')}
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n_obs,
+                   CASE WHEN ({_OLS2_DET}) <> 0.0
+                        THEN ({_OLS2_B0}) / ({_OLS2_DET}) / 100.0 END AS beta0,
+                   CASE WHEN ({_OLS2_DET}) <> 0.0
+                        THEN ({_OLS2_B1}) / ({_OLS2_DET}) END AS beta1,
+                   CASE WHEN ({_OLS2_DET}) <> 0.0
+                        THEN ({_OLS2_B2}) / ({_OLS2_DET}) END AS beta2
+            FROM stats
+        """,
+        # HLL overlap twin: same md5-60 registers as hll_distinct, pair
+        # union by register MAX, inclusion-exclusion estimate
+        "hll_overlap": f"""
+            WITH st AS (
+                SELECT DISTINCT source AS src, unnest(t) AS tok
+                FROM ({toks})
+            ),
+            jr AS (
+                SELECT src, h % 64 AS j,
+                       least(40, CASE WHEN h // 64 = 0 THEN 55
+                                 ELSE 54 - length(bin(h // 64)) + 1 END) AS r
+                FROM (SELECT src,
+                             CAST('0x' || substr(md5(tok), 18, 15) AS BIGINT)
+                                 AS h
+                      FROM st)
+            ),
+            regs AS (SELECT src, j, MAX(r) AS r FROM jr GROUP BY 1, 2),
+            per_src AS (
+                SELECT src, COUNT(*) AS nz,
+                       SUM(1.0 / (CAST(1 AS BIGINT) << r)) AS snz
+                FROM regs GROUP BY 1
+            ),
+            spairs AS (
+                SELECT a.src AS source_a, b.src AS source_b
+                FROM (SELECT DISTINCT src FROM regs) a,
+                     (SELECT DISTINCT src FROM regs) b
+                WHERE a.src < b.src
+            ),
+            pair_regs AS (
+                SELECT source_a, source_b, j, MAX(r) AS r
+                FROM spairs JOIN regs
+                  ON regs.src = source_a OR regs.src = source_b
+                GROUP BY 1, 2, 3
+            ),
+            union_stats AS (
+                SELECT source_a, source_b, COUNT(*) AS u_nz,
+                       SUM(1.0 / (CAST(1 AS BIGINT) << r)) AS u_snz
+                FROM pair_regs GROUP BY 1, 2
+            ),
+            exact AS (
+                SELECT a.src AS source_a, b.src AS source_b,
+                       COUNT(*) AS exact_overlap
+                FROM st a JOIN st b ON a.tok = b.tok AND a.src < b.src
+                GROUP BY 1, 2
+            )
+            SELECT u.source_a, u.source_b,
+                   (0.709 * 4096.0) / (pa.snz + (64.0 - pa.nz)) AS est_a,
+                   (0.709 * 4096.0) / (pb.snz + (64.0 - pb.nz)) AS est_b,
+                   (0.709 * 4096.0) / (u.u_snz + (64.0 - u.u_nz)) AS est_union,
+                   (0.709 * 4096.0) / (pa.snz + (64.0 - pa.nz))
+                     + (0.709 * 4096.0) / (pb.snz + (64.0 - pb.nz))
+                     - (0.709 * 4096.0) / (u.u_snz + (64.0 - u.u_nz))
+                       AS est_overlap,
+                   CAST(COALESCE(e.exact_overlap, 0) AS BIGINT)
+                       AS exact_overlap
+            FROM union_stats u
+            JOIN per_src pa ON pa.src = u.source_a
+            JOIN per_src pb ON pb.src = u.source_b
+            LEFT JOIN exact e
+              ON e.source_a = u.source_a AND e.source_b = u.source_b
+        """,
+        "changelog_compact": """
+            WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                              o_orderstatus FROM orders),
+            log AS (
+                SELECT *, 1 AS version, 'upsert' AS op FROM o
+                UNION ALL
+                SELECT o_orderkey, o_custkey, o_totalprice + 10.0,
+                       o_orderstatus, 2, 'upsert'
+                FROM o WHERE o_orderkey % 3 = 0
+                UNION ALL
+                SELECT o_orderkey, o_custkey, o_totalprice,
+                       o_orderstatus, 3, 'delete'
+                FROM o WHERE o_orderkey % 9 = 0
+            ),
+            r AS (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY o_orderkey
+                           ORDER BY version DESC, op ASC) AS rn
+                FROM log
+            )
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+                   CAST(version AS INT) AS version, op
+            FROM r WHERE rn = 1 AND op <> 'delete'
         """,
     }
     # star-contraction closure produces the same canonical

@@ -125,6 +125,9 @@ HEADLINE = (
     "feature_bin",
     "dict_encode",
     "skyline_parts",
+    "grouped_ols2",
+    "hll_overlap",
+    "changelog_compact",
 )
 
 

@@ -217,3 +217,42 @@ def scd2_apply(
         "valid_to", F.lit(None).cast("string")
     )
     return stamped.unionByName(new_rows.select(*stamped.columns))
+
+
+def compact_changelog(
+    log: DataFrame,
+    keys: Sequence[str],
+    version_col: str = "version",
+    op_col: str = "op",
+) -> DataFrame:
+    """CDC log compaction: collapse an upsert/delete changelog to the
+    latest surviving row per key — what a table format's compaction job
+    (or a Kafka compacted topic) computes.  Rows carry ``keys + payload
+    + version + op`` with ``op ∈ {'upsert', 'delete'}``; the output is
+    the highest-version row per key, dropped entirely if that row is a
+    delete (tombstone).  Ties on version resolve delete-wins, making the
+    result a pure function of the SET of log records — replays and
+    duplicated deliveries cannot change it.
+
+    ONE key-shuffle (the row_number window); the payload never joins
+    against anything.  At 100 TB this is the standard
+    shuffle-by-key-and-keep-first compaction pass — partition pruning on
+    a version/time prefix bounds how much log each run rereads.
+
+    Reference seed: the reference's files are immutable whole-key puts
+    with delete (manager.go:328-350) — version folding is extension
+    surface.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(),
+        # delete-wins on version ties: 'upsert' > 'delete' lexically, so
+        # ascending op puts delete first
+        F.col(op_col).asc(),
+    )
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != "delete"))
+        .drop("__rn")
+    )

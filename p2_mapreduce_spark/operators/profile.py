@@ -366,3 +366,128 @@ def feature_bin(
     return out.select(
         *df.columns, binned.cast("bigint").alias("bin")
     )
+
+
+def hll_overlap(
+    docs: DataFrame,
+    m: int = 64,
+    rmax: int = 40,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary overlap between sources by HLL sketch ALGEBRA:
+    for every source pair, distinct-token estimates for each side, their
+    union (element-wise register MAX — the merge HLL is closed under),
+    and the inclusion-exclusion overlap ``|A|+|B|−|A∪B|`` — ``(source_a,
+    source_b, est_a, est_b, est_union, est_overlap, exact_overlap)``.
+
+    This is the sketch pattern a 100 TB pipeline uses to answer "how
+    much does corpus A overlap corpus B" WITHOUT the (token → sources)
+    distinct self-join: per-source register tables are ``m`` rows each,
+    pair merges are register-table joins bounded by #sources² × m
+    (config, not data), and the only corpus-wide work is one register
+    aggregate.  Same md5-60 / clamped-rank construction as
+    :func:`hll_distinct_rollup`, so every estimate is a pinned IEEE tree
+    and the whole result — estimates included — is value-hash
+    oracle-checkable.  The exact overlap rides along from a distinct
+    (source, token) self-join as the honesty column (feasible at
+    fixture scale; at 100 TB you'd drop it — that join is what the
+    sketch replaces).
+    """
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.functions.text import tokens_array
+    from p2_mapreduce_spark.session import spread
+
+    alphas = {16: 0.673, 32: 0.697, 64: 0.709}
+    alpha_v = alphas.get(m, 0.7213 / (1.0 + 1.079 / m))
+    wbits = 60 - m.bit_length() + 1
+    st = (
+        spread(docs)
+        .select(
+            F.col(source_col).alias("src"),
+            F.explode(tokens_array(F.col(text_col))).alias("tok"),
+        )
+        .distinct()
+        .persist()
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 18, 15), 16, 10).cast("long")
+    jr = st.select(
+        "src",
+        (h % m).alias("j"),
+        F.expr(
+            f"least({rmax}, CASE WHEN "
+            f"conv(substring(md5(tok), 18, 15), 16, 10) div {m} = 0 "
+            f"THEN {wbits + 1} ELSE {wbits} - length(bin("
+            f"conv(substring(md5(tok), 18, 15), 16, 10) div {m})) + 1 END)"
+        ).alias("r"),
+    )
+    regs = jr.groupBy("src", "j").agg(F.max("r").alias("r")).persist()
+    est = lambda nz, snz: (F.lit(alpha_v) * F.lit(float(m * m))) / (  # noqa: E731
+        snz + (F.lit(float(m)) - nz)
+    )
+    per_src = regs.groupBy("src").agg(
+        F.count(F.lit(1)).alias("nz"),
+        F.sum(F.expr("1.0 / shiftleft(cast(1 as bigint), r)")).alias("snz"),
+    )
+    srcs = regs.select("src").distinct()
+    spairs = (
+        srcs.select(F.col("src").alias("source_a"))
+        .crossJoin(srcs.select(F.col("src").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    # union registers: MAX over the pair's two register tables — the
+    # theta join is (#pairs × m) rows, config-bounded
+    pair_regs = (
+        spairs.join(
+            regs,
+            (F.col("src") == F.col("source_a"))
+            | (F.col("src") == F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b", "j")
+        .agg(F.max("r").alias("r"))
+    )
+    union_stats = pair_regs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("u_nz"),
+        F.sum(F.expr("1.0 / shiftleft(cast(1 as bigint), r)")).alias("u_snz"),
+    )
+    exact = (
+        st.alias("a")
+        .join(
+            st.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    ea = per_src.select(
+        F.col("src").alias("source_a"),
+        est(F.col("nz"), F.col("snz")).alias("est_a"),
+    )
+    eb = per_src.select(
+        F.col("src").alias("source_b"),
+        est(F.col("nz"), F.col("snz")).alias("est_b"),
+    )
+    return (
+        union_stats.join(ea, "source_a")
+        .join(eb, "source_b")
+        .join(exact, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "est_a",
+            "est_b",
+            est(F.col("u_nz"), F.col("u_snz")).alias("est_union"),
+            (
+                F.col("est_a")
+                + F.col("est_b")
+                - est(F.col("u_nz"), F.col("u_snz"))
+            ).alias("est_overlap"),
+            F.coalesce(F.col("exact_overlap"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_overlap"),
+        )
+    )

@@ -414,3 +414,76 @@ def interval_concurrency(
             F.col("p.t").alias("peak_at"),
         )
     )
+
+
+#: Cramer-rule expression strings for the 2-feature normal equations.
+#: They are SHARED between the Spark side (F.expr) and the DuckDB oracle
+#: (f-string) so both engines evaluate byte-identical arithmetic trees —
+#: the same device as functions/numeric.dsum, at formula scale.  Inputs
+#: n, s1, s2, sy, s11, s22, s12, s1y, s2y are exact sums surfaced as
+#: DOUBLE.
+OLS2_DET = (
+    "n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s12 - s11 * s2)"
+)
+OLS2_B0 = (
+    "sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)"
+    " + s2 * (s1y * s12 - s11 * s2y)"
+)
+OLS2_B1 = (
+    "n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s2y - s1y * s2)"
+)
+OLS2_B2 = (
+    "n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)"
+    " + sy * (s1 * s12 - s11 * s2)"
+)
+
+
+def grouped_ols2(
+    lineitem: DataFrame, group_cols: tuple[str, ...] = ("l_returnflag",)
+) -> DataFrame:
+    """Two-feature linear regression by sufficient statistics: per group,
+    fit ``price ≈ β0 + β1·quantity + β2·discount`` — ``(group, n_obs,
+    beta0, beta1, beta2)``.
+
+    The multi-feature extension of :func:`grouped_trend`: the fact table
+    is scanned ONCE into nine exact sufficient statistics (map-side
+    combined to group grain — counts and DECIMAL(38,0) sums of BIGINT
+    cent products, order-independent), and the 3×3 normal equations are
+    solved in closed form by Cramer's rule — a fixed IEEE tree per
+    coefficient (:data:`OLS2_DET` …), bit-identical cross-engine.  No
+    feature matrix is ever materialized, nothing iterative, nothing
+    driver-side: "fit a regression on 100 TB" costs exactly one
+    aggregate.  (For d features this generalizes through
+    similarity.gram_matrix + a driver-side d×d solve; at d ≤ 3 the
+    closed form keeps the whole fit oracle-checkable.)
+
+    β0 is surfaced in dollars (one extra pinned division by 100);
+    β1/β2 are cent-per-cent slopes, already unitless.  Groups with a
+    singular design (det == 0) surface NULL βs.
+    """
+    qc = "cast(floor(l_quantity * 100) as bigint)"
+    dc = "cast(floor(l_discount * 100) as bigint)"
+    yc = "cast(floor(l_extendedprice * 100) as bigint)"
+    dec = "decimal(38,0)"
+    stats = lineitem.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.expr(f"cast(sum(cast({qc} as {dec})) as double)").alias("s1"),
+        F.expr(f"cast(sum(cast({dc} as {dec})) as double)").alias("s2"),
+        F.expr(f"cast(sum(cast({yc} as {dec})) as double)").alias("sy"),
+        F.expr(f"cast(sum(cast({qc} * {qc} as {dec})) as double)").alias("s11"),
+        F.expr(f"cast(sum(cast({dc} * {dc} as {dec})) as double)").alias("s22"),
+        F.expr(f"cast(sum(cast({qc} * {dc} as {dec})) as double)").alias("s12"),
+        F.expr(f"cast(sum(cast({qc} * {yc} as {dec})) as double)").alias("s1y"),
+        F.expr(f"cast(sum(cast({dc} * {yc} as {dec})) as double)").alias("s2y"),
+    )
+    stats = stats.withColumn("n", F.col("n_obs").cast("double"))
+    det = F.expr(OLS2_DET)
+    return stats.select(
+        *group_cols,
+        "n_obs",
+        F.when(det != 0.0, F.expr(OLS2_B0) / det / 100.0).alias("beta0"),
+        F.when(det != 0.0, F.expr(OLS2_B1) / det).alias("beta1"),
+        F.when(det != 0.0, F.expr(OLS2_B2) / det).alias("beta2"),
+    )
