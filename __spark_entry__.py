@@ -1444,6 +1444,39 @@ def _q_skyline_parts(spark, sf_dir):
     return skyline_frontier(load_table(spark, sf_dir, "part"))
 
 
+def _q_media_phash(spark, sf_dir):
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_binary,
+        media_phash,
+    )
+
+    return media_phash(attach_binary(load_table(spark, sf_dir, "documents")))
+
+
+def _phash_sql() -> str:
+    """DuckDB twin of multimodal._fake_phash: the 32-cell grid digest is
+    reproduced through the hex-string domain, each byte extracted with
+    substr + hex cast, the mean test in exact-integer form (32·byte >
+    Σbytes) — generated expressions mirror the Python kernel cell for
+    cell."""
+    cells = [f"CAST('0x' || substr(g, {2 * i + 1}, 2) AS INT)" for i in range(32)]
+    total = " + ".join(cells)
+    bits = " + ".join(
+        f"(CASE WHEN 32 * {c} > tot THEN CAST({1 << i} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for i, c in enumerate(cells)
+    )
+    return f"""
+        WITH g0 AS (
+            SELECT doc_id AS media_id,
+                   sha256(sha256(text) || ':grid') AS g
+            FROM documents
+        ),
+        t AS (SELECT media_id, g, {total} AS tot FROM g0)
+        SELECT media_id, {bits} AS phash FROM t
+    """
+
+
 def _q_grouped_ols2(spark, sf_dir):
     from p2_mapreduce_spark.operators.timeseries import grouped_ols2
 
@@ -1662,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_ols2": _q_grouped_ols2,
         "hll_overlap": _q_hll_overlap,
         "changelog_compact": _q_changelog_compact,
+        "media_phash": _q_media_phash,
     }
 
 
@@ -4638,6 +4672,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(version AS INT) AS version, op
             FROM r WHERE rn = 1 AND op <> 'delete'
         """,
+        "media_phash": _phash_sql(),
     }
     # star-contraction closure produces the same canonical
     # min-id labels as label propagation — shared oracle

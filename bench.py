@@ -128,6 +128,7 @@ HEADLINE = (
     "grouped_ols2",
     "hll_overlap",
     "changelog_compact",
+    "media_phash",
 )
 
 

@@ -289,3 +289,47 @@ def binary_meta(docs: DataFrame) -> DataFrame:
         F.col("meta.byte_len").alias("byte_len"),
         F.col("meta.sha256").alias("sha256"),
     )
+
+
+def _fake_phash(payload: bytes) -> int:
+    """Average-hash over a 32-cell pseudo-luminance grid derived from the
+    payload digest (deterministic stand-in for downscale+gray pixels):
+    cell byte > grid mean → bit set.  The mean test is the exact-integer
+    form ``32·byte > Σbytes`` — no division, engine-neutral.  A real
+    pHash kernel replaces only the grid derivation (DCT of downscaled
+    pixels); the bit election and output contract are identical."""
+    base = hashlib.sha256(payload or b"").hexdigest()
+    grid = hashlib.sha256((base + ":grid").encode()).digest()
+    total = sum(grid)
+    return sum(1 << i for i, bv in enumerate(grid) if 32 * bv > total)
+
+
+def media_phash(media: DataFrame) -> DataFrame:
+    """Perceptual-hash feature extraction: ``(media_id, phash)`` with a
+    32-bit average-hash fingerprint per payload — the join key for
+    near-duplicate media detection (cf. dedup.simhash_near_pairs for the
+    banded pairing such fingerprints feed).
+
+    Same Arrow-batched ``mapInPandas`` plumbing as :func:`decode_media`
+    — payloads stream through executors, never the driver.  The grid
+    derivation routes through the hex-digest domain (payload →
+    hex(sha256) → sha256 of a string) so the whole kernel is computable
+    by a SQL oracle engine whose sha256 takes strings; a real
+    pixel-DCT pHash swaps in by replacing ``_fake_phash`` only.
+    """
+    from p2_mapreduce_spark.mapreduce import _ship_by_value
+
+    _ship_by_value(_fake_phash)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "phash": [_fake_phash(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema="media_id long, phash long"
+    )

@@ -152,3 +152,75 @@ def load_latest_state(spark, path: str) -> DataFrame:
     if not versions:
         raise FileNotFoundError(f"no state versions under {path}")
     return spark.read.parquet(f"{path}/v={versions[-1]}")
+
+
+def fold_changelog_batch(
+    df: DataFrame, batch_id: int, path: str, keys, version_col="version",
+    op_col="op",
+) -> None:
+    """One micro-batch of streaming CDC apply: compact the batch's
+    changelog records against the latest persisted state version and
+    write ``v=<batch_id>`` — the streaming face of
+    ``operators/merge.compact_changelog``.
+
+    The state retains TOMBSTONES (a delete must keep beating
+    late-arriving lower-version upserts in future batches), so the fold
+    is "keep latest record per key, delete-wins on ties" over
+    state ∪ batch; :func:`load_compacted` applies the tombstone filter
+    at read time.  Same ``max(v) < batch_id`` predecessor rule as
+    :func:`fold_state_batch` — replays overwrite their own version,
+    never double-fold."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    versions = _list_state_versions(spark, path)
+    prev = [v for v in versions if v < batch_id]
+    merged = df
+    if prev:
+        merged = spark.read.parquet(f"{path}/v={max(prev)}").unionByName(df)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(), F.col(op_col).asc()
+    )
+    new = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    new.write.mode("overwrite").parquet(f"{path}/v={batch_id}")
+    if prev:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for v in prev[:-1]:
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/v={v}")
+            p.getFileSystem(conf).delete(p, True)
+
+
+def changelog_stream_sink(
+    stream_df: DataFrame, path: str, checkpoint: str, keys,
+    version_col="version", op_col="op",
+):
+    """Streaming CDC apply: a changelog stream (upserts + deletes with
+    versions) continuously folds into a compacted table state.  After
+    any prefix of micro-batches, ``load_compacted`` equals batch
+    ``compact_changelog`` over the same records — pinned in pytest —
+    because the fold is associative: latest-record-per-key over
+    (state ∪ batch) == latest over all records seen."""
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        fold_changelog_batch(df, batch_id, path, keys, version_col, op_col)
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def load_compacted(spark, path: str, op_col: str = "op") -> DataFrame:
+    """Read face of the streaming CDC state: newest version, tombstones
+    dropped."""
+    from pyspark.sql import functions as F
+
+    return load_latest_state(spark, path).filter(F.col(op_col) != "delete")
