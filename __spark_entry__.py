@@ -1527,6 +1527,18 @@ def _q_changelog_compact(spark, sf_dir):
     return compact_changelog(log, ["o_orderkey"])
 
 
+def _q_item_cosine(spark, sf_dir):
+    from p2_mapreduce_spark.operators.analytics import item_cosine
+
+    return item_cosine(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_top_paths(spark, sf_dir):
+    from p2_mapreduce_spark.operators.analytics import top_paths
+
+    return top_paths(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -1696,6 +1708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_overlap": _q_hll_overlap,
         "changelog_compact": _q_changelog_compact,
         "media_phash": _q_media_phash,
+        "item_cosine": _q_item_cosine,
+        "top_paths": _q_top_paths,
     }
 
 
@@ -4673,6 +4687,43 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1 AND op <> 'delete'
         """,
         "media_phash": _phash_sql(),
+        "item_cosine": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            pairs AS (
+                SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                       count(*) AS n_orders
+                FROM items a
+                JOIN items b ON a.l_orderkey = b.l_orderkey
+                            AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                ORDER BY n_orders DESC, part_a, part_b LIMIT 50
+            ),
+            freq AS (SELECT l_partkey, count(*) AS n FROM items GROUP BY 1)
+            SELECT part_a, part_b, n_orders,
+                   CAST(n_orders AS DOUBLE)
+                     / sqrt(CAST(fa.n * fb.n AS DOUBLE)) AS cosine
+            FROM pairs
+            JOIN freq fa ON fa.l_partkey = part_a
+            JOIN freq fb ON fb.l_partkey = part_b
+        """,
+        "top_paths": f"""
+            WITH r AS (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM {ev}
+            ),
+            p AS (
+                SELECT user_id,
+                       string_agg(event_type, '>' ORDER BY rn) AS path
+                FROM r WHERE rn <= 5 GROUP BY user_id
+            )
+            SELECT path, CAST(count(*) AS BIGINT) AS n_users
+            FROM p GROUP BY path
+            ORDER BY n_users DESC, path LIMIT 20
+        """,
     }
     # star-contraction closure produces the same canonical
     # min-id labels as label propagation — shared oracle

@@ -129,6 +129,8 @@ HEADLINE = (
     "hll_overlap",
     "changelog_compact",
     "media_phash",
+    "item_cosine",
+    "top_paths",
 )
 
 

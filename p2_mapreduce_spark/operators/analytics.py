@@ -276,3 +276,84 @@ def skyline_frontier(
         F.col("prefix_max") >= F.col(size_col), F.lit(False)
     ) | (F.col("msize") > F.col(size_col))
     return joined.filter(~dominated).select(*part.columns)
+
+
+def item_cosine(lineitem: DataFrame, top_n: int = 50) -> DataFrame:
+    """Item-item cosine similarity over order baskets — the normalized
+    form of :func:`copurchase_pairs`: ``cos(i,j) = n_ij / √(n_i · n_j)``
+    with ``n_i`` = orders containing part i — ``(part_a, part_b,
+    n_orders, cosine)`` for the ``top_n`` most co-bought pairs.
+
+    Normalization turns raw co-counts into the classic item-based
+    collaborative-filtering score (popular items stop dominating).  The
+    plan adds ONE part-grain aggregate to the copurchase shape, joined
+    back onto the (already top_n-bounded) pair list — so the extra cost
+    is a catalog-grain count plus a 2×top_n-row join, nothing at fact
+    grain.  The cosine is √ of an exact BIGINT product then one division
+    — two correctly-rounded IEEE ops, bit-identical cross-engine.
+    Ranking stays by the EXACT count (cosine is derived output), so the
+    cut is deterministic.
+    """
+    pairs = copurchase_pairs(lineitem, top_n)
+    freq = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_orders",
+            (
+                F.col("n_orders").cast("double")
+                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+
+
+def top_paths(
+    events: DataFrame, prefix_len: int = 5, top_n: int = 20
+) -> DataFrame:
+    """Path mining: the ``top_n`` most common event-type journeys,
+    where a journey is each user's first ``prefix_len`` events in
+    (ts, event_id) order joined with ``>`` — ``(path, n_users)``.
+
+    ONE user-key shuffle: collect each user's (ts, event_id, type)
+    structs, ``sort_array`` (struct order = lexicographic on the fields,
+    and (ts, event_id) is unique, so the path is bit-deterministic under
+    any partitioning), slice the prefix, join to a string; then a
+    path-grain count and a TakeOrderedAndProject cut (count desc, path
+    asc).  Note collect_list holds a user's FULL event list before the
+    slice — fine at per-user grain; for hyperactive keys pre-filter to
+    the first ``prefix_len`` events with a row_number window first
+    (same shuffle count).  The path-grain count contracts map-side, so
+    the wide exchange carries distinct paths only.
+    """
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+        )
+    )
+    per_user = events.groupBy("user_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(ordered, lambda s: s["event_type"]),
+                1,
+                prefix_len,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        per_user.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(int(top_n))
+    )
