@@ -1539,6 +1539,50 @@ def _q_top_paths(spark, sf_dir):
     return top_paths(load_table(spark, sf_dir, "events"))
 
 
+def _q_dq_orders(spark, sf_dir):
+    from p2_mapreduce_spark.operators.profile import dq_check
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rules = [
+        {"name": "orderkey_not_null", "kind": "not_null", "col": "o_orderkey"},
+        {
+            "name": "price_range",
+            "kind": "range",
+            "col": "o_totalprice",
+            "lo": 0.0,
+            "hi": 300000.0,
+        },
+        {
+            "name": "status_domain",
+            "kind": "in_set",
+            "col": "o_orderstatus",
+            "values": ["O", "F", "P"],
+        },
+        {
+            "name": "priority_shape",
+            "kind": "regex",
+            "col": "o_orderpriority",
+            "pattern": "^[0-9]-[A-Z ]+$",
+        },
+        {"name": "orderkey_unique", "kind": "unique", "col": "o_orderkey"},
+        {
+            "name": "custkey_fk",
+            "kind": "fk",
+            "col": "o_custkey",
+            "dim": "customer",
+            "dim_col": "c_custkey",
+        },
+    ]
+    return dq_check(orders, rules, {"customer": customer})
+
+
+def _q_wau_hll(spark, sf_dir):
+    from p2_mapreduce_spark.operators.profile import wau_hll
+
+    return wau_hll(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -1710,6 +1754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash": _q_media_phash,
         "item_cosine": _q_item_cosine,
         "top_paths": _q_top_paths,
+        "dq_orders": _q_dq_orders,
+        "wau_hll": _q_wau_hll,
     }
 
 
@@ -4723,6 +4769,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, CAST(count(*) AS BIGINT) AS n_users
             FROM p GROUP BY path
             ORDER BY n_users DESC, path LIMIT 20
+        """,
+        "dq_orders": """
+            WITH agg AS (
+                SELECT
+                    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                         AS BIGINT) AS v_nn,
+                    CAST(SUM(CASE WHEN o_totalprice IS NULL
+                                   OR o_totalprice < 0.0
+                                   OR o_totalprice > 300000.0
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS v_rng,
+                    CAST(SUM(CASE WHEN NOT (o_orderstatus IN ('O','F','P'))
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+                    CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority,
+                                           '^[0-9]-[A-Z ]+$')
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS v_rx,
+                    CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+                         AS BIGINT) AS v_uq
+                FROM orders
+            ),
+            fk AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS v_fk FROM orders o
+                WHERE o_custkey IS NOT NULL AND NOT EXISTS (
+                    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+            ),
+            u AS (
+                SELECT 'orderkey_not_null' AS rule, v_nn AS n_violations
+                FROM agg
+                UNION ALL SELECT 'price_range', v_rng FROM agg
+                UNION ALL SELECT 'status_domain', v_set FROM agg
+                UNION ALL SELECT 'priority_shape', v_rx FROM agg
+                UNION ALL SELECT 'orderkey_unique', v_uq FROM agg
+                UNION ALL SELECT 'custkey_fk', v_fk FROM fk
+            )
+            SELECT rule, n_violations, n_violations = 0 AS passed FROM u
+        """,
+        "wau_hll": f"""
+            WITH daily AS (
+                SELECT ad, h % 64 AS j,
+                       least(40, CASE WHEN h // 64 = 0 THEN 55
+                                 ELSE 54 - length(bin(h // 64)) + 1 END) AS r
+                FROM (SELECT CAST(ts AS DATE) AS ad,
+                             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                                 18, 15) AS BIGINT) AS h
+                      FROM {ev})
+            ),
+            regs AS (SELECT ad, j, MAX(r) AS r FROM daily GROUP BY 1, 2),
+            b AS (SELECT min(CAST(ts AS DATE)) AS lo,
+                         max(CAST(ts AS DATE)) AS hi FROM {ev}),
+            cal AS (SELECT CAST(unnest(generate_series(lo, hi,
+                                INTERVAL 1 DAY)) AS DATE) AS d FROM b),
+            win AS (
+                SELECT d, j, MAX(r) AS r FROM regs JOIN cal
+                  ON ad <= d AND ad > d - INTERVAL 7 DAY
+                GROUP BY 1, 2
+            ),
+            sums AS (
+                SELECT d, COUNT(*) AS nz,
+                       SUM(1.0 / (CAST(1 AS BIGINT) << r)) AS snz
+                FROM win GROUP BY 1
+            ),
+            grid AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS ad FROM {ev}
+            ),
+            exact AS (
+                SELECT d, COUNT(DISTINCT user_id) AS exact_users
+                FROM grid JOIN cal ON ad <= d AND ad > d - INTERVAL 7 DAY
+                GROUP BY 1
+            )
+            SELECT strftime(sums.d, '%Y-%m-%d') AS d,
+                   (0.709 * 4096.0) / (snz + (64.0 - nz)) AS est_users,
+                   CAST(exact_users AS BIGINT) AS exact_users
+            FROM sums JOIN exact ON sums.d = exact.d
         """,
     }
     # star-contraction closure produces the same canonical

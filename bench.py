@@ -131,6 +131,8 @@ HEADLINE = (
     "media_phash",
     "item_cosine",
     "top_paths",
+    "dq_orders",
+    "wau_hll",
 )
 
 

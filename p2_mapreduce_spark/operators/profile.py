@@ -491,3 +491,182 @@ def hll_overlap(
             .alias("exact_overlap"),
         )
     )
+
+
+def dq_check(
+    df: DataFrame,
+    rules: Sequence[dict],
+    fk_dims: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Declarative data-quality rule engine: evaluate a rule list in as
+    few passes as the rule kinds allow and emit one row per rule —
+    ``(rule, n_violations, passed)`` — the contract-testing stage of a
+    pipeline (dbt tests / Deequ, reduced to its plan shape).
+
+    Rule kinds and their cost model:
+
+    - ``not_null`` / ``range`` / ``in_set`` / ``regex``: conditional
+      counts — ALL of them fold into ONE shared aggregate scan, zero
+      shuffles beyond the single global agg;
+    - ``unique``: ``count − countDistinct`` over the key, same shared
+      pass (Spark plans the distinct as an expand, still one scan);
+    - ``fk``: orphan count via LEFT ANTI join against the dim's key
+      column (broadcast when small) — one extra plan per FK rule.
+
+    The result is a config-bounded table (one row per rule), so a 100 TB
+    audit costs one fact scan plus one anti join per foreign key.
+
+    Rule schema: ``{"name", "kind", "col", ...}`` with ``lo``/``hi`` for
+    range, ``values`` for in_set, ``pattern`` for regex, ``dim`` (a key
+    into ``fk_dims``) + ``dim_col`` for fk.
+
+    Reference seed: the reference validates only text-ness at ingest
+    (manager.go:748-752); rule evaluation is extension surface.
+    """
+    agg_exprs = []
+    fk_rules = []
+    names = []
+    for r in rules:
+        kind, col = r["kind"], r.get("col")
+        name = r["name"]
+        if kind == "not_null":
+            e = F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+        elif kind == "range":
+            e = F.sum(
+                F.when(
+                    F.col(col).isNull()
+                    | (F.col(col) < r["lo"])
+                    | (F.col(col) > r["hi"]),
+                    1,
+                ).otherwise(0)
+            )
+        elif kind == "in_set":
+            e = F.sum(
+                F.when(~F.col(col).isin(list(r["values"])), 1).otherwise(0)
+            )
+        elif kind == "regex":
+            e = F.sum(
+                F.when(~F.col(col).rlike(r["pattern"]), 1).otherwise(0)
+            )
+        elif kind == "unique":
+            e = F.count(F.col(col)) - F.countDistinct(F.col(col))
+        elif kind == "fk":
+            fk_rules.append(r)
+            continue
+        else:
+            raise ValueError(f"unknown rule kind {kind!r}")
+        agg_exprs.append(e.cast("bigint").alias(name))
+        names.append(name)
+    spark = df.sparkSession
+    parts = []
+    if agg_exprs:
+        wide = df.agg(*agg_exprs)
+        # unpivot the single wide row to (rule, n_violations) — the
+        # stack is over #rules columns, config-bounded
+        stack = ", ".join(f"'{n}', {n}" for n in names)
+        parts.append(
+            wide.selectExpr(
+                f"stack({len(names)}, {stack}) as (rule, n_violations)"
+            )
+        )
+    for r in fk_rules:
+        dim = (fk_dims or {})[r["dim"]]
+        orphans = (
+            df.select(F.col(r["col"]))
+            .filter(F.col(r["col"]).isNotNull())
+            .join(
+                F.broadcast(dim.select(F.col(r["dim_col"]).alias(r["col"]))),
+                r["col"],
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+            .select(F.lit(r["name"]).alias("rule"), "n_violations")
+        )
+        parts.append(orphans)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "rule", "n_violations", (F.col("n_violations") == 0).alias("passed")
+    )
+
+
+def wau_hll(
+    events: DataFrame, days: int = 7, m: int = 64, rmax: int = 40
+) -> DataFrame:
+    """Trailing-``days`` distinct-user ESTIMATE per calendar day from
+    mergeable daily HLL states — ``(d, est_users, exact_users)``.
+
+    The sketch answer to timeseries.rolling_active_users: the exact
+    construction range-joins the (user, day) activity grid into every
+    window it touches (|grid|×N work); the sketch version stores ONE
+    m-register state per day and merges ≤N states per output day —
+    window work collapses to (#days × N × m) register rows, INDEPENDENT
+    of user count.  This is why a 100 TB metrics pipeline keeps daily
+    HLL states: any trailing window, cohort union, or backfill is a
+    register MAX over config-sized tables.  Same md5-60 register
+    family as hll_distinct_rollup ⇒ the estimate itself is
+    value-hash oracle-checkable; the exact count rides along at fixture
+    scale as the honesty column.
+    """
+    wbits = 60 - m.bit_length() + 1
+    alphas = {16: 0.673, 32: 0.697, 64: 0.709}
+    alpha_v = alphas.get(m, 0.7213 / (1.0 + 1.079 / m))
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 18, 15), 16, 10
+    ).cast("long")
+    daily = (
+        events.select(F.to_date("ts").alias("ad"), h.alias("h"))
+        .select(
+            "ad",
+            (F.col("h") % m).alias("j"),
+            F.expr(
+                f"least({rmax}, CASE WHEN h div {m} = 0 THEN {wbits + 1} "
+                f"ELSE {wbits} - length(bin(h div {m})) + 1 END)"
+            ).alias("r"),
+        )
+        .groupBy("ad", "j")
+        .agg(F.max("r").alias("r"))
+    )
+    cal = (
+        events.agg(
+            F.min(F.to_date("ts")).alias("lo"),
+            F.max(F.to_date("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias(
+                "d"
+            )
+        )
+    )
+    win = daily.join(
+        F.broadcast(cal),
+        (F.col("ad") <= F.col("d"))
+        & (F.col("ad") > F.date_sub(F.col("d"), days)),
+    )
+    merged = win.groupBy("d", "j").agg(F.max("r").alias("r"))
+    sums = merged.groupBy("d").agg(
+        F.count(F.lit(1)).alias("nz"),
+        F.sum(F.expr("1.0 / shiftleft(cast(1 as bigint), r)")).alias("snz"),
+    )
+    est = (F.lit(alpha_v) * F.lit(float(m * m))) / (
+        F.col("snz") + (F.lit(float(m)) - F.col("nz"))
+    )
+    grid = events.select("user_id", F.to_date("ts").alias("ad")).distinct()
+    exact = (
+        grid.join(
+            F.broadcast(cal),
+            (F.col("ad") <= F.col("d"))
+            & (F.col("ad") > F.date_sub(F.col("d"), days)),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        sums.join(exact, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            est.alias("est_users"),
+            F.col("exact_users").cast("bigint").alias("exact_users"),
+        )
+    )
