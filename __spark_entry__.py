@@ -1583,6 +1583,32 @@ def _q_wau_hll(spark, sf_dir):
     return wau_hll(load_table(spark, sf_dir, "events"))
 
 
+def _q_sample_k_group(spark, sf_dir):
+    from p2_mapreduce_spark.operators.curation import sample_k_per_group
+
+    return sample_k_per_group(
+        load_table(spark, sf_dir, "documents"), k=5, group_col="source"
+    )
+
+
+def _q_table_digest(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.profile import table_digest
+
+    # project to engine-neutral string-castable columns first: exact
+    # cents for the double, explicit calendar format for the timestamp
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+        "o_orderpriority",
+    )
+    return table_digest(o, ["o_orderkey"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -1756,6 +1782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_paths": _q_top_paths,
         "dq_orders": _q_dq_orders,
         "wau_hll": _q_wau_hll,
+        "sample_k_group": _q_sample_k_group,
+        "table_digest": _q_table_digest,
     }
 
 
@@ -4841,6 +4869,40 @@ def oracle_sql() -> dict[str, str]:
                    (0.709 * 4096.0) / (snz + (64.0 - nz)) AS est_users,
                    CAST(exact_users AS BIGINT) AS exact_users
             FROM sums JOIN exact ON sums.d = exact.d
+        """,
+        "sample_k_group": """
+            SELECT doc_id, text, lang, source, n_chars FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5('s0:' || CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS rk
+                FROM documents
+            ) WHERE rk <= 5
+        """,
+        "table_digest": """
+            WITH o AS (
+                SELECT o_orderkey, o_custkey,
+                       CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+                       o_orderstatus,
+                       strftime(o_orderdate, '%Y-%m-%d') AS od,
+                       o_orderpriority
+                FROM orders
+            ),
+            h AS (
+                SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                           18, 15) AS BIGINT) % 64 AS bucket,
+                       CAST('0x' || substr(md5(
+                           concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                                     CAST(o_custkey AS VARCHAR),
+                                     CAST(cents AS VARCHAR),
+                                     o_orderstatus, od, o_orderpriority)),
+                           18, 15) AS BIGINT) AS rh
+                FROM o
+            )
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(CAST(SUM(CAST(rh AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                        AS VARCHAR) AS digest
+            FROM h GROUP BY bucket
         """,
     }
     # star-contraction closure produces the same canonical

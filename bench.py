@@ -133,6 +133,8 @@ HEADLINE = (
     "top_paths",
     "dq_orders",
     "wau_hll",
+    "sample_k_group",
+    "table_digest",
 )
 
 

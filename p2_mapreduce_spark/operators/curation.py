@@ -727,3 +727,31 @@ def dict_encode(
     return df.select(id_col, col).join(F.broadcast(vocab), col).select(
         id_col, col, "code"
     )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: str = "s0",
+) -> DataFrame:
+    """Exactly-k-per-stratum uniform sample: within every ``group_col``
+    value, keep the ``k`` rows with the smallest ``md5(salt‖id)`` — the
+    per-stratum quota :func:`stratified_split` deliberately does not do
+    (quotas need a rank, i.e. one shuffle on the stratum key; the hash
+    coin is shuffle-free but only hits fractions in expectation).
+
+    One row_number window on the group key — strata process in
+    parallel, per-stratum state is the rank counter.  Deterministic per
+    salt; groups smaller than ``k`` keep all rows.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(k))
+        .drop("__rk")
+    )

@@ -670,3 +670,42 @@ def wau_hll(
             F.col("exact_users").cast("bigint").alias("exact_users"),
         )
     )
+
+
+def table_digest(
+    df: DataFrame, key_cols: Sequence[str], n_buckets: int = 64
+) -> DataFrame:
+    """Anti-entropy bucket digests (the Merkle-tree leaf level of
+    replica reconciliation): hash every row's full content, fold the
+    hashes per key-bucket with an ORDER-INDEPENDENT sum, and emit
+    ``(bucket, n_rows, digest)`` — two replicas compare ``n_buckets``
+    rows instead of the whole table, then sync only mismatched buckets.
+
+    Row hash = md5-60 of the concatenated row (engine-neutral); fold =
+    SUM of the 60-bit values into DECIMAL(38,0) — exact and associative,
+    so the digest is identical under ANY partitioning, insertion order,
+    or merge plan (a XOR fold would also work but loses multiplicity:
+    duplicate-row pairs cancel).  Bucket = md5-60 of the KEY mod
+    ``n_buckets``, so a row's bucket depends only on its key and the
+    same row always lands in the same bucket on both replicas.  One
+    map-side-combined aggregate; output is config-bounded.
+
+    Reference seed: per-chunk MD5 verification + scrubbing
+    (storage-node/main.go:161-209, 502-509) — the same integrity idea,
+    lifted from chunks to relational buckets.
+    """
+    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    row_str = F.concat_ws("|", *[F.col(c).cast("string") for c in df.columns])
+    kh = F.conv(F.substring(F.md5(key_str), 18, 15), 16, 10).cast("long")
+    rh = F.conv(F.substring(F.md5(row_str), 18, 15), 16, 10).cast("long")
+    return (
+        df.select((kh % n_buckets).alias("bucket"), rh.alias("rh"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("rh").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("digest"),
+        )
+    )
