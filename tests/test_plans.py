@@ -296,6 +296,9 @@ PYTHON_ALLOWED = {
     # the registry's UDTF path IS the Python escape hatch (row-generating
     # plugins); the built-ins (explode/sequence) stay the hot path
     "udtf_sentences",
+    # Arrow-batched mapInPandas media kernel (multimodal.media_phash) —
+    # the payload-touching stage is Python by design, like media_decode
+    "media_phash",
 }
 
 
