@@ -1609,6 +1609,23 @@ def _q_table_digest(spark, sf_dir):
     return table_digest(o, ["o_orderkey"])
 
 
+def _q_bpe_pairs(spark, sf_dir):
+    from p2_mapreduce_spark.operators.bpe import bpe_pair_table
+
+    return bpe_pair_table(load_table(spark, sf_dir, "documents"))
+
+
+def _q_share_of_parent(spark, sf_dir):
+    from p2_mapreduce_spark.operators.analytics import share_of_parent
+
+    return share_of_parent(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -1784,6 +1801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wau_hll": _q_wau_hll,
         "sample_k_group": _q_sample_k_group,
         "table_digest": _q_table_digest,
+        "bpe_pairs": _q_bpe_pairs,
+        "share_of_parent": _q_share_of_parent,
     }
 
 
@@ -4903,6 +4922,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(SUM(CAST(rh AS DECIMAL(38,0))) AS DECIMAL(38,0))
                         AS VARCHAR) AS digest
             FROM h GROUP BY bucket
+        """,
+        # round-1 BPE pair stats: char pairs via substr positions
+        # (character-indexed in both engines), weighted by word freq
+        "bpe_pairs": f"""
+            WITH wf AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS freq
+                FROM (SELECT lower(unnest(regexp_split_to_array(text,
+                                  '{_TOK}'))) AS word FROM documents)
+                WHERE word <> '' GROUP BY word
+            ),
+            pairs AS (
+                SELECT substr(word, g.i, 1) AS l,
+                       substr(word, g.i + 1, 1) AS r, freq
+                FROM wf,
+                     LATERAL (SELECT unnest(generate_series(1,
+                                  length(word) - 1)) AS i) g
+                WHERE length(word) >= 2
+            )
+            SELECT l AS "left", r AS "right",
+                   CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM pairs GROUP BY 1, 2
+            ORDER BY cnt DESC, "left", "right" LIMIT 20
+        """,
+        "share_of_parent": f"""
+            WITH grain AS (
+                SELECT r_name, n_name,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                GROUP BY 1, 2
+            )
+            SELECT r_name, n_name,
+                   CAST(rev_dec AS DOUBLE) AS revenue,
+                   CAST(SUM(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE)
+                       AS region_revenue,
+                   CAST(rev_dec AS DOUBLE)
+                     / CAST(SUM(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE)
+                       AS share
+            FROM grain
         """,
     }
     # star-contraction closure produces the same canonical

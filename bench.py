@@ -135,6 +135,8 @@ HEADLINE = (
     "wau_hll",
     "sample_k_group",
     "table_digest",
+    "bpe_pairs",
+    "share_of_parent",
 )
 
 

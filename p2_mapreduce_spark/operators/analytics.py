@@ -357,3 +357,50 @@ def top_paths(
         .orderBy(F.desc("n_users"), F.asc("path"))
         .limit(int(top_n))
     )
+
+
+def share_of_parent(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Percent-of-parent rollup (the BI staple): per-nation revenue with
+    its share of the enclosing region — ``(r_name, n_name, revenue,
+    region_revenue, share)``.
+
+    The fact table aggregates ONCE at nation grain (dims broadcast —
+    they are catalog-sized); the parent total is then a window SUM over
+    the nation-grain result partitioned by region — ≤ #nations rows per
+    partition, grain-bounded by the dimension, never by facts.  Sums
+    follow the decimal protocol; the share is one IEEE division of two
+    exact sums, so every number is bit-identical cross-engine.
+    """
+    joined = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    grain = joined.groupBy("r_name", "n_name").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec")
+    )
+    w = Window.partitionBy("r_name")
+    return grain.select(
+        "r_name",
+        "n_name",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.sum("rev_dec").over(w).cast("double").alias("region_revenue"),
+        (
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(w).cast("double")
+        ).alias("share"),
+    )
