@@ -1,0 +1,104 @@
+"""Plan-hygiene pins for the round-2 operator batches (search, ML-prep,
+sketch algebra, CDC, skyline) — same contract as test_plans.py: fail
+when Catalyst stops making the scale-critical choice the operator is
+designed around."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from p2_mapreduce_spark.plans import plan_report
+
+
+@pytest.fixture(autouse=True)
+def _clear_cache(spark):
+    spark.catalog.clearCache()
+    yield
+
+
+def _report(spark, sf_dir, qid):
+    return plan_report(entry_mod.queries()[qid](spark, sf_dir))
+
+
+def test_dict_encode_fact_table_never_shuffles(spark, sf_dir):
+    r = _report(spark, sf_dir, "dict_encode")
+    # the row-encoding join must broadcast the vocabulary; the only
+    # sort-merge-free path for the fact side
+    assert r["n_broadcast_joins"] >= 1
+    assert r["n_sortmerge_joins"] == 0
+
+
+def test_feature_bin_boundaries_broadcast_back(spark, sf_dir):
+    r = _report(spark, sf_dir, "feature_bin")
+    assert r["n_broadcast_joins"] == 1
+    assert r["n_sortmerge_joins"] == 0
+
+
+def test_share_of_parent_dims_all_broadcast(spark, sf_dir):
+    r = _report(spark, sf_dir, "share_of_parent")
+    assert r["n_broadcast_joins"] == 3
+    assert r["n_sortmerge_joins"] == 0
+    # one fact shuffle (the nation-grain aggregate); the window runs on
+    # the grain table partitioned by region — no extra fact exchange
+    assert r["n_exchanges"] <= 3
+
+
+def test_grouped_ols2_is_one_aggregate(spark, sf_dir):
+    r = _report(spark, sf_dir, "grouped_ols2")
+    assert not r["has_python_worker"]
+    assert r["has_partial_agg"], "sufficient stats must map-side combine"
+    assert r["n_exchanges"] <= 1, "a regression fit is ONE aggregate pass"
+
+
+def test_table_digest_is_one_aggregate(spark, sf_dir):
+    r = _report(spark, sf_dir, "table_digest")
+    assert not r["has_python_worker"]
+    assert r["n_exchanges"] <= 1
+
+
+def test_quality_classifier_zero_exchanges(spark, sf_dir):
+    r = _report(spark, sf_dir, "quality_classifier")
+    assert not r["has_python_worker"]
+    # spread()'s RoundRobin is allowed; no key shuffle may appear
+    assert "hashpartitioning" not in r["plan"]
+
+
+def test_stratified_split_zero_exchanges(spark, sf_dir):
+    r = _report(spark, sf_dir, "stratified_split")
+    assert r["n_exchanges"] == 0
+    assert not r["has_python_worker"]
+
+
+def test_skyline_no_global_single_partition_window(spark, sf_dir):
+    r = _report(spark, sf_dir, "skyline_parts")
+    # the strict-prefix max must run partitioned by pid — an unpartitioned
+    # data-grain window ("Window [...] ORDER BY ... windowspecdefinition"
+    # with SinglePartition exchange right above the price-grain table)
+    # would be the scale-killer.  The only SinglePartition exchange
+    # allowed is the config-bounded per-partition offset table.
+    assert r["plan"].count("SinglePartition") <= 1
+
+
+def test_bm25_stats_broadcast(spark, sf_dir):
+    r = _report(spark, sf_dir, "bm25_search")
+    # corpus stats (1 row) and the df table (≤ |terms| rows) come back
+    # as broadcast cross joins (BroadcastNestedLoop with a 1-row build
+    # side); the doc-length join broadcast-hashes; nothing sort-merges
+    assert r["plan"].count("BroadcastNestedLoopJoin") >= 2
+    assert r["n_broadcast_joins"] >= 1
+    assert r["n_sortmerge_joins"] == 0
+    assert not r["has_python_worker"]
+
+
+def test_sample_exact_k_plans_takeordered(spark, sf_dir):
+    r = _report(spark, sf_dir, "sample_exact_k")
+    assert "TakeOrderedAndProject" in r["plan"], (
+        "exact-k sample must be a heap cut, never a global sort"
+    )
+
+
+def test_scd2_no_fact_outer_rebuild(spark, sf_dir):
+    r = _report(spark, sf_dir, "scd2_orders")
+    # the close-stamp join must broadcast the changed-key set
+    assert r["n_broadcast_joins"] >= 1
+    plan = r["plan"]
+    assert "FullOuter" not in plan and "full_outer" not in plan
