@@ -1626,6 +1626,24 @@ def _q_share_of_parent(spark, sf_dir):
     )
 
 
+def _q_corpus_report(spark, sf_dir):
+    from p2_mapreduce_spark.operators.text_analysis import corpus_report
+
+    return corpus_report(load_table(spark, sf_dir, "documents"))
+
+
+def _q_doclen_histogram(spark, sf_dir):
+    from p2_mapreduce_spark.operators.text_analysis import doclen_histogram
+
+    return doclen_histogram(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dup_matrix(spark, sf_dir):
+    from p2_mapreduce_spark.operators.dedup import dup_matrix
+
+    return dup_matrix(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -1803,6 +1821,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_digest": _q_table_digest,
         "bpe_pairs": _q_bpe_pairs,
         "share_of_parent": _q_share_of_parent,
+        "corpus_report": _q_corpus_report,
+        "doclen_histogram": _q_doclen_histogram,
+        "dup_matrix": _q_dup_matrix,
     }
 
 
@@ -4944,6 +4965,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(freq) AS BIGINT) AS cnt
             FROM pairs GROUP BY 1, 2
             ORDER BY cnt DESC, "left", "right" LIMIT 20
+        """,
+        "corpus_report": f"""
+            WITH base AS (
+                SELECT lang, source, len(t) AS n_tok,
+                       len(list_distinct(t)) AS n_uniq
+                FROM ({toks})
+            )
+            SELECT COALESCE(lang, 'ALL') AS lang,
+                   COALESCE(source, 'ALL') AS source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                   CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens,
+                   CAST(SUM(n_uniq) * 1000000 // SUM(n_tok) AS BIGINT)
+                       AS distinct_ratio_ppm
+            FROM base GROUP BY CUBE (lang, source)
+        """,
+        "doclen_histogram": f"""
+            WITH base AS (SELECT len(t) AS n_tok FROM ({toks})),
+            h AS (
+                SELECT CASE WHEN n_tok <= 0 THEN 0
+                            ELSE length(bin(n_tok)) END AS b
+                FROM base
+            ),
+            hist AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_docs
+                     FROM h GROUP BY b),
+            t AS (SELECT SUM(n_docs) AS total FROM hist)
+            SELECT CAST(CASE WHEN b <= 0 THEN 0
+                        ELSE (CAST(1 AS BIGINT) << (b - 1)) END AS BIGINT)
+                       AS bucket_lo,
+                   CAST((CAST(1 AS BIGINT) << b) - 1 AS BIGINT) AS bucket_hi,
+                   n_docs,
+                   CAST(n_docs * 1000000 // total AS BIGINT) AS share_ppm
+            FROM hist CROSS JOIN t
+        """,
+        "dup_matrix": f"""
+            WITH p AS ({_ngram_pairs_sql(
+                shingles, "SELECT doc_a, doc_b"
+            )})
+            SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+            FROM p
+            JOIN documents da ON p.doc_a = da.doc_id
+            JOIN documents db ON p.doc_b = db.doc_id
+            GROUP BY 1, 2
         """,
         "share_of_parent": f"""
             WITH grain AS (

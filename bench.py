@@ -137,6 +137,9 @@ HEADLINE = (
     "table_digest",
     "bpe_pairs",
     "share_of_parent",
+    "corpus_report",
+    "doclen_histogram",
+    "dup_matrix",
 )
 
 

@@ -693,3 +693,46 @@ def boilerplate_ngrams(
         .orderBy(F.col("df").desc(), F.col("shingle"))
         .limit(int(top_n))
     )
+
+
+def dup_matrix(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Near-duplicate provenance matrix: for every source pair (ordered
+    lexically, diagonal included), how many near-dup DOCUMENT PAIRS
+    (n-gram Jaccard ≥ ``threshold``) span them — ``(source_a, source_b,
+    n_dup_pairs)`` — the matrix a curator consults before assigning
+    mixture weights: a heavy off-diagonal cell means source B
+    substantially mirrors source A, a heavy diagonal means internal
+    template reuse.
+
+    Composes :func:`ngram_jaccard_pairs` (at 100 TB: swap in
+    :func:`minhash_lsh_pairs` — same output contract) with two
+    broadcast joins onto the doc→source map and a pair-grain count;
+    everything after the pair list runs at near-dup-pair grain, which
+    dedup has already made small by construction.
+    """
+    pairs = ngram_jaccard_pairs(docs, threshold, n, text_col, id_col)
+    src = docs.select(F.col(id_col), F.col(source_col))
+    sa = src.select(
+        F.col(id_col).alias("doc_a"), F.col(source_col).alias("sa")
+    )
+    sb = src.select(
+        F.col(id_col).alias("doc_b"), F.col(source_col).alias("sb")
+    )
+    # no broadcast hints: the doc->source map is corpus-sized — the
+    # SMALL side here is the pair list, which AQE broadcasts on its own
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+    )

@@ -494,3 +494,94 @@ def pmi_bigrams(docs: DataFrame, min_count: int = 5, k: int = 50) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("lift").desc(), "w1", "w2").limit(k)
+
+
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """Corpus curation dashboard: token/byte/quality aggregates at every
+    grain of (lang × source) via CUBE — the one-query report a data
+    curator reads before mixing sources — ``(lang, source, n_docs,
+    total_tokens, avg_tokens, distinct_ratio_ppm)``.
+
+    CUBE expands each input row into its 4 grouping sets INSIDE the
+    aggregate (map-side combined like any other agg), so the report
+    costs one scan + one shuffle at (grouping-set × group) grain.  NULL
+    grain labels are surfaced as 'ALL' (engine-neutral: CUBE's null
+    indicator vs a real null would be ambiguous — the fixture has no
+    null lang/source).  Ratios are exact-integer ppm; the average is
+    one IEEE division.
+    """
+    toks = tokens_array(F.col("text"))
+    base = spread(docs).select(
+        "lang",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+    )
+    return (
+        base.cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            (
+                F.sum("n_tok").cast("double") / F.count(F.lit(1))
+            ).alias("avg_tokens"),
+            # integer div, not double-divide-then-cast: Spark casts
+            # double->bigint by truncation but the oracle engine rounds
+            F.expr("sum(n_uniq) * 1000000 div sum(n_tok)")
+            .cast("bigint")
+            .alias("distinct_ratio_ppm"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            "n_docs",
+            "total_tokens",
+            "avg_tokens",
+            "distinct_ratio_ppm",
+        )
+    )
+
+
+def doclen_histogram(docs: DataFrame) -> DataFrame:
+    """Document-length distribution in power-of-two token buckets —
+    ``(bucket_lo, bucket_hi, n_docs, share_ppm)`` — the curator's
+    first diagnostic (truncation cliffs, boilerplate spikes, empty-doc
+    mass all show up here).
+
+    Bucket index = bit length of the token count (0 tokens → bucket 0),
+    a pure integer expression; one map-side-combined aggregate at
+    bucket grain (≤ ~40 rows).  Shares are exact-integer ppm against a
+    broadcast one-row total.
+    """
+    base = spread(docs).select(
+        F.size(tokens_array(F.col("text"))).cast("bigint").alias("n_tok")
+    )
+    bucket = (
+        F.when(F.col("n_tok") <= 0, F.lit(0))
+        .otherwise(F.length(F.expr("bin(n_tok)")))
+        .cast("bigint")
+    )
+    hist = (
+        base.select(bucket.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    total = hist.agg(F.sum("n_docs").alias("total"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            F.when(F.col("b") <= 0, F.lit(0))
+            .otherwise(
+                F.expr("shiftleft(cast(1 as bigint), cast(b - 1 as int))")
+            )
+            .cast("bigint")
+            .alias("bucket_lo"),
+            F.expr("shiftleft(cast(1 as bigint), cast(b as int)) - 1")
+            .cast("bigint")
+            .alias("bucket_hi"),
+            "n_docs",
+            F.expr("n_docs * 1000000 div total")
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+    )
