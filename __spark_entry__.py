@@ -1644,6 +1644,15 @@ def _q_dup_matrix(spark, sf_dir):
     return dup_matrix(load_table(spark, sf_dir, "documents"))
 
 
+def _q_scd2_asof(spark, sf_dir):
+    from p2_mapreduce_spark.operators.merge import scd2_as_of
+
+    # time-travel to BEFORE the 1998-06-01 batch: must read the
+    # pre-batch attribute for every key, including re-priced ones
+    hist = _q_scd2_orders(spark, sf_dir).drop("is_current")
+    return scd2_as_of(hist, "1996-06-01")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -1824,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": _q_corpus_report,
         "doclen_histogram": _q_doclen_histogram,
         "dup_matrix": _q_dup_matrix,
+        "scd2_asof": _q_scd2_asof,
     }
 
 
@@ -5010,6 +5020,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN documents da ON p.doc_a = da.doc_id
             JOIN documents db ON p.doc_b = db.doc_id
             GROUP BY 1, 2
+        """,
+        "scd2_asof": """
+            WITH hist AS (
+                SELECT o_orderkey, o_orderpriority, o_totalprice,
+                       '1995-01-01' AS valid_from,
+                       CAST(NULL AS VARCHAR) AS valid_to
+                FROM orders
+            ),
+            upd AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 10 = 3 THEN '9-RECLASS'
+                            ELSE o_orderpriority END AS o_orderpriority,
+                       o_totalprice
+                FROM orders WHERE o_orderkey % 5 = 3
+            ),
+            changed AS (
+                SELECT u.* FROM upd u
+                JOIN hist c ON u.o_orderkey = c.o_orderkey
+                           AND c.valid_to IS NULL
+                WHERE u.o_orderpriority IS DISTINCT FROM c.o_orderpriority
+            ),
+            stamped AS (
+                SELECT h.o_orderkey, h.o_orderpriority, h.o_totalprice,
+                       h.valid_from,
+                       CASE WHEN ck.o_orderkey IS NOT NULL
+                             AND h.valid_to IS NULL
+                            THEN '1998-06-01' ELSE h.valid_to END AS valid_to
+                FROM hist h
+                LEFT JOIN (SELECT DISTINCT o_orderkey FROM changed) ck
+                  ON h.o_orderkey = ck.o_orderkey
+            ),
+            allrows AS (
+                SELECT * FROM stamped
+                UNION ALL
+                SELECT o_orderkey, o_orderpriority, o_totalprice,
+                       '1998-06-01', CAST(NULL AS VARCHAR)
+                FROM changed
+            )
+            SELECT * FROM allrows
+            WHERE valid_from <= '1996-06-01'
+              AND (valid_to IS NULL OR valid_to > '1996-06-01')
         """,
         "share_of_parent": f"""
             WITH grain AS (

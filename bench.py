@@ -140,6 +140,7 @@ HEADLINE = (
     "corpus_report",
     "doclen_histogram",
     "dup_matrix",
+    "scd2_asof",
 )
 
 

@@ -256,3 +256,18 @@ def compact_changelog(
         .filter((F.col("__rn") == 1) & (F.col(op_col) != "delete"))
         .drop("__rn")
     )
+
+
+def scd2_as_of(history: DataFrame, as_of: str) -> DataFrame:
+    """Time-travel read over an SCD2 history: the version of every key
+    in force at ``as_of`` — ``valid_from <= as_of < valid_to`` with an
+    open (NULL) ``valid_to`` meaning "still current".  A pure filter:
+    zero shuffles, and with the history partitioned by ``valid_to``
+    month the scan prunes to segments overlapping the target date.
+    Composes with :func:`scd2_apply` (pytest: as-of BEFORE an applied
+    batch's effective date reads the pre-batch attributes verbatim).
+    """
+    return history.filter(
+        (F.col("valid_from") <= F.lit(as_of))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(as_of)))
+    )

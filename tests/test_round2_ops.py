@@ -241,3 +241,36 @@ class TestBoilerplateNgrams:
             for r in boilerplate_ngrams(df, n=3, min_df=2, top_n=10).collect()
         }
         assert out["spam spam spam"] == 2
+
+
+class TestScd2AsOf:
+    def test_time_travel_reads_pre_batch_state(self, spark):
+        from p2_mapreduce_spark.operators.merge import scd2_apply, scd2_as_of
+
+        hist = spark.createDataFrame(
+            [
+                (1, "red", "2020-01-01", None),
+                (2, "blue", "2020-01-01", None),
+            ],
+            HIST_SCHEMA,
+        )
+        updates = spark.createDataFrame([(1, "crimson")], "k long, attr string")
+        applied = scd2_apply(hist, updates, ["k"], ["attr"], "2024-06-01")
+        before = {
+            r["k"]: r["attr"]
+            for r in scd2_as_of(applied, "2022-01-01").collect()
+        }
+        after = {
+            r["k"]: r["attr"]
+            for r in scd2_as_of(applied, "2024-07-01").collect()
+        }
+        assert before == {1: "red", 2: "blue"}
+        assert after == {1: "crimson", 2: "blue"}
+
+    def test_before_first_version_is_empty(self, spark):
+        from p2_mapreduce_spark.operators.merge import scd2_as_of
+
+        hist = spark.createDataFrame(
+            [(1, "red", "2020-01-01", None)], HIST_SCHEMA
+        )
+        assert scd2_as_of(hist, "2019-01-01").count() == 0
