@@ -1653,6 +1653,12 @@ def _q_scd2_asof(spark, sf_dir):
     return scd2_as_of(hist, "1996-06-01")
 
 
+def _q_pq_encode(spark, sf_dir):
+    from p2_mapreduce_spark.operators.similarity import pq_encode
+
+    return pq_encode(load_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -1834,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclen_histogram": _q_doclen_histogram,
         "dup_matrix": _q_dup_matrix,
         "scd2_asof": _q_scd2_asof,
+        "pq_encode": _q_pq_encode,
     }
 
 
@@ -4811,6 +4818,49 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1 AND op <> 'delete'
         """,
         "media_phash": _phash_sql(),
+        # PQ twin: md5-seeded sub-codebooks (the knn_ivf seed device
+        # sliced per subspace), argmin via the same rn=1 window, dist²
+        # as the identical (x·x − 2·x·c) + c·c fold tree
+        "pq_encode": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            seeds AS (SELECT vec_id, v FROM e
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+            cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+                          v AS cv
+                   FROM seeds),
+            sub AS (SELECT unnest(generate_series(0, 3)) AS s),
+            cents AS (SELECT s, cell,
+                             cv[s*16+1 : s*16+16] AS cvs
+                      FROM cb, sub),
+            scored AS (
+                SELECT e.vec_id, c.s, c.cell,
+                       (list_dot_product(e.v[c.s*16+1 : c.s*16+16],
+                                         e.v[c.s*16+1 : c.s*16+16])
+                        - 2.0 * list_dot_product(e.v[c.s*16+1 : c.s*16+16],
+                                                 c.cvs))
+                       + list_dot_product(c.cvs, c.cvs) AS dist2
+                FROM e, cents c
+            ),
+            best AS (
+                SELECT vec_id, s, cell, dist2 FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                               PARTITION BY vec_id, s
+                               ORDER BY dist2, cell) AS rn
+                    FROM scored
+                ) WHERE rn = 1
+            )
+            SELECT vec_id,
+                   CAST(MAX(CASE WHEN s = 0 THEN cell END) AS BIGINT) AS c0,
+                   CAST(MAX(CASE WHEN s = 1 THEN cell END) AS BIGINT) AS c1,
+                   CAST(MAX(CASE WHEN s = 2 THEN cell END) AS BIGINT) AS c2,
+                   CAST(MAX(CASE WHEN s = 3 THEN cell END) AS BIGINT) AS c3,
+                   0.0 + MAX(CASE WHEN s = 0 THEN dist2 END)
+                       + MAX(CASE WHEN s = 1 THEN dist2 END)
+                       + MAX(CASE WHEN s = 2 THEN dist2 END)
+                       + MAX(CASE WHEN s = 3 THEN dist2 END) AS recon_err
+            FROM best GROUP BY vec_id
+        """,
         "item_cosine": """
             WITH items AS (
                 SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

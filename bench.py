@@ -141,6 +141,7 @@ HEADLINE = (
     "doclen_histogram",
     "dup_matrix",
     "scd2_asof",
+    "pq_encode",
 )
 
 

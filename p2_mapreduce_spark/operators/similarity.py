@@ -605,3 +605,96 @@ def semantic_dedup(
             F.coalesce(F.col("__dom"), F.lit(False)).alias("dropped"),
         )
     )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product quantization (Jégou et al., 2011): split each vector into
+    ``m`` subspaces, quantize each against a ``k``-entry sub-codebook,
+    and emit per-vector codes + reconstruction error — ``(vec_id, c0..
+    c{m-1}, recon_err)``.  PQ is the compression layer under IVF-PQ ANN:
+    ``m``·log2(k) bits per vector instead of ``dim``·32, with asymmetric
+    distances computed code-table-side.
+
+    Codebooks reuse the md5-seeded deterministic sample device of
+    :func:`build_ivf_cells` (sub-codebook c of subspace s = the s-th
+    slice of seed c): no RNG, reproducible, and — the point for this
+    engine — derivable bit-for-bit by the SQL oracle.  (Production PQ
+    would Lloyd-refine each sub-codebook exactly like
+    :func:`refine_cells`; the plan shape is unchanged.)
+
+    Plan shape: the codebook table is m·k rows → broadcast; the encode
+    expands each vector to m·k scored rows and elects the argmin with a
+    row_number window on (vec, subspace) — ONE shuffle at corpus×m·k
+    grain, the same contract as the IVF assignment (at 100 TB: encode in
+    the ingest pipeline once, store codes).  dist² = (x·x − 2·x·c) + c·c
+    — three sequential-fold dots in a pinned tree, ties broken by code
+    id, so codes and errors are bit-identical cross-engine.
+    """
+    sub = dim // m
+    emb = embeddings.select(id_col, vec_col)
+    seeds = (
+        emb.withColumn("h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("h", id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("seed_id"), F.col(vec_col).alias("c_vec"))
+    )
+    seeds = seeds.withColumn(
+        "cell", F.row_number().over(Window.orderBy("seed_id")).cast("int") - 1
+    )
+    subspaces = emb.sparkSession.range(m).select(
+        F.col("id").cast("int").alias("s")
+    )
+    cents = (
+        seeds.crossJoin(F.broadcast(subspaces))
+        .select(
+            "s",
+            "cell",
+            F.slice(
+                F.col("c_vec"), F.col("s") * sub + 1, F.lit(sub)
+            ).alias("cv"),
+        )
+        .withColumn("cc", _dot(F.col("cv"), F.col("cv")))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "xs",
+            F.slice(F.col(vec_col), F.col("s") * sub + 1, F.lit(sub)),
+        )
+        .withColumn(
+            "dist2",
+            (
+                _dot(F.col("xs"), F.col("xs"))
+                - F.lit(2.0) * _dot(F.col("xs"), F.col("cv"))
+            )
+            + F.col("cc"),
+        )
+    )
+    w = Window.partitionBy(id_col, "s").orderBy("dist2", "cell")
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    aggs = []
+    for i in range(m):
+        aggs.append(
+            F.max(F.when(F.col("s") == i, F.col("cell")))
+            .cast("bigint")
+            .alias(f"c{i}")
+        )
+        aggs.append(
+            F.max(F.when(F.col("s") == i, F.col("dist2"))).alias(f"_e{i}")
+        )
+    out = best.groupBy(id_col).agg(*aggs)
+    err = F.lit(0.0)
+    for i in range(m):
+        err = err + F.col(f"_e{i}")
+    return out.select(
+        id_col, *[f"c{i}" for i in range(m)], err.alias("recon_err")
+    )

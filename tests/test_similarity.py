@@ -172,3 +172,52 @@ def test_kmeans_refinement_improves_objective(spark, sf_dir):
     a = sorted(map(tuple, refine_cells(emb, cents0, iters=2).collect()))
     b = sorted(map(tuple, refine_cells(emb.repartition(13), cents0, iters=2).collect()))
     assert a == b
+
+
+class TestPqEncode:
+    def test_codes_in_range_and_deterministic(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.similarity import pq_encode
+        from p2_mapreduce_spark.session import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        out = pq_encode(emb).collect()
+        assert len(out) == emb.count()
+        for r in out:
+            for i in range(4):
+                assert 0 <= r[f"c{i}"] < 8
+            assert r["recon_err"] >= 0.0
+        again = sorted(map(tuple, pq_encode(emb.repartition(7)).collect()))
+        assert sorted(map(tuple, out)) == again
+
+    def test_seed_vectors_encode_themselves(self, spark, sf_dir):
+        """A codebook seed's subvectors ARE centroids: its recon error
+        must be (near-)zero and its codes must point at itself."""
+        from pyspark.sql import functions as F
+
+        from p2_mapreduce_spark.operators.similarity import pq_encode
+        from p2_mapreduce_spark.session import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        seed_ids = [
+            r["vec_id"]
+            for r in emb.select("vec_id")
+            .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+            .orderBy("h", "vec_id")
+            .limit(8)
+            .collect()
+        ]
+        out = {r["vec_id"]: r for r in pq_encode(emb).collect()}
+        for sid in seed_ids:
+            assert out[sid]["recon_err"] < 1e-9, out[sid]
+
+    def test_more_centroids_never_hurt(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.similarity import pq_encode
+        from p2_mapreduce_spark.session import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        e8 = {r["vec_id"]: r["recon_err"] for r in pq_encode(emb, k=8).collect()}
+        e16 = {r["vec_id"]: r["recon_err"] for r in pq_encode(emb, k=16).collect()}
+        # k=16's codebook contains k=8's seeds as a prefix (same md5
+        # order), so per-vector error is monotone non-increasing
+        for vid, err in e16.items():
+            assert err <= e8[vid] + 1e-9
