@@ -1659,6 +1659,12 @@ def _q_pq_encode(spark, sf_dir):
     return pq_encode(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_pq_search(spark, sf_dir):
+    from p2_mapreduce_spark.operators.similarity import pq_search
+
+    return pq_search(load_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -1841,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_matrix": _q_dup_matrix,
         "scd2_asof": _q_scd2_asof,
         "pq_encode": _q_pq_encode,
+        "pq_search": _q_pq_search,
     }
 
 
@@ -4860,6 +4867,67 @@ def oracle_sql() -> dict[str, str]:
                        + MAX(CASE WHEN s = 2 THEN dist2 END)
                        + MAX(CASE WHEN s = 3 THEN dist2 END) AS recon_err
             FROM best GROUP BY vec_id
+        """,
+        # ADC twin: same code CTEs, query distance table, fixed-order
+        # pivoted sum, rank with id tie-break
+        "pq_search": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            seeds AS (SELECT vec_id, v FROM e
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+            cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+                          v AS cv
+                   FROM seeds),
+            sub AS (SELECT unnest(generate_series(0, 3)) AS s),
+            cents AS (SELECT s, cell, cv[s*16+1 : s*16+16] AS cvs
+                      FROM cb, sub),
+            scored AS (
+                SELECT e.vec_id, c.s, c.cell,
+                       (list_dot_product(e.v[c.s*16+1 : c.s*16+16],
+                                         e.v[c.s*16+1 : c.s*16+16])
+                        - 2.0 * list_dot_product(e.v[c.s*16+1 : c.s*16+16],
+                                                 c.cvs))
+                       + list_dot_product(c.cvs, c.cvs) AS dist2
+                FROM e, cents c
+            ),
+            best AS (
+                SELECT vec_id, s, cell FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                               PARTITION BY vec_id, s
+                               ORDER BY dist2, cell) AS rn
+                    FROM scored
+                ) WHERE rn = 1
+            ),
+            q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),
+            dtab AS (
+                SELECT q.q_id, c.s, c.cell,
+                       (list_dot_product(q.qv[c.s*16+1 : c.s*16+16],
+                                         q.qv[c.s*16+1 : c.s*16+16])
+                        - 2.0 * list_dot_product(q.qv[c.s*16+1 : c.s*16+16],
+                                                 c.cvs))
+                       + list_dot_product(c.cvs, c.cvs) AS qd
+                FROM q, cents c
+            ),
+            per AS (
+                SELECT d.q_id, b.vec_id AS n_id,
+                       MAX(CASE WHEN b.s = 0 THEN qd END) AS d0,
+                       MAX(CASE WHEN b.s = 1 THEN qd END) AS d1,
+                       MAX(CASE WHEN b.s = 2 THEN qd END) AS d2,
+                       MAX(CASE WHEN b.s = 3 THEN qd END) AS d3
+                FROM best b JOIN dtab d ON b.s = d.s AND b.cell = d.cell
+                GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT q_id, n_id, 0.0 + d0 + d1 + d2 + d3 AS adc_dist
+                FROM per WHERE n_id <> q_id
+            )
+            SELECT * FROM (
+                SELECT q_id, n_id, adc_dist,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY q_id
+                           ORDER BY adc_dist, n_id) AS BIGINT) AS rnk
+                FROM r
+            ) WHERE rnk <= 10
         """,
         "item_cosine": """
             WITH items AS (

@@ -142,6 +142,7 @@ HEADLINE = (
     "dup_matrix",
     "scd2_asof",
     "pq_encode",
+    "pq_search",
 )
 
 

@@ -698,3 +698,110 @@ def pq_encode(
     return out.select(
         id_col, *[f"c{i}" for i in range(m)], err.alias("recon_err")
     )
+
+
+def pq_search(
+    embeddings: DataFrame,
+    n_queries: int = 3,
+    top_k: int = 10,
+    m: int = 4,
+    k: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) search over PQ codes: approximate
+    nearest neighbors computed from the ``m``-byte codes alone —
+    ``(q_id, n_id, adc_dist, rnk)`` for queries ``vec_id <
+    n_queries``.
+
+    The PQ payoff: per query, distances to every centroid of every
+    subspace form a ``m·k``-entry TABLE (here m·k·n_queries rows —
+    broadcast); each corpus vector's approximate distance is then m
+    table LOOKUPS + adds, never touching the original vectors.  At
+    100 TB the scan reads the codes column (m bytes/vector) instead of
+    the embedding (4·dim bytes) — a 64× narrower scan with ~1-2 lookup
+    joins, which is exactly why IVF-PQ is the standard billion-vector
+    layout.
+
+    The per-vector sum over subspaces is pivoted to FIXED columns and
+    added in textual order (no unordered float reduction), so distances
+    and ranks are bit-identical cross-engine.  Self-matches are
+    excluded; ties rank by neighbor id.
+    """
+    sub = dim // m
+    codes = pq_encode(embeddings, m, k, dim, vec_col, id_col)
+    melted = codes.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("s"), F.col(f"c{i}").alias("cell")
+                    )
+                    for i in range(m)
+                ]
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.s").alias("s"), F.col("p.cell").alias("cell"))
+    emb = embeddings.select(id_col, vec_col)
+    seeds = (
+        emb.withColumn("h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("h", id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("seed_id"), F.col(vec_col).alias("c_vec"))
+    )
+    seeds = seeds.withColumn(
+        "cell", F.row_number().over(Window.orderBy("seed_id")).cast("int") - 1
+    )
+    subspaces = emb.sparkSession.range(m).select(
+        F.col("id").cast("int").alias("s")
+    )
+    cents = (
+        seeds.crossJoin(F.broadcast(subspaces))
+        .select(
+            "s",
+            F.col("cell").cast("bigint").alias("cell"),
+            F.slice(F.col("c_vec"), F.col("s") * sub + 1, F.lit(sub)).alias(
+                "cv"
+            ),
+        )
+        .withColumn("cc", _dot(F.col("cv"), F.col("cv")))
+    )
+    queries = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
+    )
+    dtab = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "qs", F.slice(F.col("qv"), F.col("s") * sub + 1, F.lit(sub))
+        )
+        .select(
+            "q_id",
+            "s",
+            "cell",
+            (
+                (
+                    _dot(F.col("qs"), F.col("qs"))
+                    - F.lit(2.0) * _dot(F.col("qs"), F.col("cv"))
+                )
+                + F.col("cc")
+            ).alias("qd"),
+        )
+    )
+    joined = melted.join(F.broadcast(dtab), ["s", "cell"])
+    aggs = [
+        F.max(F.when(F.col("s") == i, F.col("qd"))).alias(f"_d{i}")
+        for i in range(m)
+    ]
+    per = joined.groupBy("q_id", id_col).agg(*aggs)
+    adc = F.lit(0.0)
+    for i in range(m):
+        adc = adc + F.col(f"_d{i}")
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "n_id")
+    return (
+        per.select("q_id", F.col(id_col).alias("n_id"), adc.alias("adc_dist"))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= top_k)
+    )

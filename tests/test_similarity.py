@@ -221,3 +221,42 @@ class TestPqEncode:
         # order), so per-vector error is monotone non-increasing
         for vid, err in e16.items():
             assert err <= e8[vid] + 1e-9
+
+
+class TestPqSearch:
+    def test_adc_beats_random_ordering(self, spark, sf_dir):
+        """ADC over 4x8 codebooks is coarse, but the retrieved top-10
+        must still overlap the EXACT L2 top-10 far above chance."""
+        from pyspark.sql import functions as F
+
+        from p2_mapreduce_spark.operators.similarity import pq_search
+        from p2_mapreduce_spark.session import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        rows = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+        got = pq_search(emb, n_queries=2, top_k=10).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["q_id"], []).append(r["n_id"])
+        for q_id, ids in by_q.items():
+            qv = rows[q_id]
+            exact = sorted(
+                (vid for vid in rows if vid != q_id),
+                key=lambda vid: sum(
+                    (a - b) ** 2 for a, b in zip(rows[vid], qv)
+                ),
+            )[:30]
+            # chance overlap of 10-of-N in top-30 is tiny; require >= 2
+            assert len(set(ids) & set(exact)) >= 2, (q_id, ids)
+
+    def test_ranks_are_dense_and_capped(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.similarity import pq_search
+        from p2_mapreduce_spark.session import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        got = pq_search(emb, n_queries=2, top_k=5).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["q_id"], []).append(r["rnk"])
+        for ranks in by_q.values():
+            assert sorted(ranks) == [1, 2, 3, 4, 5]
