@@ -1665,6 +1665,14 @@ def _q_pq_search(spark, sf_dir):
     return pq_search(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_quality_budget(spark, sf_dir):
+    from p2_mapreduce_spark.operators.curation import quality_budget_select
+
+    return quality_budget_select(
+        load_table(spark, sf_dir, "documents"), budget_tokens=10_000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -1848,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_asof": _q_scd2_asof,
         "pq_encode": _q_pq_encode,
         "pq_search": _q_pq_search,
+        "quality_budget": _q_quality_budget,
     }
 
 
@@ -5037,6 +5046,32 @@ def oracle_sql() -> dict[str, str]:
                    (0.709 * 4096.0) / (snz + (64.0 - nz)) AS est_users,
                    CAST(exact_users AS BIGINT) AS exact_users
             FROM sums JOIN exact ON sums.d = exact.d
+        """,
+        "quality_budget": f"""
+            WITH scored AS (
+                SELECT doc_id,
+                       CAST(ntok AS BIGINT) AS n_tokens,
+                       CAST(-500 + 5 * ntok + 20 * nuniq - 2 * nchars
+                            + 100 * shits AS BIGINT) AS margin
+                FROM (
+                    SELECT doc_id,
+                           len(t) AS ntok,
+                           len(list_distinct(t)) AS nuniq,
+                           strlen(text) AS nchars,
+                           len(regexp_extract_all(lower(text),
+                               '\\b(the|and|of|to|a|in)\\b')) AS shits
+                    FROM ({toks})
+                )
+            ),
+            r AS (
+                SELECT *, SUM(n_tokens) OVER (
+                           ORDER BY margin DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                FROM scored
+            )
+            SELECT doc_id, n_tokens, margin,
+                   CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM r WHERE cum_tokens <= 10000
         """,
         "sample_k_group": """
             SELECT doc_id, text, lang, source, n_chars FROM (

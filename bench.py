@@ -143,6 +143,7 @@ HEADLINE = (
     "scd2_asof",
     "pq_encode",
     "pq_search",
+    "quality_budget",
 )
 
 

@@ -755,3 +755,65 @@ def sample_k_per_group(
         .filter(F.col("__rk") <= int(k))
         .drop("__rk")
     )
+
+
+def quality_budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Budget-constrained curation by quality: walk documents from the
+    highest :func:`quality_classifier` margin down and keep whole docs
+    while the running token total fits ``budget_tokens`` — the
+    "best N billion tokens" selection a pretraining run actually wants,
+    where budget_sample's hash order is replaced by a QUALITY order.
+
+    The global running sum over (margin desc, id) order uses the same
+    two-phase distributed prefix sum as :func:`pack_sequences` /
+    budget_sample — range-partition by the sort key (descending margin),
+    parallel within-partition windows, a config-bounded offset table
+    broadcast back — so the million-doc ordering never funnels through
+    one task.  Deterministic: margin is an exact BIGINT and ties break
+    by id.  Output: the kept docs with ``margin``, ``n_tokens`` and the
+    running ``cum_tokens`` (the doc's own tokens included).
+    """
+    from pyspark.sql import Window
+
+    scored = quality_classifier(docs, text_col, id_col).select(
+        id_col, "n_tokens", "margin"
+    )
+    scored = scored.repartitionByRange(
+        F.col("margin").desc(), F.col(id_col).asc()
+    ).withColumn("pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("pid")
+        .orderBy(F.col("margin").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = scored.withColumn("local_cum", F.sum("n_tokens").over(w))
+    offsets = (
+        t.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("part_total"))
+        .withColumn(
+            "part_offset",
+            F.coalesce(
+                F.sum("part_total").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "part_offset")
+    )
+    return (
+        t.join(F.broadcast(offsets), "pid")
+        .withColumn(
+            "cum_tokens",
+            (F.col("part_offset") + F.col("local_cum")).cast("bigint"),
+        )
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(id_col, "n_tokens", "margin", "cum_tokens")
+    )

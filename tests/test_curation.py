@@ -248,3 +248,52 @@ def test_budget_sample_is_hash_order_prefix_per_source(spark):
                 assert i in got and got[i]["cum_tokens"] == cum, i
             else:
                 assert i not in got, i
+
+
+class TestQualityBudgetSelect:
+    def test_selects_best_within_budget(self, spark):
+        # doc margins descend with id here; budget cuts mid-list
+        rows = [
+            (1, "w1 w2 w3 w4 w5 w6 w7 w8 the the the the", "en", "s", 40),
+            (2, "a b c d e f", "en", "s", 11),
+            (3, "x", "en", "s", 1),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        from p2_mapreduce_spark.operators.curation import (
+            quality_budget_select,
+            quality_classifier,
+        )
+
+        margins = {
+            r["doc_id"]: r["margin"] for r in quality_classifier(df).collect()
+        }
+        order = sorted(margins, key=lambda d: (-margins[d], d))
+        out = quality_budget_select(df, budget_tokens=13)
+        kept = sorted(r["doc_id"] for r in out.collect())
+        # greedy whole-doc walk in margin order within 13 tokens
+        cum, expect = 0, []
+        ntoks = {1: 12, 2: 6, 3: 1}
+        for d in order:
+            if cum + ntoks[d] <= 13:
+                cum += ntoks[d]
+                expect.append(d)
+            else:
+                break
+        assert kept == sorted(expect)
+
+    def test_partition_invariant(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.curation import quality_budget_select
+        from p2_mapreduce_spark.session import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        a = sorted(map(tuple, quality_budget_select(docs, 5000).collect()))
+        b = sorted(
+            map(
+                tuple,
+                quality_budget_select(docs.repartition(11), 5000).collect(),
+            )
+        )
+        assert a == b
