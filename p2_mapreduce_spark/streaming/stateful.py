@@ -164,3 +164,76 @@ def running_totals_stream(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DEBOUNCE_OUTPUT_SCHEMA = (
+    "user_id long, event_type string, event_id long, ts timestamp"
+)
+#: island state: the last event time seen for this (user, type) key
+DEBOUNCE_STATE_SCHEMA = "last long"
+
+
+def _debounce_fn(window_seconds: int):
+    win_us = window_seconds * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        user_id, event_type = key
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        ts_us = rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        ids = rows["event_id"].astype("int64")
+        last = state.get[0] if state.exists else None
+        out_ids, out_ts = [], []
+        for t, eid in zip(ts_us.tolist(), ids.tolist()):
+            if last is None or t - last > win_us:
+                out_ids.append(eid)
+                out_ts.append(t)
+            # every event extends the island, emitted or suppressed —
+            # the batch operator's gaps-and-islands rule
+            last = t
+        state.update((last,))
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out_ids),
+                    "event_type": [event_type] * len(out_ids),
+                    "event_id": out_ids,
+                    "ts": [pd.Timestamp(t, unit="us") for t in out_ts],
+                }
+            )
+
+    return fn
+
+
+def debounce_stream(
+    events_stream: DataFrame,
+    window_seconds: int = 60,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming debounce — the live-tail twin of
+    ``operators/events_analytics.event_dedup``: per (user, type), emit
+    only the FIRST event of each burst island; any event within
+    ``window_seconds`` of the previous one (emitted or not) is
+    suppressed and extends the island.
+
+    State is ONE timestamp per active (user, type) key — fixed-size, the
+    smallest possible stateful footprint; survivors match the batch
+    operator's islands exactly when events arrive in event-time order
+    (pinned in pytest — out-of-order arrivals within the watermark are
+    re-sorted inside each micro-batch; cross-batch disorder is the
+    documented residual difference, the same caveat every
+    streaming/batch twin in this engine carries)."""
+    from p2_mapreduce_spark.streaming.events import as_event_time
+
+    return (
+        as_event_time(events_stream)
+        .withWatermark("ts", watermark)
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _debounce_fn(window_seconds),
+            outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+            stateStructType=DEBOUNCE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
