@@ -1665,6 +1665,18 @@ def _q_pq_search(spark, sf_dir):
     return pq_search(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_yoy_revenue(spark, sf_dir):
+    from p2_mapreduce_spark.operators.timeseries import yoy_revenue
+
+    return yoy_revenue(load_table(spark, sf_dir, "orders"))
+
+
+def _q_bounce_rate(spark, sf_dir):
+    from p2_mapreduce_spark.streaming.events import bounce_rate
+
+    return bounce_rate(load_table(spark, sf_dir, "events"))
+
+
 def _q_quality_budget(spark, sf_dir):
     from p2_mapreduce_spark.operators.curation import quality_budget_select
 
@@ -1857,6 +1869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": _q_pq_encode,
         "pq_search": _q_pq_search,
         "quality_budget": _q_quality_budget,
+        "yoy_revenue": _q_yoy_revenue,
+        "bounce_rate": _q_bounce_rate,
     }
 
 
@@ -5046,6 +5060,56 @@ def oracle_sql() -> dict[str, str]:
                    (0.709 * 4096.0) / (snz + (64.0 - nz)) AS est_users,
                    CAST(exact_users AS BIGINT) AS exact_users
             FROM sums JOIN exact ON sums.d = exact.d
+        """,
+        "yoy_revenue": f"""
+            WITH monthly AS (
+                SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                       {dsum('o_totalprice')} AS revenue
+                FROM orders GROUP BY 1
+            ),
+            shifted AS (
+                SELECT CAST(CAST(substr(month, 1, 4) AS INT) + 1 AS VARCHAR)
+                           || substr(month, 5, 3) AS month,
+                       revenue AS prev_year_rev
+                FROM monthly
+            )
+            SELECT m.month, m.revenue, s.prev_year_rev,
+                   m.revenue - s.prev_year_rev AS yoy_delta,
+                   m.revenue / s.prev_year_rev AS yoy_ratio
+            FROM monthly m LEFT JOIN shifted s ON m.month = s.month
+        """,
+        "bounce_rate": f"""
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN epoch_us(ts)
+                                 - LAG(epoch_us(ts)) OVER (
+                                       PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                   ) > 1800000000
+                            THEN 1 ELSE 0 END AS is_break
+                FROM {ev}
+            ), s AS (
+                SELECT user_id,
+                       SUM(is_break) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_seq
+                FROM g
+            ), sess AS (
+                SELECT user_id, session_seq, COUNT(*) AS n_events
+                FROM s GROUP BY 1, 2
+            ), hist AS (
+                SELECT CASE WHEN n_events = 1 THEN '1'
+                            WHEN n_events <= 4 THEN '2-4'
+                            WHEN n_events <= 9 THEN '5-9'
+                            ELSE '10+' END AS n_events_bucket,
+                       CAST(COUNT(*) AS BIGINT) AS n_sessions
+                FROM sess GROUP BY 1
+            ),
+            t AS (SELECT SUM(n_sessions) AS total FROM hist)
+            SELECT n_events_bucket, n_sessions,
+                   CAST(n_sessions * 1000000 // total AS BIGINT) AS share_ppm
+            FROM hist CROSS JOIN t
         """,
         "quality_budget": f"""
             WITH scored AS (

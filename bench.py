@@ -144,6 +144,8 @@ HEADLINE = (
     "pq_encode",
     "pq_search",
     "quality_budget",
+    "yoy_revenue",
+    "bounce_rate",
 )
 
 

@@ -487,3 +487,38 @@ def grouped_ols2(
         F.when(det != 0.0, F.expr(OLS2_B1) / det).alias("beta1"),
         F.when(det != 0.0, F.expr(OLS2_B2) / det).alias("beta2"),
     )
+
+
+def yoy_revenue(orders: DataFrame) -> DataFrame:
+    """Year-over-year revenue with CALENDAR alignment: each month joins
+    its same-month-last-year total — ``(month, revenue, prev_year_rev,
+    yoy_delta, yoy_ratio)``.
+
+    The companion to :func:`mom_revenue` with the important structural
+    difference: YoY is NOT a lag over adjacent rows (a missing month
+    would silently misalign a lag-12), it is an equi-join of the month
+    table against itself on the shifted calendar key — correct under
+    gaps by construction.  Both sides are the same #months-grain
+    pre-aggregate, so the join is grain-bounded; months with no
+    prior-year counterpart surface NULL.
+    """
+    from p2_mapreduce_spark.functions.numeric import dsum
+
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    shifted = monthly.select(
+        # align "2024-03" with "2023-03": add one year to the key
+        F.concat(
+            (F.substring("month", 1, 4).cast("int") + 1).cast("string"),
+            F.substring("month", 5, 3),
+        ).alias("month"),
+        F.col("revenue").alias("prev_year_rev"),
+    )
+    return monthly.join(shifted, "month", "left").select(
+        "month",
+        "revenue",
+        "prev_year_rev",
+        (F.col("revenue") - F.col("prev_year_rev")).alias("yoy_delta"),
+        (F.col("revenue") / F.col("prev_year_rev")).alias("yoy_ratio"),
+    )

@@ -280,3 +280,34 @@ def ohlc_rollup(events: DataFrame, width: str = "hour") -> DataFrame:
             dsum("value").alias("sum_value"),
         )
     )
+
+
+def bounce_rate(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user-cohort bounce analysis over gap sessions: how many
+    sessions contain exactly one event ("bounces"), per session-length
+    bucket — ``(n_events_bucket, n_sessions, bounce_ppm_of_total)`` —
+    the engagement diagnostic layered on :func:`sessionize`.
+
+    Work happens at SESSION grain (sessionize's one user-key shuffle
+    already paid); the bucket histogram is a map-side-combined count
+    over sessions, and the ppm share divides by a broadcast one-row
+    total in exact integers.  Buckets: 1 (bounce), 2-4, 5-9, 10+.
+    """
+    sessions = sessionize(events, gap_minutes)
+    bucket = (
+        F.when(F.col("n_events") == 1, F.lit("1"))
+        .when(F.col("n_events") <= 4, F.lit("2-4"))
+        .when(F.col("n_events") <= 9, F.lit("5-9"))
+        .otherwise(F.lit("10+"))
+    )
+    hist = sessions.groupBy(bucket.alias("n_events_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    total = hist.agg(F.sum("n_sessions").alias("total"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "n_events_bucket",
+        "n_sessions",
+        F.expr("n_sessions * 1000000 div total")
+        .cast("bigint")
+        .alias("share_ppm"),
+    )

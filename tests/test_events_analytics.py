@@ -202,3 +202,39 @@ def test_position_attribution_known_journeys(spark):
     assert got["error"] == (1, 0.1)
     # conservation: total credit == purchases with journeys (3) + direct(2)
     assert abs(sum(c for _, c in got.values()) - 5.0) < 1e-9
+
+
+class TestYoyBounce:
+    def test_yoy_aligns_calendar_not_rows(self, spark):
+        import datetime as dt
+
+        # 1996-02 missing entirely: 1997-02 must align to NULL (a
+        # lag-12 over rows would wrongly pick an adjacent month)
+        rows = []
+        oid = 0
+        for ym in ["1996-01", "1996-03", "1997-01", "1997-02", "1997-03"]:
+            y, m = map(int, ym.split("-"))
+            oid += 1
+            rows.append((oid, 1, "O", 100.0, dt.datetime(y, m, 15), "1-URGENT"))
+        df = spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        )
+        from p2_mapreduce_spark.operators.timeseries import yoy_revenue
+
+        out = {r["month"]: r["prev_year_rev"] for r in yoy_revenue(df).collect()}
+        assert out["1997-01"] == 100.0
+        assert out["1997-02"] is None  # no 1996-02
+        assert out["1997-03"] == 100.0
+        assert out["1996-01"] is None
+
+    def test_bounce_buckets_partition_sessions(self, spark, sf_dir):
+        from p2_mapreduce_spark.session import load_table
+        from p2_mapreduce_spark.streaming.events import bounce_rate, sessionize
+
+        events = load_table(spark, sf_dir, "events")
+        out = bounce_rate(events).collect()
+        assert sum(r["n_sessions"] for r in out) == sessionize(events).count()
+        total_ppm = sum(r["share_ppm"] for r in out)
+        assert 1_000_000 - len(out) <= total_ppm <= 1_000_000
