@@ -1677,6 +1677,37 @@ def _q_bounce_rate(spark, sf_dir):
     return bounce_rate(load_table(spark, sf_dir, "events"))
 
 
+def _q_json_quarantine(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.json_ops import json_quarantine
+
+    events = load_table(spark, sf_dir, "events")
+    # deterministic corruption: truncate every 7th payload (the
+    # cross-engine-agreed invalid class — trailing garbage is NOT, the
+    # JVM lenient parser accepts it)
+    corrupted = events.withColumn(
+        "props",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.regexp_replace("props", r"\}$", ""),
+        ).otherwise(F.col("props")),
+    )
+    return json_quarantine(corrupted)
+
+
+def _q_weekday_seasonality(spark, sf_dir):
+    from p2_mapreduce_spark.operators.timeseries import weekday_seasonality
+
+    return weekday_seasonality(load_table(spark, sf_dir, "events"))
+
+
+def _q_conversion_lag(spark, sf_dir):
+    from p2_mapreduce_spark.operators.events_analytics import conversion_lag
+
+    return conversion_lag(load_table(spark, sf_dir, "events"))
+
+
 def _q_quality_budget(spark, sf_dir):
     from p2_mapreduce_spark.operators.curation import quality_budget_select
 
@@ -1871,6 +1902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_budget": _q_quality_budget,
         "yoy_revenue": _q_yoy_revenue,
         "bounce_rate": _q_bounce_rate,
+        "json_quarantine": _q_json_quarantine,
+        "weekday_seasonality": _q_weekday_seasonality,
+        "conversion_lag": _q_conversion_lag,
     }
 
 
@@ -5060,6 +5094,91 @@ def oracle_sql() -> dict[str, str]:
                    (0.709 * 4096.0) / (snz + (64.0 - nz)) AS est_users,
                    CAST(exact_users AS BIGINT) AS exact_users
             FROM sums JOIN exact ON sums.d = exact.d
+        """,
+        "json_quarantine": f"""
+            WITH ev2 AS (
+                SELECT event_type,
+                       CASE WHEN event_id % 7 = 0
+                            THEN regexp_replace(props, '\\}}$', '')
+                            ELSE props END AS props
+                FROM {ev}
+            ),
+            g AS (
+                SELECT event_type, json_valid(props) AS ok,
+                       CASE WHEN json_valid(props)
+                            THEN TRY_CAST(json_extract_string(props, '$.k')
+                                          AS BIGINT) END AS k
+                FROM ev2
+            ),
+            a AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n_rows,
+                       CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_bad,
+                       CAST(SUM(CASE WHEN ok THEN k END) AS BIGINT)
+                           AS sum_k_good
+                FROM g GROUP BY 1
+            )
+            SELECT event_type, n_rows, n_bad,
+                   CAST(n_bad * 1000000 // n_rows AS BIGINT) AS bad_ppm,
+                   sum_k_good
+            FROM a
+        """,
+        "weekday_seasonality": f"""
+            WITH daily AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                     AS BIGINT)) AS BIGINT) AS day_c
+                FROM {ev} GROUP BY 1, 2
+            ),
+            d2 AS (SELECT *, CAST(dayofweek(day) + 1 AS BIGINT) AS weekday
+                   FROM daily),
+            base AS (
+                SELECT event_type, weekday,
+                       CAST(SUM(day_c) AS BIGINT) AS total_c,
+                       CAST(COUNT(*) AS BIGINT) AS n_days
+                FROM d2 GROUP BY 1, 2
+            )
+            SELECT d2.event_type,
+                   strftime(day, '%Y-%m-%d') AS day,
+                   d2.weekday,
+                   CAST(day_c AS DOUBLE) / 100.0 AS day_value,
+                   CAST(total_c AS DOUBLE) / CAST(n_days AS DOUBLE) / 100.0
+                       AS baseline,
+                   CAST(day_c * n_days AS DOUBLE) / CAST(total_c AS DOUBLE)
+                       AS ratio
+            FROM d2 JOIN base USING (event_type, weekday)
+        """,
+        "conversion_lag": f"""
+            WITH users AS (
+                SELECT DISTINCT user_id FROM {ev}
+                WHERE event_type IN ('view', 'purchase')
+            ),
+            v AS (
+                SELECT user_id, MIN(ts) AS t1 FROM {ev}
+                WHERE event_type = 'view' GROUP BY 1
+            ),
+            j AS (
+                SELECT u.user_id, v.t1
+                FROM users u LEFT JOIN v ON u.user_id = v.user_id
+            ),
+            p AS (
+                SELECT j.user_id, j.t1, MIN(e.ts) AS t2
+                FROM j LEFT JOIN {ev} e
+                  ON e.user_id = j.user_id
+                 AND e.event_type = 'purchase' AND e.ts > j.t1
+                GROUP BY 1, 2
+            ),
+            l AS (
+                SELECT t1,
+                       (epoch_us(t2) - epoch_us(t1)) // 1000000 AS lag_s
+                FROM p
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(COUNT(lag_s) AS BIGINT) AS n_converted,
+                   quantile_cont(lag_s, 0.5) AS p50_lag_s,
+                   quantile_cont(lag_s, 0.9) AS p90_lag_s
+            FROM l
         """,
         "yoy_revenue": f"""
             WITH monthly AS (

@@ -146,6 +146,9 @@ HEADLINE = (
     "quality_budget",
     "yoy_revenue",
     "bounce_rate",
+    "json_quarantine",
+    "weekday_seasonality",
+    "conversion_lag",
 )
 
 

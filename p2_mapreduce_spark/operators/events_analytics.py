@@ -354,3 +354,43 @@ def ab_conversion(events: DataFrame, convert_type: str = "purchase") -> DataFram
             " END"
         ).alias("chi2"),
     )
+
+
+def conversion_lag(
+    events: DataFrame, from_type: str = "view", to_type: str = "purchase"
+) -> DataFrame:
+    """Time-to-convert distribution: per user, the lag from the FIRST
+    ``from_type`` event to the first ``to_type`` event strictly after
+    it, summarized as ONE row — ``(n_users, n_converted, p50_lag_s,
+    p90_lag_s)``.
+
+    Reuses :func:`funnel_users`' single-shuffle step machinery for the
+    per-user (t1, t2) pair; lags are exact integer seconds, and the
+    percentiles are Spark's exact type-R7 interpolation — the same
+    cross-engine-pinned estimator as relational.approx_quantiles — over
+    the converted-user lag set (user grain, already contracted).  At
+    100 TB swap the exact percentile for profile.hist_state — the input
+    grain (one lag per converted user) is unchanged.
+    """
+    fu = funnel_users(events, [from_type, to_type])
+    # exact µs difference floored to whole seconds: timestampdiff
+    # truncates intervals while some engines count boundary CROSSINGS —
+    # the integer-µs div is the one formulation every engine agrees on
+    lags = fu.select(
+        F.col("t1"),
+        F.expr(
+            "(unix_micros(cast(t2 as timestamp))"
+            " - unix_micros(cast(t1 as timestamp))) div 1000000"
+        ).alias("lag_s"),
+    )
+    pct = F.array(F.lit(0.5), F.lit(0.9))
+    return lags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count("lag_s").cast("bigint").alias("n_converted"),
+        F.percentile("lag_s", pct).alias("_p"),
+    ).select(
+        "n_users",
+        "n_converted",
+        F.col("_p")[0].alias("p50_lag_s"),
+        F.col("_p")[1].alias("p90_lag_s"),
+    )

@@ -63,3 +63,36 @@ def json_props_agg(events: DataFrame) -> DataFrame:
         F.max(k).alias("max_k"),
         dsum("value").alias("sum_value"),
     )
+
+
+def json_quarantine(
+    events: DataFrame, props_col: str = "props"
+) -> DataFrame:
+    """Dead-letter ingest accounting: per event_type, how many payloads
+    parse as JSON and how many quarantine — ``(event_type, n_rows,
+    n_bad, bad_ppm, sum_k_good)`` — the PERMISSIVE-with-corrupt-record
+    pattern, surfaced as an auditable summary instead of a silent drop.
+
+    Validity = ``get_json_object(props, '$')`` non-null — the lenient
+    JVM parser's own verdict, evaluated in the scan projection (zero
+    shuffles before the one summary aggregate).  The good-row metric
+    aggregates only rows that passed, exactly how a quarantine split
+    feeds the main pipeline while bad rows land in a dead-letter sink.
+    Note Spark's lenient parser ACCEPTS trailing garbage after a valid
+    document; corruption tests must truncate, not append (pinned in
+    pytest — the cross-engine-agreed invalid class).
+    """
+    valid = F.get_json_object(F.col(props_col), "$").isNotNull()
+    k = F.get_json_object(F.col(props_col), "$.k").cast("bigint")
+    out = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(~valid, 1).otherwise(0)).cast("bigint").alias("n_bad"),
+        F.sum(F.when(valid, k)).cast("bigint").alias("sum_k_good"),
+    )
+    return out.select(
+        "event_type",
+        "n_rows",
+        "n_bad",
+        F.expr("n_bad * 1000000 div n_rows").cast("bigint").alias("bad_ppm"),
+        "sum_k_good",
+    )

@@ -522,3 +522,50 @@ def yoy_revenue(orders: DataFrame) -> DataFrame:
         (F.col("revenue") - F.col("prev_year_rev")).alias("yoy_delta"),
         (F.col("revenue") / F.col("prev_year_rev")).alias("yoy_ratio"),
     )
+
+
+def weekday_seasonality(events: DataFrame) -> DataFrame:
+    """Weekday seasonal baseline and per-day deviation: each (type, day)
+    total compared against the mean of ITS OWN weekday — ``(event_type,
+    day, weekday, day_value, baseline, ratio)`` — the decomposition that
+    separates "Mondays are always slow" from "THIS Monday is anomalous"
+    (value_outliers' z-score flags the latter without removing the
+    former).
+
+    Two grain-bounded aggregates (day grain, then weekday grain) and a
+    join back at day grain.  Exact-cent integers throughout; baseline =
+    one IEEE division of exact sums, ratio = ``(day_c · n_days) /
+    total_c`` — a single division of exact BIGINT products, so every
+    number is bit-identical cross-engine.
+    """
+    daily = events.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(
+        F.sum(
+            F.expr("cast(cast(value as decimal(12,2)) * 100 as bigint)")
+        ).cast("bigint").alias("day_c")
+    )
+    daily = daily.withColumn("weekday", F.dayofweek("day").cast("bigint"))
+    base = daily.groupBy("event_type", "weekday").agg(
+        F.sum("day_c").cast("bigint").alias("total_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    return (
+        daily.join(base, ["event_type", "weekday"])
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "weekday",
+            (F.col("day_c").cast("double") / 100.0).alias("day_value"),
+            (
+                F.col("total_c").cast("double")
+                / F.col("n_days").cast("double")
+                / 100.0
+            ).alias("baseline"),
+            (
+                (F.col("day_c") * F.col("n_days")).cast("double")
+                / F.col("total_c").cast("double")
+            ).alias("ratio"),
+        )
+    )
