@@ -1677,6 +1677,40 @@ def _q_bounce_rate(spark, sf_dir):
     return bounce_rate(load_table(spark, sf_dir, "events"))
 
 
+def _q_time_rollup(spark, sf_dir):
+    """ROLLUP over the calendar hierarchy (year → quarter → month):
+    exact revenue at every grain in ONE aggregate — the time-axis analog
+    of rollup_nation (operators/relational.rollup_agg's pattern applied
+    to derived calendar keys; grouping-set expansion happens inside the
+    map-side combine, one scan).  NULL grain labels surface as 'ALL'."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.functions.numeric import dsum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy").alias("y"),
+        F.concat(F.lit("Q"), F.quarter("o_orderdate").cast("string")).alias(
+            "q"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+        "o_totalprice",
+    )
+    return (
+        o.rollup("y", "q", "m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .select(
+            F.coalesce("y", F.lit("ALL")).alias("y"),
+            F.coalesce("q", F.lit("ALL")).alias("q"),
+            F.coalesce("m", F.lit("ALL")).alias("m"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
 def _q_json_quarantine(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1905,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_quarantine": _q_json_quarantine,
         "weekday_seasonality": _q_weekday_seasonality,
         "conversion_lag": _q_conversion_lag,
+        "time_rollup": _q_time_rollup,
     }
 
 
@@ -5094,6 +5129,21 @@ def oracle_sql() -> dict[str, str]:
                    (0.709 * 4096.0) / (snz + (64.0 - nz)) AS est_users,
                    CAST(exact_users AS BIGINT) AS exact_users
             FROM sums JOIN exact ON sums.d = exact.d
+        """,
+        "time_rollup": f"""
+            WITH o AS (
+                SELECT strftime(o_orderdate, '%Y') AS y,
+                       'Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS q,
+                       strftime(o_orderdate, '%Y-%m') AS m,
+                       o_totalprice
+                FROM orders
+            )
+            SELECT COALESCE(y, 'ALL') AS y,
+                   COALESCE(q, 'ALL') AS q,
+                   COALESCE(m, 'ALL') AS m,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   {dsum('o_totalprice')} AS revenue
+            FROM o GROUP BY ROLLUP (y, q, m)
         """,
         "json_quarantine": f"""
             WITH ev2 AS (

@@ -149,6 +149,7 @@ HEADLINE = (
     "json_quarantine",
     "weekday_seasonality",
     "conversion_lag",
+    "time_rollup",
 )
 
 
