@@ -523,6 +523,16 @@ def _q_dedup_ngram(spark, sf_dir):
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def _q_dedup_allpairs(spark, sf_dir):
+    """Prefix-filtered EXACT set-similarity self-join (AllPairs/PPJoin):
+    bit-identical to the naive all-pairs Jaccard join, so the oracle is
+    the unpruned SQL — any recall loss from the prefix index would show
+    as a row-count mismatch."""
+    from p2_mapreduce_spark.operators.dedup import allpairs_jaccard
+
+    return allpairs_jaccard(load_table(spark, sf_dir, "documents"), threshold=0.45)
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from p2_mapreduce_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1795,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": _q_session_window,
         "dedup_docs": _q_dedup_docs,
         "dedup_ngram": _q_dedup_ngram,
+        "dedup_allpairs": _q_dedup_allpairs,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "text_stats": _q_text_stats,
@@ -2552,6 +2563,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sa.ns AS BIGINT) AS size_a,
                    CAST(sb.ns AS BIGINT) AS size_b,
                    CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) AS jaccard""",
+        ),
+        # AllPairs prefix filtering is EXACT (no false negatives by the
+        # PPJoin prefix theorem), so the oracle is the naive unpruned
+        # all-pairs join at the operator's threshold.
+        "dedup_allpairs": _ngram_pairs_sql(
+            shingles,
+            """SELECT doc_a, doc_b, n_common,
+                   CAST(sa.ns AS BIGINT) AS size_a,
+                   CAST(sb.ns AS BIGINT) AS size_b,
+                   CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) AS jaccard""",
+            threshold=0.45,
         ),
         # minhash-LSH emits exact-Jaccard-verified pairs; on the driver
         # fixtures its recall is total (pinned in tests/test_dedup.py), so

@@ -53,6 +53,7 @@ HEADLINE = (
     "sessionize",
     "dedup_docs",
     "dedup_ngram",
+    "dedup_allpairs",
     "dedup_minhash",
     "dedup_simhash",
     "dup_clusters",

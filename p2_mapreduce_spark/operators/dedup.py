@@ -736,3 +736,94 @@ def dup_matrix(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
     )
+
+
+def allpairs_jaccard(
+    docs: DataFrame,
+    threshold: float = 0.45,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering (the
+    AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al. WWW'08)
+    over n-gram shingle sets — the third point in the near-dup design
+    space: :func:`ngram_jaccard_pairs` indexes EVERY shingle (exact,
+    quadratic in docs-per-shingle), :func:`minhash_lsh_pairs` buckets
+    signatures (linear, approximate), this operator is exact AND prunes
+    the candidate space without a frequency cap.
+
+    Prefix theorem: order the shingle universe by ascending document
+    frequency (rarest first, ties by hash).  Two sets with
+    ``jaccard >= t`` must share at least one shingle within each other's
+    first ``|S| - ceil(t*|S|) + 1`` shingles under that order.  The
+    inverted index is therefore built over PREFIXES only — and because
+    the order is df-ascending, prefix postings are the RARE shingles, so
+    the self-join's per-key fan-out is inherently small: the boilerplate
+    shingle that forces :func:`shingle_pairs` to cap df lands at the END
+    of every doc's ordering and never enters the index.  A size filter
+    (``t*|B| <= |A| <= |B|/t``) prunes candidates before verification;
+    the exact intersection count over full shingle sets then makes the
+    output bit-identical to the naive all-pairs join.
+
+    At 100 TB: one df aggregate (shuffled on 8-byte hashes), one bounded
+    per-doc sort (``collect_list`` of the doc's OWN shingles — capped by
+    document length, the same bound every per-doc aggregate here obeys),
+    a prefix self-join whose keys have df-ascending postings, and one
+    verification join restricted to surviving candidates.  No Python
+    anywhere; every expression is whole-stage codegen.
+    """
+    sh = hashed_shingles(docs, n, text_col, id_col).persist()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    prefix = (
+        sh.join(dfreq, "h")
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("toks"))
+        .withColumn("sz", F.size("toks"))
+        .withColumn(
+            "plen",
+            (
+                F.col("sz")
+                - F.ceil(F.lit(threshold) * F.col("sz")).cast("int")
+                + F.lit(1)
+            ),
+        )
+        .select(
+            "doc",
+            "sz",
+            F.explode(F.expr("slice(toks, 1, plen)")).alias("t"),
+        )
+        .select("doc", "sz", F.col("t.h").alias("h"))
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .where(
+            (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"))
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz"))
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc").alias("doc_a"), "h")
+    sb = sh.select(F.col("doc").alias("doc_b"), "h")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("size_a"))
+    zb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("size_b"))
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
+    )

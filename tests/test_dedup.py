@@ -211,3 +211,48 @@ def test_incremental_from_persisted_index_matches_direct(spark, sf_dir, tmp_path
         ).collect()
     }
     assert via_index == direct and direct
+
+
+def test_allpairs_equals_naive_exact_join(spark, docs):
+    """Prefix filtering must lose nothing: allpairs == unpruned exact
+    Jaccard join, row for row, at the operator's threshold."""
+    from p2_mapreduce_spark.operators.dedup import allpairs_jaccard
+
+    ap = sorted(
+        tuple(r) for r in allpairs_jaccard(docs, threshold=0.45).collect()
+    )
+    naive = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(docs, threshold=0.45, max_df=None).collect()
+    )
+    assert ap == naive
+    assert len(ap) > 0
+
+
+def test_allpairs_exact_under_hot_boilerplate_shingle(spark):
+    """A shingle shared by EVERY doc (the quadratic hazard for the
+    inverted-index path) must not perturb allpairs: the boilerplate
+    shingle sorts last in the df-ascending prefix order, stays out of
+    every prefix, and the result still equals the naive join."""
+    from p2_mapreduce_spark.operators.dedup import allpairs_jaccard
+
+    boiler = "copyright acme corp"
+    rows = [
+        (i, f"{boiler} unique{i} token{i} payload{i} tail{i} extra{i}")
+        for i in range(40)
+    ] + [
+        # one true near-dup pair sharing most of their shingles
+        (100, f"{boiler} alpha beta gamma delta epsilon zeta eta"),
+        (101, f"{boiler} alpha beta gamma delta epsilon zeta theta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ap = sorted(
+        tuple(r)[:2]
+        for r in allpairs_jaccard(docs, threshold=0.5).collect()
+    )
+    naive = sorted(
+        tuple(r)[:2]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df=None).collect()
+    )
+    assert ap == naive
+    assert (100, 101) in ap
