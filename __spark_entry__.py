@@ -1384,6 +1384,16 @@ def _q_sample_exact_k(spark, sf_dir):
     return sample_exact_k(load_table(spark, sf_dir, "documents"), k=100)
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Priority sampling: inclusion odds proportional to n_chars; the
+    deterministic coin makes the draw itself oracle-checkable."""
+    from p2_mapreduce_spark.operators.curation import weighted_sample
+
+    return weighted_sample(load_table(spark, sf_dir, "documents"), k=100).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
 def _q_boilerplate_ngrams(spark, sf_dir):
     from p2_mapreduce_spark.operators.dedup import boilerplate_ngrams
 
@@ -1919,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "quality_classifier": _q_quality_classifier,
         "sample_exact_k": _q_sample_exact_k,
+        "weighted_sample": _q_weighted_sample,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "postings": _q_postings,
         "bm25_search": _q_bm25_search,
@@ -4670,6 +4681,15 @@ def oracle_sql() -> dict[str, str]:
         "sample_exact_k": """
             SELECT * FROM documents
             ORDER BY md5('s0:' || CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT 100
+        """,
+        "weighted_sample": """
+            SELECT doc_id, source, lang, n_chars FROM documents
+            ORDER BY CAST(n_chars AS DOUBLE)
+                     / (CAST(CAST('0x' || substr(
+                            md5('wsamp:' || CAST(doc_id AS VARCHAR)), 18, 15)
+                        AS BIGINT) AS DOUBLE) + 1.0) DESC,
+                     doc_id
             LIMIT 100
         """,
         "boilerplate_ngrams": f"""

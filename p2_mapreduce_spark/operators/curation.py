@@ -817,3 +817,46 @@ def quality_budget_select(
         .filter(F.col("cum_tokens") <= budget_tokens)
         .select(id_col, "n_tokens", "margin", "cum_tokens")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "wsamp",
+) -> DataFrame:
+    """Exactly-k WEIGHTED sample without replacement (priority sampling,
+    Duffield/Lund/Thorup JACM'07): each row draws priority ``w / u`` with
+    ``u`` uniform on (0,1], and the k largest priorities win — inclusion
+    probability proportional to weight, the "sample long/high-quality
+    documents preferentially" stage of corpus construction.
+
+    ``u`` is the row's salted md5-60 coin (the same deterministic-coin
+    protocol as :func:`mixture_sample`), so the draw is a pure function
+    of the row id: reproducible under retries, AQE, any partitioning,
+    and across engines.  The priority is ONE IEEE division of two exact
+    integers (weight and coin+1) — oracle-identical.  Like
+    :func:`sample_exact_k`, the cut is ``orderBy(...).limit(k)``, which
+    Spark plans as TakeOrderedAndProject: per-partition top-k heaps and
+    a #partitions × k driver merge — no global sort, no single-partition
+    window, 100 TB-safe.
+
+    Reference seed: none (extension).
+    """
+    coin = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+            18,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    pri = F.col(weight_col).cast("double") / (coin.cast("double") + F.lit(1.0))
+    return (
+        docs.withColumn("__pri", pri)
+        .orderBy(F.col("__pri").desc(), F.col(id_col))
+        .limit(int(k))
+        .drop("__pri")
+    )

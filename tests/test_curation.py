@@ -297,3 +297,25 @@ class TestQualityBudgetSelect:
             )
         )
         assert a == b
+
+
+def test_weighted_sample_exact_k_biased_and_partition_invariant(spark, sf_dir):
+    from p2_mapreduce_spark.operators.curation import weighted_sample
+    from p2_mapreduce_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = weighted_sample(docs, k=100)
+    ids = sorted(r.doc_id for r in got.collect())
+    assert len(ids) == 100
+    # partition-invariance: a different layout draws the same sample
+    ids2 = sorted(
+        r.doc_id for r in weighted_sample(docs.repartition(13), k=100).collect()
+    )
+    assert ids == ids2
+    # weight bias: mean n_chars of the sample exceeds the corpus mean
+    corpus_mean = docs.agg({"n_chars": "avg"}).collect()[0][0]
+    sample_mean = got.agg({"n_chars": "avg"}).collect()[0][0]
+    assert sample_mean > corpus_mean
+    # scale contract: top-k heap merge, never a global sort
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
