@@ -852,6 +852,15 @@ def _q_zorder_cluster(spark, sf_dir):
     return zorder_cluster(load_table(spark, sf_dir, "lineitem"))
 
 
+def _q_compaction_plan(spark, sf_dir):
+    """Lakehouse maintenance: bin adjacent month partitions into
+    ~target_rows compaction groups (running-total bin assignment over
+    the O(#partitions) stats table)."""
+    from p2_mapreduce_spark.operators.layout import compaction_plan
+
+    return compaction_plan(load_table(spark, sf_dir, "lineitem"), target_rows=10_000)
+
+
 def _q_funnel_steps(spark, sf_dir):
     from p2_mapreduce_spark.operators.events_analytics import funnel_counts
 
@@ -1887,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": _q_profile_orders,
         "pagerank_trade": _q_pagerank_trade,
         "zorder_cluster": _q_zorder_cluster,
+        "compaction_plan": _q_compaction_plan,
         "funnel_steps": _q_funnel_steps,
         "cohort_retention": _q_cohort_retention,
         "order_priority_check": _q_order_priority_check,
@@ -3678,6 +3688,31 @@ def oracle_sql() -> dict[str, str]:
         # Z-order layout audit (operators/layout.py): the oracle builds
         # the IDENTICAL bit-interleave expression via zvalue_sql().
         "zorder_cluster": _zorder_cluster_oracle(),
+        "compaction_plan": """
+            WITH stats AS (
+                SELECT strftime(l_shipdate, '%Y-%m') AS part_month,
+                       COUNT(*) AS n_rows,
+                       CAST(SUM(80 + length(l_returnflag)
+                                + length(l_linestatus)) AS BIGINT)
+                           AS est_bytes
+                FROM lineitem GROUP BY 1
+            ),
+            binned AS (
+                SELECT *,
+                       CAST(floor(COALESCE(SUM(n_rows) OVER (
+                           ORDER BY part_month
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) / 10000)
+                       AS BIGINT) AS bin
+                FROM stats
+            )
+            SELECT part_month, n_rows, est_bytes, bin,
+                   CAST(SUM(n_rows) OVER (PARTITION BY bin) AS BIGINT)
+                       AS bin_rows,
+                   CAST(COUNT(*) OVER (PARTITION BY bin) AS BIGINT)
+                       AS bin_parts
+            FROM binned
+        """,
         # Event product analytics (operators/events_analytics.py): the
         # funnel oracle mirrors the strictly-after chain as nested
         # min-joins; retention mirrors the integer day/7 bucketing.

@@ -24,7 +24,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: default interleave width: 16 bits/dimension (2 dims → 32-bit zval)
@@ -122,4 +122,64 @@ def write_zordered(
         .drop("__zval")
         .write.mode("overwrite")
         .parquet(path)
+    )
+
+
+def compaction_plan(
+    lineitem: DataFrame,
+    target_rows: int = 100_000,
+    date_col: str = "l_shipdate",
+) -> DataFrame:
+    """Small-file compaction planner — the maintenance pass every
+    partitioned 100 TB table needs: month partitions written by daily
+    ingest end up as many under-sized files, and scans pay one task +
+    one footer read per file.  The planner bins ADJACENT month
+    partitions (contiguity keeps partition-pruning effective after the
+    rewrite) into compaction groups of ~``target_rows`` via a running
+    total: ``bin = floor(rows_before_me / target)``.
+
+    Two-level plan, driver never sees data: (1) one narrow aggregate
+    computes per-partition row counts and byte estimates — O(#partitions)
+    rows; (2) one window over that TINY stats table assigns bins.  The
+    single-partition window is safe for the same reason the calendar
+    rollups' are: its input is the pre-aggregated partition list, never
+    rows.  The rewrite itself is :func:`write_zordered` /
+    ``repartitionByRange`` per bin — this operator emits the plan the
+    rewriter consumes (and the audit a human reviews).
+
+    Output: one row per month partition — (part_month, n_rows,
+    est_bytes, bin, bin_rows, bin_parts), where bin_rows/bin_parts
+    aggregate the assigned group.
+    """
+    stats = (
+        lineitem.groupBy(
+            F.date_format(F.col(date_col), "yyyy-MM").alias("part_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.lit(80)
+                + F.length("l_returnflag")
+                + F.length("l_linestatus")
+            ).alias("est_bytes"),
+        )
+    )
+    w_cum = (
+        Window.orderBy("part_month")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = stats.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum("n_rows").over(w_cum), F.lit(0))
+            / F.lit(target_rows)
+        ).cast("bigint"),
+    )
+    w_bin = Window.partitionBy("bin")
+    return (
+        binned.withColumn("bin_rows", F.sum("n_rows").over(w_bin))
+        .withColumn("bin_parts", F.count(F.lit(1)).over(w_bin))
+        .select(
+            "part_month", "n_rows", "est_bytes", "bin", "bin_rows", "bin_parts"
+        )
     )

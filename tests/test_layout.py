@@ -94,3 +94,33 @@ def test_write_zordered_files_prune_both_dims(spark, sf_dir, tmp_path):
         f"{hit}/{len(files)} files overlap a 32-wide partkey box — "
         "layout is not clustering"
     )
+
+
+def test_compaction_plan_bins_are_contiguous_and_sized(spark, sf_dir):
+    from p2_mapreduce_spark.operators.layout import compaction_plan
+    from p2_mapreduce_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = sorted(
+        compaction_plan(li, target_rows=5000).collect(),
+        key=lambda r: r.part_month,
+    )
+    # every partition accounted for exactly once
+    assert sum(r.n_rows for r in rows) == li.count()
+    # bins are monotone over the partition order (contiguity)
+    bins = [r.bin for r in rows]
+    assert bins == sorted(bins)
+    # a bin only opens once the previous one holds >= target rows:
+    # cumulative rows before each bin's first partition is bin * target
+    seen = 0
+    for r in rows:
+        assert r.bin == seen // 5000
+        seen += r.n_rows
+    # per-bin rollups agree with the membership
+    from collections import Counter
+
+    per_bin = Counter()
+    for r in rows:
+        per_bin[r.bin] += r.n_rows
+    for r in rows:
+        assert r.bin_rows == per_bin[r.bin]
