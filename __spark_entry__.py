@@ -533,6 +533,15 @@ def _q_dedup_allpairs(spark, sf_dir):
     return allpairs_jaccard(load_table(spark, sf_dir, "documents"), threshold=0.45)
 
 
+def _q_record_linkage(spark, sf_dir):
+    """Blocked entity resolution over part names: candidates only within
+    same-head-noun blocks, exact Levenshtein inside each block."""
+    from p2_mapreduce_spark.operators.dedup import blocked_linkage
+
+    parts = load_table(spark, sf_dir, "part")
+    return blocked_linkage(parts, parts, max_dist=4)
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from p2_mapreduce_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1825,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_docs": _q_dedup_docs,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_allpairs": _q_dedup_allpairs,
+        "record_linkage": _q_record_linkage,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "text_stats": _q_text_stats,
@@ -2596,6 +2606,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) AS jaccard""",
             threshold=0.45,
         ),
+        "record_linkage": """
+            WITH la AS (
+                SELECT DISTINCT p_name AS name_a,
+                       string_split(p_name, ' ')[-1] AS block
+                FROM part
+            ),
+            rb AS (
+                SELECT DISTINCT p_name AS name_b,
+                       string_split(p_name, ' ')[-1] AS block
+                FROM part
+            )
+            SELECT la.block, name_a, name_b,
+                   CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+            FROM la JOIN rb USING (block)
+            WHERE name_a < name_b
+              AND levenshtein(name_a, name_b) <= 4
+        """,
         # minhash-LSH emits exact-Jaccard-verified pairs; on the driver
         # fixtures its recall is total (pinned in tests/test_dedup.py), so
         # the deterministic pipeline matches the exact-Jaccard SQL.

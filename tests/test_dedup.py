@@ -256,3 +256,35 @@ def test_allpairs_exact_under_hot_boilerplate_shingle(spark):
     )
     assert ap == naive
     assert (100, 101) in ap
+
+
+def test_blocked_linkage_equals_all_pairs_within_blocks(spark, sf_dir):
+    """Blocking must be lossless for same-block pairs and must never
+    emit a cross-block pair."""
+    from p2_mapreduce_spark.operators.dedup import blocked_linkage
+    from p2_mapreduce_spark.session import load_table
+
+    parts = load_table(spark, sf_dir, "part")
+    got = {
+        (r.name_a, r.name_b): (r.block, r.dist)
+        for r in blocked_linkage(parts, parts, max_dist=4).collect()
+    }
+    import itertools
+
+    names = sorted(r.p_name for r in parts.select("p_name").distinct().collect())
+    expect = {}
+    for a, b in itertools.combinations(names, 2):
+        if a.split()[-1] != b.split()[-1]:
+            continue
+        # pure-python levenshtein (tiny inputs)
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        if prev[-1] <= 4:
+            expect[(a, b)] = (a.split()[-1], prev[-1])
+    assert got == expect
+    assert len(got) > 0
