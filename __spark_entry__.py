@@ -989,6 +989,15 @@ def _q_knn_np(spark, sf_dir):
     )
 
 
+def _q_ann_recall(spark, sf_dir):
+    """ANN acceptance gate: per-query recall@k of the LSH index against
+    the exact scan — both deterministic, so the evaluation is itself
+    oracle-checked, not just the indexes."""
+    from p2_mapreduce_spark.operators.similarity import ann_recall
+
+    return ann_recall(load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+
+
 def _q_media_decode(spark, sf_dir):
     from p2_mapreduce_spark.operators.multimodal import attach_binary, decode_media
 
@@ -1844,6 +1853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_meta": _q_binary_meta,
         "knn_embeddings": _q_knn_embeddings,
         "knn_lsh": _q_knn_lsh,
+        "ann_recall": _q_ann_recall,
         "knn_ivf": _q_knn_ivf,
         "knn_np": _q_knn_np,
         "media_decode": _q_media_decode,
@@ -5575,4 +5585,27 @@ def oracle_sql() -> dict[str, str]:
     # star-contraction closure produces the same canonical
     # min-id labels as label propagation — shared oracle
     out["dup_clusters_star"] = out["dup_clusters"]
+    # ann_recall composes the two kNN oracles verbatim: recall@k of the
+    # LSH result set against the exact scan, per query
+    out["ann_recall"] = f"""
+        WITH exact AS ({out['knn_embeddings']}),
+             approx AS ({out['knn_lsh']}),
+             n_exact AS (SELECT q_id, COUNT(*) AS n_exact
+                         FROM exact GROUP BY 1),
+             n_approx AS (SELECT q_id, COUNT(*) AS n_approx
+                          FROM approx GROUP BY 1),
+             n_hit AS (
+                 SELECT e.q_id, COUNT(*) AS n_hit
+                 FROM exact e JOIN approx a
+                   ON e.q_id = a.q_id AND e.n_id = a.n_id
+                 GROUP BY 1
+             )
+        SELECT q_id, n_exact,
+               COALESCE(n_approx, 0) AS n_approx,
+               COALESCE(n_hit, 0) AS n_hit,
+               CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_exact AS recall
+        FROM n_exact
+        LEFT JOIN n_approx USING (q_id)
+        LEFT JOIN n_hit USING (q_id)
+    """
     return out

@@ -805,3 +805,50 @@ def pq_search(
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= top_k)
     )
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Index-quality evaluation: per-query recall@k of the LSH index
+    (:func:`knn_lsh`) against the exact scan (:func:`knn_bruteforce`) —
+    the acceptance gate an ANN index must pass before it replaces the
+    brute-force path in production.  Both sides are deterministic pure
+    functions of the data (seeded hyperplanes, total tie-broken ranks),
+    so the evaluation itself is reproducible and oracle-checkable — not
+    just a point estimate.
+
+    Cost is the two kNN runs plus O(n_queries · k) bookkeeping: the
+    join/aggregate operate on the top-k result sets, never the corpus.
+    Output: (q_id, n_exact, n_approx, n_hit, recall) with
+    recall = n_hit / n_exact as one exact-int IEEE division.
+    """
+    exact = knn_bruteforce(embeddings, n_queries, k, vec_col, id_col).select(
+        "q_id", "n_id"
+    )
+    approx = knn_lsh(embeddings, n_queries, k, n_planes, vec_col, id_col).select(
+        "q_id", "n_id"
+    )
+    n_exact = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_approx = approx.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    n_hit = (
+        exact.join(approx, ["q_id", "n_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        n_exact.join(n_approx, "q_id", "left")
+        .join(n_hit, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce("n_approx", F.lit(0)).alias("n_approx"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")).alias("recall"),
+        )
+    )

@@ -260,3 +260,30 @@ class TestPqSearch:
             by_q.setdefault(r["q_id"], []).append(r["rnk"])
         for ranks in by_q.values():
             assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+def test_ann_recall_consistent_with_component_knns(spark, sf_dir):
+    from p2_mapreduce_spark.operators.similarity import (
+        ann_recall,
+        knn_bruteforce,
+        knn_lsh,
+    )
+    from p2_mapreduce_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = {r.q_id: r for r in ann_recall(emb, n_queries=5, k=10).collect()}
+    assert set(rows) == set(range(5))
+    exact = knn_bruteforce(emb, 5, 10).collect()
+    approx = knn_lsh(emb, 5, 10).collect()
+    ex = {}
+    ap = {}
+    for r in exact:
+        ex.setdefault(r.q_id, set()).add(r.n_id)
+    for r in approx:
+        ap.setdefault(r.q_id, set()).add(r.n_id)
+    for q, r in rows.items():
+        assert r.n_exact == len(ex[q]) == 10
+        assert r.n_approx == len(ap.get(q, ()))
+        assert r.n_hit == len(ex[q] & ap.get(q, set()))
+        assert r.recall == r.n_hit / r.n_exact
+        assert 0.0 <= r.recall <= 1.0
