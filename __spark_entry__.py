@@ -998,6 +998,30 @@ def _q_ann_recall(spark, sf_dir):
     return ann_recall(load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10)
 
 
+def _q_phrase_search(spark, sf_dir):
+    """Positional-index phrase retrieval: consecutive-token match via
+    per-term posting-list adjacency joins."""
+    from p2_mapreduce_spark.operators.search import phrase_search
+
+    return phrase_search(load_table(spark, sf_dir, "documents"), ("data", "join"))
+
+
+def _q_k_anonymity(spark, sf_dir):
+    """Governance audit: quasi-identifier equivalence classes with size
+    and k-anonymity flag."""
+    from p2_mapreduce_spark.operators.profile import k_anonymity_audit
+
+    return k_anonymity_audit(load_table(spark, sf_dir, "customer"), k=8)
+
+
+def _q_activity_islands(spark, sf_dir):
+    """Gaps-and-islands: per-user maximal consecutive-active-day runs
+    (day - row_number anchor grouping)."""
+    from p2_mapreduce_spark.operators.events_analytics import activity_islands
+
+    return activity_islands(load_table(spark, sf_dir, "events"))
+
+
 def _q_media_decode(spark, sf_dir):
     from p2_mapreduce_spark.operators.multimodal import attach_binary, decode_media
 
@@ -1854,6 +1878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_embeddings": _q_knn_embeddings,
         "knn_lsh": _q_knn_lsh,
         "ann_recall": _q_ann_recall,
+        "phrase_search": _q_phrase_search,
+        "k_anonymity": _q_k_anonymity,
+        "activity_islands": _q_activity_islands,
         "knn_ivf": _q_knn_ivf,
         "knn_np": _q_knn_np,
         "media_decode": _q_media_decode,
@@ -4774,6 +4801,42 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 2
             ORDER BY df DESC, sh.shingle
             LIMIT 50
+        """,
+        "phrase_search": f"""
+            WITH tok AS (
+                SELECT doc_id, g.i - 1 AS pos, t[g.i] AS token
+                FROM ({toks}),
+                     LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g
+            )
+            SELECT a.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   CAST(MIN(a.pos) AS BIGINT) AS first_pos
+            FROM tok a JOIN tok b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.token = 'data' AND b.token = 'join'
+            GROUP BY a.doc_id
+        """,
+        "k_anonymity": """
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS class_size,
+                   COUNT(*) >= 8 AS k_anonymous
+            FROM customer GROUP BY 1, 2
+        """,
+        "activity_islands": """
+            WITH days AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ),
+            a AS (
+                SELECT user_id, day,
+                       day - CAST(ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+                FROM days
+            )
+            SELECT user_id,
+                   strftime(MIN(day), '%Y-%m-%d') AS start_day,
+                   strftime(MAX(day), '%Y-%m-%d') AS end_day,
+                   CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM a GROUP BY user_id, anchor
         """,
         "postings": f"""
             SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,

@@ -151,6 +151,14 @@ HEADLINE = (
     "weekday_seasonality",
     "conversion_lag",
     "time_rollup",
+    "dedup_allpairs",
+    "weighted_sample",
+    "compaction_plan",
+    "record_linkage",
+    "ann_recall",
+    "phrase_search",
+    "k_anonymity",
+    "activity_islands",
 )
 
 

@@ -394,3 +394,35 @@ def conversion_lag(
         F.col("_p")[0].alias("p50_lag_s"),
         F.col("_p")[1].alias("p90_lag_s"),
     )
+
+
+def activity_islands(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Gaps-and-islands: each user's maximal runs of CONSECUTIVE active
+    days — streak analytics (retention/engagement reporting).  The
+    classic trick stays one pass: distinct (user, day), then
+    ``day - row_number()`` inside the user is constant exactly along a
+    consecutive run, so grouping on that anchor yields the islands.
+
+    The window partitions by user — parallel across users, bounded by
+    days-per-user within (≤ a few thousand for any real retention
+    window), the shape window functions are designed for.  Output:
+    (user_id, start_day, end_day, n_days) as 'yyyy-MM-dd' strings
+    (engine-portable date surface).
+    """
+    days = (
+        events.select(F.col(user_col), F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy(user_col).orderBy("day")
+    anchored = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return (
+        anchored.groupBy(user_col, "anchor")
+        .agg(
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("start_day"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("end_day"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+        .drop("anchor")
+    )

@@ -709,3 +709,22 @@ def table_digest(
             .alias("digest"),
         )
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: tuple[str, ...] = ("c_nationkey", "c_mktsegment"),
+    k: int = 8,
+) -> DataFrame:
+    """K-anonymity audit over a quasi-identifier combination — the
+    governance gate before a table is released: every equivalence class
+    (distinct quasi-identifier tuple) with fewer than ``k`` members is a
+    re-identification risk.  One hash aggregate on the quasi columns;
+    output is one row per class with its size and a pass flag, so the
+    release decision (suppress / generalize / pass) is a filter on this
+    result.  O(#classes) output, single shuffle, all-integer."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("class_size"))
+        .withColumn("k_anonymous", F.col("class_size") >= k)
+    )

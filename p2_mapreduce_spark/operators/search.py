@@ -141,3 +141,50 @@ def bm25_search(
         .orderBy(F.col("score").desc(), id_col)
         .limit(int(top_n))
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: Sequence[str] = ("data", "join"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase retrieval over the positional index: documents where
+    the tokens of ``phrase`` occur CONSECUTIVELY, with occurrence count
+    and first match position — the positional-postings complement to
+    :func:`bm25_search`'s bag-of-words ranking.
+
+    Plan: the posexplode stream is filtered to the phrase's tokens
+    before any shuffle (the index touched is |phrase| posting lists,
+    not the corpus); adjacency is ``len(phrase)-1`` equi-joins on
+    ``(doc, pos ± offset)`` — narrow 16-byte keys, and every join after
+    the first reuses the same (doc) clustering.  All exact integer
+    arithmetic.
+    """
+    terms = list(phrase)
+    if len(terms) < 2:
+        raise ValueError("phrase needs at least two tokens")
+    toks = spread(docs).select(
+        F.col(id_col),
+        F.posexplode(tokens_array(F.col(text_col))).alias("pos", "token"),
+    ).where(F.col("token").isin(terms))
+    matches = (
+        toks.where(F.col("token") == terms[0])
+        .select(F.col(id_col), F.col("pos"))
+    )
+    for i, term in enumerate(terms[1:], start=1):
+        nxt = (
+            toks.where(F.col("token") == term)
+            .select(F.col(id_col).alias("__d"), (F.col("pos") - i).alias("__p"))
+        )
+        matches = matches.join(
+            nxt,
+            (matches[id_col] == nxt["__d"]) & (matches["pos"] == nxt["__p"]),
+        ).select(matches[id_col], matches["pos"])
+    return (
+        matches.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+        )
+    )

@@ -238,3 +238,24 @@ class TestYoyBounce:
         assert sum(r["n_sessions"] for r in out) == sessionize(events).count()
         total_ppm = sum(r["share_ppm"] for r in out)
         assert 1_000_000 - len(out) <= total_ppm <= 1_000_000
+
+
+def test_activity_islands_runs_are_maximal_and_disjoint(spark):
+    from p2_mapreduce_spark.operators.events_analytics import activity_islands
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 05:00:00"), (2, "2024-01-01 09:00:00"),
+            (3, "2024-01-02 05:00:00"), (4, "2024-01-04 05:00:00"),
+            (5, "2024-01-05 05:00:00"), (6, "2024-01-06 05:00:00"),
+        ],
+        "event_id long, ts_s string",
+    ).selectExpr("event_id", "CAST(1 AS BIGINT) AS user_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    got = sorted(
+        (r.start_day, r.end_day, r.n_days)
+        for r in activity_islands(events).collect()
+    )
+    assert got == [
+        ("2024-01-01", "2024-01-02", 2),
+        ("2024-01-04", "2024-01-06", 3),
+    ]

@@ -151,3 +151,14 @@ def test_span_dedup_is_partitioning_invariant(spark):
     assert a == b
     # exactly one keeper: the smallest doc_id
     assert (0, 1) in a and sum(k for _, k in a) == 1
+
+
+def test_k_anonymity_audit_flags_small_classes(spark, sf_dir):
+    from p2_mapreduce_spark.operators.profile import k_anonymity_audit
+    from p2_mapreduce_spark.session import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    rows = k_anonymity_audit(cust, k=8).collect()
+    assert sum(r.class_size for r in rows) == cust.count()
+    for r in rows:
+        assert r.k_anonymous == (r.class_size >= 8)

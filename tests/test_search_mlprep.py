@@ -177,3 +177,24 @@ class TestSkyline:
             )
         )
         assert fast == brute
+
+
+def test_phrase_search_counts_adjacent_occurrences(spark):
+    from p2_mapreduce_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data join data join x data data join"),
+            (2, "join data"),
+            (3, "data x join"),
+            (4, "prefix data join"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_occurrences, r.first_pos)
+           for r in phrase_search(docs, ("data", "join")).collect()}
+    assert got == {1: (3, 0), 4: (1, 1)}
+    # three-token phrase goes through the chained adjacency joins
+    got3 = {r.doc_id: (r.n_occurrences, r.first_pos)
+            for r in phrase_search(docs, ("data", "join", "x")).collect()}
+    assert got3 == {1: (1, 2)}
