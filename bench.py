@@ -151,7 +151,6 @@ HEADLINE = (
     "weekday_seasonality",
     "conversion_lag",
     "time_rollup",
-    "dedup_allpairs",
     "weighted_sample",
     "compaction_plan",
     "record_linkage",
