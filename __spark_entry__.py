@@ -998,6 +998,20 @@ def _q_ann_recall(spark, sf_dir):
     return ann_recall(load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10)
 
 
+def _q_join_fanout(spark, sf_dir):
+    """Pre-join sizing audit: exact |part ⋈ lineitem| cardinality, worst
+    per-key fanout, unmatched mass — computed from per-side key
+    aggregates, never the join itself."""
+    from p2_mapreduce_spark.operators.profile import join_fanout
+
+    return join_fanout(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "lineitem"),
+        "p_partkey",
+        "l_partkey",
+    )
+
+
 def _q_phrase_search(spark, sf_dir):
     """Positional-index phrase retrieval: consecutive-token match via
     per-term posting-list adjacency joins."""
@@ -1879,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": _q_knn_lsh,
         "ann_recall": _q_ann_recall,
         "phrase_search": _q_phrase_search,
+        "join_fanout": _q_join_fanout,
         "k_anonymity": _q_k_anonymity,
         "activity_islands": _q_activity_islands,
         "knn_ivf": _q_knn_ivf,
@@ -4801,6 +4816,25 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 2
             ORDER BY df DESC, sh.shingle
             LIMIT 50
+        """,
+        "join_fanout": """
+            WITH la AS (SELECT p_partkey AS key, COUNT(*) AS n_l
+                        FROM part GROUP BY 1),
+                 rb AS (SELECT l_partkey AS key, COUNT(*) AS n_r
+                        FROM lineitem GROUP BY 1),
+                 m AS (SELECT la.key, n_l, n_r FROM la JOIN rb USING (key))
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m)
+                       AS n_matching_keys,
+                   (SELECT CAST(SUM(n_l * n_r) AS BIGINT) FROM m)
+                       AS join_rows,
+                   (SELECT CAST(MAX(n_l * n_r) AS BIGINT) FROM m)
+                       AS max_key_fanout,
+                   (SELECT CAST(COALESCE(SUM(n_l), 0) AS BIGINT) FROM la
+                    WHERE key NOT IN (SELECT key FROM rb))
+                       AS left_unmatched_rows,
+                   (SELECT CAST(COALESCE(SUM(n_r), 0) AS BIGINT) FROM rb
+                    WHERE key NOT IN (SELECT key FROM la))
+                       AS right_unmatched_rows
         """,
         "phrase_search": f"""
             WITH tok AS (

@@ -158,6 +158,7 @@ HEADLINE = (
     "phrase_search",
     "k_anonymity",
     "activity_islands",
+    "join_fanout",
 )
 
 

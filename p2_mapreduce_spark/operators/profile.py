@@ -728,3 +728,44 @@ def k_anonymity_audit(
         .agg(F.count(F.lit(1)).cast("bigint").alias("class_size"))
         .withColumn("k_anonymous", F.col("class_size") >= k)
     )
+
+
+def join_fanout(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Exact join-cardinality and skew audit WITHOUT executing the join —
+    the statistic a planner (or an engineer sizing a 100 TB job) needs
+    before committing to a shuffle: |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k),
+    its worst single-key term (the skew hazard AQE's skew-join split
+    exists for), and the unmatched row mass on each side.
+
+    Cost: one aggregate per side (each output ≤ #distinct keys — the
+    corpus contracts BEFORE any join), one narrow key-to-key join, one
+    global fold to a single row.  The quadratic join itself never runs;
+    this is exactly how you decide whether it may.
+
+    Output (one row): n_matching_keys, join_rows, max_key_fanout,
+    left_unmatched_rows, right_unmatched_rows.
+    """
+    la = left.groupBy(F.col(left_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    rb = right.groupBy(F.col(right_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_r")
+    )
+    matched = la.join(rb, "key")
+    summary = matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matching_keys"),
+        F.sum(F.col("n_l") * F.col("n_r")).cast("bigint").alias("join_rows"),
+        F.max(F.col("n_l") * F.col("n_r")).cast("bigint").alias("max_key_fanout"),
+    )
+    l_only = la.join(rb, "key", "left_anti").agg(
+        F.coalesce(F.sum("n_l"), F.lit(0)).cast("bigint").alias("left_unmatched_rows")
+    )
+    r_only = rb.join(la, "key", "left_anti").agg(
+        F.coalesce(F.sum("n_r"), F.lit(0)).cast("bigint").alias("right_unmatched_rows")
+    )
+    return summary.crossJoin(l_only).crossJoin(r_only)

@@ -162,3 +162,21 @@ def test_k_anonymity_audit_flags_small_classes(spark, sf_dir):
     assert sum(r.class_size for r in rows) == cust.count()
     for r in rows:
         assert r.k_anonymous == (r.class_size >= 8)
+
+
+def test_join_fanout_predicts_actual_join_size(spark, sf_dir):
+    from p2_mapreduce_spark.operators.profile import join_fanout
+    from p2_mapreduce_spark.session import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    row = join_fanout(part, li, "p_partkey", "l_partkey").collect()[0]
+    actual = part.join(li, part.p_partkey == li.l_partkey).count()
+    assert row.join_rows == actual
+    assert row.left_unmatched_rows == part.join(
+        li, part.p_partkey == li.l_partkey, "left_anti"
+    ).count()
+    assert row.right_unmatched_rows == li.join(
+        part, li.l_partkey == part.p_partkey, "left_anti"
+    ).count()
+    assert row.max_key_fanout >= row.join_rows / max(row.n_matching_keys, 1)
