@@ -989,6 +989,22 @@ def _q_knn_np(spark, sf_dir):
     )
 
 
+def _q_knn_multiprobe(spark, sf_dir):
+    """Multi-probe LSH: own bucket + Hamming-1 probe buckets, exact
+    re-score — recall lever without index duplication."""
+    from p2_mapreduce_spark.operators.similarity import knn_lsh_multiprobe
+
+    return knn_lsh_multiprobe(load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+
+
+def _q_dedup_containment(spark, sf_dir):
+    """Containment (quote/excerpt) pairs: |A∩B| / min(|A|,|B|) over
+    shingle sets — the relation Jaccard misses by design."""
+    from p2_mapreduce_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
 def _q_ann_recall(spark, sf_dir):
     """ANN acceptance gate: per-query recall@k of the LSH index against
     the exact scan — both deterministic, so the evaluation is itself
@@ -1892,6 +1908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_embeddings": _q_knn_embeddings,
         "knn_lsh": _q_knn_lsh,
         "ann_recall": _q_ann_recall,
+        "knn_multiprobe": _q_knn_multiprobe,
+        "dedup_containment": _q_dedup_containment,
         "phrase_search": _q_phrase_search,
         "join_fanout": _q_join_fanout,
         "k_anonymity": _q_k_anonymity,
@@ -2119,13 +2137,24 @@ def _simhash_sql(toks: str, max_hamming: int = 3) -> str:
     """
 
 
-def _ngram_pairs_sql(shingles: str, select_clause: str, threshold: float = 0.5) -> str:
+def _ngram_pairs_sql(
+    shingles: str,
+    select_clause: str,
+    threshold: float = 0.5,
+    predicate: str | None = None,
+) -> str:
     """Shared exact-n-gram-Jaccard pair SQL (dedup_ngram / dedup_minhash
     oracles).  Mirrors operators/dedup.py exactly, INCLUDING the
     document-frequency cap on shingles (MAX_DF — a no-op at fixture scale
-    but part of the operator's semantics)."""
+    but part of the operator's semantics).  ``predicate`` overrides the
+    default jaccard>=threshold filter (containment oracle)."""
     from p2_mapreduce_spark.operators.dedup import MAX_DF
 
+    if predicate is None:
+        predicate = (
+            f"CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common)"
+            f" >= {threshold}"
+        )
     return f"""
         WITH sh0 AS ({shingles}),
         ok AS (SELECT shingle FROM sh0 GROUP BY shingle
@@ -2143,7 +2172,7 @@ def _ngram_pairs_sql(shingles: str, select_clause: str, threshold: float = 0.5) 
         FROM pairs
         JOIN sizes sa ON doc_a = sa.doc_id
         JOIN sizes sb ON doc_b = sb.doc_id
-        WHERE CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common) >= {threshold}
+        WHERE {predicate}
     """
 
 
@@ -2675,6 +2704,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE name_a < name_b
               AND levenshtein(name_a, name_b) <= 4
         """,
+        "dedup_containment": _ngram_pairs_sql(
+            shingles,
+            """SELECT doc_a, doc_b, n_common,
+                   CAST(sa.ns AS BIGINT) AS size_a,
+                   CAST(sb.ns AS BIGINT) AS size_b,
+                   CAST(n_common AS DOUBLE) / least(sa.ns, sb.ns)
+                       AS containment""",
+            predicate=(
+                "CAST(n_common AS DOUBLE) / least(sa.ns, sb.ns) >= 0.8"
+            ),
+        ),
         # minhash-LSH emits exact-Jaccard-verified pairs; on the driver
         # fixtures its recall is total (pinned in tests/test_dedup.py), so
         # the deterministic pipeline matches the exact-Jaccard SQL.
@@ -3212,6 +3252,30 @@ def oracle_sql() -> dict[str, str]:
         # Hyperplane-LSH twin: buckets from the inlined sign matrix
         # (_LSH_SIGNS — the algorithm's constants), then the same
         # bucket-restricted re-score and rank as the Spark plan.
+        "knn_multiprobe": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+                         {_lsh_bucket_expr(6)} AS bucket
+                  FROM e),
+            q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
+                         xor(bucket, m.d) AS probe
+                  FROM b, (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS d) m
+                  WHERE vec_id < 5),
+            scored AS (
+                SELECT q_id, c.vec_id AS n_id,
+                       list_dot_product(qv, c.v) / (qn * c.nrm) AS cosine
+                FROM q JOIN b c ON c.bucket = q.probe AND c.vec_id <> q.q_id
+            ),
+            ranked AS (
+                SELECT q_id, n_id, cosine,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q_id ORDER BY cosine DESC, n_id
+                       ) AS rnk
+                FROM scored
+            )
+            SELECT q_id, n_id, cosine, rnk FROM ranked WHERE rnk <= 10
+        """,
         "knn_lsh": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings),

@@ -159,6 +159,8 @@ HEADLINE = (
     "k_anonymity",
     "activity_islands",
     "join_fanout",
+    "knn_multiprobe",
+    "dedup_containment",
 )
 
 

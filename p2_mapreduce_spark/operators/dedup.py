@@ -869,3 +869,33 @@ def blocked_linkage(
         .where(F.col("dist") <= max_dist)
         .select("block", "name_a", "name_b", "dist")
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = MAX_DF,
+) -> DataFrame:
+    """Containment detection (quote/excerpt mining): pairs where the
+    SMALLER document's shingle set is (nearly) a subset of the larger's
+    — ``containment = |A∩B| / min(|A|,|B|) >= threshold``.  Jaccard
+    misses these by design: a paragraph quoted inside a book has
+    jaccard ≈ |para|/|book| ≈ 0 but containment ≈ 1, and excerpt
+    relations are exactly what a training-corpus curator must find
+    before near-dup collapsing (drop the quote, keep the source).
+
+    Same single inverted-index pass as :func:`shingle_pairs` (one
+    aggregate re-used for sizes and both join sides, df-capped hot
+    shingles); only the final predicate differs — one extra integer
+    ``least`` and the same single IEEE division.
+    """
+    p = shingle_pairs(docs, n, text_col, id_col, max_df)
+    cont = F.col("n_common") / F.least("size_a", "size_b")
+    return (
+        p.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "containment")
+    )

@@ -852,3 +852,53 @@ def ann_recall(
             (F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")).alias("recall"),
         )
     )
+
+
+def knn_lsh_multiprobe(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe LSH kNN (Lv et al. VLDB'07): each query searches its
+    own bucket PLUS the ``n_planes`` buckets at Hamming distance 1 — the
+    standard recall lever that costs probes, not index copies.  A vector
+    near a hyperplane lands on either side with near-equal probability;
+    probing the one-bit-flip buckets recovers exactly those borderline
+    misses, so recall rises toward brute force while the index stays a
+    single bucket column.
+
+    Plan shape stays the equi-join: the query side EXPLODES into its
+    probe set (n_planes+1 rows per query — still config-sized, still
+    broadcast) instead of the corpus being compared against bucket
+    neighborhoods with a non-equi predicate.  Probe values are distinct
+    by construction (bucket ⊕ distinct one-bit masks), so no candidate
+    dedup is needed.  Exact re-scoring and the tie-broken rank are
+    identical to :func:`knn_lsh` — the result differs only by recall.
+    """
+    bucketed = add_lsh_bucket(with_norm(embeddings, vec_col), n_planes, vec_col)
+    corpus = bucketed.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+        F.col("norm").alias("n_norm"), F.col("bucket").alias("n_bucket"),
+    )
+    masks = [0] + [1 << p for p in range(n_planes)]
+    probes = F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+    queries = bucketed.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        F.col("norm").alias("q_norm"), F.explode(probes).alias("probe"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("n_bucket") == F.col("probe")) & (F.col("n_id") != F.col("q_id")),
+        )
+        .withColumn("cosine", _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cosine", F.col("rnk").cast("bigint").alias("rnk"))
+    )

@@ -288,3 +288,23 @@ def test_blocked_linkage_equals_all_pairs_within_blocks(spark, sf_dir):
             expect[(a, b)] = (a.split()[-1], prev[-1])
     assert got == expect
     assert len(got) > 0
+
+
+def test_containment_catches_quotes_jaccard_misses(spark):
+    from p2_mapreduce_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    book = " ".join(f"tok{i}" for i in range(200))
+    quote = " ".join(f"tok{i}" for i in range(50, 60))
+    docs = spark.createDataFrame(
+        [(1, book), (2, quote), (3, "zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    cont = {(r.doc_a, r.doc_b): r.containment
+            for r in containment_pairs(docs, threshold=0.9).collect()}
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0
+    jac = {(r.doc_a, r.doc_b)
+           for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) not in jac

@@ -287,3 +287,35 @@ def test_ann_recall_consistent_with_component_knns(spark, sf_dir):
         assert r.n_hit == len(ex[q] & ap.get(q, set()))
         assert r.recall == r.n_hit / r.n_exact
         assert 0.0 <= r.recall <= 1.0
+
+
+def test_multiprobe_recall_at_least_single_bucket(spark, sf_dir):
+    """Hamming-1 probing must be a superset search: per-query recall vs
+    brute force can only rise, and every emitted pair is exactly scored."""
+    from p2_mapreduce_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_lsh,
+        knn_lsh_multiprobe,
+    )
+    from p2_mapreduce_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {}
+    for r in knn_bruteforce(emb, 5, 10).collect():
+        exact.setdefault(r.q_id, set()).add(r.n_id)
+    single = {}
+    for r in knn_lsh(emb, 5, 10).collect():
+        single.setdefault(r.q_id, set()).add(r.n_id)
+    multi = {}
+    cos = {}
+    for r in knn_lsh_multiprobe(emb, 5, 10).collect():
+        multi.setdefault(r.q_id, set()).add(r.n_id)
+        cos[(r.q_id, r.n_id)] = r.cosine
+    for q in exact:
+        hit_s = len(exact[q] & single.get(q, set()))
+        hit_m = len(exact[q] & multi.get(q, set()))
+        assert hit_m >= hit_s
+    # exact re-scoring: multiprobe cosines equal brute-force cosines
+    bf = {(r.q_id, r.n_id): r.cosine for r in knn_bruteforce(emb, 5, 500).collect()}
+    for key, c in cos.items():
+        assert bf[key] == c
