@@ -1014,6 +1014,22 @@ def _q_ann_recall(spark, sf_dir):
     return ann_recall(load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10)
 
 
+def _q_quality_calibration(spark, sf_dir):
+    """Per-source percent-rank normalization of the quality score —
+    source-fair curation thresholds."""
+    from p2_mapreduce_spark.operators.curation import quality_calibration
+
+    return quality_calibration(load_table(spark, sf_dir, "documents"))
+
+
+def _q_substring_search(spark, sf_dir):
+    """Trigram-prefiltered LIKE '%needle%': lossless candidate pruning +
+    exact verification (pg_trgm strategy)."""
+    from p2_mapreduce_spark.operators.search import substring_search
+
+    return substring_search(load_table(spark, sf_dir, "documents"), "data join")
+
+
 def _q_join_fanout(spark, sf_dir):
     """Pre-join sizing audit: exact |part ⋈ lineitem| cardinality, worst
     per-key fanout, unmatched mass — computed from per-side key
@@ -1912,6 +1928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": _q_dedup_containment,
         "phrase_search": _q_phrase_search,
         "join_fanout": _q_join_fanout,
+        "quality_calibration": _q_quality_calibration,
+        "substring_search": _q_substring_search,
         "k_anonymity": _q_k_anonymity,
         "activity_islands": _q_activity_islands,
         "knn_ivf": _q_knn_ivf,
@@ -4881,6 +4899,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY df DESC, sh.shingle
             LIMIT 50
         """,
+        "substring_search": """
+            SELECT doc_id,
+                   CAST((length(text) - length(replace(text, 'data join', '')))
+                        / 9 AS BIGINT) AS n_matches,
+                   CAST(strpos(text, 'data join') AS BIGINT) AS first_off
+            FROM documents
+            WHERE contains(text, 'data join')
+        """,
         "join_fanout": """
             WITH la AS (SELECT p_partkey AS key, COUNT(*) AS n_l
                         FROM part GROUP BY 1),
@@ -5748,6 +5774,16 @@ def oracle_sql() -> dict[str, str]:
     out["dup_clusters_star"] = out["dup_clusters"]
     # ann_recall composes the two kNN oracles verbatim: recall@k of the
     # LSH result set against the exact scan, per query
+    # quality_calibration composes the quality_score oracle verbatim:
+    # per-source percent_rank over the same scored table
+    out["quality_calibration"] = f"""
+        WITH qs AS ({out['quality_score']})
+        SELECT qs.doc_id, d.source, qs.quality,
+               PERCENT_RANK() OVER (
+                   PARTITION BY d.source ORDER BY qs.quality, qs.doc_id
+               ) AS pct_in_source
+        FROM qs JOIN documents d ON qs.doc_id = d.doc_id
+    """
     out["ann_recall"] = f"""
         WITH exact AS ({out['knn_embeddings']}),
              approx AS ({out['knn_lsh']}),

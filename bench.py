@@ -161,6 +161,8 @@ HEADLINE = (
     "join_fanout",
     "knn_multiprobe",
     "dedup_containment",
+    "quality_calibration",
+    "substring_search",
 )
 
 

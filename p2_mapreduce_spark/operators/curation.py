@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from p2_mapreduce_spark.functions.text import tokens_array
@@ -859,4 +859,31 @@ def weighted_sample(
         .orderBy(F.col("__pri").desc(), F.col(id_col))
         .limit(int(k))
         .drop("__pri")
+    )
+
+
+def quality_calibration(docs: DataFrame) -> DataFrame:
+    """Per-source quantile normalization of the quality score — the fix
+    for the classic curation bug where one global threshold silently
+    drops entire sources (a transcript corpus scores lower than an
+    encyclopedia on any absolute heuristic).  ``pct_in_source`` is the
+    doc's percent-rank WITHIN its source, so "keep the top 40% of each
+    source" becomes a single portable predicate.
+
+    One scan computes the scores (zero-shuffle codegen ratios), one
+    window per source assigns ranks — partitioned by source, so the
+    work parallelizes across sources and the per-partition sort is
+    bounded by source size (salt a mega-source into sub-shards if one
+    source IS the corpus).  percent_rank = (rank-1)/(n-1) — exact ints,
+    one IEEE division, tie-broken by doc_id for a total order.
+    """
+    from p2_mapreduce_spark.operators.text_analysis import quality_score
+
+    scored = quality_score(docs).select("doc_id", "quality")
+    src = docs.select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return (
+        scored.join(src, "doc_id")
+        .withColumn("pct_in_source", F.percent_rank().over(w))
+        .select("doc_id", "source", "quality", "pct_in_source")
     )

@@ -188,3 +188,65 @@ def phrase_search(
             F.min("pos").cast("bigint").alias("first_pos"),
         )
     )
+
+
+def substring_search(
+    docs: DataFrame,
+    needle: str = "data join",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring (LIKE '%needle%') retrieval with a character-trigram
+    prefilter — the pg_trgm strategy: a document containing ``needle``
+    necessarily contains every character trigram of ``needle``, so the
+    trigram inverted index prunes the corpus to candidates BEFORE any
+    full-text verification, and the prefilter is provably lossless.
+
+    The explode stream is filtered to the needle's (config-sized)
+    trigram set immediately — the shuffle carries only matching
+    (doc, trigram) rows; candidates must hit ALL distinct needle
+    trigrams (count == m), then one verification pass confirms the
+    contiguous match and counts occurrences.  At 100 TB the trigram
+    table is built once as a persistent index (same lifecycle as
+    build_postings); per query you touch m posting lists, not the
+    corpus.
+    """
+    if len(needle) < 3:
+        raise ValueError("needle must be at least 3 chars for trigrams")
+    trigrams = sorted({needle[i : i + 3] for i in range(len(needle) - 2)})
+    m = len(trigrams)
+    text = F.col(text_col)
+    # posting-list probe: only (doc, needle-trigram) rows survive the
+    # explode, so the aggregate's shuffle carries 8-byte ids + 3-char
+    # keys — the text column never enters the exchange
+    cand = (
+        spread(docs)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(text) - 2),
+                        lambda i: F.substring(text, i, 3),
+                    )
+                )
+            ).alias("tri"),
+        )
+        .where(F.col("tri").isin(trigrams))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+        .where(F.col("n_tri") == m)
+        .select(id_col)
+    )
+    # verification re-reads ONLY candidate docs (semi-join-shaped probe)
+    verified = docs.join(cand, id_col, "left_semi")
+    occurrences = (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle))))
+        / F.lit(len(needle))
+    ).cast("bigint")
+    return (
+        verified.withColumn("n_matches", occurrences)
+        .withColumn("first_off", F.instr(text, needle).cast("bigint"))
+        .where(F.col("n_matches") > 0)
+        .select(id_col, "n_matches", "first_off")
+    )

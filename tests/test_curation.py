@@ -319,3 +319,25 @@ def test_weighted_sample_exact_k_biased_and_partition_invariant(spark, sf_dir):
     # scale contract: top-k heap merge, never a global sort
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_quality_calibration_pct_is_source_local(spark, sf_dir):
+    from p2_mapreduce_spark.operators.curation import quality_calibration
+    from p2_mapreduce_spark.session import load_table
+
+    rows = quality_calibration(load_table(spark, sf_dir, "documents")).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (r.quality, r.doc_id))
+        n = len(rs)
+        assert rs[0].pct_in_source == 0.0
+        assert rs[-1].pct_in_source == 1.0
+        for i, r in enumerate(rs):
+            assert r.pct_in_source == i / (n - 1)
+    # a same-percentile cut keeps a fair share of EVERY source
+    kept = [r for r in rows if r.pct_in_source >= 0.6]
+    for src, rs in by_src.items():
+        share = sum(1 for r in kept if r.source == src) / len(rs)
+        assert 0.3 <= share <= 0.5

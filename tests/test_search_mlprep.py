@@ -198,3 +198,25 @@ def test_phrase_search_counts_adjacent_occurrences(spark):
     got3 = {r.doc_id: (r.n_occurrences, r.first_pos)
             for r in phrase_search(docs, ("data", "join", "x")).collect()}
     assert got3 == {1: (1, 2)}
+
+
+def test_substring_search_equals_naive_scan(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.search import substring_search
+    from p2_mapreduce_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    needle = "data join"
+    got = {r.doc_id: (r.n_matches, r.first_off)
+           for r in substring_search(docs, needle).collect()}
+    naive = {
+        r.doc_id: (r.n, r.o)
+        for r in docs.select(
+            "doc_id",
+            ((F.length("text") - F.length(F.replace(F.col("text"), F.lit(needle))))
+             / len(needle)).cast("bigint").alias("n"),
+            F.instr("text", needle).cast("bigint").alias("o"),
+        ).where(F.col("n") > 0).collect()
+    }
+    assert got == naive and len(got) > 0
