@@ -1014,6 +1014,22 @@ def _q_ann_recall(spark, sf_dir):
     return ann_recall(load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10)
 
 
+def _q_bitmap_count(spark, sf_dir):
+    """Bitmap-index conjunction counting: predicate combinations answered
+    from (word → bits) tables + popcount, never a fact re-scan."""
+    from p2_mapreduce_spark.operators.layout import bitmap_count
+
+    return bitmap_count(load_table(spark, sf_dir, "orders"))
+
+
+def _q_new_returning(spark, sf_dir):
+    """Growth accounting: daily active split new/returning + cumulative
+    reach from one user-day distinct."""
+    from p2_mapreduce_spark.operators.events_analytics import daily_new_returning
+
+    return daily_new_returning(load_table(spark, sf_dir, "events"))
+
+
 def _q_quality_calibration(spark, sf_dir):
     """Per-source percent-rank normalization of the quality score —
     source-fair curation thresholds."""
@@ -1930,6 +1946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_fanout": _q_join_fanout,
         "quality_calibration": _q_quality_calibration,
         "substring_search": _q_substring_search,
+        "bitmap_count": _q_bitmap_count,
+        "new_returning": _q_new_returning,
         "k_anonymity": _q_k_anonymity,
         "activity_islands": _q_activity_islands,
         "knn_ivf": _q_knn_ivf,
@@ -4898,6 +4916,38 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 2
             ORDER BY df DESC, sh.shingle
             LIMIT 50
+        """,
+        "bitmap_count": """
+            SELECT CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                                  AND o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+            FROM orders
+        """,
+        "new_returning": """
+            WITH days AS (
+                SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+            ),
+            fs AS (SELECT u, MIN(d) AS first_d FROM days GROUP BY 1),
+            per_day AS (
+                SELECT d,
+                       CAST(COUNT(*) AS BIGINT) AS n_active,
+                       CAST(SUM(CASE WHEN d = first_d THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_new
+                FROM days JOIN fs USING (u) GROUP BY d
+            )
+            SELECT strftime(d, '%Y-%m-%d') AS day,
+                   n_active,
+                   n_active - n_new AS n_returning,
+                   n_new,
+                   CAST(SUM(n_new) OVER (
+                       ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT)
+                       AS cum_users
+            FROM per_day
         """,
         "substring_search": """
             SELECT doc_id,

@@ -163,6 +163,8 @@ HEADLINE = (
     "dedup_containment",
     "quality_calibration",
     "substring_search",
+    "bitmap_count",
+    "new_returning",
 )
 
 

@@ -426,3 +426,45 @@ def activity_islands(events: DataFrame, user_col: str = "user_id") -> DataFrame:
         )
         .drop("anchor")
     )
+
+
+def daily_new_returning(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Daily active users split into new vs returning, plus cumulative
+    reach — the growth-accounting readout every event pipeline serves.
+
+    One distinct to (user, day) grain, first-seen via a per-user MIN
+    (map-side combined), one day-grain aggregate; the cumulative-reach
+    window runs over the DAY-grain table (grain-bounded, like the
+    calendar rollups).  The user-day distinct is the only data-sized
+    shuffle; at 100 TB swap the exact distinct for the daily-HLL state
+    table (wau_hll) with identical downstream shape.
+
+    Output: (day, n_active, n_new, n_returning, cum_users) with day as
+    'yyyy-MM-dd' (engine-portable date surface).
+    """
+    days = (
+        events.select(F.col(user_col).alias("u"), F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    first_seen = days.groupBy("u").agg(F.min("d").alias("first_d"))
+    per_day = (
+        days.join(first_seen, "u")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.sum(F.when(F.col("d") == F.col("first_d"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_day.withColumn("cum_users", F.sum("n_new").over(w).cast("bigint"))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_active",
+            (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+            "n_new",
+            "cum_users",
+        )
+    )

@@ -183,3 +183,63 @@ def compaction_plan(
             "part_month", "n_rows", "est_bytes", "bin", "bin_rows", "bin_parts"
         )
     )
+
+
+def bitmap_count(
+    orders: DataFrame,
+    col_a: str = "o_orderstatus",
+    val_a: str = "F",
+    col_b: str = "o_orderpriority",
+    val_b: str = "1-URGENT",
+    rid_col: str = "o_orderkey",
+) -> DataFrame:
+    """Bitmap-index conjunction counting — the third index family next to
+    the postings (text) and trigram (substring) indexes: one bitmap per
+    (column, value), rows addressed by a deterministic record id packed
+    into 64-bit words (``bit_or`` fold per word), and ANY boolean
+    combination of predicates answered by word-wise AND/OR + popcount —
+    no re-scan of the fact table.
+
+    The record id is the table's unique natural key (``o_orderkey`` —
+    sparse ids cost words, never correctness; a non-unique rid would
+    silently merge rows, so uniqueness is the one hard precondition).
+    Each bitmap build is ONE narrow aggregate to (word → bits); the
+    conjunction is an equi-join of two word tables + a popcount sum —
+    at 100 TB these are the index-maintenance and index-probe costs of
+    a real bitmap index, with the fact scan amortized across every
+    future predicate combination.
+
+    Output (one row): n_a, n_b, n_both — popcount totals of bitmap A,
+    bitmap B, and A AND B; bit-exact equal to the direct conditional
+    counts (the oracle).
+    """
+    rid = F.col(rid_col).cast("long")
+    base = orders.select(
+        (rid / 64).cast("long").alias("word"),
+        # shiftleft's bit count must be a column here; the SQL form takes one
+        F.expr(f"shiftleft(1L, CAST(pmod({rid_col}, 64) AS INT))").alias("bit"),
+        F.col(col_a), F.col(col_b),
+    )
+
+    def bitmap(pred):
+        return (
+            base.where(pred)
+            .groupBy("word")
+            .agg(F.bit_or("bit").alias("bits"))
+        )
+
+    ba = bitmap(F.col(col_a) == val_a)
+    bb = bitmap(F.col(col_b) == val_b)
+    pop_a = ba.agg(F.sum(F.bit_count("bits")).cast("bigint").alias("n_a"))
+    pop_b = bb.agg(F.sum(F.bit_count("bits")).cast("bigint").alias("n_b"))
+    both = (
+        ba.alias("x")
+        .join(bb.alias("y"), "word")
+        .agg(
+            F.coalesce(
+                F.sum(F.bit_count(F.col("x.bits").bitwiseAND(F.col("y.bits")))),
+                F.lit(0),
+            ).cast("bigint").alias("n_both")
+        )
+    )
+    return pop_a.crossJoin(pop_b).crossJoin(both)

@@ -259,3 +259,20 @@ def test_activity_islands_runs_are_maximal_and_disjoint(spark):
         ("2024-01-01", "2024-01-02", 2),
         ("2024-01-04", "2024-01-06", 3),
     ]
+
+
+def test_new_returning_conserves_and_accumulates(spark, sf_dir):
+    from p2_mapreduce_spark.operators.events_analytics import daily_new_returning
+    from p2_mapreduce_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    rows = sorted(daily_new_returning(events).collect(), key=lambda r: r.day)
+    total_users = events.select("user_id").distinct().count()
+    assert sum(r.n_new for r in rows) == total_users
+    assert rows[-1].cum_users == total_users
+    assert rows[0].n_returning == 0  # first day: everyone is new
+    cum = 0
+    for r in rows:
+        assert r.n_active == r.n_new + r.n_returning
+        cum += r.n_new
+        assert r.cum_users == cum

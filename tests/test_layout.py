@@ -124,3 +124,26 @@ def test_compaction_plan_bins_are_contiguous_and_sized(spark, sf_dir):
         per_bin[r.bin] += r.n_rows
     for r in rows:
         assert r.bin_rows == per_bin[r.bin]
+
+
+def test_bitmap_count_matches_direct_counts_and_rejects_nothing(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.layout import bitmap_count
+    from p2_mapreduce_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    row = bitmap_count(orders).collect()[0]
+    direct = orders.agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("b"),
+        F.sum(
+            F.when(
+                (F.col("o_orderstatus") == "F")
+                & (F.col("o_orderpriority") == "1-URGENT"),
+                1,
+            ).otherwise(0)
+        ).alias("ab"),
+    ).collect()[0]
+    assert (row.n_a, row.n_b, row.n_both) == (direct.a, direct.b, direct.ab)
+    assert 0 < row.n_both <= min(row.n_a, row.n_b)
