@@ -102,3 +102,58 @@ def test_scd2_no_fact_outer_rebuild(spark, sf_dir):
     assert r["n_broadcast_joins"] >= 1
     plan = r["plan"]
     assert "FullOuter" not in plan and "full_outer" not in plan
+
+
+# --- round-2 session batches (allpairs, sampling, planning, indexes) -------
+
+
+def test_weighted_sample_is_heap_topk_no_python(spark, sf_dir):
+    r = _report(spark, sf_dir, "weighted_sample")
+    assert not r["has_python_worker"]
+    assert "TakeOrderedAndProject" in r["plan"]
+    assert r["n_exchanges"] == 0, "the weighted draw must not shuffle"
+
+
+def test_allpairs_prefix_index_no_python_and_pruned_scan(spark, sf_dir):
+    r = _report(spark, sf_dir, "dedup_allpairs")
+    assert not r["has_python_worker"]
+    # both scans prune to the two columns the pipeline touches
+    for cols in r["read_schema_cols"]:
+        assert set(cols) <= {"doc_id", "text"}
+
+
+def test_substring_search_prefilter_shuffles_ids_not_text(spark, sf_dir):
+    r = _report(spark, sf_dir, "substring_search")
+    assert not r["has_python_worker"]
+    # candidate verification is a semi-join probe of the doc table
+    plan = r["plan"]
+    assert "LeftSemi" in plan
+
+
+def test_bitmap_count_no_python_partial_agg(spark, sf_dir):
+    r = _report(spark, sf_dir, "bitmap_count")
+    assert not r["has_python_worker"]
+    assert r["has_partial_agg"], "bitmap words must map-side combine"
+
+
+def test_join_fanout_never_joins_fact_tables(spark, sf_dir):
+    r = _report(spark, sf_dir, "join_fanout")
+    assert not r["has_python_worker"]
+    # the only joins are over key-grain aggregates (broadcastable);
+    # a SortMergeJoin of the raw fact tables would defeat the point
+    assert r["n_sortmerge_joins"] == 0
+
+
+def test_knn_multiprobe_broadcasts_probe_set(spark, sf_dir):
+    r = _report(spark, sf_dir, "knn_multiprobe")
+    assert not r["has_python_worker"]
+    assert r["n_broadcast_joins"] >= 1
+    assert r["n_sortmerge_joins"] == 0, "corpus must never shuffle for probes"
+
+
+def test_quality_calibration_single_fact_shuffle(spark, sf_dir):
+    r = _report(spark, sf_dir, "quality_calibration")
+    assert not r["has_python_worker"]
+    # one join of two zero-shuffle scans + one window partitioning:
+    # nothing here justifies more than 3 exchanges
+    assert r["n_exchanges"] <= 3
