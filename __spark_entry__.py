@@ -59,6 +59,31 @@ def _q_udf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("key").alias("word"), F.col("value").cast("bigint").alias("cnt"))
 
 
+def _q_grep_mapreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical SECOND MapReduce plugin (the reference ships only
+    wordcount): distributed grep via a closure-factory map fn
+    (registry.make_grep_map — pattern captured by the closure, shipped
+    by value like the reference's compiled-in .so constants) + the
+    generic count reducer.  Oracle: docs whose text matches the regex."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.mapreduce import run_mapreduce
+    from p2_mapreduce_spark.registry import count_reduce, make_grep_map
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = run_mapreduce(
+        docs,
+        make_grep_map(r"\bdata join\b"),
+        count_reduce,
+        key_col="doc_id",
+        value_col="text",
+    )
+    return out.select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        F.col("value").cast("bigint").alias("n_lines"),
+    )
+
+
 def _q_partition_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-insensitivity (reference M3): per-key totals must be
     identical under any reducer count R (here R=17 vs the default 4)."""
@@ -1890,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize": _q_tokenize,
         "udf_roundtrip": _q_udf_roundtrip,
         "partition_count": _q_partition_count,
+        "grep_mapreduce": _q_grep_mapreduce,
         "scan_lineitem": _q_scan_lineitem,
         "filter_project": _q_filter_project,
         "agg_pricing": _q_agg_pricing,
@@ -4916,6 +4942,11 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 2
             ORDER BY df DESC, sh.shingle
             LIMIT 50
+        """,
+        "grep_mapreduce": """
+            SELECT doc_id, CAST(1 AS BIGINT) AS n_lines
+            FROM documents
+            WHERE regexp_matches(text, '\\bdata join\\b')
         """,
         "bitmap_count": """
             SELECT CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)

