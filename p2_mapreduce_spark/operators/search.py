@@ -250,3 +250,90 @@ def substring_search(
         .where(F.col("n_matches") > 0)
         .select(id_col, "n_matches", "first_off")
     )
+
+
+def build_trigram_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the character-trigram inverted index
+    (:func:`substring_search`'s prefilter) as a PARTITIONED on-disk
+    table — the index lifecycle face, same contract as the LSH
+    (save_lsh_index) and IVF (save_ivf_index) artifacts: built once per
+    corpus snapshot, probed by every subsequent substring query.
+
+    Layout: partitioned by the trigram's first character, sorted by
+    trigram within partitions — a probe for needle trigrams prunes to
+    the touched partition directories (PartitionFilters) and row groups
+    (min/max on the sorted column), so per-query I/O is proportional to
+    the posting lists read, not the corpus.
+    """
+    text = F.col(text_col)
+    tris = (
+        spread(docs)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(text) - 2),
+                        lambda i: F.substring(text, i, 3),
+                    )
+                )
+            ).alias("tri"),
+        )
+        .withColumn("tri_head", F.substring("tri", 1, 1))
+    )
+    (
+        tris.repartition("tri_head")
+        .sortWithinPartitions("tri")
+        .write.mode("overwrite")
+        .partitionBy("tri_head")
+        .parquet(path)
+    )
+
+
+def substring_search_indexed(
+    docs: DataFrame,
+    index_path: str,
+    needle: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`substring_search` against a PERSISTED trigram index: the
+    probe reads only the needle trigrams' partitions (partition pruning
+    on ``tri_head``, row-group pruning on the sorted ``tri``), then
+    verification re-reads candidate docs only — per-query cost is
+    posting lists + candidates, the corpus scan is amortized into
+    :func:`build_trigram_index`.  Results are bit-identical to the
+    direct operator (pinned in pytest)."""
+    if len(needle) < 3:
+        raise ValueError("needle must be at least 3 chars for trigrams")
+    trigrams = sorted({needle[i : i + 3] for i in range(len(needle) - 2)})
+    m = len(trigrams)
+    spark = docs.sparkSession
+    idx = spark.read.parquet(index_path)
+    cand = (
+        idx.where(
+            F.col("tri_head").isin(sorted({t[0] for t in trigrams}))
+            & F.col("tri").isin(trigrams)
+        )
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+        .where(F.col("n_tri") == m)
+        .select(F.col("doc").alias(id_col))
+    )
+    text = F.col(text_col)
+    verified = docs.join(cand, id_col, "left_semi")
+    occurrences = (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle))))
+        / F.lit(len(needle))
+    ).cast("bigint")
+    return (
+        verified.withColumn("n_matches", occurrences)
+        .withColumn("first_off", F.instr(text, needle).cast("bigint"))
+        .where(F.col("n_matches") > 0)
+        .select(id_col, "n_matches", "first_off")
+    )

@@ -237,3 +237,55 @@ def debounce_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+FIRST_SEEN_OUTPUT_SCHEMA = "user_id long, first_ts timestamp"
+#: single long: the first observed event-time in microseconds
+FIRST_SEEN_STATE_SCHEMA = "seen long"
+
+
+def _first_seen_fn(
+    key, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        # already announced — drain the iterator, emit nothing
+        for _ in pdf_iter:
+            pass
+        return
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    ts_us = rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    first = int(ts_us.min())
+    state.update((first,))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "first_ts": [pd.Timestamp(first, unit="us")]}
+    )
+
+
+def first_seen_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming new-user detection: emit ``(user_id, first_ts)`` exactly
+    ONCE per user — the live tail of growth accounting
+    (:func:`p2_mapreduce_spark.operators.events_analytics.
+    daily_new_returning` is the batch backfill).
+
+    State is ONE long per user (the announced first event time): the
+    minimal possible streaming-distinct state, keyed and shuffled once
+    on user_id; every later batch of a known user drains without
+    emitting.  Semantics are first-OBSERVED-arrival: an event-time
+    straggler arriving after its user was announced does not re-emit
+    (exactly-once announcement is the contract; event-time-true first
+    timestamps are the batch twin's job on replay).
+    """
+    from p2_mapreduce_spark.streaming.events import as_event_time
+
+    return (
+        as_event_time(events_stream)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _first_seen_fn,
+            outputStructType=FIRST_SEEN_OUTPUT_SCHEMA,
+            stateStructType=FIRST_SEEN_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -220,3 +220,30 @@ def test_substring_search_equals_naive_scan(spark, sf_dir):
         ).where(F.col("n") > 0).collect()
     }
     assert got == naive and len(got) > 0
+
+
+def test_trigram_index_path_matches_direct_and_prunes(spark, sf_dir, tmp_path):
+    from p2_mapreduce_spark.operators.search import (
+        build_trigram_index,
+        substring_search,
+        substring_search_indexed,
+    )
+    from p2_mapreduce_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "tri_idx")
+    build_trigram_index(docs, path)
+    needle = "data join"
+    direct = sorted(tuple(r) for r in substring_search(docs, needle).collect())
+    indexed = sorted(
+        tuple(r)
+        for r in substring_search_indexed(docs, path, needle).collect()
+    )
+    assert indexed == direct and len(indexed) > 0
+    # the probe must partition-prune to the needle trigrams' head chars
+    idx = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    probe = idx.where(F.col("tri_head").isin(["d", "a"]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "tri_head" in plan

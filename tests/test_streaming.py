@@ -564,3 +564,50 @@ def test_fold_state_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert once == twice
+
+
+def test_first_seen_stream_announces_each_user_once(spark, sf_dir, tmp_path):
+    """Streaming new-user detection: every user announced exactly once,
+    and with a time-ordered multi-batch feed the announced first_ts
+    equals the batch MIN(ts)."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.session import load_table
+    from p2_mapreduce_spark.streaming.stateful import first_seen_stream
+
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    src = str(tmp_path / "src")
+    # two time-ordered files => two micro-batches; users recur across both
+    epoch_day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    cut = events.agg(F.expr(
+        "percentile(datediff(to_date(ts), DATE'1970-01-01'), 0.5)"
+    )).collect()[0][0]
+    events.where(epoch_day <= cut).coalesce(1).write.parquet(f"{src}/b0")
+    events.where(epoch_day > cut).coalesce(1).write.parquet(f"{src}/b1")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        first_seen_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("first_seen_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["user_id"]: r["first_ts"]
+            for r in spark.sql("SELECT * FROM first_seen_out").collect()
+        }
+        n_rows = spark.sql("SELECT COUNT(*) c FROM first_seen_out").collect()[0].c
+    finally:
+        q.stop()
+    batch = {
+        r["user_id"]: r["first_ts"]
+        for r in events.groupBy("user_id").agg(F.min("ts").alias("first_ts")).collect()
+    }
+    assert n_rows == len(got) == len(batch)  # exactly once per user
+    assert got == batch  # ordered feed => first-observed == event-time min
