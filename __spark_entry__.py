@@ -1055,6 +1055,14 @@ def _q_new_returning(spark, sf_dir):
     return daily_new_returning(load_table(spark, sf_dir, "events"))
 
 
+def _q_rarity_score(spark, sf_dir):
+    """Ln-free unigram surprisal proxy: mean inverse corpus frequency in
+    exact ppm (floored integer terms — order-independent sums)."""
+    from p2_mapreduce_spark.operators.text_analysis import rarity_score
+
+    return rarity_score(load_table(spark, sf_dir, "documents"))
+
+
 def _q_quality_calibration(spark, sf_dir):
     """Per-source percent-rank normalization of the quality score —
     source-fair curation thresholds."""
@@ -1974,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_search": _q_substring_search,
         "bitmap_count": _q_bitmap_count,
         "new_returning": _q_new_returning,
+        "rarity_score": _q_rarity_score,
         "k_anonymity": _q_k_anonymity,
         "activity_islands": _q_activity_islands,
         "knn_ivf": _q_knn_ivf,
@@ -4942,6 +4951,20 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 2
             ORDER BY df DESC, sh.shingle
             LIMIT 50
+        """,
+        "rarity_score": f"""
+            WITH tok AS (SELECT doc_id, unnest(t) AS token FROM ({toks})),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+            cnt AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+            tot AS (SELECT COUNT(*) AS n_total FROM tok)
+            SELECT doc_id,
+                   CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                   CAST(floor(
+                       CAST(SUM(CAST(floor(1000000.0 * n_total / cnt)
+                                     AS BIGINT) * tf) AS DOUBLE)
+                       / SUM(tf)) AS BIGINT) AS rarity_ppm
+            FROM tf JOIN cnt USING (token), tot
+            GROUP BY doc_id
         """,
         "grep_mapreduce": """
             SELECT doc_id, CAST(1 AS BIGINT) AS n_lines

@@ -166,6 +166,7 @@ HEADLINE = (
     "bitmap_count",
     "new_returning",
     "grep_mapreduce",
+    "rarity_score",
 )
 
 

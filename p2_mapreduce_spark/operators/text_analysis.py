@@ -585,3 +585,47 @@ def doclen_histogram(docs: DataFrame) -> DataFrame:
             .alias("share_ppm"),
         )
     )
+
+
+def rarity_score(docs: DataFrame) -> DataFrame:
+    """Unigram rarity (surprisal proxy, ln-free): the mean inverse
+    corpus frequency of each document's tokens, in exact ppm — the
+    gibberish detector dual to :func:`quality_score` (typo-dense or
+    machine-garbled text is made of corpus-rare tokens, boilerplate of
+    corpus-common ones).  A true LM cross-entropy needs ``ln`` (the one
+    transcendental whose last bit differs across engines); inverse
+    frequency is monotone in unigram surprisal, which is all a
+    threshold consumer uses.
+
+    Determinism protocol: each token's term is ``floor(1e6·N/cnt)`` —
+    one IEEE division + floor, bit-stable — and the per-doc mean sums
+    those BIGINTs exactly, so the result is independent of aggregation
+    order (a raw double sum would drift per shuffle).  Plan: one (doc,
+    token) aggregate (map-side combined), token-frequency table joined
+    back at token grain, one per-doc integer aggregate.
+
+    Output: (doc_id, n_tokens, rarity_ppm) where rarity_ppm =
+    floor(Σ floor(1e6·N/cnt(tok)) / n_tokens); N = corpus token count.
+    """
+    toks = spread(docs).select(
+        F.col("doc_id"), F.explode(tokens_array(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    term = F.floor(
+        F.lit(1_000_000.0) * F.col("n_total") / F.col("cnt")
+    ).cast("bigint")
+    return (
+        tf.join(cnt, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.floor(
+                F.sum(term * F.col("tf")) / F.sum("tf")
+            ).cast("bigint").alias("rarity_ppm"),
+        )
+    )

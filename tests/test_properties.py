@@ -294,3 +294,31 @@ def test_bfs_hops_matches_reference_bfs(spark, edges, source):
     df = spark.createDataFrame(edges, "u long, v long")
     got = {r["node"]: r["hop"] for r in bfs_hops(df, source, max_hops=6).collect()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_allpairs_equals_naive_on_random_corpora(spark, texts):
+    """PPJoin prefix filtering is exact on arbitrary corpora: equality
+    with the unpruned inverted-index join for every random input,
+    including empty/short docs and all-identical corpora."""
+    from p2_mapreduce_spark.operators.dedup import (
+        allpairs_jaccard,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    ap = sorted(tuple(r) for r in allpairs_jaccard(docs, threshold=0.6).collect())
+    naive = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(docs, threshold=0.6, max_df=None).collect()
+    )
+    assert ap == naive

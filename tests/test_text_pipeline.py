@@ -139,3 +139,20 @@ def test_dominant_suppliers_semantics(spark):
     assert rows[0]["s_suppkey"] == 1
     assert rows[0]["n_dominated_parts"] == 1
     assert rows[0]["dominated_qty"] == 80.0
+
+
+def test_rarity_score_orders_gibberish_above_common_text(spark):
+    from p2_mapreduce_spark.operators.text_analysis import rarity_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the the the the the"),
+            (2, "the qzx vrbk jjqw zzpt the the the"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.rarity_ppm for r in rarity_score(docs).collect()}
+    assert got[2] > got[1]
+    # doc1 is all 'the': cnt('the') = 8 + 4 = 12 of N = 16 tokens, so
+    # every term (and the mean) is floor(1e6 * 16 / 12)
+    assert got[1] == int(1_000_000.0 * 16 / 12)
