@@ -183,9 +183,16 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("p2-bench")
     queries = contract.queries()
-    # untimed warmup: JVM/codegen/file-index spin-up, not engine work
+    # untimed warmup: JVM/codegen/file-index spin-up, not engine work.
+    # The heavy hash-family pipelines (64-min MinHash aggregate, SimHash
+    # vote matrix, AllPairs prefix sort) each trigger ~5 s of one-time
+    # whole-stage-codegen JIT — warm them at sf0.001 so the timed numbers
+    # measure the engine, not the first-call compiler (measured 8.9 s
+    # first call vs 3.2 s steady-state for dedup_minhash at sf0.1).
     materialize(queries["wordcount"](spark, sf_dir))
     materialize(queries["filter_project"](spark, sf_dir))
+    for warm in ("dedup_minhash", "dedup_simhash", "dedup_allpairs"):
+        materialize(queries[warm](spark, "/root/testdata/sf0.001"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()

@@ -1,0 +1,79 @@
+"""Robustness pins: results must survive re-planning and degenerate
+inputs.
+
+- AQE toggle: every result the engine produces is a pure function of the
+  data — turning adaptive execution off (different join strategies,
+  different partition coalescing) must not change a single value.  This
+  is the determinism claim the oracle protocol rests on, pinned directly.
+- Empty inputs: operators must return empty results (correct schema),
+  not throw, when a table has zero rows — the first day of a new
+  deployment looks exactly like this.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from p2_mapreduce_spark.session import load_table
+
+AQE_PINNED = [
+    "agg_pricing",
+    "topk_window",
+    "dedup_allpairs",
+    "salted_agg",
+    "weighted_sample",
+    "join_fanout",
+]
+
+
+def test_results_identical_with_aqe_disabled(spark, sf_dir):
+    qs = entry_mod.queries()
+    baseline = {
+        n: sorted(tuple(r) for r in qs[n](spark, sf_dir).collect())
+        for n in AQE_PINNED
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for n in AQE_PINNED:
+            again = sorted(tuple(r) for r in qs[n](spark, sf_dir).collect())
+            assert again == baseline[n], n
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_operators_tolerate_empty_inputs(spark):
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    empty_events = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from p2_mapreduce_spark.operators.curation import weighted_sample
+    from p2_mapreduce_spark.operators.dedup import (
+        allpairs_jaccard,
+        containment_pairs,
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+    from p2_mapreduce_spark.operators.events_analytics import (
+        activity_islands,
+        daily_new_returning,
+    )
+    from p2_mapreduce_spark.operators.search import phrase_search, substring_search
+    from p2_mapreduce_spark.operators.text_analysis import rarity_score
+
+    for df in (
+        exact_dedup(empty_docs),
+        allpairs_jaccard(empty_docs),
+        containment_pairs(empty_docs),
+        minhash_lsh_pairs(empty_docs),
+        weighted_sample(empty_docs, k=5),
+        phrase_search(empty_docs, ("data", "join")),
+        substring_search(empty_docs, "data join"),
+        rarity_score(empty_docs),
+        activity_islands(empty_events),
+        daily_new_returning(empty_events),
+    ):
+        assert df.count() == 0
