@@ -1141,6 +1141,18 @@ def _q_media_resize(spark, sf_dir):
     )
 
 
+def _q_media_headers(spark, sf_dir):
+    """REAL codec path through the driver gate: JVM-built valid PNG
+    prologues decoded by the dependency-free IHDR parser — the oracle
+    recomputes the dimensions from the same doc_id arithmetic."""
+    from p2_mapreduce_spark.operators.multimodal import attach_png, decode_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media(attach_png(docs), decoder="headers").select(
+        "media_id", "width", "height", "n_frames"
+    )
+
+
 def _q_media_mixed(spark, sf_dir):
     """Mixed-modality decode: modality cycles image/audio/video by id, so
     every branch of the decode kernel (spatial dims, audio sample rate,
@@ -1990,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _q_media_decode,
         "media_resize": _q_media_resize,
         "media_mixed": _q_media_mixed,
+        "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
         "embedding_centroid": _q_embedding_centroid,
         "grouping_sets": _q_grouping_sets,
@@ -2811,6 +2824,13 @@ def oracle_sql() -> dict[str, str]:
         # Fake-codec twins (operators/multimodal._fake_decode): metadata is
         # a pure function of sha256(payload) where payload = UTF-8(text),
         # so the oracle derives the same bytes from the hex digest.
+        "media_headers": """
+            SELECT doc_id AS media_id,
+                   CAST(16 + doc_id % 64 AS INT) AS width,
+                   CAST(16 + (doc_id * 7) % 64 AS INT) AS height,
+                   CAST(1 AS BIGINT) AS n_frames
+            FROM documents
+        """,
         "media_decode": """
             WITH d AS (
                 SELECT doc_id AS media_id, sha256(COALESCE(text, '')) AS hx

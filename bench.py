@@ -167,6 +167,7 @@ HEADLINE = (
     "new_returning",
     "grep_mapreduce",
     "rarity_score",
+    "media_headers",
 )
 
 

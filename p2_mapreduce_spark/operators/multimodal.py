@@ -333,3 +333,29 @@ def media_phash(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches, schema="media_id long, phash long"
     )
+
+
+def attach_png(docs: DataFrame) -> DataFrame:
+    """Multimodal table whose payloads are REAL (minimal, valid) PNG
+    prefixes built entirely JVM-side: 8-byte signature + IHDR length +
+    'IHDR' + big-endian 32-bit dimensions derived from ``doc_id`` —
+    hex-string concat folded by codegen, one ``unhex`` to binary, no
+    Python.  These bytes satisfy the PNG spec's fixed 24-byte prologue
+    (signature + first-chunk-is-IHDR, §11.2.2), so ``decoder='headers'``
+    exercises its REAL parse path on them — the driver-checkable bridge
+    between the deterministic stub and a full codec."""
+    width = (F.lit(16) + F.pmod(F.col("doc_id"), F.lit(64))).cast("int")
+    height = (F.lit(16) + F.pmod(F.col("doc_id") * 7, F.lit(64))).cast("int")
+    hex_payload = F.concat(
+        F.lit("89504E470D0A1A0A"),  # PNG signature
+        F.lit("0000000D"),          # IHDR chunk length (13)
+        F.lit("49484452"),          # 'IHDR'
+        F.format_string("%08x", width),
+        F.format_string("%08x", height),
+        F.lit("08060000"),          # bit depth 8, RGBA, std methods
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.unhex(hex_payload).alias("payload"),
+    )

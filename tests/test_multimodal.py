@@ -163,3 +163,26 @@ def test_headers_decoder_pure_parsers():
     )
     assert _parse_jpeg(weird) == (9, 7)
     assert _parse_jpeg(b"\xff\xd8\x00\x00") is None
+
+
+def test_attach_png_payloads_are_valid_png_prologues(spark, sf_dir):
+    """The JVM-built bytes must round-trip through the REAL IHDR parser
+    — and through Python's own int.from_bytes as an independent check."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_png,
+        decode_media,
+    )
+    from p2_mapreduce_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = attach_png(docs)
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    for mid, b in payloads.items():
+        assert b[:8] == b"\x89PNG\r\n\x1a\n"
+        assert b[12:16] == b"IHDR"
+        assert int.from_bytes(b[16:20], "big") == 16 + mid % 64
+        assert int.from_bytes(b[20:24], "big") == 16 + (mid * 7) % 64
+    got = {r.media_id: (r.width, r.height)
+           for r in decode_media(media, decoder="headers").collect()}
+    for mid in payloads:
+        assert got[mid] == (16 + mid % 64, 16 + (mid * 7) % 64)
