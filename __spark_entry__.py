@@ -1055,6 +1055,14 @@ def _q_new_returning(spark, sf_dir):
     return daily_new_returning(load_table(spark, sf_dir, "events"))
 
 
+def _q_gap_interpolate(spark, sf_dir):
+    """Linear interpolation over the dense hourly grid (ordinal-indexed
+    anchors; leading NULL / trailing hold semantics)."""
+    from p2_mapreduce_spark.operators.timeseries import gap_interpolate
+
+    return gap_interpolate(load_table(spark, sf_dir, "events"))
+
+
 def _q_rarity_score(spark, sf_dir):
     """Ln-free unigram surprisal proxy: mean inverse corpus frequency in
     exact ppm (floored integer terms — order-independent sums)."""
@@ -1995,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitmap_count": _q_bitmap_count,
         "new_returning": _q_new_returning,
         "rarity_score": _q_rarity_score,
+        "gap_interpolate": _q_gap_interpolate,
         "k_anonymity": _q_k_anonymity,
         "activity_islands": _q_activity_islands,
         "knn_ivf": _q_knn_ivf,
@@ -4971,6 +4980,62 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 2
             ORDER BY df DESC, sh.shingle
             LIMIT 50
+        """,
+        "gap_interpolate": """
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       max(value) AS val
+                FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+                      FROM events) GROUP BY 1, 2
+            ),
+            bounds AS (
+                SELECT event_type, min(hour) AS mn, max(hour) AS mxh
+                FROM hourly GROUP BY 1
+            ),
+            grid AS (
+                SELECT event_type,
+                       unnest(generate_series(mn, mxh, INTERVAL 1 HOUR))
+                           AS hour
+                FROM bounds
+            ),
+            base AS (
+                SELECT g.event_type, g.hour, h.val,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY g.event_type ORDER BY g.hour) AS i
+                FROM grid g
+                LEFT JOIN hourly h
+                  ON g.event_type = h.event_type AND g.hour = h.hour
+            ),
+            anch AS (
+                SELECT *,
+                       last_value(val IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY hour
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS prev_v,
+                       last_value(CASE WHEN val IS NOT NULL THEN i END
+                                  IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY hour
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS prev_i,
+                       first_value(val IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY hour
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                       ) AS next_v,
+                       first_value(CASE WHEN val IS NOT NULL THEN i END
+                                   IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY hour
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                       ) AS next_i
+                FROM base
+            )
+            SELECT event_type, hour, val AS observed,
+                   CASE WHEN val IS NOT NULL THEN val
+                        WHEN prev_v IS NULL THEN NULL
+                        WHEN next_v IS NULL THEN prev_v
+                        ELSE prev_v + (next_v - prev_v)
+                             * (i - prev_i) / (next_i - prev_i)
+                   END AS interpolated
+            FROM anch
         """,
         "rarity_score": f"""
             WITH tok AS (SELECT doc_id, unnest(t) AS token FROM ({toks})),

@@ -168,6 +168,7 @@ HEADLINE = (
     "grep_mapreduce",
     "rarity_score",
     "media_headers",
+    "gap_interpolate",
 )
 
 

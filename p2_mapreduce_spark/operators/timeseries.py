@@ -569,3 +569,59 @@ def weekday_seasonality(events: DataFrame) -> DataFrame:
             ).alias("ratio"),
         )
     )
+
+
+def gap_interpolate(events: DataFrame) -> DataFrame:
+    """Linear interpolation over the dense hourly grid — the
+    straight-line sibling of :func:`gap_fill_hourly`'s forward fill
+    (sensor/metric series where a gap should ramp between its anchors,
+    not hold the stale reading).
+
+    Same shape as the fill: grain-bounded grid explode, one left join,
+    per-series windows.  Each gap hour takes
+    ``prev + (next - prev) · (i - i_prev) / (i_next - i_prev)`` where
+    the ``i`` are the grid ORDINALS (exact ints — the grid is dense, so
+    ordinal distance IS hour distance; no timestamp arithmetic, which
+    keeps the expression engine-portable for NTZ timestamps).  Leading
+    hours (no left anchor) stay NULL, trailing hours (no right anchor)
+    hold the last value — both deliberate, pinned semantics.  All
+    arithmetic is one fixed IEEE tree per row.
+    """
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.max("value").alias("val"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("mn"), F.max("hour").alias("mxh")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mxh", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    base = grid.join(hourly, ["event_type", "hour"], "left")
+    w_ord = Window.partitionBy("event_type").orderBy("hour")
+    w_fwd = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_bwd = w_ord.rowsBetween(0, Window.unboundedFollowing)
+    idx = F.row_number().over(w_ord)
+    base = base.withColumn("i", idx)
+    obs_i = F.when(F.col("val").isNotNull(), F.col("i"))
+    prev_v = F.last("val", ignorenulls=True).over(w_fwd)
+    prev_i = F.last(obs_i, ignorenulls=True).over(w_fwd)
+    next_v = F.first("val", ignorenulls=True).over(w_bwd)
+    next_i = F.first(obs_i, ignorenulls=True).over(w_bwd)
+    interp = (
+        F.when(F.col("val").isNotNull(), F.col("val"))
+        .when(prev_v.isNull(), F.lit(None).cast("double"))
+        .when(next_v.isNull(), prev_v)
+        .otherwise(
+            prev_v
+            + (next_v - prev_v)
+            * (F.col("i") - prev_i)
+            / (next_i - prev_i)
+        )
+    )
+    return base.select(
+        "event_type",
+        "hour",
+        F.col("val").alias("observed"),
+        interp.alias("interpolated"),
+    )

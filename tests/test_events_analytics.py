@@ -276,3 +276,29 @@ def test_new_returning_conserves_and_accumulates(spark, sf_dir):
         assert r.n_active == r.n_new + r.n_returning
         cum += r.n_new
         assert r.cum_users == cum
+
+
+def test_gap_interpolate_ramps_linearly_between_anchors(spark):
+    from p2_mapreduce_spark.operators.timeseries import gap_interpolate
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:30:00", "a", 10.0),
+            (2, "2024-01-01 04:10:00", "a", 30.0),
+            (3, "2024-01-01 06:45:00", "a", 12.0),
+        ],
+        "event_id long, ts_s string, event_type string, value double",
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "CAST(1 AS BIGINT) user_id",
+        "event_type", "value",
+    )
+    got = {
+        r.hour.hour: (r.observed, r.interpolated)
+        for r in gap_interpolate(events).collect()
+    }
+    assert got[0] == (10.0, 10.0)
+    # gap hours 1..3 ramp 10 -> 30 in 4 steps of 5
+    assert got[1][1] == 15.0 and got[2][1] == 20.0 and got[3][1] == 25.0
+    assert got[4] == (30.0, 30.0)
+    assert got[5][1] == 21.0  # 30 -> 12 over 2 steps
+    assert got[6] == (12.0, 12.0)
