@@ -1055,6 +1055,14 @@ def _q_new_returning(spark, sf_dir):
     return daily_new_returning(load_table(spark, sf_dir, "events"))
 
 
+def _q_rolling_median(spark, sf_dir):
+    """Trailing-7-day exact median via the grid × calendar range join
+    (the rolling-distinct construction with a percentile aggregate)."""
+    from p2_mapreduce_spark.operators.timeseries import rolling_median
+
+    return rolling_median(load_table(spark, sf_dir, "events"))
+
+
 def _q_gap_interpolate(spark, sf_dir):
     """Linear interpolation over the dense hourly grid (ordinal-indexed
     anchors; leading NULL / trailing hold semantics)."""
@@ -2004,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "new_returning": _q_new_returning,
         "rarity_score": _q_rarity_score,
         "gap_interpolate": _q_gap_interpolate,
+        "rolling_median": _q_rolling_median,
         "k_anonymity": _q_k_anonymity,
         "activity_islands": _q_activity_islands,
         "knn_ivf": _q_knn_ivf,
@@ -4980,6 +4989,24 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 2
             ORDER BY df DESC, sh.shingle
             LIMIT 50
+        """,
+        "rolling_median": """
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS ad, value FROM events
+            ),
+            cal AS (
+                SELECT unnest(generate_series(
+                    (SELECT min(CAST(ts AS DATE)) FROM events),
+                    (SELECT max(CAST(ts AS DATE)) FROM events),
+                    INTERVAL 1 DAY)) AS d
+            )
+            SELECT strftime(CAST(d AS DATE), '%Y-%m-%d') AS day,
+                   quantile_cont(value, 0.5) AS median_value,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM daily JOIN cal
+              ON ad <= CAST(d AS DATE)
+             AND ad > CAST(d AS DATE) - INTERVAL 7 DAY
+            GROUP BY d
         """,
         "gap_interpolate": """
             WITH hourly AS (

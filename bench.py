@@ -169,6 +169,7 @@ HEADLINE = (
     "rarity_score",
     "media_headers",
     "gap_interpolate",
+    "rolling_median",
 )
 
 

@@ -625,3 +625,48 @@ def gap_interpolate(events: DataFrame) -> DataFrame:
         F.col("val").alias("observed"),
         interp.alias("interpolated"),
     )
+
+
+def rolling_median(events: DataFrame, days: int = 7) -> DataFrame:
+    """Trailing-N-day exact median event value per calendar day — the
+    robust-statistics rolling metric (p50 shrugs off the outliers that
+    wreck a rolling mean).
+
+    Exact percentiles have no windowed partial form (same bind as
+    rolling COUNT DISTINCT), so this reuses the
+    :func:`rolling_active_users` construction: collapse events to the
+    (day, value-list-free) fact grain they already have, RANGE-join each
+    event day to the ≤N calendar days it contributes to (calendar
+    broadcast — it is #days rows), and take ONE exact percentile
+    aggregate per day.  Work is events × N — independent of how the
+    events cluster; at 100 TB swap the exact percentile for the
+    hist_state sketch with identical plan shape.
+
+    ``median`` is Spark's exact interpolating percentile(0.5), which is
+    the oracle engine's ``quantile_cont`` — the protocol
+    equidepth_histogram already pins.
+    """
+    daily = events.select(F.to_date("ts").alias("ad"), "value")
+    cal = (
+        events.agg(
+            F.min(F.to_date("ts")).alias("lo"),
+            F.max(F.to_date("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
+        )
+    )
+    joined = daily.join(
+        F.broadcast(cal),
+        (F.col("ad") <= F.col("d"))
+        & (F.col("ad") > F.date_sub(F.col("d"), days)),
+    )
+    return (
+        joined.groupBy("d")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("median_value"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                "median_value", "n_events")
+    )

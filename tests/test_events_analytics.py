@@ -302,3 +302,31 @@ def test_gap_interpolate_ramps_linearly_between_anchors(spark):
     assert got[4] == (30.0, 30.0)
     assert got[5][1] == 21.0  # 30 -> 12 over 2 steps
     assert got[6] == (12.0, 12.0)
+
+
+def test_rolling_median_is_exact_per_trailing_window(spark, sf_dir):
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.timeseries import rolling_median
+    from p2_mapreduce_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    got = {r.day: (r.median_value, r.n_events)
+           for r in rolling_median(events, days=7).collect()}
+    rows = events.select(F.to_date("ts").alias("d"), "value").collect()
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r.d, []).append(r.value)
+    import datetime
+
+    days = sorted(by_day)
+    for d in days:
+        window = []
+        for k in range(7):
+            window += by_day.get(d - datetime.timedelta(days=k), [])
+        key = d.strftime("%Y-%m-%d")
+        if key in got:
+            assert got[key][1] == len(window)
+            assert got[key][0] == statistics.median(window)
