@@ -1055,6 +1055,22 @@ def _q_new_returning(spark, sf_dir):
     return daily_new_returning(load_table(spark, sf_dir, "events"))
 
 
+def _q_negative_pairs(spark, sf_dir):
+    """Contrastive negative sampling: k md5-coin partners per anchor,
+    zero-shuffle, reproducible across engines/partitionings."""
+    from p2_mapreduce_spark.operators.similarity import negative_pairs
+
+    return negative_pairs(load_table(spark, sf_dir, "embeddings"), k=4)
+
+
+def _q_length_batches(spark, sf_dir):
+    """Length-bucketed batching: global (n_tokens, id) ordinal via the
+    two-phase distributed prefix sum, batch = ordinal div B."""
+    from p2_mapreduce_spark.operators.curation import length_batches
+
+    return length_batches(load_table(spark, sf_dir, "documents"), batch_size=32)
+
+
 def _q_rolling_median(spark, sf_dir):
     """Trailing-7-day exact median via the grid × calendar range join
     (the rolling-distinct construction with a percentile aggregate)."""
@@ -2013,6 +2029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rarity_score": _q_rarity_score,
         "gap_interpolate": _q_gap_interpolate,
         "rolling_median": _q_rolling_median,
+        "negative_pairs": _q_negative_pairs,
+        "length_batches": _q_length_batches,
         "k_anonymity": _q_k_anonymity,
         "activity_islands": _q_activity_islands,
         "knn_ivf": _q_knn_ivf,
@@ -4989,6 +5007,33 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 2
             ORDER BY df DESC, sh.shingle
             LIMIT 50
+        """,
+        "negative_pairs": """
+            WITH n AS (SELECT COUNT(*) AS n FROM embeddings)
+            SELECT vec_id, j,
+                   CAST('0x' || substr(md5('neg:' || CAST(vec_id AS VARCHAR)
+                                       || ':' || CAST(j AS VARCHAR)), 18, 15)
+                        AS BIGINT) % n AS neg_id
+            FROM embeddings, (SELECT unnest([1, 2, 3, 4]) AS j), n
+            WHERE CAST('0x' || substr(md5('neg:' || CAST(vec_id AS VARCHAR)
+                                      || ':' || CAST(j AS VARCHAR)), 18, 15)
+                       AS BIGINT) % n <> vec_id
+        """,
+        "length_batches": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(
+                           regexp_split_to_array(lower(text), '{_TOK}'),
+                           x -> x <> '')) AS BIGINT) AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1
+                        AS BIGINT) AS ordinal,
+                   CAST(floor((ROW_NUMBER() OVER (
+                       ORDER BY n_tokens, doc_id) - 1) / 32)
+                        AS BIGINT) AS batch_id
+            FROM toks
         """,
         "rolling_median": """
             WITH daily AS (

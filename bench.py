@@ -170,6 +170,8 @@ HEADLINE = (
     "media_headers",
     "gap_interpolate",
     "rolling_median",
+    "negative_pairs",
+    "length_batches",
 )
 
 

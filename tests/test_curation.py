@@ -341,3 +341,33 @@ def test_quality_calibration_pct_is_source_local(spark, sf_dir):
     for src, rs in by_src.items():
         share = sum(1 for r in kept if r.source == src) / len(rs)
         assert 0.3 <= share <= 0.5
+
+
+def test_length_batches_partition_invariant_and_low_padding(spark, sf_dir):
+    from p2_mapreduce_spark.operators.curation import length_batches
+    from p2_mapreduce_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id: (r.ordinal, r.batch_id)
+         for r in length_batches(docs, batch_size=32).collect()}
+    b = {r.doc_id: (r.ordinal, r.batch_id)
+         for r in length_batches(docs, batch_size=32, partitions=7).collect()}
+    assert a == b
+    # ordinals are a permutation of 0..n-1 in (n_tokens, id) order
+    assert sorted(o for o, _ in a.values()) == list(range(len(a)))
+    # batching by length beats random batching on padding waste
+    rows = length_batches(docs, batch_size=32).collect()
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r.batch_id, []).append(r.n_tokens)
+    pad_sorted = sum(
+        (max(v) - t) for v in by_batch.values() for t in v
+    )
+    import random
+
+    rnd = random.Random(0)
+    toks = [r.n_tokens for r in rows]
+    rnd.shuffle(toks)
+    rand_batches = [toks[i:i + 32] for i in range(0, len(toks), 32)]
+    pad_random = sum((max(v) - t) for v in rand_batches for t in v)
+    assert pad_sorted < pad_random / 4

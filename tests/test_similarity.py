@@ -319,3 +319,22 @@ def test_multiprobe_recall_at_least_single_bucket(spark, sf_dir):
     bf = {(r.q_id, r.n_id): r.cosine for r in knn_bruteforce(emb, 5, 500).collect()}
     for key, c in cos.items():
         assert bf[key] == c
+
+
+def test_negative_pairs_deterministic_in_range_never_self(spark, sf_dir):
+    from p2_mapreduce_spark.operators.similarity import negative_pairs
+    from p2_mapreduce_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    rows = negative_pairs(emb, k=4).collect()
+    again = negative_pairs(emb.repartition(11), k=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    for r in rows:
+        assert 0 <= r.neg_id < n
+        assert r.neg_id != r.vec_id
+    # near-complete coverage: each anchor keeps >= 3 of its 4 probes
+    from collections import Counter
+
+    per_anchor = Counter(r.vec_id for r in rows)
+    assert min(per_anchor.values()) >= 3
