@@ -1055,6 +1055,14 @@ def _q_new_returning(spark, sf_dir):
     return daily_new_returning(load_table(spark, sf_dir, "events"))
 
 
+def _q_ks_drift(spark, sf_dir):
+    """Exact two-sample KS drift per source vs rest-of-corpus: integer
+    cross-product argmax, one final division."""
+    from p2_mapreduce_spark.operators.profile import ks_drift
+
+    return ks_drift(load_table(spark, sf_dir, "documents"))
+
+
 def _q_negative_pairs(spark, sf_dir):
     """Contrastive negative sampling: k md5-coin partners per anchor,
     zero-shuffle, reproducible across engines/partitionings."""
@@ -2031,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_median": _q_rolling_median,
         "negative_pairs": _q_negative_pairs,
         "length_batches": _q_length_batches,
+        "ks_drift": _q_ks_drift,
         "k_anonymity": _q_k_anonymity,
         "activity_islands": _q_activity_islands,
         "knn_ivf": _q_knn_ivf,
@@ -5007,6 +5016,40 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 2
             ORDER BY df DESC, sh.shingle
             LIMIT 50
+        """,
+        "ks_drift": """
+            WITH per AS (
+                SELECT source AS g, n_chars AS v, COUNT(*) AS c
+                FROM documents GROUP BY 1, 2
+            ),
+            totals AS (SELECT g, SUM(c) AS n_g FROM per GROUP BY 1),
+            grand AS (SELECT SUM(c) AS n_all FROM per),
+            allv AS (SELECT v, SUM(c) AS c_all FROM per GROUP BY 1),
+            joined AS (
+                SELECT gs.g, a.v,
+                       COALESCE(o.c, 0) AS c_g,
+                       a.c_all - COALESCE(o.c, 0) AS c_r
+                FROM (SELECT DISTINCT g FROM per) gs
+                CROSS JOIN allv a
+                LEFT JOIN per o ON o.g = gs.g AND o.v = a.v
+            ),
+            cum AS (
+                SELECT g,
+                       SUM(c_g) OVER (PARTITION BY g ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum_g,
+                       SUM(c_r) OVER (PARTITION BY g ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum_r
+                FROM joined
+            )
+            SELECT g AS source,
+                   CAST(n_g AS BIGINT) AS n_group,
+                   CAST(n_all - n_g AS BIGINT) AS n_rest,
+                   CAST(MAX(ABS(cum_g * (n_all - n_g) - cum_r * n_g))
+                        AS DOUBLE) / (n_g * (n_all - n_g)) AS ks_stat
+            FROM cum JOIN totals USING (g), grand
+            GROUP BY g, n_g, n_all
         """,
         "negative_pairs": """
             WITH n AS (SELECT COUNT(*) AS n FROM embeddings)

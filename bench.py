@@ -172,6 +172,7 @@ HEADLINE = (
     "rolling_median",
     "negative_pairs",
     "length_batches",
+    "ks_drift",
 )
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -769,3 +769,74 @@ def join_fanout(
         F.coalesce(F.sum("n_r"), F.lit(0)).cast("bigint").alias("right_unmatched_rows")
     )
     return summary.crossJoin(l_only).crossJoin(r_only)
+
+
+def ks_drift(
+    docs: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov drift statistic per group —
+    "has this source's length distribution drifted from the rest of the
+    corpus?", the standard data-drift gate before a retrain.
+
+    The KS statistic is max |F_a(x) − F_b(x)| over observed values.
+    Distributed-exact construction: counts at (group, value) grain (one
+    map-side-combined aggregate), per-group running CDF numerators via a
+    value-ordered window INSIDE each group pair, and — the determinism
+    trick — the max is taken over the INTEGER cross-product
+    ``|cum_a·n_b − cum_b·n_a|`` (argmax of the rational difference
+    without ever forming a float), converted to a double by ONE final
+    division.  No sorting of raw data; work is O(distinct values) after
+    the first aggregate.
+
+    Output: (group, n_group, n_rest, ks_stat) — ks_stat ∈ [0, 1].
+    """
+    vals = docs.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+    per = vals.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    groups = per.select("g").distinct()
+    # for each group: its own (v, c) series and the rest-of-corpus series
+    totals = per.groupBy("g").agg(F.sum("c").alias("n_g"))
+    grand = per.agg(F.sum("c").alias("n_all"))
+    # value-grain counts for the whole corpus
+    allv = per.groupBy("v").agg(F.sum("c").alias("c_all"))
+    own = per.select("g", "v", F.col("c").alias("c_g"))
+    # rest = all - own at each value the corpus has
+    joined = (
+        groups.crossJoin(allv)
+        .join(own, ["g", "v"], "left")
+        .select(
+            "g",
+            "v",
+            F.coalesce("c_g", F.lit(0)).alias("c_g"),
+            (F.col("c_all") - F.coalesce("c_g", F.lit(0))).alias("c_r"),
+        )
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = joined.select(
+        "g",
+        F.sum("c_g").over(w).alias("cum_g"),
+        F.sum("c_r").over(w).alias("cum_r"),
+    )
+    stats = (
+        cum.join(totals, "g")
+        .crossJoin(F.broadcast(grand))
+        .withColumn("n_r", F.col("n_all") - F.col("n_g"))
+        .withColumn(
+            "diff_num",
+            F.abs(F.col("cum_g") * F.col("n_r") - F.col("cum_r") * F.col("n_g")),
+        )
+        .groupBy("g", "n_g", "n_r")
+        .agg(F.max("diff_num").alias("max_num"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_g").cast("bigint").alias("n_group"),
+            F.col("n_r").cast("bigint").alias("n_rest"),
+            (F.col("max_num") / (F.col("n_g") * F.col("n_r"))).alias("ks_stat"),
+        )
+    )
+    return stats

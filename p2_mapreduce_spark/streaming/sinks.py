@@ -224,3 +224,108 @@ def load_compacted(spark, path: str, op_col: str = "op") -> DataFrame:
     from pyspark.sql import functions as F
 
     return load_latest_state(spark, path).filter(F.col(op_col) != "delete")
+
+
+def dedup_ingest_sink(
+    docs_stream: DataFrame,
+    table_path: str,
+    index_root: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+):
+    """Online near-dup-free ingest: each micro-batch of documents is
+    checked against the PERSISTED LSH index
+    (operators/dedup.save_lsh_index) and only novel documents — no
+    near-dup in the accepted corpus at ``jaccard >= threshold``, nor
+    among earlier docs of the same batch — are appended; the index
+    grows by exactly the accepted docs' artifacts.
+
+    This composes the engine's existing contracts rather than inventing
+    a new one: candidate generation is minhash_lsh_incremental's
+    cross-side band join against the loaded index (corpus artifacts are
+    read, never recomputed — the write-once property save_lsh_index
+    exists for), within-batch dups fall to minhash_lsh_pairs on the
+    batch alone (batch-sized, cheap), and the append is idempotent on
+    batch_id (``b=<id>`` subdirs + overwrite) so replays cannot
+    double-ingest.  At 100 TB the per-batch cost is the batch's own
+    artifacts + pruned band probes — independent of corpus size.
+    """
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.dedup import (
+        build_lsh_artifacts,
+        load_lsh_index,
+        minhash_lsh_incremental,
+        minhash_lsh_pairs,
+    )
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.persist()
+        try:
+            if not batch.head(1):
+                return
+            raw = load_lsh_index(spark, index_root)
+            # per-batch ``b=<id>`` appends surface as a partition column;
+            # project back to the canonical artifact schemas so the
+            # incremental path's unions line up
+            index = (
+                raw[0].select("doc", "h"),
+                raw[1].select("doc", "n_shingles"),
+                raw[2].select("doc", "band", "band_hash"),
+            )
+            cross = minhash_lsh_incremental(
+                batch, threshold=threshold, corpus_index=index
+            )
+            batch_ids = batch.select("doc_id")
+            dup_vs_corpus = (
+                cross.select(F.col("doc_a").alias("doc_id"))
+                .union(cross.select(F.col("doc_b").alias("doc_id")))
+                .join(batch_ids, "doc_id", "left_semi")
+            )
+            within = minhash_lsh_pairs(batch, threshold=threshold)
+            # keep the smaller id of an intra-batch pair, drop the larger
+            dup_within = within.select(F.col("doc_b").alias("doc_id"))
+            accepted = (
+                batch.join(dup_vs_corpus.distinct(), "doc_id", "left_anti")
+                .join(dup_within.distinct(), "doc_id", "left_anti")
+                .persist()
+            )
+            (
+                accepted.write.mode("overwrite")
+                .parquet(f"{table_path}/b={batch_id}")
+            )
+            hs, sizes, bands = build_lsh_artifacts(accepted)
+            # index growth is idempotent the same way the data append is:
+            # each batch OWNS its b=<id> subdir, replays overwrite it
+            hs.write.mode("overwrite").parquet(
+                f"{index_root}/shingles/b={batch_id}"
+            )
+            sizes.write.mode("overwrite").parquet(
+                f"{index_root}/sizes/b={batch_id}"
+            )
+            bands.write.mode("overwrite").partitionBy("band").parquet(
+                f"{index_root}/bands/b={batch_id}"
+            )
+        finally:
+            batch.unpersist()
+
+    return (
+        docs_stream.writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch(write_batch)
+    )
+
+
+def seed_dedup_index(docs: DataFrame, index_root: str) -> None:
+    """Initialize a :func:`dedup_ingest_sink` index from an existing
+    (already-deduped) corpus, using the sink's own ``b=<id>`` layout
+    (b=-1 = the seed) so partition discovery stays uniform as batches
+    append their subdirs."""
+    from p2_mapreduce_spark.operators.dedup import build_lsh_artifacts
+
+    hs, sizes, bands = build_lsh_artifacts(docs)
+    hs.write.mode("overwrite").parquet(f"{index_root}/shingles/b=-1")
+    sizes.write.mode("overwrite").parquet(f"{index_root}/sizes/b=-1")
+    bands.write.mode("overwrite").partitionBy("band").parquet(
+        f"{index_root}/bands/b=-1"
+    )

@@ -180,3 +180,34 @@ def test_join_fanout_predicts_actual_join_size(spark, sf_dir):
         part, li.l_partkey == part.p_partkey, "left_anti"
     ).count()
     assert row.max_key_fanout >= row.join_rows / max(row.n_matching_keys, 1)
+
+
+def test_ks_drift_matches_scipy_free_reference(spark):
+    """Exact KS vs a local two-sample computation on a hand fixture,
+    including a group whose distribution is shifted."""
+    rows = []
+    for i in range(100):
+        rows.append((i, "a", 10 + (i % 5)))        # values 10..14
+    for i in range(100, 160):
+        rows.append((i, "b", 13 + (i % 5)))        # values 13..17 (shifted)
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    from p2_mapreduce_spark.operators.profile import ks_drift
+
+    got = {r.source: r for r in ks_drift(docs).collect()}
+
+    def local_ks(a, b):
+        vals = sorted(set(a) | set(b))
+        best = 0.0
+        ca = cb = 0
+        for v in vals:
+            ca += sum(1 for x in a if x == v)
+            cb += sum(1 for x in b if x == v)
+            best = max(best, abs(ca / len(a) - cb / len(b)))
+        return best
+
+    a_vals = [10 + (i % 5) for i in range(100)]
+    b_vals = [13 + (i % 5) for i in range(100, 160)]
+    assert got["a"].n_group == 100 and got["a"].n_rest == 60
+    assert abs(got["a"].ks_stat - local_ks(a_vals, b_vals)) < 1e-12
+    assert abs(got["b"].ks_stat - local_ks(b_vals, a_vals)) < 1e-12
+    assert got["a"].ks_stat > 0.5  # the shift is detected

@@ -611,3 +611,53 @@ def test_first_seen_stream_announces_each_user_once(spark, sf_dir, tmp_path):
     }
     assert n_rows == len(got) == len(batch)  # exactly once per user
     assert got == batch  # ordered feed => first-observed == event-time min
+
+
+def test_dedup_ingest_sink_accepts_only_novel_docs(spark, sf_dir, tmp_path):
+    """Online near-dup-free ingest: batch docs duplicating the seeded
+    corpus (or earlier accepted docs) are rejected; novel docs land and
+    GROW the index so later batches see them."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.session import load_table
+    from p2_mapreduce_spark.streaming.sinks import (
+        dedup_ingest_sink,
+        seed_dedup_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") < 200)
+    index_root = str(tmp_path / "lsh_idx")
+    seed_dedup_index(corpus, index_root)
+
+    # batch 0: one exact copy of a corpus doc (id+10000) + two novel docs
+    dup_of_corpus = corpus.limit(1).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text", "lang", "source",
+        "n_chars",
+    )
+    novel = docs.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 202))
+    b0 = dup_of_corpus.union(novel)
+    # batch 1: an exact copy of a batch-0-accepted doc — must be rejected
+    b1 = novel.limit(1).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text", "lang", "source",
+        "n_chars",
+    )
+    src = str(tmp_path / "src")
+    b0.coalesce(1).write.parquet(f"{src}/f0")
+    b1.coalesce(1).write.parquet(f"{src}/f1")
+
+    stream = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    table = str(tmp_path / "accepted")
+    q = dedup_ingest_sink(
+        stream, table, index_root, str(tmp_path / "ck")
+    ).trigger(availableNow=True).start()
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    accepted = {r.doc_id for r in spark.read.parquet(table).collect()}
+    assert accepted == {200, 201}  # dup-of-corpus and dup-of-accepted both rejected
