@@ -67,3 +67,52 @@ class TestDoctorPassesGoodPlans:
             findings = audit_plan(qs[name](spark, sf_dir))
             errors = [f for f in findings if f["severity"] == "error"]
             assert not errors, (name, errors)
+
+
+# --- full-surface audit -----------------------------------------------------
+
+#: Every query whose plan legitimately contains a SinglePartition
+#: exchange, with the shared justification: the funneled input is
+#: GRAIN-BOUNDED — a one-row scalar/broadcast aggregate, a calendar or
+#: vocabulary-grain pre-aggregate, or a #partitions-sized offset table
+#: (the two-phase prefix-sum pattern) — never the fact table.  The
+#: doctor flags every SinglePartition for human review; this list IS
+#: that review, and any query newly entering or leaving it must be
+#: re-reviewed (the assert below fails either way).
+FUNNEL_REVIEWED = {
+    "ab_conversion", "bitmap_count", "bm25_search", "bounce_rate",
+    "compaction_plan", "conversion_lag", "cumulative_revenue",
+    "dict_encode", "disjunctive_pricing", "doclen_histogram", "dq_orders",
+    "equidepth_histogram", "fk_integrity", "funnel_steps",
+    "important_parts", "join_fanout", "key_skew", "ks_drift",
+    "length_batches", "mom_revenue", "negative_pairs", "new_returning",
+    "pack_sequences", "pmi_bigrams", "profile_orders", "promo_revenue",
+    "quality_budget", "rarity_score", "revenue_forecast", "revenue_share",
+    "rolling_active_users", "rolling_median", "skyline_parts",
+    "small_qty_revenue", "tfidf_top_terms", "top_supplier",
+    "trailing_revenue", "triangle_census", "triangle_doulion", "wau_hll",
+}
+
+
+def test_every_query_plan_audited_against_reviewed_funnels(spark, sf_dir):
+    """Full-surface doctor audit: the ONLY error-severity finding any of
+    the 200+ query plans may carry is a single-partition funnel that has
+    been human-reviewed as grain-bounded (FUNNEL_REVIEWED); anything
+    else — a cartesian product, an unreviewed funnel, a stale entry —
+    fails."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    got = {}
+    for name, fn in sorted(qs.items()):
+        findings = audit_plan(fn(spark, sf_dir))
+        bad = sorted({f["rule"] for f in findings if f["severity"] == "error"})
+        if bad:
+            got[name] = bad
+    unexpected = {
+        n: r for n, r in got.items()
+        if n not in FUNNEL_REVIEWED or r != ["single-partition-funnel"]
+    }
+    stale = FUNNEL_REVIEWED - set(got)
+    assert not unexpected, f"unreviewed error findings: {unexpected}"
+    assert not stale, f"stale FUNNEL_REVIEWED entries: {stale}"
