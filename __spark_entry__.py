@@ -1055,6 +1055,18 @@ def _q_new_returning(spark, sf_dir):
     return daily_new_returning(load_table(spark, sf_dir, "events"))
 
 
+def _q_mixture_plan(spark, sf_dir):
+    """Water-filling mixture allocation under availability caps: at this
+    budget some sources cap out and their share redistributes."""
+    from p2_mapreduce_spark.operators.curation import mixture_plan
+
+    return mixture_plan(
+        load_table(spark, sf_dir, "documents"),
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        budget_tokens=4000,
+    )
+
+
 def _q_ks_drift(spark, sf_dir):
     """Exact two-sample KS drift per source vs rest-of-corpus: integer
     cross-product argmax, one final division."""
@@ -2040,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_pairs": _q_negative_pairs,
         "length_batches": _q_length_batches,
         "ks_drift": _q_ks_drift,
+        "mixture_plan": _q_mixture_plan,
         "k_anonymity": _q_k_anonymity,
         "activity_islands": _q_activity_islands,
         "knn_ivf": _q_knn_ivf,
@@ -5016,6 +5029,54 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 2
             ORDER BY df DESC, sh.shingle
             LIMIT 50
+        """,
+        "mixture_plan": f"""
+            WITH caps AS (
+                SELECT source,
+                       CAST(SUM(len(list_filter(
+                           regexp_split_to_array(lower(text), '{_TOK}'),
+                           x -> x <> ''))) AS BIGINT) AS cap,
+                       CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+                            WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1
+                            ELSE 0.0 END AS w
+                FROM documents GROUP BY source
+                HAVING CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+                            WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1
+                            ELSE 0.0 END > 0
+            ),
+            tot AS (SELECT SUM(cap) AS cap_all, SUM(w) AS w_all FROM caps),
+            staged AS (
+                SELECT caps.*, cap_all, w_all,
+                       COALESCE(SUM(cap) OVER (
+                           ORDER BY cap / w, source
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cum_c,
+                       COALESCE(SUM(w) OVER (
+                           ORDER BY cap / w, source
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0.0) AS cum_w
+                FROM caps, tot
+            ),
+            flagged AS (
+                SELECT *,
+                       (4000.0 >= cap_all)
+                       OR ((4000.0 - cum_c) / (w_all - cum_w) >= cap / w)
+                           AS capped
+                FROM staged
+            ),
+            lam AS (
+                SELECT (4000.0 - COALESCE(SUM(CASE WHEN capped THEN cap END), 0))
+                       / SUM(CASE WHEN NOT capped THEN w END) AS lam
+                FROM flagged
+            )
+            SELECT source,
+                   cap AS avail_tokens,
+                   w AS weight,
+                   CAST(CASE WHEN capped THEN cap
+                        ELSE floor(lam * w) END AS BIGINT)
+                       AS allocated_tokens,
+                   capped
+            FROM flagged, lam
         """,
         "ks_drift": """
             WITH per AS (

@@ -173,6 +173,7 @@ HEADLINE = (
     "negative_pairs",
     "length_batches",
     "ks_drift",
+    "mixture_plan",
 )
 
 

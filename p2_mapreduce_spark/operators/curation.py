@@ -938,3 +938,85 @@ def length_batches(
         )
         .select(id_col, "n_tokens", "ordinal", "batch_id")
     )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mixture planning under availability: allocate a token budget
+    across sources proportionally to target ``weights``, capped by what
+    each source actually HAS — the water-filling step every pretraining
+    mix negotiates ("we want 30% web / 30% code / 40% books, but there
+    aren't enough books").
+
+    Exact water-filling: allocation ``a_i = min(cap_i, λ·w_i)`` with λ
+    chosen so Σa = min(budget, Σcap).  Sources sorted by ``cap/weight``
+    ascending form a capped PREFIX: source j is capped iff the water
+    level with the first j−1 sources capped already exceeds its ratio —
+    one window cumsum decides every flag, and λ falls out of two
+    conditional sums.  The corpus is touched ONCE (a token-count
+    aggregate to source grain); everything after runs on the
+    config-sized source table, where the single-partition window is
+    grain-bounded by construction.
+
+    Output per source: (source, avail_tokens, weight, allocated_tokens,
+    capped) with Σ allocated == min(budget, Σ avail) up to flooring.
+    """
+    from p2_mapreduce_spark.operators.text_analysis import token_count
+
+    w_expr = None
+    for s, w in sorted(weights.items()):
+        cond = F.when(F.col(source_col) == s, F.lit(float(w)))
+        w_expr = cond if w_expr is None else w_expr.when(
+            F.col(source_col) == s, F.lit(float(w))
+        )
+    w_expr = w_expr.otherwise(F.lit(0.0)) if w_expr is not None else F.lit(0.0)
+    caps = (
+        spread(docs)
+        .select(F.col(source_col), token_count(F.col(text_col)).alias("t"))
+        .groupBy(source_col)
+        .agg(F.sum("t").cast("bigint").alias("cap"))
+        .withColumn("w", w_expr)
+        .where(F.col("w") > 0)
+    )
+    w_ord = Window.orderBy(F.col("cap") / F.col("w"), F.col(source_col))
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    tot = caps.agg(
+        F.sum("cap").alias("cap_all"), F.sum("w").alias("w_all")
+    )
+    b = F.lit(int(budget_tokens)).cast("double")
+    staged = (
+        caps.crossJoin(F.broadcast(tot))
+        .withColumn("cum_c", F.coalesce(F.sum("cap").over(w_prev), F.lit(0)))
+        .withColumn("cum_w", F.coalesce(F.sum("w").over(w_prev), F.lit(0.0)))
+        .withColumn(
+            "capped",
+            (b >= F.col("cap_all"))
+            | (
+                (b - F.col("cum_c")) / (F.col("w_all") - F.col("cum_w"))
+                >= F.col("cap") / F.col("w")
+            ),
+        )
+    )
+    lam = staged.agg(
+        (
+            (b - F.coalesce(F.sum(F.when(F.col("capped"), F.col("cap"))), F.lit(0)))
+            / F.sum(F.when(~F.col("capped"), F.col("w")))
+        ).alias("lam")
+    )
+    return (
+        staged.crossJoin(F.broadcast(lam))
+        .select(
+            source_col,
+            F.col("cap").alias("avail_tokens"),
+            F.col("w").alias("weight"),
+            F.when(F.col("capped"), F.col("cap"))
+            .otherwise(F.floor(F.col("lam") * F.col("w")).cast("bigint"))
+            .alias("allocated_tokens"),
+            "capped",
+        )
+    )

@@ -371,3 +371,30 @@ def test_length_batches_partition_invariant_and_low_padding(spark, sf_dir):
     rand_batches = [toks[i:i + 32] for i in range(0, len(toks), 32)]
     pad_random = sum((max(v) - t) for v in rand_batches for t in v)
     assert pad_sorted < pad_random / 4
+
+
+def test_mixture_plan_water_filling_invariants(spark, sf_dir):
+    from p2_mapreduce_spark.operators.curation import mixture_plan
+    from p2_mapreduce_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    W = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    rows = {r.source: r for r in mixture_plan(docs, W, 4000).collect()}
+    total_alloc = sum(r.allocated_tokens for r in rows.values())
+    total_avail = sum(r.avail_tokens for r in rows.values())
+    # budget exhausted (up to flooring), never exceeding availability
+    assert total_alloc <= min(4000, total_avail)
+    assert total_alloc >= min(4000, total_avail) - len(rows)
+    for r in rows.values():
+        assert r.allocated_tokens <= r.avail_tokens
+    # at least one source caps out at this budget and its share spills
+    assert any(r.capped for r in rows.values())
+    assert any(not r.capped for r in rows.values())
+    # uncapped allocations stay proportional to weights (same lambda)
+    unc = [r for r in rows.values() if not r.capped]
+    lams = {round(r.allocated_tokens / r.weight, -1) for r in unc}
+    assert len(lams) == 1
+    # budget above total availability: everything capped
+    rows_hi = mixture_plan(docs, W, 10**9).collect()
+    assert all(r.capped for r in rows_hi)
+    assert sum(r.allocated_tokens for r in rows_hi) == total_avail

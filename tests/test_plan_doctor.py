@@ -85,7 +85,8 @@ FUNNEL_REVIEWED = {
     "dict_encode", "disjunctive_pricing", "doclen_histogram", "dq_orders",
     "equidepth_histogram", "fk_integrity", "funnel_steps",
     "important_parts", "join_fanout", "key_skew", "ks_drift",
-    "length_batches", "mom_revenue", "negative_pairs", "new_returning",
+    "length_batches", "mixture_plan", "mom_revenue", "negative_pairs",
+    "new_returning",
     "pack_sequences", "pmi_bigrams", "profile_orders", "promo_revenue",
     "quality_budget", "rarity_score", "revenue_forecast", "revenue_share",
     "rolling_active_users", "rolling_median", "skyline_parts",
