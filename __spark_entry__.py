@@ -1055,6 +1055,14 @@ def _q_new_returning(spark, sf_dir):
     return daily_new_returning(load_table(spark, sf_dir, "events"))
 
 
+def _q_mwu_drift(spark, sf_dir):
+    """Exact Mann-Whitney U (×2, all-integer) per source vs rest, with
+    the AUC effect size."""
+    from p2_mapreduce_spark.operators.profile import mwu_drift
+
+    return mwu_drift(load_table(spark, sf_dir, "documents"))
+
+
 def _q_mixture_plan(spark, sf_dir):
     """Water-filling mixture allocation under availability caps: at this
     budget some sources cap out and their share redistributes."""
@@ -2053,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_batches": _q_length_batches,
         "ks_drift": _q_ks_drift,
         "mixture_plan": _q_mixture_plan,
+        "mwu_drift": _q_mwu_drift,
         "k_anonymity": _q_k_anonymity,
         "activity_islands": _q_activity_islands,
         "knn_ivf": _q_knn_ivf,
@@ -5029,6 +5038,39 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 2
             ORDER BY df DESC, sh.shingle
             LIMIT 50
+        """,
+        "mwu_drift": """
+            WITH per AS (
+                SELECT source AS g, n_chars AS v, COUNT(*) AS c
+                FROM documents GROUP BY 1, 2
+            ),
+            totals AS (SELECT g, SUM(c) AS n_g FROM per GROUP BY 1),
+            grand AS (SELECT SUM(c) AS n_all FROM per),
+            allv AS (SELECT v, SUM(c) AS c_all FROM per GROUP BY 1),
+            joined AS (
+                SELECT gs.g, a.v,
+                       COALESCE(o.c, 0) AS c_g,
+                       a.c_all - COALESCE(o.c, 0) AS c_r
+                FROM (SELECT DISTINCT g FROM per) gs
+                CROSS JOIN allv a
+                LEFT JOIN per o ON o.g = gs.g AND o.v = a.v
+            ),
+            terms AS (
+                SELECT g,
+                       c_g * (2 * COALESCE(SUM(c_r) OVER (
+                           PARTITION BY g ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) + c_r) AS t
+                FROM joined
+            )
+            SELECT g AS source,
+                   CAST(n_g AS BIGINT) AS n_group,
+                   CAST(n_all - n_g AS BIGINT) AS n_rest,
+                   CAST(SUM(t) AS BIGINT) AS u2,
+                   CAST(SUM(t) AS DOUBLE)
+                       / (2.0 * n_g * (n_all - n_g)) AS auc
+            FROM terms JOIN totals USING (g), grand
+            GROUP BY g, n_g, n_all
         """,
         "mixture_plan": f"""
             WITH caps AS (

@@ -174,6 +174,7 @@ HEADLINE = (
     "length_batches",
     "ks_drift",
     "mixture_plan",
+    "mwu_drift",
 )
 
 

@@ -840,3 +840,71 @@ def ks_drift(
         )
     )
     return stats
+
+
+def mwu_drift(
+    docs: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """EXACT Mann-Whitney U drift per group vs rest-of-corpus — the
+    rank-based companion to :func:`ks_drift` (KS reacts to any shape
+    difference; U specifically measures stochastic dominance, "does
+    this source run longer/shorter than the rest?").
+
+    All-integer construction at (group, value) grain: for each of the
+    group's values, U accumulates ``c_g(v) · (#rest strictly below v)``
+    plus half the ties — so the surfaced statistic is ``u2 = 2·U``
+    (doubling clears the half-tie fraction; an exact BIGINT).  The
+    rest-below counts come from ONE value-ordered cumsum per group —
+    same shuffle budget as ks_drift.  ``auc = U / (n_g · n_r)`` (the
+    common-language effect size, one final division) rides along;
+    auc ≈ 0.5 means no drift.
+    """
+    vals = docs.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+    per = vals.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    groups = per.select("g").distinct()
+    totals = per.groupBy("g").agg(F.sum("c").alias("n_g"))
+    grand = per.agg(F.sum("c").alias("n_all"))
+    allv = per.groupBy("v").agg(F.sum("c").alias("c_all"))
+    own = per.select("g", "v", F.col("c").alias("c_g"))
+    joined = (
+        groups.crossJoin(allv)
+        .join(own, ["g", "v"], "left")
+        .select(
+            "g",
+            "v",
+            F.coalesce("c_g", F.lit(0)).alias("c_g"),
+            (F.col("c_all") - F.coalesce("c_g", F.lit(0))).alias("c_r"),
+        )
+    )
+    w_below = (
+        Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    u2_terms = joined.select(
+        "g",
+        (
+            F.col("c_g")
+            * (
+                F.lit(2) * F.coalesce(F.sum("c_r").over(w_below), F.lit(0))
+                + F.col("c_r")
+            )
+        ).alias("t"),
+    )
+    return (
+        u2_terms.groupBy("g")
+        .agg(F.sum("t").cast("bigint").alias("u2"))
+        .join(totals, "g")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_g").cast("bigint").alias("n_group"),
+            (F.col("n_all") - F.col("n_g")).cast("bigint").alias("n_rest"),
+            "u2",
+            (
+                F.col("u2")
+                / (F.lit(2.0) * F.col("n_g") * (F.col("n_all") - F.col("n_g")))
+            ).alias("auc"),
+        )
+    )

@@ -86,7 +86,7 @@ FUNNEL_REVIEWED = {
     "equidepth_histogram", "fk_integrity", "funnel_steps",
     "important_parts", "join_fanout", "key_skew", "ks_drift",
     "length_batches", "mixture_plan", "mom_revenue", "negative_pairs",
-    "new_returning",
+    "mwu_drift", "new_returning",
     "pack_sequences", "pmi_bigrams", "profile_orders", "promo_revenue",
     "quality_budget", "rarity_score", "revenue_forecast", "revenue_share",
     "rolling_active_users", "rolling_median", "skyline_parts",

@@ -211,3 +211,31 @@ def test_ks_drift_matches_scipy_free_reference(spark):
     assert abs(got["a"].ks_stat - local_ks(a_vals, b_vals)) < 1e-12
     assert abs(got["b"].ks_stat - local_ks(b_vals, a_vals)) < 1e-12
     assert got["a"].ks_stat > 0.5  # the shift is detected
+
+
+def test_mwu_drift_exact_u_and_auc(spark):
+    """2U against the textbook O(n·m) definition on a fixture with ties
+    and a clear dominance direction."""
+    rows = []
+    a_vals = [10, 10, 12, 14, 14, 15]
+    b_vals = [11, 14, 16, 16]
+    for i, v in enumerate(a_vals):
+        rows.append((i, "a", v))
+    for i, v in enumerate(b_vals):
+        rows.append((100 + i, "b", v))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    from p2_mapreduce_spark.operators.profile import mwu_drift
+
+    got = {r.source: r for r in mwu_drift(docs).collect()}
+
+    def u2_ref(xs, ys):
+        return sum(
+            2 if x > y else (1 if x == y else 0) for x in xs for y in ys
+        )
+
+    assert got["a"].u2 == u2_ref(a_vals, b_vals)
+    assert got["b"].u2 == u2_ref(b_vals, a_vals)
+    # complements: U_a + U_b == n·m  =>  u2_a + u2_b == 2·n·m
+    assert got["a"].u2 + got["b"].u2 == 2 * len(a_vals) * len(b_vals)
+    assert got["a"].auc == got["a"].u2 / (2 * len(a_vals) * len(b_vals))
+    assert got["b"].auc > 0.5 > got["a"].auc  # b stochastically dominates
