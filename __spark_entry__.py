@@ -1055,6 +1055,14 @@ def _q_new_returning(spark, sf_dir):
     return daily_new_returning(load_table(spark, sf_dir, "events"))
 
 
+def _q_distinctive_tokens(spark, sf_dir):
+    """Per-source characteristic vocabulary by exact rational lift
+    (DECIMAL cross products, ppm via one division)."""
+    from p2_mapreduce_spark.operators.text_analysis import distinctive_tokens
+
+    return distinctive_tokens(load_table(spark, sf_dir, "documents"))
+
+
 def _q_mwu_drift(spark, sf_dir):
     """Exact Mann-Whitney U (×2, all-integer) per source vs rest, with
     the AUC effect size."""
@@ -2062,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": _q_ks_drift,
         "mixture_plan": _q_mixture_plan,
         "mwu_drift": _q_mwu_drift,
+        "distinctive_tokens": _q_distinctive_tokens,
         "k_anonymity": _q_k_anonymity,
         "activity_islands": _q_activity_islands,
         "knn_ivf": _q_knn_ivf,
@@ -5038,6 +5047,39 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 2
             ORDER BY df DESC, sh.shingle
             LIMIT 50
+        """,
+        "distinctive_tokens": f"""
+            WITH tok AS (SELECT source, unnest(t) AS token FROM ({toks})),
+            st AS (SELECT source, token, COUNT(*) AS tf_s
+                   FROM tok GROUP BY 1, 2),
+            tot_s AS (SELECT source, SUM(tf_s) AS n_s FROM st GROUP BY 1),
+            tok_all AS (SELECT token, SUM(tf_s) AS tf_all FROM st GROUP BY 1),
+            grand AS (SELECT SUM(tf_s) AS n_all FROM st),
+            scored AS (
+                SELECT st.source, st.token, tf_s,
+                       tf_all - tf_s AS tf_r,
+                       n_s, n_all - n_s AS n_r,
+                       CAST(floor(
+                           (CAST(tf_s AS HUGEINT) * (n_all - n_s) * 1000000)
+                           / (CAST(tf_all - tf_s AS HUGEINT) * n_s))
+                           AS BIGINT) AS lift_ppm
+                FROM st JOIN tok_all USING (token)
+                        JOIN tot_s USING (source), grand
+                WHERE tf_s >= 20 AND tf_all - tf_s > 0
+            )
+            SELECT source, token,
+                   CAST(tf_s AS BIGINT) AS tf_source,
+                   CAST(tf_r AS BIGINT) AS tf_rest,
+                   lift_ppm,
+                   CAST(rk AS BIGINT) AS rk
+            FROM (
+                SELECT *,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY lift_ppm DESC, token) AS rk
+                FROM scored
+            )
+            WHERE rk <= 5
         """,
         "mwu_drift": """
             WITH per AS (

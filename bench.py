@@ -175,6 +175,7 @@ HEADLINE = (
     "ks_drift",
     "mixture_plan",
     "mwu_drift",
+    "distinctive_tokens",
 )
 
 

@@ -12,7 +12,7 @@ BASELINE.json's north star.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from p2_mapreduce_spark.functions.numeric import dsum
@@ -627,5 +627,65 @@ def rarity_score(docs: DataFrame) -> DataFrame:
             F.floor(
                 F.sum(term * F.col("tf")) / F.sum("tf")
             ).cast("bigint").alias("rarity_ppm"),
+        )
+    )
+
+
+def distinctive_tokens(
+    docs: DataFrame, top_k: int = 5, min_tf: int = 20
+) -> DataFrame:
+    """Per-source characteristic vocabulary: the tokens a source uses
+    most disproportionately vs the rest of the corpus — the "what IS
+    this source" diagnostic behind mixture decisions and contamination
+    hunts.  Ranking statistic is the usage-rate ratio
+    ``(tf_s/N_s) / (tf_r/N_r)``, carried as the EXACT integer cross
+    product ``tf_s·N_r`` vs ``tf_r·N_s`` in DECIMAL(38,0) (token counts
+    at 100 TB overflow a BIGINT product) — ppm lift via one final
+    division; ``min_tf`` suppresses the infinite-lift noise of
+    singleton tokens.
+
+    One (source, token) aggregate (map-side combined), token-grain
+    totals joined back, per-source top-k window bounded by the
+    surviving vocabulary.  Output: (source, token, tf_source, tf_rest,
+    lift_ppm, rk).
+    """
+    toks = spread(docs).select(
+        F.col("source"), F.explode(tokens_array(F.col("text"))).alias("token")
+    )
+    st = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf_s"))
+    tot_s = st.groupBy("source").agg(F.sum("tf_s").alias("n_s"))
+    tok_all = st.groupBy("token").agg(F.sum("tf_s").alias("tf_all"))
+    grand = st.agg(F.sum("tf_s").alias("n_all"))
+    scored = (
+        st.join(tok_all, "token")
+        .join(tot_s, "source")
+        .crossJoin(F.broadcast(grand))
+        .withColumn("tf_r", F.col("tf_all") - F.col("tf_s"))
+        .withColumn("n_r", F.col("n_all") - F.col("n_s"))
+        .where((F.col("tf_s") >= min_tf) & (F.col("tf_r") > 0))
+        .withColumn(
+            "lift_ppm",
+            # `div` (integral quotient) on decimals is exact — a scaled
+            # decimal DIVISION would round HALF_UP at its result scale
+            # before floor, off-by-one near integer boundaries
+            F.expr(
+                "CAST((CAST(tf_s AS DECIMAL(38,0)) * n_r * 1000000) div "
+                "(CAST(tf_r AS DECIMAL(38,0)) * n_s) AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("lift_ppm").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= top_k)
+        .select(
+            "source",
+            "token",
+            F.col("tf_s").cast("bigint").alias("tf_source"),
+            F.col("tf_r").cast("bigint").alias("tf_rest"),
+            "lift_ppm",
+            "rk",
         )
     )

@@ -82,7 +82,8 @@ class TestDoctorPassesGoodPlans:
 FUNNEL_REVIEWED = {
     "ab_conversion", "bitmap_count", "bm25_search", "bounce_rate",
     "compaction_plan", "conversion_lag", "cumulative_revenue",
-    "dict_encode", "disjunctive_pricing", "doclen_histogram", "dq_orders",
+    "dict_encode", "disjunctive_pricing", "distinctive_tokens",
+    "doclen_histogram", "dq_orders",
     "equidepth_histogram", "fk_integrity", "funnel_steps",
     "important_parts", "join_fanout", "key_skew", "ks_drift",
     "length_batches", "mixture_plan", "mom_revenue", "negative_pairs",

@@ -156,3 +156,31 @@ def test_rarity_score_orders_gibberish_above_common_text(spark):
     # doc1 is all 'the': cnt('the') = 8 + 4 = 12 of N = 16 tokens, so
     # every term (and the mean) is floor(1e6 * 16 / 12)
     assert got[1] == int(1_000_000.0 * 16 / 12)
+
+
+def test_distinctive_tokens_surfaces_planted_vocabulary(spark):
+    """A token 5x over-represented in one source must rank #1 there,
+    with the exact integer lift."""
+    common = "alpha beta gamma delta " * 6
+    docs = spark.createDataFrame(
+        [
+            (i, common + ("zebra " * (5 if i >= 40 else 1)),
+             "b" if i >= 40 else "a")
+            for i in range(80)
+        ],
+        "doc_id long, text string, source string",
+    )
+    from p2_mapreduce_spark.operators.text_analysis import distinctive_tokens
+
+    got = distinctive_tokens(docs, top_k=3, min_tf=20).collect()
+    top_b = [r for r in got if r.source == "b" and r.rk == 1][0]
+    assert top_b.token == "zebra"
+    assert top_b.tf_source == 200 and top_b.tf_rest == 40
+    n_b = 40 * (24 + 5)
+    n_a = 40 * (24 + 1)
+    assert top_b.lift_ppm == (200 * n_a * 1_000_000) // (40 * n_b)
+    # and 'zebra' is the LEAST distinctive of source a (under-used there)
+    a_rows = sorted(
+        (r for r in got if r.source == "a"), key=lambda r: r.rk
+    )
+    assert all(r.token != "zebra" or r.rk == a_rows[-1].rk for r in a_rows)
