@@ -1055,6 +1055,14 @@ def _q_new_returning(spark, sf_dir):
     return daily_new_returning(load_table(spark, sf_dir, "events"))
 
 
+def _q_fold_ci(spark, sf_dir):
+    """Batch-means uncertainty for the mean order price: 16 md5 folds,
+    exact integer fold-mean sums, one-pass CI."""
+    from p2_mapreduce_spark.operators.profile import fold_ci
+
+    return fold_ci(load_table(spark, sf_dir, "orders"))
+
+
 def _q_distinctive_tokens(spark, sf_dir):
     """Per-source characteristic vocabulary by exact rational lift
     (DECIMAL cross products, ppm via one division)."""
@@ -2071,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": _q_mixture_plan,
         "mwu_drift": _q_mwu_drift,
         "distinctive_tokens": _q_distinctive_tokens,
+        "fold_ci": _q_fold_ci,
         "k_anonymity": _q_k_anonymity,
         "activity_islands": _q_activity_islands,
         "knn_ivf": _q_knn_ivf,
@@ -5047,6 +5056,60 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 2
             ORDER BY df DESC, sh.shingle
             LIMIT 50
+        """,
+        "fold_ci": """
+            WITH per_fold AS (
+                SELECT CAST('0x' || substr(md5('fold:'
+                           || CAST(o_orderkey AS VARCHAR)), 18, 15)
+                           AS BIGINT) % 16 AS f,
+                       SUM(CAST(floor(o_totalprice * 100)
+                                AS DECIMAL(38,0))) AS s,
+                       COUNT(*) AS n
+                FROM orders GROUP BY 1
+            ),
+            qm AS (
+                SELECT *,
+                       CAST(floor(CAST(s AS DOUBLE) / 100.0 / n * 1000000.0)
+                            AS BIGINT) AS m_micro
+                FROM per_fold
+            ),
+            agg AS (
+                SELECT CAST(SUM(s) AS DOUBLE) / 100.0 / SUM(n)
+                           AS global_mean,
+                       CAST(SUM(n) AS BIGINT) AS n_rows,
+                       CAST(COUNT(*) AS BIGINT) AS n_folds,
+                       CAST(SUM(m_micro) AS DECIMAL(38,0)) AS sum_m,
+                       SUM(CAST(m_micro AS DECIMAL(38,0))
+                           * CAST(m_micro AS DECIMAL(38,0))) AS sum_m2
+                FROM qm
+            )
+            SELECT global_mean, n_rows,
+                   sqrt((CAST(n_folds AS DOUBLE) * CAST(sum_m2 AS DOUBLE)
+                         - CAST(sum_m AS DOUBLE) * CAST(sum_m AS DOUBLE))
+                        / (CAST(n_folds AS DOUBLE)
+                           * (CAST(n_folds AS DOUBLE) - 1.0)))
+                       / 1000000.0 AS fold_std,
+                   sqrt((CAST(n_folds AS DOUBLE) * CAST(sum_m2 AS DOUBLE)
+                         - CAST(sum_m AS DOUBLE) * CAST(sum_m AS DOUBLE))
+                        / (CAST(n_folds AS DOUBLE)
+                           * (CAST(n_folds AS DOUBLE) - 1.0)))
+                       / 1000000.0 / sqrt(CAST(n_folds AS DOUBLE))
+                       AS se_mean,
+                   global_mean - 1.96 * (
+                       sqrt((CAST(n_folds AS DOUBLE) * CAST(sum_m2 AS DOUBLE)
+                             - CAST(sum_m AS DOUBLE) * CAST(sum_m AS DOUBLE))
+                            / (CAST(n_folds AS DOUBLE)
+                               * (CAST(n_folds AS DOUBLE) - 1.0)))
+                       / 1000000.0 / sqrt(CAST(n_folds AS DOUBLE)))
+                       AS ci_lo,
+                   global_mean + 1.96 * (
+                       sqrt((CAST(n_folds AS DOUBLE) * CAST(sum_m2 AS DOUBLE)
+                             - CAST(sum_m AS DOUBLE) * CAST(sum_m AS DOUBLE))
+                            / (CAST(n_folds AS DOUBLE)
+                               * (CAST(n_folds AS DOUBLE) - 1.0)))
+                       / 1000000.0 / sqrt(CAST(n_folds AS DOUBLE)))
+                       AS ci_hi
+            FROM agg
         """,
         "distinctive_tokens": f"""
             WITH tok AS (SELECT source, unnest(t) AS token FROM ({toks})),

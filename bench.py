@@ -176,6 +176,7 @@ HEADLINE = (
     "mixture_plan",
     "mwu_drift",
     "distinctive_tokens",
+    "fold_ci",
 )
 
 

@@ -908,3 +908,79 @@ def mwu_drift(
             ).alias("auc"),
         )
     )
+
+
+def fold_ci(
+    orders: DataFrame,
+    n_folds: int = 16,
+    value_col: str = "o_totalprice",
+    id_col: str = "o_orderkey",
+) -> DataFrame:
+    """Uncertainty for a distributed mean WITHOUT resampling passes: the
+    batch-means / hash-fold estimator.  Rows split into ``n_folds``
+    deterministic md5 folds (a pure function of the key — reproducible
+    anywhere); each fold's mean is an independent estimate, and the
+    spread of fold means prices the sampling error of the global mean —
+    one aggregate pass where a bootstrap would run B passes.
+
+    Exactness protocol: per-fold sums in DECIMAL cents (order-
+    independent), fold means as single divisions; the variance OF THE
+    FOLD MEANS runs over n_folds values — computed from exact decimal
+    cent sums with one pinned IEEE tree (same device as value_outliers).
+    Output (one row): global_mean, fold_std, se_mean, ci_lo, ci_hi
+    (95%, normal approx — the fold count is a config choice, so the
+    z-value is part of the operator's contract, not a runtime input).
+    """
+    cents = F.floor(F.col(value_col) * 100).cast("decimal(38,0)")
+    fold = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("fold"), F.col(id_col).cast("string"))),
+                18,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n_folds),
+    )
+    per_fold = (
+        orders.select(fold.alias("f"), cents.alias("c"))
+        .groupBy("f")
+        .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("n"))
+        # fold mean quantized to exact integer micro-units: the variance
+        # below then runs on EXACT sums (an unordered double sum over
+        # fold means would drift by ulps across engines/partitionings)
+        .withColumn(
+            "m_micro",
+            F.floor(
+                F.col("s").cast("double") / 100.0 / F.col("n") * 1_000_000.0
+            ).cast("long"),
+        )
+    )
+    k = F.count(F.lit(1)).cast("double")
+    dec = F.col("m_micro").cast("decimal(38,0)")
+    agg = per_fold.agg(
+        (F.sum(F.col("s")).cast("double") / 100.0 / F.sum("n")).alias(
+            "global_mean"
+        ),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_folds"),
+        F.sum("m_micro").cast("decimal(38,0)").alias("sum_m"),
+        F.sum(dec * dec).alias("sum_m2"),
+    )
+    kd = F.col("n_folds").cast("double")
+    var_micro2 = (
+        kd * F.col("sum_m2").cast("double")
+        - F.col("sum_m").cast("double") * F.col("sum_m").cast("double")
+    ) / (kd * (kd - 1.0))
+    fold_std = F.sqrt(var_micro2) / 1_000_000.0
+    se = fold_std / F.sqrt(kd)
+    return agg.select(
+        "global_mean",
+        "n_rows",
+        fold_std.alias("fold_std"),
+        se.alias("se_mean"),
+        (F.col("global_mean") - F.lit(1.96) * se).alias("ci_lo"),
+        (F.col("global_mean") + F.lit(1.96) * se).alias("ci_hi"),
+    )

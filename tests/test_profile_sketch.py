@@ -239,3 +239,19 @@ def test_mwu_drift_exact_u_and_auc(spark):
     assert got["a"].u2 + got["b"].u2 == 2 * len(a_vals) * len(b_vals)
     assert got["a"].auc == got["a"].u2 / (2 * len(a_vals) * len(b_vals))
     assert got["b"].auc > 0.5 > got["a"].auc  # b stochastically dominates
+
+
+def test_fold_ci_brackets_the_true_mean_and_is_partition_invariant(spark, sf_dir):
+    from p2_mapreduce_spark.operators.profile import fold_ci
+    from p2_mapreduce_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    row = fold_ci(orders).collect()[0]
+    true_mean = orders.agg({"o_totalprice": "avg"}).collect()[0][0]
+    # fold split is uniform: the CI must bracket the global mean, and the
+    # global mean from exact cents is within a cent of the double avg
+    assert row.ci_lo < true_mean < row.ci_hi
+    assert abs(row.global_mean - true_mean) < 0.01
+    assert row.se_mean > 0 and row.fold_std > 0
+    again = fold_ci(orders.repartition(9)).collect()[0]
+    assert tuple(again) == tuple(row)
