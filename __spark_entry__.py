@@ -1055,6 +1055,21 @@ def _q_new_returning(spark, sf_dir):
     return daily_new_returning(load_table(spark, sf_dir, "events"))
 
 
+def _q_daily_envelope(spark, sf_dir):
+    """Per-day p10/p50/p90 value bands per event type."""
+    from p2_mapreduce_spark.operators.timeseries import daily_envelope
+
+    return daily_envelope(load_table(spark, sf_dir, "events"))
+
+
+def _q_chi2_drift(spark, sf_dir):
+    """Categorical (lang-mix) χ² drift per source vs rest — exact cells,
+    micro-quantized order-independent fold."""
+    from p2_mapreduce_spark.operators.profile import chi2_drift
+
+    return chi2_drift(load_table(spark, sf_dir, "documents"))
+
+
 def _q_fold_ci(spark, sf_dir):
     """Batch-means uncertainty for the mean order price: 16 md5 folds,
     exact integer fold-mean sums, one-pass CI."""
@@ -2080,6 +2095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwu_drift": _q_mwu_drift,
         "distinctive_tokens": _q_distinctive_tokens,
         "fold_ci": _q_fold_ci,
+        "daily_envelope": _q_daily_envelope,
+        "chi2_drift": _q_chi2_drift,
         "k_anonymity": _q_k_anonymity,
         "activity_islands": _q_activity_islands,
         "knn_ivf": _q_knn_ivf,
@@ -5056,6 +5073,53 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 2
             ORDER BY df DESC, sh.shingle
             LIMIT 50
+        """,
+        "daily_envelope": """
+            SELECT event_type,
+                   strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                   quantile_cont(value, 0.1) AS p10,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.9) AS p90,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "chi2_drift": """
+            WITH cells AS (
+                SELECT source AS g, lang AS cat, COUNT(*) AS o_g
+                FROM documents GROUP BY 1, 2
+            ),
+            cat_tot AS (SELECT cat, SUM(o_g) AS c_all FROM cells GROUP BY 1),
+            g_tot AS (SELECT g, SUM(o_g) AS n_g FROM cells GROUP BY 1),
+            grand AS (SELECT SUM(o_g) AS n_all FROM cells),
+            full_t AS (
+                SELECT gs.g, ct.cat, ct.c_all,
+                       COALESCE(c.o_g, 0) AS o_g,
+                       n_g, n_all - n_g AS n_r,
+                       ct.c_all - COALESCE(c.o_g, 0) AS o_r
+                FROM (SELECT DISTINCT g FROM cells) gs
+                CROSS JOIN cat_tot ct
+                LEFT JOIN cells c ON c.g = gs.g AND c.cat = ct.cat
+                JOIN g_tot ON g_tot.g = gs.g, grand
+            ),
+            terms AS (
+                SELECT g, n_g, n_r,
+                       CAST(floor((
+                           (o_g - n_g * c_all / CAST(n_g + n_r AS DOUBLE))
+                           * (o_g - n_g * c_all / CAST(n_g + n_r AS DOUBLE))
+                           / (n_g * c_all / CAST(n_g + n_r AS DOUBLE))
+                         + (o_r - n_r * c_all / CAST(n_g + n_r AS DOUBLE))
+                           * (o_r - n_r * c_all / CAST(n_g + n_r AS DOUBLE))
+                           / (n_r * c_all / CAST(n_g + n_r AS DOUBLE))
+                       ) * 1000000.0) AS BIGINT) AS tm
+                FROM full_t
+            )
+            SELECT g AS source,
+                   CAST(n_g AS BIGINT) AS n_group,
+                   CAST(n_r AS BIGINT) AS n_rest,
+                   CAST(COUNT(*) AS BIGINT) AS n_categories,
+                   CAST(SUM(tm) AS BIGINT) AS chi2_micro,
+                   CAST(SUM(tm) AS DOUBLE) / 1000000.0 AS chi2
+            FROM terms GROUP BY g, n_g, n_r
         """,
         "fold_ci": """
             WITH per_fold AS (

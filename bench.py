@@ -177,6 +177,8 @@ HEADLINE = (
     "mwu_drift",
     "distinctive_tokens",
     "fold_ci",
+    "daily_envelope",
+    "chi2_drift",
 )
 
 

@@ -984,3 +984,67 @@ def fold_ci(
         (F.col("global_mean") - F.lit(1.96) * se).alias("ci_lo"),
         (F.col("global_mean") + F.lit(1.96) * se).alias("ci_hi"),
     )
+
+
+def chi2_drift(
+    docs: DataFrame,
+    group_col: str = "source",
+    cat_col: str = "lang",
+) -> DataFrame:
+    """Categorical drift per group vs rest-of-corpus: Pearson χ² over the
+    (category) contingency cells — completing the drift suite (ks_drift:
+    numeric shape, mwu_drift: ordinal dominance, χ²: categorical mix).
+
+    Cells are exact BIGINTs from one (group, category) aggregate; the χ²
+    fold per group runs over #categories values with every expected
+    count a single rational ``n_g·c_all/n_all`` — each term one pinned
+    IEEE tree, summed at category grain per group via an EXACT
+    quantization (micro-units floor, BIGINT sum) so the statistic is
+    aggregation-order-independent.  Degrees of freedom ride along; the
+    p-value CDF is deliberately out of scope (no cross-engine-pinned
+    incomplete gamma) — thresholds on χ²/df are the production practice
+    anyway.
+
+    Output: (group, n_group, n_rest, n_categories, chi2_micro, chi2).
+    """
+    cells = docs.groupBy(
+        F.col(group_col).alias("g"), F.col(cat_col).alias("cat")
+    ).agg(F.count(F.lit(1)).alias("o_g"))
+    groups = cells.select("g").distinct()
+    cat_tot = cells.groupBy("cat").agg(F.sum("o_g").alias("c_all"))
+    g_tot = cells.groupBy("g").agg(F.sum("o_g").alias("n_g"))
+    grand = cells.agg(F.sum("o_g").alias("n_all"))
+    full = (
+        groups.crossJoin(cat_tot)
+        .join(cells, ["g", "cat"], "left")
+        .select(
+            "g", "cat", "c_all", F.coalesce("o_g", F.lit(0)).alias("o_g")
+        )
+        .join(g_tot, "g")
+        .crossJoin(F.broadcast(grand))
+        .withColumn("o_r", F.col("c_all") - F.col("o_g"))
+        .withColumn("n_r", F.col("n_all") - F.col("n_g"))
+    )
+    # expected cell counts under independence; both (group, rest) columns
+    e_g = F.col("n_g") * F.col("c_all") / F.col("n_all")
+    e_r = F.col("n_r") * F.col("c_all") / F.col("n_all")
+    term = (
+        (F.col("o_g") - e_g) * (F.col("o_g") - e_g) / e_g
+        + (F.col("o_r") - e_r) * (F.col("o_r") - e_r) / e_r
+    )
+    term_micro = F.floor(term * F.lit(1_000_000.0)).cast("bigint")
+    return (
+        full.groupBy("g", "n_g", "n_r")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+            F.sum(term_micro).cast("bigint").alias("chi2_micro"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_g").cast("bigint").alias("n_group"),
+            F.col("n_r").cast("bigint").alias("n_rest"),
+            "n_categories",
+            "chi2_micro",
+            (F.col("chi2_micro") / 1_000_000.0).alias("chi2"),
+        )
+    )

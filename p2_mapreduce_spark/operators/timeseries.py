@@ -670,3 +670,22 @@ def rolling_median(events: DataFrame, days: int = 7) -> DataFrame:
         .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
                 "median_value", "n_events")
     )
+
+
+def daily_envelope(events: DataFrame) -> DataFrame:
+    """Per-day p10/p50/p90 envelope of event values per type — the
+    dashboard band behind every "is today normal?" glance.  One
+    aggregate to (type, day) grain with three exact interpolating
+    percentiles (the quantile_cont protocol the histogram family pins);
+    output is grain-bounded, scalars only."""
+    return (
+        events.groupBy(
+            "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.expr("percentile(value, 0.1)").alias("p10"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )

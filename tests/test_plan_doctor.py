@@ -81,7 +81,7 @@ class TestDoctorPassesGoodPlans:
 #: re-reviewed (the assert below fails either way).
 FUNNEL_REVIEWED = {
     "ab_conversion", "bitmap_count", "bm25_search", "bounce_rate",
-    "compaction_plan", "conversion_lag", "cumulative_revenue",
+    "chi2_drift", "compaction_plan", "conversion_lag", "cumulative_revenue",
     "dict_encode", "disjunctive_pricing", "distinctive_tokens",
     "doclen_histogram", "dq_orders",
     "equidepth_histogram", "fk_integrity", "fold_ci", "funnel_steps",

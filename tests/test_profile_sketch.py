@@ -255,3 +255,37 @@ def test_fold_ci_brackets_the_true_mean_and_is_partition_invariant(spark, sf_dir
     assert row.se_mean > 0 and row.fold_std > 0
     again = fold_ci(orders.repartition(9)).collect()[0]
     assert tuple(again) == tuple(row)
+
+
+def test_chi2_drift_detects_planted_category_shift(spark):
+    rows = []
+    for i in range(300):
+        rows.append((i, "a", "en" if i % 3 else "de"))      # a: 2/3 en, 1/3 de
+    for i in range(300, 500):
+        rows.append((i, "b", "de" if i % 4 else "en"))      # b: mostly de
+    docs = spark.createDataFrame(rows, "doc_id long, source string, lang string")
+    from p2_mapreduce_spark.operators.profile import chi2_drift
+
+    got = {r.source: r for r in chi2_drift(docs).collect()}
+    assert got["a"].n_group == 300 and got["a"].n_rest == 200
+    # the 2x2 design is symmetric: both directions see the same chi2
+    assert got["a"].chi2_micro == got["b"].chi2_micro
+    assert got["a"].chi2 > 50  # the shift is enormous by chi2/df
+    # local reference on exact cells
+    def chi2_ref(obs):
+        (o11, o12), (o21, o22) = obs
+        n = o11 + o12 + o21 + o22
+        c1, c2 = o11 + o21, o12 + o22
+        r1, r2 = o11 + o12, o21 + o22
+        import math
+        t = 0.0
+        for o, r, c in [(o11, r1, c1), (o12, r1, c2), (o21, r2, c1), (o22, r2, c2)]:
+            e = r * c / n
+            t += (o - e) ** 2 / e
+        return t
+    a_en = sum(1 for i in range(300) if i % 3)
+    a_de = 300 - a_en
+    b_de = sum(1 for i in range(300, 500) if i % 4)
+    b_en = 200 - b_de
+    ref = chi2_ref(((a_en, a_de), (b_en, b_de)))
+    assert abs(got["a"].chi2 - ref) < 1e-4  # micro-floor granularity
