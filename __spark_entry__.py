@@ -5074,14 +5074,43 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY df DESC, sh.shingle
             LIMIT 50
         """,
+        # explicit shared interpolation tree (built-in percentile vs
+        # quantile_cont differ by an ulp — caught at sf0.1)
         "daily_envelope": """
-            SELECT event_type,
-                   strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
-                   quantile_cont(value, 0.1) AS p10,
-                   quantile_cont(value, 0.5) AS p50,
-                   quantile_cont(value, 0.9) AS p90,
-                   CAST(COUNT(*) AS BIGINT) AS n_events
-            FROM events GROUP BY 1, 2
+            WITH g AS (
+                SELECT event_type,
+                       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                       list_sort(list(value)) AS vs,
+                       CAST(COUNT(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, day,
+                   CASE WHEN CAST(floor((n_events-1) * CAST(0.1 AS DOUBLE)) AS INT) + 2 > n_events
+                        THEN vs[CAST(floor((n_events-1) * CAST(0.1 AS DOUBLE)) AS INT) + 1]
+                        ELSE vs[CAST(floor((n_events-1) * CAST(0.1 AS DOUBLE)) AS INT) + 1]
+                             + (vs[CAST(floor((n_events-1) * CAST(0.1 AS DOUBLE)) AS INT) + 2]
+                                - vs[CAST(floor((n_events-1) * CAST(0.1 AS DOUBLE)) AS INT) + 1])
+                             * ((n_events-1) * CAST(0.1 AS DOUBLE)
+                                - CAST(floor((n_events-1) * CAST(0.1 AS DOUBLE)) AS INT))
+                   END AS p10,
+                   CASE WHEN CAST(floor((n_events-1) * CAST(0.5 AS DOUBLE)) AS INT) + 2 > n_events
+                        THEN vs[CAST(floor((n_events-1) * CAST(0.5 AS DOUBLE)) AS INT) + 1]
+                        ELSE vs[CAST(floor((n_events-1) * CAST(0.5 AS DOUBLE)) AS INT) + 1]
+                             + (vs[CAST(floor((n_events-1) * CAST(0.5 AS DOUBLE)) AS INT) + 2]
+                                - vs[CAST(floor((n_events-1) * CAST(0.5 AS DOUBLE)) AS INT) + 1])
+                             * ((n_events-1) * CAST(0.5 AS DOUBLE)
+                                - CAST(floor((n_events-1) * CAST(0.5 AS DOUBLE)) AS INT))
+                   END AS p50,
+                   CASE WHEN CAST(floor((n_events-1) * CAST(0.9 AS DOUBLE)) AS INT) + 2 > n_events
+                        THEN vs[CAST(floor((n_events-1) * CAST(0.9 AS DOUBLE)) AS INT) + 1]
+                        ELSE vs[CAST(floor((n_events-1) * CAST(0.9 AS DOUBLE)) AS INT) + 1]
+                             + (vs[CAST(floor((n_events-1) * CAST(0.9 AS DOUBLE)) AS INT) + 2]
+                                - vs[CAST(floor((n_events-1) * CAST(0.9 AS DOUBLE)) AS INT) + 1])
+                             * ((n_events-1) * CAST(0.9 AS DOUBLE)
+                                - CAST(floor((n_events-1) * CAST(0.9 AS DOUBLE)) AS INT))
+                   END AS p90,
+                   n_events
+            FROM g
         """,
         "chi2_drift": """
             WITH cells AS (

@@ -674,18 +674,41 @@ def rolling_median(events: DataFrame, days: int = 7) -> DataFrame:
 
 def daily_envelope(events: DataFrame) -> DataFrame:
     """Per-day p10/p50/p90 envelope of event values per type — the
-    dashboard band behind every "is today normal?" glance.  One
-    aggregate to (type, day) grain with three exact interpolating
-    percentiles (the quantile_cont protocol the histogram family pins);
-    output is grain-bounded, scalars only."""
-    return (
-        events.groupBy(
-            "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
-        )
+    dashboard band behind every "is today normal?" glance.
+
+    Determinism note: the built-in ``percentile`` and the oracle
+    engine's ``quantile_cont`` agree on the MATH but not the IEEE tree —
+    their interpolations differ by an ulp on real data (caught at
+    sf0.1), so the interpolation here is an EXPLICIT shared formula over
+    the group's sorted value array: ``a[i] + (a[i+1]-a[i])·frac`` with
+    ``pos=(n-1)·q`` — both engines compile the same expression, so the
+    band is bit-identical.  The per-group array is bounded by the
+    (type, day) grain — the same bound every per-day aggregate here
+    accepts; for data-grain percentiles use the hist_state sketch.
+    """
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    grouped = (
+        events.groupBy("event_type", day)
         .agg(
-            F.expr("percentile(value, 0.1)").alias("p10"),
-            F.expr("percentile(value, 0.5)").alias("p50"),
-            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.sort_array(F.collect_list("value")).alias("vs"),
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
         )
+    )
+
+    def q(frac: float):
+        pos = (F.col("n_events") - 1).cast("double") * F.lit(frac)
+        i = F.floor(pos).cast("int")
+        lo = F.element_at("vs", i + 1)
+        hi = F.element_at("vs", i + 2)
+        return F.when(
+            i + 2 > F.col("n_events"), lo
+        ).otherwise(lo + (hi - lo) * (pos - i.cast("double")))
+
+    return grouped.select(
+        "event_type",
+        "day",
+        q(0.1).alias("p10"),
+        q(0.5).alias("p50"),
+        q(0.9).alias("p90"),
+        "n_events",
     )

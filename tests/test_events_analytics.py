@@ -330,3 +330,37 @@ def test_rolling_median_is_exact_per_trailing_window(spark, sf_dir):
         if key in got:
             assert got[key][1] == len(window)
             assert got[key][0] == statistics.median(window)
+
+
+def test_daily_envelope_matches_local_percentiles(spark, sf_dir):
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.timeseries import daily_envelope
+    from p2_mapreduce_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    got = {(r.event_type, r.day): r for r in daily_envelope(events).collect()}
+    rows = events.select(
+        "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        "value",
+    ).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r.event_type, r.day), []).append(r.value)
+
+    def pq(vals, q):
+        vals = sorted(vals)
+        pos = (len(vals) - 1) * q
+        i = int(pos)
+        if i + 1 >= len(vals):
+            return vals[i]
+        return vals[i] + (vals[i + 1] - vals[i]) * (pos - i)
+
+    for key, vals in by_key.items():
+        r = got[key]
+        assert r.n_events == len(vals)
+        assert abs(r.p50 - statistics.median(vals)) < 1e-9
+        assert r.p10 == pq(vals, 0.1) and r.p90 == pq(vals, 0.9)
+        assert r.p10 <= r.p50 <= r.p90
