@@ -1055,6 +1055,14 @@ def _q_new_returning(spark, sf_dir):
     return daily_new_returning(load_table(spark, sf_dir, "events"))
 
 
+def _q_l_diversity(spark, sf_dir):
+    """k-anonymity's companion gate: ≥ l distinct sensitive values per
+    quasi-identifier class."""
+    from p2_mapreduce_spark.operators.profile import l_diversity_audit
+
+    return l_diversity_audit(load_table(spark, sf_dir, "customer"), l=3)
+
+
 def _q_daily_envelope(spark, sf_dir):
     """Per-day p10/p50/p90 value bands per event type."""
     from p2_mapreduce_spark.operators.timeseries import daily_envelope
@@ -2096,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinctive_tokens": _q_distinctive_tokens,
         "fold_ci": _q_fold_ci,
         "daily_envelope": _q_daily_envelope,
+        "l_diversity": _q_l_diversity,
         "chi2_drift": _q_chi2_drift,
         "k_anonymity": _q_k_anonymity,
         "activity_islands": _q_activity_islands,
@@ -5073,6 +5082,14 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 2
             ORDER BY df DESC, sh.shingle
             LIMIT 50
+        """,
+        "l_diversity": """
+            SELECT c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS class_size,
+                   CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT)
+                       AS n_sensitive,
+                   COUNT(DISTINCT c_mktsegment) >= 3 AS l_diverse
+            FROM customer GROUP BY 1
         """,
         # explicit shared interpolation tree (built-in percentile vs
         # quantile_cont differ by an ulp — caught at sf0.1)

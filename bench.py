@@ -179,6 +179,7 @@ HEADLINE = (
     "fold_ci",
     "daily_envelope",
     "chi2_drift",
+    "l_diversity",
 )
 
 

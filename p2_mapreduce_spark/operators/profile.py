@@ -1048,3 +1048,29 @@ def chi2_drift(
             (F.col("chi2_micro") / 1_000_000.0).alias("chi2"),
         )
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: tuple[str, ...] = ("c_nationkey",),
+    sensitive_col: str = "c_mktsegment",
+    l: int = 3,
+) -> DataFrame:
+    """L-diversity audit — :func:`k_anonymity_audit`'s necessary
+    companion: a class can be large (k-anonymous) yet expose everyone in
+    it if they all share one sensitive value; the release gate also
+    needs ≥ l DISTINCT sensitive values per quasi-identifier class.
+
+    One aggregate at quasi grain (exact count distinct of the sensitive
+    column folds map-side); output one row per class with its size,
+    distinct-sensitive count, and the pass flag — suppression decisions
+    filter this O(#classes) table.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("class_size"),
+            F.countDistinct(sensitive_col).cast("bigint").alias("n_sensitive"),
+        )
+        .withColumn("l_diverse", F.col("n_sensitive") >= l)
+    )

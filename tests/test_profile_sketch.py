@@ -289,3 +289,17 @@ def test_chi2_drift_detects_planted_category_shift(spark):
     b_en = 200 - b_de
     ref = chi2_ref(((a_en, a_de), (b_en, b_de)))
     assert abs(got["a"].chi2 - ref) < 1e-4  # micro-floor granularity
+
+
+def test_l_diversity_flags_homogeneous_classes(spark):
+    from p2_mapreduce_spark.operators.profile import l_diversity_audit
+
+    df = spark.createDataFrame(
+        [(1, 10, "A"), (2, 10, "A"), (3, 10, "A"),   # big but homogeneous
+         (4, 20, "A"), (5, 20, "B"), (6, 20, "C")],  # diverse
+        "c_custkey long, c_nationkey int, c_mktsegment string",
+    )
+    got = {r.c_nationkey: r for r in l_diversity_audit(df, l=3).collect()}
+    assert got[10].class_size == 3 and got[10].n_sensitive == 1
+    assert not got[10].l_diverse
+    assert got[20].l_diverse and got[20].n_sensitive == 3
