@@ -1055,6 +1055,14 @@ def _q_new_returning(spark, sf_dir):
     return daily_new_returning(load_table(spark, sf_dir, "events"))
 
 
+def _q_t_closeness(spark, sf_dir):
+    """Privacy trio #3: class sensitive-distribution distance from the
+    global (exact integer-cross-product Wasserstein-1)."""
+    from p2_mapreduce_spark.operators.profile import t_closeness_audit
+
+    return t_closeness_audit(load_table(spark, sf_dir, "customer"), t=0.35)
+
+
 def _q_l_diversity(spark, sf_dir):
     """k-anonymity's companion gate: ≥ l distinct sensitive values per
     quasi-identifier class."""
@@ -2105,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fold_ci": _q_fold_ci,
         "daily_envelope": _q_daily_envelope,
         "l_diversity": _q_l_diversity,
+        "t_closeness": _q_t_closeness,
         "chi2_drift": _q_chi2_drift,
         "k_anonymity": _q_k_anonymity,
         "activity_islands": _q_activity_islands,
@@ -5082,6 +5091,46 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 2
             ORDER BY df DESC, sh.shingle
             LIMIT 50
+        """,
+        "t_closeness": """
+            WITH cells AS (
+                SELECT c_nationkey, c_mktsegment AS cat, COUNT(*) AS c
+                FROM customer GROUP BY 1, 2
+            ),
+            gtot AS (SELECT cat, SUM(c) AS c_all FROM cells GROUP BY 1),
+            n_class AS (SELECT c_nationkey, SUM(c) AS n_c
+                        FROM cells GROUP BY 1),
+            grand AS (SELECT SUM(c) AS n_all FROM cells),
+            m AS (SELECT COUNT(*) AS n_cats FROM gtot),
+            full_t AS (
+                SELECT cl.c_nationkey, g.cat, g.c_all,
+                       COALESCE(c.c, 0) AS c_c
+                FROM (SELECT DISTINCT c_nationkey FROM cells) cl
+                CROSS JOIN gtot g
+                LEFT JOIN cells c
+                  ON c.c_nationkey = cl.c_nationkey AND c.cat = g.cat
+            ),
+            walked AS (
+                SELECT c_nationkey,
+                       SUM(c_c) OVER (PARTITION BY c_nationkey ORDER BY cat
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum_c,
+                       SUM(c_all) OVER (PARTITION BY c_nationkey ORDER BY cat
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum_g
+                FROM full_t
+            )
+            SELECT c_nationkey,
+                   CAST(n_c AS BIGINT) AS class_size,
+                   CAST(SUM(ABS(cum_c * n_all - cum_g * n_c)) AS DOUBLE)
+                       / (CAST(n_c AS DOUBLE) * n_all * (n_cats - 1))
+                       AS emd,
+                   CAST(SUM(ABS(cum_c * n_all - cum_g * n_c)) AS DOUBLE)
+                       / (CAST(n_c AS DOUBLE) * n_all * (n_cats - 1))
+                       <= 0.35 AS t_close
+            FROM walked
+            JOIN n_class USING (c_nationkey), grand, m
+            GROUP BY c_nationkey, n_c, n_all, n_cats
         """,
         "l_diversity": """
             SELECT c_nationkey,

@@ -180,6 +180,7 @@ HEADLINE = (
     "daily_envelope",
     "chi2_drift",
     "l_diversity",
+    "t_closeness",
 )
 
 

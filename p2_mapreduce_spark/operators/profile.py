@@ -1074,3 +1074,76 @@ def l_diversity_audit(
         )
         .withColumn("l_diverse", F.col("n_sensitive") >= l)
     )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: tuple[str, ...] = ("c_nationkey",),
+    sensitive_col: str = "c_mktsegment",
+    t: float = 0.35,
+) -> DataFrame:
+    """T-closeness audit — third member of the privacy gate trio
+    (k-anonymity: class size, l-diversity: distinct sensitive values,
+    t-closeness: the class's sensitive DISTRIBUTION must stay within
+    distance ``t`` of the global one, else the class itself leaks —
+    "everyone in this class is 90% segment X").
+
+    Distance is the exact Earth-Mover's (Wasserstein-1) over the
+    sensitive categories in a fixed (sorted) order: EMD = Σ over the
+    CDF walk of |cum_class/n_class − cum_global/n_global| / (#cats−1),
+    computed on the INTEGER cross products ``|cum_c·n_g − cum_g·n_c|``
+    (the ks_drift device) so the statistic is exact until one final
+    division.  One (class, category) aggregate + a category-ordered
+    window per class — O(#classes × #categories) work after the first
+    aggregate.
+
+    Output: (quasi..., class_size, emd, t_close).
+    """
+    q = [F.col(c) for c in quasi_cols]
+    cells = df.groupBy(*q, F.col(sensitive_col).alias("cat")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    classes = cells.select(*quasi_cols).distinct()
+    glob = cells.groupBy("cat").agg(F.sum("c").alias("c_all"))
+    n_class = cells.groupBy(*quasi_cols).agg(F.sum("c").alias("n_c"))
+    grand = cells.agg(F.sum("c").alias("n_all"))
+    n_cats = glob.count()  # config-sized: the sensitive domain
+    full = (
+        classes.crossJoin(glob)
+        .join(cells, [*quasi_cols, "cat"], "left")
+        .select(
+            *quasi_cols,
+            "cat",
+            "c_all",
+            F.coalesce("c", F.lit(0)).alias("c_c"),
+        )
+    )
+    w = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy("cat")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walked = full.select(
+        *quasi_cols,
+        F.sum("c_c").over(w).alias("cum_c"),
+        F.sum("c_all").over(w).alias("cum_g"),
+    )
+    emd_num = (
+        walked.join(n_class, list(quasi_cols))
+        .crossJoin(F.broadcast(grand))
+        .groupBy(*quasi_cols, "n_c", "n_all")
+        .agg(
+            F.sum(
+                F.abs(F.col("cum_c") * F.col("n_all") - F.col("cum_g") * F.col("n_c"))
+            ).alias("num")
+        )
+    )
+    emd = F.col("num") / (
+        F.col("n_c").cast("double") * F.col("n_all") * F.lit(n_cats - 1)
+    )
+    return emd_num.select(
+        *quasi_cols,
+        F.col("n_c").cast("bigint").alias("class_size"),
+        emd.alias("emd"),
+        (emd <= t).alias("t_close"),
+    )

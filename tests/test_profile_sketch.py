@@ -303,3 +303,25 @@ def test_l_diversity_flags_homogeneous_classes(spark):
     assert got[10].class_size == 3 and got[10].n_sensitive == 1
     assert not got[10].l_diverse
     assert got[20].l_diverse and got[20].n_sensitive == 3
+
+
+def test_t_closeness_detects_skewed_class(spark):
+    from p2_mapreduce_spark.operators.profile import t_closeness_audit
+
+    rows = []
+    # class 10 mirrors the global mix; class 20 is all-A (leaky)
+    for i in range(30):
+        rows.append((i, 10, ["A", "B", "C"][i % 3]))
+    for i in range(30, 60):
+        rows.append((i, 20, "A"))
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey int, c_mktsegment string"
+    )
+    got = {r.c_nationkey: r for r in t_closeness_audit(df, t=0.2).collect()}
+    # global: A=40, B=10, C=10 over 60. class 10: 10/10/10.
+    # CDF walk (cats A,B,C): class10 = 1/3, 2/3, 1; global = 2/3, 5/6, 1
+    emd10 = (abs(1/3 - 2/3) + abs(2/3 - 5/6) + 0.0) / 2
+    emd20 = (abs(1 - 2/3) + abs(1 - 5/6) + 0.0) / 2
+    assert abs(got[10].emd - emd10) < 1e-12
+    assert abs(got[20].emd - emd20) < 1e-12
+    assert not got[20].t_close and got[10].t_close is (emd10 <= 0.2)
