@@ -1055,6 +1055,14 @@ def _q_new_returning(spark, sf_dir):
     return daily_new_returning(load_table(spark, sf_dir, "events"))
 
 
+def _q_emd_drift(spark, sf_dir):
+    """Exact numeric Wasserstein-1 per source vs rest: gap-weighted
+    integer CDF cross products, one final division."""
+    from p2_mapreduce_spark.operators.profile import emd_drift
+
+    return emd_drift(load_table(spark, sf_dir, "documents"))
+
+
 def _q_t_closeness(spark, sf_dir):
     """Privacy trio #3: class sensitive-distribution distance from the
     global (exact integer-cross-product Wasserstein-1)."""
@@ -2114,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_envelope": _q_daily_envelope,
         "l_diversity": _q_l_diversity,
         "t_closeness": _q_t_closeness,
+        "emd_drift": _q_emd_drift,
         "chi2_drift": _q_chi2_drift,
         "k_anonymity": _q_k_anonymity,
         "activity_islands": _q_activity_islands,
@@ -5091,6 +5100,45 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 2
             ORDER BY df DESC, sh.shingle
             LIMIT 50
+        """,
+        "emd_drift": """
+            WITH per AS (
+                SELECT source AS g, n_chars AS v, COUNT(*) AS c
+                FROM documents GROUP BY 1, 2
+            ),
+            totals AS (SELECT g, SUM(c) AS n_g FROM per GROUP BY 1),
+            grand AS (SELECT SUM(c) AS n_all FROM per),
+            allv AS (SELECT v, SUM(c) AS c_all FROM per GROUP BY 1),
+            joined AS (
+                SELECT gs.g, a.v,
+                       COALESCE(o.c, 0) AS c_g,
+                       a.c_all - COALESCE(o.c, 0) AS c_r
+                FROM (SELECT DISTINCT g FROM per) gs
+                CROSS JOIN allv a
+                LEFT JOIN per o ON o.g = gs.g AND o.v = a.v
+            ),
+            walked AS (
+                SELECT g, v,
+                       SUM(c_g) OVER (PARTITION BY g ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum_g,
+                       SUM(c_r) OVER (PARTITION BY g ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum_r,
+                       LEAD(v) OVER (PARTITION BY g ORDER BY v) AS v_next
+                FROM joined
+            )
+            SELECT g AS source,
+                   CAST(n_g AS BIGINT) AS n_group,
+                   CAST(n_all - n_g AS BIGINT) AS n_rest,
+                   CAST(SUM(ABS(CAST(cum_g AS HUGEINT) * (n_all - n_g)
+                                - CAST(cum_r AS HUGEINT) * n_g)
+                            * (v_next - v)) AS DOUBLE)
+                       / (CAST(n_g AS DOUBLE) * (n_all - n_g)) AS emd
+            FROM walked
+            JOIN totals USING (g), grand
+            WHERE v_next IS NOT NULL
+            GROUP BY g, n_g, n_all
         """,
         "t_closeness": """
             WITH cells AS (

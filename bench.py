@@ -181,6 +181,7 @@ HEADLINE = (
     "chi2_drift",
     "l_diversity",
     "t_closeness",
+    "emd_drift",
 )
 
 

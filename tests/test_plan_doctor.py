@@ -84,7 +84,8 @@ FUNNEL_REVIEWED = {
     "chi2_drift", "compaction_plan", "conversion_lag", "cumulative_revenue",
     "dict_encode", "disjunctive_pricing", "distinctive_tokens",
     "doclen_histogram", "dq_orders",
-    "equidepth_histogram", "fk_integrity", "fold_ci", "funnel_steps",
+    "emd_drift", "equidepth_histogram", "fk_integrity", "fold_ci",
+    "funnel_steps",
     "important_parts", "join_fanout", "key_skew", "ks_drift",
     "length_batches", "mixture_plan", "mom_revenue", "negative_pairs",
     "mwu_drift", "new_returning",

@@ -325,3 +325,31 @@ def test_t_closeness_detects_skewed_class(spark):
     assert abs(got[10].emd - emd10) < 1e-12
     assert abs(got[20].emd - emd20) < 1e-12
     assert not got[20].t_close and got[10].t_close is (emd10 <= 0.2)
+
+
+def test_emd_drift_matches_local_wasserstein(spark):
+    rows = []
+    a_vals = [10, 10, 12, 20]
+    b_vals = [14, 14, 18]
+    for i, v in enumerate(a_vals):
+        rows.append((i, "a", v))
+    for i, v in enumerate(b_vals):
+        rows.append((100 + i, "b", v))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    from p2_mapreduce_spark.operators.profile import emd_drift
+
+    got = {r.source: r for r in emd_drift(docs).collect()}
+
+    def emd_ref(xs, ys):
+        vals = sorted(set(xs) | set(ys))
+        tot = 0.0
+        ca = cb = 0
+        for v, vn in zip(vals, vals[1:]):
+            ca += sum(1 for x in xs if x == v)
+            cb += sum(1 for y in ys if y == v)
+            tot += abs(ca / len(xs) - cb / len(ys)) * (vn - v)
+        return tot
+
+    assert abs(got["a"].emd - emd_ref(a_vals, b_vals)) < 1e-12
+    # symmetric by definition
+    assert abs(got["a"].emd - got["b"].emd) < 1e-12
