@@ -1055,6 +1055,14 @@ def _q_new_returning(spark, sf_dir):
     return daily_new_returning(load_table(spark, sf_dir, "events"))
 
 
+def _q_benford(spark, sf_dir):
+    """Leading-digit audit vs precomputed Benford ppm constants; digit
+    extraction through exact integer cents (engine-canonical strings)."""
+    from p2_mapreduce_spark.operators.profile import benford_audit
+
+    return benford_audit(load_table(spark, sf_dir, "orders"))
+
+
 def _q_emd_drift(spark, sf_dir):
     """Exact numeric Wasserstein-1 per source vs rest: gap-weighted
     integer CDF cross products, one final division."""
@@ -2123,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": _q_l_diversity,
         "t_closeness": _q_t_closeness,
         "emd_drift": _q_emd_drift,
+        "benford": _q_benford,
         "chi2_drift": _q_chi2_drift,
         "k_anonymity": _q_k_anonymity,
         "activity_islands": _q_activity_islands,
@@ -5100,6 +5109,32 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 2
             ORDER BY df DESC, sh.shingle
             LIMIT 50
+        """,
+        "benford": """
+            WITH counts AS (
+                SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100)
+                                   AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+                           AS digit,
+                       CAST(COUNT(*) AS BIGINT) AS n_obs
+                FROM orders WHERE o_totalprice > 0 GROUP BY 1
+            ),
+            tot AS (SELECT SUM(n_obs) AS n_total FROM counts)
+            SELECT digit, n_obs,
+                   CAST((n_obs * 1000000) // n_total AS BIGINT) AS obs_ppm,
+                   CAST(CASE digit
+                        WHEN 1 THEN 301029 WHEN 2 THEN 176091
+                        WHEN 3 THEN 124938 WHEN 4 THEN 96910
+                        WHEN 5 THEN 79181 WHEN 6 THEN 66946
+                        WHEN 7 THEN 57991 WHEN 8 THEN 51152
+                        WHEN 9 THEN 45757 END AS BIGINT) AS expected_ppm,
+                   CAST((n_obs * 1000000) // n_total
+                        - CASE digit
+                          WHEN 1 THEN 301029 WHEN 2 THEN 176091
+                          WHEN 3 THEN 124938 WHEN 4 THEN 96910
+                          WHEN 5 THEN 79181 WHEN 6 THEN 66946
+                          WHEN 7 THEN 57991 WHEN 8 THEN 51152
+                          WHEN 9 THEN 45757 END AS BIGINT) AS dev_ppm
+            FROM counts, tot
         """,
         "emd_drift": """
             WITH per AS (

@@ -182,6 +182,7 @@ HEADLINE = (
     "l_diversity",
     "t_closeness",
     "emd_drift",
+    "benford",
 )
 
 

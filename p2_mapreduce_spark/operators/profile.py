@@ -1219,3 +1219,54 @@ def emd_drift(
             ).alias("emd"),
         )
     )
+
+
+#: Benford expected leading-digit shares in exact ppm — algorithm
+#: constants (log10(1 + 1/d), precomputed so no engine evaluates a
+#: transcendental at query time), summing to 1,000,000 - 1 by flooring.
+BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910,
+    5: 79181, 6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def benford_audit(
+    orders: DataFrame, value_col: str = "o_totalprice"
+) -> DataFrame:
+    """Benford's-law leading-digit audit — the classic fabricated-data
+    detector for naturally spanning magnitudes (prices, populations,
+    ledger amounts): first digits should follow log10(1 + 1/d), and
+    uniform or hand-typed data fails loudly.
+
+    Engine-portable digit extraction: values go to exact integer cents
+    FIRST (a double's string form is engine-formatting territory; an
+    integer's is canonical everywhere), then leading digit = the
+    integer's first decimal digit via one string index.  Expected
+    shares are precomputed ppm constants (no transcendental evaluated
+    at query time).  One digit-grain aggregate; deviation in exact ppm
+    arithmetic (observed ppm by integral div).
+
+    Output per digit: (digit, n_obs, obs_ppm, expected_ppm, dev_ppm).
+    """
+    cents = F.floor(F.col(value_col) * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        orders.where(F.col(value_col) > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    total = counts.agg(F.sum("n_obs").alias("n_total"))
+    expected = F.create_map(
+        *[F.lit(x) for kv in BENFORD_PPM.items() for x in kv]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "obs_ppm",
+            F.expr("CAST((n_obs * 1000000) div n_total AS BIGINT)"),
+        )
+        .withColumn("expected_ppm", expected[F.col("digit")].cast("bigint"))
+        .withColumn("dev_ppm", F.col("obs_ppm") - F.col("expected_ppm"))
+        .select("digit", "n_obs", "obs_ppm", "expected_ppm", "dev_ppm")
+    )

@@ -80,7 +80,7 @@ class TestDoctorPassesGoodPlans:
 #: that review, and any query newly entering or leaving it must be
 #: re-reviewed (the assert below fails either way).
 FUNNEL_REVIEWED = {
-    "ab_conversion", "bitmap_count", "bm25_search", "bounce_rate",
+    "ab_conversion", "benford", "bitmap_count", "bm25_search", "bounce_rate",
     "chi2_drift", "compaction_plan", "conversion_lag", "cumulative_revenue",
     "dict_encode", "disjunctive_pricing", "distinctive_tokens",
     "doclen_histogram", "dq_orders",

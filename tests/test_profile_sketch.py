@@ -353,3 +353,22 @@ def test_emd_drift_matches_local_wasserstein(spark):
     assert abs(got["a"].emd - emd_ref(a_vals, b_vals)) < 1e-12
     # symmetric by definition
     assert abs(got["a"].emd - got["b"].emd) < 1e-12
+
+
+def test_benford_audit_on_planted_geometric_data(spark):
+    """A geometric series (perfectly Benford) lands near the expected
+    ppm; the ppm table itself matches log10(1+1/d)."""
+    import math
+
+    from p2_mapreduce_spark.operators.profile import BENFORD_PPM, benford_audit
+
+    for d, ppm in BENFORD_PPM.items():
+        assert ppm == int(math.log10(1 + 1 / d) * 1_000_000)
+    # 10^(k/1000) for k=0..2999 spans 3 decades uniformly in log space
+    rows = [(i, 10 ** (i / 1000.0)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
+    got = {r.digit: r for r in benford_audit(df).collect()}
+    assert set(got) == set(range(1, 10))
+    for d, r in got.items():
+        assert abs(r.dev_ppm) < 5000  # within 0.5% absolute of Benford
+        assert r.obs_ppm == (r.n_obs * 1_000_000) // 3000
