@@ -77,3 +77,22 @@ def test_operators_tolerate_empty_inputs(spark):
         daily_new_returning(empty_events),
     ):
         assert df.count() == 0
+
+
+def test_drift_suite_partition_invariant(spark, sf_dir):
+    """The four drift statistics are pure functions of the data: any
+    repartitioning returns bit-identical results."""
+    from p2_mapreduce_spark.operators.profile import (
+        chi2_drift,
+        emd_drift,
+        ks_drift,
+        mwu_drift,
+    )
+    from p2_mapreduce_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    shuffled = docs.repartition(13)
+    for op in (ks_drift, mwu_drift, chi2_drift, emd_drift):
+        a = sorted(tuple(r) for r in op(docs).collect())
+        b = sorted(tuple(r) for r in op(shuffled).collect())
+        assert a == b, op.__name__
