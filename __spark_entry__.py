@@ -1055,6 +1055,14 @@ def _q_new_returning(spark, sf_dir):
     return daily_new_returning(load_table(spark, sf_dir, "events"))
 
 
+def _q_gini(spark, sf_dir):
+    """Revenue concentration (Gini) per order priority — exact rank
+    formula over integer cents."""
+    from p2_mapreduce_spark.operators.profile import gini_concentration
+
+    return gini_concentration(load_table(spark, sf_dir, "orders"))
+
+
 def _q_benford(spark, sf_dir):
     """Leading-digit audit vs precomputed Benford ppm constants; digit
     extraction through exact integer cents (engine-canonical strings)."""
@@ -2132,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": _q_t_closeness,
         "emd_drift": _q_emd_drift,
         "benford": _q_benford,
+        "gini": _q_gini,
         "chi2_drift": _q_chi2_drift,
         "k_anonymity": _q_k_anonymity,
         "activity_islands": _q_activity_islands,
@@ -5109,6 +5118,31 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 2
             ORDER BY df DESC, sh.shingle
             LIMIT 50
+        """,
+        "gini": """
+            WITH ranked AS (
+                SELECT o_orderpriority,
+                       CAST(floor(o_totalprice * 100) AS BIGINT) AS c,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT),
+                                    o_orderkey) AS i
+                FROM orders
+            ),
+            agg AS (
+                SELECT o_orderpriority,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(c AS DECIMAL(38,0))) AS sx,
+                       SUM(CAST(i AS DECIMAL(38,0))
+                           * CAST(c AS DECIMAL(38,0))) AS six
+                FROM ranked GROUP BY 1
+            )
+            SELECT o_orderpriority, n,
+                   CAST(sx AS BIGINT) AS total_cents,
+                   (CAST(2.0 AS DOUBLE) * CAST(six AS DOUBLE)
+                    - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
+            FROM agg
         """,
         "benford": """
             WITH counts AS (

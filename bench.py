@@ -183,6 +183,7 @@ HEADLINE = (
     "t_closeness",
     "emd_drift",
     "benford",
+    "gini",
 )
 
 

@@ -1270,3 +1270,51 @@ def benford_audit(
         .withColumn("dev_ppm", F.col("obs_ppm") - F.col("expected_ppm"))
         .select("digit", "n_obs", "obs_ppm", "expected_ppm", "dev_ppm")
     )
+
+
+def gini_concentration(
+    orders: DataFrame,
+    group_col: str = "o_orderpriority",
+    value_col: str = "o_totalprice",
+    key_col: str = "o_orderkey",
+) -> DataFrame:
+    """Gini coefficient of value concentration per group — "is revenue
+    spread across orders or carried by whales?", the inequality readout
+    behind skew-aware capacity planning and abuse detection.
+
+    Exact rank formula: G = (2·Σ i·x(i) − (n+1)·Σx) / (n·Σx) over the
+    group's values sorted ascending.  Ranks come from ONE window per
+    group (parallel across groups; within-group sort is the definition's
+    honest cost — same stance as quality_calibration), values are exact
+    integer cents, and both Σ run in DECIMAL(38,0) (i·x reaches n·max —
+    past BIGINT at 100 TB).  One final division; ties broken by key so
+    ranks are total (any total order gives the same G when values tie —
+    the tie-break only pins determinism, not the statistic).
+
+    Output: (group, n, total_cents, gini).
+    """
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    w = Window.partitionBy(group_col).orderBy("c", key_col)
+    ranked = (
+        orders.select(F.col(group_col), F.col(key_col), cents.alias("c"))
+        .withColumn("i", F.row_number().over(w))
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(F.col("c"))).alias("sx"),
+        F.sum(dec(F.col("i")) * dec(F.col("c"))).alias("six"),
+    )
+    gini = (
+        (
+            F.lit(2.0) * F.col("six").cast("double")
+            - (F.col("n") + 1).cast("double") * F.col("sx").cast("double")
+        )
+        / (F.col("n").cast("double") * F.col("sx").cast("double"))
+    )
+    return agg.select(
+        group_col,
+        "n",
+        F.col("sx").cast("bigint").alias("total_cents"),
+        gini.alias("gini"),
+    )

@@ -372,3 +372,29 @@ def test_benford_audit_on_planted_geometric_data(spark):
     for d, r in got.items():
         assert abs(r.dev_ppm) < 5000  # within 0.5% absolute of Benford
         assert r.obs_ppm == (r.n_obs * 1_000_000) // 3000
+
+
+def test_gini_known_distributions(spark):
+    from p2_mapreduce_spark.operators.profile import gini_concentration
+
+    rows = []
+    # group "eq": perfectly equal -> G = 0
+    for i in range(10):
+        rows.append((i, "eq", 100.0))
+    # group "skew": one whale among zeros-ish -> G near (n-1)/n
+    for i in range(10, 19):
+        rows.append((i, "skew", 0.01))
+    rows.append((19, "skew", 10000.0))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    got = {r.o_orderpriority: r for r in gini_concentration(df).collect()}
+    assert abs(got["eq"].gini) < 1e-12
+    assert got["skew"].gini > 0.85
+    # hand formula check on the skew group
+    cs = sorted([1] * 9 + [1000000])
+    n = 10
+    six = sum((i + 1) * c for i, c in enumerate(cs))
+    sx = sum(cs)
+    expect = (2.0 * six - (n + 1) * sx) / (n * sx)
+    assert abs(got["skew"].gini - expect) < 1e-12
