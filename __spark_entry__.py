@@ -5239,12 +5239,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c_nationkey,
                    CAST(n_c AS BIGINT) AS class_size,
-                   CAST(SUM(ABS(cum_c * n_all - cum_g * n_c)) AS DOUBLE)
-                       / (CAST(n_c AS DOUBLE) * n_all * (n_cats - 1))
-                       AS emd,
-                   CAST(SUM(ABS(cum_c * n_all - cum_g * n_c)) AS DOUBLE)
-                       / (CAST(n_c AS DOUBLE) * n_all * (n_cats - 1))
-                       <= 0.35 AS t_close
+                   CASE WHEN n_cats = 1 THEN CAST(0 AS DOUBLE)
+                        ELSE CAST(SUM(ABS(cum_c * n_all - cum_g * n_c))
+                                  AS DOUBLE)
+                             / (CAST(n_c AS DOUBLE) * n_all * (n_cats - 1))
+                   END AS emd,
+                   CASE WHEN n_cats = 1 THEN CAST(0 AS DOUBLE)
+                        ELSE CAST(SUM(ABS(cum_c * n_all - cum_g * n_c))
+                                  AS DOUBLE)
+                             / (CAST(n_c AS DOUBLE) * n_all * (n_cats - 1))
+                   END <= 0.35 AS t_close
             FROM walked
             JOIN n_class USING (c_nationkey), grand, m
             GROUP BY c_nationkey, n_c, n_all, n_cats
@@ -5437,8 +5441,11 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN per o ON o.g = gs.g AND o.v = a.v
             ),
             terms AS (
+                -- HUGEINT product: the n²-scale term must not depend on
+                -- BIGINT headroom (mirrors the Spark DECIMAL(38,0) cast)
                 SELECT g,
-                       c_g * (2 * COALESCE(SUM(c_r) OVER (
+                       CAST(c_g AS HUGEINT)
+                       * (2 * COALESCE(SUM(c_r) OVER (
                            PARTITION BY g ORDER BY v
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND 1 PRECEDING), 0) + c_r) AS t
@@ -5531,7 +5538,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_g AS BIGINT) AS n_group,
                    CAST(n_all - n_g AS BIGINT) AS n_rest,
                    CAST(MAX(ABS(cum_g * (n_all - n_g) - cum_r * n_g))
-                        AS DOUBLE) / (n_g * (n_all - n_g)) AS ks_stat
+                        AS DOUBLE)
+                       / (CAST(n_g AS DOUBLE)
+                          * CAST(n_all - n_g AS DOUBLE)) AS ks_stat
             FROM cum JOIN totals USING (g), grand
             GROUP BY g, n_g, n_all
         """,
@@ -5651,9 +5660,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "grep_mapreduce": """
-            SELECT doc_id, CAST(1 AS BIGINT) AS n_lines
-            FROM documents
-            WHERE regexp_matches(text, '\\bdata join\\b')
+            -- count matching LINES per document, mirroring make_grep_map's
+            -- one-record-per-matching-line emission (a doc with k matching
+            -- lines must score k, not 1).  chr(13) is folded into the line
+            -- separator so CRLF text splits like Python's splitlines().
+            WITH lines AS (
+                SELECT doc_id,
+                       unnest(string_split(
+                           replace(text, chr(13), chr(10)), chr(10))) AS line
+                FROM documents
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lines
+            WHERE regexp_matches(line, '\\bdata join\\b')
+            GROUP BY doc_id
         """,
         "bitmap_count": """
             SELECT CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)

@@ -216,17 +216,23 @@ def main() -> None:
         materialize(queries[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+        }
     )
+    print(line)
+    # Also persist to a file: the driver captures only the tail of stdout,
+    # and with 150+ per-query timings the JSON line can overflow that
+    # capture (BENCH_r02.json recorded "parsed": null for exactly this
+    # reason).  bench_out.json is the canonical copy.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    with open(out_path, "w") as fh:
+        fh.write(line + "\n")
     spark.stop()
 
 

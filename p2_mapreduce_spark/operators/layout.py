@@ -213,9 +213,10 @@ def bitmap_count(
     bitmap B, and A AND B; bit-exact equal to the direct conditional
     counts (the oracle).
     """
-    rid = F.col(rid_col).cast("long")
     base = orders.select(
-        (rid / 64).cast("long").alias("word"),
+        # integral quotient, not double '/': float division loses exactness
+        # for record ids above 2^53, which the 100 TB framing requires
+        F.expr(f"CAST({rid_col} AS BIGINT) div 64").alias("word"),
         # shiftleft's bit count must be a column here; the SQL form takes one
         F.expr(f"shiftleft(1L, CAST(pmod({rid_col}, 64) AS INT))").alias("bit"),
         F.col(col_a), F.col(col_b),
@@ -230,8 +231,14 @@ def bitmap_count(
 
     ba = bitmap(F.col(col_a) == val_a)
     bb = bitmap(F.col(col_b) == val_b)
-    pop_a = ba.agg(F.sum(F.bit_count("bits")).cast("bigint").alias("n_a"))
-    pop_b = bb.agg(F.sum(F.bit_count("bits")).cast("bigint").alias("n_b"))
+    pop_a = ba.agg(
+        F.coalesce(F.sum(F.bit_count("bits")), F.lit(0))
+        .cast("bigint").alias("n_a")
+    )
+    pop_b = bb.agg(
+        F.coalesce(F.sum(F.bit_count("bits")), F.lit(0))
+        .cast("bigint").alias("n_b")
+    )
     both = (
         ba.alias("x")
         .join(bb.alias("y"), "word")

@@ -828,7 +828,14 @@ def ks_drift(
         .withColumn("n_r", F.col("n_all") - F.col("n_g"))
         .withColumn(
             "diff_num",
-            F.abs(F.col("cum_g") * F.col("n_r") - F.col("cum_r") * F.col("n_g")),
+            # cum·n products are n²-scale: BIGINT wraps silently past
+            # ~3e9 rows in non-ANSI mode, so the cross products run in
+            # DECIMAL(38,0) (the emd_drift device; DuckDB's SUM already
+            # yields HUGEINT, so the oracle is exact without help)
+            F.abs(
+                F.col("cum_g").cast("decimal(38,0)") * F.col("n_r")
+                - F.col("cum_r").cast("decimal(38,0)") * F.col("n_g")
+            ),
         )
         .groupBy("g", "n_g", "n_r")
         .agg(F.max("diff_num").alias("max_num"))
@@ -836,7 +843,10 @@ def ks_drift(
             F.col("g").alias(group_col),
             F.col("n_g").cast("bigint").alias("n_group"),
             F.col("n_r").cast("bigint").alias("n_rest"),
-            (F.col("max_num") / (F.col("n_g") * F.col("n_r"))).alias("ks_stat"),
+            (
+                F.col("max_num").cast("double")
+                / (F.col("n_g").cast("double") * F.col("n_r"))
+            ).alias("ks_stat"),
         )
     )
     return stats
@@ -884,8 +894,12 @@ def mwu_drift(
     )
     u2_terms = joined.select(
         "g",
+        # the c_g·(2·cum_below + c_r) product is n²-scale: run it (and
+        # its sum) in DECIMAL(38,0) so BIGINT can't wrap silently past
+        # ~3e9 rows (non-ANSI mode); DuckDB's SUM is HUGEINT already.
+        # The inner 2·cum+c term is ≤ 2n and stays BIGINT-safe.
         (
-            F.col("c_g")
+            F.col("c_g").cast("decimal(38,0)")
             * (
                 F.lit(2) * F.coalesce(F.sum("c_r").over(w_below), F.lit(0))
                 + F.col("c_r")
@@ -894,16 +908,19 @@ def mwu_drift(
     )
     return (
         u2_terms.groupBy("g")
-        .agg(F.sum("t").cast("bigint").alias("u2"))
+        .agg(F.sum("t").alias("u2d"))
         .join(totals, "g")
         .crossJoin(F.broadcast(grand))
         .select(
             F.col("g").alias(group_col),
             F.col("n_g").cast("bigint").alias("n_group"),
             (F.col("n_all") - F.col("n_g")).cast("bigint").alias("n_rest"),
-            "u2",
+            # surfaced u2 stays BIGINT per the output contract; past the
+            # BIGINT range the cast yields NULL — a visible failure, not
+            # a silent wraparound (the decimal-grade auc stays correct)
+            F.col("u2d").cast("bigint").alias("u2"),
             (
-                F.col("u2")
+                F.col("u2d").cast("double")
                 / (F.lit(2.0) * F.col("n_g") * (F.col("n_all") - F.col("n_g")))
             ).alias("auc"),
         )
@@ -1106,8 +1123,12 @@ def t_closeness_audit(
     classes = cells.select(*quasi_cols).distinct()
     glob = cells.groupBy("cat").agg(F.sum("c").alias("c_all"))
     n_class = cells.groupBy(*quasi_cols).agg(F.sum("c").alias("n_c"))
+    # n_cats rides along as a broadcast one-row aggregate, NOT a driver
+    # .count(): an eager count fires a Spark job every time the query is
+    # merely PLANNED (e.g. the plan-audit sweep), and bakes a stale
+    # constant into the plan besides
     grand = cells.agg(F.sum("c").alias("n_all"))
-    n_cats = glob.count()  # config-sized: the sensitive domain
+    cats_ct = glob.agg(F.count(F.lit(1)).alias("n_cats"))
     full = (
         classes.crossJoin(glob)
         .join(cells, [*quasi_cols, "cat"], "left")
@@ -1131,15 +1152,26 @@ def t_closeness_audit(
     emd_num = (
         walked.join(n_class, list(quasi_cols))
         .crossJoin(F.broadcast(grand))
-        .groupBy(*quasi_cols, "n_c", "n_all")
+        .crossJoin(F.broadcast(cats_ct))
+        .groupBy(*quasi_cols, "n_c", "n_all", "n_cats")
         .agg(
             F.sum(
-                F.abs(F.col("cum_c") * F.col("n_all") - F.col("cum_g") * F.col("n_c"))
+                # cum·n cross products are n²-scale — DECIMAL(38,0) so
+                # BIGINT can't wrap silently past ~3e9 rows (the
+                # emd_drift device; DuckDB sums in HUGEINT already)
+                F.abs(
+                    F.col("cum_c").cast("decimal(38,0)") * F.col("n_all")
+                    - F.col("cum_g").cast("decimal(38,0)") * F.col("n_c")
+                )
             ).alias("num")
         )
     )
-    emd = F.col("num") / (
-        F.col("n_c").cast("double") * F.col("n_all") * F.lit(n_cats - 1)
+    # a single-category sensitive domain means every class trivially
+    # matches the global distribution: EMD is 0 by definition, and the
+    # (n_cats-1) normalizer would otherwise divide by zero
+    emd = F.when(F.col("n_cats") == 1, F.lit(0.0)).otherwise(
+        F.col("num").cast("double")
+        / (F.col("n_c").cast("double") * F.col("n_all") * (F.col("n_cats") - 1))
     )
     return emd_num.select(
         *quasi_cols,

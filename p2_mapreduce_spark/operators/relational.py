@@ -530,13 +530,35 @@ def unpivot_pricing(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def edit_distance_pairs(nation: DataFrame, max_dist: int = 8) -> DataFrame:
+#: Hard ceiling for `edit_distance_pairs`' quadratic self-join.  1e5 rows
+#: means ~5e9 candidate pairs — already the outer edge of sane for an
+#: exact all-pairs pass; anything larger must go through blocking.
+EDIT_DISTANCE_MAX_ROWS = 100_000
+
+
+def edit_distance_pairs(
+    nation: DataFrame, max_dist: int = 8, max_rows: int = EDIT_DISTANCE_MAX_ROWS
+) -> DataFrame:
     """Fuzzy string matching: Levenshtein distance between every pair of
     nation names under a cap.  The classic entity-resolution primitive;
     `levenshtein` is a JVM built-in (classic DP — integer-exact, so
     oracle-comparable).  The self-join is quadratic by design: apply it
-    only to dimension-sized or pre-blocked inputs (pair with the dedup
-    module's LSH blocking for document-scale fuzzy matching)."""
+    only to dimension-sized or pre-blocked inputs (pair with
+    `operators.dedup.blocked_linkage` for document-scale fuzzy matching).
+
+    The dimension-sized contract is ENFORCED, not just documented: a
+    cheap count() guard fails fast above `max_rows` (default 1e5 —
+    ~5e9 pairs) so the operator cannot be pointed at a fact table by
+    accident.  The count is one columnless scan of the input — noise
+    next to the quadratic join it gates."""
+    n = nation.count()
+    if n > max_rows:
+        raise ValueError(
+            f"edit_distance_pairs is an exact quadratic self-join and the "
+            f"input has {n} rows (> max_rows={max_rows}, ~{n * n // 2:.0e} "
+            f"candidate pairs). Use operators.dedup.blocked_linkage for "
+            f"document-scale fuzzy matching, or raise max_rows explicitly."
+        )
     a = nation.select(F.col("n_name").alias("name_a"))
     b = nation.select(F.col("n_name").alias("name_b"))
     return (
