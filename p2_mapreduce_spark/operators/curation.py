@@ -706,27 +706,51 @@ def dict_encode(
     feature engineering, done the way a columnar engine does dictionary
     compression.
 
-    The dictionary is ONE count aggregate at value grain plus a rank
-    window over the (vocabulary-bounded) value table; rows encode via a
-    broadcast join — the fact table never shuffles.  Mirrors
-    text_analysis.vocab_topk's build but keeps every value (a feature
-    encoder must be total).
+    The dictionary is ONE count aggregate at value grain; the frequency
+    rank is the TWO-PHASE distributed rank (the pack_sequences device),
+    NOT a bare ``Window.orderBy`` — an unpartitioned rank window would
+    funnel the whole distinct-value table through one task, which is
+    fine for a 5-value status column and a scale-killer the moment
+    someone encodes a 1e9-distinct token column:
+
+    1. range-repartition the vocab by (count desc, value) — range
+       partitions are assigned to ascending partition ids, so pid order
+       == rank order;
+    2. within-partition ``row_number`` (parallel, partitioned by pid);
+    3. per-partition counts — a #partitions-row table — prefix-summed
+       under a config-grain window and broadcast back as offsets.
+
+    The encode join carries NO broadcast hint: AQE's runtime-measured
+    size gate turns it into a broadcast join when the vocabulary is
+    small (the common case, verified in the plan pin) and falls back to
+    a shuffle join when someone really does encode a giant-vocabulary
+    column — the size gate the old unconditional ``F.broadcast`` lacked.
 
     Reference seed: none (extension).
     """
     from pyspark.sql import Window
 
     vocab = df.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
-    # vocabulary grain: the single-partition rank window is bounded by
-    # the number of DISTINCT values, never rows
-    vocab = vocab.withColumn(
-        "code",
-        F.row_number().over(Window.orderBy(F.col("n").desc(), F.col(col)))
-        - 1,
-    ).select(col, F.col("code").cast("bigint").alias("code"))
-    return df.select(id_col, col).join(F.broadcast(vocab), col).select(
-        id_col, col, "code"
+    vocab = vocab.repartitionByRange(
+        F.col("n").desc(), F.col(col).asc()
+    ).withColumn("pid", F.spark_partition_id())
+    w_in = Window.partitionBy("pid").orderBy(F.col("n").desc(), F.col(col).asc())
+    vocab = vocab.withColumn("rn", F.row_number().over(w_in))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        vocab.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+        .select("pid", "off")
     )
+    codes = (
+        vocab.join(F.broadcast(offsets), "pid")
+        .select(
+            col,
+            (F.col("off") + F.col("rn") - 1).cast("bigint").alias("code"),
+        )
+    )
+    return df.select(id_col, col).join(codes, col).select(id_col, col, "code")
 
 
 def sample_k_per_group(
@@ -870,22 +894,59 @@ def quality_calibration(docs: DataFrame) -> DataFrame:
     doc's percent-rank WITHIN its source, so "keep the top 40% of each
     source" becomes a single portable predicate.
 
-    One scan computes the scores (zero-shuffle codegen ratios), one
-    window per source assigns ranks — partitioned by source, so the
-    work parallelizes across sources and the per-partition sort is
-    bounded by source size (salt a mega-source into sub-shards if one
-    source IS the corpus).  percent_rank = (rank-1)/(n-1) — exact ints,
-    one IEEE division, tie-broken by doc_id for a total order.
+    One scan computes the scores (zero-shuffle codegen ratios).  The
+    per-source rank is the TWO-PHASE distributed rank (the
+    pack_sequences device) rather than a ``Window.partitionBy(source)``
+    — real corpora have ~10 sources of wildly different size, so the
+    biggest source IS the corpus and a per-source window is a
+    single-task sort at data grain.  Instead:
+
+    1. range-repartition by (source, quality, doc_id): a mega-source
+       spreads across MANY range partitions, each pid's span of a
+       source is contiguous in rank order;
+    2. within-partition ``row_number`` per (pid, source) — parallel,
+       bounded by partition size, never source size;
+    3. per-(pid, source) counts — #partitions × #sources rows —
+       prefix-summed per source under a source-partitioned pid-ordered
+       window (per-source state is #partitions-grain, i.e. config-
+       bounded) and broadcast back, together with per-source totals.
+
+    percent_rank = (rank-1)/(n_src-1) — exact ints, one IEEE division,
+    tie-broken by doc_id for a total order (doc_id unique ⇒ rank ==
+    row_number, so the result is bit-identical to percent_rank()).
+    A single-doc source gets 0.0, matching SQL percent_rank.
     """
     from p2_mapreduce_spark.operators.text_analysis import quality_score
 
     scored = quality_score(docs).select("doc_id", "quality")
     src = docs.select("doc_id", "source")
-    w = Window.partitionBy("source").orderBy("quality", "doc_id")
-    return (
+    t = (
         scored.join(src, "doc_id")
-        .withColumn("pct_in_source", F.percent_rank().over(w))
-        .select("doc_id", "source", "quality", "pct_in_source")
+        .repartitionByRange(
+            F.col("source"), F.col("quality"), F.col("doc_id")
+        )
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_in = Window.partitionBy("pid", "source").orderBy("quality", "doc_id")
+    t = t.withColumn("rn", F.row_number().over(w_in))
+    per = t.groupBy("pid", "source").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("pid", "source", "off")
+    totals = per.groupBy("source").agg(F.sum("cnt").alias("n_src"))
+    pct = F.when(F.col("n_src") == 1, F.lit(0.0)).otherwise(
+        (F.col("off") + F.col("rn") - 1).cast("double")
+        / (F.col("n_src") - 1).cast("double")
+    )
+    return (
+        t.join(F.broadcast(offsets), ["pid", "source"])
+        .join(F.broadcast(totals), "source")
+        .select("doc_id", "source", "quality", pct.alias("pct_in_source"))
     )
 
 

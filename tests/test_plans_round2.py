@@ -151,9 +151,33 @@ def test_knn_multiprobe_broadcasts_probe_set(spark, sf_dir):
     assert r["n_sortmerge_joins"] == 0, "corpus must never shuffle for probes"
 
 
-def test_quality_calibration_single_fact_shuffle(spark, sf_dir):
+def test_quality_calibration_two_phase_rank(spark, sf_dir):
     r = _report(spark, sf_dir, "quality_calibration")
     assert not r["has_python_worker"]
-    # one join of two zero-shuffle scans + one window partitioning:
-    # nothing here justifies more than 3 exchanges
-    assert r["n_exchanges"] <= 3
+    # the per-source rank must be the two-phase device: the fact-grain
+    # window runs per (pid, source) — NO window in the plan may sort a
+    # whole source in one task (sources are wildly skewed; the biggest
+    # source IS the corpus).  Every fact-grain windowspec must lead
+    # with pid; the source-only offset window runs on the config-grain
+    # (pid × source) count table, whose input is an aggregate.
+    rank_specs = [
+        s
+        for s in r["plan"].split("row_number() windowspecdefinition(")[1:]
+    ]
+    assert rank_specs and all(s.startswith("pid#") for s in rank_specs), (
+        "fact-grain rank window must be pid-led", r["plan"]
+    )
+    # the only source-partitioned window is the offset prefix-sum over
+    # the (pid × source) COUNT table — its spec orders by pid, never by
+    # the data-grain (quality, doc_id) key
+    src_specs = [
+        s
+        for s in r["plan"].split("windowspecdefinition(source#")[1:]
+    ]
+    assert all("pid#" in s[: s.index("specifiedwindowframe")] for s in src_specs), (
+        "source-led window must be the config-grain pid offset table", r["plan"]
+    )
+    # offsets + totals come back broadcast — the fact table never
+    # sort-merge-joins
+    assert r["n_sortmerge_joins"] == 0
+    assert r["n_broadcast_joins"] >= 2

@@ -60,6 +60,60 @@ def test_t_closeness_lazy_and_single_category(spark):
     assert rows[2]["emd"] == 0.0
 
 
+def _with_shuffle_partitions(spark, n):
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return cm()
+
+
+def test_dict_encode_two_phase_matches_driver_rank(spark):
+    """The two-phase distributed rank must reproduce the old global-window
+    codes (frequency desc, value asc) under ANY shuffle-partition count
+    (VERDICT r02 item 1)."""
+    from p2_mapreduce_spark.operators.curation import dict_encode
+
+    vals = ["a"] * 7 + ["b"] * 7 + ["c"] * 3 + ["d"] * 5 + ["e"] * 1
+    df = spark.createDataFrame(list(enumerate(vals)), "id long, v string")
+    expected = {"a": 0, "b": 1, "d": 2, "c": 3, "e": 4}
+    for nparts in (1, 3, 13):
+        with _with_shuffle_partitions(spark, nparts):
+            codes = {r["v"]: r["code"] for r in dict_encode(df, "v", "id").collect()}
+        assert codes == expected, nparts
+
+
+def test_quality_calibration_partition_invariant(spark, sf_dir):
+    """Two-phase per-source rank must be invariant to the range-partition
+    count and equal the percent_rank definition (VERDICT r02 item 2)."""
+    from p2_mapreduce_spark.operators.curation import quality_calibration
+    from p2_mapreduce_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    with _with_shuffle_partitions(spark, 3):
+        a = sorted(map(tuple, quality_calibration(docs).collect()))
+    with _with_shuffle_partitions(spark, 17):
+        b = sorted(map(tuple, quality_calibration(docs).collect()))
+    assert a == b
+    # spot-check the percent_rank definition per source
+    by_src = {}
+    for doc_id, source, quality, pct in a:
+        by_src.setdefault(source, []).append((quality, doc_id, pct))
+    for source, rows in by_src.items():
+        rows.sort(key=lambda r: (r[0], r[1]))
+        n = len(rows)
+        for i, (_, _, pct) in enumerate(rows):
+            want = 0.0 if n == 1 else i / (n - 1)
+            assert pct == want, (source, i)
+
+
 def test_bitmap_count_zero_match_predicate(spark):
     """Predicates matching zero rows must report 0, not NULL (ADVICE r02)."""
     from p2_mapreduce_spark.operators.layout import bitmap_count
