@@ -1178,6 +1178,15 @@ def _q_rolling_median(spark, sf_dir):
     return rolling_median(load_table(spark, sf_dir, "events"))
 
 
+def _q_rolling_median_sketch(spark, sf_dir):
+    """Trailing-7-day median from mergeable daily hist_state sketches —
+    state-grain window work (buckets × days, independent of event
+    volume); the exact median rides along as the honesty column."""
+    from p2_mapreduce_spark.operators.timeseries import rolling_median_sketch
+
+    return rolling_median_sketch(load_table(spark, sf_dir, "events"))
+
+
 def _q_gap_interpolate(spark, sf_dir):
     """Linear interpolation over the dense hourly grid (ordinal-indexed
     anchors; leading NULL / trailing hold semantics)."""
@@ -2128,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rarity_score": _q_rarity_score,
         "gap_interpolate": _q_gap_interpolate,
         "rolling_median": _q_rolling_median,
+        "rolling_median_sketch": _q_rolling_median_sketch,
         "negative_pairs": _q_negative_pairs,
         "length_batches": _q_length_batches,
         "ks_drift": _q_ks_drift,
@@ -5571,6 +5581,8 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS batch_id
             FROM toks
         """,
+        # explicit shared interpolation tree (built-in percentile vs
+        # quantile_cont differ by an ulp — the daily_envelope hazard)
         "rolling_median": """
             WITH daily AS (
                 SELECT CAST(ts AS DATE) AS ad, value FROM events
@@ -5580,14 +5592,92 @@ def oracle_sql() -> dict[str, str]:
                     (SELECT min(CAST(ts AS DATE)) FROM events),
                     (SELECT max(CAST(ts AS DATE)) FROM events),
                     INTERVAL 1 DAY)) AS d
+            ),
+            g AS (
+                SELECT strftime(CAST(d AS DATE), '%Y-%m-%d') AS day,
+                       list_sort(list(value)) AS vs,
+                       CAST(COUNT(*) AS BIGINT) AS n_events
+                FROM daily JOIN cal
+                  ON ad <= CAST(d AS DATE)
+                 AND ad > CAST(d AS DATE) - INTERVAL 7 DAY
+                GROUP BY d
             )
-            SELECT strftime(CAST(d AS DATE), '%Y-%m-%d') AS day,
-                   quantile_cont(value, 0.5) AS median_value,
-                   CAST(COUNT(*) AS BIGINT) AS n_events
-            FROM daily JOIN cal
-              ON ad <= CAST(d AS DATE)
-             AND ad > CAST(d AS DATE) - INTERVAL 7 DAY
-            GROUP BY d
+            SELECT day,
+                   CASE WHEN CAST(floor((n_events-1) * CAST(0.5 AS DOUBLE)) AS INT) + 2 > n_events
+                        THEN vs[CAST(floor((n_events-1) * CAST(0.5 AS DOUBLE)) AS INT) + 1]
+                        ELSE vs[CAST(floor((n_events-1) * CAST(0.5 AS DOUBLE)) AS INT) + 1]
+                             + (vs[CAST(floor((n_events-1) * CAST(0.5 AS DOUBLE)) AS INT) + 2]
+                                - vs[CAST(floor((n_events-1) * CAST(0.5 AS DOUBLE)) AS INT) + 1])
+                             * ((n_events-1) * CAST(0.5 AS DOUBLE)
+                                - CAST(floor((n_events-1) * CAST(0.5 AS DOUBLE)) AS INT))
+                   END AS median_value,
+                   n_events
+            FROM g
+        """,
+        "rolling_median_sketch": """
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS ad, value FROM events
+            ),
+            state AS (
+                SELECT ad,
+                       least(499, greatest(0,
+                           (CAST(floor(value * 100) AS BIGINT) - 0)
+                           * 500 // 50000)) AS bucket,
+                       COUNT(*) AS cnt
+                FROM daily GROUP BY 1, 2
+            ),
+            cal AS (
+                SELECT unnest(generate_series(
+                    (SELECT min(CAST(ts AS DATE)) FROM events),
+                    (SELECT max(CAST(ts AS DATE)) FROM events),
+                    INTERVAL 1 DAY)) AS d
+            ),
+            merged AS (
+                SELECT d, bucket, SUM(cnt) AS cnt
+                FROM state JOIN cal
+                  ON ad <= CAST(d AS DATE)
+                 AND ad > CAST(d AS DATE) - INTERVAL 7 DAY
+                GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT d, bucket,
+                       SUM(cnt) OVER (PARTITION BY d ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum,
+                       SUM(cnt) OVER (PARTITION BY d) AS total
+                FROM merged
+            ),
+            est AS (
+                SELECT strftime(CAST(d AS DATE), '%Y-%m-%d') AS day,
+                       CAST(MAX(total) AS BIGINT) AS n_events,
+                       MIN(CASE WHEN cum * 2 >= total
+                                THEN (bucket + 1) * 100 + 0 END)
+                           / CAST(100.0 AS DOUBLE) AS median_est
+                FROM cum GROUP BY d
+            ),
+            g AS (
+                SELECT strftime(CAST(d AS DATE), '%Y-%m-%d') AS day,
+                       list_sort(list(value)) AS vs,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM daily JOIN cal
+                  ON ad <= CAST(d AS DATE)
+                 AND ad > CAST(d AS DATE) - INTERVAL 7 DAY
+                GROUP BY d
+            ),
+            exact AS (
+                SELECT day,
+                       CASE WHEN CAST(floor((n-1) * CAST(0.5 AS DOUBLE)) AS INT) + 2 > n
+                            THEN vs[CAST(floor((n-1) * CAST(0.5 AS DOUBLE)) AS INT) + 1]
+                            ELSE vs[CAST(floor((n-1) * CAST(0.5 AS DOUBLE)) AS INT) + 1]
+                                 + (vs[CAST(floor((n-1) * CAST(0.5 AS DOUBLE)) AS INT) + 2]
+                                    - vs[CAST(floor((n-1) * CAST(0.5 AS DOUBLE)) AS INT) + 1])
+                                 * ((n-1) * CAST(0.5 AS DOUBLE)
+                                    - CAST(floor((n-1) * CAST(0.5 AS DOUBLE)) AS INT))
+                       END AS median_exact
+                FROM g
+            )
+            SELECT est.day AS day, n_events, median_est, median_exact
+            FROM est JOIN exact ON est.day = exact.day
         """,
         "gap_interpolate": """
             WITH hourly AS (

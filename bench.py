@@ -170,6 +170,7 @@ HEADLINE = (
     "media_headers",
     "gap_interpolate",
     "rolling_median",
+    "rolling_median_sketch",
     "negative_pairs",
     "length_batches",
     "ks_drift",

@@ -642,12 +642,42 @@ def rolling_median(events: DataFrame, days: int = 7) -> DataFrame:
     events cluster; at 100 TB swap the exact percentile for the
     hist_state sketch with identical plan shape.
 
-    ``median`` is Spark's exact interpolating percentile(0.5), which is
-    the oracle engine's ``quantile_cont`` — the protocol
-    equidepth_histogram already pins.
+    Determinism: the built-in ``percentile`` and the oracle engine's
+    ``quantile_cont`` agree on the math but differ by an ulp in the
+    IEEE interpolation tree (the daily_envelope hazard), so the median
+    is the EXPLICIT shared formula over the window's sorted value
+    array: ``a[i] + (a[i+1]-a[i])·frac`` with ``pos=(n-1)/2`` — both
+    engines compile the same expression, bit-identical.
     """
     daily = events.select(F.to_date("ts").alias("ad"), "value")
-    cal = (
+    cal = _calendar(events)
+    joined = daily.join(
+        F.broadcast(cal),
+        (F.col("ad") <= F.col("d"))
+        & (F.col("ad") > F.date_sub(F.col("d"), days)),
+    )
+    grouped = joined.groupBy("d").agg(
+        F.sort_array(F.collect_list("value")).alias("vs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    pos = (F.col("n_events") - 1).cast("double") * F.lit(0.5)
+    i = F.floor(pos).cast("int")
+    lo = F.element_at("vs", i + 1)
+    hi = F.element_at("vs", i + 2)
+    median = F.when(i + 2 > F.col("n_events"), lo).otherwise(
+        lo + (hi - lo) * (pos - i.cast("double"))
+    )
+    return grouped.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        median.alias("median_value"),
+        "n_events",
+    )
+
+
+def _calendar(events: DataFrame) -> DataFrame:
+    """One row per calendar day spanned by the events — #days rows,
+    always broadcast-sized."""
+    return (
         events.agg(
             F.min(F.to_date("ts")).alias("lo"),
             F.max(F.to_date("ts")).alias("hi"),
@@ -656,19 +686,87 @@ def rolling_median(events: DataFrame, days: int = 7) -> DataFrame:
             F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
         )
     )
-    joined = daily.join(
-        F.broadcast(cal),
-        (F.col("ad") <= F.col("d"))
-        & (F.col("ad") > F.date_sub(F.col("d"), days)),
+
+
+def rolling_median_sketch(
+    events: DataFrame,
+    days: int = 7,
+    lo_c: int = 0,
+    hi_c: int = 50_000,
+    n_buckets: int = 500,
+) -> DataFrame:
+    """Trailing-N-day median per day from MERGEABLE daily histogram
+    states — the 100 TB face of :func:`rolling_median` (VERDICT r02
+    item 3), mirroring wau_hll's sketch-plus-honesty-column pattern.
+
+    The exact construction replicates every event into each of the ≤N
+    windows it touches (events × N shuffle volume).  This one collapses
+    each day to a :func:`~p2_mapreduce_spark.operators.profile.hist_state`
+    (≤ ``n_buckets`` rows/day, regardless of event volume), range-joins
+    the STATES to the calendar (#days × N × buckets rows — config
+    grain), merges by SUM, and inverts the CDF exactly as
+    ``hist_quantiles`` does: all-BIGINT threshold test, bucket upper
+    boundary divided by 100.0 once — bit-exact cross-engine, within one
+    bucket width ($1 at the defaults) above the inverted-CDF median
+    (the smallest v with 2·#(≤v) ≥ n; pytest-pinned).
+
+    ``median_exact`` rides along at fixture scale as the honesty column
+    (the daily_envelope shared-interpolation formula); a production
+    pipeline drops it and keeps only the state-grain plan.
+
+    Output: (day, n_events, median_est, median_exact).
+    """
+    from p2_mapreduce_spark.operators.profile import hist_state
+
+    width_c = (hi_c - lo_c) // n_buckets
+    daily = events.select(F.to_date("ts").alias("ad"), "value")
+    state = hist_state(daily, "value", ["ad"], lo_c, hi_c, n_buckets)
+    cal = _calendar(events)
+    in_window = (F.col("ad") <= F.col("d")) & (
+        F.col("ad") > F.date_sub(F.col("d"), days)
+    )
+    merged = (
+        state.join(F.broadcast(cal), in_window)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("d")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("d")
+    cum = merged.select(
+        "d",
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_tot).alias("total"),
+    )
+    est = (
+        cum.groupBy("d")
+        .agg(
+            F.max("total").cast("bigint").alias("n_events"),
+            (
+                F.min(
+                    F.when(
+                        F.col("cum") * 2 >= F.col("total"),
+                        (F.col("bucket") + 1) * width_c + lo_c,
+                    )
+                )
+                / 100.0
+            ).alias("median_est"),
+        )
+    )
+    exact = rolling_median(events, days=days).select(
+        "day", F.col("median_value").alias("median_exact")
     )
     return (
-        joined.groupBy("d")
-        .agg(
-            F.expr("percentile(value, 0.5)").alias("median_value"),
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        est.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "median_est",
         )
-        .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
-                "median_value", "n_events")
+        .join(exact, "day")
     )
 
 

@@ -91,7 +91,8 @@ FUNNEL_REVIEWED = {
     "mwu_drift", "new_returning",
     "pack_sequences", "pmi_bigrams", "profile_orders", "promo_revenue",
     "quality_budget", "rarity_score", "revenue_forecast", "revenue_share",
-    "rolling_active_users", "rolling_median", "skyline_parts", "t_closeness",
+    "rolling_active_users", "rolling_median", "rolling_median_sketch",
+    "skyline_parts", "t_closeness",
     "small_qty_revenue", "tfidf_top_terms", "top_supplier",
     "trailing_revenue", "triangle_census", "triangle_doulion", "wau_hll",
 }
