@@ -1265,20 +1265,30 @@ def _q_media_decode(spark, sf_dir):
 
 
 def _q_media_resize(spark, sf_dir):
-    """The resized payload surfaces as its hex encoding (injective, so
-    an equally strong determinism check as re-hashing it) because the
-    fake re-encode kernel derives the payload through the hex-string
-    domain the oracle engine can compute (its sha256 is VARCHAR-only)."""
-    from pyspark.sql import functions as F
-
-    from p2_mapreduce_spark.operators.multimodal import attach_binary, resize_media
+    """REAL pixel kernel end to end: JVM-built uncompressed 24-bpp BMP
+    payloads → real BMP decode → integer box-filter downscale → real BMP
+    re-encode → real re-decode for the checked channel sums.  The oracle
+    recomputes every box average in closed form (the pixel formula is
+    linear in x, y), so a row flip, BGR swap, padding slip, or off-by-one
+    block boundary breaks the hash (VERDICT r02 item 4)."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_bmp,
+        pixel_sums,
+        resize_media,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    out = resize_media(attach_binary(docs), max_side=32)
-    return out.select(
-        "media_id", "modality", "width", "height",
-        F.lower(F.hex("payload")).alias("payload_hex"),
-    )
+    resized = resize_media(attach_bmp(docs), max_side=8, decoder="pixels")
+    return pixel_sums(resized)
+
+
+def _q_media_pixels(spark, sf_dir):
+    """Real BMP decode of JVM-built payloads: per-image channel sums
+    recomputed by the oracle's closed form over the pixel formula."""
+    from p2_mapreduce_spark.operators.multimodal import attach_bmp, pixel_sums
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pixel_sums(attach_bmp(docs))
 
 
 def _q_media_headers(spark, sf_dir):
@@ -2158,6 +2168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_np": _q_knn_np,
         "media_decode": _q_media_decode,
         "media_resize": _q_media_resize,
+        "media_pixels": _q_media_pixels,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -3049,32 +3060,76 @@ def oracle_sql() -> dict[str, str]:
                        AS frame_idx
             FROM v
         """,
+        # closed-form box-filter recompute: pixel value = base + 5x + 4y
+        # + 7·ch is LINEAR in (x, y), so every block average is exact
+        # integer arithmetic — no byte parsing needed oracle-side
         "media_resize": """
-            WITH d AS (
-                SELECT doc_id AS media_id, sha256(COALESCE(text, '')) AS hx
+            WITH dims AS (
+                SELECT doc_id AS media_id,
+                       4 + doc_id % 9 AS w,
+                       4 + (doc_id * 3) % 9 AS h,
+                       (doc_id % 16) * 3 AS base
                 FROM documents
             ),
-            dims AS (
-                SELECT media_id, hx,
-                       16 + CAST('0x' || substr(hx, 1, 2) AS INT) % 64 AS w,
-                       16 + CAST('0x' || substr(hx, 3, 2) AS INT) % 64 AS h
-                FROM d
-            ),
-            scaled AS (
-                SELECT media_id, hx,
-                       CASE WHEN greatest(w, h) > 32
-                            THEN greatest(1, w * 32 // greatest(w, h)) ELSE w END AS nw,
-                       CASE WHEN greatest(w, h) > 32
-                            THEN greatest(1, h * 32 // greatest(w, h)) ELSE h END AS nh
+            tgt AS (
+                SELECT media_id, w, h, base,
+                       CASE WHEN greatest(w, h) <= 8 THEN w
+                            ELSE greatest(1, w * 8 // greatest(w, h)) END AS nw,
+                       CASE WHEN greatest(w, h) <= 8 THEN h
+                            ELSE greatest(1, h * 8 // greatest(w, h)) END AS nh
                 FROM dims
+            ),
+            ox AS (
+                SELECT media_id, w, h, base, nw, nh, unnest(range(nw)) AS x
+                FROM tgt
+            ),
+            oxy AS (
+                SELECT *, unnest(range(nh)) AS y FROM ox
+            ),
+            blocks AS (
+                SELECT media_id, nw, nh, base,
+                       (x + 1) * w // nw - x * w // nw AS bx,
+                       (y + 1) * h // nh - y * h // nh AS by,
+                       x * w // nw AS x0, (x + 1) * w // nw AS x1,
+                       y * h // nh AS y0, (y + 1) * h // nh AS y1
+                FROM oxy
+            ),
+            avgs AS (
+                SELECT media_id, nw, nh,
+                       bx * by AS cnt,
+                       bx * by * base
+                       + 5 * by * ((x1 * (x1 - 1) - x0 * (x0 - 1)) // 2)
+                       + 4 * bx * ((y1 * (y1 - 1) - y0 * (y0 - 1)) // 2) AS sb
+                FROM blocks
             )
             SELECT media_id,
-                   'image' AS modality,
-                   CAST(nw AS INT) AS width,
-                   CAST(nh AS INT) AS height,
-                   sha256(hx || CAST(nw AS VARCHAR) || 'x' || CAST(nh AS VARCHAR))
-                       AS payload_hex
-            FROM scaled
+                   CAST(MAX(nw) AS INT) AS width,
+                   CAST(MAX(nh) AS INT) AS height,
+                   CAST(SUM(sb // cnt) AS BIGINT) AS sum_b,
+                   CAST(SUM((sb + 7 * cnt) // cnt) AS BIGINT) AS sum_g,
+                   CAST(SUM((sb + 14 * cnt) // cnt) AS BIGINT) AS sum_r
+            FROM avgs GROUP BY media_id
+        """,
+        "media_pixels": """
+            WITH dims AS (
+                SELECT doc_id AS media_id,
+                       4 + doc_id % 9 AS w,
+                       4 + (doc_id * 3) % 9 AS h,
+                       (doc_id % 16) * 3 AS base
+                FROM documents
+            )
+            SELECT media_id,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(w * h * base + 5 * h * (w * (w - 1) // 2)
+                        + 4 * w * (h * (h - 1) // 2) AS BIGINT) AS sum_b,
+                   CAST(w * h * base + 5 * h * (w * (w - 1) // 2)
+                        + 4 * w * (h * (h - 1) // 2)
+                        + 7 * w * h AS BIGINT) AS sum_g,
+                   CAST(w * h * base + 5 * h * (w * (w - 1) // 2)
+                        + 4 * w * (h * (h - 1) // 2)
+                        + 14 * w * h AS BIGINT) AS sum_r
+            FROM dims
         """,
         "text_stats": f"""
             SELECT lang,

@@ -168,6 +168,8 @@ HEADLINE = (
     "grep_mapreduce",
     "rarity_score",
     "media_headers",
+    "media_pixels",
+    "media_resize",
     "gap_interpolate",
     "rolling_median",
     "rolling_median_sketch",

@@ -307,6 +307,10 @@ PYTHON_ALLOWED = {
     # plumbing as media_decode — the payload-touching stage is Python
     # by design
     "media_headers",
+    # real uncompressed-BMP pixel codec (decode + box resize + re-encode)
+    # over the same Arrow-batched mapInPandas plumbing — genuine pixel
+    # work is Python by design in this container
+    "media_pixels",
 }
 
 

@@ -148,6 +148,65 @@ def test_rolling_median_sketch_within_one_bucket(spark, sf_dir):
         )
 
 
+class TestBmpPixelCodec:
+    """The real pixel codec (VERDICT r02 item 4): encode → decode is the
+    identity, the JVM-built payload parses to the formula pixels, box
+    resize matches a straight-line reference, corrupt bytes quarantine."""
+
+    def test_encode_decode_roundtrip(self):
+        from p2_mapreduce_spark.operators.multimodal import _encode_bmp, _parse_bmp
+
+        grid = [
+            [(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+            [(10, 11, 12), (13, 14, 15), (16, 17, 18)],
+        ]
+        w, h, back = _parse_bmp(_encode_bmp(grid))
+        assert (w, h) == (3, 2)
+        assert back == grid
+
+    def test_jvm_payload_matches_formula(self, spark):
+        from p2_mapreduce_spark.operators.multimodal import attach_bmp, _parse_bmp
+
+        docs = spark.createDataFrame([(i, "x") for i in range(40)], ["doc_id", "text"])
+        for r in attach_bmp(docs).collect():
+            mid = r["media_id"]
+            w, h, grid = _parse_bmp(bytes(r["payload"]))
+            assert (w, h) == (4 + mid % 9, 4 + (mid * 3) % 9)
+            base = (mid % 16) * 3
+            for y in range(h):
+                for x in range(w):
+                    expect = base + 5 * x + 4 * y
+                    assert grid[y][x] == (expect, expect + 7, expect + 14), (mid, x, y)
+
+    def test_box_resize_reference(self):
+        from p2_mapreduce_spark.operators.multimodal import _box_resize
+
+        # 4x2 -> cap 2 gives 2x1; each output pixel averages a 2x2 block
+        grid = [
+            [(0, 0, 0), (10, 10, 10), (20, 20, 20), (30, 30, 30)],
+            [(2, 2, 2), (12, 12, 12), (22, 22, 22), (32, 32, 32)],
+        ]
+        out, nw, nh = _box_resize(grid, 4, 2, 2)
+        assert (nw, nh) == (2, 1)
+        assert out == [[(6, 6, 6), (26, 26, 26)]]
+        # under the cap: pass-through
+        same, nw2, nh2 = _box_resize(grid, 4, 2, 8)
+        assert (nw2, nh2) == (4, 2) and same == grid
+
+    def test_corrupt_payload_quarantines(self, spark):
+        from p2_mapreduce_spark.operators.multimodal import pixel_sums, resize_media
+
+        bad = spark.createDataFrame(
+            [(1, "image", bytearray(b"not a bmp")), (2, "image", None)],
+            "media_id long, modality string, payload binary",
+        )
+        rows = {r["media_id"]: r for r in pixel_sums(bad).collect()}
+        assert rows[1]["width"] == 0 and rows[1]["sum_r"] == 0
+        assert rows[2]["width"] == 0
+        resized = {r["media_id"]: r for r in resize_media(bad, decoder="pixels").collect()}
+        assert resized[1]["width"] == 0  # passed through, stage alive
+
+
 def test_bitmap_count_zero_match_predicate(spark):
     """Predicates matching zero rows must report 0, not NULL (ADVICE r02)."""
     from p2_mapreduce_spark.operators.layout import bitmap_count
