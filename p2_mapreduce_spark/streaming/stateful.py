@@ -24,6 +24,7 @@ from typing import Any, Iterable, Iterator, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 OUTPUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
@@ -163,6 +164,79 @@ def running_totals_stream(events_stream: DataFrame) -> DataFrame:
         stateStructType=RUNNING_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _protobuf_available() -> bool:
+    import importlib.util
+
+    try:
+        # find_spec on a dotted name imports the parent package, which
+        # itself raises when 'google' is absent entirely
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Spark 4 ``transformWithStateInPandas`` port of
+    :func:`running_totals_stream`'s kernel — typed ValueState handle,
+    same exact-cents accumulator, same update-mode changelog contract.
+    Kept current so the migration off ``applyInPandasWithState`` is a
+    one-line swap the moment the container ships ``protobuf`` (VERDICT
+    r02 item 9; the gap is pinned by a skip-marked test)."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("totals", RUNNING_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        got = self._state.get()
+        n, cents, mx = got if got is not None else (0, 0, float("-inf"))
+        for pdf in rows:
+            n += int(len(pdf))
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            mx = max(mx, float(pdf["value"].max()))
+        self._state.update((n, cents, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "sum_value": [cents / 100.0],
+                "max_value": [mx],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals_stream_tws(events_stream: DataFrame) -> DataFrame:
+    """:func:`running_totals_stream` on the Spark 4 successor API
+    (``transformWithStateInPandas`` — typed state handles, timers, TTL).
+
+    The PySpark side of that API starts a state-server protocol inside
+    each Python worker that imports ``google.protobuf``; without the
+    package the query dies at start with
+    ``STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE`` wrapping
+    ``ModuleNotFoundError: No module named 'google'``.  This wrapper
+    fails FAST on the driver with the same diagnosis instead of a
+    mid-query stack, and the skip-marked test in
+    tests/test_streaming.py keeps the migration cliff visible."""
+    if not _protobuf_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs the 'protobuf' package inside "
+            "the Python workers (query start fails with "
+            "STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE / "
+            "ModuleNotFoundError: No module named 'google'). It is not "
+            "installed in this container; use running_totals_stream "
+            "(applyInPandasWithState) — identical semantics."
+        )
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotalsProcessor(),
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )
 
 

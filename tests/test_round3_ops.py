@@ -207,6 +207,44 @@ class TestBmpPixelCodec:
         assert resized[1]["width"] == 0  # passed through, stage alive
 
 
+def test_iterative_ops_reliable_checkpoint(spark, tmp_path):
+    """With checkpoint_dir set, the iterative ops must use RELIABLE
+    checkpoints (files land in the dir — what survives executor loss on
+    a real cluster) and produce identical results to the local path
+    (VERDICT r02 item 8)."""
+    import os
+
+    from p2_mapreduce_spark.operators.graph import (
+        bfs_hops,
+        connected_components,
+        connected_components_star,
+        k_core,
+        pagerank,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 7), (8, 9), (9, 10), (10, 8)],
+        ["doc_a", "doc_b"],
+    )
+    edges_uv = pairs.selectExpr("doc_a AS u", "doc_b AS v")
+    edges_sd = pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+    cases = [
+        lambda d: connected_components(pairs, checkpoint_dir=d),
+        lambda d: connected_components_star(pairs, checkpoint_dir=d),
+        lambda d: pagerank(edges_sd, iterations=2, checkpoint_dir=d),
+        lambda d: bfs_hops(edges_uv, source=1, checkpoint_dir=d),
+        lambda d: k_core(edges_uv, k=2, checkpoint_dir=d),
+    ]
+    for i, run in enumerate(cases):
+        ckdir = str(tmp_path / f"ck{i}")
+        local = sorted(map(tuple, run(None).collect()))
+        reliable = sorted(map(tuple, run(ckdir).collect()))
+        assert local == reliable, i
+        # reliable checkpoints must actually have been written
+        n_files = sum(len(fs) for _, _, fs in os.walk(ckdir))
+        assert n_files > 0, f"case {i}: no checkpoint files in {ckdir}"
+
+
 def test_bitmap_count_zero_match_predicate(spark):
     """Predicates matching zero rows must report 0, not NULL (ADVICE r02)."""
     from p2_mapreduce_spark.operators.layout import bitmap_count
