@@ -106,6 +106,12 @@ def test_every_query_plan_audited_against_reviewed_funnels(spark, sf_dir):
     fails."""
     import __spark_entry__ as entry_mod
 
+    # audit the STATIC plans: with AQE allowed to re-partition cached
+    # plans (session.py), a persisted intermediate that some earlier
+    # test happened to materialize reports its AQE-final (coalesced)
+    # partitioning instead of the static SinglePartition — the audit
+    # must not depend on which tests ran before it
+    spark.catalog.clearCache()
     qs = entry_mod.queries()
     got = {}
     for name, fn in sorted(qs.items()):
