@@ -1291,6 +1291,48 @@ def _q_media_pixels(spark, sf_dir):
     return pixel_sums(attach_bmp(docs))
 
 
+def _q_weighted_median(spark, sf_dir):
+    """Weighted quantile via the two-phase distributed rank: smallest
+    value whose cumulative integer weight reaches half the group total
+    (inverted weighted CDF — exact, no interpolation)."""
+    from p2_mapreduce_spark.operators.profile import weighted_median
+
+    return weighted_median(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_kmv_distinct(spark, sf_dir):
+    """K-minimum-values distinct sketch per group: exact order
+    statistics of the md5-60 hash, (k-1)·2^60/h_k estimate, exact count
+    riding along as the honesty column."""
+    from p2_mapreduce_spark.operators.profile import kmv_distinct
+
+    return kmv_distinct(load_table(spark, sf_dir, "orders"))
+
+
+def _q_cramers_v(spark, sf_dir):
+    """Full r×c contingency χ² + Cramér's V between two categorical
+    columns — exact BIGINT cells, micro-quantized IEEE terms."""
+    from p2_mapreduce_spark.operators.profile import cramers_v
+
+    return cramers_v(load_table(spark, sf_dir, "orders"))
+
+
+def _q_mad_outliers(spark, sf_dir):
+    """Robust outlier counts per event type: integer-cents inverted-CDF
+    median and MAD, exact cross-multiplied 3·1.4826·MAD test."""
+    from p2_mapreduce_spark.operators.timeseries import mad_outliers
+
+    return mad_outliers(load_table(spark, sf_dir, "events"))
+
+
+def _q_token_diversity(spark, sf_dir):
+    """Gini-Simpson lexical diversity + type-token ratio per source —
+    exact rational (n² − Σc²)/n² with DECIMAL sums."""
+    from p2_mapreduce_spark.operators.text_analysis import token_diversity
+
+    return token_diversity(load_table(spark, sf_dir, "documents"))
+
+
 def _q_media_headers(spark, sf_dir):
     """REAL codec path through the driver gate: JVM-built valid PNG
     prologues decoded by the dependency-free IHDR parser — the oracle
@@ -2169,6 +2211,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _q_media_decode,
         "media_resize": _q_media_resize,
         "media_pixels": _q_media_pixels,
+        "weighted_median": _q_weighted_median,
+        "kmv_distinct": _q_kmv_distinct,
+        "cramers_v": _q_cramers_v,
+        "mad_outliers": _q_mad_outliers,
+        "token_diversity": _q_token_diversity,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -3109,6 +3156,179 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM((sb + 7 * cnt) // cnt) AS BIGINT) AS sum_g,
                    CAST(SUM((sb + 14 * cnt) // cnt) AS BIGINT) AS sum_r
             FROM avgs GROUP BY media_id
+        """,
+        "weighted_median": """
+            WITH t AS (
+                SELECT l_returnflag AS g, l_extendedprice AS v,
+                       greatest(CAST(floor(l_quantity) AS BIGINT), 1) AS wt
+                FROM lineitem
+            ),
+            cum AS (
+                SELECT g, v,
+                       SUM(wt) OVER (PARTITION BY g ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cw,
+                       SUM(wt) OVER (PARTITION BY g) AS tot
+                FROM t
+            )
+            SELECT g AS l_returnflag,
+                   CAST(tot AS BIGINT) AS total_w,
+                   MIN(v) AS median_v
+            FROM cum WHERE cw * 2 >= tot GROUP BY g, tot
+        """,
+        "kmv_distinct": """
+            WITH h AS (
+                SELECT DISTINCT o_orderpriority AS g,
+                       CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                           18, 15) AS BIGINT) AS h
+                FROM orders
+            ),
+            ranked AS (
+                SELECT g, h,
+                       row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+                FROM h
+            ),
+            sk AS (
+                SELECT g, CAST(COUNT(*) AS BIGINT) AS n_in_sketch,
+                       MAX(h) AS kth_hash
+                FROM ranked WHERE rn <= 64 GROUP BY g
+            ),
+            ex AS (
+                SELECT o_orderpriority AS g,
+                       CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+                           AS exact_distinct
+                FROM orders GROUP BY 1
+            )
+            SELECT g AS o_orderpriority, n_in_sketch, kth_hash,
+                   CASE WHEN n_in_sketch < 64
+                        THEN CAST(n_in_sketch AS DOUBLE)
+                        ELSE CAST(63 AS DOUBLE)
+                             * CAST(1152921504606846976 AS DOUBLE)
+                             / CAST(kth_hash AS DOUBLE)
+                   END AS est_distinct,
+                   exact_distinct
+            FROM sk JOIN ex USING (g)
+        """,
+        "cramers_v": """
+            WITH cells AS (
+                SELECT o_orderpriority AS a, o_orderstatus AS b,
+                       COUNT(*) AS o
+                FROM orders GROUP BY 1, 2
+            ),
+            ra AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY 1),
+            cb AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY 1),
+            grand AS (
+                SELECT SUM(o) AS n, COUNT(DISTINCT a) AS n_a,
+                       COUNT(DISTINCT b) AS n_b
+                FROM cells
+            ),
+            full_t AS (
+                SELECT ra.a, cb.b, ra.ra, cb.cb,
+                       COALESCE(c.o, 0) AS o, n, n_a, n_b
+                FROM ra CROSS JOIN cb
+                LEFT JOIN cells c ON c.a = ra.a AND c.b = cb.b, grand
+            ),
+            terms AS (
+                SELECT n, n_a, n_b,
+                       CAST(floor(
+                           (o - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                           * (o - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                           / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+                              / CAST(n AS DOUBLE))
+                           * CAST(1000000 AS DOUBLE)) AS BIGINT) AS micro
+                FROM full_t
+            ),
+            agg AS (
+                SELECT n, n_a, n_b,
+                       CAST(SUM(micro) AS BIGINT) AS chi2_micro
+                FROM terms GROUP BY n, n_a, n_b
+            )
+            SELECT CAST(n AS BIGINT) AS n_rows,
+                   CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   chi2_micro,
+                   CAST(chi2_micro AS DOUBLE)
+                       / CAST(1000000 AS DOUBLE) AS chi2,
+                   CASE WHEN least(n_a - 1, n_b - 1) = 0
+                        THEN CAST(0 AS DOUBLE)
+                        ELSE sqrt(
+                            (CAST(chi2_micro AS DOUBLE)
+                             / CAST(1000000 AS DOUBLE))
+                            / CAST(n * least(n_a - 1, n_b - 1) AS DOUBLE))
+                   END AS v
+            FROM agg
+        """,
+        "mad_outliers": """
+            WITH per AS (
+                SELECT event_type AS g,
+                       CAST(floor(value * 100) AS BIGINT) AS c,
+                       COUNT(*) AS cnt
+                FROM events GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT g, c, cnt,
+                       SUM(cnt) OVER (PARTITION BY g ORDER BY c
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cm,
+                       SUM(cnt) OVER (PARTITION BY g) AS tot
+                FROM per
+            ),
+            med AS (
+                SELECT g, tot, MIN(c) AS med_c
+                FROM cum WHERE cm * 2 >= tot GROUP BY g, tot
+            ),
+            dev AS (
+                SELECT per.g, abs(c - med_c) AS d, SUM(cnt) AS cnt
+                FROM per JOIN med USING (g) GROUP BY 1, 2
+            ),
+            cumd AS (
+                SELECT g, d, cnt,
+                       SUM(cnt) OVER (PARTITION BY g ORDER BY d
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cm,
+                       SUM(cnt) OVER (PARTITION BY g) AS tot
+                FROM dev
+            ),
+            mad AS (
+                SELECT g, MIN(d) AS mad_c
+                FROM cumd WHERE cm * 2 >= tot GROUP BY g
+            )
+            SELECT per.g AS event_type,
+                   CAST(med.tot AS BIGINT) AS n_events,
+                   CAST(med_c AS DOUBLE) / CAST(100 AS DOUBLE) AS median_v,
+                   CAST(mad_c AS DOUBLE) / CAST(100 AS DOUBLE) AS mad_v,
+                   CAST(SUM(CASE WHEN abs(c - med_c) * 10000 > mad_c * 44478
+                                 THEN cnt ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM per
+            JOIN med USING (g)
+            JOIN mad USING (g)
+            GROUP BY per.g, med.tot, med_c, mad_c
+        """,
+        "token_diversity": f"""
+            WITH toks AS (
+                SELECT source AS g,
+                       lower(unnest(regexp_split_to_array(text, '{_TOK}')))
+                           AS w
+                FROM documents
+            ),
+            per AS (
+                SELECT g, w, COUNT(*) AS c
+                FROM toks WHERE w <> '' GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT g, SUM(c) AS n, COUNT(*) AS n_types,
+                       SUM(CAST(c AS HUGEINT) * c) AS s2
+                FROM per GROUP BY 1
+            )
+            SELECT g AS source,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   CAST(n_types AS BIGINT) AS n_types,
+                   CAST(n * n - s2 AS DOUBLE)
+                       / CAST(n * n AS DOUBLE) AS simpson,
+                   CAST(n_types AS DOUBLE) / CAST(n AS DOUBLE) AS ttr
+            FROM agg
         """,
         "media_pixels": """
             WITH dims AS (

@@ -187,6 +187,11 @@ HEADLINE = (
     "emd_drift",
     "benford",
     "gini",
+    "weighted_median",
+    "kmv_distinct",
+    "cramers_v",
+    "mad_outliers",
+    "token_diversity",
 )
 
 

@@ -1350,3 +1350,208 @@ def gini_concentration(
         F.col("sx").cast("bigint").alias("total_cents"),
         gini.alias("gini"),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str = "l_returnflag",
+    value_col: str = "l_extendedprice",
+    weight_col: str = "l_quantity",
+) -> DataFrame:
+    """Per-group WEIGHTED median — the weighted-quantile operator Spark
+    has no built-in for: the smallest value v whose cumulative weight
+    reaches half the group's total (inverted weighted CDF, the
+    unambiguous no-interpolation convention — every boundary test is
+    exact BIGINT, nothing to drift cross-engine).
+
+    The cumulative walk is NOT a per-group window at value grain (the
+    biggest group is the table — the quality_calibration lesson); it is
+    the TWO-PHASE distributed rank device: range-repartition by
+    (group, value), per-(pid, group) partial weight sums, a
+    config-grain (pid × group) offset table broadcast back, then ONE
+    aggregate picks min(v | off + local_cum reaches half) per group.
+
+    Weights quantize to exact integer units (floor, min 1 so no row
+    vanishes) before any sum.  Output: (group, total_w, median_v).
+    """
+    w_int = F.greatest(F.floor(F.col(weight_col)).cast("bigint"), F.lit(1))
+    t = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).alias("v"),
+            w_int.alias("wt"),
+        )
+        .repartitionByRange(F.col("g"), F.col("v"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_in = (
+        Window.partitionBy("pid", "g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = t.withColumn("local_cum", F.sum("wt").over(w_in))
+    per = t.groupBy("pid", "g").agg(F.sum("wt").alias("wsum"))
+    w_off = (
+        Window.partitionBy("g")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per.withColumn(
+        "off", F.coalesce(F.sum("wsum").over(w_off), F.lit(0))
+    ).select("pid", "g", "off")
+    totals = per.groupBy("g").agg(F.sum("wsum").alias("total_w"))
+    return (
+        t.join(F.broadcast(offsets), ["pid", "g"])
+        .join(F.broadcast(totals), "g")
+        .where((F.col("off") + F.col("local_cum")) * 2 >= F.col("total_w"))
+        .groupBy("g", "total_w")
+        .agg(F.min("v").alias("median_v"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("total_w").cast("bigint").alias("total_w"),
+            "median_v",
+        )
+    )
+
+
+#: KMV hash domain: md5-60 (60 bits from the hex digest) — the same
+#: deterministic coin family every sketch in this repo uses, so the
+#: estimate itself is value-hash oracle-checkable.
+KMV_SPACE = 1 << 60
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str = "o_orderpriority",
+    key_col: str = "o_custkey",
+    k: int = 64,
+) -> DataFrame:
+    """Mergeable K-MINIMUM-VALUES distinct sketch per group — the
+    order-statistics member of the sketch family next to HLL
+    (hll_distinct): keep the k smallest hash values of the keys; the
+    k-th smallest h_k estimates D ≈ (k-1)·2^60/h_k.  Unlike HLL the
+    state is exact ORDER STATISTICS of a deterministic hash, so the
+    estimate is bit-reproducible and two sketches union by re-taking
+    the k smallest — and set EXPRESSIONS (union/intersection via the
+    inclusion rule on the merged k-set) fall out for free.
+
+    Scale shape: the k smallest per group come from a TWO-PHASE top-k
+    (per-(group, partition) local k-sets via sort_array+slice — a
+    map-side combine — then one config-grain (#partitions × k rows per
+    group) final pass), never a per-group sort at data grain.  Groups
+    with fewer than k distinct keys return the exact count (the KMV
+    contract: a non-saturated sketch IS the distinct set).
+
+    ``exact_distinct`` rides along as the honesty column (the wau_hll
+    pattern).  Output: (group, n_in_sketch, kth_hash, est_distinct,
+    exact_distinct).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 18, 15), 16, 10
+    ).cast("long")
+    hashed = df.select(F.col(group_col).alias("g"), h.alias("h")).distinct()
+    local = (
+        hashed.withColumn("pid", F.spark_partition_id())
+        .groupBy("g", "pid")
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("hs"))
+        .select("g", F.explode("hs").alias("h"))
+    )
+    # final pass over ≤ k × #partitions rows per group (config grain)
+    w = Window.partitionBy("g").orderBy("h")
+    topk = (
+        local.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+    est = F.when(
+        F.col("n_in_sketch") < k,
+        F.col("n_in_sketch").cast("double"),
+    ).otherwise(
+        (F.lit(float(k - 1)) * F.lit(float(KMV_SPACE)))
+        / F.col("kth_hash").cast("double")
+    )
+    exact = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.countDistinct(key_col).alias("exact_distinct")
+    )
+    return (
+        topk.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_in_sketch"),
+            F.max("h").alias("kth_hash"),
+        )
+        .join(exact, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_in_sketch",
+            "kth_hash",
+            est.alias("est_distinct"),
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        )
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a: str = "o_orderpriority",
+    col_b: str = "o_orderstatus",
+) -> DataFrame:
+    """Association strength between two categorical columns: the full
+    r×c contingency χ² and Cramér's V = sqrt(χ² / (n·min(r-1, c-1))) —
+    the profiling question "are these two columns redundant?" answered
+    in one pass.
+
+    Exactness protocol is chi2_drift's: cells are exact BIGINTs (zero
+    cells included via the row-keys × col-keys cross join — both
+    config-grain category lists), each cell's (o−e)²/e term is one
+    pinned IEEE tree micro-quantized (floor) to a BIGINT, and the sum
+    is order-independent.  V applies one shared double tree + sqrt
+    (correctly rounded in both engines).  A single-category axis has
+    no measurable association: V = 0 by convention.
+
+    Output (one row): n_rows, n_a, n_b, chi2_micro, chi2, v.
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    ra = cells.groupBy("a").agg(F.sum("o").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("o").alias("cb"))
+    grand = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("a").alias("n_a"),
+        F.countDistinct("b").alias("n_b"),
+    )
+    full = (
+        ra.crossJoin(cb)
+        .join(cells, ["a", "b"], "left")
+        .select(
+            "a", "b", "ra", "cb", F.coalesce("o", F.lit(0)).alias("o")
+        )
+        .crossJoin(F.broadcast(grand))
+    )
+    # expected counts in an all-double tree (double(ra)·double(cb)/double(n),
+    # never a BIGINT product — the n²-overflow lesson), mirrored verbatim
+    # in the oracle SQL
+    e = (
+        F.col("ra").cast("double")
+        * F.col("cb").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    micro = F.floor(term * F.lit(1_000_000.0)).cast("bigint")
+    agg = full.groupBy("n", "n_a", "n_b").agg(
+        F.sum(micro).cast("bigint").alias("chi2_micro")
+    )
+    kmin = F.least(F.col("n_a") - 1, F.col("n_b") - 1)
+    v = F.when(kmin == 0, F.lit(0.0)).otherwise(
+        F.sqrt(
+            (F.col("chi2_micro") / F.lit(1_000_000.0))
+            / (F.col("n") * kmin).cast("double")
+        )
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "chi2_micro",
+        (F.col("chi2_micro") / 1_000_000.0).alias("chi2"),
+        v.alias("v"),
+    )

@@ -810,3 +810,95 @@ def daily_envelope(events: DataFrame) -> DataFrame:
         q(0.9).alias("p90"),
         "n_events",
     )
+
+
+def mad_outliers(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Robust per-group outlier detection via the Median Absolute
+    Deviation — the companion to :func:`value_outliers` for the
+    long-tailed metrics where mean/std are themselves dragged by the
+    outliers they're supposed to find (a single 100× spike inflates σ
+    until nothing is 3σ out; the median and MAD don't move).
+
+    All arithmetic runs at exact integer CENTS grain and the medians
+    are inverted-CDF order statistics (smallest value whose cumulative
+    count reaches half) — no interpolation, nothing to drift
+    cross-engine.  The outlier test |v − med| > 3·1.4826·MAD is the
+    exact-integer cross-multiplication ``10000·|c − med_c| >
+    44478·mad_c`` (3·1.4826 = 4.4478 exactly, in ten-thousandths).
+
+    Scale shape: everything beyond the first aggregate runs at
+    (group, distinct-cents) grain — the 2-decimal telemetry domain is
+    value-bounded (≤ ~50k cents values here) regardless of row count,
+    the same contract as ks_drift's value-grain windows.  A MAD of 0
+    (over half the mass at the median) flags every off-median value —
+    the standard degenerate-MAD convention, deterministic.
+
+    Output: (group, n_events, median_v, mad_v, n_outliers).
+    """
+    cents = F.floor(F.col(value_col) * 100).cast("bigint")
+    per = events.groupBy(
+        F.col(group_col).alias("g"), cents.alias("c")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("g")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("g")
+    cum = per.select(
+        "g",
+        "c",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_tot).alias("tot"),
+    )
+    med = (
+        cum.where(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("g", "tot")
+        .agg(F.min("c").alias("med_c"))
+    )
+    dev = (
+        per.join(med.select("g", "med_c"), "g")
+        .groupBy("g", F.abs(F.col("c") - F.col("med_c")).alias("d"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w_cum_d = (
+        Window.partitionBy("g")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_d = dev.select(
+        "g",
+        "d",
+        F.sum("cnt").over(w_cum_d).alias("cum"),
+        F.sum("cnt").over(w_tot).alias("tot"),
+    )
+    mad = (
+        cum_d.where(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("g")
+        .agg(F.min("d").alias("mad_c"))
+    )
+    flagged = (
+        per.join(med.select("g", "tot", "med_c"), "g")
+        .join(mad, "g")
+        .groupBy("g", "tot", "med_c", "mad_c")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("c") - F.col("med_c")) * 10_000
+                    > F.col("mad_c") * 44_478,
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers")
+        )
+    )
+    return flagged.select(
+        F.col("g").alias(group_col),
+        F.col("tot").cast("bigint").alias("n_events"),
+        (F.col("med_c") / 100.0).alias("median_v"),
+        (F.col("mad_c") / 100.0).alias("mad_v"),
+        F.col("n_outliers").cast("bigint").alias("n_outliers"),
+    )

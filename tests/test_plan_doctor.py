@@ -81,7 +81,8 @@ class TestDoctorPassesGoodPlans:
 #: re-reviewed (the assert below fails either way).
 FUNNEL_REVIEWED = {
     "ab_conversion", "benford", "bitmap_count", "bm25_search", "bounce_rate",
-    "chi2_drift", "compaction_plan", "conversion_lag", "cumulative_revenue",
+    "chi2_drift", "compaction_plan", "conversion_lag", "cramers_v",
+    "cumulative_revenue",
     "dict_encode", "disjunctive_pricing", "distinctive_tokens",
     "doclen_histogram", "dq_orders",
     "emd_drift", "equidepth_histogram", "fk_integrity", "fold_ci",

@@ -245,6 +245,102 @@ def test_iterative_ops_reliable_checkpoint(spark, tmp_path):
         assert n_files > 0, f"case {i}: no checkpoint files in {ckdir}"
 
 
+class TestRound3NewOps:
+    def test_weighted_median_matches_brute_force(self, spark):
+        from p2_mapreduce_spark.operators.profile import weighted_median
+
+        rows = [("a", 10.0, 1.0), ("a", 20.0, 3.0), ("a", 30.0, 1.0),
+                ("b", 5.0, 9.0), ("b", 100.0, 1.0)]
+        df = spark.createDataFrame(rows, ["g", "v", "w"])
+        got = {
+            r["g"]: (r["total_w"], r["median_v"])
+            for r in weighted_median(df, "g", "v", "w").collect()
+        }
+        # a: weights 1,3,1 over 10,20,30 -> cum 1,4,5; half=2.5 -> 20
+        # b: weights 9,1 over 5,100 -> cum 9,10; half=5 -> 5
+        assert got == {"a": (5, 20.0), "b": (10, 5.0)}
+
+    def test_weighted_median_partition_invariant(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.profile import weighted_median
+        from p2_mapreduce_spark.session import load_table
+        li = load_table(spark, sf_dir, "lineitem")
+        outs = []
+        for n in (3, 17):
+            old = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", str(n))
+            try:
+                outs.append(sorted(map(tuple, weighted_median(li).collect())))
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", old)
+        assert outs[0] == outs[1]
+
+    def test_kmv_sketch_contract(self, spark):
+        """Non-saturated groups return the exact count; saturated groups'
+        estimate lands within the KMV error envelope; the k-th hash is
+        the true k-th order statistic."""
+        import hashlib
+
+        from p2_mapreduce_spark.operators.profile import kmv_distinct
+
+        rows = [("small", i % 10) for i in range(100)]
+        rows += [("big", i) for i in range(5000)]
+        df = spark.createDataFrame(rows, ["g", "key"])
+        got = {r["g"]: r for r in kmv_distinct(df, "g", "key", k=64).collect()}
+        assert got["small"]["n_in_sketch"] == 10
+        assert got["small"]["est_distinct"] == 10.0
+        assert got["small"]["exact_distinct"] == 10
+        big = got["big"]
+        assert big["n_in_sketch"] == 64 and big["exact_distinct"] == 5000
+        # KMV standard error ~ D/sqrt(k-2): allow 4 sigma
+        assert abs(big["est_distinct"] - 5000) < 4 * 5000 / (62 ** 0.5)
+        # k-th order statistic of the md5-60 hashes, recomputed directly
+        hs = sorted(
+            int(hashlib.md5(str(i).encode()).hexdigest()[17:32], 16)
+            for i in range(5000)
+        )
+        assert big["kth_hash"] == hs[63]
+
+    def test_mad_basic_and_degenerate(self, spark):
+        from p2_mapreduce_spark.operators.timeseries import mad_outliers
+
+        rows = (
+            # g1: values 1..7 plus a wild 100 -> med 4.5c? (cents: 100..700,
+            # 10000); inverted-CDF median of 8 values = 4th = 400 cents
+            [("g1", float(v)) for v in (1, 2, 3, 4, 5, 6, 7, 100)]
+            # g2: >half the mass at one value -> MAD 0, every other value
+            # flagged (the documented degenerate convention)
+            + [("g2", 5.0)] * 6
+            + [("g2", 7.0), ("g2", 9.0)]
+        )
+        df = spark.createDataFrame(rows, ["event_type", "value"])
+        got = {r["event_type"]: r for r in mad_outliers(df).collect()}
+        g1 = got["g1"]
+        assert g1["median_v"] == 4.0 and g1["n_events"] == 8
+        # MAD: devs |c-400|: 300,200,100,0,100,200,300,9600 -> sorted
+        # 0,100,100,200,200,300,300,9600; 8 values -> 4th = 200 cents
+        assert g1["mad_v"] == 2.0
+        # outlier iff |c-400|*10000 > 200*44478 = 8895600 -> dev > 889.56
+        # cents: only the 100.0 (dev 9600)
+        assert g1["n_outliers"] == 1
+        g2 = got["g2"]
+        assert g2["mad_v"] == 0.0 and g2["n_outliers"] == 2
+
+    def test_token_diversity_closed_form(self, spark):
+        from p2_mapreduce_spark.operators.text_analysis import token_diversity
+
+        df = spark.createDataFrame(
+            [(1, "s1", "a a b"), (2, "s1", "c"), (3, "s2", "x x x x")],
+            ["doc_id", "source", "text"],
+        )
+        got = {r["source"]: r for r in token_diversity(df).collect()}
+        # s1: counts a=2,b=1,c=1 over n=4 -> 1 - (4+1+1)/16 = 10/16
+        assert got["s1"]["n_tokens"] == 4 and got["s1"]["n_types"] == 3
+        assert got["s1"]["simpson"] == 10.0 / 16.0
+        assert got["s1"]["ttr"] == 3.0 / 4.0
+        # s2: single type -> simpson 0
+        assert got["s2"]["simpson"] == 0.0
+
+
 def test_bitmap_count_zero_match_predicate(spark):
     """Predicates matching zero rows must report 0, not NULL (ADVICE r02)."""
     from p2_mapreduce_spark.operators.layout import bitmap_count
