@@ -1325,6 +1325,25 @@ def _q_mad_outliers(spark, sf_dir):
     return mad_outliers(load_table(spark, sf_dir, "events"))
 
 
+def _q_part_ancestry(spark, sf_dir):
+    """Spark 4 WITH RECURSIVE transitive closure over the decimal-digit
+    part forest — one declarative query, Catalyst runs the loop (no
+    driver rounds/checkpoints); explosion-free because every node has
+    exactly one parent."""
+    from p2_mapreduce_spark.operators.graph import ancestry_closure
+
+    return ancestry_closure(load_table(spark, sf_dir, "part"))
+
+
+def _q_prorate_pool(spark, sf_dir):
+    """Hamilton largest-remainder proration: a fixed cent pool split
+    proportionally per order with Σ alloc exactly = pool — all-integer,
+    deterministic tie-break."""
+    from p2_mapreduce_spark.operators.analytics import prorate_pool
+
+    return prorate_pool(load_table(spark, sf_dir, "lineitem"))
+
+
 def _q_token_diversity(spark, sf_dir):
     """Gini-Simpson lexical diversity + type-token ratio per source —
     exact rational (n² − Σc²)/n² with DECIMAL sums."""
@@ -2216,6 +2235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cramers_v": _q_cramers_v,
         "mad_outliers": _q_mad_outliers,
         "token_diversity": _q_token_diversity,
+        "part_ancestry": _q_part_ancestry,
+        "prorate_pool": _q_prorate_pool,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -3156,6 +3177,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM((sb + 7 * cnt) // cnt) AS BIGINT) AS sum_g,
                    CAST(SUM((sb + 14 * cnt) // cnt) AS BIGINT) AS sum_r
             FROM avgs GROUP BY media_id
+        """,
+        "part_ancestry": """
+            WITH RECURSIVE up AS (
+                SELECT p_partkey, p_partkey // 10 AS ancestor, 1 AS depth
+                FROM part WHERE p_partkey // 10 >= 1
+                UNION ALL
+                SELECT p_partkey, ancestor // 10 AS ancestor, depth + 1
+                FROM up WHERE ancestor // 10 >= 1 AND depth < 10
+            )
+            SELECT p_partkey, CAST(ancestor AS BIGINT) AS ancestor,
+                   CAST(depth AS INT) AS depth
+            FROM up
+        """,
+        "prorate_pool": """
+            WITH base AS (
+                SELECT l_orderkey AS o, l_linenumber AS line,
+                       CAST(floor(l_extendedprice * 100) AS HUGEINT) AS w
+                FROM lineitem
+            ),
+            t AS (
+                SELECT o, line, w, SUM(w) OVER (PARTITION BY o) AS tw
+                FROM base
+            ),
+            s AS (
+                SELECT o, line, w,
+                       (10000 * w) // tw AS share,
+                       (10000 * w) % tw AS rem
+                FROM t
+            ),
+            l AS (
+                SELECT o, line, w, share,
+                       10000 - SUM(share) OVER (PARTITION BY o) AS leftover,
+                       row_number() OVER (PARTITION BY o
+                           ORDER BY rem DESC, line) AS rk
+                FROM s
+            )
+            SELECT o AS l_orderkey, line AS l_linenumber,
+                   CAST(w AS BIGINT) AS weight_c,
+                   CAST(share + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                        AS BIGINT) AS alloc_c
+            FROM l
         """,
         "weighted_median": """
             WITH t AS (

@@ -192,6 +192,8 @@ HEADLINE = (
     "cramers_v",
     "mad_outliers",
     "token_diversity",
+    "part_ancestry",
+    "prorate_pool",
 )
 
 

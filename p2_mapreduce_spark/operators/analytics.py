@@ -404,3 +404,72 @@ def share_of_parent(
             / F.sum("rev_dec").over(w).cast("double")
         ).alias("share"),
     )
+
+
+def prorate_pool(
+    lineitem: DataFrame,
+    pool_cents: int = 10_000,
+    order_col: str = "l_orderkey",
+    weight_col: str = "l_extendedprice",
+    line_col: str = "l_linenumber",
+) -> DataFrame:
+    """Exact financial proration (Hamilton / largest-remainder method):
+    split a fixed per-order pool (default $100.00) across the order's
+    lines proportionally to ``weight_col``, in whole cents, such that
+    the allocations SUM EXACTLY to the pool — the rounding-drift
+    problem every billing/revenue-attribution pipeline hits (naive
+    round() leaves ±n cents on the floor and is engine-dependent at
+    half-way points).
+
+    All-integer construction: weights quantize to cents, each line's
+    base share is the integral ``pool·w div W``, and the leftover
+    ``R = pool − Σ base < n_lines`` goes one cent each to the R lines
+    with the largest integer remainder ``pool·w mod W`` (ties broken
+    by line number — a total order, so the result is deterministic
+    cross-engine).  Work is one window per order (order grain, ≤7
+    lines in TPC-H — partition-bounded by the natural key), zero
+    floats anywhere.
+
+    Output: (order, line, weight_c, alloc_c) with Σ alloc_c = pool
+    per order (pytest-pinned invariant).
+    """
+    w_c = F.floor(F.col(weight_col) * 100).cast("decimal(38,0)")
+    base = lineitem.select(
+        F.col(order_col).alias("o"),
+        F.col(line_col).alias("line"),
+        w_c.alias("w"),
+    )
+    tot = Window.partitionBy("o")
+    pool = F.lit(pool_cents).cast("decimal(38,0)")
+    t = base.select(
+        "o",
+        "line",
+        "w",
+        F.sum("w").over(tot).alias("tw"),
+    ).select(
+        "o",
+        "line",
+        "w",
+        F.expr(f"CAST({pool_cents} AS DECIMAL(38,0)) * w div tw").alias("share"),
+        (pool * F.col("w") % F.col("tw")).alias("rem"),
+    )
+    leftover = (
+        F.lit(pool_cents)
+        - F.sum("share").over(tot)
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("o").orderBy(F.col("rem").desc(), F.col("line"))
+    )
+    return (
+        t.withColumn("left", leftover)
+        .withColumn("rk", rk)
+        .select(
+            F.col("o").alias(order_col),
+            F.col("line").alias(line_col),
+            F.col("w").cast("bigint").alias("weight_c"),
+            (
+                F.col("share")
+                + F.when(F.col("rk") <= F.col("left"), 1).otherwise(0)
+            ).cast("bigint").alias("alloc_c"),
+        )
+    )

@@ -341,6 +341,42 @@ class TestRound3NewOps:
         assert got["s2"]["simpson"] == 0.0
 
 
+def test_prorate_pool_sums_exactly_and_orders_remainders(spark):
+    """Largest-remainder invariants: per-order allocations sum EXACTLY
+    to the pool, and the extra cents go to the largest remainders."""
+    from p2_mapreduce_spark.operators.analytics import prorate_pool
+
+    rows = [
+        (1, 1, 33.33), (1, 2, 33.33), (1, 3, 33.34),
+        (2, 1, 1.0), (2, 2, 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    out = prorate_pool(df, pool_cents=100).collect()
+    by_order = {}
+    for r in out:
+        by_order.setdefault(r["l_orderkey"], {})[r["l_linenumber"]] = r["alloc_c"]
+    assert sum(by_order[1].values()) == 100
+    assert sum(by_order[2].values()) == 100
+    # order 2: w=100,200 of 300; shares 33,66; leftover 1 goes to the
+    # larger remainder (line 1: 100*100%300=100 vs line 2: 200*100%300=200
+    # -> line 2 gets it)
+    assert by_order[2] == {1: 33, 2: 67}
+
+
+def test_ancestry_closure_chain(spark):
+    """Recursive-CTE closure: every proper ancestor at its decimal-digit
+    distance."""
+    from p2_mapreduce_spark.operators.graph import ancestry_closure
+
+    df = spark.createDataFrame([(1234,), (7,), (56,)], ["p_partkey"])
+    got = {(r["p_partkey"], r["ancestor"], r["depth"])
+           for r in ancestry_closure(df).collect()}
+    assert got == {
+        (1234, 123, 1), (1234, 12, 2), (1234, 1, 3),
+        (56, 5, 1),
+    }
+
+
 def test_bitmap_count_zero_match_predicate(spark):
     """Predicates matching zero rows must report 0, not NULL (ADVICE r02)."""
     from p2_mapreduce_spark.operators.layout import bitmap_count
