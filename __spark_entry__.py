@@ -1344,6 +1344,32 @@ def _q_prorate_pool(spark, sf_dir):
     return prorate_pool(load_table(spark, sf_dir, "lineitem"))
 
 
+def _q_quantile_normalize(spark, sf_dir):
+    """Cross-group quantile normalization: two two-phase distributed
+    ranks joined on the all-integer midpoint position — each group's
+    values mapped onto the global distribution."""
+    from p2_mapreduce_spark.operators.curation import quantile_normalize
+
+    return quantile_normalize(load_table(spark, sf_dir, "events"))
+
+
+def _q_systematic_sample(spark, sf_dir):
+    """Every-k-th systematic sample in (n_chars, doc_id) order via the
+    two-phase global ordinal."""
+    from p2_mapreduce_spark.operators.curation import systematic_sample
+
+    return systematic_sample(load_table(spark, sf_dir, "documents"))
+
+
+def _q_kmv_overlap(spark, sf_dir):
+    """KMV set algebra: union/intersection/Jaccard estimates from the
+    merged k-minimum-values sketch (inclusion rule), exact intersection
+    riding along."""
+    from p2_mapreduce_spark.operators.profile import kmv_overlap
+
+    return kmv_overlap(load_table(spark, sf_dir, "orders"))
+
+
 def _q_token_diversity(spark, sf_dir):
     """Gini-Simpson lexical diversity + type-token ratio per source —
     exact rational (n² − Σc²)/n² with DECIMAL sums."""
@@ -2237,6 +2263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_diversity": _q_token_diversity,
         "part_ancestry": _q_part_ancestry,
         "prorate_pool": _q_prorate_pool,
+        "quantile_normalize": _q_quantile_normalize,
+        "systematic_sample": _q_systematic_sample,
+        "kmv_overlap": _q_kmv_overlap,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -3177,6 +3206,114 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM((sb + 7 * cnt) // cnt) AS BIGINT) AS sum_g,
                    CAST(SUM((sb + 14 * cnt) // cnt) AS BIGINT) AS sum_r
             FROM avgs GROUP BY media_id
+        """,
+        "quantile_normalize": """
+            WITH t AS (
+                SELECT event_id AS id, event_type AS g, value AS v
+                FROM events
+            ),
+            ranked AS (
+                SELECT id, g, v,
+                       row_number() OVER (PARTITION BY g
+                           ORDER BY v, id) AS r,
+                       COUNT(*) OVER (PARTITION BY g) AS n_g,
+                       COUNT(*) OVER () AS n_all
+                FROM t
+            ),
+            pos AS (
+                SELECT id, g, v,
+                       ((2 * CAST(r AS HUGEINT) - 1) * n_all + n_g)
+                           // (2 * n_g) AS p
+                FROM ranked
+            ),
+            ordinal AS (
+                SELECT row_number() OVER (ORDER BY value, event_id) AS p,
+                       value AS gv
+                FROM events
+            )
+            SELECT id AS event_id, g AS event_type, v AS value,
+                   gv AS norm_value
+            FROM pos JOIN ordinal USING (p)
+        """,
+        "systematic_sample": """
+            WITH t AS (
+                SELECT doc_id, n_chars,
+                       row_number() OVER (ORDER BY n_chars, doc_id)
+                           AS ordinal
+                FROM documents
+            )
+            SELECT doc_id, n_chars, CAST(ordinal AS BIGINT) AS ordinal
+            FROM t WHERE ordinal % 10 = 0
+        """,
+        "kmv_overlap": """
+            WITH sides AS (
+                SELECT DISTINCT
+                       CASE WHEN o_orderstatus = 'O' THEN 'a'
+                            ELSE 'b' END AS g,
+                       CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                           18, 15) AS BIGINT) AS h
+                FROM orders WHERE o_orderstatus IN ('O', 'F')
+            ),
+            topk AS (
+                SELECT g, h FROM (
+                    SELECT g, h,
+                           row_number() OVER (PARTITION BY g ORDER BY h)
+                               AS rn
+                    FROM sides
+                ) WHERE rn <= 64
+            ),
+            merged AS (
+                SELECT h,
+                       MAX(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS in_a,
+                       MAX(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS in_b
+                FROM topk GROUP BY h
+            ),
+            mk AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (ORDER BY h) AS rn
+                    FROM merged
+                ) WHERE rn <= 64
+            ),
+            sizes AS (
+                SELECT SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS na,
+                       SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS nb
+                FROM topk
+            ),
+            ex AS (
+                SELECT COUNT(*) AS exact_intersection FROM (
+                    SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderstatus = 'O'
+                    INTERSECT
+                    SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderstatus = 'F'
+                )
+            ),
+            agg AS (
+                SELECT COUNT(*) AS n_merged, MAX(h) AS union_kth,
+                       SUM(in_a * in_b) AS k_inter
+                FROM mk
+            )
+            SELECT CAST(na AS BIGINT) AS n_a_sketch,
+                   CAST(nb AS BIGINT) AS n_b_sketch,
+                   union_kth,
+                   CASE WHEN n_merged < 64 THEN CAST(n_merged AS DOUBLE)
+                        ELSE CAST(63 AS DOUBLE)
+                             * CAST(1152921504606846976 AS DOUBLE)
+                             / CAST(union_kth AS DOUBLE)
+                   END AS est_union,
+                   CAST(k_inter AS BIGINT) AS k_inter,
+                   (CAST(k_inter AS DOUBLE) / CAST(n_merged AS DOUBLE))
+                       * CASE WHEN n_merged < 64
+                              THEN CAST(n_merged AS DOUBLE)
+                              ELSE CAST(63 AS DOUBLE)
+                                   * CAST(1152921504606846976 AS DOUBLE)
+                                   / CAST(union_kth AS DOUBLE)
+                         END AS est_intersection,
+                   CAST(k_inter AS DOUBLE) / CAST(n_merged AS DOUBLE)
+                       AS est_jaccard,
+                   CAST(exact_intersection AS BIGINT)
+                       AS exact_intersection
+            FROM agg, sizes, ex
         """,
         "part_ancestry": """
             WITH RECURSIVE up AS (

@@ -194,6 +194,9 @@ HEADLINE = (
     "token_diversity",
     "part_ancestry",
     "prorate_pool",
+    "quantile_normalize",
+    "systematic_sample",
+    "kmv_overlap",
 )
 
 

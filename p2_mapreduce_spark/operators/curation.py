@@ -1081,3 +1081,141 @@ def mixture_plan(
             "capped",
         )
     )
+
+
+def quantile_normalize(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Cross-group QUANTILE NORMALIZATION — the ML-prep transform that
+    maps each group's values onto the GLOBAL value distribution by rank
+    (microarray-style): a value at within-group quantile q is replaced
+    by the global value at quantile q, so every group ends up with the
+    same marginal distribution and per-group scale/offset biases vanish
+    (the calibration step quality_calibration's percentile answers per
+    source, taken all the way to a value transform).
+
+    Two applications of the two-phase distributed rank device — one for
+    the within-group rank r of n_g (range-partitioned by (group, value,
+    id)), one for the global ordinal table (value, id) — joined on the
+    midpoint position ``p = ((2r−1)·N + n_g) div (2·n_g)`` (all-BIGINT,
+    ∈ [1, N]).  No per-group or global sort ever runs in one task; the
+    position join shuffles N rows once.  Total order everywhere via the
+    id tie-break ⇒ deterministic cross-engine.
+
+    Output: (id, group, value, norm_value).
+    """
+    t = (
+        events.select(
+            F.col(id_col).alias("id"),
+            F.col(group_col).alias("g"),
+            F.col(value_col).alias("v"),
+        )
+        .repartitionByRange(F.col("g"), F.col("v"), F.col("id"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_in = Window.partitionBy("pid", "g").orderBy("v", "id")
+    t = t.withColumn("rn", F.row_number().over(w_in))
+    per = t.groupBy("pid", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy("g")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("pid", "g", "off")
+    totals = per.groupBy("g").agg(F.sum("cnt").alias("n_g"))
+    grand = totals.agg(F.sum("n_g").alias("n_all"))
+    ranked = (
+        t.join(F.broadcast(offsets), ["pid", "g"])
+        .join(F.broadcast(totals), "g")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "id",
+            "g",
+            "v",
+            (F.col("off") + F.col("rn")).alias("r"),
+            "n_g",
+            "n_all",
+        )
+    )
+    # (2r−1)·N is n²-scale: DECIMAL(38,0) so BIGINT can't wrap silently
+    # (HUGEINT in the oracle — the mwu_drift overflow lesson)
+    ranked = ranked.withColumn(
+        "p",
+        F.expr(
+            "CAST(((2 * CAST(r AS DECIMAL(38,0)) - 1) * n_all + n_g) "
+            "div (2 * n_g) AS BIGINT)"
+        ),
+    )
+    # global ordinal table: same device, no group key
+    u = (
+        events.select(
+            F.col(id_col).alias("gid"), F.col(value_col).alias("gv")
+        )
+        .repartitionByRange(F.col("gv"), F.col("gid"))
+        .withColumn("gpid", F.spark_partition_id())
+    )
+    w_gin = Window.partitionBy("gpid").orderBy("gv", "gid")
+    u = u.withColumn("grn", F.row_number().over(w_gin))
+    gper = u.groupBy("gpid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_goff = Window.orderBy("gpid").rowsBetween(Window.unboundedPreceding, -1)
+    goff = gper.withColumn(
+        "goff", F.coalesce(F.sum("cnt").over(w_goff), F.lit(0))
+    ).select("gpid", "goff")
+    ordinal = (
+        u.join(F.broadcast(goff), "gpid")
+        .select((F.col("goff") + F.col("grn")).alias("p"), F.col("gv"))
+    )
+    return (
+        ranked.join(ordinal, "p")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("g").alias(group_col),
+            F.col("v").alias(value_col),
+            F.col("gv").alias("norm_value"),
+        )
+    )
+
+
+def systematic_sample(
+    docs: DataFrame,
+    every: int = 10,
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Systematic (every-k-th) sampling in a deterministic total order —
+    the survey-sampling classic: sort by (order key, id), keep ordinals
+    k, 2k, 3k, …  Unlike the Bernoulli hash coin it guarantees an even
+    spread across the ORDER dimension (here: document length), which is
+    what you want when the sort key correlates with the property being
+    estimated.
+
+    The global ordinal is the two-phase distributed prefix sum (no
+    single-task sort); the keep test is one modulus.  Output: the
+    sampled rows with their ordinal.
+    """
+    t = (
+        docs.select(id_col, order_col)
+        .repartitionByRange(F.col(order_col), F.col(id_col))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_in = Window.partitionBy("pid").orderBy(order_col, id_col)
+    t = t.withColumn("rn", F.row_number().over(w_in))
+    per = t.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("pid", "off")
+    return (
+        t.join(F.broadcast(offsets), "pid")
+        .select(
+            id_col,
+            order_col,
+            (F.col("off") + F.col("rn")).alias("ordinal"),
+        )
+        .where(F.col("ordinal") % every == 0)
+    )

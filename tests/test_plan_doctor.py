@@ -87,7 +87,11 @@ FUNNEL_REVIEWED = {
     "doclen_histogram", "dq_orders",
     "emd_drift", "equidepth_histogram", "fk_integrity", "fold_ci",
     "funnel_steps",
-    "important_parts", "join_fanout", "key_skew", "ks_drift",
+    "important_parts", "join_fanout", "key_skew", "kmv_overlap", "ks_drift",
+    # the three round-3 two-phase-rank ops: their only SinglePartition
+    # inputs are the #partitions-grain offset tables / ≤2k-row merged
+    # sketch / one-row grand totals — the pack_sequences justification
+    "quantile_normalize", "systematic_sample",
     "length_batches", "mixture_plan", "mom_revenue", "negative_pairs",
     "mwu_drift", "new_returning",
     "pack_sequences", "pmi_bigrams", "profile_orders", "promo_revenue",

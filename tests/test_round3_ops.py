@@ -377,6 +377,50 @@ def test_ancestry_closure_chain(spark):
     }
 
 
+def test_quantile_normalize_equalizes_marginals(spark):
+    """After normalization every group carries the SAME value multiset
+    (drawn from the global distribution at midpoint positions) — the
+    defining property of quantile normalization."""
+    from p2_mapreduce_spark.operators.curation import quantile_normalize
+
+    rows = [(1, "g1", 1.0), (2, "g1", 2.0), (3, "g1", 3.0),
+            (4, "g2", 10.0), (5, "g2", 20.0), (6, "g2", 30.0)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    out = quantile_normalize(df).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["event_type"], []).append(r["norm_value"])
+    assert sorted(by_g["g1"]) == sorted(by_g["g2"]) == [1.0, 3.0, 20.0]
+
+
+def test_systematic_sample_even_spread(spark):
+    from p2_mapreduce_spark.operators.curation import systematic_sample
+
+    df = spark.createDataFrame(
+        [(i, i * 7 % 100) for i in range(100)], ["doc_id", "n_chars"]
+    )
+    out = systematic_sample(df, every=10).collect()
+    assert len(out) == 10
+    assert sorted(r["ordinal"] for r in out) == [10, 20, 30, 40, 50, 60, 70, 80, 90, 100]
+
+
+def test_kmv_overlap_identical_and_disjoint(spark):
+    from p2_mapreduce_spark.operators.profile import kmv_overlap
+
+    # identical key sets on both sides -> jaccard exactly 1.0
+    rows = [("O", i % 50) for i in range(100)] + [("F", i % 50) for i in range(100)]
+    df = spark.createDataFrame(rows, ["o_orderstatus", "o_custkey"])
+    r = kmv_overlap(df, k=16).collect()[0]
+    assert r["est_jaccard"] == 1.0 and r["k_inter"] == r["n_a_sketch"]
+    assert r["exact_intersection"] == 50
+    # disjoint sides -> zero intersection
+    rows = [("O", i) for i in range(100)] + [("F", i + 1000) for i in range(100)]
+    df = spark.createDataFrame(rows, ["o_orderstatus", "o_custkey"])
+    r = kmv_overlap(df, k=16).collect()[0]
+    assert r["k_inter"] == 0 and r["est_jaccard"] == 0.0
+    assert r["exact_intersection"] == 0
+
+
 def test_bitmap_count_zero_match_predicate(spark):
     """Predicates matching zero rows must report 0, not NULL (ADVICE r02)."""
     from p2_mapreduce_spark.operators.layout import bitmap_count
