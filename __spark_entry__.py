@@ -1370,6 +1370,25 @@ def _q_kmv_overlap(spark, sf_dir):
     return kmv_overlap(load_table(spark, sf_dir, "orders"))
 
 
+def _q_merkle_ranges(spark, sf_dir):
+    """Merkle range tree: leaf ranges digest by order-independent sum
+    fold, parents md5 their ordered child lists — O(log) divergence
+    localization for replica reconciliation."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.profile import merkle_ranges
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+        "o_orderpriority",
+    )
+    return merkle_ranges(o)
+
+
 def _q_token_diversity(spark, sf_dir):
     """Gini-Simpson lexical diversity + type-token ratio per source —
     exact rational (n² − Σc²)/n² with DECIMAL sums."""
@@ -2266,6 +2285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": _q_quantile_normalize,
         "systematic_sample": _q_systematic_sample,
         "kmv_overlap": _q_kmv_overlap,
+        "merkle_ranges": _q_merkle_ranges,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -3206,6 +3226,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM((sb + 7 * cnt) // cnt) AS BIGINT) AS sum_g,
                    CAST(SUM((sb + 14 * cnt) // cnt) AS BIGINT) AS sum_r
             FROM avgs GROUP BY media_id
+        """,
+        "merkle_ranges": """
+            WITH o AS (
+                SELECT o_orderkey, o_custkey,
+                       CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+                       o_orderstatus,
+                       strftime(o_orderdate, '%Y-%m-%d') AS od,
+                       o_orderpriority
+                FROM orders
+            ),
+            h AS (
+                SELECT o_orderkey // 4096 AS range_id,
+                       CAST('0x' || substr(md5(
+                           concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                                     CAST(o_custkey AS VARCHAR),
+                                     CAST(cents AS VARCHAR),
+                                     o_orderstatus, od, o_orderpriority)),
+                           18, 15) AS BIGINT) AS rh
+                FROM o
+            ),
+            l0 AS (
+                SELECT range_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                       CAST(CAST(SUM(CAST(rh AS DECIMAL(38,0)))
+                                 AS DECIMAL(38,0)) AS VARCHAR) AS digest
+                FROM h GROUP BY range_id
+            ),
+            l1 AS (
+                SELECT range_id // 16 AS rid,
+                       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+                       md5(string_agg(CAST(range_id AS VARCHAR) || ':'
+                                      || digest, '|' ORDER BY range_id))
+                           AS digest
+                FROM l0 GROUP BY 1
+            ),
+            l2 AS (
+                SELECT rid // 16 AS rid2,
+                       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+                       md5(string_agg(CAST(rid AS VARCHAR) || ':'
+                                      || digest, '|' ORDER BY rid))
+                           AS digest
+                FROM l1 GROUP BY 1
+            ),
+            l3 AS (
+                SELECT rid2 // 16 AS rid3,
+                       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+                       md5(string_agg(CAST(rid2 AS VARCHAR) || ':'
+                                      || digest, '|' ORDER BY rid2))
+                           AS digest
+                FROM l2 GROUP BY 1
+            )
+            SELECT CAST(0 AS INT) AS level, range_id, n_rows, digest
+            FROM l0
+            UNION ALL
+            SELECT CAST(1 AS INT), rid, n_rows, digest FROM l1
+            UNION ALL
+            SELECT CAST(2 AS INT), rid2, n_rows, digest FROM l2
+            UNION ALL
+            SELECT CAST(3 AS INT), rid3, n_rows, digest FROM l3
         """,
         "quantile_normalize": """
             WITH t AS (

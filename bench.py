@@ -197,6 +197,7 @@ HEADLINE = (
     "quantile_normalize",
     "systematic_sample",
     "kmv_overlap",
+    "merkle_ranges",
 )
 
 

@@ -421,6 +421,30 @@ def test_kmv_overlap_identical_and_disjoint(spark):
     assert r["exact_intersection"] == 0
 
 
+def test_merkle_ranges_localizes_single_row_divergence(spark):
+    """Changing ONE row must flip exactly one digest per level (the
+    root-to-leaf path) — the property that makes the tree an O(log)
+    divergence localizer."""
+    from p2_mapreduce_spark.operators.profile import merkle_ranges
+
+    rows = [(i, f"v{i}") for i in range(1, 2001)]
+    a = spark.createDataFrame(rows, ["o_orderkey", "val"])
+    rows_b = [(i, ("CHANGED" if i == 777 else f"v{i}")) for i in range(1, 2001)]
+    b = spark.createDataFrame(rows_b, ["o_orderkey", "val"])
+    kw = dict(leaf_width=64, fanout=4, levels=3)
+    da = {(r["level"], r["range_id"]): r["digest"]
+          for r in merkle_ranges(a, "o_orderkey", **kw).collect()}
+    db = {(r["level"], r["range_id"]): r["digest"]
+          for r in merkle_ranges(b, "o_orderkey", **kw).collect()}
+    assert set(da) == set(db)
+    diff = [k for k in da if da[k] != db[k]]
+    # exactly one differing digest per level, on the path over key 777
+    assert sorted(diff) == [
+        (0, 777 // 64), (1, 777 // 64 // 4),
+        (2, 777 // 64 // 16), (3, 777 // 64 // 64),
+    ]
+
+
 def test_bitmap_count_zero_match_predicate(spark):
     """Predicates matching zero rows must report 0, not NULL (ADVICE r02)."""
     from p2_mapreduce_spark.operators.layout import bitmap_count
