@@ -1389,6 +1389,14 @@ def _q_merkle_ranges(spark, sf_dir):
     return merkle_ranges(o)
 
 
+def _q_twap(spark, sf_dir):
+    """Time-weighted average per event type via the distributed lag
+    (two-phase ordinal + successor equi-join — no single-task sort)."""
+    from p2_mapreduce_spark.operators.timeseries import twap
+
+    return twap(load_table(spark, sf_dir, "events"))
+
+
 def _q_token_diversity(spark, sf_dir):
     """Gini-Simpson lexical diversity + type-token ratio per source —
     exact rational (n² − Σc²)/n² with DECIMAL sums."""
@@ -2286,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "systematic_sample": _q_systematic_sample,
         "kmv_overlap": _q_kmv_overlap,
         "merkle_ranges": _q_merkle_ranges,
+        "twap": _q_twap,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -3227,6 +3236,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM((sb + 14 * cnt) // cnt) AS BIGINT) AS sum_r
             FROM avgs GROUP BY media_id
         """,
+        "twap": f"""
+            WITH e AS (
+                SELECT event_type AS g, epoch_us(ts) AS us,
+                       CAST(floor(value * 100) AS BIGINT) AS cents,
+                       event_id AS id
+                FROM {{ev}}
+            ),
+            r AS (
+                SELECT g, us, cents,
+                       row_number() OVER (PARTITION BY g
+                           ORDER BY us, id) AS r,
+                       COUNT(*) OVER (PARTITION BY g) AS n_g
+                FROM e
+            ),
+            p AS (
+                SELECT a.g, a.cents, b.us - a.us AS gap, a.n_g
+                FROM r a JOIN r b ON a.g = b.g AND b.r = a.r + 1
+            )
+            SELECT g AS event_type,
+                   CAST(MAX(n_g) AS BIGINT) AS n_events,
+                   CAST(SUM(gap) AS BIGINT) AS span_us,
+                   CAST(SUM(CAST(cents AS HUGEINT) * gap) AS DOUBLE)
+                       / CAST(SUM(gap) AS DOUBLE)
+                       / CAST(100 AS DOUBLE) AS twap
+            FROM p GROUP BY g
+        """.format(ev="(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"),
         "merkle_ranges": """
             WITH o AS (
                 SELECT o_orderkey, o_custkey,

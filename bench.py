@@ -198,6 +198,7 @@ HEADLINE = (
     "systematic_sample",
     "kmv_overlap",
     "merkle_ranges",
+    "twap",
 )
 
 

@@ -902,3 +902,91 @@ def mad_outliers(
         (F.col("mad_c") / 100.0).alias("mad_v"),
         F.col("n_outliers").cast("bigint").alias("n_outliers"),
     )
+
+
+def twap(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average (TWAP) per group — the finance/telemetry
+    aggregate where each observation holds until the next one (step
+    interpolation), so sampling cadence stops biasing the mean: a value
+    that persisted 50 minutes weighs 50× one that lasted a minute.
+
+    The successor pairing is a DISTRIBUTED LAG: a bare
+    ``lag().over(partitionBy(group))`` is a single-task sort per group
+    (groups are few and data-grain — the mega-source problem), so the
+    global per-group ordinal comes from the two-phase distributed rank
+    and each row meets its successor through an equi-join on
+    ``(group, r+1)`` — one shuffle on config-×-data grain keys, no
+    single-task sort anywhere.
+
+    Exactness: integer µs gaps × integer cents, summed in
+    DECIMAL(38,0) (HUGEINT oracle-side), two pinned double divisions at
+    the surface.  Groups need ≥ 2 events to have a time span (inner
+    pairing; singletons drop, documented).
+
+    Output: (group, n_events, span_us, twap).
+    """
+    t = (
+        events.select(
+            F.col(group_col).alias("g"),
+            # NTZ-safe: timestamps order directly; gaps come from
+            # interval subtraction cast to total µs (unix_micros rejects
+            # TIMESTAMP_NTZ, the fixture's type)
+            F.col(ts_col).alias("tstamp"),
+            F.floor(F.col(value_col) * 100).cast("bigint").alias("cents"),
+            F.col(id_col).alias("id"),
+        )
+        .repartitionByRange(F.col("g"), F.col("tstamp"), F.col("id"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_in = Window.partitionBy("pid", "g").orderBy("tstamp", "id")
+    t = t.withColumn("rn", F.row_number().over(w_in))
+    per = t.groupBy("pid", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy("g")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("pid", "g", "off")
+    totals = per.groupBy("g").agg(F.sum("cnt").alias("n_g"))
+    r = (
+        t.join(F.broadcast(offsets), ["pid", "g"])
+        .select(
+            "g", "tstamp", "cents", (F.col("off") + F.col("rn")).alias("r")
+        )
+    )
+    a, b = r.alias("a"), r.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g")) & (F.col("b.r") == F.col("a.r") + 1),
+    ).select(
+        F.col("a.g").alias("g"),
+        F.col("a.cents").alias("cents"),
+        F.expr("timestampdiff(MICROSECOND, a.tstamp, b.tstamp)").alias("gap"),
+    )
+    num = F.sum(F.col("cents").cast("decimal(38,0)") * F.col("gap"))
+    return (
+        pairs.groupBy("g")
+        .agg(
+            F.sum("gap").cast("bigint").alias("span_us"),
+            num.alias("num"),
+        )
+        .join(F.broadcast(totals), "g")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_g").cast("bigint").alias("n_events"),
+            "span_us",
+            (
+                F.col("num").cast("double")
+                / F.col("span_us").cast("double")
+                / F.lit(100.0)
+            ).alias("twap"),
+        )
+    )

@@ -445,6 +445,28 @@ def test_merkle_ranges_localizes_single_row_divergence(spark):
     ]
 
 
+def test_twap_hand_computed(spark):
+    """Step-interpolated time weighting: value 10 held 10 s then 20 held
+    30 s -> (10·10 + 20·30)/40 = 17.5; singleton groups drop."""
+    import datetime
+
+    from p2_mapreduce_spark.operators.timeseries import twap
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, "a", t0, 10.0),
+        (2, "a", t0 + datetime.timedelta(seconds=10), 20.0),
+        (3, "a", t0 + datetime.timedelta(seconds=40), 30.0),
+        (4, "solo", t0, 99.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "ts", "value"])
+    got = {r["event_type"]: r for r in twap(df).collect()}
+    assert set(got) == {"a"}
+    assert got["a"]["n_events"] == 3
+    assert got["a"]["span_us"] == 40_000_000
+    assert got["a"]["twap"] == 17.5
+
+
 def test_bitmap_count_zero_match_predicate(spark):
     """Predicates matching zero rows must report 0, not NULL (ADVICE r02)."""
     from p2_mapreduce_spark.operators.layout import bitmap_count
