@@ -329,3 +329,63 @@ def seed_dedup_index(docs: DataFrame, index_root: str) -> None:
     bands.write.mode("overwrite").partitionBy("band").parquet(
         f"{index_root}/bands/b=-1"
     )
+
+
+def _fold_versioned(spark, delta: DataFrame, batch_id: int, path: str, merge_fn):
+    """Shared skeleton of the versioned replay-idempotent fold (the
+    fold_state_batch protocol): merge ``delta`` into the newest state
+    version BELOW ``batch_id``, overwrite ``v=<batch_id>``, prune all
+    but the predecessor."""
+    versions = _list_state_versions(spark, path)
+    prev = [v for v in versions if v < batch_id]
+    if prev:
+        base = spark.read.parquet(f"{path}/v={max(prev)}")
+        new = merge_fn(base, delta)
+    else:
+        new = delta
+    new.write.mode("overwrite").parquet(f"{path}/v={batch_id}")
+    if prev:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for v in prev[:-1]:
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/v={v}")
+            p.getFileSystem(conf).delete(p, True)
+
+
+def hist_state_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    value_col: str = "value",
+    group_cols=("event_type",),
+    lo_c: int = 0,
+    hi_c: int = 50_000,
+    n_buckets: int = 500,
+):
+    """Streaming QUANTILE-SKETCH maintenance: each micro-batch's
+    :func:`~p2_mapreduce_spark.operators.profile.hist_state` folds into
+    the persisted state by the associative SUM merge
+    (``merge_hist_states``), so the live state always equals the batch
+    sketch over all data seen — bit-for-bit, pinned in pytest — and any
+    percentile question is answered from the ≤ groups × n_buckets state
+    via ``hist_quantiles`` without rescanning history.  This is the
+    live tail of ``rolling_median_sketch``'s 100 TB design: daily batch
+    states + this stream state merge into one CDF.
+
+    Same versioned replay-idempotent fold protocol as
+    :func:`incremental_state_sink` (predecessor = max version < this
+    batch_id, overwrite-own-version, prune older)."""
+    from p2_mapreduce_spark.operators.profile import hist_state, merge_hist_states
+
+    cols = list(group_cols)
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        delta = hist_state(df, value_col, cols, lo_c, hi_c, n_buckets)
+        _fold_versioned(df.sparkSession, delta, batch_id, path, merge_hist_states)
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

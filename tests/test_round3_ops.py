@@ -477,3 +477,43 @@ def test_bitmap_count_zero_match_predicate(spark):
     )
     row = bitmap_count(df, val_a="NOPE").collect()[0]
     assert row["n_a"] == 0 and row["n_b"] == 1 and row["n_both"] == 0
+
+
+def test_hist_state_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming quantile-sketch maintenance: after all micro-batches
+    drain, the persisted hist_state equals the batch sketch over all
+    data bit-for-bit, and hist_quantiles answers from it identically."""
+    from p2_mapreduce_spark.operators.profile import hist_state, hist_quantiles
+    from p2_mapreduce_spark.session import load_table
+    from p2_mapreduce_spark.streaming.sinks import hist_state_sink, load_latest_state
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_src_hist")
+    events.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state_path = str(tmp_path / "hist_state")
+    q = hist_state_sink(
+        stream, state_path, str(tmp_path / "ck"),
+        value_col="value", group_cols=("event_type",),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, load_latest_state(spark, state_path).collect()))
+    want = sorted(map(tuple,
+        hist_state(events, "value", ["event_type"], 0, 50_000, 500).collect()))
+    assert got == want
+    # and the state answers percentile queries identically to batch
+    qs_stream = sorted(map(tuple, hist_quantiles(
+        load_latest_state(spark, state_path), ["event_type"], 0, 50_000, 500
+    ).collect()))
+    qs_batch = sorted(map(tuple, hist_quantiles(
+        hist_state(events, "value", ["event_type"], 0, 50_000, 500),
+        ["event_type"], 0, 50_000, 500,
+    ).collect()))
+    assert qs_stream == qs_batch
