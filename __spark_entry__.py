@@ -1397,6 +1397,14 @@ def _q_twap(spark, sf_dir):
     return twap(load_table(spark, sf_dir, "events"))
 
 
+def _q_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve from first-occurrence
+    ordinals — one scan, vocabulary-grain work after the explode."""
+    from p2_mapreduce_spark.operators.text_analysis import vocab_growth
+
+    return vocab_growth(load_table(spark, sf_dir, "documents"))
+
+
 def _q_token_diversity(spark, sf_dir):
     """Gini-Simpson lexical diversity + type-token ratio per source —
     exact rational (n² − Σc²)/n² with DECIMAL sums."""
@@ -2295,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": _q_kmv_overlap,
         "merkle_ranges": _q_merkle_ranges,
         "twap": _q_twap,
+        "vocab_growth": _q_vocab_growth,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -3262,6 +3271,51 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(100 AS DOUBLE) AS twap
             FROM p GROUP BY g
         """.format(ev="(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"),
+        "vocab_growth": f"""
+            WITH ords AS (
+                SELECT doc_id AS id,
+                       row_number() OVER (ORDER BY doc_id) AS o
+                FROM documents
+            ),
+            tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+            toks AS (
+                SELECT doc_id AS id,
+                       lower(unnest(regexp_split_to_array(text, '{_TOK}')))
+                           AS w
+                FROM documents
+            ),
+            first AS (
+                SELECT w, MIN(o) AS first_o
+                FROM toks JOIN ords USING (id)
+                WHERE w <> '' GROUP BY w
+            ),
+            ck AS (
+                SELECT CAST((first_o * 10 + n_docs - 1) // n_docs AS INT)
+                           AS checkpoint,
+                       n_docs
+                FROM first, tot
+            ),
+            per_ck AS (
+                SELECT checkpoint,
+                       CAST(COUNT(*) AS BIGINT) AS new_types
+                FROM ck GROUP BY 1
+            ),
+            spine AS (
+                SELECT unnest(generate_series(1, 10)) AS checkpoint, n_docs
+                FROM tot
+            ),
+            full_t AS (
+                SELECT s.checkpoint,
+                       CAST(s.checkpoint * n_docs // 10 AS BIGINT)
+                           AS docs_prefix,
+                       CAST(COALESCE(p.new_types, 0) AS BIGINT) AS new_types
+                FROM spine s LEFT JOIN per_ck p USING (checkpoint)
+            )
+            SELECT checkpoint, docs_prefix, new_types,
+                   CAST(SUM(new_types) OVER (ORDER BY checkpoint
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+            FROM full_t
+        """,
         "merkle_ranges": """
             WITH o AS (
                 SELECT o_orderkey, o_custkey,

@@ -199,6 +199,7 @@ HEADLINE = (
     "kmv_overlap",
     "merkle_ranges",
     "twap",
+    "vocab_growth",
 )
 
 

@@ -725,3 +725,94 @@ def token_diversity(docs: DataFrame, group_col: str = "source") -> DataFrame:
         ((n2 - F.col("s2")).cast("double") / n2.cast("double")).alias("simpson"),
         (F.col("n_types").cast("double") / F.col("n").cast("double")).alias("ttr"),
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    n_checkpoints: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary growth curve (the empirical Heaps'-law diagnostic):
+    distinct-type count after each prefix of the corpus in ingestion
+    order — the "is new data still adding vocabulary?" question that
+    decides when more crawl stops paying for a tokenizer or retrieval
+    index.
+
+    EXACT at any scale without re-scanning prefixes: each document gets
+    its ingestion ordinal (two-phase distributed rank over ``id_col`` —
+    no single-task sort), each token keeps only its FIRST ordinal (one
+    min aggregate at vocabulary grain), first-occurrences bucket into
+    ``n_checkpoints`` equal prefixes, and one cumulative sum over the
+    #checkpoints-row table yields the curve.  The corpus is scanned
+    once; everything after the explode is vocabulary-grain.
+
+    Output: (checkpoint, docs_prefix, new_types, vocab_size).
+    """
+    t = (
+        docs.select(F.col(id_col).alias("id"))
+        .repartitionByRange(F.col("id"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_in = Window.partitionBy("pid").orderBy("id")
+    t = t.withColumn("rn", F.row_number().over(w_in))
+    per = t.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("pid", "off")
+    total = per.agg(F.sum("cnt").alias("n_docs"))
+    ords = t.join(F.broadcast(offsets), "pid").select(
+        "id", (F.col("off") + F.col("rn")).alias("o")
+    )
+    toks = spread(docs).select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_array(F.col(text_col))).alias("w"),
+    )
+    first = (
+        toks.join(ords, "id")
+        .groupBy("w")
+        .agg(F.min("o").alias("first_o"))
+    )
+    # checkpoint index 1..n: the prefix the first occurrence falls into —
+    # ceil(first_o·n / N) in exact integer arithmetic
+    ck = first.crossJoin(F.broadcast(total)).select(
+        F.expr(
+            f"CAST((first_o * {int(n_checkpoints)} + n_docs - 1) div n_docs "
+            "AS INT)"
+        ).alias("checkpoint"),
+        F.col("n_docs"),
+    )
+    per_ck = ck.groupBy("checkpoint").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_types")
+    )
+    # full checkpoint spine: a saturated vocabulary still reports every
+    # prefix (new_types = 0), so the curve's flat tail is visible
+    spine = (
+        F.broadcast(total)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.lit(int(n_checkpoints)))
+            ).alias("checkpoint"),
+            "n_docs",
+        )
+    )
+    w_cum = Window.orderBy("checkpoint").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spine.join(per_ck, "checkpoint", "left")
+        .select(
+            "checkpoint",
+            F.expr(
+                f"CAST(checkpoint * n_docs div {int(n_checkpoints)} AS BIGINT)"
+            ).alias("docs_prefix"),
+            F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
+        )
+        .select(
+            "checkpoint",
+            "docs_prefix",
+            "new_types",
+            F.sum("new_types").over(w_cum).cast("bigint").alias("vocab_size"),
+        )
+    )

@@ -100,6 +100,9 @@ FUNNEL_REVIEWED = {
     "skyline_parts", "t_closeness",
     "small_qty_revenue", "tfidf_top_terms", "top_supplier",
     "trailing_revenue", "triangle_census", "triangle_doulion", "wau_hll",
+    # vocab_growth: SinglePartition inputs are the #partitions-grain
+    # offset table (two-phase rank) and the n_checkpoints-row curve
+    "vocab_growth",
 }
 
 

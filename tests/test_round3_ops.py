@@ -340,6 +340,35 @@ class TestRound3NewOps:
         # s2: single type -> simpson 0
         assert got["s2"]["simpson"] == 0.0
 
+    def test_vocab_growth_closed_form(self, spark):
+        from p2_mapreduce_spark.operators.text_analysis import vocab_growth
+
+        # 4 docs, 2 checkpoints: prefix-1 = docs {1,2}, prefix-2 = all.
+        # first occurrences: a,b @doc1; c @doc2; d @doc4
+        df = spark.createDataFrame(
+            [(1, "a b a"), (2, "b c"), (3, "a c"), (4, "d a")],
+            ["doc_id", "text"],
+        )
+        got = {
+            r["checkpoint"]: r
+            for r in vocab_growth(df, n_checkpoints=2).collect()
+        }
+        assert got[1]["docs_prefix"] == 2 and got[1]["new_types"] == 3
+        assert got[2]["docs_prefix"] == 4 and got[2]["new_types"] == 1
+        assert got[1]["vocab_size"] == 3 and got[2]["vocab_size"] == 4
+
+    def test_vocab_growth_partition_invariant(self, spark):
+        from p2_mapreduce_spark.operators.text_analysis import vocab_growth
+
+        rows = [(i, f"w{i % 7} w{i % 13} common") for i in range(1, 41)]
+        df1 = spark.createDataFrame(rows, ["doc_id", "text"])
+        df8 = df1.repartition(8)
+        a = sorted(map(tuple, vocab_growth(df1, 5).collect()))
+        b = sorted(map(tuple, vocab_growth(df8, 5).collect()))
+        assert a == b
+        # final point is the total distinct-type count
+        assert a[-1][3] == 14  # {w0..w12} ∪ {common}
+
 
 def test_prorate_pool_sums_exactly_and_orders_remainders(spark):
     """Largest-remainder invariants: per-order allocations sum EXACTLY
