@@ -1405,6 +1405,31 @@ def _q_vocab_growth(spark, sf_dir):
     return vocab_growth(load_table(spark, sf_dir, "documents"))
 
 
+def _q_wilson_ci(spark, sf_dir):
+    """Per-type success rate with Wilson 95% score interval — pinned
+    shared IEEE formula tree, bit-identical cross-engine."""
+    from p2_mapreduce_spark.operators.events_analytics import wilson_ci
+
+    return wilson_ci(load_table(spark, sf_dir, "events"), success_min=10.0)
+
+
+def _q_decayed_engagement(spark, sf_dir):
+    """Per-user 1-day-half-life decayed engagement — exact integer
+    micro-units, partition/engine-invariant."""
+    from p2_mapreduce_spark.operators.events_analytics import decayed_engagement
+
+    return decayed_engagement(load_table(spark, sf_dir, "events"))
+
+
+def _q_join_size_estimate(spark, sf_dir):
+    """Join-cardinality profile of the events-on-user_id self-join
+    (Σ d(u)²) from key-grain degree aggregates — fact tables never join."""
+    from p2_mapreduce_spark.operators.profile import join_size_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    return join_size_estimate(ev, ev, "user_id", "user_id")
+
+
 def _q_token_diversity(spark, sf_dir):
     """Gini-Simpson lexical diversity + type-token ratio per source —
     exact rational (n² − Σc²)/n² with DECIMAL sums."""
@@ -2304,6 +2329,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merkle_ranges": _q_merkle_ranges,
         "twap": _q_twap,
         "vocab_growth": _q_vocab_growth,
+        "wilson_ci": _q_wilson_ci,
+        "decayed_engagement": _q_decayed_engagement,
+        "join_size_estimate": _q_join_size_estimate,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -2521,6 +2549,36 @@ def _simhash_sql(toks: str, max_hamming: int = 3) -> str:
                CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
         FROM cand
         WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
+
+
+def _wilson_sql(success_min: float = 10.0) -> str:
+    """Wilson-interval oracle: the SAME formula tree strings the Spark
+    side evaluates (operators/events_analytics.py WILSON_CENTER/HALF),
+    so both engines run byte-identical IEEE arithmetic."""
+    from p2_mapreduce_spark.operators.events_analytics import (
+        WILSON_CENTER,
+        WILSON_HALF,
+    )
+
+    return f"""
+        WITH per AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_obs,
+                   CAST(SUM(CASE WHEN value >= {success_min!r} THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_success
+            FROM events GROUP BY event_type
+        ),
+        base AS (
+            SELECT event_type, n_obs, n_success,
+                   CAST(n_success AS DOUBLE) / CAST(n_obs AS DOUBLE) AS p,
+                   CAST(n_obs AS DOUBLE) AS n
+            FROM per
+        )
+        SELECT event_type, n_obs, n_success, p AS phat,
+               {WILSON_CENTER} - {WILSON_HALF} AS wilson_lo,
+               {WILSON_CENTER} + {WILSON_HALF} AS wilson_hi
+        FROM base
     """
 
 
@@ -3271,6 +3329,56 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(100 AS DOUBLE) AS twap
             FROM p GROUP BY g
         """.format(ev="(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"),
+        "wilson_ci": _wilson_sql(),
+        "decayed_engagement": """
+            WITH anchor AS (
+                SELECT MAX(CAST(ts AS DATE)) AS anchor_d FROM events
+            ),
+            aged AS (
+                SELECT user_id,
+                       datediff('day', CAST(ts AS DATE), anchor_d) AS age,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events, anchor
+            ),
+            per AS (
+                SELECT user_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_events,
+                       CAST(SUM(CASE WHEN age <= 40 THEN (cents * 10000)
+                                // (CAST(1 AS BIGINT) << age)
+                                ELSE CAST(0 AS BIGINT) END) AS BIGINT)
+                           AS decayed_micro
+                FROM aged GROUP BY user_id
+            )
+            SELECT user_id, n_events, decayed_micro,
+                   CAST(decayed_micro AS DOUBLE) / 1.0e6 AS decayed_value
+            FROM per
+        """,
+        "join_size_estimate": """
+            WITH da AS (
+                SELECT user_id AS k, COUNT(*) AS cnt_a
+                FROM events GROUP BY 1
+            ),
+            db AS (
+                SELECT user_id AS k, COUNT(*) AS cnt_b
+                FROM events GROUP BY 1
+            ),
+            contrib AS (
+                SELECT k, CAST(cnt_a AS DECIMAL(38,0)) * cnt_b AS prod
+                FROM da JOIN db USING (k)
+            ),
+            totals AS (
+                SELECT CAST(SUM(prod) AS BIGINT) AS est_rows,
+                       CAST(COUNT(*) AS BIGINT) AS n_keys,
+                       CAST(MAX(prod) AS BIGINT) AS max_key_rows
+                FROM contrib
+            )
+            SELECT est_rows, n_keys, max_key_rows,
+                   (SELECT CAST(MIN(k) AS BIGINT) FROM contrib, totals
+                    WHERE prod = max_key_rows) AS heaviest_key,
+                   CAST(max_key_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
+                       / CAST(est_rows AS DOUBLE) AS skew_ratio
+            FROM totals
+        """,
         "vocab_growth": f"""
             WITH ords AS (
                 SELECT doc_id AS id,

@@ -200,6 +200,9 @@ HEADLINE = (
     "merkle_ranges",
     "twap",
     "vocab_growth",
+    "wilson_ci",
+    "decayed_engagement",
+    "join_size_estimate",
 )
 
 

@@ -468,3 +468,114 @@ def daily_new_returning(events: DataFrame, user_col: str = "user_id") -> DataFra
             "cum_users",
         )
     )
+
+
+#: Wilson 95% score-interval formula trees, SHARED verbatim between the
+#: Spark side (F.expr) and the DuckDB oracle (f-string) — the OLS2_*
+#: device.  Inputs: columns ``p`` (success fraction, DOUBLE) and ``n``
+#: (trial count, DOUBLE).  Every literal is written in e-notation so
+#: BOTH engines parse it as DOUBLE (DuckDB reads bare ``1.96`` as
+#: DECIMAL and would compute a different — exact-decimal — tree); z is
+#: spelled as the product ``1.96e0 * 1.96e0`` rather than ``3.8416`` so
+#: z² is the same correctly-rounded double product on both sides.
+#: +, *, /, sqrt are each IEEE-correctly-rounded in both engines, so an
+#: identical parse tree gives bit-identical results.
+_WILSON_Z2 = "(1.96e0 * 1.96e0)"
+WILSON_CENTER = (
+    f"((p + {_WILSON_Z2} / (2.0e0 * n)) / (1.0e0 + {_WILSON_Z2} / n))"
+)
+WILSON_HALF = (
+    f"((1.96e0 * sqrt(p * (1.0e0 - p) / n + {_WILSON_Z2} / (4.0e0 * n * n)))"
+    f" / (1.0e0 + {_WILSON_Z2} / n))"
+)
+
+
+def wilson_ci(events: DataFrame, success_min: float = 10.0) -> DataFrame:
+    """Per-event-type success-rate readout with the Wilson 95% score
+    interval — the binomial CI that stays inside [0,1] and behaves at
+    small n and extreme p̂, which is why metric pipelines report it
+    instead of the naive normal interval (p̂ ± z√(p̂(1−p̂)/n) is wider
+    than [0,1] exactly when you need it most).
+
+    Success = ``value >= success_min`` (an exact double comparison).
+
+    Shape at 100 TB: one map-side-combined conditional aggregate at
+    event_type grain — no shuffle of the fact table beyond the hash
+    exchange on the (tiny) type key; the interval arithmetic runs on
+    the #types-row aggregate.  Counts are exact BIGINTs; the interval
+    is one pinned IEEE tree (:data:`WILSON_CENTER` /
+    :data:`WILSON_HALF`) mirrored verbatim in the oracle, so the bounds
+    are bit-identical cross-engine (sqrt is IEEE-correctly-rounded in
+    both engines).
+    """
+    per = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum(F.when(F.col("value") >= success_min, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_success"),
+    )
+    base = per.select(
+        "event_type",
+        "n_obs",
+        "n_success",
+        (F.col("n_success").cast("double") / F.col("n_obs").cast("double")).alias(
+            "p"
+        ),
+        F.col("n_obs").cast("double").alias("n"),
+    )
+    return base.select(
+        "event_type",
+        "n_obs",
+        "n_success",
+        F.col("p").alias("phat"),
+        F.expr(f"{WILSON_CENTER} - {WILSON_HALF}").alias("wilson_lo"),
+        F.expr(f"{WILSON_CENTER} + {WILSON_HALF}").alias("wilson_hi"),
+    )
+
+
+def decayed_engagement(events: DataFrame, max_age: int = 40) -> DataFrame:
+    """Per-user exponentially time-decayed engagement score with a
+    ONE-DAY half-life in exact integer arithmetic: each event
+    contributes ``value · 2^(−age_days)`` where age is measured back
+    from the newest event date in the table — the recency-weighted
+    score feeds ranking, churn triage, and sample weighting, and decay
+    with a power-of-two base is the trick that keeps it bit-exact: the
+    contribution is computed as ``(cents · 10⁴) div 2^age`` in BIGINT
+    (truncating integral quotient — identical in Spark ``div`` and
+    DuckDB ``//`` for non-negative operands), summed exactly, and
+    divided by 10⁶ once at the surface.  No float accumulates across
+    rows, so the result is independent of partitioning, engine, and
+    summation order (the unordered-float-sum hazard).  Events older
+    than ``max_age`` days contribute exactly 0 (their quotient
+    underflows anyway at 10⁴ micro-units).
+
+    Shape at 100 TB: the anchor date is a one-row broadcast aggregate;
+    the score is one map-side-combined SUM at user grain — a single
+    hash exchange on ``user_id``.
+    """
+    anchor = events.agg(F.max(F.to_date("ts")).alias("anchor_d"))
+    aged = events.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff(F.col("anchor_d"), F.to_date("ts")).alias("age"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    term = F.expr(
+        f"CASE WHEN age <= {int(max_age)} THEN (cents * 10000)"
+        " div shiftleft(CAST(1 AS BIGINT), age) ELSE CAST(0 AS BIGINT) END"
+    )
+    return (
+        aged.select("user_id", term.alias("term"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("term").cast("bigint").alias("decayed_micro"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "decayed_micro",
+            (F.col("decayed_micro").cast("double") / F.lit(1000000.0)).alias(
+                "decayed_value"
+            ),
+        )
+    )

@@ -1735,3 +1735,63 @@ def merkle_ranges(
             )
         )
     return out
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Exact equi-join output-cardinality profile WITHOUT running the
+    join: |A ⋈ B| = Σ_k d_A(k)·d_B(k) over per-side key degrees — the
+    number the optimizer guesses from sketches, computed exactly here
+    as a planning/skew-triage tool (should this join be broadcast?
+    salted?  is one key about to produce half the output?).
+
+    Shape at 100 TB: two map-side-combined degree aggregates (one per
+    side, each at key grain) and one KEY-GRAIN join between them — the
+    fact tables are never joined, so the cost is two scans plus
+    key-cardinality-sized work.  Degree products are accumulated in
+    DECIMAL(38,0) (a 10⁹×10⁹-degree key would wrap BIGINT silently in
+    non-ANSI mode); the single heaviest key is tie-broken by MIN(key)
+    so the row is deterministic.  ``skew_ratio`` = max-key contribution
+    over the mean per-key contribution (max·n_keys/est) — the salting
+    alarm: ≫1 means one key dominates the join output.
+
+    Output (one row): est_rows, n_keys, max_key_rows, heaviest_key,
+    skew_ratio.
+    """
+    da = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt_a")
+    )
+    db = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt_b")
+    )
+    contrib = da.join(db, "k").select(
+        "k",
+        (F.col("cnt_a").cast("decimal(38,0)") * F.col("cnt_b")).alias("prod"),
+    )
+    totals = contrib.agg(
+        F.sum("prod").cast("bigint").alias("est_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("prod").cast("bigint").alias("max_key_rows"),
+    )
+    heavy = (
+        contrib.join(
+            F.broadcast(totals.select("max_key_rows")),
+            contrib["prod"] == F.col("max_key_rows"),
+        )
+        .agg(F.min("k").cast("bigint").alias("heaviest_key"))
+    )
+    return totals.crossJoin(F.broadcast(heavy)).select(
+        "est_rows",
+        "n_keys",
+        "max_key_rows",
+        "heaviest_key",
+        (
+            F.col("max_key_rows").cast("double")
+            * F.col("n_keys").cast("double")
+            / F.col("est_rows").cast("double")
+        ).alias("skew_ratio"),
+    )

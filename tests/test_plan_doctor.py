@@ -103,6 +103,10 @@ FUNNEL_REVIEWED = {
     # vocab_growth: SinglePartition inputs are the #partitions-grain
     # offset table (two-phase rank) and the n_checkpoints-row curve
     "vocab_growth",
+    # decayed_engagement: one-row anchor-date broadcast aggregate;
+    # join_size_estimate: one-row totals + one-row heaviest-key argmax —
+    # all work feeding them is key-grain
+    "decayed_engagement", "join_size_estimate",
 }
 
 

@@ -546,3 +546,91 @@ def test_hist_state_stream_equals_batch(spark, sf_dir, tmp_path):
         ["event_type"], 0, 50_000, 500,
     ).collect()))
     assert qs_stream == qs_batch
+
+
+class TestRound3PlanningOps:
+    def test_wilson_ci_closed_form(self, spark):
+        import math
+
+        from p2_mapreduce_spark.operators.events_analytics import wilson_ci
+
+        # one type, 3 of 4 successes
+        rows = [(i, "2024-01-01 00:00:00", 1, "click", v, "{}")
+                for i, v in enumerate([20.0, 30.0, 40.0, 5.0])]
+        df = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        r = wilson_ci(df, success_min=10.0).collect()[0]
+        assert r["n_obs"] == 4 and r["n_success"] == 3
+        z2 = 1.96 * 1.96
+        p, n = 0.75, 4.0
+        center = (p + z2 / (2.0 * n)) / (1.0 + z2 / n)
+        half = (1.96 * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))) / (
+            1.0 + z2 / n
+        )
+        assert abs(r["wilson_lo"] - (center - half)) < 1e-12
+        assert abs(r["wilson_hi"] - (center + half)) < 1e-12
+        assert 0.0 <= r["wilson_lo"] <= r["phat"] <= r["wilson_hi"] <= 1.0
+
+    def test_decayed_engagement_closed_form(self, spark):
+        from p2_mapreduce_spark.operators.events_analytics import (
+            decayed_engagement,
+        )
+
+        # anchor = 2024-01-03; ages 0, 1, 2 -> weights 1, 1/2, 1/4
+        rows = [
+            (0, "2024-01-03 10:00:00", 1, "click", 8.0, "{}"),
+            (1, "2024-01-02 09:00:00", 1, "click", 8.0, "{}"),
+            (2, "2024-01-01 08:00:00", 1, "click", 8.0, "{}"),
+            (3, "2024-01-03 07:00:00", 2, "view", 1.11, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        got = {r["user_id"]: r for r in decayed_engagement(df).collect()}
+        # user 1: 800c*(1 + 1/2 + 1/4) = 8_000_000 + 4_000_000 + 2_000_000
+        assert got[1]["decayed_micro"] == 14_000_000
+        assert got[1]["decayed_value"] == 14.0
+        # user 2: floor(1.11*100)=111 cents age 0 -> 1_110_000
+        assert got[2]["decayed_micro"] == 1_110_000
+
+    def test_decayed_engagement_partition_invariant(self, spark):
+        from p2_mapreduce_spark.operators.events_analytics import (
+            decayed_engagement,
+        )
+
+        rows = [
+            (i, f"2024-01-{1 + i % 28:02d} 00:00:01", i % 5, "t", i * 0.07, "{}")
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        a = sorted(map(tuple, decayed_engagement(df).collect()))
+        b = sorted(map(tuple, decayed_engagement(df.repartition(7)).collect()))
+        assert a == b
+
+    def test_join_size_estimate_closed_form(self, spark):
+        from p2_mapreduce_spark.operators.profile import join_size_estimate
+
+        left = spark.createDataFrame(
+            [(1,), (1,), (2,), (3,)], ["k"]
+        )
+        right = spark.createDataFrame(
+            [(1,), (1,), (1,), (2,), (9,)], ["k"]
+        )
+        r = join_size_estimate(left, right, "k", "k").collect()[0]
+        # matched keys: 1 (2*3=6), 2 (1*1=1) -> est 7
+        assert r["est_rows"] == 7 and r["n_keys"] == 2
+        assert r["max_key_rows"] == 6 and r["heaviest_key"] == 1
+        assert r["skew_ratio"] == 6.0 * 2.0 / 7.0
+        # cross-check against the real join size
+        assert left.join(right, "k").count() == 7
+
+    def test_join_size_estimate_tie_breaks_min_key(self, spark):
+        from p2_mapreduce_spark.operators.profile import join_size_estimate
+
+        left = spark.createDataFrame([(5,), (3,), (8,)], ["k"])
+        r = join_size_estimate(left, left, "k", "k").collect()[0]
+        # all products tie at 1 -> heaviest = MIN key
+        assert r["heaviest_key"] == 3 and r["est_rows"] == 3
