@@ -1282,6 +1282,28 @@ def _q_media_resize(spark, sf_dir):
     return pixel_sums(resized)
 
 
+def _q_video_frames(spark, sf_dir):
+    """Real video demux: walk the concatenated-BMP stream by each
+    frame's self-declared byte length, decode every 2nd frame, emit
+    channel sums — oracle recomputes from the frame pixel formula."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_bmp_video,
+        video_frame_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return video_frame_stats(attach_bmp_video(docs), every_n=2)
+
+
+def _q_audio_wav(spark, sf_dir):
+    """Real WAV parse: RIFF chunk walk + 16-bit PCM decode of JVM-built
+    payloads; exact-integer amplitude features, closed-form oracle."""
+    from p2_mapreduce_spark.operators.multimodal import attach_wav, audio_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_stats(attach_wav(docs))
+
+
 def _q_media_pixels(spark, sf_dir):
     """Real BMP decode of JVM-built payloads: per-image channel sums
     recomputed by the oracle's closed form over the pixel formula."""
@@ -2316,6 +2338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _q_media_decode,
         "media_resize": _q_media_resize,
         "media_pixels": _q_media_pixels,
+        "video_frames": _q_video_frames,
+        "audio_wav": _q_audio_wav,
         "weighted_median": _q_weighted_median,
         "kmv_distinct": _q_kmv_distinct,
         "cramers_v": _q_cramers_v,
@@ -3824,6 +3848,57 @@ def oracle_sql() -> dict[str, str]:
                         + 4 * w * (h * (h - 1) // 2)
                         + 14 * w * h AS BIGINT) AS sum_r
             FROM dims
+        """,
+        "video_frames": """
+            WITH dims AS (
+                SELECT doc_id AS media_id,
+                       4 + doc_id % 9 AS w,
+                       4 + (doc_id * 3) % 9 AS h,
+                       (doc_id % 16) * 3 AS base,
+                       2 + doc_id % 8 AS nf
+                FROM documents
+            ),
+            fr AS (
+                SELECT media_id, w, h, base,
+                       unnest(generate_series(0, nf - 1, 2)) AS f
+                FROM dims
+            )
+            SELECT media_id,
+                   CAST(f AS INT) AS frame_idx,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(w * h * (base + 2 * f)
+                        + 5 * h * (w * (w - 1) // 2)
+                        + 4 * w * (h * (h - 1) // 2) AS BIGINT) AS sum_b,
+                   CAST(w * h * (base + 2 * f + 7)
+                        + 5 * h * (w * (w - 1) // 2)
+                        + 4 * w * (h * (h - 1) // 2) AS BIGINT) AS sum_g,
+                   CAST(w * h * (base + 2 * f + 14)
+                        + 5 * h * (w * (w - 1) // 2)
+                        + 4 * w * (h * (h - 1) // 2) AS BIGINT) AS sum_r
+            FROM fr
+        """,
+        "audio_wav": """
+            WITH d AS (
+                SELECT doc_id AS media_id,
+                       64 + doc_id % 64 AS n,
+                       8000 + (doc_id % 3) * 4000 AS rate
+                FROM documents
+            ),
+            s AS (
+                SELECT media_id, n, rate,
+                       ((media_id * 31 + g.i * 7) % 4096) - 2048 AS samp
+                FROM d, LATERAL (
+                    SELECT unnest(generate_series(0, n - 1)) AS i
+                ) g
+            )
+            SELECT media_id,
+                   CAST(MAX(rate) AS INT) AS sample_rate,
+                   CAST(MAX(n) AS BIGINT) AS n_samples,
+                   CAST(MAX(n) * 1000 // MAX(rate) AS BIGINT) AS duration_ms,
+                   CAST(SUM(samp) AS BIGINT) AS sum_amp,
+                   CAST(MAX(abs(samp)) AS BIGINT) AS peak_amp
+            FROM s GROUP BY media_id
         """,
         "text_stats": f"""
             SELECT lang,

@@ -203,6 +203,8 @@ HEADLINE = (
     "wilson_ci",
     "decayed_engagement",
     "join_size_estimate",
+    "video_frames",
+    "audio_wav",
 )
 
 

@@ -614,3 +614,260 @@ def attach_png(docs: DataFrame) -> DataFrame:
         F.lit("image").alias("modality"),
         F.unhex(hex_payload).alias("payload"),
     )
+
+
+def attach_bmp_video(docs: DataFrame, n_frames_max: int = 8) -> DataFrame:
+    """Multimodal table whose payloads are REAL multi-frame video
+    streams: ``2 + doc_id % n_frames_max`` complete uncompressed 24-bpp
+    BMP files concatenated back-to-back — the motion-JPEG container
+    idea (a stream of self-delimiting complete still frames) with the
+    one still format this container can build and decode without
+    dependencies.  The stream is self-delimiting: each frame's byte
+    length sits in its own BMP header (file-size field, offset 2), so a
+    real demuxer walk — read size, slice, decode — is required and
+    exercised by :func:`video_frame_stats`.
+
+    Frame ``f`` follows the :func:`attach_bmp` pixel formula with base
+    shifted by ``2·f`` (a linear "brightening" over time, keeping every
+    byte < 256 and the per-frame channel sums closed-form recomputable
+    in SQL).  All frames of one stream share dimensions, so the header
+    is built once and reused per frame; the whole payload is one
+    codegen hex fold + ``unhex`` — no Python, no driver loop."""
+    w = (F.lit(4) + F.pmod(F.col("doc_id"), F.lit(9))).cast("int")
+    h = (F.lit(4) + F.pmod(F.col("doc_id") * 3, F.lit(9))).cast("int")
+    base = (F.pmod(F.col("doc_id"), F.lit(16)) * 3).cast("int")
+    nf = (F.lit(2) + F.pmod(F.col("doc_id"), F.lit(int(n_frames_max)))).cast(
+        "int"
+    )
+    d = docs.select(
+        F.col("doc_id").alias("media_id"),
+        w.alias("w"),
+        h.alias("h"),
+        base.alias("base"),
+        nf.alias("nf"),
+    )
+    row_size = ((F.col("w") * 3 + 3) / 4).cast("long") * 4
+    img_size = row_size * F.col("h")
+    header_hex = F.concat(
+        F.lit("424d"),
+        _le_hex(F.lit(54) + img_size, 4),
+        F.lit("00000000"),
+        _le_hex(F.lit(54), 4),
+        _le_hex(F.lit(40), 4),
+        _le_hex(F.col("w"), 4),
+        _le_hex(F.col("h"), 4),
+        _le_hex(F.lit(1), 2),
+        _le_hex(F.lit(24), 2),
+        _le_hex(F.lit(0), 4),
+        _le_hex(img_size, 4),
+        _le_hex(F.lit(2835), 4),
+        _le_hex(F.lit(2835), 4),
+        _le_hex(F.lit(0), 4),
+        _le_hex(F.lit(0), 4),
+    )
+    d = d.withColumn("hdr", header_hex)
+    row_hex = (
+        "array_join(transform(sequence(0, w-1), x -> "
+        "format_string('%02x%02x%02x', "
+        "base + 2*f + 5*x + 4*(h-1-r), "
+        "base + 2*f + 5*x + 4*(h-1-r) + 7, "
+        "base + 2*f + 5*x + 4*(h-1-r) + 14)), '')"
+    )
+    frame_hex = (
+        f"concat(hdr, array_join(transform(sequence(0, h-1), r -> "
+        f"concat({row_hex}, repeat('00', (4 - (w*3) % 4) % 4))), ''))"
+    )
+    stream_hex = F.expr(
+        f"array_join(transform(sequence(0, nf-1), f -> {frame_hex}), '')"
+    )
+    return d.select(
+        "media_id",
+        F.lit("video").alias("modality"),
+        F.unhex(stream_hex).alias("payload"),
+    )
+
+
+FRAME_STATS_SCHEMA = (
+    "media_id long, frame_idx int, width int, height int, "
+    "sum_b long, sum_g long, sum_r long"
+)
+
+
+def video_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling: demux the concatenated-BMP stream by walking
+    each frame's self-declared byte length, decode every ``every_n``-th
+    frame with the real BMP decoder, and emit per-frame channel sums —
+    the pixel-level half that :func:`frame_sample` (index planning over
+    metadata) deliberately leaves to a second kernel.  One Arrow batch
+    of payloads in, a variable number of frame rows out — the exact
+    fan-out shape of production frame extraction.  A corrupt or
+    truncated tail quarantines the remaining frames (the walk stops)
+    instead of failing the stage."""
+    from p2_mapreduce_spark.mapreduce import _ship_by_value
+
+    _ship_by_value(_parse_bmp)
+    step = int(every_n)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def frames(payload: bytes):
+            b = payload or b""
+            pos, idx = 0, 0
+            while pos + 54 <= len(b) and b[pos : pos + 2] == b"BM":
+                size = int.from_bytes(b[pos + 2 : pos + 6], "little")
+                if size < 54 or pos + size > len(b):
+                    break  # truncated tail: quarantine the rest
+                if idx % step == 0:
+                    parsed = _parse_bmp(b[pos : pos + size])
+                    if parsed is None:
+                        break
+                    w, h, grid = parsed
+                    yield (
+                        idx,
+                        w,
+                        h,
+                        sum(px[0] for row in grid for px in row),
+                        sum(px[1] for row in grid for px in row),
+                        sum(px[2] for row in grid for px in row),
+                    )
+                pos += size
+                idx += 1
+
+        for pdf in it:
+            out = [
+                (mid,) + fr
+                for mid, p in zip(pdf["media_id"], pdf["payload"])
+                for fr in frames(p)
+            ]
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "frame_idx",
+                    "width",
+                    "height",
+                    "sum_b",
+                    "sum_g",
+                    "sum_r",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=FRAME_STATS_SCHEMA
+    )
+
+
+def attach_wav(docs: DataFrame) -> DataFrame:
+    """Multimodal table whose payloads are REAL, complete WAV files —
+    RIFF/WAVE header, PCM ``fmt `` chunk, 16-bit little-endian signed
+    mono samples — built entirely JVM-side (hex fold + ``unhex``), so
+    the audio plane gets the same genuine-bytes treatment as the BMP
+    pixel plane.  Sample ``i`` of stream ``id`` is the sawtooth
+    ``((id·31 + i·7) mod 4096) − 2048`` — deterministic, full signed
+    range, exactly recomputable in SQL; ``n_samples = 64 + id % 64``
+    and ``sample_rate ∈ {8000, 12000, 16000}`` vary per stream so
+    duration arithmetic is exercised."""
+    n = (F.lit(64) + F.pmod(F.col("doc_id"), F.lit(64))).cast("int")
+    rate = (F.lit(8000) + F.pmod(F.col("doc_id"), F.lit(3)) * 4000).cast("int")
+    d = docs.select(
+        F.col("doc_id").alias("media_id"), n.alias("n"), rate.alias("rate")
+    )
+    data_size = F.col("n") * 2
+    header_hex = F.concat(
+        F.lit("52494646"),                     # 'RIFF'
+        _le_hex(F.lit(36) + data_size, 4),     # chunk size
+        F.lit("57415645"),                     # 'WAVE'
+        F.lit("666d7420"),                     # 'fmt '
+        _le_hex(F.lit(16), 4),                 # fmt chunk size
+        _le_hex(F.lit(1), 2),                  # PCM
+        _le_hex(F.lit(1), 2),                  # mono
+        _le_hex(F.col("rate"), 4),             # sample rate
+        _le_hex(F.col("rate") * 2, 4),         # byte rate
+        _le_hex(F.lit(2), 2),                  # block align
+        _le_hex(F.lit(16), 2),                 # bits/sample
+        F.lit("64617461"),                     # 'data'
+        _le_hex(data_size, 4),
+    )
+    # samples as two's-complement LE16: pmod(sample, 65536) then low/high
+    samples_hex = F.expr(
+        "array_join(transform(sequence(0, n-1), i -> "
+        "format_string('%02x%02x', "
+        "pmod(pmod(media_id*31 + i*7, 4096) - 2048, 65536) % 256, "
+        "(pmod(pmod(media_id*31 + i*7, 4096) - 2048, 65536) div 256) % 256"
+        ")), '')"
+    )
+    return d.select(
+        "media_id",
+        F.lit("audio").alias("modality"),
+        F.unhex(F.concat(header_hex, samples_hex)).alias("payload"),
+    )
+
+
+AUDIO_STATS_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, duration_ms long, "
+    "sum_amp long, peak_amp long"
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction: a dependency-free RIFF/WAVE parser
+    (proper chunk walk — ``fmt `` and ``data`` may be separated by
+    arbitrary chunks like ``LIST``), 16-bit PCM sample decode, and
+    exact-integer aggregate features (sum and peak amplitude,
+    truncating-division duration).  Non-WAV or truncated payloads
+    quarantine as a 0-sample row.  Same Arrow-batched ``mapInPandas``
+    plumbing as every other kernel."""
+    from p2_mapreduce_spark.mapreduce import _ship_by_value
+
+    def parse_wav(b: bytes):
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        rate, bits, data = None, None, None
+        pos = 12
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            body = b[pos + 8 : pos + 8 + size]
+            if cid == b"fmt " and len(body) >= 16:
+                rate = int.from_bytes(body[4:8], "little")
+                bits = int.from_bytes(body[14:16], "little")
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+        if rate is None or bits != 16 or data is None:
+            return None
+        n = len(data) // 2
+        samples = [
+            int.from_bytes(data[2 * i : 2 * i + 2], "little", signed=True)
+            for i in range(n)
+        ]
+        return (
+            rate,
+            n,
+            n * 1000 // rate if rate else 0,
+            sum(samples),
+            max((abs(s) for s in samples), default=0),
+        )
+
+    _ship_by_value(parse_wav)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            parsed = parse_wav(payload or b"")
+            return parsed if parsed is not None else (0, 0, 0, 0, 0)
+
+        for pdf in it:
+            vals = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "sample_rate": [v[0] for v in vals],
+                    "n_samples": [v[1] for v in vals],
+                    "duration_ms": [v[2] for v in vals],
+                    "sum_amp": [v[3] for v in vals],
+                    "peak_amp": [v[4] for v in vals],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=AUDIO_STATS_SCHEMA
+    )

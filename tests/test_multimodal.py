@@ -186,3 +186,116 @@ def test_attach_png_payloads_are_valid_png_prologues(spark, sf_dir):
            for r in decode_media(media, decoder="headers").collect()}
     for mid in payloads:
         assert got[mid] == (16 + mid % 64, 16 + (mid * 7) % 64)
+
+
+class TestVideoAudioCodecs:
+    """Real demux/parse kernels: frame walk by self-declared length,
+    RIFF chunk walk, and quarantine on truncation/corruption."""
+
+    def test_video_demux_counts_and_sampling(self, spark):
+        from p2_mapreduce_spark.operators.multimodal import (
+            attach_bmp_video,
+            video_frame_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(20)], ["doc_id", "text"]
+        )
+        media = attach_bmp_video(docs)
+        got = {}
+        for r in video_frame_stats(media, every_n=2).collect():
+            got.setdefault(r["media_id"], []).append(r["frame_idx"])
+        for mid in range(20):
+            nf = 2 + mid % 8
+            assert sorted(got[mid]) == list(range(0, nf, 2)), mid
+
+    def test_video_frame_pixels_match_formula(self, spark):
+        from p2_mapreduce_spark.operators.multimodal import (
+            attach_bmp_video,
+            video_frame_stats,
+        )
+
+        docs = spark.createDataFrame([(7, "x")], ["doc_id", "text"])
+        rows = video_frame_stats(attach_bmp_video(docs), every_n=1).collect()
+        w, h, base = 4 + 7 % 9, 4 + 21 % 9, (7 % 16) * 3
+        tri = 5 * h * (w * (w - 1) // 2) + 4 * w * (h * (h - 1) // 2)
+        assert len(rows) == 2 + 7 % 8
+        for r in rows:
+            f = r["frame_idx"]
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["sum_b"] == w * h * (base + 2 * f) + tri
+            assert r["sum_g"] == w * h * (base + 2 * f + 7) + tri
+            assert r["sum_r"] == w * h * (base + 2 * f + 14) + tri
+
+    def test_video_truncated_tail_quarantines(self, spark):
+        from pyspark.sql import functions as F
+
+        from p2_mapreduce_spark.operators.multimodal import (
+            attach_bmp_video,
+            video_frame_stats,
+        )
+
+        docs = spark.createDataFrame([(4, "x")], ["doc_id", "text"])
+        media = attach_bmp_video(docs)
+        full = video_frame_stats(media, every_n=1).count()
+        # chop 10 bytes off the stream: the LAST frame is truncated and
+        # must be dropped; earlier frames still decode
+        clipped = media.select(
+            "media_id",
+            F.expr("substring(payload, 1, length(payload) - 10)").alias(
+                "payload"
+            ),
+        )
+        part = video_frame_stats(clipped, every_n=1).count()
+        assert part == full - 1 > 0
+
+    def test_wav_roundtrip_and_chunk_walk(self, spark):
+        from p2_mapreduce_spark.operators.multimodal import (
+            attach_wav,
+            audio_stats,
+        )
+
+        docs = spark.createDataFrame([(5, "x")], ["doc_id", "text"])
+        r = audio_stats(attach_wav(docs)).collect()[0]
+        n, rate = 64 + 5 % 64, 8000 + (5 % 3) * 4000
+        samples = [((5 * 31 + i * 7) % 4096) - 2048 for i in range(n)]
+        assert r["sample_rate"] == rate and r["n_samples"] == n
+        assert r["duration_ms"] == n * 1000 // rate
+        assert r["sum_amp"] == sum(samples)
+        assert r["peak_amp"] == max(abs(s) for s in samples)
+
+    def test_wav_parser_skips_interleaved_chunks(self, spark):
+        import pandas as pd
+
+        from p2_mapreduce_spark.operators.multimodal import audio_stats
+
+        # hand-build a WAV with a LIST chunk BETWEEN fmt and data — the
+        # chunk walk must skip it (a naive fixed-offset parse breaks)
+        rate, samples = 8000, [100, -100, 32000, -32768]
+        data = b"".join(
+            (s + 65536 if s < 0 else s).to_bytes(2, "little") for s in samples
+        )
+        fmt = (
+            (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        )
+        lst = b"INFOjunk"  # odd-size payloads also test word alignment
+        body = (
+            b"fmt " + (16).to_bytes(4, "little") + fmt
+            + b"LIST" + (7).to_bytes(4, "little") + lst[:7] + b"\x00"
+            + b"data" + len(data).to_bytes(4, "little") + data
+        )
+        wav = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+        df = spark.createDataFrame(
+            pd.DataFrame({"media_id": [1], "payload": [wav]})
+        )
+        r = audio_stats(df).collect()[0]
+        assert r["n_samples"] == 4 and r["peak_amp"] == 32768
+        assert r["sum_amp"] == 100 - 100 + 32000 - 32768
+        # corrupt magic quarantines as the zero row
+        df2 = spark.createDataFrame(
+            pd.DataFrame({"media_id": [2], "payload": [b"JUNK" + wav[4:]]})
+        )
+        r2 = audio_stats(df2).collect()[0]
+        assert tuple(r2)[1:] == (0, 0, 0, 0, 0)

@@ -311,6 +311,10 @@ PYTHON_ALLOWED = {
     # over the same Arrow-batched mapInPandas plumbing — genuine pixel
     # work is Python by design in this container
     "media_pixels",
+    # real demux/parse kernels (concatenated-BMP frame walk, RIFF/WAVE
+    # PCM chunk walk) — payload-touching stages, Python by design
+    "video_frames",
+    "audio_wav",
 }
 
 
