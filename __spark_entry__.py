@@ -542,6 +542,30 @@ def _q_dedup_docs(spark, sf_dir):
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def _q_doc_novelty(spark, sf_dir):
+    """Per-doc first-occurrence shingle share — doc-grain attribution
+    twin of vocab_growth; no self-join, shingle-vocabulary-grain MIN."""
+    from p2_mapreduce_spark.operators.dedup import doc_novelty
+
+    return doc_novelty(load_table(spark, sf_dir, "documents"))
+
+
+def _q_feature_hash(spark, sf_dir):
+    """Hashing-trick featurizer: md5-device bucket + sign, (doc, bucket)
+    signed counts — no vocabulary pass, engine-reproducible."""
+    from p2_mapreduce_spark.operators.curation import feature_hash
+
+    return feature_hash(load_table(spark, sf_dir, "documents"))
+
+
+def _q_target_encode(spark, sf_dir):
+    """Leave-one-out mean encoding of order priority — exact cents,
+    category-grain broadcast, singleton categories NULL."""
+    from p2_mapreduce_spark.operators.curation import target_encode
+
+    return target_encode(load_table(spark, sf_dir, "orders"))
+
+
 def _q_dedup_ngram(spark, sf_dir):
     from p2_mapreduce_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -2293,6 +2317,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": _q_session_window,
         "dedup_docs": _q_dedup_docs,
         "dedup_ngram": _q_dedup_ngram,
+        "doc_novelty": _q_doc_novelty,
+        "feature_hash": _q_feature_hash,
+        "target_encode": _q_target_encode,
         "dedup_allpairs": _q_dedup_allpairs,
         "record_linkage": _q_record_linkage,
         "dedup_minhash": _q_dedup_minhash,
@@ -3137,6 +3164,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id, md5(text) AS text_md5,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "doc_novelty": f"""
+            WITH sh AS ({shingles}),
+            first AS (
+                SELECT shingle, MIN(doc_id) AS first_doc
+                FROM sh GROUP BY shingle
+            ),
+            agg AS (
+                SELECT sh.doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                       CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1
+                                ELSE 0 END) AS BIGINT) AS n_novel
+                FROM sh JOIN first USING (shingle)
+                GROUP BY sh.doc_id
+            )
+            SELECT doc_id, n_shingles, n_novel,
+                   CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+                       AS novelty
+            FROM agg
+        """,
+        "feature_hash": f"""
+            SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS feat FROM (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % 64
+                           AS bucket,
+                       CASE WHEN CAST('0x' || substr(md5(word), 16, 1)
+                                       AS BIGINT) % 2 = 0
+                            THEN 1 ELSE -1 END AS s
+                FROM (
+                    SELECT doc_id,
+                           lower(unnest(regexp_split_to_array(text, '{_TOK}')))
+                               AS word
+                    FROM documents
+                )
+                WHERE word <> ''
+            )
+            GROUP BY doc_id, bucket
+        """,
+        "target_encode": """
+            WITH t AS (
+                SELECT o_orderkey, o_orderpriority,
+                       CAST(floor(o_totalprice * 100) AS BIGINT) AS own_cents
+                FROM orders
+            ),
+            per AS (
+                SELECT o_orderpriority,
+                       SUM(own_cents) AS cat_cents,
+                       CAST(COUNT(*) AS BIGINT) AS cat_n
+                FROM t GROUP BY 1
+            )
+            SELECT o_orderkey, o_orderpriority, cat_n,
+                   CASE WHEN cat_n > 1 THEN
+                       CAST(cat_cents - own_cents AS DOUBLE)
+                       / (CAST(cat_n - 1 AS DOUBLE) * 1.0e2)
+                   END AS loo_mean
+            FROM t JOIN per USING (o_orderpriority)
         """,
         "dedup_ngram": _ngram_pairs_sql(
             shingles,

@@ -205,6 +205,9 @@ HEADLINE = (
     "join_size_estimate",
     "video_frames",
     "audio_wav",
+    "doc_novelty",
+    "feature_hash",
+    "target_encode",
 )
 
 

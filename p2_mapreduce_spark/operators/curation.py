@@ -1219,3 +1219,90 @@ def systematic_sample(
         )
         .where(F.col("ordinal") % every == 0)
     )
+
+
+def feature_hash(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML'09): tokens map to a
+    FIXED ``n_buckets``-dimensional signed-count feature vector through
+    a hash — the featurizer that needs no vocabulary pass, no dict
+    broadcast, and no coordination, which is why it is the default for
+    streaming / 100 TB featurization (contrast ``dict_encode``, which
+    must materialize the vocabulary).  Bucket and sign both come from
+    the engine's md5 device (bucket = 60-bit prefix mod n_buckets, sign
+    = parity of the next nibble), so features are deterministic across
+    runs, partitionings, and ENGINES — the oracle recomputes them
+    exactly in SQL.
+
+    Shape at 100 TB: tokenize-explode (codegen), one map-side-combined
+    SUM at (doc, bucket) grain — per-doc output is bounded by
+    ``n_buckets`` regardless of document length.  Rows with an empty
+    token set produce no output (sparse semantics).
+    """
+    from p2_mapreduce_spark.functions.text import tokens_array
+    from p2_mapreduce_spark.session import spread
+
+    toks = spread(docs).select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_array(F.col(text_col))).alias("w"),
+    )
+    md5 = F.md5(F.col("w"))
+    bucket = (
+        F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
+        % F.lit(int(n_buckets))
+    )
+    sign = F.when(
+        F.conv(F.substring(md5, 16, 1), 16, 10).cast("long") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        toks.select(F.col("id").alias(id_col), bucket.alias("bucket"), sign.alias("s"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("s").cast("bigint").alias("feat"))
+    )
+
+
+def target_encode(
+    orders: DataFrame,
+    cat_col: str = "o_orderpriority",
+    target_col: str = "o_totalprice",
+    key_col: str = "o_orderkey",
+) -> DataFrame:
+    """Leave-one-out target (mean) encoding — the category featurizer
+    that replaces each row's category with the mean target of the OTHER
+    rows in that category, the standard leakage guard (plain mean
+    encoding lets each row see its own label; LOO removes it:
+    ``(Σ_cat − own) / (n_cat − 1)``).
+
+    Exactness: targets quantize to cents once (floor — deterministic),
+    category sums are exact BIGINTs, and the encoding is ONE division
+    of two exact integers — bit-identical cross-engine, order- and
+    partition-invariant.  Singleton categories (n=1) encode as NULL
+    (no "other rows" exist) rather than a fabricated prior.
+
+    Shape at 100 TB: one map-side-combined aggregate at category grain
+    (a handful of rows), broadcast-joined back to the fact table — the
+    fact table never shuffles.
+    """
+    cents = F.floor(F.col(target_col) * 100).cast("bigint")
+    t = orders.select(
+        F.col(key_col), F.col(cat_col), cents.alias("own_cents")
+    )
+    per_cat = t.groupBy(cat_col).agg(
+        F.sum("own_cents").alias("cat_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("cat_n"),
+    )
+    return t.join(F.broadcast(per_cat), cat_col).select(
+        key_col,
+        cat_col,
+        "cat_n",
+        F.when(
+            F.col("cat_n") > 1,
+            (F.col("cat_cents") - F.col("own_cents")).cast("double")
+            / ((F.col("cat_n") - 1).cast("double") * F.lit(100.0)),
+        ).alias("loo_mean"),
+    )

@@ -899,3 +899,48 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "containment")
     )
+
+
+def doc_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document shingle NOVELTY in ingestion order: the fraction of
+    a document's distinct n-gram shingles whose global FIRST occurrence
+    (minimum ``id_col``) is this document — the "is this doc adding new
+    content or re-arranging what the corpus already has?" curation
+    signal (template farms and boilerplate mills score near 0 even when
+    no single pair crosses a dedup threshold; :func:`vocab_growth` is
+    the corpus-level cumulative view of the same first-occurrence
+    device, this is the doc-grain attribution).
+
+    Shape at 100 TB: one shingle pass (:func:`hashed_shingles`), one
+    MIN aggregate at shingle-vocabulary grain, one join back on the
+    8-byte shingle hash, one doc-grain aggregate — no self-join, no
+    window.  Counts are exact BIGINTs; novelty is one IEEE division.
+    Documents with fewer than ``n`` tokens have no shingles and drop
+    out (no 0/0 row).
+    """
+    sh = hashed_shingles(docs, n, text_col, id_col).persist()
+    first = sh.groupBy("h").agg(F.min("doc").alias("first_doc"))
+    return (
+        sh.join(first, "h")
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("novelty"),
+        )
+    )

@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from p2_mapreduce_spark.session import spread
+
 #: Canonical multimodal record: opaque payload + typed metadata.
 MEDIA_SCHEMA = T.StructType(
     [
@@ -75,7 +77,7 @@ def attach_binary_mixed(docs: DataFrame) -> DataFrame:
 
 def _attach(docs: DataFrame, modality) -> DataFrame:
     payload = F.encode(F.col("text"), "UTF-8")
-    return docs.select(
+    return spread(docs).select(
         F.col("doc_id").alias("media_id"),
         modality.alias("modality"),
         payload.alias("payload"),
@@ -418,7 +420,7 @@ def attach_bmp(docs: DataFrame) -> DataFrame:
     w = (F.lit(4) + F.pmod(F.col("doc_id"), F.lit(9))).cast("int")
     h = (F.lit(4) + F.pmod(F.col("doc_id") * 3, F.lit(9))).cast("int")
     base = (F.pmod(F.col("doc_id"), F.lit(16)) * 3).cast("int")
-    d = docs.select(
+    d = spread(docs).select(
         F.col("doc_id").alias("media_id"),
         w.alias("w"),
         h.alias("h"),
@@ -609,7 +611,7 @@ def attach_png(docs: DataFrame) -> DataFrame:
         F.format_string("%08x", height),
         F.lit("08060000"),          # bit depth 8, RGBA, std methods
     )
-    return docs.select(
+    return spread(docs).select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("modality"),
         F.unhex(hex_payload).alias("payload"),
@@ -639,7 +641,7 @@ def attach_bmp_video(docs: DataFrame, n_frames_max: int = 8) -> DataFrame:
     nf = (F.lit(2) + F.pmod(F.col("doc_id"), F.lit(int(n_frames_max)))).cast(
         "int"
     )
-    d = docs.select(
+    d = spread(docs).select(
         F.col("doc_id").alias("media_id"),
         w.alias("w"),
         h.alias("h"),
@@ -768,7 +770,7 @@ def attach_wav(docs: DataFrame) -> DataFrame:
     duration arithmetic is exercised."""
     n = (F.lit(64) + F.pmod(F.col("doc_id"), F.lit(64))).cast("int")
     rate = (F.lit(8000) + F.pmod(F.col("doc_id"), F.lit(3)) * 4000).cast("int")
-    d = docs.select(
+    d = spread(docs).select(
         F.col("doc_id").alias("media_id"), n.alias("n"), rate.alias("rate")
     )
     data_size = F.col("n") * 2

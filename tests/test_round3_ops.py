@@ -634,3 +634,62 @@ class TestRound3PlanningOps:
         r = join_size_estimate(left, left, "k", "k").collect()[0]
         # all products tie at 1 -> heaviest = MIN key
         assert r["heaviest_key"] == 3 and r["est_rows"] == 3
+
+
+class TestFeaturizerOps:
+    def test_doc_novelty_closed_form(self, spark):
+        from p2_mapreduce_spark.operators.dedup import doc_novelty
+
+        # doc 1 introduces "a b c","b c d"; doc 2 repeats "a b c" and
+        # introduces "c d e"; doc 3 is all repeats; doc 4 too short
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d"),
+                (2, "a b c d e"),
+                (3, "a b c"),
+                (4, "x y"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r for r in doc_novelty(df).collect()}
+        assert got[1]["n_shingles"] == 2 and got[1]["n_novel"] == 2
+        assert got[2]["n_shingles"] == 3 and got[2]["n_novel"] == 1
+        assert got[3]["n_shingles"] == 1 and got[3]["n_novel"] == 0
+        assert got[3]["novelty"] == 0.0
+        assert 4 not in got  # no shingles, no row
+
+    def test_feature_hash_deterministic_and_bounded(self, spark):
+        from p2_mapreduce_spark.operators.curation import feature_hash
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta alpha"), (2, "alpha beta alpha")],
+            ["doc_id", "text"],
+        )
+        rows = feature_hash(df, n_buckets=8).collect()
+        by_doc = {}
+        for r in rows:
+            assert 0 <= r["bucket"] < 8
+            by_doc.setdefault(r["doc_id"], {})[r["bucket"]] = r["feat"]
+        # identical text -> identical feature vector
+        assert by_doc[1] == by_doc[2]
+        # |sum of magnitudes| conserved: 3 token occurrences
+        assert sum(abs(v) for v in by_doc[1].values()) <= 3
+        assert sum(abs(v) for v in by_doc[1].values()) % 2 == 3 % 2
+
+    def test_target_encode_loo_and_singleton(self, spark):
+        from p2_mapreduce_spark.operators.curation import target_encode
+
+        df = spark.createDataFrame(
+            [
+                (1, "HIGH", 10.0),
+                (2, "HIGH", 20.0),
+                (3, "HIGH", 30.0),
+                (4, "LOW", 99.0),
+            ],
+            ["o_orderkey", "o_orderpriority", "o_totalprice"],
+        )
+        got = {r["o_orderkey"]: r for r in target_encode(df).collect()}
+        assert got[1]["loo_mean"] == 25.0  # (20+30)/2
+        assert got[2]["loo_mean"] == 20.0
+        assert got[3]["loo_mean"] == 15.0
+        assert got[4]["loo_mean"] is None and got[4]["cat_n"] == 1
