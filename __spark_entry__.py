@@ -1476,6 +1476,22 @@ def _q_join_size_estimate(spark, sf_dir):
     return join_size_estimate(ev, ev, "user_id", "user_id")
 
 
+def _q_label_affinity(spark, sf_dir):
+    """Pairwise centroid cosine between embedding labels — exact decimal
+    per-dim sums, scale-invariant cosine on sum vectors."""
+    from p2_mapreduce_spark.operators.similarity import label_affinity
+
+    return label_affinity(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_theil_sen(spark, sf_dir):
+    """Theil–Sen robust daily-revenue slope per event type — pairwise
+    slopes at calendar grain, exact order-statistic median."""
+    from p2_mapreduce_spark.operators.timeseries import theil_sen_trend
+
+    return theil_sen_trend(load_table(spark, sf_dir, "events"))
+
+
 def _q_token_diversity(spark, sf_dir):
     """Gini-Simpson lexical diversity + type-token ratio per source —
     exact rational (n² − Σc²)/n² with DECIMAL sums."""
@@ -2383,6 +2399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilson_ci": _q_wilson_ci,
         "decayed_engagement": _q_decayed_engagement,
         "join_size_estimate": _q_join_size_estimate,
+        "label_affinity": _q_label_affinity,
+        "theil_sen": _q_theil_sen,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -3436,6 +3454,70 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(100 AS DOUBLE) AS twap
             FROM p GROUP BY g
         """.format(ev="(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"),
+        "label_affinity": """
+            WITH sums AS (
+                SELECT label AS lbl, g.i - 1 AS pos,
+                       CAST(CAST(SUM(CAST(CAST(embedding[g.i] AS VARCHAR)
+                                          AS DECIMAL(38,18)))
+                                 AS VARCHAR) AS DOUBLE) AS s
+                FROM embeddings,
+                     LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                              AS i) g
+                GROUP BY 1, 2
+            ),
+            vecs AS (
+                SELECT lbl, list(s ORDER BY pos) AS sv FROM sums GROUP BY lbl
+            ),
+            counts AS (
+                SELECT label AS lbl, CAST(COUNT(*) AS BIGINT) AS n
+                FROM embeddings GROUP BY 1
+            )
+            SELECT a.lbl AS label_a, b.lbl AS label_b,
+                   ca.n AS n_a, cb.n AS n_b,
+                   list_dot_product(a.sv, b.sv)
+                     / (sqrt(list_dot_product(a.sv, a.sv))
+                        * sqrt(list_dot_product(b.sv, b.sv))) AS cosine
+            FROM vecs a JOIN vecs b ON a.lbl < b.lbl
+            JOIN counts ca ON ca.lbl = a.lbl
+            JOIN counts cb ON cb.lbl = b.lbl
+        """,
+        "theil_sen": """
+            WITH daily AS (
+                SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                       SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            dx AS (
+                SELECT g, datediff('day', DATE '1970-01-01', d) AS x, y
+                FROM daily
+            ),
+            slopes AS (
+                SELECT a.g,
+                       CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+                           AS slope
+                FROM dx a JOIN dx b ON a.g = b.g AND a.x < b.x
+            ),
+            ranked AS (
+                SELECT g, slope,
+                       ROW_NUMBER() OVER (PARTITION BY g ORDER BY slope) AS r,
+                       COUNT(*) OVER (PARTITION BY g) AS n_pairs
+                FROM slopes
+            ),
+            mids AS (
+                SELECT g, CAST(n_pairs AS BIGINT) AS n_pairs,
+                       (MIN(slope) + MAX(slope)) / 2.0e0
+                           AS slope_cents_per_day
+                FROM ranked
+                WHERE r = (n_pairs + 1) // 2 OR r = (n_pairs + 2) // 2
+                GROUP BY g, n_pairs
+            ),
+            days AS (
+                SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days
+                FROM daily GROUP BY g
+            )
+            SELECT mids.g AS event_type, n_days, n_pairs, slope_cents_per_day
+            FROM mids JOIN days USING (g)
+        """,
         "wilson_ci": _wilson_sql(),
         "decayed_engagement": """
             WITH anchor AS (

@@ -208,6 +208,8 @@ HEADLINE = (
     "doc_novelty",
     "feature_hash",
     "target_encode",
+    "label_affinity",
+    "theil_sen",
 )
 
 

@@ -945,3 +945,69 @@ def negative_pairs(
         .select(id_col, "j", "neg_id")
     )
     return out
+
+
+def label_affinity(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Pairwise centroid cosine between embedding LABELS — the
+    cluster/domain affinity matrix ("are these two sources semantically
+    close?") that drives mixture planning and contamination triage at
+    corpus level.
+
+    Cosine is scale-invariant, so it is computed on the per-label
+    centroid SUM vectors directly (cos(S_a/n_a, S_b/n_b) ≡ cos(S_a,
+    S_b) in real arithmetic; pinning ONE evaluation tree — sums, no
+    per-dim division — keeps it bit-identical cross-engine).  Per-dim
+    sums use the :func:`embedding_centroid` exactness protocol
+    (float→string→DECIMAL(38,18) accumulate → string→double), the
+    ordered sum-vector assembly is an ``array_sort(collect_list)`` at
+    (label, dim) grain, and the dot/norms are the same sequential fold
+    ``_dot`` the kNN family uses (DuckDB ``list_dot_product`` twin).
+
+    Shape at 100 TB: one map-side-combined aggregate at (label, dim)
+    grain — the corpus never shuffles at row grain; the pair join runs
+    at label² grain (a handful of rows).
+    """
+    exploded = embeddings.select(
+        F.col(label_col).alias("lbl"),
+        F.posexplode(vec_col).alias("pos", "val"),
+    )
+    dec = F.col("val").cast("string").cast("decimal(38,18)")
+    sums = exploded.groupBy("lbl", "pos").agg(
+        F.sum(dec).cast("string").cast("double").alias("s")
+    )
+    vecs = sums.groupBy("lbl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))),
+            lambda t: t["s"],
+        ).alias("sv")
+    )
+    counts = embeddings.groupBy(F.col(label_col).alias("lbl")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    vecs = vecs.join(counts, "lbl")
+    a = vecs.select(
+        F.col("lbl").alias("label_a"), F.col("sv").alias("va"), F.col("n").alias("n_a")
+    )
+    b = vecs.select(
+        F.col("lbl").alias("label_b"), F.col("sv").alias("vb"), F.col("n").alias("n_b")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            (
+                _dot(F.col("va"), F.col("vb"))
+                / (
+                    F.sqrt(_dot(F.col("va"), F.col("va")))
+                    * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+                )
+            ).alias("cosine"),
+        )
+    )

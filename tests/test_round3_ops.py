@@ -693,3 +693,69 @@ class TestFeaturizerOps:
         assert got[2]["loo_mean"] == 20.0
         assert got[3]["loo_mean"] == 15.0
         assert got[4]["loo_mean"] is None and got[4]["cat_n"] == 1
+
+
+class TestAffinityTrendOps:
+    def test_label_affinity_closed_form(self, spark):
+        from p2_mapreduce_spark.operators.similarity import label_affinity
+
+        # label 0: along e1; label 1: along e2; label 2: along (e1+e2)
+        rows = [
+            (0, [2.0, 0.0], 0),
+            (1, [3.0, 0.0], 0),
+            (2, [0.0, 5.0], 1),
+            (3, [1.0, 1.0], 2),
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        got = {
+            (r["label_a"], r["label_b"]): r
+            for r in label_affinity(df).collect()
+        }
+        assert got[(0, 1)]["cosine"] == 0.0
+        assert got[(0, 1)]["n_a"] == 2 and got[(0, 1)]["n_b"] == 1
+        import math
+
+        assert abs(got[(0, 2)]["cosine"] - 1 / math.sqrt(2)) < 1e-12
+        assert abs(got[(1, 2)]["cosine"] - 1 / math.sqrt(2)) < 1e-12
+
+    def test_theil_sen_robust_to_one_outlier(self, spark):
+        from p2_mapreduce_spark.operators.timeseries import theil_sen_trend
+
+        # daily totals 1,2,3,4 then a wild 100 on day 5: OLS would chase
+        # it; the pairwise-slope median stays at the clean trend (+1/day)
+        rows = []
+        eid = 0
+        for day, total in [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, 100.0)]:
+            rows.append(
+                (eid, f"2024-01-{day:02d} 12:00:00", 1, "t", total, "{}")
+            )
+            eid += 1
+        df = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        r = theil_sen_trend(df).collect()[0]
+        assert r["n_days"] == 5 and r["n_pairs"] == 10
+        # slopes (cents/day): six clean pairs at 100, plus 2400, 3200,
+        # 4800, 9600 from the outlier day -> sorted middle two are both
+        # 100 -> median 100 (the +$1/day trend)
+        assert r["slope_cents_per_day"] == 100.0
+
+    def test_theil_sen_even_middle_average(self, spark):
+        from p2_mapreduce_spark.operators.timeseries import theil_sen_trend
+
+        # 3 days -> 3 pairs (odd): median is the single middle slope;
+        # 4 days -> 6 pairs (even): median averages the two middles
+        rows = [
+            (0, "2024-01-01 00:00:01", 1, "t", 0.0, "{}"),
+            (1, "2024-01-02 00:00:01", 1, "t", 1.0, "{}"),
+            (2, "2024-01-03 00:00:01", 1, "t", 3.0, "{}"),
+            (3, "2024-01-04 00:00:01", 1, "t", 6.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        r = theil_sen_trend(df).collect()[0]
+        # slopes: 1-day: 100,200,300; 2-day: 150,250; 3-day: 200
+        # sorted: 100,150,200,200,250,300 -> median (200+200)/2 = 200
+        assert r["n_pairs"] == 6
+        assert r["slope_cents_per_day"] == 200.0
