@@ -1476,6 +1476,22 @@ def _q_join_size_estimate(spark, sf_dir):
     return join_size_estimate(ev, ev, "user_id", "user_id")
 
 
+def _q_ewma_daily(spark, sf_dir):
+    """Per-type exponentially-weighted daily revenue (1-day half-life) —
+    exact power-of-2 decay at calendar grain."""
+    from p2_mapreduce_spark.operators.timeseries import ewma_daily
+
+    return ewma_daily(load_table(spark, sf_dir, "events"))
+
+
+def _q_audience_overlap(spark, sf_dir):
+    """Pairwise event-type audience Jaccard — distinct (user, type)
+    grid, pairs generated inside each user's type set."""
+    from p2_mapreduce_spark.operators.events_analytics import audience_overlap
+
+    return audience_overlap(load_table(spark, sf_dir, "events"))
+
+
 def _q_label_affinity(spark, sf_dir):
     """Pairwise centroid cosine between embedding labels — exact decimal
     per-dim sums, scale-invariant cosine on sum vectors."""
@@ -2401,6 +2417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": _q_join_size_estimate,
         "label_affinity": _q_label_affinity,
         "theil_sen": _q_theil_sen,
+        "ewma_daily": _q_ewma_daily,
+        "audience_overlap": _q_audience_overlap,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -3480,6 +3498,53 @@ def oracle_sql() -> dict[str, str]:
             FROM vecs a JOIN vecs b ON a.lbl < b.lbl
             JOIN counts ca ON ca.lbl = a.lbl
             JOIN counts cb ON cb.lbl = b.lbl
+        """,
+        "ewma_daily": """
+            WITH daily AS (
+                SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                       SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            dx AS (
+                SELECT g, datediff('day', DATE '1970-01-01', d) AS x, d, y
+                FROM daily
+            ),
+            pair AS (
+                SELECT t.g, t.d, t.y,
+                       (c.y * 10000)
+                         // (CAST(1 AS BIGINT) << (t.x - c.x)) AS term
+                FROM dx t JOIN dx c
+                  ON t.g = c.g AND c.x <= t.x AND c.x > t.x - 40
+            )
+            SELECT g AS event_type,
+                   strftime(d, '%Y-%m-%d') AS day,
+                   CAST(y AS DOUBLE) / 1.0e2 AS day_value,
+                   CAST(SUM(term) AS BIGINT) AS ewma_micro,
+                   CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE) / 1.0e6
+                       AS ewma_value
+            FROM pair GROUP BY g, d, y
+        """,
+        "audience_overlap": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            per AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_aud
+                FROM ut GROUP BY 1
+            ),
+            b AS (
+                SELECT a.event_type AS type_a, bb.event_type AS type_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_both
+                FROM ut a JOIN ut bb
+                  ON a.user_id = bb.user_id
+                 AND a.event_type < bb.event_type
+                GROUP BY 1, 2
+            )
+            SELECT type_a, type_b, n_both,
+                   pa.n_aud AS n_a, pb.n_aud AS n_b,
+                   CAST(n_both AS DOUBLE)
+                     / CAST(pa.n_aud + pb.n_aud - n_both AS DOUBLE) AS jaccard
+            FROM b
+            JOIN per pa ON pa.event_type = type_a
+            JOIN per pb ON pb.event_type = type_b
         """,
         "theil_sen": """
             WITH daily AS (

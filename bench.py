@@ -210,6 +210,8 @@ HEADLINE = (
     "target_encode",
     "label_affinity",
     "theil_sen",
+    "ewma_daily",
+    "audience_overlap",
 )
 
 
@@ -234,7 +236,17 @@ def main() -> None:
     # first call vs 3.2 s steady-state for dedup_minhash at sf0.1).
     materialize(queries["wordcount"](spark, sf_dir))
     materialize(queries["filter_project"](spark, sf_dir))
-    for warm in ("dedup_minhash", "dedup_simhash", "dedup_allpairs"):
+    # the iterative graph family (driver loop of per-round jobs) pays the
+    # same one-time codegen tax on its join/checkpoint pipeline shapes
+    for warm in (
+        "dedup_minhash",
+        "dedup_simhash",
+        "dedup_allpairs",
+        "dedup_incremental",
+        "bfs_trade",
+        "dup_clusters_star",
+        "video_frames",
+    ):
         materialize(queries[warm](spark, "/root/testdata/sf0.001"))
     timings: dict[str, float] = {}
     for name in HEADLINE:

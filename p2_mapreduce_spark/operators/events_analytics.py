@@ -579,3 +579,52 @@ def decayed_engagement(events: DataFrame, max_age: int = 40) -> DataFrame:
             ),
         )
     )
+
+
+def audience_overlap(events: DataFrame) -> DataFrame:
+    """Pairwise AUDIENCE overlap between event types: for each type
+    pair, how many distinct users did both, either, and the Jaccard —
+    the segment-overlap matrix behind "should these two features share
+    a funnel?".
+
+    Shape at 100 TB: the fact table collapses to distinct (user, type)
+    in one map-side-combined aggregate; pair generation happens INSIDE
+    each user's type set (``n_types``² per user, with n_types bounded
+    by the type vocabulary — never a users×users or fact-table
+    self-join); per-type audience sizes broadcast back onto the
+    #type-pairs-row result.  All counts exact BIGINTs, Jaccard one IEEE
+    division.
+    """
+    ut = events.select("user_id", "event_type").distinct()
+    per_type = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_aud")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    pa = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("n_aud").alias("n_a")
+    )
+    pb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("n_aud").alias("n_b")
+    )
+    return (
+        both.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -1065,3 +1065,66 @@ def theil_sen_trend(events: DataFrame, group_col: str = "event_type") -> DataFra
             "slope_cents_per_day",
         )
     )
+
+
+def ewma_daily(events: DataFrame, group_col: str = "event_type", max_age: int = 40) -> DataFrame:
+    """Per-group exponentially-weighted daily revenue (half-life one
+    day): ``ewma(t) = Σ_{i≤t} x_i · 2^(t−i... )`` — the smoothing
+    baseline dashboards draw, computed EXACTLY: daily totals quantize to
+    cents once, each (day t, contributing day i) term is ``(cents_i ·
+    10⁴) div 2^(t−i)`` in BIGINT (the :func:`~p2_mapreduce_spark.
+    operators.events_analytics.decayed_engagement` power-of-2 device),
+    summed exactly and divided by 10⁶ once at the surface — no float
+    recursion, no accumulated rounding, partition/engine-invariant.
+
+    Shape at 100 TB: the fact table collapses to (group, day) cents in
+    one map-side-combined aggregate FIRST; the decay pairing is a
+    calendar-grain range join (≤ days × min(days, max_age) rows per
+    group — config-bounded), so smoothing cost is independent of event
+    volume.  Days beyond ``max_age`` back contribute exactly 0 and are
+    pruned by the join predicate.
+    """
+    daily = (
+        events.select(
+            F.col(group_col).alias("g"),
+            F.to_date("ts").alias("d"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("g", "d")
+        .agg(F.sum("cents").alias("y"))
+        .select(
+            "g",
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).alias("x"),
+            F.col("d"),
+            "y",
+        )
+    )
+    contrib = daily.select(
+        F.col("g").alias("g2"), F.col("x").alias("xi"), F.col("y").alias("yi")
+    )
+    pair = daily.join(
+        contrib,
+        (F.col("g") == F.col("g2"))
+        & (F.col("xi") <= F.col("x"))
+        & (F.col("xi") > F.col("x") - F.lit(int(max_age))),
+    )
+    term = F.expr("(yi * 10000) div shiftleft(CAST(1 AS BIGINT), x - xi)")
+    return (
+        pair.select(
+            "g",
+            F.col("d"),
+            F.col("y"),
+            term.alias("term"),
+        )
+        .groupBy("g", "d", "y")
+        .agg(F.sum("term").cast("bigint").alias("ewma_micro"))
+        .select(
+            F.col("g").alias(group_col),
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            (F.col("y").cast("double") / F.lit(100.0)).alias("day_value"),
+            "ewma_micro",
+            (F.col("ewma_micro").cast("double") / F.lit(1000000.0)).alias(
+                "ewma_value"
+            ),
+        )
+    )

@@ -759,3 +759,66 @@ class TestAffinityTrendOps:
         # sorted: 100,150,200,200,250,300 -> median (200+200)/2 = 200
         assert r["n_pairs"] == 6
         assert r["slope_cents_per_day"] == 200.0
+
+
+class TestSmoothingOverlapOps:
+    def test_ewma_daily_closed_form(self, spark):
+        from p2_mapreduce_spark.operators.timeseries import ewma_daily
+
+        # days 1..3 totals $1, $2, $4: ewma(d3) = 400 + 200/2 + 100/4
+        rows = [
+            (0, "2024-01-01 01:00:00", 1, "t", 1.0, "{}"),
+            (1, "2024-01-02 01:00:00", 1, "t", 2.0, "{}"),
+            (2, "2024-01-03 01:00:00", 1, "t", 4.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        got = {r["day"]: r for r in ewma_daily(df).collect()}
+        assert got["2024-01-01"]["ewma_micro"] == 1_000_000
+        assert got["2024-01-02"]["ewma_micro"] == 2_000_000 + 500_000
+        assert got["2024-01-03"]["ewma_micro"] == 4_000_000 + 1_000_000 + 250_000
+        assert got["2024-01-03"]["ewma_value"] == 5.25
+        assert got["2024-01-03"]["day_value"] == 4.0
+
+    def test_ewma_daily_gap_decays_through_missing_days(self, spark):
+        from p2_mapreduce_spark.operators.timeseries import ewma_daily
+
+        # a 2-day gap: day 4 sees day 1 at weight 1/8 (age counts
+        # calendar days, not observation ranks)
+        rows = [
+            (0, "2024-01-01 01:00:00", 1, "t", 8.0, "{}"),
+            (1, "2024-01-04 01:00:00", 1, "t", 1.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        got = {r["day"]: r for r in ewma_daily(df).collect()}
+        assert got["2024-01-04"]["ewma_micro"] == 1_000_000 + 1_000_000
+        # no synthetic rows for the silent days
+        assert set(got) == {"2024-01-01", "2024-01-04"}
+
+    def test_audience_overlap_closed_form(self, spark):
+        from p2_mapreduce_spark.operators.events_analytics import (
+            audience_overlap,
+        )
+
+        # users 1,2 do A; users 2,3,4 do B; user 4 also C
+        rows = []
+        for i, (u, t) in enumerate(
+            [(1, "A"), (2, "A"), (2, "B"), (3, "B"), (4, "B"), (4, "C"),
+             (2, "B")]  # duplicate event must not double-count
+        ):
+            rows.append((i, "2024-01-01 00:00:01", u, t, 1.0, "{}"))
+        df = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        got = {
+            (r["type_a"], r["type_b"]): r for r in audience_overlap(df).collect()
+        }
+        ab = got[("A", "B")]
+        assert (ab["n_both"], ab["n_a"], ab["n_b"]) == (1, 2, 3)
+        assert ab["jaccard"] == 1.0 / 4.0
+        bc = got[("B", "C")]
+        assert (bc["n_both"], bc["n_b"]) == (1, 1)
+        assert ("A", "C") not in got  # disjoint audiences produce no row
