@@ -1476,6 +1476,15 @@ def _q_join_size_estimate(spark, sf_dir):
     return join_size_estimate(ev, ev, "user_id", "user_id")
 
 
+def _q_cms_sketch(spark, sf_dir):
+    """Raw mergeable Count-Min state (seed, bucket, count) — the
+    persistable face of heavy_hitters; linear-sketch merge pinned in
+    pytest and exercised live by streaming cms_state_sink."""
+    from p2_mapreduce_spark.operators.text_analysis import cms_state
+
+    return cms_state(load_table(spark, sf_dir, "documents"))
+
+
 def _q_ewma_daily(spark, sf_dir):
     """Per-type exponentially-weighted daily revenue (1-day half-life) —
     exact power-of-2 decay at calendar grain."""
@@ -2419,6 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": _q_theil_sen,
         "ewma_daily": _q_ewma_daily,
         "audience_overlap": _q_audience_overlap,
+        "cms_sketch": _q_cms_sketch,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -4756,6 +4766,23 @@ def oracle_sql() -> dict[str, str]:
         # family) makes the whole sketch — not just the exact counts —
         # value-hash comparable; overcount >= 0 is the CMS guarantee as
         # data.
+        "cms_sketch": f"""
+            WITH tok AS (
+                SELECT word FROM (
+                    SELECT lower(unnest(regexp_split_to_array(text, '{_TOK}')))
+                        AS word
+                    FROM documents
+                ) WHERE word <> ''
+            ),
+            tc AS (SELECT word, COUNT(*) AS c FROM tok GROUP BY 1),
+            seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed)
+            SELECT seed,
+                   CAST(CAST('0x' || substr(md5(
+                       CAST(seed AS VARCHAR) || ':' || word), 18, 15)
+                       AS BIGINT) % 256 AS BIGINT) AS b,
+                   CAST(SUM(c) AS BIGINT) AS bucket_cnt
+            FROM tc CROSS JOIN seeds GROUP BY 1, 2
+        """,
         "heavy_hitters": f"""
             WITH tok AS (
                 SELECT word FROM (

@@ -212,6 +212,7 @@ HEADLINE = (
     "theil_sen",
     "ewma_daily",
     "audience_overlap",
+    "cms_sketch",
 )
 
 

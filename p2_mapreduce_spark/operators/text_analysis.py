@@ -816,3 +816,75 @@ def vocab_growth(
             F.sum("new_types").over(w_cum).cast("bigint").alias("vocab_size"),
         )
     )
+
+
+def _cms_buckets(word_col, depth: int, width: int):
+    """(seed, b) struct array for one token under the md5-60 CMS hash
+    family — shared by sketch build and point query so probe and state
+    can never disagree on the hash."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seed"),
+                (_md5_60(F.concat(F.lit(f"{s}:"), word_col)) % width).alias(
+                    "b"
+                ),
+            )
+            for s in range(depth)
+        ]
+    )
+
+
+def cms_state(
+    docs: DataFrame, depth: int = 4, width: int = 256, text_col: str = "text"
+) -> DataFrame:
+    """Mergeable Count-Min-Sketch STATE over the corpus tokens:
+    ``(seed, b, bucket_cnt)`` — ≤ depth×width rows regardless of corpus
+    size, the same construction :func:`heavy_hitters` builds inline,
+    exposed as a persistable state so split corpora (or a batch corpus
+    + a live stream — see ``streaming.sinks.cms_state_sink``) merge by
+    the associative bucket SUM (:func:`merge_cms_states`): CMS is a
+    linear sketch, so split ⊕ split == direct, bit-for-bit.
+
+    Shape at 100 TB: one token shuffle to the distinct-count table,
+    then bucket sums at vocabulary grain; the state is config-sized.
+    """
+    toks = spread(docs).select(
+        F.explode(tokens_array(F.col(text_col))).alias("word")
+    )
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.select("cnt", F.explode(_cms_buckets(F.col("word"), depth, width)).alias("sb"))
+        .groupBy(F.col("sb.seed").alias("seed"), F.col("sb.b").alias("b"))
+        .agg(F.sum("cnt").cast("bigint").alias("bucket_cnt"))
+    )
+
+
+def merge_cms_states(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Associative CMS merge: bucket-wise SUM of two states built with
+    the same (depth, width) — the linear-sketch property."""
+    return (
+        a.unionByName(b)
+        .groupBy("seed", "b")
+        .agg(F.sum("bucket_cnt").cast("bigint").alias("bucket_cnt"))
+    )
+
+
+def cms_query(
+    state: DataFrame, words: DataFrame, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-query a CMS state: per word, ``min`` over its depth bucket
+    counts — the one-sided estimate (``est >= true``).  ``words`` is a
+    one-column ``word`` DataFrame; the state broadcasts (config-sized)."""
+    probes = words.select(
+        "word", F.explode(_cms_buckets(F.col("word"), depth, width)).alias("sb")
+    ).select("word", F.col("sb.seed").alias("seed"), F.col("sb.b").alias("b"))
+    return (
+        probes.join(F.broadcast(state), ["seed", "b"], "left")
+        .groupBy("word")
+        .agg(
+            F.min(F.coalesce("bucket_cnt", F.lit(0)))
+            .cast("bigint")
+            .alias("cms_est")
+        )
+    )

@@ -389,3 +389,37 @@ def hist_state_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def cms_state_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    depth: int = 4,
+    width: int = 256,
+    text_col: str = "text",
+):
+    """Streaming HEAVY-HITTER sketch maintenance: each micro-batch's
+    Count-Min state (``text_analysis.cms_state``) folds into the
+    persisted state by the associative bucket SUM — CMS is a linear
+    sketch, so the live state always equals the batch sketch over all
+    data seen, bit-for-bit (pinned in pytest), and any token-frequency
+    point query answers from the ≤ depth×width state via ``cms_query``
+    without rescanning history.  The streaming twin of the
+    ``heavy_hitters`` batch operator, same versioned replay-idempotent
+    fold protocol as :func:`hist_state_sink`."""
+    from p2_mapreduce_spark.operators.text_analysis import (
+        cms_state,
+        merge_cms_states,
+    )
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        delta = cms_state(df, depth, width, text_col)
+        _fold_versioned(df.sparkSession, delta, batch_id, path, merge_cms_states)
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

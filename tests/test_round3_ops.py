@@ -822,3 +822,68 @@ class TestSmoothingOverlapOps:
         bc = got[("B", "C")]
         assert (bc["n_both"], bc["n_b"]) == (1, 1)
         assert ("A", "C") not in got  # disjoint audiences produce no row
+
+
+def test_cms_stream_equals_batch_and_query_bounds(spark, sf_dir, tmp_path):
+    """Streaming CMS maintenance: after all micro-batches drain the
+    persisted state equals the batch sketch bit-for-bit (linear-sketch
+    merge), point queries are one-sided (est >= true), and the split
+    merge is associative."""
+    from p2_mapreduce_spark.operators.text_analysis import (
+        cms_query,
+        cms_state,
+        merge_cms_states,
+    )
+    from p2_mapreduce_spark.session import load_table
+    from p2_mapreduce_spark.streaming.sinks import (
+        cms_state_sink,
+        load_latest_state,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    # associativity: split ⊕ split == direct
+    lo = docs.filter(F.col("doc_id") % 2 == 0)
+    hi = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = sorted(
+        map(tuple, merge_cms_states(cms_state(lo), cms_state(hi)).collect())
+    )
+    direct = sorted(map(tuple, cms_state(docs).collect()))
+    assert merged == direct
+    # streaming fold == batch
+    src = str(tmp_path / "docs_src")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = cms_state_sink(stream, str(tmp_path / "cms"), str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        map(
+            tuple,
+            load_latest_state(spark, str(tmp_path / "cms"))
+            .select("seed", "b", "bucket_cnt")
+            .collect(),
+        )
+    )
+    assert got == direct
+    # one-sided point estimates vs exact counts
+    exact = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\W+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .limit(20)
+    )
+    est = cms_query(
+        load_latest_state(spark, str(tmp_path / "cms")), exact.select("word")
+    )
+    joined = {r["word"]: r for r in est.join(exact, "word").collect()}
+    assert joined
+    for w, r in joined.items():
+        assert r["cms_est"] >= r["cnt"], w
