@@ -542,6 +542,14 @@ def _q_dedup_docs(spark, sf_dir):
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def _q_golden_record(spark, sf_dir):
+    """Canonical-document survivorship per near-dup cluster: longest doc
+    wins (tie → min id), drop count + sorted provenance string."""
+    from p2_mapreduce_spark.operators.dedup import golden_record
+
+    return golden_record(load_table(spark, sf_dir, "documents"))
+
+
 def _q_doc_novelty(spark, sf_dir):
     """Per-doc first-occurrence shingle share — doc-grain attribution
     twin of vocab_growth; no self-join, shingle-vocabulary-grain MIN."""
@@ -2359,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_docs": _q_dedup_docs,
         "dedup_ngram": _q_dedup_ngram,
         "doc_novelty": _q_doc_novelty,
+        "golden_record": _q_golden_record,
         "feature_hash": _q_feature_hash,
         "target_encode": _q_target_encode,
         "dedup_allpairs": _q_dedup_allpairs,
@@ -7762,6 +7771,31 @@ def oracle_sql() -> dict[str, str]:
                    PARTITION BY d.source ORDER BY qs.quality, qs.doc_id
                ) AS pct_in_source
         FROM qs JOIN documents d ON qs.doc_id = d.doc_id
+    """
+    # golden_record composes the dup_clusters closure verbatim, then
+    # cluster-grain survivorship (longest doc, tie -> min id)
+    out["golden_record"] = f"""
+        WITH comp AS ({out['dup_clusters']}),
+        member AS (
+            SELECT c.doc_id, c.cluster, c.cluster_size, d.source, d.n_chars
+            FROM comp c JOIN documents d USING (doc_id)
+        ),
+        per AS (
+            SELECT cluster,
+                   CAST(MAX(cluster_size) AS BIGINT) AS cluster_size,
+                   CAST(MAX(n_chars) AS BIGINT) AS canonical_chars,
+                   string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+            FROM member GROUP BY cluster
+        ),
+        canon AS (
+            SELECT m.cluster, CAST(MIN(m.doc_id) AS BIGINT) AS canonical_id
+            FROM member m JOIN per p
+              ON m.cluster = p.cluster AND m.n_chars = p.canonical_chars
+            GROUP BY m.cluster
+        )
+        SELECT per.cluster, cluster_size, canonical_id, canonical_chars,
+               CAST(cluster_size - 1 AS BIGINT) AS n_dropped, sources
+        FROM per JOIN canon USING (cluster)
     """
     out["ann_recall"] = f"""
         WITH exact AS ({out['knn_embeddings']}),

@@ -213,6 +213,7 @@ HEADLINE = (
     "ewma_daily",
     "audience_overlap",
     "cms_sketch",
+    "golden_record",
 )
 
 

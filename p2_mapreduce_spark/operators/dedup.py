@@ -944,3 +944,67 @@ def doc_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def golden_record(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivorship over near-duplicate clusters — the step AFTER
+    pair→cluster closure that entity-resolution pipelines call "golden
+    record" and corpus pipelines call canonical selection: per cluster,
+    keep the longest document (ties → smallest id, a total rule so the
+    choice is deterministic), count what gets dropped, and record the
+    provenance (sorted distinct source list) of what merged.
+
+    Composition of audited parts: exact n-gram pairs
+    (:func:`ngram_jaccard_pairs`) → label-propagation closure
+    (``graph.dup_clusters``) → cluster-grain survivorship (one MAX
+    aggregate + an equi-join back on (cluster, max) + MIN tie-break —
+    never a window over the corpus).  Sources surface as a
+    ``,``-joined sorted string, not an array (scalar-column output
+    contract).
+
+    Shape at 100 TB: survivorship work is cluster-grain; the dominant
+    cost is the upstream pair generation, already bucketed/df-capped.
+    """
+    from p2_mapreduce_spark.operators.graph import dup_clusters
+
+    pairs = ngram_jaccard_pairs(docs, threshold, n, text_col, id_col)
+    comp = dup_clusters(pairs.select("doc_a", "doc_b"))
+    member = comp.join(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col("source"), F.col("n_chars")
+        ),
+        "doc_id",
+    )
+    per = member.groupBy("cluster").agg(
+        F.max("cluster_size").cast("bigint").alias("cluster_size"),
+        F.max("n_chars").cast("bigint").alias("canonical_chars"),
+        F.array_join(F.sort_array(F.collect_set("source")), ",").alias(
+            "sources"
+        ),
+    )
+    canon = (
+        member.join(
+            per.select("cluster", "canonical_chars"),
+            ["cluster"],
+        )
+        .filter(F.col("n_chars") == F.col("canonical_chars"))
+        .groupBy("cluster")
+        .agg(F.min("doc_id").cast("bigint").alias("canonical_id"))
+    )
+    return (
+        per.join(canon, "cluster")
+        .select(
+            "cluster",
+            "cluster_size",
+            "canonical_id",
+            "canonical_chars",
+            (F.col("cluster_size") - 1).cast("bigint").alias("n_dropped"),
+            "sources",
+        )
+    )

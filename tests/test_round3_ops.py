@@ -887,3 +887,29 @@ def test_cms_stream_equals_batch_and_query_bounds(spark, sf_dir, tmp_path):
     assert joined
     for w, r in joined.items():
         assert r["cms_est"] >= r["cnt"], w
+
+
+def test_golden_record_survivorship_rule(spark):
+    """Longest doc wins; tie breaks to the SMALLEST doc_id; provenance
+    is the sorted distinct source list; singletons don't appear."""
+    from p2_mapreduce_spark.operators.dedup import golden_record
+
+    # docs 1,2,3 near-identical (cluster); 2 and 3 tie on length ->
+    # canonical must be 2; doc 9 unrelated singleton
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (1, base, "en", "srcB", len(base)),
+            (2, base + " iota", "en", "srcA", len(base) + 5),
+            (3, base + " kappa", "en", "srcC", len(base) + 5),
+            (9, "totally different words here nothing shared at all x y z",
+             "en", "srcZ", 56),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = golden_record(df, threshold=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["cluster_size"] == 3 and r["n_dropped"] == 2
+    assert r["canonical_id"] == 2 and r["canonical_chars"] == len(base) + 5
+    assert r["sources"] == "srcA,srcB,srcC"
