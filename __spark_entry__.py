@@ -1484,6 +1484,14 @@ def _q_join_size_estimate(spark, sf_dir):
     return join_size_estimate(ev, ev, "user_id", "user_id")
 
 
+def _q_trimmed_mean(spark, sf_dir):
+    """Per-type 10% trimmed mean — two-phase distributed rank, exact
+    kept-set by rank with id tie-break, pinned division tree."""
+    from p2_mapreduce_spark.operators.profile import trimmed_mean
+
+    return trimmed_mean(load_table(spark, sf_dir, "events"))
+
+
 def _q_cms_sketch(spark, sf_dir):
     """Raw mergeable Count-Min state (seed, bucket, count) — the
     persistable face of heavy_hitters; linear-sketch merge pinned in
@@ -2438,6 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_daily": _q_ewma_daily,
         "audience_overlap": _q_audience_overlap,
         "cms_sketch": _q_cms_sketch,
+        "trimmed_mean": _q_trimmed_mean,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -3517,6 +3526,33 @@ def oracle_sql() -> dict[str, str]:
             FROM vecs a JOIN vecs b ON a.lbl < b.lbl
             JOIN counts ca ON ca.lbl = a.lbl
             JOIN counts cb ON cb.lbl = b.lbl
+        """,
+        "trimmed_mean": """
+            WITH t AS (
+                SELECT event_type AS g,
+                       CAST(floor(value * 100) AS BIGINT) AS cents,
+                       event_id AS id
+                FROM events
+            ),
+            ranked AS (
+                SELECT g, cents,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY g ORDER BY cents, id
+                       ) AS rank,
+                       CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+                FROM t
+            ),
+            kd AS (SELECT *, (n * 10) // 100 AS k FROM ranked),
+            kept AS (
+                SELECT g, n, k, cents FROM kd
+                WHERE rank > k AND rank <= n - k
+            )
+            SELECT g AS event_type, n,
+                   CAST(k * 2 AS BIGINT) AS n_trimmed,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(cents) AS DOUBLE)
+                     / (CAST(COUNT(*) AS DOUBLE) * 1.0e2) AS trimmed_mean
+            FROM kept GROUP BY g, n, k
         """,
         "ewma_daily": """
             WITH daily AS (

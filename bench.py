@@ -214,6 +214,7 @@ HEADLINE = (
     "audience_overlap",
     "cms_sketch",
     "golden_record",
+    "trimmed_mean",
 )
 
 

@@ -1795,3 +1795,72 @@ def join_size_estimate(
             / F.col("est_rows").cast("double")
         ).alias("skew_ratio"),
     )
+
+
+def trimmed_mean(
+    events: DataFrame, group_col: str = "event_type", trim_pct: int = 10
+) -> DataFrame:
+    """Per-group trimmed mean: the mean after dropping the lowest and
+    highest ``trim_pct`` percent of rows by rank — the robust center
+    between the mean (breakdown 0) and the median (information-
+    discarding), standard for latency/revenue reporting under outliers.
+
+    The per-group rank is the TWO-PHASE distributed rank (the
+    quality_calibration device — range-repartition by (group, value,
+    id), within-partition row_number, #partitions×#groups offset table
+    prefix-summed and broadcast back), so no single task ever sorts a
+    whole group.  ``k = n·trim_pct div 100`` rows are dropped from each
+    end BY RANK with an id tie-break (a total order, so boundary ties
+    are deterministic and the SQL row_number oracle reproduces the
+    exact same kept set).  The kept rows aggregate as exact cents; the
+    mean is the single pinned division tree.
+    """
+    t = (
+        events.select(
+            F.col(group_col).alias("g"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+            F.col("event_id").alias("id"),
+        )
+        .repartitionByRange(F.col("g"), F.col("cents"), F.col("id"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_in = Window.partitionBy("pid", "g").orderBy("cents", "id")
+    t = t.withColumn("rn", F.row_number().over(w_in))
+    per = t.groupBy("pid", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy("g")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("pid", "g", "off")
+    totals = per.groupBy("g").agg(F.sum("cnt").cast("bigint").alias("n"))
+    ranked = (
+        t.join(F.broadcast(offsets), ["pid", "g"])
+        .join(F.broadcast(totals), "g")
+        .select(
+            "g",
+            "cents",
+            "n",
+            (F.col("off") + F.col("rn")).alias("rank"),
+            F.expr(f"(n * {int(trim_pct)}) div 100").alias("k"),
+        )
+    )
+    kept = ranked.filter(
+        (F.col("rank") > F.col("k")) & (F.col("rank") <= F.col("n") - F.col("k"))
+    )
+    return (
+        kept.groupBy("g", "n", "k")
+        .agg(F.sum("cents").alias("kept_cents"), F.count(F.lit(1)).alias("n_kept"))
+        .select(
+            F.col("g").alias(group_col),
+            "n",
+            (F.col("k") * 2).cast("bigint").alias("n_trimmed"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            (
+                F.col("kept_cents").cast("double")
+                / (F.col("n_kept").cast("double") * F.lit(100.0))
+            ).alias("trimmed_mean"),
+        )
+    )

@@ -913,3 +913,22 @@ def test_golden_record_survivorship_rule(spark):
     assert r["cluster_size"] == 3 and r["n_dropped"] == 2
     assert r["canonical_id"] == 2 and r["canonical_chars"] == len(base) + 5
     assert r["sources"] == "srcA,srcB,srcC"
+
+
+def test_trimmed_mean_closed_form_and_invariance(spark):
+    from p2_mapreduce_spark.operators.profile import trimmed_mean
+
+    # 10 rows 1..10 dollars, trim 10% -> k=1: drop 1.0 and 10.0,
+    # mean of 2..9 = 5.5
+    rows = [
+        (i, "2024-01-01 00:00:01", 1, "t", float(i + 1), "{}") for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    r = trimmed_mean(df).collect()[0]
+    assert (r["n"], r["n_trimmed"], r["n_kept"]) == (10, 2, 8)
+    assert r["trimmed_mean"] == 5.5
+    a = sorted(map(tuple, trimmed_mean(df).collect()))
+    b = sorted(map(tuple, trimmed_mean(df.repartition(7)).collect()))
+    assert a == b
