@@ -1484,6 +1484,14 @@ def _q_join_size_estimate(spark, sf_dir):
     return join_size_estimate(ev, ev, "user_id", "user_id")
 
 
+def _q_neyman_alloc(spark, sf_dir):
+    """Neyman-optimal stratified allocation summing exactly to n —
+    exact moments, pinned sigma tree, largest-remainder integers."""
+    from p2_mapreduce_spark.operators.curation import neyman_alloc
+
+    return neyman_alloc(load_table(spark, sf_dir, "events"))
+
+
 def _q_trimmed_mean(spark, sf_dir):
     """Per-type 10% trimmed mean — two-phase distributed rank, exact
     kept-set by rank with id tie-break, pinned division tree."""
@@ -2447,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audience_overlap": _q_audience_overlap,
         "cms_sketch": _q_cms_sketch,
         "trimmed_mean": _q_trimmed_mean,
+        "neyman_alloc": _q_neyman_alloc,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -3526,6 +3535,53 @@ def oracle_sql() -> dict[str, str]:
             FROM vecs a JOIN vecs b ON a.lbl < b.lbl
             JOIN counts ca ON ca.lbl = a.lbl
             JOIN counts cb ON cb.lbl = b.lbl
+        """,
+        "neyman_alloc": """
+            WITH per AS (
+                SELECT event_type AS g,
+                       CAST(COUNT(*) AS BIGINT) AS n_h,
+                       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                           AS s1,
+                       CAST(SUM(CAST(value AS DECIMAL(12,2))
+                                * CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                           AS s2
+                FROM events GROUP BY 1
+            ),
+            w AS (
+                SELECT g, n_h,
+                       CASE WHEN n_h > 1 THEN
+                           sqrt((s2 - s1 * s1 / n_h) / (n_h - 1))
+                       ELSE 0.0e0 END AS sigma,
+                       CAST(n_h AS DOUBLE)
+                         * (CASE WHEN n_h > 1 THEN
+                                sqrt((s2 - s1 * s1 / n_h) / (n_h - 1))
+                            ELSE 0.0e0 END) AS wt
+                FROM per
+            ),
+            tot AS (SELECT SUM(wt) AS wsum FROM w),
+            frac AS (
+                SELECT g, n_h, sigma,
+                       5.0e2 * wt / wsum AS frac
+                FROM w, tot
+            ),
+            base AS (
+                SELECT g, n_h, sigma, frac,
+                       CAST(floor(frac) AS BIGINT) AS base,
+                       frac - floor(frac) AS rem
+                FROM frac
+            ),
+            short AS (
+                SELECT CAST(500 - SUM(base) AS BIGINT) AS short FROM base
+            ),
+            rr AS (
+                SELECT g, n_h, sigma, base,
+                       ROW_NUMBER() OVER (ORDER BY rem DESC, g) AS rr
+                FROM base
+            )
+            SELECT g AS event_type, n_h, sigma,
+                   CAST(base + (CASE WHEN rr <= short THEN 1 ELSE 0 END)
+                        AS BIGINT) AS alloc
+            FROM rr, short
         """,
         "trimmed_mean": """
             WITH t AS (

@@ -215,6 +215,7 @@ HEADLINE = (
     "cms_sketch",
     "golden_record",
     "trimmed_mean",
+    "neyman_alloc",
 )
 
 

@@ -1306,3 +1306,71 @@ def target_encode(
             / ((F.col("cat_n") - 1).cast("double") * F.lit(100.0)),
         ).alias("loo_mean"),
     )
+
+
+def neyman_alloc(
+    events: DataFrame,
+    n_total: int = 500,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: stratum h gets
+    ``n·(N_h·σ_h)/Σ(N_k·σ_k)`` draws — minimum-variance allocation for
+    estimating the population mean, the sampling-DESIGN step upstream
+    of the engine's quota samplers (``budget_sample`` executes a quota;
+    this computes the right quotas).
+
+    Exactness: per-stratum moments aggregate as exact decimals
+    (the value_outliers protocol), σ is the pinned
+    ``sqrt((s2 − s1²/n)/(n−1))`` tree, fractional allocations are one
+    shared IEEE expression, and integerization is LARGEST REMAINDER
+    (floor everything, hand the shortfall to the biggest fractional
+    parts, ties → group key) — allocations sum to EXACTLY ``n_total``
+    and every step is engine-reproducible.  A single-row stratum (σ
+    undefined) contributes weight 0 (nothing to vary over).
+
+    Shape at 100 TB: one map-side-combined aggregate to #strata rows;
+    everything after runs at stratum grain (the #strata-row window is
+    config-bounded).
+    """
+    dec = F.col(value_col).cast("decimal(12,2)")
+    per = events.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    sigma = F.when(F.col("n_h") > 1, F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_h"))
+        / (F.col("n_h") - 1)
+    )).otherwise(F.lit(0.0))
+    w = per.select(
+        "g", "n_h", sigma.alias("sigma"),
+        (F.col("n_h").cast("double") * sigma).alias("wt"),
+    )
+    tot = w.agg(F.sum("wt").alias("wsum"))
+    frac = w.crossJoin(F.broadcast(tot)).select(
+        "g", "n_h", "sigma",
+        (F.lit(float(n_total)) * F.col("wt") / F.col("wsum")).alias("frac"),
+    )
+    base = frac.select(
+        "g", "n_h", "sigma", "frac",
+        F.floor("frac").cast("bigint").alias("base"),
+        (F.col("frac") - F.floor("frac")).alias("rem"),
+    )
+    short = base.agg(
+        (F.lit(int(n_total)) - F.sum("base")).cast("bigint").alias("short")
+    )
+    wr = Window.orderBy(F.col("rem").desc(), F.col("g"))
+    return (
+        base.crossJoin(F.broadcast(short))
+        .withColumn("rr", F.row_number().over(wr))
+        .select(
+            F.col("g").alias(group_col),
+            "n_h",
+            "sigma",
+            (
+                F.col("base")
+                + F.when(F.col("rr") <= F.col("short"), 1).otherwise(0)
+            ).cast("bigint").alias("alloc"),
+        )
+    )

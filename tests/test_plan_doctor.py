@@ -107,6 +107,9 @@ FUNNEL_REVIEWED = {
     # join_size_estimate: one-row totals + one-row heaviest-key argmax —
     # all work feeding them is key-grain
     "decayed_engagement", "join_size_estimate",
+    # neyman_alloc: the largest-remainder window and weight total run at
+    # #strata grain (config-bounded), fed by a map-side-combined agg
+    "neyman_alloc",
 }
 
 

@@ -932,3 +932,26 @@ def test_trimmed_mean_closed_form_and_invariance(spark):
     a = sorted(map(tuple, trimmed_mean(df).collect()))
     b = sorted(map(tuple, trimmed_mean(df.repartition(7)).collect()))
     assert a == b
+
+
+def test_neyman_alloc_sums_exactly_and_weights_by_spread(spark):
+    from p2_mapreduce_spark.operators.curation import neyman_alloc
+
+    # stratum A: wide spread; B: same size, tiny spread; C: singleton
+    rows = []
+    eid = 0
+    for v in [0.0, 100.0, 0.0, 100.0]:
+        rows.append((eid, "2024-01-01 00:00:01", 1, "A", v, "{}")); eid += 1
+    for v in [50.0, 50.01, 50.0, 50.01]:
+        rows.append((eid, "2024-01-01 00:00:01", 1, "B", v, "{}")); eid += 1
+    rows.append((eid, "2024-01-01 00:00:01", 1, "C", 7.0, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = {r["event_type"]: r for r in neyman_alloc(df, n_total=100).collect()}
+    assert sum(r["alloc"] for r in got.values()) == 100
+    # variance-dominant stratum takes nearly everything
+    assert got["A"]["alloc"] > 99 * got["B"]["alloc"] / 100
+    assert got["A"]["alloc"] >= 99
+    # singleton stratum: sigma 0, alloc 0
+    assert got["C"]["sigma"] == 0.0 and got["C"]["alloc"] == 0
