@@ -1484,6 +1484,15 @@ def _q_join_size_estimate(spark, sf_dir):
     return join_size_estimate(ev, ev, "user_id", "user_id")
 
 
+def _q_ooo_rate(spark, sf_dir):
+    """Out-of-order arrival audit — watermark-sizing metric via the
+    distributed lag; the fixture stream is in order, so zeros here ARE
+    the correct answer (regressions exercised in pytest)."""
+    from p2_mapreduce_spark.operators.profile import ooo_rate
+
+    return ooo_rate(load_table(spark, sf_dir, "events"))
+
+
 def _q_neyman_alloc(spark, sf_dir):
     """Neyman-optimal stratified allocation summing exactly to n —
     exact moments, pinned sigma tree, largest-remainder integers."""
@@ -2456,6 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_sketch": _q_cms_sketch,
         "trimmed_mean": _q_trimmed_mean,
         "neyman_alloc": _q_neyman_alloc,
+        "ooo_rate": _q_ooo_rate,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -3535,6 +3545,34 @@ def oracle_sql() -> dict[str, str]:
             FROM vecs a JOIN vecs b ON a.lbl < b.lbl
             JOIN counts ca ON ca.lbl = a.lbl
             JOIN counts cb ON cb.lbl = b.lbl
+        """,
+        "ooo_rate": """
+            WITH t AS (
+                SELECT event_type AS g, ts,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type ORDER BY event_id
+                       ) AS r
+                FROM events
+            ),
+            pairs AS (
+                SELECT a.g,
+                       date_diff('microseconds', a.ts, b.ts) AS step
+                FROM t a JOIN t b ON a.g = b.g AND b.r = a.r + 1
+            ),
+            totals AS (
+                SELECT event_type AS g, CAST(COUNT(*) AS BIGINT) AS n_g
+                FROM events GROUP BY 1
+            )
+            SELECT g AS event_type, n_g AS n_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(CASE WHEN step < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_ooo,
+                   CAST((SUM(CASE WHEN step < 0 THEN 1 ELSE 0 END) * 1000000)
+                        // COUNT(*) AS BIGINT) AS ooo_ppm,
+                   CAST(MAX(CASE WHEN step < 0 THEN -step ELSE 0 END)
+                        AS BIGINT) AS max_regression_us
+            FROM pairs JOIN totals USING (g)
+            GROUP BY g, n_g
         """,
         "neyman_alloc": """
             WITH per AS (

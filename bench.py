@@ -216,6 +216,7 @@ HEADLINE = (
     "golden_record",
     "trimmed_mean",
     "neyman_alloc",
+    "ooo_rate",
 )
 
 

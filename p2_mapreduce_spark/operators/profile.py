@@ -1864,3 +1864,72 @@ def trimmed_mean(
             ).alias("trimmed_mean"),
         )
     )
+
+
+def ooo_rate(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Out-of-order ARRIVAL audit per group: walking the stream in
+    arrival order (``event_id`` — the ingest sequence), how often does
+    EVENT TIME step backwards, and by how much?  This is the number
+    that sizes streaming watermarks: ``max_regression_us`` is the
+    minimum allowed-lateness that loses nothing, ``ooo_ppm`` the rate
+    of late arrivals.
+
+    The consecutive pairing is the twap DISTRIBUTED LAG (two-phase
+    global ordinal over (group, arrival id) + equi-join on (group,
+    r+1)) — no single-task per-group sort.  Counts are exact BIGINTs;
+    regressions measure in integer µs via ``timestampdiff`` (NTZ-safe);
+    ppm is floor-quantized to an exact integer (``(n_ooo·10⁶) div
+    n_pairs``) so the surface is engine-invariant with no float sum.
+
+    Output: (group, n_events, n_pairs, n_ooo, ooo_ppm,
+    max_regression_us).
+    """
+    t = (
+        events.select(
+            F.col(group_col).alias("g"),
+            F.col("ts").alias("tstamp"),
+            F.col("event_id").alias("id"),
+        )
+        .repartitionByRange(F.col("g"), F.col("id"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_in = Window.partitionBy("pid", "g").orderBy("id")
+    t = t.withColumn("rn", F.row_number().over(w_in))
+    per = t.groupBy("pid", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy("g")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("pid", "g", "off")
+    totals = per.groupBy("g").agg(F.sum("cnt").cast("bigint").alias("n_g"))
+    r = t.join(F.broadcast(offsets), ["pid", "g"]).select(
+        "g", "tstamp", (F.col("off") + F.col("rn")).alias("r")
+    )
+    a, b = r.alias("a"), r.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g")) & (F.col("b.r") == F.col("a.r") + 1),
+    ).select(
+        F.col("a.g").alias("g"),
+        F.expr("timestampdiff(MICROSECOND, a.tstamp, b.tstamp)").alias("step"),
+    )
+    agg = pairs.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("step") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ooo"),
+        F.max(F.when(F.col("step") < 0, -F.col("step")).otherwise(0))
+        .cast("bigint")
+        .alias("max_regression_us"),
+    )
+    return agg.join(F.broadcast(totals), "g").select(
+        F.col("g").alias(group_col),
+        F.col("n_g").alias("n_events"),
+        "n_pairs",
+        "n_ooo",
+        F.expr("(n_ooo * 1000000) div n_pairs").alias("ooo_ppm"),
+        "max_regression_us",
+    )

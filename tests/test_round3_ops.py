@@ -955,3 +955,29 @@ def test_neyman_alloc_sums_exactly_and_weights_by_spread(spark):
     assert got["A"]["alloc"] >= 99
     # singleton stratum: sigma 0, alloc 0
     assert got["C"]["sigma"] == 0.0 and got["C"]["alloc"] == 0
+
+
+def test_ooo_rate_detects_regressions(spark):
+    """A stream with two late arrivals: counts, ppm floor-quantization,
+    and the max regression magnitude in exact µs."""
+    from p2_mapreduce_spark.operators.profile import ooo_rate
+
+    rows = [
+        (0, "2024-01-01 00:00:10", 1, "t", 1.0, "{}"),
+        (1, "2024-01-01 00:00:20", 1, "t", 1.0, "{}"),
+        (2, "2024-01-01 00:00:05", 1, "t", 1.0, "{}"),   # 15 s late
+        (3, "2024-01-01 00:00:30", 1, "t", 1.0, "{}"),
+        (4, "2024-01-01 00:00:29.5", 1, "t", 1.0, "{}"),  # 0.5 s late
+        (5, "2024-01-01 00:00:40", 1, "t", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    r = ooo_rate(df).collect()[0]
+    assert (r["n_events"], r["n_pairs"], r["n_ooo"]) == (6, 5, 2)
+    assert r["ooo_ppm"] == 2 * 1000000 // 5
+    assert r["max_regression_us"] == 15_000_000
+    # partition invariance of the distributed lag
+    a = sorted(map(tuple, ooo_rate(df).collect()))
+    b = sorted(map(tuple, ooo_rate(df.repartition(5)).collect()))
+    assert a == b
