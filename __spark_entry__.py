@@ -1484,6 +1484,22 @@ def _q_join_size_estimate(spark, sf_dir):
     return join_size_estimate(ev, ev, "user_id", "user_id")
 
 
+def _q_assoc_rules(spark, sf_dir):
+    """Directional association rules (confidence + lift) over order
+    baskets — basket-bounded joins, deterministic top-N cut."""
+    from p2_mapreduce_spark.operators.analytics import assoc_rules
+
+    return assoc_rules(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_zipf_buckets(spark, sf_dir):
+    """Zipf head/torso/tail token-mass decomposition — two-phase
+    vocabulary-grain rank, exact mass sums."""
+    from p2_mapreduce_spark.operators.text_analysis import zipf_buckets
+
+    return zipf_buckets(load_table(spark, sf_dir, "documents"))
+
+
 def _q_ooo_rate(spark, sf_dir):
     """Out-of-order arrival audit — watermark-sizing metric via the
     distributed lag; the fixture stream is in order, so zeros here ARE
@@ -2466,6 +2482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean": _q_trimmed_mean,
         "neyman_alloc": _q_neyman_alloc,
         "ooo_rate": _q_ooo_rate,
+        "assoc_rules": _q_assoc_rules,
+        "zipf_buckets": _q_zipf_buckets,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -3545,6 +3563,74 @@ def oracle_sql() -> dict[str, str]:
             FROM vecs a JOIN vecs b ON a.lbl < b.lbl
             JOIN counts ca ON ca.lbl = a.lbl
             JOIN counts cb ON cb.lbl = b.lbl
+        """,
+        "assoc_rules": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            tot AS (
+                SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_total
+                FROM items
+            ),
+            singles AS (
+                SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS n_p
+                FROM items GROUP BY 1
+            ),
+            pairs AS (
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                       CAST(COUNT(*) AS BIGINT) AS n_ab
+                FROM items a JOIN items b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 3
+            ),
+            directed AS (
+                SELECT pa AS antecedent, pb AS consequent, n_ab FROM pairs
+                UNION ALL
+                SELECT pb, pa, n_ab FROM pairs
+            )
+            SELECT antecedent, consequent, n_ab AS n_both,
+                   sa.n_p AS n_ante, sc.n_p AS n_cons,
+                   CAST(n_ab AS DOUBLE) / CAST(sa.n_p AS DOUBLE)
+                       AS confidence,
+                   CAST(n_ab AS DOUBLE) * CAST(n_total AS DOUBLE)
+                     / (CAST(sa.n_p AS DOUBLE) * CAST(sc.n_p AS DOUBLE))
+                       AS lift
+            FROM directed
+            JOIN singles sa ON sa.p = antecedent
+            JOIN singles sc ON sc.p = consequent, tot
+            ORDER BY confidence DESC, antecedent, consequent LIMIT 100
+        """,
+        "zipf_buckets": f"""
+            WITH tok AS (
+                SELECT word FROM (
+                    SELECT lower(unnest(regexp_split_to_array(text, '{_TOK}')))
+                        AS word
+                    FROM documents
+                ) WHERE word <> ''
+            ),
+            tc AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY 1),
+            ranked AS (
+                SELECT cnt,
+                       ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS r
+                FROM tc
+            ),
+            tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS mass_total FROM tc),
+            b AS (
+                SELECT CASE WHEN r <= 10 THEN '1_head10'
+                            WHEN r <= 100 THEN '2_top100'
+                            WHEN r <= 1000 THEN '3_top1000'
+                            ELSE '4_tail' END AS bucket,
+                       cnt, r
+                FROM ranked
+            )
+            SELECT bucket,
+                   CAST(MAX(r) AS BIGINT) AS max_rank,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(cnt) AS BIGINT) AS token_mass,
+                   CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE)
+                     / CAST(mass_total AS DOUBLE) AS mass_share
+            FROM b, tot GROUP BY bucket, mass_total
         """,
         "ooo_rate": """
             WITH t AS (

@@ -217,6 +217,8 @@ HEADLINE = (
     "trimmed_mean",
     "neyman_alloc",
     "ooo_rate",
+    "assoc_rules",
+    "zipf_buckets",
 )
 
 

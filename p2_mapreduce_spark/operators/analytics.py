@@ -473,3 +473,84 @@ def prorate_pool(
             ).cast("bigint").alias("alloc_c"),
         )
     )
+
+
+def assoc_rules(
+    lineitem: DataFrame,
+    min_pair_orders: int = 3,
+    top_n: int = 100,
+) -> DataFrame:
+    """Association rules over order baskets — the step after
+    :func:`copurchase_pairs` that ranks DIRECTIONAL rules A→B by
+    confidence (= P(B|A)) with lift (= observed/expected under
+    independence) attached: the actual "customers who bought X also
+    buy Y" recommender primitive.
+
+    Counts are the basket-bounded co-occurrence join (quadratic only in
+    basket size) plus part-grain singles; every rule emits in BOTH
+    directions from one canonical pair row.  Support floor
+    ``min_pair_orders`` bounds the rule set before ranking; the final
+    cut is TakeOrderedAndProject on (confidence desc, antecedent,
+    consequent) — total order, deterministic.  Confidence is one exact
+    division; lift is the pinned 4-cast tree
+    ``n_ab·n_total/(n_a·n_b)``.
+
+    Output: (antecedent, consequent, n_both, n_ante, n_cons,
+    confidence, lift).
+    """
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_tot = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    singles = items.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_p")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_orders)
+    )
+    directed = pairs.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "n_ab",
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("antecedent"),
+            F.col("pa").alias("consequent"),
+            "n_ab",
+        )
+    )
+    sa = singles.select(F.col("p").alias("antecedent"), F.col("n_p").alias("n_ante"))
+    sc = singles.select(F.col("p").alias("consequent"), F.col("n_p").alias("n_cons"))
+    return (
+        directed.join(sa, "antecedent")
+        .join(sc, "consequent")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_ab").alias("n_both"),
+            "n_ante",
+            "n_cons",
+            (F.col("n_ab").cast("double") / F.col("n_ante").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                F.col("n_ab").cast("double")
+                * F.col("n_total").cast("double")
+                / (F.col("n_ante").cast("double") * F.col("n_cons").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("confidence"), F.asc("antecedent"), F.asc("consequent"))
+        .limit(top_n)
+    )

@@ -888,3 +888,64 @@ def cms_query(
             .alias("cms_est")
         )
     )
+
+
+def zipf_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf head/torso/tail decomposition: what share of the token MASS
+    do the top-10 / top-100 / top-1000 / remaining types carry?  The
+    one-table answer to "is this corpus boilerplate-head-heavy or
+    long-tail rich", and the capacity planning input for
+    stopword/cache/vocab-size choices.
+
+    The frequency rank is the TWO-PHASE distributed rank over
+    (count desc, word) at VOCABULARY grain (the dict_encode lesson: a
+    global window over a 1e9-type vocabulary is a single-task sort —
+    here no task ever sees more than a range partition of the vocab).
+    Mass shares are exact BIGINT sums with one pinned division each.
+
+    Output: (bucket, max_rank, n_types, token_mass, mass_share).
+    """
+    toks = spread(docs).select(
+        F.explode(tokens_array(F.col(text_col))).alias("word")
+    )
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    t = counts.repartitionByRange(
+        F.col("cnt").desc(), F.col("word")
+    ).withColumn("pid", F.spark_partition_id())
+    w_in = Window.partitionBy("pid").orderBy(F.col("cnt").desc(), "word")
+    t = t.withColumn("rn", F.row_number().over(w_in))
+    per = t.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per.withColumn(
+        "off", F.coalesce(F.sum("c").over(w_off), F.lit(0))
+    ).select("pid", "off")
+    ranked = t.join(F.broadcast(offsets), "pid").select(
+        "word", "cnt", (F.col("off") + F.col("rn")).alias("r")
+    )
+    bucket = (
+        F.when(F.col("r") <= 10, F.lit("1_head10"))
+        .when(F.col("r") <= 100, F.lit("2_top100"))
+        .when(F.col("r") <= 1000, F.lit("3_top1000"))
+        .otherwise(F.lit("4_tail"))
+    )
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("mass_total"))
+    return (
+        ranked.select(bucket.alias("bucket"), "cnt", "r")
+        .groupBy("bucket")
+        .agg(
+            F.max("r").cast("bigint").alias("max_rank"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum("cnt").cast("bigint").alias("token_mass"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "max_rank",
+            "n_types",
+            "token_mass",
+            (
+                F.col("token_mass").cast("double")
+                / F.col("mass_total").cast("double")
+            ).alias("mass_share"),
+        )
+    )

@@ -110,6 +110,10 @@ FUNNEL_REVIEWED = {
     # neyman_alloc: the largest-remainder window and weight total run at
     # #strata grain (config-bounded), fed by a map-side-combined agg
     "neyman_alloc",
+    # assoc_rules: one-row basket-count broadcast; zipf_buckets: one-row
+    # mass total + the #partitions-grain offset table of the two-phase
+    # vocabulary rank
+    "assoc_rules", "zipf_buckets",
 }
 
 

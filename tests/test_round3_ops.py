@@ -981,3 +981,50 @@ def test_ooo_rate_detects_regressions(spark):
     a = sorted(map(tuple, ooo_rate(df).collect()))
     b = sorted(map(tuple, ooo_rate(df.repartition(5)).collect()))
     assert a == b
+
+
+class TestBasketZipfOps:
+    def test_assoc_rules_closed_form(self, spark):
+        from p2_mapreduce_spark.operators.analytics import assoc_rules
+
+        # baskets: {1,2} x3, {1,3} x1  (l_orderkey, l_partkey)
+        rows = [
+            (10, 1), (10, 2),
+            (11, 1), (11, 2),
+            (12, 1), (12, 2),
+            (13, 1), (13, 3),
+        ]
+        df = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+        got = {
+            (r["antecedent"], r["consequent"]): r
+            for r in assoc_rules(df, min_pair_orders=3).collect()
+        }
+        # only the {1,2} pair survives the floor, both directions
+        assert set(got) == {(1, 2), (2, 1)}
+        r12, r21 = got[(1, 2)], got[(2, 1)]
+        assert r12["n_both"] == 3 and r12["n_ante"] == 4 and r12["n_cons"] == 3
+        assert r12["confidence"] == 3.0 / 4.0
+        assert r21["confidence"] == 1.0
+        # lift = n_ab * n_total / (n_a * n_b) = 3*4/(4*3) = 1.0 both ways
+        assert r12["lift"] == 1.0 and r21["lift"] == 1.0
+
+    def test_zipf_buckets_boundaries_and_shares(self, spark):
+        from p2_mapreduce_spark.operators.text_analysis import zipf_buckets
+
+        # 1500 distinct singleton words + one word with 500 occurrences:
+        # rank 1 = the heavy word; singletons fill ranks 2..1501 ->
+        # all four buckets populated, boundaries exact
+        docs = [(0, " ".join(["heavy"] * 500))]
+        docs += [(i + 1, f"w{i:04d}") for i in range(1500)]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {r["bucket"]: r for r in zipf_buckets(df).collect()}
+        assert set(got) == {"1_head10", "2_top100", "3_top1000", "4_tail"}
+        h = got["1_head10"]
+        assert h["n_types"] == 10 and h["max_rank"] == 10
+        assert h["token_mass"] == 500 + 9  # heavy + 9 singletons
+        assert got["2_top100"]["n_types"] == 90
+        assert got["3_top1000"]["n_types"] == 900
+        assert got["4_tail"]["n_types"] == 501 and got["4_tail"]["max_rank"] == 1501
+        total = sum(r["token_mass"] for r in got.values())
+        assert total == 2000
+        assert abs(sum(r["mass_share"] for r in got.values()) - 1.0) < 1e-12
