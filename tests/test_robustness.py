@@ -23,6 +23,13 @@ AQE_PINNED = [
     "salted_agg",
     "weighted_sample",
     "join_fanout",
+    # round-3 two-phase rank/lag users: AQE re-plans change partition
+    # counts, which these devices must be invariant to BY CONSTRUCTION
+    "trimmed_mean",
+    "vocab_growth",
+    "ooo_rate",
+    "zipf_buckets",
+    "ewma_daily",
 ]
 
 
