@@ -2361,6 +2361,26 @@ def _q_quality_budget(spark, sf_dir):
     )
 
 
+def _q_acf_lags(spark, sf_dir):
+    """Sample autocorrelation of the daily-revenue series per event type
+    at lags 1..7 — exact mean-cleared sufficient statistics, one pinned
+    double division."""
+    from p2_mapreduce_spark.operators.timeseries import acf_lags
+
+    return acf_lags(load_table(spark, sf_dir, "events"))
+
+
+def _q_degree_assort(spark, sf_dir):
+    """Degree profile + Pearson degree assortativity of the customer-
+    supplier trade graph — exact BIGINT degree stats, one pinned tree."""
+    from p2_mapreduce_spark.operators.graph import trade_degree_assortativity
+
+    return trade_degree_assortativity(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2484,6 +2504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ooo_rate": _q_ooo_rate,
         "assoc_rules": _q_assoc_rules,
         "zipf_buckets": _q_zipf_buckets,
+        "acf_lags": _q_acf_lags,
+        "degree_assort": _q_degree_assort,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -3659,6 +3681,98 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS max_regression_us
             FROM pairs JOIN totals USING (g)
             GROUP BY g, n_g
+        """,
+        "acf_lags": """
+            WITH daily AS (
+                SELECT event_type AS g,
+                       datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                           AS x,
+                       SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            stats AS (
+                SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days,
+                       CAST(SUM(y) AS BIGINT) AS s
+                FROM daily GROUP BY g
+            ),
+            centered AS (
+                SELECT daily.g, x, n_days,
+                       CAST(n_days AS HUGEINT) * y - s AS dev
+                FROM daily JOIN stats USING (g)
+            ),
+            den AS (
+                SELECT g, SUM(dev * dev) AS den_scaled,
+                       MAX(n_days) AS n_days
+                FROM centered GROUP BY g
+            ),
+            pairs AS (
+                SELECT a.g, (b.x - a.x) AS lag, a.dev AS dev_a, b.dev AS dev_b
+                FROM centered a JOIN centered b
+                  ON a.g = b.g AND b.x BETWEEN a.x + 1 AND a.x + 7
+            ),
+            num AS (
+                SELECT g, CAST(lag AS BIGINT) AS lag,
+                       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       SUM(dev_a * dev_b) AS num_scaled
+                FROM pairs GROUP BY g, lag
+            )
+            SELECT num.g AS event_type, lag, den.n_days, n_pairs,
+                   CASE WHEN den_scaled <> 0
+                        THEN CAST(num_scaled AS DOUBLE)
+                             / CAST(den_scaled AS DOUBLE)
+                   END AS acf
+            FROM num JOIN den USING (g)
+        """,
+        "degree_assort": """
+            WITH pairs AS (
+                SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS w
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            sym AS (
+                SELECT DISTINCT least(u, w) AS a, greatest(u, w) AS b
+                FROM pairs WHERE u <> w
+            ),
+            stubs AS (
+                SELECT a, b FROM sym UNION ALL SELECT b, a FROM sym
+            ),
+            deg AS (
+                SELECT a, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM stubs GROUP BY a
+            ),
+            joined AS (
+                SELECT dx.deg AS dx, dy.deg AS dy
+                FROM stubs
+                JOIN deg dx ON stubs.a = dx.a
+                JOIN deg dy ON stubs.b = dy.a
+            ),
+            stats AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(dx) AS HUGEINT) AS sx,
+                       SUM(CAST(dx AS HUGEINT) * dy) AS sxy,
+                       SUM(CAST(dx AS HUGEINT) * dx) AS sxx
+                FROM joined
+            ),
+            meta AS (
+                SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sym)
+                           AS n_edges,
+                       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg)
+                           AS n_nodes,
+                       (SELECT CAST(MAX(deg) AS BIGINT) FROM deg)
+                           AS max_degree
+            )
+            SELECT n_nodes, n_edges,
+                   2.0e0 * CAST(n_edges AS DOUBLE) / CAST(n_nodes AS DOUBLE)
+                       AS avg_degree,
+                   max_degree,
+                   CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             <> 0
+                        THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   END AS assortativity
+            FROM stats, meta
         """,
         "neyman_alloc": """
             WITH per AS (

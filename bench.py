@@ -219,6 +219,8 @@ HEADLINE = (
     "ooo_rate",
     "assoc_rules",
     "zipf_buckets",
+    "acf_lags",
+    "degree_assort",
 )
 
 

@@ -694,3 +694,111 @@ def ancestry_closure(part: DataFrame, max_depth: int = 10) -> DataFrame:
         FROM up
         """
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree profile + Pearson degree assortativity of an undirected
+    graph — the one-number answer to "do hubs connect to hubs?" (social
+    graphs: positive; bipartite trade/star topologies: negative), plus
+    the degree moments that contextualize it.  Standard graph-shape
+    audit alongside :func:`triangle_stats`.
+
+    Input: ``(u, v)`` BIGINT pairs, either orientation, duplicates
+    allowed — symmetrized and deduped here (self-loops dropped).
+
+    Assortativity = Pearson correlation of (deg(a), deg(b)) over the 2m
+    DIRECTED edge stubs.  Sufficient-statistics pattern (cf.
+    ``grouped_trend``): degrees are exact BIGINTs from one map-side
+    count, the stub join is two hash joins at edge grain against the
+    degree table, and (n, Sx, Sxy, Sxx) collapse in one map-side-combined
+    aggregate — by symmetry Sy=Sx and Syy=Sxx, so the correlation needs
+    only one margin.  ``r = (n*Sxy - Sx^2) / (n*Sxx - Sx^2)`` is ONE
+    pinned double tree on DECIMAL(38,0)-exact inputs, bit-identical
+    cross-engine.  Regular graphs (zero degree variance) surface NULL.
+
+    Scale: shuffle width is edge grain throughout (degree table joins
+    hash-partition on node id; no window, no collect); the output is one
+    row.  Returns ``(n_nodes, n_edges, avg_degree, max_degree,
+    assortativity)``.
+
+    Reference parity: none (graph extension, SURVEY.md §2.3); the
+    degree count is the reference's M5/M8 group-by-key + count at node
+    grain.
+    """
+    sym = (
+        edges.select(F.col(edges.columns[0]).alias("u"),
+                     F.col(edges.columns[1]).alias("w"))
+        .filter(F.col("u") != F.col("w"))
+        .select(
+            F.least("u", "w").alias("a"), F.greatest("u", "w").alias("b")
+        )
+        .distinct()
+    )
+    stubs = sym.select("a", "b").union(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = stubs.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    joined = (
+        stubs.join(deg.select(F.col("a"), F.col("deg").alias("dx")), "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("deg").alias("dy")), "b"
+        )
+    )
+    stats = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("dx").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("dx") * F.col("dy")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("dx") * F.col("dx")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    meta = sym.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+    ).crossJoin(
+        F.broadcast(deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.max("deg").alias("max_degree"),
+        ))
+    )
+    return (
+        stats.crossJoin(F.broadcast(meta))
+        .select(
+            "n_nodes",
+            "n_edges",
+            (
+                F.lit(2.0) * F.col("n_edges").cast("double")
+                / F.col("n_nodes").cast("double")
+            ).alias("avg_degree"),
+            F.col("max_degree").cast("bigint").alias("max_degree"),
+            F.when(
+                (
+                    F.col("n").cast("double") * F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx").cast("double")
+                )
+                != 0,
+                (
+                    F.col("n").cast("double") * F.col("sxy").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx").cast("double")
+                )
+                / (
+                    F.col("n").cast("double") * F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx").cast("double")
+                ),
+            ).alias("assortativity"),
+        )
+    )
+
+
+def trade_degree_assortativity(
+    lineitem: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """:func:`degree_assortativity` over the customer-supplier trade
+    graph (same edge derivation as :func:`trade_graph_pagerank` —
+    distinct pairs at join grain, even/odd node encoding)."""
+    pairs = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return degree_assortativity(pairs)

@@ -1128,3 +1128,94 @@ def ewma_daily(events: DataFrame, group_col: str = "event_type", max_age: int = 
             ),
         )
     )
+
+
+def acf_lags(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Sample autocorrelation of the daily-revenue series per
+    ``event_type`` at calendar-day lags 1..``max_lag`` — the diagnostic
+    behind seasonality detection and forecast-model order selection
+    (complements :func:`weekday_seasonality`, which assumes the period,
+    and :func:`grouped_trend`, which fits only the mean drift).
+
+    Definition (standard sample ACF, full-series mean and variance):
+    ``r_k = sum_t (y_t - m)(y_{t+k} - m) / sum_t (y_t - m)^2`` where the
+    numerator ranges over calendar-day pairs (d, d+k) both present.
+
+    Scale design: the fact table collapses to calendar grain (one
+    map-side-combined aggregate — at 100 TB the daily series is still
+    only #groups x #days rows), per-group (n, S) stats ride a broadcast
+    join, and each lag is an EQUI-join ``(g, x+k) = (g, x)`` built from
+    a ``sequence(1, K)`` explode — hash-partitioned by day key, never a
+    range or cross join.  Everything after is a map-side-combined
+    aggregate at (group, lag) grain.
+
+    Exactness discipline (cf. :func:`grouped_trend`): cents are exact
+    BIGINT, the mean is cleared by multiplying through by n —
+    ``num_k = sum (n*y_t - S)(n*y_{t+k} - S)``, ``den = sum (n*y_d -
+    S)^2`` — all products in DECIMAL(38,0) (n*y <= ~1e14 at 100 TB-day
+    grain, squared 1e28 < 38 digits), and ``r_k`` is ONE double
+    division mirrored verbatim in the oracle.  Zero-variance groups
+    surface NULL, not a div-by-zero.
+
+    Returns ``(event_type, lag, n_days, n_pairs, acf)``.
+
+    Reference parity: the reference's MapReduce surface has no
+    time-series plane (SURVEY.md §2.3 extension); the shuffle shape is
+    its M3/M5/M7 hash-partition + per-key reduce at calendar grain.
+    """
+    daily = (
+        events.select(
+            F.col("event_type").alias("g"),
+            F.expr("datediff(cast(ts as date), DATE '1970-01-01')").alias("x"),
+            F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+        )
+        .groupBy("g", "x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    stats = daily.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("y").alias("s"),
+    )
+    centered = daily.join(F.broadcast(stats), "g").select(
+        "g",
+        "x",
+        "n_days",
+        # n*y - S: BIGINT * BIGINT widened to decimal(38,0) — exact
+        (F.col("n_days").cast("decimal(19,0)") * F.col("y") - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("dev"),
+    )
+    den = centered.groupBy("g").agg(
+        F.sum(
+            (F.col("dev") * F.col("dev")).cast("decimal(38,0)")
+        ).alias("den_scaled"),
+        F.max("n_days").alias("n_days"),
+    )
+    lags = centered.select(
+        "g", "x", F.col("dev").alias("dev_a"),
+        F.explode(F.expr(f"sequence(1, {int(max_lag)})")).alias("lag"),
+    ).withColumn("x_b", F.col("x") + F.col("lag"))
+    paired = lags.join(
+        centered.select("g", F.col("x").alias("x_b"), F.col("dev").alias("dev_b")),
+        ["g", "x_b"],
+    )
+    num = paired.groupBy("g", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            (F.col("dev_a") * F.col("dev_b")).cast("decimal(38,0)")
+        ).alias("num_scaled"),
+    )
+    return (
+        num.join(F.broadcast(den), "g")
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("lag").cast("bigint").alias("lag"),
+            "n_days",
+            "n_pairs",
+            F.when(
+                F.col("den_scaled") != 0,
+                F.col("num_scaled").cast("double")
+                / F.col("den_scaled").cast("double"),
+            ).alias("acf"),
+        )
+    )

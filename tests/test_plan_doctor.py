@@ -114,6 +114,10 @@ FUNNEL_REVIEWED = {
     # mass total + the #partitions-grain offset table of the two-phase
     # vocabulary rank
     "assoc_rules", "zipf_buckets",
+    # degree_assort: one-row sufficient-statistic aggregates (stats /
+    # edge-count / node-count) broadcast-crossed — all work feeding them
+    # is edge- or node-grain hash joins
+    "degree_assort",
 }
 
 

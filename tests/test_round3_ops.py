@@ -1028,3 +1028,52 @@ class TestBasketZipfOps:
         total = sum(r["token_mass"] for r in got.values())
         assert total == 2000
         assert abs(sum(r["mass_share"] for r in got.values()) - 1.0) < 1e-12
+
+
+def test_acf_lags_constant_and_alternating(spark):
+    """Hand-checkable ACF: a constant series has zero variance (NULL
+    acf); a perfectly alternating daily series has acf(1) = -1 at even
+    n (mean exactly centered) and acf(2) near +1."""
+    import datetime
+
+    from p2_mapreduce_spark.operators.timeseries import acf_lags
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for d in range(8):
+        # alternating 10.00 / 20.00; constant 5.00
+        rows.append((base + datetime.timedelta(days=d), "alt",
+                     10.0 if d % 2 == 0 else 20.0))
+        rows.append((base + datetime.timedelta(days=d), "flat", 5.0))
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    out = {(r["event_type"], r["lag"]): r for r in acf_lags(df).collect()}
+    assert out[("flat", 1)]["acf"] is None
+    a1 = out[("alt", 1)]
+    assert a1["n_days"] == 8 and a1["n_pairs"] == 7
+    # sum of dev_t*dev_{t+1} = -7*(n*500)^2 ; den = 8*(n*500)^2 -> -7/8
+    assert abs(a1["acf"] - (-7.0 / 8.0)) < 1e-12
+    assert abs(out[("alt", 2)]["acf"] - (6.0 / 8.0)) < 1e-12
+
+
+def test_degree_assortativity_star_vs_cycle(spark):
+    """A star graph is maximally disassortative (r = -1); a cycle is
+    perfectly regular (zero degree variance -> NULL)."""
+    from p2_mapreduce_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], ["u", "v"]
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r["n_nodes"] == 6 and r["n_edges"] == 5 and r["max_degree"] == 5
+    assert abs(r["assortativity"] - (-1.0)) < 1e-12
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], ["u", "v"]
+    )
+    c = degree_assortativity(cycle).collect()[0]
+    assert c["n_edges"] == 6 and c["assortativity"] is None
+    # duplicates + both orientations + self-loops collapse
+    messy = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 1), (2, 2), (1, 2)], ["u", "v"]
+    )
+    m = degree_assortativity(messy).collect()[0]
+    assert m["n_edges"] == 2 and m["n_nodes"] == 3
