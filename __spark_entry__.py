@@ -2381,6 +2381,60 @@ def _q_degree_assort(spark, sf_dir):
     )
 
 
+def _q_funnel_windowed(spark, sf_dir):
+    """Conversion funnel with a 24 h conversion window anchored at the
+    first step — greedy earliest-qualifying chain, exact integer-µs
+    timestamp math, one division per funnel row."""
+    from p2_mapreduce_spark.operators.events_analytics import funnel_windowed
+
+    return funnel_windowed(load_table(spark, sf_dir, "events"))
+
+
+def _q_fd_violations(spark, sf_dir):
+    """Functional-dependency audit over lineitem: per candidate
+    det->dep, keys with >1 distinct dependent — exact counts, floor ppm."""
+    from p2_mapreduce_spark.operators.profile import fd_violations
+
+    return fd_violations(
+        load_table(spark, sf_dir, "lineitem"),
+        [
+            ("l_partkey", "l_suppkey"),
+            ("l_suppkey", "l_partkey"),
+            ("l_orderkey", "l_returnflag"),
+        ],
+    )
+
+
+def _q_ivm_join(spark, sf_dir):
+    """Incremental join-view maintenance proof: V_old ∪ ΔV (the three
+    delta-join terms) aggregated must equal the direct join — the
+    oracle IS the direct join, proving the delta algebra."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.merge import join_view_delta
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    split_a = F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")
+    split_b = F.col("c_custkey") % 10 == 0
+    a_old, a_new = orders.filter(split_a), orders.filter(~split_a)
+    b_old, b_new = cust.filter(~split_b), cust.filter(split_b)
+    view_old = a_old.join(b_old, a_old.o_custkey == b_old.c_custkey)
+    delta = join_view_delta(
+        a_old, a_new, b_old, b_new, "o_custkey", "c_custkey"
+    )
+    return (
+        view_old.unionByName(delta)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.expr("cast(floor(o_totalprice * 100) as bigint)"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2506,6 +2560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_buckets": _q_zipf_buckets,
         "acf_lags": _q_acf_lags,
         "degree_assort": _q_degree_assort,
+        "funnel_windowed": _q_funnel_windowed,
+        "fd_violations": _q_fd_violations,
+        "ivm_join": _q_ivm_join,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -3773,6 +3830,91 @@ def oracle_sql() -> dict[str, str]:
                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                    END AS assortativity
             FROM stats, meta
+        """,
+        "funnel_windowed": """
+            WITH s1 AS (
+                SELECT user_id, MIN(ts) AS t1
+                FROM events WHERE event_type = 'view' GROUP BY 1
+            ),
+            s2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.t1
+                  AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+                GROUP BY 1
+            ),
+            s3 AS (
+                SELECT e.user_id, MIN(e.ts) AS t3
+                FROM events e
+                JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                  AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+                GROUP BY 1
+            ),
+            counts AS (
+                SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+                       (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+                       (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3
+            )
+            SELECT step, step_name, n_users,
+                   CASE WHEN n1 > 0
+                        THEN CAST(n_users AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   END AS pct_of_first
+            FROM (
+                SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+                       n1 AS n_users, n1 FROM counts
+                UNION ALL
+                SELECT CAST(2 AS BIGINT), 'click', n2, n1 FROM counts
+                UNION ALL
+                SELECT CAST(3 AS BIGINT), 'purchase', n3, n1 FROM counts
+            )
+        """,
+        "fd_violations": """
+            WITH k1 AS (
+                SELECT l_partkey AS k, COUNT(DISTINCT l_suppkey) AS nv
+                FROM lineitem GROUP BY 1
+            ),
+            k2 AS (
+                SELECT l_suppkey AS k, COUNT(DISTINCT l_partkey) AS nv
+                FROM lineitem GROUP BY 1
+            ),
+            k3 AS (
+                SELECT l_orderkey AS k, COUNT(DISTINCT l_returnflag) AS nv
+                FROM lineitem GROUP BY 1
+            ),
+            rolled AS (
+                SELECT 'l_partkey' AS det_col, 'l_suppkey' AS dep_col,
+                       CAST(COUNT(*) AS BIGINT) AS n_keys,
+                       CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_violating,
+                       CAST(MAX(nv) AS BIGINT) AS max_distinct
+                FROM k1
+                UNION ALL
+                SELECT 'l_suppkey', 'l_partkey', CAST(COUNT(*) AS BIGINT),
+                       CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END)
+                            AS BIGINT),
+                       CAST(MAX(nv) AS BIGINT)
+                FROM k2
+                UNION ALL
+                SELECT 'l_orderkey', 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+                       CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END)
+                            AS BIGINT),
+                       CAST(MAX(nv) AS BIGINT)
+                FROM k3
+            )
+            SELECT det_col, dep_col, n_keys, n_violating,
+                   CAST((n_violating * 1000000) // n_keys AS BIGINT)
+                       AS violation_ppm,
+                   max_distinct
+            FROM rolled
+        """,
+        "ivm_join": """
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
         """,
         "neyman_alloc": """
             WITH per AS (

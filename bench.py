@@ -221,6 +221,9 @@ HEADLINE = (
     "zipf_buckets",
     "acf_lags",
     "degree_assort",
+    "funnel_windowed",
+    "fd_violations",
+    "ivm_join",
 )
 
 

@@ -628,3 +628,92 @@ def audience_overlap(events: DataFrame) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def funnel_windowed(
+    events: DataFrame,
+    steps: Sequence[str] = FUNNEL_STEPS,
+    window_hours: int = 24,
+) -> DataFrame:
+    """Conversion funnel with a CONVERSION WINDOW (the Amplitude/Mixpanel
+    default): every later step must land strictly after the previous one
+    AND within ``window_hours`` of the user's FIRST step-1 event.
+    :func:`funnel_counts` answers "ever converted, in order"; this
+    answers "converted in order within T" — the form used for campaign
+    and session funnels.
+
+    Semantics are the deterministic greedy chain (earliest qualifying
+    event per step, ties broken by the strict ``>`` at µs grain), with
+    the window cutoff ``t1 + T`` applied to every step — so a user whose
+    only click comes 25 h after the first view drops at step 2 even if
+    a purchase follows.
+
+    Scale shape: identical to :func:`funnel_users` — the type filter
+    prunes non-step events at the scan, ONE shuffle on user_id carries
+    per-step time arrays (map-side partial-aggregated), the chain is
+    whole-stage-codegen array math, and the funnel table is a 1-row
+    aggregate exploded to #steps rows.  Timestamp arithmetic is exact
+    integer-µs (NTZ + INTERVAL hour), bit-identical cross-engine; the
+    conversion rate is ONE double division per row.
+
+    Returns ``(step, step_name, n_users, pct_of_first)`` ordered by
+    funnel position, ``pct_of_first`` NULL when step 1 is empty.
+
+    Reference parity: per-key reduce over grouped values (SURVEY.md
+    M5-M7); the window constraint is pure per-key logic the reference
+    would run inside its reduce fn.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    aggs = [
+        F.collect_list(
+            F.when(F.col("event_type") == s, F.col("ts"))
+        ).alias(f"_ts{i}")
+        for i, s in enumerate(steps, start=1)
+    ]
+    per_user = (
+        events.filter(F.col("event_type").isin(*steps))
+        .groupBy("user_id")
+        .agg(*aggs)
+    )
+    t1 = F.array_min(F.col("_ts1"))
+    limit = F.expr(
+        f"array_min(_ts1) + INTERVAL '{int(window_hours)}' HOUR"
+    )
+    def _qualifying(arr: Column, prev: Column) -> Column:
+        # bind prev via closure — F.filter treats a 2-arg lambda as
+        # (element, index), so defaults can't be used to capture it
+        return F.array_min(
+            F.filter(arr, lambda x: (x > prev) & (x <= limit))
+        )
+
+    cols: list[Column] = [t1.alias("t1")]
+    prev = t1
+    for i in range(2, len(steps) + 1):
+        nxt = _qualifying(F.col(f"_ts{i}"), prev)
+        cols.append(nxt.alias(f"t{i}"))
+        prev = nxt
+    chained = per_user.select(*cols)
+    counts = chained.agg(
+        *[
+            F.count(F.col(f"t{i}")).cast("bigint").alias(f"n{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i}, '{s}', n{i}" for i, s in enumerate(steps, start=1)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(steps)}, {stack_args}) AS (step, step_name, n_users)"
+        ),
+        F.col("n1").alias("_n1"),
+    ).select(
+        F.col("step").cast("bigint").alias("step"),
+        "step_name",
+        "n_users",
+        F.when(
+            F.col("_n1") > 0,
+            F.col("n_users").cast("double") / F.col("_n1").cast("double"),
+        ).alias("pct_of_first"),
+    )

@@ -271,3 +271,43 @@ def scd2_as_of(history: DataFrame, as_of: str) -> DataFrame:
         (F.col("valid_from") <= F.lit(as_of))
         & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(as_of)))
     )
+
+
+def join_view_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    a_key: str,
+    b_key: str,
+) -> DataFrame:
+    """Incremental view maintenance for a JOIN view (insert-only
+    deltas): for ``V = A ⋈ B``, the new rows are exactly
+
+        ΔV = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    — the classic delta-join algebra (Blakeley et al., SIGMOD'86;
+    every streaming/materialized-view engine's join operator).  The
+    companion of :func:`agg_state`/:func:`merge_agg_states`, which
+    maintain aggregation views; this maintains the join itself.
+
+    Scale design: the expensive ``A_old ⋈ B_old`` term is NEVER
+    recomputed — that is the whole point.  Each delta term is a hash
+    join whose probe side is delta-sized (broadcast-eligible when the
+    batch is small); at 100 TB with a 1 GB delta, maintenance cost is
+    three delta-grain joins instead of one full re-join.  The three
+    terms are disjoint by construction (old/delta provenance), so the
+    union needs no dedup.
+
+    Returns ΔV with A's columns then B's (unionByName across terms).
+
+    Reference parity: none (warehouse extension, SURVEY.md §2.3);
+    composes the reference's M3 hash-partition joins at delta grain.
+    """
+    cond_old_b = a_delta[a_key] == b_old[b_key]
+    cond_old_a = a_old[a_key] == b_delta[b_key]
+    cond_dd = a_delta[a_key] == b_delta[b_key]
+    d1 = a_delta.join(b_old, cond_old_b)
+    d2 = a_old.join(b_delta, cond_old_a)
+    d3 = a_delta.join(b_delta, cond_dd)
+    return d1.unionByName(d2).unionByName(d3)

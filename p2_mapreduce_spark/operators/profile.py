@@ -1933,3 +1933,67 @@ def ooo_rate(events: DataFrame, group_col: str = "event_type") -> DataFrame:
         F.expr("(n_ooo * 1000000) div n_pairs").alias("ooo_ppm"),
         "max_regression_us",
     )
+
+
+def fd_violations(
+    df: DataFrame, pairs: Sequence[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency audit: for each candidate dependency
+    ``det -> dep``, how many determinant keys map to MORE than one
+    distinct dependent value — the schema-inference / normalization /
+    data-quality primitive behind "is this column really keyed by
+    that one?" (complements :func:`dq_rules`, which checks row-level
+    predicates, not cross-row key consistency).
+
+    One hash aggregation per dependency at determinant-key grain
+    (exact ``count(distinct dep)`` per key — partial aggregates
+    collapse map-side), then a one-row rollup per dependency; the
+    per-dependency results union into a #pairs-row report.  Shuffle
+    width is key grain throughout — the 100 TB plan is #pairs
+    scans (or one shared scan under Spark's cache) of the same
+    column-pruned table.
+
+    ``violation_ppm`` is parts-per-million of keys violating, floor-
+    quantized integer (engine-exact); ``max_distinct`` is the worst
+    key's dependent cardinality.
+
+    Returns ``(det_col, dep_col, n_keys, n_violating, violation_ppm,
+    max_distinct)`` one row per audited dependency.
+
+    Reference parity: none (profiling extension, SURVEY.md §2.3); the
+    per-key distinct count is the reference's M5 group-by-key with a
+    distinct-counting reduce fn.
+    """
+    if not pairs:
+        raise ValueError("fd_violations needs at least one (det, dep) pair")
+    reports = []
+    for det, dep in pairs:
+        per_key = (
+            df.select(F.col(det).alias("k"), F.col(dep).alias("v"))
+            .groupBy("k")
+            .agg(F.countDistinct("v").alias("nv"))
+        )
+        reports.append(
+            per_key.agg(
+                F.lit(det).alias("det_col"),
+                F.lit(dep).alias("dep_col"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.sum(F.when(F.col("nv") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating"),
+                F.max("nv").cast("bigint").alias("max_distinct"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "det_col",
+        "dep_col",
+        "n_keys",
+        "n_violating",
+        F.expr("cast((n_violating * 1000000) div n_keys as bigint)").alias(
+            "violation_ppm"
+        ),
+        "max_distinct",
+    )

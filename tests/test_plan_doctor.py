@@ -118,6 +118,13 @@ FUNNEL_REVIEWED = {
     # edge-count / node-count) broadcast-crossed — all work feeding them
     # is edge- or node-grain hash joins
     "degree_assort",
+    # funnel_windowed: the funnel table is a 1-row counts aggregate
+    # exploded to #steps rows (same shape as funnel_steps); all work
+    # feeding it is the single user_id-grain shuffle
+    "funnel_windowed",
+    # fd_violations: one 1-row rollup per audited dependency (#pairs,
+    # config-bounded) over key-grain map-side-combined aggregates
+    "fd_violations",
 }
 
 

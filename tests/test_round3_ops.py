@@ -1077,3 +1077,73 @@ def test_degree_assortativity_star_vs_cycle(spark):
     )
     m = degree_assortativity(messy).collect()[0]
     assert m["n_edges"] == 2 and m["n_nodes"] == 3
+
+
+def test_funnel_windowed_drops_late_steps(spark):
+    """A click 25 h after the first view must break the chain at step 2
+    even though a purchase follows inside its own gap; an in-window
+    user converts fully."""
+    import datetime
+
+    from p2_mapreduce_spark.operators.events_analytics import funnel_windowed
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    h = datetime.timedelta(hours=1)
+    rows = [
+        # u1: view -> click(+2h) -> purchase(+3h): fully in window
+        (1, "view", t0), (1, "click", t0 + 2 * h), (1, "purchase", t0 + 3 * h),
+        # u2: click lands 25h after first view -> drops at step 2
+        (2, "view", t0), (2, "click", t0 + 25 * h), (2, "purchase", t0 + 26 * h),
+        # u3: click in window, purchase out -> drops at step 3
+        (3, "view", t0), (3, "click", t0 + 1 * h), (3, "purchase", t0 + 30 * h),
+        # u4: purchase BEFORE click never counts (order is strict)
+        (4, "view", t0), (4, "purchase", t0 + 1 * h), (4, "click", t0 + 2 * h),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = {r["step"]: r for r in funnel_windowed(df).collect()}
+    assert out[1]["n_users"] == 4
+    assert out[2]["n_users"] == 3          # u1, u3, u4
+    assert out[3]["n_users"] == 1          # only u1
+    assert abs(out[3]["pct_of_first"] - 0.25) < 1e-15
+
+
+def test_fd_violations_holds_and_violated(spark):
+    """A held dependency reports zero violations; a broken one counts
+    exactly the violating keys and the worst key's cardinality."""
+    from p2_mapreduce_spark.operators.profile import fd_violations
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "a", 10), (2, "b", 20), (2, "c", 20), (3, "b", 30)],
+        ["k", "dep1", "dep2"],
+    )
+    out = {(r["det_col"], r["dep_col"]): r
+           for r in fd_violations(df, [("k", "dep1"), ("k", "dep2")]).collect()}
+    held = out[("k", "dep2")]
+    assert held["n_violating"] == 0 and held["violation_ppm"] == 0
+    broken = out[("k", "dep1")]
+    assert broken["n_keys"] == 3 and broken["n_violating"] == 1
+    assert broken["max_distinct"] == 2
+    assert broken["violation_ppm"] == 333333  # floor(1e6/3)
+
+
+def test_join_view_delta_equals_direct_join(spark):
+    """V_old ∪ ΔV must equal the direct join of the unioned tables —
+    the delta-join algebra, checked row-for-row on a fixture with
+    matches in every quadrant (old-old, new-old, old-new, new-new)."""
+    from p2_mapreduce_spark.operators.merge import join_view_delta
+
+    a_old = spark.createDataFrame([(1, "ao1"), (2, "ao2")], ["ak", "av"])
+    a_new = spark.createDataFrame([(1, "an1"), (3, "an3")], ["ak", "av"])
+    b_old = spark.createDataFrame([(1, "bo1"), (3, "bo3")], ["bk", "bv"])
+    b_new = spark.createDataFrame([(2, "bn2"), (1, "bn1")], ["bk", "bv"])
+    delta = join_view_delta(a_old, a_new, b_old, b_new, "ak", "bk")
+    v_old = a_old.join(b_old, a_old.ak == b_old.bk)
+    got = sorted(
+        (r["ak"], r["av"], r["bv"]) for r in v_old.unionByName(delta).collect()
+    )
+    a_all, b_all = a_old.unionByName(a_new), b_old.unionByName(b_new)
+    want = sorted(
+        (r["ak"], r["av"], r["bv"])
+        for r in a_all.join(b_all, a_all.ak == b_all.bk).collect()
+    )
+    assert got == want and len(got) == 6
