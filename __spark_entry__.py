@@ -2435,6 +2435,14 @@ def _q_ivm_join(spark, sf_dir):
     )
 
 
+def _q_ab_quantile_diff(spark, sf_dir):
+    """Median treatment effect between md5-coin arms — exact order
+    statistics via the two-phase distributed rank, one pinned tree."""
+    from p2_mapreduce_spark.operators.events_analytics import ab_quantile_diff
+
+    return ab_quantile_diff(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2563,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_windowed": _q_funnel_windowed,
         "fd_violations": _q_fd_violations,
         "ivm_join": _q_ivm_join,
+        "ab_quantile_diff": _q_ab_quantile_diff,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -3830,6 +3839,44 @@ def oracle_sql() -> dict[str, str]:
                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                    END AS assortativity
             FROM stats, meta
+        """,
+        "ab_quantile_diff": """
+            WITH vals AS (
+                SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                           18, 15) AS BIGINT) % 2 AS arm,
+                       CAST(floor(value * 100) AS BIGINT) AS cents,
+                       event_id AS id
+                FROM events WHERE event_type = 'purchase'
+            ),
+            ranked AS (
+                SELECT arm, cents,
+                       ROW_NUMBER() OVER (PARTITION BY arm
+                                          ORDER BY cents, id) AS r,
+                       COUNT(*) OVER (PARTITION BY arm) AS n
+                FROM vals
+            ),
+            mids AS (
+                SELECT arm, CAST(n AS BIGINT) AS n,
+                       MIN(cents) AS lo, MAX(cents) AS hi
+                FROM ranked
+                WHERE r = (n + 1) // 2 OR r = (n + 2) // 2
+                GROUP BY arm, n
+            ),
+            one AS (
+                SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+                       MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+                       MAX(CASE WHEN arm = 0 THEN lo END) AS lo_a,
+                       MAX(CASE WHEN arm = 0 THEN hi END) AS hi_a,
+                       MAX(CASE WHEN arm = 1 THEN lo END) AS lo_b,
+                       MAX(CASE WHEN arm = 1 THEN hi END) AS hi_b
+                FROM mids
+            )
+            SELECT n_a, n_b,
+                   CAST(lo_a + hi_a AS DOUBLE) / 200.0e0 AS median_a,
+                   CAST(lo_b + hi_b AS DOUBLE) / 200.0e0 AS median_b,
+                   CAST(lo_b + hi_b AS DOUBLE) / 200.0e0
+                   - CAST(lo_a + hi_a AS DOUBLE) / 200.0e0 AS median_diff
+            FROM one
         """,
         "funnel_windowed": """
             WITH s1 AS (

@@ -224,6 +224,7 @@ HEADLINE = (
     "funnel_windowed",
     "fd_violations",
     "ivm_join",
+    "ab_quantile_diff",
 )
 
 

@@ -717,3 +717,91 @@ def funnel_windowed(
             F.col("n_users").cast("double") / F.col("_n1").cast("double"),
         ).alias("pct_of_first"),
     )
+
+
+def ab_quantile_diff(
+    events: DataFrame, metric_type: str = "purchase"
+) -> DataFrame:
+    """A/B QUANTILE treatment effect: the difference of arm MEDIANS of
+    the ``metric_type`` event value — the robust companion of
+    :func:`ab_conversion`'s rate readout (median shifts survive the
+    revenue outliers that drag means; the standard experiment guardrail
+    pair is rate + median).
+
+    Arms are the same deterministic md5 coin on ``user_id`` as
+    :func:`ab_conversion` — a user is ALWAYS in the same arm across
+    both readouts, engines, and reruns.
+
+    The per-arm median is an EXACT order statistic over cents: the
+    TWO-PHASE distributed rank (range-repartition by (arm, cents, id),
+    within-partition row_number, #partitions×2 offset table broadcast
+    back — no single task ever sorts an arm, the quality_calibration
+    lesson), then ranks ⌈n/2⌉ and ⌈(n+1)/2⌉ picked and averaged with
+    ONE pinned division: ``median = cast(lo + hi as double) / 200.0``
+    (cents → value units folded into the same tree, mirrored verbatim
+    in the oracle — no percentile() interpolation-tree hazard).
+
+    Returns one row ``(n_a, n_b, median_a, median_b, median_diff)``;
+    an empty arm surfaces NULLs, never a crash.
+
+    Reference parity: per-key reduce + the M6/M9 sort surface
+    (SURVEY.md §2.2) re-expressed as a distributed rank.
+    """
+    coin = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 18, 15), 16, 10
+        ).cast("long")
+        % 2
+    )
+    t = (
+        events.filter(F.col("event_type") == metric_type)
+        .select(
+            coin.alias("arm"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+            F.col("event_id").alias("id"),
+        )
+        .repartitionByRange(F.col("arm"), F.col("cents"), F.col("id"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_in = Window.partitionBy("pid", "arm").orderBy("cents", "id")
+    t = t.withColumn("rn", F.row_number().over(w_in))
+    per = t.groupBy("pid", "arm").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy("arm")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("pid", "arm", "off")
+    totals = per.groupBy("arm").agg(F.sum("cnt").cast("bigint").alias("n"))
+    ranked = (
+        t.join(F.broadcast(offsets), ["pid", "arm"])
+        .join(F.broadcast(totals), "arm")
+        .select("arm", "cents", "n", (F.col("off") + F.col("rn")).alias("r"))
+    )
+    mids = ranked.filter(
+        (F.col("r") == F.expr("(n + 1) div 2"))
+        | (F.col("r") == F.expr("(n + 2) div 2"))
+    )
+    per_arm = mids.groupBy("arm", "n").agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    one = per_arm.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 0, F.col("lo"))).alias("lo_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("hi"))).alias("hi_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("lo"))).alias("lo_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("hi"))).alias("hi_b"),
+    )
+    return one.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.expr("cast(lo_a + hi_a as double) / 200.0e0").alias("median_a"),
+        F.expr("cast(lo_b + hi_b as double) / 200.0e0").alias("median_b"),
+        F.expr(
+            "cast(lo_b + hi_b as double) / 200.0e0"
+            " - cast(lo_a + hi_a as double) / 200.0e0"
+        ).alias("median_diff"),
+    )

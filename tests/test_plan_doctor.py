@@ -125,6 +125,9 @@ FUNNEL_REVIEWED = {
     # fd_violations: one 1-row rollup per audited dependency (#pairs,
     # config-bounded) over key-grain map-side-combined aggregates
     "fd_violations",
+    # ab_quantile_diff: two-phase-rank offset table (#partitions x 2
+    # arms) + the 2-row arm-median pivot to one report row
+    "ab_quantile_diff",
 }
 
 

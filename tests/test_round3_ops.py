@@ -1147,3 +1147,53 @@ def test_join_view_delta_equals_direct_join(spark):
         for r in a_all.join(b_all, a_all.ak == b_all.bk).collect()
     )
     assert got == want and len(got) == 6
+
+
+def test_ab_quantile_diff_exact_medians_and_invariance(spark):
+    """Hand-built arms: medians are exact order statistics with the
+    (lo+hi)/200 pinned tree; result invariant to input partitioning."""
+    from p2_mapreduce_spark.operators.events_analytics import ab_quantile_diff
+
+    # md5-coin arms for user ids 1..8 (must match the operator's coin)
+    from pyspark.sql import functions as F
+
+    users = spark.range(1, 9).select(F.col("id").alias("user_id"))
+    arms = {
+        r["user_id"]: r["arm"]
+        for r in users.select(
+            "user_id",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 18, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("arm"),
+        ).collect()
+    }
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    vals = {0: [], 1: []}
+    for i, (u, arm) in enumerate(sorted(arms.items())):
+        v = 10.0 + i  # distinct values
+        vals[arm].append(int(v * 100))
+        rows.append((i, u, "purchase", v, t0))
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+
+    def exact_median(cents):
+        s = sorted(cents)
+        n = len(s)
+        lo, hi = s[(n + 1) // 2 - 1], s[(n + 2) // 2 - 1]
+        return (lo + hi) / 200.0
+
+    out = ab_quantile_diff(df).collect()[0]
+    assert out["n_a"] == len(vals[0]) and out["n_b"] == len(vals[1])
+    assert out["median_a"] == exact_median(vals[0])
+    assert out["median_b"] == exact_median(vals[1])
+    out2 = ab_quantile_diff(df.repartition(7)).collect()[0]
+    assert out2 == out
