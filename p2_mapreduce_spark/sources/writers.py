@@ -99,3 +99,47 @@ def write_parquet_audited(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
     return obs.get
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 8,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table sink: hash-bucket ``df`` by ``key`` into
+    ``buckets`` files per partition (optionally sorted within each
+    bucket) and register it in the session catalog.
+
+    THE 100 TB join device: two tables bucketed by the same key into the
+    same bucket count join with ZERO shuffle — Spark's scan reports the
+    bucketing as its output partitioning, so the SortMergeJoin consumes
+    both sides in place (and with ``sort=True`` the per-bucket sort is
+    already on disk).  A nightly re-join of two 10 TB tables stops
+    moving 20 TB over the network per run; the shuffle is paid ONCE at
+    write time.  This is the storage-layout half of the co-located-join
+    story (the runtime half is `repartition` — see salted_join for the
+    skew face).
+
+    Bucket pruning also serves point lookups: an equality predicate on
+    ``key`` scans 1/``buckets`` of the files.
+
+    Reference parity: the reference's FNV-1a `hash(key) mod R`
+    intermediate-partition files (SURVEY.md M3,
+    storage-node/main.go:783-787) ARE write-side buckets — this is that
+    exact idea, persisted and catalog-visible.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def bucketed_join(spark, left_table: str, right_table: str, key: str):
+    """Join two same-key, same-count bucketed tables — shuffle-free by
+    construction (pytest pins the plan: no Exchange on either side)."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.join(right, key)

@@ -213,3 +213,68 @@ def test_read_table_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     assert "PushedFilters: [" in plan and "o_orderstatus" in plan.split(
         "PushedFilters"
     )[1][:120]
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Two tables bucketed on the same key with the same bucket count
+    must join with ZERO exchanges — the write-once-shuffle-never story.
+    An unbucketed twin of the same join DOES shuffle, proving the plan
+    difference comes from the bucketing."""
+    from p2_mapreduce_spark.session import load_table
+    from p2_mapreduce_spark.sources.writers import bucketed_join, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    write_bucketed(
+        orders.withColumnRenamed("o_custkey", "ckey"), "b_orders", "ckey"
+    )
+    write_bucketed(
+        cust.withColumnRenamed("c_custkey", "ckey"), "b_cust", "ckey"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_cust", "ckey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # row parity with the plain join
+        plain = orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        )
+        assert joined.count() == plain.count()
+        pplan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in pplan  # the unbucketed twin shuffles
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_bucketed_scan_prunes_on_key_equality(spark, sf_dir):
+    """An equality predicate on the bucket key must scan a subset of
+    bucket files (bucket pruning), visible as 'SelectedBucketsCount'."""
+    from p2_mapreduce_spark.session import load_table
+    from p2_mapreduce_spark.sources.writers import write_bucketed
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    write_bucketed(cust, "b_cust_prune", "c_custkey", buckets=8)
+    # the planner's auto-bucketed-scan heuristic disables bucketed
+    # reading for plans that gain nothing from the PARTITIONING (a bare
+    # filter); pin it on so the scan keeps bucket identity and PRUNES
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        q = spark.table("b_cust_prune").filter("c_custkey = 7")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+        assert q.count() == 1
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+        )
+        spark.sql("DROP TABLE IF EXISTS b_cust_prune")
