@@ -2443,6 +2443,17 @@ def _q_ab_quantile_diff(spark, sf_dir):
     return ab_quantile_diff(load_table(spark, sf_dir, "events"))
 
 
+def _q_price_volume(spark, sf_dir):
+    """YoY revenue bridge per brand: Laspeyres price/volume split with
+    exact BIGINT cents and one pinned tree per effect."""
+    from p2_mapreduce_spark.operators.analytics import price_volume_decomp
+
+    return price_volume_decomp(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2572,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_violations": _q_fd_violations,
         "ivm_join": _q_ivm_join,
         "ab_quantile_diff": _q_ab_quantile_diff,
+        "price_volume": _q_price_volume,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -3839,6 +3851,45 @@ def oracle_sql() -> dict[str, str]:
                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                    END AS assortativity
             FROM stats, meta
+        """,
+        "price_volume": """
+            WITH anchor AS (
+                SELECT MAX(EXTRACT(year FROM l_shipdate)) AS y1
+                FROM lineitem
+            ),
+            rows_t AS (
+                SELECT p_brand,
+                       EXTRACT(year FROM l_shipdate) AS yr,
+                       CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+                       CAST(floor(l_quantity) AS BIGINT) AS qty
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            ),
+            by_year AS (
+                SELECT p_brand,
+                       CAST(SUM(CASE WHEN yr = y1 - 1 THEN qty ELSE 0 END)
+                            AS BIGINT) AS vol_prev,
+                       CAST(SUM(CASE WHEN yr = y1 THEN qty ELSE 0 END)
+                            AS BIGINT) AS vol_curr,
+                       CAST(SUM(CASE WHEN yr = y1 - 1 THEN cents ELSE 0 END)
+                            AS BIGINT) AS rev_prev_cents,
+                       CAST(SUM(CASE WHEN yr = y1 THEN cents ELSE 0 END)
+                            AS BIGINT) AS rev_curr_cents
+                FROM rows_t, anchor
+                WHERE yr >= y1 - 1
+                GROUP BY p_brand
+            )
+            SELECT p_brand, vol_prev, vol_curr,
+                   rev_prev_cents, rev_curr_cents,
+                   rev_curr_cents - rev_prev_cents AS delta_cents,
+                   CAST(vol_curr - vol_prev AS DOUBLE)
+                   * CAST(rev_prev_cents AS DOUBLE)
+                   / CAST(vol_prev AS DOUBLE) AS volume_effect_cents,
+                   CAST(rev_curr_cents AS DOUBLE)
+                   - CAST(vol_curr AS DOUBLE)
+                   * CAST(rev_prev_cents AS DOUBLE)
+                   / CAST(vol_prev AS DOUBLE) AS price_effect_cents
+            FROM by_year
+            WHERE vol_prev > 0 AND vol_curr > 0
         """,
         "ab_quantile_diff": """
             WITH vals AS (

@@ -225,6 +225,7 @@ HEADLINE = (
     "fd_violations",
     "ivm_join",
     "ab_quantile_diff",
+    "price_volume",
 )
 
 

@@ -554,3 +554,84 @@ def assoc_rules(
         .orderBy(F.desc("confidence"), F.asc("antecedent"), F.asc("consequent"))
         .limit(top_n)
     )
+
+
+def price_volume_decomp(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Price/volume decomposition of the year-over-year revenue change
+    per brand — the FP&A bridge question behind every revenue review:
+    "did we sell MORE, or at HIGHER prices?"  Laspeyres split anchored
+    at the prior year's average unit price P0 = rev0/vol0:
+
+        volume_effect = (vol1 − vol0) · P0
+        price_effect  = rev1 − vol1 · P0
+
+    which sum to Δrev algebraically (each effect is surfaced as its own
+    pinned IEEE tree; the exact delta column is BIGINT cents, so the
+    identity is auditable without trusting float cancellation).
+
+    The comparison years are data-driven: the max ship year (one-row
+    broadcast anchor, the decayed_engagement device) vs the year before.
+    Only brands trading in BOTH years decompose (others drop — a brand
+    with vol0 = 0 has no price anchor).
+
+    Scale shape: facts collapse once to (brand, year) grain — a
+    broadcast join against the part dim, then a map-side-combined
+    aggregate; the pivot to prev/curr columns is a conditional agg at
+    brand grain.  Cents and quantities are exact BIGINTs; each effect is
+    ONE double tree mirrored verbatim in the oracle.
+
+    Returns ``(p_brand, vol_prev, vol_curr, rev_prev_cents,
+    rev_curr_cents, delta_cents, volume_effect_cents,
+    price_effect_cents)``.
+
+    Reference parity: none (warehouse-analytics extension, SURVEY.md
+    §2.3); the two-phase aggregate is the reference's M7/M9 partial →
+    final combine at brand-year grain.
+    """
+    anchor = lineitem.agg(
+        F.max(F.year("l_shipdate")).alias("y1")
+    )
+    by_year = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(F.broadcast(anchor))
+        .filter(F.year("l_shipdate") >= F.col("y1") - 1)
+        .select(
+            "p_brand",
+            (F.year("l_shipdate") == F.col("y1")).alias("is_curr"),
+            F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+            F.floor("l_quantity").cast("bigint").alias("qty"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(~F.col("is_curr"), F.col("qty")).otherwise(0))
+            .cast("bigint")
+            .alias("vol_prev"),
+            F.sum(F.when(F.col("is_curr"), F.col("qty")).otherwise(0))
+            .cast("bigint")
+            .alias("vol_curr"),
+            F.sum(F.when(~F.col("is_curr"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("rev_prev_cents"),
+            F.sum(F.when(F.col("is_curr"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("rev_curr_cents"),
+        )
+    )
+    both = by_year.filter((F.col("vol_prev") > 0) & (F.col("vol_curr") > 0))
+    return both.select(
+        "p_brand",
+        "vol_prev",
+        "vol_curr",
+        "rev_prev_cents",
+        "rev_curr_cents",
+        (F.col("rev_curr_cents") - F.col("rev_prev_cents")).alias("delta_cents"),
+        F.expr(
+            "cast(vol_curr - vol_prev as double) * cast(rev_prev_cents as double)"
+            " / cast(vol_prev as double)"
+        ).alias("volume_effect_cents"),
+        F.expr(
+            "cast(rev_curr_cents as double)"
+            " - cast(vol_curr as double) * cast(rev_prev_cents as double)"
+            " / cast(vol_prev as double)"
+        ).alias("price_effect_cents"),
+    )

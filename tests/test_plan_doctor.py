@@ -128,6 +128,9 @@ FUNNEL_REVIEWED = {
     # ab_quantile_diff: two-phase-rank offset table (#partitions x 2
     # arms) + the 2-row arm-median pivot to one report row
     "ab_quantile_diff",
+    # price_volume: one-row max-ship-year anchor broadcast (the
+    # decayed_engagement device); everything else is brand-grain
+    "price_volume",
 }
 
 

@@ -1197,3 +1197,39 @@ def test_ab_quantile_diff_exact_medians_and_invariance(spark):
     assert out["median_b"] == exact_median(vals[1])
     out2 = ab_quantile_diff(df.repartition(7)).collect()[0]
     assert out2 == out
+
+
+def test_price_volume_decomp_identity_and_anchor(spark):
+    """Effects must reconstruct the exact delta (evaluated on the same
+    float trees) and the anchor year is data-driven: constructed fixture
+    with known price x volume moves."""
+    import datetime
+
+    from p2_mapreduce_spark.operators.analytics import price_volume_decomp
+
+    d23 = datetime.datetime(2023, 6, 1)
+    d24 = datetime.datetime(2024, 6, 1)
+    li = spark.createDataFrame(
+        [
+            # brand A: volume doubles at constant unit price 2.00
+            (1, 10.0, 20.0, d23), (1, 20.0, 40.0, d24),
+            # brand B: price doubles at constant volume
+            (2, 10.0, 10.0, d23), (2, 10.0, 20.0, d24),
+            # brand C: trades only in 2024 -> dropped
+            (3, 5.0, 5.0, d24),
+        ],
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+    part = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C")], ["p_partkey", "p_brand"]
+    )
+    out = {r["p_brand"]: r for r in price_volume_decomp(li, part).collect()}
+    assert set(out) == {"A", "B"}
+    a = out["A"]
+    assert a["delta_cents"] == 2000
+    assert a["volume_effect_cents"] == 2000.0  # all volume
+    assert a["price_effect_cents"] == 0.0
+    b = out["B"]
+    assert b["delta_cents"] == 1000
+    assert b["volume_effect_cents"] == 0.0
+    assert b["price_effect_cents"] == 1000.0
