@@ -2454,6 +2454,14 @@ def _q_price_volume(spark, sf_dir):
     )
 
 
+def _q_rfm_segments(spark, sf_dir):
+    """RFM segmentation grid — exact quintiles over the melted
+    (customer, dim, value) table via one two-phase distributed rank."""
+    from p2_mapreduce_spark.operators.analytics import rfm_segments
+
+    return rfm_segments(load_table(spark, sf_dir, "orders"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2584,6 +2592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_join": _q_ivm_join,
         "ab_quantile_diff": _q_ab_quantile_diff,
         "price_volume": _q_price_volume,
+        "rfm_segments": _q_rfm_segments,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -3851,6 +3860,50 @@ def oracle_sql() -> dict[str, str]:
                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                    END AS assortativity
             FROM stats, meta
+        """,
+        "rfm_segments": """
+            WITH anchor AS (
+                SELECT MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders
+            ),
+            per_cust AS (
+                SELECT o_custkey AS id,
+                       MIN(datediff('day', CAST(o_orderdate AS DATE), d1))
+                           AS days,
+                       COUNT(*) AS freq,
+                       SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                           AS cents
+                FROM orders, anchor GROUP BY 1, d1
+            ),
+            melted AS (
+                SELECT id, 'r' AS dim, CAST(-days AS BIGINT) AS value
+                FROM per_cust
+                UNION ALL
+                SELECT id, 'f', CAST(freq AS BIGINT) FROM per_cust
+                UNION ALL
+                SELECT id, 'm', CAST(cents AS BIGINT) FROM per_cust
+            ),
+            ranked AS (
+                SELECT id, dim,
+                       ROW_NUMBER() OVER (PARTITION BY dim
+                                          ORDER BY value, id) AS r,
+                       COUNT(*) OVER (PARTITION BY dim) AS n
+                FROM melted
+            ),
+            scored AS (
+                SELECT id, dim,
+                       CAST(((r - 1) * 5) // n + 1 AS BIGINT) AS score
+                FROM ranked
+            ),
+            grid AS (
+                SELECT id,
+                       MAX(CASE WHEN dim = 'r' THEN score END) AS r_score,
+                       MAX(CASE WHEN dim = 'f' THEN score END) AS f_score,
+                       MAX(CASE WHEN dim = 'm' THEN score END) AS m_score
+                FROM scored GROUP BY id
+            )
+            SELECT r_score, f_score, m_score,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM grid GROUP BY 1, 2, 3
         """,
         "price_volume": """
             WITH anchor AS (

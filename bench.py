@@ -226,6 +226,7 @@ HEADLINE = (
     "ivm_join",
     "ab_quantile_diff",
     "price_volume",
+    "rfm_segments",
 )
 
 

@@ -635,3 +635,87 @@ def price_volume_decomp(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             " / cast(vol_prev as double)"
         ).alias("price_effect_cents"),
     )
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM customer segmentation: every customer scored 1..5 on
+    Recency (days since last order — anchored at the data's max order
+    date), Frequency (order count) and Monetary (lifetime cents), then
+    counted per (r, f, m) cell — the classic marketing segmentation
+    grid (5 = best quintile on every axis).
+
+    Quintiles are EXACT distributed ranks, not ntile-over-one-task: the
+    three metrics MELT to (customer, dim, value) long form — recency
+    negated so "more recent" ranks higher like the other two — and ONE
+    two-phase rank partitioned by dim covers all three axes in a single
+    pass (range-repartition by (dim, value, id), within-partition
+    row_number, #partitions×3 offset table broadcast back; no single
+    task sorts an axis).  ``score = (rank-1)·5 div n + 1`` is pure
+    integer math with the (value, customer) tie-break making every
+    boundary deterministic cross-engine.
+
+    Scale shape: orders collapse once to customer grain (map-side
+    combined); the melt triples customer-grain rows (never order
+    grain); output is ≤125 cells.
+
+    Returns ``(r_score, f_score, m_score, n_customers)``.
+
+    Reference parity: the M6/M9 sort surface as a distributed rank
+    (SURVEY.md §2.2); segmentation itself is extension surface (§2.3).
+    """
+    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("d1"))
+    per_cust = (
+        orders.join(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(
+                F.datediff(F.col("d1"), F.to_date("o_orderdate"))
+            ).alias("days"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents"),
+        )
+    )
+    melted = per_cust.select(
+        F.col("o_custkey").alias("id"),
+        F.expr(
+            "stack(3, 'r', cast(-days as bigint), 'f', cast(freq as bigint),"
+            " 'm', cents) AS (dim, value)"
+        ),
+    )
+    t = melted.repartitionByRange(
+        F.col("dim"), F.col("value"), F.col("id")
+    ).withColumn("pid", F.spark_partition_id())
+    w_in = Window.partitionBy("pid", "dim").orderBy("value", "id")
+    t = t.withColumn("rn", F.row_number().over(w_in))
+    per = t.groupBy("pid", "dim").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy("dim")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("pid", "dim", "off")
+    totals = per.groupBy("dim").agg(F.sum("cnt").cast("bigint").alias("n"))
+    scored = (
+        t.join(F.broadcast(offsets), ["pid", "dim"])
+        .join(F.broadcast(totals), "dim")
+        .select(
+            "id",
+            "dim",
+            (
+                F.expr("((off + rn - 1) * 5) div n") + F.lit(1)
+            ).cast("bigint").alias("score"),
+        )
+    )
+    grid = scored.groupBy("id").agg(
+        F.max(F.when(F.col("dim") == "r", F.col("score"))).alias("r_score"),
+        F.max(F.when(F.col("dim") == "f", F.col("score"))).alias("f_score"),
+        F.max(F.when(F.col("dim") == "m", F.col("score"))).alias("m_score"),
+    )
+    return (
+        grid.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )

@@ -131,6 +131,9 @@ FUNNEL_REVIEWED = {
     # price_volume: one-row max-ship-year anchor broadcast (the
     # decayed_engagement device); everything else is brand-grain
     "price_volume",
+    # rfm_segments: one-row max-date anchor + the #partitions x 3-dim
+    # offset table of the melted two-phase rank
+    "rfm_segments",
 }
 
 

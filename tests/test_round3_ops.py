@@ -1233,3 +1233,38 @@ def test_price_volume_decomp_identity_and_anchor(spark):
     assert b["delta_cents"] == 1000
     assert b["volume_effect_cents"] == 0.0
     assert b["price_effect_cents"] == 1000.0
+
+
+def test_rfm_segments_exact_quintiles_and_invariance(spark):
+    """20 customers with metric = id: quintile boundaries are the exact
+    integer formula, every cell holds 4 customers on each axis, and the
+    grid is invariant to input partitioning."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.analytics import rfm_segments
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    oid = 0
+    for cust in range(1, 21):
+        # cust k: k orders of 100.00 each, most recent day k -> all three
+        # metrics are strictly increasing in k (recency negated ranks
+        # day-20 highest)
+        for j in range(cust):
+            oid += 1
+            rows.append(
+                (oid, cust, 100.0, base + datetime.timedelta(days=cust))
+            )
+    df = spark.createDataFrame(
+        rows, ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    out = rfm_segments(df).collect()
+    # perfectly correlated metrics -> only diagonal cells (r==f==m),
+    # 4 customers per quintile
+    cells = {(r["r_score"], r["f_score"], r["m_score"]): r["n_customers"]
+             for r in out}
+    assert cells == {(q, q, q): 4 for q in range(1, 6)}
+    out2 = rfm_segments(df.repartition(13)).collect()
+    assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
