@@ -2462,6 +2462,14 @@ def _q_rfm_segments(spark, sf_dir):
     return rfm_segments(load_table(spark, sf_dir, "orders"))
 
 
+def _q_interarrival(spark, sf_dir):
+    """Per-type inter-arrival mean + CV² burstiness — distributed lag,
+    exact integer-µs gaps, two pinned trees."""
+    from p2_mapreduce_spark.operators.timeseries import interarrival_stats
+
+    return interarrival_stats(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2593,6 +2601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_quantile_diff": _q_ab_quantile_diff,
         "price_volume": _q_price_volume,
         "rfm_segments": _q_rfm_segments,
+        "interarrival": _q_interarrival,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -3860,6 +3869,37 @@ def oracle_sql() -> dict[str, str]:
                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                    END AS assortativity
             FROM stats, meta
+        """,
+        "interarrival": """
+            WITH r AS (
+                SELECT event_type AS g, ts,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY ts, event_id) AS r
+                FROM events
+            ),
+            totals AS (
+                SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g FROM r GROUP BY g
+            ),
+            gaps AS (
+                SELECT a.g,
+                       datediff('microsecond', a.ts, b.ts) AS d
+                FROM r a JOIN r b ON a.g = b.g AND b.r = a.r + 1
+            ),
+            agg AS (
+                SELECT g, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       CAST(SUM(d) AS HUGEINT) AS sd,
+                       SUM(CAST(d AS HUGEINT) * d) AS sdd
+                FROM gaps GROUP BY g
+            )
+            SELECT agg.g AS event_type, n_g AS n_events, n_pairs,
+                   CAST(sd AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+                       AS mean_gap_us,
+                   CASE WHEN sd <> 0 THEN
+                       (CAST(n_pairs AS DOUBLE) * CAST(sdd AS DOUBLE)
+                        - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                       / (CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                   END AS cv2
+            FROM agg JOIN totals USING (g)
         """,
         "rfm_segments": """
             WITH anchor AS (

@@ -227,6 +227,7 @@ HEADLINE = (
     "ab_quantile_diff",
     "price_volume",
     "rfm_segments",
+    "interarrival",
 )
 
 

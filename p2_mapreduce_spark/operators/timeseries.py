@@ -1219,3 +1219,91 @@ def acf_lags(events: DataFrame, max_lag: int = 7) -> DataFrame:
             ).alias("acf"),
         )
     )
+
+
+def interarrival_stats(
+    events: DataFrame, group_col: str = "event_type"
+) -> DataFrame:
+    """Arrival-process audit per group: mean inter-arrival gap and the
+    squared coefficient of variation CV² of the gaps — the one-number
+    Poisson check (CV² ≈ 1 memoryless, ≪1 regular/scheduled, ≫1 bursty)
+    that sizes streaming capacity and picks batch trigger intervals.
+    Complements :func:`ooo_rate` (which audits ARRIVAL order); this
+    audits EVENT-TIME spacing.
+
+    Consecutive gaps come from the twap/ooo_rate DISTRIBUTED LAG: a
+    two-phase global ordinal over (group, ts, id) — range-repartition,
+    within-partition row_number, offset table broadcast back, no
+    single-task per-group sort — then the (group, r+1) equi-join pairs
+    each event with its successor.  Gaps are exact integer µs
+    (``timestampdiff``, NTZ-safe); sums accumulate in DECIMAL(38,0)
+    (order-independent), and the two outputs are each ONE pinned tree:
+    ``mean_gap_us = Σd / n_pairs`` and
+    ``cv2 = (n·Σd² − (Σd)²) / ((Σd)·(Σd))`` — exact-integer inputs, so
+    bit-identical cross-engine.  Groups with <2 events or all-zero gaps
+    surface NULL.
+
+    Returns ``(group, n_events, n_pairs, mean_gap_us, cv2)``.
+
+    Reference parity: the M6 sort surface as a distributed ordinal
+    (SURVEY.md §2.2); the statistic itself is extension surface.
+    """
+    t = (
+        events.select(
+            F.col(group_col).alias("g"),
+            F.col("ts").alias("tstamp"),
+            F.col("event_id").alias("id"),
+        )
+        .repartitionByRange(F.col("g"), F.col("tstamp"), F.col("id"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_in = Window.partitionBy("pid", "g").orderBy("tstamp", "id")
+    t = t.withColumn("rn", F.row_number().over(w_in))
+    per = t.groupBy("pid", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy("g")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("pid", "g", "off")
+    totals = per.groupBy("g").agg(F.sum("cnt").cast("bigint").alias("n_g"))
+    r = t.join(F.broadcast(offsets), ["pid", "g"]).select(
+        "g", "tstamp", (F.col("off") + F.col("rn")).alias("r")
+    )
+    a, b = r.alias("a"), r.alias("b")
+    gaps = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g")) & (F.col("b.r") == F.col("a.r") + 1),
+    ).select(
+        F.col("a.g").alias("g"),
+        F.expr("timestampdiff(MICROSECOND, a.tstamp, b.tstamp)").alias("d"),
+    )
+    agg = gaps.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("d").cast("decimal(38,0)")).alias("sd"),
+        # widen BEFORE the square: a year-scale gap in µs (~3e13)
+        # squared overflows BIGINT; decimal(19)×bigint stays exact
+        F.sum(
+            (F.col("d").cast("decimal(19,0)") * F.col("d")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sdd"),
+    )
+    return agg.join(F.broadcast(totals), "g").select(
+        F.col("g").alias(group_col),
+        F.col("n_g").alias("n_events"),
+        "n_pairs",
+        F.expr("cast(sd as double) / cast(n_pairs as double)").alias(
+            "mean_gap_us"
+        ),
+        F.when(
+            F.col("sd") != 0,
+            F.expr(
+                "(cast(n_pairs as double) * cast(sdd as double)"
+                " - cast(sd as double) * cast(sd as double))"
+                " / (cast(sd as double) * cast(sd as double))"
+            ),
+        ).alias("cv2"),
+    )

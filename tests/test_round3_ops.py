@@ -1268,3 +1268,37 @@ def test_rfm_segments_exact_quintiles_and_invariance(spark):
     assert cells == {(q, q, q): 4 for q in range(1, 6)}
     out2 = rfm_segments(df.repartition(13)).collect()
     assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
+
+
+def test_interarrival_regular_vs_bursty(spark):
+    """A perfectly regular series has CV²=0; a maximally bursty pair
+    pattern (gaps alternating 0-ish/large) pushes CV² toward 1; values
+    verified against the closed form on hand gaps."""
+    import datetime
+
+    from p2_mapreduce_spark.operators.timeseries import interarrival_stats
+
+    t0 = datetime.datetime(2024, 1, 1)
+    s = datetime.timedelta(seconds=1)
+    rows = []
+    # regular: events at 0,10,20,30,40 s
+    for i in range(5):
+        rows.append((i, "reg", t0 + 10 * i * s))
+    # bursty: gaps 1,19,1,19 s
+    ts = [0, 1, 20, 21, 40]
+    for i, x in enumerate(ts):
+        rows.append((100 + i, "bur", t0 + x * s))
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "ts"])
+    out = {r["event_type"]: r for r in interarrival_stats(df).collect()}
+    reg = out["reg"]
+    assert reg["n_pairs"] == 4 and reg["cv2"] == 0.0
+    assert reg["mean_gap_us"] == 10_000_000.0
+    bur = out["bur"]
+    gaps = [1, 19, 1, 19]
+    sd, sdd, n = sum(gaps), sum(g * g for g in gaps), len(gaps)
+    want = (n * sdd * 1e12 - (sd * 1e6) ** 2) / (sd * 1e6) ** 2
+    assert abs(bur["cv2"] - want) < 1e-12
+    # partition invariance
+    out2 = {r["event_type"]: r for r in
+            interarrival_stats(df.repartition(9)).collect()}
+    assert out2["bur"]["cv2"] == bur["cv2"]
