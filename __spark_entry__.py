@@ -2470,6 +2470,14 @@ def _q_interarrival(spark, sf_dir):
     return interarrival_stats(load_table(spark, sf_dir, "events"))
 
 
+def _q_readability(spark, sf_dir):
+    """Flesch reading ease per source — integer regex counts summed
+    exactly, one pinned tree."""
+    from p2_mapreduce_spark.operators.text_analysis import readability_by_source
+
+    return readability_by_source(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2602,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_volume": _q_price_volume,
         "rfm_segments": _q_rfm_segments,
         "interarrival": _q_interarrival,
+        "readability": _q_readability,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -3869,6 +3878,38 @@ def oracle_sql() -> dict[str, str]:
                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                    END AS assortativity
             FROM stats, meta
+        """,
+        "readability": """
+            WITH per_doc AS (
+                SELECT source,
+                       CAST(len(regexp_extract_all(lower(text),
+                                                   '[a-z0-9]+')) AS BIGINT)
+                           AS w,
+                       CAST(greatest(1, len(regexp_extract_all(text,
+                                                   '[.!?]+'))) AS BIGINT)
+                           AS s,
+                       CAST(len(regexp_extract_all(lower(text),
+                                                   '[aeiouy]+')) AS BIGINT)
+                           AS y
+                FROM documents
+            ),
+            per_source AS (
+                SELECT source,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(w) AS BIGINT) AS n_words,
+                       CAST(SUM(s) AS BIGINT) AS n_sentences,
+                       CAST(SUM(y) AS BIGINT) AS n_syllables
+                FROM per_doc GROUP BY source
+            )
+            SELECT source, n_docs, n_words, n_sentences, n_syllables,
+                   CASE WHEN n_words > 0 THEN
+                       206.835e0
+                       - 1.015e0 * (CAST(n_words AS DOUBLE)
+                                    / CAST(n_sentences AS DOUBLE))
+                       - 84.6e0 * (CAST(n_syllables AS DOUBLE)
+                                   / CAST(n_words AS DOUBLE))
+                   END AS flesch
+            FROM per_source
         """,
         "interarrival": """
             WITH r AS (

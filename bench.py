@@ -228,6 +228,7 @@ HEADLINE = (
     "price_volume",
     "rfm_segments",
     "interarrival",
+    "readability",
 )
 
 

@@ -949,3 +949,65 @@ def zipf_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("mass_share"),
         )
     )
+
+
+def readability_by_source(docs: DataFrame) -> DataFrame:
+    """Flesch reading-ease per source — the grade-level readability
+    signal real curation stacks (textstat-style filters) threshold on,
+    complementing :func:`quality_signals`' length/punct ratios with a
+    sentence-structure measure.
+
+    All three inputs are INTEGER counts from regex surfaces identical
+    in Java-regex and RE2: words = ``[a-z0-9]+`` runs of the lowered
+    text, sentences = ``[.!?]+`` runs (floored at 1 per doc so a
+    fragment still scores), syllables = vowel-group runs ``[aeiouy]+``
+    (the standard dictionary-free proxy).  Counts sum exactly per
+    source (map-side combined, BIGINT) and the Flesch score is ONE
+    pinned tree over the corpus-level ratios —
+    ``206.835 − 1.015·(W/S) − 84.6·(Y/W)`` with double literals in
+    scientific form so neither engine parses them as DECIMAL.
+
+    Scale: one projection + one aggregate at source grain; no shuffle
+    wider than #sources.  Returns ``(source, n_docs, n_words,
+    n_sentences, n_syllables, flesch)``.
+
+    Reference parity: tokenize/count composition (SURVEY.md M2/M8);
+    readability itself is extension surface (§2.3).
+    """
+    words = F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+    sents = F.greatest(
+        F.lit(1), F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)"))
+    )
+    sylls = F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+    per_source = (
+        docs.select(
+            "source",
+            words.cast("bigint").alias("w"),
+            sents.cast("bigint").alias("s"),
+            sylls.cast("bigint").alias("y"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("n_words"),
+            F.sum("s").cast("bigint").alias("n_sentences"),
+            F.sum("y").cast("bigint").alias("n_syllables"),
+        )
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(
+            F.col("n_words") > 0,
+            F.expr(
+                "206.835e0"
+                " - 1.015e0 * (cast(n_words as double)"
+                " / cast(n_sentences as double))"
+                " - 84.6e0 * (cast(n_syllables as double)"
+                " / cast(n_words as double))"
+            ),
+        ).alias("flesch"),
+    )

@@ -1302,3 +1302,28 @@ def test_interarrival_regular_vs_bursty(spark):
     out2 = {r["event_type"]: r for r in
             interarrival_stats(df.repartition(9)).collect()}
     assert out2["bur"]["cv2"] == bur["cv2"]
+
+
+def test_readability_hand_counts(spark):
+    """Hand-counted Flesch on a two-sentence doc; fragment with no
+    terminator floors at one sentence; empty text yields NULL."""
+    from p2_mapreduce_spark.operators.text_analysis import readability_by_source
+
+    df = spark.createDataFrame(
+        [
+            # "the cat sat. it ran!" -> words 6? no: the,cat,sat,it,ran=5
+            # syllable groups: e,a,a,i,a = 5; sentences 2
+            ("s1", "The cat sat. It ran!"),
+            ("s2", "no terminator here"),
+            ("s3", "..."),
+        ],
+        ["source", "text"],
+    )
+    out = {r["source"]: r for r in readability_by_source(df).collect()}
+    s1 = out["s1"]
+    assert s1["n_words"] == 5 and s1["n_sentences"] == 2
+    assert s1["n_syllables"] == 5
+    want = 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
+    assert abs(s1["flesch"] - want) < 1e-12
+    assert out["s2"]["n_sentences"] == 1  # floored
+    assert out["s3"]["n_words"] == 0 and out["s3"]["flesch"] is None
