@@ -2478,6 +2478,14 @@ def _q_readability(spark, sf_dir):
     return readability_by_source(load_table(spark, sf_dir, "documents"))
 
 
+def _q_skipping_audit(spark, sf_dir):
+    """Footer-stats pruning audit: buckets a 2-D box must read under a
+    linear vs z-order layout — exact integer bucket identity."""
+    from p2_mapreduce_spark.operators.layout import skipping_audit
+
+    return skipping_audit(load_table(spark, sf_dir, "lineitem"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2611,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": _q_rfm_segments,
         "interarrival": _q_interarrival,
         "readability": _q_readability,
+        "skipping_audit": _q_skipping_audit,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -2979,6 +2988,46 @@ def _zorder_cluster_oracle() -> str:
                min(l_suppkey) AS min_l_suppkey,
                max(l_suppkey) AS max_l_suppkey
         FROM z GROUP BY 1
+    """
+
+
+def _skipping_audit_oracle() -> str:
+    from p2_mapreduce_spark.operators.layout import DEFAULT_BITS, zvalue_sql
+
+    zexpr = zvalue_sql(("l_partkey", "l_suppkey"))
+    nb = 1 << max(1, DEFAULT_BITS * 2 - 10)
+    return f"""
+        WITH maxes AS (SELECT MAX(l_partkey) AS m1 FROM lineitem),
+        linear AS (
+            SELECT 'linear' AS layout,
+                   CAST(l_partkey // ((m1 + {nb}) // {nb}) AS BIGINT)
+                       AS bucket,
+                   l_partkey AS k1, l_suppkey AS k2
+            FROM lineitem, maxes
+        ),
+        zorder AS (
+            SELECT 'zorder' AS layout,
+                   CAST(({zexpr}) >> 10 AS BIGINT) AS bucket,
+                   l_partkey AS k1, l_suppkey AS k2
+            FROM lineitem
+        ),
+        stats AS (
+            SELECT layout, bucket,
+                   MIN(k1) AS min1, MAX(k1) AS max1,
+                   MIN(k2) AS min2, MAX(k2) AS max2
+            FROM (SELECT * FROM linear UNION ALL SELECT * FROM zorder)
+            GROUP BY layout, bucket
+        )
+        SELECT layout,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(CASE WHEN min1 <= 64 AND max1 >= 1
+                              AND min2 <= 4 AND max2 >= 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS buckets_touched,
+               CAST((SUM(CASE WHEN min1 <= 64 AND max1 >= 1
+                               AND min2 <= 4 AND max2 >= 1
+                          THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+                    AS BIGINT) AS touch_ppm
+        FROM stats GROUP BY layout
     """
 
 
@@ -3879,6 +3928,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS assortativity
             FROM stats, meta
         """,
+        "skipping_audit": _skipping_audit_oracle(),
         "readability": """
             WITH per_doc AS (
                 SELECT source,

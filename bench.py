@@ -229,6 +229,7 @@ HEADLINE = (
     "rfm_segments",
     "interarrival",
     "readability",
+    "skipping_audit",
 )
 
 

@@ -250,3 +250,98 @@ def bitmap_count(
         )
     )
     return pop_a.crossJoin(pop_b).crossJoin(both)
+
+
+def skipping_audit(
+    lineitem: DataFrame,
+    cols: Sequence[str] = ("l_partkey", "l_suppkey"),
+    bits: int = DEFAULT_BITS,
+    drop_bits: int = 10,
+    box: Sequence[tuple[int, int]] = ((1, 64), (1, 4)),
+) -> DataFrame:
+    """Data-skipping effectiveness audit: for the SAME table laid out
+    two ways — linear (range-bucketed on the first key only, the
+    default "sorted by one column" layout) vs z-order (interleaved
+    bits, :func:`zorder_cluster`'s curve) — how many buckets would a
+    2-D box predicate have to READ, judging each bucket by its min/max
+    footer stats exactly the way parquet row-group pruning does?
+
+    This quantifies the layout decision BEFORE rewriting 100 TB: the
+    linear layout prunes only on its sort column (every bucket spans
+    the full domain of the second key), while the z-curve bounds BOTH
+    dimensions per bucket, so the touched-bucket count drops by orders
+    of magnitude for selective boxes.  All bucket ids and min/max stats
+    are exact integer arithmetic (the bit-interleave is the oracle-
+    shared :func:`zvalue_sql` expression); ``touch_ppm`` is the floor-
+    quantized fraction of buckets read.
+
+    Linear buckets are VALUE-range buckets (key div bucket_width over
+    the observed max — deterministic, engine-exact) with the same
+    target bucket count as the z-layout (2^(bits·k − drop_bits)), so
+    the comparison is bucket-count-fair.
+
+    Returns one row per layout: ``(layout, n_buckets, buckets_touched,
+    touch_ppm)``.
+
+    Reference parity: none (layout extension, SURVEY.md §2.3); the
+    audit is a grouped min/max aggregate — M7 reduce at bucket grain.
+    """
+    (c1, c2) = cols
+    (lo1, hi1), (lo2, hi2) = box
+    n_buckets_target = 1 << max(1, bits * len(cols) - drop_bits)
+    zexpr = zvalue_sql(cols, bits)
+    maxes = lineitem.agg(
+        F.max(c1).alias("m1"),
+    )
+    # integral div end-to-end — no float in bucket identity
+    bucket_expr = (
+        f"{c1} div ((m1 + {n_buckets_target}) div {n_buckets_target})"
+    )
+    linear = (
+        lineitem.join(F.broadcast(maxes))
+        .select(
+            F.lit("linear").alias("layout"),
+            F.expr(bucket_expr).cast("bigint").alias("bucket"),
+            F.col(c1).alias("k1"),
+            F.col(c2).alias("k2"),
+        )
+    )
+    zorder = lineitem.select(
+        F.lit("zorder").alias("layout"),
+        F.expr(f"({zexpr}) >> {drop_bits}").alias("bucket"),
+        F.col(c1).alias("k1"),
+        F.col(c2).alias("k2"),
+    )
+    stats = (
+        linear.unionByName(zorder)
+        .groupBy("layout", "bucket")
+        .agg(
+            F.min("k1").alias("min1"),
+            F.max("k1").alias("max1"),
+            F.min("k2").alias("min2"),
+            F.max("k2").alias("max2"),
+        )
+    )
+    touched = (
+        (F.col("min1") <= F.lit(hi1))
+        & (F.col("max1") >= F.lit(lo1))
+        & (F.col("min2") <= F.lit(hi2))
+        & (F.col("max2") >= F.lit(lo2))
+    )
+    return (
+        stats.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum(F.when(touched, 1).otherwise(0))
+            .cast("bigint")
+            .alias("buckets_touched"),
+        )
+        .select(
+            "layout",
+            "n_buckets",
+            "buckets_touched",
+            F.expr("(buckets_touched * 1000000) div n_buckets").alias(
+                "touch_ppm"
+            ),
+        )
+    )

@@ -134,6 +134,9 @@ FUNNEL_REVIEWED = {
     # rfm_segments: one-row max-date anchor + the #partitions x 3-dim
     # offset table of the melted two-phase rank
     "rfm_segments",
+    # skipping_audit: one-row max-key aggregate broadcast into the
+    # linear bucket width; all stats work is bucket-grain
+    "skipping_audit",
 }
 
 

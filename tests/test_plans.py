@@ -335,3 +335,48 @@ def test_every_query_plan_is_jvm_side_unless_allowlisted(spark, sf_dir):
             missing.append(name)
     assert not offenders, f"unexpected Python workers: {offenders}"
     assert not missing, f"stale PYTHON_ALLOWED entries: {missing}"
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's skew-join handling is part of the engine's 100 TB story:
+    with skew thresholds lowered, a join against a 90%-one-key table
+    must come back with the skewed partition SPLIT (SortMergeJoin
+    marked skew=true in the adaptive final plan) — the runtime answer
+    to the same problem salted_join solves statically."""
+    from pyspark.sql import functions as F
+
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        # 200k rows, 90% on key 0 — one shuffle partition dwarfs the rest
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("padpadpadpadpadpad-"), F.col("id")).alias("pl"),
+        )
+        right = spark.range(0, 20_001).select(
+            F.col("id").alias("k"), F.lit("r").alias("pr")
+        )
+        j = left.join(right, "k")
+        # execute THIS dataframe's own plan (count()/write build separate
+        # trees) so the adaptive final plan materializes on it
+        assert len(j.collect()) == 182_001
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

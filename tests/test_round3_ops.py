@@ -1327,3 +1327,30 @@ def test_readability_hand_counts(spark):
     assert abs(s1["flesch"] - want) < 1e-12
     assert out["s2"]["n_sentences"] == 1  # floored
     assert out["s3"]["n_words"] == 0 and out["s3"]["flesch"] is None
+
+
+def test_skipping_audit_zorder_prunes_better(spark):
+    """Exact pruning math on a full 256x256 key grid (bits=8,
+    drop_bits=8 -> 256 z-squares of 16x16 vs 256 width-1 linear
+    buckets): the 2-D box (1..64)x(1..4) touches 64/256 linear buckets
+    but only the 5 z-squares whose column AND row ranges intersect."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.layout import skipping_audit
+
+    grid = (
+        spark.range(0, 256 * 256)
+        .select(
+            (F.col("id") % 256).alias("l_partkey"),
+            (F.col("id") / 256).cast("bigint").alias("l_suppkey"),
+        )
+    )
+    out = {
+        r["layout"]: r
+        for r in skipping_audit(grid, bits=8, drop_bits=8).collect()
+    }
+    lin, zo = out["linear"], out["zorder"]
+    assert lin["n_buckets"] == 256 and zo["n_buckets"] == 256
+    assert lin["buckets_touched"] == 64          # prunes on k1 only
+    assert zo["buckets_touched"] == 5            # 5 squares x row 0
+    assert zo["touch_ppm"] < lin["touch_ppm"]
