@@ -763,9 +763,10 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         .select(
             "n_nodes",
             "n_edges",
-            (
+            F.when(
+                F.col("n_nodes") > 0,
                 F.lit(2.0) * F.col("n_edges").cast("double")
-                / F.col("n_nodes").cast("double")
+                / F.col("n_nodes").cast("double"),
             ).alias("avg_degree"),
             F.col("max_degree").cast("bigint").alias("max_degree"),
             F.when(

@@ -1992,8 +1992,10 @@ def fd_violations(
         "dep_col",
         "n_keys",
         "n_violating",
-        F.expr("cast((n_violating * 1000000) div n_keys as bigint)").alias(
-            "violation_ppm"
-        ),
+        F.expr(
+            "cast(case when n_keys > 0"
+            " then (n_violating * 1000000) div n_keys"
+            " else 0 end as bigint)"
+        ).alias("violation_ppm"),
         "max_distinct",
     )

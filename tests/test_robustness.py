@@ -30,6 +30,11 @@ AQE_PINNED = [
     "ooo_rate",
     "zipf_buckets",
     "ewma_daily",
+    # this session's two-phase rank/lag users + exact-stat ops
+    "rfm_segments",
+    "ab_quantile_diff",
+    "interarrival",
+    "acf_lags",
 ]
 
 
@@ -103,3 +108,60 @@ def test_drift_suite_partition_invariant(spark, sf_dir):
         a = sorted(tuple(r) for r in op(docs).collect())
         b = sorted(tuple(r) for r in op(shuffled).collect())
         assert a == b, op.__name__
+
+
+def test_round3_batch2_ops_tolerate_empty_inputs(spark):
+    """The session's new operators must return empty (or all-dropped)
+    results with the right schema on zero-row inputs, not throw."""
+    empty_events = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    empty_li = spark.createDataFrame(
+        [], "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_quantity double, l_extendedprice double, l_shipdate timestamp"
+    )
+    empty_part = spark.createDataFrame(
+        [], "p_partkey long, p_brand string"
+    )
+    empty_edges = spark.createDataFrame([], "u long, v long")
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+    )
+    empty_orders = spark.createDataFrame(
+        [], "o_orderkey long, o_custkey long, o_totalprice double, "
+            "o_orderdate timestamp"
+    )
+    from p2_mapreduce_spark.operators.analytics import (
+        price_volume_decomp,
+        rfm_segments,
+    )
+    from p2_mapreduce_spark.operators.events_analytics import (
+        ab_quantile_diff,
+        funnel_windowed,
+    )
+    from p2_mapreduce_spark.operators.graph import degree_assortativity
+    from p2_mapreduce_spark.operators.profile import fd_violations
+    from p2_mapreduce_spark.operators.text_analysis import readability_by_source
+    from p2_mapreduce_spark.operators.timeseries import (
+        acf_lags,
+        interarrival_stats,
+    )
+
+    assert acf_lags(empty_events).count() == 0
+    assert interarrival_stats(empty_events).count() == 0
+    assert price_volume_decomp(empty_li, empty_part).count() == 0
+    assert rfm_segments(empty_orders).count() == 0
+    assert readability_by_source(empty_docs).count() == 0
+    # per-pair report rows survive with zeroed counts
+    fd = fd_violations(empty_li, [("l_partkey", "l_suppkey")]).collect()
+    assert len(fd) == 1 and fd[0]["n_keys"] == 0
+    # one-row reports: NULL-armed, never a crash
+    da = degree_assortativity(empty_edges).collect()
+    assert len(da) == 1 and da[0]["assortativity"] is None
+    fw = funnel_windowed(empty_events).collect()
+    assert [r["n_users"] for r in fw] == [0, 0, 0]
+    aq = ab_quantile_diff(empty_events).collect()
+    assert len(aq) == 1 and aq[0]["median_diff"] is None
