@@ -2486,6 +2486,20 @@ def _q_skipping_audit(spark, sf_dir):
     return skipping_audit(load_table(spark, sf_dir, "lineitem"))
 
 
+def _q_index_mapreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THIRD MapReduce plugin (after wordcount and grep): the inverted
+    index — the original MapReduce paper's canonical second example,
+    run through the same registry/plugin path (map emits (token,
+    doc_id), reduce assembles the numerically-sorted posting list)."""
+    from p2_mapreduce_spark.mapreduce import run_mapreduce
+    from p2_mapreduce_spark.registry import index_map, postings_reduce
+
+    docs = load_table(spark, sf_dir, "documents")
+    return run_mapreduce(
+        docs, index_map, postings_reduce, key_col="doc_id", value_col="text"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2620,6 +2634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival": _q_interarrival,
         "readability": _q_readability,
         "skipping_audit": _q_skipping_audit,
+        "index_mapreduce": _q_index_mapreduce,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -3929,6 +3944,19 @@ def oracle_sql() -> dict[str, str]:
             FROM stats, meta
         """,
         "skipping_audit": _skipping_audit_oracle(),
+        "index_mapreduce": f"""
+            SELECT word AS key,
+                   array_to_string(list_sort(list(DISTINCT doc_id)), ',')
+                       AS value
+            FROM (
+                SELECT doc_id,
+                       lower(unnest(regexp_split_to_array(text, '{_TOK}')))
+                           AS word
+                FROM documents
+            )
+            WHERE word <> ''
+            GROUP BY word
+        """,
         "readability": """
             WITH per_doc AS (
                 SELECT source,

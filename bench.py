@@ -230,6 +230,7 @@ HEADLINE = (
     "interarrival",
     "readability",
     "skipping_audit",
+    "index_mapreduce",
 )
 
 

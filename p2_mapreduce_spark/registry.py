@@ -228,6 +228,30 @@ def apply_table_udf(df: DataFrame, tudf: TableUdf, *input_cols: str) -> DataFram
     return spark.sql(f"SELECT t.* FROM {view}, LATERAL {reg_name}({args}) t")
 
 
+
+
+def index_map(doc_id, contents) -> Iterable[tuple[str, str]]:
+    """Inverted-index plugin map: tokenize like wordcount (same splitter,
+    wordcount.go:20-37 behavior) but emit (token, doc_id) so the reduce
+    side assembles postings — the textbook "second MapReduce program"
+    (the original MapReduce paper's inverted-index example, expressible
+    in the reference's plugin ABI types.go:13-14)."""
+    seen = set()
+    for tok in _PY_SPLIT.split(contents or ""):
+        t = tok.lower()
+        if t and t not in seen:
+            seen.add(t)
+            yield t, str(doc_id)
+
+
+def postings_reduce(key: str, values: list) -> str:
+    """Inverted-index plugin reduce: numerically sorted distinct doc-id
+    list, comma-joined — deterministic under any partitioning/arrival
+    order (the M5 grouped-values contract makes no order promise)."""
+    return ",".join(str(d) for d in sorted({int(v) for v in values}))
+
+
+
 def default_registry() -> UdfRegistry:
     reg = UdfRegistry()
     reg.register_map("wordcount", wordcount_map, columnar=_wordcount_map_columnar)
@@ -240,6 +264,8 @@ def default_registry() -> UdfRegistry:
     # columnar one); wordcount's map contract emits only "1"s, for which
     # integer sum IS the hierarchical fold of len, so it combines.
     reg.register_reduce("count", count_reduce)
+    reg.register_map("index", index_map)
+    reg.register_reduce("postings", postings_reduce)
     reg.register_reduce(
         "wordcount", wordcount_reduce,
         columnar=_wordcount_reduce_columnar, combiner=sum_reduce,

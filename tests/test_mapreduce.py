@@ -213,3 +213,35 @@ def test_grep_plugin_matches_dataframe_filter(spark, sf_dir):
         for r in docs.where(F.col("text").rlike(r"\bdata join\b")).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_index_plugin_postings_sorted_and_partition_invariant(spark):
+    """The third registry plugin (inverted index): postings are
+    numerically sorted distinct doc ids regardless of value arrival
+    order or partitioning; per-doc duplicate tokens collapse in the
+    map (set-guard) so the reduce sees each (token, doc) once."""
+    from p2_mapreduce_spark.mapreduce import run_mapreduce
+    from p2_mapreduce_spark.registry import index_map, postings_reduce
+
+    docs = spark.createDataFrame(
+        [
+            (10, "alpha beta alpha"),
+            (2, "beta gamma"),
+            (1, "Alpha!"),
+        ],
+        ["doc_id", "text"],
+    )
+    for parts in (1, 7):
+        out = {
+            r["key"]: r["value"]
+            for r in run_mapreduce(
+                docs.repartition(parts),
+                index_map,
+                postings_reduce,
+                key_col="doc_id",
+                value_col="text",
+            ).collect()
+        }
+        assert out["alpha"] == "1,10"   # numeric, not lexicographic
+        assert out["beta"] == "2,10"
+        assert out["gamma"] == "2"
