@@ -2500,6 +2500,14 @@ def _q_index_mapreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mrl_recall(spark, sf_dir):
+    """Matryoshka truncation gate: recall@10 of 16-dim-prefix cosine
+    kNN vs the full 64-dim exact scan."""
+    from p2_mapreduce_spark.operators.similarity import mrl_recall
+
+    return mrl_recall(load_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2635,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": _q_readability,
         "skipping_audit": _q_skipping_audit,
         "index_mapreduce": _q_index_mapreduce,
+        "mrl_recall": _q_mrl_recall,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -8578,6 +8587,57 @@ def oracle_sql() -> dict[str, str]:
         SELECT per.cluster, cluster_size, canonical_id, canonical_chars,
                CAST(cluster_size - 1 AS BIGINT) AS n_dropped, sources
         FROM per JOIN canon USING (cluster)
+    """
+    out["mrl_recall"] = """
+        WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv
+                   FROM embeddings),
+        exact AS (
+            SELECT q_id, n_id FROM (
+                SELECT q_id, n_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q_id
+                           ORDER BY list_dot_product(qv, nv)
+                                    / (sqrt(list_dot_product(qv, qv))
+                                       * sqrt(list_dot_product(nv, nv)))
+                                    DESC, n_id
+                       ) AS rnk
+                FROM q, c WHERE n_id <> q_id
+            ) WHERE rnk <= 10
+        ),
+        trunc AS (
+            SELECT q_id, n_id FROM (
+                SELECT q_id, n_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q_id
+                           ORDER BY list_dot_product(qv[1:16], nv[1:16])
+                                    / (sqrt(list_dot_product(qv[1:16],
+                                                             qv[1:16]))
+                                       * sqrt(list_dot_product(nv[1:16],
+                                                               nv[1:16])))
+                                    DESC, n_id
+                       ) AS rnk
+                FROM q, c WHERE n_id <> q_id
+            ) WHERE rnk <= 10
+        ),
+        n_exact AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+                    FROM exact GROUP BY 1),
+        n_trunc AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_trunc
+                    FROM trunc GROUP BY 1),
+        n_hit AS (
+            SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+            FROM exact e JOIN trunc t
+              ON e.q_id = t.q_id AND e.n_id = t.n_id
+            GROUP BY 1
+        )
+        SELECT q_id, n_exact,
+               COALESCE(n_trunc, 0) AS n_trunc,
+               COALESCE(n_hit, 0) AS n_hit,
+               CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_exact AS recall
+        FROM n_exact
+        LEFT JOIN n_trunc USING (q_id)
+        LEFT JOIN n_hit USING (q_id)
     """
     out["ann_recall"] = f"""
         WITH exact AS ({out['knn_embeddings']}),

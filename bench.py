@@ -231,6 +231,7 @@ HEADLINE = (
     "readability",
     "skipping_audit",
     "index_mapreduce",
+    "mrl_recall",
 )
 
 

@@ -1011,3 +1011,55 @@ def label_affinity(
             ).alias("cosine"),
         )
     )
+
+
+def mrl_recall(
+    embeddings: DataFrame,
+    dims: int = 16,
+    n_queries: int = 5,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka-truncation evaluation: per-query recall@k of exact
+    cosine kNN over the FIRST ``dims`` coordinates vs the full vector —
+    the acceptance gate for serving truncated (MRL-style) embeddings,
+    where a 4× dimension cut buys 4× memory/bandwidth IF recall holds.
+    The dimension-axis sibling of :func:`ann_recall` (which gates the
+    index axis); both follow the honesty pattern: the cheap path is
+    judged against the exact one inside the engine itself.
+
+    Both sides are :func:`knn_bruteforce` — deterministic query set,
+    total tie-broken ranks — with the truncated side just an
+    ``F.slice`` projection (zero extra shuffle; the corpus×queries
+    broadcast join dominates, and it is dims-times cheaper on the
+    truncated run).  Output: ``(q_id, n_exact, n_trunc, n_hit,
+    recall)``, recall one exact-int IEEE division.
+    """
+    exact = knn_bruteforce(embeddings, n_queries, k, vec_col, id_col).select(
+        "q_id", "n_id"
+    )
+    trunc_corpus = embeddings.withColumn(
+        vec_col, F.slice(F.col(vec_col), 1, dims)
+    )
+    trunc = knn_bruteforce(trunc_corpus, n_queries, k, vec_col, id_col).select(
+        "q_id", "n_id"
+    )
+    n_exact = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_trunc = trunc.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_trunc"))
+    n_hit = (
+        exact.join(trunc, ["q_id", "n_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        n_exact.join(n_trunc, "q_id", "left")
+        .join(n_hit, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce("n_trunc", F.lit(0)).alias("n_trunc"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")).alias("recall"),
+        )
+    )

@@ -338,3 +338,17 @@ def test_negative_pairs_deterministic_in_range_never_self(spark, sf_dir):
 
     per_anchor = Counter(r.vec_id for r in rows)
     assert min(per_anchor.values()) >= 3
+
+
+def test_mrl_recall_full_dims_is_perfect(spark, sf_dir):
+    """Truncating to the FULL dimension must reproduce the exact top-k
+    (recall 1.0 everywhere); a 4x cut keeps recall in (0, 1]."""
+    from p2_mapreduce_spark.operators.similarity import mrl_recall
+    from p2_mapreduce_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = mrl_recall(emb, dims=64)
+    assert all(r["recall"] == 1.0 for r in full.collect())
+    cut = {r["q_id"]: r for r in mrl_recall(emb, dims=16).collect()}
+    assert all(0.0 < r["recall"] <= 1.0 for r in cut.values())
+    assert all(r["n_trunc"] == r["n_exact"] for r in cut.values())
