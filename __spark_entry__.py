@@ -2508,6 +2508,21 @@ def _q_mrl_recall(spark, sf_dir):
     return mrl_recall(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_cluster_sample(spark, sf_dir):
+    """Group-coherent sampling: whole-user keep/drop by md5 coin, then
+    a per-type audit of what survived."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.curation import cluster_sample
+
+    events = load_table(spark, sf_dir, "events")
+    kept = cluster_sample(events)
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events_kept"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users_kept"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2644,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipping_audit": _q_skipping_audit,
         "index_mapreduce": _q_index_mapreduce,
         "mrl_recall": _q_mrl_recall,
+        "cluster_sample": _q_cluster_sample,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -3953,6 +3969,14 @@ def oracle_sql() -> dict[str, str]:
             FROM stats, meta
         """,
         "skipping_audit": _skipping_audit_oracle(),
+        "cluster_sample": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events_kept,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_kept
+            FROM events
+            WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 2) <= '28'
+            GROUP BY event_type
+        """,
         "index_mapreduce": f"""
             SELECT word AS key,
                    array_to_string(list_sort(list(DISTINCT doc_id)), ',')

@@ -232,6 +232,7 @@ HEADLINE = (
     "skipping_audit",
     "index_mapreduce",
     "mrl_recall",
+    "cluster_sample",
 )
 
 

@@ -1374,3 +1374,29 @@ def neyman_alloc(
             ).cast("bigint").alias("alloc"),
         )
     )
+
+
+def cluster_sample(
+    df: DataFrame, group_col: str = "user_id", threshold_hex: str = "28"
+) -> DataFrame:
+    """GROUP-COHERENT (cluster) sampling: keep EVERY row of the groups
+    whose ``md5(group)`` first byte <= threshold, and no rows of the
+    rest — the sampling mode session/funnel/retention analysis
+    requires, where row-level sampling (hash_sample's mode) silently
+    destroys within-group structure (a 10% row sample leaves no intact
+    session to sessionize).
+
+    Same md5-coin determinism contract as the rest of the sampling
+    family: the keep-set is a pure function of the group key — stable
+    across runs, engines, partitionings, and backfills, and CONSISTENT
+    with any other operator sampling on the same key (joins between two
+    cluster-sampled tables keep aligned groups).
+
+    Zero shuffle: the predicate is a per-row hash filter pushed to the
+    scan; group coherence comes from hashing the KEY, not from grouping.
+    """
+    pred = (
+        F.substring(F.md5(F.col(group_col).cast("string")), 1, 2)
+        <= F.lit(threshold_hex)
+    )
+    return df.filter(pred)

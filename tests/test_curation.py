@@ -398,3 +398,28 @@ def test_mixture_plan_water_filling_invariants(spark, sf_dir):
     rows_hi = mixture_plan(docs, W, 10**9).collect()
     assert all(r.capped for r in rows_hi)
     assert sum(r.allocated_tokens for r in rows_hi) == total_avail
+
+
+def test_cluster_sample_is_all_or_nothing_per_group(spark, sf_dir):
+    """Every user is either fully kept or fully dropped — the property
+    that distinguishes cluster sampling from row sampling — and the
+    kept set is invariant to partitioning."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.curation import cluster_sample
+    from p2_mapreduce_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    kept = cluster_sample(events)
+    totals = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_all"))
+    kept_per = kept.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_kept"))
+    joined = totals.join(kept_per, "user_id", "left").select(
+        "user_id", "n_all", F.coalesce("n_kept", F.lit(0)).alias("n_kept")
+    )
+    partial = joined.filter(
+        (F.col("n_kept") != 0) & (F.col("n_kept") != F.col("n_all"))
+    )
+    assert partial.count() == 0
+    assert 0 < kept.count() < events.count()
+    again = cluster_sample(events.repartition(11)).count()
+    assert again == kept.count()
