@@ -2523,6 +2523,17 @@ def _q_cluster_sample(spark, sf_dir):
     )
 
 
+def _q_topn_others(spark, sf_dir):
+    """Per-nation top-3 customers by revenue + an OTHERS rollup row."""
+    from p2_mapreduce_spark.operators.analytics import topn_with_others
+
+    return topn_with_others(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2660,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_mapreduce": _q_index_mapreduce,
         "mrl_recall": _q_mrl_recall,
         "cluster_sample": _q_cluster_sample,
+        "topn_others": _q_topn_others,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -3969,6 +3981,30 @@ def oracle_sql() -> dict[str, str]:
             FROM stats, meta
         """,
         "skipping_audit": _skipping_audit_oracle(),
+        "topn_others": """
+            WITH per_cust AS (
+                SELECT n_name, c_custkey, c_name,
+                       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY n_name, c_custkey, c_name
+            ),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY n_name
+                           ORDER BY cents DESC, c_custkey) AS rnk
+                FROM per_cust
+            )
+            SELECT n_name, c_name AS label, cents AS revenue_cents,
+                   CAST(rnk AS BIGINT) AS rank_in_nation
+            FROM ranked WHERE rnk <= 3
+            UNION ALL
+            SELECT n_name, 'OTHERS', CAST(SUM(cents) AS BIGINT),
+                   CAST(4 AS BIGINT)
+            FROM ranked WHERE rnk > 3 GROUP BY n_name
+        """,
         "cluster_sample": """
             SELECT event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_events_kept,

@@ -233,6 +233,7 @@ HEADLINE = (
     "index_mapreduce",
     "mrl_recall",
     "cluster_sample",
+    "topn_others",
 )
 
 

@@ -719,3 +719,68 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
         grid.groupBy("r_score", "f_score", "m_score")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
     )
+
+
+def topn_with_others(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    n: int = 3,
+) -> DataFrame:
+    """Top-N + OTHERS reporting rollup: per nation, the ``n`` highest-
+    revenue customers as named rows plus ONE aggregated ``OTHERS`` row
+    for the remainder — the standard dashboard cut that raw top-k
+    (:func:`topk_window`-style) leaves as an exercise, and the shape
+    where naive solutions silently drop the tail.
+
+    Facts collapse to customer grain FIRST (map-side combined exact
+    cents), so the per-nation rank window runs over the pre-aggregated
+    customer table, never order rows; ties break by customer id (total
+    order).  The OTHERS row aggregates every rank > n and carries
+    ``rank = n+1`` so consumers can sort the block; nations whose
+    customer count <= n simply have no OTHERS row (zero-row aggregate,
+    not a zero row).
+
+    Returns ``(n_name, label, revenue_cents, rank_in_nation)``.
+
+    Reference parity: M7 reduce + M6/M9 sort surface (SURVEY.md §2.2)
+    at nation grain; the rollup is extension surface (§2.3).
+    """
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+        # customer joins by hash (it is customer-grain like the left
+        # side — broadcast would be wrong at 1e9 customers; AQE still
+        # broadcasts it when it is actually small)
+        .join(customer.select("c_custkey", "c_name", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", "c_name", "cents")
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("cents").desc(), F.col("c_custkey")
+    )
+    ranked = per_cust.withColumn("rnk", F.row_number().over(w))
+    top = ranked.filter(F.col("rnk") <= n).select(
+        "n_name",
+        F.col("c_name").alias("label"),
+        F.col("cents").cast("bigint").alias("revenue_cents"),
+        F.col("rnk").cast("bigint").alias("rank_in_nation"),
+    )
+    others = (
+        ranked.filter(F.col("rnk") > n)
+        .groupBy("n_name")
+        .agg(F.sum("cents").cast("bigint").alias("revenue_cents"))
+        .select(
+            "n_name",
+            F.lit("OTHERS").alias("label"),
+            "revenue_cents",
+            F.lit(n + 1).cast("bigint").alias("rank_in_nation"),
+        )
+    )
+    return top.unionByName(others)

@@ -1354,3 +1354,45 @@ def test_skipping_audit_zorder_prunes_better(spark):
     assert lin["buckets_touched"] == 64          # prunes on k1 only
     assert zo["buckets_touched"] == 5            # 5 squares x row 0
     assert zo["touch_ppm"] < lin["touch_ppm"]
+
+
+def test_topn_others_conserves_revenue(spark, sf_dir):
+    """The top-3 + OTHERS block must conserve each nation's total cents
+    exactly, and a nation with <= 3 customers carries no OTHERS row."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.analytics import topn_with_others
+    from p2_mapreduce_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    out = topn_with_others(orders, cust, nat)
+    got = {
+        r["n_name"]: r["total"]
+        for r in out.groupBy("n_name")
+        .agg(F.sum("revenue_cents").alias("total"))
+        .collect()
+    }
+    want = {
+        r["n_name"]: r["total"]
+        for r in orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nat, cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "total"
+            )
+        )
+        .collect()
+    }
+    assert got == want
+    per_block = {
+        (r["n_name"],): r for r in out.collect() if r["label"] == "OTHERS"
+    }
+    sizes = {
+        r["n_name"]: r["cnt"]
+        for r in out.groupBy("n_name").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for nname, cnt in sizes.items():
+        assert cnt <= 4
