@@ -278,3 +278,51 @@ def test_bucketed_scan_prunes_on_key_equality(spark, sf_dir):
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
         )
         spark.sql("DROP TABLE IF EXISTS b_cust_prune")
+
+
+def test_binary_file_source_feeds_media_plane(spark, tmp_path):
+    """`binaryFile` is the ingestion face of the multimodal plane: raw
+    files land as (path, modificationTime, length, content) rows whose
+    content column plugs straight into the media kernels. Pin the
+    schema, the content round-trip, and the pathGlobFilter pushdown."""
+    import os
+
+    blobs = {"a.bin": b"\x00\x01\x02payload-a", "b.bin": b"b" * 64,
+             "skip.txt": b"not-a-blob"}
+    for name, data in blobs.items():
+        with open(os.path.join(tmp_path, name), "wb") as f:
+            f.write(data)
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(tmp_path))
+    )
+    assert {f.name for f in df.schema.fields} == {
+        "path", "modificationTime", "length", "content"
+    }
+    got = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"])
+           for r in df.collect()}
+    assert got == {k: v for k, v in blobs.items() if k.endswith(".bin")}
+    # content column drives the real header codec end-to-end
+    import struct
+
+    from p2_mapreduce_spark.operators.multimodal import decode_media
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00"
+           + b"\x00" * 4)
+    with open(os.path.join(tmp_path, "img.bin"), "wb") as f:
+        f.write(png)
+    imgs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "img.bin")
+        .load(str(tmp_path))
+        .select(
+            F.monotonically_increasing_id().alias("media_id"),
+            F.lit("image").alias("modality"),
+            F.col("content").alias("payload"),
+        )
+    )
+    parsed = decode_media(imgs, decoder="headers").collect()
+    assert len(parsed) == 1
+    assert (parsed[0]["width"], parsed[0]["height"]) == (640, 480)
