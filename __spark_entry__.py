@@ -2534,6 +2534,14 @@ def _q_topn_others(spark, sf_dir):
     )
 
 
+def _q_lsh_recall(spark, sf_dir):
+    """Dedup honesty gate: MinHash-LSH pair recall vs the exact
+    AllPairs join at the same threshold — one-row report."""
+    from p2_mapreduce_spark.operators.dedup import lsh_recall
+
+    return lsh_recall(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2672,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrl_recall": _q_mrl_recall,
         "cluster_sample": _q_cluster_sample,
         "topn_others": _q_topn_others,
+        "lsh_recall": _q_lsh_recall,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -8647,6 +8656,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT per.cluster, cluster_size, canonical_id, canonical_chars,
                CAST(cluster_size - 1 AS BIGINT) AS n_dropped, sources
         FROM per JOIN canon USING (cluster)
+    """
+    # lsh_recall: LSH candidates are verified-exact and AllPairs finds
+    # ALL true pairs, so LSH ⊆ exact; the oracle is the exact pair set
+    # with recall pinned to 1.0 — a Spark-side LSH miss hash-mismatches.
+    out["lsh_recall"] = f"""
+        WITH exact AS ({out['dedup_minhash']})
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(COUNT(*) AS BIGINT) AS n_lsh,
+               CAST(COUNT(*) AS BIGINT) AS n_hit,
+               CASE WHEN COUNT(*) > 0
+                    THEN CAST(COUNT(*) AS DOUBLE) / COUNT(*)
+               END AS recall
+        FROM exact
     """
     out["mrl_recall"] = """
         WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -234,6 +234,7 @@ HEADLINE = (
     "mrl_recall",
     "cluster_sample",
     "topn_others",
+    "lsh_recall",
 )
 
 

@@ -1008,3 +1008,43 @@ def golden_record(
             "sources",
         )
     )
+
+
+def lsh_recall(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Dedup-index honesty gate: recall of the MinHash-LSH pair finder
+    (:func:`minhash_lsh_pairs` — probabilistic candidate generation,
+    exact verify) against the exact prefix-filtered AllPairs join
+    (:func:`allpairs_jaccard`) at the same Jaccard threshold — the
+    dedup-family sibling of :func:`similarity.ann_recall` and
+    :func:`similarity.mrl_recall`: every approximate path in this
+    engine ships with the gate that measures it against its exact
+    face.
+
+    Precision is exact on both sides (both verify true Jaccard), so
+    the only question is missed pairs: ``recall = |LSH ∩ exact| /
+    |exact|``.  Cost is the two pair runs (each already bucketed /
+    prefix-filtered — no quadratic term) plus pair-set bookkeeping.
+
+    Returns one row ``(n_exact, n_lsh, n_hit, recall)``; an empty
+    exact set surfaces NULL recall.
+    """
+    exact = allpairs_jaccard(docs, threshold).select("doc_a", "doc_b")
+    lsh = minhash_lsh_pairs(docs, threshold).select("doc_a", "doc_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_hit = exact.join(lsh, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_lsh))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.col("n_lsh").cast("bigint").alias("n_lsh"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.when(
+                F.col("n_exact") > 0,
+                F.col("n_hit").cast("double") / F.col("n_exact").cast("double"),
+            ).alias("recall"),
+        )
+    )

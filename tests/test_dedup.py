@@ -308,3 +308,25 @@ def test_containment_catches_quotes_jaccard_misses(spark):
     jac = {(r.doc_a, r.doc_b)
            for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
     assert (1, 2) not in jac
+
+
+def test_lsh_recall_gate_is_one_on_fixture(spark, sf_dir):
+    """At fixture scale the banded-LSH parameters are lossless: the
+    gate must report recall exactly 1.0 with n_lsh == n_exact, and the
+    LSH pair set must be a SUBSET of the exact one by construction."""
+    from p2_mapreduce_spark.operators.dedup import (
+        allpairs_jaccard,
+        lsh_recall,
+        minhash_lsh_pairs,
+    )
+    from p2_mapreduce_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    row = lsh_recall(docs).collect()[0]
+    assert row["recall"] == 1.0
+    assert row["n_lsh"] == row["n_exact"] == row["n_hit"]
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in allpairs_jaccard(docs, 0.5).collect()}
+    lsh = {(r["doc_a"], r["doc_b"])
+           for r in minhash_lsh_pairs(docs, 0.5).collect()}
+    assert lsh <= exact

@@ -137,6 +137,9 @@ FUNNEL_REVIEWED = {
     # skipping_audit: one-row max-key aggregate broadcast into the
     # linear bucket width; all stats work is bucket-grain
     "skipping_audit",
+    # lsh_recall: three one-row pair-count aggregates broadcast-crossed;
+    # the pair generation feeding them is bucketed/prefix-filtered
+    "lsh_recall",
 }
 
 
