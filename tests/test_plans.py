@@ -380,3 +380,30 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning — the other half of the 100 TB join
+    story next to AQE skew handling: a fact table partitioned on the
+    join key must be pruned at RUNTIME by the dim side's filter (the
+    scan carries a dynamicpruning subquery), and the result must match
+    the unpartitioned join."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    fact_dir = str(tmp_path / "fact_part")
+    orders.write.partitionBy("o_orderpriority").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "keep"), ("3-MEDIUM", "keep")], ["prio", "tag"]
+    ).filter(F.col("tag") == "keep")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    j = fact.join(dim, fact.o_orderpriority == dim.prio)
+    plan = j._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan, plan[:1500]
+    want = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "3-MEDIUM")
+    ).count()
+    assert j.count() == want
