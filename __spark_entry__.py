@@ -2542,6 +2542,38 @@ def _q_lsh_recall(spark, sf_dir):
     return lsh_recall(load_table(spark, sf_dir, "documents"))
 
 
+def _q_column_churn(spark, sf_dir):
+    """Per-column churn between the diff_orders snapshots — which
+    columns drive the CDC volume; exact counts, floor ppm."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.merge import column_churn
+
+    orders = load_table(spark, sf_dir, "orders")
+    dropped = orders.filter(F.col("o_orderkey") % 97 == 0)
+    b = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"),
+                F.col("o_totalprice") + F.lit(1000.0),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            dropped.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+            )
+        )
+    )
+    return column_churn(
+        orders,
+        b,
+        keys=("o_orderkey",),
+        cols=("o_totalprice", "o_orderstatus", "o_orderpriority"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2681,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_sample": _q_cluster_sample,
         "topn_others": _q_topn_others,
         "lsh_recall": _q_lsh_recall,
+        "column_churn": _q_column_churn,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -3990,6 +4023,53 @@ def oracle_sql() -> dict[str, str]:
             FROM stats, meta
         """,
         "skipping_audit": _skipping_audit_oracle(),
+        "column_churn": """
+            WITH b AS (
+                SELECT o_orderkey,
+                       CASE WHEN CAST(o_orderdate AS DATE)
+                                 >= DATE '2001-01-01'
+                            THEN o_totalprice + 1000.0e0
+                            ELSE o_totalprice END AS o_totalprice,
+                       o_orderstatus, o_orderpriority
+                FROM orders WHERE o_orderkey % 97 <> 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, o_totalprice,
+                       o_orderstatus, o_orderpriority
+                FROM orders WHERE o_orderkey % 97 = 0
+            ),
+            joined AS (
+                SELECT a.o_totalprice AS p_a, b.o_totalprice AS p_b,
+                       a.o_orderstatus AS s_a, b.o_orderstatus AS s_b,
+                       a.o_orderpriority AS r_a, b.o_orderpriority AS r_b
+                FROM orders a JOIN b ON a.o_orderkey = b.o_orderkey
+            ),
+            one AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+                       CAST(SUM(CASE WHEN p_a IS DISTINCT FROM p_b
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS chg_price,
+                       CAST(SUM(CASE WHEN s_a IS DISTINCT FROM s_b
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS chg_status,
+                       CAST(SUM(CASE WHEN r_a IS DISTINCT FROM r_b
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS chg_prio
+                FROM joined
+            ),
+            longf AS (
+                SELECT 'o_totalprice' AS "column", n_matched,
+                       chg_price AS n_changed FROM one
+                UNION ALL
+                SELECT 'o_orderstatus', n_matched, chg_status FROM one
+                UNION ALL
+                SELECT 'o_orderpriority', n_matched, chg_prio FROM one
+            )
+            SELECT "column", n_matched, n_changed,
+                   CAST(CASE WHEN n_matched > 0
+                             THEN (n_changed * 1000000) // n_matched
+                             ELSE 0 END AS BIGINT) AS churn_ppm
+            FROM longf
+        """,
         "topn_others": """
             WITH per_cust AS (
                 SELECT n_name, c_custkey, c_name,

@@ -235,6 +235,7 @@ HEADLINE = (
     "cluster_sample",
     "topn_others",
     "lsh_recall",
+    "column_churn",
 )
 
 

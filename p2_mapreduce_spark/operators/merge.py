@@ -311,3 +311,66 @@ def join_view_delta(
     d2 = a_old.join(b_delta, cond_old_a)
     d3 = a_delta.join(b_delta, cond_dd)
     return d1.unionByName(d2).unionByName(d3)
+
+
+def column_churn(
+    a: DataFrame,
+    b: DataFrame,
+    keys: Sequence[str],
+    cols: Sequence[str],
+) -> DataFrame:
+    """Per-COLUMN churn profile between two snapshots: over keys present
+    in both, how many rows changed each column — the question after
+    :func:`table_diff`'s row-level added/removed/changed triage
+    ("WHICH columns drive the churn?") that decides CDC payload
+    slimming, column-level TTLs, and incremental-view maintenance
+    scope.
+
+    One inner join on the key (hash, key-grain) with both sides
+    column-pruned to ``keys + cols``; each column's change flag is a
+    null-safe inequality (``NOT a <=> b`` — a NULL→value transition
+    counts, NULL→NULL does not), and all flags collapse in ONE
+    map-side-combined aggregate — #cols counters, never #cols passes.
+    ``churn_ppm`` is floor-quantized exact integer.
+
+    Returns one row per audited column: ``(column, n_matched,
+    n_changed, churn_ppm)``.
+
+    Reference parity: none (CDC extension, SURVEY.md §2.3); the join
+    is the reference's M3 hash-partition at key grain.
+    """
+    sel = list(keys) + list(cols)
+    left = a.select(*sel)
+    right = b.select(
+        *[F.col(k).alias(f"_bk_{k}") for k in keys],
+        *[F.col(c).alias(f"_b_{c}") for c in cols],
+    )
+    cond = None
+    for k in keys:
+        eq = left[k] == right[f"_bk_{k}"]
+        cond = eq if cond is None else (cond & eq)
+    joined = left.join(right, cond)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_matched")]
+    for c in cols:
+        aggs.append(
+            F.sum(
+                F.when(~F.col(c).eqNullSafe(F.col(f"_b_{c}")), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"chg_{c}")
+        )
+    one = joined.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', chg_{c}" for c in cols)
+    return one.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (column, n_changed)"),
+        "n_matched",
+    ).select(
+        "column",
+        "n_matched",
+        "n_changed",
+        F.expr(
+            "cast(case when n_matched > 0"
+            " then (n_changed * 1000000) div n_matched"
+            " else 0 end as bigint)"
+        ).alias("churn_ppm"),
+    )

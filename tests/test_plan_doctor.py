@@ -140,6 +140,9 @@ FUNNEL_REVIEWED = {
     # lsh_recall: three one-row pair-count aggregates broadcast-crossed;
     # the pair generation feeding them is bucketed/prefix-filtered
     "lsh_recall",
+    # column_churn: one 1-row all-flags aggregate exploded to #cols
+    # rows; the join feeding it is key-grain
+    "column_churn",
 }
 
 

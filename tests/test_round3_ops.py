@@ -1396,3 +1396,24 @@ def test_topn_others_conserves_revenue(spark, sf_dir):
     }
     for nname, cnt in sizes.items():
         assert cnt <= 4
+
+
+def test_column_churn_null_semantics_and_counts(spark):
+    """NULL->value counts as a change, NULL->NULL does not; per-column
+    counts are independent; unmatched keys never enter the audit."""
+    from p2_mapreduce_spark.operators.merge import column_churn
+
+    a = spark.createDataFrame(
+        [(1, 10.0, None), (2, 20.0, "x"), (3, 30.0, "y"), (9, 90.0, "z")],
+        ["k", "price", "tag"],
+    )
+    b = spark.createDataFrame(
+        [(1, 10.0, "now"), (2, 21.0, "x"), (3, 30.0, None), (8, 80.0, "w")],
+        ["k", "price", "tag"],
+    )
+    out = {r["column"]: r
+           for r in column_churn(a, b, ("k",), ("price", "tag")).collect()}
+    assert out["price"]["n_matched"] == 3
+    assert out["price"]["n_changed"] == 1          # only k=2
+    assert out["tag"]["n_changed"] == 2            # NULL->now, y->NULL
+    assert out["tag"]["churn_ppm"] == 666666
