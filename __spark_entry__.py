@@ -2574,6 +2574,14 @@ def _q_column_churn(spark, sf_dir):
     )
 
 
+def _q_revenue_concentration(spark, sf_dir):
+    """Lorenz points: revenue share of the top 1/5/10/25% of customers
+    — descending two-phase rank, exact ceilings, one division each."""
+    from p2_mapreduce_spark.operators.analytics import revenue_concentration
+
+    return revenue_concentration(load_table(spark, sf_dir, "orders"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2714,6 +2722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_others": _q_topn_others,
         "lsh_recall": _q_lsh_recall,
         "column_churn": _q_column_churn,
+        "revenue_concentration": _q_revenue_concentration,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -4023,6 +4032,39 @@ def oracle_sql() -> dict[str, str]:
             FROM stats, meta
         """,
         "skipping_audit": _skipping_audit_oracle(),
+        "revenue_concentration": """
+            WITH per_cust AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM orders GROUP BY 1
+            ),
+            ranked AS (
+                SELECT cents,
+                       ROW_NUMBER() OVER (ORDER BY -cents, o_custkey)
+                           AS rank
+                FROM per_cust
+            ),
+            totals AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(cents) AS BIGINT) AS total_cents
+                FROM per_cust
+            ),
+            cuts AS (
+                SELECT pct_ppm, n, total_cents,
+                       (n * pct_ppm + 999999) // 1000000 AS k_p
+                FROM (SELECT UNNEST([10000, 50000, 100000, 250000])
+                          AS pct_ppm), totals
+            )
+            SELECT CAST(pct_ppm AS BIGINT) AS pct_ppm,
+                   CAST(COUNT(*) AS BIGINT) AS n_top,
+                   CAST(SUM(cents) AS BIGINT) AS top_cents,
+                   total_cents,
+                   CAST(SUM(cents) AS DOUBLE) / CAST(total_cents AS DOUBLE)
+                       AS share
+            FROM ranked JOIN cuts ON rank <= k_p
+            GROUP BY pct_ppm, total_cents
+        """,
         "column_churn": """
             WITH b AS (
                 SELECT o_orderkey,

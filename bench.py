@@ -236,6 +236,7 @@ HEADLINE = (
     "topn_others",
     "lsh_recall",
     "column_churn",
+    "revenue_concentration",
 )
 
 

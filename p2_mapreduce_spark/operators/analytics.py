@@ -9,6 +9,8 @@ key, sequential frame evaluation inside each partition, no Python.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -784,3 +786,88 @@ def topn_with_others(
         )
     )
     return top.unionByName(others)
+
+
+def revenue_concentration(
+    orders: DataFrame, pct_ppms: Sequence[int] = (10_000, 50_000, 100_000, 250_000)
+) -> DataFrame:
+    """Revenue concentration curve: what share of total revenue comes
+    from the top 1% / 5% / 10% / 25% of customers — the Lorenz-curve
+    points behind "whale risk" reviews (the curve :func:`gini`'s
+    single coefficient summarizes; these are the numbers executives
+    actually quote).
+
+    Customers rank DESCENDING by exact lifetime cents via the
+    two-phase distributed rank (value = −cents so the range partition
+    orders the big spenders first; customer id tie-break = total
+    order).  Each percentile's head-count cutoff is the exact ceiling
+    ``k_p = (n·p + 999999) div 1e6``; head sums are conditional
+    aggregates against a broadcast 4-row cutoff table, and every share
+    is ONE division of exact BIGINTs.
+
+    Returns ``(pct_ppm, n_top, top_cents, total_cents, share)``.
+
+    Reference parity: M6/M9 sort surface as a distributed rank
+    (SURVEY.md §2.2); the concentration report is extension surface.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    t = (
+        per_cust.select(
+            F.col("o_custkey").alias("id"),
+            F.col("cents"),
+            (-F.col("cents")).alias("neg"),
+        )
+        .repartitionByRange(F.col("neg"), F.col("id"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_in = Window.partitionBy("pid").orderBy("neg", "id")
+    t = t.withColumn("rn", F.row_number().over(w_in))
+    per = t.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("pid", "off")
+    totals = per_cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+    ranked = t.join(F.broadcast(offsets), "pid").select(
+        "cents", (F.col("off") + F.col("rn")).alias("rank")
+    )
+    cuts = (
+        totals.select(
+            "n",
+            "total_cents",
+            F.explode(
+                F.array(*[F.lit(p) for p in pct_ppms])
+            ).alias("pct_ppm"),
+        )
+        .select(
+            "pct_ppm",
+            "n",
+            "total_cents",
+            F.expr("(n * pct_ppm + 999999) div 1000000").alias("k_p"),
+        )
+    )
+    head = (
+        ranked.join(F.broadcast(cuts), F.col("rank") <= F.col("k_p"))
+        .groupBy("pct_ppm", "n", "total_cents", "k_p")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_top"),
+            F.sum("cents").cast("bigint").alias("top_cents"),
+        )
+    )
+    return head.select(
+        F.col("pct_ppm").cast("bigint").alias("pct_ppm"),
+        "n_top",
+        "top_cents",
+        "total_cents",
+        (
+            F.col("top_cents").cast("double")
+            / F.col("total_cents").cast("double")
+        ).alias("share"),
+    )

@@ -143,6 +143,9 @@ FUNNEL_REVIEWED = {
     # column_churn: one 1-row all-flags aggregate exploded to #cols
     # rows; the join feeding it is key-grain
     "column_churn",
+    # revenue_concentration: one-row totals broadcast + the
+    # #partitions-grain offset table of the descending two-phase rank
+    "revenue_concentration",
 }
 
 

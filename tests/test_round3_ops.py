@@ -1417,3 +1417,27 @@ def test_column_churn_null_semantics_and_counts(spark):
     assert out["price"]["n_changed"] == 1          # only k=2
     assert out["tag"]["n_changed"] == 2            # NULL->now, y->NULL
     assert out["tag"]["churn_ppm"] == 666666
+
+
+def test_revenue_concentration_hand_computed(spark):
+    """10 customers with revenue 1..10: top-10% = 1 customer (the 10),
+    top-25% -> ceil(2.5)=3 customers (10+9+8=27 of 55); shares exact."""
+    import datetime
+
+    from p2_mapreduce_spark.operators.analytics import revenue_concentration
+
+    d = datetime.datetime(2024, 1, 1)
+    rows = [(i, i, float(i), d) for i in range(1, 11)]
+    df = spark.createDataFrame(
+        rows, ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    out = {r["pct_ppm"]: r for r in revenue_concentration(df).collect()}
+    top10 = out[100_000]
+    assert top10["n_top"] == 1 and top10["top_cents"] == 1000
+    assert top10["share"] == 1000 / 5500
+    top25 = out[250_000]
+    assert top25["n_top"] == 3 and top25["top_cents"] == 2700
+    # invariance to partitioning
+    again = {r["pct_ppm"]: r["top_cents"]
+             for r in revenue_concentration(df.repartition(5)).collect()}
+    assert again == {k: v["top_cents"] for k, v in out.items()}
