@@ -217,6 +217,7 @@ def minhash_lsh_pairs(
     num_hashes: int = NUM_HASHES,
     num_bands: int = NUM_BANDS,
     max_bucket: int = MAX_DF,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded LSH, verified with exact Jaccard.
 
@@ -239,8 +240,14 @@ def minhash_lsh_pairs(
     # once instead of re-tokenizing + re-shingling the corpus three times
     # (measured: the explode is the pipeline's dominant stage).  It is
     # ~16 bytes/shingle; at 100 TB swap persist() for a checkpoint to
-    # storage — the shape of the plan is unchanged.
-    hs = hashed_shingles(docs, n, text_col, id_col).persist()
+    # storage — the shape of the plan is unchanged.  ``shingles`` lets a
+    # caller that ALSO shingles the corpus (lsh_recall's two-pipeline
+    # gate) share one materialization.
+    hs = (
+        shingles
+        if shingles is not None
+        else hashed_shingles(docs, n, text_col, id_col).persist()
+    )
     # The signature aggregate feeds only the band table; sizes come from
     # a separate cheap count over the persisted shingles — folding the
     # count into the signature agg looks free but makes every sizes
@@ -744,6 +751,7 @@ def allpairs_jaccard(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT set-similarity self-join with prefix filtering (the
     AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al. WWW'08)
@@ -773,7 +781,11 @@ def allpairs_jaccard(
     verification join restricted to surviving candidates.  No Python
     anywhere; every expression is whole-stage codegen.
     """
-    sh = hashed_shingles(docs, n, text_col, id_col).persist()
+    sh = (
+        shingles
+        if shingles is not None
+        else hashed_shingles(docs, n, text_col, id_col).persist()
+    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     prefix = (
@@ -1028,8 +1040,13 @@ def lsh_recall(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     Returns one row ``(n_exact, n_lsh, n_hit, recall)``; an empty
     exact set surfaces NULL recall.
     """
-    exact = allpairs_jaccard(docs, threshold).select("doc_a", "doc_b")
-    lsh = minhash_lsh_pairs(docs, threshold).select("doc_a", "doc_b")
+    hs = hashed_shingles(docs, 3).persist()
+    exact = allpairs_jaccard(docs, threshold, shingles=hs).select(
+        "doc_a", "doc_b"
+    )
+    lsh = minhash_lsh_pairs(docs, threshold, shingles=hs).select(
+        "doc_a", "doc_b"
+    )
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
     n_hit = exact.join(lsh, ["doc_a", "doc_b"], "left_semi").agg(
