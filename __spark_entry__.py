@@ -2582,6 +2582,13 @@ def _q_revenue_concentration(spark, sf_dir):
     return revenue_concentration(load_table(spark, sf_dir, "orders"))
 
 
+def _q_activity_histogram(spark, sf_dir):
+    """Power-user curve: users by distinct-active-day count."""
+    from p2_mapreduce_spark.operators.events_analytics import activity_histogram
+
+    return activity_histogram(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2723,6 +2730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": _q_lsh_recall,
         "column_churn": _q_column_churn,
         "revenue_concentration": _q_revenue_concentration,
+        "activity_histogram": _q_activity_histogram,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -4032,6 +4040,27 @@ def oracle_sql() -> dict[str, str]:
             FROM stats, meta
         """,
         "skipping_audit": _skipping_audit_oracle(),
+        "activity_histogram": """
+            WITH days AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+            ),
+            per_user AS (
+                SELECT user_id, COUNT(*) AS n_active_days
+                FROM days GROUP BY 1
+            ),
+            hist AS (
+                SELECT n_active_days,
+                       CAST(COUNT(*) AS BIGINT) AS n_users
+                FROM per_user GROUP BY 1
+            ),
+            total AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM per_user
+            )
+            SELECT CAST(n_active_days AS BIGINT) AS n_active_days, n_users,
+                   CAST((n_users * 1000000) // n_total AS BIGINT)
+                       AS share_ppm
+            FROM hist, total
+        """,
         "revenue_concentration": """
             WITH per_cust AS (
                 SELECT o_custkey,

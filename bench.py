@@ -237,6 +237,7 @@ HEADLINE = (
     "lsh_recall",
     "column_churn",
     "revenue_concentration",
+    "activity_histogram",
 )
 
 

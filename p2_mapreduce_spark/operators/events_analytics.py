@@ -805,3 +805,37 @@ def ab_quantile_diff(
             " - cast(lo_a + hi_a as double) / 200.0e0"
         ).alias("median_diff"),
     )
+
+
+def activity_histogram(events: DataFrame) -> DataFrame:
+    """Engagement-depth distribution: how many users were active on
+    exactly d distinct days — the L28-style power-user curve product
+    teams read before/after launches (the x-axis of "how sticky is
+    this product"), complementing :func:`daily_new_returning` (time
+    axis) and :func:`cohort_retention` (cohort axis).
+
+    Two map-side-collapsing aggregates: events → distinct (user, day)
+    grid → per-user day count → histogram at day-count grain (≤
+    #calendar-days rows).  Share is floor-ppm exact integer; no
+    windows, no joins.
+
+    Returns ``(n_active_days, n_users, share_ppm)``.
+    """
+    days = events.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    per_user = days.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_active_days")
+    )
+    hist = per_user.groupBy("n_active_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    total = per_user.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        hist.join(F.broadcast(total))
+        .select(
+            F.col("n_active_days").cast("bigint").alias("n_active_days"),
+            "n_users",
+            F.expr("(n_users * 1000000) div n_total").alias("share_ppm"),
+        )
+    )

@@ -364,3 +364,24 @@ def test_daily_envelope_matches_local_percentiles(spark, sf_dir):
         assert abs(r.p50 - statistics.median(vals)) < 1e-9
         assert r.p10 == pq(vals, 0.1) and r.p90 == pq(vals, 0.9)
         assert r.p10 <= r.p50 <= r.p90
+
+
+def test_activity_histogram_counts_distinct_days(spark):
+    """Multiple events on one day count once; the histogram partitions
+    the user base exactly (shares sum to ~1e6 ppm)."""
+    import datetime
+
+    from p2_mapreduce_spark.operators.events_analytics import activity_histogram
+
+    t = datetime.datetime(2024, 1, 1, 10)
+    day = datetime.timedelta(days=1)
+    rows = [
+        (1, 1, t), (2, 1, t + datetime.timedelta(hours=2)),  # u1: 1 day
+        (3, 2, t), (4, 2, t + day), (5, 2, t + 2 * day),      # u2: 3 days
+        (6, 3, t + day),                                      # u3: 1 day
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    out = {r["n_active_days"]: r for r in activity_histogram(df).collect()}
+    assert out[1]["n_users"] == 2 and out[3]["n_users"] == 1
+    assert out[1]["share_ppm"] == 666666
+    assert sum(r["n_users"] for r in out.values()) == 3

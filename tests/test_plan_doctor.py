@@ -146,6 +146,9 @@ FUNNEL_REVIEWED = {
     # revenue_concentration: one-row totals broadcast + the
     # #partitions-grain offset table of the descending two-phase rank
     "revenue_concentration",
+    # activity_histogram: one-row user-total broadcast; histogram work
+    # is day-count grain
+    "activity_histogram",
 }
 
 
