@@ -2589,6 +2589,14 @@ def _q_activity_histogram(spark, sf_dir):
     return activity_histogram(load_table(spark, sf_dir, "events"))
 
 
+def _q_cuped(spark, sf_dir):
+    """CUPED variance-reduced A/B means — pooled θ from exact
+    sufficient statistics, per-arm adjusted means, pinned trees."""
+    from p2_mapreduce_spark.operators.events_analytics import cuped_adjust
+
+    return cuped_adjust(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2731,6 +2739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_churn": _q_column_churn,
         "revenue_concentration": _q_revenue_concentration,
         "activity_histogram": _q_activity_histogram,
+        "cuped": _q_cuped,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -4040,6 +4049,73 @@ def oracle_sql() -> dict[str, str]:
             FROM stats, meta
         """,
         "skipping_audit": _skipping_audit_oracle(),
+        "cuped": """
+            WITH per_user AS (
+                SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                           18, 15) AS BIGINT) % 2 AS arm,
+                       CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                     THEN CAST(floor(value * 100) AS BIGINT)
+                                     ELSE 0 END) AS BIGINT) AS x,
+                       CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                     THEN CAST(floor(value * 100) AS BIGINT)
+                                     ELSE 0 END) AS BIGINT) AS y
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id
+            ),
+            pooled AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(x) AS HUGEINT) AS sx,
+                       CAST(SUM(y) AS HUGEINT) AS sy,
+                       SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                       SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                       SUM(CAST(y AS HUGEINT) * y) AS syy
+                FROM per_user
+            ),
+            stats AS (
+                SELECT
+                    CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              <> 0
+                         THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    END AS theta,
+                    CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              <> 0
+                          AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                              <> 0
+                         THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE)
+                                    * CAST(sy AS DOUBLE)))
+                    END AS rho2,
+                    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x_all
+                FROM pooled
+            ),
+            per_arm AS (
+                SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+                       CAST(SUM(y) AS HUGEINT) AS asy,
+                       CAST(SUM(x) AS HUGEINT) AS asx
+                FROM per_user GROUP BY arm
+            )
+            SELECT CAST(arm AS BIGINT) AS arm, n_users,
+                   CAST(asy AS DOUBLE) / CAST(n_users AS DOUBLE)
+                       AS mean_post,
+                   CAST(asy AS DOUBLE) / CAST(n_users AS DOUBLE)
+                   - COALESCE(theta, 0.0e0)
+                     * (CAST(asx AS DOUBLE) / CAST(n_users AS DOUBLE)
+                        - mean_x_all) AS mean_adjusted,
+                   theta, rho2
+            FROM per_arm, stats
+        """,
         "activity_histogram": """
             WITH days AS (
                 SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events

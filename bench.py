@@ -238,6 +238,7 @@ HEADLINE = (
     "column_churn",
     "revenue_concentration",
     "activity_histogram",
+    "cuped",
 )
 
 

@@ -385,3 +385,49 @@ def test_activity_histogram_counts_distinct_days(spark):
     assert out[1]["n_users"] == 2 and out[3]["n_users"] == 1
     assert out[1]["share_ppm"] == 666666
     assert sum(r["n_users"] for r in out.values()) == 3
+
+
+def test_cuped_perfect_covariate_and_degenerate(spark):
+    """If post = 2*pre exactly, rho2 = 1 and the adjusted means move
+    toward equality; if the pre-period is constant, theta is NULL and
+    adjustment is a no-op."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.events_analytics import cuped_adjust
+
+    pre_t = datetime.datetime(2024, 1, 10)
+    post_t = datetime.datetime(2024, 1, 20)
+    rows = []
+    eid = 0
+    for u in range(1, 41):
+        pre_v = float(u)          # distinct baselines
+        for t, v in ((pre_t, pre_v), (post_t, 2.0 * pre_v)):
+            eid += 1
+            rows.append((eid, u, "purchase", v, t))
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    out = {r["arm"]: r for r in cuped_adjust(df).collect()}
+    assert set(out) == {0, 1}
+    a, b = out[0], out[1]
+    assert abs(a["rho2"] - 1.0) < 1e-12
+    assert abs(a["theta"] - 2.0) < 1e-12
+    # perfect covariate -> adjusted means equal across arms (both equal
+    # the grand post mean)
+    assert abs(a["mean_adjusted"] - b["mean_adjusted"]) < 1e-6
+    # degenerate pre: same baseline for everyone
+    rows2 = []
+    eid = 0
+    for u in range(1, 21):
+        for t, v in ((pre_t, 5.0), (post_t, float(u))):
+            eid += 1
+            rows2.append((eid, u, "purchase", v, t))
+    df2 = spark.createDataFrame(
+        rows2, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    out2 = cuped_adjust(df2).collect()
+    for r in out2:
+        assert r["theta"] is None
+        assert r["mean_adjusted"] == r["mean_post"]

@@ -149,6 +149,9 @@ FUNNEL_REVIEWED = {
     # activity_histogram: one-row user-total broadcast; histogram work
     # is day-count grain
     "activity_histogram",
+    # cuped: one-row pooled sufficient-stats broadcast + 2-row arm agg;
+    # all work feeding them is user-grain map-side combined
+    "cuped",
 }
 
 
