@@ -2597,6 +2597,14 @@ def _q_cuped(spark, sf_dir):
     return cuped_adjust(load_table(spark, sf_dir, "events"))
 
 
+def _q_nearest_join(spark, sf_dir):
+    """Two-sided as-of (nearest-event) join with ±24 h tolerance —
+    single-shuffle dual-window composition, exact µs distances."""
+    from p2_mapreduce_spark.operators.relational import nearest_event_join
+
+    return nearest_event_join(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2740,6 +2748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_concentration": _q_revenue_concentration,
         "activity_histogram": _q_activity_histogram,
         "cuped": _q_cuped,
+        "nearest_join": _q_nearest_join,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -4049,6 +4058,34 @@ def oracle_sql() -> dict[str, str]:
             FROM stats, meta
         """,
         "skipping_audit": _skipping_audit_oracle(),
+        "nearest_join": """
+            WITH p AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ),
+            s AS (
+                SELECT user_id, ts AS s_ts FROM events
+                WHERE event_type = 'signup'
+            ),
+            cand AS (
+                SELECT p.event_id, s.s_ts,
+                       datediff('microsecond', p.ts, s.s_ts) AS gap_us
+                FROM p JOIN s ON p.user_id = s.user_id
+                WHERE abs(datediff('microsecond', p.ts, s.s_ts))
+                      <= 86400000000
+            ),
+            picked AS (
+                SELECT event_id, s_ts, gap_us,
+                       ROW_NUMBER() OVER (PARTITION BY event_id
+                                          ORDER BY abs(gap_us), s_ts) AS r
+                FROM cand
+            )
+            SELECT p.event_id, p.user_id, p.ts,
+                   picked.s_ts AS nearest_signup_ts,
+                   CAST(picked.gap_us AS BIGINT) AS gap_us
+            FROM p LEFT JOIN picked
+              ON p.event_id = picked.event_id AND picked.r = 1
+        """,
         "cuped": """
             WITH per_user AS (
                 SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),

@@ -239,6 +239,7 @@ HEADLINE = (
     "revenue_concentration",
     "activity_histogram",
     "cuped",
+    "nearest_join",
 )
 
 

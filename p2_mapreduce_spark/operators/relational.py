@@ -803,3 +803,67 @@ def fk_integrity(
         .unionByName(orphans(orders, "o_custkey", customer, "c_custkey",
                              "orders->customer"))
     )
+
+
+def nearest_event_join(events: DataFrame, within_hours: int = 24) -> DataFrame:
+    """NEAREST-event join (two-sided as-of with tolerance): each
+    'purchase' pairs with the closest 'signup' of the same user within
+    ±``within_hours`` — the sensor/price-alignment semantics
+    (:func:`asof_join_purchase_signup` is one-directional backward;
+    this is the |Δt|-minimizing variant both directions).
+
+    Same scalable composition, applied twice over ONE shuffle: union
+    the sides, then a backward window (latest signup at-or-before) AND
+    a forward window (earliest signup strictly after) share the same
+    (user_id)-partitioned sort — Spark evaluates both frames in a
+    single Window stage, no pairwise range join, no quadratic term.
+    The nearest of the two candidates wins by exact integer-µs
+    distance; ties at equal distance resolve to the EARLIER signup
+    (deterministic, engine-mirrorable); candidates outside the
+    tolerance are nulled.
+
+    Returns ``(event_id, user_id, ts, nearest_signup_ts, gap_us)``
+    with ``gap_us`` signed (negative = signup before purchase).
+    """
+    tol_us = int(within_hours) * 3600 * 1_000_000
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(1).alias("is_p"),
+        F.lit(None).cast("timestamp_ntz").alias("s_ts"),
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts",
+        F.lit(0).alias("is_p"),
+        F.col("ts").alias("s_ts"),
+    )
+    both = purchases.unionByName(signups)
+    order = [F.col("ts"), F.col("is_p"), F.col("event_id")]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    cand = (
+        both.withColumn("back", F.last("s_ts", ignorenulls=True).over(w_back))
+        .withColumn("fwd", F.first("s_ts", ignorenulls=True).over(w_fwd))
+        .filter(F.col("is_p") == 1)
+    )
+    d_back = F.expr("timestampdiff(MICROSECOND, ts, back)")   # <= 0
+    d_fwd = F.expr("timestampdiff(MICROSECOND, ts, fwd)")     # > 0
+    back_ok = F.col("back").isNotNull() & (-d_back <= F.lit(tol_us))
+    fwd_ok = F.col("fwd").isNotNull() & (d_fwd <= F.lit(tol_us))
+    pick_back = back_ok & (~fwd_ok | (-d_back <= d_fwd))
+    nearest = F.when(pick_back, F.col("back")).when(fwd_ok, F.col("fwd"))
+    gap = F.when(pick_back, d_back).when(fwd_ok, d_fwd)
+    return cand.select(
+        "event_id",
+        "user_id",
+        "ts",
+        nearest.alias("nearest_signup_ts"),
+        gap.cast("bigint").alias("gap_us"),
+    )

@@ -1441,3 +1441,29 @@ def test_revenue_concentration_hand_computed(spark):
     again = {r["pct_ppm"]: r["top_cents"]
              for r in revenue_concentration(df.repartition(5)).collect()}
     assert again == {k: v["top_cents"] for k, v in out.items()}
+
+
+def test_nearest_join_two_sided_and_tolerance(spark):
+    """Forward signup closer than backward wins; equal distance picks
+    the earlier; outside tolerance nulls out."""
+    import datetime
+
+    from p2_mapreduce_spark.operators.relational import nearest_event_join
+
+    t = datetime.datetime(2024, 1, 10, 12)
+    h = datetime.timedelta(hours=1)
+    rows = [
+        # u1: signup 5h before and 2h after -> forward (+2h) wins
+        (1, 1, "signup", t - 5 * h), (2, 1, "purchase", t),
+        (3, 1, "signup", t + 2 * h),
+        # u2: signups exactly 3h both sides -> tie -> earlier (backward)
+        (4, 2, "signup", t - 3 * h), (5, 2, "purchase", t),
+        (6, 2, "signup", t + 3 * h),
+        # u3: only a signup 30h away -> outside 24h tolerance -> null
+        (7, 3, "signup", t - 30 * h), (8, 3, "purchase", t),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "ts"])
+    out = {r["user_id"]: r for r in nearest_event_join(df).collect()}
+    assert out[1]["gap_us"] == 2 * 3600 * 1_000_000
+    assert out[2]["gap_us"] == -3 * 3600 * 1_000_000
+    assert out[3]["nearest_signup_ts"] is None and out[3]["gap_us"] is None
