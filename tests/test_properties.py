@@ -322,3 +322,59 @@ def test_allpairs_equals_naive_on_random_corpora(spark, texts):
         for r in ngram_jaccard_pairs(docs, threshold=0.6, max_df=None).collect()
     )
     assert ap == naive
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # group
+            st.integers(min_value=-1000, max_value=1000),  # value
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(min_value=1, max_value=11),
+)
+def test_two_phase_rank_equals_global_sort_rank(spark, rows, n_parts):
+    """PROPERTY: the distributed two-phase rank (range-repartition →
+    per-partition row_number → offset merge) assigns EXACTLY the rank a
+    global sort would, for any data and any input partitioning — the
+    invariant every rank-device consumer (trimmed mean, RFM, A/B
+    median, Lorenz points, TWAP lag) rests on.  Verified against a
+    local Python sort with the same (group, value, id) total order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "g int, v int, id int"
+    ).repartition(n_parts)
+    t = df.repartitionByRange(F.col("g"), F.col("v"), F.col("id")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("pid", "g").orderBy("v", "id")
+    t = t.withColumn("rn", F.row_number().over(w_in))
+    per = t.groupBy("pid", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy("g")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("pid", "g", "off")
+    got = {
+        (r["g"], r["id"]): r["rank"]
+        for r in t.join(F.broadcast(offsets), ["pid", "g"])
+        .select("g", "id", (F.col("off") + F.col("rn")).alias("rank"))
+        .collect()
+    }
+    want = {}
+    for g in {g for g, _, _ in data}:
+        members = sorted(
+            ((v, i) for gg, v, i in data if gg == g)
+        )
+        for rank, (v, i) in enumerate(members, start=1):
+            want[(g, i)] = rank
+    assert got == want
