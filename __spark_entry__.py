@@ -2605,6 +2605,17 @@ def _q_nearest_join(spark, sf_dir):
     return nearest_event_join(load_table(spark, sf_dir, "events"))
 
 
+def _q_two_hop(spark, sf_dir):
+    """Friend-of-friend reach: exact 1-hop and 2-hop-ring sizes for a
+    deterministic node sample of the trade graph."""
+    from p2_mapreduce_spark.operators.graph import trade_two_hop
+
+    return trade_two_hop(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2749,6 +2760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_histogram": _q_activity_histogram,
         "cuped": _q_cuped,
         "nearest_join": _q_nearest_join,
+        "two_hop": _q_two_hop,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -4058,6 +4070,48 @@ def oracle_sql() -> dict[str, str]:
             FROM stats, meta
         """,
         "skipping_audit": _skipping_audit_oracle(),
+        "two_hop": """
+            WITH pairs AS (
+                SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS w
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            sym AS (
+                SELECT DISTINCT least(u, w) AS a, greatest(u, w) AS b
+                FROM pairs WHERE u <> w
+            ),
+            stubs AS (
+                SELECT a, b FROM sym UNION ALL SELECT b, a FROM sym
+            ),
+            sample_n AS (
+                SELECT DISTINCT a AS node FROM stubs WHERE a % 20 = 0
+            ),
+            hop1 AS (
+                SELECT DISTINCT node, b AS n1
+                FROM sample_n JOIN stubs ON node = a
+            ),
+            hop2 AS (
+                SELECT DISTINCT node, s2.b AS n2
+                FROM hop1 JOIN stubs s2 ON n1 = s2.a
+            ),
+            ring2 AS (
+                SELECT h2.node, h2.n2
+                FROM hop2 h2
+                LEFT JOIN hop1 h1
+                  ON h2.node = h1.node AND h2.n2 = h1.n1
+                WHERE h1.n1 IS NULL AND h2.n2 <> h2.node
+            ),
+            c1 AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS n_1hop
+                FROM hop1 GROUP BY 1
+            ),
+            c2 AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS n_2hop_new
+                FROM ring2 GROUP BY 1
+            )
+            SELECT CAST(c1.node AS BIGINT) AS node, n_1hop,
+                   CAST(COALESCE(n_2hop_new, 0) AS BIGINT) AS n_2hop_new
+            FROM c1 LEFT JOIN c2 ON c1.node = c2.node
+        """,
         "nearest_join": """
             WITH p AS (
                 SELECT event_id, user_id, ts FROM events

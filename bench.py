@@ -240,6 +240,7 @@ HEADLINE = (
     "activity_histogram",
     "cuped",
     "nearest_join",
+    "two_hop",
 )
 
 

@@ -265,3 +265,22 @@ def test_k_core_fixture_converges_within_oracle_unroll(spark, sf_dir):
                 adj[nb].discard(n)
             del adj[n]
     assert rounds <= 4, f"fixture peeling depth {rounds} exceeds oracle unroll"
+
+
+def test_two_hop_reach_on_path_graph(spark):
+    """Path 0-20-40-60: node 0 has one 1-hop (20) and one 2-hop-new
+    (40); node 20 reaches both ends at hop 1 and one new at hop 2;
+    triangle closure never double-counts."""
+    from p2_mapreduce_spark.operators.graph import two_hop_reach
+
+    path = spark.createDataFrame(
+        [(0, 20), (20, 40), (40, 60)], ["u", "v"]
+    )
+    out = {r["node"]: r for r in two_hop_reach(path, sample_mod=20).collect()}
+    assert out[0]["n_1hop"] == 1 and out[0]["n_2hop_new"] == 1
+    assert out[20]["n_1hop"] == 2 and out[20]["n_2hop_new"] == 1
+    assert out[60]["n_1hop"] == 1 and out[60]["n_2hop_new"] == 1
+    # triangle: every node's 2-hop ring is empty (all reached at hop 1)
+    tri = spark.createDataFrame([(0, 20), (20, 40), (40, 0)], ["u", "v"])
+    t = {r["node"]: r for r in two_hop_reach(tri, sample_mod=20).collect()}
+    assert all(r["n_1hop"] == 2 and r["n_2hop_new"] == 0 for r in t.values())
