@@ -2616,6 +2616,27 @@ def _q_two_hop(spark, sf_dir):
     )
 
 
+def _q_hybrid_join(spark, sf_dir):
+    """Hot/cold differentiated join: lineitem x supplier with heavy
+    suppliers on the broadcast path; aggregated readout equals the
+    plain join (the oracle)."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.skew import hybrid_skew_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    joined = hybrid_skew_join(
+        li, supp, "l_suppkey", "s_suppkey", heavy_threshold=400
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.expr("cast(floor(l_extendedprice * 100) as bigint)"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2761,6 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped": _q_cuped,
         "nearest_join": _q_nearest_join,
         "two_hop": _q_two_hop,
+        "hybrid_join": _q_hybrid_join,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -4070,6 +4092,14 @@ def oracle_sql() -> dict[str, str]:
             FROM stats, meta
         """,
         "skipping_audit": _skipping_audit_oracle(),
+        "hybrid_join": """
+            SELECT s_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY 1
+        """,
         "two_hop": """
             WITH pairs AS (
                 SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS w

@@ -241,6 +241,7 @@ HEADLINE = (
     "cuped",
     "nearest_join",
     "two_hop",
+    "hybrid_join",
 )
 
 

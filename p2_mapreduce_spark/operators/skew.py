@@ -91,3 +91,49 @@ def salted_join(
         "inner",
     )
     return out.drop(f["__salt"]).drop(d["__salt"])
+
+
+def hybrid_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    heavy_threshold: int = 1000,
+) -> DataFrame:
+    """Differentiated (hot/cold) join — the classic MANUAL skew device
+    that predates AQE and still matters when the skewed side's hot
+    partition exceeds what AQE's split granularity can fix: keys whose
+    fact-side count exceeds ``heavy_threshold`` take the BROADCAST
+    path (their dim rows replicate to every executor, so the hot key's
+    rows never co-locate), everything else takes the ordinary hash
+    join.  The union of the two disjoint paths is exactly the plain
+    join — pinned by the oracle and pytest.
+
+    Cost model: the heavy-key list is a map-side-combined count filter
+    (#heavy keys rows — tiny by definition of "heavy"); the broadcast
+    side is dim ⋉ heavy (bounded by #heavy × rows-per-key); the cold
+    path's per-key fan-in is ≤ threshold by construction, so no
+    reduce task can be hot.  Compare :func:`salted_user_stats` (the
+    aggregation face) and AQE's runtime split (tests/test_plans.py) —
+    three devices, one problem.
+    """
+    heavy = (
+        fact.groupBy(fact_key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > heavy_threshold)
+        .select(fact_key)
+    )
+    fact_heavy = fact.join(
+        F.broadcast(heavy), fact_key, "left_semi"
+    )
+    fact_cold = fact.join(F.broadcast(heavy), fact_key, "left_anti")
+    dim_heavy = dim.join(
+        F.broadcast(heavy.withColumnRenamed(fact_key, dim_key)),
+        dim_key,
+        "left_semi",
+    )
+    hot = fact_heavy.join(
+        F.broadcast(dim_heavy), fact_heavy[fact_key] == dim_heavy[dim_key]
+    )
+    cold = fact_cold.join(dim, fact_cold[fact_key] == dim[dim_key])
+    return hot.unionByName(cold)

@@ -1467,3 +1467,27 @@ def test_nearest_join_two_sided_and_tolerance(spark):
     assert out[1]["gap_us"] == 2 * 3600 * 1_000_000
     assert out[2]["gap_us"] == -3 * 3600 * 1_000_000
     assert out[3]["nearest_signup_ts"] is None and out[3]["gap_us"] is None
+
+
+def test_hybrid_skew_join_equals_plain_join_and_splits_paths(spark):
+    """The hot/cold union must equal the plain join row-for-row, with
+    both paths actually exercised at the chosen threshold."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.skew import hybrid_skew_join
+
+    # key 1 is hot (8 rows), keys 2..4 cold (1 row each)
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(8)] + [(k, 100 + k) for k in (2, 3, 4)],
+        ["k", "payload"],
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "c2"), (3, "c3"), (5, "nomatch")], ["dk", "tag"]
+    )
+    out = hybrid_skew_join(fact, dim, "k", "dk", heavy_threshold=5)
+    got = sorted((r["k"], r["payload"], r["tag"]) for r in out.collect())
+    plain = fact.join(dim, fact.k == dim.dk)
+    want = sorted((r["k"], r["payload"], r["tag"]) for r in plain.collect())
+    assert got == want
+    assert sum(1 for k, _, _ in got if k == 1) == 8   # hot path rows
+    assert sum(1 for k, _, _ in got if k in (2, 3)) == 2  # cold path rows
