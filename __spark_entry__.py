@@ -2637,6 +2637,14 @@ def _q_hybrid_join(spark, sf_dir):
     )
 
 
+def _q_did(spark, sf_dir):
+    """Difference-in-differences 2x2 grid + estimator — one conditional
+    aggregate, pinned trees over exact cents."""
+    from p2_mapreduce_spark.operators.events_analytics import did_effect
+
+    return did_effect(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2783,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_join": _q_nearest_join,
         "two_hop": _q_two_hop,
         "hybrid_join": _q_hybrid_join,
+        "did": _q_did,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -4092,6 +4101,58 @@ def oracle_sql() -> dict[str, str]:
             FROM stats, meta
         """,
         "skipping_audit": _skipping_audit_oracle(),
+        "did": """
+            WITH tagged AS (
+                SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                           18, 15) AS BIGINT) % 2 AS arm,
+                       ts >= TIMESTAMP '2024-01-16' AS post,
+                       CAST(floor(value * 100) AS BIGINT) AS c
+                FROM events WHERE event_type = 'purchase'
+            ),
+            one AS (
+                SELECT
+                    CAST(SUM(CASE WHEN arm = 0 AND NOT post THEN c
+                                  ELSE 0 END) AS HUGEINT) AS sa0,
+                    CAST(SUM(CASE WHEN arm = 0 AND NOT post THEN 1
+                                  ELSE 0 END) AS BIGINT) AS na0,
+                    CAST(SUM(CASE WHEN arm = 0 AND post THEN c
+                                  ELSE 0 END) AS HUGEINT) AS sa1,
+                    CAST(SUM(CASE WHEN arm = 0 AND post THEN 1
+                                  ELSE 0 END) AS BIGINT) AS na1,
+                    CAST(SUM(CASE WHEN arm = 1 AND NOT post THEN c
+                                  ELSE 0 END) AS HUGEINT) AS sb0,
+                    CAST(SUM(CASE WHEN arm = 1 AND NOT post THEN 1
+                                  ELSE 0 END) AS BIGINT) AS nb0,
+                    CAST(SUM(CASE WHEN arm = 1 AND post THEN c
+                                  ELSE 0 END) AS HUGEINT) AS sb1,
+                    CAST(SUM(CASE WHEN arm = 1 AND post THEN 1
+                                  ELSE 0 END) AS BIGINT) AS nb1
+                FROM tagged
+            )
+            SELECT
+                CASE WHEN na0 > 0 THEN CAST(sa0 AS DOUBLE)
+                                       / CAST(na0 AS DOUBLE) END
+                    AS mean_a_pre,
+                CASE WHEN na1 > 0 THEN CAST(sa1 AS DOUBLE)
+                                       / CAST(na1 AS DOUBLE) END
+                    AS mean_a_post,
+                CASE WHEN nb0 > 0 THEN CAST(sb0 AS DOUBLE)
+                                       / CAST(nb0 AS DOUBLE) END
+                    AS mean_b_pre,
+                CASE WHEN nb1 > 0 THEN CAST(sb1 AS DOUBLE)
+                                       / CAST(nb1 AS DOUBLE) END
+                    AS mean_b_post,
+                (CASE WHEN nb1 > 0 THEN CAST(sb1 AS DOUBLE)
+                                        / CAST(nb1 AS DOUBLE) END
+                 - CASE WHEN nb0 > 0 THEN CAST(sb0 AS DOUBLE)
+                                          / CAST(nb0 AS DOUBLE) END)
+                - (CASE WHEN na1 > 0 THEN CAST(sa1 AS DOUBLE)
+                                          / CAST(na1 AS DOUBLE) END
+                   - CASE WHEN na0 > 0 THEN CAST(sa0 AS DOUBLE)
+                                            / CAST(na0 AS DOUBLE) END)
+                    AS did_cents
+            FROM one
+        """,
         "hybrid_join": """
             SELECT s_nationkey,
                    CAST(COUNT(*) AS BIGINT) AS n_lines,

@@ -242,6 +242,7 @@ HEADLINE = (
     "nearest_join",
     "two_hop",
     "hybrid_join",
+    "did",
 )
 
 

@@ -989,3 +989,73 @@ def cuped_adjust(
             "rho2",
         )
     )
+
+
+def did_effect(
+    events: DataFrame,
+    split_date: str = "2024-01-16",
+    metric_type: str = "purchase",
+) -> DataFrame:
+    """Difference-in-differences readout: the 2×2 (arm × period) mean
+    grid and the DiD estimator ``(B_post − B_pre) − (A_post − A_pre)``
+    — the quasi-experimental effect estimate when the split is not
+    randomized-at-once (staggered rollouts, geo launches), completing
+    the experimentation family (rate: :func:`ab_conversion`, median:
+    :func:`ab_quantile_diff`, variance-reduced mean:
+    :func:`cuped_adjust`).
+
+    Same md5 arms and calendar split as :func:`cuped_adjust`.  The
+    whole computation is ONE map-side-combined conditional aggregate
+    over exact cents (four sums + four counts); each cell mean and the
+    estimator are pinned IEEE trees over exact BIGINTs.  An empty cell
+    surfaces NULL (no silent zero).
+
+    Returns one row: ``(mean_a_pre, mean_a_post, mean_b_pre,
+    mean_b_post, did_cents)``.
+    """
+    coin = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 18, 15), 16, 10
+        ).cast("long")
+        % 2
+    )
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    split = F.lit(split_date).cast("timestamp_ntz")
+    tagged = events.filter(F.col("event_type") == metric_type).select(
+        coin.alias("arm"),
+        (F.col("ts") >= split).alias("post"),
+        cents.alias("c"),
+    )
+
+    def cell(arm, post):
+        cond = (F.col("arm") == arm) & (F.col("post") == post)
+        s = F.sum(F.when(cond, F.col("c")).otherwise(0)).cast("decimal(38,0)")
+        n = F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+        return s, n
+
+    sa0, na0 = cell(0, False)
+    sa1, na1 = cell(0, True)
+    sb0, nb0 = cell(1, False)
+    sb1, nb1 = cell(1, True)
+    one = tagged.agg(
+        sa0.alias("sa0"), na0.alias("na0"),
+        sa1.alias("sa1"), na1.alias("na1"),
+        sb0.alias("sb0"), nb0.alias("nb0"),
+        sb1.alias("sb1"), nb1.alias("nb1"),
+    )
+
+    def mean(s, n):
+        return F.when(
+            F.col(n) > 0,
+            F.col(s).cast("double") / F.col(n).cast("double"),
+        )
+
+    m_a0, m_a1 = mean("sa0", "na0"), mean("sa1", "na1")
+    m_b0, m_b1 = mean("sb0", "nb0"), mean("sb1", "nb1")
+    return one.select(
+        m_a0.alias("mean_a_pre"),
+        m_a1.alias("mean_a_post"),
+        m_b0.alias("mean_b_pre"),
+        m_b1.alias("mean_b_post"),
+        ((m_b1 - m_b0) - (m_a1 - m_a0)).alias("did_cents"),
+    )

@@ -431,3 +431,43 @@ def test_cuped_perfect_covariate_and_degenerate(spark):
     for r in out2:
         assert r["theta"] is None
         assert r["mean_adjusted"] == r["mean_post"]
+
+
+def test_did_effect_isolates_treatment_lift(spark):
+    """Both arms drift +10 over time; arm B gets an extra +5 lift in
+    the post period — DiD must recover exactly +5 (in cents, 500) while
+    the naive post-period diff is contaminated by arm base levels."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.events_analytics import did_effect
+
+    # find concrete users for each arm
+    arms = {}
+    probe = spark.range(1, 30).select(
+        F.col("id").alias("u"),
+        (
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 18, 15),
+                   16, 10).cast("long") % 2
+        ).alias("arm"),
+    )
+    for r in probe.collect():
+        arms.setdefault(r["arm"], []).append(r["u"])
+    pre_t = datetime.datetime(2024, 1, 10)
+    post_t = datetime.datetime(2024, 1, 20)
+    rows, eid = [], 0
+    for u in arms[0][:5]:
+        for t, v in ((pre_t, 50.0), (post_t, 60.0)):       # A: +10 drift
+            eid += 1
+            rows.append((eid, u, "purchase", v, t))
+    for u in arms[1][:5]:
+        for t, v in ((pre_t, 80.0), (post_t, 95.0)):       # B: +10 +5 lift
+            eid += 1
+            rows.append((eid, u, "purchase", v, t))
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+    out = did_effect(df).collect()[0]
+    assert out["mean_a_pre"] == 5000.0 and out["mean_b_post"] == 9500.0
+    assert out["did_cents"] == 500.0

@@ -152,6 +152,8 @@ FUNNEL_REVIEWED = {
     # cuped: one-row pooled sufficient-stats broadcast + 2-row arm agg;
     # all work feeding them is user-grain map-side combined
     "cuped",
+    # did: one 1-row conditional 2x2-cell aggregate over scan-grain rows
+    "did",
 }
 
 
