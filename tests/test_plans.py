@@ -303,6 +303,9 @@ PYTHON_ALLOWED = {
     # by value through run_mapreduce — the plugin plane IS the Python
     # escape hatch (same justification as udf_roundtrip)
     "grep_mapreduce",
+    # the 3rd canonical plugin (inverted index) — same registry/plugin
+    # plane justification; the DataFrame twin (postings) is the hot path
+    "index_mapreduce",
     # real PNG-header codec over the same Arrow-batched mapInPandas
     # plumbing as media_decode — the payload-touching stage is Python
     # by design
