@@ -2645,6 +2645,17 @@ def _q_did(spark, sf_dir):
     return did_effect(load_table(spark, sf_dir, "events"))
 
 
+def _q_partition_advisor(spark, sf_dir):
+    """Which column should partition lineitem: cardinality, skew ratio,
+    and small-partition share per candidate."""
+    from p2_mapreduce_spark.operators.layout import partition_advisor
+
+    return partition_advisor(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_suppkey", "l_shipdate"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2792,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_hop": _q_two_hop,
         "hybrid_join": _q_hybrid_join,
         "did": _q_did,
+        "partition_advisor": _q_partition_advisor,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -4101,6 +4113,50 @@ def oracle_sql() -> dict[str, str]:
             FROM stats, meta
         """,
         "skipping_audit": _skipping_audit_oracle(),
+        "partition_advisor": """
+            WITH p1 AS (
+                SELECT l_returnflag AS v, COUNT(*) AS cnt
+                FROM lineitem GROUP BY 1
+            ),
+            p2 AS (
+                SELECT l_suppkey AS v, COUNT(*) AS cnt
+                FROM lineitem GROUP BY 1
+            ),
+            p3 AS (
+                SELECT l_shipdate AS v, COUNT(*) AS cnt
+                FROM lineitem GROUP BY 1
+            ),
+            rolled AS (
+                SELECT 'l_returnflag' AS "column",
+                       CAST(COUNT(*) AS BIGINT) AS n_partitions,
+                       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                       CAST(MAX(cnt) AS BIGINT) AS max_rows,
+                       CAST(SUM(CASE WHEN cnt < 1000 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_tiny
+                FROM p1
+                UNION ALL
+                SELECT 'l_suppkey', CAST(COUNT(*) AS BIGINT),
+                       CAST(SUM(cnt) AS BIGINT), CAST(MAX(cnt) AS BIGINT),
+                       CAST(SUM(CASE WHEN cnt < 1000 THEN 1 ELSE 0 END)
+                            AS BIGINT)
+                FROM p2
+                UNION ALL
+                SELECT 'l_shipdate', CAST(COUNT(*) AS BIGINT),
+                       CAST(SUM(cnt) AS BIGINT), CAST(MAX(cnt) AS BIGINT),
+                       CAST(SUM(CASE WHEN cnt < 1000 THEN 1 ELSE 0 END)
+                            AS BIGINT)
+                FROM p3
+            )
+            SELECT "column", n_partitions, n_rows,
+                   CAST(n_rows // n_partitions AS BIGINT) AS avg_rows,
+                   max_rows,
+                   CAST(max_rows AS DOUBLE)
+                   / (CAST(n_rows AS DOUBLE) / CAST(n_partitions AS DOUBLE))
+                       AS skew_ratio,
+                   CAST((n_tiny * 1000000) // n_partitions AS BIGINT)
+                       AS tiny_ppm
+            FROM rolled
+        """,
         "did": """
             WITH tagged AS (
                 SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),

@@ -243,6 +243,7 @@ HEADLINE = (
     "two_hop",
     "hybrid_join",
     "did",
+    "partition_advisor",
 )
 
 

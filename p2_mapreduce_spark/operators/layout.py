@@ -345,3 +345,56 @@ def skipping_audit(
             ),
         )
     )
+
+
+def partition_advisor(
+    df: DataFrame, candidates: Sequence[str], target_rows: int = 100_000
+) -> DataFrame:
+    """Partition-column advisor: for each candidate column, the layout
+    stats that decide ``partitionBy`` choices BEFORE rewriting a table
+    — cardinality (too many partitions = small-file storm), skew
+    (max/avg ratio — one giant partition defeats pruning-parallelism),
+    and the share of partitions under 1% of ``target_rows`` (the
+    small-file fraction the compactor would immediately owe).
+
+    One map-side-combined count per candidate at that column's value
+    grain, then a per-candidate rollup — #candidates passes over one
+    column each (column-pruned scans; Spark shares the cached scan).
+    All ratios are floor-ppm exact integers except the skew ratio
+    (one pinned division).
+
+    Returns one row per candidate: ``(column, n_partitions, n_rows,
+    avg_rows, max_rows, skew_ratio, tiny_ppm)``.
+    """
+    if not candidates:
+        raise ValueError("partition_advisor needs candidate columns")
+    tiny = max(1, target_rows // 100)
+    reports = []
+    for c in candidates:
+        per = df.groupBy(F.col(c)).agg(F.count(F.lit(1)).alias("cnt"))
+        reports.append(
+            per.agg(
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+                F.sum("cnt").cast("bigint").alias("n_rows"),
+                F.max("cnt").cast("bigint").alias("max_rows"),
+                F.sum(F.when(F.col("cnt") < tiny, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_tiny"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "column",
+        "n_partitions",
+        "n_rows",
+        F.expr("n_rows div n_partitions").alias("avg_rows"),
+        "max_rows",
+        F.expr(
+            "cast(max_rows as double)"
+            " / (cast(n_rows as double) / cast(n_partitions as double))"
+        ).alias("skew_ratio"),
+        F.expr("(n_tiny * 1000000) div n_partitions").alias("tiny_ppm"),
+    )

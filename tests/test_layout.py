@@ -147,3 +147,32 @@ def test_bitmap_count_matches_direct_counts_and_rejects_nothing(spark, sf_dir):
     ).collect()[0]
     assert (row.n_a, row.n_b, row.n_both) == (direct.a, direct.b, direct.ab)
     assert 0 < row.n_both <= min(row.n_a, row.n_b)
+
+
+def test_partition_advisor_flags_skew_and_tiny(spark):
+    """A constant column has 1 partition / no skew; a 90%-one-value
+    column has skew_ratio near the hot share x cardinality; tiny
+    partitions count against the tiny_ppm budget."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.layout import partition_advisor
+
+    df = spark.range(0, 1000).select(
+        F.lit("x").alias("const"),
+        F.when(F.col("id") < 900, F.lit("hot"))
+        .otherwise((F.col("id") % 10).cast("string"))
+        .alias("skewed"),
+        (F.col("id") % 500).alias("wide"),
+    )
+    out = {r["column"]: r
+           for r in partition_advisor(df, ["const", "skewed", "wide"],
+                                      target_rows=1000).collect()}
+    c = out["const"]
+    assert c["n_partitions"] == 1 and c["skew_ratio"] == 1.0
+    assert c["tiny_ppm"] == 0            # 1000 rows >= tiny cut of 10
+    s = out["skewed"]
+    assert s["n_partitions"] == 11 and s["max_rows"] == 900
+    assert s["skew_ratio"] == 900 / (1000 / 11)
+    assert s["tiny_ppm"] == 0            # 10-row parts are not < 10
+    w = out["wide"]                       # 500 parts of 2 rows: all tiny
+    assert w["n_partitions"] == 500 and w["tiny_ppm"] == 1_000_000

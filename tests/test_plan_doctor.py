@@ -154,6 +154,9 @@ FUNNEL_REVIEWED = {
     "cuped",
     # did: one 1-row conditional 2x2-cell aggregate over scan-grain rows
     "did",
+    # partition_advisor: one 1-row rollup per candidate column
+    # (#candidates, config-bounded) over value-grain counts
+    "partition_advisor",
 }
 
 
