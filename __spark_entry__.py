@@ -2656,6 +2656,14 @@ def _q_partition_advisor(spark, sf_dir):
     )
 
 
+def _q_seasonal_outliers(spark, sf_dir):
+    """Weekday-baseline + MAD anomaly flags per day — all-BIGINT
+    pipeline (doubled-median trick), nothing to drift."""
+    from p2_mapreduce_spark.operators.timeseries import seasonal_outliers
+
+    return seasonal_outliers(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2804,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_join": _q_hybrid_join,
         "did": _q_did,
         "partition_advisor": _q_partition_advisor,
+        "seasonal_outliers": _q_seasonal_outliers,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -4113,6 +4122,51 @@ def oracle_sql() -> dict[str, str]:
             FROM stats, meta
         """,
         "skipping_audit": _skipping_audit_oracle(),
+        "seasonal_outliers": """
+            WITH daily AS (
+                SELECT event_type AS g, CAST(ts AS DATE) AS day,
+                       CAST(SUM(CAST(floor(value * 100) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM events GROUP BY 1, 2
+            ),
+            dowd AS (
+                SELECT g, day, cents, dayofweek(day) AS dow FROM daily
+            ),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY g, dow
+                                             ORDER BY cents, day) AS rn,
+                       COUNT(*) OVER (PARTITION BY g, dow) AS n
+                FROM dowd
+            ),
+            base AS (
+                SELECT g, dow, MIN(cents) + MAX(cents) AS b2
+                FROM ranked
+                WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                GROUP BY g, dow
+            ),
+            resid AS (
+                SELECT d.g, d.day, d.cents, 2 * d.cents - b2 AS r
+                FROM dowd d JOIN base USING (g, dow)
+            ),
+            mranked AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+                                             ORDER BY abs(r), day) AS mrn,
+                       COUNT(*) OVER (PARTITION BY g) AS mn
+                FROM resid
+            ),
+            mad AS (
+                SELECT g, MIN(abs(r)) + MAX(abs(r)) AS mad4
+                FROM mranked
+                WHERE mrn = (mn + 1) // 2 OR mrn = (mn + 2) // 2
+                GROUP BY g
+            )
+            SELECT resid.g AS event_type,
+                   strftime(day, '%Y-%m-%d') AS day, cents,
+                   CAST(r AS BIGINT) AS resid_x2,
+                   CAST(mad4 AS BIGINT) AS mad_x4,
+                   abs(r) * 2 > 3 * mad4 AS is_outlier
+            FROM resid JOIN mad USING (g)
+        """,
         "partition_advisor": """
             WITH p1 AS (
                 SELECT l_returnflag AS v, COUNT(*) AS cnt

@@ -244,6 +244,7 @@ HEADLINE = (
     "hybrid_join",
     "did",
     "partition_advisor",
+    "seasonal_outliers",
 )
 
 

@@ -1307,3 +1307,76 @@ def interarrival_stats(
             ),
         ).alias("cv2"),
     )
+
+
+def seasonal_outliers(events: DataFrame) -> DataFrame:
+    """Seasonality-aware anomaly detection: a day is anomalous when its
+    revenue deviates from its WEEKDAY baseline by more than 3 robust
+    sigmas — the composition incident review actually needs
+    (:func:`value_outliers`' plain z-score fires every Saturday on a
+    weekly-seasonal series; subtracting the weekday median first is
+    the fix, and MAD keeps the threshold from being dragged by the
+    incidents it hunts).
+
+    All-integer pipeline: daily cents → per-(group, weekday) EXACT
+    median baseline (order statistics over the ≤#weeks values of that
+    weekday — the doubled (lo+hi) trick keeps .5 medians integer) →
+    residual R = 2·cents − baseline₂ → per-group MAD of |R| (same
+    doubled trick → mad₄) → flag ``2·|R| > 3·mad₄`` — pure BIGINT
+    comparisons end-to-end, nothing to drift cross-engine.
+
+    Window inputs are calendar-grain (days per (group, weekday) ≤
+    #weeks; residuals per group ≤ #days) — the rolling_median /
+    daily_envelope scale argument.  Returns per-day rows
+    ``(event_type, day, cents, resid_x2, mad_x4, is_outlier)``.
+    """
+    daily = (
+        events.select(
+            F.col("event_type").alias("g"),
+            F.to_date("ts").alias("day"),
+            F.expr("cast(floor(value * 100) as bigint)").alias("c"),
+        )
+        .groupBy("g", "day")
+        .agg(F.sum("c").alias("cents"))
+        .withColumn("dow", F.dayofweek("day"))
+    )
+    w_rank = Window.partitionBy("g", "dow").orderBy("cents", "day")
+    w_cnt = Window.partitionBy("g", "dow")
+    ranked = daily.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n", F.count(F.lit(1)).over(w_cnt)
+    )
+    base = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("(n + 2) div 2"))
+        )
+        .groupBy("g", "dow")
+        .agg((F.min("cents") + F.max("cents")).alias("b2"))
+    )
+    resid = daily.join(base, ["g", "dow"]).withColumn(
+        "r", F.expr("2 * cents - b2")
+    )
+    w_mrank = Window.partitionBy("g").orderBy(F.abs("r"), "day")
+    w_mcnt = Window.partitionBy("g")
+    mranked = resid.withColumn("mrn", F.row_number().over(w_mrank)).withColumn(
+        "mn", F.count(F.lit(1)).over(w_mcnt)
+    )
+    mad = (
+        mranked.filter(
+            (F.col("mrn") == F.expr("(mn + 1) div 2"))
+            | (F.col("mrn") == F.expr("(mn + 2) div 2"))
+        )
+        .groupBy("g")
+        .agg((F.min(F.abs("r")) + F.max(F.abs("r"))).alias("mad4"))
+    )
+    return (
+        resid.join(F.broadcast(mad), "g")
+        .select(
+            F.col("g").alias("event_type"),
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cents",
+            F.col("r").cast("bigint").alias("resid_x2"),
+            F.col("mad4").cast("bigint").alias("mad_x4"),
+            (F.abs("r") * 2 > F.lit(3) * F.col("mad4")).alias("is_outlier"),
+        )
+    )

@@ -1491,3 +1491,31 @@ def test_hybrid_skew_join_equals_plain_join_and_splits_paths(spark):
     assert got == want
     assert sum(1 for k, _, _ in got if k == 1) == 8   # hot path rows
     assert sum(1 for k, _, _ in got if k in (2, 3)) == 2  # cold path rows
+
+
+def test_seasonal_outliers_flags_break_not_weekend(spark):
+    """A weekly pattern (weekends 2x) with one broken Wednesday: the
+    plain-z trap days (ordinary weekends) stay clean, the broken day
+    flags."""
+    import datetime
+
+    from p2_mapreduce_spark.operators.timeseries import seasonal_outliers
+
+    rows, eid = [], 0
+    base = datetime.date(2024, 1, 1)  # a Monday
+    for d in range(28):
+        day = base + datetime.timedelta(days=d)
+        weekend = day.weekday() >= 5
+        v = 200.0 if weekend else 100.0
+        if d == 16:          # a Wednesday gone wrong
+            v = 1000.0
+        eid += 1
+        rows.append((eid, "purchase",
+                     datetime.datetime.combine(day, datetime.time(12)), v))
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "ts", "value"])
+    out = {r["day"]: r for r in seasonal_outliers(df).collect()}
+    flagged = [d for d, r in out.items() if r["is_outlier"]]
+    assert flagged == ["2024-01-17"]
+    # weekends are NOT flagged despite being 2x the weekday level
+    assert not out["2024-01-06"]["is_outlier"]
+    assert not out["2024-01-07"]["is_outlier"]
