@@ -2664,6 +2664,14 @@ def _q_seasonal_outliers(spark, sf_dir):
     return seasonal_outliers(load_table(spark, sf_dir, "events"))
 
 
+def _q_label_separation(spark, sf_dir):
+    """Intra- vs inter-label mean cosine via quantized-normalized
+    integer sums — no pair enumeration anywhere."""
+    from p2_mapreduce_spark.operators.similarity import label_separation
+
+    return label_separation(load_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2813,6 +2821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did": _q_did,
         "partition_advisor": _q_partition_advisor,
         "seasonal_outliers": _q_seasonal_outliers,
+        "label_separation": _q_label_separation,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -4122,6 +4131,67 @@ def oracle_sql() -> dict[str, str]:
             FROM stats, meta
         """,
         "skipping_audit": _skipping_audit_oracle(),
+        "label_separation": """
+            WITH dv AS (
+                SELECT label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            rows_t AS (
+                SELECT label AS lbl, g.i - 1 AS pos,
+                       CAST(floor(v[g.i]
+                             / sqrt(list_dot_product(v, v))
+                             * 1.0e6) AS BIGINT) AS q
+                FROM dv,
+                     LATERAL (SELECT unnest(generate_series(1, len(v)))
+                              AS i) g
+            ),
+            dims AS (
+                SELECT lbl, pos, CAST(SUM(q) AS HUGEINT) AS s,
+                       SUM(CAST(q AS HUGEINT) * q) AS qq
+                FROM rows_t GROUP BY 1, 2
+            ),
+            per_label AS (
+                SELECT lbl, SUM(s * s) AS dot_ll,
+                       CAST(SUM(qq) AS HUGEINT) AS selfq
+                FROM dims GROUP BY lbl
+            ),
+            counts AS (
+                SELECT label AS lbl, CAST(COUNT(*) AS BIGINT) AS n
+                FROM embeddings GROUP BY 1
+            ),
+            all_dims AS (
+                SELECT pos, CAST(SUM(s) AS HUGEINT) AS sa
+                FROM dims GROUP BY pos
+            ),
+            g1 AS (SELECT SUM(sa * sa) AS dot_all FROM all_dims),
+            g2 AS (SELECT CAST(SUM(dot_ll) AS HUGEINT) AS sum_ll
+                   FROM per_label),
+            g3 AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                          SUM(CAST(n AS HUGEINT) * n) AS sum_n2
+                   FROM counts),
+            gmean AS (
+                SELECT CASE WHEN CAST(nn AS HUGEINT) * nn - sum_n2 <> 0
+                    THEN (CAST(dot_all AS DOUBLE)
+                          - CAST(sum_ll AS DOUBLE))
+                       / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                          - CAST(sum_n2 AS DOUBLE)) / 1.0e12
+                END AS inter_mean FROM g1, g2, g3
+            )
+            SELECT lbl AS label, n,
+                   CASE WHEN n > 1 THEN
+                       (CAST(dot_ll AS DOUBLE) - CAST(selfq AS DOUBLE))
+                       / (CAST(n AS DOUBLE)
+                          * (CAST(n AS DOUBLE) - 1.0e0)) / 1.0e12
+                   END AS intra_mean,
+                   inter_mean,
+                   CASE WHEN n > 1 THEN
+                       (CAST(dot_ll AS DOUBLE) - CAST(selfq AS DOUBLE))
+                       / (CAST(n AS DOUBLE)
+                          * (CAST(n AS DOUBLE) - 1.0e0)) / 1.0e12
+                       - inter_mean
+                   END AS separation
+            FROM per_label JOIN counts USING (lbl), gmean
+        """,
         "seasonal_outliers": """
             WITH daily AS (
                 SELECT event_type AS g, CAST(ts AS DATE) AS day,

@@ -245,6 +245,7 @@ HEADLINE = (
     "did",
     "partition_advisor",
     "seasonal_outliers",
+    "label_separation",
 )
 
 

@@ -1063,3 +1063,115 @@ def mrl_recall(
             (F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")).alias("recall"),
         )
     )
+
+
+def label_separation(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space cluster separability audit: per label, the mean
+    INTRA-label pairwise cosine vs the global mean INTER-label cosine —
+    the one-table answer to "are these labels separable enough to
+    train/route on", upstream of classifier fitting and of
+    :func:`label_affinity`'s centroid matrix (centroids can look apart
+    while members overlap; this measures the members).
+
+    No pair enumeration anywhere: with unit vectors, Σ pairwise
+    cosines within a set = (|Σv|² − Σ|v|²)/2 — so per-label per-dim
+    SUMS carry everything.  Normalized coordinates quantize to the
+    1e-6 integer grid (floor — the knn_np device) so every sum is
+    exact BIGINT/DECIMAL and the metric is partition/engine-invariant
+    by construction; the (bounded) quantization bias is part of the
+    metric's definition.
+
+    Shuffle shape: one aggregate at (label, dim) grain + one at label
+    grain; the corpus never moves at row grain.  Returns one row per
+    label: ``(label, n, intra_mean, inter_mean, separation)`` —
+    ``inter_mean`` is the global cross-label mean (same value every
+    row); single-member labels surface NULL intra.
+    """
+    emb = with_norm(embeddings, vec_col)
+    rows = emb.select(
+        F.col(label_col).alias("lbl"),
+        F.col("norm"),
+        F.posexplode(vec_col).alias("pos", "val"),
+    ).select(
+        "lbl",
+        "pos",
+        F.floor(F.col("val") / F.col("norm") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("q"),
+    )
+    dims = rows.groupBy("lbl", "pos").agg(
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            (F.col("q").cast("decimal(19,0)") * F.col("q")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("qq"),
+    )
+    per_label = dims.groupBy("lbl").agg(
+        F.sum((F.col("s") * F.col("s")).cast("decimal(38,0)")).alias(
+            "dot_ll"
+        ),
+        F.sum("qq").cast("decimal(38,0)").alias("selfq"),
+    )
+    counts = embeddings.groupBy(F.col(label_col).alias("lbl")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    all_dims = dims.groupBy("pos").agg(
+        F.sum("s").cast("decimal(38,0)").alias("sa")
+    )
+    dot_all = all_dims.agg(
+        F.sum((F.col("sa") * F.col("sa")).cast("decimal(38,0)")).alias(
+            "dot_all"
+        )
+    )
+    glob = (
+        per_label.agg(
+            F.sum("dot_ll").cast("decimal(38,0)").alias("sum_ll"),
+        )
+        .crossJoin(F.broadcast(dot_all))
+        .crossJoin(
+            F.broadcast(
+                counts.agg(
+                    F.sum("n").cast("bigint").alias("nn"),
+                    F.sum(
+                        (F.col("n").cast("decimal(19,0)") * F.col("n")).cast(
+                            "decimal(38,0)"
+                        )
+                    ).alias("sum_n2"),
+                )
+            )
+        )
+        .select(
+            F.expr(
+                "case when cast(nn as decimal(38,0)) * nn - sum_n2 <> 0 then"
+                " (cast(dot_all as double) - cast(sum_ll as double))"
+                " / (cast(nn as double) * cast(nn as double)"
+                "    - cast(sum_n2 as double)) / 1.0e12 end"
+            ).alias("inter_mean")
+        )
+    )
+    return (
+        per_label.join(counts, "lbl")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.col("lbl").alias("label"),
+            "n",
+            F.expr(
+                "case when n > 1 then"
+                " (cast(dot_ll as double) - cast(selfq as double))"
+                " / (cast(n as double) * (cast(n as double) - 1.0e0))"
+                " / 1.0e12 end"
+            ).alias("intra_mean"),
+            "inter_mean",
+            F.expr(
+                "case when n > 1 then"
+                " (cast(dot_ll as double) - cast(selfq as double))"
+                " / (cast(n as double) * (cast(n as double) - 1.0e0))"
+                " / 1.0e12 - inter_mean end"
+            ).alias("separation"),
+        )
+    )

@@ -157,6 +157,9 @@ FUNNEL_REVIEWED = {
     # partition_advisor: one 1-row rollup per candidate column
     # (#candidates, config-bounded) over value-grain counts
     "partition_advisor",
+    # label_separation: one-row global cross-label stats broadcast;
+    # everything feeding them is (label, dim)-grain map-side combined
+    "label_separation",
 }
 
 

@@ -352,3 +352,25 @@ def test_mrl_recall_full_dims_is_perfect(spark, sf_dir):
     cut = {r["q_id"]: r for r in mrl_recall(emb, dims=16).collect()}
     assert all(0.0 < r["recall"] <= 1.0 for r in cut.values())
     assert all(r["n_trunc"] == r["n_exact"] for r in cut.values())
+
+
+def test_label_separation_separable_fixture(spark):
+    """Two orthogonal tight clusters: intra ≈ 1 within each label,
+    inter ≈ 0 across, separation strongly positive; a singleton label
+    surfaces NULL intra."""
+    rows = []
+    vid = 0
+    for lbl, base in ((0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])):
+        for _ in range(5):
+            vid += 1
+            rows.append((vid, base, lbl))
+    rows.append((vid + 1, [0.0, 0.0, 1.0, 0.0], 2))  # singleton
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    from p2_mapreduce_spark.operators.similarity import label_separation
+
+    out = {r["label"]: r for r in label_separation(df).collect()}
+    assert abs(out[0]["intra_mean"] - 1.0) < 1e-5
+    assert abs(out[1]["intra_mean"] - 1.0) < 1e-5
+    assert abs(out[0]["inter_mean"]) < 1e-5
+    assert out[0]["separation"] > 0.99
+    assert out[2]["intra_mean"] is None and out[2]["separation"] is None
