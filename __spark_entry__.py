@@ -2672,6 +2672,20 @@ def _q_label_separation(spark, sf_dir):
     return label_separation(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_ivf_append(spark, sf_dir):
+    """IVF index maintenance: new batch assigned to the existing coarse
+    quantizer; per-cell growth report."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.similarity import ivf_append_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_append_report(
+        emb.filter(F.col("vec_id") % 5 != 4),
+        emb.filter(F.col("vec_id") % 5 == 4),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2822,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_advisor": _q_partition_advisor,
         "seasonal_outliers": _q_seasonal_outliers,
         "label_separation": _q_label_separation,
+        "ivf_append": _q_ivf_append,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -4131,6 +4146,57 @@ def oracle_sql() -> dict[str, str]:
             FROM stats, meta
         """,
         "skipping_audit": _skipping_audit_oracle(),
+        "ivf_append": """
+            WITH nb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_dot_product(
+                           CAST(embedding AS DOUBLE[]),
+                           CAST(embedding AS DOUBLE[]))) AS nrm
+                FROM embeddings WHERE vec_id % 5 <> 4
+            ),
+            nw AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       sqrt(list_dot_product(
+                           CAST(embedding AS DOUBLE[]),
+                           CAST(embedding AS DOUBLE[]))) AS nrm
+                FROM embeddings WHERE vec_id % 5 = 4
+            ),
+            seeds AS (SELECT vec_id, v, nrm FROM nb
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                      LIMIT 16),
+            cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                          AS cell, v AS cv, nrm AS cn
+                      FROM seeds),
+            ab AS (
+                SELECT vec_id, cell FROM (
+                    SELECT nb.vec_id, c.cell,
+                           ROW_NUMBER() OVER (PARTITION BY nb.vec_id
+                               ORDER BY list_dot_product(nb.v, c.cv)
+                                        / (nb.nrm * c.cn) DESC,
+                                        c.cell) AS r
+                    FROM nb, cents c
+                ) WHERE r = 1
+            ),
+            an AS (
+                SELECT vec_id, cell FROM (
+                    SELECT nw.vec_id, c.cell,
+                           ROW_NUMBER() OVER (PARTITION BY nw.vec_id
+                               ORDER BY list_dot_product(nw.v, c.cv)
+                                        / (nw.nrm * c.cn) DESC,
+                                        c.cell) AS r
+                    FROM nw, cents c
+                ) WHERE r = 1
+            ),
+            cb AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_base
+                   FROM ab GROUP BY 1),
+            cn2 AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_new
+                    FROM an GROUP BY 1)
+            SELECT CAST(cb.cell AS BIGINT) AS cell, n_base,
+                   CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+                   CAST((COALESCE(n_new, 0) * 1000000) // n_base
+                        AS BIGINT) AS growth_ppm
+            FROM cb LEFT JOIN cn2 ON cb.cell = cn2.cell
+        """,
         "label_separation": """
             WITH dv AS (
                 SELECT label, CAST(embedding AS DOUBLE[]) AS v

@@ -246,6 +246,7 @@ HEADLINE = (
     "partition_advisor",
     "seasonal_outliers",
     "label_separation",
+    "ivf_append",
 )
 
 

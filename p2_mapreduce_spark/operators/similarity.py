@@ -1175,3 +1175,46 @@ def label_separation(
             ).alias("separation"),
         )
     )
+
+
+def ivf_append_report(
+    base: DataFrame,
+    new: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF index MAINTENANCE: assign an ingest batch to the EXISTING
+    coarse quantizer (no re-clustering — the centroids are the index's
+    stable contract, exactly like the persisted LSH band tables in
+    :func:`dedup.minhash_lsh_incremental`) and report per-cell growth —
+    the signal that decides when a re-train/re-balance is actually due
+    (a cell absorbing most of the ingest is the IVF analogue of a hot
+    shuffle partition).
+
+    Batch cost is O(|new| · n_cells) broadcast scoring — independent
+    of the base corpus size; the base-side counts come from the
+    existing assignment (here recomputed at fixture scale; at 100 TB
+    they are a metadata read of the cell-partitioned index files).
+
+    Returns one row per cell: ``(cell, n_base, n_new, growth_ppm)``.
+    """
+    cents, assign_base = build_ivf_cells(base, n_cells, vec_col, id_col)
+    new_assign = _assign_cells(with_norm(new, vec_col), cents, vec_col, id_col)
+    nb = assign_base.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_base")
+    )
+    nn = new_assign.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    return (
+        nb.join(nn, "cell", "left")
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            "n_base",
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            F.expr(
+                "(coalesce(n_new, 0) * 1000000) div n_base"
+            ).alias("growth_ppm"),
+        )
+    )

@@ -374,3 +374,42 @@ def test_label_separation_separable_fixture(spark):
     assert abs(out[0]["inter_mean"]) < 1e-5
     assert out[0]["separation"] > 0.99
     assert out[2]["intra_mean"] is None and out[2]["separation"] is None
+
+
+def test_ivf_append_conserves_batch_and_matches_full_assignment(spark, sf_dir):
+    """Every new vector lands in exactly one existing cell (counts
+    conserve the batch), and appended assignments equal what a
+    from-scratch assignment against the SAME centroids would give."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.similarity import (
+        _assign_cells,
+        build_ivf_cells,
+        ivf_append_report,
+        with_norm,
+    )
+    from p2_mapreduce_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    new = emb.filter(F.col("vec_id") % 5 == 4)
+    rep = ivf_append_report(base, new)
+    assert rep.agg(F.sum("n_new")).collect()[0][0] == new.count()
+    assert rep.agg(F.sum("n_base")).collect()[0][0] == base.count()
+    # assignment stability: same centroids -> same cells for new batch
+    cents, _ = build_ivf_cells(base)
+    direct = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_cells(with_norm(new), cents, "embedding", "vec_id")
+        .select("vec_id", "cell")
+        .collect()
+    }
+    again = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_cells(
+            with_norm(new.repartition(7)), cents, "embedding", "vec_id"
+        )
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert direct == again
