@@ -2686,6 +2686,14 @@ def _q_ivf_append(spark, sf_dir):
     )
 
 
+def _q_funnel_lag(spark, sf_dir):
+    """Exact median gap per funnel step pair — two-phase rank over
+    user-grain chains, doubled-median BIGINT surface."""
+    from p2_mapreduce_spark.operators.events_analytics import funnel_lag
+
+    return funnel_lag(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2837,6 +2845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_outliers": _q_seasonal_outliers,
         "label_separation": _q_label_separation,
         "ivf_append": _q_ivf_append,
+        "funnel_lag": _q_funnel_lag,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -4146,6 +4155,45 @@ def oracle_sql() -> dict[str, str]:
             FROM stats, meta
         """,
         "skipping_audit": _skipping_audit_oracle(),
+        "funnel_lag": """
+            WITH s1 AS (
+                SELECT user_id, MIN(ts) AS t1
+                FROM events WHERE event_type = 'view' GROUP BY 1
+            ),
+            s2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.t1
+                GROUP BY 1
+            ),
+            s3 AS (
+                SELECT e.user_id, MIN(e.ts) AS t3
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                GROUP BY 1
+            ),
+            gaps AS (
+                SELECT 'view->click' AS p,
+                       datediff('microsecond', t1, t2) AS gap,
+                       s2.user_id AS id
+                FROM s2 JOIN s1 USING (user_id)
+                UNION ALL
+                SELECT 'click->purchase',
+                       datediff('microsecond', t2, t3), s3.user_id
+                FROM s3 JOIN s2 USING (user_id)
+            ),
+            ranked AS (
+                SELECT p, gap,
+                       ROW_NUMBER() OVER (PARTITION BY p
+                                          ORDER BY gap, id) AS r,
+                       COUNT(*) OVER (PARTITION BY p) AS n
+                FROM gaps
+            )
+            SELECT p AS step_pair, CAST(n AS BIGINT) AS n_users,
+                   CAST(MIN(gap) + MAX(gap) AS BIGINT) AS median_x2_us
+            FROM ranked WHERE r = (n + 1) // 2 OR r = (n + 2) // 2
+            GROUP BY p, n
+        """,
         "ivf_append": """
             WITH nb AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

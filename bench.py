@@ -247,6 +247,7 @@ HEADLINE = (
     "seasonal_outliers",
     "label_separation",
     "ivf_append",
+    "funnel_lag",
 )
 
 

@@ -1059,3 +1059,69 @@ def did_effect(
         m_b1.alias("mean_b_post"),
         ((m_b1 - m_b0) - (m_a1 - m_a0)).alias("did_cents"),
     )
+
+
+def funnel_lag(
+    events: DataFrame, steps: Sequence[str] = FUNNEL_STEPS
+) -> DataFrame:
+    """Time-IN-funnel: the exact median gap between consecutive funnel
+    steps, per step pair — the "where do users stall" companion to
+    :func:`funnel_counts` (how many) and :func:`funnel_windowed`
+    (how many within T); medians, not means, because abandonment tails
+    are heavy by construction.
+
+    Gaps come from :func:`funnel_users`' greedy chains (one user_id
+    shuffle); the per-pair median is the TWO-PHASE distributed rank
+    over (pair, gap, user) — user-grain input, no single-task sort —
+    with the doubled-median trick keeping the result an exact BIGINT
+    (``median_x2_us``; consumers halve it).
+
+    Returns ``(step_pair, n_users, median_x2_us)`` in funnel order.
+    """
+    per_user = funnel_users(events, steps)
+    gaps = None
+    for i in range(2, len(steps) + 1):
+        pair = (
+            per_user.filter(F.col(f"t{i}").isNotNull())
+            .select(
+                F.lit(f"{steps[i - 2]}->{steps[i - 1]}").alias("p"),
+                F.expr(
+                    f"timestampdiff(MICROSECOND, t{i - 1}, t{i})"
+                ).alias("gap"),
+                F.col("user_id").alias("id"),
+            )
+        )
+        gaps = pair if gaps is None else gaps.unionByName(pair)
+    t = gaps.repartitionByRange(
+        F.col("p"), F.col("gap"), F.col("id")
+    ).withColumn("pid", F.spark_partition_id())
+    w_in = Window.partitionBy("pid", "p").orderBy("gap", "id")
+    t = t.withColumn("rn", F.row_number().over(w_in))
+    per = t.groupBy("pid", "p").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy("p")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("pid", "p", "off")
+    totals = per.groupBy("p").agg(F.sum("cnt").cast("bigint").alias("n"))
+    ranked = (
+        t.join(F.broadcast(offsets), ["pid", "p"])
+        .join(F.broadcast(totals), "p")
+        .select("p", "gap", "n", (F.col("off") + F.col("rn")).alias("r"))
+    )
+    mids = ranked.filter(
+        (F.col("r") == F.expr("(n + 1) div 2"))
+        | (F.col("r") == F.expr("(n + 2) div 2"))
+    )
+    return (
+        mids.groupBy("p", "n")
+        .agg((F.min("gap") + F.max("gap")).cast("bigint").alias("median_x2_us"))
+        .select(
+            F.col("p").alias("step_pair"),
+            F.col("n").alias("n_users"),
+            "median_x2_us",
+        )
+    )

@@ -471,3 +471,29 @@ def test_did_effect_isolates_treatment_lift(spark):
     out = did_effect(df).collect()[0]
     assert out["mean_a_pre"] == 5000.0 and out["mean_b_post"] == 9500.0
     assert out["did_cents"] == 500.0
+
+
+def test_funnel_lag_exact_medians(spark):
+    """Three completed chains with gaps 1h/2h/4h (view->click): the
+    exact median is 2h; the doubled surface makes even counts exact."""
+    import datetime
+
+    from p2_mapreduce_spark.operators.events_analytics import funnel_lag
+
+    t = datetime.datetime(2024, 1, 1)
+    h = datetime.timedelta(hours=1)
+    rows, eid = [], 0
+    for u, gap1, gap2 in ((1, 1, 1), (2, 2, 1), (3, 4, 1)):
+        for typ, ts in (
+            ("view", t), ("click", t + gap1 * h),
+            ("purchase", t + (gap1 + gap2) * h),
+        ):
+            eid += 1
+            rows.append((eid, u, typ, ts))
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "ts"])
+    out = {r["step_pair"]: r for r in funnel_lag(df).collect()}
+    vc = out["view->click"]
+    assert vc["n_users"] == 3
+    assert vc["median_x2_us"] == 2 * 2 * 3600 * 1_000_000  # 2h doubled
+    cp = out["click->purchase"]
+    assert cp["median_x2_us"] == 2 * 1 * 3600 * 1_000_000
