@@ -2694,6 +2694,21 @@ def _q_funnel_lag(spark, sf_dir):
     return funnel_lag(load_table(spark, sf_dir, "events"))
 
 
+def _q_stickiness(spark, sf_dir):
+    """DAU/MAU per day from the distinct activity grid."""
+    from p2_mapreduce_spark.operators.timeseries import stickiness
+
+    return stickiness(load_table(spark, sf_dir, "events"))
+
+
+def _q_exact_quantiles(spark, sf_dir):
+    """Exact p50/p95/p99 per group by two-phase rank — the exact face
+    of approx_quantiles, type-1 (no interpolation tree)."""
+    from p2_mapreduce_spark.operators.profile import exact_quantiles
+
+    return exact_quantiles(load_table(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2846,6 +2861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_separation": _q_label_separation,
         "ivf_append": _q_ivf_append,
         "funnel_lag": _q_funnel_lag,
+        "stickiness": _q_stickiness,
+        "exact_quantiles": _q_exact_quantiles,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -4155,6 +4172,65 @@ def oracle_sql() -> dict[str, str]:
             FROM stats, meta
         """,
         "skipping_audit": _skipping_audit_oracle(),
+        "stickiness": """
+            WITH grid AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS ad FROM events
+            ),
+            cal AS (
+                SELECT unnest(generate_series(
+                    (SELECT MIN(CAST(ts AS DATE)) FROM events),
+                    (SELECT MAX(CAST(ts AS DATE)) FROM events),
+                    INTERVAL 1 DAY)) AS d
+            ),
+            dau AS (
+                SELECT CAST(d AS DATE) AS d,
+                       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+                FROM grid JOIN cal ON ad = CAST(d AS DATE) GROUP BY 1
+            ),
+            mau AS (
+                SELECT CAST(d AS DATE) AS d,
+                       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+                FROM grid JOIN cal
+                  ON ad <= CAST(d AS DATE)
+                 AND ad > CAST(d AS DATE) - 28
+                GROUP BY 1
+            )
+            SELECT strftime(mau.d, '%Y-%m-%d') AS d,
+                   CAST(COALESCE(dau, 0) AS BIGINT) AS dau, mau,
+                   CAST(COALESCE(dau, 0) AS DOUBLE) / CAST(mau AS DOUBLE)
+                       AS stickiness
+            FROM mau LEFT JOIN dau ON mau.d = dau.d
+        """,
+        "exact_quantiles": """
+            WITH t AS (
+                SELECT event_type AS g,
+                       CAST(floor(value * 100) AS BIGINT) AS cents,
+                       event_id AS id
+                FROM events
+            ),
+            ranked AS (
+                SELECT g, cents,
+                       ROW_NUMBER() OVER (PARTITION BY g
+                                          ORDER BY cents, id) AS r,
+                       COUNT(*) OVER (PARTITION BY g) AS n
+                FROM t
+            )
+            SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+                   CAST(MAX(CASE WHEN r = (n * 500000 + 999999) // 1000000
+                                 THEN cents END) AS DOUBLE) / 100.0e0
+                       AS q50,
+                   CAST(MAX(CASE WHEN r = (n * 950000 + 999999) // 1000000
+                                 THEN cents END) AS DOUBLE) / 100.0e0
+                       AS q95,
+                   CAST(MAX(CASE WHEN r = (n * 990000 + 999999) // 1000000
+                                 THEN cents END) AS DOUBLE) / 100.0e0
+                       AS q99
+            FROM ranked
+            WHERE r = (n * 500000 + 999999) // 1000000
+               OR r = (n * 950000 + 999999) // 1000000
+               OR r = (n * 990000 + 999999) // 1000000
+            GROUP BY g, n
+        """,
         "funnel_lag": """
             WITH s1 AS (
                 SELECT user_id, MIN(ts) AS t1

@@ -248,6 +248,8 @@ HEADLINE = (
     "label_separation",
     "ivf_append",
     "funnel_lag",
+    "stickiness",
+    "exact_quantiles",
 )
 
 

@@ -1999,3 +1999,70 @@ def fd_violations(
         ).alias("violation_ppm"),
         "max_distinct",
     )
+
+
+def exact_quantiles(
+    events: DataFrame,
+    group_col: str = "event_type",
+    qs_ppm: Sequence[int] = (500_000, 950_000, 990_000),
+) -> DataFrame:
+    """EXACT per-group quantiles (p50/p95/p99 by default) — the exact
+    face of ``approx_quantiles``' sketch (the same honesty pairing as
+    lsh/ann/mrl recall): order statistics at rank ``ceil(q·n)`` (the
+    lower/type-1 convention — a value that OCCURS, engine-invariant,
+    no interpolation tree at all).
+
+    The rank comes from the two-phase distributed rank over (group,
+    cents, id) — no single task sorts a group; the ≤ #qs picked rows
+    per group pivot with a conditional aggregate.  Everything is
+    BIGINT cents until the /100.0 surface division per output.
+
+    Returns ``(group, n, q50, q95, q99)`` in value units.
+    """
+    t = (
+        events.select(
+            F.col(group_col).alias("g"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+            F.col("event_id").alias("id"),
+        )
+        .repartitionByRange(F.col("g"), F.col("cents"), F.col("id"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_in = Window.partitionBy("pid", "g").orderBy("cents", "id")
+    t = t.withColumn("rn", F.row_number().over(w_in))
+    per = t.groupBy("pid", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy("g")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("pid", "g", "off")
+    totals = per.groupBy("g").agg(F.sum("cnt").cast("bigint").alias("n"))
+    ranked = (
+        t.join(F.broadcast(offsets), ["pid", "g"])
+        .join(F.broadcast(totals), "g")
+        .select("g", "cents", "n", (F.col("off") + F.col("rn")).alias("r"))
+    )
+    conds = []
+    for q in qs_ppm:
+        # ceil(q*n / 1e6) in exact ints
+        conds.append(
+            (F.col("r") == F.expr(f"(n * {int(q)} + 999999) div 1000000"))
+        )
+    picked = ranked.filter(conds[0] | conds[1] | conds[2])
+    aggs = []
+    for q in qs_ppm:
+        k = F.expr(f"(n * {int(q)} + 999999) div 1000000")
+        aggs.append(
+            (
+                F.max(F.when(F.col("r") == k, F.col("cents"))).cast("double")
+                / F.lit(100.0)
+            ).alias(f"q{q // 10000}")
+        )
+    return (
+        picked.groupBy("g", "n")
+        .agg(*aggs)
+        .select(F.col("g").alias(group_col), "n", "q50", "q95", "q99")
+    )

@@ -1380,3 +1380,54 @@ def seasonal_outliers(events: DataFrame) -> DataFrame:
             (F.abs("r") * 2 > F.lit(3) * F.col("mad4")).alias("is_outlier"),
         )
     )
+
+
+def stickiness(events: DataFrame, mau_days: int = 28) -> DataFrame:
+    """DAU/MAU stickiness per calendar day — THE product engagement
+    ratio ("what fraction of the monthly audience shows up today"):
+    daily actives over trailing-``mau_days`` actives, built on the same
+    distinct (user, day) grid as :func:`rolling_active_users` — both
+    counts are range-joins of the grid against the calendar, so work is
+    |grid|·window, independent of raw event volume.
+
+    Counts are exact BIGINTs; the ratio is one pinned division.
+    Returns ``(d, dau, mau, stickiness)`` for every day in range.
+    """
+    grid = events.select("user_id", F.to_date("ts").alias("ad")).distinct()
+    cal = (
+        events.agg(
+            F.min(F.to_date("ts")).alias("lo"),
+            F.max(F.to_date("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias(
+                "d"
+            )
+        )
+    )
+    dau = (
+        grid.join(F.broadcast(cal), F.col("ad") == F.col("d"))
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("dau"))
+    )
+    mau = (
+        grid.join(
+            F.broadcast(cal),
+            (F.col("ad") <= F.col("d"))
+            & (F.col("ad") > F.date_sub(F.col("d"), mau_days)),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
+    )
+    return (
+        mau.join(dau, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            F.coalesce("dau", F.lit(0)).cast("bigint").alias("dau"),
+            "mau",
+            (
+                F.coalesce("dau", F.lit(0)).cast("double")
+                / F.col("mau").cast("double")
+            ).alias("stickiness"),
+        )
+    )

@@ -1519,3 +1519,36 @@ def test_seasonal_outliers_flags_break_not_weekend(spark):
     # weekends are NOT flagged despite being 2x the weekday level
     assert not out["2024-01-06"]["is_outlier"]
     assert not out["2024-01-07"]["is_outlier"]
+
+
+def test_exact_quantiles_small_group(spark):
+    """10 values 1..10: type-1 quantiles are p50=5, p95=10, p99=10
+    (rank ceil(q*n)); result invariant to partitioning."""
+    import datetime
+
+    from p2_mapreduce_spark.operators.profile import exact_quantiles
+
+    t = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, "a", float(i), t) for i in range(1, 11)],
+        ["event_id", "event_type", "value", "ts"],
+    )
+    r = exact_quantiles(df).collect()[0]
+    assert (r["q50"], r["q95"], r["q99"]) == (5.0, 10.0, 10.0)
+    r2 = exact_quantiles(df.repartition(7)).collect()[0]
+    assert r == r2
+
+
+def test_stickiness_bounds_and_hand_case(spark):
+    """Stickiness is DAU/MAU in (0, 1]; a user active every day keeps a
+    single-user series at exactly 1.0."""
+    import datetime
+
+    from p2_mapreduce_spark.operators.timeseries import stickiness
+
+    t0 = datetime.datetime(2024, 1, 1, 9)
+    rows = [(d, 1, t0 + datetime.timedelta(days=d)) for d in range(5)]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    out = stickiness(df).collect()
+    assert len(out) == 5
+    assert all(r["stickiness"] == 1.0 and r["mau"] == 1 for r in out)
