@@ -160,6 +160,9 @@ FUNNEL_REVIEWED = {
     # label_separation: one-row global cross-label stats broadcast;
     # everything feeding them is (label, dim)-grain map-side combined
     "label_separation",
+    # stickiness: one-row date-range aggregate broadcast into the
+    # calendar explode (the rolling_active_users justification)
+    "stickiness",
 }
 
 
