@@ -4544,7 +4544,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a, b FROM sym UNION ALL SELECT b, a FROM sym
             ),
             sample_n AS (
-                SELECT DISTINCT a AS node FROM stubs WHERE a % 20 = 0
+                SELECT DISTINCT a AS node FROM stubs WHERE a % 100 = 0
             ),
             hop1 AS (
                 SELECT DISTINCT node, b AS n1

@@ -806,7 +806,7 @@ def trade_degree_assortativity(
 
 
 def two_hop_reach(
-    edges: DataFrame, sample_mod: int = 20
+    edges: DataFrame, sample_mod: int = 100
 ) -> DataFrame:
     """Exact 1-hop and 2-hop neighborhood sizes for a deterministic
     sample of nodes — the friend-of-friend / blast-radius workload
@@ -823,7 +823,10 @@ def two_hop_reach(
     hops, excluding self" ball minus the 1-hop ring).
 
     At 100 TB the guard against hub blow-up is the sample itself plus
-    edge-grain shuffles — no per-node adjacency materialization.
+    edge-grain shuffles — no per-node adjacency materialization.  The
+    default 1-percent-of-nodes sample keeps the second-hop expansion
+    (sample × deg × deg rows before the distinct) the dominant but
+    bounded term; widen deliberately, it is the cost dial.
 
     Returns ``(node, n_1hop, n_2hop_new)`` where ``n_2hop_new`` counts
     nodes reachable in exactly ≤2 hops that are not self or 1-hop.
