@@ -732,7 +732,7 @@ def topn_with_others(
     """Top-N + OTHERS reporting rollup: per nation, the ``n`` highest-
     revenue customers as named rows plus ONE aggregated ``OTHERS`` row
     for the remainder — the standard dashboard cut that raw top-k
-    (:func:`topk_window`-style) leaves as an exercise, and the shape
+    (:func:`~relational.topk_per_group`-style) leaves as an exercise, and the shape
     where naive solutions silently drop the tail.
 
     Facts collapse to customer grain FIRST (map-side combined exact
@@ -793,7 +793,7 @@ def revenue_concentration(
 ) -> DataFrame:
     """Revenue concentration curve: what share of total revenue comes
     from the top 1% / 5% / 10% / 25% of customers — the Lorenz-curve
-    points behind "whale risk" reviews (the curve :func:`gini`'s
+    points behind "whale risk" reviews (the curve :func:`~profile.gini_concentration`'s
     single coefficient summarizes; these are the numbers executives
     actually quote).
 

@@ -1942,7 +1942,7 @@ def fd_violations(
     ``det -> dep``, how many determinant keys map to MORE than one
     distinct dependent value — the schema-inference / normalization /
     data-quality primitive behind "is this column really keyed by
-    that one?" (complements :func:`dq_rules`, which checks row-level
+    that one?" (complements :func:`dq_check`, which checks row-level
     predicates, not cross-row key consistency).
 
     One hash aggregation per dependency at determinant-key grain

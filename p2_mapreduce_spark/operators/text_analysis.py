@@ -954,7 +954,7 @@ def zipf_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def readability_by_source(docs: DataFrame) -> DataFrame:
     """Flesch reading-ease per source — the grade-level readability
     signal real curation stacks (textstat-style filters) threshold on,
-    complementing :func:`quality_signals`' length/punct ratios with a
+    complementing :func:`quality_score`' length/punct ratios with a
     sentence-structure measure.
 
     All three inputs are INTEGER counts from regex surfaces identical
