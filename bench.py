@@ -250,6 +250,74 @@ HEADLINE = (
     "funnel_lag",
     "stickiness",
     "exact_quantiles",
+    # round-3 completion: every queries() entry is a headline query
+    "above_avg",
+    "approx_distinct",
+    "approx_quantiles",
+    "binary_meta",
+    "cheapest_supplier",
+    "conditional_agg",
+    "corr_stats",
+    "date_parts",
+    "disjunctive_pricing",
+    "distinct_stats",
+    "edit_distance_pairs",
+    "embedding_centroid",
+    "embedding_quantize",
+    "except_keys",
+    "fk_integrity",
+    "global_topk",
+    "grouping_sets",
+    "hash_sample",
+    "idle_rich_customers",
+    "intersect_keys",
+    "key_skew",
+    "knn_np",
+    "lang_id",
+    "left_join_counts",
+    "media_decode",
+    "media_frames",
+    "media_mixed",
+    "minmax_by",
+    "mixture_sample",
+    "mom_revenue",
+    "multiset_ops",
+    "order_priority_check",
+    "outer_join",
+    "partition_count",
+    "pivot_status",
+    "position_attribution",
+    "price_histogram",
+    "product_revenue",
+    "profile_orders",
+    "promo_revenue",
+    "pseudonymize_customers",
+    "range_join",
+    "revenue_forecast",
+    "revenue_share",
+    "rolling_active_users",
+    "salted_join",
+    "sample_exact_k",
+    "scalar_fns",
+    "scan_lineitem",
+    "semi_anti",
+    "ship_lag_priority",
+    "small_qty_revenue",
+    "sql_exists",
+    "sql_pricing",
+    "stratified_sample",
+    "stratified_split",
+    "supplier_by_nation",
+    "supplier_part_variety",
+    "top_bigrams",
+    "trailing_revenue",
+    "triangle_census",
+    "udf_roundtrip",
+    "udtf_sentences",
+    "union_parts",
+    "unpivot_pricing",
+    "vector_norms",
+    "wordcount",
 )
 
 
