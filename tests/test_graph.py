@@ -151,6 +151,25 @@ def test_triangle_stats_on_known_graph(spark):
     assert r["clustering"] == 12.0 / 15.0
 
 
+def test_triangle_stats_kernels_agree(spark):
+    """The bitset (dense) and wedge-join (sparse) kernels are the same
+    exact census — pinned on a graph with hubs, duplicate edges, a
+    pendant, and non-contiguous ids (the remap must not assume density).
+    dense_max_nodes=0 forces the wedge path on the identical input."""
+    from p2_mapreduce_spark.operators.graph import triangle_stats
+
+    raw = (
+        [(a * 7, b * 7) for a in range(6) for b in range(6) if a != b]  # K6, both orientations
+        + [(35, 100), (100, 101), (101, 35)]  # triangle off node 35
+        + [(100, 999)]  # pendant
+    )
+    edges = spark.createDataFrame(raw, "u long, v long")
+    dense = triangle_stats(edges).collect()[0]
+    sparse = triangle_stats(edges, dense_max_nodes=0).collect()[0]
+    assert dense == sparse
+    assert dense["n_triangles"] == 20 + 1  # C(6,3) + the extra triangle
+
+
 def test_triangle_stats_triangle_free(spark):
     """A path graph has wedges but zero triangles."""
     from p2_mapreduce_spark.operators.graph import triangle_stats
