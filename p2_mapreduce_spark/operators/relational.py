@@ -289,11 +289,24 @@ def asof_join_purchase_signup(events: DataFrame) -> DataFrame:
 def distinct_stats(lineitem: DataFrame) -> DataFrame:
     """Exact distinct counts + exact interpolated median per group (the
     approx_* variants — HLL/KLL sketches — are engine-specific and live in
-    approx_distinct/rows-only)."""
-    return lineitem.groupBy("l_returnflag").agg(
+    approx_distinct/rows-only).
+
+    The percentile runs as its OWN aggregate, joined back on the group
+    key (#groups rows): fusing it into the multi-distinct agg drags the
+    percentile's full-multiset partial state through the Expand node the
+    two count-distincts plan to — every value buffered 3× (6.3 s vs
+    1.4 s at sf0.1).  At 100 TB the same split keeps the percentile's
+    merge state at values-per-group × 1, and the distinct pairs dedupe
+    map-side before their shuffle."""
+    distincts = lineitem.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.countDistinct("l_partkey").alias("n_parts"),
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
+    )
+    median = lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price")
+    )
+    return distincts.join(median, "l_returnflag").select(
+        "l_returnflag", "n_orders", "n_parts", "median_price"
     )
 
 
@@ -305,15 +318,24 @@ def approx_distinct(lineitem: DataFrame) -> DataFrame:
     surfaces as `approx_ok` — the HLL estimate within 3·rsd of exact,
     deterministic for a fixed dataset (HLL is hash-based, not random) —
     which the oracle pins as constant TRUE.  pytest bounds the raw
-    estimate."""
-    return lineitem.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    estimate.
+
+    The HLL aggregate runs OUTSIDE the count-distinct agg and joins back
+    on the group key: planned together, the exact distinct's Expand node
+    replicates every row through the sketch's update loop too (the same
+    Expand-drag distinct_stats documents)."""
+    exact = lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    approx = lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_hll")
+    )
+    return exact.join(approx, "l_returnflag").select(
+        "l_returnflag",
+        "exact_orders",
         (
-            F.abs(
-                F.approx_count_distinct("l_orderkey", rsd=0.02)
-                - F.countDistinct("l_orderkey")
-            )
-            <= 0.06 * F.countDistinct("l_orderkey")
+            F.abs(F.col("_hll") - F.col("exact_orders"))
+            <= 0.06 * F.col("exact_orders")
         ).alias("approx_ok"),
     )
 
