@@ -91,11 +91,13 @@ def test_profile_table_counts(spark):
     assert got["b"]["min_s"] == "x" and got["b"]["max_s"] == "y"
 
 
-def test_profile_table_single_scan(spark, sf_dir):
+def test_profile_table_two_scans_no_expand(spark, sf_dir):
     r = plan_report(entry_mod.queries()["profile_orders"](spark, sf_dir))
-    # every column's stats come from ONE scan of the table (tree+detail
-    # print each node twice in formatted plans)
-    assert r["plan"].count("Scan parquet") <= 2
+    # exactly two scans by design — one expand-free min/max/null agg and
+    # one melted distinct-count agg (tree+detail print each node twice);
+    # the ×(N+1) Expand of N fused count-distincts must NOT be in the plan
+    assert r["plan"].count("Scan parquet") <= 4
+    assert "Expand" not in r["plan"]
     assert not r["has_python_worker"]
 
 
