@@ -450,12 +450,17 @@ def build_lsh_artifacts(
     # consumer only needs a count) — measured ~25% of the incremental
     # path's time at bench scale
     per_doc = hs.groupBy("doc").agg(*_minhash_aggs(num_hashes))
+    # persist the band table (docs × num_bands rows — artifact grain,
+    # exactly what save_lsh_index writes): the incremental path consumes
+    # each side's bands in the hot-bucket count AND the anti-join AND the
+    # candidate join, and every unpersisted consumer re-runs the 64-min
+    # signature aggregate (the same lesson minhash_lsh_pairs pins)
     bands = per_doc.select(
         "doc",
         F.posexplode(_band_hash_array(num_bands, rows_per_band)).alias(
             "band", "band_hash"
         ),
-    )
+    ).persist()
     sizes = hs.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     return hs, sizes, bands
 
