@@ -359,6 +359,11 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(queries[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # each query persists its own intermediates; drop them so the
+        # 287-query sequence doesn't accumulate storage memory and bleed
+        # eviction/GC pressure into later queries' numbers (measured:
+        # unpivot_pricing 6.0 s mid-suite vs 1.0 s self-contained)
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     line = json.dumps(
         {
