@@ -1,0 +1,93 @@
+"""Measured shuffle-volume contracts for marquee scale claims.
+
+Every operator docstring in this engine states a "shape at 100 TB";
+these tests turn four of the strongest claims into MEASURED assertions:
+materialize the operator, read the executors' actual shuffle write
+bytes (plans/shuffle_audit.py), and bound them against the input's own
+byte volume computed from the same data.  The bounds are inequalities
+against input-derived quantities — not golden constants — so they hold
+at any scale factor and stay meaningful when the fixture grows.
+
+Shuffle writes are lz4-compressed on disk, which only HELPS every
+upper-bound assertion here.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from p2_mapreduce_spark.plans.shuffle_audit import measure_shuffle_bytes
+from p2_mapreduce_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_exact_dedup_shuffles_digests_not_corpus(spark, docs):
+    """exact_dedup's claim: the shuffle key is a 32-byte md5, so the
+    exchange carries hashes, not documents.  Measured: shuffle bytes
+    under half the corpus text bytes (the true ratio is ~1% at real
+    document lengths; /2 keeps the assertion safe for tiny fixtures
+    where per-record shuffle framing dominates)."""
+    from p2_mapreduce_spark.operators.dedup import exact_dedup
+
+    text_bytes = docs.select(
+        F.sum(F.octet_length("text")).alias("b")
+    ).collect()[0]["b"]
+    shuffled = measure_shuffle_bytes(exact_dedup(docs))
+    assert shuffled < text_bytes / 2, (shuffled, text_bytes)
+
+
+def test_gram_matrix_shuffle_independent_of_rows(spark, sf_dir):
+    """gram_matrix's claim: the only shuffle is the (i,j)-grain
+    partial→final SUM — d(d+1)/2 keys × #partitions, independent of N.
+    Measured bound: partitions × d² × 64 bytes/key, which is orders of
+    magnitude below the N·d² explode volume a naive plan would ship."""
+    from p2_mapreduce_spark.operators.similarity import gram_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = len(emb.select("embedding").first()["embedding"])
+    n_parts = emb.rdd.getNumPartitions()
+    shuffled = measure_shuffle_bytes(gram_matrix(emb))
+    assert shuffled < max(n_parts, 32) * d * d * 64, (shuffled, d, n_parts)
+
+
+def test_wordcount_combiner_contracts_tokens(spark, docs):
+    """M7's associative map-side combine: the reduce exchange carries
+    (word, partial count) per partition — vocabulary grain — not one
+    record per token occurrence (token volume stays executor-local).
+
+    The input is pre-spread so ``spread()``'s one-time local-fixture
+    repartition (a no-op at scale, where scans arrive with enough
+    splits) doesn't pollute the measured reduce exchange — without it
+    the raw-doc shuffle dwarfs the vocabulary-grain combine output."""
+    from p2_mapreduce_spark.operators.text import wordcount
+    from p2_mapreduce_spark.session import spread
+
+    pre = spread(docs).persist()
+    try:
+        pre.count()
+        token_bytes = pre.select(
+            F.sum(F.octet_length("text")).alias("b")
+        ).collect()[0]["b"]
+        shuffled = measure_shuffle_bytes(wordcount(pre))
+    finally:
+        pre.unpersist()
+    assert shuffled < token_bytes / 10, (shuffled, token_bytes)
+
+
+def test_pack_sequences_shuffles_data_once(spark, docs):
+    """pack_sequences' two-phase prefix sum: one range repartition of the
+    data plus partition-grain offset rows — the shuffle must stay within
+    a small multiple of the input volume (no iterative reshuffling, no
+    window funnel replicating the corpus)."""
+    from p2_mapreduce_spark.operators.curation import pack_sequences
+
+    input_bytes = docs.select(
+        F.sum(F.octet_length("text") + 64).alias("b")
+    ).collect()[0]["b"]
+    shuffled = measure_shuffle_bytes(pack_sequences(docs))
+    assert shuffled < 3 * input_bytes, (shuffled, input_bytes)
