@@ -1235,6 +1235,14 @@ def _q_rarity_score(spark, sf_dir):
     return rarity_score(load_table(spark, sf_dir, "documents"))
 
 
+def _q_lm_bigram_score(spark, sf_dir):
+    """Add-one-smoothed bigram LM fluency score per document (ln-free
+    exact-ppm protocol) — the sequence-plausibility quality gate."""
+    from p2_mapreduce_spark.operators.text_analysis import lm_bigram_score
+
+    return lm_bigram_score(load_table(spark, sf_dir, "documents"))
+
+
 def _q_quality_calibration(spark, sf_dir):
     """Per-source percent-rank normalization of the quality score —
     source-fair curation thresholds."""
@@ -2780,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitmap_count": _q_bitmap_count,
         "new_returning": _q_new_returning,
         "rarity_score": _q_rarity_score,
+        "lm_bigram_score": _q_lm_bigram_score,
         "gap_interpolate": _q_gap_interpolate,
         "rolling_median": _q_rolling_median,
         "rolling_median_sketch": _q_rolling_median_sketch,
@@ -8476,6 +8485,34 @@ def oracle_sql() -> dict[str, str]:
                                      AS BIGINT) * tf) AS DOUBLE)
                        / SUM(tf)) AS BIGINT) AS rarity_ppm
             FROM tf JOIN cnt USING (token), tot
+            GROUP BY doc_id
+        """,
+        "lm_bigram_score": f"""
+            WITH pr AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i+1])) AS bg
+                FROM ({toks})
+            ),
+            sp AS (
+                SELECT doc_id, split_part(bg, ' ', 1) AS w1,
+                       split_part(bg, ' ', 2) AS w2
+                FROM pr
+            ),
+            tf AS (
+                SELECT doc_id, w1, w2, COUNT(*) AS tf FROM sp GROUP BY 1, 2, 3
+            ),
+            c12 AS (SELECT w1, w2, SUM(tf) AS c12 FROM tf GROUP BY 1, 2),
+            c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+            v AS (SELECT COUNT(DISTINCT w) AS v
+                  FROM (SELECT unnest(t) AS w FROM ({toks})))
+            SELECT doc_id,
+                   CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+                   CAST(floor(
+                       CAST(SUM(CAST(floor(CAST(1000000 AS DOUBLE) * (c12 + 1)
+                                           / (c1 + v)) AS BIGINT) * tf)
+                            AS DOUBLE) / SUM(tf)) AS BIGINT) AS lm_ppm
+            FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
             GROUP BY doc_id
         """,
         "grep_mapreduce": """

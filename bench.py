@@ -167,6 +167,7 @@ HEADLINE = (
     "new_returning",
     "grep_mapreduce",
     "rarity_score",
+    "lm_bigram_score",
     "media_headers",
     "media_pixels",
     "media_resize",

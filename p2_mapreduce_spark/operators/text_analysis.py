@@ -1011,3 +1011,71 @@ def readability_by_source(docs: DataFrame) -> DataFrame:
             ),
         ).alias("flesch"),
     )
+
+
+def lm_bigram_score(docs: DataFrame) -> DataFrame:
+    """Per-document bigram language-model likelihood (add-one smoothed,
+    ln-free): the mean conditional probability ``P(w2|w1) =
+    (c(w1,w2)+1)/(c(w1·)+V)`` of the document's adjacent token pairs
+    under the corpus's own bigram counts, in exact ppm — the classic
+    KenLM-style fluency filter (Brown et al. class of n-gram LMs;
+    CCNet/Gopher both gate on LM score).  Word salad and shuffled text
+    score near the smoothing floor; fluent prose sits orders of
+    magnitude higher.  :func:`rarity_score` reads unigram rarity; this
+    reads SEQUENCE plausibility — a doc of common tokens in impossible
+    order fools the former, not this.
+
+    A true LM log-prob needs ``ln`` (the transcendental with no
+    cross-engine bit contract); the per-bigram probability itself is
+    one IEEE division, and its floor-quantized ppm is summed in exact
+    BIGINT — partition/engine-invariant (the rarity_score protocol).
+
+    Shape at 100 TB: bigram pairing is an in-row array transform (no
+    shuffle); the model is two map-side-combined aggregates — (w1,w2)
+    counts derived once, w1-margin counts derived FROM them (aggregate
+    of aggregate, never a second corpus pass) — joined back at bigram
+    grain; vocabulary is a one-row broadcast.  A hot ``w1`` ("the") is
+    AQE skew-join territory, same as any NLP-count join.  Per-doc score
+    is one integer aggregate at (doc, bigram) grain.
+
+    Output: (doc_id, n_bigrams, lm_ppm) for docs with ≥ 2 tokens;
+    lm_ppm = floor(Σ floor(1e6·(c12+1)/(c1+V))·tf / Σ tf).
+    """
+    toks = spread(docs).select(
+        "doc_id", tokens_array(F.col("text")).alias("t")
+    )
+    # sequence(1, 0) would be the DESCENDING [1, 0] — guard short docs
+    pairs = toks.where(F.expr("size(t) >= 2")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS w1, "
+                "element_at(t, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    tf = pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    c12 = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        spread(docs)
+        .select(F.explode(tokens_array(F.col("text"))).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    # ppm term: double mult + one division, floor — bit-stable both engines
+    term = F.floor(
+        F.lit(1_000_000.0) * (F.col("c12") + 1) / (F.col("c1") + F.col("v"))
+    ).cast("bigint")
+    return (
+        tf.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.floor(F.sum(term * F.col("tf")) / F.sum("tf"))
+            .cast("bigint")
+            .alias("lm_ppm"),
+        )
+    )

@@ -95,6 +95,9 @@ FUNNEL_REVIEWED = {
     "length_batches", "mixture_plan", "mom_revenue", "negative_pairs",
     "mwu_drift", "new_returning",
     "pack_sequences", "pmi_bigrams", "profile_orders", "promo_revenue",
+    # lm_bigram_score: one-row vocabulary-size broadcast aggregate (the
+    # rarity_score device); all count joins are bigram/w1-grain
+    "lm_bigram_score",
     "quality_budget", "rarity_score", "revenue_forecast", "revenue_share",
     "rolling_active_users", "rolling_median", "rolling_median_sketch",
     "skyline_parts", "t_closeness",

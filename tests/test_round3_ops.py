@@ -1552,3 +1552,28 @@ def test_stickiness_bounds_and_hand_case(spark):
     out = stickiness(df).collect()
     assert len(out) == 5
     assert all(r["stickiness"] == 1.0 and r["mau"] == 1 for r in out)
+
+
+def test_lm_bigram_score_ranks_fluent_above_shuffled(spark):
+    """Corpus of repeated 'x y' prose vs one rare-order doc: the fluent
+    doc's mean smoothed bigram probability is far higher; a 1-token doc
+    yields no bigram row; result invariant to partitioning."""
+    from p2_mapreduce_spark.operators.text_analysis import lm_bigram_score
+
+    rows = [(i, "x y x y x y", "en", "s") for i in range(5)]
+    rows += [(100, "x z", "en", "s"), (101, "x", "en", "s")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = {r["doc_id"]: r for r in lm_bigram_score(docs).collect()}
+    assert 101 not in out  # no bigrams in a 1-token doc
+    assert out[0]["n_bigrams"] == 5
+    assert out[100]["n_bigrams"] == 1
+    # c(x,y)=15, c(y,x)=10, c(x,z)=1, c(x.)=16, c(y.)=10, V=3
+    assert out[100]["lm_ppm"] == (1_000_000 * 2) // (16 + 3)
+    assert out[0]["lm_ppm"] > 5 * out[100]["lm_ppm"]
+    out2 = {
+        r["doc_id"]: r
+        for r in lm_bigram_score(docs.repartition(7)).collect()
+    }
+    assert {k: (v["n_bigrams"], v["lm_ppm"]) for k, v in out.items()} == {
+        k: (v["n_bigrams"], v["lm_ppm"]) for k, v in out2.items()
+    }
