@@ -2355,6 +2355,14 @@ def _q_weekday_seasonality(spark, sf_dir):
     return weekday_seasonality(load_table(spark, sf_dir, "events"))
 
 
+def _q_life_table(spark, sf_dir):
+    """Kaplan-Meier life table over user lifetimes (closed extract —
+    exact rational survival, ppm-quantized hazard)."""
+    from p2_mapreduce_spark.operators.events_analytics import life_table
+
+    return life_table(load_table(spark, sf_dir, "events"))
+
+
 def _q_conversion_lag(spark, sf_dir):
     from p2_mapreduce_spark.operators.events_analytics import conversion_lag
 
@@ -3006,6 +3014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_quarantine": _q_json_quarantine,
         "weekday_seasonality": _q_weekday_seasonality,
         "conversion_lag": _q_conversion_lag,
+        "life_table": _q_life_table,
         "time_rollup": _q_time_rollup,
     }
 
@@ -9163,6 +9172,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(day_c * n_days AS DOUBLE) / CAST(total_c AS DOUBLE)
                        AS ratio
             FROM d2 JOIN base USING (event_type, weekday)
+        """,
+        "life_table": """
+            WITH lt AS (
+                SELECT user_id,
+                       date_diff('day', MIN(CAST(ts AS DATE)),
+                                 MAX(CAST(ts AS DATE))) AS t_days
+                FROM events GROUP BY user_id
+            ),
+            d AS (SELECT t_days, COUNT(*) AS n_churn FROM lt GROUP BY 1),
+            cum AS (
+                SELECT t_days, n_churn,
+                       SUM(n_churn) OVER (ORDER BY t_days DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS n_at_risk,
+                       SUM(n_churn) OVER () AS n_total
+                FROM d
+            )
+            SELECT CAST(t_days AS BIGINT) AS t_days,
+                   CAST(n_at_risk AS BIGINT) AS n_at_risk,
+                   CAST(n_churn AS BIGINT) AS n_churn,
+                   CAST(floor(CAST(1000000 AS DOUBLE) * n_churn / n_at_risk)
+                        AS BIGINT) AS hazard_ppm,
+                   CAST(floor(CAST(1000000 AS DOUBLE) * (n_at_risk - n_churn)
+                              / n_total) AS BIGINT) AS survival_ppm
+            FROM cum
         """,
         "conversion_lag": f"""
             WITH users AS (

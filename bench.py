@@ -168,6 +168,7 @@ HEADLINE = (
     "grep_mapreduce",
     "rarity_score",
     "lm_bigram_score",
+    "life_table",
     "media_headers",
     "media_pixels",
     "media_resize",

@@ -1125,3 +1125,61 @@ def funnel_lag(
             "median_x2_us",
         )
     )
+
+
+def life_table(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """User-lifetime life table (Kaplan-Meier survival, churn hazard):
+    for each observed lifetime t (days between a user's first and last
+    event), the users still at risk, the users whose lifetime ends at
+    exactly t, the discrete hazard d(t)/n(t), and the survival curve —
+    the retention statistic actuarial/churn teams read, complementing
+    :func:`cohort_retention` (activity by calendar week) with
+    time-to-event semantics.
+
+    With a CLOSED extract every lifetime is fully observed (no right
+    censoring), so Kaplan-Meier telescopes to the EXACT rational
+    ``S(t) = |lifetime > t| / N`` — no per-step product, no ln, no
+    float accumulation; hazard and survival are each one IEEE division
+    floor-quantized to ppm.  (A live extract would add a censored
+    column and the product-limit form; the at-risk/event columns here
+    are exactly its inputs.)
+
+    Shape at 100 TB: one user-grain aggregate (map-side combined
+    min/max), one lifetime-grain count, then all windows run at
+    OBSERVED-LIFETIME grain — bounded by the observation window in
+    days, never by users or events.
+
+    Output: (t_days, n_at_risk, n_churn, hazard_ppm, survival_ppm).
+    """
+    lt = (
+        events.select(F.col(user_col).alias("u"), F.to_date("ts").alias("d"))
+        .groupBy("u")
+        .agg(F.datediff(F.max("d"), F.min("d")).alias("t_days"))
+        .groupBy("t_days")
+        .agg(F.count(F.lit(1)).alias("n_churn"))
+    )
+    # day-grain descending cumulative: at-risk(t) = Σ_{t' ≥ t} d(t')
+    w_desc = Window.orderBy(F.col("t_days").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.col("t_days").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return lt.select(
+        F.col("t_days").cast("bigint").alias("t_days"),
+        F.sum("n_churn").over(w_desc).cast("bigint").alias("n_at_risk"),
+        F.col("n_churn").cast("bigint").alias("n_churn"),
+        F.sum("n_churn").over(w_all).alias("n_total"),
+    ).select(
+        "t_days",
+        "n_at_risk",
+        "n_churn",
+        F.floor(
+            F.lit(1_000_000.0) * F.col("n_churn") / F.col("n_at_risk")
+        ).cast("bigint").alias("hazard_ppm"),
+        F.floor(
+            F.lit(1_000_000.0)
+            * (F.col("n_at_risk") - F.col("n_churn"))
+            / F.col("n_total")
+        ).cast("bigint").alias("survival_ppm"),
+    )

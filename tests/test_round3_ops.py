@@ -1577,3 +1577,29 @@ def test_lm_bigram_score_ranks_fluent_above_shuffled(spark):
     assert {k: (v["n_bigrams"], v["lm_ppm"]) for k, v in out.items()} == {
         k: (v["n_bigrams"], v["lm_ppm"]) for k, v in out2.items()
     }
+
+
+def test_life_table_hand_case(spark):
+    """4 users with lifetimes {0, 1, 3, 3}: at-risk counts telescope,
+    survival is the exact rational |lifetime > t|/N in ppm, and the
+    final observed lifetime has survival 0."""
+    import datetime
+
+    from p2_mapreduce_spark.operators.events_analytics import life_table
+
+    t0 = datetime.datetime(2024, 1, 1, 12)
+    day = datetime.timedelta(days=1)
+    rows = [(1, t0), (2, t0), (2, t0 + 3 * day), (3, t0), (3, t0 + day),
+            (3, t0 + 3 * day), (4, t0), (4, t0 + day)]
+    df = spark.createDataFrame(
+        [(i, u, ts) for i, (u, ts) in enumerate(rows)],
+        ["event_id", "user_id", "ts"],
+    )
+    out = {r["t_days"]: r for r in life_table(df).collect()}
+    assert set(out) == {0, 1, 3}
+    assert [out[t]["n_at_risk"] for t in (0, 1, 3)] == [4, 3, 2]
+    assert [out[t]["n_churn"] for t in (0, 1, 3)] == [1, 1, 2]
+    assert out[0]["hazard_ppm"] == 250_000
+    assert out[1]["survival_ppm"] == 500_000
+    assert out[3]["hazard_ppm"] == 1_000_000
+    assert out[3]["survival_ppm"] == 0
