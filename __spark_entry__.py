@@ -2725,6 +2725,53 @@ def _q_exact_quantiles(spark, sf_dir):
     return exact_quantiles(load_table(spark, sf_dir, "events"))
 
 
+def _q_hybrid_rrf(spark, sf_dir):
+    """Sparse (BM25) + dense (cosine kNN) retrieval fused by reciprocal
+    rank — the RAG hybrid-retrieval stack as one dataflow."""
+    from p2_mapreduce_spark.operators.search import hybrid_search
+
+    return hybrid_search(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        ["spark", "table", "window"],
+        query_vec_id=0,
+        n_candidates=50,
+        top_n=20,
+    )
+
+
+def _q_seq_pattern(spark, sf_dir):
+    """MATCH_RECOGNIZE analog: per-user event stream as a letter string,
+    leftmost-non-overlapping regex occurrences counted JVM-side."""
+    from p2_mapreduce_spark.operators.events_analytics import seq_pattern
+
+    return seq_pattern(load_table(spark, sf_dir, "events"), pattern="vc*p")
+
+
+def _q_cohort_ltv(spark, sf_dir):
+    """Cumulative purchase revenue per first-event cohort by account
+    age — exact cents, calendar-grain cumulative window."""
+    from p2_mapreduce_spark.operators.events_analytics import cohort_ltv
+
+    return cohort_ltv(load_table(spark, sf_dir, "events"))
+
+
+def _q_welch_ttest(spark, sf_dir):
+    """Welch unequal-variance t on purchase value between md5-coin
+    arms — exact sufficient statistics, pinned IEEE surface tree."""
+    from p2_mapreduce_spark.operators.events_analytics import welch_ttest
+
+    return welch_ttest(load_table(spark, sf_dir, "events"))
+
+
+def _q_qq_drift(spark, sf_dir):
+    """Decile-grid Q-Q drift of extendedprice before/after the split
+    date — exact type-1 order statistics via two-phase rank."""
+    from p2_mapreduce_spark.operators.profile import qq_drift
+
+    return qq_drift(load_table(spark, sf_dir, "lineitem"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wordcount": _q_wordcount,
@@ -2880,6 +2927,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_lag": _q_funnel_lag,
         "stickiness": _q_stickiness,
         "exact_quantiles": _q_exact_quantiles,
+        "hybrid_rrf": _q_hybrid_rrf,
+        "seq_pattern": _q_seq_pattern,
+        "cohort_ltv": _q_cohort_ltv,
+        "welch_ttest": _q_welch_ttest,
+        "qq_drift": _q_qq_drift,
         "media_mixed": _q_media_mixed,
         "media_headers": _q_media_headers,
         "media_frames": _q_media_frames,
@@ -8706,6 +8758,240 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_terms_hit, score FROM scored
             ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        # hybrid retrieval twin: the bm25_search scored CTE (top-50) and
+        # the knn_embeddings cosine ranking (query vec 0, top-50) fused
+        # by RRF — each score ONE double division of exact BIGINTs
+        "hybrid_rrf": f"""
+            WITH tok AS (SELECT doc_id, unnest(t) AS token FROM ({{toks}})),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+            corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len
+                       FROM dl),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+                   WHERE token IN ('spark', 'table', 'window')
+                   GROUP BY 1, 2),
+            dfs AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            piv AS (SELECT doc_id,
+                       MAX(CASE WHEN token = 'spark' THEN tf END) AS tf_0,
+                       MAX(CASE WHEN token = 'table' THEN tf END) AS tf_1,
+                       MAX(CASE WHEN token = 'window' THEN tf END) AS tf_2
+                    FROM tf GROUP BY doc_id),
+            dfp AS (SELECT
+                       COALESCE(MAX(CASE WHEN token = 'spark' THEN df END), 0) AS df_0,
+                       COALESCE(MAX(CASE WHEN token = 'table' THEN df END), 0) AS df_1,
+                       COALESCE(MAX(CASE WHEN token = 'window' THEN df END), 0) AS df_2
+                    FROM dfs),
+            scored AS (
+                SELECT p.doc_id,
+                       0.0
+                       + (CASE WHEN tf_0 IS NOT NULL THEN
+                            ((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5)
+                             / (CAST(df_0 AS DOUBLE) + 0.5))
+                            * (CAST(tf_0 AS DOUBLE) * 2.2)
+                            / (CAST(tf_0 AS DOUBLE)
+                               + 1.2 * (0.25 + (0.75 * CAST(d.dl AS DOUBLE))
+                                        / (CAST(total_len AS DOUBLE)
+                                           / CAST(n_docs AS DOUBLE))))
+                          ELSE 0.0 END)
+                       + (CASE WHEN tf_1 IS NOT NULL THEN
+                            ((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5)
+                             / (CAST(df_1 AS DOUBLE) + 0.5))
+                            * (CAST(tf_1 AS DOUBLE) * 2.2)
+                            / (CAST(tf_1 AS DOUBLE)
+                               + 1.2 * (0.25 + (0.75 * CAST(d.dl AS DOUBLE))
+                                        / (CAST(total_len AS DOUBLE)
+                                           / CAST(n_docs AS DOUBLE))))
+                          ELSE 0.0 END)
+                       + (CASE WHEN tf_2 IS NOT NULL THEN
+                            ((CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5)
+                             / (CAST(df_2 AS DOUBLE) + 0.5))
+                            * (CAST(tf_2 AS DOUBLE) * 2.2)
+                            / (CAST(tf_2 AS DOUBLE)
+                               + 1.2 * (0.25 + (0.75 * CAST(d.dl AS DOUBLE))
+                                        / (CAST(total_len AS DOUBLE)
+                                           / CAST(n_docs AS DOUBLE))))
+                          ELSE 0.0 END) AS score
+                FROM piv p JOIN dl d ON p.doc_id = d.doc_id
+                CROSS JOIN corpus CROSS JOIN dfp
+            ),
+            sparse AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+                FROM scored ORDER BY score DESC, doc_id LIMIT 50
+            ),
+            q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id = 0),
+            c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv
+                  FROM embeddings),
+            dcos AS (
+                SELECT n_id,
+                       list_dot_product(qv, nv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(nv, nv))) AS cosine
+                FROM q, c WHERE n_id <> 0
+            ),
+            dense AS (
+                SELECT n_id AS doc_id, rnk FROM (
+                    SELECT n_id,
+                           ROW_NUMBER() OVER (ORDER BY cosine DESC, n_id) AS rnk
+                    FROM dcos
+                ) WHERE rnk <= 50
+            ),
+            fused AS (
+                SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+                       s.rnk AS ra, d.rnk AS rb
+                FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+            ),
+            rrf AS (
+                SELECT doc_id,
+                       CAST(ra AS BIGINT) AS rank_a,
+                       CAST(rb AS BIGINT) AS rank_b,
+                       CASE
+                         WHEN ra IS NOT NULL AND rb IS NOT NULL THEN
+                           CAST(120 + ra + rb AS DOUBLE)
+                           / CAST((60 + ra) * (60 + rb) AS DOUBLE)
+                         WHEN ra IS NOT NULL THEN
+                           1.0 / CAST(60 + ra AS DOUBLE)
+                         ELSE 1.0 / CAST(60 + rb AS DOUBLE)
+                       END AS rrf_score
+                FROM fused
+            )
+            SELECT * FROM (
+                SELECT doc_id, rank_a, rank_b, rrf_score,
+                       CAST(ROW_NUMBER() OVER (
+                           ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+                           AS fused_rank
+                FROM rrf
+            ) WHERE fused_rank <= 20
+        """.format(toks=toks),
+        # MATCH_RECOGNIZE analog: ordered per-user letter string, RE2 and
+        # Java regex agree on leftmost-non-overlapping greedy counts
+        "seq_pattern": f"""
+            WITH seq AS (
+                SELECT user_id,
+                       string_agg(CASE event_type
+                                    WHEN 'click' THEN 'c'
+                                    WHEN 'error' THEN 'e'
+                                    WHEN 'purchase' THEN 'p'
+                                    WHEN 'signup' THEN 's'
+                                    WHEN 'view' THEN 'v' END,
+                                  '' ORDER BY ts, event_id) AS s
+                FROM {ev} GROUP BY user_id
+            )
+            SELECT user_id,
+                   CAST(length(s) AS BIGINT) AS seq_len,
+                   CAST(len(regexp_extract_all(s, 'vc*p')) AS BIGINT)
+                       AS n_matches
+            FROM seq
+            WHERE len(regexp_extract_all(s, 'vc*p')) > 0
+        """,
+        # cohort LTV twin: exact cents through every aggregate, cumulative
+        # window at (cohort, age) grain
+        "cohort_ltv": f"""
+            WITH f AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+                       FROM {ev} GROUP BY user_id),
+            sizes AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_users
+                      FROM f GROUP BY 1),
+            rev AS (
+                SELECT f.cohort_day,
+                       datediff('day', f.cohort_day, CAST(e.ts AS DATE))
+                           AS age_days,
+                       SUM(CAST(floor(e.value * 100) AS BIGINT)) AS day_cents
+                FROM {ev} e JOIN f USING (user_id)
+                WHERE e.event_type = 'purchase'
+                  AND datediff('day', f.cohort_day, CAST(e.ts AS DATE)) <= 30
+                GROUP BY 1, 2
+            )
+            SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort_day,
+                   CAST(r.age_days AS BIGINT) AS age_days,
+                   s.n_users,
+                   CAST(SUM(r.day_cents) OVER (
+                       PARTITION BY r.cohort_day ORDER BY r.age_days
+                   ) AS DOUBLE) / 100.0 AS cum_revenue
+            FROM rev r JOIN sizes s USING (cohort_day)
+        """,
+        # Welch twin: exact (n, Σ, Σ²) in HUGEINT, the t/df surface tree
+        # mirrored op-for-op
+        "welch_ttest": f"""
+            WITH m AS (
+                SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                                     18, 15) AS BIGINT) % 2 = 0
+                            THEN 'a' ELSE 'b' END AS arm,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM {ev} WHERE event_type = 'purchase'
+            ),
+            stats AS (
+                SELECT arm,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS s1,
+                       CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2
+                FROM m GROUP BY arm
+            ),
+            piv AS (
+                SELECT MAX(CASE WHEN arm = 'a' THEN n END) AS n_a,
+                       MAX(CASE WHEN arm = 'b' THEN n END) AS n_b,
+                       MAX(CASE WHEN arm = 'a' THEN s1 END) AS s1_a,
+                       MAX(CASE WHEN arm = 'b' THEN s1 END) AS s1_b,
+                       MAX(CASE WHEN arm = 'a' THEN s2 END) AS s2_a,
+                       MAX(CASE WHEN arm = 'b' THEN s2 END) AS s2_b
+                FROM stats
+            ),
+            terms AS (
+                SELECT n_a, n_b,
+                       CAST(s1_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 100.0)
+                           AS mean_a,
+                       CAST(s1_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 100.0)
+                           AS mean_b,
+                       CAST(n_a * s2_a - s1_a * s1_a AS DOUBLE)
+                         / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)
+                            * CAST(n_a AS DOUBLE) * 10000.0) AS va,
+                       CAST(n_b * s2_b - s1_b * s1_b AS DOUBLE)
+                         / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)
+                            * CAST(n_b AS DOUBLE) * 10000.0) AS vb
+                FROM piv
+            )
+            SELECT n_a, n_b, mean_a, mean_b,
+                   (mean_a - mean_b) / sqrt(va + vb) AS t_stat,
+                   ((va + vb) * (va + vb))
+                     / (va * va / (CAST(n_a AS DOUBLE) - 1.0)
+                        + vb * vb / (CAST(n_b AS DOUBLE) - 1.0)) AS df
+            FROM terms
+        """,
+        # Q-Q drift twin: type-1 order statistics at ceil(q·n) over the
+        # same (period, cents, id) total order — no interpolation tree
+        "qq_drift": """
+            WITH t AS (
+                SELECT CASE WHEN l_shipdate < DATE '1998-06-01'
+                            THEN 'before' ELSE 'after' END AS g,
+                       CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+                       l_orderkey * 8 + l_linenumber AS id
+                FROM lineitem
+            ),
+            ranked AS (
+                SELECT g, cents,
+                       ROW_NUMBER() OVER (PARTITION BY g
+                                          ORDER BY cents, id) AS r,
+                       COUNT(*) OVER (PARTITION BY g) AS n
+                FROM t
+            ),
+            qs AS (SELECT unnest([100000, 200000, 300000, 400000, 500000,
+                                  600000, 700000, 800000, 900000]) AS q_ppm),
+            hits AS (
+                SELECT q.q_ppm, rk.g, rk.cents
+                FROM ranked rk, qs q
+                WHERE rk.r = (rk.n * q.q_ppm + 999999) // 1000000
+            ),
+            piv AS (
+                SELECT CAST(q_ppm AS BIGINT) AS q_ppm,
+                       CAST(MAX(CASE WHEN g = 'before' THEN cents END)
+                            AS DOUBLE) / 100.0 AS q_before,
+                       CAST(MAX(CASE WHEN g = 'after' THEN cents END)
+                            AS DOUBLE) / 100.0 AS q_after
+                FROM hits GROUP BY 1
+            )
+            SELECT q_ppm, q_before, q_after,
+                   q_after - q_before AS shift
+            FROM piv
         """,
         # equi-depth binning twin: same integer-cent bucket/boundary
         # arithmetic as the winsorize oracle, bins by upper-boundary

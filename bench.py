@@ -252,6 +252,11 @@ HEADLINE = (
     "funnel_lag",
     "stickiness",
     "exact_quantiles",
+    "hybrid_rrf",
+    "seq_pattern",
+    "cohort_ltv",
+    "welch_ttest",
+    "qq_drift",
     # round-3 completion: every queries() entry is a headline query
     "above_avg",
     "approx_distinct",

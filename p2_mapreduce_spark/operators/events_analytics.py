@@ -1183,3 +1183,206 @@ def life_table(events: DataFrame, user_col: str = "user_id") -> DataFrame:
             / F.col("n_total")
         ).cast("bigint").alias("survival_ppm"),
     )
+
+
+def seq_pattern(
+    events: DataFrame,
+    pattern: str = "vc*p",
+    type_letters: dict[str, str] | None = None,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection: per user, order
+    the event stream, encode each event type as one letter, and count
+    the non-overlapping occurrences of a regex ``pattern`` over the
+    resulting string — e.g. the default ``vc*p`` is "a view, any number
+    of clicks, then a purchase" (the row-pattern query SQL:2016 added
+    and Spark lacks; cf. Flink CEP / Trino MATCH_RECOGNIZE).
+
+    Encoding events as ONE CHARACTER each makes the sequence a string
+    and the pattern engine the built-in JVM regex — no state machine in
+    Python, no self-join per pattern step, and leftmost-non-overlapping
+    match semantics that every regex engine implements identically.
+
+    Plan: one shuffle to (user, ordered letters) — the collect is
+    map-side partial-aggregated as (ts, id, letter) structs and sorted
+    per row with ``array_sort`` (ties broken by event_id, so the string
+    is total-order deterministic).  ``regexp_count`` then runs per row,
+    whole-stage codegen.  Per-task memory is bounded by the busiest
+    single user — the same per-key contract as funnel_users; at 100 TB
+    you'd sessionize first (sessionize()) and match within sessions,
+    which this composes with (feed it session-scoped user keys).
+
+    Returns ``(user_id, seq_len, n_matches)`` for users whose stream
+    matches at least once.
+    """
+    letters = type_letters or {
+        "click": "c", "error": "e", "purchase": "p", "signup": "s", "view": "v",
+    }
+    enc = F.create_map(
+        *[F.lit(x) for kv in sorted(letters.items()) for x in kv]
+    )
+    per_user = (
+        events.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"), enc[F.col("event_type")].alias("ch")
+            ).alias("ev"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("ev")).alias("evs"))
+        .select(
+            "user_id",
+            F.concat_ws("", F.transform("evs", lambda e: e["ch"])).alias("seq"),
+        )
+    )
+    return (
+        per_user.select(
+            "user_id",
+            F.length("seq").cast("bigint").alias("seq_len"),
+            F.regexp_count("seq", F.lit(pattern)).cast("bigint").alias("n_matches"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+def cohort_ltv(events: DataFrame, max_age_days: int = 30) -> DataFrame:
+    """Cohort lifetime-value curve: users cohorted by FIRST-EVENT day,
+    cumulative purchase revenue per cohort by account age — the
+    unit-economics payback chart (does week-4 LTV clear acquisition
+    cost?).  Complements cohort_retention (presence) with money.
+
+    Exactness: revenue quantizes to BIGINT cents ONCE at the scan and
+    stays integral through every aggregate; the cumulative sum surfaces
+    as value units via one /100.0 per output row.
+
+    Plan: first-event day = one (user) min-aggregate (map-side
+    combined); purchases join the cohort map on user_id (at 100 TB the
+    cohort map is user-dictionary-grain — AQE broadcasts it when it
+    fits, else it's one hash shuffle); daily cohort revenue contracts
+    to (cohort_day, age) grain BEFORE the cumulative window, whose
+    partition is one cohort's ≤``max_age_days`` rows — calendar grain,
+    the same bounded-window exception as cumulative_revenue.
+
+    Returns ``(cohort_day, age_days, n_users, cum_revenue)``.
+    """
+    firsts = events.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    cohorts = firsts.select(
+        "user_id",
+        F.to_date("t0").alias("cohort_day"),
+        F.col("t0"),
+    )
+    sizes = cohorts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    rev = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .join(cohorts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("age_days"),
+            "cents",
+        )
+        .filter(F.col("age_days") <= max_age_days)
+        .groupBy("cohort_day", "age_days")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.withColumn("cum_cents", F.sum("day_cents").over(w))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            # dates surface as strings (the repo's cross-engine date
+            # convention — parquet DATE vs pandas Timestamp reprs differ)
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("age_days").cast("bigint").alias("age_days"),
+            "n_users",
+            (F.col("cum_cents").cast("double") / F.lit(100.0)).alias("cum_revenue"),
+        )
+    )
+
+
+def welch_ttest(events: DataFrame, metric_type: str = "purchase") -> DataFrame:
+    """Welch's unequal-variance t-test on a continuous metric between
+    the two md5-coin experiment arms — the readout for revenue-per-
+    purchase style metrics where variances genuinely differ (CLT
+    regime; complements ab_conversion's rate z-test and
+    ab_quantile_diff's median shift).
+
+    Sufficient statistics only: each arm contracts to (n, Σcents,
+    Σcents²) — BIGINT/DECIMAL(38,0) exact, map-side combined, ONE
+    shuffle of two rows total.  The t statistic and Welch-Satterthwaite
+    df are then a FIXED double expression tree over those exact
+    integers (sample variance via the computational identity
+    n·Σx² − (Σx)² over n·(n−1), each double op correctly rounded) —
+    bit-equal cross-engine, no per-row floats anywhere.
+
+    Arm assignment mirrors ab_conversion: md5-parity of user_id —
+    deterministic, engine-invariant, independent of partitioning.
+
+    Returns one row: ``(n_a, n_b, mean_a, mean_b, t_stat, df)``.
+    """
+    m = (
+        events.filter(F.col("event_type") == metric_type)
+        .select(
+            F.when(
+                F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 18, 15), 16, 10)
+                .cast("bigint") % 2 == 0,
+                F.lit("a"),
+            )
+            .otherwise(F.lit("b"))
+            .alias("arm"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    stats = m.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("decimal(38,0)").alias("s2"),
+    )
+    piv = stats.groupBy().agg(
+        *[
+            f(arm).alias(f"{c}_{arm}")
+            for arm in ("a", "b")
+            for c, f in (
+                ("n", lambda a: F.max(F.when(F.col("arm") == a, F.col("n")))),
+                ("s1", lambda a: F.max(F.when(F.col("arm") == a, F.col("s1")))),
+                ("s2", lambda a: F.max(F.when(F.col("arm") == a, F.col("s2")))),
+            )
+        ]
+    )
+    def mean(s, n):
+        return s.cast("double") / (n.cast("double") * F.lit(100.0))
+    def var_over_n(s1, s2, n):
+        # sample variance / n, in value units²: (n·Σx² − (Σx)²) / (n·(n−1)·n·100²).
+        # numerator exact in DECIMAL(38,0) (HUGEINT in the oracle), ONE
+        # cast to double; denominator a left-assoc DOUBLE product chain
+        # mirrored op-for-op (a BIGINT n³ would exceed 2^53 exactness —
+        # and overflow outright — long before 100 TB row counts)
+        num = (n.cast("decimal(38,0)") * s2 - s1 * s1).cast("double")
+        nd = n.cast("double")
+        den = nd * (nd - F.lit(1.0)) * nd * F.lit(10000.0)
+        return num / den
+    na, nb = F.col("n_a"), F.col("n_b")
+    ma, mb = mean(F.col("s1_a"), na), mean(F.col("s1_b"), nb)
+    va, vb = var_over_n(F.col("s1_a"), F.col("s2_a"), na), var_over_n(
+        F.col("s1_b"), F.col("s2_b"), nb
+    )
+    se2 = va + vb
+    t = (ma - mb) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (va * va) / (na.cast("double") - F.lit(1.0))
+        + (vb * vb) / (nb.cast("double") - F.lit(1.0))
+    )
+    return piv.select(
+        na.alias("n_a"), nb.alias("n_b"),
+        ma.alias("mean_a"), mb.alias("mean_b"),
+        t.alias("t_stat"), dof.alias("df"),
+    )

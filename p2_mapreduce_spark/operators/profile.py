@@ -2093,3 +2093,85 @@ def exact_quantiles(
         .agg(*aggs)
         .select(F.col("g").alias(group_col), "n", "q50", "q95", "q99")
     )
+
+
+def qq_drift(
+    lineitem: DataFrame,
+    split_date: str = "1998-06-01",
+    n_quantiles: int = 9,
+    value_col: str = "l_extendedprice",
+    date_col: str = "l_shipdate",
+) -> DataFrame:
+    """Quantile-quantile drift readout: the decile grid of a numeric
+    column in the BEFORE vs AFTER period, paired — the data behind a
+    Q-Q plot, and the distribution-shift diagnostic that says WHERE the
+    distribution moved, not just THAT it moved (ks_drift/emd_drift give
+    one scalar; this gives the curve).
+
+    Quantiles are EXACT type-1 order statistics at rank ``ceil(q·n)``
+    over integer cents — a value that OCCURS, no interpolation tree, so
+    the oracle (quantile_disc) matches bit-for-bit (the device
+    exact_quantiles established).  Ranks come from the two-phase
+    distributed rank over (period, cents, id): range-repartition, a
+    within-partition row_number, then partition-offset merge — no
+    single task ever sorts a whole period (the partition-grain offset
+    window is partition-dictionary-sized).
+
+    Returns ``(q_ppm, q_before, q_after, shift)`` — one row per decile.
+    """
+    t = (
+        lineitem.select(
+            F.when(F.col(date_col) < F.lit(split_date), F.lit("before"))
+            .otherwise(F.lit("after"))
+            .alias("g"),
+            F.floor(F.col(value_col) * 100).cast("bigint").alias("cents"),
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
+        )
+        .repartitionByRange(F.col("g"), F.col("cents"), F.col("id"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_in = Window.partitionBy("pid", "g").orderBy("cents", "id")
+    t = t.withColumn("rn", F.row_number().over(w_in))
+    per = t.groupBy("pid", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy("g").orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("pid", "g", "off")
+    totals = per.groupBy("g").agg(F.sum("cnt").cast("bigint").alias("n"))
+    ranked = (
+        t.join(F.broadcast(offsets), ["pid", "g"])
+        .join(F.broadcast(totals), "g")
+        .select("g", "cents", "n", (F.col("off") + F.col("rn")).alias("r"))
+    )
+    qs_ppm = [int((i + 1) * 1_000_000 / (n_quantiles + 1)) for i in range(n_quantiles)]
+    cond = None
+    for q in qs_ppm:
+        c = F.col("r") == F.expr(f"(n * {q} + 999999) div 1000000")
+        cond = c if cond is None else (cond | c)
+    picked = ranked.filter(cond)
+    # a picked row can satisfy several deciles when n is small — explode
+    # the (bounded, config-sized) decile grid and keep the matches
+    grid = F.array(*[F.lit(q) for q in qs_ppm])
+    hits = (
+        picked.select("g", "cents", "n", "r", F.explode(grid).alias("q_ppm"))
+        .filter(F.col("r") == F.expr("(n * q_ppm + 999999) div 1000000"))
+    )
+    piv = hits.groupBy("q_ppm").agg(
+        (
+            F.max(F.when(F.col("g") == "before", F.col("cents"))).cast("double")
+            / F.lit(100.0)
+        ).alias("q_before"),
+        (
+            F.max(F.when(F.col("g") == "after", F.col("cents"))).cast("double")
+            / F.lit(100.0)
+        ).alias("q_after"),
+    )
+    return piv.select(
+        F.col("q_ppm").cast("bigint").alias("q_ppm"),
+        "q_before",
+        "q_after",
+        (F.col("q_after") - F.col("q_before")).alias("shift"),
+    )

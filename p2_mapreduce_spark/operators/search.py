@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from p2_mapreduce_spark.functions.text import tokens_array
@@ -337,3 +337,94 @@ def substring_search_indexed(
         .where(F.col("n_matches") > 0)
         .select(id_col, "n_matches", "first_off")
     )
+
+
+def rrf_fuse(
+    ranks_a: DataFrame,
+    ranks_b: DataFrame,
+    k_rrf: int = 60,
+    top_n: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankings — the standard hybrid-
+    retrieval combiner (Cormack, Clarke & Buettcher, SIGIR'09):
+    ``score(d) = Σ_systems 1/(k + rank_sys(d))`` over the systems that
+    returned ``d``, here the sparse (BM25) and dense (embedding-kNN)
+    lists of a RAG stack.
+
+    Inputs are two ``(id, rnk)`` DataFrames (1-based ranks).  Both are
+    top-N lists — CONFIG-bounded, not data-bounded — so the fusion join
+    is broadcast-sized by construction no matter the corpus size; all
+    the data-scale work happens inside the retrievers that produced
+    them (each already shaped for 100 TB: bm25_search contracts to
+    term grain, knn_* never shuffle the corpus).
+
+    Determinism: the two-term score is computed as ONE double division
+    of exact BIGINTs — ``(2k+ra+rb)/((k+ra)(k+rb))`` — and the
+    one-term score as ``1/(k+r)``; each is a single correctly-rounded
+    IEEE op over integers < 2^53, so scores are bit-equal cross-engine
+    and the (score DESC, id) ranking is total and reproducible.
+    """
+    a = ranks_a.select(F.col(id_col).alias("id"), F.col("rnk").alias("ra"))
+    b = ranks_b.select(F.col(id_col).alias("id"), F.col("rnk").alias("rb"))
+    fused = a.join(b, "id", "full_outer")
+    k = F.lit(int(k_rrf))
+    score = (
+        F.when(
+            F.col("ra").isNotNull() & F.col("rb").isNotNull(),
+            (2 * k + F.col("ra") + F.col("rb")).cast("double")
+            / ((k + F.col("ra")) * (k + F.col("rb"))).cast("double"),
+        )
+        .when(F.col("ra").isNotNull(), F.lit(1.0) / (k + F.col("ra")).cast("double"))
+        .otherwise(F.lit(1.0) / (k + F.col("rb")).cast("double"))
+    )
+    out = fused.select(
+        F.col("id").alias(id_col),
+        F.col("ra").cast("bigint").alias("rank_a"),
+        F.col("rb").cast("bigint").alias("rank_b"),
+        score.alias("rrf_score"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    # the window is over the fused candidate set: ≤ 2·top-N rows by
+    # construction (both inputs are LIMITed lists) — config grain, the
+    # same single-partition exception as vocab_topk's k-row window
+    return (
+        out.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("fused_rank") <= top_n)
+    )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    terms: Sequence[str],
+    query_vec_id: int = 0,
+    n_candidates: int = 50,
+    k_rrf: int = 60,
+    top_n: int = 20,
+) -> DataFrame:
+    """Hybrid sparse+dense retrieval: BM25 over ``terms`` fused with
+    exact cosine kNN around the ``query_vec_id`` embedding by
+    reciprocal-rank fusion — the canonical RAG retrieval stack as one
+    dataflow.  ``vec_id`` is the document key on the dense side (the
+    synthetic corpus aligns them 1:1).
+
+    Plan: the two retrievers run independently (each internally
+    top-N-bounded: BM25 ends in TakeOrderedAndProject, kNN in a
+    per-query window over broadcast-scored candidates); fusion joins
+    two ≤``n_candidates``-row lists.  No stage touches corpus-scale
+    data more than the retrievers already do.
+    """
+    from p2_mapreduce_spark.operators.similarity import knn_bruteforce
+
+    sparse = bm25_search(docs, terms, top_n=n_candidates).select(
+        "doc_id", F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+        ).cast("bigint").alias("rnk")
+    )
+    dense = (
+        knn_bruteforce(embeddings, n_queries=query_vec_id + 1, k=n_candidates)
+        .filter(F.col("q_id") == query_vec_id)
+        .select(F.col("n_id").alias("doc_id"), F.col("rnk"))
+    )
+    return rrf_fuse(sparse, dense, k_rrf=k_rrf, top_n=top_n)

@@ -172,6 +172,14 @@ FUNNEL_REVIEWED = {
     # stickiness: one-row date-range aggregate broadcast into the
     # calendar explode (the rolling_active_users justification)
     "stickiness",
+    # hybrid_rrf: every funneled input is a ≤2·n_candidates-row fused
+    # top-N list (both retriever outputs are LIMITed — config grain, the
+    # vocab_topk k-row-window justification); the corpus-scale work is
+    # inside the retrievers, whose own plans are the bm25/knn shapes
+    "hybrid_rrf",
+    # welch_ttest: one 1-row pivoted sufficient-statistics aggregate
+    # (2 arm rows → 1 report row); all metric work is map-side combined
+    "welch_ttest",
 }
 
 

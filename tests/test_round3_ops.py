@@ -1603,3 +1603,122 @@ def test_life_table_hand_case(spark):
     assert out[1]["survival_ppm"] == 500_000
     assert out[3]["hazard_ppm"] == 1_000_000
     assert out[3]["survival_ppm"] == 0
+
+
+def test_rrf_fuse_hand_case(spark):
+    """RRF on two tiny rank lists: scores and fused order match the
+    hand-computed 1/(60+r) sums; docs on one list only get the
+    single-term score."""
+    from p2_mapreduce_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], ["doc_id", "rnk"])
+    b = spark.createDataFrame([(20, 1), (40, 2)], ["doc_id", "rnk"])
+    out = {r["doc_id"]: r for r in rrf_fuse(a, b, k_rrf=60, top_n=10).collect()}
+    # doc 20: 1/62 + 1/61 (two-term exact form: (120+2+1)/((60+2)*(60+1)))
+    assert abs(out[20]["rrf_score"] - (123.0 / (62 * 61))) < 1e-15
+    assert out[20]["fused_rank"] == 1
+    # doc 10: sparse only, 1/61
+    assert out[10]["rrf_score"] == 1.0 / 61.0
+    assert out[10]["rank_b"] is None
+    # fused order: 20 (both lists) > 10 > 40 > 30
+    order = sorted(out.values(), key=lambda r: r["fused_rank"])
+    assert [r["doc_id"] for r in order] == [20, 10, 40, 30]
+
+
+def test_seq_pattern_counts_nonoverlapping(spark):
+    """vc*p matches leftmost-non-overlapping: a vcvcp run yields ONE
+    match (the regex consumes to the first p), vpvp yields two."""
+    from p2_mapreduce_spark.operators.events_analytics import seq_pattern
+
+    rows = []
+    # user 1: v c c p v p  -> matches vccp and vp = 2
+    for i, t in enumerate(["view", "click", "click", "purchase", "view", "purchase"]):
+        rows.append((i, f"2024-01-01 00:00:{i:02d}", 1, t, 0.0, "{}"))
+    # user 2: c p s e -> no v..p start = 0 matches (filtered out)
+    for i, t in enumerate(["click", "purchase", "signup", "error"]):
+        rows.append((10 + i, f"2024-01-01 00:00:{i:02d}", 2, t, 0.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["user_id"]: r for r in seq_pattern(ev, pattern="vc*p").collect()}
+    assert set(got) == {1}
+    assert got[1]["n_matches"] == 2 and got[1]["seq_len"] == 6
+
+
+def test_cohort_ltv_hand_case(spark):
+    """Two users, one cohort day: cumulative revenue accumulates across
+    ages in exact cents; non-purchase events contribute nothing."""
+    from p2_mapreduce_spark.operators.events_analytics import cohort_ltv
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 08:00:00", 1, "view", 0.0, "{}"),
+            (2, "2024-01-01 09:00:00", 1, "purchase", 10.50, "{}"),
+            (3, "2024-01-03 09:00:00", 1, "purchase", 5.25, "{}"),
+            (4, "2024-01-01 10:00:00", 2, "signup", 0.0, "{}"),
+            (5, "2024-01-02 10:00:00", 2, "purchase", 1.99, "{}"),
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r["cohort_day"], r["age_days"]): r for r in cohort_ltv(ev).collect()}
+    assert out[("2024-01-01", 0)]["cum_revenue"] == 10.50
+    assert out[("2024-01-01", 1)]["cum_revenue"] == 12.49
+    assert out[("2024-01-01", 2)]["cum_revenue"] == 17.74
+    assert all(r["n_users"] == 2 for r in out.values())
+
+
+def test_welch_ttest_matches_scipy_formula(spark, sf_dir):
+    """The pinned IEEE tree reproduces the textbook Welch statistic
+    computed driver-side from the same cent-quantized values."""
+    import math
+
+    from p2_mapreduce_spark.operators.events_analytics import welch_ttest
+    from p2_mapreduce_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    row = welch_ttest(ev).collect()[0]
+    # recompute from raw values
+    import pyspark.sql.functions as SF
+
+    arms = (
+        ev.filter(SF.col("event_type") == "purchase")
+        .select(
+            (
+                SF.conv(SF.substring(SF.md5(SF.col("user_id").cast("string")), 18, 15), 16, 10)
+                .cast("bigint") % 2
+            ).alias("arm"),
+            SF.floor(SF.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .collect()
+    )
+    a = [r["cents"] / 100.0 for r in arms if r["arm"] == 0]
+    b = [r["cents"] / 100.0 for r in arms if r["arm"] == 1]
+    def mv(x):
+        n = len(x)
+        m = sum(x) / n
+        v = sum((xi - m) ** 2 for xi in x) / (n - 1)
+        return n, m, v
+    na, ma, va = mv(a)
+    nb, mb, vb = mv(b)
+    t = (ma - mb) / math.sqrt(va / na + vb / nb)
+    df = (va / na + vb / nb) ** 2 / (
+        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+    )
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert abs(row["t_stat"] - t) < 1e-9 * max(1.0, abs(t))
+    assert abs(row["df"] - df) < 1e-6 * df
+
+
+def test_qq_drift_partition_invariance(spark, sf_dir):
+    """Type-1 decile grid is identical under 1-partition vs 32-partition
+    input — the two-phase rank contract."""
+    from p2_mapreduce_spark.operators.profile import qq_drift
+    from p2_mapreduce_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    one = {r["q_ppm"]: (r["q_before"], r["q_after"]) for r in qq_drift(li.coalesce(1)).collect()}
+    many = {r["q_ppm"]: (r["q_before"], r["q_after"]) for r in qq_drift(li.repartition(32)).collect()}
+    assert one == many and len(one) == 9
+    # monotone grid: deciles are nondecreasing in q
+    qs = sorted(one)
+    assert all(one[qs[i]][0] <= one[qs[i + 1]][0] for i in range(len(qs) - 1))
