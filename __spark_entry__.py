@@ -2725,6 +2725,40 @@ def _q_exact_quantiles(spark, sf_dir):
     return exact_quantiles(load_table(spark, sf_dir, "events"))
 
 
+#: pretrained BPE merge table for the encode/apply step (tokenizer
+#: config, not data — production applies a merge list learned elsewhere;
+#: bpe_pairs/bpe_learn is the training face)
+_BPE_MERGES = (("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"), ("i", "n"))
+
+
+def _q_bpe_encode(spark, sf_dir):
+    """Apply the pretrained merge table to the corpus vocabulary — the
+    tokenizer INFERENCE face (bpe_pairs is the training face): a
+    zero-shuffle chain of greedy merge folds at vocabulary grain."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.bpe import bpe_segment_words
+
+    seg = bpe_segment_words(
+        load_table(spark, sf_dir, "documents"),
+        [(l, r, 0) for l, r in _BPE_MERGES],
+    )
+    return seg.select(
+        "word",
+        "freq",
+        "segmented",
+        F.size(F.split("segmented", " ")).cast("bigint").alias("n_syms"),
+    )
+
+
+def _q_eb_rates(spark, sf_dir):
+    """Beta-Binomial shrunk return rates per part — exact ppm moment
+    sums, pinned prior/shrink trees."""
+    from p2_mapreduce_spark.operators.analytics import eb_shrunk_rates
+
+    return eb_shrunk_rates(load_table(spark, sf_dir, "lineitem"))
+
+
 def _q_hybrid_rrf(spark, sf_dir):
     """Sparse (BM25) + dense (cosine kNN) retrieval fused by reciprocal
     rank — the RAG hybrid-retrieval stack as one dataflow."""
@@ -2927,6 +2961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_lag": _q_funnel_lag,
         "stickiness": _q_stickiness,
         "exact_quantiles": _q_exact_quantiles,
+        "bpe_encode": _q_bpe_encode,
+        "eb_rates": _q_eb_rates,
         "hybrid_rrf": _q_hybrid_rrf,
         "seq_pattern": _q_seq_pattern,
         "cohort_ltv": _q_cohort_ltv,
@@ -3371,6 +3407,39 @@ def oracle_sql() -> dict[str, str]:
         FROM ({toks}) toks,
              LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 0))) AS i) g
     """
+    # bpe_encode twin: the greedy leftmost-non-overlapping merge fold is
+    # equivalent to iterating a FIRST-occurrence boundary-anchored
+    # regexp_replace to fixpoint (within one merge, the fused symbol
+    # l||r can never re-enter that merge's pattern) — one recursive CTE
+    # per pretrained merge, chained in merge order
+    bpe_parts = [
+        "base AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq, "
+        "array_to_string(regexp_split_to_array(word, ''), ' ') AS s "
+        f"FROM (SELECT unnest(t) AS word FROM ({toks})) GROUP BY word)"
+    ]
+    prev = "base"
+    for i, (bl, br) in enumerate(_BPE_MERGES):
+        pat = f"(^|[ ]){bl} {br}([ ]|$)"
+        repl = f"\\1{bl}{br}\\2"
+        bpe_parts.append(f"""m{i} AS (
+            SELECT word, freq, s FROM {prev}
+            UNION ALL
+            SELECT word, freq, regexp_replace(s, '{pat}', '{repl}')
+            FROM m{i} WHERE s <> regexp_replace(s, '{pat}', '{repl}')
+        )""")
+        bpe_parts.append(f"""f{i} AS (
+            SELECT word, freq, s FROM m{i}
+            WHERE s = regexp_replace(s, '{pat}', '{repl}')
+        )""")
+        prev = f"f{i}"
+    bpe_encode_sql = (
+        "WITH RECURSIVE " + ",\n".join(bpe_parts)
+        + f"""
+        SELECT word, freq, s AS segmented,
+               CAST(len(regexp_split_to_array(s, ' ')) AS BIGINT) AS n_syms
+        FROM {prev}
+    """
+    )
     # grouped_ols2 twins: exact cent sums + the SHARED Cramer formula
     # strings from operators/timeseries.py (identical IEEE trees)
     from p2_mapreduce_spark.operators.timeseries import (
@@ -8758,6 +8827,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_terms_hit, score FROM scored
             ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        "bpe_encode": bpe_encode_sql,
+        # EB shrinkage twin: exact ppm moment sums, the m/v/alpha/shrink
+        # trees mirrored op-for-op
+        "eb_rates": """
+            WITH grp AS (
+                SELECT l_partkey,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS k
+                FROM lineitem GROUP BY 1
+            ),
+            g2 AS (SELECT l_partkey, n, k, k * 1000000 // n AS raw_ppm FROM grp),
+            prior AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS g,
+                       CAST(SUM(raw_ppm) AS BIGINT) AS sp,
+                       CAST(SUM(raw_ppm * raw_ppm) AS BIGINT) AS sp2
+                FROM g2
+            ),
+            j AS (SELECT * FROM g2, prior),
+            t AS (
+                SELECT l_partkey, n, k, raw_ppm,
+                       CAST(sp AS DOUBLE) / CAST(g AS DOUBLE) / 1000000.0 AS m,
+                       CAST(sp2 AS DOUBLE) / CAST(g AS DOUBLE) / 1000000.0
+                           / 1000000.0 AS m2
+                FROM j
+            ),
+            u AS (
+                SELECT l_partkey, n, k, raw_ppm, m,
+                       m2 - m * m AS v,
+                       m * (1.0 - m) / (m2 - m * m) - 1.0 AS ab
+                FROM t
+            )
+            SELECT l_partkey, n, k, raw_ppm,
+                   CASE WHEN v > 0.0 AND ab > 0.0
+                        THEN (CAST(k AS DOUBLE) + m * ab)
+                             / (CAST(n AS DOUBLE) + ab)
+                        ELSE CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                   END AS shrunk_rate,
+                   (v > 0.0 AND ab > 0.0) AS prior_used
+            FROM u
         """,
         # hybrid retrieval twin: the bm25_search scored CTE (top-50) and
         # the knn_embeddings cosine ranking (query vec 0, top-50) fused

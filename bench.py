@@ -257,6 +257,8 @@ HEADLINE = (
     "cohort_ltv",
     "welch_ttest",
     "qq_drift",
+    "bpe_encode",
+    "eb_rates",
     # round-3 completion: every queries() entry is a headline query
     "above_avg",
     "approx_distinct",

@@ -871,3 +871,62 @@ def revenue_concentration(
             / F.col("total_cents").cast("double")
         ).alias("share"),
     )
+
+
+def eb_shrunk_rates(lineitem: DataFrame) -> DataFrame:
+    """Empirical-Bayes shrunk return rate per part — the device that
+    makes small-sample group rates rankable (a part with 1 return in 2
+    sales must not outrank one with 90 in 1000): each part's raw rate
+    shrinks toward the corpus prior in proportion to its sample size,
+    via a Beta-Binomial prior fit by method of moments over the
+    group-rate distribution (Robbins'56 / the standard "add the prior's
+    pseudo-counts" estimator):
+
+        shrunk = (k + α) / (n + α + β),   α+β = m(1−m)/v − 1,  α = m(α+β)
+
+    Determinism protocol: per-part rates quantize to BIGINT ppm BEFORE
+    the cross-group moment sums (a double mean over an unordered group
+    set would be partition-dependent); m and v derive from exact
+    (G, Σppm, Σppm²) by a pinned IEEE tree, and each shrunk rate is one
+    more pinned tree over (k, n, m, v).  Degenerate priors (v ≤ 0 — all
+    groups identical — or a non-positive pseudo-count sum) fall back to
+    the raw rate, flagged.
+
+    Plan at 100 TB: ONE map-side-combined aggregate at part grain; the
+    prior is a one-row aggregate over part-grain rows (config-grain
+    funnel, the fold_ci justification) broadcast back; the shrink is a
+    zero-shuffle projection.  Nothing rescans or reshuffles the fact
+    table.
+
+    Returns ``(l_partkey, n, k, raw_ppm, shrunk_rate, prior_used)``.
+    """
+    grp = lineitem.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    grp = grp.withColumn("raw_ppm", F.expr("k * 1000000 div n"))
+    prior = grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+        F.sum("raw_ppm").cast("bigint").alias("sp"),
+        F.sum(F.col("raw_ppm") * F.col("raw_ppm")).cast("bigint").alias("sp2"),
+    )
+    joined = grp.join(F.broadcast(prior))
+    gd = F.col("g").cast("double")
+    m = F.col("sp").cast("double") / gd / F.lit(1000000.0)
+    m2 = F.col("sp2").cast("double") / gd / F.lit(1000000.0) / F.lit(1000000.0)
+    v = m2 - m * m
+    ab = m * (F.lit(1.0) - m) / v - F.lit(1.0)
+    alpha = m * ab
+    ok = (v > F.lit(0.0)) & (ab > F.lit(0.0))
+    raw = F.col("k").cast("double") / F.col("n").cast("double")
+    shrunk = (F.col("k").cast("double") + alpha) / (F.col("n").cast("double") + ab)
+    return joined.select(
+        "l_partkey",
+        "n",
+        "k",
+        "raw_ppm",
+        F.when(ok, shrunk).otherwise(raw).alias("shrunk_rate"),
+        ok.alias("prior_used"),
+    )

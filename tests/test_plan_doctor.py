@@ -180,6 +180,10 @@ FUNNEL_REVIEWED = {
     # welch_ttest: one 1-row pivoted sufficient-statistics aggregate
     # (2 arm rows → 1 report row); all metric work is map-side combined
     "welch_ttest",
+    # eb_rates: one 1-row Beta-Binomial prior aggregate over PART-grain
+    # rows (the fold_ci justification), broadcast back; the fact table
+    # contracts map-side and never reshuffles
+    "eb_rates",
 }
 
 

@@ -1722,3 +1722,57 @@ def test_qq_drift_partition_invariance(spark, sf_dir):
     # monotone grid: deciles are nondecreasing in q
     qs = sorted(one)
     assert all(one[qs[i]][0] <= one[qs[i + 1]][0] for i in range(len(qs) - 1))
+
+
+def test_bpe_encode_fold_matches_reference(spark):
+    """The merge-fold chain applied with a fixed pretrained table equals
+    the pure-Python greedy leftmost-non-overlapping reference, including
+    the 'merged symbol never chains' rule on repeated runs."""
+    from p2_mapreduce_spark.operators.bpe import bpe_segment_words
+
+    docs = spark.createDataFrame(
+        [(1, "the and thin aaaa than a bath the")], ["doc_id", "text"]
+    )
+    merges = [("t", "h", 0), ("th", "e", 0), ("a", "n", 0), ("an", "d", 0), ("i", "n", 0)]
+    got = {r["word"]: r["segmented"] for r in bpe_segment_words(docs, merges).collect()}
+
+    def fold(syms, l, r):
+        acc = []
+        for s in syms:
+            if acc and acc[-1] == l and s == r:
+                acc[-1] += s
+            else:
+                acc.append(s)
+        return acc
+
+    for w in got:
+        syms = list(w)
+        for l, r, _ in merges:
+            syms = fold(syms, l, r)
+        assert got[w] == " ".join(syms), w
+
+
+def test_eb_rates_shrinks_toward_prior(spark):
+    """A 1-of-2 part must land BELOW a 90-of-1000 part after shrinkage
+    (raw rates say the opposite), and every shrunk rate sits between the
+    raw rate and the prior mean."""
+    from p2_mapreduce_spark.operators.analytics import eb_shrunk_rates
+
+    rows = []
+    # part 1: 1 return in 2 sales (raw 0.50); part 2: 90/1000 (raw 0.09)
+    rows += [(1, "R")] * 1 + [(1, "N")] * 1
+    rows += [(2, "R")] * 90 + [(2, "N")] * 910
+    # background parts around ~10% so the prior concentrates there
+    import hashlib
+    for p in range(3, 43):
+        k = 5 + int(hashlib.md5(str(p).encode()).hexdigest(), 16) % 10
+        rows += [(p, "R")] * k + [(p, "N")] * (100 - k)
+    li = spark.createDataFrame(rows, ["l_partkey", "l_returnflag"])
+    out = {r["l_partkey"]: r for r in eb_shrunk_rates(li).collect()}
+    assert out[1]["prior_used"] and out[2]["prior_used"]
+    # the empirical part keeps roughly its rate; the tiny part collapses
+    assert out[1]["shrunk_rate"] < 0.3, out[1]
+    assert abs(out[2]["shrunk_rate"] - 0.09) < 0.01
+    # tiny-sample shrinks BETWEEN raw and prior mean
+    m = sum(r["raw_ppm"] for r in out.values()) / len(out) / 1e6
+    assert m < out[1]["shrunk_rate"] < 0.5
