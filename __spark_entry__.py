@@ -2751,6 +2751,17 @@ def _q_bpe_encode(spark, sf_dir):
     )
 
 
+def _q_semantic_contamination(spark, sf_dir):
+    """Benchmark decontamination in embedding space: per corpus vector,
+    max cosine vs the config-sized benchmark set — zero-shuffle
+    projection with inlined benchmark literals."""
+    from p2_mapreduce_spark.operators.similarity import semantic_contamination
+
+    return semantic_contamination(
+        load_table(spark, sf_dir, "embeddings"), n_bench=8, tau=0.5
+    )
+
+
 def _q_eb_rates(spark, sf_dir):
     """Beta-Binomial shrunk return rates per part — exact ppm moment
     sums, pinned prior/shrink trees."""
@@ -2963,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": _q_exact_quantiles,
         "bpe_encode": _q_bpe_encode,
         "eb_rates": _q_eb_rates,
+        "semantic_contamination": _q_semantic_contamination,
         "hybrid_rrf": _q_hybrid_rrf,
         "seq_pattern": _q_seq_pattern,
         "cohort_ltv": _q_cohort_ltv,
@@ -8829,6 +8841,37 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, doc_id LIMIT 20
         """,
         "bpe_encode": bpe_encode_sql,
+        # embedding-decontamination twin: pairwise cosines over the
+        # config-sized bench set, max + ascending-id argmax — DuckDB's
+        # list_dot_product matches the Spark zip_with fold (the
+        # knn_embeddings protocol), so equality-to-max is exact
+        "semantic_contamination": """
+            WITH bench AS (
+                SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS bv,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS bn
+                FROM embeddings WHERE vec_id < 8
+            ),
+            corpus AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS cn
+                FROM embeddings WHERE vec_id >= 8
+            ),
+            scored AS (
+                SELECT c.vec_id, b.b_id,
+                       list_dot_product(cv, bv) / (cn * bn) AS cos
+                FROM corpus c, bench b
+            ),
+            mx AS (SELECT vec_id, MAX(cos) AS max_cos FROM scored GROUP BY 1)
+            SELECT s.vec_id,
+                   CAST(MIN(s.b_id) AS BIGINT) AS bench_id,
+                   m.max_cos,
+                   m.max_cos > 0.5 AS contaminated
+            FROM scored s JOIN mx m
+              ON s.vec_id = m.vec_id AND s.cos = m.max_cos
+            GROUP BY s.vec_id, m.max_cos
+        """,
         # EB shrinkage twin: exact ppm moment sums, the m/v/alpha/shrink
         # trees mirrored op-for-op
         "eb_rates": """

@@ -1218,3 +1218,76 @@ def ivf_append_report(
             ).alias("growth_ppm"),
         )
     )
+
+
+def semantic_contamination(
+    embeddings: DataFrame,
+    n_bench: int = 8,
+    tau: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic face of
+    :func:`curation.benchmark_contamination` (which matches n-gram
+    SURFACE overlap; paraphrased eval leakage sails straight through
+    it): every corpus vector scores its maximum cosine against the
+    benchmark set, and ``contaminated = max_cos > tau`` is the drop
+    decision (the scaling-laws-era dedup step run before training).
+
+    Benchmark set here = the first ``n_bench`` vectors (a deterministic
+    stand-in for the real eval-set embeddings); corpus = the rest.
+
+    Plan at 100 TB: the benchmark set is CONFIG-sized, so it inlines
+    as literal vectors (the knn query-block device — a documented
+    bounded collect) and the whole operator is ONE zero-shuffle
+    projection over the corpus scan: per row, ``n_bench`` codegen dot
+    products, a ``greatest`` for the max, and a first-match CASE chain
+    in ascending benchmark-id order for the argmax (ties therefore
+    break to the smallest id — total, engine-invariant).  Nothing
+    shuffles, nothing joins; a ``groupBy(vec_id)`` formulation would
+    shuffle corpus × n_bench rows for no reason.
+
+    Returns ``(vec_id, bench_id, max_cos, contaminated)``.
+    """
+    emb_n = with_norm(embeddings, vec_col)
+    bench_rows = sorted(
+        emb_n.filter(F.col(id_col) < n_bench)
+        .select(id_col, vec_col, "norm")
+        .collect(),
+        key=lambda r: r[id_col],
+    )
+    corpus = emb_n.filter(F.col(id_col) >= n_bench).select(
+        F.col(id_col), F.col(vec_col).alias("c_vec"), F.col("norm").alias("c_norm")
+    )
+    if not bench_rows:  # nothing to screen against: all clean, no argmax
+        return corpus.select(
+            id_col,
+            F.lit(None).cast("bigint").alias("bench_id"),
+            F.lit(None).cast("double").alias("max_cos"),
+            F.lit(False).alias("contaminated"),
+        )
+    cos_cols = [
+        (
+            _dot(F.col("c_vec"), F.lit([float(x) for x in r[vec_col]]))
+            / (F.col("c_norm") * F.lit(float(r["norm"])))
+        ).alias(f"cos_{i}")
+        for i, r in enumerate(bench_rows)
+    ]
+    scored = corpus.select(id_col, *cos_cols)
+    mx = F.greatest(*[F.col(f"cos_{i}") for i in range(len(bench_rows))]) if len(bench_rows) > 1 else F.col("cos_0")
+    arg = F.lit(None).cast("bigint")
+    # first match in ASCENDING bench-id order wins: fold the CASE chain
+    # from the back so earlier ids take precedence
+    for i in reversed(range(len(bench_rows))):
+        arg = F.when(
+            F.col(f"cos_{i}") == F.col("max_cos"), F.lit(int(bench_rows[i][id_col]))
+        ).otherwise(arg)
+    return (
+        scored.withColumn("max_cos", mx)
+        .select(
+            id_col,
+            arg.alias("bench_id"),
+            "max_cos",
+            (F.col("max_cos") > F.lit(tau)).alias("contaminated"),
+        )
+    )

@@ -1776,3 +1776,73 @@ def test_eb_rates_shrinks_toward_prior(spark):
     # tiny-sample shrinks BETWEEN raw and prior mean
     m = sum(r["raw_ppm"] for r in out.values()) / len(out) / 1e6
     assert m < out[1]["shrunk_rate"] < 0.5
+
+
+def test_new_ops_empty_and_degenerate_inputs(spark):
+    """Round-3 additions behave on empty/degenerate inputs: no throws,
+    sane shapes (the robustness contract every operator family carries)."""
+    from p2_mapreduce_spark.operators.analytics import eb_shrunk_rates
+    from p2_mapreduce_spark.operators.events_analytics import (
+        cohort_ltv,
+        seq_pattern,
+        welch_ttest,
+    )
+    from p2_mapreduce_spark.operators.search import rrf_fuse
+
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    assert seq_pattern(empty_ev).count() == 0
+    assert cohort_ltv(empty_ev).count() == 0
+    # welch on empty: one row of NULLs (pivot over no arms), not a throw
+    row = welch_ttest(empty_ev).collect()[0]
+    assert row["n_a"] is None and row["t_stat"] is None
+    # eb with a single group: between-group variance is 0 -> raw fallback
+    li = spark.createDataFrame([(1, "R"), (1, "N")], ["l_partkey", "l_returnflag"])
+    r = eb_shrunk_rates(li).collect()[0]
+    assert r["prior_used"] is False and r["shrunk_rate"] == 0.5
+    # rrf with one empty side degrades to the other list's 1/(k+r) order
+    a = spark.createDataFrame([(1, 1), (2, 2)], ["doc_id", "rnk"])
+    b = spark.createDataFrame([], "doc_id long, rnk long")
+    out = rrf_fuse(a, b, top_n=5).collect()
+    assert [r["doc_id"] for r in sorted(out, key=lambda x: x["fused_rank"])] == [1, 2]
+
+
+def test_seq_pattern_partition_invariance(spark, sf_dir):
+    """The per-user letter string is a total order (ts, event_id) — the
+    match counts cannot depend on input partitioning."""
+    from p2_mapreduce_spark.operators.events_analytics import seq_pattern
+    from p2_mapreduce_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    one = {r["user_id"]: r["n_matches"] for r in seq_pattern(ev.coalesce(1)).collect()}
+    many = {r["user_id"]: r["n_matches"] for r in seq_pattern(ev.repartition(32)).collect()}
+    assert one == many and len(one) > 0
+
+
+def test_semantic_contamination_matches_bruteforce(spark, sf_dir):
+    """The inlined-literal projection equals a per-row numpy max-cosine
+    recompute, and the benchmark rows themselves are excluded."""
+    import numpy as np
+
+    from p2_mapreduce_spark.operators.similarity import semantic_contamination
+    from p2_mapreduce_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = {r["vec_id"]: r for r in semantic_contamination(emb, n_bench=8).collect()}
+    rows = emb.collect()
+    bench = sorted(
+        [r for r in rows if r["vec_id"] < 8], key=lambda r: r["vec_id"]
+    )
+    bm = np.array([r["embedding"] for r in bench], dtype=np.float64)
+    bn = np.linalg.norm(bm, axis=1)
+    assert all(v >= 8 for v in out)
+    for r in rows:
+        if r["vec_id"] < 8:
+            continue
+        v = np.array(r["embedding"], dtype=np.float64)
+        cos = (bm @ v) / (np.linalg.norm(v) * bn)
+        got = out[r["vec_id"]]
+        assert abs(got["max_cos"] - cos.max()) < 1e-9
+        assert got["bench_id"] == bench[int(cos.argmax())]["vec_id"]
+        assert got["contaminated"] == (got["max_cos"] > 0.5)
