@@ -2762,6 +2762,15 @@ def _q_semantic_contamination(spark, sf_dir):
     )
 
 
+def _q_otsu_threshold(spark, sf_dir):
+    """Otsu auto-threshold over the quantized quality-score histogram —
+    exact integer cumulative stats, pinned criterion tree, level-grain
+    argmax."""
+    from p2_mapreduce_spark.operators.curation import otsu_threshold
+
+    return otsu_threshold(load_table(spark, sf_dir, "documents"))
+
+
 def _q_eb_rates(spark, sf_dir):
     """Beta-Binomial shrunk return rates per part — exact ppm moment
     sums, pinned prior/shrink trees."""
@@ -2975,6 +2984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "eb_rates": _q_eb_rates,
         "semantic_contamination": _q_semantic_contamination,
+        "otsu_threshold": _q_otsu_threshold,
         "hybrid_rrf": _q_hybrid_rrf,
         "seq_pattern": _q_seq_pattern,
         "cohort_ltv": _q_cohort_ltv,
@@ -8841,6 +8851,55 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, doc_id LIMIT 20
         """,
         "bpe_encode": bpe_encode_sql,
+        # Otsu twin: the same quality tree as the quality_score oracle,
+        # quantized to levels; integer cumulative stats in HUGEINT, the
+        # a^2/(w0*(N-w0)) criterion tree mirrored, argmax tie -> min lvl
+        "otsu_threshold": """
+            WITH q AS (
+                SELECT CAST(floor((
+                    (CAST(strlen(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+                     / strlen(text)) * 0.5
+                  + (CAST(strlen(text)
+                          - strlen(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+                     / strlen(text)) * 0.25
+                  + (CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in)\\b'))
+                          AS DOUBLE)
+                     / len(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+                                       x -> x <> ''))) * 0.25
+                ) * 1000) AS BIGINT) AS lvl
+                FROM documents
+            ),
+            hist AS (SELECT lvl, CAST(COUNT(*) AS BIGINT) AS cnt FROM q GROUP BY 1),
+            tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                           CAST(SUM(CAST(lvl AS HUGEINT) * cnt) AS HUGEINT) AS s
+                    FROM hist),
+            cum AS (
+                SELECT lvl,
+                       SUM(cnt) OVER (ORDER BY lvl) AS w0,
+                       SUM(CAST(lvl AS HUGEINT) * cnt) OVER (ORDER BY lvl) AS sum0
+                FROM hist
+            ),
+            scored AS (
+                SELECT c.lvl, c.w0, t.n,
+                       CAST(c.sum0 * t.n - t.s * c.w0 AS DOUBLE)
+                       * CAST(c.sum0 * t.n - t.s * c.w0 AS DOUBLE)
+                       / (CAST(c.w0 AS DOUBLE) * (CAST(t.n AS DOUBLE) - CAST(c.w0 AS DOUBLE)))
+                           AS criterion
+                FROM cum c, tot t WHERE c.w0 < t.n
+            ),
+            mx AS (SELECT MAX(criterion) AS best FROM scored),
+            pick AS (
+                SELECT s.criterion, CAST(MIN(s.lvl) AS BIGINT) AS lvl, MAX(s.n) AS n
+                FROM scored s, mx m WHERE s.criterion = m.best
+                GROUP BY s.criterion
+            )
+            SELECT p.lvl,
+                   CAST(p.lvl AS DOUBLE) / 1000.0 AS threshold,
+                   p.criterion,
+                   CAST(s.w0 AS BIGINT) AS n_below,
+                   CAST(p.n - s.w0 AS BIGINT) AS n_above
+            FROM pick p JOIN scored s ON p.lvl = s.lvl
+        """,
         # embedding-decontamination twin: pairwise cosines over the
         # config-sized bench set, max + ascending-id argmax — DuckDB's
         # list_dot_product matches the Spark zip_with fold (the

@@ -260,6 +260,7 @@ HEADLINE = (
     "bpe_encode",
     "eb_rates",
     "semantic_contamination",
+    "otsu_threshold",
     # round-3 completion: every queries() entry is a headline query
     "above_avg",
     "approx_distinct",

@@ -1400,3 +1400,80 @@ def cluster_sample(
         <= F.lit(threshold_hex)
     )
     return df.filter(pred)
+
+
+def otsu_threshold(docs: DataFrame, levels: int = 1000) -> DataFrame:
+    """Automatic quality-cutoff selection by Otsu's method: the
+    threshold over the (quantized) quality-score histogram that
+    maximizes between-class variance — the principled answer to "where
+    do I cut?" that replaces hand-picked quality filters (curation
+    pipelines routinely bake in an arbitrary 0.5).
+
+    Classic Otsu runs on the HISTOGRAM LEVELS, so after one quantize
+    (``floor(quality·levels)``) everything is exact integers: per-level
+    counts, cumulative (w0, sum0) over the ≤``levels``+1-row histogram,
+    and the criterion numerator ``a = sum0·N − S·w0`` in DECIMAL(38,0)
+    (1000·N² — a BIGINT overflows near N=3e6).  The criterion
+    ``a²/(w0·(N−w0))`` is one pinned double tree per candidate (a² at
+    1e16 rows would overflow even DECIMAL, so the square lives in
+    double — deterministic, same tree in the oracle); the argmax takes
+    the max-filter-min device, ties → smallest level.
+
+    Plan at 100 TB: ONE map-side-combined histogram aggregate at level
+    grain; the cumulative window and argmax run on ≤ ``levels``+1 rows
+    (config grain — the doclen_histogram justification); one-row output.
+
+    Returns ``(lvl, threshold, criterion, n_below, n_above)``.
+    """
+    from p2_mapreduce_spark.operators.text_analysis import quality_score
+
+    lv = quality_score(docs).select(
+        F.floor(F.col("quality") * levels).cast("bigint").alias("lvl")
+    )
+    hist = lv.groupBy("lvl").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tot = hist.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("lvl") * F.col("cnt")).cast("decimal(38,0)").alias("s"),
+    )
+    w = Window.orderBy("lvl").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.withColumn("w0", F.sum("cnt").over(w))
+        .withColumn(
+            "sum0",
+            F.sum((F.col("lvl") * F.col("cnt")).cast("decimal(38,0)")).over(w),
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("w0") < F.col("n"))
+    )
+    a = (
+        F.col("sum0") * F.col("n").cast("decimal(38,0)")
+        - F.col("s") * F.col("w0").cast("decimal(38,0)")
+    ).cast("double")
+    w0d = F.col("w0").cast("double")
+    # the w0 < n guard lives INSIDE the expression (CASE short-circuits):
+    # Catalyst pushes the later criterion == best filter below the row
+    # filter, and in ANSI mode the unguarded division then throws on the
+    # w0 == n row it was about to discard
+    crit = F.when(
+        F.col("w0") < F.col("n"),
+        (a * a) / (w0d * (F.col("n").cast("double") - w0d)),
+    )
+    scored = cum.select("lvl", "w0", "n", crit.alias("criterion"))
+    mx = scored.agg(F.max("criterion").alias("best"))
+    return (
+        scored.crossJoin(F.broadcast(mx))
+        .filter(F.col("criterion") == F.col("best"))
+        .groupBy("criterion")
+        .agg(
+            F.min("lvl").cast("bigint").alias("lvl"),
+            F.max("n").alias("n"),
+        )
+        .join(scored.select("lvl", "w0"), "lvl")
+        .select(
+            "lvl",
+            (F.col("lvl").cast("double") / F.lit(float(levels))).alias("threshold"),
+            "criterion",
+            F.col("w0").alias("n_below"),
+            (F.col("n") - F.col("w0")).alias("n_above"),
+        )
+    )

@@ -184,6 +184,10 @@ FUNNEL_REVIEWED = {
     # rows (the fold_ci justification), broadcast back; the fact table
     # contracts map-side and never reshuffles
     "eb_rates",
+    # otsu_threshold: cumulative window + argmax over the ≤ levels+1-row
+    # quantized histogram (config grain, the doclen_histogram
+    # justification) + one-row totals/argmax aggregates
+    "otsu_threshold",
 }
 
 

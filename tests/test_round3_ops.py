@@ -1846,3 +1846,18 @@ def test_semantic_contamination_matches_bruteforce(spark, sf_dir):
         assert abs(got["max_cos"] - cos.max()) < 1e-9
         assert got["bench_id"] == bench[int(cos.argmax())]["vec_id"]
         assert got["contaminated"] == (got["max_cos"] > 0.5)
+
+
+def test_otsu_threshold_separates_bimodal(spark):
+    """On a cleanly bimodal quality corpus the Otsu cut lands between
+    the two modes, and each class count matches the construction."""
+    # construct docs whose quality ~ alpha_ratio: low-alpha junk vs clean
+    # (junk keeps ONE token so quality_score's stop_ratio stays defined)
+    junk = [(i, "zz !!! ??? ### $$$ %%% ^^^ &&& *** (((") for i in range(20)]
+    clean = [(100 + i, "the quick brown fox jumps over the lazy dog again") for i in range(30)]
+    docs = spark.createDataFrame(junk + clean, ["doc_id", "text"])
+    from p2_mapreduce_spark.operators.curation import otsu_threshold
+
+    row = otsu_threshold(docs).collect()[0]
+    assert row["n_below"] == 20 and row["n_above"] == 30
+    assert row["criterion"] > 0
