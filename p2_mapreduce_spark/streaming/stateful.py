@@ -363,3 +363,86 @@ def first_seen_stream(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+PATTERN_OUTPUT_SCHEMA = "user_id long, seq_len long, n_matches long"
+#: the full (ts, event_id, letter) history per user, kept SORTABLE so
+#: out-of-order arrivals across micro-batches cannot corrupt the sequence
+PATTERN_STATE_SCHEMA = "ts array<long>, ids array<long>, chs string"
+
+_PATTERN_LETTERS = {
+    "click": "c", "error": "e", "purchase": "p", "signup": "s", "view": "v",
+}
+
+
+def _pattern_fn(pattern: str):
+    import re
+
+    rx = re.compile(pattern)
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdf_iter: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        ts_us = rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        new = list(
+            zip(
+                ts_us.tolist(),
+                rows["event_id"].astype("int64").tolist(),
+                (_PATTERN_LETTERS.get(t, "") for t in rows["event_type"]),
+            )
+        )
+        if state.exists:
+            ts0, ids0, chs0 = state.get
+            merged = sorted(list(zip(ts0, ids0, chs0)) + new)
+        else:
+            merged = sorted(new)
+        seq = "".join(ch for _, _, ch in merged)
+        state.update((
+            [t for t, _, _ in merged],
+            [i for _, i, _ in merged],
+            seq,
+        ))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "seq_len": [len(seq)],
+                "n_matches": [len(rx.findall(seq))],
+            }
+        )
+
+    return fn
+
+
+def pattern_match_stream(
+    events_stream: DataFrame, pattern: str = "vc*p"
+) -> DataFrame:
+    """Streaming row-pattern matching (the Flink-CEP workload): the live
+    twin of :func:`p2_mapreduce_spark.operators.events_analytics.
+    seq_pattern` — per micro-batch, each touched user re-emits
+    ``(seq_len, n_matches)`` over their full letter sequence (update
+    mode changelog; the LAST emission per user equals the batch
+    operator exactly).
+
+    State keeps the per-user ``(ts, event_id, letter)`` history and
+    RE-SORTS on every merge, so the count is invariant to how events
+    split across micro-batches AND to out-of-order arrival — pinned in
+    pytest by replaying shuffled splits.  Python ``re`` and Java regex
+    agree on leftmost-non-overlapping ``findall`` counts for the
+    patterns this engine ships (no backrefs, no lookaround).
+
+    State is bounded by the busiest single user's event count — the
+    same per-key contract as the batch operator and the reference's M5
+    reduce; a production deployment sessionizes first (the documented
+    seq_pattern composition) so the history is gap-bounded.
+    """
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _pattern_fn(pattern),
+        outputStructType=PATTERN_OUTPUT_SCHEMA,
+        stateStructType=PATTERN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

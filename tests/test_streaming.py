@@ -736,3 +736,53 @@ def test_dedup_ingest_sink_accepts_only_novel_docs(spark, sf_dir, tmp_path):
         q.stop()
     accepted = {r.doc_id for r in spark.read.parquet(table).collect()}
     assert accepted == {200, 201}  # dup-of-corpus and dup-of-accepted both rejected
+
+
+def test_pattern_match_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming CEP twin: after all micro-batches drain — including
+    out-of-order splits (files written by event_id stripe, not time) —
+    the last (seq_len, n_matches) per user equals the batch seq_pattern
+    for every user with at least one match."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.events_analytics import seq_pattern
+    from p2_mapreduce_spark.streaming.stateful import pattern_match_stream
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        r["user_id"]: (r["seq_len"], r["n_matches"])
+        for r in seq_pattern(events, pattern="vc*p").collect()
+    }
+    src = str(tmp_path / "pat_src")
+    # stripe by event_id % 3: each micro-batch carries a time-interleaved
+    # slice, so arrivals are out of order ACROSS batches
+    events.withColumn("stripe", F.col("event_id") % 3).repartition(
+        3, "stripe"
+    ).drop("stripe").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        pattern_match_stream(stream, pattern="vc*p")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("pattern_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["user_id"]: (r["seq_len"], r["n_matches"])
+            for r in spark.sql(
+                """SELECT user_id, seq_len, n_matches FROM (
+                     SELECT *, row_number() OVER (
+                       PARTITION BY user_id ORDER BY seq_len DESC) AS rn
+                     FROM pattern_stream) WHERE rn = 1"""
+            ).collect()
+        }
+    finally:
+        q.stop()
+    streamed_matched = {u: v for u, v in got.items() if v[1] > 0}
+    assert streamed_matched == batch and len(batch) > 0
