@@ -2771,6 +2771,14 @@ def _q_otsu_threshold(spark, sf_dir):
     return otsu_threshold(load_table(spark, sf_dir, "documents"))
 
 
+def _q_session_pattern(spark, sf_dir):
+    """Session-scoped row-pattern match: the seq_pattern x sessionize
+    composition — regex per session letter string."""
+    from p2_mapreduce_spark.operators.events_analytics import session_pattern
+
+    return session_pattern(load_table(spark, sf_dir, "events"), pattern="vc*p")
+
+
 def _q_eb_rates(spark, sf_dir):
     """Beta-Binomial shrunk return rates per part — exact ppm moment
     sums, pinned prior/shrink trees."""
@@ -2985,6 +2993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eb_rates": _q_eb_rates,
         "semantic_contamination": _q_semantic_contamination,
         "otsu_threshold": _q_otsu_threshold,
+        "session_pattern": _q_session_pattern,
         "hybrid_rrf": _q_hybrid_rrf,
         "seq_pattern": _q_seq_pattern,
         "cohort_ltv": _q_cohort_ltv,
@@ -8851,6 +8860,42 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, doc_id LIMIT 20
         """,
         "bpe_encode": bpe_encode_sql,
+        # session-scoped pattern twin: the sessionize lag+cumsum device,
+        # then per-(user, session) ordered string_agg + regex count
+        "session_pattern": f"""
+            WITH g AS (
+                SELECT user_id, event_id, ts, event_type,
+                       CASE WHEN epoch_us(ts)
+                                 - LAG(epoch_us(ts)) OVER (
+                                       PARTITION BY user_id ORDER BY ts, event_id
+                                   ) > 1800000000
+                            THEN 1 ELSE 0 END AS is_break
+                FROM {ev}
+            ), s AS (
+                SELECT user_id, ts, event_id, event_type,
+                       SUM(is_break) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_seq
+                FROM g
+            ), seqs AS (
+                SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                       string_agg(CASE event_type
+                                    WHEN 'click' THEN 'c'
+                                    WHEN 'error' THEN 'e'
+                                    WHEN 'purchase' THEN 'p'
+                                    WHEN 'signup' THEN 's'
+                                    WHEN 'view' THEN 'v' END,
+                                  '' ORDER BY ts, event_id) AS sq
+                FROM s GROUP BY 1, 2
+            )
+            SELECT user_id, session_seq,
+                   CAST(length(sq) AS BIGINT) AS seq_len,
+                   CAST(len(regexp_extract_all(sq, 'vc*p')) AS BIGINT)
+                       AS n_matches
+            FROM seqs
+            WHERE len(regexp_extract_all(sq, 'vc*p')) > 0
+        """,
         # Otsu twin: the same quality tree as the quality_score oracle,
         # quantized to levels; integer cumulative stats in HUGEINT, the
         # a^2/(w0*(N-w0)) criterion tree mirrored, argmax tie -> min lvl

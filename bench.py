@@ -261,6 +261,7 @@ HEADLINE = (
     "eb_rates",
     "semantic_contamination",
     "otsu_threshold",
+    "session_pattern",
     # round-3 completion: every queries() entry is a headline query
     "above_avg",
     "approx_distinct",

@@ -1386,3 +1386,59 @@ def welch_ttest(events: DataFrame, metric_type: str = "purchase") -> DataFrame:
         ma.alias("mean_a"), mb.alias("mean_b"),
         t.alias("t_stat"), dof.alias("df"),
     )
+
+
+def session_pattern(
+    events: DataFrame,
+    pattern: str = "vc*p",
+    gap_minutes: int = 30,
+    type_letters: dict[str, str] | None = None,
+) -> DataFrame:
+    """Session-scoped row-pattern match — the documented
+    :func:`seq_pattern` × sessionize composition, explicit: the regex
+    runs over each SESSION's letter string, so a view in one visit and
+    a purchase a week later no longer count as a conversion path (the
+    semantics product analytics actually wants, and the state-bounding
+    form for 100 TB: per-task memory is the busiest single SESSION,
+    not the busiest user's lifetime).
+
+    One user-grain shuffle total: session assignment (lag + cumsum) and
+    the per-(user, session) collect share the same partitioning.
+
+    Returns ``(user_id, session_seq, seq_len, n_matches)`` for sessions
+    that match at least once.
+    """
+    from p2_mapreduce_spark.streaming.events import assign_sessions
+
+    letters = type_letters or {
+        "click": "c", "error": "e", "purchase": "p", "signup": "s", "view": "v",
+    }
+    enc = F.create_map(
+        *[F.lit(x) for kv in sorted(letters.items()) for x in kv]
+    )
+    per_session = (
+        assign_sessions(events, gap_minutes)
+        .select(
+            "user_id",
+            "session_seq",
+            F.struct(
+                F.col("ts"), F.col("event_id"), enc[F.col("event_type")].alias("ch")
+            ).alias("ev"),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(F.array_sort(F.collect_list("ev")).alias("evs"))
+        .select(
+            "user_id",
+            F.col("session_seq").cast("bigint").alias("session_seq"),
+            F.concat_ws("", F.transform("evs", lambda e: e["ch"])).alias("seq"),
+        )
+    )
+    return (
+        per_session.select(
+            "user_id",
+            "session_seq",
+            F.length("seq").cast("bigint").alias("seq_len"),
+            F.regexp_count("seq", F.lit(pattern)).cast("bigint").alias("n_matches"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )

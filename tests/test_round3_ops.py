@@ -1861,3 +1861,24 @@ def test_otsu_threshold_separates_bimodal(spark):
     row = otsu_threshold(docs).collect()[0]
     assert row["n_below"] == 20 and row["n_above"] == 30
     assert row["criterion"] > 0
+
+
+def test_session_pattern_scopes_to_sessions(spark):
+    """A view→purchase path split across a session gap must NOT match;
+    the same path inside one session must."""
+    from p2_mapreduce_spark.operators.events_analytics import session_pattern
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: view then purchase 2h apart -> different sessions
+            (1, "2024-01-01 08:00:00", 1, "view", 0.0, "{}"),
+            (2, "2024-01-01 10:00:00", 1, "purchase", 5.0, "{}"),
+            # user 2: view then purchase 5 min apart -> one session
+            (3, "2024-01-01 08:00:00", 2, "view", 0.0, "{}"),
+            (4, "2024-01-01 08:05:00", 2, "purchase", 5.0, "{}"),
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = session_pattern(ev, pattern="vc*p", gap_minutes=30).collect()
+    assert len(got) == 1
+    assert got[0]["user_id"] == 2 and got[0]["n_matches"] == 1
