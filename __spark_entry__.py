@@ -2779,6 +2779,22 @@ def _q_session_pattern(spark, sf_dir):
     return session_pattern(load_table(spark, sf_dir, "events"), pattern="vc*p")
 
 
+def _q_temperature_mix(spark, sf_dir):
+    """T=2 temperature mixture weights per source: sqrt micro-weights,
+    exact-integer largest remainder to the budget."""
+    from p2_mapreduce_spark.operators.curation import temperature_mix
+
+    return temperature_mix(load_table(spark, sf_dir, "documents"), budget=1000)
+
+
+def _q_coverage_curve(spark, sf_dir):
+    """Top-r vocabulary token-mass coverage at rank checkpoints —
+    descending two-phase rank + one conditional-aggregate pass."""
+    from p2_mapreduce_spark.operators.text_analysis import coverage_curve
+
+    return coverage_curve(load_table(spark, sf_dir, "documents"))
+
+
 def _q_eb_rates(spark, sf_dir):
     """Beta-Binomial shrunk return rates per part — exact ppm moment
     sums, pinned prior/shrink trees."""
@@ -2994,6 +3010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_contamination": _q_semantic_contamination,
         "otsu_threshold": _q_otsu_threshold,
         "session_pattern": _q_session_pattern,
+        "temperature_mix": _q_temperature_mix,
+        "coverage_curve": _q_coverage_curve,
         "hybrid_rrf": _q_hybrid_rrf,
         "seq_pattern": _q_seq_pattern,
         "cohort_ltv": _q_cohort_ltv,
@@ -8860,6 +8878,71 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, doc_id LIMIT 20
         """,
         "bpe_encode": bpe_encode_sql,
+        # coverage-curve twin: ROW_NUMBER over (freq DESC, word), then
+        # one conditional-sum pass at the checkpoint grid
+        "coverage_curve": f"""
+            WITH wf AS (
+                SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+                FROM (SELECT unnest(t) AS word FROM ({toks}))
+                GROUP BY word
+            ),
+            ranked AS (
+                SELECT freq,
+                       ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS r
+                FROM wf
+            ),
+            one AS (
+                SELECT
+                    {', '.join(
+                        f"CAST(SUM(CASE WHEN r <= {c} THEN freq ELSE 0 END) AS BIGINT) AS m_{c}, "
+                        f"CAST(SUM(CASE WHEN r <= {c} THEN 1 ELSE 0 END) AS BIGINT) AS v_{c}"
+                        for c in (1, 2, 5, 10, 20, 50)
+                    )},
+                    CAST(SUM(freq) AS BIGINT) AS total
+                FROM ranked
+            )
+            SELECT * FROM (
+                {' UNION ALL '.join(
+                    f"SELECT CAST({c} AS BIGINT) AS rank_checkpoint, v_{c} AS n_vocab, "
+                    f"m_{c} AS mass, CAST(m_{c} * 1000000 // total AS BIGINT) AS coverage_ppm FROM one"
+                    for c in (1, 2, 5, 10, 20, 50)
+                )}
+            )
+        """,
+        # T-sampling twin: floor(sqrt(n)*1e6) micro-weights (sqrt is
+        # correctly rounded in both engines), exact integer div/mod
+        # largest-remainder to the budget, ties -> source key
+        "temperature_mix": """
+            WITH per AS (
+                SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY 1
+            ),
+            w AS (
+                SELECT g, n_docs,
+                       CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0)
+                            AS BIGINT) AS weight_q
+                FROM per
+            ),
+            tot AS (SELECT CAST(SUM(weight_q) AS BIGINT) AS wsum FROM w),
+            scored AS (
+                SELECT g, n_docs, weight_q,
+                       weight_q * 1000000 // wsum AS share_ppm,
+                       (1000 * weight_q) // wsum AS base,
+                       (1000 * weight_q) % wsum AS rem
+                FROM w, tot
+            ),
+            short AS (SELECT 1000 - SUM(base) AS short FROM scored),
+            ranked AS (
+                SELECT s.*, sh.short,
+                       ROW_NUMBER() OVER (ORDER BY s.rem DESC, s.g) AS rr
+                FROM scored s, short sh
+            )
+            SELECT g AS source, n_docs, weight_q,
+                   CAST(share_ppm AS BIGINT) AS share_ppm,
+                   CAST(base + CASE WHEN rr <= short THEN 1 ELSE 0 END
+                        AS BIGINT) AS alloc
+            FROM ranked
+        """,
         # session-scoped pattern twin: the sessionize lag+cumsum device,
         # then per-(user, session) ordered string_agg + regex count
         "session_pattern": f"""

@@ -262,6 +262,8 @@ HEADLINE = (
     "semantic_contamination",
     "otsu_threshold",
     "session_pattern",
+    "temperature_mix",
+    "coverage_curve",
     # round-3 completion: every queries() entry is a headline query
     "above_avg",
     "approx_distinct",

@@ -1477,3 +1477,64 @@ def otsu_threshold(docs: DataFrame, levels: int = 1000) -> DataFrame:
             (F.col("n") - F.col("w0")).alias("n_above"),
         )
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    budget: int = 1000,
+    group_col: str = "source",
+) -> DataFrame:
+    """Temperature-based mixture weighting at T=2 — the standard
+    multilingual/multi-domain sampling rule (mBERT/XLM exponentiate
+    corpus sizes by 1/T so low-resource domains are not drowned; T=2 is
+    the common production setting): domain i's share ∝ √n_i, then a
+    ``budget``-row allocation by largest remainder.
+
+    T=2 is also the exactness sweet spot: √ is the one power that is
+    CORRECTLY ROUNDED in IEEE (general ``pow`` is not, and differs
+    across libm builds — the reason this operator does not take an
+    arbitrary T).  The rounded √n quantizes to a BIGINT micro-weight
+    (floor(√n·10⁶)) BEFORE the cross-domain sum, so the denominator is
+    an exact integer, every share is an exact integer ppm, and the
+    largest-remainder integerization (the neyman_alloc device, here on
+    exact micro-remainders — no float at all) sums to EXACTLY
+    ``budget``, ties → group key.
+
+    Shape at 100 TB: one map-side-combined count to #domains rows;
+    everything after is domain-grain (config-bounded window).
+
+    Returns ``(source, n_docs, weight_q, share_ppm, alloc)``.
+    """
+    per = docs.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    wq = F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1e6).cast("bigint")
+    w = per.select("g", "n_docs", wq.alias("weight_q"))
+    tot = w.agg(F.sum("weight_q").cast("bigint").alias("wsum"))
+    b = F.lit(int(budget)).cast("bigint")
+    scored = w.crossJoin(F.broadcast(tot)).select(
+        "g",
+        "n_docs",
+        "weight_q",
+        F.expr("weight_q * 1000000 div wsum").alias("share_ppm"),
+        # exact micro-allocation: budget·wq/wsum as integer quotient +
+        # integer remainder — largest-remainder needs no float anywhere
+        F.expr(f"({int(budget)} * weight_q) div wsum").alias("base"),
+        F.expr(f"({int(budget)} * weight_q) % wsum").alias("rem"),
+    )
+    short = scored.agg((b - F.sum("base")).cast("bigint").alias("short"))
+    wr = Window.orderBy(F.col("rem").desc(), F.col("g"))
+    return (
+        scored.crossJoin(F.broadcast(short))
+        .withColumn("rr", F.row_number().over(wr))
+        .select(
+            F.col("g").alias(group_col),
+            "n_docs",
+            "weight_q",
+            F.col("share_ppm").cast("bigint").alias("share_ppm"),
+            (
+                F.col("base")
+                + F.when(F.col("rr") <= F.col("short"), 1).otherwise(0)
+            ).cast("bigint").alias("alloc"),
+        )
+    )

@@ -12,6 +12,8 @@ BASELINE.json's north star.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1078,4 +1080,80 @@ def lm_bigram_score(docs: DataFrame) -> DataFrame:
             .cast("bigint")
             .alias("lm_ppm"),
         )
+    )
+
+
+def coverage_curve(
+    docs: DataFrame,
+    checkpoints: Sequence[int] = (1, 2, 5, 10, 20, 50),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve: what share of ALL token occurrences
+    the top-r vocabulary entries cover, at rank checkpoints — the
+    tokenizer/vocab-size design chart (pick the vocab size where the
+    curve flattens; the rank-axis companion of zipf_buckets' mass
+    histogram and vocab_topk's entry list).
+
+    Rank = DESCENDING (freq, word) via the two-phase distributed rank
+    (revenue_concentration's device — no single task sorts the
+    vocabulary); the cumulative mass at each checkpoint is ONE
+    conditional aggregate pass (no window over the vocabulary), and
+    coverage is an exact integer ppm.
+
+    Returns ``(rank_checkpoint, n_vocab, mass, coverage_ppm)`` — one
+    row per checkpoint, ``n_vocab`` = entries actually present at that
+    checkpoint (≤ checkpoint when the vocabulary is smaller).
+    """
+    wf = (
+        spread(docs)
+        .select(F.explode(tokens_array(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    # two-phase rank, DESCENDING mass: range-partition on (-freq, word)
+    t = (
+        wf.repartitionByRange(F.negate(F.col("freq")), F.col("word"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_in = Window.partitionBy("pid").orderBy(F.desc("freq"), F.asc("word"))
+    t = t.withColumn("rn", F.row_number().over(w_in))
+    per = t.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("pid", "off")
+    ranked = t.join(F.broadcast(offsets), "pid").select(
+        "freq", (F.col("off") + F.col("rn")).alias("r")
+    )
+    cps = sorted(set(int(c) for c in checkpoints))
+    aggs = []
+    for c in cps:
+        aggs.append(
+            F.sum(F.when(F.col("r") <= c, F.col("freq")).otherwise(0))
+            .cast("bigint")
+            .alias(f"m_{c}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("r") <= c, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"v_{c}")
+        )
+    aggs.append(F.sum("freq").cast("bigint").alias("total"))
+    one = ranked.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).cast("bigint").alias("rank_checkpoint"),
+                F.col(f"v_{c}").alias("n_vocab"),
+                F.col(f"m_{c}").alias("mass"),
+                F.expr(f"m_{c} * 1000000 div total").alias("coverage_ppm"),
+            )
+            for c in cps
+        ]
+    )
+    return one.select(F.explode(pairs).alias("p")).select(
+        F.col("p.rank_checkpoint").alias("rank_checkpoint"),
+        F.col("p.n_vocab").alias("n_vocab"),
+        F.col("p.mass").alias("mass"),
+        F.col("p.coverage_ppm").cast("bigint").alias("coverage_ppm"),
     )

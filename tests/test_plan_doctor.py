@@ -188,6 +188,13 @@ FUNNEL_REVIEWED = {
     # quantized histogram (config grain, the doclen_histogram
     # justification) + one-row totals/argmax aggregates
     "otsu_threshold",
+    # temperature_mix: one-row weight-total/shortfall aggregates + the
+    # #domains-grain largest-remainder window (the neyman_alloc
+    # justification)
+    "temperature_mix",
+    # coverage_curve: #partitions-grain offset table (two-phase rank) +
+    # the one-row checkpoint-grid aggregate exploded to #checkpoints
+    "coverage_curve",
 }
 
 

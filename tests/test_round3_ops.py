@@ -1882,3 +1882,36 @@ def test_session_pattern_scopes_to_sessions(spark):
     got = session_pattern(ev, pattern="vc*p", gap_minutes=30).collect()
     assert len(got) == 1
     assert got[0]["user_id"] == 2 and got[0]["n_matches"] == 1
+
+
+def test_temperature_mix_flattens_and_sums_to_budget(spark):
+    """T=2 weighting lifts small domains relative to raw shares, large
+    domains fall, and the largest-remainder allocation sums EXACTLY to
+    the budget."""
+    from p2_mapreduce_spark.operators.curation import temperature_mix
+
+    rows = [(i, "big") for i in range(900)] + [(900 + i, "small") for i in range(100)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = {r["source"]: r for r in temperature_mix(docs, budget=100).collect()}
+    assert out["big"]["alloc"] + out["small"]["alloc"] == 100
+    # raw share of small = 10%; sqrt share = 10/(30+10) = 25%
+    assert out["small"]["alloc"] == 25 and out["big"]["alloc"] == 75
+
+
+def test_coverage_curve_monotone_and_exact(spark):
+    """Coverage is nondecreasing in rank, hits 100% at full vocabulary,
+    and the top-1 checkpoint carries exactly the modal word's mass."""
+    from p2_mapreduce_spark.operators.text_analysis import coverage_curve
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa aa bb bb cc dd")], ["doc_id", "text"]
+    )
+    rows = {r["rank_checkpoint"]: r for r in coverage_curve(docs).collect()}
+    assert rows[1]["mass"] == 4 and rows[1]["coverage_ppm"] == 500000
+    assert rows[2]["mass"] == 6 and rows[2]["coverage_ppm"] == 750000
+    assert rows[5]["coverage_ppm"] == 1000000 and rows[5]["n_vocab"] == 4
+    cps = sorted(rows)
+    assert all(
+        rows[cps[i]]["coverage_ppm"] <= rows[cps[i + 1]]["coverage_ppm"]
+        for i in range(len(cps) - 1)
+    )
