@@ -91,3 +91,48 @@ def test_pack_sequences_shuffles_data_once(spark, docs):
     ).collect()[0]["b"]
     shuffled = measure_shuffle_bytes(pack_sequences(docs))
     assert shuffled < 3 * input_bytes, (shuffled, input_bytes)
+
+
+def test_semantic_contamination_shuffles_nothing(spark, sf_dir):
+    """semantic_contamination's claim: the benchmark inlines as
+    literals and the whole operator is one zero-shuffle projection —
+    measured shuffle bytes are EXACTLY zero (a groupBy formulation
+    would ship corpus × n_bench rows)."""
+    from p2_mapreduce_spark.operators.similarity import semantic_contamination
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    shuffled = measure_shuffle_bytes(semantic_contamination(emb, n_bench=8))
+    assert shuffled == 0, shuffled
+
+
+def test_hybrid_rrf_fusion_adds_config_grain_shuffle_only(spark, sf_dir, docs):
+    """hybrid_search's claim: RRF fusion itself is config-grain — the
+    candidate lists are LIMITed, so fusing adds only a ≤2·top-N-row
+    exchange ON TOP of what the two retrievers already shuffle.
+    Measured as a DELTA: hybrid's shuffle minus the standalone BM25 and
+    kNN shuffles stays under 64 KiB (≤100 fused rows + framing), no
+    matter the corpus size."""
+    from p2_mapreduce_spark.operators.search import bm25_search, hybrid_search
+    from p2_mapreduce_spark.operators.similarity import knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    terms = ["spark", "table", "window"]
+    base = measure_shuffle_bytes(
+        bm25_search(docs, terms, top_n=50)
+    ) + measure_shuffle_bytes(knn_bruteforce(emb, n_queries=1, k=50))
+    total = measure_shuffle_bytes(hybrid_search(docs, emb, terms))
+    assert total - base < 64 * 1024, (total, base)
+
+
+def test_seq_pattern_shuffle_is_letter_grain(spark, sf_dir):
+    """seq_pattern's claim: the user-grain collect ships (ts, id,
+    letter) structs — a small CONSTANT per event, independent of the
+    row's width (the JSON props column never crosses the wire).
+    Measured: < 48 bytes/event including lz4-framed map-output
+    overhead, vs the ~100+ bytes/event a raw-row shuffle ships."""
+    from p2_mapreduce_spark.operators.events_analytics import seq_pattern
+
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    shuffled = measure_shuffle_bytes(seq_pattern(ev))
+    assert shuffled < n_events * 48, (shuffled, n_events)

@@ -326,3 +326,20 @@ def test_binary_file_source_feeds_media_plane(spark, tmp_path):
     parsed = decode_media(imgs, decoder="headers").collect()
     assert len(parsed) == 1
     assert (parsed[0]["width"], parsed[0]["height"]) == (640, 480)
+
+
+def test_read_table_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC (the other columnar built-in) round-trips the same rows and
+    keeps exact types — the format-dispatch surface covers parquet, CSV,
+    JSONL, text, binaryFile, and ORC."""
+    from p2_mapreduce_spark.sources.readers import read_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    want = {tuple(r) for r in orders.collect()}
+    orc_dir = str(tmp_path / "orc")
+    orders.write.orc(orc_dir)
+    got = read_table(spark, orc_dir, "orc")
+    assert got.schema == orders.schema
+    assert {tuple(r) for r in got.collect()} == want
