@@ -35,6 +35,16 @@ AQE_PINNED = [
     "ab_quantile_diff",
     "interarrival",
     "acf_lags",
+    # late round-3 additions: two-phase-rank (qq), pinned-tree stats
+    # (welch, eb, otsu), rank fusion, pattern match, integer allocation
+    "qq_drift",
+    "welch_ttest",
+    "eb_rates",
+    "otsu_threshold",
+    "hybrid_rrf",
+    "seq_pattern",
+    "temperature_mix",
+    "coverage_curve",
 ]
 
 
