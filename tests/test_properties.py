@@ -378,3 +378,69 @@ def test_two_phase_rank_equals_global_sort_rank(spark, rows, n_parts):
         for rank, (v, i) in enumerate(members, start=1):
             want[(g, i)] = rank
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ra=st.lists(st.integers(1, 1000), min_size=0, max_size=12, unique=True),
+    rb=st.lists(st.integers(1, 1000), min_size=0, max_size=12, unique=True),
+)
+def test_rrf_fuse_matches_exact_rational_order(spark, ra, rb):
+    """RRF fused ORDER equals the exact-rational reference on arbitrary
+    rank lists: the one-division double trick cannot reorder items,
+    because distinct exact scores differ by far more than 1 ulp at
+    k=60 and ranks ≤ 1000."""
+    from fractions import Fraction
+
+    from p2_mapreduce_spark.operators.search import rrf_fuse
+
+    a_ids = list(range(100, 100 + len(ra)))
+    b_ids = list(range(100 + len(ra) // 2, 100 + len(ra) // 2 + len(rb)))
+    a = spark.createDataFrame(
+        list(zip(a_ids, [i + 1 for i in range(len(ra))])) or [(None, None)],
+        "doc_id long, rnk long",
+    ).dropna()
+    b = spark.createDataFrame(
+        list(zip(b_ids, [i + 1 for i in range(len(rb))])) or [(None, None)],
+        "doc_id long, rnk long",
+    ).dropna()
+    got = [
+        r["doc_id"]
+        for r in sorted(
+            rrf_fuse(a, b, k_rrf=60, top_n=100).collect(),
+            key=lambda r: r["fused_rank"],
+        )
+    ]
+    ref: dict[int, Fraction] = {}
+    for i, d in enumerate(a_ids):
+        ref[d] = ref.get(d, Fraction(0)) + Fraction(1, 60 + i + 1)
+    for i, d in enumerate(b_ids):
+        ref[d] = ref.get(d, Fraction(0)) + Fraction(1, 60 + i + 1)
+    want = [d for d, _ in sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))]
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    sizes=st.lists(st.integers(1, 10_000), min_size=1, max_size=8),
+    budget=st.integers(1, 500),
+)
+def test_temperature_mix_allocation_is_exact(spark, sizes, budget):
+    """For ANY domain-size profile and budget: allocations sum exactly
+    to the budget, and match the pure-integer largest-remainder
+    reference computed from the same sqrt micro-weights."""
+    import math
+
+    from p2_mapreduce_spark.operators.curation import temperature_mix
+
+    rows = [(i, f"s{g:02d}") for g, n in enumerate(sizes) for i in range(n)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = {r["source"]: r["alloc"] for r in temperature_mix(docs, budget=budget).collect()}
+    wq = {f"s{g:02d}": math.floor(math.sqrt(float(n)) * 1e6) for g, n in enumerate(sizes)}
+    wsum = sum(wq.values())
+    base = {g: budget * q // wsum for g, q in wq.items()}
+    rem = {g: (budget * q) % wsum for g, q in wq.items()}
+    short = budget - sum(base.values())
+    order = sorted(wq, key=lambda g: (-rem[g], g))
+    want = {g: base[g] + (1 if order.index(g) < short else 0) for g in wq}
+    assert got == want and sum(got.values()) == budget
