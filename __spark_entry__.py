@@ -1888,6 +1888,14 @@ def _q_gram_matrix(spark, sf_dir):
     return gram_matrix(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_kmeans_embeddings(spark, sf_dir):
+    """Semantic clustering (Lloyd k-means, exact fixed-point): the
+    upstream step of SemDeDup / cluster-balanced data mixing."""
+    from p2_mapreduce_spark.operators.similarity import kmeans_embeddings
+
+    return kmeans_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_copurchase(spark, sf_dir):
     from p2_mapreduce_spark.operators.analytics import copurchase_pairs
 
@@ -3108,6 +3116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": _q_quantile_sketch,
         "key_skew": _q_key_skew,
         "gram_matrix": _q_gram_matrix,
+        "kmeans_embeddings": _q_kmeans_embeddings,
         "copurchase": _q_copurchase,
         "event_dedup": _q_event_dedup,
         "grouped_trend": _q_grouped_trend,
@@ -3341,6 +3350,66 @@ def _profile_oracle(table: str, cols: list[str]) -> str:
         for c in cols
     ]
     return " UNION ALL ".join(parts)
+
+
+def _kmeans_oracle(
+    k: int = 4, iterations: int = 2, scale_bits: int = 20
+) -> str:
+    """Unrolled-loop SQL twin of kmeans_embeddings (the pagerank device):
+    all-integer assignment distances and centroid means make every round
+    bit-identical, so the final cluster table value-hashes."""
+    s = 1 << scale_bits
+    cte = f"""
+        WITH emb AS (
+            SELECT vec_id, i - 1 AS dim,
+                   CAST(floor(CAST(embedding[i] AS DOUBLE) * {s}) AS BIGINT)
+                       AS q
+            FROM embeddings,
+                 LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                          AS i) g
+        ),
+        seeds AS (
+            SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+        ),
+        c0 AS (SELECT s.cluster, e.dim, e.q
+               FROM seeds s JOIN emb e USING (vec_id))"""
+    for t in range(1, iterations + 1):
+        cte += f""",
+        d{t} AS (SELECT e.vec_id, c.cluster,
+                        SUM((e.q - c.q) * (e.q - c.q)) AS d2
+                 FROM emb e JOIN c{t - 1} c ON e.dim = c.dim GROUP BY 1, 2),
+        a{t} AS (SELECT vec_id, cluster FROM (
+                     SELECT vec_id, cluster,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d2, cluster) AS rn
+                     FROM d{t}) WHERE rn = 1),
+        u{t} AS (SELECT a.cluster, e.dim,
+                        CASE WHEN SUM(e.q) < 0 THEN -1 ELSE 1 END
+                        * (ABS(SUM(e.q)) // COUNT(*)) AS q
+                 FROM a{t} a JOIN emb e USING (vec_id) GROUP BY 1, 2),
+        c{t} AS (SELECT * FROM u{t}
+                 UNION ALL
+                 SELECT c.* FROM c{t - 1} c
+                 WHERE c.cluster NOT IN (SELECT cluster FROM u{t}))"""
+    return cte + f""",
+        df AS (SELECT e.vec_id, c.cluster,
+                      SUM((e.q - c.q) * (e.q - c.q)) AS d2
+               FROM emb e JOIN c{iterations} c ON e.dim = c.dim GROUP BY 1, 2),
+        af AS (SELECT vec_id, cluster, d2 FROM (
+                   SELECT vec_id, cluster, d2,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, cluster) AS rn
+                   FROM df) WHERE rn = 1),
+        cn AS (SELECT cluster, SUM(q * q) AS cnorm_q
+               FROM c{iterations} GROUP BY 1),
+        base AS (SELECT cluster, COUNT(*) AS n_members,
+                        CAST(SUM(CAST(d2 AS HUGEINT)) AS DOUBLE)
+                            / {float(1 << (2 * scale_bits))} AS inertia
+                 FROM af GROUP BY 1)
+        SELECT CAST(b.cluster AS BIGINT) AS cluster, b.n_members, b.inertia,
+               CAST(cn.cnorm_q AS BIGINT) AS cnorm_q
+        FROM base b JOIN cn USING (cluster)"""
 
 
 def _pagerank_oracle(iterations: int = 3) -> str:
@@ -7870,6 +7939,7 @@ def oracle_sql() -> dict[str, str]:
                      AS clipped
             FROM lineitem l JOIN q USING (l_returnflag)
         """,
+        "kmeans_embeddings": _kmeans_oracle(),
         "gram_matrix": """
             WITH q AS (
                 SELECT vec_id, g.i - 1 AS i,

@@ -1291,3 +1291,126 @@ def semantic_contamination(
             (F.col("max_cos") > F.lit(tau)).alias("contaminated"),
         )
     )
+
+
+def kmeans_embeddings(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iterations: int = 2,
+    scale_bits: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, in the repo's exact
+    fixed-point protocol (cf. ``gram_matrix`` / ``pagerank``): components
+    quantize ONCE to ``floor(x·2^scale_bits)`` BIGINTs, every distance is
+    an exact integer sum of squares, and the centroid update is exact
+    integer mean (truncated toward zero via the portable
+    ``sign·(|s| div n)`` form) — so every iteration is bit-identical
+    across engines/partitionings and the whole loop is value-hash
+    oracle-checkable by unrolling it in SQL.
+
+    Semantics: seeds are the ``k`` rows with the smallest ids (the
+    deterministic analog of Forgy init); each round assigns every vector
+    to the nearest centroid (ties break to the lowest cluster id) and
+    recomputes centroids as the exact integer mean of members (an empty
+    cluster keeps its previous centroid).  Output is cluster grain:
+    ``(cluster, n_members, inertia, cnorm_q)`` for the final assignment
+    against the final centroids — ``inertia`` surfaces as ONE double
+    division by ``2^(2·scale_bits)`` (exact DECIMAL(38,0) sum inside, the
+    ``emd_drift`` device) and ``cnorm_q`` is the exact quantized squared
+    norm of the final centroid.
+
+    Scale shape (semantic clustering of a 100 TB corpus is upstream of
+    SemDeDup / data mixing): the corpus NEVER shuffles — centroids are
+    driver-held (k·d BIGINTs, config grain, the same documented bound as
+    ``knn_bruteforce``'s query block and BPE's per-round argmax) and ship
+    into the assignment as a broadcast literal evaluated per-row in
+    codegen; the only shuffle per round is the (cluster, dim)-grain
+    partial→final SUM (k·d keys × partitions, independent of N).  The
+    quantized corpus localCheckpoints once (reliable ``checkpoint_dir``
+    option as in graph.py) so each round rescans columnar cache, not
+    parquet.  BIGINT bounds: per-component |q| ≤ 2^scale_bits for
+    unit-normish vectors, so d2 ≤ d·2^(2·scale_bits+2) (2^48 at d=64,
+    b=20) and per-(cluster,dim) update sums overflow only past ~2^42
+    member rows — beyond 100 TB at this dim; inertia accumulates in
+    DECIMAL(38,0).
+    """
+    from p2_mapreduce_spark.operators.graph import _make_ckpt
+
+    ckpt = _make_ckpt(embeddings.sparkSession, checkpoint_dir)
+    qexpr = (
+        f"transform({vec_col}, x -> "
+        f"cast(floor(cast(x as double) * {1 << scale_bits}) as bigint))"
+    )
+    emb = ckpt(
+        embeddings.select(
+            F.col(id_col).alias("_id"), F.expr(qexpr).alias("qarr")
+        )
+    )
+    seed_rows = emb.orderBy("_id").limit(k).collect()  # k·d ints: config grain
+    cents = {j: [int(v) for v in r["qarr"]] for j, r in enumerate(seed_rows)}
+    d = len(next(iter(cents.values())))
+
+    def _cents_sql() -> str:
+        entries = ", ".join(
+            f"struct({j} as cluster, cast(array({', '.join(map(str, cents[j]))}) "
+            f"as array<bigint>) as carr)"
+            for j in sorted(cents)
+        )
+        return f"array({entries})"
+
+    def _assign_col() -> str:
+        # argmin over the broadcast centroid literal: array_min on
+        # struct(d2, cluster) orders lexicographically => nearest centroid,
+        # ties to the lowest cluster id.  Pure codegen projection, no join.
+        return (
+            f"array_min(transform({_cents_sql()}, c -> struct("
+            f"aggregate(zip_with(qarr, c.carr, (a, b) -> (a - b) * (a - b)), "
+            f"cast(0 as bigint), (s, x) -> s + x) as d2, "
+            f"c.cluster as cluster)))"
+        )
+
+    for _ in range(iterations):
+        upd = (
+            emb.selectExpr(f"({_assign_col()}).cluster as cluster", "qarr")
+            .selectExpr("cluster", "posexplode(qarr) as (dim, q)")
+            .groupBy("cluster", "dim")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # k·d rows: config grain
+        )
+        new = {}
+        for r in upd:
+            s, n = int(r["s"]), int(r["n"])
+            new.setdefault(int(r["cluster"]), [0] * d)[int(r["dim"])] = (
+                (1 if s >= 0 else -1) * (abs(s) // n)
+            )
+        for j in cents:  # empty cluster keeps its previous centroid
+            if j in new:
+                cents[j] = new[j]
+
+    final = emb.selectExpr(
+        f"({_assign_col()}).cluster as cluster",
+        f"({_assign_col()}).d2 as d2",
+    )
+    norms = [sum(v * v for v in cents[j]) for j in sorted(cents)]
+    norms_arr = f"cast(array({', '.join(map(str, norms))}) as array<bigint>)"
+    return (
+        final.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("d2").cast("decimal(38,0)")).alias("_iq"),
+        )
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n_members",
+            (
+                F.col("_iq").cast("double")
+                / float(1 << (2 * scale_bits))
+            ).alias("inertia"),
+            F.expr(
+                f"element_at({norms_arr}, cast(cluster as int) + 1)"
+            ).alias("cnorm_q"),
+        )
+    )

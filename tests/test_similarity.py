@@ -413,3 +413,105 @@ def test_ivf_append_conserves_batch_and_matches_full_assignment(spark, sf_dir):
         .collect()
     }
     assert direct == again
+
+
+class TestKMeans:
+    def test_partition_invariant_and_total_members(self, spark, emb):
+        from p2_mapreduce_spark.operators.similarity import kmeans_embeddings
+
+        a = sorted(map(tuple, kmeans_embeddings(emb).collect()))
+        b = sorted(
+            map(tuple, kmeans_embeddings(emb.repartition(13)).collect())
+        )
+        assert a == b
+        assert sum(r[1] for r in a) == emb.count()
+
+    def test_inertia_non_increasing_over_iterations(self, spark, emb):
+        from p2_mapreduce_spark.operators.similarity import kmeans_embeddings
+
+        def inertia(it):
+            rows = kmeans_embeddings(emb, iterations=it).collect()
+            return sum(r["inertia"] for r in rows)
+
+        i0, i2 = inertia(0), inertia(2)
+        assert i2 <= i0 + 1e-9
+
+    def test_empty_cluster_keeps_previous_centroid(self, spark):
+        from p2_mapreduce_spark.operators.similarity import kmeans_embeddings
+
+        # seeds 0 and 1 are identical: every point ties to cluster 0, so
+        # cluster 1 goes empty on round 1 and must keep its seed centroid
+        # rather than crash or divide by zero.  The kept (0,0) centroid
+        # then legitimately recaptures the two origin points in the final
+        # assignment while the updated cluster-0 centroid keeps the far
+        # point — pinning both the empty-cluster path and the
+        # ties-to-lowest rule.
+        df = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [0.5, 0.5])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = kmeans_embeddings(df, k=2, iterations=1).collect()
+        got = {r["cluster"]: r for r in rows}
+        assert set(got) == {0, 1}
+        assert got[1]["n_members"] == 2  # origin points back on the seed
+        assert got[1]["cnorm_q"] == 0  # the kept centroid IS the seed
+        assert got[0]["n_members"] == 1
+
+    def test_matches_exact_integer_reference(self, spark, emb):
+        """Bit-exact parity with a driver-side pure-int Lloyd loop — the
+        same all-integer protocol evaluated without Spark."""
+        import math
+
+        from p2_mapreduce_spark.operators.similarity import kmeans_embeddings
+
+        S, k, d = 1 << 20, 4, None
+        data = {
+            int(r["vec_id"]): [
+                math.floor(float(x) * S) for x in r["embedding"]
+            ]
+            for r in emb.select("vec_id", "embedding").collect()
+        }
+        ids = sorted(data)
+        d = len(data[ids[0]])
+        cents = {j: data[ids[j]][:] for j in range(k)}
+
+        def assign():
+            out = {}
+            for vid in ids:
+                out[vid] = min(
+                    (
+                        sum(
+                            (data[vid][i] - cents[j][i]) ** 2
+                            for i in range(d)
+                        ),
+                        j,
+                    )
+                    for j in sorted(cents)
+                )
+            return out
+
+        for _ in range(2):
+            members = {}
+            for vid, (_, j) in assign().items():
+                members.setdefault(j, []).append(vid)
+            for j, vs in members.items():
+                cents[j] = [
+                    (1 if (s := sum(data[v][i] for v in vs)) >= 0 else -1)
+                    * (abs(s) // len(vs))
+                    for i in range(d)
+                ]
+        agg = {}
+        for vid, (d2, j) in assign().items():
+            n, iq = agg.get(j, (0, 0))
+            agg[j] = (n + 1, iq + d2)
+        want = sorted(
+            (
+                j,
+                n,
+                iq / float(1 << 40),
+                sum(v * v for v in cents[j]),
+            )
+            for j, (n, iq) in agg.items()
+        )
+        got = sorted(map(tuple, kmeans_embeddings(emb).collect()))
+        assert got == want
