@@ -2071,6 +2071,19 @@ def _q_skyline_parts(spark, sf_dir):
     return skyline_frontier(load_table(spark, sf_dir, "part"))
 
 
+def _q_phash_near_dup(spark, sf_dir):
+    """Image-corpus near-dup: banded Hamming blocking over perceptual
+    hashes — the multimodal face of the dedup family."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_binary,
+        phash_near_pairs,
+    )
+
+    return phash_near_pairs(
+        attach_binary(load_table(spark, sf_dir, "documents"))
+    )
+
+
 def _q_media_phash(spark, sf_dir):
     from p2_mapreduce_spark.operators.multimodal import (
         attach_binary,
@@ -2101,6 +2114,30 @@ def _phash_sql() -> str:
         ),
         t AS (SELECT media_id, g, {total} AS tot FROM g0)
         SELECT media_id, {bits} AS phash FROM t
+    """
+
+
+def _phash_pairs_sql(max_hamming: int = 3) -> str:
+    """Oracle for phash_near_dup: the _phash_sql fingerprints fed through
+    the same 4×8-bit band blocking + popcount verify as _simhash_sql."""
+    return f"""
+        WITH ph AS ({_phash_sql()}),
+        bands AS (
+            SELECT media_id, phash, band,
+                   (phash >> (band * 8)) & 255 AS band_val
+            FROM ph, (SELECT unnest([0, 1, 2, 3]) AS band)
+        ),
+        cand AS (
+            SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                            a.phash AS ph_a, b.phash AS ph_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_val = b.band_val
+             AND a.media_id < b.media_id
+        )
+        SELECT media_a, media_b,
+               CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(ph_a, ph_b)) <= {max_hamming}
     """
 
 
@@ -3140,6 +3177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_overlap": _q_hll_overlap,
         "changelog_compact": _q_changelog_compact,
         "media_phash": _q_media_phash,
+        "phash_near_dup": _q_phash_near_dup,
         "item_cosine": _q_item_cosine,
         "top_paths": _q_top_paths,
         "dq_orders": _q_dq_orders,
@@ -9587,6 +9625,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn = 1 AND op <> 'delete'
         """,
         "media_phash": _phash_sql(),
+        "phash_near_dup": _phash_pairs_sql(),
         # PQ twin: md5-seeded sub-codebooks (the knn_ivf seed device
         # sliced per subspace), argmin via the same rn=1 window, dist²
         # as the identical (x·x − 2·x·c) + c·c fold tree

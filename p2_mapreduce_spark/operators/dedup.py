@@ -369,22 +369,31 @@ def simhash_fingerprints(
     return per_doc.select("doc", fp.alias("simhash"))
 
 
-def simhash_near_pairs(
-    docs: DataFrame,
+def banded_hamming_pairs(
+    fps: DataFrame,
+    fp_col: str,
+    id_col: str,
+    bits: int,
     max_hamming: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_bucket: int = MAX_DF,
-    hash_fn: str = "xx",
+    max_bucket: int | None = MAX_DF,
 ) -> DataFrame:
-    """Near-dup candidates at Hamming distance ≤ ``max_hamming`` via
-    4-band blocking (a pair within distance 3 matches exactly on ≥1
-    band), then exact popcount verification.  ``max_bucket`` drops
-    oversized band buckets before the self-join (:data:`MAX_DF`)."""
-    bits = SIMHASH_BITS[hash_fn]
+    """Fingerprint-agnostic 4-band Hamming blocking: candidate pairs
+    share at least one exact ``bits/4``-bit band (guaranteed to catch
+    every pair within Hamming distance 3 — pigeonhole over 4 bands),
+    then exact popcount verification.  Output ``(doc_a, doc_b,
+    hamming)``.  The shared engine behind :func:`simhash_near_pairs`
+    (text fingerprints) and multimodal ``phash_near_pairs`` (perceptual
+    media hashes) — any 64-bit-or-narrower integer fingerprint column
+    plugs in.
+
+    Scale shape: corpus × 4 band rows, bucket-grain self-join only
+    (never all-pairs); ``max_bucket`` drops degenerate buckets (the
+    boilerplate guard, :data:`MAX_DF`) with a broadcast anti-join."""
     band_bits = bits // 4
     mask = (1 << band_bits) - 1
-    fps = simhash_fingerprints(docs, text_col, id_col, hash_fn)
+    fps = fps.select(
+        F.col(id_col).alias("doc"), F.col(fp_col).alias("simhash")
+    )
     bands = fps.select(
         "doc",
         "simhash",
@@ -427,6 +436,30 @@ def simhash_near_pairs(
         cand.withColumn("hamming", hamming.cast("bigint"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = MAX_DF,
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """Near-dup candidates at Hamming distance ≤ ``max_hamming`` via
+    4-band blocking (a pair within distance 3 matches exactly on ≥1
+    band), then exact popcount verification.  ``max_bucket`` drops
+    oversized band buckets before the self-join (:data:`MAX_DF`).
+    Delegates to :func:`banded_hamming_pairs` (shared with the
+    perceptual-hash media path)."""
+    return banded_hamming_pairs(
+        simhash_fingerprints(docs, text_col, id_col, hash_fn),
+        "simhash",
+        "doc",
+        SIMHASH_BITS[hash_fn],
+        max_hamming,
+        max_bucket,
     )
 
 

@@ -873,3 +873,42 @@ def audio_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=AUDIO_STATS_SCHEMA
     )
+
+
+def phash_near_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate MEDIA detection: pairs of payloads whose 32-bit
+    perceptual hashes (:func:`media_phash`) are within Hamming distance
+    ``max_hamming``, found by the same 4-band blocking device as text
+    SimHash (``dedup.banded_hamming_pairs``) — the image face of the
+    dedup family: re-encoded/resized copies of an image keep a near-equal
+    pHash even when bytes differ, so banded pHash pairing is how image
+    corpora dedup at scale without an all-pairs pass.
+
+    Output ``(media_a, media_b, hamming)``.  ``max_bucket`` (None = keep
+    all) drops degenerate buckets — at 8-bit bands a solid-color-cover
+    bucket can balloon; production sets it like :data:`dedup.MAX_DF`.
+
+    Scale shape: fingerprints are corpus-linear (one Arrow pass),
+    banding explodes ×4, and the self-join touches only same-band-value
+    buckets — candidates are verified with an exact popcount, so
+    precision is exact and only recall depends on the band guarantee
+    (distance ≤ 3 ⇒ some band of the 4 is untouched ⇒ caught)."""
+    from p2_mapreduce_spark.operators.dedup import banded_hamming_pairs
+
+    pairs = banded_hamming_pairs(
+        media_phash(media),
+        "phash",
+        "media_id",
+        bits=32,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+    return pairs.select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        "hamming",
+    )

@@ -299,3 +299,46 @@ class TestVideoAudioCodecs:
         )
         r2 = audio_stats(df2).collect()[0]
         assert tuple(r2)[1:] == (0, 0, 0, 0, 0)
+
+
+class TestPhashNearDup:
+    def test_identical_payloads_pair_at_hamming_zero(self, spark):
+        import pandas as pd
+
+        from p2_mapreduce_spark.operators.multimodal import phash_near_pairs
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "media_id": [1, 2, 3],
+                    "payload": [b"same-bytes", b"same-bytes", b"other"],
+                }
+            )
+        )
+        rows = sorted(map(tuple, phash_near_pairs(df).collect()))
+        assert rows == [(1, 2, 0)]
+
+    def test_band_guarantee_on_crafted_fingerprints(self, spark):
+        """Pigeonhole contract of the shared banding engine: ≤3 flipped
+        bits are ALWAYS caught (≥1 of 4 bands untouched); 4 flips spread
+        one-per-band are the documented recall boundary (missed), while
+        4 flips inside one band stay caught."""
+        from p2_mapreduce_spark.operators.dedup import banded_hamming_pairs
+
+        base = 0b10110100_01011010_11001100_00110101
+        flip3 = base ^ 0b111  # 3 flips, all in band 0
+        spread4 = base ^ ((1 << 0) | (1 << 8) | (1 << 16) | (1 << 24))
+        inband4 = base ^ 0b1111
+        fps = spark.createDataFrame(
+            [(1, base), (2, flip3), (3, spread4), (4, inband4)],
+            "id long, fp long",
+        )
+        got = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in banded_hamming_pairs(
+                fps, "fp", "id", bits=32, max_hamming=4
+            ).collect()
+        }
+        assert got[(1, 2)] == 3
+        assert got[(1, 4)] == 4  # 4 flips in one band: other bands match
+        assert (1, 3) not in got  # one flip per band: no band survives
