@@ -1896,6 +1896,14 @@ def _q_kmeans_embeddings(spark, sf_dir):
     return kmeans_embeddings(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_kmeans_silhouette(spark, sf_dir):
+    """Clustering acceptance gate: simplified (centroid-based,
+    linear-time) silhouette per cluster in exact integer ppm."""
+    from p2_mapreduce_spark.operators.similarity import kmeans_silhouette
+
+    return kmeans_silhouette(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_copurchase(spark, sf_dir):
     from p2_mapreduce_spark.operators.analytics import copurchase_pairs
 
@@ -3154,6 +3162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": _q_key_skew,
         "gram_matrix": _q_gram_matrix,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        "kmeans_silhouette": _q_kmeans_silhouette,
         "copurchase": _q_copurchase,
         "event_dedup": _q_event_dedup,
         "grouped_trend": _q_grouped_trend,
@@ -3390,12 +3399,12 @@ def _profile_oracle(table: str, cols: list[str]) -> str:
     return " UNION ALL ".join(parts)
 
 
-def _kmeans_oracle(
+def _kmeans_cte(
     k: int = 4, iterations: int = 2, scale_bits: int = 20
 ) -> str:
-    """Unrolled-loop SQL twin of kmeans_embeddings (the pagerank device):
-    all-integer assignment distances and centroid means make every round
-    bit-identical, so the final cluster table value-hashes."""
+    """Shared unrolled Lloyd-loop CTE (through the final centroids
+    c{{iterations}}) — the pagerank device: all-integer assignment
+    distances and centroid means make every round bit-identical."""
     s = 1 << scale_bits
     cte = f"""
         WITH emb AS (
@@ -3430,7 +3439,15 @@ def _kmeans_oracle(
                  UNION ALL
                  SELECT c.* FROM c{t - 1} c
                  WHERE c.cluster NOT IN (SELECT cluster FROM u{t}))"""
-    return cte + f""",
+    return cte
+
+
+def _kmeans_oracle(
+    k: int = 4, iterations: int = 2, scale_bits: int = 20
+) -> str:
+    """Unrolled-loop SQL twin of kmeans_embeddings: final assignment +
+    per-cluster counts/inertia/centroid norm over the shared CTE."""
+    return _kmeans_cte(k, iterations, scale_bits) + f""",
         df AS (SELECT e.vec_id, c.cluster,
                       SUM((e.q - c.q) * (e.q - c.q)) AS d2
                FROM emb e JOIN c{iterations} c ON e.dim = c.dim GROUP BY 1, 2),
@@ -3448,6 +3465,36 @@ def _kmeans_oracle(
         SELECT CAST(b.cluster AS BIGINT) AS cluster, b.n_members, b.inertia,
                CAST(cn.cnorm_q AS BIGINT) AS cnorm_q
         FROM base b JOIN cn USING (cluster)"""
+
+
+def _silhouette_oracle(
+    k: int = 4, iterations: int = 2, scale_bits: int = 20
+) -> str:
+    """Oracle for kmeans_silhouette: simplified silhouette in exact
+    integer ppm over the shared Lloyd CTE — a = nearest squared
+    distance, b = second nearest, s_ppm = (b-a)·10⁶ div b (HUGEINT
+    product), per-cluster mean surfaced with one double division."""
+    return _kmeans_cte(k, iterations, scale_bits) + f""",
+        dfin AS (SELECT e.vec_id, c.cluster,
+                        SUM((e.q - c.q) * (e.q - c.q)) AS d2
+                 FROM emb e JOIN c{iterations} c ON e.dim = c.dim
+                 GROUP BY 1, 2),
+        ranked AS (SELECT vec_id, cluster, d2,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, cluster) AS rn
+                   FROM dfin),
+        scored AS (
+            SELECT a.vec_id, a.cluster,
+                   CASE WHEN b.d2 = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST((CAST(b.d2 - a.d2 AS HUGEINT) * 1000000)
+                                  // b.d2 AS BIGINT) END AS s_ppm
+            FROM (SELECT * FROM ranked WHERE rn = 1) a
+            JOIN (SELECT * FROM ranked WHERE rn = 2) b USING (vec_id)
+        )
+        SELECT CAST(cluster AS BIGINT) AS cluster,
+               COUNT(*) AS n_members,
+               CAST(SUM(s_ppm) AS DOUBLE) / COUNT(*) AS mean_sil_ppm
+        FROM scored GROUP BY cluster"""
 
 
 def _pagerank_oracle(iterations: int = 3) -> str:
@@ -7978,6 +8025,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN q USING (l_returnflag)
         """,
         "kmeans_embeddings": _kmeans_oracle(),
+        "kmeans_silhouette": _silhouette_oracle(),
         "gram_matrix": """
             WITH q AS (
                 SELECT vec_id, g.i - 1 AS i,

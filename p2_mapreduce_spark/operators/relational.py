@@ -138,12 +138,22 @@ def sorted_output(lineitem: DataFrame) -> DataFrame:
 
 
 def cube_agg(lineitem: DataFrame) -> DataFrame:
-    """CUBE over (returnflag, linestatus): all 4 grouping sets in one
-    pass — one shuffle, each input row expanded to its grouping-set
-    combinations map-side (partial agg still applies)."""
-    return lineitem.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        dsum("l_quantity").alias("sum_qty"),
+    """CUBE over (returnflag, linestatus), pre-aggregated: a naive
+    ``df.cube(...)`` Expands EVERY input row ×4 (one copy per grouping
+    set) before the partial agg — 4× the corpus through the Expand at
+    100 TB.  Since COUNT and the decimal SUM are both re-aggregable,
+    aggregate to the finest (flag, status) grain first (map-side
+    combined, one narrow shuffle at cell grain), then cube the handful
+    of cells: the Expand runs over ~6 rows at ANY corpus size.  Results
+    are bit-identical — decimal partials re-sum exactly, the double
+    surface cast happens once at the end (dsum protocol)."""
+    cells = lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"),
+    )
+    return cells.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("_n").cast("bigint").alias("n_rows"),
+        F.sum("_sq").cast("double").alias("sum_qty"),
     )
 
 
@@ -382,12 +392,17 @@ def grouping_sets_agg(lineitem: DataFrame) -> DataFrame:
     rollup/cube can't express (non-hierarchical, non-exhaustive set list).
     One shuffle; each row expands map-side only to the sets it belongs to
     (2 here vs cube's 4), so shuffle volume scales with the set list, not
-    2^dims."""
-    return lineitem.groupingSets(
+    2^dims.  Pre-aggregated to (flag, status) cells first so the Expand
+    runs over ~6 rows at any corpus size (cube_agg's device)."""
+    cells = lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"),
+    )
+    return cells.groupingSets(
         [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
     ).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        dsum("l_quantity").alias("sum_qty"),
+        F.sum("_n").cast("bigint").alias("n_rows"),
+        F.sum("_sq").cast("double").alias("sum_qty"),
     )
 
 
@@ -739,9 +754,16 @@ def rollup_nation(customer: DataFrame, nation: DataFrame, region: DataFrame) -> 
     joined = customer.join(
         F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
     ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-    return joined.rollup("r_name", "n_name").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        dsum("c_acctbal").alias("sum_acctbal"),
+    # pre-aggregate to (region, nation) cells before the ROLLUP Expand —
+    # the Expand then runs over ≤ #nations rows at any corpus size (see
+    # cube_agg for the re-aggregability argument; bit-identical results)
+    cells = joined.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("_sq"),
+    )
+    return cells.rollup("r_name", "n_name").agg(
+        F.sum("_n").cast("bigint").alias("n_customers"),
+        F.sum("_sq").cast("double").alias("sum_acctbal"),
     )
 
 

@@ -1293,6 +1293,85 @@ def semantic_contamination(
     )
 
 
+def _kmeans_cents_sql(cents: dict[int, list[int]]) -> str:
+    """The driver-held centroids as a broadcast array-of-structs literal
+    (k·d BIGINTs — config grain)."""
+    entries = ", ".join(
+        f"struct({j} as cluster, cast(array({', '.join(map(str, cents[j]))}) "
+        f"as array<bigint>) as carr)"
+        for j in sorted(cents)
+    )
+    return f"array({entries})"
+
+
+def _kmeans_d2_sql(cents: dict[int, list[int]]) -> str:
+    """Per-row array of exact integer squared distances to every
+    centroid, as struct(d2, cluster) — pure codegen projection."""
+    return (
+        f"transform({_kmeans_cents_sql(cents)}, c -> struct("
+        f"aggregate(zip_with(qarr, c.carr, (a, b) -> (a - b) * (a - b)), "
+        f"cast(0 as bigint), (s, x) -> s + x) as d2, "
+        f"c.cluster as cluster))"
+    )
+
+
+def _kmeans_assign_sql(cents: dict[int, list[int]]) -> str:
+    """Argmin over the centroid literal: array_min on struct(d2, cluster)
+    orders lexicographically => nearest centroid, ties to the lowest
+    cluster id."""
+    return f"array_min({_kmeans_d2_sql(cents)})"
+
+
+def _kmeans_fit(
+    embeddings: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    iterations: int,
+    scale_bits: int,
+    checkpoint_dir: str | None,
+) -> tuple[DataFrame, dict[int, list[int]]]:
+    """Shared Lloyd fit: returns the once-quantized corpus ("_id",
+    "qarr") and the final centroids (driver-held dict).  See
+    :func:`kmeans_embeddings` for the protocol and scale contract."""
+    from p2_mapreduce_spark.operators.graph import _make_ckpt
+
+    ckpt = _make_ckpt(embeddings.sparkSession, checkpoint_dir)
+    qexpr = (
+        f"transform({vec_col}, x -> "
+        f"cast(floor(cast(x as double) * {1 << scale_bits}) as bigint))"
+    )
+    emb = ckpt(
+        embeddings.select(
+            F.col(id_col).alias("_id"), F.expr(qexpr).alias("qarr")
+        )
+    )
+    seed_rows = emb.orderBy("_id").limit(k).collect()  # k·d ints: config grain
+    cents = {j: [int(v) for v in r["qarr"]] for j, r in enumerate(seed_rows)}
+    d = len(next(iter(cents.values())))
+
+    for _ in range(iterations):
+        upd = (
+            emb.selectExpr(
+                f"({_kmeans_assign_sql(cents)}).cluster as cluster", "qarr"
+            )
+            .selectExpr("cluster", "posexplode(qarr) as (dim, q)")
+            .groupBy("cluster", "dim")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # k·d rows: config grain
+        )
+        new = {}
+        for r in upd:
+            s, n = int(r["s"]), int(r["n"])
+            new.setdefault(int(r["cluster"]), [0] * d)[int(r["dim"])] = (
+                (1 if s >= 0 else -1) * (abs(s) // n)
+            )
+        for j in cents:  # empty cluster keeps its previous centroid
+            if j in new:
+                cents[j] = new[j]
+    return emb, cents
+
+
 def kmeans_embeddings(
     embeddings: DataFrame,
     vec_col: str = "embedding",
@@ -1337,62 +1416,13 @@ def kmeans_embeddings(
     member rows — beyond 100 TB at this dim; inertia accumulates in
     DECIMAL(38,0).
     """
-    from p2_mapreduce_spark.operators.graph import _make_ckpt
-
-    ckpt = _make_ckpt(embeddings.sparkSession, checkpoint_dir)
-    qexpr = (
-        f"transform({vec_col}, x -> "
-        f"cast(floor(cast(x as double) * {1 << scale_bits}) as bigint))"
+    emb, cents = _kmeans_fit(
+        embeddings, vec_col, id_col, k, iterations, scale_bits,
+        checkpoint_dir,
     )
-    emb = ckpt(
-        embeddings.select(
-            F.col(id_col).alias("_id"), F.expr(qexpr).alias("qarr")
-        )
-    )
-    seed_rows = emb.orderBy("_id").limit(k).collect()  # k·d ints: config grain
-    cents = {j: [int(v) for v in r["qarr"]] for j, r in enumerate(seed_rows)}
-    d = len(next(iter(cents.values())))
-
-    def _cents_sql() -> str:
-        entries = ", ".join(
-            f"struct({j} as cluster, cast(array({', '.join(map(str, cents[j]))}) "
-            f"as array<bigint>) as carr)"
-            for j in sorted(cents)
-        )
-        return f"array({entries})"
-
-    def _assign_col() -> str:
-        # argmin over the broadcast centroid literal: array_min on
-        # struct(d2, cluster) orders lexicographically => nearest centroid,
-        # ties to the lowest cluster id.  Pure codegen projection, no join.
-        return (
-            f"array_min(transform({_cents_sql()}, c -> struct("
-            f"aggregate(zip_with(qarr, c.carr, (a, b) -> (a - b) * (a - b)), "
-            f"cast(0 as bigint), (s, x) -> s + x) as d2, "
-            f"c.cluster as cluster)))"
-        )
-
-    for _ in range(iterations):
-        upd = (
-            emb.selectExpr(f"({_assign_col()}).cluster as cluster", "qarr")
-            .selectExpr("cluster", "posexplode(qarr) as (dim, q)")
-            .groupBy("cluster", "dim")
-            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()  # k·d rows: config grain
-        )
-        new = {}
-        for r in upd:
-            s, n = int(r["s"]), int(r["n"])
-            new.setdefault(int(r["cluster"]), [0] * d)[int(r["dim"])] = (
-                (1 if s >= 0 else -1) * (abs(s) // n)
-            )
-        for j in cents:  # empty cluster keeps its previous centroid
-            if j in new:
-                cents[j] = new[j]
-
     final = emb.selectExpr(
-        f"({_assign_col()}).cluster as cluster",
-        f"({_assign_col()}).d2 as d2",
+        f"({_kmeans_assign_sql(cents)}).cluster as cluster",
+        f"({_kmeans_assign_sql(cents)}).d2 as d2",
     )
     norms = [sum(v * v for v in cents[j]) for j in sorted(cents)]
     norms_arr = f"cast(array({', '.join(map(str, norms))}) as array<bigint>)"
@@ -1412,5 +1442,68 @@ def kmeans_embeddings(
             F.expr(
                 f"element_at({norms_arr}, cast(cluster as int) + 1)"
             ).alias("cnorm_q"),
+        )
+    )
+
+
+def kmeans_silhouette(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iterations: int = 2,
+    scale_bits: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Clustering acceptance gate — the family rule that every heuristic
+    path ships with its quality measure (``ann_recall`` for the ANN
+    indexes, ``lsh_recall`` for the dedup index): per-cluster simplified
+    silhouette of the :func:`kmeans_embeddings` fit.
+
+    Simplified silhouette replaces the O(n²) pairwise form with
+    centroid distances — the standard linear-time variant: per row,
+    ``a`` = squared distance to the assigned (nearest) centroid, ``b`` =
+    second-nearest, ``s = (b − a) / b`` (since ``b ≥ a``, the
+    denominator max(a, b) is b; a tie or a duplicate centroid gives
+    s = 0, and b = 0 — the point IS both centroids — is defined 0).
+    Scores are exact-integer ppm: ``(b − a)·10⁶ div b`` with the
+    product in DECIMAL(38,0) (b − a can reach 2^46 at d = 64, so ×10⁶
+    overflows BIGINT — the mwu_drift lesson), making the per-cluster
+    mean an exact integer sum with ONE double division at the surface.
+
+    Output: ``(cluster, n_members, mean_sil_ppm)``.  Cost on top of the
+    fit: one codegen projection (distances to the k broadcast
+    centroids) + one cluster-grain aggregate — the corpus still never
+    shuffles.
+    """
+    if k < 2:
+        raise ValueError("silhouette needs k >= 2")
+    emb, cents = _kmeans_fit(
+        embeddings, vec_col, id_col, k, iterations, scale_bits,
+        checkpoint_dir,
+    )
+    scored = emb.selectExpr(f"{_kmeans_d2_sql(cents)} as ds").selectExpr(
+        "array_min(ds).cluster as cluster",
+        "element_at(array_sort(transform(ds, x -> x.d2)), 1) as a",
+        "element_at(array_sort(transform(ds, x -> x.d2)), 2) as b",
+    )
+    s_ppm = F.expr(
+        "case when b = 0 then cast(0 as bigint) else cast("
+        "(cast(b - a as decimal(38,0)) * 1000000) div "
+        "cast(b as decimal(38,0)) as bigint) end"
+    )
+    return (
+        scored.withColumn("s_ppm", s_ppm)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("s_ppm").cast("decimal(38,0)")).alias("_ss"),
+        )
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n_members",
+            (F.col("_ss").cast("double") / F.col("n_members")).alias(
+                "mean_sil_ppm"
+            ),
         )
     )

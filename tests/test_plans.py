@@ -299,6 +299,9 @@ PYTHON_ALLOWED = {
     # Arrow-batched mapInPandas media kernel (multimodal.media_phash) —
     # the payload-touching stage is Python by design, like media_decode
     "media_phash",
+    # banded near-dup over media_phash fingerprints: the fingerprint
+    # stage is the same Arrow kernel; the banding/self-join stays JVM
+    "phash_near_dup",
     # the 2nd canonical plugin: a closure-factory Python map fn shipped
     # by value through run_mapreduce — the plugin plane IS the Python
     # escape hatch (same justification as udf_roundtrip)

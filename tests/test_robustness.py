@@ -45,6 +45,11 @@ AQE_PINNED = [
     "seq_pattern",
     "temperature_mix",
     "coverage_curve",
+    # clustering family + media near-dup: driver-held centroid literals
+    # and banded self-joins must not depend on AQE re-planning
+    "kmeans_embeddings",
+    "kmeans_silhouette",
+    "phash_near_dup",
 ]
 
 

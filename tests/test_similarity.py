@@ -515,3 +515,55 @@ class TestKMeans:
         )
         got = sorted(map(tuple, kmeans_embeddings(emb).collect()))
         assert got == want
+
+
+class TestKMeansSilhouette:
+    def test_bounds_and_member_counts_match_fit(self, spark, emb):
+        from p2_mapreduce_spark.operators.similarity import (
+            kmeans_embeddings,
+            kmeans_silhouette,
+        )
+
+        sil = {r["cluster"]: r for r in kmeans_silhouette(emb).collect()}
+        fit = {r["cluster"]: r for r in kmeans_embeddings(emb).collect()}
+        assert set(sil) == set(fit)
+        for c, r in sil.items():
+            assert r["n_members"] == fit[c]["n_members"]
+            assert 0.0 <= r["mean_sil_ppm"] <= 1_000_000.0
+
+    def test_duplicate_centroids_score_zero(self, spark):
+        """Two identical seed centroids: every point's nearest and
+        second-nearest distances tie (b == a), including the b == 0
+        degenerate row — silhouette must be exactly 0, not NaN/error."""
+        from p2_mapreduce_spark.operators.similarity import kmeans_silhouette
+
+        df = spark.createDataFrame(
+            [(0, [0.25, 0.25]), (1, [0.25, 0.25]), (2, [0.25, 0.25])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = kmeans_silhouette(df, k=2, iterations=1).collect()
+        assert all(r["mean_sil_ppm"] == 0.0 for r in rows)
+
+    def test_separated_blobs_score_high(self, spark):
+        """Two tight, far-apart blobs with k=2: simplified silhouette
+        must be near 1 (b >> a)."""
+        from p2_mapreduce_spark.operators.similarity import kmeans_silhouette
+
+        pts = [(i, [0.01 * i, 0.0]) for i in range(3)] + [
+            (10 + i, [0.9 + 0.01 * i, 0.9]) for i in range(3)
+        ]
+        df = spark.createDataFrame(
+            pts, "vec_id long, embedding array<float>"
+        )
+        rows = kmeans_silhouette(df, k=2, iterations=2).collect()
+        assert sum(r["n_members"] for r in rows) == 6
+        for r in rows:
+            assert r["mean_sil_ppm"] > 900_000
+
+    def test_k_below_two_rejected(self, spark, emb):
+        import pytest as _pytest
+
+        from p2_mapreduce_spark.operators.similarity import kmeans_silhouette
+
+        with _pytest.raises(ValueError):
+            kmeans_silhouette(emb, k=1)
