@@ -332,6 +332,10 @@ HEADLINE = (
     "unpivot_pricing",
     "vector_norms",
     "wordcount",
+    # this session's additions: clustering family + media near-dup
+    "kmeans_embeddings",
+    "kmeans_silhouette",
+    "phash_near_dup",
 )
 
 

@@ -136,3 +136,28 @@ def test_seq_pattern_shuffle_is_letter_grain(spark, sf_dir):
     n_events = ev.count()
     shuffled = measure_shuffle_bytes(seq_pattern(ev))
     assert shuffled < n_events * 48, (shuffled, n_events)
+
+
+def test_kmeans_shuffle_independent_of_corpus(spark, sf_dir):
+    """kmeans_embeddings' claim: the corpus NEVER shuffles — per round
+    the only exchange is the (cluster, dim)-grain partial→final SUM
+    (k·d keys × #partitions), plus one cluster-grain final aggregate.
+    Measured across the WHOLE pipeline (the iteration jobs run eagerly
+    at construction, so the counter brackets construction +
+    materialization): bounded by (iterations + 1) × partitions × k·d
+    × 64 bytes — a quantity with NO corpus-size term in it."""
+    from p2_mapreduce_spark.operators.similarity import kmeans_embeddings
+    from p2_mapreduce_spark.plans.shuffle_audit import (
+        total_shuffle_write_bytes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = len(emb.select("embedding").first()["embedding"])
+    n_parts = max(emb.rdd.getNumPartitions(), 32)
+    k, iterations = 4, 2
+    before = total_shuffle_write_bytes(spark)
+    out = kmeans_embeddings(emb, k=k, iterations=iterations)
+    out.write.format("noop").mode("overwrite").save()
+    shuffled = total_shuffle_write_bytes(spark) - before
+    bound = (iterations + 1) * n_parts * k * d * 64
+    assert shuffled < bound, (shuffled, bound)
