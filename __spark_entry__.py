@@ -1888,6 +1888,14 @@ def _q_gram_matrix(spark, sf_dir):
     return gram_matrix(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_fnv_partition(spark, sf_dir):
+    """Bit-exact twin of the reference's FNV-1a shuffle partitioning
+    (storage-node/main.go:783, manager.go:1673): per-reducer-bin load."""
+    from p2_mapreduce_spark.mapreduce import fnv_partition_counts
+
+    return fnv_partition_counts(load_table(spark, sf_dir, "documents"))
+
+
 def _q_kmeans_embeddings(spark, sf_dir):
     """Semantic clustering (Lloyd k-means, exact fixed-point): the
     upstream step of SemDeDup / cluster-balanced data mixing."""
@@ -3163,6 +3171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_matrix": _q_gram_matrix,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "kmeans_silhouette": _q_kmeans_silhouette,
+        "fnv_partition": _q_fnv_partition,
         "copurchase": _q_copurchase,
         "event_dedup": _q_event_dedup,
         "grouped_trend": _q_grouped_trend,
@@ -8026,6 +8035,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_embeddings": _kmeans_oracle(),
         "kmeans_silhouette": _silhouette_oracle(),
+        # FNV-1a fold mirrored step-for-step (list_reduce is DuckDB's
+        # aggregate-HOF twin); % 2^32 per step IS the Go uint32 wrap
+        "fnv_partition": f"""
+            WITH words AS (
+                SELECT word FROM (
+                    SELECT lower(unnest(regexp_split_to_array(
+                        text, '{_TOK}'))) AS word
+                    FROM documents
+                ) WHERE word <> ''
+            ),
+            binned AS (
+                SELECT word,
+                       list_reduce(
+                           list_prepend(CAST(2166136261 AS BIGINT),
+                               list_transform(range(1, len(word) + 1),
+                                   i -> CAST(ascii(substr(word, i, 1))
+                                             AS BIGINT))),
+                           (h, b) -> (xor(h, b) * 16777619) % 4294967296)
+                       % 4 AS reducer
+                FROM words
+            )
+            SELECT CAST(reducer AS BIGINT) AS reducer,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+            FROM binned GROUP BY 1
+        """,
         "gram_matrix": """
             WITH q AS (
                 SELECT vec_id, g.i - 1 AS i,

@@ -332,10 +332,12 @@ HEADLINE = (
     "unpivot_pricing",
     "vector_norms",
     "wordcount",
-    # this session's additions: clustering family + media near-dup
+    # this session's additions: clustering family + media near-dup +
+    # the reference's FNV-1a partitioning twin
     "kmeans_embeddings",
     "kmeans_silhouette",
     "phash_near_dup",
+    "fnv_partition",
 )
 
 

@@ -212,3 +212,63 @@ def run_mapreduce_by_name(
         df, mapper.fn, reducer.fn, num_partitions=num_partitions,
         aggregate=aggregate, combiner=reducer.combiner, **kwargs
     )
+
+
+def fnv1a32_sql(expr: str) -> str:
+    """FNV-1a 32-bit of an ASCII string expression, as a pure SQL fold —
+    bit-exact with Go's ``hash/fnv.New32a()``, the hash the reference
+    uses for BOTH its shuffle partitioning (storage-node/main.go:783
+    ``reducerIdx = fnv1a(key) % numReducers``) and its reducer-bin
+    assignment (controller/manager/manager.go:1673).
+
+    Every intermediate stays exact in BIGINT: h < 2^32, the odd FNV
+    prime 16777619 < 2^25, so ``(h ^ byte) * prime`` < 2^57 — no
+    overflow, no engine divergence; the ``% 2^32`` reduction after each
+    step IS the Go uint32 wraparound.  ASCII-only contract (the
+    tokenizer's [a-z0-9]+ domain): substr walks characters, which equal
+    bytes there.
+    """
+    return (
+        f"aggregate(transform(sequence(1, length({expr})), "
+        f"i -> cast(ascii(substr({expr}, i, 1)) as bigint)), "
+        f"cast(2166136261 as bigint), "
+        f"(h, b) -> ((h ^ b) * 16777619) % 4294967296)"
+    )
+
+
+def fnv_partition_counts(
+    docs: DataFrame, num_reducers: int = DEFAULT_NUM_PARTITIONS
+) -> DataFrame:
+    """Behavioral twin of the reference's shuffle-write partitioning
+    (M3): tokenize the corpus, assign every intermediate key to its
+    reducer bin by ``fnv1a32(key) % num_reducers`` — the EXACT bin the
+    Go implementation computes — and report per-bin load ``(reducer,
+    n_tokens, n_words)``.
+
+    This is the skew-visibility face of M3: Spark's own exchanges use
+    its internal murmur-based partitioner (``partition_count`` covers
+    that plane); this operator reproduces the reference's placement
+    decision bit-for-bit so a migrating user can audit that their key
+    distribution (and any hot reducer) carries over.  One map pass +
+    one num_reducers-grain aggregate; the corpus never shuffles at
+    data grain (counts partial-aggregate map-side).
+    """
+    from p2_mapreduce_spark.functions.text import tokens_array
+
+    toks = docs.select(F.explode(tokens_array(F.col("text"))).alias("w"))
+    binned = toks.select(
+        "w",
+        F.expr(f"{fnv1a32_sql('w')} % {num_reducers}").alias("reducer"),
+    )
+    return (
+        binned.groupBy("reducer")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("w").alias("n_words"),
+        )
+        .select(
+            F.col("reducer").cast("bigint").alias("reducer"),
+            "n_tokens",
+            F.col("n_words").cast("bigint").alias("n_words"),
+        )
+    )

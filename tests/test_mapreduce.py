@@ -245,3 +245,41 @@ def test_index_plugin_postings_sorted_and_partition_invariant(spark):
         assert out["alpha"] == "1,10"   # numeric, not lexicographic
         assert out["beta"] == "2,10"
         assert out["gamma"] == "2"
+
+
+def test_fnv1a32_matches_go_reference_bytes(spark):
+    """fnv1a32_sql must equal hash/fnv.New32a() byte-for-byte: pinned
+    against a pure-Python FNV-1a over the utf-8 bytes for a spread of
+    tokens (incl. digits and the empty-adjacent single char)."""
+    from p2_mapreduce_spark.mapreduce import fnv1a32_sql
+
+    words = ["hello", "a", "0", "zz9", "mapreduce", "the", "chunk42"]
+
+    def fnv(b: bytes) -> int:
+        h = 2166136261
+        for c in b:
+            h = ((h ^ c) * 16777619) % 2**32
+        return h
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: r["h"]
+        for r in df.selectExpr("w", f"{fnv1a32_sql('w')} as h").collect()
+    }
+    assert got == {w: fnv(w.encode()) for w in words}
+
+
+def test_fnv_partition_counts_total_and_range(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.functions.text import tokens_array
+    from p2_mapreduce_spark.mapreduce import fnv_partition_counts
+    from p2_mapreduce_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = fnv_partition_counts(docs, num_reducers=4).collect()
+    assert {r["reducer"] for r in out} <= {0, 1, 2, 3}
+    n_tok = docs.select(
+        F.explode(tokens_array(F.col("text")))
+    ).count()
+    assert sum(r["n_tokens"] for r in out) == n_tok
