@@ -93,3 +93,63 @@ class DatasetCatalog:
             return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(inp))
         finally:
             inp.close()
+
+
+def plan_chunk_placement(
+    chunks: list[tuple[int, int]],
+    nodes: list[tuple[str, int, int]],
+    replicas: int = 2,
+) -> dict[int, list[str]]:
+    """Behavioral twin of the reference controller's replica placement
+    (cmd/controller/manager/manager.go:256-288 ``selectReplicaNode``):
+    for each chunk in turn, rank eligible nodes by weight =
+    ``(free − required) / total`` descending and take the top
+    ``replicas``; a node is eligible only if it doesn't already hold a
+    replica and has ``free − required ≥ chunk size``; every placement
+    adds the chunk size to the node's RequiredSpace, so later chunks
+    see the updated weights (manager.go:242-254 ``addChunk``) — the
+    sequential greedy that levels fill ratios across heterogeneous
+    nodes.
+
+    Two deliberate deltas, both documented: ties break by node id
+    (the reference iterates a Go map — nondeterministic; a total rule
+    makes the twin testable), and chunks place in the caller's order
+    (the reference places in arrival order — the caller IS the arrival
+    order here).
+
+    This is controller-plane logic and runs driver-side BY DESIGN —
+    the reference's manager is a single process making these decisions
+    over metadata (node list = config grain, chunk stream = a fold);
+    the data plane never sees it.  On Spark the storage layer owns
+    real placement (SURVEY §2.1 S7); this twin exists so a migrating
+    user can audit the reference's placement behavior — fill-ratio
+    leveling, capacity refusal — against the engine's own
+    ``compaction_plan``/``partition_advisor`` layout tools.
+
+    Raises ``ValueError`` when fewer than ``replicas`` nodes are
+    eligible (the reference's "no enough node available").
+    """
+    free = {nid: fr for nid, _tot, fr in nodes}
+    total = {nid: tot for nid, tot, _fr in nodes}
+    required: dict[str, int] = {nid: 0 for nid in free}
+    out: dict[int, list[str]] = {}
+    for chunk_id, size in chunks:
+        ranked = []
+        for nid in free:
+            avail = free[nid] - required[nid]
+            if total[nid] <= 0 or avail <= 0:
+                continue
+            w = avail / total[nid]
+            if avail < size or w == 0:
+                continue
+            ranked.append((-w, nid))
+        if len(ranked) < replicas:
+            raise ValueError(
+                f"no enough node available for chunk {chunk_id}"
+            )
+        ranked.sort()
+        chosen = [nid for _w, nid in ranked[:replicas]]
+        for nid in chosen:
+            required[nid] += size
+        out[chunk_id] = chosen
+    return out

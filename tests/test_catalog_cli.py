@@ -176,3 +176,44 @@ def test_cli_sql_verb_over_tables_and_catalog(spark, sf_dir, tmp_path):
         spark=spark,
     )
     assert out2.splitlines()[1] == "2"
+
+
+class TestChunkPlacement:
+    """Behavioral parity with manager.go selectReplicaNode: fill-ratio
+    leveling, replica exclusion, capacity refusal, sequential state."""
+
+    def test_levels_fill_ratio_across_heterogeneous_nodes(self):
+        from p2_mapreduce_spark.catalog import plan_chunk_placement
+
+        nodes = [("a", 1000, 1000), ("b", 500, 500), ("c", 1000, 200)]
+        # equal chunks: the greedy must spread by RATIO, not absolute
+        # free bytes — node c (20% free) is picked last
+        out = plan_chunk_placement(
+            [(1, 100), (2, 100), (3, 100)], nodes, replicas=2
+        )
+        assert out[1] == ["a", "b"]  # both at 100%, c at 20%
+        # after chunk 1: a 90%, b 80%, c 20%
+        assert out[2] == ["a", "b"]
+        # after chunk 2: a 80%, b 60% -> still ahead of c
+        assert out[3] == ["a", "b"]
+
+    def test_required_space_counts_against_capacity(self):
+        from p2_mapreduce_spark.catalog import plan_chunk_placement
+
+        # b can hold exactly one 60-chunk: the second placement must
+        # refuse it (free - required < size) and fall through to c
+        nodes = [("a", 1000, 1000), ("b", 100, 100), ("c", 1000, 300)]
+        out = plan_chunk_placement([(1, 60), (2, 60)], nodes, replicas=2)
+        assert out[1] == ["a", "b"]
+        assert out[2] == ["a", "c"]
+
+    def test_insufficient_nodes_raises(self):
+        import pytest as _pytest
+
+        from p2_mapreduce_spark.catalog import plan_chunk_placement
+
+        with _pytest.raises(ValueError, match="no enough node"):
+            plan_chunk_placement(
+                [(1, 300)], [("a", 1000, 1000), ("b", 200, 250)],
+                replicas=2,
+            )
