@@ -1348,6 +1348,8 @@ def _kmeans_fit(
     )
     seed_rows = emb.orderBy("_id").limit(k).collect()  # k·d ints: config grain
     cents = {j: [int(v) for v in r["qarr"]] for j, r in enumerate(seed_rows)}
+    if not cents:  # empty corpus: no seeds, no rounds, empty assignment
+        return emb, cents
     d = len(next(iter(cents.values())))
 
     for _ in range(iterations):
@@ -1420,6 +1422,12 @@ def kmeans_embeddings(
         embeddings, vec_col, id_col, k, iterations, scale_bits,
         checkpoint_dir,
     )
+    if not cents:  # empty corpus: empty cluster table, stable schema
+        return embeddings.sparkSession.createDataFrame(
+            [],
+            "cluster bigint, n_members bigint, inertia double, "
+            "cnorm_q bigint",
+        )
     final = emb.selectExpr(
         f"({_kmeans_assign_sql(cents)}).cluster as cluster",
         f"({_kmeans_assign_sql(cents)}).d2 as d2",
@@ -1482,6 +1490,10 @@ def kmeans_silhouette(
         embeddings, vec_col, id_col, k, iterations, scale_bits,
         checkpoint_dir,
     )
+    if len(cents) < 2:  # empty/1-row corpus: no second-nearest exists
+        return embeddings.sparkSession.createDataFrame(
+            [], "cluster bigint, n_members bigint, mean_sil_ppm double"
+        )
     scored = emb.selectExpr(f"{_kmeans_d2_sql(cents)} as ds").selectExpr(
         "array_min(ds).cluster as cluster",
         "element_at(array_sort(transform(ds, x -> x.d2)), 1) as a",

@@ -567,3 +567,22 @@ class TestKMeansSilhouette:
 
         with _pytest.raises(ValueError):
             kmeans_silhouette(emb, k=1)
+
+
+def test_kmeans_family_tolerates_empty_and_tiny_inputs(spark):
+    from p2_mapreduce_spark.operators.similarity import (
+        kmeans_embeddings,
+        kmeans_silhouette,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    assert kmeans_embeddings(empty).collect() == []
+    assert kmeans_silhouette(empty).collect() == []
+    one = spark.createDataFrame(
+        [(7, [0.1, 0.2])], "vec_id long, embedding array<float>"
+    )
+    rows = kmeans_embeddings(one, k=4).collect()  # fewer rows than k
+    assert len(rows) == 1 and rows[0]["n_members"] == 1
+    assert kmeans_silhouette(one, k=4).collect() == []  # no 2nd centroid
