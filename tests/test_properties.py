@@ -444,3 +444,36 @@ def test_temperature_mix_allocation_is_exact(spark, sizes, budget):
     order = sorted(wq, key=lambda g: (-rem[g], g))
     want = {g: base[g] + (1 if order.index(g) < short else 0) for g in wq}
     assert got == want and sum(got.values()) == budget
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    words=st.lists(
+        st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz0123456789",
+            min_size=1,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_fnv1a32_sql_matches_go_fold_for_any_ascii_token(spark, words):
+    """For ANY [a-z0-9]+ token (the tokenizer's domain): the SQL fold
+    equals the byte-wise FNV-1a Go computes — the bit-exactness the
+    fnv_partition reducer-bin parity rests on."""
+    from p2_mapreduce_spark.mapreduce import fnv1a32_sql
+
+    def fnv(b: bytes) -> int:
+        h = 2166136261
+        for c in b:
+            h = ((h ^ c) * 16777619) % 2**32
+        return h
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: r["h"]
+        for r in df.selectExpr("w", f"{fnv1a32_sql('w')} as h").collect()
+    }
+    assert got == {w: fnv(w.encode()) for w in words}
