@@ -1353,6 +1353,19 @@ def _q_media_pixels(spark, sf_dir):
     return pixel_sums(attach_bmp(docs))
 
 
+def _q_media_png(spark, sf_dir):
+    """Real PNG decode (chunk walk + CRC verify + zlib inflate + filter
+    reconstruction) of JVM-built spec-valid PNGs: per-image channel sums
+    recomputed by the oracle's closed form over the pixel formula."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_png_rgb,
+        png_pixel_sums,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return png_pixel_sums(attach_png_rgb(docs))
+
+
 def _q_weighted_median(spark, sf_dir):
     """Weighted quantile via the two-phase distributed rank: smallest
     value whose cumulative integer weight reaches half the group total
@@ -3007,6 +3020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _q_media_decode,
         "media_resize": _q_media_resize,
         "media_pixels": _q_media_pixels,
+        "media_png": _q_media_png,
         "video_frames": _q_video_frames,
         "audio_wav": _q_audio_wav,
         "weighted_median": _q_weighted_median,
@@ -6086,6 +6100,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(w * h * base + 5 * h * (w * (w - 1) // 2)
                         + 4 * w * (h * (h - 1) // 2)
                         + 14 * w * h AS BIGINT) AS sum_r
+            FROM dims
+        """,
+        "media_png": """
+            WITH dims AS (
+                SELECT doc_id AS media_id,
+                       4 + doc_id % 9 AS w,
+                       4 + (doc_id * 3) % 9 AS h,
+                       (doc_id % 16) * 3 AS base
+                FROM documents
+            )
+            SELECT media_id,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(w * h * base + 5 * h * (w * (w - 1) // 2)
+                        + 4 * w * (h * (h - 1) // 2) AS BIGINT) AS sum_r,
+                   CAST(w * h * base + 5 * h * (w * (w - 1) // 2)
+                        + 4 * w * (h * (h - 1) // 2)
+                        + 7 * w * h AS BIGINT) AS sum_g,
+                   CAST(w * h * base + 5 * h * (w * (w - 1) // 2)
+                        + 4 * w * (h * (h - 1) // 2)
+                        + 14 * w * h AS BIGINT) AS sum_b
             FROM dims
         """,
         "video_frames": """

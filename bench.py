@@ -338,6 +338,7 @@ HEADLINE = (
     "kmeans_silhouette",
     "phash_near_dup",
     "fnv_partition",
+    "media_png",
 )
 
 

@@ -912,3 +912,220 @@ def phash_near_pairs(
         F.col("doc_b").alias("media_b"),
         "hamming",
     )
+
+
+def attach_png_rgb(docs: DataFrame) -> DataFrame:
+    """Multimodal table whose payloads are REAL, complete, spec-valid
+    PNG files built entirely JVM-side — signature, IHDR (8-bit RGB),
+    one IDAT carrying a stored-block zlib stream, IEND — with GENUINE
+    CRC-32 chunk checksums (Spark's ``crc32`` is the same ISO-HDLC
+    polynomial PNG mandates) and a GENUINE Adler-32, computed as exact
+    integer aggregates over the generated byte stream (A = 1+Σb mod
+    65521; B = n+Σ(n−i+1)·bᵢ mod 65521 — the prefix-sum identity).
+    ``zlib.decompress`` accepts the stream unmodified, so the decoder
+    side is a full real PNG pipeline, not a header stub.
+
+    Pixels follow the shared linear formula (RGB order here; PNG rows
+    carry a leading filter byte, written 0 = None).  The whole file is
+    one codegen hex fold + ``unhex`` — no Python, no driver loop — so
+    the payload itself stays recomputable by the SQL oracle engine."""
+    w = (F.lit(4) + F.pmod(F.col("doc_id"), F.lit(9))).cast("int")
+    h = (F.lit(4) + F.pmod(F.col("doc_id") * 3, F.lit(9))).cast("int")
+    base = (F.pmod(F.col("doc_id"), F.lit(16)) * 3).cast("int")
+    d = spread(docs).select(
+        F.col("doc_id").alias("media_id"),
+        w.alias("w"),
+        h.alias("h"),
+        base.alias("base"),
+    )
+    d = d.withColumn(
+        "n", (F.col("h") * (F.lit(3) * F.col("w") + 1)).cast("bigint")
+    )
+    row_hex = (
+        "array_join(transform(sequence(0, w-1), x -> "
+        "format_string('%02x%02x%02x', "
+        "base + 5*x + 4*y, base + 5*x + 4*y + 7, base + 5*x + 4*y + 14"
+        ")), '')"
+    )
+    raw_hex = F.expr(
+        f"array_join(transform(sequence(0, h-1), y -> "
+        f"concat('00', {row_hex})), '')"
+    )
+    # Adler-32 over the raw scanline stream: filter bytes are 0, so only
+    # pixel bytes contribute; position of (y, x, ch) is closed-form
+    sums = F.expr(
+        """
+        aggregate(
+          flatten(transform(sequence(0, h-1), y ->
+            flatten(transform(sequence(0, w-1), x ->
+              transform(sequence(0, 2), c -> struct(
+                cast(y*(3*w+1) + 3*x + c + 2 as bigint) as pos,
+                cast(base + 5*x + 4*y + 7*c as bigint) as v)))))),
+          struct(cast(0 as bigint) as s, cast(0 as bigint) as ws),
+          (acc, e) -> struct(acc.s + e.v as s,
+                             acc.ws + (n - e.pos + 1) * e.v as ws))
+        """
+    )
+    d = d.withColumn("agg", sums)
+    adler_a = ((F.lit(1) + F.col("agg.s")) % 65521).cast("int")
+    adler_b = ((F.col("n") + F.col("agg.ws")) % 65521).cast("int")
+
+    def le16(col):
+        return F.format_string(
+            "%02x%02x", col % 256, (col / 256).cast("int") % 256
+        )
+
+    raw_len = F.col("n").cast("int")
+    zlib_hex = F.concat(
+        F.lit("780101"),               # zlib header + BFINAL=1 stored block
+        le16(raw_len),                 # LEN (LE)
+        le16(F.lit(65535) - raw_len),  # NLEN = ~LEN
+        raw_hex,
+        F.format_string("%04x%04x", adler_b, adler_a),  # Adler-32 (BE)
+    )
+    ihdr_body = F.concat(
+        F.lit("49484452"),
+        F.format_string("%08x", F.col("w")),
+        F.format_string("%08x", F.col("h")),
+        F.lit("0802000000"),           # depth 8, color 2 (RGB), std methods
+    )
+    idat_body = F.concat(F.lit("49444154"), zlib_hex)
+    zlen = (F.lit(2 + 5 + 4) + F.col("n")).cast("int")
+    payload_hex = F.concat(
+        F.lit("89504e470d0a1a0a"),
+        F.lit("0000000d"),
+        ihdr_body,
+        F.format_string("%08x", F.crc32(F.unhex(ihdr_body))),
+        F.format_string("%08x", zlen),
+        idat_body,
+        F.format_string("%08x", F.crc32(F.unhex(idat_body))),
+        F.lit("0000000049454e44ae426082"),  # IEND + its fixed CRC
+    )
+    return d.select(
+        "media_id",
+        F.lit("image").alias("modality"),
+        F.unhex(payload_hex).alias("payload"),
+    )
+
+
+def _parse_png(b: bytes):
+    """Real PNG decode (stdlib only): signature, chunk walk with CRC-32
+    verification, IHDR, IDAT reassembly, zlib inflate, and the full
+    five-filter scanline reconstruction (None/Sub/Up/Average/Paeth —
+    PNG spec §9).  Supports 8-bit truecolor (the attach format);
+    returns (w, h, grid) with grid[y][x] = (r, g, b), or None to
+    quarantine anything malformed (bad magic, CRC mismatch, truncated
+    stream, unsupported color type)."""
+    import struct
+    import zlib
+
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, idat, dims = 8, b"", None
+    try:
+        while pos + 12 <= len(b):
+            (ln,) = struct.unpack(">I", b[pos:pos + 4])
+            typ = b[pos + 4:pos + 8]
+            data = b[pos + 8:pos + 8 + ln]
+            if len(data) < ln:
+                return None
+            (crc,) = struct.unpack(">I", b[pos + 8 + ln:pos + 12 + ln])
+            if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                return None
+            if typ == b"IHDR":
+                w, h = struct.unpack(">II", data[:8])
+                depth, color = data[8], data[9]
+                if depth != 8 or color != 2:
+                    return None
+                dims = (w, h)
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln
+        if dims is None:
+            return None
+        raw = zlib.decompress(idat)
+    except Exception:
+        return None
+    w, h = dims
+    stride, bpp = 3 * w, 3
+    if len(raw) != h * (1 + stride):
+        return None
+    out = []
+    prev = bytes(stride)
+    for y in range(h):
+        flt = raw[y * (1 + stride)]
+        line = bytearray(raw[y * (1 + stride) + 1:(y + 1) * (1 + stride)])
+        if flt == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif flt == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif flt == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif flt == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + prev[i] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (
+                    prev[i] if pb <= pc else c
+                )
+                line[i] = (line[i] + pred) & 0xFF
+        elif flt != 0:
+            return None
+        prev = bytes(line)
+        out.append(
+            [tuple(line[3 * x:3 * x + 3]) for x in range(w)]
+        )
+    return w, h, out
+
+
+def png_pixel_sums(media: DataFrame) -> DataFrame:
+    """Per-image channel sums from the REAL PNG decode — the second
+    real still-image codec beside :func:`pixel_sums`' BMP path, and the
+    one that exercises a genuine compression container (zlib inflate +
+    filter reconstruction) rather than raw rows.  Output ``(media_id,
+    width, height, sum_r, sum_g, sum_b)``; malformed payloads surface
+    as the zero row (quarantine, not stage failure).  Same Arrow-batched
+    ``mapInPandas`` plumbing as :func:`decode_media`."""
+    from p2_mapreduce_spark.mapreduce import _ship_by_value
+
+    _ship_by_value(_parse_png)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            parsed = _parse_png(payload or b"")
+            if parsed is None:
+                return 0, 0, 0, 0, 0
+            w, h, grid = parsed
+            sr = sum(px[0] for row in grid for px in row)
+            sg = sum(px[1] for row in grid for px in row)
+            sb = sum(px[2] for row in grid for px in row)
+            return w, h, sr, sg, sb
+
+        for pdf in it:
+            vals = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": [v[0] for v in vals],
+                    "height": [v[1] for v in vals],
+                    "sum_r": [v[2] for v in vals],
+                    "sum_g": [v[3] for v in vals],
+                    "sum_b": [v[4] for v in vals],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, width int, height int, "
+            "sum_r long, sum_g long, sum_b long"
+        ),
+    )

@@ -342,3 +342,104 @@ class TestPhashNearDup:
         assert got[(1, 2)] == 3
         assert got[(1, 4)] == 4  # 4 flips in one band: other bands match
         assert (1, 3) not in got  # one flip per band: no band survives
+
+
+class TestPngCodec:
+    def _build_png(self, pixels, filters):
+        """Hand-build a PNG with REAL deflate (zlib.compress) and a
+        chosen filter per scanline — the encoder the attach path does
+        NOT use, proving the decoder handles genuine compressed input
+        and the full filter algebra, not just its own stored blocks."""
+        import struct
+        import zlib
+
+        h, w = len(pixels), len(pixels[0])
+        raw = bytearray()
+        prev = bytes(3 * w)
+        for y, flt in zip(range(h), filters):
+            line = bytes(v for px in pixels[y] for v in px)
+            enc = bytearray(line)
+            if flt == 1:
+                for i in range(3 * w - 1, 2, -1):
+                    enc[i] = (enc[i] - line[i - 3]) & 0xFF
+            elif flt == 2:
+                for i in range(3 * w):
+                    enc[i] = (enc[i] - prev[i]) & 0xFF
+            elif flt == 3:
+                for i in range(3 * w):
+                    a = line[i - 3] if i >= 3 else 0
+                    enc[i] = (enc[i] - (a + prev[i]) // 2) & 0xFF
+            elif flt == 4:
+                for i in range(3 * w):
+                    a = line[i - 3] if i >= 3 else 0
+                    c = prev[i - 3] if i >= 3 else 0
+                    p = a + prev[i] - c
+                    pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        prev[i] if pb <= pc else c
+                    )
+                    enc[i] = (enc[i] - pred) & 0xFF
+            raw += bytes([flt]) + bytes(enc)
+            prev = line
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    def test_decoder_reconstructs_all_five_filters(self):
+        from p2_mapreduce_spark.operators.multimodal import _parse_png
+
+        pixels = [
+            [(y * 40 + x * 11 + c * 3 for c in range(3)) for x in range(4)]
+            for y in range(5)
+        ]
+        pixels = [[tuple(px) for px in row] for row in pixels]
+        png = self._build_png(pixels, filters=[0, 1, 2, 3, 4])
+        got = _parse_png(png)
+        assert got is not None
+        w, h, grid = got
+        assert (w, h) == (4, 5)
+        assert grid == pixels
+
+    def test_corrupt_crc_and_junk_quarantine(self):
+        from p2_mapreduce_spark.operators.multimodal import _parse_png
+
+        pixels = [[(1, 2, 3), (4, 5, 6)]]
+        png = bytearray(self._build_png(pixels, filters=[0]))
+        assert _parse_png(bytes(png)) is not None
+        png[20] ^= 0xFF  # flip a bit inside IHDR: CRC must now reject
+        assert _parse_png(bytes(png)) is None
+        assert _parse_png(b"not a png") is None
+        assert _parse_png(b"") is None
+
+    def test_attach_payloads_roundtrip_the_formula(self, spark):
+        from p2_mapreduce_spark.operators.multimodal import (
+            _parse_png,
+            attach_png_rgb,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "x") for i in (0, 3, 7, 12)], "doc_id long, text string"
+        )
+        for r in attach_png_rgb(docs).collect():
+            w, h, grid = _parse_png(bytes(r["payload"]))
+            i = r["media_id"]
+            assert (w, h) == (4 + i % 9, 4 + (i * 3) % 9)
+            base = (i % 16) * 3
+            for y in range(h):
+                for x in range(w):
+                    assert grid[y][x] == (
+                        base + 5 * x + 4 * y,
+                        base + 5 * x + 4 * y + 7,
+                        base + 5 * x + 4 * y + 14,
+                    )

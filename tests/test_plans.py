@@ -313,6 +313,9 @@ PYTHON_ALLOWED = {
     # plumbing as media_decode — the payload-touching stage is Python
     # by design
     "media_headers",
+    # real full PNG decode (chunk walk + CRC verify + zlib inflate +
+    # five-filter reconstruction) — same payload-touching justification
+    "media_png",
     # real uncompressed-BMP pixel codec (decode + box resize + re-encode)
     # over the same Arrow-batched mapInPandas plumbing — genuine pixel
     # work is Python by design in this container
