@@ -1008,7 +1008,7 @@ def attach_png_rgb(docs: DataFrame) -> DataFrame:
     )
 
 
-def _parse_png(b: bytes):
+def _decode_png(b: bytes):
     """Real PNG decode (stdlib only): signature, chunk walk with CRC-32
     verification, IHDR, IDAT reassembly, zlib inflate, and the full
     five-filter scanline reconstruction (None/Sub/Up/Average/Paeth —
@@ -1096,11 +1096,11 @@ def png_pixel_sums(media: DataFrame) -> DataFrame:
     ``mapInPandas`` plumbing as :func:`decode_media`."""
     from p2_mapreduce_spark.mapreduce import _ship_by_value
 
-    _ship_by_value(_parse_png)
+    _ship_by_value(_decode_png)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(payload: bytes):
-            parsed = _parse_png(payload or b"")
+            parsed = _decode_png(payload or b"")
             if parsed is None:
                 return 0, 0, 0, 0, 0
             w, h, grid = parsed

@@ -397,7 +397,7 @@ class TestPngCodec:
         )
 
     def test_decoder_reconstructs_all_five_filters(self):
-        from p2_mapreduce_spark.operators.multimodal import _parse_png
+        from p2_mapreduce_spark.operators.multimodal import _decode_png
 
         pixels = [
             [(y * 40 + x * 11 + c * 3 for c in range(3)) for x in range(4)]
@@ -405,26 +405,26 @@ class TestPngCodec:
         ]
         pixels = [[tuple(px) for px in row] for row in pixels]
         png = self._build_png(pixels, filters=[0, 1, 2, 3, 4])
-        got = _parse_png(png)
+        got = _decode_png(png)
         assert got is not None
         w, h, grid = got
         assert (w, h) == (4, 5)
         assert grid == pixels
 
     def test_corrupt_crc_and_junk_quarantine(self):
-        from p2_mapreduce_spark.operators.multimodal import _parse_png
+        from p2_mapreduce_spark.operators.multimodal import _decode_png
 
         pixels = [[(1, 2, 3), (4, 5, 6)]]
         png = bytearray(self._build_png(pixels, filters=[0]))
-        assert _parse_png(bytes(png)) is not None
+        assert _decode_png(bytes(png)) is not None
         png[20] ^= 0xFF  # flip a bit inside IHDR: CRC must now reject
-        assert _parse_png(bytes(png)) is None
-        assert _parse_png(b"not a png") is None
-        assert _parse_png(b"") is None
+        assert _decode_png(bytes(png)) is None
+        assert _decode_png(b"not a png") is None
+        assert _decode_png(b"") is None
 
     def test_attach_payloads_roundtrip_the_formula(self, spark):
         from p2_mapreduce_spark.operators.multimodal import (
-            _parse_png,
+            _decode_png,
             attach_png_rgb,
         )
 
@@ -432,7 +432,7 @@ class TestPngCodec:
             [(i, "x") for i in (0, 3, 7, 12)], "doc_id long, text string"
         )
         for r in attach_png_rgb(docs).collect():
-            w, h, grid = _parse_png(bytes(r["payload"]))
+            w, h, grid = _decode_png(bytes(r["payload"]))
             i = r["media_id"]
             assert (w, h) == (4 + i % 9, 4 + (i * 3) % 9)
             base = (i % 16) * 3
