@@ -103,13 +103,14 @@ def plan_chunk_placement(
     """Behavioral twin of the reference controller's replica placement
     (cmd/controller/manager/manager.go:256-288 ``selectReplicaNode``):
     for each chunk in turn, rank eligible nodes by weight =
-    ``(free − required) / total`` descending and take the top
-    ``replicas``; a node is eligible only if it doesn't already hold a
-    replica and has ``free − required ≥ chunk size``; every placement
-    adds the chunk size to the node's RequiredSpace, so later chunks
-    see the updated weights (manager.go:242-254 ``addChunk``) — the
-    sequential greedy that levels fill ratios across heterogeneous
-    nodes.
+    ``free / total`` descending (manager.go:230-238 ``weight()`` —
+    STATIC until FreeSpace refreshes; RequiredSpace does NOT enter the
+    weight) and take the top ``replicas``; a node is eligible only if
+    it doesn't already hold a replica, its weight is non-zero, and
+    ``free − required ≥ chunk size``; every placement adds the chunk
+    size to the node's RequiredSpace, which tightens ELIGIBILITY for
+    later chunks (manager.go:242-254 ``addChunk``) but not the
+    ranking — capacity refusal is dynamic, preference order is not.
 
     Two deliberate deltas, both documented: ties break by node id
     (the reference iterates a Go map — nondeterministic; a total rule
@@ -136,11 +137,10 @@ def plan_chunk_placement(
     for chunk_id, size in chunks:
         ranked = []
         for nid in free:
-            avail = free[nid] - required[nid]
-            if total[nid] <= 0 or avail <= 0:
+            if total[nid] <= 0 or free[nid] <= 0:
                 continue
-            w = avail / total[nid]
-            if avail < size or w == 0:
+            w = free[nid] / total[nid]
+            if free[nid] - required[nid] < size or w == 0:
                 continue
             ranked.append((-w, nid))
         if len(ranked) < replicas:

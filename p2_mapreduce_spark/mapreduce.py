@@ -215,22 +215,28 @@ def run_mapreduce_by_name(
 
 
 def fnv1a32_sql(expr: str) -> str:
-    """FNV-1a 32-bit of an ASCII string expression, as a pure SQL fold —
+    """FNV-1a 32-bit of a string expression, as a pure SQL fold —
     bit-exact with Go's ``hash/fnv.New32a()``, the hash the reference
     uses for BOTH its shuffle partitioning (storage-node/main.go:783
     ``reducerIdx = fnv1a(key) % numReducers``) and its reducer-bin
     assignment (controller/manager/manager.go:1673).
 
+    The fold walks the UTF-8 BYTES of the string (via
+    ``hex(encode(s, 'UTF-8'))``, one hex pair per byte), exactly the
+    ``[]byte`` Go's ``Write`` consumes — so parity holds for the full
+    Unicode token domain the M2 tokenizer emits (splitting on
+    ``[^\\p{L}\\p{N}]+``), not just ASCII.  Folding ``ascii(substr())``
+    codepoints would silently diverge from Go on any accented token.
+
     Every intermediate stays exact in BIGINT: h < 2^32, the odd FNV
     prime 16777619 < 2^25, so ``(h ^ byte) * prime`` < 2^57 — no
     overflow, no engine divergence; the ``% 2^32`` reduction after each
-    step IS the Go uint32 wraparound.  ASCII-only contract (the
-    tokenizer's [a-z0-9]+ domain): substr walks characters, which equal
-    bytes there.
+    step IS the Go uint32 wraparound.
     """
+    hx = f"hex(encode({expr}, 'UTF-8'))"
     return (
-        f"aggregate(transform(sequence(1, length({expr})), "
-        f"i -> cast(ascii(substr({expr}, i, 1)) as bigint)), "
+        f"aggregate(transform(sequence(1, octet_length(encode({expr}, 'UTF-8'))), "
+        f"i -> cast(conv(substr({hx}, 2*i-1, 2), 16, 10) as bigint)), "
         f"cast(2166136261 as bigint), "
         f"(h, b) -> ((h ^ b) * 16777619) % 4294967296)"
     )

@@ -387,12 +387,21 @@ def _pattern_fn(pattern: str):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         rows = pd.concat(list(pdf_iter), ignore_index=True)
+        # drop event types outside the letter alphabet BEFORE building the
+        # state tuples: an unknown type would get letter "" — invisible in
+        # ``seq`` but still occupying a (ts, id) slot, so the persisted
+        # chs string would be SHORTER than ts/ids and the next batch's
+        # zip(ts0, ids0, chs0) would truncate and misalign letters
+        # against events (state corruption, not just a skipped row)
+        rows = rows[rows["event_type"].isin(_PATTERN_LETTERS)].reset_index(
+            drop=True
+        )
         ts_us = rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
         new = list(
             zip(
                 ts_us.tolist(),
                 rows["event_id"].astype("int64").tolist(),
-                (_PATTERN_LETTERS.get(t, "") for t in rows["event_type"]),
+                (_PATTERN_LETTERS[t] for t in rows["event_type"]),
             )
         )
         if state.exists:

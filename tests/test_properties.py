@@ -450,7 +450,10 @@ def test_temperature_mix_allocation_is_exact(spark, sizes, budget):
 @given(
     words=st.lists(
         st.text(
-            alphabet="abcdefghijklmnopqrstuvwxyz0123456789",
+            # full tokenizer domain: ASCII plus multi-byte UTF-8 letters
+            # (2-byte Latin/Greek/Cyrillic, 3-byte CJK) — the fold must
+            # hash the UTF-8 BYTES, exactly Go's fnv.New32a []byte input
+            alphabet="abcdefghijklmnopqrstuvwxyz0123456789éßñøλщ中語ア한",
             min_size=1,
             max_size=24,
         ),
@@ -459,8 +462,8 @@ def test_temperature_mix_allocation_is_exact(spark, sizes, budget):
         unique=True,
     )
 )
-def test_fnv1a32_sql_matches_go_fold_for_any_ascii_token(spark, words):
-    """For ANY [a-z0-9]+ token (the tokenizer's domain): the SQL fold
+def test_fnv1a32_sql_matches_go_fold_for_any_token(spark, words):
+    """For ANY Unicode token the M2 tokenizer can emit: the SQL fold
     equals the byte-wise FNV-1a Go computes — the bit-exactness the
     fnv_partition reducer-bin parity rests on."""
     from p2_mapreduce_spark.mapreduce import fnv1a32_sql

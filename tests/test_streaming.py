@@ -786,3 +786,59 @@ def test_pattern_match_stream_matches_batch(spark, sf_dir, tmp_path):
         q.stop()
     streamed_matched = {u: v for u, v in got.items() if v[1] > 0}
     assert streamed_matched == batch and len(batch) > 0
+
+
+def test_pattern_match_stream_ignores_unknown_event_types(spark, tmp_path):
+    """Regression: an event_type outside the letter alphabet must not
+    corrupt state.  Before the fix, an unknown type kept its (ts, id)
+    slot but contributed no letter, so the persisted chs string was
+    SHORTER than ts/ids and the next micro-batch's zip truncated and
+    misaligned letters against events — here that would drop the
+    trailing 'c' and report seq 'vc'/'v?p' instead of 'vcp'."""
+    import datetime
+
+    from p2_mapreduce_spark.streaming.stateful import pattern_match_stream
+
+    def ev(eid, t, typ):
+        return (
+            eid,
+            7,
+            typ,
+            datetime.datetime(2024, 1, 1, 0, 0, t),
+            1.0,
+        )
+
+    schema = (
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double"
+    )
+    b0 = spark.createDataFrame(
+        [ev(1, 1, "view"), ev(2, 2, "refund"), ev(3, 3, "click")], schema
+    )
+    b1 = spark.createDataFrame([ev(4, 4, "purchase")], schema)
+    src = str(tmp_path / "unk_src")
+    b0.coalesce(1).write.parquet(f"{src}/f0")
+    b1.coalesce(1).write.parquet(f"{src}/f1")
+    stream = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        pattern_match_stream(stream, pattern="vc*p")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("pattern_unknown")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            """SELECT seq_len, n_matches FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY seq_len DESC) AS rn
+                 FROM pattern_unknown) WHERE rn = 1"""
+        ).collect()
+    finally:
+        q.stop()
+    assert [(r["seq_len"], r["n_matches"]) for r in rows] == [(3, 1)]
