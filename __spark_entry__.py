@@ -1298,10 +1298,29 @@ def _q_activity_islands(spark, sf_dir):
 
 
 def _q_media_decode(spark, sf_dir):
-    from p2_mapreduce_spark.operators.multimodal import attach_binary, decode_media
+    """REAL decode through the flagship gate: JVM-built complete BMPs →
+    full pixel decode; feature_hash is the total pixel sum, recomputed
+    by the oracle in closed form from the pixel formula (the old
+    digest stand-in lives on under the explicit ``media_digest`` id)."""
+    from p2_mapreduce_spark.operators.multimodal import attach_bmp, decode_media
 
     docs = load_table(spark, sf_dir, "documents")
-    return decode_media(attach_binary(docs), decoder="fake")
+    return decode_media(attach_bmp(docs), decoder="real")
+
+
+def _q_media_digest(spark, sf_dir):
+    """The deterministic digest-decode CONTRACT under its own honest
+    name: decode plumbing (schemas, Arrow batching, modality dispatch)
+    with pseudo-metadata derived from the payload hash — the stand-in
+    a user swaps for Pillow/PyAV kernels on formats this container
+    can't decode."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_binary_mixed,
+        decode_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media(attach_binary_mixed(docs), decoder="fake")
 
 
 def _q_media_resize(spark, sf_dir):
@@ -1364,6 +1383,21 @@ def _q_media_png(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return png_pixel_sums(attach_png_rgb(docs))
+
+
+def _q_media_jpeg(spark, sf_dir):
+    """Real baseline-JPEG GRAYSCALE decode (chunk walk + canonical
+    Huffman + DPCM/EXTEND + dequant + de-zigzag + real IDCT) of
+    JVM-built spec-valid JPEGs: per-image grayscale pixel sums
+    recomputed by the oracle in closed form from the DC-DPCM design —
+    the third real still codec and the first entropy-coded one."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_jpeg,
+        jpeg_pixel_sums,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_pixel_sums(attach_jpeg(docs))
 
 
 def _q_weighted_median(spark, sf_dir):
@@ -1608,26 +1642,36 @@ def _q_media_headers(spark, sf_dir):
 
 
 def _q_media_mixed(spark, sf_dir):
-    """Mixed-modality decode: modality cycles image/audio/video by id, so
-    every branch of the decode kernel (spatial dims, audio sample rate,
-    video frame counts) lands in the checked output."""
-    from p2_mapreduce_spark.operators.multimodal import attach_binary_mixed, decode_media
+    """REAL mixed-modality decode: modality cycles image/audio/video by
+    id, every payload is a genuine file (BMP / 16-bit PCM WAV /
+    concatenated-BMP stream), and every branch of the real kernel —
+    pixel decode, PCM sample decode, frame demux — lands in the checked
+    output; features are exact integers the oracle recomputes in
+    closed form."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_real_mixed,
+        decode_media,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    return decode_media(attach_binary_mixed(docs), decoder="fake")
+    return decode_media(attach_real_mixed(docs), decoder="real")
 
 
 def _q_media_frames(spark, sf_dir):
-    """Frame-sampling plan over the mixed table's video rows: one
-    (media_id, frame_idx) row per sampled frame (every 8th)."""
+    """Frame-sampling plan over REAL demuxed video: n_frames comes from
+    the real kernel walking the concatenated-BMP stream (not a digest),
+    then the planning face explodes every 2nd frame index — one
+    (media_id, frame_idx) row per sampled frame."""
     from p2_mapreduce_spark.operators.multimodal import (
-        attach_binary_mixed,
+        attach_real_mixed,
         decode_media,
         frame_sample,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return frame_sample(decode_media(attach_binary_mixed(docs), decoder="fake"), every_n=8)
+    return frame_sample(
+        decode_media(attach_real_mixed(docs), decoder="real"), every_n=2
+    )
 
 
 def _q_knn_ivf(spark, sf_dir):
@@ -3051,9 +3095,11 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": _q_knn_ivf,
         "knn_np": _q_knn_np,
         "media_decode": _q_media_decode,
+        "media_digest": _q_media_digest,
         "media_resize": _q_media_resize,
         "media_pixels": _q_media_pixels,
         "media_png": _q_media_png,
+        "media_jpeg": _q_media_jpeg,
         "video_frames": _q_video_frames,
         "audio_wav": _q_audio_wav,
         "weighted_median": _q_weighted_median,
@@ -4217,26 +4263,97 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS n_frames
             FROM documents
         """,
+        # REAL-kernel decode oracles: every value recomputed in closed
+        # form from the JVM-side payload-builder formulas — image total
+        # pixel sum, audio exact signed sample sum, video per-frame sums
+        # (base brightens by 2·f) folded over the demuxed frame count.
         "media_decode": """
-            WITH d AS (
-                SELECT doc_id AS media_id, sha256(COALESCE(text, '')) AS hx
+            WITH dims AS (
+                SELECT doc_id AS media_id,
+                       4 + doc_id % 9 AS w,
+                       4 + (doc_id * 3) % 9 AS h,
+                       (doc_id % 16) * 3 AS base
                 FROM documents
             )
             SELECT media_id,
                    'image' AS modality,
-                   CAST(16 + CAST('0x' || substr(hx, 1, 2) AS INT) % 64 AS INT) AS width,
-                   CAST(16 + CAST('0x' || substr(hx, 3, 2) AS INT) % 64 AS INT) AS height,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
                    CAST(1 AS INT) AS n_frames,
                    CAST(0 AS INT) AS sample_rate,
-                   CAST(CASE WHEN CAST('0x' || substr(hx, 9, 16) AS UBIGINT)
-                                  >= 9223372036854775808
-                             THEN CAST(CAST('0x' || substr(hx, 9, 16) AS UBIGINT) AS HUGEINT)
-                                  - 18446744073709551616
-                             ELSE CAST(CAST('0x' || substr(hx, 9, 16) AS UBIGINT) AS HUGEINT)
-                        END AS BIGINT) AS feature_hash
-            FROM d
+                   CAST(3 * (w * h * base + 5 * h * (w * (w - 1) // 2)
+                             + 4 * w * (h * (h - 1) // 2))
+                        + 21 * w * h AS BIGINT) AS feature_hash
+            FROM dims
         """,
         "media_mixed": """
+            WITH img AS (
+                SELECT doc_id AS media_id, 'image' AS modality,
+                       CAST(4 + doc_id % 9 AS INT) AS width,
+                       CAST(4 + (doc_id * 3) % 9 AS INT) AS height,
+                       CAST(1 AS INT) AS n_frames,
+                       CAST(0 AS INT) AS sample_rate,
+                       CAST(3 * ((4 + doc_id % 9) * (4 + (doc_id * 3) % 9)
+                                     * ((doc_id % 16) * 3)
+                                 + 5 * (4 + (doc_id * 3) % 9)
+                                     * ((4 + doc_id % 9) * (3 + doc_id % 9) // 2)
+                                 + 4 * (4 + doc_id % 9)
+                                     * ((4 + (doc_id * 3) % 9) * (3 + (doc_id * 3) % 9) // 2))
+                            + 21 * (4 + doc_id % 9) * (4 + (doc_id * 3) % 9)
+                            AS BIGINT) AS feature_hash
+                FROM documents WHERE doc_id % 3 = 0
+            ),
+            aud AS (
+                SELECT media_id, 'audio' AS modality,
+                       CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+                       CAST(0 AS INT) AS n_frames,
+                       CAST(MAX(rate) AS INT) AS sample_rate,
+                       CAST(SUM(((media_id * 31 + i * 7) % 4096) - 2048)
+                            AS BIGINT) AS feature_hash
+                FROM (
+                    SELECT doc_id AS media_id,
+                           8000 + (doc_id % 3) * 4000 AS rate,
+                           64 + doc_id % 64 AS n
+                    FROM documents WHERE doc_id % 3 = 1
+                ), LATERAL (
+                    SELECT unnest(generate_series(0, n - 1)) AS i
+                ) g
+                GROUP BY media_id
+            ),
+            vid AS (
+                SELECT doc_id AS media_id, 'video' AS modality,
+                       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                       CAST(nf AS INT) AS n_frames,
+                       CAST(0 AS INT) AS sample_rate,
+                       CAST(nf * (3 * (w * h * base
+                                       + 5 * h * (w * (w - 1) // 2)
+                                       + 4 * w * (h * (h - 1) // 2))
+                                  + 21 * w * h)
+                            + 3 * w * h * nf * (nf - 1) AS BIGINT)
+                           AS feature_hash
+                FROM (
+                    SELECT doc_id,
+                           4 + doc_id % 9 AS w,
+                           4 + (doc_id * 3) % 9 AS h,
+                           (doc_id % 16) * 3 AS base,
+                           2 + doc_id % 8 AS nf
+                    FROM documents WHERE doc_id % 3 = 2
+                )
+            )
+            SELECT * FROM img UNION ALL SELECT * FROM aud
+            UNION ALL SELECT * FROM vid
+        """,
+        "media_frames": """
+            WITH v AS (
+                SELECT doc_id AS media_id, 2 + doc_id % 8 AS n_frames
+                FROM documents WHERE doc_id % 3 = 2
+            )
+            SELECT media_id, CAST(unnest(generate_series(0, n_frames - 1, 2)) AS INT)
+                       AS frame_idx
+            FROM v
+        """,
+        # the digest stand-in contract, retired to its own honest id
+        "media_digest": """
             WITH d AS (
                 SELECT doc_id AS media_id,
                        CASE doc_id % 3 WHEN 0 THEN 'image'
@@ -4266,17 +4383,6 @@ def oracle_sql() -> dict[str, str]:
                              ELSE CAST(CAST('0x' || substr(hx, 9, 16) AS UBIGINT) AS HUGEINT)
                         END AS BIGINT) AS feature_hash
             FROM d
-        """,
-        "media_frames": """
-            WITH v AS (
-                SELECT doc_id AS media_id,
-                       1 + CAST('0x' || substr(sha256(COALESCE(text, '')), 5, 2) AS INT) % 32
-                           AS n_frames
-                FROM documents WHERE doc_id % 3 = 2
-            )
-            SELECT media_id, CAST(unnest(generate_series(0, n_frames - 1, 8)) AS INT)
-                       AS frame_idx
-            FROM v
         """,
         # closed-form box-filter recompute: pixel value = base + 5x + 4y
         # + 7·ch is LINEAR in (x, y), so every block average is exact
@@ -6155,6 +6261,25 @@ def oracle_sql() -> dict[str, str]:
                         + 4 * w * (h * (h - 1) // 2)
                         + 14 * w * h AS BIGINT) AS sum_b
             FROM dims
+        """,
+        # closed-form grayscale sums for the baseline-JPEG design:
+        # block b is uniformly 128 + id%8 + 8·(1 − b%2), so the image
+        # sum is 64·(nb·(128 + id%8) + 8·ceil(nb/2)) with nb = wb·hb
+        "media_jpeg": """
+            WITH d AS (
+                SELECT doc_id AS media_id,
+                       1 + doc_id % 2 AS wb,
+                       1 + (doc_id % 4) // 2 AS hb,
+                       doc_id % 8 AS id8
+                FROM documents
+            )
+            SELECT media_id,
+                   CAST(8 * wb AS INT) AS width,
+                   CAST(8 * hb AS INT) AS height,
+                   CAST(64 * (wb * hb * (128 + id8)
+                              + 8 * ((wb * hb + 1) // 2)) AS BIGINT)
+                       AS sum_gray
+            FROM d
         """,
         "video_frames": """
             WITH dims AS (

@@ -340,6 +340,11 @@ HEADLINE = (
     "phash_near_dup",
     "fnv_partition",
     "media_png",
+    # round 4: the digest stand-in under its own id (the flagship
+    # media_decode/media_mixed/media_frames ids now run real kernels),
+    # plus the baseline-JPEG grayscale codec
+    "media_digest",
+    "media_jpeg",
 )
 
 
