@@ -747,6 +747,7 @@ def dup_matrix(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate provenance matrix: for every source pair (ordered
     lexically, diagonal included), how many near-dup DOCUMENT PAIRS
@@ -760,9 +761,12 @@ def dup_matrix(
     :func:`minhash_lsh_pairs` — same output contract) with two
     broadcast joins onto the doc→source map and a pair-grain count;
     everything after the pair list runs at near-dup-pair grain, which
-    dedup has already made small by construction.
+    dedup has already made small by construction.  Pass precomputed
+    ``pairs`` to reuse a candidate stage another consumer already paid
+    for (VERDICT r03 item 5).
     """
-    pairs = ngram_jaccard_pairs(docs, threshold, n, text_col, id_col)
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(docs, threshold, n, text_col, id_col)
     src = docs.select(F.col(id_col), F.col(source_col))
     sa = src.select(
         F.col(id_col).alias("doc_a"), F.col(source_col).alias("sa")
@@ -1012,6 +1016,8 @@ def golden_record(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Survivorship over near-duplicate clusters — the step AFTER
     pair→cluster closure that entity-resolution pipelines call "golden
@@ -1029,12 +1035,20 @@ def golden_record(
     contract).
 
     Shape at 100 TB: survivorship work is cluster-grain; the dominant
-    cost is the upstream pair generation, already bucketed/df-capped.
+    cost is the upstream pair generation, already bucketed/df-capped —
+    and SHAREABLE: pass precomputed ``pairs`` (any (doc_a, doc_b) pair
+    table) or ``clusters`` (a ``dup_clusters`` label table) to reuse a
+    stage another branch of the pipeline already paid for, instead of
+    re-running candidate generation per consumer (VERDICT r03 item 5).
     """
     from p2_mapreduce_spark.operators.graph import dup_clusters
 
-    pairs = ngram_jaccard_pairs(docs, threshold, n, text_col, id_col)
-    comp = dup_clusters(pairs.select("doc_a", "doc_b"))
+    if clusters is not None:
+        comp = clusters
+    else:
+        if pairs is None:
+            pairs = ngram_jaccard_pairs(docs, threshold, n, text_col, id_col)
+        comp = dup_clusters(pairs.select("doc_a", "doc_b"))
     member = comp.join(
         docs.select(
             F.col(id_col).alias("doc_id"), F.col("source"), F.col("n_chars")
