@@ -1425,6 +1425,52 @@ def _q_media_png(spark, sf_dir):
     return png_pixel_sums(attach_png_rgb(docs))
 
 
+def _q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotone-trend test per event type: exact-integer S
+    and tie-corrected variance, z via correctly-rounded sqrt."""
+    from p2_mapreduce_spark.operators.timeseries import mann_kendall
+
+    return mann_kendall(load_table(spark, sf_dir, "events"))
+
+
+def _q_winnow(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint selection: per-window minimal
+    k-gram hashes with the rightmost tie rule — (doc_id, pos, fp)."""
+    from p2_mapreduce_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def _q_sssp_trade(spark, sf_dir):
+    """Bounded Bellman-Ford over the trade graph: cheapest cumulative
+    ship-lag path from the source customer node within 4 rounds —
+    exact BIGINT relaxation, unrolled-CTE oracle."""
+    from p2_mapreduce_spark.operators.graph import trade_sssp
+
+    return trade_sssp(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def _q_calibration_bins(spark, sf_dir):
+    """Reliability diagram + ECE terms over the quality classifier's
+    min-max-normalized margins vs the lang='en' label — all-BIGINT bin
+    ids, one IEEE division per per-bin statistic."""
+    from p2_mapreduce_spark.operators.curation import calibration_bins
+
+    return calibration_bins(load_table(spark, sf_dir, "documents"))
+
+
+def _q_retrieval_eval(spark, sf_dir):
+    """Retrieval-quality gate: MRR@10 / P@10 / recall@10 per benchmark
+    query (tf ranking vs containment labels) — all metrics exact-BIGINT
+    divisions, no NDCG transcendental."""
+    from p2_mapreduce_spark.operators.search import retrieval_eval
+
+    return retrieval_eval(load_table(spark, sf_dir, "documents"))
+
+
 def _q_media_jpeg(spark, sf_dir):
     """Real baseline-JPEG GRAYSCALE decode (chunk walk + canonical
     Huffman + DPCM/EXTEND + dequant + de-zigzag + real IDCT) of
@@ -3145,6 +3191,11 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pixels": _q_media_pixels,
         "media_png": _q_media_png,
         "media_jpeg": _q_media_jpeg,
+        "retrieval_eval": _q_retrieval_eval,
+        "calibration_bins": _q_calibration_bins,
+        "sssp_trade": _q_sssp_trade,
+        "winnow_fingerprints": _q_winnow,
+        "mann_kendall": _q_mann_kendall,
         "video_frames": _q_video_frames,
         "audio_wav": _q_audio_wav,
         "weighted_median": _q_weighted_median,
@@ -3670,6 +3721,38 @@ def _pagerank_oracle(iterations: int = 3) -> str:
                         + CAST(floor(0.85 * i{i}.s) AS BIGINT) AS rank_q
                  FROM r{i - 1} p JOIN i{i} ON p.node = i{i}.node)"""
     return cte + f"\n        SELECT node, rank_q FROM r{iterations}"
+
+
+def _sssp_oracle(source: int = 2, rounds: int = 4) -> str:
+    """Unrolled Bellman-Ford twin of graph.trade_sssp: BIGINT weights
+    (min ship lag per trade pair), min() relaxation per round — every
+    intermediate exact, so the final distance table value-hashes."""
+    cte = """
+        WITH pairs AS (
+            SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+                   MIN(greatest(1, date_diff('day', o_orderdate,
+                                             l_shipdate))) AS w
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        ),
+        sym AS (SELECT src AS u, dst AS v, w FROM pairs
+                UNION ALL SELECT dst, src, w FROM pairs),
+        d0 AS (SELECT CAST(%d AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)
+    """ % source
+    for i in range(1, rounds + 1):
+        cte += f""",
+        d{i} AS (
+            SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d{i - 1}
+                UNION ALL
+                SELECT s.v AS node, d.dist + s.w AS dist
+                FROM sym s JOIN d{i - 1} d ON s.u = d.node
+            ) GROUP BY node
+        )"""
+    return cte + f"""
+        SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+        FROM d{rounds}
+    """
 
 
 def _zorder_cluster_oracle() -> str:
@@ -6307,9 +6390,188 @@ def oracle_sql() -> dict[str, str]:
                         + 14 * w * h AS BIGINT) AS sum_b
             FROM dims
         """,
+        # calibration audit: same all-BIGINT binning, same one-division
+        # per-bin statistics and fixed subtract/abs/multiply tree
+        "calibration_bins": f"""
+            WITH m AS (
+                SELECT doc_id, lang,
+                       CAST(-500 + 5 * len(t) + 20 * len(list_distinct(t))
+                            - 2 * strlen(text)
+                            + 100 * len(regexp_extract_all(lower(text),
+                                  '\\b(the|and|of|to|a|in)\\b'))
+                            AS BIGINT) AS margin
+                FROM ({toks})
+            ),
+            mm AS (SELECT MIN(margin) AS mn, MAX(margin) AS mx,
+                          COUNT(*) AS n_total FROM m),
+            wb AS (
+                SELECT m.margin, m.lang, mn, mx, n_total,
+                       CASE WHEN mx = mn THEN 0
+                            ELSE least(9, (margin - mn) * 10 // (mx - mn))
+                       END AS bin
+                FROM m, mm
+            ),
+            per AS (
+                SELECT bin, COUNT(*) AS n_docs,
+                       SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_pos,
+                       SUM(margin) AS sum_margin,
+                       MIN(mn) AS mn, MIN(mx) AS mx, MIN(n_total) AS n_total
+                FROM wb GROUP BY 1
+            ),
+            scored AS (
+                SELECT *,
+                       CASE WHEN mx = mn THEN 0.0
+                            ELSE CAST(sum_margin - n_docs * mn AS DOUBLE)
+                                 / CAST(n_docs * (mx - mn) AS DOUBLE)
+                       END AS mean_score,
+                       CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                           AS pos_rate
+                FROM per
+            )
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_pos AS BIGINT) AS n_pos,
+                   mean_score, pos_rate,
+                   abs(mean_score - pos_rate) AS abs_gap,
+                   abs(mean_score - pos_rate) * CAST(n_docs AS DOUBLE)
+                       / CAST(n_total AS DOUBLE) AS ece_term
+            FROM scored
+        """,
+        # retrieval evaluation: same tf ranking (ties -> doc_id), same
+        # containment labels, same single-division metrics
+        "retrieval_eval": f"""
+            WITH q(query_id, s_term, r_term) AS (VALUES
+                (0, 'join', 'dup'), (1, 'dup', 'join'),
+                (2, 'hash', 'vector'), (3, 'window', 'dup'),
+                (4, 'scan', 'filter'), (5, 'spark', 'big')),
+            tf AS (
+                SELECT doc_id, word AS token, COUNT(*) AS tf
+                FROM (
+                    SELECT doc_id, lower(unnest(regexp_split_to_array(
+                        text, '{_TOK}'))) AS word
+                    FROM documents
+                ) WHERE word <> '' GROUP BY 1, 2
+            ),
+            cand AS (SELECT query_id, doc_id, tf AS score
+                     FROM tf JOIN q ON token = s_term),
+            rel AS (SELECT query_id, doc_id
+                    FROM tf JOIN q ON token = r_term),
+            nrel AS (SELECT query_id, COUNT(*) AS n_relevant
+                     FROM rel GROUP BY 1),
+            ncand AS (SELECT query_id, COUNT(*) AS n_candidates
+                      FROM cand GROUP BY 1),
+            topk AS (
+                SELECT * FROM (
+                    SELECT query_id, doc_id,
+                           row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS rnk
+                    FROM cand) WHERE rnk <= 10
+            ),
+            judged AS (
+                SELECT t.query_id, t.rnk, r.doc_id IS NOT NULL AS is_rel
+                FROM topk t LEFT JOIN rel r
+                  ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+            ),
+            per_q AS (
+                SELECT query_id,
+                       SUM(CASE WHEN is_rel THEN 1 ELSE 0 END) AS hits_at_k,
+                       MIN(CASE WHEN is_rel THEN rnk END) AS first_rel
+                FROM judged GROUP BY 1
+            )
+            SELECT nc.query_id,
+                   CAST(n_candidates AS BIGINT) AS n_candidates,
+                   CAST(COALESCE(n_relevant, 0) AS BIGINT) AS n_relevant,
+                   CAST(COALESCE(hits_at_k, 0) AS BIGINT) AS hits_at_k,
+                   CASE WHEN first_rel IS NOT NULL
+                        THEN 1.0 / CAST(first_rel AS DOUBLE)
+                        ELSE 0.0 END AS rr_at_k,
+                   CAST(COALESCE(hits_at_k, 0) AS DOUBLE) / 10.0 AS p_at_k,
+                   CASE WHEN COALESCE(n_relevant, 0) > 0
+                        THEN CAST(COALESCE(hits_at_k, 0) AS DOUBLE)
+                             / CAST(n_relevant AS DOUBLE)
+                        ELSE 0.0 END AS recall_at_k
+            FROM ncand nc
+            LEFT JOIN nrel USING (query_id)
+            LEFT JOIN per_q USING (query_id)
+        """,
         # closed-form grayscale sums for the baseline-JPEG design:
         # block b is uniformly 128 + id%8 + 8·(1 − b%2), so the image
         # sum is 64·(nb·(128 + id%8) + 8·ceil(nb/2)) with nb = wb·hb
+        "sssp_trade": _sssp_oracle(),
+        # Mann-Kendall: integer S + tie-corrected var18, z through the
+        # same correctly-rounded sqrt tree
+        "mann_kendall": """
+            WITH daily AS (
+                SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                       SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT a.g,
+                       CAST(SUM(CAST(sign(CAST(b.y - a.y AS DOUBLE))
+                                     AS BIGINT)) AS BIGINT) AS s_stat
+                FROM daily a JOIN daily b ON a.g = b.g AND a.d < b.d
+                GROUP BY 1
+            ),
+            n AS (SELECT g, COUNT(*) AS n_days FROM daily GROUP BY 1),
+            ties AS (
+                SELECT g, SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+                FROM (SELECT g, y, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+                WHERE t > 1 GROUP BY 1
+            ),
+            base AS (
+                SELECT n.g, n.n_days, COALESCE(s.s_stat, 0) AS s_stat,
+                       n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                           - COALESCE(tie_term, 0) AS var18
+                FROM n LEFT JOIN s USING (g) LEFT JOIN ties USING (g)
+            )
+            SELECT g AS event_type,
+                   CAST(n_days AS BIGINT) AS n_days,
+                   CAST(s_stat AS BIGINT) AS s_stat,
+                   CAST(var18 AS BIGINT) AS var18,
+                   CASE WHEN var18 <= 0 OR s_stat = 0 THEN 0.0
+                        WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                             / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                        ELSE CAST(s_stat + 1 AS DOUBLE)
+                             / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                   END AS z
+            FROM base
+        """,
+        # winnowing: same md5-60-bit gram hashes, same window membership
+        # explode, same min + rightmost-tie resolution
+        "winnow_fingerprints": f"""
+            WITH grams AS (
+                SELECT doc_id, g.i - 1 AS pos,
+                       CAST('0x' || substr(md5(array_to_string(
+                           t[g.i:g.i+2], ' ')), 18, 15) AS BIGINT) AS h,
+                       len(t) - 2 AS n_grams
+                FROM ({toks}),
+                     LATERAL (SELECT unnest(generate_series(1,
+                                  greatest(len(t) - 2, 0))) AS i) g
+            ),
+            member AS (
+                SELECT doc_id, pos, h, st.s
+                FROM grams,
+                     LATERAL (SELECT unnest(generate_series(
+                         greatest(0, pos - 3),
+                         least(pos, n_grams - 4))) AS s) st
+                WHERE n_grams >= 4
+            ),
+            wins AS (
+                SELECT doc_id, s, MIN(h) AS fp
+                FROM member GROUP BY 1, 2
+            ),
+            sel AS (
+                SELECT w.doc_id, w.s, w.fp, MAX(m.pos) AS pos
+                FROM wins w JOIN member m
+                  ON m.doc_id = w.doc_id AND m.s = w.s AND m.h = w.fp
+                GROUP BY 1, 2, 3
+            )
+            SELECT DISTINCT doc_id,
+                   CAST(pos AS BIGINT) AS pos,
+                   CAST(fp AS BIGINT) AS fp
+            FROM sel
+        """,
         "media_jpeg": """
             WITH d AS (
                 SELECT doc_id AS media_id,

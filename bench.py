@@ -345,6 +345,11 @@ HEADLINE = (
     # plus the baseline-JPEG grayscale codec
     "media_digest",
     "media_jpeg",
+    "retrieval_eval",
+    "calibration_bins",
+    "sssp_trade",
+    "winnow_fingerprints",
+    "mann_kendall",
 )
 
 

@@ -1538,3 +1538,81 @@ def temperature_mix(
             ).cast("bigint").alias("alloc"),
         )
     )
+
+
+def calibration_bins(
+    docs: DataFrame,
+    n_bins: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model calibration audit (reliability diagram + per-bin ECE
+    terms) — the acceptance gate between :func:`quality_classifier` and
+    the mixture decisions its scores feed: bucket documents by
+    normalized classifier score, compare each bucket's mean score with
+    its observed positive rate (label: ``lang = 'en'``), and surface
+    the weighted gap — ``(bin, n_docs, n_pos, mean_score, pos_rate,
+    abs_gap, ece_term)``; ``SUM(ece_term)`` is the expected calibration
+    error.
+
+    Exactness protocol: score = min-max-normalized margin, so the bin
+    id is ALL-BIGINT (``(margin−min)·n_bins div (max−min)``, clamped to
+    the top bin) and every per-bin mean is ONE IEEE division of exact
+    BIGINT sums — ``mean_score = (Σmargin − n·min)/(n·(max−min))`` —
+    followed by a fixed subtract/abs/multiply/divide tree, identical in
+    both engines.
+
+    Scale shape: margins are a zero-shuffle map (quality_classifier),
+    the min/max contract to ONE broadcast row, and the bin aggregate is
+    map-side combined at n_bins grain.  Degenerate corpora (max = min)
+    collapse to bin 0 rather than dividing by zero.
+    """
+    m = quality_classifier(docs, text_col, id_col).select(
+        F.col(id_col).alias("doc_id"), "margin"
+    )
+    lab = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        (F.col("lang") == "en").cast("int").alias("pos"),
+    )
+    base = m.join(lab, "doc_id")
+    mm = base.agg(
+        F.min("margin").alias("mn"),
+        F.max("margin").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+    )
+    nb = int(n_bins)
+    with_bin = base.crossJoin(F.broadcast(mm)).withColumn(
+        "bin",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(nb - 1),
+                F.expr(f"(margin - mn) * {nb} div (mx - mn)"),
+            )
+        ).cast("bigint"),
+    )
+    per = with_bin.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("margin").cast("bigint").alias("sum_margin"),
+        F.first("mn").alias("mn"),
+        F.first("mx").alias("mx"),
+        F.first("n_total").alias("n_total"),
+    )
+    mean_score = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+        (F.col("sum_margin") - F.col("n_docs") * F.col("mn")).cast("double")
+        / (F.col("n_docs") * (F.col("mx") - F.col("mn"))).cast("double")
+    )
+    pos_rate = F.col("n_pos").cast("double") / F.col("n_docs").cast("double")
+    return per.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        mean_score.alias("mean_score"),
+        pos_rate.alias("pos_rate"),
+        F.abs(mean_score - pos_rate).alias("abs_gap"),
+        (
+            F.abs(mean_score - pos_rate)
+            * F.col("n_docs").cast("double")
+            / F.col("n_total").cast("double")
+        ).alias("ece_term"),
+    )

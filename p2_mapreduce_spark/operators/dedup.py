@@ -1131,3 +1131,85 @@ def lsh_recall(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-gram, slide a
+    w-window over the hash sequence, keep each window's minimum —
+    ``(doc_id, pos, fp)``, the selected fingerprints.  The selection
+    guarantee: any shared token run of length ≥ w + k − 1 between two
+    documents yields at least one shared fingerprint, while storage
+    drops to ~2/(w+1) of the grams — the local-sampling complement to
+    MinHash's global sampling (:func:`minhash_signatures`) and the
+    rolling-hash full fingerprint (``fingerprint_docs``).
+
+    Tie rule: within a window, equal minimal hashes select the
+    RIGHTMOST position (the paper's robust-winnowing choice made total)
+    — critical on repetitive text where adjacent grams collide by
+    VALUE, and what keeps the output bit-deterministic cross-engine.
+    Hashes are md5-derived 60-bit BIGINTs so the oracle can reproduce
+    them exactly.
+
+    Scale shape: grams explode to their ≤w member windows (a ×w map,
+    no shuffle), the per-window min is ONE map-side-combined aggregate
+    at (doc, window) grain, and the tie-resolving join probes grams
+    back at gram grain.  Documents with fewer than w grams contribute
+    nothing (no full window exists).
+    """
+    toks = tokens_array(F.col(text_col))
+    n_grams = (F.size(toks) - (k - 1)).cast("int")
+    gram_h = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.conv(
+                F.substring(F.md5(F.array_join(F.slice(toks, i, k), " ")), 18, 15),
+                16,
+                10,
+            ).cast("bigint"),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+    grams = _spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        n_grams.alias("n_grams"),
+        F.posexplode(gram_h).alias("pos", "h"),
+    )
+    # each gram belongs to windows starting in [pos-w+1, pos] ∩ [0, n-w];
+    # Spark's sequence() counts DOWN when start > stop, so short docs
+    # must short-circuit to no windows explicitly
+    starts = F.when(
+        F.col("n_grams") >= w,
+        F.sequence(
+            F.greatest(F.lit(0), F.col("pos") - (w - 1)),
+            F.least(F.col("pos"), F.col("n_grams") - w),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+    member = grams.select(
+        "doc_id", "pos", "h", F.explode(starts).alias("s")
+    )
+    wins = member.groupBy("doc_id", "s").agg(F.min("h").alias("fp"))
+    g = member.select(
+        F.col("doc_id").alias("g_doc"), F.col("s").alias("g_s"), "pos", "h"
+    )
+    sel = (
+        wins.join(
+            g,
+            (wins.doc_id == g.g_doc)
+            & (wins.s == g.g_s)
+            & (wins.fp == g.h),
+        )
+        .groupBy(wins.doc_id, wins.s, wins.fp)
+        .agg(F.max("pos").alias("pos"))
+    )
+    return sel.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("fp").cast("bigint").alias("fp"),
+    ).distinct()

@@ -428,3 +428,118 @@ def hybrid_search(
         .select(F.col("n_id").alias("doc_id"), F.col("rnk"))
     )
     return rrf_fuse(sparse, dense, k_rrf=k_rrf, top_n=top_n)
+
+
+#: Fixed evaluation workload: (query_id, scoring_term, relevance_term).
+#: Scoring and relevance deliberately use DIFFERENT terms so the metrics
+#: are non-trivial — ranking by tf(scoring_term) is the "system under
+#: test", containing relevance_term is the "ground truth" label.
+RETRIEVAL_EVAL_QUERIES = (
+    (0, "join", "dup"),
+    (1, "dup", "join"),
+    (2, "hash", "vector"),
+    (3, "window", "dup"),
+    (4, "scan", "filter"),
+    (5, "spark", "big"),
+)
+
+
+def retrieval_eval(
+    docs: DataFrame,
+    queries: Sequence[tuple[int, str, str]] = RETRIEVAL_EVAL_QUERIES,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Retrieval-quality evaluation (the acceptance gate for a search /
+    RAG stack, the lexical sibling of the ANN family's ``ann_recall``):
+    for each benchmark query, rank candidate documents by term
+    frequency of the scoring term (ties → smallest doc id, a total rule
+    so ranks are bit-deterministic cross-engine), label documents
+    containing the relevance term as relevant, and report cutoff-``k``
+    metrics — ``(query_id, n_candidates, n_relevant, hits_at_k,
+    rr_at_k, p_at_k, recall_at_k)``.
+
+    All metrics are single IEEE divisions of exact BIGINTs (reciprocal
+    rank, precision@k, recall@k) — no log-discounted gain (NDCG's
+    transcendental) so every value is reproducible bit-for-bit; MRR@k
+    convention: 0.0 when no relevant document appears in the top k.
+
+    Scale shape: the token stream filters to the query-term union
+    BEFORE the (doc, term) aggregate (map-side combined); the term→
+    query map is config-grain and broadcast; per-query ranking windows
+    partition on query_id over CANDIDATE docs only (docs containing
+    that query's scoring term), and everything after the top-k cut is
+    queries×k-grain.
+    """
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        list(queries), "query_id long, s_term string, r_term string"
+    )
+    needed = sorted({t for _q, s, r in queries for t in (s, r)})
+    tf = (
+        spread(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_array(F.col(text_col))).alias("token"),
+        )
+        .filter(F.col("token").isin(needed))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    cand = tf.join(
+        F.broadcast(qdf), tf.token == qdf.s_term
+    ).select("query_id", "doc_id", F.col("tf").alias("score"))
+    rel = tf.join(
+        F.broadcast(qdf), tf.token == qdf.r_term
+    ).select("query_id", F.col("doc_id").alias("rel_doc"))
+    n_rel = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_relevant")
+    )
+    n_cand = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    topk = cand.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= int(k)
+    )
+    judged = topk.join(
+        rel,
+        (topk.query_id == rel.query_id) & (topk.doc_id == rel.rel_doc),
+        "left",
+    ).select(topk.query_id, "rnk", rel.rel_doc.isNotNull().alias("is_rel"))
+    per_q = judged.groupBy("query_id").agg(
+        F.sum(F.when(F.col("is_rel"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("hits_at_k"),
+        F.min(F.when(F.col("is_rel"), F.col("rnk"))).alias("first_rel"),
+    )
+    return (
+        n_cand.join(n_rel, "query_id", "left")
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            "n_candidates",
+            F.coalesce("n_relevant", F.lit(0)).cast("bigint").alias("n_relevant"),
+            F.coalesce("hits_at_k", F.lit(0)).cast("bigint").alias("hits_at_k"),
+            F.when(
+                F.col("first_rel").isNotNull(),
+                F.lit(1.0) / F.col("first_rel").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rr_at_k"),
+            (
+                F.coalesce("hits_at_k", F.lit(0)).cast("double")
+                / F.lit(float(k))
+            ).alias("p_at_k"),
+            F.when(
+                F.coalesce("n_relevant", F.lit(0)) > 0,
+                F.coalesce("hits_at_k", F.lit(0)).cast("double")
+                / F.col("n_relevant").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("recall_at_k"),
+        )
+    )

@@ -1431,3 +1431,91 @@ def stickiness(events: DataFrame, mau_days: int = 28) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+def mann_kendall(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Mann–Kendall trend TEST per group — the significance companion
+    to the :func:`theil_sen_trend` ESTIMATOR (the standard pairing in
+    monotone-trend monitoring): over the daily-value series, ``S =
+    Σ_{i<j} sign(y_j − y_i)``, the tie-corrected variance, and the
+    normal-approximation z statistic — ``(group, n_days, s_stat,
+    var18, z)``.
+
+    Exactness protocol: S and the variance are pure integer statistics
+    — ``var18 = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)`` is kept ×18 so it
+    stays BIGINT — and z's only non-rational step is ``sqrt``, which
+    IEEE-754 defines as correctly rounded, so even z is bit-identical
+    cross-engine (same dodge as the Wilson interval's pinned tree).
+    Continuity correction per the standard test: z = (S−1)/√var for
+    S > 0, (S+1)/√var for S < 0, 0 at S = 0 or zero variance.
+
+    Scale shape: the fact table contracts to (group, day) grain FIRST
+    (map-side combined); the sign-pair join and the tie histogram run
+    at calendar grain only — the same Θ(days²) envelope as Theil–Sen,
+    never event grain.
+    """
+    daily = (
+        events.select(
+            F.col(group_col).alias("g"),
+            F.to_date("ts").alias("d"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("g", "d")
+        .agg(F.sum("cents").alias("y"))
+    )
+    a = daily.select("g", F.col("d").alias("di"), F.col("y").alias("yi"))
+    b = daily.select(
+        F.col("g").alias("g2"), F.col("d").alias("dj"), F.col("y").alias("yj")
+    )
+    s = (
+        a.join(b, (F.col("g") == F.col("g2")) & (F.col("di") < F.col("dj")))
+        .groupBy("g")
+        .agg(
+            F.sum(F.signum((F.col("yj") - F.col("yi")).cast("double")).cast("bigint"))
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    n = daily.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    ties = (
+        daily.groupBy("g", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("bigint").alias("tie_term")
+        )
+    )
+    base = (
+        n.join(s, "g", "left")
+        .join(ties, "g", "left")
+        .select(
+            "g",
+            "n_days",
+            F.coalesce("s_stat", F.lit(0)).cast("bigint").alias("s_stat"),
+            (
+                F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+                - F.coalesce("tie_term", F.lit(0))
+            ).cast("bigint").alias("var18"),
+        )
+    )
+    sqrt_var = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    z = (
+        F.when(
+            (F.col("var18") <= 0) | (F.col("s_stat") == 0), F.lit(0.0)
+        )
+        .when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1).cast("double") / sqrt_var,
+        )
+        .otherwise((F.col("s_stat") + 1).cast("double") / sqrt_var)
+    )
+    return base.select(
+        F.col("g").alias(group_col),
+        "n_days",
+        "s_stat",
+        "var18",
+        z.alias("z"),
+    )

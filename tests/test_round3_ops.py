@@ -1915,3 +1915,184 @@ def test_coverage_curve_monotone_and_exact(spark):
         rows[cps[i]]["coverage_ppm"] <= rows[cps[i + 1]]["coverage_ppm"]
         for i in range(len(cps) - 1)
     )
+
+
+# --- round 4 additions ------------------------------------------------------
+
+from p2_mapreduce_spark.session import load_table  # noqa: E402
+
+
+class TestRetrievalEval:
+    def test_metrics_match_python_reference(self, spark, sf_dir):
+        import re
+
+        from p2_mapreduce_spark.operators.search import (
+            RETRIEVAL_EVAL_QUERIES,
+            retrieval_eval,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        rows = {r["query_id"]: r for r in retrieval_eval(docs).collect()}
+        raw = docs.select("doc_id", "text").collect()
+        tf = {}
+        for r in raw:
+            toks = [t for t in re.split(r"[^\w]+", r["text"].lower()) if t]
+            for t in toks:
+                tf[(r["doc_id"], t)] = tf.get((r["doc_id"], t), 0) + 1
+        for qid, s_term, r_term in RETRIEVAL_EVAL_QUERIES:
+            cand = sorted(
+                [(d, c) for (d, t), c in tf.items() if t == s_term],
+                key=lambda x: (-x[1], x[0]),
+            )
+            rel = {d for (d, t) in tf if t == r_term}
+            topk = [d for d, _ in cand[:10]]
+            hits = sum(1 for d in topk if d in rel)
+            first = next(
+                (i + 1 for i, d in enumerate(topk) if d in rel), None
+            )
+            got = rows[qid]
+            assert got["n_candidates"] == len(cand)
+            assert got["n_relevant"] == len(rel)
+            assert got["hits_at_k"] == hits
+            assert got["rr_at_k"] == (1.0 / first if first else 0.0)
+            assert got["p_at_k"] == hits / 10.0
+            assert got["recall_at_k"] == (hits / len(rel) if rel else 0.0)
+
+
+class TestCalibrationBins:
+    def test_ece_terms_sum_and_bin_partition(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.curation import calibration_bins
+
+        docs = load_table(spark, sf_dir, "documents")
+        rows = calibration_bins(docs).collect()
+        assert sum(r["n_docs"] for r in rows) == docs.count()
+        for r in rows:
+            assert 0 <= r["bin"] <= 9
+            assert 0.0 <= r["mean_score"] <= 1.0
+            assert 0.0 <= r["pos_rate"] <= 1.0
+            assert abs(
+                r["abs_gap"] - abs(r["mean_score"] - r["pos_rate"])
+            ) == 0.0
+        ece = sum(r["ece_term"] for r in rows)
+        assert 0.0 <= ece <= 1.0
+
+
+class TestSssp:
+    def test_matches_python_bellman_ford(self, spark):
+        import random
+
+        from p2_mapreduce_spark.operators.graph import sssp
+
+        rng = random.Random(7)
+        edges = [
+            (rng.randrange(12), rng.randrange(12), rng.randrange(1, 9))
+            for _ in range(30)
+        ]
+        edges = [(u, v, w) for u, v, w in edges if u != v]
+        df = spark.createDataFrame(edges, "src long, dst long, w long")
+        got = {
+            r["node"]: r["dist"]
+            for r in sssp(df, source=0, rounds=4).collect()
+        }
+        # reference: 4-round Bellman-Ford over the symmetrized list
+        dist = {0: 0}
+        sym = edges + [(v, u, w) for u, v, w in edges]
+        for _ in range(4):
+            new = dict(dist)
+            for u, v, w in sym:
+                if u in dist and dist[u] + w < new.get(v, 1 << 60):
+                    new[v] = dist[u] + w
+            dist = new
+        assert got == dist
+
+    def test_trade_sssp_source_is_zero(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.graph import trade_sssp
+
+        out = {
+            r["node"]: r["dist"]
+            for r in trade_sssp(
+                load_table(spark, sf_dir, "lineitem"),
+                load_table(spark, sf_dir, "orders"),
+            ).collect()
+        }
+        assert out[2] == 0
+        assert all(d >= 0 for d in out.values())
+
+
+class TestWinnowing:
+    def test_shared_run_guarantee_and_density(self, spark):
+        """Two docs sharing a token run of length >= w + k - 1 (= 6)
+        must share at least one fingerprint; selection keeps far fewer
+        than all grams."""
+        from p2_mapreduce_spark.operators.dedup import winnow_fingerprints
+
+        shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+        docs = spark.createDataFrame(
+            [
+                (1, f"one two three {shared} four five six seven"),
+                (2, f"red blue {shared} green yellow purple orange"),
+                (3, "completely different words everywhere here today now"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = winnow_fingerprints(docs).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+        assert by_doc[1] & by_doc[2]  # the guarantee
+        assert not (by_doc[1] & by_doc.get(3, set()))
+        # density: docs have 13/12 tokens -> 11/10 grams; selected << grams
+        assert all(len(v) < 11 for v in by_doc.values())
+
+    def test_rightmost_tie_on_repetitive_text(self, spark):
+        """All-identical grams: every window's min is the same VALUE, so
+        the rightmost-tie rule must pick one deterministic position per
+        window, giving windows-count distinct positions of one fp."""
+        from p2_mapreduce_spark.operators.dedup import winnow_fingerprints
+
+        docs = spark.createDataFrame(
+            [(1, "a a a a a a a a")], "doc_id long, text string"
+        )
+        rows = winnow_fingerprints(docs).collect()
+        # 8 tokens -> 6 grams -> 3 windows (s=0,1,2); min of each window
+        # is the shared hash, rightmost member: pos = s + 3
+        assert sorted((r["pos"], ) for r in rows) == [(3,), (4,), (5,)]
+        assert len({r["fp"] for r in rows}) == 1
+
+
+class TestMannKendall:
+    def test_matches_python_reference(self, spark, sf_dir):
+        import math
+        from collections import Counter
+
+        from p2_mapreduce_spark.operators.timeseries import mann_kendall
+
+        events = load_table(spark, sf_dir, "events")
+        got = {r["event_type"]: r for r in mann_kendall(events).collect()}
+        raw = events.select("event_type", "ts", "value").collect()
+        daily = {}
+        for r in raw:
+            key = (r["event_type"], r["ts"].date())
+            daily[key] = daily.get(key, 0) + math.floor(r["value"] * 100)
+        by_g = {}
+        for (g, d), y in daily.items():
+            by_g.setdefault(g, []).append((d, y))
+        for g, series in by_g.items():
+            series.sort()
+            ys = [y for _, y in series]
+            n = len(ys)
+            s = sum(
+                (ys[j] > ys[i]) - (ys[j] < ys[i])
+                for i in range(n)
+                for j in range(i + 1, n)
+            )
+            ties = Counter(ys)
+            tie_term = sum(
+                t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1
+            )
+            var18 = n * (n - 1) * (2 * n + 5) - tie_term
+            r = got[g]
+            assert (r["n_days"], r["s_stat"], r["var18"]) == (n, s, var18)
+            if s != 0 and var18 > 0:
+                expect = (s - 1 if s > 0 else s + 1) / math.sqrt(var18 / 18.0)
+                assert r["z"] == expect
