@@ -1425,6 +1425,50 @@ def _q_media_png(spark, sf_dir):
     return png_pixel_sums(attach_png_rgb(docs))
 
 
+def _q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup audit per source: rolling-hash
+    boundaries, chunk fingerprints, duplicate-bytes ppm."""
+    from p2_mapreduce_spark.operators.dedup import cdc_chunk_stats
+
+    return cdc_chunk_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _q_hash_ring(spark, sf_dir):
+    """Consistent-hash ring placement of order keys over a 5-node ring
+    with 16 virtual nodes each — per-node load audit."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.catalog import consistent_hash_placement
+
+    keys = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key")
+    )
+    return consistent_hash_placement(keys)
+
+
+def _q_infer_types(spark, sf_dir):
+    """Type-inference audit over a stringified view of orders (the
+    all-varchar CSV-drop scenario): int / fixed-decimal / date / dirty
+    mixed columns, narrowest-type suggestion per column."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.profile import infer_types
+
+    o = load_table(spark, sf_dir, "orders")
+    staged = o.select(
+        F.col("o_orderkey").cast("string").alias("c_int"),
+        F.format_string("%.2f", F.col("o_totalprice")).alias("c_float"),
+        F.to_date("o_orderdate").cast("string").alias("c_date"),
+        F.col("o_orderstatus").alias("c_str"),
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.col("o_orderpriority")
+        ).otherwise(F.col("o_orderkey").cast("string")).alias("c_mixed"),
+    )
+    return infer_types(
+        staged, ["c_int", "c_float", "c_date", "c_str", "c_mixed"]
+    )
+
+
 def _q_mann_kendall(spark, sf_dir):
     """Mann-Kendall monotone-trend test per event type: exact-integer S
     and tie-corrected variance, z via correctly-rounded sqrt."""
@@ -3196,6 +3240,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_trade": _q_sssp_trade,
         "winnow_fingerprints": _q_winnow,
         "mann_kendall": _q_mann_kendall,
+        "infer_types": _q_infer_types,
+        "hash_ring": _q_hash_ring,
+        "cdc_chunks": _q_cdc_chunks,
         "video_frames": _q_video_frames,
         "audio_wav": _q_audio_wav,
         "weighted_median": _q_weighted_median,
@@ -6498,6 +6545,160 @@ def oracle_sql() -> dict[str, str]:
         # block b is uniformly 128 + id%8 + 8·(1 − b%2), so the image
         # sum is 64·(nb·(128 + id%8) + 8·ceil(nb/2)) with nb = wb·hb
         "sssp_trade": _sssp_oracle(),
+
+        # content-defined chunking: same polynomial window hash, same
+        # boundary rule, same chunk fingerprints and rollup
+        "cdc_chunks": """
+            WITH bounded AS (
+                SELECT doc_id, source, text,
+                       list_concat(list_concat([0],
+                           list_filter(list_transform(
+                               generate_series(1,
+                                   greatest(length(text) - 7, 0)),
+                               p -> CASE WHEN (CAST(ascii(substr(text, p + 0, 1)) AS BIGINT) * 1 + CAST(ascii(substr(text, p + 1, 1)) AS BIGINT) * 31 + CAST(ascii(substr(text, p + 2, 1)) AS BIGINT) * 961 + CAST(ascii(substr(text, p + 3, 1)) AS BIGINT) * 29791 + CAST(ascii(substr(text, p + 4, 1)) AS BIGINT) * 923521 + CAST(ascii(substr(text, p + 5, 1)) AS BIGINT) * 28629151 + CAST(ascii(substr(text, p + 6, 1)) AS BIGINT) * 887503681 + CAST(ascii(substr(text, p + 7, 1)) AS BIGINT) * 27512614111) % 64 = 0
+                                         THEN p + 7 ELSE -1 END),
+                               x -> x > 0)),
+                           [length(text)]) AS bounds
+                FROM documents
+            ),
+            chunked AS (
+                SELECT doc_id, source, u.h AS chunk_md5, u.len AS chunk_len
+                FROM (
+                    SELECT doc_id, source,
+                           unnest(list_filter(list_transform(
+                               generate_series(2, len(bounds)),
+                               i -> {'h': md5(substr(text,
+                                        bounds[i - 1] + 1,
+                                        bounds[i] - bounds[i - 1])),
+                                     'len': CAST(bounds[i] - bounds[i - 1]
+                                                 AS BIGINT)}),
+                               c -> c.len > 0)) AS u
+                    FROM bounded
+                )
+            ),
+            per_chunk AS (
+                SELECT source, chunk_md5, COUNT(*) AS n_copies,
+                       MIN(chunk_len) AS chunk_len
+                FROM chunked GROUP BY 1, 2
+            ),
+            dps AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs
+                    FROM chunked GROUP BY 1),
+            rolled AS (
+                SELECT source,
+                       SUM(n_copies) AS n_chunks,
+                       COUNT(*) AS n_distinct,
+                       SUM(n_copies * chunk_len) AS total_chars,
+                       SUM(chunk_len) AS unique_chars
+                FROM per_chunk GROUP BY 1
+            )
+            SELECT source,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_chunks AS BIGINT) AS n_chunks,
+                   CAST(n_distinct AS BIGINT) AS n_distinct,
+                   CAST(total_chars AS BIGINT) AS total_chars,
+                   CAST(unique_chars AS BIGINT) AS unique_chars,
+                   CAST((total_chars - unique_chars) * 1000000
+                        // total_chars AS BIGINT) AS dup_ppm
+            FROM dps JOIN rolled USING (source)
+        """,
+        # consistent hashing: same md5-60-bit ring positions, same
+        # successor-with-wrap rule and min-node tie-break
+        "hash_ring": """
+            WITH ring AS (
+                SELECT n.node,
+                       CAST('0x' || substr(md5(n.node || ':' ||
+                           CAST(v.i AS VARCHAR)), 18, 15) AS BIGINT) AS vpos
+                FROM (SELECT unnest(['node-a', 'node-b', 'node-c',
+                                     'node-d', 'node-e']) AS node) n,
+                     (SELECT unnest(generate_series(0, 15)) AS i) v
+            ),
+            kp AS (
+                SELECT o_orderkey AS k,
+                       CAST('0x' || substr(md5('key:' ||
+                           CAST(o_orderkey AS VARCHAR)), 18, 15) AS BIGINT)
+                           AS kpos
+                FROM orders
+            ),
+            succ AS (
+                SELECT k,
+                       COALESCE(
+                           MIN(CASE WHEN vpos >= kpos THEN vpos END),
+                           MIN(vpos)) AS owner_pos
+                FROM kp, ring GROUP BY k
+            ),
+            owned AS (
+                SELECT s.k, MIN(r.node) AS node
+                FROM succ s JOIN ring r ON s.owner_pos = r.vpos
+                GROUP BY s.k, s.owner_pos
+            ),
+            per_node AS (
+                SELECT node, COUNT(*) AS n_keys FROM owned GROUP BY 1
+            ),
+            total AS (SELECT SUM(n_keys) AS n_total FROM per_node),
+            ring_counts AS (
+                SELECT node, COUNT(*) AS n_vnodes FROM ring GROUP BY 1
+            )
+            SELECT rc.node,
+                   CAST(n_vnodes AS BIGINT) AS n_vnodes,
+                   CAST(COALESCE(n_keys, 0) AS BIGINT) AS n_keys,
+                   CAST(COALESCE(n_keys, 0) * 1000000 // n_total AS BIGINT)
+                       AS share_ppm
+            FROM ring_counts rc
+            LEFT JOIN per_node USING (node), total
+        """,
+        # type inference: same anchored lexical classes over the same
+        # engine-identical stringified staging
+        "infer_types": """
+            WITH staged AS (
+                SELECT CAST(o_orderkey AS VARCHAR) AS c_int,
+                       printf('%.2f', o_totalprice) AS c_float,
+                       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS c_date,
+                       o_orderstatus AS c_str,
+                       CASE WHEN o_orderkey % 10 = 0 THEN o_orderpriority
+                            ELSE CAST(o_orderkey AS VARCHAR) END AS c_mixed
+                FROM orders
+            ),
+            audits AS (
+                SELECT 'c_int' AS col, c_int AS v FROM staged
+                UNION ALL SELECT 'c_float', c_float FROM staged
+                UNION ALL SELECT 'c_date', c_date FROM staged
+                UNION ALL SELECT 'c_str', c_str FROM staged
+                UNION ALL SELECT 'c_mixed', c_mixed FROM staged
+            ),
+            counted AS (
+                SELECT col AS "column",
+                       COUNT(*) AS n_rows,
+                       SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null,
+                       SUM(CASE WHEN v IS NOT NULL AND regexp_matches(
+                           lower(v), '^[+-]?[0-9]+$') THEN 1 ELSE 0 END)
+                           AS n_int,
+                       SUM(CASE WHEN v IS NOT NULL AND regexp_matches(
+                           lower(v),
+                           '^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$')
+                           THEN 1 ELSE 0 END) AS n_float,
+                       SUM(CASE WHEN v IS NOT NULL AND regexp_matches(
+                           lower(v), '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+                           THEN 1 ELSE 0 END) AS n_date,
+                       SUM(CASE WHEN v IS NOT NULL AND regexp_matches(
+                           lower(v), '^(true|false|t|f|0|1)$')
+                           THEN 1 ELSE 0 END) AS n_bool
+                FROM audits GROUP BY 1
+            )
+            SELECT "column",
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_null AS BIGINT) AS n_null,
+                   CAST(n_int AS BIGINT) AS n_int,
+                   CAST(n_float AS BIGINT) AS n_float,
+                   CAST(n_date AS BIGINT) AS n_date,
+                   CAST(n_bool AS BIGINT) AS n_bool,
+                   CASE WHEN n_rows - n_null = 0 THEN 'null'
+                        WHEN n_int = n_rows - n_null THEN 'bigint'
+                        WHEN n_float = n_rows - n_null THEN 'double'
+                        WHEN n_date = n_rows - n_null THEN 'date'
+                        WHEN n_bool = n_rows - n_null THEN 'boolean'
+                        ELSE 'string' END AS suggested
+            FROM counted
+        """,
         # Mann-Kendall: integer S + tie-corrected var18, z through the
         # same correctly-rounded sqrt tree
         "mann_kendall": """

@@ -350,6 +350,9 @@ HEADLINE = (
     "sssp_trade",
     "winnow_fingerprints",
     "mann_kendall",
+    "infer_types",
+    "hash_ring",
+    "cdc_chunks",
 )
 
 

@@ -153,3 +153,96 @@ def plan_chunk_placement(
             required[nid] += size
         out[chunk_id] = chosen
     return out
+
+
+def consistent_hash_placement(
+    keys: DataFrame,
+    nodes: tuple[str, ...] = ("node-a", "node-b", "node-c", "node-d", "node-e"),
+    vnodes: int = 16,
+    key_col: str = "key",
+) -> DataFrame:
+    """Consistent-hash ring placement — the classic alternative to the
+    reference's weighted greedy (:func:`plan_chunk_placement` /
+    manager.go selectReplicaNode): each node owns ``vnodes`` positions
+    on a hash ring (md5-derived 60-bit BIGINTs), every key maps to the
+    first virtual node clockwise from its own position (wrapping), and
+    the audit reports per-node load — ``(node, n_vnodes, n_keys,
+    share_ppm)``.  The property under test is the one consistent
+    hashing exists for: adding/removing a node moves only ~1/n of the
+    keys, where the greedy (and any mod-N scheme) reshuffles
+    everything.
+
+    Determinism: ring positions are md5-folded (oracle-reproducible);
+    in the astronomically-unlikely event two virtual nodes share a
+    position, the smaller node id wins (total rule).
+
+    Scale shape: the ring is config grain (nodes × vnodes rows) and
+    BROADCAST; each key computes its position in the scan, the
+    successor is one conditional-min aggregate per key over the
+    broadcast ring, and the load report is a node-grain count —
+    the keys table never shuffles at data grain.
+    """
+    from pyspark.sql import functions as F
+
+    spark = keys.sparkSession
+    ring = spark.createDataFrame(
+        [(n, i) for n in nodes for i in range(int(vnodes))],
+        "node string, vidx int",
+    ).select(
+        "node",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("node"), F.col("vidx"))), 18, 15
+            ),
+            16,
+            10,
+        ).cast("bigint").alias("vpos"),
+    )
+    kp = keys.select(
+        F.col(key_col).alias("k"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("key:"), F.col(key_col).cast("string"))),
+                18,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint").alias("kpos"),
+    )
+    succ = (
+        kp.crossJoin(F.broadcast(ring))
+        .groupBy("k")
+        .agg(
+            F.min(
+                F.when(F.col("vpos") >= F.col("kpos"), F.col("vpos"))
+            ).alias("succ_pos"),
+            F.min("vpos").alias("wrap_pos"),
+        )
+        .select(
+            "k", F.coalesce("succ_pos", "wrap_pos").alias("owner_pos")
+        )
+    )
+    owned = succ.join(
+        F.broadcast(ring), succ.owner_pos == ring.vpos
+    ).groupBy("k", "owner_pos").agg(F.min("node").alias("node"))
+    per_node = owned.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    )
+    # one-row broadcast total (no driver-side count action)
+    total = per_node.agg(F.sum("n_keys").cast("bigint").alias("n_total"))
+    ring_counts = ring.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vnodes")
+    )
+    return (
+        ring_counts.join(per_node, "node", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "node",
+            "n_vnodes",
+            F.coalesce("n_keys", F.lit(0)).cast("bigint").alias("n_keys"),
+            F.expr("coalesce(n_keys, 0) * 1000000 div n_total")
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+    )

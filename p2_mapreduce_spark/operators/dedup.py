@@ -1213,3 +1213,113 @@ def winnow_fingerprints(
         F.col("pos").cast("bigint").alias("pos"),
         F.col("fp").cast("bigint").alias("fp"),
     ).distinct()
+
+
+#: CDC rolling-hash parameters, shared verbatim with the oracle: window
+#: k=8 chars, polynomial base 31 (max hash < 2^45 for any codepoints
+#: < 2^31 — BIGINT-safe), boundary when hash % 64 == 0 (expected chunk
+#: length 64 chars).
+CDC_WINDOW = 8
+CDC_BASE_POWERS = tuple(31 ** j for j in range(8))
+CDC_MASK_MOD = 64
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/backup-dedup family):
+    split every document at positions where the rolling hash of the
+    trailing k-char window ≡ 0 (mod 64), fingerprint each chunk, and
+    report per-source storage-dedup effectiveness — ``(source, n_docs,
+    n_chunks, n_distinct, total_chars, unique_chars, dup_ppm)``.
+
+    Why content-defined (vs fixed-size blocks): an insertion shifts
+    every fixed block boundary after it, destroying downstream matches;
+    CDC boundaries move WITH the content, so identical passages chunk
+    identically wherever they sit — the property that makes chunk-level
+    dedup work on near-identical documents.  This is the STORAGE-plane
+    dedup face (what a DFS does below the row abstraction — the
+    reference's chunked-file plane is the natural host), complementing
+    the document-level families above.
+
+    Simplifications vs production CDC, documented: no min/max chunk
+    clamps (Rabin implementations add them to bound variance) and a
+    polynomial window hash rather than a true Rabin fingerprint —
+    boundary STATISTICS are identical, and both choices keep every
+    intermediate an exact BIGINT the oracle reproduces.
+
+    Scale shape: boundary detection is a zero-shuffle codegen map
+    (O(n·k) per doc, arrays never leave the row); the only exchanges
+    are the chunk-hash distinct and the source-grain rollup.
+    """
+    k = CDC_WINDOW
+    pows = ", ".join(str(p) for p in CDC_BASE_POWERS)
+    t = text_col
+    # hash of the k-char window starting at 1-based position p
+    win_hash = (
+        f"aggregate(zip_with(array({pows}), "
+        f"transform(sequence(0, {k - 1}), j -> "
+        f"ascii(substr({t}, p + j, 1))), (pw, c) -> pw * c), "
+        f"cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    cuts = (
+        f"filter(transform(sequence(1, greatest(length({t}) - {k - 1}, 0)), "
+        f"p -> IF(({win_hash}) % {CDC_MASK_MOD} = 0, p + {k - 1}, -1)), "
+        f"x -> x > 0)"
+    )
+    bounds = f"concat(array(0), {cuts}, array(length({t})))"
+    chunks_expr = (
+        f"filter(transform(sequence(2, size({bounds})), i -> "
+        f"named_struct('s', element_at({bounds}, i - 1), "
+        f"'e', element_at({bounds}, i))), c -> c.e > c.s)"
+    )
+    # chunk to (md5, len) pairs INSIDE the row (one transform over the
+    # span structs while the text column is still in scope), then explode
+    pieces_expr = (
+        f"transform({chunks_expr}, c -> named_struct("
+        f"'h', md5(substr({t}, c.s + 1, c.e - c.s)), "
+        f"'len', cast(c.e - c.s as bigint)))"
+    )
+    chunked = _spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.explode(F.expr(pieces_expr)).alias("c"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("c.h").alias("chunk_md5"),
+        F.col("c.len").alias("chunk_len"),
+    )
+    per_chunk = chunked.groupBy("source", "chunk_md5").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.min("chunk_len").alias("chunk_len"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs_touch"),
+    )
+    docs_per_source = chunked.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    rolled = per_chunk.groupBy("source").agg(
+        F.sum("n_copies").cast("bigint").alias("n_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.col("n_copies") * F.col("chunk_len"))
+        .cast("bigint")
+        .alias("total_chars"),
+        F.sum("chunk_len").cast("bigint").alias("unique_chars"),
+    )
+    return (
+        docs_per_source.join(rolled, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_chunks",
+            "n_distinct",
+            "total_chars",
+            "unique_chars",
+            F.expr(
+                "(total_chars - unique_chars) * 1000000 div total_chars"
+            ).cast("bigint").alias("dup_ppm"),
+        )
+    )

@@ -2175,3 +2175,71 @@ def qq_drift(
         "q_after",
         (F.col("q_after") - F.col("q_before")).alias("shift"),
     )
+
+
+#: Anchored lexical classes for type inference — shared verbatim by the
+#: Spark rlike calls and the DuckDB oracle's regexp_matches.
+TYPE_INFER_PATTERNS = {
+    "int": r"^[+-]?[0-9]+$",
+    "float": r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$",
+    "date": r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$",
+    "bool": r"^(true|false|t|f|0|1)$",
+}
+
+
+def infer_types(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Schema/type inference audit over STRING-typed (or stringified)
+    columns — the first step of onboarding a CSV/JSON drop whose
+    declared schema is all-varchar: per column, how many values parse
+    as int / float / date / bool, and the narrowest type that admits
+    every non-null value — ``(column, n_rows, n_null, n_int, n_float,
+    n_date, n_bool, suggested)``.
+
+    Precedence (narrowest first, nulls always admitted): all-null →
+    'null'; every value int → 'bigint'; every value numeric →
+    'double'; every value ISO date → 'date'; every value in the
+    boolean lexicon (case-insensitive true/false/t/f/0/1) →
+    'boolean'; else 'string'.  The lexical classes are anchored
+    regexes shared verbatim with the oracle, so the audit is
+    bit-deterministic — no locale-dependent casts.
+
+    Scale shape: one conditional aggregate per column over a single
+    scan (column count × map-side combine; no shuffle beyond the
+    one-row-per-column result)."""
+    pieces = []
+    for c in cols:
+        v = F.col(c).cast("string")
+        low = F.lower(v)
+        n_null = F.sum(F.when(v.isNull(), 1).otherwise(0)).cast("bigint")
+        counts = {
+            t: F.sum(
+                F.when(v.isNotNull() & low.rlike(p), 1).otherwise(0)
+            ).cast("bigint")
+            for t, p in TYPE_INFER_PATTERNS.items()
+        }
+        pieces.append(
+            df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                n_null.alias("n_null"),
+                counts["int"].alias("n_int"),
+                counts["float"].alias("n_float"),
+                counts["date"].alias("n_date"),
+                counts["bool"].alias("n_bool"),
+            ).select(F.lit(c).alias("column"), "*")
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    non_null = F.col("n_rows") - F.col("n_null")
+    suggested = (
+        F.when(non_null == 0, F.lit("null"))
+        .when(F.col("n_int") == non_null, F.lit("bigint"))
+        .when(F.col("n_float") == non_null, F.lit("double"))
+        .when(F.col("n_date") == non_null, F.lit("date"))
+        .when(F.col("n_bool") == non_null, F.lit("boolean"))
+        .otherwise(F.lit("string"))
+    )
+    return out.select(
+        "column", "n_rows", "n_null", "n_int", "n_float", "n_date",
+        "n_bool", suggested.alias("suggested"),
+    )

@@ -2096,3 +2096,118 @@ class TestMannKendall:
             if s != 0 and var18 > 0:
                 expect = (s - 1 if s > 0 else s + 1) / math.sqrt(var18 / 18.0)
                 assert r["z"] == expect
+
+
+class TestInferTypes:
+    def test_narrowest_type_per_column(self, spark):
+        from p2_mapreduce_spark.operators.profile import infer_types
+
+        df = spark.createDataFrame(
+            [
+                ("1", "1.5", "2024-01-02", "true", None),
+                ("-42", "2", "1999-12-31", "F", "x"),
+                ("+7", ".5e3", "2024-06-30", "0", "1"),
+            ],
+            "a string, b string, c string, d string, e string",
+        )
+        got = {
+            r["column"]: r
+            for r in infer_types(df, ["a", "b", "c", "d", "e"]).collect()
+        }
+        assert got["a"]["suggested"] == "bigint"
+        assert got["b"]["suggested"] == "double"
+        assert got["c"]["suggested"] == "date"
+        assert got["d"]["suggested"] == "boolean"
+        assert got["e"]["suggested"] == "string"  # mixed, null admitted
+        assert got["e"]["n_null"] == 1
+        # ints are floats too (precedence, not exclusivity)
+        assert got["a"]["n_float"] == 3
+
+    def test_all_null_column(self, spark):
+        from p2_mapreduce_spark.operators.profile import infer_types
+
+        df = spark.createDataFrame([(None,), (None,)], "a string")
+        [r] = infer_types(df, ["a"]).collect()
+        assert r["suggested"] == "null" and r["n_null"] == 2
+
+
+class TestHashRing:
+    def test_total_partition_and_minimal_movement(self, spark):
+        """Every key lands on exactly one node, and adding a node moves
+        only the keys that now belong to it (the consistent-hashing
+        property the operator exists for — nobody else's keys move)."""
+        from pyspark.sql import functions as F
+
+        from p2_mapreduce_spark.catalog import consistent_hash_placement
+
+        keys = spark.range(0, 2000).select(F.col("id").alias("key"))
+
+        def owners(nodes):
+            from p2_mapreduce_spark.catalog import consistent_hash_placement
+            # reuse the internals via the audit + a per-key probe: rerun
+            # with each node set and compare per-node counts
+            return {
+                r["node"]: r["n_keys"]
+                for r in consistent_hash_placement(keys, nodes=nodes).collect()
+            }
+
+        five = owners(("n1", "n2", "n3", "n4", "n5"))
+        six = owners(("n1", "n2", "n3", "n4", "n5", "n6"))
+        assert sum(five.values()) == 2000 and sum(six.values()) == 2000
+        # existing nodes only LOSE keys to the newcomer — none gain
+        assert all(six[n] <= five[n] for n in five)
+        assert six["n6"] == sum(five[n] - six[n] for n in five)
+        # and the newcomer takes roughly 1/6 (loose band: vnode variance)
+        assert 2000 // 20 < six["n6"] < 2000 // 2
+
+
+class TestCdcChunks:
+    def test_shift_invariance_the_point_of_cdc(self, spark):
+        """Insert a prefix into a document: fixed-size blocks would
+        shift every boundary, but CDC boundaries move WITH the content
+        — the two variants must share most chunk fingerprints (all
+        chunks strictly after the first boundary following the edit)."""
+        import hashlib
+
+        from p2_mapreduce_spark.operators.dedup import (
+            CDC_MASK_MOD,
+            CDC_WINDOW,
+            cdc_chunk_stats,
+        )
+
+        base = (
+            "the quick brown fox jumps over the lazy dog again and again "
+            "while seventeen engineers review forty two parquet files "
+            "containing join keys hash buckets and sorted runs of data "
+        ) * 4
+        docs = spark.createDataFrame(
+            [(1, base, "a"), (2, "INSERTED PREFIX >>> " + base, "b")],
+            "doc_id long, text string, source string",
+        )
+        # python reference chunker (independent of the SQL fold)
+        def chunks(text):
+            k, pows = CDC_WINDOW, [31 ** j for j in range(CDC_WINDOW)]
+            cuts = [
+                p + k - 1
+                for p in range(1, max(len(text) - k + 1, 0) + 1)
+                if sum(
+                    ord(text[p + j - 1]) * pows[j] for j in range(k)
+                ) % CDC_MASK_MOD == 0
+            ]
+            bounds = [0] + cuts + [len(text)]
+            return [
+                hashlib.md5(text[s:e].encode()).hexdigest()
+                for s, e in zip(bounds, bounds[1:])
+                if e > s
+            ]
+        c1, c2 = chunks(base), chunks("INSERTED PREFIX >>> " + base)
+        shared = set(c1) & set(c2)
+        assert len(shared) >= len(set(c1)) - 2  # only the head differs
+        # and the operator's per-source rollup agrees with the reference
+        got = {
+            r["source"]: r for r in cdc_chunk_stats(docs).collect()
+        }
+        assert got["a"]["n_chunks"] == len(c1)
+        assert got["b"]["n_chunks"] == len(c2)
+        assert got["a"]["n_distinct"] == len(set(c1))
+        assert got["a"]["total_chars"] == len(base)
