@@ -1425,6 +1425,15 @@ def _q_media_png(spark, sf_dir):
     return png_pixel_sums(attach_png_rgb(docs))
 
 
+def _q_dedup_simhash_idf(spark, sf_dir):
+    """IDF-weighted SimHash near-dup pairs: rare tokens vote with
+    weight max(1, N div df), boilerplate votes 1 — same 4-band
+    blocking + exact popcount verify as the unweighted path."""
+    from p2_mapreduce_spark.operators.dedup import simhash_idf_near_pairs
+
+    return simhash_idf_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def _q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking dedup audit per source: rolling-hash
     boundaries, chunk fingerprints, duplicate-bytes ppm."""
@@ -3243,6 +3252,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_types": _q_infer_types,
         "hash_ring": _q_hash_ring,
         "cdc_chunks": _q_cdc_chunks,
+        "dedup_simhash_idf": _q_dedup_simhash_idf,
         "video_frames": _q_video_frames,
         "audio_wav": _q_audio_wav,
         "weighted_median": _q_weighted_median,
@@ -3514,6 +3524,65 @@ def _simhash_sql(toks: str, max_hamming: int = 3) -> str:
         ),
         votes AS (
             SELECT doc_id, COUNT(*) AS n_tok,
+                   {votes}
+            FROM tokh GROUP BY doc_id
+        ),
+        fps AS (SELECT doc_id AS doc, {fp} AS simhash FROM votes),
+        bands AS (
+            SELECT doc, simhash, band,
+                   (simhash >> (band * {band_bits})) & {mask} AS band_val
+            FROM fps, (SELECT unnest([0, 1, 2, 3]) AS band)
+        ),
+        ok AS (SELECT band, band_val FROM bands GROUP BY 1, 2
+               HAVING COUNT(*) <= {MAX_DF}),
+        capped AS (SELECT bands.* FROM bands JOIN ok USING (band, band_val)),
+        cand AS (
+            SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+                            a.simhash AS sh_a, b.simhash AS sh_b
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.band_val = b.band_val AND a.doc < b.doc
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
+
+
+def _simhash_weighted_sql(toks: str, max_hamming: int = 3) -> str:
+    """DuckDB twin of dedup.simhash_weighted_fingerprints +
+    banded_hamming_pairs: md5-60-bit hashes, idf weights
+    ``greatest(1, N div df)``, weighted per-bit majority
+    ``2·Σw·bit > Σw``, 4×15-bit band blocking, bucket cap, popcount
+    verify — expression lists mirror the Spark aggregates."""
+    from p2_mapreduce_spark.operators.dedup import MAX_DF, SIMHASH_BITS
+
+    bits = SIMHASH_BITS["md5"]
+    band_bits = bits // 4
+    mask = (1 << band_bits) - 1
+    votes = ",\n                   ".join(
+        f"SUM(((h >> {i}) & 1) * w) AS v{i}" for i in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN 2*v{i} > tw THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
+    return f"""
+        WITH tokr AS (
+            SELECT doc_id, unnest(t) AS token FROM ({toks})
+        ),
+        dfp AS (
+            SELECT token, COUNT(DISTINCT doc_id) AS df FROM tokr GROUP BY 1
+        ),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        tokh AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(token), 18, 15) AS BIGINT) AS h,
+                   greatest(1, n_docs // df) AS w
+            FROM tokr JOIN dfp USING (token), nd
+        ),
+        votes AS (
+            SELECT doc_id, SUM(w) AS tw,
                    {votes}
             FROM tokh GROUP BY doc_id
         ),
@@ -6545,6 +6614,7 @@ def oracle_sql() -> dict[str, str]:
         # block b is uniformly 128 + id%8 + 8·(1 − b%2), so the image
         # sum is 64·(nb·(128 + id%8) + 8·ceil(nb/2)) with nb = wb·hb
         "sssp_trade": _sssp_oracle(),
+        "dedup_simhash_idf": _simhash_weighted_sql(toks),
 
         # content-defined chunking: same polynomial window hash, same
         # boundary rule, same chunk fingerprints and rollup

@@ -353,6 +353,7 @@ HEADLINE = (
     "infer_types",
     "hash_ring",
     "cdc_chunks",
+    "dedup_simhash_idf",
 )
 
 

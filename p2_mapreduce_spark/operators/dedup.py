@@ -1323,3 +1323,83 @@ def cdc_chunk_stats(
             ).cast("bigint").alias("dup_ppm"),
         )
     )
+
+
+def simhash_weighted_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """IDF-weighted SimHash (Charikar's construction as production
+    near-dup systems actually run it): each token occurrence votes with
+    weight ``max(1, N div df)`` — boilerplate tokens (df ≈ N) vote 1,
+    rare content tokens vote large, so two documents differing only in
+    stopword glue no longer collide while documents sharing rare
+    content do.  Per-bit decision: set bit i iff ``2·Σ w·bit_i(h) >
+    Σ w`` — the weighted majority in exact BIGINT form (no ±1 floats,
+    no division), bit-identical cross-engine.
+
+    The weight is a ratio of exact counts, NOT a log-idf — monotone in
+    the classic idf (the bm25_search dodge) and integer, which is what
+    keeps the whole fingerprint value-hash oracle-checkable.
+
+    Scale shape: df is one (token-vocabulary-grain) aggregate joined
+    back onto the token stream (AQE handles stopword skew); the vote
+    matrix stays one map-side-combinable groupBy, same as the
+    unweighted :func:`simhash_fingerprints`."""
+    bits = SIMHASH_BITS[hash_fn]
+    tok = _spread(docs).select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens_array(F.col(text_col))).alias("token"),
+    )
+    df_t = tok.distinct().groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    weighted = (
+        tok.join(df_t, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc",
+            _simhash_token_hash(F.col("token"), hash_fn).alias("h"),
+            F.greatest(F.lit(1), F.expr("n_docs div df")).cast("bigint").alias("w"),
+        )
+    )
+    votes = [
+        F.sum(
+            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * F.col("w")
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    per_doc = weighted.groupBy("doc").agg(
+        *votes, F.sum("w").alias("tw")
+    )
+    fp = None
+    for i in range(bits):
+        bit = F.when(
+            F.col(f"v{i}") * 2 > F.col("tw"),
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return per_doc.select("doc", fp.alias("simhash"))
+
+
+def simhash_idf_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = MAX_DF,
+) -> DataFrame:
+    """Near-dup candidates over the IDF-weighted fingerprints — same
+    4-band blocking + exact popcount verify as the unweighted path
+    (:func:`banded_hamming_pairs` is fingerprint-agnostic)."""
+    return banded_hamming_pairs(
+        simhash_weighted_fingerprints(docs, text_col, id_col, "md5"),
+        "simhash",
+        "doc",
+        SIMHASH_BITS["md5"],
+        max_hamming,
+        max_bucket,
+    )

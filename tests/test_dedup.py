@@ -330,3 +330,55 @@ def test_lsh_recall_gate_is_one_on_fixture(spark, sf_dir):
     lsh = {(r["doc_a"], r["doc_b"])
            for r in minhash_lsh_pairs(docs, 0.5).collect()}
     assert lsh <= exact
+
+
+class TestWeightedSimhash:
+    def test_rare_content_outvotes_stopword_glue(self, spark):
+        """Two docs sharing rare content but wrapped in DIFFERENT
+        boilerplate: idf weighting must pull their fingerprints
+        together relative to the unweighted vote."""
+        from p2_mapreduce_spark.operators.dedup import (
+            simhash_fingerprints,
+            simhash_weighted_fingerprints,
+        )
+
+        glue_a = "the a of to in and " * 6
+        glue_b = "is was be on at by " * 6
+        rare = "zyzzyva quixotic phlogiston absquatulate"
+        # boilerplate must be CORPUS-frequent for idf to downweight it:
+        # every filler doc carries both glue sets (df ≈ N → weight 1),
+        # while the rare content appears only in docs 1-2 (weight N/2)
+        filler = [
+            (i + 10, f"{glue_a} {glue_b} common words here doc number {i}")
+            for i in range(30)
+        ]
+        docs = spark.createDataFrame(
+            [(1, f"{glue_a} {rare}"), (2, f"{glue_b} {rare}")] + filler,
+            "doc_id long, text string",
+        )
+
+        def hamming(fps):
+            d = {r["doc"]: r["simhash"] for r in fps.collect()}
+            return bin(d[1] ^ d[2]).count("1")
+
+        hw = hamming(simhash_weighted_fingerprints(docs, hash_fn="md5"))
+        hu = hamming(simhash_fingerprints(docs, hash_fn="md5"))
+        assert hw < hu  # weighting moves the shared-content pair closer
+
+    def test_uniform_df_reduces_to_unweighted(self, spark):
+        """When every token has the same df, all weights are equal, so
+        the weighted fingerprint must equal the unweighted one."""
+        from p2_mapreduce_spark.operators.dedup import (
+            simhash_fingerprints,
+            simhash_weighted_fingerprints,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+            "doc_id long, text string",
+        )
+        w = {r["doc"]: r["simhash"]
+             for r in simhash_weighted_fingerprints(docs, hash_fn="md5").collect()}
+        u = {r["doc"]: r["simhash"]
+             for r in simhash_fingerprints(docs, hash_fn="md5").collect()}
+        assert w == u
