@@ -1425,6 +1425,18 @@ def _q_media_png(spark, sf_dir):
     return png_pixel_sums(attach_png_rgb(docs))
 
 
+def _q_ppr_trade(spark, sf_dir):
+    """Personalized PageRank from the source customer node over the
+    trade graph — source-teleport proximity scores, exact fixed-point
+    arithmetic, unrolled-CTE oracle."""
+    from p2_mapreduce_spark.operators.graph import trade_ppr
+
+    return trade_ppr(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 def _q_dedup_simhash_idf(spark, sf_dir):
     """IDF-weighted SimHash near-dup pairs: rare tokens vote with
     weight max(1, N div df), boilerplate votes 1 — same 4-band
@@ -3253,6 +3265,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_ring": _q_hash_ring,
         "cdc_chunks": _q_cdc_chunks,
         "dedup_simhash_idf": _q_dedup_simhash_idf,
+        "ppr_trade": _q_ppr_trade,
         "video_frames": _q_video_frames,
         "audio_wav": _q_audio_wav,
         "weighted_median": _q_weighted_median,
@@ -3869,6 +3882,39 @@ def _sssp_oracle(source: int = 2, rounds: int = 4) -> str:
         SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
         FROM d{rounds}
     """
+
+
+def _ppr_oracle(source: int = 2, iterations: int = 3) -> str:
+    """Unrolled twin of graph.trade_ppr: all-mass-at-source start,
+    source-only restart term, integer rank_q div deg contributions."""
+    from p2_mapreduce_spark.operators.graph import PR_SCALE
+
+    restart = int((1.0 - 0.85) * float(PR_SCALE))
+    cte = f"""
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        bi AS (SELECT src AS u, dst AS w FROM pairs
+               UNION ALL SELECT dst, src FROM pairs),
+        deg AS (SELECT u AS node, COUNT(*) AS deg FROM bi GROUP BY 1),
+        r0 AS (SELECT node, deg,
+                      CASE WHEN node = {source}
+                           THEN CAST({PR_SCALE} AS BIGINT)
+                           ELSE CAST(0 AS BIGINT) END AS rank_q
+               FROM deg)"""
+    for i in range(1, iterations + 1):
+        cte += f""",
+        i{i} AS (SELECT w AS node,
+                        CAST(SUM(rank_q // deg) AS BIGINT) AS s
+                 FROM bi JOIN r{i - 1} ON bi.u = r{i - 1}.node GROUP BY 1),
+        r{i} AS (SELECT p.node, p.deg,
+                        CAST(CASE WHEN p.node = {source} THEN {restart}
+                             ELSE 0 END AS BIGINT)
+                        + CAST(floor(0.85 * COALESCE(i{i}.s, 0)) AS BIGINT)
+                            AS rank_q
+                 FROM r{i - 1} p LEFT JOIN i{i} ON p.node = i{i}.node)"""
+    return cte + f"\n        SELECT node, rank_q FROM r{iterations}"
 
 
 def _zorder_cluster_oracle() -> str:
@@ -6615,6 +6661,7 @@ def oracle_sql() -> dict[str, str]:
         # sum is 64·(nb·(128 + id%8) + 8·ceil(nb/2)) with nb = wb·hb
         "sssp_trade": _sssp_oracle(),
         "dedup_simhash_idf": _simhash_weighted_sql(toks),
+        "ppr_trade": _ppr_oracle(),
 
         # content-defined chunking: same polynomial window hash, same
         # boundary rule, same chunk fingerprints and rollup

@@ -354,6 +354,7 @@ HEADLINE = (
     "hash_ring",
     "cdc_chunks",
     "dedup_simhash_idf",
+    "ppr_trade",
 )
 
 

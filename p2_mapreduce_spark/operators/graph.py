@@ -1067,3 +1067,101 @@ def trade_sssp(
         .agg(F.min("lag").alias("w"))
     )
     return sssp(pairs, source=source, rounds=rounds)
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    source: int,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Personalized PageRank from one source node — random walks that
+    TELEPORT BACK TO THE SOURCE instead of to a uniform vector, so the
+    score is proximity to the source, not global centrality: the
+    recommendation/similar-entities workhorse (pagerank's global scores
+    answer "who is important", PPR answers "who is important TO this
+    node").
+
+    Same exactness protocol as :func:`pagerank`: ranks quantized once
+    at PR_SCALE, per-edge contributions ``rank_q div degree``, per-node
+    inflow an exact BIGINT sum, the restart mass ``(1−d)·PR_SCALE``
+    landing ONLY on the source (floored scalar double, < 2^53 — exact),
+    so every round is bit-identical under any partitioning and the loop
+    unrolls to a value-hash SQL oracle.
+
+    Scale shape identical to pagerank: symmetrized edges materialize
+    once, each round one join + one aggregate at node grain.  Nodes a
+    random walk cannot have reached yet simply carry rank 0 — rows
+    appear for all nodes from round 1 (the restart term is
+    source-only, the inflow join is outer via the union trick).
+    """
+    ckpt = _make_ckpt(edges.sparkSession, checkpoint_dir)
+    sym = ckpt(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("w")))
+    )
+    deg = ckpt(
+        sym.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+    )
+    restart = int((1.0 - damping) * float(PR_SCALE))
+    # round 0: all mass at the source
+    ranks = ckpt(
+        deg.select(
+            "node",
+            "deg",
+            F.when(F.col("node") == source, F.lit(int(PR_SCALE)))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rank_q"),
+        )
+    )
+    for _ in range(int(iterations)):
+        contrib = sym.join(ranks, sym.u == ranks.node).select(
+            F.col("w").alias("to_node"),
+            F.expr("rank_q div deg").alias("c"),
+        )
+        inflow = contrib.groupBy("to_node").agg(F.sum("c").alias("s"))
+        ranks = ckpt(
+            ranks.select("node", "deg")
+            .join(inflow, ranks.node == inflow.to_node, "left")
+            .select(
+                "node",
+                "deg",
+                (
+                    F.when(F.col("node") == source, F.lit(restart))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    + F.floor(
+                        F.lit(float(damping))
+                        * F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                    ).cast("long")
+                ).alias("rank_q"),
+            )
+        )
+    return ranks.select("node", "rank_q")
+
+
+def trade_ppr(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    source: int = 2,
+    iterations: int = 3,
+) -> DataFrame:
+    """:func:`personalized_pagerank` over the customer-supplier trade
+    graph (same encoding as :func:`trade_graph_pagerank`), personalized
+    to the source customer node — "which suppliers/customers are close
+    to THIS customer's trading neighborhood"."""
+    pairs = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return personalized_pagerank(pairs, source=source, iterations=iterations)

@@ -303,3 +303,50 @@ def test_two_hop_reach_on_path_graph(spark):
     tri = spark.createDataFrame([(0, 20), (20, 40), (40, 0)], ["u", "v"])
     t = {r["node"]: r for r in two_hop_reach(tri, sample_mod=20).collect()}
     assert all(r["n_1hop"] == 2 and r["n_2hop_new"] == 0 for r in t.values())
+
+
+class TestPersonalizedPagerank:
+    def test_mass_concentrates_at_source_and_decays(self, spark):
+        """On a path graph 1-2-3-4-5 personalized to node 1: rank must
+        decay monotonically with distance from the source, and the
+        source must dominate."""
+        from p2_mapreduce_spark.operators.graph import personalized_pagerank
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+        )
+        r = {
+            row["node"]: row["rank_q"]
+            for row in personalized_pagerank(
+                edges, source=1, iterations=20
+            ).collect()
+        }
+        # stationary PPR scales with degree TIMES proximity, so compare
+        # within equal-degree sets: interior nodes (deg 2) decay with
+        # distance, and between the two endpoints (deg 1) the source
+        # dominates the far end
+        assert r[2] > r[3] > r[4]
+        assert r[1] > r[5]
+
+    def test_boosts_neighborhood_relative_to_global(self, spark):
+        """Personalization must BOOST the source's neighbor relative to
+        a distant hub compared with global PageRank (the exact-integer
+        cross-ratio form avoids any division)."""
+        from p2_mapreduce_spark.operators.graph import (
+            pagerank,
+            personalized_pagerank,
+        )
+
+        # star hub at 100 (degree 6), source 1 attached to leaf 2
+        edges = spark.createDataFrame(
+            [(100, k) for k in (10, 11, 12, 13, 14, 2)] + [(1, 2)],
+            "src long, dst long",
+        )
+        glob = {r["node"]: r["rank_q"] for r in pagerank(edges, iterations=4).collect()}
+        pers = {
+            r["node"]: r["rank_q"]
+            for r in personalized_pagerank(edges, source=1, iterations=20).collect()
+        }
+        assert glob[100] > glob[2]  # hub wins globally
+        # pers[2]/pers[100] > glob[2]/glob[100]
+        assert pers[2] * glob[100] > glob[2] * pers[100]

@@ -119,6 +119,16 @@ FUNNEL_REVIEWED = {
     # neyman_alloc: the largest-remainder window and weight total run at
     # #strata grain (config-bounded), fed by a map-side-combined agg
     "neyman_alloc",
+    # round-4 additions, each the one-row-broadcast pattern:
+    # calibration_bins: one-row (min, max, n_total) margin aggregate
+    # broadcast onto the zero-shuffle margin map; bins n_bins-grain.
+    # dedup_simhash_idf: one-row corpus-count broadcast for the idf
+    # weights; votes/pairs run at doc/bucket grain.
+    # hash_ring: the ring is config-grain and the share denominator a
+    # one-row broadcast total; keys never single-partition.
+    # infer_types: per-column ONE-ROW conditional aggregates (the
+    # audit's entire output is #columns rows) unioned at config grain.
+    "calibration_bins", "dedup_simhash_idf", "hash_ring", "infer_types",
     # assoc_rules: one-row basket-count broadcast; zipf_buckets: one-row
     # mass total + the #partitions-grain offset table of the two-phase
     # vocabulary rank
