@@ -1425,6 +1425,14 @@ def _q_media_png(spark, sf_dir):
     return png_pixel_sums(attach_png_rgb(docs))
 
 
+def _q_clustering_coeff(spark, sf_dir):
+    """Per-node clustering coefficient over the part co-purchase graph
+    — degree-ordered wedge kernel, exact triangle counts."""
+    from p2_mapreduce_spark.operators.graph import copurchase_clustering
+
+    return copurchase_clustering(load_table(spark, sf_dir, "lineitem"))
+
+
 def _q_ppr_trade(spark, sf_dir):
     """Personalized PageRank from the source customer node over the
     trade graph — source-teleport proximity scores, exact fixed-point
@@ -3266,6 +3274,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": _q_cdc_chunks,
         "dedup_simhash_idf": _q_dedup_simhash_idf,
         "ppr_trade": _q_ppr_trade,
+        "clustering_coeff": _q_clustering_coeff,
         "video_frames": _q_video_frames,
         "audio_wav": _q_audio_wav,
         "weighted_median": _q_weighted_median,
@@ -6662,6 +6671,45 @@ def oracle_sql() -> dict[str, str]:
         "sssp_trade": _sssp_oracle(),
         "dedup_simhash_idf": _simhash_weighted_sql(toks),
         "ppr_trade": _ppr_oracle(),
+        # local clustering: canonical-edge triangle enumeration (each
+        # triangle once as a < b < c on ids), exploded to member nodes
+        "clustering_coeff": """
+            WITH p AS (
+                SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+                FROM lineitem
+            ),
+            e AS (
+                SELECT DISTINCT a.p AS a, b.p AS b
+                FROM p a JOIN p b ON a.k = b.k AND a.p < b.p
+            ),
+            deg AS (
+                SELECT node, COUNT(*) AS degree FROM (
+                    SELECT a AS node FROM e
+                    UNION ALL SELECT b FROM e
+                ) GROUP BY 1
+            ),
+            tris AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+            ),
+            tc AS (
+                SELECT node, COUNT(*) AS n_triangles FROM (
+                    SELECT x AS node FROM tris
+                    UNION ALL SELECT y FROM tris
+                    UNION ALL SELECT z FROM tris
+                ) GROUP BY 1
+            )
+            SELECT CAST(d.node AS BIGINT) AS node,
+                   CAST(degree AS BIGINT) AS degree,
+                   CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles,
+                   CASE WHEN degree >= 2
+                        THEN CAST(COALESCE(n_triangles, 0) * 2 AS DOUBLE)
+                             / CAST(degree * (degree - 1) AS DOUBLE)
+                        ELSE 0.0 END AS coeff
+            FROM deg d LEFT JOIN tc ON d.node = tc.node
+        """,
 
         # content-defined chunking: same polynomial window hash, same
         # boundary rule, same chunk fingerprints and rollup

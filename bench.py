@@ -355,6 +355,7 @@ HEADLINE = (
     "cdc_chunks",
     "dedup_simhash_idf",
     "ppr_trade",
+    "clustering_coeff",
 )
 
 

@@ -1165,3 +1165,96 @@ def trade_ppr(
         .distinct()
     )
     return personalized_pagerank(pairs, source=source, iterations=iterations)
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node clustering coefficient — the LOCAL face of
+    :func:`triangle_stats`' global census: ``(node, degree,
+    n_triangles, coeff)`` with ``coeff = 2·t / (d·(d−1))`` (0 for
+    degree < 2), the standard community-density / spam-ring feature at
+    node grain.
+
+    Same scale kernel as the census's sparse path: degree-ordered edge
+    orientation (Cohen / Suri-Vassilvitskii) bounds every node's
+    out-degree by O(√m) so the wedge self-join never explodes on hubs;
+    each triangle enumerates exactly once as an (u, v, w) key triple
+    and explodes to its three member nodes for the per-node count —
+    one extra ×3 map over the (small) triangle set versus the census.
+    All counts exact integers; the coefficient is one correctly-rounded
+    double division.
+    """
+    half = (
+        edges.select(
+            F.least(F.col("u").cast("long"), F.col("v").cast("long")).alias("a"),
+            F.greatest(F.col("u").cast("long"), F.col("v").cast("long")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        half.select(F.col("a").alias("node"))
+        .union(half.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .persist()
+    )
+    key = (F.col("degree") * F.lit(1 << 32) + F.col("node")).alias("k")
+    keys = deg.select("node", key)
+    ka = keys.select(F.col("node").alias("a"), F.col("k").alias("ka"))
+    kb = keys.select(F.col("node").alias("b"), F.col("k").alias("kb"))
+    oriented = (
+        half.join(ka, "a")
+        .join(kb, "b")
+        .select(
+            F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("s"),
+            F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("t"),
+            F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("tk"),
+        )
+        .persist()
+    )
+    w1 = oriented.select(F.col("s"), F.col("t").alias("v"), F.col("tk").alias("vk"))
+    w2 = oriented.select(F.col("s"), F.col("t").alias("w"), F.col("tk").alias("wk"))
+    wedges = w1.join(w2, "s").filter(F.col("vk") < F.col("wk"))
+    closing = oriented.select(
+        F.col("s").alias("v"), F.col("t").alias("w")
+    )
+    tris = wedges.join(closing, ["v", "w"]).select(
+        F.col("s").alias("x"), "v", "w"
+    )
+    tri_counts = (
+        tris.select(F.explode(F.array("x", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        deg.join(tri_counts, "node", "left")
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                (F.coalesce("n_triangles", F.lit(0)) * 2).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coeff"),
+        )
+    )
+
+
+def copurchase_clustering(lineitem: DataFrame) -> DataFrame:
+    """:func:`local_clustering` over the part co-purchase graph (parts
+    adjacent when ordered together — order sizes are generator-bounded,
+    so the per-order pair expansion is O(lines))."""
+    p = lineitem.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = p.alias("pa"), p.alias("pb")
+    pairs = (
+        a.join(b, (F.col("pa.k") == F.col("pb.k")) & (F.col("pa.p") < F.col("pb.p")))
+        .select(F.col("pa.p").alias("u"), F.col("pb.p").alias("v"))
+        .distinct()
+    )
+    return local_clustering(pairs)

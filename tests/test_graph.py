@@ -350,3 +350,49 @@ class TestPersonalizedPagerank:
         assert glob[100] > glob[2]  # hub wins globally
         # pers[2]/pers[100] > glob[2]/glob[100]
         assert pers[2] * glob[100] > glob[2] * pers[100]
+
+
+class TestLocalClustering:
+    def test_known_graph(self, spark):
+        """Triangle 1-2-3 plus pendant 4 attached to 3: coefficients
+        are 1.0, 1.0, 1/3, 0."""
+        from p2_mapreduce_spark.operators.graph import local_clustering
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4)], "u long, v long"
+        )
+        got = {
+            r["node"]: (r["degree"], r["n_triangles"], r["coeff"])
+            for r in local_clustering(edges).collect()
+        }
+        assert got[1] == (2, 1, 1.0)
+        assert got[2] == (2, 1, 1.0)
+        assert got[3] == (3, 1, 2.0 / 6.0)
+        assert got[4] == (1, 0, 0.0)
+
+    def test_sum_matches_global_census(self, spark, sf_dir):
+        """Σ per-node triangle counts = 3 × the global census count —
+        the two kernels must agree on the same graph."""
+        from p2_mapreduce_spark.operators.graph import (
+            copurchase_clustering,
+        )
+        from p2_mapreduce_spark.session import load_table
+        from pyspark.sql import functions as F
+
+        li = load_table(spark, sf_dir, "lineitem")
+        local = copurchase_clustering(li)
+        total_local = local.agg(F.sum("n_triangles")).collect()[0][0]
+        # independent exact count over the same canonical edges
+        p = li.select(
+            F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+        ).distinct()
+        a, b = p.alias("pa"), p.alias("pb")
+        pairs = (
+            a.join(b, (F.col("pa.k") == F.col("pb.k")) & (F.col("pa.p") < F.col("pb.p")))
+            .select(F.col("pa.p").alias("u"), F.col("pb.p").alias("v"))
+            .distinct()
+        )
+        from p2_mapreduce_spark.operators.graph import triangle_stats
+
+        census = triangle_stats(pairs).collect()[0]
+        assert total_local == 3 * census["n_triangles"]
