@@ -3158,11 +3158,27 @@ _DRIVER_CHECKED_R01_R03 = frozenset(
 )
 
 
+#: Queries added THIS round (never existed when any driver sample ran) —
+#: registered first so the newest, highest-risk operators are always
+#: inside the driver's 50-query window.
+_ROUND4_NEW = (
+    "media_jpeg", "media_digest", "retrieval_eval", "calibration_bins",
+    "sssp_trade", "winnow_fingerprints", "mann_kendall", "infer_types",
+    "hash_ring", "cdc_chunks", "dedup_simhash_idf", "ppr_trade",
+    "clustering_coeff",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
-    fresh = {k: v for k, v in base.items() if k not in _DRIVER_CHECKED_R01_R03}
+    newest = {k: base[k] for k in _ROUND4_NEW if k in base}
+    fresh = {
+        k: v
+        for k, v in base.items()
+        if k not in _DRIVER_CHECKED_R01_R03 and k not in newest
+    }
     seen = {k: v for k, v in base.items() if k in _DRIVER_CHECKED_R01_R03}
-    return {**fresh, **seen}
+    return {**newest, **fresh, **seen}
 
 
 def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
