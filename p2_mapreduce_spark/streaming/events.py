@@ -311,3 +311,22 @@ def bounce_rate(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         .cast("bigint")
         .alias("share_ppm"),
     )
+
+
+def enrich_stream(
+    events_stream: DataFrame,
+    dim: DataFrame,
+    key: str = "event_type",
+) -> DataFrame:
+    """Stream-static dimension enrichment — the canonical streaming
+    star join: every micro-batch broadcast-joins the (small, static)
+    dimension table; the stream side never shuffles for the join and
+    no state is kept (stream-static joins are stateless by
+    construction, unlike stream-stream).  Left join so dimension
+    misses SURVIVE as nulls (quarantine-at-the-edge, not row loss) —
+    at 100 TB the dimension refresh is a new batch DataFrame swapped
+    in between restarts, the standard slowly-refreshing-dim pattern.
+    """
+    from pyspark.sql import functions as F
+
+    return events_stream.join(F.broadcast(dim), key, "left")

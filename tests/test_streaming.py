@@ -842,3 +842,54 @@ def test_pattern_match_stream_ignores_unknown_event_types(spark, tmp_path):
     finally:
         q.stop()
     assert [(r["seq_len"], r["n_matches"]) for r in rows] == [(3, 1)]
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static broadcast join: after draining, per-category value
+    sums equal the batch join exactly, and dimension misses survive as
+    null-category rows (left-join quarantine)."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.streaming.events import enrich_stream
+
+    events = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("view", "browse"), ("click", "browse"), ("purchase", "buy")],
+        "event_type string, category string",
+    )  # signup/error deliberately missing -> null category
+    batch = {
+        r["category"]: (r["n"], r["s"])
+        for r in events.join(F.broadcast(dim), "event_type", "left")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100)).alias("s"),
+        )
+        .collect()
+    }
+    src = str(tmp_path / "enrich_src")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        enrich_stream(stream, dim)
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100)).alias("s"),
+        )
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("enriched")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    got = {
+        r["category"]: (r["n"], r["s"])
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    assert got == batch
+    assert None in got  # the quarantined dimension misses
