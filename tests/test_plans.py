@@ -293,6 +293,11 @@ PYTHON_ALLOWED = {
     "media_resize",
     "media_mixed",
     "media_frames",
+    # round 4: the digest stand-in under its own id and the baseline-JPEG
+    # pixel codec — both Arrow-batched mapInPandas payload kernels, the
+    # same by-design Python stage as media_decode/media_pixels
+    "media_digest",
+    "media_jpeg",
     # the registry's UDTF path IS the Python escape hatch (row-generating
     # plugins); the built-ins (explode/sequence) stay the hot path
     "udtf_sentences",
