@@ -1271,18 +1271,21 @@ def cdc_chunk_stats(
         f"x -> x > 0)"
     )
     bounds = f"concat(array(0), {cuts}, array(length({t})))"
-    chunks_expr = (
-        f"filter(transform(sequence(2, size({bounds})), i -> "
-        f"named_struct('s', element_at({bounds}, i - 1), "
-        f"'e', element_at({bounds}, i))), c -> c.e > c.s)"
-    )
-    # chunk to (md5, len) pairs INSIDE the row (one transform over the
-    # span structs while the text column is still in scope), then explode
+    # LET-BINDING via a one-element transform: ``bs`` evaluates the whole
+    # boundary pipeline ONCE per row.  Without it, every element_at(bounds,
+    # i) re-evaluates the O(n·k) rolling-hash scan — measured 21 s → ~6 s
+    # for the query at sf0.1.
     pieces_expr = (
-        f"transform({chunks_expr}, c -> named_struct("
-        f"'h', md5(substr({t}, c.s + 1, c.e - c.s)), "
-        f"'len', cast(c.e - c.s as bigint)))"
+        f"element_at(transform(array({bounds}), bs -> "
+        f"filter(transform(sequence(2, size(bs)), i -> named_struct("
+        f"'h', md5(substr({t}, element_at(bs, i - 1) + 1, "
+        f"element_at(bs, i) - element_at(bs, i - 1))), "
+        f"'len', cast(element_at(bs, i) - element_at(bs, i - 1) as bigint))), "
+        f"c -> c.len > 0)), 1)"
     )
+    # persist: the chunk table feeds BOTH the per-chunk rollup and the
+    # per-source doc count — unpersisted, the rolling-hash pipeline runs
+    # twice
     chunked = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.col(source_col).alias("source"),
@@ -1292,7 +1295,7 @@ def cdc_chunk_stats(
         "source",
         F.col("c.h").alias("chunk_md5"),
         F.col("c.len").alias("chunk_len"),
-    )
+    ).persist()
     per_chunk = chunked.groupBy("source", "chunk_md5").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_copies"),
         F.min("chunk_len").alias("chunk_len"),
