@@ -1425,6 +1425,14 @@ def _q_media_png(spark, sf_dir):
     return png_pixel_sums(attach_png_rgb(docs))
 
 
+def _q_classifier_auc(spark, sf_dir):
+    """Exact ROC AUC of the quality classifier vs the lang label —
+    rank-sum (Mann-Whitney) construction, all-integer u2."""
+    from p2_mapreduce_spark.operators.curation import classifier_auc
+
+    return classifier_auc(load_table(spark, sf_dir, "documents"))
+
+
 def _q_clustering_coeff(spark, sf_dir):
     """Per-node clustering coefficient over the part co-purchase graph
     — degree-ordered wedge kernel, exact triangle counts."""
@@ -3165,7 +3173,7 @@ _ROUND4_NEW = (
     "media_jpeg", "media_digest", "retrieval_eval", "calibration_bins",
     "sssp_trade", "winnow_fingerprints", "mann_kendall", "infer_types",
     "hash_ring", "cdc_chunks", "dedup_simhash_idf", "ppr_trade",
-    "clustering_coeff",
+    "clustering_coeff", "classifier_auc",
 )
 
 
@@ -3291,6 +3299,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_idf": _q_dedup_simhash_idf,
         "ppr_trade": _q_ppr_trade,
         "clustering_coeff": _q_clustering_coeff,
+        "classifier_auc": _q_classifier_auc,
         "video_frames": _q_video_frames,
         "audio_wav": _q_audio_wav,
         "weighted_median": _q_weighted_median,
@@ -6687,6 +6696,47 @@ def oracle_sql() -> dict[str, str]:
         "sssp_trade": _sssp_oracle(),
         "dedup_simhash_idf": _simhash_weighted_sql(toks),
         "ppr_trade": _ppr_oracle(),
+        # classifier AUC: same margin formula, same all-integer rank-sum
+        "classifier_auc": f"""
+            WITH m AS (
+                SELECT CASE WHEN lang = 'en' THEN 'pos' ELSE 'neg' END AS g,
+                       CAST(-500 + 5 * len(t) + 20 * len(list_distinct(t))
+                            - 2 * strlen(text)
+                            + 100 * len(regexp_extract_all(lower(text),
+                                  '\\b(the|and|of|to|a|in)\\b'))
+                            AS BIGINT) AS v
+                FROM ({toks})
+            ),
+            per AS (SELECT g, v, COUNT(*) AS c FROM m GROUP BY 1, 2),
+            totals AS (SELECT g, SUM(c) AS n_g FROM per GROUP BY 1),
+            grand AS (SELECT SUM(c) AS n_all FROM per),
+            allv AS (SELECT v, SUM(c) AS c_all FROM per GROUP BY 1),
+            joined AS (
+                SELECT gs.g, a.v,
+                       COALESCE(o.c, 0) AS c_g,
+                       a.c_all - COALESCE(o.c, 0) AS c_r
+                FROM (SELECT DISTINCT g FROM per) gs
+                CROSS JOIN allv a
+                LEFT JOIN per o ON o.g = gs.g AND o.v = a.v
+            ),
+            terms AS (
+                SELECT g,
+                       CAST(c_g AS HUGEINT)
+                       * (2 * COALESCE(SUM(c_r) OVER (
+                           PARTITION BY g ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) + c_r) AS t
+                FROM joined
+            )
+            SELECT CAST(n_g AS BIGINT) AS n_pos,
+                   CAST(n_all - n_g AS BIGINT) AS n_neg,
+                   CAST(SUM(t) AS BIGINT) AS u2,
+                   CAST(SUM(t) AS DOUBLE)
+                       / (2.0 * n_g * (n_all - n_g)) AS auc
+            FROM terms JOIN totals USING (g), grand
+            WHERE g = 'pos'
+            GROUP BY g, n_g, n_all
+        """,
         # local clustering: canonical-edge triangle enumeration (each
         # triangle once as a < b < c on ids), exploded to member nodes
         "clustering_coeff": """

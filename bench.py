@@ -356,6 +356,7 @@ HEADLINE = (
     "dedup_simhash_idf",
     "ppr_trade",
     "clustering_coeff",
+    "classifier_auc",
 )
 
 

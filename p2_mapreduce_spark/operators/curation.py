@@ -1616,3 +1616,39 @@ def calibration_bins(
             / F.col("n_total").cast("double")
         ).alias("ece_term"),
     )
+
+
+def classifier_auc(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact ROC AUC of the quality classifier's margin against the
+    ``lang = 'en'`` label — the ranking-quality companion to
+    :func:`calibration_bins`' probability-quality audit (a model can be
+    well-calibrated and rank poorly, or vice versa; a model gate needs
+    both numbers).
+
+    AUC equals the Mann-Whitney U statistic normalized by n₊·n₋, so
+    this is ONE composition: margins (zero-shuffle map) →
+    ``profile.mwu_drift`` with the label as the group — the same
+    all-integer midrank construction (u2 = 2·U clears tie halves;
+    DECIMAL-grade products) already oracle-pinned for drift, surfaced
+    as ``(n_pos, n_neg, u2, auc)``.  Ties get the standard half
+    credit; AUC 0.5 = uninformative ranking.
+    """
+    from p2_mapreduce_spark.operators.profile import mwu_drift
+
+    m = quality_classifier(docs, text_col, id_col).select(
+        F.col(id_col).alias("doc_id"), "margin"
+    )
+    lab = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.col("lang") == "en", "pos").otherwise("neg").alias("label"),
+    )
+    frame = m.join(lab, "doc_id").select("label", "margin")
+    out = mwu_drift(frame, group_col="label", value_col="margin")
+    return out.filter(F.col("label") == "pos").select(
+        F.col("n_group").alias("n_pos"),
+        F.col("n_rest").alias("n_neg"),
+        "u2",
+        "auc",
+    )

@@ -2211,3 +2211,32 @@ class TestCdcChunks:
         assert got["b"]["n_chunks"] == len(c2)
         assert got["a"]["n_distinct"] == len(set(c1))
         assert got["a"]["total_chars"] == len(base)
+
+
+class TestClassifierAuc:
+    def test_matches_pairwise_reference(self, spark, sf_dir):
+        """Exact AUC equals the O(n²) pairwise definition: mean over
+        (pos, neg) pairs of [margin_pos > margin_neg] + half-ties."""
+        from p2_mapreduce_spark.operators.curation import (
+            classifier_auc,
+            quality_classifier,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").limit(200)
+        [r] = classifier_auc(docs).collect()
+        m = {
+            row["doc_id"]: row["margin"]
+            for row in quality_classifier(docs).collect()
+        }
+        langs = {
+            row["doc_id"]: row["lang"]
+            for row in docs.select("doc_id", "lang").collect()
+        }
+        pos = [m[d] for d in m if langs[d] == "en"]
+        neg = [m[d] for d in m if langs[d] != "en"]
+        u2 = sum(
+            2 * (p > q) + (p == q) for p in pos for q in neg
+        )
+        assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+        assert r["u2"] == u2
+        assert r["auc"] == u2 / (2.0 * len(pos) * len(neg))
