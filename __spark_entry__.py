@@ -6745,8 +6745,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem
             ),
             e AS (
-                SELECT DISTINCT a.p AS a, b.p AS b
+                SELECT a.p AS a, b.p AS b
                 FROM p a JOIN p b ON a.k = b.k AND a.p < b.p
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
             ),
             deg AS (
                 SELECT node, COUNT(*) AS degree FROM (

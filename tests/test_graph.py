@@ -382,15 +382,17 @@ class TestLocalClustering:
         li = load_table(spark, sf_dir, "lineitem")
         local = copurchase_clustering(li)
         total_local = local.agg(F.sum("n_triangles")).collect()[0][0]
-        # independent exact count over the same canonical edges
+        # independent exact count over the SAME support-filtered edges
         p = li.select(
             F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
         ).distinct()
         a, b = p.alias("pa"), p.alias("pb")
         pairs = (
             a.join(b, (F.col("pa.k") == F.col("pb.k")) & (F.col("pa.p") < F.col("pb.p")))
-            .select(F.col("pa.p").alias("u"), F.col("pb.p").alias("v"))
-            .distinct()
+            .groupBy(F.col("pa.p").alias("u"), F.col("pb.p").alias("v"))
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= 2)
+            .select("u", "v")
         )
         from p2_mapreduce_spark.operators.graph import triangle_stats
 
