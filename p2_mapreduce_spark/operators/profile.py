@@ -830,7 +830,12 @@ def ks_drift(
     own = per.select("g", "v", F.col("c").alias("c_g"))
     # rest = all - own at each value the corpus has
     joined = (
-        groups.crossJoin(allv)
+        # broadcast the group-dictionary side explicitly: when the input
+        # frame is itself a join output (e.g. classifier_auc feeding this
+        # machinery), size stats are unknown and Spark falls back to
+        # CartesianProduct for the group-by-value grid — the hint pins
+        # BroadcastNestedLoopJoin (groups is dictionary grain)
+        allv.crossJoin(F.broadcast(groups))
         .join(own, ["g", "v"], "left")
         .select(
             "g",
@@ -906,7 +911,12 @@ def mwu_drift(
     allv = per.groupBy("v").agg(F.sum("c").alias("c_all"))
     own = per.select("g", "v", F.col("c").alias("c_g"))
     joined = (
-        groups.crossJoin(allv)
+        # broadcast the group-dictionary side explicitly: when the input
+        # frame is itself a join output (e.g. classifier_auc feeding this
+        # machinery), size stats are unknown and Spark falls back to
+        # CartesianProduct for the group-by-value grid — the hint pins
+        # BroadcastNestedLoopJoin (groups is dictionary grain)
+        allv.crossJoin(F.broadcast(groups))
         .join(own, ["g", "v"], "left")
         .select(
             "g",
@@ -1237,7 +1247,12 @@ def emd_drift(
     allv = per.groupBy("v").agg(F.sum("c").alias("c_all"))
     own = per.select("g", "v", F.col("c").alias("c_g"))
     joined = (
-        groups.crossJoin(allv)
+        # broadcast the group-dictionary side explicitly: when the input
+        # frame is itself a join output (e.g. classifier_auc feeding this
+        # machinery), size stats are unknown and Spark falls back to
+        # CartesianProduct for the group-by-value grid — the hint pins
+        # BroadcastNestedLoopJoin (groups is dictionary grain)
+        allv.crossJoin(F.broadcast(groups))
         .join(own, ["g", "v"], "left")
         .select(
             "g",

@@ -129,6 +129,9 @@ FUNNEL_REVIEWED = {
     # infer_types: per-column ONE-ROW conditional aggregates (the
     # audit's entire output is #columns rows) unioned at config grain.
     "calibration_bins", "dedup_simhash_idf", "hash_ring", "infer_types",
+    # classifier_auc: the mwu machinery's one-row grand-total broadcast
+    # (the group×value grid is BroadcastNestedLoop after the hint)
+    "classifier_auc",
     # assoc_rules: one-row basket-count broadcast; zipf_buckets: one-row
     # mass total + the #partitions-grain offset table of the two-phase
     # vocabulary rank
