@@ -1425,6 +1425,34 @@ def _q_media_png(spark, sf_dir):
     return png_pixel_sums(attach_png_rgb(docs))
 
 
+def _q_media_histogram(spark, sf_dir):
+    """Per-channel intensity histogram from the real BMP pixel decode
+    (4 buckets of 64); closed-form oracle over the pixel formula."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_bmp,
+        pixel_histogram,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pixel_histogram(attach_bmp(docs))
+
+
+def _q_winnow_pairs(spark, sf_dir):
+    """MOSS pair detection: documents sharing >= 2 winnowed
+    fingerprints, with the standard hot-fingerprint df cap."""
+    from p2_mapreduce_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _q_rake_keywords(spark, sf_dir):
+    """RAKE degree/frequency keyword scores over stopword-delimited
+    phrases — one exact-integer division per word, top-50 heap cut."""
+    from p2_mapreduce_spark.operators.text_analysis import rake_keywords
+
+    return rake_keywords(load_table(spark, sf_dir, "documents"))
+
+
 def _q_classifier_auc(spark, sf_dir):
     """Exact ROC AUC of the quality classifier vs the lang label —
     rank-sum (Mann-Whitney) construction, all-integer u2."""
@@ -3173,7 +3201,8 @@ _ROUND4_NEW = (
     "media_jpeg", "media_digest", "retrieval_eval", "calibration_bins",
     "sssp_trade", "winnow_fingerprints", "mann_kendall", "infer_types",
     "hash_ring", "cdc_chunks", "dedup_simhash_idf", "ppr_trade",
-    "clustering_coeff", "classifier_auc",
+    "clustering_coeff", "classifier_auc", "rake_keywords",
+    "winnow_pairs", "media_histogram",
 )
 
 
@@ -3300,6 +3329,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_trade": _q_ppr_trade,
         "clustering_coeff": _q_clustering_coeff,
         "classifier_auc": _q_classifier_auc,
+        "rake_keywords": _q_rake_keywords,
+        "winnow_pairs": _q_winnow_pairs,
+        "media_histogram": _q_media_histogram,
         "video_frames": _q_video_frames,
         "audio_wav": _q_audio_wav,
         "weighted_median": _q_weighted_median,
@@ -6696,6 +6728,110 @@ def oracle_sql() -> dict[str, str]:
         "sssp_trade": _sssp_oracle(),
         "dedup_simhash_idf": _simhash_weighted_sql(toks),
         "ppr_trade": _ppr_oracle(),
+        # RAKE: same running-count phrase ids, same degree/frequency
+        # histogram over the pixel formula: enumerate the (x, y) grid,
+        # bucket each channel value, count — closed form, no byte parse
+        "media_histogram": """
+            WITH dims AS (
+                SELECT doc_id AS media_id,
+                       4 + doc_id % 9 AS w,
+                       4 + (doc_id * 3) % 9 AS h,
+                       (doc_id % 16) * 3 AS base
+                FROM documents
+            ),
+            px AS (
+                SELECT media_id,
+                       base + 5 * gx.x + 4 * gy.y AS vb
+                FROM dims,
+                     LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) gx,
+                     LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) gy
+            ),
+            chans AS (
+                SELECT media_id, 'b' AS channel, vb AS v FROM px
+                UNION ALL SELECT media_id, 'g', vb + 7 FROM px
+                UNION ALL SELECT media_id, 'r', vb + 14 FROM px
+            )
+            SELECT media_id, channel,
+                   CAST(v // 64 AS INT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_px
+            FROM chans GROUP BY 1, 2, 3
+        """,
+        "winnow_pairs": f"""
+            WITH grams AS (
+                SELECT doc_id, g.i - 1 AS pos,
+                       CAST('0x' || substr(md5(array_to_string(
+                           t[g.i:g.i+2], ' ')), 18, 15) AS BIGINT) AS h,
+                       len(t) - 2 AS n_grams
+                FROM ({toks}),
+                     LATERAL (SELECT unnest(generate_series(1,
+                                  greatest(len(t) - 2, 0))) AS i) g
+            ),
+            member AS (
+                SELECT doc_id, pos, h, st.s
+                FROM grams,
+                     LATERAL (SELECT unnest(generate_series(
+                         greatest(0, pos - 3),
+                         least(pos, n_grams - 4))) AS s) st
+                WHERE n_grams >= 4
+            ),
+            wins AS (
+                SELECT doc_id, s, MIN(h) AS fp
+                FROM member GROUP BY 1, 2
+            ),
+            fps AS (SELECT DISTINCT doc_id, fp FROM wins),
+            ok AS (SELECT fp FROM fps GROUP BY fp
+                   HAVING COUNT(*) <= 100000),
+            keep AS (SELECT fps.* FROM fps JOIN ok USING (fp))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM keep a JOIN keep b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        """,
+        "rake_keywords": f"""
+            WITH toks AS (
+                SELECT doc_id AS doc, g.i AS pos, t[g.i] AS w
+                FROM ({toks}),
+                     LATERAL (SELECT unnest(generate_series(1, len(t)))
+                              AS i) g
+            ),
+            flagged AS (
+                SELECT doc, pos, w,
+                       w IN ('the', 'and', 'of', 'to', 'a', 'in') AS is_stop
+                FROM toks
+            ),
+            ph AS (
+                SELECT doc, pos, w,
+                       SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY doc ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS phrase,
+                       is_stop
+                FROM flagged
+            ),
+            content AS (SELECT doc, phrase, w FROM ph WHERE NOT is_stop),
+            plen AS (
+                SELECT doc, phrase, COUNT(*) AS plen
+                FROM content GROUP BY 1, 2
+            ),
+            occ AS (
+                SELECT c.w, p.plen
+                FROM content c JOIN plen p
+                  ON c.doc = p.doc AND c.phrase = p.phrase
+            ),
+            scored AS (
+                SELECT w AS word, COUNT(*) AS freq, SUM(plen) AS degree
+                FROM occ GROUP BY 1
+            )
+            SELECT word,
+                   CAST(freq AS BIGINT) AS freq,
+                   CAST(degree AS BIGINT) AS degree,
+                   CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE) AS score
+            FROM scored
+            ORDER BY score DESC, word
+            LIMIT 50
+        """,
         # classifier AUC: same margin formula, same all-integer rank-sum
         "classifier_auc": f"""
             WITH m AS (

@@ -357,6 +357,9 @@ HEADLINE = (
     "ppr_trade",
     "clustering_coeff",
     "classifier_auc",
+    "rake_keywords",
+    "winnow_pairs",
+    "media_histogram",
 )
 
 

@@ -1406,3 +1406,56 @@ def simhash_idf_near_pairs(
         max_hamming,
         max_bucket,
     )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = MAX_DF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS-style similarity detection over winnowed fingerprints: the
+    pair face of :func:`winnow_fingerprints` — documents sharing at
+    least ``min_shared`` distinct selected fingerprints, ``(doc_a,
+    doc_b, n_shared)``.  This is how MOSS actually reports matches:
+    winnowing guarantees any shared run of ≥ w+k−1 tokens leaves a
+    shared fingerprint, so the pair count is a length-calibrated
+    plagiarism/boilerplate signal at ~2/(w+1) of full-fingerprint cost.
+
+    Scale shape: the fingerprint table self-joins on the 60-bit value
+    with the same ``max_df`` hot-key cap as every other inverted-index
+    pair generator (a boilerplate fingerprint in d docs would emit
+    O(d²) pairs); everything after runs at shared-pair grain.
+    """
+    fps = (
+        winnow_fingerprints(docs, k, w, text_col, id_col)
+        .select("doc_id", "fp")
+        .distinct()
+        .persist()
+    )
+    keep = fps
+    if max_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("fp")
+        )
+        keep = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = keep.alias("a"), keep.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )

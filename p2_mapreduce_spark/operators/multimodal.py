@@ -1552,3 +1552,49 @@ def jpeg_pixel_sums(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches, schema="media_id long, width int, height int, sum_gray long"
     )
+
+
+def pixel_histogram(media: DataFrame, n_bins: int = 4) -> DataFrame:
+    """Per-image per-channel intensity histogram from the REAL BMP
+    decode — the first *analytics* kernel over decoded pixels (sums
+    prove the codec; histograms are what a vision-data curator actually
+    plots for exposure/contrast audits): ``(media_id, channel, bucket,
+    n_px)`` with bucket = value div (256/n_bins), channels 'b'/'g'/'r'.
+    Malformed payloads contribute no rows (quarantine).  Same
+    Arrow-batched ``mapInPandas`` plumbing as every pixel kernel; the
+    oracle recomputes every bucket count in closed form from the pixel
+    formula."""
+    from p2_mapreduce_spark.mapreduce import _ship_by_value
+
+    _ship_by_value(_parse_bmp)
+    width = 256 // int(n_bins)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+
+        def one(mid, payload):
+            parsed = _parse_bmp(payload or b"")
+            if parsed is None:
+                return
+            _w, _h, grid = parsed
+            counts: dict = {}
+            for row in grid:
+                for px in row:
+                    for ch, v in zip("bgr", px):
+                        key = (ch, v // width)
+                        counts[key] = counts.get(key, 0) + 1
+            for (ch, bucket), n in counts.items():
+                rows.append((mid, ch, bucket, n))
+
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                one(mid, p)
+            yield pd.DataFrame(
+                rows, columns=["media_id", "channel", "bucket", "n_px"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches,
+        schema="media_id long, channel string, bucket int, n_px long",
+    )

@@ -1157,3 +1157,71 @@ def coverage_curve(
         F.col("p.mass").alias("mass"),
         F.col("p.coverage_ppm").cast("bigint").alias("coverage_ppm"),
     )
+
+
+#: RAKE stopword lexicon — shared verbatim with the quality classifier's
+#: stopword feature and the DuckDB oracle.
+RAKE_STOPWORDS = ("the", "and", "of", "to", "a", "in")
+
+
+def rake_keywords(
+    docs: DataFrame,
+    top_n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAKE keyword scoring (Rose et al., "Automatic Keyword Extraction
+    from Individual Documents") at word grain: split token streams into
+    candidate phrases at stopwords, then score each content word by
+    ``degree / frequency`` — degree counts the word's co-occurrence
+    mass (Σ phrase length over its occurrences, itself included), so
+    words that live in long multi-word phrases outrank equally-frequent
+    words that appear alone.  The degree/frequency ratio is RAKE's
+    whole trick and is ONE exact-integer division here — no tf-idf
+    logs, bit-identical cross-engine.  Output ``(word, freq, degree,
+    score)``, top ``top_n`` by (score desc, word).
+
+    Complements the frequency family: tf-idf ranks by rarity,
+    PMI by pairwise association, RAKE by phrase-structure centrality.
+
+    Scale shape: phrase ids are a per-document running count of
+    stopword positions (window partitioned BY DOCUMENT — bounded by
+    document length, never corpus grain); phrase lengths and word
+    aggregates are map-side-combined counts; the final cut is a
+    top_n heap (TakeOrderedAndProject).
+    """
+    toks = spread(docs).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens_array(F.col(text_col))).alias("pos", "w"),
+    )
+    flagged = toks.withColumn("is_stop", F.col("w").isin(*RAKE_STOPWORDS))
+    win = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # phrase id = running count of stopword delimiters seen so far
+    with_phrase = flagged.withColumn(
+        "phrase",
+        F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(win),
+    ).filter(~F.col("is_stop"))
+    plen = with_phrase.groupBy("doc", "phrase").agg(
+        F.count(F.lit(1)).alias("plen")
+    )
+    occ = with_phrase.join(plen, ["doc", "phrase"]).select("w", "plen")
+    scored = occ.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+    )
+    return (
+        scored.select(
+            F.col("w").alias("word"),
+            "freq",
+            "degree",
+            (F.col("degree").cast("double") / F.col("freq").cast("double")).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score").desc(), F.col("word"))
+        .limit(int(top_n))
+    )

@@ -298,6 +298,8 @@ PYTHON_ALLOWED = {
     # same by-design Python stage as media_decode/media_pixels
     "media_digest",
     "media_jpeg",
+    # per-channel histogram over the real BMP decode — same Arrow kernel
+    "media_histogram",
     # the registry's UDTF path IS the Python escape hatch (row-generating
     # plugins); the built-ins (explode/sequence) stay the hot path
     "udtf_sentences",

@@ -2240,3 +2240,94 @@ class TestClassifierAuc:
         assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
         assert r["u2"] == u2
         assert r["auc"] == u2 / (2.0 * len(pos) * len(neg))
+
+
+class TestRakeKeywords:
+    def test_hand_computed_scores(self, spark):
+        from p2_mapreduce_spark.operators.text_analysis import rake_keywords
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta the gamma delta epsilon"),
+                (2, "alpha in alpha"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["word"]: (r["freq"], r["degree"], r["score"])
+            for r in rake_keywords(docs, top_n=50).collect()
+        }
+        # doc1 phrases: [alpha beta] (len 2), [gamma delta epsilon] (3)
+        # doc2 phrases: [alpha] (1), [alpha] (1)
+        assert got["beta"] == (1, 2, 2.0)
+        assert got["gamma"] == (1, 3, 3.0)
+        assert got["alpha"] == (3, 4, 4.0 / 3.0)
+        # phrase-centrality ranking: gamma (long phrase) beats alpha
+        # (frequent but mostly alone)
+        assert got["gamma"][2] > got["alpha"][2]
+
+    def test_stopwords_never_surface(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.text_analysis import (
+            RAKE_STOPWORDS,
+            rake_keywords,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        words = {r["word"] for r in rake_keywords(docs).collect()}
+        assert not (words & set(RAKE_STOPWORDS))
+
+
+class TestWinnowPairs:
+    def test_shared_run_produces_pair(self, spark):
+        from p2_mapreduce_spark.operators.dedup import winnow_pairs
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [
+                (1, f"one two three {shared} four five"),
+                (2, f"red blue {shared} green yellow"),
+                (3, "totally different words all over this document here"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["n_shared"]
+            for r in winnow_pairs(docs, min_shared=1).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+        assert not any(3 in p for p in pairs)
+
+
+class TestMediaHistogram:
+    def test_totals_and_closed_form(self, spark):
+        from p2_mapreduce_spark.operators.multimodal import (
+            attach_bmp,
+            pixel_histogram,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "x") for i in (0, 5, 11)], "doc_id long, text string"
+        )
+        rows = pixel_histogram(attach_bmp(docs)).collect()
+        per_img: dict = {}
+        for r in rows:
+            per_img.setdefault(r["media_id"], 0)
+            per_img[r["media_id"]] += r["n_px"]
+        for i in (0, 5, 11):
+            w, h = 4 + i % 9, 4 + (i * 3) % 9
+            assert per_img[i] == 3 * w * h  # every pixel in every channel
+        # spot-check one bucket against the formula
+        i = 5
+        w, h, base = 4 + 5 % 9, 4 + 15 % 9, (5 % 16) * 3
+        expect = sum(
+            1
+            for x in range(w)
+            for y in range(h)
+            if (base + 5 * x + 4 * y) // 64 == 1
+        )
+        got = [
+            r["n_px"]
+            for r in rows
+            if r["media_id"] == 5 and r["channel"] == "b" and r["bucket"] == 1
+        ]
+        assert got == ([expect] if expect else [])
