@@ -1425,6 +1425,24 @@ def _q_media_png(spark, sf_dir):
     return png_pixel_sums(attach_png_rgb(docs))
 
 
+def _q_markov_attribution(spark, sf_dir):
+    """Removal-effect Markov attribution: fixed-point integer
+    absorption probabilities per removal variant, unrolled oracle."""
+    from p2_mapreduce_spark.operators.events_analytics import (
+        markov_attribution,
+    )
+
+    return markov_attribution(load_table(spark, sf_dir, "events"))
+
+
+def _q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix + per-label accuracy shares —
+    categorical-accuracy face of the eval family."""
+    from p2_mapreduce_spark.operators.text_analysis import lang_confusion
+
+    return lang_confusion(load_table(spark, sf_dir, "documents"))
+
+
 def _q_media_histogram(spark, sf_dir):
     """Per-channel intensity histogram from the real BMP pixel decode
     (4 buckets of 64); closed-form oracle over the pixel formula."""
@@ -3202,7 +3220,8 @@ _ROUND4_NEW = (
     "sssp_trade", "winnow_fingerprints", "mann_kendall", "infer_types",
     "hash_ring", "cdc_chunks", "dedup_simhash_idf", "ppr_trade",
     "clustering_coeff", "classifier_auc", "rake_keywords",
-    "winnow_pairs", "media_histogram",
+    "winnow_pairs", "media_histogram", "lang_confusion",
+    "markov_attribution",
 )
 
 
@@ -3332,6 +3351,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": _q_rake_keywords,
         "winnow_pairs": _q_winnow_pairs,
         "media_histogram": _q_media_histogram,
+        "lang_confusion": _q_lang_confusion,
+        "markov_attribution": _q_markov_attribution,
         "video_frames": _q_video_frames,
         "audio_wav": _q_audio_wav,
         "weighted_median": _q_weighted_median,
@@ -3981,6 +4002,88 @@ def _ppr_oracle(source: int = 2, iterations: int = 3) -> str:
                             AS rank_q
                  FROM r{i - 1} p LEFT JOIN i{i} ON p.node = i{i}.node)"""
     return cte + f"\n        SELECT node, rank_q FROM r{iterations}"
+
+
+def _markov_oracle(rounds: int = 12) -> str:
+    """Unrolled twin of events_analytics.markov_attribution: same
+    journey truncation, removal redirects, and fixed-point integer
+    absorption rounds."""
+    from p2_mapreduce_spark.operators.events_analytics import (
+        MARKOV_CHANNELS,
+        MARKOV_SCALE,
+    )
+
+    variants = ", ".join(f"('{c}')" for c in ("full",) + MARKOV_CHANNELS)
+    cte = f"""
+        WITH paths AS (
+            SELECT user_id,
+                   list(event_type ORDER BY ts, event_id) AS path
+            FROM events GROUP BY user_id
+        ),
+        chains AS (
+            SELECT CASE WHEN list_position(path, 'purchase') > 0
+                        THEN list_concat(list_concat(['START'],
+                                 path[1:list_position(path, 'purchase') - 1]),
+                             ['CONV'])
+                        ELSE list_concat(list_concat(['START'], path),
+                             ['NULL_ST'])
+                   END AS chain
+            FROM paths
+        ),
+        trans AS (
+            SELECT chain[g.i] AS s, chain[g.i + 1] AS t
+            FROM chains,
+                 LATERAL (SELECT unnest(generate_series(1, len(chain) - 1))
+                          AS i) g
+        ),
+        base AS (SELECT s, t, COUNT(*) AS n FROM trans GROUP BY 1, 2),
+        variants(removed) AS (VALUES {variants}),
+        vt0 AS (
+            SELECT removed, s,
+                   CASE WHEN t = removed THEN 'NULL_ST' ELSE t END AS t,
+                   n
+            FROM base, variants WHERE s <> removed
+        ),
+        vt1 AS (SELECT removed, s, t, SUM(n) AS n FROM vt0 GROUP BY 1, 2, 3),
+        vt AS (
+            SELECT v.*, tot FROM vt1 v JOIN (
+                SELECT removed, s, SUM(n) AS tot FROM vt1 GROUP BY 1, 2
+            ) USING (removed, s)
+        ),
+        p0 AS (SELECT DISTINCT removed, s AS state, CAST(0 AS BIGINT) AS p_q
+               FROM vt)"""
+    for i in range(1, rounds + 1):
+        cte += f""",
+        p{i} AS (
+            SELECT v.removed, v.s AS state,
+                   SUM(v.n * CASE WHEN v.t = 'CONV' THEN {MARKOV_SCALE}
+                                  WHEN v.t = 'NULL_ST' THEN 0
+                                  ELSE COALESCE(p.p_q, 0) END)
+                   // MIN(v.tot) AS p_q
+            FROM vt v LEFT JOIN p{i - 1} p
+              ON p.removed = v.removed AND p.state = v.t
+            GROUP BY 1, 2
+        )"""
+    return cte + f""",
+        start AS (SELECT removed, p_q FROM p{rounds} WHERE state = 'START'),
+        full_p AS (SELECT p_q AS p_full_q FROM start WHERE removed = 'full'),
+        scored AS (
+            SELECT removed AS channel, p_full_q, p_q AS p_removed_q,
+                   CASE WHEN p_full_q > 0
+                        THEN (p_full_q - p_q) * 1000000 // p_full_q
+                        ELSE 0 END AS removal_ppm
+            FROM start, full_p WHERE removed <> 'full'
+        ),
+        tot_re AS (SELECT SUM(greatest(removal_ppm, 0)) AS sum_re FROM scored)
+        SELECT channel,
+               CAST(p_full_q AS BIGINT) AS p_full_q,
+               CAST(p_removed_q AS BIGINT) AS p_removed_q,
+               CAST(removal_ppm AS BIGINT) AS removal_ppm,
+               CAST(CASE WHEN sum_re > 0
+                         THEN greatest(removal_ppm, 0) * 1000000 // sum_re
+                         ELSE 0 END AS BIGINT) AS attribution_ppm
+        FROM scored, tot_re
+    """
 
 
 def _zorder_cluster_oracle() -> str:
@@ -6728,7 +6831,37 @@ def oracle_sql() -> dict[str, str]:
         "sssp_trade": _sssp_oracle(),
         "dedup_simhash_idf": _simhash_weighted_sql(toks),
         "ppr_trade": _ppr_oracle(),
+        "markov_attribution": _markov_oracle(),
         # RAKE: same running-count phrase ids, same degree/frequency
+        # confusion rollup over the same detector CASE tree
+        "lang_confusion": f"""
+            WITH preds AS (
+                SELECT lang AS labeled_lang,
+                       CASE WHEN {s_en} >= {s_de} AND {s_en} >= {s_es}
+                                 AND {s_en} >= {s_fr} AND {s_en} >= 1 THEN 'en'
+                            WHEN {s_de} >= {s_es} AND {s_de} >= {s_fr}
+                                 AND {s_de} >= 1 THEN 'de'
+                            WHEN {s_es} >= {s_fr} AND {s_es} >= 1 THEN 'es'
+                            WHEN {s_fr} >= 1 THEN 'fr'
+                            ELSE 'und' END AS detected_lang
+                FROM documents
+            ),
+            cells AS (
+                SELECT labeled_lang, detected_lang, COUNT(*) AS n_docs
+                FROM preds GROUP BY 1, 2
+            ),
+            totals AS (
+                SELECT labeled_lang, SUM(n_docs) AS label_total
+                FROM cells GROUP BY 1
+            )
+            SELECT labeled_lang, detected_lang,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(label_total AS BIGINT) AS label_total,
+                   CAST(n_docs AS DOUBLE) / CAST(label_total AS DOUBLE)
+                       AS cell_share,
+                   labeled_lang = detected_lang AS is_correct
+            FROM cells JOIN totals USING (labeled_lang)
+        """,
         # histogram over the pixel formula: enumerate the (x, y) grid,
         # bucket each channel value, count — closed form, no byte parse
         "media_histogram": """

@@ -360,6 +360,8 @@ HEADLINE = (
     "rake_keywords",
     "winnow_pairs",
     "media_histogram",
+    "lang_confusion",
+    "markov_attribution",
 )
 
 

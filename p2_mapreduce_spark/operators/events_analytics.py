@@ -1442,3 +1442,186 @@ def session_pattern(
         )
         .filter(F.col("n_matches") > 0)
     )
+
+
+#: Fixed-point scale for the Markov-attribution absorption probabilities
+#: (the pagerank device: quantize once, integer arithmetic every round).
+MARKOV_SCALE = 1_000_000_000_000
+MARKOV_ROUNDS = 12
+#: Non-converting channel states (everything except the conversion event).
+MARKOV_CHANNELS = ("click", "error", "signup", "view")
+
+
+def markov_attribution(
+    events: DataFrame,
+    conversion: str = "purchase",
+    rounds: int = MARKOV_ROUNDS,
+) -> DataFrame:
+    """Data-driven multi-touch attribution by REMOVAL EFFECT over a
+    first-order Markov journey model (Anderl et al.'s framework — the
+    model-based member of the attribution family beside last-touch and
+    position rules): per channel, how much does the chain's conversion
+    probability drop when that channel's state is deleted (transitions
+    into it re-point to the NULL absorber)?  Output ``(channel,
+    p_full_q, p_removed_q, removal_ppm, attribution_ppm)`` — removal
+    effects normalized to attribution shares.
+
+    Journey model: per user, event types ordered by time, truncated at
+    the first conversion; chains run START → touches → CONV (converted)
+    or NULL (journey ended unconverted).  Transition weights are raw
+    counts; absorption probabilities evaluate by ``rounds`` fixed-point
+    iterations from p≡0 with p(CONV)=1 — monotone convergence, and in
+    MARKOV_SCALE integer arithmetic (``Σ n(s→t)·p_q(t) div total(s)``)
+    every round is bit-identical cross-engine, so the whole model
+    value-hashes against an unrolled SQL oracle (the pagerank device).
+    Both engines truncate identically, so the bounded-round estimate is
+    exact-comparable even before convergence.
+
+    Scale shape: the corpus contracts to per-user journey arrays in ONE
+    shuffle, then to a (variant, state, next) count table at CONFIG
+    grain (≤ (channels+1) variants × states²); every iteration is a
+    join + aggregate over that tiny table — cost is rounds × barrier,
+    independent of event volume.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("event_type").alias("et"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rn", "et"))
+            ).alias("path_s")
+        )
+        .select(
+            "user_id",
+            F.expr("transform(path_s, x -> x.et)").alias("path"),
+        )
+    )
+    # truncate at first conversion; chain = START + touches + absorber
+    chains = seq.select(
+        F.expr(
+            f"""
+            CASE WHEN array_position(path, '{conversion}') > 0
+                 THEN concat(
+                     array('START'),
+                     slice(path, 1,
+                           cast(array_position(path, '{conversion}') - 1
+                                as int)),
+                     array('CONV'))
+                 ELSE concat(array('START'), path, array('NULL_ST'))
+            END
+            """
+        ).alias("chain")
+    )
+    trans = chains.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(chain) - 1), "
+                "i -> named_struct('s', element_at(chain, i), "
+                "'t', element_at(chain, i + 1)))"
+            )
+        ).alias("e")
+    ).select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+    base = trans.groupBy("s", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    spark = events.sparkSession
+    variants = spark.createDataFrame(
+        [("full",)] + [(c,) for c in MARKOV_CHANNELS], "removed string"
+    )
+    # removal: transitions INTO the removed channel re-point to NULL;
+    # the removed state's outgoing rows drop (unreachable)
+    vt = (
+        base.crossJoin(F.broadcast(variants))
+        .filter((F.col("s") != F.col("removed")))
+        .select(
+            "removed",
+            "s",
+            F.when(F.col("t") == F.col("removed"), F.lit("NULL_ST"))
+            .otherwise(F.col("t"))
+            .alias("t"),
+            "n",
+        )
+        .groupBy("removed", "s", "t")
+        .agg(F.sum("n").alias("n"))
+    )
+    totals = vt.groupBy("removed", "s").agg(F.sum("n").alias("tot"))
+    vt = vt.join(totals, ["removed", "s"]).localCheckpoint()
+    states = (
+        vt.select("removed", F.col("s").alias("state")).distinct()
+    )
+    p = states.select(
+        "removed", "state", F.lit(0).cast("long").alias("p_q")
+    ).localCheckpoint()
+    for _ in range(int(rounds)):
+        # p(next) with absorbers pinned: CONV=SCALE, NULL=0
+        p_next = p.select(
+            "removed",
+            F.col("state").alias("t"),
+            F.col("p_q").alias("pt"),
+        )
+        # LEFT join: the absorbers (CONV/NULL_ST) never appear as
+        # sources, so they have no p row — their value is pinned by the
+        # CASE, and an inner join would silently drop exactly the
+        # transitions that carry conversion mass
+        stepped = vt.join(
+            p_next,
+            (vt.removed == p_next.removed) & (vt.t == p_next.t),
+            "left",
+        ).select(
+            vt.removed.alias("removed"),
+            vt.s.alias("s"),
+            (
+                F.col("n")
+                * F.when(vt.t == "CONV", F.lit(MARKOV_SCALE))
+                .when(vt.t == "NULL_ST", F.lit(0))
+                .otherwise(F.coalesce(F.col("pt"), F.lit(0)))
+            ).alias("m"),
+            F.col("tot"),
+        )
+        p = (
+            stepped.groupBy("removed", "s")
+            .agg(F.expr("sum(m) div first(tot)").alias("p_q"))
+            .select(
+                "removed", F.col("s").alias("state"),
+                F.col("p_q").cast("long").alias("p_q"),
+            )
+            .localCheckpoint()
+        )
+    start = p.filter(F.col("state") == "START").select(
+        "removed", F.col("p_q")
+    )
+    full = start.filter(F.col("removed") == "full").select(
+        F.col("p_q").alias("p_full_q")
+    )
+    rem = start.filter(F.col("removed") != "full")
+    scored = rem.crossJoin(F.broadcast(full)).select(
+        F.col("removed").alias("channel"),
+        "p_full_q",
+        F.col("p_q").alias("p_removed_q"),
+        F.when(
+            F.col("p_full_q") > 0,
+            F.expr("(p_full_q - p_q) * 1000000 div p_full_q"),
+        ).otherwise(F.lit(0)).cast("bigint").alias("removal_ppm"),
+    )
+    tot_re = scored.agg(
+        F.sum(F.greatest("removal_ppm", F.lit(0))).alias("sum_re")
+    )
+    return scored.crossJoin(F.broadcast(tot_re)).select(
+        "channel",
+        "p_full_q",
+        "p_removed_q",
+        "removal_ppm",
+        F.when(
+            F.col("sum_re") > 0,
+            F.expr(
+                "greatest(removal_ppm, 0) * 1000000 div sum_re"
+            ),
+        ).otherwise(F.lit(0)).cast("bigint").alias("attribution_ppm"),
+    )

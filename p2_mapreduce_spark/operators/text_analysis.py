@@ -1225,3 +1225,33 @@ def rake_keywords(
         .orderBy(F.col("score").desc(), F.col("word"))
         .limit(int(top_n))
     )
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """Language-ID evaluation rollup — the confusion matrix + per-label
+    accuracy of :func:`lang_id` against the corpus's own labels:
+    ``(labeled_lang, detected_lang, n_docs, label_total, cell_share,
+    is_correct)``.  The judge-every-classifier pattern completing the
+    eval family (calibration_bins = probability quality, classifier_auc
+    = ranking quality, this = categorical accuracy): each matrix cell's
+    share of its label row is one exact division, so per-label accuracy
+    is the ``is_correct`` diagonal's share.
+
+    One label-grain aggregate over the detector's zero-shuffle map —
+    output is |labels|×|predictions| rows, config-bounded."""
+    preds = lang_id(docs).select("labeled_lang", "detected_lang")
+    cells = preds.groupBy("labeled_lang", "detected_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    totals = cells.groupBy("labeled_lang").agg(
+        F.sum("n_docs").cast("bigint").alias("label_total")
+    )
+    return cells.join(totals, "labeled_lang").select(
+        "labeled_lang",
+        "detected_lang",
+        "n_docs",
+        "label_total",
+        (F.col("n_docs").cast("double") / F.col("label_total").cast("double"))
+        .alias("cell_share"),
+        (F.col("labeled_lang") == F.col("detected_lang")).alias("is_correct"),
+    )

@@ -497,3 +497,40 @@ def test_funnel_lag_exact_medians(spark):
     assert vc["median_x2_us"] == 2 * 2 * 3600 * 1_000_000  # 2h doubled
     cp = out["click->purchase"]
     assert cp["median_x2_us"] == 2 * 1 * 3600 * 1_000_000
+
+
+class TestMarkovAttribution:
+    def test_essential_gate_channel_gets_full_removal_effect(self, spark):
+        """Journeys where every conversion passes through 'click': its
+        removal zeroes conversions (removal 1e6 ppm exactly), while the
+        skippable first touch scores lower — the ordering a rule-based
+        model cannot produce."""
+        import datetime
+
+        from p2_mapreduce_spark.operators.events_analytics import (
+            markov_attribution,
+        )
+
+        def ev(eid, uid, t, typ):
+            return (eid, uid, typ, datetime.datetime(2024, 1, 1, 0, 0, t))
+
+        rows = []
+        eid = 0
+        for uid in range(1, 5):  # view -> click -> purchase
+            for t, typ in enumerate(("view", "click", "purchase")):
+                rows.append(ev(eid := eid + 1, uid, t, typ))
+        rows.append(ev(eid + 1, 9, 0, "click"))  # click-only, no convert
+        events = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        got = {
+            r["channel"]: r for r in markov_attribution(events).collect()
+        }
+        assert got["click"]["removal_ppm"] == 1_000_000
+        assert got["click"]["p_removed_q"] == 0
+        assert got["view"]["removal_ppm"] < got["click"]["removal_ppm"]
+        assert got["view"]["removal_ppm"] > 0
+        # attribution shares normalize over the observed channels
+        present = [c for c in got if got[c]["removal_ppm"] > 0]
+        total_share = sum(got[c]["attribution_ppm"] for c in present)
+        assert 999_990 <= total_share <= 1_000_000  # integer-div rounding

@@ -132,6 +132,10 @@ FUNNEL_REVIEWED = {
     # classifier_auc: the mwu machinery's one-row grand-total broadcast
     # (the group×value grid is BroadcastNestedLoop after the hint)
     "classifier_auc",
+    # markov_attribution: everything past the one journey shuffle runs
+    # at (variants × states²) CONFIG grain — the tiny fixed-point tables
+    # and the one-row p_full/sum_re broadcasts legitimately coalesce
+    "markov_attribution",
     # assoc_rules: one-row basket-count broadcast; zipf_buckets: one-row
     # mass total + the #partitions-grain offset table of the two-phase
     # vocabulary rank
