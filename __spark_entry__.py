@@ -1425,6 +1425,14 @@ def _q_media_png(spark, sf_dir):
     return png_pixel_sums(attach_png_rgb(docs))
 
 
+def _q_logrank(spark, sf_dir):
+    """Log-rank test between entry cohorts' time-to-conversion curves
+    — day-ordered folds keep the floating sums bit-identical."""
+    from p2_mapreduce_spark.operators.events_analytics import logrank_test
+
+    return logrank_test(load_table(spark, sf_dir, "events"))
+
+
 def _q_markov_attribution(spark, sf_dir):
     """Removal-effect Markov attribution: fixed-point integer
     absorption probabilities per removal variant, unrolled oracle."""
@@ -3221,7 +3229,7 @@ _ROUND4_NEW = (
     "hash_ring", "cdc_chunks", "dedup_simhash_idf", "ppr_trade",
     "clustering_coeff", "classifier_auc", "rake_keywords",
     "winnow_pairs", "media_histogram", "lang_confusion",
-    "markov_attribution",
+    "markov_attribution", "logrank",
 )
 
 
@@ -3353,6 +3361,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_histogram": _q_media_histogram,
         "lang_confusion": _q_lang_confusion,
         "markov_attribution": _q_markov_attribution,
+        "logrank": _q_logrank,
         "video_frames": _q_video_frames,
         "audio_wav": _q_audio_wav,
         "weighted_median": _q_weighted_median,
@@ -6832,6 +6841,68 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_idf": _simhash_weighted_sql(toks),
         "ppr_trade": _ppr_oracle(),
         "markov_attribution": _markov_oracle(),
+        # log-rank: same hypergeometric per-day terms, same day-ordered
+        # left-fold for the floating sums
+        "logrank": """
+            WITH pu AS (
+                SELECT CASE WHEN list(event_type ORDER BY ts, event_id)[1]
+                                 = 'view' THEN 1 ELSE 2 END AS cohort,
+                       date_diff('day', MIN(ts),
+                           COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                             THEN ts END), MAX(ts)))
+                           AS day,
+                       MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                           IS NOT NULL AS converted
+                FROM events GROUP BY user_id
+            ),
+            days AS (SELECT DISTINCT day FROM pu),
+            cells AS (
+                SELECT d.day, c.cohort,
+                       SUM(CASE WHEN p.day >= d.day THEN 1 ELSE 0 END)
+                           AS n_at,
+                       SUM(CASE WHEN p.day = d.day AND p.converted
+                                THEN 1 ELSE 0 END) AS d
+                FROM days d
+                CROSS JOIN (SELECT unnest([1, 2]) AS cohort) c
+                LEFT JOIN pu p ON p.cohort = c.cohort
+                GROUP BY 1, 2
+            ),
+            merged AS (
+                SELECT a.day, a.n_at AS n1, a.d AS d1,
+                       b.n_at AS n2, b.d AS d2
+                FROM cells a JOIN cells b
+                  ON a.day = b.day AND a.cohort = 1 AND b.cohort = 2
+                WHERE a.d + b.d > 0 AND a.n_at + b.n_at > 1
+            ),
+            terms AS (
+                SELECT day, d1,
+                       CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                           / CAST(n1 + n2 AS DOUBLE) AS e_t,
+                       CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                           * CAST(n2 AS DOUBLE)
+                           * CAST(n1 + n2 - d1 - d2 AS DOUBLE)
+                           / (CAST(n1 + n2 AS DOUBLE)
+                              * CAST(n1 + n2 AS DOUBLE)
+                              * CAST(n1 + n2 - 1 AS DOUBLE)) AS v_t
+                FROM merged
+            ),
+            folded AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                       CAST(SUM(d1) AS BIGINT) AS o1,
+                       list_reduce(
+                           list_prepend(0.0, list(e_t ORDER BY day)),
+                           (acc, x) -> acc + x) AS e1,
+                       list_reduce(
+                           list_prepend(0.0, list(v_t ORDER BY day)),
+                           (acc, x) -> acc + x) AS v
+                FROM terms
+            )
+            SELECT n_days, o1, e1, v,
+                   CASE WHEN v > 0
+                        THEN (CAST(o1 AS DOUBLE) - e1) / sqrt(v)
+                        ELSE 0.0 END AS z
+            FROM folded
+        """,
         # RAKE: same running-count phrase ids, same degree/frequency
         # confusion rollup over the same detector CASE tree
         "lang_confusion": f"""

@@ -362,6 +362,7 @@ HEADLINE = (
     "media_histogram",
     "lang_confusion",
     "markov_attribution",
+    "logrank",
 )
 
 

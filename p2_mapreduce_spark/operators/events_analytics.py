@@ -1625,3 +1625,177 @@ def markov_attribution(
             ),
         ).otherwise(F.lit(0)).cast("bigint").alias("attribution_ppm"),
     )
+
+
+def logrank_test(events: DataFrame, conversion: str = "purchase") -> DataFrame:
+    """Log-rank test between two user cohorts' time-to-conversion
+    survival curves — the A/B face of the survival family
+    (``life_table`` describes ONE curve; log-rank decides whether two
+    differ): cohort = whether the user's journey STARTS with a 'view'
+    (organic entry) vs anything else; event = first conversion; censor
+    = the user's last observed event.  Output one row ``(n_days, o1,
+    e1, v, z)`` — observed conversions in cohort 1, their expectation
+    and variance under the null (hypergeometric at each conversion
+    day), and the z statistic.
+
+    Determinism protocol: per-day terms are single IEEE divisions of
+    exact BIGINT counts, and the cross-day sums — the one place a
+    floating aggregate's ORDER would leak into the result — run as a
+    day-ordered ``aggregate()`` fold over a collected day-grain array
+    (the LSH-dot-product device), so e1, v, and z are bit-identical
+    cross-engine; ``sqrt`` is IEEE-correctly-rounded.
+
+    Scale shape: users contract to one (cohort, day, converted) row in
+    one shuffle; everything after runs at observed-day grain (bounded
+    by the observation window), including the suffix-sum at-risk
+    windows and the final fold.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    per_user = (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("event_type").alias("et"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("et"))).alias("first_et"),
+            F.min("ts").alias("t0"),
+            F.max("ts").alias("t_last"),
+            F.min(F.when(F.col("et") == conversion, F.col("ts"))).alias(
+                "t_conv"
+            ),
+        )
+        .select(
+            F.when(F.col("first_et") == "view", F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("cohort"),
+            F.when(
+                F.col("t_conv").isNotNull(),
+                F.datediff(F.col("t_conv"), F.col("t0")),
+            )
+            .otherwise(F.datediff(F.col("t_last"), F.col("t0")))
+            .cast("bigint")
+            .alias("day"),
+            F.col("t_conv").isNotNull().alias("converted"),
+        )
+    )
+    day_counts = per_user.groupBy("cohort", "day").agg(
+        F.sum(F.when(F.col("converted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leave"),
+    )
+    # at-risk = suffix sum of leavers (day grain, per cohort — bounded)
+    w_risk = (
+        Window.partitionBy("cohort")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    risk = day_counts.withColumn("n_at", F.sum("leave").over(w_risk))
+    # full day × cohort grid so both cohorts' n/d align per day
+    c1 = risk.filter(F.col("cohort") == 1).select(
+        "day", F.col("d").alias("d1_raw"), F.col("n_at").alias("n1_raw")
+    )
+    c2 = risk.filter(F.col("cohort") == 2).select(
+        F.col("day").alias("day2"),
+        F.col("d").alias("d2_raw"),
+        F.col("n_at").alias("n2_raw"),
+    )
+    days = risk.select("day").distinct()
+    # n_g at day t = suffix count from the cohort's own day table; days
+    # missing from a cohort carry that cohort's NEXT day's at-risk (the
+    # suffix count at the first day >= t).  Join-free form: recompute
+    # at-risk per (day, cohort) from the per-user table via a range
+    # condition — day grain × cohort, still bounded.
+    # STATIC cohort enumeration: a cohort with zero members must still
+    # contribute (n=0, d=0) rows — its terms vanish (e_t = v_t = 0)
+    # instead of silently emptying the whole comparison
+    spark = events.sparkSession
+    grid = days.crossJoin(
+        F.broadcast(spark.createDataFrame([(1,), (2,)], "cohort int"))
+    ).select("day", "cohort")
+    pu = per_user.select(
+        F.col("cohort").alias("c"), F.col("day").alias("ud"), "converted"
+    )
+    cells = (
+        grid.join(pu, grid.cohort == pu.c, "left")
+        .groupBy("day", "cohort")
+        .agg(
+            F.sum(F.when(F.col("ud") >= F.col("day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_at"),
+            F.sum(
+                F.when(
+                    (F.col("ud") == F.col("day")) & F.col("converted"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+    )
+    p1 = cells.filter(F.col("cohort") == 1).select(
+        "day", F.col("n_at").alias("n1"), F.col("d").alias("d1")
+    )
+    p2 = cells.filter(F.col("cohort") == 2).select(
+        F.col("day").alias("day2"),
+        F.col("n_at").alias("n2"),
+        F.col("d").alias("d2"),
+    )
+    merged = (
+        p1.join(p2, p1.day == p2.day2)
+        .select("day", "n1", "d1", "n2", "d2")
+        .filter((F.col("d1") + F.col("d2")) > 0)
+        .filter((F.col("n1") + F.col("n2")) > 1)
+    )
+    terms = merged.select(
+        "day",
+        "d1",
+        (
+            (F.col("d1") + F.col("d2")).cast("double")
+            * F.col("n1").cast("double")
+            / (F.col("n1") + F.col("n2")).cast("double")
+        ).alias("e_t"),
+        (
+            (F.col("d1") + F.col("d2")).cast("double")
+            * F.col("n1").cast("double")
+            * F.col("n2").cast("double")
+            * (F.col("n1") + F.col("n2") - F.col("d1") - F.col("d2")).cast(
+                "double"
+            )
+            / (
+                (F.col("n1") + F.col("n2")).cast("double")
+                * (F.col("n1") + F.col("n2")).cast("double")
+                * (F.col("n1") + F.col("n2") - 1).cast("double")
+            )
+        ).alias("v_t"),
+    )
+    # day-ordered folds: the ONLY floating sums, in a pinned order
+    folded = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("day", "e_t"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["e_t"],
+        ).alias("e1"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("day", "v_t"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v_t"],
+        ).alias("v"),
+    )
+    return folded.select(
+        "n_days",
+        "o1",
+        "e1",
+        "v",
+        F.when(
+            F.col("v") > 0,
+            (F.col("o1").cast("double") - F.col("e1")) / F.sqrt(F.col("v")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )

@@ -534,3 +534,62 @@ class TestMarkovAttribution:
         present = [c for c in got if got[c]["removal_ppm"] > 0]
         total_share = sum(got[c]["attribution_ppm"] for c in present)
         assert 999_990 <= total_share <= 1_000_000  # integer-div rounding
+
+
+class TestLogrank:
+    def test_matches_python_reference(self, spark, sf_dir):
+        """Exact parity with an independent per-day hypergeometric
+        reference over the same cohort/censoring definitions."""
+        import math
+
+        from p2_mapreduce_spark.operators.events_analytics import logrank_test
+
+        events = load_table(spark, sf_dir, "events")
+        [r] = logrank_test(events).collect()
+        raw = events.select(
+            "user_id", "event_id", "ts", "event_type"
+        ).collect()
+        users = {}
+        for row in sorted(raw, key=lambda x: (x["user_id"], x["ts"], x["event_id"])):
+            u = users.setdefault(
+                row["user_id"],
+                {"first": row["event_type"], "t0": row["ts"],
+                 "last": row["ts"], "conv": None},
+            )
+            u["last"] = max(u["last"], row["ts"])
+            if row["event_type"] == "purchase" and u["conv"] is None:
+                u["conv"] = row["ts"]
+        pu = []
+        for u in users.values():
+            cohort = 1 if u["first"] == "view" else 2
+            end = u["conv"] if u["conv"] is not None else u["last"]
+            day = (end.date() - u["t0"].date()).days
+            pu.append((cohort, day, u["conv"] is not None))
+        days = sorted({d for _c, d, _k in pu})
+        o1, terms = 0, []
+        for t in days:
+            n1 = sum(1 for c, d, _k in pu if c == 1 and d >= t)
+            n2 = sum(1 for c, d, _k in pu if c == 2 and d >= t)
+            d1 = sum(1 for c, d, k in pu if c == 1 and d == t and k)
+            d2 = sum(1 for c, d, k in pu if c == 2 and d == t and k)
+            if d1 + d2 == 0 or n1 + n2 <= 1:
+                continue
+            o1 += d1
+            e = float(d1 + d2) * float(n1) / float(n1 + n2)
+            v = (
+                float(d1 + d2) * float(n1) * float(n2)
+                * float(n1 + n2 - d1 - d2)
+                / (float(n1 + n2) * float(n1 + n2) * float(n1 + n2 - 1))
+            )
+            terms.append((t, e, v))
+        e1 = 0.0
+        v = 0.0
+        for _t, e_t, v_t in terms:  # day-ordered fold, same as the op
+            e1 += e_t
+        for _t, e_t, v_t in terms:
+            v += v_t
+        assert r["n_days"] == len(terms)
+        assert r["o1"] == o1
+        assert r["e1"] == e1
+        assert r["v"] == v
+        assert r["z"] == ((o1 - e1) / math.sqrt(v) if v > 0 else 0.0)
