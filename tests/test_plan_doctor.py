@@ -136,6 +136,10 @@ FUNNEL_REVIEWED = {
     # at (variants × states²) CONFIG grain — the tiny fixed-point tables
     # and the one-row p_full/sum_re broadcasts legitimately coalesce
     "markov_attribution",
+    # logrank: at-risk suffix windows and the ordered folds run at
+    # observed-day grain (bounded by the observation window); the final
+    # statistic is a one-row aggregate by definition
+    "logrank",
     # assoc_rules: one-row basket-count broadcast; zipf_buckets: one-row
     # mass total + the #partitions-grain offset table of the two-phase
     # vocabulary rank
