@@ -1425,6 +1425,14 @@ def _q_media_png(spark, sf_dir):
     return png_pixel_sums(attach_png_rgb(docs))
 
 
+def _q_detector_kappa(spark, sf_dir):
+    """Cohen's kappa for the language detector — chance-corrected
+    agreement from exact marginal dot products."""
+    from p2_mapreduce_spark.operators.text_analysis import detector_kappa
+
+    return detector_kappa(load_table(spark, sf_dir, "documents"))
+
+
 def _q_logrank(spark, sf_dir):
     """Log-rank test between entry cohorts' time-to-conversion curves
     — day-ordered folds keep the floating sums bit-identical."""
@@ -3229,7 +3237,7 @@ _ROUND4_NEW = (
     "hash_ring", "cdc_chunks", "dedup_simhash_idf", "ppr_trade",
     "clustering_coeff", "classifier_auc", "rake_keywords",
     "winnow_pairs", "media_histogram", "lang_confusion",
-    "markov_attribution", "logrank",
+    "markov_attribution", "logrank", "detector_kappa",
 )
 
 
@@ -3362,6 +3370,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": _q_lang_confusion,
         "markov_attribution": _q_markov_attribution,
         "logrank": _q_logrank,
+        "detector_kappa": _q_detector_kappa,
         "video_frames": _q_video_frames,
         "audio_wav": _q_audio_wav,
         "weighted_median": _q_weighted_median,
@@ -6904,6 +6913,49 @@ def oracle_sql() -> dict[str, str]:
             FROM folded
         """,
         # RAKE: same running-count phrase ids, same degree/frequency
+        # kappa over the same detector CASE tree: exact marginal dot
+        # product for p_e, fixed (po-pe)/(1-pe) tree
+        "detector_kappa": f"""
+            WITH preds AS (
+                SELECT lang AS labeled_lang,
+                       CASE WHEN {s_en} >= {s_de} AND {s_en} >= {s_es}
+                                 AND {s_en} >= {s_fr} AND {s_en} >= 1 THEN 'en'
+                            WHEN {s_de} >= {s_es} AND {s_de} >= {s_fr}
+                                 AND {s_de} >= 1 THEN 'de'
+                            WHEN {s_es} >= {s_fr} AND {s_es} >= 1 THEN 'es'
+                            WHEN {s_fr} >= 1 THEN 'fr'
+                            ELSE 'und' END AS detected_lang
+                FROM documents
+            ),
+            cells AS (
+                SELECT labeled_lang, detected_lang, COUNT(*) AS n
+                FROM preds GROUP BY 1, 2
+            ),
+            tot AS (SELECT SUM(n) AS n_docs FROM cells),
+            agr AS (SELECT COALESCE(SUM(n), 0) AS n_agree FROM cells
+                    WHERE labeled_lang = detected_lang),
+            rowm AS (SELECT labeled_lang AS k, SUM(n) AS rm
+                     FROM cells GROUP BY 1),
+            colm AS (SELECT detected_lang AS k, SUM(n) AS cm
+                     FROM cells GROUP BY 1),
+            pen AS (SELECT COALESCE(SUM(rm * cm), 0) AS pe_num
+                    FROM rowm JOIN colm USING (k))
+            SELECT CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_agree AS BIGINT) AS n_agree,
+                   CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE) AS po,
+                   CAST(pe_num AS DOUBLE)
+                       / CAST(n_docs * n_docs AS DOUBLE) AS pe,
+                   CASE WHEN CAST(pe_num AS DOUBLE)
+                             / CAST(n_docs * n_docs AS DOUBLE) < 1.0
+                        THEN (CAST(n_agree AS DOUBLE)
+                                  / CAST(n_docs AS DOUBLE)
+                              - CAST(pe_num AS DOUBLE)
+                                  / CAST(n_docs * n_docs AS DOUBLE))
+                             / (1.0 - CAST(pe_num AS DOUBLE)
+                                  / CAST(n_docs * n_docs AS DOUBLE))
+                        ELSE 0.0 END AS kappa
+            FROM tot, agr, pen
+        """,
         # confusion rollup over the same detector CASE tree
         "lang_confusion": f"""
             WITH preds AS (

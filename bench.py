@@ -363,6 +363,7 @@ HEADLINE = (
     "lang_confusion",
     "markov_attribution",
     "logrank",
+    "detector_kappa",
 )
 
 

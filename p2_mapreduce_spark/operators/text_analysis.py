@@ -1255,3 +1255,56 @@ def lang_confusion(docs: DataFrame) -> DataFrame:
         .alias("cell_share"),
         (F.col("labeled_lang") == F.col("detected_lang")).alias("is_correct"),
     )
+
+
+def detector_kappa(docs: DataFrame) -> DataFrame:
+    """Cohen's kappa for the language detector vs the corpus labels —
+    the chance-corrected scalar on top of :func:`lang_confusion`'s
+    matrix (raw accuracy flatters any detector on a skewed label mix;
+    kappa subtracts the agreement a label-marginal random guesser gets):
+    one row ``(n_docs, n_agree, po, pe, kappa)``.
+
+    Exactness: p_o = agree/n is one division; p_e's numerator
+    Σ row_marginal·col_marginal is an exact BIGINT dot product of the
+    marginals, so p_e = Σ/n² is one division too, and kappa's
+    (po−pe)/(1−pe) is a fixed tree — all bit-identical cross-engine.
+    Label/prediction marginals are |labels|-grain aggregates."""
+    preds = lang_id(docs).select("labeled_lang", "detected_lang")
+    cells = preds.groupBy("labeled_lang", "detected_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).persist()
+    n_total = cells.agg(F.sum("n").cast("bigint").alias("n_docs"))
+    agree = cells.filter(
+        F.col("labeled_lang") == F.col("detected_lang")
+    ).agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_agree"))
+    rowm = cells.groupBy("labeled_lang").agg(
+        F.sum("n").cast("bigint").alias("rm")
+    )
+    colm = cells.groupBy("detected_lang").agg(
+        F.sum("n").cast("bigint").alias("cm")
+    )
+    pe_num = (
+        rowm.join(colm, rowm.labeled_lang == colm.detected_lang)
+        .agg(
+            F.coalesce(F.sum(F.col("rm") * F.col("cm")), F.lit(0))
+            .cast("bigint")
+            .alias("pe_num")
+        )
+    )
+    po = F.col("n_agree").cast("double") / F.col("n_docs").cast("double")
+    pe = F.col("pe_num").cast("double") / (
+        F.col("n_docs") * F.col("n_docs")
+    ).cast("double")
+    return (
+        n_total.crossJoin(F.broadcast(agree))
+        .crossJoin(F.broadcast(pe_num))
+        .select(
+            "n_docs",
+            "n_agree",
+            po.alias("po"),
+            pe.alias("pe"),
+            F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe))
+            .otherwise(F.lit(0.0))
+            .alias("kappa"),
+        )
+    )

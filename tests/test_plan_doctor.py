@@ -140,6 +140,9 @@ FUNNEL_REVIEWED = {
     # observed-day grain (bounded by the observation window); the final
     # statistic is a one-row aggregate by definition
     "logrank",
+    # detector_kappa: one-row total/agreement/marginal-dot aggregates
+    # over label-grain inputs — the whole output is one row
+    "detector_kappa",
     # assoc_rules: one-row basket-count broadcast; zipf_buckets: one-row
     # mass total + the #partitions-grain offset table of the two-phase
     # vocabulary rank

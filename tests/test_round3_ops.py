@@ -2331,3 +2331,30 @@ class TestMediaHistogram:
             if r["media_id"] == 5 and r["channel"] == "b" and r["bucket"] == 1
         ]
         assert got == ([expect] if expect else [])
+
+
+class TestDetectorKappa:
+    def test_matches_python_reference(self, spark, sf_dir):
+        from collections import Counter
+
+        from p2_mapreduce_spark.operators.text_analysis import (
+            detector_kappa,
+            lang_id,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        [r] = detector_kappa(docs).collect()
+        pairs = [
+            (row["labeled_lang"], row["detected_lang"])
+            for row in lang_id(docs).collect()
+        ]
+        n = len(pairs)
+        agree = sum(1 for a, b in pairs if a == b)
+        rm = Counter(a for a, _b in pairs)
+        cm = Counter(b for _a, b in pairs)
+        pe_num = sum(rm[k] * cm.get(k, 0) for k in rm)
+        po, pe = agree / n, pe_num / (n * n)
+        assert (r["n_docs"], r["n_agree"]) == (n, agree)
+        assert r["po"] == po and r["pe"] == pe
+        assert r["kappa"] == (po - pe) / (1.0 - pe)
+        assert r["kappa"] <= r["po"]  # chance correction only lowers
