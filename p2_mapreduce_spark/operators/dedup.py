@@ -1157,14 +1157,18 @@ def winnow_fingerprints(
     Hashes are md5-derived 60-bit BIGINTs so the oracle can reproduce
     them exactly.
 
-    Scale shape: grams explode to their ≤w member windows (a ×w map,
-    no shuffle), the per-window min is ONE map-side-combined aggregate
-    at (doc, window) grain, and the tie-resolving join probes grams
-    back at gram grain.  Documents with fewer than w grams contribute
-    nothing (no full window exists).
+    Scale shape: windows never cross documents, so the whole selection
+    is computed IN-ROW — hash the grams, then for every window start a
+    nested array fold elects (pos, fp), and ``array_distinct``
+    collapses adjacent windows that elected the same gram — ZERO wide
+    exchanges between the scan and the output (the round-4 form
+    shuffled the gram×w window-membership table twice for the same
+    answer).  Per-row work is O(grams × w), the same total compute the
+    ×w explode paid, minus the corpus-×w trips through the wire.
+    Documents with fewer than w grams contribute nothing (no full
+    window exists).
     """
     toks = tokens_array(F.col(text_col))
-    n_grams = (F.size(toks) - (k - 1)).cast("int")
     gram_h = F.when(
         F.size(toks) >= k,
         F.transform(
@@ -1176,43 +1180,56 @@ def winnow_fingerprints(
             ).cast("bigint"),
         ),
     ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
-    grams = _spread(docs).select(
-        F.col(id_col).alias("doc_id"),
-        n_grams.alias("n_grams"),
-        F.posexplode(gram_h).alias("pos", "h"),
+    # stage the hash array through a projection so the window pass
+    # references a COLUMN, not the md5 expression tree (no CSE inside
+    # HOF lambdas — a re-reference would re-hash every gram per window)
+    staged = _spread(docs).select(
+        F.col(id_col).cast("bigint").alias("doc_id"), gram_h.alias("gh")
     )
-    # each gram belongs to windows starting in [pos-w+1, pos] ∩ [0, n-w];
-    # Spark's sequence() counts DOWN when start > stop, so short docs
-    # must short-circuit to no windows explicitly
+    gh = F.col("gh")
+    # sequence() counts DOWN when start > stop, so short docs must
+    # short-circuit to no windows explicitly
     starts = F.when(
-        F.col("n_grams") >= w,
-        F.sequence(
-            F.greatest(F.lit(0), F.col("pos") - (w - 1)),
-            F.least(F.col("pos"), F.col("n_grams") - w),
-        ),
+        F.size(gh) >= w, F.sequence(F.lit(0), F.size(gh) - w)
     ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
-    member = grams.select(
-        "doc_id", "pos", "h", F.explode(starts).alias("s")
-    )
-    wins = member.groupBy("doc_id", "s").agg(F.min("h").alias("fp"))
-    g = member.select(
-        F.col("doc_id").alias("g_doc"), F.col("s").alias("g_s"), "pos", "h"
-    )
-    sel = (
-        wins.join(
-            g,
-            (wins.doc_id == g.g_doc)
-            & (wins.s == g.g_s)
-            & (wins.fp == g.h),
+    # one-element transform = let-binding (the repo's no-CSE device):
+    # bind the w-hash slice once per window, then bind the from-the-
+    # right 1-based position of the minimal hash once, and emit the
+    # elected (pos, fp) struct
+    selected = F.array_distinct(
+        F.transform(
+            starts,
+            lambda s: F.element_at(
+                F.transform(
+                    F.array(F.slice(gh, s + 1, w)),
+                    lambda win: F.element_at(
+                        F.transform(
+                            F.array(
+                                F.array_position(
+                                    F.reverse(win), F.array_min(win)
+                                )
+                            ),
+                            lambda rp: F.struct(
+                                (s + (F.lit(w) - rp))
+                                .cast("bigint")
+                                .alias("pos"),
+                                F.element_at(
+                                    win, (F.lit(w) + 1 - rp).cast("int")
+                                ).alias("fp"),
+                            ),
+                        ),
+                        1,
+                    ),
+                ),
+                1,
+            ),
         )
-        .groupBy(wins.doc_id, wins.s, wins.fp)
-        .agg(F.max("pos").alias("pos"))
     )
-    return sel.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.col("pos").cast("bigint").alias("pos"),
-        F.col("fp").cast("bigint").alias("fp"),
-    ).distinct()
+    return staged.select("doc_id", F.explode(selected).alias("sel")).select(
+        "doc_id",
+        F.col("sel.pos").alias("pos"),
+        F.col("sel.fp").alias("fp"),
+    )
 
 
 #: CDC rolling-hash parameters, shared verbatim with the oracle: window
