@@ -43,7 +43,20 @@ def entry(spark: SparkSession) -> DataFrame:
 _DEDUP_STAGE_MEMO: dict = {}
 
 
+def _memo_scope(spark: SparkSession, sf_dir: str) -> None:
+    """Bound the memo to ONE (application, sf_dir) scope: switching the
+    application or the scale factor drops every old entry, so the
+    checkpoint blocks of a dead scope become unreferenced and Spark's
+    ContextCleaner reclaims them instead of accumulating for the
+    process lifetime (ADVICE r04)."""
+    scope = (spark.sparkContext.applicationId, sf_dir)
+    stale = [k for k in _DEDUP_STAGE_MEMO if k[:2] != scope]
+    for k in stale:
+        del _DEDUP_STAGE_MEMO[k]
+
+
 def _shared_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _memo_scope(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir, "pairs")
     if key not in _DEDUP_STAGE_MEMO:
         from p2_mapreduce_spark.operators.dedup import ngram_jaccard_pairs
@@ -56,6 +69,7 @@ def _shared_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shared_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _memo_scope(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir, "clusters")
     if key not in _DEDUP_STAGE_MEMO:
         from p2_mapreduce_spark.operators.graph import dup_clusters

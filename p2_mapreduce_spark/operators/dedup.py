@@ -1233,9 +1233,11 @@ def winnow_fingerprints(
 
 
 #: CDC rolling-hash parameters, shared verbatim with the oracle: window
-#: k=8 chars, polynomial base 31 (max hash < 2^45 for any codepoints
-#: < 2^31 — BIGINT-safe), boundary when hash % 64 == 0 (expected chunk
-#: length 64 chars).
+#: k=8 chars, polynomial base 31 (base powers reach 31^7 ≈ 2^34.7, so
+#: with Unicode codepoints ≤ 0x10FFFF ≈ 2^21 every term stays < 2^56
+#: and the 8-term window hash < 2^59 — BIGINT-safe; codepoints are the
+#: binding bound here, NOT int32), boundary when hash % 64 == 0
+#: (expected chunk length 64 chars).
 CDC_WINDOW = 8
 CDC_BASE_POWERS = tuple(31 ** j for j in range(8))
 CDC_MASK_MOD = 64

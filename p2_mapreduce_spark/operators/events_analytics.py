@@ -1647,8 +1647,12 @@ def logrank_test(events: DataFrame, conversion: str = "purchase") -> DataFrame:
 
     Scale shape: users contract to one (cohort, day, converted) row in
     one shuffle; everything after runs at observed-day grain (bounded
-    by the observation window), including the suffix-sum at-risk
-    windows and the final fold.
+    by the observation window).  At-risk counts come from a suffix sum
+    of leavers over the full day × cohort grid — missing grid cells
+    contribute zero leavers, so the suffix count at day t equals the
+    number of users with conversion-or-censor day ≥ t with NO join back
+    to the user-grain table (the round-4 form fanned every cohort's
+    user set into one task per day through a two-value join key).
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     per_user = (
@@ -1688,28 +1692,8 @@ def logrank_test(events: DataFrame, conversion: str = "purchase") -> DataFrame:
         .alias("d"),
         F.count(F.lit(1)).cast("bigint").alias("leave"),
     )
-    # at-risk = suffix sum of leavers (day grain, per cohort — bounded)
-    w_risk = (
-        Window.partitionBy("cohort")
-        .orderBy("day")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    risk = day_counts.withColumn("n_at", F.sum("leave").over(w_risk))
-    # full day × cohort grid so both cohorts' n/d align per day
-    c1 = risk.filter(F.col("cohort") == 1).select(
-        "day", F.col("d").alias("d1_raw"), F.col("n_at").alias("n1_raw")
-    )
-    c2 = risk.filter(F.col("cohort") == 2).select(
-        F.col("day").alias("day2"),
-        F.col("d").alias("d2_raw"),
-        F.col("n_at").alias("n2_raw"),
-    )
-    days = risk.select("day").distinct()
-    # n_g at day t = suffix count from the cohort's own day table; days
-    # missing from a cohort carry that cohort's NEXT day's at-risk (the
-    # suffix count at the first day >= t).  Join-free form: recompute
-    # at-risk per (day, cohort) from the per-user table via a range
-    # condition — day grain × cohort, still bounded.
+    days = day_counts.select("day").distinct()
+    # full day × cohort grid so both cohorts' n/d align per day.
     # STATIC cohort enumeration: a cohort with zero members must still
     # contribute (n=0, d=0) rows — its terms vanish (e_t = v_t = 0)
     # instead of silently emptying the whole comparison
@@ -1717,24 +1701,27 @@ def logrank_test(events: DataFrame, conversion: str = "purchase") -> DataFrame:
     grid = days.crossJoin(
         F.broadcast(spark.createDataFrame([(1,), (2,)], "cohort int"))
     ).select("day", "cohort")
-    pu = per_user.select(
-        F.col("cohort").alias("c"), F.col("day").alias("ud"), "converted"
+    # n_g at day t = number of cohort-g users with conversion-or-censor
+    # day >= t = suffix sum of leavers over the grid (grid days missing
+    # from a cohort's day table contribute leave=0, so the suffix count
+    # carries that cohort's next observed day's at-risk) — day-grain
+    # join + day-grain window, no user-grain fan-out
+    w_risk = (
+        Window.partitionBy("cohort")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     cells = (
-        grid.join(pu, grid.cohort == pu.c, "left")
-        .groupBy("day", "cohort")
-        .agg(
-            F.sum(F.when(F.col("ud") >= F.col("day"), 1).otherwise(0))
+        grid.join(day_counts, ["day", "cohort"], "left")
+        .select(
+            "day",
+            "cohort",
+            F.coalesce(F.col("d"), F.lit(0)).cast("bigint").alias("d"),
+            F.coalesce(F.col("leave"), F.lit(0))
             .cast("bigint")
-            .alias("n_at"),
-            F.sum(
-                F.when(
-                    (F.col("ud") == F.col("day")) & F.col("converted"), 1
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("d"),
+            .alias("leave"),
         )
+        .withColumn("n_at", F.sum("leave").over(w_risk))
     )
     p1 = cells.filter(F.col("cohort") == 1).select(
         "day", F.col("n_at").alias("n1"), F.col("d").alias("d1")

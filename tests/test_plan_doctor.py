@@ -136,9 +136,10 @@ FUNNEL_REVIEWED = {
     # at (variants × states²) CONFIG grain — the tiny fixed-point tables
     # and the one-row p_full/sum_re broadcasts legitimately coalesce
     "markov_attribution",
-    # logrank: at-risk suffix windows and the ordered folds run at
-    # observed-day grain (bounded by the observation window); the final
-    # statistic is a one-row aggregate by definition
+    # logrank: the final statistic is a one-row aggregate by definition
+    # (everything feeding it — day×cohort grid join, suffix-sum windows,
+    # ordered folds — runs at observed-day grain since the r05 rewrite
+    # removed the user-grain cohort-key fan-out)
     "logrank",
     # detector_kappa: one-row total/agreement/marginal-dot aggregates
     # over label-grain inputs — the whole output is one row
