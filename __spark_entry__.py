@@ -1396,9 +1396,25 @@ def _q_media_resize(spark, sf_dir):
 
 
 def _q_video_frames(spark, sf_dir):
-    """Real video demux: walk the concatenated-BMP stream by each
-    frame's self-declared byte length, decode every 2nd frame, emit
-    channel sums — oracle recomputes from the frame pixel formula."""
+    """REAL compressed-video demux (round 5): MJPEG streams —
+    concatenated baseline-JPEG frames — demuxed by EOI scan, every 2nd
+    frame run through the full JPEG decoder (Huffman + DPCM + IDCT +
+    YCbCr→RGB); oracle recomputes per-frame channel sums from the
+    DC-DPCM + JFIF closed forms."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_mjpeg,
+        video_frame_sums,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return video_frame_sums(attach_mjpeg(docs), every_n=2)
+
+
+def _q_video_bmpstream(spark, sf_dir):
+    """The round-4 concatenated-BMP stream demux under its own honest
+    id (MJPEG took over the flagship ``video_frames``): walk each
+    frame's self-declared byte length, decode every 2nd frame with the
+    BMP codec, emit channel sums."""
     from p2_mapreduce_spark.operators.multimodal import (
         attach_bmp_video,
         video_frame_stats,
@@ -1886,11 +1902,11 @@ def _q_media_headers(spark, sf_dir):
 
 def _q_media_mixed(spark, sf_dir):
     """REAL mixed-modality decode: modality cycles image/audio/video by
-    id, every payload is a genuine file (BMP / 16-bit PCM WAV /
-    concatenated-BMP stream), and every branch of the real kernel —
-    pixel decode, PCM sample decode, frame demux — lands in the checked
-    output; features are exact integers the oracle recomputes in
-    closed form."""
+    id, every payload is a genuine file (BMP / 16-bit PCM WAV / MJPEG
+    stream), and every branch of the real kernel — pixel decode, PCM
+    sample decode, compressed-frame demux + JPEG decode — lands in the
+    checked output; features are exact integers the oracle recomputes
+    in closed form."""
     from p2_mapreduce_spark.operators.multimodal import (
         attach_real_mixed,
         decode_media,
@@ -3386,6 +3402,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logrank": _q_logrank,
         "detector_kappa": _q_detector_kappa,
         "video_frames": _q_video_frames,
+        "video_bmpstream": _q_video_bmpstream,
         "audio_wav": _q_audio_wav,
         "weighted_median": _q_weighted_median,
         "kmv_distinct": _q_kmv_distinct,
@@ -4811,25 +4828,53 @@ def oracle_sql() -> dict[str, str]:
                 ) g
                 GROUP BY media_id
             ),
+            -- MJPEG video rows (round 5): feature = total pixel sum
+            -- over every frame's R+G+B planes, from the DC-DPCM + JFIF
+            -- closed forms (per frame f the luma chain starts at
+            -- (id%8+f)%8); e0 literals force DOUBLE
+            vfr0 AS (
+                SELECT doc_id AS media_id,
+                       1 + doc_id % 2 AS wb,
+                       1 + (doc_id % 4) // 2 AS hb,
+                       doc_id % 8 AS id8,
+                       doc_id % 5 AS b5,
+                       doc_id % 7 AS c7,
+                       2 + doc_id % 8 AS nf,
+                       unnest(generate_series(0, 1 + doc_id % 8)) AS f
+                FROM documents WHERE doc_id % 3 = 2
+            ),
+            vfr AS (
+                SELECT *,
+                       (id8 + f) % 8 AS af,
+                       (wb * hb + 1) // 2 AS ne,
+                       wb * hb - (wb * hb + 1) // 2 AS nodd
+                FROM vfr0
+            ),
             vid AS (
-                SELECT doc_id AS media_id, 'video' AS modality,
-                       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-                       CAST(nf AS INT) AS n_frames,
+                SELECT media_id, 'video' AS modality,
+                       CAST(MAX(8 * wb) AS INT) AS width,
+                       CAST(MAX(8 * hb) AS INT) AS height,
+                       CAST(MAX(nf) AS INT) AS n_frames,
                        CAST(0 AS INT) AS sample_rate,
-                       CAST(nf * (3 * (w * h * base
-                                       + 5 * h * (w * (w - 1) // 2)
-                                       + 4 * w * (h * (h - 1) // 2))
-                                  + 21 * w * h)
-                            + 3 * w * h * nf * (nf - 1) AS BIGINT)
-                           AS feature_hash
-                FROM (
-                    SELECT doc_id,
-                           4 + doc_id % 9 AS w,
-                           4 + (doc_id * 3) % 9 AS h,
-                           (doc_id % 16) * 3 AS base,
-                           2 + doc_id % 8 AS nf
-                    FROM documents WHERE doc_id % 3 = 2
-                )
+                       CAST(SUM(64 * (
+                            ne * (CAST(FLOOR((136 + af)
+                                    + 1.402e0 * (c7 + 8) + 0.5e0) AS BIGINT)
+                                + CAST(FLOOR((136 + af)
+                                    - 0.344136e0 * (b5 + 8)
+                                    - 0.714136e0 * (c7 + 8) + 0.5e0)
+                                    AS BIGINT)
+                                + CAST(FLOOR((136 + af)
+                                    + 1.772e0 * (b5 + 8) + 0.5e0) AS BIGINT))
+                          + nodd * (CAST(FLOOR((128 + af)
+                                    + 1.402e0 * c7 + 0.5e0) AS BIGINT)
+                                + CAST(FLOOR((128 + af)
+                                    - 0.344136e0 * b5
+                                    - 0.714136e0 * c7 + 0.5e0) AS BIGINT)
+                                + CAST(FLOOR((128 + af)
+                                    + 1.772e0 * b5 + 0.5e0) AS BIGINT))))
+                            AS BIGINT) AS feature_hash
+                FROM vfr
+                GROUP BY media_id
             )
             SELECT * FROM img UNION ALL SELECT * FROM aud
             UNION ALL SELECT * FROM vid
@@ -7412,22 +7457,109 @@ def oracle_sql() -> dict[str, str]:
             FROM sel
         """,
         "media_jpeg": """
+            -- closed-form twin of the DC-DPCM payload formula + the
+            -- JFIF RGB transform with FLOOR(x+0.5) rounding; e0
+            -- literals force DOUBLE (DuckDB parses bare decimals as
+            -- DECIMAL) so the IEEE product matches Spark bit-for-bit
             WITH d AS (
                 SELECT doc_id AS media_id,
                        1 + doc_id % 2 AS wb,
                        1 + (doc_id % 4) // 2 AS hb,
-                       doc_id % 8 AS id8
+                       doc_id % 8 AS a8,
+                       doc_id % 5 AS b5,
+                       doc_id % 7 AS c7,
+                       (doc_id % 2) = 1 AS color
                 FROM documents
+            ),
+            m AS (
+                SELECT *,
+                       wb * hb AS n,
+                       (wb * hb + 1) // 2 AS ne,
+                       wb * hb - (wb * hb + 1) // 2 AS nodd
+                FROM d
             )
             SELECT media_id,
                    CAST(8 * wb AS INT) AS width,
                    CAST(8 * hb AS INT) AS height,
-                   CAST(64 * (wb * hb * (128 + id8)
-                              + 8 * ((wb * hb + 1) // 2)) AS BIGINT)
-                       AS sum_gray
-            FROM d
+                   CAST(CASE WHEN color THEN 3 ELSE 1 END AS INT)
+                       AS n_comp,
+                   CAST(CASE WHEN color THEN 64 * (
+                            ne * CAST(FLOOR((136 + a8)
+                                + 1.402e0 * (c7 + 8) + 0.5e0) AS BIGINT)
+                          + nodd * CAST(FLOOR((128 + a8)
+                                + 1.402e0 * c7 + 0.5e0) AS BIGINT))
+                        ELSE 64 * (n * (128 + a8) + 8 * ne)
+                        END AS BIGINT) AS sum_r,
+                   CAST(CASE WHEN color THEN 64 * (
+                            ne * CAST(FLOOR((136 + a8)
+                                - 0.344136e0 * (b5 + 8)
+                                - 0.714136e0 * (c7 + 8) + 0.5e0) AS BIGINT)
+                          + nodd * CAST(FLOOR((128 + a8)
+                                - 0.344136e0 * b5
+                                - 0.714136e0 * c7 + 0.5e0) AS BIGINT))
+                        ELSE 64 * (n * (128 + a8) + 8 * ne)
+                        END AS BIGINT) AS sum_g,
+                   CAST(CASE WHEN color THEN 64 * (
+                            ne * CAST(FLOOR((136 + a8)
+                                + 1.772e0 * (b5 + 8) + 0.5e0) AS BIGINT)
+                          + nodd * CAST(FLOOR((128 + a8)
+                                + 1.772e0 * b5 + 0.5e0) AS BIGINT))
+                        ELSE 64 * (n * (128 + a8) + 8 * ne)
+                        END AS BIGINT) AS sum_b
+            FROM m
         """,
         "video_frames": """
+            -- MJPEG closed forms: per frame f the luma DC chain starts
+            -- at (id%8 + f) % 8; chroma at id%5 / id%7; JFIF RGB with
+            -- FLOOR(x+0.5); e0 literals force DOUBLE
+            WITH dims AS (
+                SELECT doc_id AS media_id,
+                       1 + doc_id % 2 AS wb,
+                       1 + (doc_id % 4) // 2 AS hb,
+                       doc_id % 8 AS id8,
+                       doc_id % 5 AS b5,
+                       doc_id % 7 AS c7,
+                       2 + doc_id % 8 AS nf
+                FROM documents
+            ),
+            fr0 AS (
+                SELECT media_id, wb, hb, id8, b5, c7,
+                       (wb * hb + 1) // 2 AS ne,
+                       wb * hb - (wb * hb + 1) // 2 AS nodd,
+                       unnest(generate_series(0, nf - 1, 2)) AS f
+                FROM dims
+            ),
+            fr AS (
+                SELECT *, (id8 + f) % 8 AS af FROM fr0
+            )
+            SELECT media_id,
+                   CAST(f AS INT) AS frame_idx,
+                   CAST(8 * wb AS INT) AS width,
+                   CAST(8 * hb AS INT) AS height,
+                   CAST(3 AS INT) AS n_comp,
+                   CAST(64 * (
+                        ne * CAST(FLOOR((136 + af)
+                            + 1.402e0 * (c7 + 8) + 0.5e0) AS BIGINT)
+                      + nodd * CAST(FLOOR((128 + af)
+                            + 1.402e0 * c7 + 0.5e0) AS BIGINT))
+                       AS BIGINT) AS sum_r,
+                   CAST(64 * (
+                        ne * CAST(FLOOR((136 + af)
+                            - 0.344136e0 * (b5 + 8)
+                            - 0.714136e0 * (c7 + 8) + 0.5e0) AS BIGINT)
+                      + nodd * CAST(FLOOR((128 + af)
+                            - 0.344136e0 * b5
+                            - 0.714136e0 * c7 + 0.5e0) AS BIGINT))
+                       AS BIGINT) AS sum_g,
+                   CAST(64 * (
+                        ne * CAST(FLOOR((136 + af)
+                            + 1.772e0 * (b5 + 8) + 0.5e0) AS BIGINT)
+                      + nodd * CAST(FLOOR((128 + af)
+                            + 1.772e0 * b5 + 0.5e0) AS BIGINT))
+                       AS BIGINT) AS sum_b
+            FROM fr
+        """,
+        "video_bmpstream": """
             WITH dims AS (
                 SELECT doc_id AS media_id,
                        4 + doc_id % 9 AS w,

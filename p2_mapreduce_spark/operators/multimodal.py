@@ -11,18 +11,22 @@ uncompressed-BMP pixel decode for images, RIFF/16-bit-PCM sample decode
 for audio, frame-walking demux + per-frame decode for video;
 ``decoder="pixels"`` is the full BMP pixel codec with integer box-filter
 resize and BMP re-encode (attach_bmp builds genuine BMP files JVM-side);
-:func:`jpeg_pixel_sums` runs a real baseline-JPEG GRAYSCALE decoder
-(canonical Huffman + DPCM + dequant + IDCT) over attach_jpeg's
-spec-valid entropy-coded payloads; :func:`png_pixel_sums` a full PNG
-decoder (CRC + inflate + filters); ``decoder="headers"`` is a real
-header codec that parses dimensions from PNG IHDR / JPEG SOF bytes;
-``decoder="fake"`` derives deterministic pseudo-metadata from the
-payload hash (the oracle-checkable stand-in, query id ``media_digest``);
-``decoder="none"`` raises ``NotImplementedError``, marking exactly where
-color/progressive-JPEG and video-container codecs (Pillow/torchaudio/
-PyAV — not in this container) plug in.  The Spark-side contract
-(schemas, batch iteration, partitioning) is identical across all of
-them.
+:func:`jpeg_pixel_sums` runs a real baseline-JPEG decoder — GRAYSCALE
+and 4:4:4 YCbCr COLOR with DRI restart markers (canonical Huffman +
+per-component DPCM + dequant + IDCT + JFIF RGB transform) — over
+attach_jpeg's spec-valid entropy-coded payloads;
+:func:`video_frame_sums` demuxes MJPEG (concatenated baseline JPEGs)
+and decodes every sampled frame through the same codec;
+:func:`png_pixel_sums` a full PNG decoder (CRC + inflate + filters);
+``decoder="headers"`` is a real header codec that parses dimensions
+from PNG IHDR / JPEG SOF bytes; ``decoder="fake"`` derives
+deterministic pseudo-metadata from the payload hash (the
+oracle-checkable stand-in, query id ``media_digest``);
+``decoder="none"`` raises ``NotImplementedError``, marking exactly
+where progressive/subsampled-JPEG and compressed-audio codecs
+(Pillow/torchaudio/PyAV — not in this container) plug in.  The
+Spark-side contract (schemas, batch iteration, partitioning) is
+identical across all of them.
 """
 
 from __future__ import annotations
@@ -176,15 +180,19 @@ def _real_decode(payload: bytes, modality: str) -> dict:
       feature = the total pixel sum across all three channels.
     - ``audio``: RIFF/WAVE chunk walk + 16-bit PCM decode
       (:func:`_parse_wav`); feature = the exact signed sample sum.
-    - ``video``: demux the concatenated-BMP stream by each frame's
-      self-declared byte length, decode EVERY frame; feature = the total
-      pixel sum across all frames.
+    - ``video``: container sniff — an SOI-leading payload demuxes as
+      MJPEG (EOI scan + full baseline-JPEG decode per frame,
+      :func:`_decode_jpeg`, gray or color), a 'BM'-leading payload as a
+      concatenated-BMP stream (each frame's self-declared byte length);
+      EVERY frame decodes; feature = the total pixel sum over all
+      frames and channels.
 
     All features are exact integers recomputable in closed form from the
     payload-builder formulas, so the oracle checks the real decode — a
-    row flip, BGR swap, padding slip, chunk misalignment, or dropped
-    frame breaks the hash.  Undecodable payloads quarantine as a zero
-    row (at 100 TB a corrupt blob must not kill the stage)."""
+    row flip, BGR swap, padding slip, chunk misalignment, Huffman
+    misstep, or dropped frame breaks the hash.  Undecodable payloads
+    quarantine as a zero row (at 100 TB a corrupt blob must not kill
+    the stage)."""
     b = payload or b""
     zero = {
         "width": 0, "height": 0, "n_frames": 0, "sample_rate": 0,
@@ -211,19 +219,36 @@ def _real_decode(payload: bytes, modality: str) -> dict:
         }
     if modality == "video":
         pos, nf, w0, h0, total = 0, 0, 0, 0, 0
-        while pos + 54 <= len(b) and b[pos : pos + 2] == b"BM":
-            size = int.from_bytes(b[pos + 2 : pos + 6], "little")
-            if size < 54 or pos + size > len(b):
-                break  # truncated tail: quarantine the rest
-            parsed = _parse_bmp(b[pos : pos + size])
-            if parsed is None:
-                break
-            w, h, grid = parsed
-            if nf == 0:
-                w0, h0 = w, h
-            total += sum(c for row in grid for px in row for c in px)
-            nf += 1
-            pos += size
+        if b[:2] == b"\xff\xd8":  # MJPEG: SOI..EOI frames
+            while b[pos : pos + 2] == b"\xff\xd8":
+                end = b.find(b"\xff\xd9", pos)
+                if end < 0:
+                    break  # truncated tail: quarantine the rest
+                parsed = _decode_jpeg(b[pos : end + 2])
+                if parsed is None:
+                    break
+                w, h, planes = parsed
+                if nf == 0:
+                    w0, h0 = w, h
+                total += sum(
+                    v for ch in planes for row in ch for v in row
+                )
+                nf += 1
+                pos = end + 2
+        else:  # concatenated-BMP stream
+            while pos + 54 <= len(b) and b[pos : pos + 2] == b"BM":
+                size = int.from_bytes(b[pos + 2 : pos + 6], "little")
+                if size < 54 or pos + size > len(b):
+                    break  # truncated tail: quarantine the rest
+                parsed = _parse_bmp(b[pos : pos + size])
+                if parsed is None:
+                    break
+                w, h, grid = parsed
+                if nf == 0:
+                    w0, h0 = w, h
+                total += sum(c for row in grid for px in row for c in px)
+                nf += 1
+                pos += size
         if nf == 0:
             return zero
         return {
@@ -258,11 +283,12 @@ def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """
     if decoder == "none":
         raise NotImplementedError(
-            "color/progressive JPEG and real video-container codecs "
+            "progressive/subsampled JPEG and compressed-audio codecs "
             "(Pillow/torchaudio/PyAV) are not available in this "
-            "environment; use decoder='real' (full BMP/WAV/BMP-stream "
-            "kernels; baseline grayscale JPEG via jpeg_pixel_sums), "
-            "'headers' (header parsing), or 'fake' (deterministic stub)"
+            "environment; use decoder='real' (full BMP/WAV kernels; "
+            "baseline gray+4:4:4-color JPEG via jpeg_pixel_sums; MJPEG "
+            "video via video_frame_sums), 'headers' (header parsing), "
+            "or 'fake' (deterministic stub)"
         )
     if decoder not in _DECODERS:
         raise ValueError(f"unknown decoder {decoder!r}")
@@ -333,8 +359,8 @@ def resize_media(media: DataFrame, max_side: int = 32, decoder: str = "fake") ->
     are not in this container)."""
     if decoder == "none":
         raise NotImplementedError(
-            "color/progressive-JPEG and video-container codecs "
-            "(Pillow/PyAV) are not available in this environment; use "
+            "progressive/subsampled-JPEG re-encode codecs (Pillow/PyAV) "
+            "are not available in this environment; use "
             "decoder='pixels' (real uncompressed-BMP kernel) or 'fake' "
             "(deterministic stub)"
         )
@@ -841,6 +867,149 @@ def video_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
     )
 
 
+def attach_mjpeg(docs: DataFrame, n_frames_max: int = 8) -> DataFrame:
+    """Multimodal table whose payloads are REAL MJPEG video streams:
+    ``2 + doc_id % n_frames_max`` complete baseline-JPEG frames
+    concatenated back-to-back — the actual Motion-JPEG container
+    contract (a stream of self-delimiting compressed still frames,
+    each SOI..EOI), replacing round 4's concatenated-BMP stand-in as
+    the flagship video payload now that :func:`_decode_jpeg` exists.
+    This is genuinely COMPRESSED video: every frame must go through
+    canonical-Huffman entropy decode + IDCT to yield pixels.
+
+    Every frame is 3-component 4:4:4 YCbCr color, ``8·wb × 8·hb`` with
+    ``wb = 1 + id%2``, ``hb = 1 + (id%4)//2``; frame ``f``'s luma DC
+    chain starts at ``+8 + (id+f)%8`` (the "scene" brightens over
+    time, so a dropped or double-decoded frame breaks the hash) while
+    chroma starts at ``+8 + id%5`` / ``+8 + id%7`` — all the
+    :func:`attach_jpeg` closed-form machinery, per frame.  The whole
+    stream is one codegen hex fold + ``unhex``: no Python, no driver
+    loop."""
+    wb = (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(2))).cast("int")
+    hb = (F.lit(1) + (F.pmod(F.col("doc_id"), F.lit(4)) / 2).cast("int")).cast("int")
+    nf = (F.lit(2) + F.pmod(F.col("doc_id"), F.lit(int(n_frames_max)))).cast(
+        "int"
+    )
+    d = spread(docs).select(
+        F.col("doc_id").alias("media_id"),
+        wb.alias("wb"),
+        hb.alias("hb"),
+        nf.alias("nf"),
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("id8"),
+        F.pmod(F.col("doc_id"), F.lit(5)).cast("int").alias("id5"),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("int").alias("id7"),
+    )
+    dqt_hex = "ffdb" + "0043" + "00" + "08" + "01" * 63
+    dht_dc_hex = (
+        "ffc4" + "001b" + "00" + "00000701" + "00" * 12
+        + "0001020304050607"
+    )
+    dht_ac_hex = "ffc4" + "0014" + "10" + "01" + "00" * 15 + "00"
+    sof0_hex = F.concat(
+        F.lit("ffc0" + "0011" + "08"),
+        F.format_string("%04x", F.col("hb") * 8),
+        F.format_string("%04x", F.col("wb") * 8),
+        F.lit("03" + "011100" + "021100" + "031100"),
+    )
+    sos_hex = "ffda" + "000c" + "03" + "0100" + "0200" + "0300" + "003f00"
+    d = d.withColumn(
+        "hdr",
+        F.concat(
+            F.lit("ffd8" + dqt_hex + dht_dc_hex + dht_ac_hex),
+            sof0_hex,
+            F.lit(sos_hex),
+        ),
+    )
+    # per frame f: luma absolute DC varies with (id8 + f) % 8; one byte
+    # per block (cat-4 code + magnitude + EOB), Y,Cb,Cr per MCU
+    frame_hex = (
+        "concat(hdr, array_join(transform(sequence(0, wb*hb - 1), m -> "
+        "concat("
+        " format_string('%02x', CASE WHEN m = 0"
+        "   THEN 144 + 2*((id8 + f) % 8)"
+        "   WHEN m % 2 = 1 THEN 142 ELSE 144 END),"
+        " format_string('%02x', CASE WHEN m = 0 THEN 144 + 2*id5"
+        "   WHEN m % 2 = 1 THEN 142 ELSE 144 END),"
+        " format_string('%02x', CASE WHEN m = 0 THEN 144 + 2*id7"
+        "   WHEN m % 2 = 1 THEN 142 ELSE 144 END))), ''), 'ffd9')"
+    )
+    stream_hex = F.expr(
+        f"array_join(transform(sequence(0, nf-1), f -> {frame_hex}), '')"
+    )
+    return d.select(
+        "media_id",
+        F.lit("video").alias("modality"),
+        F.unhex(stream_hex).alias("payload"),
+    )
+
+
+def video_frame_sums(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL MJPEG frame extraction: demux the stream the way every
+    MJPEG consumer does — scan for each frame's EOI marker (``FFD9``
+    cannot occur inside entropy data: T.81 byte-stuffing escapes every
+    0xFF as 0xFF00, and restart markers are FFD0-FFD7) — then run the
+    full baseline-JPEG decoder (:func:`_decode_jpeg`: Huffman, DPCM,
+    IDCT, YCbCr→RGB) on every ``every_n``-th frame and emit per-frame
+    per-channel pixel sums.  One Arrow batch of payloads in, a variable
+    number of frame rows out.  A corrupt frame or truncated tail stops
+    the walk (quarantine) instead of failing the stage."""
+    from p2_mapreduce_spark.mapreduce import _ship_by_value
+
+    _ship_by_value(_decode_jpeg)
+    step = int(every_n)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def frames(payload: bytes):
+            b = payload or b""
+            pos, idx = 0, 0
+            while b[pos : pos + 2] == b"\xff\xd8":
+                end = b.find(b"\xff\xd9", pos)
+                if end < 0:
+                    break  # truncated tail: quarantine the rest
+                frame = b[pos : end + 2]
+                if idx % step == 0:
+                    parsed = _decode_jpeg(frame)
+                    if parsed is None:
+                        break
+                    w, h, planes = parsed
+                    sums = [
+                        sum(v for row in ch for v in row) for ch in planes
+                    ]
+                    if len(planes) == 1:
+                        sums = [sums[0]] * 3
+                    yield (idx, w, h, len(planes)) + tuple(sums)
+                pos = end + 2
+                idx += 1
+
+        for pdf in it:
+            out = [
+                (mid,) + fr
+                for mid, p in zip(pdf["media_id"], pdf["payload"])
+                for fr in frames(p)
+            ]
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "frame_idx",
+                    "width",
+                    "height",
+                    "n_comp",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, frame_idx int, width int, height int,"
+            " n_comp int, sum_r long, sum_g long, sum_b long"
+        ),
+    )
+
+
 def attach_wav(docs: DataFrame) -> DataFrame:
     """Multimodal table whose payloads are REAL, complete WAV files —
     RIFF/WAVE header, PCM ``fmt `` chunk, 16-bit little-endian signed
@@ -892,14 +1061,16 @@ def attach_real_mixed(docs: DataFrame) -> DataFrame:
     (the all-real twin of :func:`attach_binary_mixed`): modality cycles
     by ``doc_id % 3`` — image rows carry complete uncompressed BMPs
     (:func:`attach_bmp`), audio rows complete 16-bit PCM WAVs
-    (:func:`attach_wav`), video rows concatenated-BMP streams
-    (:func:`attach_bmp_video`).  All payloads are built JVM-side (hex
-    fold + ``unhex``); the three branches union into one table so
-    ``decoder='real'`` exercises genuine pixel, sample, and demux work
-    in a single scan — the flagship mixed-corpus decode shape."""
+    (:func:`attach_wav`), video rows REAL MJPEG streams
+    (:func:`attach_mjpeg` — round 5; the concatenated-BMP stand-in
+    survives under its own honest id ``video_bmpstream``).  All
+    payloads are built JVM-side (hex fold + ``unhex``); the three
+    branches union into one table so ``decoder='real'`` exercises
+    genuine pixel, sample, and compressed-frame demux work in a single
+    scan — the flagship mixed-corpus decode shape."""
     img = attach_bmp(docs.where(F.col("doc_id") % 3 == 0))
     aud = attach_wav(docs.where(F.col("doc_id") % 3 == 1))
-    vid = attach_bmp_video(docs.where(F.col("doc_id") % 3 == 2))
+    vid = attach_mjpeg(docs.where(F.col("doc_id") % 3 == 2))
     cols = ["media_id", "modality", "payload"]
     return img.select(cols).unionByName(aud.select(cols)).unionByName(
         vid.select(cols)
@@ -1254,41 +1425,61 @@ _JPEG_ZIGZAG = (
 def attach_jpeg(docs: DataFrame) -> DataFrame:
     """Multimodal table whose payloads are REAL, complete, spec-valid
     baseline JPEG files (ITU-T T.81): SOI, 8-bit DQT, two canonical DHT
-    tables, grayscale SOF0, SOS, entropy-coded scan, EOI — built
-    entirely JVM-side (hex fold + one ``unhex``), the third still-image
-    format beside BMP and PNG, and the first ENTROPY-CODED one: the
-    decoder must run real canonical-Huffman decoding to recover the
-    pixels.
+    tables, SOF0, SOS, entropy-coded scan, EOI — built entirely
+    JVM-side (hex fold + one ``unhex``), the third still-image format
+    beside BMP and PNG, and the first ENTROPY-CODED one: the decoder
+    must run real canonical-Huffman decoding to recover the pixels.
+    EVEN ids are grayscale; ODD ids are 3-component 4:4:4 YCbCr COLOR,
+    and odd ids divisible by 3 additionally carry a DRI segment with
+    restart markers every 2 MCUs — so one table exercises the
+    grayscale, color, and restart-interval decoder branches.
 
     Payload design (all spec-conformant, chosen so the decoded pixels
     have closed-form oracle sums):
 
     - dimensions ``8·wb × 8·hb`` with ``wb = 1 + id%2``,
-      ``hb = 1 + (id%4)//2`` — 1, 2, or 4 complete 8×8 blocks;
-    - quantization table: DC step 8, AC steps 1;
+      ``hb = 1 + (id%4)//2`` — 1, 2, or 4 complete 8×8 MCUs;
+    - quantization table: DC step 8, AC steps 1 (all components);
     - every block carries ONLY a DC coefficient (all ACs end at EOB),
       so the IDCT output is uniform: ``pixel = 128 + DC_cumulative``;
     - every DC diff is Huffman size-category 4 (|diff| ∈ [8, 15]):
-      block 0 encodes ``+8 + id%8``, then diffs alternate −8/+8, so
-      block ``b`` is uniformly ``128 + id%8 + 8·(1 − b%2)``;
+      per component the first block of each restart segment encodes
+      ``+8 + id%K`` (K = 8 for Y/gray, 5 for Cb, 7 for Cr), then diffs
+      alternate −8/+8.  With the restart interval at 2 MCUs the
+      predictor resets reproduce exactly the no-DRI value sequence, so
+      one closed form covers both: component value at MCU ``m`` is
+      ``128 + id%K + 8·(1 − m%2)``;
     - category-4's DC code is 3 bits ("100"), +4 magnitude bits +1 EOB
       bit = exactly ONE BYTE per block — the entropy stream is
       byte-aligned by construction and never contains 0xFF, so the SQL
       builder can emit it with one ``format_string`` per block while
-      the decoder still performs a genuine bit-level Huffman walk.
+      the decoder still performs a genuine bit-level Huffman walk (and
+      a genuine RSTn realign on the DRI payloads).
 
     DHT tables are canonical per T.81 C.2: DC class has seven 3-bit
     codes (categories 0-6) and one 4-bit code (category 7, "1110");
     AC class has the single 1-bit EOB code "0".  No all-ones code is
-    ever emitted."""
+    ever emitted.  Color scans reuse table 0 for all components
+    (legal: Tq/Td/Ta are per-component table IDs, not per-component
+    tables)."""
     wb = (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(2))).cast("int")
     hb = (F.lit(1) + (F.pmod(F.col("doc_id"), F.lit(4)) / 2).cast("int")).cast("int")
-    id8 = F.pmod(F.col("doc_id"), F.lit(8)).cast("int")
     d = spread(docs).select(
         F.col("doc_id").alias("media_id"),
         wb.alias("wb"),
         hb.alias("hb"),
-        id8.alias("id8"),
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("id8"),
+        F.pmod(F.col("doc_id"), F.lit(5)).cast("int").alias("id5"),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("int").alias("id7"),
+        (F.pmod(F.col("doc_id"), F.lit(2)) == 1).alias("color"),
+        F.when(
+            (F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+            & (F.pmod(F.col("doc_id"), F.lit(3)) == 0),
+            F.lit(2),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("ri"),
     )
     dqt_hex = "ffdb" + "0043" + "00" + "08" + "01" * 63
     dht_dc_hex = (
@@ -1302,17 +1493,49 @@ def attach_jpeg(docs: DataFrame) -> DataFrame:
         + "00"                             # symbol: EOB
     )
     sof0_hex = F.concat(
-        F.lit("ffc0" + "000b" + "08"),
+        F.when(F.col("color"), F.lit("ffc0" + "0011" + "08")).otherwise(
+            F.lit("ffc0" + "000b" + "08")
+        ),
         F.format_string("%04x", F.col("hb") * 8),   # height (BE16)
         F.format_string("%04x", F.col("wb") * 8),   # width  (BE16)
-        F.lit("01" + "01" + "11" + "00"),            # 1 component, no subsampling
+        F.when(
+            F.col("color"),
+            # 3 components (Y=1, Cb=2, Cr=3), all 1×1 sampling, table 0
+            F.lit("03" + "011100" + "021100" + "031100"),
+        ).otherwise(F.lit("01" + "01" + "11" + "00")),
     )
-    sos_hex = "ffda" + "0008" + "01" + "01" + "00" + "003f00"
-    # one byte per block: (cat4 code "100")<<5 | magnitude<<1 | EOB "0"
+    dri_hex = F.when(
+        F.col("ri") > 0,
+        F.concat(F.lit("ffdd0004"), F.format_string("%04x", F.col("ri"))),
+    ).otherwise(F.lit(""))
+    sos_hex = F.when(
+        F.col("color"),
+        F.lit("ffda" + "000c" + "03" + "0100" + "0200" + "0300" + "003f00"),
+    ).otherwise(F.lit("ffda" + "0008" + "01" + "01" + "00" + "003f00"))
+    # one byte per block: (cat4 code "100")<<5 | magnitude<<1 | EOB "0".
+    # j = position within the restart segment (m when no DRI): j=0 →
+    # absolute +8+id%K (byte 0x90+2·(id%K)), odd j → −8 (0x8e), even
+    # j>0 → +8 (0x90).  Color MCUs are Y,Cb,Cr back to back; RSTn
+    # (ffd0+n, n cycling mod 8) lands after every ri MCUs except the
+    # last.
     scan_hex = F.expr(
-        "array_join(transform(sequence(0, wb*hb - 1), b -> "
-        "format_string('%02x', CASE WHEN b = 0 THEN 144 + 2*id8 "
-        "WHEN b % 2 = 1 THEN 142 ELSE 144 END)), '')"
+        "array_join(transform(sequence(0, wb*hb - 1), m -> concat("
+        " format_string('%02x', CASE"
+        "   WHEN (CASE WHEN ri > 0 THEN m % ri ELSE m END) = 0"
+        "     THEN 144 + 2*id8"
+        "   WHEN m % 2 = 1 THEN 142 ELSE 144 END),"
+        " CASE WHEN color THEN concat("
+        "   format_string('%02x', CASE"
+        "     WHEN (CASE WHEN ri > 0 THEN m % ri ELSE m END) = 0"
+        "       THEN 144 + 2*id5"
+        "     WHEN m % 2 = 1 THEN 142 ELSE 144 END),"
+        "   format_string('%02x', CASE"
+        "     WHEN (CASE WHEN ri > 0 THEN m % ri ELSE m END) = 0"
+        "       THEN 144 + 2*id7"
+        "     WHEN m % 2 = 1 THEN 142 ELSE 144 END)) ELSE '' END,"
+        " CASE WHEN ri > 0 AND (m+1) % ri = 0 AND m+1 < wb*hb"
+        "   THEN concat('ffd', format_string('%x', ((m+1) div ri - 1) % 8))"
+        "   ELSE '' END)), '')"
     )
     payload_hex = F.concat(
         F.lit("ffd8"),
@@ -1320,7 +1543,8 @@ def attach_jpeg(docs: DataFrame) -> DataFrame:
         F.lit(dht_dc_hex),
         F.lit(dht_ac_hex),
         sof0_hex,
-        F.lit(sos_hex),
+        dri_hex,
+        sos_hex,
         scan_hex,
         F.lit("ffd9"),
     )
@@ -1332,20 +1556,26 @@ def attach_jpeg(docs: DataFrame) -> DataFrame:
 
 
 def _decode_jpeg(b: bytes):
-    """Real baseline-JPEG GRAYSCALE decoder (stdlib + numpy only):
-    marker walk, 8-bit DQT, canonical-Huffman DHT build (T.81 C.2),
-    SOF0, SOS, then entropy decode — bit-level Huffman walk with
-    0xFF00 byte-unstuffing, DC DPCM with EXTEND sign recovery (F.12),
-    AC run/size decoding incl. ZRL and EOB — dequantization, de-zigzag,
-    REAL floating-point 2-D IDCT (separable, 8×8 basis matrix), +128
-    level shift, round, clamp.
+    """Real baseline-JPEG decoder, GRAYSCALE and 4:4:4 YCbCr COLOR
+    (stdlib + numpy only): marker walk, 8-bit DQT, canonical-Huffman
+    DHT build (T.81 C.2), SOF0 (1 or 3 components, per-component quant
+    and entropy tables), DRI restart intervals, SOS, then entropy
+    decode — bit-level Huffman walk with 0xFF00 byte-unstuffing, RSTn
+    consumption with byte realign + DC-predictor reset (T.81 E.2.4),
+    per-component DC DPCM with EXTEND sign recovery (F.12), AC run/size
+    decoding incl. ZRL and EOB — dequantization, de-zigzag, REAL
+    floating-point 2-D IDCT (separable, 8×8 basis matrix), +128 level
+    shift, round, clamp, and for color the JFIF YCbCr→RGB transform
+    (floor(x + 0.5) rounding so the oracle reproduces it verbatim).
 
-    Returns ``(w, h, grid)`` with ``grid[y][x]`` ∈ [0, 255], or None to
-    quarantine anything outside the supported envelope: non-baseline
-    frames (SOF1/SOF2/...), multi-component images, 16-bit quant
-    tables, subsampling, restart intervals (DRI), or any malformed
-    stream.  The gate for color/progressive JPEG remains
-    ``decode_media(decoder='none')``."""
+    Returns ``(w, h, planes)`` where ``planes`` is ``[gray]`` for
+    1-component frames and ``[r, g, b]`` for 3-component ones, each a
+    list-of-lists with values ∈ [0, 255]; or None to quarantine
+    anything outside the supported envelope: non-baseline frames
+    (SOF1/SOF2/...), 2- or 4-component frames, 16-bit quant tables,
+    chroma subsampling, or any malformed stream.  The gate for
+    progressive/subsampled JPEG remains ``decode_media
+    (decoder='none')``."""
     import math
 
     import numpy as np
@@ -1355,7 +1585,9 @@ def _decode_jpeg(b: bytes):
     qt: dict = {}
     huff: dict = {}
     w = h = None
-    tq0 = dctab = actab = None
+    comps = None  # [(component id, quant table id)], frame order
+    sctabs = None  # [(dc table id, ac table id)], scan order
+    ri = 0  # restart interval in MCUs (0 = none)
     scan = None
     pos = 2
     try:
@@ -1408,30 +1640,38 @@ def _decode_jpeg(b: bytes):
                     return None
                 h = int.from_bytes(seg[1:3], "big")
                 w = int.from_bytes(seg[3:5], "big")
-                if seg[5] != 1:
-                    return None  # grayscale-only kernel
-                if seg[7] != 0x11:
-                    return None  # no subsampling
-                tq0 = seg[8]
+                nf = seg[5]
+                if nf not in (1, 3):
+                    return None  # gray or YCbCr only
+                comps = []
+                for ci in range(nf):
+                    if seg[7 + 3 * ci] != 0x11:
+                        return None  # subsampling gated
+                    comps.append((seg[6 + 3 * ci], seg[8 + 3 * ci]))
             elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                        0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # non-baseline frame types
-            elif m == 0xDD:
-                return None  # restart intervals unsupported
-            elif m == 0xDA:  # SOS
-                if seg[0] != 1:
+            elif m == 0xDD:  # DRI
+                if seglen != 4:
                     return None
-                dctab, actab = seg[2] >> 4, seg[2] & 15
+                ri = int.from_bytes(seg[:2], "big")
+            elif m == 0xDA:  # SOS
+                if comps is None or seg[0] != len(comps):
+                    return None
+                sctabs = []
+                for ci in range(len(comps)):
+                    if seg[1 + 2 * ci] != comps[ci][0]:
+                        return None  # scan order must match frame order
+                    t = seg[2 + 2 * ci]
+                    sctabs.append((t >> 4, t & 15))
                 scan = b[pos + 2 + seglen :]
                 break
             pos += 2 + seglen
-        if (
-            scan is None or w is None or tq0 not in qt
-            or (0, dctab) not in huff or (1, actab) not in huff
-        ):
+        if scan is None or w is None:
             return None
-        q = qt[tq0]
-        dch, ach = huff[(0, dctab)], huff[(1, actab)]
+        for (_cid, tq), (td, ta) in zip(comps, sctabs):
+            if tq not in qt or (0, td) not in huff or (1, ta) not in huff:
+                return None
 
         spos, cur, nbits = 0, 0, 0
 
@@ -1467,6 +1707,19 @@ def _decode_jpeg(b: bytes):
                     return sym
             raise ValueError("invalid Huffman code")
 
+        def consume_rst(n):
+            # T.81 E.2.4: discard padding bits to the byte boundary,
+            # then the two marker bytes FF D0+(n mod 8) must follow
+            nonlocal spos, nbits
+            nbits = 0
+            if (
+                spos + 2 > len(scan)
+                or scan[spos] != 0xFF
+                or scan[spos + 1] != 0xD0 + (n & 7)
+            ):
+                raise ValueError("bad restart marker")
+            spos += 2
+
         def extend(v, t):  # T.81 F.12
             return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
@@ -1483,49 +1736,93 @@ def _decode_jpeg(b: bytes):
             ]
         )
         nbx, nby = (w + 7) // 8, (h + 7) // 8
-        out = np.zeros((nby * 8, nbx * 8), dtype=np.int64)
-        pred = 0
-        for by in range(nby):
-            for bx in range(nbx):
-                t = read_symbol(dch)
-                diff = extend(read_bits(t), t) if t else 0
-                pred += diff
-                zz = [0] * 64
-                zz[0] = pred * q[0]
-                k = 1
-                while k < 64:
-                    rs = read_symbol(ach)
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL: 16 zeros
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    size = rs & 15
-                    if k > 63 or size == 0:
-                        return None
-                    zz[k] = extend(read_bits(size), size) * q[k]
-                    k += 1
-                coef = np.zeros(64)
-                for zi, ri in enumerate(_JPEG_ZIGZAG):
-                    coef[ri] = zz[zi]
-                f = a.T @ coef.reshape(8, 8) @ a
-                block = np.clip(np.rint(f) + 128, 0, 255).astype(np.int64)
-                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-        return w, h, [[int(v) for v in row[:w]] for row in out[:h]]
+        planes = [
+            np.zeros((nby * 8, nbx * 8), dtype=np.int64) for _ in comps
+        ]
+        preds = [0] * len(comps)
+        bad = []
+
+        def decode_block(ci):
+            q = qt[comps[ci][1]]
+            dch = huff[(0, sctabs[ci][0])]
+            ach = huff[(1, sctabs[ci][1])]
+            t = read_symbol(dch)
+            diff = extend(read_bits(t), t) if t else 0
+            preds[ci] += diff
+            zz = [0] * 64
+            zz[0] = preds[ci] * q[0]
+            k = 1
+            while k < 64:
+                rs = read_symbol(ach)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                k += rs >> 4
+                size = rs & 15
+                if k > 63 or size == 0:
+                    bad.append(True)
+                    return np.zeros((8, 8))
+                zz[k] = extend(read_bits(size), size) * q[k]
+                k += 1
+            coef = np.zeros(64)
+            for zi, rix in enumerate(_JPEG_ZIGZAG):
+                coef[rix] = zz[zi]
+            f = a.T @ coef.reshape(8, 8) @ a
+            return np.clip(np.rint(f) + 128, 0, 255).astype(np.int64)
+
+        n_mcu = nbx * nby
+        for mi in range(n_mcu):
+            if ri and mi and mi % ri == 0:
+                consume_rst(mi // ri - 1)
+                preds = [0] * len(comps)
+            by, bx = divmod(mi, nbx)
+            for ci in range(len(comps)):
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    decode_block(ci)
+                )
+            if bad:
+                return None
+        if len(comps) == 1:
+            gray = planes[0][:h, :w]
+            return w, h, [[[int(v) for v in row] for row in gray]]
+        # JFIF YCbCr -> RGB, floor(x + 0.5) rounding (half away from
+        # negative — matches SQL FLOOR(x + 0.5), NOT np.rint's banker's
+        # rounding), clamp to [0, 255]
+        y = planes[0][:h, :w].astype(np.float64)
+        cb = planes[1][:h, :w].astype(np.float64)
+        cr = planes[2][:h, :w].astype(np.float64)
+        r = np.clip(np.floor(y + 1.402 * (cr - 128.0) + 0.5), 0, 255)
+        g = np.clip(
+            np.floor(
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5
+            ),
+            0,
+            255,
+        )
+        bl = np.clip(np.floor(y + 1.772 * (cb - 128.0) + 0.5), 0, 255)
+        return w, h, [
+            [[int(v) for v in row] for row in ch.astype(np.int64)]
+            for ch in (r, g, bl)
+        ]
     except Exception:
         return None  # quarantine malformed streams
 
 
 def jpeg_pixel_sums(media: DataFrame) -> DataFrame:
-    """Per-image grayscale pixel sum from the REAL baseline-JPEG decode
-    — the third real still codec (after BMP and PNG) and the first that
-    exercises entropy decoding: the oracle recomputes every block's
-    uniform value from the DC-DPCM formula in closed form, so a Huffman
-    table misbuild, EXTEND sign slip, dequant error, zigzag mixup, or
-    IDCT scale bug breaks the hash.  Malformed payloads surface as the
-    zero row.  Same Arrow-batched ``mapInPandas`` plumbing as
-    :func:`decode_media`."""
+    """Per-image per-channel pixel sums from the REAL baseline-JPEG
+    decode — the third real still codec (after BMP and PNG), the first
+    that exercises entropy decoding, and (round 5) the first with
+    COLOR: the oracle recomputes every block's uniform value from the
+    DC-DPCM formula and the JFIF RGB transform in closed form, so a
+    Huffman table misbuild, EXTEND sign slip, dequant error, zigzag
+    mixup, IDCT scale bug, restart-marker misalign, or YCbCr matrix
+    slip breaks the hash.  Grayscale images report ``n_comp = 1`` with
+    the gray sum in all three channels (gray ≡ R = G = B); color
+    images report ``n_comp = 3`` with true per-channel sums.
+    Malformed payloads surface as the zero row.  Same Arrow-batched
+    ``mapInPandas`` plumbing as :func:`decode_media`."""
     from p2_mapreduce_spark.mapreduce import _ship_by_value
 
     _ship_by_value(_decode_jpeg)
@@ -1534,9 +1831,12 @@ def jpeg_pixel_sums(media: DataFrame) -> DataFrame:
         def one(payload: bytes):
             parsed = _decode_jpeg(payload or b"")
             if parsed is None:
-                return 0, 0, 0
-            w, h, grid = parsed
-            return w, h, sum(v for row in grid for v in row)
+                return 0, 0, 0, 0, 0, 0
+            w, h, planes = parsed
+            sums = [sum(v for row in ch for v in row) for ch in planes]
+            if len(planes) == 1:
+                return w, h, 1, sums[0], sums[0], sums[0]
+            return w, h, 3, sums[0], sums[1], sums[2]
 
         for pdf in it:
             vals = [one(p) for p in pdf["payload"]]
@@ -1545,12 +1845,19 @@ def jpeg_pixel_sums(media: DataFrame) -> DataFrame:
                     "media_id": pdf["media_id"].values,
                     "width": [v[0] for v in vals],
                     "height": [v[1] for v in vals],
-                    "sum_gray": [v[2] for v in vals],
+                    "n_comp": [v[2] for v in vals],
+                    "sum_r": [v[3] for v in vals],
+                    "sum_g": [v[4] for v in vals],
+                    "sum_b": [v[5] for v in vals],
                 }
             )
 
     return media.select("media_id", "payload").mapInPandas(
-        batches, schema="media_id long, width int, height int, sum_gray long"
+        batches,
+        schema=(
+            "media_id long, width int, height int, n_comp int,"
+            " sum_r long, sum_g long, sum_b long"
+        ),
     )
 
 

@@ -488,10 +488,11 @@ class TestRealMixedDecode:
                 assert r["feature_hash"] == sum(
                     ((i * 31 + j * 7) % 4096) - 2048 for j in range(n)
                 )
-            else:  # video: real demux counts every frame
+            else:  # video: real MJPEG demux counts every frame
                 assert r["modality"] == "video"
                 assert r["n_frames"] == 2 + i % 8
-                assert r["width"] == 4 + i % 9
+                assert r["width"] == 8 * (1 + i % 2)
+                assert r["height"] == 8 * (1 + (i % 4) // 2)
 
     def test_real_kernel_quarantines_garbage(self, spark):
         from p2_mapreduce_spark.operators.multimodal import decode_media
@@ -550,27 +551,46 @@ class TestJpegCodec:
         return bytes(out)
 
     def test_attach_payloads_roundtrip_the_formula(self, spark):
+        """Even ids decode as grayscale, odd ids as 4:4:4 color (ids
+        divisible by 3 carry DRI restart markers — same closed form);
+        every MCU must be uniform at the DC-DPCM + JFIF-RGB value."""
+        import math
+
         from p2_mapreduce_spark.operators.multimodal import (
             _decode_jpeg,
             attach_jpeg,
         )
 
         docs = spark.createDataFrame(
-            [(i, "x") for i in range(12)], "doc_id long, text string"
+            [(i, "x") for i in range(24)], "doc_id long, text string"
         )
         for r in attach_jpeg(docs).collect():
             i = r["media_id"]
-            wb, hb, id8 = 1 + i % 2, 1 + (i % 4) // 2, i % 8
-            w, h, grid = _decode_jpeg(bytes(r["payload"]))
+            wb, hb = 1 + i % 2, 1 + (i % 4) // 2
+            w, h, planes = _decode_jpeg(bytes(r["payload"]))
             assert (w, h) == (8 * wb, 8 * hb)
-            for b in range(wb * hb):
-                by, bx = divmod(b, wb)
-                exp = 128 + id8 + 8 * (1 - b % 2)
-                assert {
-                    grid[by * 8 + y][bx * 8 + x]
-                    for y in range(8)
-                    for x in range(8)
-                } == {exp}
+            assert len(planes) == (3 if i % 2 else 1)
+            for m in range(wb * hb):
+                by, bx = divmod(m, wb)
+                up = 8 * (1 - m % 2)
+                yv = 128 + i % 8 + up
+                if i % 2 == 0:
+                    exp = [yv]
+                else:
+                    cb, cr = i % 5 + up, i % 7 + up
+                    exp = [
+                        math.floor(yv + 1.402 * cr + 0.5),
+                        math.floor(
+                            yv - 0.344136 * cb - 0.714136 * cr + 0.5
+                        ),
+                        math.floor(yv + 1.772 * cb + 0.5),
+                    ]
+                for ch, want in zip(planes, exp):
+                    assert {
+                        ch[by * 8 + y][bx * 8 + x]
+                        for y in range(8)
+                        for x in range(8)
+                    } == {want}, (i, m)
 
     def test_ac_coefficient_against_naive_idct(self):
         """A block with a real AC coefficient (zigzag 1 = horizontal
@@ -586,7 +606,7 @@ class TestJpegCodec:
         hx = self._headers(1, 1, ac_bits_syms=("0101" + "00" * 14, "0002"))
         # DC cat 0 '000' | AC '10' + bits '11' (+3) | EOB '0' = 8 bits
         hx += self._pack("000" + "10" + "11" + "0").hex() + "ffd9"
-        w, h, grid = _decode_jpeg(bytes.fromhex(hx))
+        w, h, (grid,) = _decode_jpeg(bytes.fromhex(hx))
         assert (w, h) == (8, 8)
 
         def c(u):
@@ -624,7 +644,9 @@ class TestJpegCodec:
         )
         scan = self._pack(bits)
         assert b"\xff\x00" in scan  # the stuffing case is actually hit
-        w, h, grid = _decode_jpeg(bytes.fromhex(headers + scan.hex() + "ffd9"))
+        w, h, (grid,) = _decode_jpeg(
+            bytes.fromhex(headers + scan.hex() + "ffd9")
+        )
         assert (w, h) == (16, 8)
         assert {grid[y][x] for y in range(8) for x in range(8)} == {128}
         c0, c1 = math.sqrt(0.5), 1.0
@@ -650,9 +672,87 @@ class TestJpegCodec:
         assert _decode_jpeg(good[:40]) is None  # truncated headers
         # progressive (SOF2) gated
         assert _decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2")) is None
-        # restart intervals gated: inject a DRI segment before SOS
+        # a DRI segment on a 1-MCU image decodes (no restart ever due)
         dri = bytes.fromhex("ffdd00040008")
         sos_at = good.find(b"\xff\xda")
-        assert _decode_jpeg(good[:sos_at] + dri + good[sos_at:]) is None
+        assert _decode_jpeg(good[:sos_at] + dri + good[sos_at:]) is not None
+        # chroma subsampling gated: 2x2 sampling factor on component 1
+        sub = good.replace(
+            b"\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00",
+            b"\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x22\x00",
+        )
+        assert sub != good and _decode_jpeg(sub) is None
         # truncated scan: entropy data cut mid-block
         assert _decode_jpeg(good[: sos_at + 10]) is None
+
+    def test_mjpeg_frame_sums_match_formula(self, spark):
+        """MJPEG demux + full JPEG decode per sampled frame: every 2nd
+        frame's channel sums must match the DC-DPCM + JFIF closed form;
+        a truncated tail quarantines the cut frame, not the stream."""
+        import math
+
+        from p2_mapreduce_spark.operators.multimodal import (
+            attach_mjpeg,
+            video_frame_sums,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(10)], "doc_id long, text string"
+        )
+        media = attach_mjpeg(docs)
+        got = {
+            (r["media_id"], r["frame_idx"]): r
+            for r in video_frame_sums(media, every_n=2).collect()
+        }
+        for i in range(10):
+            wb, hb, nf = 1 + i % 2, 1 + (i % 4) // 2, 2 + i % 8
+            n = wb * hb
+            ne, nodd = (n + 1) // 2, n - (n + 1) // 2
+            for f in range(0, nf, 2):
+                r = got.pop((i, f))
+                assert (r["width"], r["height"], r["n_comp"]) == (
+                    8 * wb, 8 * hb, 3,
+                )
+                af, b5, c7 = (i % 8 + f) % 8, i % 5, i % 7
+                exp_r = 64 * (
+                    ne * math.floor((136 + af) + 1.402 * (c7 + 8) + 0.5)
+                    + nodd * math.floor((128 + af) + 1.402 * c7 + 0.5)
+                )
+                exp_b = 64 * (
+                    ne * math.floor((136 + af) + 1.772 * (b5 + 8) + 0.5)
+                    + nodd * math.floor((128 + af) + 1.772 * b5 + 0.5)
+                )
+                assert (r["sum_r"], r["sum_b"]) == (exp_r, exp_b), (i, f)
+        assert not got  # no extra frames decoded
+        # truncated tail: doc 1 has nf=3 (sampled frames 0 and 2);
+        # cutting the last byte kills frame 2's EOI, leaving frame 0
+        pay = bytes(
+            media.filter(F.col("media_id") == 1).collect()[0]["payload"]
+        )
+        trunc = spark.createDataFrame(
+            [(1, bytearray(pay[:-1]))], "media_id long, payload binary"
+        )
+        idxs = [
+            r["frame_idx"]
+            for r in video_frame_sums(trunc, every_n=2).collect()
+        ]
+        assert idxs == [0]
+
+    def test_restart_marker_misalign_quarantines(self, spark):
+        """A DRI color payload whose RST index is corrupted must
+        quarantine — proves the decoder genuinely checks the marker
+        sequence instead of skipping two bytes."""
+        from p2_mapreduce_spark.operators.multimodal import (
+            _decode_jpeg,
+            attach_jpeg,
+        )
+
+        docs = spark.createDataFrame(
+            [(3, "x")], "doc_id long, text string"
+        )
+        payload = bytes(attach_jpeg(docs).collect()[0]["payload"])
+        # id 3: 2x2 MCUs, restart interval 2 -> one RST0 mid-scan
+        assert b"\xff\xd0" in payload
+        assert _decode_jpeg(payload) is not None
+        broken = payload.replace(b"\xff\xd0", b"\xff\xd5")
+        assert _decode_jpeg(broken) is None

@@ -327,9 +327,11 @@ PYTHON_ALLOWED = {
     # over the same Arrow-batched mapInPandas plumbing — genuine pixel
     # work is Python by design in this container
     "media_pixels",
-    # real demux/parse kernels (concatenated-BMP frame walk, RIFF/WAVE
-    # PCM chunk walk) — payload-touching stages, Python by design
+    # real demux/parse kernels (MJPEG EOI walk + per-frame JPEG decode,
+    # concatenated-BMP frame walk, RIFF/WAVE PCM chunk walk) —
+    # payload-touching stages, Python by design
     "video_frames",
+    "video_bmpstream",
     "audio_wav",
 }
 
