@@ -93,6 +93,17 @@ def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+#: DataFrame memo per (application, sf_dir, table).  A DataFrame is an
+#: immutable logical plan; rebuilding it per query re-runs file listing
+#: and parquet footer/schema reads (InMemoryFileIndex construction —
+#: measured ~40-120 ms per call on local[32]).  Reusing the object also
+#: guarantees plan-fragment equality, so a ``df.persist()`` by one
+#: caller (bench.py's base-table cache) is picked up by every later
+#: query over the same table.  The testdata dirs are immutable, so the
+#: memo can never serve stale listings; it is evicted per application.
+_TABLE_MEMO: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table (SURVEY.md S1: chunked scan → parquet scan).
 
@@ -105,6 +116,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     integer division — float division of ns-epochs (~1.7e18 > 2^53)
     silently drifts by ±1 µs.
     """
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        name,
+    )
+    hit = _TABLE_MEMO.get(key)
+    if hit is not None:
+        return hit
+    for k in [k for k in _TABLE_MEMO if k[0] != key[0]]:
+        del _TABLE_MEMO[k]  # dead application: drop its plan objects
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
@@ -113,8 +134,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    _TABLE_MEMO[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
