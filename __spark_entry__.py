@@ -3233,12 +3233,29 @@ def _q_qq_drift(spark, sf_dir):
 
 
 #: Query ids that have already appeared in a driver CORRECTNESS_r{N}.json
-#: sample (the union of r01-r03).  The driver verifies the FIRST 50
+#: sample (the union of r01-r04).  The driver verifies the FIRST 50
 #: registered ids each round, so ``queries()`` registers
 #: never-driver-checked ids first — rotating the sample window across the
 #: full suite round over round.  Append each new round's sampled ids here.
-_DRIVER_CHECKED_R01_R03 = frozenset(
+_DRIVER_CHECKED_R01_R04 = frozenset(
     {
+        # --- sampled in r04 ---
+        "ann_recall", "benford", "bitmap_count", "calibration_bins",
+        "cdc_chunks", "classifier_auc", "clustering_coeff",
+        "daily_envelope", "dedup_containment", "dedup_simhash_idf",
+        "detector_kappa", "distinctive_tokens", "emd_drift", "fold_ci",
+        "gap_interpolate", "gini", "hash_ring", "infer_types",
+        "join_fanout", "knn_embeddings", "knn_lsh", "knn_multiprobe",
+        "ks_drift", "l_diversity", "lang_confusion", "length_batches",
+        "lm_bigram_score", "logrank", "mann_kendall",
+        "markov_attribution", "media_digest", "media_histogram",
+        "media_jpeg", "mixture_plan", "mwu_drift", "negative_pairs",
+        "new_returning", "phrase_search", "ppr_trade",
+        "quality_calibration", "rake_keywords", "rarity_score",
+        "retrieval_eval", "rolling_median", "rolling_median_sketch",
+        "sssp_trade", "substring_search", "t_closeness",
+        "winnow_fingerprints", "winnow_pairs",
+        # --- sampled in r01-r03 ---
         "above_avg", "agg_pricing", "approx_distinct", "approx_quantiles",
         "asof_join", "binary_meta", "cube_agg", "date_parts",
         "dedup_allpairs", "dedup_docs", "dedup_minhash", "dedup_ngram",
@@ -3261,25 +3278,40 @@ _DRIVER_CHECKED_R01_R03 = frozenset(
 #: Queries added THIS round (never existed when any driver sample ran) —
 #: registered first so the newest, highest-risk operators are always
 #: inside the driver's 50-query window.
-_ROUND4_NEW = (
-    "media_jpeg", "media_digest", "retrieval_eval", "calibration_bins",
-    "sssp_trade", "winnow_fingerprints", "mann_kendall", "infer_types",
-    "hash_ring", "cdc_chunks", "dedup_simhash_idf", "ppr_trade",
-    "clustering_coeff", "classifier_auc", "rake_keywords",
-    "winnow_pairs", "media_histogram", "lang_confusion",
-    "markov_attribution", "logrank", "detector_kappa",
+_ROUND5_NEW = (
+    "video_bmpstream",
+)
+
+#: Queries whose implementation or oracle materially CHANGED this round
+#: (r04 ADVICE: a prior driver check validated the OLD code, so changed
+#: ids re-enter the sample window exactly like new ids):
+#:   winnow_fingerprints / winnow_pairs — in-row fold rewrite (r04 verdict
+#:     item 2); logrank — day-grain suffix-sum rewrite (item 3);
+#:   media_jpeg — color 4:4:4 + DRI branch (item 4); video_frames /
+#:     media_frames / media_mixed — MJPEG demux payloads (item 5).
+_ROUND5_CHANGED = (
+    "winnow_fingerprints", "winnow_pairs", "logrank", "media_jpeg",
+    "video_frames", "media_frames", "media_mixed",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
-    newest = {k: base[k] for k in _ROUND4_NEW if k in base}
+    newest = {
+        k: base[k]
+        for k in (*_ROUND5_NEW, *_ROUND5_CHANGED)
+        if k in base
+    }
     fresh = {
         k: v
         for k, v in base.items()
-        if k not in _DRIVER_CHECKED_R01_R03 and k not in newest
+        if k not in _DRIVER_CHECKED_R01_R04 and k not in newest
     }
-    seen = {k: v for k, v in base.items() if k in _DRIVER_CHECKED_R01_R03}
+    seen = {
+        k: v
+        for k, v in base.items()
+        if k in _DRIVER_CHECKED_R01_R04 and k not in newest
+    }
     return {**newest, **fresh, **seen}
 
 
