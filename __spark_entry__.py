@@ -1659,6 +1659,20 @@ def _q_media_jpeg(spark, sf_dir):
     return jpeg_pixel_sums(attach_jpeg(docs))
 
 
+def _q_media_jpeg420(spark, sf_dir):
+    """Real 4:2:0 chroma-subsampled baseline-JPEG decode: interleaved
+    4×Y+Cb+Cr MCU walk + replicate-upsample (the camera/web JPEG
+    layout); per-image RGB pixel sums with a closed-form oracle from
+    the stripe/MCU-parity DC design."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_jpeg420,
+        jpeg_pixel_sums,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_pixel_sums(attach_jpeg420(docs))
+
+
 def _q_weighted_median(spark, sf_dir):
     """Weighted quantile via the two-phase distributed rank: smallest
     value whose cumulative integer weight reaches half the group total
@@ -3232,6 +3246,86 @@ def _q_qq_drift(spark, sf_dir):
     return qq_drift(load_table(spark, sf_dir, "lineitem"))
 
 
+def _q_tvd_drift(spark, sf_dir):
+    """Total-variation categorical drift per source vs rest (bounded
+    [0,1] alternative to chi2_drift's expected-count weighting)."""
+    from p2_mapreduce_spark.operators.profile import tvd_drift
+
+    return tvd_drift(load_table(spark, sf_dir, "documents"))
+
+
+def _q_gk_lambda(spark, sf_dir):
+    """Goodman-Kruskal λ association source→lang (exact-integer PRE
+    statistic; the no-log companion to cramers_v)."""
+    from p2_mapreduce_spark.operators.profile import gk_lambda
+
+    return gk_lambda(load_table(spark, sf_dir, "documents"))
+
+
+def _q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on daily up/down revenue moves per
+    event type."""
+    from p2_mapreduce_spark.operators.timeseries import runs_test
+
+    return runs_test(load_table(spark, sf_dir, "events"))
+
+
+def _q_spearman_daily(spark, sf_dir):
+    """Spearman rank correlation between daily revenue and daily volume
+    per event type (doubled-midrank integer protocol)."""
+    from p2_mapreduce_spark.operators.timeseries import spearman_daily
+
+    return spearman_daily(load_table(spark, sf_dir, "events"))
+
+
+def _q_kendall_tau(spark, sf_dir):
+    """Kendall τ-b between daily revenue and daily volume per event
+    type (tie-aware, calendar-grain pair stage)."""
+    from p2_mapreduce_spark.operators.timeseries import kendall_tau_xy
+
+    return kendall_tau_xy(load_table(spark, sf_dir, "events"))
+
+
+def _q_mase_eval(spark, sf_dir):
+    """Seasonal-naive MASE per event type — the forecast-baseline eval
+    face of the weekday_seasonality family."""
+    from p2_mapreduce_spark.operators.timeseries import mase_eval
+
+    return mase_eval(load_table(spark, sf_dir, "events"))
+
+
+def _q_pinball_eval(spark, sf_dir):
+    """Pinball (quantile) loss of the train-window p90 daily-revenue
+    forecast per event type."""
+    from p2_mapreduce_spark.operators.timeseries import pinball_eval
+
+    return pinball_eval(load_table(spark, sf_dir, "events"))
+
+
+def _q_decile_lift(spark, sf_dir):
+    """Decile lift / gains table for the quality classifier vs the
+    lang='en' label (two-phase distributed rank, 10 rows)."""
+    from p2_mapreduce_spark.operators.curation import decile_lift
+
+    return decile_lift(load_table(spark, sf_dir, "documents"))
+
+
+def _q_token_dropout(spark, sf_dir):
+    """Deterministic hash-keyed word-dropout augmentation over the
+    corpus (reproducible, RNG-free)."""
+    from p2_mapreduce_spark.operators.curation import token_dropout
+
+    return token_dropout(load_table(spark, sf_dir, "documents"))
+
+
+def _q_blocking_quality(spark, sf_dir):
+    """Pair completeness + reduction ratio of the SimHash 4-band
+    blocking vs exact n-gram-Jaccard truth pairs."""
+    from p2_mapreduce_spark.operators.dedup import blocking_quality
+
+    return blocking_quality(load_table(spark, sf_dir, "documents"))
+
+
 #: Query ids that have already appeared in a driver CORRECTNESS_r{N}.json
 #: sample (the union of r01-r04).  The driver verifies the FIRST 50
 #: registered ids each round, so ``queries()`` registers
@@ -3279,7 +3373,9 @@ _DRIVER_CHECKED_R01_R04 = frozenset(
 #: registered first so the newest, highest-risk operators are always
 #: inside the driver's 50-query window.
 _ROUND5_NEW = (
-    "video_bmpstream",
+    "video_bmpstream", "tvd_drift", "gk_lambda", "runs_test",
+    "spearman_daily", "kendall_tau", "mase_eval", "pinball_eval",
+    "decile_lift", "token_dropout", "blocking_quality", "media_jpeg420",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -3435,6 +3531,17 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detector_kappa": _q_detector_kappa,
         "video_frames": _q_video_frames,
         "video_bmpstream": _q_video_bmpstream,
+        "tvd_drift": _q_tvd_drift,
+        "gk_lambda": _q_gk_lambda,
+        "runs_test": _q_runs_test,
+        "spearman_daily": _q_spearman_daily,
+        "kendall_tau": _q_kendall_tau,
+        "mase_eval": _q_mase_eval,
+        "pinball_eval": _q_pinball_eval,
+        "decile_lift": _q_decile_lift,
+        "token_dropout": _q_token_dropout,
+        "blocking_quality": _q_blocking_quality,
+        "media_jpeg420": _q_media_jpeg420,
         "audio_wav": _q_audio_wav,
         "weighted_median": _q_weighted_median,
         "kmv_distinct": _q_kmv_distinct,
@@ -3679,6 +3786,93 @@ def _lsh_bucket_expr(n_planes: int, vec: str = "v") -> str:
             f" THEN {1 << p} ELSE 0 END)"
         )
     return " + ".join(terms)
+
+
+def _blocking_quality_sql(toks: str, shingles: str, threshold: float = 0.5) -> str:
+    """DuckDB twin of dedup.blocking_quality: SimHash md5-60 4-band
+    candidate pairs WITHOUT Hamming verification (the raw blocking
+    output) audited against the exact capped n-gram-Jaccard truth
+    pairs — pair completeness + reduction ratio from five exact
+    counts."""
+    from p2_mapreduce_spark.operators.dedup import MAX_DF, SIMHASH_BITS
+
+    bits = SIMHASH_BITS["md5"]
+    band_bits = bits // 4
+    mask = (1 << band_bits) - 1
+    votes = ",\n                   ".join(
+        f"SUM((h >> {i}) & 1) AS v{i}" for i in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN 2*v{i} > n_tok THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
+    return f"""
+        WITH tokh AS (
+            SELECT doc_id, CAST('0x' || substr(md5(token), 18, 15) AS BIGINT) AS h
+            FROM (SELECT doc_id, unnest(t) AS token FROM ({toks}))
+        ),
+        votes AS (
+            SELECT doc_id, COUNT(*) AS n_tok,
+                   {votes}
+            FROM tokh GROUP BY doc_id
+        ),
+        fps AS (SELECT doc_id AS doc, {fp} AS simhash FROM votes),
+        bands AS (
+            SELECT doc, band,
+                   (simhash >> (band * {band_bits})) & {mask} AS band_val
+            FROM fps, (SELECT unnest([0, 1, 2, 3]) AS band)
+        ),
+        okb AS (SELECT band, band_val FROM bands GROUP BY 1, 2
+                HAVING COUNT(*) <= {MAX_DF}),
+        capped AS (SELECT bands.* FROM bands JOIN okb USING (band, band_val)),
+        cand AS (
+            SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.band_val = b.band_val AND a.doc < b.doc
+        ),
+        sh0 AS ({shingles}),
+        oks AS (SELECT shingle FROM sh0 GROUP BY shingle
+                HAVING COUNT(*) <= {MAX_DF}),
+        sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN oks USING (shingle)),
+        sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+        jpairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        truth AS (
+            SELECT doc_a, doc_b
+            FROM jpairs
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE CAST(n_common AS DOUBLE) / (sa.ns + sb.ns - n_common)
+                  >= {threshold}
+        ),
+        counts AS (
+            SELECT (SELECT COUNT(*) FROM fps) AS n_docs,
+                   (SELECT COUNT(*) FROM truth) AS n_truth,
+                   (SELECT COUNT(*) FROM cand) AS n_candidates,
+                   (SELECT COUNT(*) FROM truth t
+                    WHERE EXISTS (SELECT 1 FROM cand c
+                                  WHERE c.doc_a = t.doc_a
+                                    AND c.doc_b = t.doc_b)) AS n_hit
+        )
+        SELECT CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_truth AS BIGINT) AS n_truth,
+               CAST(n_candidates AS BIGINT) AS n_candidates,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               CASE WHEN n_truth > 0
+                    THEN CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+               END AS pair_completeness,
+               CASE WHEN n_docs > 1
+                    THEN 1.0 - CAST(n_candidates AS DOUBLE)
+                         / (CAST(n_docs AS DOUBLE)
+                            * CAST(n_docs - 1 AS DOUBLE) / 2.0)
+               END AS reduction_ratio
+        FROM counts
+    """
 
 
 def _simhash_sql(toks: str, max_hamming: int = 3) -> str:
@@ -11917,5 +12111,395 @@ def oracle_sql() -> dict[str, str]:
         FROM n_exact
         LEFT JOIN n_approx USING (q_id)
         LEFT JOIN n_hit USING (q_id)
+    """
+    out["tvd_drift"] = """
+        WITH cells AS (
+            SELECT source AS g, lang AS cat, COUNT(*) AS o_g
+            FROM documents GROUP BY 1, 2
+        ),
+        cat_tot AS (SELECT cat, SUM(o_g) AS c_all FROM cells GROUP BY 1),
+        g_tot AS (SELECT g, SUM(o_g) AS n_g FROM cells GROUP BY 1),
+        grand AS (SELECT SUM(o_g) AS n_all FROM cells),
+        full_t AS (
+            SELECT gs.g, ct.cat, ct.c_all,
+                   COALESCE(c.o_g, 0) AS o_g,
+                   n_g, n_all - n_g AS n_r,
+                   ct.c_all - COALESCE(c.o_g, 0) AS o_r
+            FROM (SELECT DISTINCT g FROM cells) gs
+            CROSS JOIN cat_tot ct
+            LEFT JOIN cells c ON c.g = gs.g AND c.cat = ct.cat
+            JOIN g_tot ON g_tot.g = gs.g, grand
+        )
+        SELECT g AS source,
+               CAST(n_g AS BIGINT) AS n_group,
+               CAST(n_r AS BIGINT) AS n_rest,
+               CAST(COUNT(*) AS BIGINT) AS n_categories,
+               CAST(SUM(CAST(abs(o_g * n_r - o_r * n_g) AS DECIMAL(38,0)))
+                    AS DOUBLE)
+                 / (2.0 * CAST(n_g AS DOUBLE) * CAST(n_r AS DOUBLE)) AS tvd
+        FROM full_t GROUP BY g, n_g, n_r
+    """
+    out["gk_lambda"] = """
+        WITH cells AS (
+            SELECT source AS x, lang AS y, COUNT(*) AS n_xy
+            FROM documents GROUP BY 1, 2
+        ),
+        per_x AS (SELECT x, MAX(n_xy) AS mx FROM cells GROUP BY 1),
+        y_tot AS (SELECT y, SUM(n_xy) AS n_y FROM cells GROUP BY 1),
+        am AS (SELECT CAST(SUM(mx) AS BIGINT) AS sum_modal FROM per_x),
+        bm AS (SELECT CAST(MAX(n_y) AS BIGINT) AS global_modal,
+                      CAST(SUM(n_y) AS BIGINT) AS n_rows FROM y_tot)
+        SELECT n_rows, sum_modal, global_modal,
+               CASE WHEN n_rows = global_modal THEN 0.0
+                    ELSE CAST(sum_modal - global_modal AS DOUBLE)
+                         / CAST(n_rows - global_modal AS DOUBLE)
+               END AS lambda_yx
+        FROM am, bm
+    """
+    out["runs_test"] = f"""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev} GROUP BY 1, 2
+        ),
+        mv AS (
+            SELECT g, d, y,
+                   lag(y) OVER (PARTITION BY g ORDER BY d) AS prev
+            FROM daily
+        ),
+        moves AS (
+            SELECT g, d, CASE WHEN y > prev THEN 1 ELSE -1 END AS sgn
+            FROM mv WHERE prev IS NOT NULL AND y <> prev
+        ),
+        runs AS (
+            SELECT g, sgn,
+                   CASE WHEN lag(sgn) OVER (PARTITION BY g ORDER BY d)
+                             IS NULL
+                          OR lag(sgn) OVER (PARTITION BY g ORDER BY d)
+                             <> sgn
+                        THEN 1 ELSE 0 END AS new_run
+            FROM moves
+        ),
+        agg AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n_moves,
+                   CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_up,
+                   CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_down,
+                   CAST(SUM(new_run) AS BIGINT) AS n_runs
+            FROM runs GROUP BY 1
+        )
+        SELECT g AS event_type, n_moves, n_up, n_down, n_runs,
+               CASE WHEN n_up = 0 OR n_down = 0 OR n_moves <= 1 THEN 0.0
+                    ELSE (CAST(n_runs AS DOUBLE)
+                          - (2.0 * CAST(n_up AS DOUBLE)
+                                 * CAST(n_down AS DOUBLE)
+                                 / (CAST(n_up AS DOUBLE)
+                                    + CAST(n_down AS DOUBLE)) + 1.0))
+                         / sqrt(2.0 * CAST(n_up AS DOUBLE)
+                                    * CAST(n_down AS DOUBLE)
+                                * (2.0 * CAST(n_up AS DOUBLE)
+                                       * CAST(n_down AS DOUBLE)
+                                   - CAST(n_up AS DOUBLE)
+                                   - CAST(n_down AS DOUBLE))
+                                / ((CAST(n_up AS DOUBLE)
+                                    + CAST(n_down AS DOUBLE))
+                                   * (CAST(n_up AS DOUBLE)
+                                      + CAST(n_down AS DOUBLE))
+                                   * (CAST(n_up AS DOUBLE)
+                                      + CAST(n_down AS DOUBLE) - 1.0)))
+               END AS z
+        FROM agg
+    """
+    out["spearman_daily"] = f"""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y,
+                   COUNT(*) AS cnt
+            FROM {ev} GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT g,
+                   CAST(2 * rank() OVER (PARTITION BY g ORDER BY y)
+                        + COUNT(*) OVER (PARTITION BY g, y) - 1
+                        AS BIGINT) AS rx2,
+                   CAST(2 * rank() OVER (PARTITION BY g ORDER BY cnt)
+                        + COUNT(*) OVER (PARTITION BY g, cnt) - 1
+                        AS BIGINT) AS ry2
+            FROM daily
+        ),
+        agg AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(rx2) AS BIGINT) AS sx,
+                   CAST(SUM(ry2) AS BIGINT) AS sy,
+                   CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+                   CAST(SUM(ry2 * ry2) AS BIGINT) AS syy,
+                   CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy
+            FROM ranked GROUP BY 1
+        )
+        SELECT g AS event_type, n_days,
+               CASE WHEN (CAST(n_days AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <= 0.0
+                      OR (CAST(n_days AS DOUBLE) * syy
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0.0
+                    THEN 0.0
+                    ELSE (CAST(n_days AS DOUBLE) * sxy
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / sqrt((CAST(n_days AS DOUBLE) * sxx
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                * (CAST(n_days AS DOUBLE) * syy
+                                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               END AS rho
+        FROM agg
+    """
+    out["kendall_tau"] = f"""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y,
+                   COUNT(*) AS cnt
+            FROM {ev} GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.g,
+                   (CASE WHEN b.y > a.y THEN 1
+                         WHEN b.y < a.y THEN -1 ELSE 0 END)
+                   * (CASE WHEN b.cnt > a.cnt THEN 1
+                           WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS cd,
+                   CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS tie_x,
+                   CASE WHEN a.cnt = b.cnt THEN 1 ELSE 0 END AS tie_y
+            FROM daily a JOIN daily b ON a.g = b.g AND a.d < b.d
+        ),
+        agg AS (
+            SELECT g,
+                   CAST(SUM(CASE WHEN cd = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS concordant,
+                   CAST(SUM(CASE WHEN cd = -1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS discordant,
+                   CAST(SUM(tie_x) AS BIGINT) AS tx,
+                   CAST(SUM(tie_y) AS BIGINT) AS ty,
+                   CAST(COUNT(*) AS BIGINT) AS n0
+            FROM pairs GROUP BY 1
+        ),
+        nd AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY 1
+        )
+        SELECT nd.g AS event_type, n_days,
+               COALESCE(concordant, 0) AS concordant,
+               COALESCE(discordant, 0) AS discordant,
+               CASE WHEN CAST(COALESCE(n0, 0) - COALESCE(tx, 0) AS DOUBLE)
+                         * CAST(COALESCE(n0, 0) - COALESCE(ty, 0) AS DOUBLE)
+                         <= 0.0
+                    THEN 0.0
+                    ELSE CAST(COALESCE(concordant, 0)
+                              - COALESCE(discordant, 0) AS DOUBLE)
+                         / sqrt(CAST(COALESCE(n0, 0) - COALESCE(tx, 0)
+                                     AS DOUBLE)
+                                * CAST(COALESCE(n0, 0) - COALESCE(ty, 0)
+                                       AS DOUBLE))
+               END AS tau_b
+        FROM nd LEFT JOIN agg ON nd.g = agg.g
+    """
+    out["mase_eval"] = f"""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev} GROUP BY 1, 2
+        ),
+        err7 AS (
+            SELECT a.g,
+                   CAST(SUM(abs(a.y - p.y)) AS BIGINT) AS s_seasonal,
+                   CAST(COUNT(*) AS BIGINT) AS n_seasonal
+            FROM daily a JOIN daily p
+              ON a.g = p.g AND a.d = p.d + 7
+            GROUP BY 1
+        ),
+        err1 AS (
+            SELECT a.g,
+                   CAST(SUM(abs(a.y - p.y)) AS BIGINT) AS s_naive,
+                   CAST(COUNT(*) AS BIGINT) AS n_naive
+            FROM daily a JOIN daily p
+              ON a.g = p.g AND a.d = p.d + 1
+            GROUP BY 1
+        )
+        SELECT err7.g AS event_type, n_seasonal, n_naive,
+               (CAST(s_seasonal AS DOUBLE) / n_seasonal) / 100.0
+                   AS mae_seasonal,
+               (CAST(s_naive AS DOUBLE) / n_naive) / 100.0 AS mae_naive,
+               CASE WHEN s_naive = 0 THEN 0.0
+                    ELSE (CAST(s_seasonal AS DOUBLE)
+                          * CAST(n_naive AS DOUBLE))
+                         / (CAST(s_naive AS DOUBLE)
+                            * CAST(n_seasonal AS DOUBLE))
+               END AS mase
+        FROM err7 JOIN err1 ON err7.g = err1.g
+    """
+    out["pinball_eval"] = f"""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev} GROUP BY 1, 2
+        ),
+        lo AS (SELECT MIN(d) AS lo_d FROM daily),
+        dd AS (
+            SELECT g, d, y, (d - lo_d) < 15 AS is_train
+            FROM daily, lo
+        ),
+        train AS (SELECT * FROM dd WHERE is_train),
+        tn AS (SELECT g, COUNT(*) AS n_train FROM train GROUP BY 1),
+        rk AS (
+            SELECT t.g, t.y,
+                   row_number() OVER (PARTITION BY t.g ORDER BY t.y) AS rn,
+                   n_train
+            FROM train t JOIN tn ON tn.g = t.g
+        ),
+        fc AS (
+            SELECT g, CAST(n_train AS BIGINT) AS n_train, y AS f
+            FROM rk
+            WHERE rn = CAST(ceil(n_train * 9 / 10.0) AS INT)
+        ),
+        loss AS (
+            SELECT t.g, n_train, f,
+                   CAST(COUNT(*) AS BIGINT) AS n_test,
+                   CAST(SUM(CASE WHEN t.y >= f THEN 9 * (t.y - f)
+                                 ELSE 1 * (f - t.y) END)
+                        AS BIGINT) AS s10
+            FROM (SELECT * FROM dd WHERE NOT is_train) t
+            JOIN fc ON fc.g = t.g
+            GROUP BY 1, 2, 3
+        )
+        SELECT g AS event_type, n_train, n_test,
+               CAST(f AS DOUBLE) / 100.0 AS forecast,
+               CAST(s10 AS DOUBLE)
+                   / (10.0 * CAST(n_test AS DOUBLE) * 100.0) AS mean_pinball
+        FROM loss
+    """
+    out["decile_lift"] = f"""
+        WITH m AS (
+            SELECT doc_id, lang,
+                   CAST(-500 + 5 * len(t) + 20 * len(list_distinct(t))
+                        - 2 * strlen(text)
+                        + 100 * len(regexp_extract_all(lower(text),
+                              '\\b(the|and|of|to|a|in)\\b'))
+                        AS BIGINT) AS margin
+            FROM ({toks})
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS pos_tot
+            FROM m
+        ),
+        rk AS (
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+                   row_number() OVER (ORDER BY margin DESC, doc_id ASC)
+                       AS rnk
+            FROM m
+        ),
+        dec AS (
+            SELECT ((rnk - 1) * 10) // n_tot + 1 AS decile,
+                   pos, n_tot, pos_tot
+            FROM rk, tot
+        ),
+        per AS (
+            SELECT decile, n_tot, pos_tot,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(pos) AS BIGINT) AS n_pos
+            FROM dec GROUP BY 1, 2, 3
+        ),
+        cum AS (
+            SELECT *,
+                   CAST(SUM(n_docs) OVER (ORDER BY decile) AS BIGINT)
+                       AS cum_docs,
+                   CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT)
+                       AS cum_pos
+            FROM per
+        )
+        SELECT decile, n_docs, n_pos, cum_docs, cum_pos,
+               CASE WHEN pos_tot = 0 THEN 0.0
+                    ELSE CAST(cum_pos AS DOUBLE) / CAST(pos_tot AS DOUBLE)
+               END AS capture,
+               CASE WHEN pos_tot = 0 OR cum_docs = 0 THEN 0.0
+                    ELSE (CAST(cum_pos AS DOUBLE) * CAST(n_tot AS DOUBLE))
+                         / (CAST(cum_docs AS DOUBLE)
+                            * CAST(pos_tot AS DOUBLE))
+               END AS lift
+        FROM cum
+    """
+    out["token_dropout"] = f"""
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               array_to_string(kept, ' ') AS text_aug
+        FROM (
+            SELECT doc_id, t,
+                   list_filter(t, x ->
+                       CAST('0x' || substr(md5('drop:' || x), 18, 15)
+                            AS BIGINT) % 10 <> 0) AS kept
+            FROM ({toks})
+        )
+    """
+    out["blocking_quality"] = _blocking_quality_sql(toks, shingles)
+    out["media_jpeg420"] = """
+        -- closed-form twin of the 4:2:0 payload design: Y alternates
+        -- by 8-px STRIPE inside each MCU (block index 4m+2v+u → parity
+        -- u), chroma by MCU parity; JFIF RGB with FLOOR(x+0.5); each
+        -- (MCU, stripe) cell is 8×16 = 128 constant pixels; e0
+        -- literals force DOUBLE
+        WITH d AS (
+            SELECT doc_id AS media_id,
+                   1 + doc_id % 2 AS wb,
+                   1 + (doc_id % 4) // 2 AS hb,
+                   doc_id % 8 AS a8,
+                   doc_id % 5 AS b5,
+                   doc_id % 7 AS c7
+            FROM documents
+        ),
+        m AS (
+            SELECT *,
+                   (wb * hb + 1) // 2 AS ne,
+                   wb * hb - (wb * hb + 1) // 2 AS nodd
+            FROM d
+        )
+        SELECT media_id,
+               CAST(16 * wb AS INT) AS width,
+               CAST(16 * hb AS INT) AS height,
+               CAST(3 AS INT) AS n_comp,
+               CAST(128 * (
+                    ne * (CAST(FLOOR((136 + a8)
+                              + 1.402e0 * (c7 + 8) + 0.5e0) AS BIGINT)
+                        + CAST(FLOOR((128 + a8)
+                              + 1.402e0 * (c7 + 8) + 0.5e0) AS BIGINT))
+                  + nodd * (CAST(FLOOR((136 + a8)
+                                + 1.402e0 * c7 + 0.5e0) AS BIGINT)
+                          + CAST(FLOOR((128 + a8)
+                                + 1.402e0 * c7 + 0.5e0) AS BIGINT)))
+                    AS BIGINT) AS sum_r,
+               CAST(128 * (
+                    ne * (CAST(FLOOR((136 + a8)
+                              - 0.344136e0 * (b5 + 8)
+                              - 0.714136e0 * (c7 + 8) + 0.5e0) AS BIGINT)
+                        + CAST(FLOOR((128 + a8)
+                              - 0.344136e0 * (b5 + 8)
+                              - 0.714136e0 * (c7 + 8) + 0.5e0) AS BIGINT))
+                  + nodd * (CAST(FLOOR((136 + a8)
+                                - 0.344136e0 * b5
+                                - 0.714136e0 * c7 + 0.5e0) AS BIGINT)
+                          + CAST(FLOOR((128 + a8)
+                                - 0.344136e0 * b5
+                                - 0.714136e0 * c7 + 0.5e0) AS BIGINT)))
+                    AS BIGINT) AS sum_g,
+               CAST(128 * (
+                    ne * (CAST(FLOOR((136 + a8)
+                              + 1.772e0 * (b5 + 8) + 0.5e0) AS BIGINT)
+                        + CAST(FLOOR((128 + a8)
+                              + 1.772e0 * (b5 + 8) + 0.5e0) AS BIGINT))
+                  + nodd * (CAST(FLOOR((136 + a8)
+                                + 1.772e0 * b5 + 0.5e0) AS BIGINT)
+                          + CAST(FLOOR((128 + a8)
+                                + 1.772e0 * b5 + 0.5e0) AS BIGINT)))
+                    AS BIGINT) AS sum_b
+        FROM m
     """
     return out

@@ -1652,3 +1652,137 @@ def classifier_auc(
         "u2",
         "auc",
     )
+
+
+def decile_lift(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decile lift / gains table for the quality classifier against the
+    ``lang = 'en'`` label — the third face of the model gate triad
+    (:func:`classifier_auc` prices RANKING, :func:`calibration_bins`
+    prices PROBABILITIES; the lift table prices the OPERATING POINTS:
+    "if I keep the top 20% by margin, what share of the positives do I
+    capture?" — the curve a curation budget is actually cut on).
+
+    Docs are ranked by (margin desc, id) with the repo's two-phase
+    distributed rank (range partition → local row_number → broadcast
+    offset table — no single-task global sort), split into 10
+    equal-frequency deciles by pure integer arithmetic (``(rank−1)·10
+    div n + 1``), and each decile reports exact BIGINT counts plus the
+    cumulative capture rate and lift, every float a single pinned
+    division of integer products.
+
+    Output: (decile, n_docs, n_pos, cum_docs, cum_pos, capture, lift),
+    10 rows.  Scale shape: one classifier map pass, one range exchange,
+    decile-grain (10-row) aggregation after.
+    """
+    scored = quality_classifier(docs, text_col, id_col).select(
+        F.col(id_col).alias("doc_id"), "margin"
+    ).join(
+        spread(docs).select(
+            F.col(id_col).alias("doc_id"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        ),
+        "doc_id",
+    )
+    part = scored.repartitionByRange(
+        32, F.col("margin").desc(), F.col("doc_id").asc()
+    ).withColumn("pid", F.spark_partition_id())
+    w = Window.partitionBy("pid").orderBy(
+        F.col("margin").desc(), F.col("doc_id").asc()
+    )
+    local = part.withColumn("rn", F.row_number().over(w))
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("part_n"))
+        .withColumn(
+            "part_offset",
+            F.coalesce(
+                F.sum("part_n").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "part_offset")
+    )
+    total = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tot"),
+        F.sum("pos").cast("bigint").alias("pos_tot"),
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn("rank", F.col("part_offset") + F.col("rn"))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "decile",
+            ((F.col("rank") - 1) * 10 / F.col("n_tot"))
+            .cast("bigint") + 1,
+        )
+    )
+    per = ranked.groupBy("decile", "n_tot", "pos_tot").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.withColumn(
+        "cum_docs", F.sum("n_docs").over(wc).cast("bigint")
+    ).withColumn("cum_pos", F.sum("n_pos").over(wc).cast("bigint"))
+    capture = F.when(F.col("pos_tot") == 0, F.lit(0.0)).otherwise(
+        F.col("cum_pos").cast("double") / F.col("pos_tot").cast("double")
+    )
+    lift = F.when(
+        (F.col("pos_tot") == 0) | (F.col("cum_docs") == 0), F.lit(0.0)
+    ).otherwise(
+        (F.col("cum_pos").cast("double") * F.col("n_tot").cast("double"))
+        / (F.col("cum_docs").cast("double") * F.col("pos_tot").cast("double"))
+    )
+    return cum.select(
+        "decile", "n_docs", "n_pos", "cum_docs", "cum_pos",
+        capture.alias("capture"), lift.alias("lift"),
+    )
+
+
+def token_dropout(
+    docs: DataFrame,
+    drop_mod: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic word-dropout augmentation: drop every token whose
+    salted md5-60 hash lands in bucket 0 of ``drop_mod`` (≈10% of token
+    OCCURRENCE TYPES — the same token drops everywhere, a content-keyed
+    mask, so the augmentation is reproducible across reruns, engines,
+    and partitionings; no RNG state to ship).  This is the
+    augmentation-face of the curation family: denoising-style pretraining
+    and robustness evals both consume exactly this transform.
+
+    Pure codegen chain — tokens_array → filter by hash → concat — one
+    map pass, zero shuffles, no Python.  Output: (doc_id, n_tokens,
+    n_kept, text_aug).  The dropped share concentrates measure-zero
+    rows only via the hash, so at 100 TB the pass stays embarrassingly
+    parallel.
+    """
+    toks = tokens_array(F.col(text_col))
+    keep = F.filter(
+        toks,
+        lambda t: F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit("drop"), t)), 18, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(drop_mod),
+        )
+        != 0,
+    )
+    return spread(docs).select(
+        id_col,
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(keep).cast("bigint").alias("n_kept"),
+        F.concat_ws(" ", keep).alias("text_aug"),
+    )

@@ -1478,3 +1478,76 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= int(min_shared))
     )
+
+
+def blocking_quality(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = MAX_DF,
+) -> DataFrame:
+    """Blocking-stage audit for the near-dup pipeline: pair completeness
+    vs reduction ratio of the SimHash 4-band BLOCKING (candidates
+    BEFORE any verification) against the exact n-gram-Jaccard truth
+    pairs — the two numbers the record-linkage literature grades any
+    blocking scheme on.  :func:`lsh_recall` prices the END-TO-END pair
+    finder; this prices the candidate GENERATOR alone, which is what you
+    tune (band width / bucket caps) when recall is off.
+
+    * ``pair_completeness`` = |candidates ∩ truth| / |truth| — how many
+      true near-dup pairs survive blocking at all.
+    * ``reduction_ratio`` = 1 − |candidates| / (n·(n−1)/2) — how much of
+      the quadratic comparison space blocking eliminated.
+
+    The md5-60 SimHash family keeps every bit engine-reproducible; all
+    five counts are exact BIGINTs and each ratio is one pinned division.
+    Output (one row): (n_docs, n_truth, n_candidates, n_hit,
+    pair_completeness, reduction_ratio).
+
+    Scale shape: fingerprints at doc grain, band buckets with the
+    :data:`MAX_DF` hot-bucket guard (never all-pairs), truth from the
+    prefix-capped shingle join — the same envelopes as the operators it
+    audits.
+    """
+    truth = ngram_jaccard_pairs(
+        docs, threshold, text_col=text_col, id_col=id_col, max_df=max_bucket
+    ).select("doc_a", "doc_b").persist()
+    fps = simhash_fingerprints(docs, text_col, id_col, hash_fn="md5")
+    # max_hamming = full width ⇒ NO Hamming verification: the raw
+    # band-collision candidate set is exactly what a blocking audit
+    # must grade.
+    cand = banded_hamming_pairs(
+        fps, "simhash", "doc", SIMHASH_BITS["md5"],
+        max_hamming=SIMHASH_BITS["md5"], max_bucket=max_bucket,
+    ).select("doc_a", "doc_b").persist()
+    n_docs = fps.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    out = (
+        n_docs.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+    )
+    total_pairs = (
+        F.col("n_docs").cast("double")
+        * (F.col("n_docs") - 1).cast("double")
+        / 2.0
+    )
+    return out.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_truth").cast("bigint").alias("n_truth"),
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        F.col("n_hit").cast("bigint").alias("n_hit"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.col("n_hit").cast("double") / F.col("n_truth").cast("double"),
+        ).alias("pair_completeness"),
+        F.when(
+            F.col("n_docs") > 1,
+            F.lit(1.0) - F.col("n_candidates").cast("double") / total_pairs,
+        ).alias("reduction_ratio"),
+    )

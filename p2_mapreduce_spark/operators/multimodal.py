@@ -23,7 +23,7 @@ from PNG IHDR / JPEG SOF bytes; ``decoder="fake"`` derives
 deterministic pseudo-metadata from the payload hash (the
 oracle-checkable stand-in, query id ``media_digest``);
 ``decoder="none"`` raises ``NotImplementedError``, marking exactly
-where progressive/subsampled-JPEG and compressed-audio codecs
+where progressive-JPEG and compressed-audio codecs
 (Pillow/torchaudio/PyAV — not in this container) plug in.  The
 Spark-side contract (schemas, batch iteration, partitioning) is
 identical across all of them.
@@ -283,11 +283,11 @@ def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """
     if decoder == "none":
         raise NotImplementedError(
-            "progressive/subsampled JPEG and compressed-audio codecs "
+            "progressive-JPEG and compressed-audio codecs "
             "(Pillow/torchaudio/PyAV) are not available in this "
             "environment; use decoder='real' (full BMP/WAV kernels; "
-            "baseline gray+4:4:4-color JPEG via jpeg_pixel_sums; MJPEG "
-            "video via video_frame_sums), 'headers' (header parsing), "
+            "baseline gray/4:4:4/4:2:0-color JPEG via jpeg_pixel_sums; "
+            "MJPEG video via video_frame_sums), 'headers' (headers), "
             "or 'fake' (deterministic stub)"
         )
     if decoder not in _DECODERS:
@@ -359,7 +359,7 @@ def resize_media(media: DataFrame, max_side: int = 32, decoder: str = "fake") ->
     are not in this container)."""
     if decoder == "none":
         raise NotImplementedError(
-            "progressive/subsampled-JPEG re-encode codecs (Pillow/PyAV) "
+            "progressive-JPEG re-encode codecs (Pillow/PyAV) "
             "are not available in this environment; use "
             "decoder='pixels' (real uncompressed-BMP kernel) or 'fake' "
             "(deterministic stub)"
@@ -1555,26 +1555,113 @@ def attach_jpeg(docs: DataFrame) -> DataFrame:
     )
 
 
+def attach_jpeg420(docs: DataFrame) -> DataFrame:
+    """Multimodal table of REAL 4:2:0 chroma-subsampled baseline JPEGs
+    — the sampling layout virtually every camera/web JPEG uses — built
+    JVM-side like :func:`attach_jpeg` (hex fold + one ``unhex``).  The
+    decoder must walk the interleaved MCU layout (FOUR Y data units
+    then Cb then Cr per 16×16 MCU, T.81 A.2.3) and replicate-upsample
+    the quarter-resolution chroma back to the pixel grid — the two
+    branches the 4:4:4 table never exercises.
+
+    Payload design (same closed-form device as attach_jpeg):
+
+    - dimensions ``16·wb × 16·hb`` (wb = 1 + id%2, hb = 1 + (id%4)//2)
+      — 1, 2, or 4 complete 16×16 MCUs, Y sampling 2×2, chroma 1×1;
+    - DC-only blocks, every DC diff Huffman category 4, one byte per
+      block; per component the block sequence is +8+id%K, −8, +8, −8…
+      so a component's value at ITS block index j is
+      ``128 + id%K + 8·(1 − j%2)``;
+    - Y's block index within MCU m is ``4m + 2v + u`` (u = horizontal
+      sub-block), so ``j%2 = u%2``: each MCU's LEFT 8-pixel column
+      stripe holds 136+id%8, the RIGHT stripe 128+id%8 — the luma
+      checkering survives any MCU count;
+    - Cb/Cr block index IS the MCU index m, so whole 16×16 MCUs
+      alternate chroma values — after upsampling, r/g/b are constant on
+      each (MCU, stripe) cell and the oracle enumerates those cells
+      (2·wb·hb of them, 128 px each) in closed form.
+    """
+    wb = (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(2))).cast("int")
+    hb = (F.lit(1) + (F.pmod(F.col("doc_id"), F.lit(4)) / 2).cast("int")).cast("int")
+    d = spread(docs).select(
+        F.col("doc_id").alias("media_id"),
+        wb.alias("wb"),
+        hb.alias("hb"),
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("id8"),
+        F.pmod(F.col("doc_id"), F.lit(5)).cast("int").alias("id5"),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("int").alias("id7"),
+    )
+    dqt_hex = "ffdb" + "0043" + "00" + "08" + "01" * 63
+    dht_dc_hex = (
+        "ffc4" + "001b" + "00"
+        + "00000701" + "00" * 12
+        + "0001020304050607"
+    )
+    dht_ac_hex = "ffc4" + "0014" + "10" + "01" + "00" * 15 + "00"
+    sof0_hex = F.concat(
+        F.lit("ffc0" + "0011" + "08"),
+        F.format_string("%04x", F.col("hb") * 16),  # height (BE16)
+        F.format_string("%04x", F.col("wb") * 16),  # width  (BE16)
+        # Y = 2×2 sampling, Cb/Cr = 1×1, all quant table 0
+        F.lit("03" + "012200" + "021100" + "031100"),
+    )
+    sos_hex = F.lit(
+        "ffda" + "000c" + "03" + "0100" + "0200" + "0300" + "003f00"
+    )
+    # per MCU: 4 Y bytes (block index 4m+i → first block 0x90+2·id8,
+    # then odd i → 0x8e, even i → 0x90), 1 Cb byte, 1 Cr byte (block
+    # index m)
+    scan_hex = F.expr(
+        "array_join(transform(sequence(0, wb*hb - 1), m -> concat("
+        " format_string('%02x', CASE WHEN m = 0 THEN 144 + 2*id8"
+        "                            ELSE 144 END),"
+        " '8e', '90', '8e',"
+        " format_string('%02x', CASE WHEN m = 0 THEN 144 + 2*id5"
+        "   WHEN m % 2 = 1 THEN 142 ELSE 144 END),"
+        " format_string('%02x', CASE WHEN m = 0 THEN 144 + 2*id7"
+        "   WHEN m % 2 = 1 THEN 142 ELSE 144 END))), '')"
+    )
+    payload_hex = F.concat(
+        F.lit("ffd8"),
+        F.lit(dqt_hex),
+        F.lit(dht_dc_hex),
+        F.lit(dht_ac_hex),
+        sof0_hex,
+        sos_hex,
+        scan_hex,
+        F.lit("ffd9"),
+    )
+    return d.select(
+        "media_id",
+        F.lit("image").alias("modality"),
+        F.unhex(payload_hex).alias("payload"),
+    )
+
+
 def _decode_jpeg(b: bytes):
-    """Real baseline-JPEG decoder, GRAYSCALE and 4:4:4 YCbCr COLOR
-    (stdlib + numpy only): marker walk, 8-bit DQT, canonical-Huffman
-    DHT build (T.81 C.2), SOF0 (1 or 3 components, per-component quant
-    and entropy tables), DRI restart intervals, SOS, then entropy
+    """Real baseline-JPEG decoder: GRAYSCALE, 4:4:4 YCbCr COLOR, and
+    (round 5) CHROMA-SUBSAMPLED color — 4:2:0 / 4:2:2 / 4:4:0, i.e.
+    any luma sampling factor up to 2×2 with 1×1 chroma (stdlib + numpy
+    only): marker walk, 8-bit DQT, canonical-Huffman DHT build (T.81
+    C.2), SOF0 (1 or 3 components, per-component quant/entropy tables
+    AND sampling factors), DRI restart intervals, SOS, then entropy
     decode — bit-level Huffman walk with 0xFF00 byte-unstuffing, RSTn
     consumption with byte realign + DC-predictor reset (T.81 E.2.4),
     per-component DC DPCM with EXTEND sign recovery (F.12), AC run/size
-    decoding incl. ZRL and EOB — dequantization, de-zigzag, REAL
-    floating-point 2-D IDCT (separable, 8×8 basis matrix), +128 level
-    shift, round, clamp, and for color the JFIF YCbCr→RGB transform
-    (floor(x + 0.5) rounding so the oracle reproduces it verbatim).
+    decoding incl. ZRL and EOB — interleaved Hi×Vi data units per MCU
+    (T.81 A.2.3), dequantization, de-zigzag, REAL floating-point 2-D
+    IDCT (separable, 8×8 basis matrix), +128 level shift, round, clamp,
+    JFIF pixel-replication chroma upsampling back to the full grid, and
+    for color the JFIF YCbCr→RGB transform (floor(x + 0.5) rounding so
+    the oracle reproduces it verbatim).
 
     Returns ``(w, h, planes)`` where ``planes`` is ``[gray]`` for
     1-component frames and ``[r, g, b]`` for 3-component ones, each a
     list-of-lists with values ∈ [0, 255]; or None to quarantine
     anything outside the supported envelope: non-baseline frames
     (SOF1/SOF2/...), 2- or 4-component frames, 16-bit quant tables,
-    chroma subsampling, or any malformed stream.  The gate for
-    progressive/subsampled JPEG remains ``decode_media
+    sampling factors beyond 2×2 or subsampled chroma, or any malformed
+    stream.  The gate for progressive JPEG remains ``decode_media
     (decoder='none')``."""
     import math
 
@@ -1644,10 +1731,19 @@ def _decode_jpeg(b: bytes):
                 if nf not in (1, 3):
                     return None  # gray or YCbCr only
                 comps = []
+                samp = []
                 for ci in range(nf):
-                    if seg[7 + 3 * ci] != 0x11:
-                        return None  # subsampling gated
+                    sv = seg[7 + 3 * ci]
+                    hi, vi = sv >> 4, sv & 15
+                    if hi not in (1, 2) or vi not in (1, 2):
+                        return None  # sampling beyond 2×2 gated
+                    samp.append((hi, vi))
                     comps.append((seg[6 + 3 * ci], seg[8 + 3 * ci]))
+                if nf == 1:
+                    if samp[0] != (1, 1):
+                        return None
+                elif samp[1] != (1, 1) or samp[2] != (1, 1):
+                    return None  # only luma may subsample (4:2:0/4:2:2)
             elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                        0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # non-baseline frame types
@@ -1735,9 +1831,13 @@ def _decode_jpeg(b: bytes):
                 for u in range(8)
             ]
         )
-        nbx, nby = (w + 7) // 8, (h + 7) // 8
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        nbx = (w + 8 * hmax - 1) // (8 * hmax)
+        nby = (h + 8 * vmax - 1) // (8 * vmax)
         planes = [
-            np.zeros((nby * 8, nbx * 8), dtype=np.int64) for _ in comps
+            np.zeros((nby * 8 * vi, nbx * 8 * hi), dtype=np.int64)
+            for hi, vi in samp
         ]
         preds = [0] * len(comps)
         bad = []
@@ -1778,12 +1878,27 @@ def _decode_jpeg(b: bytes):
                 consume_rst(mi // ri - 1)
                 preds = [0] * len(comps)
             by, bx = divmod(mi, nbx)
+            # T.81 A.2.3: within an MCU each component contributes its
+            # Hi×Vi data units left-to-right, top-to-bottom
             for ci in range(len(comps)):
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    decode_block(ci)
-                )
+                hi, vi = samp[ci]
+                for v in range(vi):
+                    for hh in range(hi):
+                        r0 = (by * vi + v) * 8
+                        c0 = (bx * hi + hh) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = (
+                            decode_block(ci)
+                        )
             if bad:
                 return None
+        # JFIF simple (pixel-replication) chroma upsampling back to the
+        # full sampling grid before crop + color transform
+        for ci in range(len(comps)):
+            hi, vi = samp[ci]
+            if vmax // vi > 1:
+                planes[ci] = np.repeat(planes[ci], vmax // vi, axis=0)
+            if hmax // hi > 1:
+                planes[ci] = np.repeat(planes[ci], hmax // hi, axis=1)
         if len(comps) == 1:
             gray = planes[0][:h, :w]
             return w, h, [[[int(v) for v in row] for row in gray]]

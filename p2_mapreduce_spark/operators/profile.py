@@ -2258,3 +2258,118 @@ def infer_types(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         "column", "n_rows", "n_null", "n_int", "n_float", "n_date",
         "n_bool", suggested.alias("suggested"),
     )
+
+
+def tvd_drift(
+    docs: DataFrame,
+    group_col: str = "source",
+    cat_col: str = "lang",
+) -> DataFrame:
+    """Total-variation distance per group vs rest-of-corpus — the
+    bounded [0, 1] categorical drift score production monitors usually
+    alert on (PSI's log-ratio blows up on empty cells and its ``ln``
+    isn't cross-engine pinned; TVD = ``max_A |P(A) − Q(A)| = ½ Σ_cat
+    |p_c − q_c|`` is exact, symmetric, and cell-count-robust), rounding
+    out the drift suite next to :func:`chi2_drift` (which weights by
+    expected counts, so rare-category noise dominates small groups).
+
+    Exactness protocol: cell counts are BIGINTs from one (group,
+    category) aggregate; ``|o_g/n_g − o_r/n_r|`` is put over the common
+    denominator ``n_g·n_r`` so each term is ``|o_g·n_r − o_r·n_g|`` —
+    a pure BIGINT — summed exactly per group and divided ONCE at the
+    end (``/ (2·n_g·n_r)``), making the statistic aggregation-order
+    independent with a single float op total.
+
+    Scale shape: identical to chi2_drift — one map-side-combined
+    contingency aggregate at (group × category) grain, then a
+    groups×categories grid (both bounded vocabularies, never row
+    grain).  Output: (group, n_group, n_rest, n_categories, tvd).
+    """
+    cells = docs.groupBy(
+        F.col(group_col).alias("g"), F.col(cat_col).alias("cat")
+    ).agg(F.count(F.lit(1)).alias("o_g"))
+    groups = cells.select("g").distinct()
+    cat_tot = cells.groupBy("cat").agg(F.sum("o_g").alias("c_all"))
+    g_tot = cells.groupBy("g").agg(F.sum("o_g").alias("n_g"))
+    grand = cells.agg(F.sum("o_g").alias("n_all"))
+    full = (
+        groups.crossJoin(cat_tot)
+        .join(cells, ["g", "cat"], "left")
+        .select("g", "cat", "c_all", F.coalesce("o_g", F.lit(0)).alias("o_g"))
+        .join(g_tot, "g")
+        .crossJoin(F.broadcast(grand))
+        .withColumn("o_r", F.col("c_all") - F.col("o_g"))
+        .withColumn("n_r", F.col("n_all") - F.col("n_g"))
+    )
+    # |o_g·n_r − o_r·n_g| stays < 2^63 for any single table (counts <
+    # 2^31.5 each side), so the product runs in BIGINT; the cross-
+    # category SUM is widened to DECIMAL for the order-independent
+    # exact-sum protocol.
+    num = F.abs(
+        F.col("o_g") * F.col("n_r") - F.col("o_r") * F.col("n_g")
+    ).cast("decimal(38,0)")
+    return (
+        full.groupBy("g", "n_g", "n_r")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+            F.sum(num).alias("num_sum"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_g").cast("bigint").alias("n_group"),
+            F.col("n_r").cast("bigint").alias("n_rest"),
+            "n_categories",
+            (
+                F.col("num_sum").cast("double")
+                / (
+                    2.0
+                    * F.col("n_g").cast("double")
+                    * F.col("n_r").cast("double")
+                )
+            ).alias("tvd"),
+        )
+    )
+
+
+def gk_lambda(
+    docs: DataFrame,
+    x_col: str = "source",
+    y_col: str = "lang",
+) -> DataFrame:
+    """Goodman–Kruskal λ — proportional-reduction-in-error association
+    between two categoricals: how much knowing ``x`` improves a
+    modal-category guess of ``y``.  The exact-arithmetic companion to
+    :func:`cramers_v` (χ²-based) and the mutual-information scores
+    whose ``ln`` is not cross-engine pinned: λ = (Σ_x max_y n_xy −
+    max_y n_y) / (n − max_y n_y) is built ENTIRELY from integer cell
+    counts, so the one final division is the only float op.
+
+    Output: one row (n_rows, sum_modal, global_modal, lambda_yx).
+    λ = 0 when x never changes the best guess; 1 when x determines y.
+
+    Scale shape: one (x, y) contingency aggregate (map-side combined at
+    vocabulary grain), a per-x max, and two scalar reductions — no
+    row-grain shuffle anywhere.
+    """
+    cells = docs.groupBy(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count(F.lit(1)).alias("n_xy"))
+    per_x = cells.groupBy("x").agg(F.max("n_xy").alias("mx"))
+    y_tot = cells.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    agg = per_x.agg(
+        F.sum("mx").cast("bigint").alias("sum_modal")
+    ).crossJoin(
+        y_tot.agg(
+            F.max("n_y").cast("bigint").alias("global_modal"),
+            F.sum("n_y").cast("bigint").alias("n_rows"),
+        )
+    )
+    lam = F.when(
+        F.col("n_rows") == F.col("global_modal"), F.lit(0.0)
+    ).otherwise(
+        (F.col("sum_modal") - F.col("global_modal")).cast("double")
+        / (F.col("n_rows") - F.col("global_modal")).cast("double")
+    )
+    return agg.select(
+        "n_rows", "sum_modal", "global_modal", lam.alias("lambda_yx")
+    )

@@ -1519,3 +1519,335 @@ def mann_kendall(events: DataFrame, group_col: str = "event_type") -> DataFrame:
         "var18",
         z.alias("z"),
     )
+
+
+def _daily_cents(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """(g, d, y) daily revenue in exact cents per group — the shared
+    day-grain contraction every rank/trend test below starts from."""
+    return (
+        events.select(
+            F.col(group_col).alias("g"),
+            F.to_date("ts").alias("d"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("g", "d")
+        .agg(F.sum("cents").alias("y"))
+    )
+
+
+def runs_test(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily up/down move sequence per
+    group — a nonparametric randomness check that complements the
+    monotone-trend tests (:func:`mann_kendall` asks "does it drift?";
+    runs asks "does it alternate too little/too much?", catching
+    oscillation and regime stickiness that S-statistics miss).
+
+    Day-over-day moves (zero moves dropped, per the classical test) give
+    ``a`` ups, ``b`` downs, and ``r`` runs (maximal same-sign blocks).
+    Under H0: μ = 2ab/(a+b) + 1 and σ² = 2ab(2ab−a−b)/((a+b)²(a+b−1)).
+    All of a, b, r are exact integers from window counts; z = (r − μ)/σ
+    is one pinned IEEE tree whose only non-rational step is the
+    correctly-rounded sqrt (the mann_kendall dodge).
+
+    Scale shape: day-grain contraction first, then one lag window and
+    one aggregate per group at calendar grain — never event grain.
+    Output: (group, n_moves, n_up, n_down, n_runs, z).
+    """
+    daily = _daily_cents(events, group_col)
+    w = Window.partitionBy("g").orderBy("d")
+    moves = (
+        daily.withColumn("prev", F.lag("y").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("y") != F.col("prev")))
+        .withColumn("sgn", F.when(F.col("y") > F.col("prev"), 1).otherwise(-1))
+    )
+    runs = moves.withColumn(
+        "new_run",
+        F.when(
+            F.lag("sgn").over(w).isNull()
+            | (F.lag("sgn").over(w) != F.col("sgn")),
+            1,
+        ).otherwise(0),
+    )
+    agg = runs.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_moves"),
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_up"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_down"),
+        F.sum("new_run").cast("bigint").alias("n_runs"),
+    )
+    a = F.col("n_up").cast("double")
+    b = F.col("n_down").cast("double")
+    n = a + b
+    mu = 2.0 * a * b / n + 1.0
+    var = 2.0 * a * b * (2.0 * a * b - a - b) / (n * n * (n - 1.0))
+    z = F.when(
+        (F.col("n_up") == 0) | (F.col("n_down") == 0) | (F.col("n_moves") <= 1),
+        F.lit(0.0),
+    ).otherwise((F.col("n_runs").cast("double") - mu) / F.sqrt(var))
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_moves", "n_up", "n_down", "n_runs",
+        z.alias("z"),
+    )
+
+
+def spearman_daily(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Spearman rank correlation per group between the two daily series
+    every ops dashboard pairs: revenue (Σ value) and volume (event
+    count) — "do big-revenue days come from many events or few whales?".
+    Rank correlation is the robust choice over Pearson on raw values
+    (heavy-tailed daily revenue), and unlike Kendall it is O(days) after
+    ranking.
+
+    Exactness protocol: tie-aware midranks are ``.5``-granular, so
+    DOUBLED ranks are exact integers (rank window: 2·midrank =
+    2·min_rank + (ties − 1)).  All five sufficient statistics (Σx, Σy,
+    Σx², Σy², Σxy over doubled ranks) are BIGINT-exact; ρ = (nΣxy −
+    ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) is one pinned tree — doubling
+    cancels — with the correctly-rounded sqrt its only non-rational op.
+    Sums stay < 2^62 for any calendar span a day grid can reach
+    (n_days ≤ ~10⁵ → Σ(2r)² ≤ n·(2n)² ≈ 4·10¹⁵).
+
+    Scale shape: day-grain contraction, two rank windows per group at
+    calendar grain, one aggregate.  Output: (group, n_days, rho).
+    """
+    daily = _daily_cents(events, group_col).join(
+        events.select(
+            F.col(group_col).alias("g"), F.to_date("ts").alias("d")
+        )
+        .groupBy("g", "d")
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        ["g", "d"],
+    )
+    ranked = daily
+    for c, rc in (("y", "rx2"), ("cnt", "ry2")):
+        wv = Window.partitionBy("g").orderBy(c)
+        ranked = ranked.withColumn(
+            rc,
+            (
+                2 * F.rank().over(wv)
+                + F.count(F.lit(1)).over(
+                    Window.partitionBy("g", c)
+                )
+                - 1
+            ).cast("bigint"),
+        )
+    agg = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("rx2").cast("bigint").alias("sx"),
+        F.sum("ry2").cast("bigint").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("bigint").alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n_days").cast("double")
+    cov = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    vy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    rho = F.when((vx <= 0.0) | (vy <= 0.0), F.lit(0.0)).otherwise(
+        cov / F.sqrt(vx * vy)
+    )
+    return agg.select(
+        F.col("g").alias(group_col), "n_days", rho.alias("rho")
+    )
+
+
+def kendall_tau_xy(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Kendall τ-b per group between daily revenue and daily volume —
+    the concordance companion to :func:`spearman_daily` (τ has the
+    cleaner interpretation as P(concordant) − P(discordant) and better
+    small-n behavior; dashboards report both).  Extends mann_kendall's
+    S-statistic machinery from (time, value) to (value, value) pairs
+    with the tie-aware τ-b denominator.
+
+    Integer protocol: over all day pairs i<j, C, D, and the single-axis
+    tie counts are exact BIGINT window/join counts; τ-b = (C − D) /
+    √((n0 − tx)(n0 − ty)) with n0 = n(n−1)/2 — one pinned tree, sqrt
+    correctly rounded.
+
+    Scale shape: the pair stage runs at CALENDAR grain per group (the
+    mann_kendall envelope — Θ(days²) on a bounded day grid, never event
+    grain).  Output: (group, n_days, concordant, discordant, tau_b).
+    """
+    daily = _daily_cents(events, group_col).join(
+        events.select(
+            F.col(group_col).alias("g"), F.to_date("ts").alias("d")
+        )
+        .groupBy("g", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")),
+        ["g", "d"],
+    )
+    a = daily.select(
+        "g", F.col("d").alias("di"), F.col("y").alias("xi"), F.col("cnt").alias("yi")
+    )
+    b = daily.select(
+        F.col("g").alias("g2"), F.col("d").alias("dj"),
+        F.col("y").alias("xj"), F.col("cnt").alias("yj"),
+    )
+    pairs = a.join(
+        b, (F.col("g") == F.col("g2")) & (F.col("di") < F.col("dj"))
+    ).select(
+        "g",
+        (F.signum((F.col("xj") - F.col("xi")).cast("double"))
+         * F.signum((F.col("yj") - F.col("yi")).cast("double"))).cast("int").alias("cd"),
+        (F.col("xi") == F.col("xj")).cast("int").alias("tie_x"),
+        (F.col("yi") == F.col("yj")).cast("int").alias("tie_y"),
+    )
+    agg = pairs.groupBy("g").agg(
+        F.sum(F.when(F.col("cd") == 1, 1).otherwise(0)).cast("bigint").alias("concordant"),
+        F.sum(F.when(F.col("cd") == -1, 1).otherwise(0)).cast("bigint").alias("discordant"),
+        F.sum("tie_x").cast("bigint").alias("tx"),
+        F.sum("tie_y").cast("bigint").alias("ty"),
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+    )
+    n = daily.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    out = n.join(agg, "g", "left").select(
+        "g", "n_days",
+        F.coalesce("concordant", F.lit(0)).alias("concordant"),
+        F.coalesce("discordant", F.lit(0)).alias("discordant"),
+        F.coalesce("tx", F.lit(0)).alias("tx"),
+        F.coalesce("ty", F.lit(0)).alias("ty"),
+        F.coalesce("n0", F.lit(0)).alias("n0"),
+    )
+    denom = (
+        (F.col("n0") - F.col("tx")).cast("double")
+        * (F.col("n0") - F.col("ty")).cast("double")
+    )
+    tau = F.when(denom <= 0.0, F.lit(0.0)).otherwise(
+        (F.col("concordant") - F.col("discordant")).cast("double")
+        / F.sqrt(denom)
+    )
+    return out.select(
+        F.col("g").alias(group_col), "n_days", "concordant", "discordant",
+        tau.alias("tau_b"),
+    )
+
+
+def mase_eval(events: DataFrame, group_col: str = "event_type", season: int = 7) -> DataFrame:
+    """MASE (mean absolute scaled error) of the seasonal-naive forecast
+    per group — the standard scale-free baseline every forecasting
+    pipeline reports before any model ships: error of "same weekday
+    last week" scaled by the in-sample one-step naive MAE.  MASE < 1
+    means weekly seasonality genuinely explains the series; a model
+    must beat THIS number to justify itself (the eval face of
+    :func:`weekday_seasonality` / :func:`ewma_daily`).
+
+    Integer protocol: daily revenue in exact cents; both |y_t −
+    y_{t−season}| and |y_t − y_{t−1}| sums are BIGINT, matched by
+    day-offset join (gap-robust — a lag() over present rows would
+    silently compare across gaps); MASE = (s7/n7)/(s1/n1) is one pinned
+    tree from four BIGINTs.
+
+    Output: (group, n_seasonal, n_naive, mae_seasonal, mae_naive, mase).
+    Scale shape: day-grain contraction + two self-joins on the bounded
+    day grid.
+    """
+    daily = _daily_cents(events, group_col)
+    base = daily.select("g", "d", "y")
+
+    def _err(offset: int, s_alias: str, n_alias: str) -> DataFrame:
+        prev = base.select(
+            F.col("g").alias("g2"),
+            F.date_add("d", offset).alias("d2"),
+            F.col("y").alias("y_prev"),
+        )
+        return (
+            base.join(
+                prev,
+                (F.col("g") == F.col("g2")) & (F.col("d") == F.col("d2")),
+            )
+            .groupBy("g")
+            .agg(
+                F.sum(F.abs(F.col("y") - F.col("y_prev")))
+                .cast("bigint")
+                .alias(s_alias),
+                F.count(F.lit(1)).cast("bigint").alias(n_alias),
+            )
+        )
+    seas = _err(season, "s_seasonal", "n_seasonal")
+    naive = _err(1, "s_naive", "n_naive")
+    out = seas.join(naive, "g")
+    mae_s = F.col("s_seasonal").cast("double") / F.col("n_seasonal")
+    mae_n = F.col("s_naive").cast("double") / F.col("n_naive")
+    mase = F.when(F.col("s_naive") == 0, F.lit(0.0)).otherwise(
+        (
+            F.col("s_seasonal").cast("double") * F.col("n_naive").cast("double")
+        )
+        / (
+            F.col("s_naive").cast("double") * F.col("n_seasonal").cast("double")
+        )
+    )
+    return out.select(
+        F.col("g").alias(group_col),
+        "n_seasonal", "n_naive",
+        (mae_s / 100.0).alias("mae_seasonal"),
+        (mae_n / 100.0).alias("mae_naive"),
+        mase.alias("mase"),
+    )
+
+
+def pinball_eval(
+    events: DataFrame,
+    group_col: str = "event_type",
+    train_days: int = 15,
+    q_num: int = 9,
+) -> DataFrame:
+    """Pinball (quantile) loss of a constant q=0.9 daily-revenue
+    forecast per group: fit the train-window's empirical p90 (lower
+    discrete quantile — integer-exact, no interpolation), score the
+    held-out days with the asymmetric pinball loss that quantile
+    forecasts are graded on (the eval face of :func:`daily_envelope`,
+    which SETS such envelopes but never scores them).
+
+    Integer protocol: the forecast is an exact cents value chosen by
+    rank (smallest y with row_number ≥ ceil(q·n) over the train days);
+    per-day loss ×10 is integer — ``9·(y−f)`` when y ≥ f else
+    ``1·(f−y)`` — summed BIGINT; the mean divides once.
+
+    Output: (group, n_train, n_test, forecast, mean_pinball).
+    Scale shape: everything after the day-grain contraction runs on the
+    bounded calendar grid (one rank window + one aggregate per group).
+    """
+    daily = _daily_cents(events, group_col)
+    lo = daily.agg(F.min("d").alias("lo"))
+    dd = daily.crossJoin(F.broadcast(lo)).withColumn(
+        "is_train", F.datediff("d", "lo") < train_days
+    )
+    train = dd.filter("is_train")
+    wv = Window.partitionBy("g").orderBy("y")
+    ranked = train.withColumn("rn", F.row_number().over(wv)).join(
+        train.groupBy("g").agg(F.count(F.lit(1)).alias("n_train")), "g"
+    )
+    fc = ranked.filter(
+        F.col("rn") == F.ceil(F.col("n_train") * q_num / 10.0).cast("int")
+    ).select("g", F.col("n_train").cast("bigint").alias("n_train"), F.col("y").alias("f"))
+    test = dd.filter(~F.col("is_train"))
+    loss = (
+        test.join(fc, "g")
+        .withColumn(
+            "loss10",
+            F.when(
+                F.col("y") >= F.col("f"),
+                F.lit(q_num) * (F.col("y") - F.col("f")),
+            ).otherwise(F.lit(10 - q_num) * (F.col("f") - F.col("y"))),
+        )
+        .groupBy("g", "n_train", "f")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum("loss10").cast("bigint").alias("s10"),
+        )
+    )
+    return loss.select(
+        F.col("g").alias(group_col),
+        "n_train", "n_test",
+        (F.col("f").cast("double") / 100.0).alias("forecast"),
+        (
+            F.col("s10").cast("double")
+            / (10.0 * F.col("n_test").cast("double") * 100.0)
+        ).alias("mean_pinball"),
+    )

@@ -220,6 +220,22 @@ FUNNEL_REVIEWED = {
     # coverage_curve: #partitions-grain offset table (two-phase rank) +
     # the one-row checkpoint-grid aggregate exploded to #checkpoints
     "coverage_curve",
+    # round-5 additions:
+    # tvd_drift / gk_lambda: the chi2_drift justification — one-row
+    # grand-total (TVD) / modal-total (λ) aggregates over contingency
+    # cells at (group × category) vocabulary grain
+    "tvd_drift", "gk_lambda",
+    # pinball_eval: one-row calendar-anchor (min-date) broadcast; all
+    # later work runs at day grain per group
+    "pinball_eval",
+    # decile_lift: the two-phase-rank pattern (quality_budget
+    # justification) — #partitions-grain offset table + one-row
+    # (n_tot, pos_tot) broadcast + the 10-row cumulative window
+    "decile_lift",
+    # blocking_quality: the lsh_recall justification — four one-row
+    # pair/doc-count aggregates broadcast-crossed; candidate and truth
+    # generation stay banded / prefix-capped
+    "blocking_quality",
 }
 
 

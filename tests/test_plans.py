@@ -333,6 +333,10 @@ PYTHON_ALLOWED = {
     "video_frames",
     "video_bmpstream",
     "audio_wav",
+    # round 5: 4:2:0 chroma-subsampled baseline JPEG — the interleaved
+    # MCU walk + replicate upsample run in the same Arrow-batched
+    # jpeg_pixel_sums kernel as media_jpeg (payload-touching by design)
+    "media_jpeg420",
 }
 
 

@@ -1,0 +1,293 @@
+"""Round-5 operator tests: drift/association stats (TVD, λ), rank and
+randomness tests (runs, Spearman, Kendall), forecast-baseline evals
+(MASE, pinball), classifier gains, deterministic dropout, and the
+blocking-quality audit."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    """rows: list of (day_offset, event_type, value) → events frame."""
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (base + dt.timedelta(days=d, hours=i % 5), g, float(v))
+            for i, (d, g, v) in enumerate(rows)
+        ],
+        ["ts", "event_type", "value"],
+    )
+
+
+class TestTvdDrift:
+    def test_hand_computed_two_sources(self, spark):
+        from p2_mapreduce_spark.operators.profile import tvd_drift
+
+        docs = spark.createDataFrame(
+            [("A", "en")] * 2 + [("A", "fr")] * 2 + [("B", "en")] * 4,
+            ["source", "lang"],
+        )
+        got = {r["source"]: r for r in tvd_drift(docs).collect()}
+        # A: p=(.5,.5) vs rest=B: q=(1,0) → ½(|.5−1|+|.5−0|) = .5
+        assert abs(got["A"]["tvd"] - 0.5) < 1e-12
+        assert abs(got["B"]["tvd"] - 0.5) < 1e-12
+        assert got["A"]["n_group"] == 4 and got["A"]["n_rest"] == 4
+
+    def test_identical_distributions_zero(self, spark):
+        from p2_mapreduce_spark.operators.profile import tvd_drift
+
+        docs = spark.createDataFrame(
+            [("A", "en"), ("A", "fr"), ("B", "en"), ("B", "fr")],
+            ["source", "lang"],
+        )
+        for r in tvd_drift(docs).collect():
+            assert abs(r["tvd"]) < 1e-12
+
+
+class TestGkLambda:
+    def test_hand_computed(self, spark):
+        from p2_mapreduce_spark.operators.profile import gk_lambda
+
+        docs = spark.createDataFrame(
+            [("x1", "a")] * 3 + [("x1", "b")] * 1 + [("x2", "b")] * 4,
+            ["source", "lang"],
+        )
+        r = gk_lambda(docs).collect()[0]
+        # Σ_x max = 3+4 = 7; global modal lang = b (5); n = 8
+        assert r["sum_modal"] == 7 and r["global_modal"] == 5
+        assert abs(r["lambda_yx"] - (7 - 5) / (8 - 5)) < 1e-12
+
+    def test_perfect_and_zero_association(self, spark):
+        from p2_mapreduce_spark.operators.profile import gk_lambda
+
+        perfect = spark.createDataFrame(
+            [("x1", "a")] * 2 + [("x2", "b")] * 3, ["source", "lang"]
+        )
+        assert gk_lambda(perfect).collect()[0]["lambda_yx"] == 1.0
+        # y constant → n_rows == global_modal → λ = 0 by convention
+        const = spark.createDataFrame(
+            [("x1", "a"), ("x2", "a")], ["source", "lang"]
+        )
+        assert gk_lambda(const).collect()[0]["lambda_yx"] == 0.0
+
+
+class TestRunsTest:
+    def test_hand_computed(self, spark):
+        from p2_mapreduce_spark.operators.timeseries import runs_test
+
+        # daily values 1,2,1,2,3,1 → moves +,−,+,+,− → 4 runs, 3 up 2 dn
+        ev = _events(spark, [(d, "view", v) for d, v in
+                             enumerate([1, 2, 1, 2, 3, 1])])
+        r = runs_test(ev).collect()[0]
+        assert (r["n_moves"], r["n_up"], r["n_down"], r["n_runs"]) == (
+            5, 3, 2, 4)
+        mu = 2 * 3 * 2 / 5 + 1
+        var = 2 * 3 * 2 * (12 - 5) / (25 * 4)
+        assert abs(r["z"] - (4 - mu) / var ** 0.5) < 1e-12
+
+    def test_monotone_series_single_run(self, spark):
+        from p2_mapreduce_spark.operators.timeseries import runs_test
+
+        ev = _events(spark, [(d, "view", d + 1) for d in range(6)])
+        r = runs_test(ev).collect()[0]
+        # all moves up → z pinned to 0 by the degenerate-counts guard
+        assert r["n_runs"] == 1 and r["n_down"] == 0 and r["z"] == 0.0
+
+
+class TestRankCorrelation:
+    def test_concordant_series(self, spark):
+        from p2_mapreduce_spark.operators.timeseries import (
+            kendall_tau_xy,
+            spearman_daily,
+        )
+
+        # day d: d+1 events, each value 10·(d+1) → volume and revenue
+        # strictly co-monotone
+        rows = []
+        for d in range(4):
+            rows += [(d, "view", 10 * (d + 1))] * (d + 1)
+        ev = _events(spark, rows)
+        rho = spearman_daily(ev).collect()[0]
+        assert rho["n_days"] == 4 and abs(rho["rho"] - 1.0) < 1e-12
+        tau = kendall_tau_xy(ev).collect()[0]
+        assert tau["concordant"] == 6 and tau["discordant"] == 0
+        assert abs(tau["tau_b"] - 1.0) < 1e-12
+
+    def test_anticoncordant_series(self, spark):
+        from p2_mapreduce_spark.operators.timeseries import (
+            kendall_tau_xy,
+            spearman_daily,
+        )
+
+        # more events on days with lower total revenue
+        rows = []
+        revenue = [100, 50, 20, 5]
+        for d in range(4):
+            per = revenue[d] / (d + 1)
+            rows += [(d, "view", per)] * (d + 1)
+        ev = _events(spark, rows)
+        assert abs(spearman_daily(ev).collect()[0]["rho"] + 1.0) < 1e-12
+        assert abs(kendall_tau_xy(ev).collect()[0]["tau_b"] + 1.0) < 1e-12
+
+
+class TestForecastEvals:
+    def test_mase_weekly_pattern_is_zero(self, spark):
+        from p2_mapreduce_spark.operators.timeseries import mase_eval
+
+        pattern = [5, 9, 2, 7, 4, 8, 3]
+        ev = _events(
+            spark, [(d, "view", pattern[d % 7]) for d in range(14)]
+        )
+        r = mase_eval(ev).collect()[0]
+        assert r["n_seasonal"] == 7 and r["n_naive"] == 13
+        assert r["mase"] == 0.0 and r["mae_seasonal"] == 0.0
+        assert r["mae_naive"] > 0
+
+    def test_pinball_hand_computed(self, spark):
+        from p2_mapreduce_spark.operators.timeseries import pinball_eval
+
+        # train days 0..14 values 1..15 → p90 rank ceil(13.5)=14 → f=14
+        # test days 15..29 value 15 → loss10 = 9·(1500−1400) per day
+        rows = [(d, "view", d + 1) for d in range(15)]
+        rows += [(d, "view", 15) for d in range(15, 30)]
+        ev = _events(spark, rows)
+        r = pinball_eval(ev).collect()[0]
+        assert r["n_train"] == 15 and r["n_test"] == 15
+        assert r["forecast"] == 14.0
+        assert abs(r["mean_pinball"] - 0.9) < 1e-12
+
+
+class TestDecileLift:
+    def test_shape_and_monotone_capture(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.curation import decile_lift
+        from p2_mapreduce_spark.session import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        rows = sorted(decile_lift(docs).collect(), key=lambda r: r["decile"])
+        assert [r["decile"] for r in rows] == list(range(1, 11))
+        n_docs = docs.count()
+        assert rows[-1]["cum_docs"] == n_docs
+        assert abs(rows[-1]["capture"] - 1.0) < 1e-12
+        captures = [r["capture"] for r in rows]
+        assert captures == sorted(captures)
+        # equal-frequency deciles: sizes differ by at most 1
+        sizes = [r["n_docs"] for r in rows]
+        assert max(sizes) - min(sizes) <= 1
+
+
+class TestTokenDropout:
+    def test_content_keyed_and_deterministic(self, spark):
+        from p2_mapreduce_spark.operators.curation import token_dropout
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "gamma alpha zeta")],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in token_dropout(docs).collect()}
+        assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 3
+        kept1 = set(out[1]["text_aug"].split())
+        kept2 = set(out[2]["text_aug"].split())
+        # the mask is keyed on token CONTENT: a token dropped anywhere
+        # is dropped everywhere
+        for tok in {"alpha", "gamma"}:
+            assert (tok in kept1) == (tok in kept2)
+        again = {r["doc_id"]: r for r in token_dropout(docs).collect()}
+        assert again[1]["text_aug"] == out[1]["text_aug"]
+
+    def test_drop_mod_one_drops_everything(self, spark):
+        from p2_mapreduce_spark.operators.curation import token_dropout
+
+        docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        r = token_dropout(docs, drop_mod=1).collect()[0]
+        assert r["n_kept"] == 0 and r["text_aug"] == ""
+
+
+class TestBlockingQuality:
+    def test_identical_docs_are_complete(self, spark):
+        from p2_mapreduce_spark.operators.dedup import blocking_quality
+
+        text = "the quick brown fox jumps over the lazy dog " * 3
+        docs = spark.createDataFrame(
+            [(1, text), (2, text), (3, "совершенно другой текст здесь "
+                                       "ничего общего нет вовсе")],
+            ["doc_id", "text"],
+        )
+        r = blocking_quality(docs).collect()[0]
+        # identical docs: truth pair (jaccard 1) AND identical simhash →
+        # guaranteed candidate → completeness 1
+        assert r["n_truth"] >= 1 and r["n_hit"] == r["n_truth"]
+        assert r["pair_completeness"] == 1.0
+        assert 0.0 <= r["reduction_ratio"] <= 1.0
+
+    def test_fixture_bounds(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.dedup import blocking_quality
+        from p2_mapreduce_spark.session import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        r = blocking_quality(docs).collect()[0]
+        assert r["n_hit"] <= r["n_truth"]
+        assert r["n_candidates"] <= r["n_docs"] * (r["n_docs"] - 1) // 2
+        if r["n_truth"] > 0:
+            assert 0.0 <= r["pair_completeness"] <= 1.0
+
+
+class TestJpeg420:
+    def test_decode_matches_closed_form(self, spark):
+        from p2_mapreduce_spark.operators.multimodal import (
+            _decode_jpeg,
+            attach_jpeg420,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(8)], ["doc_id", "text"]
+        )
+        rows = attach_jpeg420(docs).collect()
+        assert len(rows) == 8
+        for r in rows:
+            mid = r["media_id"]
+            wb, hb = 1 + mid % 2, 1 + (mid % 4) // 2
+            parsed = _decode_jpeg(bytes(r["payload"]))
+            assert parsed is not None, f"id {mid} quarantined"
+            w, h, planes = parsed
+            assert (w, h) == (16 * wb, 16 * hb) and len(planes) == 3
+            a8, b5, c7 = mid % 8, mid % 5, mid % 7
+            n = wb * hb
+            ne = (n + 1) // 2
+            import math
+
+            def cells(coef_cb, coef_cr):
+                tot = 0
+                for par, cnt in ((1, ne), (0, n - ne)):
+                    cb = b5 + 8 * par
+                    cr = c7 + 8 * par
+                    for y in (136 + a8, 128 + a8):
+                        tot += cnt * 128 * int(
+                            math.floor(y + coef_cb * cb + coef_cr * cr + 0.5)
+                        )
+                return tot
+
+            got = [sum(v for row in ch for v in row) for ch in planes]
+            assert got[0] == cells(0.0, 1.402)
+            assert got[1] == cells(-0.344136, -0.714136)
+            assert got[2] == cells(1.772, 0.0)
+
+    def test_subsampled_chroma_still_gated(self):
+        """2×2 CHROMA (illegal in our envelope: only luma subsamples)
+        must quarantine, as must 4×1 luma."""
+        from p2_mapreduce_spark.operators.multimodal import _decode_jpeg
+
+        # minimal header with SOF0 declaring chroma 2×2 — decoder must
+        # reject before any entropy work
+        sof = bytes.fromhex(
+            "ffd8"
+            + "ffc0" + "0011" + "08" + "0010" + "0010"
+            + "03" + "012200" + "022200" + "031100"
+        )
+        assert _decode_jpeg(sof) is None
+        sof41 = bytes.fromhex(
+            "ffd8"
+            + "ffc0" + "0011" + "08" + "0010" + "0020"
+            + "03" + "014100" + "021100" + "031100"
+        )
+        assert _decode_jpeg(sof41) is None
