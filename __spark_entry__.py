@@ -1673,6 +1673,76 @@ def _q_media_jpeg420(spark, sf_dir):
     return jpeg_pixel_sums(attach_jpeg420(docs))
 
 
+def _q_abc_parts(spark, sf_dir):
+    """ABC (Pareto 80/95) inventory classification of parts by exact
+    lifetime revenue via the two-phase distributed rank/prefix sum."""
+    from p2_mapreduce_spark.operators.analytics import abc_parts
+
+    return abc_parts(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_holt_linear(spark, sf_dir):
+    """Holt level+trend smoothing per event type (day-ordered in-row
+    fold; α=β=½), with the 7-day-ahead forecast."""
+    from p2_mapreduce_spark.operators.timeseries import holt_linear
+
+    return holt_linear(load_table(spark, sf_dir, "events"))
+
+
+def _q_conformal_band(spark, sf_dir):
+    """Split-conformal q=0.9 prediction band per event type from exact
+    integer residual ranks."""
+    from p2_mapreduce_spark.operators.profile import conformal_band
+
+    return conformal_band(load_table(spark, sf_dir, "events"))
+
+
+def _q_degree_histogram(spark, sf_dir):
+    """Degree distribution of the customer-supplier trade graph
+    (graph-shape audit at degree grain)."""
+    from p2_mapreduce_spark.operators.graph import trade_degree_histogram
+
+    return trade_degree_histogram(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def _q_link_prediction(spark, sf_dir):
+    """Common-neighbor link prediction over a deterministic supplier
+    panel of the trade graph: top customer pairs by shared suppliers."""
+    from p2_mapreduce_spark.operators.graph import link_prediction
+
+    return link_prediction(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def _q_search_snippets(spark, sf_dir):
+    """Best-window snippet extraction per matching doc (in-row span
+    scoring — the winnowing device), leftmost argmax."""
+    from p2_mapreduce_spark.operators.search import search_snippets
+
+    return search_snippets(load_table(spark, sf_dir, "documents"))
+
+
+def _q_fuzzy_search(spark, sf_dir):
+    """Typo-tolerant vocabulary search: q-gram-prefiltered levenshtein
+    matches for three misspelled queries over part-name tokens."""
+    from p2_mapreduce_spark.operators.search import fuzzy_search
+
+    return fuzzy_search(load_table(spark, sf_dir, "part"))
+
+
+def _q_kmeans_purity(spark, sf_dir):
+    """External clustering quality: per-cluster modal-label purity of
+    the exact fixed-point k-means assignment vs the label column."""
+    from p2_mapreduce_spark.operators.similarity import kmeans_purity
+
+    return kmeans_purity(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_weighted_median(spark, sf_dir):
     """Weighted quantile via the two-phase distributed rank: smallest
     value whose cumulative integer weight reaches half the group total
@@ -3376,6 +3446,8 @@ _ROUND5_NEW = (
     "video_bmpstream", "tvd_drift", "gk_lambda", "runs_test",
     "spearman_daily", "kendall_tau", "mase_eval", "pinball_eval",
     "decile_lift", "token_dropout", "blocking_quality", "media_jpeg420",
+    "abc_parts", "holt_linear", "conformal_band", "degree_histogram",
+    "link_prediction", "search_snippets", "fuzzy_search", "kmeans_purity",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -3542,6 +3614,14 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_dropout": _q_token_dropout,
         "blocking_quality": _q_blocking_quality,
         "media_jpeg420": _q_media_jpeg420,
+        "abc_parts": _q_abc_parts,
+        "holt_linear": _q_holt_linear,
+        "conformal_band": _q_conformal_band,
+        "degree_histogram": _q_degree_histogram,
+        "link_prediction": _q_link_prediction,
+        "search_snippets": _q_search_snippets,
+        "fuzzy_search": _q_fuzzy_search,
+        "kmeans_purity": _q_kmeans_purity,
         "audio_wav": _q_audio_wav,
         "weighted_median": _q_weighted_median,
         "kmv_distinct": _q_kmv_distinct,
@@ -4184,6 +4264,38 @@ def _silhouette_oracle(
                COUNT(*) AS n_members,
                CAST(SUM(s_ppm) AS DOUBLE) / COUNT(*) AS mean_sil_ppm
         FROM scored GROUP BY cluster"""
+
+
+def _kmeans_purity_oracle(
+    k: int = 4, iterations: int = 2, scale_bits: int = 20
+) -> str:
+    """Oracle for kmeans_purity: final assignment over the shared Lloyd
+    CTE joined to the label column, modal label per cluster (ties to
+    the lowest label), purity one exact division."""
+    return _kmeans_cte(k, iterations, scale_bits) + f""",
+        df AS (SELECT e.vec_id, c.cluster,
+                      SUM((e.q - c.q) * (e.q - c.q)) AS d2
+               FROM emb e JOIN c{iterations} c ON e.dim = c.dim GROUP BY 1, 2),
+        af AS (SELECT vec_id, cluster FROM (
+                   SELECT vec_id, cluster,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, cluster) AS rn
+                   FROM df) WHERE rn = 1),
+        cells AS (SELECT a.cluster, CAST(e2.label AS BIGINT) AS lbl,
+                         CAST(COUNT(*) AS BIGINT) AS n_cl
+                  FROM af a JOIN embeddings e2 USING (vec_id)
+                  GROUP BY 1, 2),
+        sizes AS (SELECT cluster, CAST(SUM(n_cl) AS BIGINT) AS n_members
+                  FROM cells GROUP BY 1),
+        topc AS (SELECT cluster, lbl, n_cl FROM (
+                     SELECT *, row_number() OVER (PARTITION BY cluster
+                                ORDER BY n_cl DESC, lbl ASC) AS rn
+                     FROM cells) WHERE rn = 1)
+        SELECT CAST(t.cluster AS BIGINT) AS cluster, s.n_members,
+               t.lbl AS modal_label, t.n_cl AS n_modal,
+               CAST(t.n_cl AS DOUBLE) / CAST(s.n_members AS DOUBLE)
+                   AS purity
+        FROM topc t JOIN sizes s USING (cluster)"""
 
 
 def _pagerank_oracle(iterations: int = 3) -> str:
@@ -12441,6 +12553,170 @@ def oracle_sql() -> dict[str, str]:
         )
     """
     out["blocking_quality"] = _blocking_quality_sql(toks, shingles)
+    out["abc_parts"] = """
+        WITH per_part AS (
+            SELECT l_partkey AS id,
+                   SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) AS cents
+            FROM lineitem GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents
+                FROM per_part),
+        rk AS (
+            SELECT cents,
+                   SUM(cents) OVER (ORDER BY -cents, id) AS cum
+            FROM per_part
+        ),
+        cls AS (
+            SELECT cents, total_cents,
+                   CASE WHEN cum * 5 <= total_cents * 4 THEN 'A'
+                        WHEN cum * 20 <= total_cents * 19 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM rk, tot
+        )
+        SELECT abc_class,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(cents) AS BIGINT) AS class_cents,
+               CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+                   / CAST(total_cents AS DOUBLE) AS revenue_share
+        FROM cls GROUP BY abc_class, total_cents
+    """
+    out["holt_linear"] = f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev} GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT g, y,
+                   row_number() OVER (PARTITION BY g ORDER BY d) AS i,
+                   COUNT(*) OVER (PARTITION BY g) AS n
+            FROM daily
+        ),
+        st AS (
+            SELECT g, i, n, CAST(y AS DOUBLE) AS l,
+                   CAST(0.0 AS DOUBLE) AS b
+            FROM idx WHERE i = 1
+            UNION ALL
+            SELECT d.g, d.i, d.n,
+                   0.5e0 * (CAST(d.y AS DOUBLE) + (st.l + st.b)),
+                   0.5e0 * ((0.5e0 * (CAST(d.y AS DOUBLE) + (st.l + st.b))
+                             - st.l) + st.b)
+            FROM st JOIN idx d ON d.g = st.g AND d.i = st.i + 1
+        )
+        SELECT g AS event_type, CAST(n AS BIGINT) AS n_days,
+               l / 1.0e2 AS level, b / 1.0e2 AS trend,
+               (l + 7.0e0 * b) / 1.0e2 AS forecast7
+        FROM st WHERE i = n
+    """
+    out["conformal_band"] = f"""
+        WITH base AS (
+            SELECT event_type AS g,
+                   CAST(floor(value * 100) AS BIGINT) AS v
+            FROM {ev}
+        ),
+        stats AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS s
+            FROM base GROUP BY 1
+        ),
+        resid AS (
+            SELECT b.g, n, s, abs(v * n - s) AS r
+            FROM base b JOIN stats USING (g)
+        ),
+        rk AS (
+            SELECT g, n, s, r,
+                   row_number() OVER (PARTITION BY g ORDER BY r) AS rn
+            FROM resid
+        )
+        SELECT g AS event_type, n,
+               (CAST(s AS DOUBLE) / n) / 1.0e2 AS mean,
+               (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) / 1.0e2 AS radius,
+               (CAST(s AS DOUBLE) / n) / 1.0e2
+                 - (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) / 1.0e2 AS lo,
+               (CAST(s AS DOUBLE) / n) / 1.0e2
+                 + (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) / 1.0e2 AS hi
+        FROM rk
+        WHERE rn = least(n, CAST(ceil((n + 1) * 9 / 10.0e0) AS BIGINT))
+    """
+    out["degree_histogram"] = """
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        half AS (
+            SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+            FROM pairs WHERE u <> v
+        ),
+        sym AS (SELECT a FROM half UNION ALL SELECT b FROM half),
+        deg AS (SELECT a, COUNT(*) AS degree FROM sym GROUP BY 1)
+        SELECT CAST(degree AS BIGINT) AS degree,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY 1
+    """
+    out["link_prediction"] = """
+        WITH pairs AS (
+            SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_suppkey % 20 = 0
+        ),
+        w AS (
+            SELECT a.c AS cust_a, b.c AS cust_b
+            FROM pairs a JOIN pairs b ON a.s = b.s AND a.c < b.c
+        ),
+        sc AS (
+            SELECT cust_a, cust_b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM w GROUP BY 1, 2
+        )
+        SELECT * FROM sc
+        ORDER BY n_common DESC, cust_a, cust_b LIMIT 20
+    """
+    out["search_snippets"] = f"""
+        WITH tk AS ({toks}),
+        sc AS (
+            SELECT doc_id, t,
+                   list_transform(
+                       generate_series(1, greatest(len(t) - 7, 1)),
+                       i -> len(list_filter(t[i:i+7],
+                                x -> x IN ('data', 'join')))) AS hits
+            FROM tk
+        ),
+        best AS (
+            SELECT doc_id, t,
+                   list_aggregate(hits, 'max') AS n_hits,
+                   list_position(hits, list_aggregate(hits, 'max'))
+                       AS best_pos
+            FROM sc
+        )
+        SELECT doc_id,
+               CAST(best_pos AS BIGINT) AS best_pos,
+               CAST(n_hits AS BIGINT) AS n_hits,
+               array_to_string(t[best_pos:best_pos+7], ' ') AS snippet
+        FROM best WHERE n_hits >= 1
+    """
+    out["fuzzy_search"] = """
+        WITH tok AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM (SELECT unnest(string_split(p_name, ' ')) AS token
+                  FROM part)
+            GROUP BY 1
+        )
+        SELECT 'lrge' AS query, token,
+               CAST(levenshtein('lrge', token) AS BIGINT) AS dist, n_parts
+        FROM tok WHERE levenshtein('lrge', token) <= 1
+        UNION ALL
+        SELECT 'bold', token,
+               CAST(levenshtein('bold', token) AS BIGINT), n_parts
+        FROM tok WHERE levenshtein('bold', token) <= 1
+        UNION ALL
+        SELECT 'gizmmo', token,
+               CAST(levenshtein('gizmmo', token) AS BIGINT), n_parts
+        FROM tok
+        WHERE len(list_filter(['giz', 'izm', 'zmm', 'mmo'],
+                              g -> contains(token, g))) >= 1
+          AND levenshtein('gizmmo', token) <= 1
+    """
+    out["kmeans_purity"] = _kmeans_purity_oracle()
     out["media_jpeg420"] = """
         -- closed-form twin of the 4:2:0 payload design: Y alternates
         -- by 8-px STRIPE inside each MCU (block index 4m+2v+u → parity

@@ -930,3 +930,75 @@ def eb_shrunk_rates(lineitem: DataFrame) -> DataFrame:
         F.when(ok, shrunk).otherwise(raw).alias("shrunk_rate"),
         ok.alias("prior_used"),
     )
+
+
+def abc_parts(lineitem: DataFrame) -> DataFrame:
+    """ABC inventory classification — the warehouse-ops cut of the
+    Lorenz machinery (:func:`revenue_concentration` reports shares at
+    FIXED head fractions; ABC assigns every part a CLASS by cumulative
+    revenue share: A up to 80%, B to 95%, C the tail — the classic
+    Pareto segmentation purchasing teams drive stocking policy with).
+
+    Parts rank descending by exact lifetime revenue cents via the
+    two-phase distributed rank + prefix sum (range partition on
+    (−cents, id) → local running sums → broadcast offset table — no
+    single-task sort); class assignment is a pure BIGINT comparison
+    (``cum·5 ≤ total·4`` for A, ``cum·20 ≤ total·19`` for B) so the
+    boundaries are exact, and the report aggregates to 3 class rows.
+
+    Output: (abc_class, n_parts, class_cents, revenue_share).
+    """
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(cents).alias("cents")
+    )
+    t = (
+        per_part.select(
+            F.col("l_partkey").alias("id"),
+            "cents",
+            (-F.col("cents")).alias("neg"),
+        )
+        .repartitionByRange(F.col("neg"), F.col("id"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy("neg", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = t.withColumn("local_cum", F.sum("cents").over(w_in))
+    per = t.groupBy("pid").agg(F.sum("cents").alias("part_cents"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per.withColumn(
+        "off", F.coalesce(F.sum("part_cents").over(w_off), F.lit(0))
+    ).select("pid", "off")
+    total = per_part.agg(F.sum("cents").cast("bigint").alias("total_cents"))
+    classed = (
+        t.join(F.broadcast(offsets), "pid")
+        .withColumn("cum", (F.col("off") + F.col("local_cum")).cast("bigint"))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum") * 5 <= F.col("total_cents") * 4, "A")
+            .when(F.col("cum") * 20 <= F.col("total_cents") * 19, "B")
+            .otherwise("C"),
+        )
+    )
+    return (
+        classed.groupBy("abc_class", "total_cents")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("class_cents"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            "class_cents",
+            (
+                F.col("class_cents").cast("double")
+                / F.col("total_cents").cast("double")
+            ).alias("revenue_share"),
+        )
+    )

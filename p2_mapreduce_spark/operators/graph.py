@@ -1269,3 +1269,87 @@ def copurchase_clustering(
         .select("u", "v")
     )
     return local_clustering(pairs)
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Degree distribution of the undirected graph — the first plot of
+    any graph-shape audit (hub detection, skew sizing for the join
+    planners, sanity vs the generative model) and the input to every
+    "is this scale-free?" argument: ``(degree, n_nodes)`` at DEGREE
+    grain, computed from one canonical-orientation distinct + one
+    per-node count + one count-of-counts — three map-side-combined
+    aggregates, nothing at pair grain.
+    """
+    half = (
+        edges.select(
+            F.least(F.col("u").cast("long"), F.col("v").cast("long")).alias("a"),
+            F.greatest(F.col("u").cast("long"), F.col("v").cast("long")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .select(F.col("degree").cast("bigint").alias("degree"), "n_nodes")
+    )
+
+
+def trade_degree_histogram(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """:func:`degree_histogram` over the customer-supplier trade graph
+    (same even/odd node encoding as :func:`trade_graph_pagerank`)."""
+    pairs = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    return degree_histogram(pairs)
+
+
+def link_prediction(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier_mod: int = 20,
+    top_n: int = 20,
+) -> DataFrame:
+    """Common-neighbor link prediction on the trade graph: the top
+    customer pairs sharing the most suppliers — the bipartite
+    collaborative signal behind "customers like you also buy from"
+    recommendations and consortium/collusion screens.  Common-neighbor
+    count is the canonical first-line link-prediction score (Liben-
+    Nowell & Kleinberg); Adamic-Adar's log weights are deliberately
+    out of scope (no cross-engine-pinned ln — same stance as PSI/MI).
+
+    Scale containment: wedge generation is quadratic in supplier
+    degree, and trade suppliers are dense hubs by construction — so the
+    operator scores a DETERMINISTIC 1/``supplier_mod`` hash panel of
+    suppliers (``l_suppkey % supplier_mod = 0``; an estimate of the
+    full-graph ranking the way triangle_doulion estimates the census),
+    keeping the pair stage at ``|panel| · deg²`` independent of corpus
+    growth in the supplier dimension.  Output: top ``top_n`` pairs by
+    (n_common desc, cust_a, cust_b) — fully deterministic ordering.
+    """
+    pairs = (
+        lineitem.filter(F.pmod(F.col("l_suppkey"), F.lit(supplier_mod)) == 0)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c")
+        )
+        .distinct()
+    )
+    a, b = pairs.alias("a"), pairs.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("a.s") == F.col("b.s")) & (F.col("a.c") < F.col("b.c")),
+    ).select(F.col("a.c").alias("cust_a"), F.col("b.c").alias("cust_b"))
+    scored = wedges.groupBy("cust_a", "cust_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    return scored.orderBy(
+        F.col("n_common").desc(), F.col("cust_a"), F.col("cust_b")
+    ).limit(top_n)

@@ -2373,3 +2373,57 @@ def gk_lambda(
     return agg.select(
         "n_rows", "sum_modal", "global_modal", lam.alias("lambda_yx")
     )
+
+
+def conformal_band(
+    events: DataFrame,
+    group_col: str = "event_type",
+    q_num: int = 9,
+) -> DataFrame:
+    """Split-conformal prediction band per group: the q = 0.9 order
+    statistic of absolute residuals around the group mean gives a
+    distribution-free interval with finite-sample coverage ≥ q·(n+1)/n
+    — the calibration device model-serving pipelines wrap point
+    predictions with (here the "model" is the group mean; any scorer
+    slots in upstream).
+
+    Exactness protocol: residuals scale by n to stay integer —
+    ``R_i = |v_i·n − S|`` in cents·n (BIGINT: cents < 2^40, n < 2^22
+    at any per-group grain this table reaches) — the radius is the
+    ``min(n, ceil((n+1)·q/10))``-th smallest R (an exact rank pick,
+    value-deterministic under ties like pinball_eval's quantile), and
+    mean/radius surface with single pinned divisions.
+
+    Output: (group, n, mean, radius, lo, hi).  Scale shape: one
+    map-side-combined stats pass, one per-group rank window at event
+    grain, one aggregate.
+    """
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    base = events.select(F.col(group_col).alias("g"), cents.alias("v"))
+    stats = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+    )
+    resid = base.join(stats, "g").withColumn(
+        "r", F.abs(F.col("v") * F.col("n") - F.col("s"))
+    )
+    wv = Window.partitionBy("g").orderBy("r")
+    k = F.least(
+        F.col("n"),
+        F.ceil((F.col("n") + 1) * q_num / 10.0).cast("bigint"),
+    )
+    picked = resid.withColumn("rn", F.row_number().over(wv)).filter(
+        F.col("rn") == k
+    )
+    mean = (F.col("s").cast("double") / F.col("n")) / 100.0
+    radius = (
+        F.col("r").cast("double") / F.col("n").cast("double")
+    ) / 100.0
+    return picked.select(
+        F.col("g").alias(group_col),
+        "n",
+        mean.alias("mean"),
+        radius.alias("radius"),
+        (mean - radius).alias("lo"),
+        (mean + radius).alias("hi"),
+    )

@@ -543,3 +543,112 @@ def retrieval_eval(
             .alias("recall_at_k"),
         )
     )
+
+
+def search_snippets(
+    docs: DataFrame,
+    terms: tuple[str, ...] = ("data", "join"),
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snippet/highlight extraction: for every document hitting the
+    query, the best ``window``-token span by query-term density
+    (leftmost on ties) — the result-page stage after retrieval
+    (postings/BM25 say WHICH docs; the snippet says WHERE to look).
+
+    The whole selection is IN-ROW (the winnowing device): a transform
+    over window starts scores each span with filter+size over the
+    token-array slice, array_max elects the density, array_position
+    takes the leftmost argmax — one zero-shuffle codegen pass, O(len ·
+    window) per document, no explode of the corpus at span grain.
+
+    Output: (doc_id, best_pos, n_hits, snippet) for docs with ≥ 1 hit.
+    """
+    toks = tokens_array(F.col(text_col))
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - (window - 1), F.lit(1))
+    )
+    hits = F.transform(
+        starts,
+        lambda i: F.size(
+            F.filter(
+                F.slice(toks, i, window),
+                lambda t: F.array_contains(term_arr, t),
+            )
+        ),
+    )
+    out = spread(docs).select(
+        F.col(id_col),
+        toks.alias("t"),
+        hits.alias("hits"),
+    )
+    best = F.array_max(F.col("hits"))
+    pos = F.array_position(F.col("hits"), best)
+    return (
+        out.select(
+            id_col,
+            pos.cast("bigint").alias("best_pos"),
+            best.cast("bigint").alias("n_hits"),
+            F.concat_ws(
+                " ", F.slice(F.col("t"), pos.cast("int"), window)
+            ).alias("snippet"),
+        )
+        .filter(F.col("n_hits") >= 1)
+    )
+
+
+def fuzzy_search(
+    part: DataFrame,
+    queries: tuple[str, ...] = ("lrge", "bold", "gizmmo"),
+    max_dist: int = 1,
+) -> DataFrame:
+    """Fuzzy (typo-tolerant) vocabulary search: edit-distance matches
+    for each query against the part-name token vocabulary, with the
+    q-gram-lemma trigram prefilter — one Unicode edit destroys at most
+    3 distinct trigrams of the query, so a true match at distance ≤ d
+    shares ≥ m − 3d of the query's m distinct trigrams.  When that
+    bound is < 1 (short queries) the prefilter is provably powerless
+    and the operator scans the vocabulary instead of silently losing
+    recall — the honesty stance of substring_search's lossless filter.
+
+    Everything runs at VOCABULARY grain (distinct name tokens — the
+    inverted-index contract: the corpus contracts to tokens once, each
+    query probes tokens, never rows).  Output: (query, token, dist,
+    n_parts) for dist ≤ max_dist.
+    """
+    tok = (
+        part.select(
+            F.explode(F.split(F.col("p_name"), " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    )
+    outs = []
+    for q in queries:
+        trigs = sorted({q[i : i + 3] for i in range(len(q) - 2)})
+        thr = len(trigs) - 3 * max_dist
+        cand = tok
+        if thr >= 1:
+            shared = F.size(
+                F.filter(
+                    F.array(*[F.lit(g) for g in trigs]),
+                    lambda g: F.contains(F.col("token"), g),
+                )
+            )
+            cand = tok.filter(shared >= thr)
+        outs.append(
+            cand.select(
+                F.lit(q).alias("query"),
+                "token",
+                F.levenshtein(F.lit(q), F.col("token"))
+                .cast("bigint")
+                .alias("dist"),
+                "n_parts",
+            ).filter(F.col("dist") <= max_dist)
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

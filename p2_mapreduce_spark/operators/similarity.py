@@ -1519,3 +1519,75 @@ def kmeans_silhouette(
             ),
         )
     )
+
+
+def kmeans_purity(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 4,
+    iterations: int = 2,
+    scale_bits: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Cluster purity against a label column — the EXTERNAL quality
+    gate beside :func:`kmeans_silhouette`'s internal geometry score
+    (silhouette says "are the clusters tight?"; purity says "do they
+    agree with what we already know?", the check run before clusters
+    drive data mixing or SemDeDup budgets).
+
+    Same exact fixed-point Lloyd fit as :func:`kmeans_embeddings`
+    (bit-identical assignment, oracle-checkable by loop unrolling);
+    purity is then pure integer work on the (cluster × label)
+    contingency: modal label per cluster (ties break to the lowest
+    label) and ``purity = n_modal / n_members`` as one pinned
+    division.
+
+    Output: (cluster, n_members, modal_label, n_modal, purity).
+    Scale shape: corpus never shuffles for the fit (broadcast-literal
+    centroids); the contingency is a (k × labels)-grain aggregate.
+    """
+    emb, cents = _kmeans_fit(
+        embeddings, vec_col, id_col, k, iterations, scale_bits,
+        checkpoint_dir,
+    )
+    if not cents:
+        return embeddings.sparkSession.createDataFrame(
+            [],
+            "cluster bigint, n_members bigint, modal_label bigint, "
+            "n_modal bigint, purity double",
+        )
+    assign = emb.selectExpr(
+        "_id", f"({_kmeans_assign_sql(cents)}).cluster as cluster"
+    )
+    lab = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("bigint").alias("lbl"),
+    )
+    cells = (
+        assign.join(lab, "_id")
+        .groupBy("cluster", "lbl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cl"))
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("n_cl").desc(), F.col("lbl").asc()
+    )
+    top = cells.withColumn("rn", F.row_number().over(w))
+    sizes = cells.groupBy("cluster").agg(
+        F.sum("n_cl").cast("bigint").alias("n_members")
+    )
+    return (
+        top.filter(F.col("rn") == 1)
+        .join(sizes, "cluster")
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n_members",
+            F.col("lbl").alias("modal_label"),
+            F.col("n_cl").alias("n_modal"),
+            (
+                F.col("n_cl").cast("double")
+                / F.col("n_members").cast("double")
+            ).alias("purity"),
+        )
+    )

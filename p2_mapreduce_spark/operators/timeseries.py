@@ -1851,3 +1851,78 @@ def pinball_eval(
             / (10.0 * F.col("n_test").cast("double") * 100.0)
         ).alias("mean_pinball"),
     )
+
+
+def holt_linear(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Holt's linear (level + trend) exponential smoothing per group
+    with α = β = ½ — the two-parameter upgrade of :func:`ewma_daily`
+    that a trending series needs (EWMA lags a ramp forever; Holt's
+    trend state closes the gap), surfaced as the final level/trend and
+    the 7-day-ahead forecast every capacity dashboard quotes.
+
+    Determinism protocol: the recurrence is inherently sequential, so
+    it runs as a DAY-ORDERED ``aggregate()`` fold over the collected
+    day-grain array (the logrank cross-day device): every step is the
+    same pinned IEEE tree — ``l' = 0.5·(y + (l + b))``,
+    ``b' = 0.5·((l' − l) + b)`` — evaluated in the same order by any
+    engine, so the float states are bit-identical cross-engine without
+    integer scaling (which would overflow: the exact-rational form
+    carries 4^t denominators).
+
+    Scale shape: the fact table contracts map-side to (group, day)
+    cents; each group's fold is O(days) IN-ROW work over a
+    calendar-bounded array — no shuffle after the contraction.
+    Output: (group, n_days, level, trend, forecast7).
+    """
+    daily = _daily_cents(events, group_col)
+    arr = daily.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("d"), F.col("y")))
+        ).alias("ys"),
+    )
+    fold = F.aggregate(
+        F.col("ys"),
+        F.struct(
+            F.lit(0.0).alias("l"),
+            F.lit(0.0).alias("b"),
+            F.lit(True).alias("first"),
+        ),
+        lambda acc, s: F.when(
+            acc["first"],
+            F.struct(
+                s["y"].cast("double").alias("l"),
+                F.lit(0.0).alias("b"),
+                F.lit(False).alias("first"),
+            ),
+        ).otherwise(
+            F.struct(
+                (
+                    F.lit(0.5)
+                    * (s["y"].cast("double") + (acc["l"] + acc["b"]))
+                ).alias("l"),
+                (
+                    F.lit(0.5)
+                    * (
+                        (
+                            F.lit(0.5)
+                            * (s["y"].cast("double") + (acc["l"] + acc["b"]))
+                            - acc["l"]
+                        )
+                        + acc["b"]
+                    )
+                ).alias("b"),
+                F.lit(False).alias("first"),
+            )
+        ),
+    )
+    out = arr.withColumn("st", fold)
+    return out.select(
+        F.col("g").alias(group_col),
+        "n_days",
+        (F.col("st.l") / 100.0).alias("level"),
+        (F.col("st.b") / 100.0).alias("trend"),
+        ((F.col("st.l") + F.lit(7.0) * F.col("st.b")) / 100.0).alias(
+            "forecast7"
+        ),
+    )

@@ -236,6 +236,10 @@ FUNNEL_REVIEWED = {
     # pair/doc-count aggregates broadcast-crossed; candidate and truth
     # generation stay banded / prefix-capped
     "blocking_quality",
+    # abc_parts: the revenue_concentration justification — the
+    # #partitions-grain offset table of the two-phase rank + the
+    # one-row grand-total broadcast; part work is key-grain
+    "abc_parts",
 }
 
 

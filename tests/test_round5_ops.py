@@ -291,3 +291,150 @@ class TestJpeg420:
             + "03" + "014100" + "021100" + "031100"
         )
         assert _decode_jpeg(sof41) is None
+
+
+class TestAbcParts:
+    def test_classes_partition_revenue(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.analytics import abc_parts
+        from p2_mapreduce_spark.session import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        rows = {r["abc_class"]: r for r in abc_parts(li).collect()}
+        assert set(rows) <= {"A", "B", "C"} and "A" in rows
+        total_share = sum(r["revenue_share"] for r in rows.values())
+        assert abs(total_share - 1.0) < 1e-9
+        # A-parts produce at most 80% of revenue but more than any
+        # single later class's per-part average implies
+        assert rows["A"]["revenue_share"] <= 0.8 + 1e-12
+        if "C" in rows:
+            a_avg = rows["A"]["class_cents"] / rows["A"]["n_parts"]
+            c_avg = rows["C"]["class_cents"] / rows["C"]["n_parts"]
+            assert a_avg > c_avg
+
+    def test_hand_computed(self, spark):
+        from p2_mapreduce_spark.operators.analytics import abc_parts
+
+        # revenues 70, 20, 6, 4 (discount 0): cum shares .7, .9, .96, 1
+        li = spark.createDataFrame(
+            [(k, float(v), 0.0) for k, v in
+             [(1, 70), (2, 20), (3, 6), (4, 4)]],
+            ["l_partkey", "l_extendedprice", "l_discount"],
+        )
+        got = {r["abc_class"]: r["n_parts"] for r in abc_parts(li).collect()}
+        assert got == {"A": 1, "B": 1, "C": 2}
+
+
+class TestHoltLinear:
+    def test_linear_ramp_learns_trend(self, spark):
+        from p2_mapreduce_spark.operators.timeseries import holt_linear
+
+        # y_t = 10·(t+1): Holt with alpha=beta=.5 converges toward
+        # trend 10 and forecast ahead of the last level
+        ev = _events(spark, [(d, "view", 10 * (d + 1)) for d in range(20)])
+        r = holt_linear(ev).collect()[0]
+        assert r["n_days"] == 20
+        assert 8.0 < r["trend"] < 12.0
+        assert r["forecast7"] > r["level"]
+
+    def test_constant_series(self, spark):
+        from p2_mapreduce_spark.operators.timeseries import holt_linear
+
+        ev = _events(spark, [(d, "view", 42) for d in range(10)])
+        r = holt_linear(ev).collect()[0]
+        assert abs(r["level"] - 42.0) < 1e-9
+        assert abs(r["trend"]) < 1e-9
+        assert abs(r["forecast7"] - 42.0) < 1e-9
+
+
+class TestConformalBand:
+    def test_coverage_on_fixture(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.profile import conformal_band
+        from p2_mapreduce_spark.session import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        bands = {r["event_type"]: r for r in conformal_band(ev).collect()}
+        import pyspark.sql.functions as F2
+
+        for g, r in bands.items():
+            assert r["lo"] <= r["mean"] <= r["hi"]
+            n_in = ev.filter(
+                (F2.col("event_type") == g)
+                & (F2.col("value") >= r["lo"] - 1e-9)
+                & (F2.col("value") <= r["hi"] + 1e-9)
+            ).count()
+            # finite-sample guarantee: ≥ q·(n+1)/n − 1/n coverage;
+            # assert the practical floor
+            assert n_in / r["n"] >= 0.88
+
+
+class TestGraphShape:
+    def test_degree_histogram_conserves_nodes_and_edges(self, spark):
+        from p2_mapreduce_spark.operators.graph import degree_histogram
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4), (4, 4)], ["u", "v"]
+        )
+        rows = degree_histogram(edges).collect()
+        # self-loop dropped: degrees 1:{2,} ... nodes 1,2 deg 2; 3 deg 3; 4 deg 1
+        got = {r["degree"]: r["n_nodes"] for r in rows}
+        assert got == {2: 2, 3: 1, 1: 1}
+
+    def test_link_prediction_deterministic_top(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.graph import link_prediction
+        from p2_mapreduce_spark.session import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        od = load_table(spark, sf_dir, "orders")
+        a = link_prediction(li, od).collect()
+        b = link_prediction(li, od).collect()
+        assert a == b and len(a) <= 20
+        scores = [r["n_common"] for r in a]
+        assert scores == sorted(scores, reverse=True)
+
+
+class TestSearchRound5:
+    def test_snippet_finds_dense_window(self, spark):
+        from p2_mapreduce_spark.operators.search import search_snippets
+
+        docs = spark.createDataFrame(
+            [
+                (1, "xx yy zz aa bb cc dd ee data join data ff"),
+                (2, "nothing relevant here at all"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r for r in search_snippets(docs).collect()}
+        assert 2 not in rows
+        r = rows[1]
+        assert r["n_hits"] == 3
+        assert "data join data" in r["snippet"]
+
+    def test_fuzzy_matches_typos(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.search import fuzzy_search
+        from p2_mapreduce_spark.session import load_table
+
+        part = load_table(spark, sf_dir, "part")
+        got = {(r["query"], r["token"]) for r in fuzzy_search(part).collect()}
+        assert ("lrge", "large") in got
+        assert ("gizmmo", "gizmo") in got
+        assert ("bold", "bolt") in got and ("bold", "cold") in got
+
+
+class TestKmeansPurity:
+    def test_purity_bounds_and_totals(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.similarity import (
+            kmeans_embeddings,
+            kmeans_purity,
+        )
+        from p2_mapreduce_spark.session import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        pur = kmeans_purity(emb).collect()
+        km = {r["cluster"]: r["n_members"]
+              for r in kmeans_embeddings(emb).collect()}
+        for r in pur:
+            assert 0.0 < r["purity"] <= 1.0
+            assert r["n_modal"] <= r["n_members"]
+            # same assignment as the clustering op
+            assert km[r["cluster"]] == r["n_members"]
+        assert sum(r["n_members"] for r in pur) == emb.count()
