@@ -1743,6 +1743,48 @@ def _q_kmeans_purity(spark, sf_dir):
     return kmeans_purity(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_average_precision(spark, sf_dir):
+    """AUC-PR summary (average precision) of the quality classifier via
+    the two-phase rank with nano-quantized precision terms."""
+    from p2_mapreduce_spark.operators.curation import average_precision
+
+    return average_precision(load_table(spark, sf_dir, "documents"))
+
+
+def _q_isotonic_calibration(spark, sf_dir):
+    """Isotonic (PAV minimax closed form) fit of the reliability curve
+    over the calibration bins — in-row O(B³) at config grain."""
+    from p2_mapreduce_spark.operators.curation import isotonic_calibration
+
+    return isotonic_calibration(load_table(spark, sf_dir, "documents"))
+
+
+def _q_raking_weights(spark, sf_dir):
+    """IPF raking of (source × lang) cell weights to a uniform language
+    marginal — BIGINT micro-unit fixed-iteration loop."""
+    from p2_mapreduce_spark.operators.curation import raking_weights
+
+    return raking_weights(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster size histogram from the shared memoized
+    closure stage — the shape report a dedup sweep is sized by."""
+    from pyspark.sql import functions as F
+
+    dc = _shared_dup_clusters(spark, sf_dir)
+    return (
+        dc.select("cluster", "cluster_size")
+        .distinct()
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+        )
+    )
+
+
 def _q_weighted_median(spark, sf_dir):
     """Weighted quantile via the two-phase distributed rank: smallest
     value whose cumulative integer weight reaches half the group total
@@ -3448,6 +3490,8 @@ _ROUND5_NEW = (
     "decile_lift", "token_dropout", "blocking_quality", "media_jpeg420",
     "abc_parts", "holt_linear", "conformal_band", "degree_histogram",
     "link_prediction", "search_snippets", "fuzzy_search", "kmeans_purity",
+    "average_precision", "isotonic_calibration", "raking_weights",
+    "dup_cluster_sizes",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -3622,6 +3666,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_snippets": _q_search_snippets,
         "fuzzy_search": _q_fuzzy_search,
         "kmeans_purity": _q_kmeans_purity,
+        "average_precision": _q_average_precision,
+        "isotonic_calibration": _q_isotonic_calibration,
+        "raking_weights": _q_raking_weights,
+        "dup_cluster_sizes": _q_dup_cluster_sizes,
         "audio_wav": _q_audio_wav,
         "weighted_median": _q_weighted_median,
         "kmv_distinct": _q_kmv_distinct,
@@ -4296,6 +4344,43 @@ def _kmeans_purity_oracle(
                CAST(t.n_cl AS DOUBLE) / CAST(s.n_members AS DOUBLE)
                    AS purity
         FROM topc t JOIN sizes s USING (cluster)"""
+
+
+def _raking_oracle(iterations: int = 3) -> str:
+    """Unrolled-loop twin of curation.raking_weights: BIGINT micro-unit
+    weights, one pinned ratio multiply per IPF step."""
+    sql = """
+        WITH cells AS (SELECT source AS r, lang AS c, COUNT(*) AS n
+                       FROM documents GROUP BY 1, 2),
+        row_t AS (SELECT r, SUM(n) * 1000000 AS t_micro
+                  FROM cells GROUP BY 1),
+        tot AS (SELECT SUM(n) AS total, COUNT(DISTINCT c) AS n_cols
+                FROM cells),
+        col_t AS (SELECT (total * 1000000) // n_cols AS tc_micro
+                  FROM tot),
+        w0 AS (SELECT r, c, n, n * 1000000 AS w FROM cells)"""
+    cur = "w0"
+    for t in range(1, int(iterations) + 1):
+        sql += f""",
+        rs{t} AS (SELECT r, SUM(w) AS s FROM {cur} GROUP BY 1),
+        wr{t} AS (SELECT x.r, x.c, x.n,
+                         CAST(floor(CAST(w AS DOUBLE)
+                              * (CAST(t_micro AS DOUBLE)
+                                 / CAST(s AS DOUBLE))) AS BIGINT) AS w
+                  FROM {cur} x JOIN rs{t} USING (r)
+                  JOIN row_t USING (r)),
+        cs{t} AS (SELECT c, SUM(w) AS s FROM wr{t} GROUP BY 1),
+        wc{t} AS (SELECT x.r, x.c, x.n,
+                         CAST(floor(CAST(w AS DOUBLE)
+                              * (CAST(tc_micro AS DOUBLE)
+                                 / CAST(s AS DOUBLE))) AS BIGINT) AS w
+                  FROM wr{t} x JOIN cs{t} USING (c), col_t)"""
+        cur = f"wc{t}"
+    sql += f"""
+        SELECT r AS source, c AS lang, CAST(n AS BIGINT) AS n_docs,
+               w AS w_micro, CAST(w AS DOUBLE) / 1.0e6 AS weight
+        FROM {cur}"""
+    return sql
 
 
 def _pagerank_oracle(iterations: int = 3) -> str:
@@ -12717,6 +12802,85 @@ def oracle_sql() -> dict[str, str]:
           AND levenshtein('gizmmo', token) <= 1
     """
     out["kmeans_purity"] = _kmeans_purity_oracle()
+    out["raking_weights"] = _raking_oracle()
+    out["average_precision"] = f"""
+        WITH m AS (
+            SELECT doc_id, lang,
+                   CAST(-500 + 5 * len(t) + 20 * len(list_distinct(t))
+                        - 2 * strlen(text)
+                        + 100 * len(regexp_extract_all(lower(text),
+                              '\\b(the|and|of|to|a|in)\\b'))
+                        AS BIGINT) AS margin
+            FROM ({toks})
+        ),
+        rk AS (
+            SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+                   row_number() OVER (ORDER BY margin DESC, doc_id ASC)
+                       AS k,
+                   SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       OVER (ORDER BY margin DESC, doc_id ASC) AS cum_pos
+            FROM m
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(pos) AS BIGINT) AS n_pos
+            FROM rk
+        ),
+        agg AS (
+            SELECT CAST(COALESCE(SUM((cum_pos * 1000000000) // k), 0)
+                        AS BIGINT) AS ap_nano_sum
+            FROM rk WHERE pos = 1
+        )
+        SELECT n_docs, n_pos, ap_nano_sum,
+               CASE WHEN n_pos = 0 THEN 0.0
+                    ELSE (CAST(ap_nano_sum AS DOUBLE) / 1.0e9)
+                         / CAST(n_pos AS DOUBLE)
+               END AS average_precision
+        FROM tot, agg
+    """
+    out["isotonic_calibration"] = f"""
+        WITH cb AS (
+            SELECT bin, n_docs, n_pos
+            FROM ({out['calibration_bins']})
+        ),
+        ord_b AS (
+            SELECT *, row_number() OVER (ORDER BY bin) AS i FROM cb
+        ),
+        pre AS (
+            SELECT i, bin, n_docs, n_pos,
+                   SUM(n_pos) OVER (ORDER BY i) AS ppos,
+                   SUM(n_docs) OVER (ORDER BY i) AS pn
+            FROM ord_b
+        ),
+        spans AS (
+            SELECT j.i AS j, k.i AS k,
+                   CAST(k.ppos - COALESCE(jm.ppos, 0) AS DOUBLE)
+                   / CAST(k.pn - COALESCE(jm.pn, 0) AS DOUBLE) AS rate
+            FROM pre j
+            JOIN pre k ON j.i <= k.i
+            LEFT JOIN pre jm ON jm.i = j.i - 1
+        ),
+        inner_m AS (
+            SELECT s.j, b.i AS i, MIN(s.rate) AS mn
+            FROM spans s JOIN ord_b b ON s.k >= b.i AND s.j <= b.i
+            GROUP BY 1, 2
+        ),
+        iso AS (SELECT i, MAX(mn) AS iso_rate FROM inner_m GROUP BY 1)
+        SELECT p.bin,
+               CAST(p.n_docs AS BIGINT) AS n_docs,
+               CAST(p.n_pos AS BIGINT) AS n_pos,
+               CAST(p.n_pos AS DOUBLE) / CAST(p.n_docs AS DOUBLE)
+                   AS raw_rate,
+               iso.iso_rate
+        FROM pre p JOIN iso USING (i)
+    """
+    out["dup_cluster_sizes"] = f"""
+        WITH dcs AS ({out['dup_clusters']})
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters
+        FROM dcs
+        GROUP BY 1
+    """
     out["media_jpeg420"] = """
         -- closed-form twin of the 4:2:0 payload design: Y alternates
         -- by 8-px STRIPE inside each MCU (block index 4m+2v+u → parity

@@ -1786,3 +1786,282 @@ def token_dropout(
         F.size(keep).cast("bigint").alias("n_kept"),
         F.concat_ws(" ", keep).alias("text_aug"),
     )
+
+
+def average_precision(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Average precision (AUC-PR summary) of the quality classifier
+    against the ``lang = 'en'`` label — the imbalance-robust companion
+    to :func:`classifier_auc`'s ROC AUC (with rare positives, ROC
+    flatters any ranker; AP weights by precision at each positive hit,
+    which is what retrieval/filter gates actually experience).
+
+    AP = (1/n₊)·Σ_{positives at rank k} cum_pos(k)/k over the (margin
+    desc, id) ranking.  Ranks and cumulative positive counts come from
+    the two-phase distributed rank/prefix-sum (range partition → local
+    windows → broadcast offset table); each precision term quantizes to
+    NANO units — ``(cum_pos·10⁹) div k`` — so the cross-positive sum is
+    an exact BIGINT (order-independent at any scale; overflow needs
+    cum_pos > 9·10⁹ docs) and AP surfaces with two pinned divisions.
+
+    Output (one row): (n_docs, n_pos, ap_nano_sum, average_precision).
+    """
+    scored = quality_classifier(docs, text_col, id_col).select(
+        F.col(id_col).alias("doc_id"), "margin"
+    ).join(
+        spread(docs).select(
+            F.col(id_col).alias("doc_id"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        ),
+        "doc_id",
+    )
+    part = scored.repartitionByRange(
+        32, F.col("margin").desc(), F.col("doc_id").asc()
+    ).withColumn("pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("pid")
+        .orderBy(F.col("margin").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy(
+                F.col("margin").desc(), F.col("doc_id").asc()
+            )
+        ),
+    ).withColumn("cpos", F.sum("pos").over(w))
+    offsets = (
+        local.groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("pos").alias("psum"),
+        )
+        .withColumn(
+            "off_rank",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "off_pos",
+            F.coalesce(
+                F.sum("psum").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "off_rank", "off_pos")
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").select(
+        "pos",
+        (F.col("off_rank") + F.col("rn")).alias("k"),
+        (F.col("off_pos") + F.col("cpos")).alias("cum_pos"),
+    )
+    terms = ranked.filter(F.col("pos") == 1).select(
+        F.expr("(cum_pos * 1000000000) div k").alias("t")
+    )
+    total = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    agg = terms.agg(F.sum("t").cast("bigint").alias("ap_nano_sum"))
+    ap = F.when(F.col("n_pos") == 0, F.lit(0.0)).otherwise(
+        (F.col("ap_nano_sum").cast("double") / 1.0e9)
+        / F.col("n_pos").cast("double")
+    )
+    return total.crossJoin(F.broadcast(agg)).select(
+        "n_docs", "n_pos",
+        F.coalesce("ap_nano_sum", F.lit(0)).alias("ap_nano_sum"),
+        ap.alias("average_precision"),
+    )
+
+
+def isotonic_calibration(
+    docs: DataFrame,
+    n_bins: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Isotonic (PAV) calibration of the classifier's reliability curve
+    — the monotone fit applied on top of :func:`calibration_bins`' raw
+    per-bin rates (the standard post-hoc calibrator next to Platt
+    scaling, whose sigmoid/log is not cross-engine pinned; isotonic is
+    pure order statistics and minimax means).
+
+    Uses the minimax closed form instead of the sequential
+    pool-adjacent-violators sweep: ``iso_i = max_{j≤i} min_{k≥i}
+    rate(j..k)`` over the present bins — O(B³) IN-ROW work on the
+    config-grain bin table (B ≤ 10), with every span rate ONE pinned
+    division of exact BIGINT prefix sums, so the fit is bit-identical
+    cross-engine with no recursion anywhere.
+
+    Output: (bin, n_docs, n_pos, raw_rate, iso_rate); iso_rate is the
+    nondecreasing projection of raw_rate under bin weights.
+    """
+    cb = calibration_bins(docs, n_bins, text_col, id_col).select(
+        "bin", "n_docs", "n_pos"
+    )
+    packed = cb.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("bin", "n_docs", "n_pos"))
+        ).alias("bs")
+    )
+    b = F.size(F.col("bs"))
+    idx = F.sequence(F.lit(1), b)
+    # exact BIGINT prefix sums over the sorted bin list (index 0 = 0)
+    ppos = F.concat(
+        F.array(F.lit(0).cast("bigint")),
+        F.transform(
+            idx,
+            lambda i: F.aggregate(
+                F.slice(F.col("bs"), F.lit(1), i),
+                F.lit(0).cast("bigint"),
+                lambda acc, s: acc + s["n_pos"],
+            ),
+        ),
+    )
+    pn = F.concat(
+        F.array(F.lit(0).cast("bigint")),
+        F.transform(
+            idx,
+            lambda i: F.aggregate(
+                F.slice(F.col("bs"), F.lit(1), i),
+                F.lit(0).cast("bigint"),
+                lambda acc, s: acc + s["n_docs"],
+            ),
+        ),
+    )
+    packed = packed.withColumn("ppos", ppos).withColumn("pn", pn)
+    rate = lambda j, k: (  # noqa: E731 — span rate over bins j..k
+        (
+            F.element_at(F.col("ppos"), k + 1)
+            - F.element_at(F.col("ppos"), j)
+        ).cast("double")
+        / (
+            F.element_at(F.col("pn"), k + 1)
+            - F.element_at(F.col("pn"), j)
+        ).cast("double")
+    )
+    iso = F.transform(
+        F.sequence(F.lit(1), b),
+        lambda i: F.array_max(
+            F.transform(
+                F.sequence(F.lit(1), i),
+                lambda j: F.array_min(
+                    F.transform(
+                        F.sequence(i, b),
+                        lambda k: rate(j, k),
+                    )
+                ),
+            )
+        ),
+    )
+    out = packed.withColumn("iso", iso).select(
+        F.posexplode(
+            F.arrays_zip(F.col("bs"), F.col("iso"))
+        ).alias("i", "z")
+    )
+    raw = (
+        F.col("z.bs.n_pos").cast("double")
+        / F.col("z.bs.n_docs").cast("double")
+    )
+    return out.select(
+        F.col("z.bs.bin").alias("bin"),
+        F.col("z.bs.n_docs").cast("bigint").alias("n_docs"),
+        F.col("z.bs.n_pos").cast("bigint").alias("n_pos"),
+        raw.alias("raw_rate"),
+        F.col("z.iso").alias("iso_rate"),
+    )
+
+
+def raking_weights(
+    docs: DataFrame,
+    row_col: str = "source",
+    col_col: str = "lang",
+    iterations: int = 3,
+) -> DataFrame:
+    """Iterative proportional fitting (raking) of corpus weights: cell
+    weights over the (source × lang) contingency calibrated so the
+    LANGUAGE marginal becomes uniform while the SOURCE marginal stays
+    at its observed counts — the survey-statistics reweighting a
+    pretraining mix uses to hit target language shares without
+    dropping data (the multiplicative sibling of mixture_plan's
+    selection approach).
+
+    Determinism protocol: weights live in BIGINT micro-units; each IPF
+    step multiplies by ONE pinned ratio of exact sums (``floor(w ·
+    (target_micro / sum_micro))``), so every round's state is exact
+    integers and the whole fixed-iteration loop value-hashes against an
+    unrolled CTE (the pagerank device).  Micro-precision floors each
+    step; with targets ≥ 1 doc the relative drift per step is < 1e-6 —
+    quantization, not randomness.
+
+    Scale shape: the corpus contracts to the contingency ONCE
+    (map-side combined); all ``2·iterations`` steps run at GRID grain
+    (|sources| × |langs|) with broadcast marginal tables — iteration
+    cost independent of corpus size.  Output: (source, lang, n_docs,
+    w_micro, weight) — ``weight`` is the calibrated cell mass; divide
+    by n_docs for a per-document weight.
+    """
+    cells = docs.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    row_t = cells.groupBy("r").agg(
+        (F.sum("n") * 1_000_000).alias("t_micro")
+    )
+    tot = cells.agg(
+        F.sum("n").alias("total"),
+        F.countDistinct("c").alias("n_cols"),
+    )
+    col_t = tot.select(
+        F.expr("(total * 1000000) div n_cols").alias("tc_micro")
+    )
+    w = cells.withColumn("w", F.col("n") * 1_000_000)
+    for _ in range(int(iterations)):
+        rs = w.groupBy("r").agg(F.sum("w").alias("s"))
+        w = (
+            w.join(F.broadcast(rs), "r")
+            .join(F.broadcast(row_t), "r")
+            .select(
+                "r", "c", "n",
+                F.floor(
+                    F.col("w").cast("double")
+                    * (
+                        F.col("t_micro").cast("double")
+                        / F.col("s").cast("double")
+                    )
+                ).cast("bigint").alias("w"),
+            )
+        )
+        cs = w.groupBy("c").agg(F.sum("w").alias("s"))
+        w = (
+            w.join(F.broadcast(cs), "c")
+            .crossJoin(F.broadcast(col_t))
+            .select(
+                "r", "c", "n",
+                F.floor(
+                    F.col("w").cast("double")
+                    * (
+                        F.col("tc_micro").cast("double")
+                        / F.col("s").cast("double")
+                    )
+                ).cast("bigint").alias("w"),
+            )
+        )
+    return w.select(
+        F.col("r").alias(row_col),
+        F.col("c").alias(col_col),
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("w").alias("w_micro"),
+        (F.col("w").cast("double") / 1.0e6).alias("weight"),
+    )

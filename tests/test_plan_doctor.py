@@ -240,6 +240,18 @@ FUNNEL_REVIEWED = {
     # #partitions-grain offset table of the two-phase rank + the
     # one-row grand-total broadcast; part work is key-grain
     "abc_parts",
+    # average_precision: the quality_budget two-phase-rank pattern —
+    # #partitions-grain offset table + one-row totals/term-sum
+    # aggregates broadcast-crossed
+    "average_precision",
+    # isotonic_calibration: the whole PAV fit runs on ONE packed row of
+    # ≤ n_bins structs (config grain — the neyman_alloc justification)
+    # plus calibration_bins' reviewed one-row min/max broadcast
+    "isotonic_calibration",
+    # raking_weights: every IPF step is a GRID-grain (sources × langs)
+    # aggregate + broadcast marginal table; the one-row total/col-count
+    # aggregate is the chi2_drift justification
+    "raking_weights",
 }
 
 

@@ -438,3 +438,115 @@ class TestKmeansPurity:
             # same assignment as the clustering op
             assert km[r["cluster"]] == r["n_members"]
         assert sum(r["n_members"] for r in pur) == emb.count()
+
+
+class TestAveragePrecision:
+    def test_perfect_and_worst_ranking(self, spark):
+        from p2_mapreduce_spark.operators.curation import average_precision
+
+        # long English docs outrank short foreign ones by margin →
+        # construct so positives (en) rank first: margin grows with
+        # token count and 'the' hits
+        docs = spark.createDataFrame(
+            [(i, "the " * 40 + "alpha beta", "en") for i in range(5)]
+            + [(i, "corto", "es") for i in range(5, 10)],
+            ["doc_id", "text", "lang"],
+        )
+        r = average_precision(docs).collect()[0]
+        assert r["n_pos"] == 5 and r["n_docs"] == 10
+        # positives occupy ranks 1..5 → every precision term is 1 (up
+        # to nano flooring)
+        assert r["average_precision"] > 0.999999
+
+    def test_matches_bruteforce_on_fixture(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.curation import (
+            average_precision,
+            quality_classifier,
+        )
+        from p2_mapreduce_spark.session import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        r = average_precision(docs).collect()[0]
+        import pyspark.sql.functions as F2
+
+        scored = (
+            quality_classifier(docs)
+            .select("doc_id", "margin")
+            .join(
+                docs.select(
+                    "doc_id",
+                    (F2.col("lang") == "en").cast("int").alias("pos"),
+                ),
+                "doc_id",
+            )
+            .orderBy(F2.col("margin").desc(), F2.col("doc_id"))
+            .collect()
+        )
+        cum = 0
+        s = 0
+        for k, row in enumerate(scored, 1):
+            if row["pos"]:
+                cum += 1
+                s += (cum * 10**9) // k
+        assert r["ap_nano_sum"] == s
+
+
+class TestIsotonicCalibration:
+    def test_monotone_and_weighted_mean_preserved(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.curation import isotonic_calibration
+        from p2_mapreduce_spark.session import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        rows = sorted(
+            isotonic_calibration(docs).collect(), key=lambda r: r["bin"]
+        )
+        iso = [r["iso_rate"] for r in rows]
+        assert iso == sorted(iso), "isotonic fit must be nondecreasing"
+        # PAV preserves the weighted mean of the response
+        tot_n = sum(r["n_docs"] for r in rows)
+        raw_mean = sum(r["n_pos"] for r in rows) / tot_n
+        iso_mean = sum(r["iso_rate"] * r["n_docs"] for r in rows) / tot_n
+        assert abs(raw_mean - iso_mean) < 1e-9
+        for r in rows:
+            assert 0.0 <= r["iso_rate"] <= 1.0
+
+
+class TestRakingWeights:
+    def test_margins_converge(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.curation import raking_weights
+        from p2_mapreduce_spark.session import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        rows = raking_weights(docs).collect()
+        total = sum(r["n_docs"] for r in rows)
+        langs = {r["lang"] for r in rows}
+        # after the final column step, language marginals are exactly
+        # uniform (up to micro flooring)
+        per_lang = {}
+        for r in rows:
+            per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + r["weight"]
+        target = total / len(langs)
+        for v in per_lang.values():
+            assert abs(v - target) / target < 1e-3
+        # source marginals stay near observed (raking converges fast)
+        per_src_w = {}
+        per_src_n = {}
+        for r in rows:
+            per_src_w[r["source"]] = per_src_w.get(r["source"], 0) + r["weight"]
+            per_src_n[r["source"]] = per_src_n.get(r["source"], 0) + r["n_docs"]
+        for s in per_src_w:
+            assert abs(per_src_w[s] - per_src_n[s]) / per_src_n[s] < 0.25
+
+
+class TestDupClusterSizes:
+    def test_histogram_consistent_with_clusters(self, spark, sf_dir):
+        import __spark_entry__ as em
+
+        qs = em.queries()
+        sizes = {
+            r["cluster_size"]: r["n_clusters"]
+            for r in qs["dup_cluster_sizes"](spark, sf_dir).collect()
+        }
+        assert sizes, "fixture seeds near-dups, histogram can't be empty"
+        for sz, n in sizes.items():
+            assert sz >= 2 and n >= 1
