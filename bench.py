@@ -472,10 +472,16 @@ def main() -> None:
     # Raw first-sample timings are preserved in bench_out.json under
     # "queries_raw" so cross-round comparisons can be made like-for-like
     # against older single-shot rounds.
+    # Every queries() entry is a headline query (round-3 policy): the
+    # HEADLINE tuple pins the measurement ORDER for round-over-round
+    # comparability, and any ids registered after the tuple was frozen
+    # (this round's new operators) append in sorted order at the end —
+    # so a new operator can never silently escape the benchmark.
+    names = list(HEADLINE) + sorted(set(queries) - set(HEADLINE))
     timings: dict[str, float] = {}
     raw: dict[str, float] = {}
     try:
-        for name in HEADLINE:
+        for name in names:
             t1 = timed(name)
             raw[name] = t1
             t2 = timed(name)
@@ -488,7 +494,7 @@ def main() -> None:
         _DF.persist = orig_persist
     total = round(sum(timings.values()), 3)
     shared_payer = next(
-        (n for n in HEADLINE if n in _SHARED_STAGE_FAMILY), None
+        (n for n in names if n in _SHARED_STAGE_FAMILY), None
     )
     compact = json.dumps(
         {

@@ -2013,55 +2013,54 @@ def raking_weights(
     w_micro, weight) — ``weight`` is the calibrated cell mass; divide
     by n_docs for a per-document weight.
     """
-    cells = docs.groupBy(
-        F.col(row_col).alias("r"), F.col(col_col).alias("c")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    row_t = cells.groupBy("r").agg(
-        (F.sum("n") * 1_000_000).alias("t_micro")
+    import math
+
+    # ONE corpus pass contracts to the contingency; the IPF loop then
+    # runs DRIVER-SIDE over the collected grid (|sources| × |langs| —
+    # config grain, the same documented bound as kmeans' driver-held
+    # centroids and BPE's per-round argmax).  A distributed loop here
+    # re-evaluates the corpus aggregate once per lazy step (measured
+    # 5.6 s for 6 grid-grain steps at sf0.1); driver arithmetic on ≤ a
+    # few hundred BIGINTs is exact, engine-neutral (CPython float IS
+    # IEEE double, math.floor matches SQL floor), and costs nothing.
+    cells = (
+        docs.groupBy(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
-    tot = cells.agg(
-        F.sum("n").alias("total"),
-        F.countDistinct("c").alias("n_cols"),
-    )
-    col_t = tot.select(
-        F.expr("(total * 1000000) div n_cols").alias("tc_micro")
-    )
-    w = cells.withColumn("w", F.col("n") * 1_000_000)
+    grid = {(row["r"], row["c"]): int(row["n"]) for row in cells}
+    row_t = {}
+    col_keys = set()
+    total = 0
+    for (r, c), n in grid.items():
+        row_t[r] = row_t.get(r, 0) + n * 1_000_000
+        col_keys.add(c)
+        total += n
+    tc_micro = (total * 1_000_000) // len(col_keys) if col_keys else 0
+    w = {k: n * 1_000_000 for k, n in grid.items()}
     for _ in range(int(iterations)):
-        rs = w.groupBy("r").agg(F.sum("w").alias("s"))
-        w = (
-            w.join(F.broadcast(rs), "r")
-            .join(F.broadcast(row_t), "r")
-            .select(
-                "r", "c", "n",
-                F.floor(
-                    F.col("w").cast("double")
-                    * (
-                        F.col("t_micro").cast("double")
-                        / F.col("s").cast("double")
-                    )
-                ).cast("bigint").alias("w"),
-            )
-        )
-        cs = w.groupBy("c").agg(F.sum("w").alias("s"))
-        w = (
-            w.join(F.broadcast(cs), "c")
-            .crossJoin(F.broadcast(col_t))
-            .select(
-                "r", "c", "n",
-                F.floor(
-                    F.col("w").cast("double")
-                    * (
-                        F.col("tc_micro").cast("double")
-                        / F.col("s").cast("double")
-                    )
-                ).cast("bigint").alias("w"),
-            )
-        )
-    return w.select(
-        F.col("r").alias(row_col),
-        F.col("c").alias(col_col),
-        F.col("n").cast("bigint").alias("n_docs"),
-        F.col("w").alias("w_micro"),
-        (F.col("w").cast("double") / 1.0e6).alias("weight"),
+        rs: dict = {}
+        for (r, _c), wv in w.items():
+            rs[r] = rs.get(r, 0) + wv
+        w = {
+            (r, c): math.floor(float(wv) * (float(row_t[r]) / float(rs[r])))
+            for (r, c), wv in w.items()
+        }
+        cs: dict = {}
+        for (_r, c), wv in w.items():
+            cs[c] = cs.get(c, 0) + wv
+        w = {
+            (r, c): math.floor(float(wv) * (float(tc_micro) / float(cs[c])))
+            for (r, c), wv in w.items()
+        }
+    rows = [
+        (r, c, grid[(r, c)], w[(r, c)], w[(r, c)] / 1.0e6)
+        for (r, c) in sorted(grid)
+    ]
+    return docs.sparkSession.createDataFrame(
+        rows,
+        schema=(
+            f"{row_col} string, {col_col} string, n_docs bigint, "
+            "w_micro bigint, weight double"
+        ),
     )

@@ -1342,11 +1342,35 @@ def link_prediction(
         )
         .distinct()
     )
-    a, b = pairs.alias("a"), pairs.alias("b")
-    wedges = a.join(
-        b,
-        (F.col("a.s") == F.col("b.s")) & (F.col("a.c") < F.col("b.c")),
-    ).select(F.col("a.c").alias("cust_a"), F.col("b.c").alias("cust_b"))
+    # wedge generation IN-ROW from each supplier's sorted customer
+    # array instead of a (s, c)×(s, c) self-join: one shuffle to
+    # supplier grain, pair expansion map-side (the sorted array makes
+    # cust_a < cust_b free), then the pair-count aggregate — two
+    # exchanges total where the join form paid three plus a join build
+    from p2_mapreduce_spark.session import spread
+
+    # the supplier-grain adjacency is tiny (AQE would coalesce it to one
+    # task) but each row EXPLODES to deg² pairs — spread it across the
+    # cores before the expansion so the wedge work parallelizes
+    adj = spread(
+        pairs.groupBy("s").agg(
+            F.array_sort(F.collect_list("c")).alias("cs")
+        )
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("cs"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("cs"), i + 2, F.greatest(F.size("cs") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("cust_a"), y.alias("cust_b")),
+            ),
+        )
+    )
+    wedges = adj.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.cust_a"), F.col("p.cust_b")
+    )
     scored = wedges.groupBy("cust_a", "cust_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_common")
     )

@@ -248,10 +248,6 @@ FUNNEL_REVIEWED = {
     # ≤ n_bins structs (config grain — the neyman_alloc justification)
     # plus calibration_bins' reviewed one-row min/max broadcast
     "isotonic_calibration",
-    # raking_weights: every IPF step is a GRID-grain (sources × langs)
-    # aggregate + broadcast marginal table; the one-row total/col-count
-    # aggregate is the chi2_drift justification
-    "raking_weights",
 }
 
 
