@@ -1785,6 +1785,19 @@ def _q_dup_cluster_sizes(spark, sf_dir):
     )
 
 
+def _q_audio_adpcm(spark, sf_dir):
+    """Real IMA-ADPCM (compressed audio, format 0x0011) decode of
+    JVM-built spec-valid WAVs: the table-driven predictive state
+    machine per nibble, oracle-checked by an unrolled SQL recurrence."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        adpcm_sample_sums,
+        attach_adpcm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return adpcm_sample_sums(attach_adpcm(docs))
+
+
 def _q_weighted_median(spark, sf_dir):
     """Weighted quantile via the two-phase distributed rank: smallest
     value whose cumulative integer weight reaches half the group total
@@ -3491,7 +3504,7 @@ _ROUND5_NEW = (
     "abc_parts", "holt_linear", "conformal_band", "degree_histogram",
     "link_prediction", "search_snippets", "fuzzy_search", "kmeans_purity",
     "average_precision", "isotonic_calibration", "raking_weights",
-    "dup_cluster_sizes",
+    "dup_cluster_sizes", "audio_adpcm",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -3670,6 +3683,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calibration": _q_isotonic_calibration,
         "raking_weights": _q_raking_weights,
         "dup_cluster_sizes": _q_dup_cluster_sizes,
+        "audio_adpcm": _q_audio_adpcm,
         "audio_wav": _q_audio_wav,
         "weighted_median": _q_weighted_median,
         "kmv_distinct": _q_kmv_distinct,
@@ -4344,6 +4358,79 @@ def _kmeans_purity_oracle(
                CAST(t.n_cl AS DOUBLE) / CAST(s.n_members AS DOUBLE)
                    AS purity
         FROM topc t JOIN sizes s USING (cluster)"""
+
+
+def _adpcm_oracle() -> str:
+    """SQL twin of multimodal._decode_adpcm over attach_adpcm payloads:
+    the IMA nibble recurrence unrolled as a recursive CTE — integer
+    state (predictor, step index) advanced once per nibble with the
+    step/index tables as literal lists."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        ADPCM_INDEX_TABLE,
+        ADPCM_STEP_TABLE,
+    )
+
+    steps = ", ".join(str(v) for v in ADPCM_STEP_TABLE)
+    deltas = ", ".join(str(v) for v in ADPCM_INDEX_TABLE)
+    return f"""
+        WITH RECURSIVE d AS (
+            SELECT doc_id AS media_id,
+                   64 + (doc_id % 32) * 2 AS nn,
+                   8000 + (doc_id % 3) * 4000 AS rate,
+                   (doc_id * 31) % 4096 - 2048 AS p0,
+                   doc_id % 89 AS i0
+            FROM documents
+        ),
+        steps_t AS (
+            SELECT i - 1 AS idx, l[i] AS step
+            FROM (SELECT [{steps}] AS l),
+                 LATERAL (SELECT unnest(generate_series(1, 89)) AS i) g
+        ),
+        itab AS (
+            SELECT i - 1 AS pos, l[i] AS delta
+            FROM (SELECT [{deltas}] AS l),
+                 LATERAL (SELECT unnest(generate_series(1, 16)) AS i) g
+        ),
+        st AS (
+            SELECT media_id, nn, rate, 0 AS i,
+                   CAST(p0 AS BIGINT) AS pred,
+                   CAST(i0 AS BIGINT) AS idx,
+                   CAST(p0 AS BIGINT) AS total,
+                   CAST(abs(p0) AS BIGINT) AS peak
+            FROM d
+            UNION ALL
+            SELECT x.media_id, x.nn, x.rate, x.i + 1,
+                   l2.np,
+                   least(88, greatest(0, x.idx + it.delta)),
+                   x.total + l2.np,
+                   greatest(x.peak, abs(l2.np))
+            FROM (
+                SELECT s.*, (s.media_id * 7 + s.i * 3) % 16 AS nib,
+                       st2.step AS step
+                FROM st s JOIN steps_t st2 ON st2.idx = s.idx
+                WHERE s.i < s.nn
+            ) x
+            JOIN itab it ON it.pos = x.nib,
+            LATERAL (
+                SELECT (x.step >> 3)
+                     + CASE WHEN (x.nib & 4) <> 0 THEN x.step ELSE 0 END
+                     + CASE WHEN (x.nib & 2) <> 0 THEN x.step >> 1 ELSE 0 END
+                     + CASE WHEN (x.nib & 1) <> 0 THEN x.step >> 2 ELSE 0 END
+                       AS diff
+            ) l1,
+            LATERAL (
+                SELECT least(32767, greatest(-32768,
+                    CASE WHEN (x.nib & 8) <> 0 THEN x.pred - l1.diff
+                         ELSE x.pred + l1.diff END)) AS np
+            ) l2
+        )
+        SELECT media_id,
+               CAST(rate AS INT) AS rate,
+               CAST(nn + 1 AS BIGINT) AS n_samples,
+               CAST(total AS BIGINT) AS sum_amp,
+               CAST(peak AS BIGINT) AS peak_amp
+        FROM st WHERE i = nn
+    """
 
 
 def _raking_oracle(iterations: int = 3) -> str:
@@ -12803,6 +12890,7 @@ def oracle_sql() -> dict[str, str]:
     """
     out["kmeans_purity"] = _kmeans_purity_oracle()
     out["raking_weights"] = _raking_oracle()
+    out["audio_adpcm"] = _adpcm_oracle()
     out["average_precision"] = f"""
         WITH m AS (
             SELECT doc_id, lang,

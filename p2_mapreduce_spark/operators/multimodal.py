@@ -23,7 +23,7 @@ from PNG IHDR / JPEG SOF bytes; ``decoder="fake"`` derives
 deterministic pseudo-metadata from the payload hash (the
 oracle-checkable stand-in, query id ``media_digest``);
 ``decoder="none"`` raises ``NotImplementedError``, marking exactly
-where progressive-JPEG and compressed-audio codecs
+where progressive-JPEG and perceptual-audio (MP3/AAC-class) codecs
 (Pillow/torchaudio/PyAV — not in this container) plug in.  The
 Spark-side contract (schemas, batch iteration, partitioning) is
 identical across all of them.
@@ -283,11 +283,12 @@ def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """
     if decoder == "none":
         raise NotImplementedError(
-            "progressive-JPEG and compressed-audio codecs "
+            "progressive-JPEG and perceptual-audio (MP3/AAC-class) codecs "
             "(Pillow/torchaudio/PyAV) are not available in this "
             "environment; use decoder='real' (full BMP/WAV kernels; "
             "baseline gray/4:4:4/4:2:0-color JPEG via jpeg_pixel_sums; "
-            "MJPEG video via video_frame_sums), 'headers' (headers), "
+            "IMA-ADPCM via adpcm_sample_sums; MJPEG via "
+            "video_frame_sums), 'headers' (headers), "
             "or 'fake' (deterministic stub)"
         )
     if decoder not in _DECODERS:
@@ -2019,4 +2020,186 @@ def pixel_histogram(media: DataFrame, n_bins: int = 4) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches,
         schema="media_id long, channel string, bucket int, n_px long",
+    )
+
+
+#: IMA ADPCM tables (IMA ADPCM Reference Algorithm / Microsoft WAVE
+#: format 0x0011) — shared by the Python decode kernel and (as SQL
+#: literals) the recursive-CTE oracle.
+ADPCM_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+ADPCM_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def attach_adpcm(docs: DataFrame) -> DataFrame:
+    """Multimodal table whose payloads are REAL IMA-ADPCM WAV files
+    (wFormatTag 0x0011) — the first COMPRESSED audio codec through the
+    gate (PCM WAVs are containers, not compression; 4-bit ADPCM is a
+    genuine predictive codec with decoder STATE): RIFF/WAVE header, a
+    20-byte ADPCM ``fmt `` chunk (cbSize=2, samplesPerBlock), and one
+    IMA block — 4-byte block header (initial predictor int16 LE, step
+    index, reserved) + packed nibbles, low nibble first.
+
+    Nibble ``i`` of stream ``id`` is ``(id·7 + i·3) mod 16`` — a
+    deterministic stream covering the full nibble alphabet so both sign
+    bits and all magnitude bits exercise; the initial predictor is the
+    sawtooth value ``((id·31) mod 4096) − 2048`` and the initial step
+    index ``id mod 89``.  ``n_nibbles = 64 + 2·(id mod 32)`` (even →
+    whole bytes).  Everything is recomputable by the oracle's unrolled
+    decoder recurrence, so the DECODED sample sums are value-hash
+    checkable — the same closed-loop protocol as the JPEG payloads.
+    """
+    n_nib = (F.lit(64) + F.pmod(F.col("doc_id"), F.lit(32)) * 2).cast("int")
+    rate = (F.lit(8000) + F.pmod(F.col("doc_id"), F.lit(3)) * 4000).cast("int")
+    pred0 = (F.pmod(F.col("doc_id") * 31, F.lit(4096)) - 2048).cast("int")
+    idx0 = F.pmod(F.col("doc_id"), F.lit(89)).cast("int")
+    d = spread(docs).select(
+        F.col("doc_id").alias("media_id"),
+        n_nib.alias("nn"),
+        rate.alias("rate"),
+        pred0.alias("p0"),
+        idx0.alias("i0"),
+    )
+    data_size = F.lit(4) + F.col("nn") / 2  # block header + nibble bytes
+    block_align = data_size
+    samples_per_block = F.lit(1) + F.col("nn")
+    header_hex = F.concat(
+        F.lit("52494646"),                      # 'RIFF'
+        _le_hex(F.lit(4) + F.lit(28) + F.lit(8) + data_size, 4),
+        F.lit("57415645"),                      # 'WAVE'
+        F.lit("666d7420"),                      # 'fmt '
+        _le_hex(F.lit(20), 4),                  # fmt chunk size (ADPCM)
+        _le_hex(F.lit(0x11), 2),                # wFormatTag = IMA ADPCM
+        _le_hex(F.lit(1), 2),                   # mono
+        _le_hex(F.col("rate"), 4),              # sample rate
+        _le_hex(F.col("rate"), 4),              # byte rate (nominal)
+        _le_hex(block_align, 2),                # block align
+        _le_hex(F.lit(4), 2),                   # bits per sample
+        _le_hex(F.lit(2), 2),                   # cbSize
+        _le_hex(samples_per_block, 2),          # samples per block
+        F.lit("64617461"),                      # 'data'
+        _le_hex(data_size, 4),
+    )
+    block_head_hex = F.concat(
+        _le_hex(F.pmod(F.col("p0"), F.lit(65536)), 2),  # predictor LE16
+        F.format_string("%02x", F.col("i0")),
+        F.lit("00"),
+    )
+    # byte j packs nibbles 2j (low) and 2j+1 (high)
+    nibbles_hex = F.expr(
+        "array_join(transform(sequence(0, nn div 2 - 1), j -> "
+        "format_string('%02x', "
+        "pmod(media_id*7 + (2*j)*3, 16) + 16 * pmod(media_id*7 + (2*j+1)*3, 16)"
+        ")), '')"
+    )
+    return d.select(
+        "media_id",
+        F.lit("audio").alias("modality"),
+        F.unhex(
+            F.concat(header_hex, block_head_hex, nibbles_hex)
+        ).alias("payload"),
+    )
+
+
+def _decode_adpcm(b: bytes):
+    """Real IMA ADPCM decode (stdlib only): RIFF chunk walk, format-tag
+    0x0011 check, block header (initial predictor + step index), then
+    the table-driven nibble loop — diff accumulation from the three
+    magnitude bits, sign bit subtract, predictor clamp to int16, index
+    clamp to [0, 88] (IMA reference algorithm).  Returns ``(rate,
+    n_samples, sum_amp, peak_amp)`` over the initial-predictor sample
+    plus one sample per nibble, or None to quarantine anything that is
+    not a mono 4-bit IMA-ADPCM WAV."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    rate = None
+    bits = None
+    tag = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            tag = int.from_bytes(body[0:2], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if tag != 0x11 or bits != 4 or rate is None or data is None:
+        return None
+    if len(data) < 4:
+        return None
+    pred = int.from_bytes(data[0:2], "little", signed=True)
+    index = data[2]
+    if not 0 <= index <= 88:
+        return None
+    total = pred
+    peak = abs(pred)
+    n = 1
+    for byte in data[4:]:
+        for nib in (byte & 0x0F, byte >> 4):
+            step = ADPCM_STEP_TABLE[index]
+            diff = step >> 3
+            if nib & 4:
+                diff += step
+            if nib & 2:
+                diff += step >> 1
+            if nib & 1:
+                diff += step >> 2
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + ADPCM_INDEX_TABLE[nib]))
+            total += pred
+            peak = max(peak, abs(pred))
+            n += 1
+    return rate, n, total, peak
+
+
+def adpcm_sample_sums(media: DataFrame) -> DataFrame:
+    """Per-stream decoded-sample statistics from the REAL IMA-ADPCM
+    decode — the compressed-audio sibling of :func:`jpeg_pixel_sums`:
+    the oracle re-runs the exact decoder recurrence (integer state
+    machine) in an unrolled SQL CTE, so a table slip, clamp error, sign
+    mishandle, or nibble-order bug breaks the hash.  Malformed payloads
+    surface as the zero row.  Same Arrow-batched ``mapInPandas``
+    plumbing as every payload kernel."""
+    from p2_mapreduce_spark.mapreduce import _ship_by_value
+
+    _ship_by_value(_decode_adpcm)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            parsed = _decode_adpcm(payload or b"")
+            if parsed is None:
+                return 0, 0, 0, 0
+            return parsed
+
+        for pdf in it:
+            vals = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "rate": [v[0] for v in vals],
+                    "n_samples": [v[1] for v in vals],
+                    "sum_amp": [v[2] for v in vals],
+                    "peak_amp": [v[3] for v in vals],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, rate int, n_samples long, sum_amp long,"
+            " peak_amp long"
+        ),
     )

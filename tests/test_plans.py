@@ -337,6 +337,9 @@ PYTHON_ALLOWED = {
     # MCU walk + replicate upsample run in the same Arrow-batched
     # jpeg_pixel_sums kernel as media_jpeg (payload-touching by design)
     "media_jpeg420",
+    # round 5: IMA-ADPCM compressed-audio decode — the stateful nibble
+    # recurrence is the payload-touching Arrow kernel, like audio_wav
+    "audio_adpcm",
 }
 
 

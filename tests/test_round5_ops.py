@@ -550,3 +550,57 @@ class TestDupClusterSizes:
         assert sizes, "fixture seeds near-dups, histogram can't be empty"
         for sz, n in sizes.items():
             assert sz >= 2 and n >= 1
+
+
+class TestAdpcm:
+    def test_decode_matches_reference(self, spark):
+        from p2_mapreduce_spark.operators.multimodal import (
+            ADPCM_INDEX_TABLE,
+            ADPCM_STEP_TABLE,
+            _decode_adpcm,
+            attach_adpcm,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(12)], ["doc_id", "text"]
+        )
+        for r in attach_adpcm(docs).collect():
+            mid = r["media_id"]
+            parsed = _decode_adpcm(bytes(r["payload"]))
+            assert parsed is not None, f"id {mid} quarantined"
+            rate, n, total, peak = parsed
+            nn = 64 + (mid % 32) * 2
+            assert n == nn + 1
+            assert rate == 8000 + (mid % 3) * 4000
+            # independent pure-Python reference over the nibble design
+            pred = (mid * 31) % 4096 - 2048
+            idx = mid % 89
+            ref_total, ref_peak = pred, abs(pred)
+            for i in range(nn):
+                nib = (mid * 7 + i * 3) % 16
+                step = ADPCM_STEP_TABLE[idx]
+                diff = step >> 3
+                if nib & 4:
+                    diff += step
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 1:
+                    diff += step >> 2
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + ADPCM_INDEX_TABLE[nib]))
+                ref_total += pred
+                ref_peak = max(ref_peak, abs(pred))
+            assert total == ref_total and peak == ref_peak
+
+    def test_malformed_quarantines(self):
+        from p2_mapreduce_spark.operators.multimodal import _decode_adpcm
+
+        assert _decode_adpcm(b"") is None
+        assert _decode_adpcm(b"RIFF\x00\x00\x00\x00WAVE") is None
+        # a 16-bit PCM wav must NOT decode through the ADPCM kernel
+        pcm = (
+            b"RIFF$\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01\x00\x01\x00"
+            b"\x40\x1f\x00\x00\x80>\x00\x00\x02\x00\x10\x00data\x00\x00\x00\x00"
+        )
+        assert _decode_adpcm(pcm) is None
