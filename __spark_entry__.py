@@ -1798,6 +1798,20 @@ def _q_audio_adpcm(spark, sf_dir):
     return adpcm_sample_sums(attach_adpcm(docs))
 
 
+def _q_media_jpeg_prog(spark, sf_dir):
+    """Real progressive-JPEG (SOF2) decode: DC first scan with the Al
+    point transform, DC successive-approximation refinement, and the
+    EOBRUN AC scan — multi-scan coefficient accumulation, closed-form
+    grayscale oracle."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_jpeg_prog,
+        jpeg_pixel_sums,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_pixel_sums(attach_jpeg_prog(docs))
+
+
 def _q_weighted_median(spark, sf_dir):
     """Weighted quantile via the two-phase distributed rank: smallest
     value whose cumulative integer weight reaches half the group total
@@ -3504,7 +3518,7 @@ _ROUND5_NEW = (
     "abc_parts", "holt_linear", "conformal_band", "degree_histogram",
     "link_prediction", "search_snippets", "fuzzy_search", "kmeans_purity",
     "average_precision", "isotonic_calibration", "raking_weights",
-    "dup_cluster_sizes", "audio_adpcm",
+    "dup_cluster_sizes", "audio_adpcm", "media_jpeg_prog",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -3684,6 +3698,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raking_weights": _q_raking_weights,
         "dup_cluster_sizes": _q_dup_cluster_sizes,
         "audio_adpcm": _q_audio_adpcm,
+        "media_jpeg_prog": _q_media_jpeg_prog,
         "audio_wav": _q_audio_wav,
         "weighted_median": _q_weighted_median,
         "kmv_distinct": _q_kmv_distinct,
@@ -12891,6 +12906,29 @@ def oracle_sql() -> dict[str, str]:
     out["kmeans_purity"] = _kmeans_purity_oracle()
     out["raking_weights"] = _raking_oracle()
     out["audio_adpcm"] = _adpcm_oracle()
+    out["media_jpeg_prog"] = """
+        -- progressive grayscale closed form: DC_m = id%8 + 16·(1−m%2)
+        -- reconstructed exactly by (scan1 << 1) | scan2-bit; every
+        -- block is uniform 128 + DC_m
+        WITH d AS (
+            SELECT doc_id AS media_id,
+                   1 + doc_id % 2 AS wb,
+                   1 + (doc_id % 4) // 2 AS hb,
+                   doc_id % 8 AS a8
+            FROM documents
+        ),
+        m AS (
+            SELECT *, wb * hb AS n, (wb * hb + 1) // 2 AS ne FROM d
+        )
+        SELECT media_id,
+               CAST(8 * wb AS INT) AS width,
+               CAST(8 * hb AS INT) AS height,
+               CAST(1 AS INT) AS n_comp,
+               CAST(64 * (n * (128 + a8) + 16 * ne) AS BIGINT) AS sum_r,
+               CAST(64 * (n * (128 + a8) + 16 * ne) AS BIGINT) AS sum_g,
+               CAST(64 * (n * (128 + a8) + 16 * ne) AS BIGINT) AS sum_b
+        FROM m
+    """
     out["average_precision"] = f"""
         WITH m AS (
             SELECT doc_id, lang,

@@ -23,8 +23,9 @@ from PNG IHDR / JPEG SOF bytes; ``decoder="fake"`` derives
 deterministic pseudo-metadata from the payload hash (the
 oracle-checkable stand-in, query id ``media_digest``);
 ``decoder="none"`` raises ``NotImplementedError``, marking exactly
-where progressive-JPEG and perceptual-audio (MP3/AAC-class) codecs
-(Pillow/torchaudio/PyAV — not in this container) plug in.  The
+where color/AC-refinement progressive JPEG and perceptual-audio
+(MP3/AAC-class) codecs (Pillow/torchaudio/PyAV — not in this
+container) plug in.  The
 Spark-side contract (schemas, batch iteration, partitioning) is
 identical across all of them.
 """
@@ -283,12 +284,13 @@ def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """
     if decoder == "none":
         raise NotImplementedError(
-            "progressive-JPEG and perceptual-audio (MP3/AAC-class) codecs "
-            "(Pillow/torchaudio/PyAV) are not available in this "
-            "environment; use decoder='real' (full BMP/WAV kernels; "
-            "baseline gray/4:4:4/4:2:0-color JPEG via jpeg_pixel_sums; "
-            "IMA-ADPCM via adpcm_sample_sums; MJPEG via "
-            "video_frame_sums), 'headers' (headers), "
+            "color/AC-refinement progressive JPEG and perceptual-audio "
+            "(MP3/AAC-class) codecs (Pillow/torchaudio/PyAV) are not "
+            "available in this environment; use decoder='real' (full "
+            "BMP/WAV kernels; baseline gray/4:4:4/4:2:0-color and "
+            "grayscale-progressive JPEG via jpeg_pixel_sums; IMA-ADPCM "
+            "via adpcm_sample_sums; MJPEG via video_frame_sums), "
+            "'headers' (headers), "
             "or 'fake' (deterministic stub)"
         )
     if decoder not in _DECODERS:
@@ -1662,7 +1664,9 @@ def _decode_jpeg(b: bytes):
     anything outside the supported envelope: non-baseline frames
     (SOF1/SOF2/...), 2- or 4-component frames, 16-bit quant tables,
     sampling factors beyond 2×2 or subsampled chroma, or any malformed
-    stream.  The gate for progressive JPEG remains ``decode_media
+    stream.  Progressive (SOF2) frames dispatch to
+    :func:`_decode_jpeg_progressive` (grayscale envelope); the gate for
+    color/AC-refinement progressive remains ``decode_media
     (decoder='none')``."""
     import math
 
@@ -1745,9 +1749,11 @@ def _decode_jpeg(b: bytes):
                         return None
                 elif samp[1] != (1, 1) or samp[2] != (1, 1):
                     return None  # only luma may subsample (4:2:0/4:2:2)
-            elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            elif m == 0xC2:  # progressive: its own scan discipline
+                return _decode_jpeg_progressive(b)
+            elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                        0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline frame types
+                return None  # other non-baseline frame types
             elif m == 0xDD:  # DRI
                 if seglen != 4:
                     return None
@@ -2202,4 +2208,308 @@ def adpcm_sample_sums(media: DataFrame) -> DataFrame:
             "media_id long, rate int, n_samples long, sum_amp long,"
             " peak_amp long"
         ),
+    )
+
+
+def _decode_jpeg_progressive(b: bytes):
+    """Real PROGRESSIVE-JPEG decoder for the grayscale envelope (SOF2,
+    one 1×1 component, no restart intervals): the multi-scan
+    coefficient-accumulation discipline T.81 Annex G defines — DC first
+    scan with the Al point transform (``coef = diff << Al``), DC
+    successive-approximation refinement (one raw bit per block ORed in
+    at Al), and AC first scans with the EOBRUN band skip
+    (``eobrun = (1<<r) − 1 + bits(r)``) — then one dequantize +
+    de-zigzag + IDCT pass over the ACCUMULATED coefficients (the
+    defining difference from baseline's per-block inline decode).
+
+    Gated (returns None): multi-component progressive frames, AC
+    successive-approximation refinement scans (Ah > 0 with Ss > 0),
+    restart intervals, 16-bit quant tables, malformed streams — the
+    ``decode_media(decoder='none')`` message names what remains.
+    """
+    import math
+
+    import numpy as np
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    qt: dict = {}
+    huff: dict = {}
+    w = h = None
+    comp_tq = None
+    scans = []  # (ss, se, ah, al, td, ta, data)
+    pos = 2
+    try:
+        while pos + 2 <= len(b):
+            if b[pos] != 0xFF:
+                return None
+            m = b[pos + 1]
+            if m == 0xFF:
+                pos += 1
+                continue
+            if m == 0xD9:  # EOI: header walk complete
+                break
+            if m == 0x01 or 0xD0 <= m <= 0xD8:
+                pos += 2
+                continue
+            if pos + 4 > len(b):
+                return None
+            seglen = int.from_bytes(b[pos + 2 : pos + 4], "big")
+            seg = b[pos + 4 : pos + 2 + seglen]
+            if len(seg) != seglen - 2:
+                return None
+            if m == 0xDB:
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 15
+                    if pq != 0 or i + 65 > len(seg):
+                        return None
+                    qt[tq] = list(seg[i + 1 : i + 65])
+                    i += 65
+            elif m == 0xC4:
+                i = 0
+                while i + 17 <= len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 15
+                    bits = list(seg[i + 1 : i + 17])
+                    n = sum(bits)
+                    vals = list(seg[i + 17 : i + 17 + n])
+                    if len(vals) != n:
+                        return None
+                    code, k, table = 0, 0, {}
+                    for length in range(1, 17):
+                        for _ in range(bits[length - 1]):
+                            table[(length, code)] = vals[k]
+                            k += 1
+                            code += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+                    i += 17 + n
+            elif m == 0xC2:
+                if seg[0] != 8 or seg[5] != 1 or seg[7] != 0x11:
+                    return None  # grayscale 1×1 progressive only
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                comp_tq = seg[8]
+            elif m == 0xDD:
+                return None  # restart intervals gated in progressive
+            elif m == 0xDA:
+                if comp_tq is None or seg[0] != 1:
+                    return None
+                td, ta = seg[2] >> 4, seg[2] & 15
+                ss, se = seg[3], seg[4]
+                ah, al = seg[5] >> 4, seg[5] & 15
+                start = pos + 2 + seglen
+                i = start
+                while i + 1 < len(b):
+                    if b[i] == 0xFF and b[i + 1] != 0x00:
+                        break
+                    i += 1
+                scans.append((ss, se, ah, al, td, ta, b[start:i]))
+                pos = i
+                continue
+            pos += 2 + seglen
+        if w is None or not scans or comp_tq not in qt:
+            return None
+        nbx, nby = (w + 7) // 8, (h + 7) // 8
+        nb = nbx * nby
+        coef = np.zeros((nb, 64), dtype=np.int64)
+
+        for ss, se, ah, al, td, ta, data in scans:
+            spos, cur, nbits = 0, 0, 0
+
+            def read_bit():
+                nonlocal spos, cur, nbits
+                if nbits == 0:
+                    if spos >= len(data):
+                        raise ValueError("scan underrun")
+                    byte = data[spos]
+                    spos += 1
+                    if byte == 0xFF:
+                        if spos < len(data) and data[spos] == 0x00:
+                            spos += 1
+                        else:
+                            raise ValueError("marker in scan")
+                    cur, nbits = byte, 8
+                nbits -= 1
+                return (cur >> nbits) & 1
+
+            def read_bits(n):
+                v = 0
+                for _ in range(n):
+                    v = (v << 1) | read_bit()
+                return v
+
+            def read_symbol(table):
+                code, length = 0, 0
+                while length < 16:
+                    code = (code << 1) | read_bit()
+                    length += 1
+                    sym = table.get((length, code))
+                    if sym is not None:
+                        return sym
+                raise ValueError("invalid Huffman code")
+
+            def extend(v, t):
+                return (
+                    v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+                )
+
+            if ss == 0:
+                if se != 0:
+                    return None
+                if ah == 0:  # DC first scan
+                    dch = huff.get((0, td))
+                    if dch is None:
+                        return None
+                    pred = 0
+                    for blk in range(nb):
+                        t = read_symbol(dch)
+                        diff = extend(read_bits(t), t) if t else 0
+                        pred += diff
+                        coef[blk][0] = pred << al
+                else:  # DC refinement: one raw bit per block
+                    for blk in range(nb):
+                        coef[blk][0] |= read_bit() << al
+            else:
+                if ah != 0:
+                    return None  # AC refinement gated
+                ach = huff.get((1, ta))
+                if ach is None:
+                    return None
+                eobrun = 0
+                for blk in range(nb):
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = read_symbol(ach)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1 + (
+                                read_bits(r) if r else 0
+                            )
+                            break
+                        k += r
+                        if k > se:
+                            return None
+                        coef[blk][k] = extend(read_bits(s), s) << al
+                        k += 1
+
+        q = qt[comp_tq]
+        a = np.array(
+            [
+                [
+                    (math.sqrt(0.5) if u == 0 else 1.0)
+                    / 2.0
+                    * math.cos((2 * x + 1) * u * math.pi / 16.0)
+                    for x in range(8)
+                ]
+                for u in range(8)
+            ]
+        )
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.int64)
+        for blk in range(nb):
+            grid = np.zeros(64)
+            for zi, rix in enumerate(_JPEG_ZIGZAG):
+                grid[rix] = coef[blk][zi] * q[zi]
+            f = a.T @ grid.reshape(8, 8) @ a
+            by, bx = divmod(blk, nbx)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.rint(f) + 128, 0, 255
+            ).astype(np.int64)
+        gray = plane[:h, :w]
+        return w, h, [[[int(v) for v in row] for row in gray]]
+    except Exception:
+        return None
+
+
+def attach_jpeg_prog(docs: DataFrame) -> DataFrame:
+    """Multimodal table of REAL grayscale PROGRESSIVE JPEGs (SOF2,
+    T.81 Annex G): three genuine scans per file — DC first (Al=1, the
+    point transform), DC successive-approximation refinement (Ah=1,
+    one raw bit per block), and an AC 1-63 first scan whose blocks all
+    end at EOB (exercising the EOBRUN machinery) — so the decoder must
+    run the multi-scan coefficient-accumulation discipline end to end.
+    Entropy streams are BIT-packed JVM-side (conv(bits,2,16) byte fold,
+    1-padding to the byte edge, 0xFF→FF00 stuffing), unlike the
+    byte-aligned baseline payloads: progressive category-4 DC codes are
+    7 bits, so alignment can't be engineered.
+
+    DC design: block value ``DC_m = id%8 + 16·(1 − m%2)`` — scan 1
+    carries ``DC_m >> 1`` via ±8 category-4 diffs, scan 2 restores bit
+    0 (= id%8 mod 2) — so the reconstructed pixels have the closed form
+    ``128 + DC_m`` and the oracle is one arithmetic row per image.
+    """
+    wb = (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(2))).cast("int")
+    hb = (F.lit(1) + (F.pmod(F.col("doc_id"), F.lit(4)) / 2).cast("int")).cast("int")
+    d = spread(docs).select(
+        F.col("doc_id").alias("media_id"),
+        wb.alias("wb"),
+        hb.alias("hb"),
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("id8"),
+    )
+    dqt_hex = "ffdb" + "0043" + "00" + "08" + "01" * 63
+    dht_dc_hex = (
+        "ffc4" + "001b" + "00"
+        + "00000701" + "00" * 12
+        + "0001020304050607"
+    )
+    dht_ac_hex = "ffc4" + "0014" + "10" + "01" + "00" * 15 + "00"
+    sof2_hex = F.concat(
+        F.lit("ffc2" + "000b" + "08"),
+        F.format_string("%04x", F.col("hb") * 8),
+        F.format_string("%04x", F.col("wb") * 8),
+        F.lit("01" + "01" + "11" + "00"),
+    )
+
+    def _pack(bits_expr: str) -> str:
+        """SQL: bit string → stuffed hex (1-padded to the byte edge)."""
+        return (
+            f"array_join(transform(sequence(1, length({bits_expr}) div 8),"
+            f" j -> CASE WHEN substring({bits_expr}, (j-1)*8 + 1, 8)"
+            f" = '11111111' THEN 'ff00' ELSE"
+            f" lpad(conv(substring({bits_expr}, (j-1)*8 + 1, 8), 2, 16),"
+            f" 2, '0') END), '')"
+        )
+
+    pad = "repeat('1', (8 - length({0}) % 8) % 8)"
+    # scan 1: per block 7 bits — cat-4 code '100' + 4 magnitude bits
+    # (m=0: +8+id8 div 2; odd m: −8 → '0111'; even m>0: +8 → '1000')
+    s1_bits = (
+        "array_join(transform(sequence(0, wb*hb - 1), m -> concat('100',"
+        " CASE WHEN m = 0 THEN lpad(conv(8 + id8 div 2, 10, 2), 4, '0')"
+        " WHEN m % 2 = 1 THEN '0111' ELSE '1000' END)), '')"
+    )
+    # scan 2: one raw refinement bit per block (bit 0 of every DC_m)
+    s2_bits = "repeat(CASE WHEN id8 % 2 = 1 THEN '1' ELSE '0' END, wb*hb)"
+    # scan 3: AC 1-63 first scan, every block EOB0 (1-bit code '0')
+    s3_bits = "repeat('0', wb*hb)"
+    scans_hex = F.expr(
+        "concat("
+        # SOS 1: Ss=0 Se=0 Ah=0 Al=1
+        "'ffda', '0008', '01', '01', '00', '00', '00', '01', "
+        + _pack(f"concat({s1_bits}, {pad.format(s1_bits)})")
+        + ", 'ffda', '0008', '01', '01', '00', '00', '00', '10', "
+        + _pack(f"concat({s2_bits}, {pad.format(s2_bits)})")
+        + ", 'ffda', '0008', '01', '01', '00', '01', '3f', '00', "
+        + _pack(f"concat({s3_bits}, {pad.format(s3_bits)})")
+        + ")"
+    )
+    payload_hex = F.concat(
+        F.lit("ffd8"),
+        F.lit(dqt_hex),
+        F.lit(dht_dc_hex),
+        F.lit(dht_ac_hex),
+        sof2_hex,
+        scans_hex,
+        F.lit("ffd9"),
+    )
+    return d.select(
+        "media_id",
+        F.lit("image").alias("modality"),
+        F.unhex(payload_hex).alias("payload"),
     )

@@ -340,6 +340,9 @@ PYTHON_ALLOWED = {
     # round 5: IMA-ADPCM compressed-audio decode — the stateful nibble
     # recurrence is the payload-touching Arrow kernel, like audio_wav
     "audio_adpcm",
+    # round 5: grayscale progressive JPEG (SOF2 multi-scan coefficient
+    # accumulation) through the same jpeg_pixel_sums Arrow kernel
+    "media_jpeg_prog",
 }
 
 

@@ -604,3 +604,50 @@ class TestAdpcm:
             b"\x40\x1f\x00\x00\x80>\x00\x00\x02\x00\x10\x00data\x00\x00\x00\x00"
         )
         assert _decode_adpcm(pcm) is None
+
+
+class TestProgressiveJpeg:
+    def test_decode_matches_closed_form(self, spark):
+        from p2_mapreduce_spark.operators.multimodal import (
+            _decode_jpeg,
+            attach_jpeg_prog,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(8)], ["doc_id", "text"]
+        )
+        for r in attach_jpeg_prog(docs).collect():
+            mid = r["media_id"]
+            parsed = _decode_jpeg(bytes(r["payload"]))
+            assert parsed is not None, f"id {mid} quarantined"
+            w, h, planes = parsed
+            wb, hb = 1 + mid % 2, 1 + (mid % 4) // 2
+            assert (w, h) == (8 * wb, 8 * hb) and len(planes) == 1
+            got = sum(v for row in planes[0] for v in row)
+            n = wb * hb
+            ne = (n + 1) // 2
+            a8 = mid % 8
+            assert got == 64 * (n * (128 + a8) + 16 * ne)
+            # block values must alternate by MCU parity: the refinement
+            # bit and the point transform both round-tripped
+            vals = {v for row in planes[0] for v in row}
+            expect = {128 + a8 + 16} | ({128 + a8} if n > 1 else set())
+            assert vals == expect
+
+    def test_unsupported_progressive_shapes_quarantine(self):
+        from p2_mapreduce_spark.operators.multimodal import (
+            _decode_jpeg_progressive,
+        )
+
+        # 3-component progressive frame → gated
+        sof3 = bytes.fromhex(
+            "ffd8" + "ffc2" + "0011" + "08" + "0008" + "0008"
+            + "03" + "011100" + "021100" + "031100" + "ffd9"
+        )
+        assert _decode_jpeg_progressive(sof3) is None
+        # DRI in progressive → gated
+        dri = bytes.fromhex(
+            "ffd8" + "ffc2" + "000b" + "08" + "0008" + "0008"
+            + "01" + "01" + "11" + "00" + "ffdd" + "0004" + "0002" + "ffd9"
+        )
+        assert _decode_jpeg_progressive(dri) is None
