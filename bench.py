@@ -413,6 +413,12 @@ def main() -> None:
         "bfs_trade",
         "dup_clusters_star",
         "video_frames",
+        # the dense-bitset census + wedge-join pipelines pay ~5-11 s of
+        # one-time whole-stage-codegen JIT (measured 14.2 s first call
+        # vs 2.2 s steady-state for triangle_census at sf0.1)
+        "triangle_census",
+        "two_hop",
+        "degree_assort",
     ):
         materialize(queries[warm](spark, "/root/testdata/sf0.001"))
     # Base-table cache (round-5 fixed-overhead trim, VERDICT r04 item 8):
