@@ -1915,7 +1915,10 @@ def isotonic_calibration(
         F.array_sort(
             F.collect_list(F.struct("bin", "n_docs", "n_pos"))
         ).alias("bs")
-    )
+    # empty-corpus guard: sequence(1, 0) counts DOWN in Spark (the
+    # hashed_shingles short-doc lesson) — an empty bin list must yield
+    # an empty result, not a garbage [1, 0] index walk
+    ).filter(F.size(F.col("bs")) > 0)
     b = F.size(F.col("bs"))
     idx = F.sequence(F.lit(1), b)
     # exact BIGINT prefix sums over the sorted bin list (index 0 = 0)

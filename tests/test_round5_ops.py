@@ -651,3 +651,68 @@ class TestProgressiveJpeg:
             + "01" + "01" + "11" + "00" + "ffdd" + "0004" + "0002" + "ffd9"
         )
         assert _decode_jpeg_progressive(dri) is None
+
+
+class TestRound5Properties:
+    def test_empty_inputs_yield_empty_or_stable(self, spark):
+        """Empty-corpus behavior: no garbage rows from descending
+        sequence() walks or null contingencies."""
+        from p2_mapreduce_spark.operators.curation import (
+            isotonic_calibration,
+            raking_weights,
+        )
+        from p2_mapreduce_spark.operators.profile import gk_lambda, tvd_drift
+        from p2_mapreduce_spark.operators.timeseries import (
+            kendall_tau_xy,
+            runs_test,
+            spearman_daily,
+        )
+
+        docs = spark.createDataFrame([], "doc_id long, text string, lang string, source string")
+        ev = spark.createDataFrame([], "ts timestamp, event_type string, value double")
+        assert isotonic_calibration(docs).count() == 0
+        assert raking_weights(docs).count() == 0
+        assert tvd_drift(docs).count() == 0
+        assert gk_lambda(docs).count() == 0 or gk_lambda(docs).collect()[0]["n_rows"] is None
+        for op in (runs_test, spearman_daily, kendall_tau_xy):
+            assert op(ev).count() == 0
+
+    def test_rank_stats_invariances(self, spark):
+        """Spearman/Kendall are invariant under strictly monotone value
+        transforms; the runs test under value scaling."""
+        from p2_mapreduce_spark.operators.timeseries import (
+            kendall_tau_xy,
+            runs_test,
+            spearman_daily,
+        )
+
+        vals = [3, 1, 4, 1, 5, 9, 2, 6]
+        rows = []
+        for d, v in enumerate(vals):
+            rows += [(d, "view", v)] * ((d % 3) + 1)
+        ev = _events(spark, rows)
+        # scaled twin: value → 7·value (monotone, preserves daily-count
+        # series exactly and scales daily sums)
+        rows7 = [(d, g, v * 7) for (d, g, v) in rows]
+        ev7 = _events(spark, rows7)
+        rho = spearman_daily(ev).collect()[0]["rho"]
+        rho7 = spearman_daily(ev7).collect()[0]["rho"]
+        assert abs(rho - rho7) < 1e-12
+        tau = kendall_tau_xy(ev).collect()[0]["tau_b"]
+        tau7 = kendall_tau_xy(ev7).collect()[0]["tau_b"]
+        assert abs(tau - tau7) < 1e-12
+        r1 = runs_test(ev).collect()[0]
+        r7 = runs_test(ev7).collect()[0]
+        assert (r1["n_runs"], r1["n_up"], r1["n_down"]) == (
+            r7["n_runs"], r7["n_up"], r7["n_down"])
+
+    def test_tvd_partition_invariance(self, spark):
+        """TVD must not depend on partitioning (exact-sum protocol)."""
+        from p2_mapreduce_spark.operators.profile import tvd_drift
+
+        rows = [(f"s{i % 5}", f"l{(i * 7) % 3}") for i in range(500)]
+        one = spark.createDataFrame(rows, ["source", "lang"]).coalesce(1)
+        many = spark.createDataFrame(rows, ["source", "lang"]).repartition(13)
+        a = {r["source"]: r["tvd"] for r in tvd_drift(one).collect()}
+        b = {r["source"]: r["tvd"] for r in tvd_drift(many).collect()}
+        assert a == b
