@@ -1812,6 +1812,27 @@ def _q_media_jpeg_prog(spark, sf_dir):
     return jpeg_pixel_sums(attach_jpeg_prog(docs))
 
 
+def _q_seq_accuracy(spark, sf_dir):
+    """Markov next-event top-1 accuracy per current type with the
+    majority-class baseline — the eval face of event_transitions."""
+    from p2_mapreduce_spark.operators.events_analytics import (
+        next_event_accuracy,
+    )
+
+    return next_event_accuracy(load_table(spark, sf_dir, "events"))
+
+
+def _q_peer_percentile(spark, sf_dir):
+    """Within-nation revenue percent_rank per supplier (peer
+    benchmarking report; exact cents, unique ordering)."""
+    from p2_mapreduce_spark.operators.analytics import peer_percentile
+
+    return peer_percentile(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
 def _q_weighted_median(spark, sf_dir):
     """Weighted quantile via the two-phase distributed rank: smallest
     value whose cumulative integer weight reaches half the group total
@@ -3519,6 +3540,7 @@ _ROUND5_NEW = (
     "link_prediction", "search_snippets", "fuzzy_search", "kmeans_purity",
     "average_precision", "isotonic_calibration", "raking_weights",
     "dup_cluster_sizes", "audio_adpcm", "media_jpeg_prog",
+    "seq_accuracy", "peer_percentile",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -3699,6 +3721,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_sizes": _q_dup_cluster_sizes,
         "audio_adpcm": _q_audio_adpcm,
         "media_jpeg_prog": _q_media_jpeg_prog,
+        "seq_accuracy": _q_seq_accuracy,
+        "peer_percentile": _q_peer_percentile,
         "audio_wav": _q_audio_wav,
         "weighted_median": _q_weighted_median,
         "kmv_distinct": _q_kmv_distinct,
@@ -12906,6 +12930,61 @@ def oracle_sql() -> dict[str, str]:
     out["kmeans_purity"] = _kmeans_purity_oracle()
     out["raking_weights"] = _raking_oracle()
     out["audio_adpcm"] = _adpcm_oracle()
+    out["seq_accuracy"] = f"""
+        WITH t AS (
+            SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                       AS prev_type
+            FROM {ev}
+        ),
+        pairs AS (
+            SELECT prev_type, event_type AS next_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        ),
+        pred AS (
+            SELECT prev_type, next_type AS predicted, n AS n_correct
+            FROM (SELECT *, row_number() OVER (PARTITION BY prev_type
+                             ORDER BY n DESC, next_type ASC) AS rn
+                  FROM pairs)
+            WHERE rn = 1
+        ),
+        totals AS (
+            SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_pairs
+            FROM pairs GROUP BY 1
+        ),
+        nxt AS (SELECT next_type, SUM(n) AS cn FROM pairs GROUP BY 1),
+        base AS (
+            SELECT CAST(cn AS DOUBLE)
+                   / CAST((SELECT SUM(n) FROM pairs) AS DOUBLE)
+                       AS baseline_share
+            FROM (SELECT *, row_number() OVER (ORDER BY cn DESC,
+                             next_type ASC) AS rn FROM nxt)
+            WHERE rn = 1
+        )
+        SELECT t2.prev_type, n_pairs, predicted, n_correct,
+               CAST(n_correct AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+                   AS accuracy,
+               baseline_share
+        FROM totals t2 JOIN pred USING (prev_type), base
+    """
+    out["peer_percentile"] = """
+        WITH per_supp AS (
+            SELECT l_suppkey,
+                   SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * 100) AS BIGINT)) AS cents
+            FROM lineitem GROUP BY 1
+        )
+        SELECT s_suppkey, s_nationkey,
+               CAST(cents AS DOUBLE) / 1.0e2 AS revenue,
+               CAST(COUNT(*) OVER (PARTITION BY s_nationkey) AS BIGINT)
+                   AS n_peers,
+               percent_rank() OVER (PARTITION BY s_nationkey
+                                    ORDER BY cents, s_suppkey)
+                   AS pct_rank
+        FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+    """
     out["media_jpeg_prog"] = """
         -- progressive grayscale closed form: DC_m = id%8 + 16·(1−m%2)
         -- reconstructed exactly by (scan1 << 1) | scan2-bit; every

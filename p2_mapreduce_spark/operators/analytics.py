@@ -1002,3 +1002,38 @@ def abc_parts(lineitem: DataFrame) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+def peer_percentile(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Within-nation revenue percentile per supplier — the peer-ranking
+    report ("you are in the top X% of suppliers in your market") that
+    benchmarking dashboards serve: exact lifetime revenue cents per
+    supplier, then ``percent_rank`` inside each nation.
+
+    Exactness: revenue is the BIGINT cents protocol; percent_rank is
+    the fixed SQL definition ``(rank − 1)/(n_peers − 1)`` — one pinned
+    division (single-supplier nations pin to 0.0 by the SQL standard).
+    Scale shape: fact table contracts to supplier grain map-side; the
+    window runs per nation at supplier grain.
+
+    Output: (s_suppkey, s_nationkey, revenue, n_peers, pct_rank).
+    """
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    per_supp = lineitem.groupBy("l_suppkey").agg(
+        F.sum(cents).alias("cents")
+    )
+    joined = per_supp.join(
+        supplier.select("s_suppkey", "s_nationkey"),
+        per_supp.l_suppkey == F.col("s_suppkey"),
+    )
+    w = Window.partitionBy("s_nationkey").orderBy("cents", "s_suppkey")
+    wn = Window.partitionBy("s_nationkey")
+    return joined.select(
+        "s_suppkey",
+        "s_nationkey",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n_peers"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )

@@ -1786,3 +1786,71 @@ def logrank_test(events: DataFrame, conversion: str = "purchase") -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("z"),
     )
+
+
+def next_event_accuracy(events: DataFrame) -> DataFrame:
+    """Top-1 next-event prediction accuracy of the first-order Markov
+    model — the EVAL face of the transition matrix (event_transitions
+    builds it, markov_attribution uses it for credit; this measures
+    whether it PREDICTS): for every consecutive pair in a user journey,
+    predict the globally most frequent successor of the current type
+    and score the hit rate per current type.
+
+    All-integer protocol: the transition matrix is a |types|² count
+    aggregate; the per-type argmax breaks ties deterministically
+    (count desc, successor asc); accuracy is one pinned division of
+    exact BIGINTs.  The majority-class baseline rides along — a model
+    gate needs "better than always-predict-the-mode", not a bare
+    number.
+
+    Output: (prev_type, n_pairs, predicted, n_correct, accuracy,
+    baseline_share).  Scale shape: one user-grain window pass to form
+    pairs, then everything at |types|²/config grain.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wa = Window.partitionBy("prev_type").orderBy(
+        F.col("n").desc(), F.col("next_type").asc()
+    )
+    pred = pairs.withColumn("rn", F.row_number().over(wa)).filter(
+        F.col("rn") == 1
+    ).select("prev_type", F.col("next_type").alias("predicted"),
+             F.col("n").alias("n_correct"))
+    totals = pairs.groupBy("prev_type").agg(
+        F.sum("n").cast("bigint").alias("n_pairs")
+    )
+    # majority-class baseline: global modal NEXT type share
+    nxt = pairs.groupBy("next_type").agg(F.sum("n").alias("cn"))
+    wb = Window.orderBy(F.col("cn").desc(), F.col("next_type").asc())
+    base = (
+        nxt.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .crossJoin(
+            F.broadcast(pairs.agg(F.sum("n").alias("grand")))
+        )
+        .select(
+            (
+                F.col("cn").cast("double") / F.col("grand").cast("double")
+            ).alias("baseline_share")
+        )
+    )
+    return (
+        totals.join(pred, "prev_type")
+        .crossJoin(F.broadcast(base))
+        .select(
+            "prev_type",
+            "n_pairs",
+            "predicted",
+            "n_correct",
+            (
+                F.col("n_correct").cast("double")
+                / F.col("n_pairs").cast("double")
+            ).alias("accuracy"),
+            "baseline_share",
+        )
+    )

@@ -236,6 +236,10 @@ FUNNEL_REVIEWED = {
     # pair/doc-count aggregates broadcast-crossed; candidate and truth
     # generation stay banded / prefix-capped
     "blocking_quality",
+    # seq_accuracy: the |types|-row modal-baseline window + the one-row
+    # grand-total broadcast — everything feeding them is the |types|²
+    # transition matrix (config grain)
+    "seq_accuracy",
     # abc_parts: the revenue_concentration justification — the
     # #partitions-grain offset table of the two-phase rank + the
     # one-row grand-total broadcast; part work is key-grain

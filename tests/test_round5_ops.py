@@ -716,3 +716,51 @@ class TestRound5Properties:
         a = {r["source"]: r["tvd"] for r in tvd_drift(one).collect()}
         b = {r["source"]: r["tvd"] for r in tvd_drift(many).collect()}
         assert a == b
+
+
+class TestSeqAccuracyAndPeers:
+    def test_next_event_accuracy_hand_computed(self, spark):
+        import datetime as dt2
+
+        from p2_mapreduce_spark.operators.events_analytics import (
+            next_event_accuracy,
+        )
+
+        base = dt2.datetime(2024, 1, 1)
+        # user 1: a->b, b->a, a->b ; user 2: a->b  →  P(b|a)=3/3, P(a|b)=1/1
+        seqs = {1: ["a", "b", "a", "b"], 2: ["a", "b"]}
+        rows = []
+        eid = 0
+        for u, types in seqs.items():
+            for i, t in enumerate(types):
+                rows.append(
+                    (eid, base + dt2.timedelta(minutes=i), u, t, 1.0)
+                )
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        got = {r["prev_type"]: r for r in next_event_accuracy(ev).collect()}
+        assert got["a"]["predicted"] == "b" and got["a"]["accuracy"] == 1.0
+        assert got["a"]["n_pairs"] == 3
+        assert got["b"]["predicted"] == "a" and got["b"]["n_pairs"] == 1
+        # modal next type is b (3 of 4 transitions)
+        assert abs(got["a"]["baseline_share"] - 0.75) < 1e-12
+
+    def test_peer_percentile_bounds(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.analytics import peer_percentile
+        from p2_mapreduce_spark.session import load_table
+
+        out = peer_percentile(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "supplier"),
+        ).collect()
+        assert out
+        per_nation = {}
+        for r in out:
+            assert 0.0 <= r["pct_rank"] <= 1.0
+            per_nation.setdefault(r["s_nationkey"], []).append(r)
+        for rows in per_nation.values():
+            assert all(r["n_peers"] == len(rows) for r in rows)
+            top = max(rows, key=lambda r: r["pct_rank"])
+            assert top["revenue"] == max(r["revenue"] for r in rows)
