@@ -1833,6 +1833,14 @@ def _q_peer_percentile(spark, sf_dir):
     )
 
 
+def _q_brier_score(spark, sf_dir):
+    """Brier score of the normalized classifier score vs the lang label
+    — the ln-free proper scoring rule (nano-quantized exact sum)."""
+    from p2_mapreduce_spark.operators.curation import brier_score
+
+    return brier_score(load_table(spark, sf_dir, "documents"))
+
+
 def _q_weighted_median(spark, sf_dir):
     """Weighted quantile via the two-phase distributed rank: smallest
     value whose cumulative integer weight reaches half the group total
@@ -3540,7 +3548,7 @@ _ROUND5_NEW = (
     "link_prediction", "search_snippets", "fuzzy_search", "kmeans_purity",
     "average_precision", "isotonic_calibration", "raking_weights",
     "dup_cluster_sizes", "audio_adpcm", "media_jpeg_prog",
-    "seq_accuracy", "peer_percentile",
+    "seq_accuracy", "peer_percentile", "brier_score",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -3723,6 +3731,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg_prog": _q_media_jpeg_prog,
         "seq_accuracy": _q_seq_accuracy,
         "peer_percentile": _q_peer_percentile,
+        "brier_score": _q_brier_score,
         "audio_wav": _q_audio_wav,
         "weighted_median": _q_weighted_median,
         "kmv_distinct": _q_kmv_distinct,
@@ -12930,6 +12939,41 @@ def oracle_sql() -> dict[str, str]:
     out["kmeans_purity"] = _kmeans_purity_oracle()
     out["raking_weights"] = _raking_oracle()
     out["audio_adpcm"] = _adpcm_oracle()
+    out["brier_score"] = f"""
+        WITH m AS (
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+                   CAST(-500 + 5 * len(t) + 20 * len(list_distinct(t))
+                        - 2 * strlen(text)
+                        + 100 * len(regexp_extract_all(lower(text),
+                              '\\b(the|and|of|to|a|in)\\b'))
+                        AS BIGINT) AS margin
+            FROM ({toks})
+        ),
+        mm AS (SELECT MIN(margin) AS mn, MAX(margin) AS mx FROM m),
+        terms AS (
+            SELECT pos,
+                   CASE WHEN mx = mn THEN 0.0
+                        ELSE CAST(margin - mn AS DOUBLE)
+                             / CAST(mx - mn AS DOUBLE)
+                   END AS p
+            FROM m, mm
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(CAST(floor(
+                        (p - CAST(pos AS DOUBLE)) * (p - CAST(pos AS DOUBLE))
+                        * 1.0e9) AS BIGINT)) AS BIGINT) AS brier_nano_sum
+            FROM terms
+        )
+        SELECT n_docs, n_pos, brier_nano_sum,
+               CASE WHEN n_docs = 0 THEN 0.0
+                    ELSE (CAST(brier_nano_sum AS DOUBLE) / 1.0e9)
+                         / CAST(n_docs AS DOUBLE)
+               END AS brier
+        FROM agg
+    """
     out["seq_accuracy"] = f"""
         WITH t AS (
             SELECT event_type,

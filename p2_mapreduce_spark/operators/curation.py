@@ -2067,3 +2067,55 @@ def raking_weights(
             "w_micro bigint, weight double"
         ),
     )
+
+
+def brier_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Brier score of the classifier's min-max-normalized score against
+    the ``lang = 'en'`` label — the PROPER scoring rule completing the
+    probability-eval family (calibration_bins audits reliability,
+    isotonic_calibration fits the monotone correction; the Brier score
+    is the single number that penalizes BOTH miscalibration and low
+    resolution, and unlike log loss its arithmetic is ln-free).
+
+    Exactness protocol: p = (margin − min)/(max − min) is one pinned
+    division per doc (degenerate max = min corpora pin p = 0, the
+    calibration_bins bin-0 convention); each squared-error term
+    quantizes to NANO units before the cross-doc sum, so the aggregate
+    is an exact BIGINT under any partitioning; the mean divides twice,
+    pinned.  Output (one row): (n_docs, n_pos, brier_nano_sum, brier).
+
+    Scale shape: zero-shuffle margin map + one broadcast min/max row +
+    one map-side-combined global aggregate.
+    """
+    m = quality_classifier(docs, text_col, id_col).select(
+        F.col(id_col).alias("doc_id"), "margin"
+    )
+    lab = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    base = m.join(lab, "doc_id")
+    mm = base.agg(F.min("margin").alias("mn"), F.max("margin").alias("mx"))
+    p = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+        (F.col("margin") - F.col("mn")).cast("double")
+        / (F.col("mx") - F.col("mn")).cast("double")
+    )
+    term = (p - F.col("pos").cast("double")) * (
+        p - F.col("pos").cast("double")
+    )
+    agg = base.crossJoin(F.broadcast(mm)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.floor(term * 1.0e9).cast("bigint"))
+        .cast("bigint")
+        .alias("brier_nano_sum"),
+    )
+    return agg.select(
+        "n_docs", "n_pos", "brier_nano_sum",
+        F.when(F.col("n_docs") == 0, F.lit(0.0)).otherwise(
+            (F.col("brier_nano_sum").cast("double") / 1.0e9)
+            / F.col("n_docs").cast("double")
+        ).alias("brier"),
+    )

@@ -423,3 +423,93 @@ def cms_state_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def drift_state_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    group_col: str = "source",
+    cat_col: str = "lang",
+):
+    """Streaming DRIFT-MONITOR maintenance: each micro-batch's
+    (group × category) contingency counts fold into the persisted state
+    by the associative SUM — counts are a linear state, so the live
+    contingency always equals the batch contingency over all data seen
+    (bit-for-bit, pinned in pytest), and
+    :func:`~p2_mapreduce_spark.operators.profile.tvd_drift`'s
+    group-vs-rest TVD (or chi2_drift's χ²) is answerable from the
+    vocabulary-grain state at any moment without rescanning history —
+    the live face of the drift family, which is exactly how production
+    data-quality monitors run (batch profiles seed the state, the
+    stream keeps it current, alerts read the state).
+
+    Same versioned replay-idempotent fold protocol as
+    :func:`hist_state_sink` / :func:`cms_state_sink`."""
+    from pyspark.sql import functions as F
+
+    def merge_counts(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.unionByName(b)
+            .groupBy(group_col, cat_col)
+            .agg(F.sum("n").alias("n"))
+        )
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        delta = df.groupBy(group_col, cat_col).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        _fold_versioned(df.sparkSession, delta, batch_id, path, merge_counts)
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def tvd_from_state(state: DataFrame, group_col: str = "source") -> DataFrame:
+    """Group-vs-rest total-variation drift from a persisted contingency
+    state (the :func:`drift_state_sink` output) — the same exact-BIGINT
+    common-denominator protocol as ``profile.tvd_drift``, reading the
+    vocabulary-grain state instead of the corpus."""
+    from pyspark.sql import functions as F
+
+    cells = state.select(
+        F.col(group_col).alias("g"),
+        F.col(state.columns[1]).alias("cat"),
+        F.col("n").alias("o_g"),
+    )
+    groups = cells.select("g").distinct()
+    cat_tot = cells.groupBy("cat").agg(F.sum("o_g").alias("c_all"))
+    g_tot = cells.groupBy("g").agg(F.sum("o_g").alias("n_g"))
+    grand = cells.agg(F.sum("o_g").alias("n_all"))
+    full = (
+        groups.crossJoin(cat_tot)
+        .join(cells, ["g", "cat"], "left")
+        .select("g", "cat", "c_all", F.coalesce("o_g", F.lit(0)).alias("o_g"))
+        .join(g_tot, "g")
+        .crossJoin(F.broadcast(grand))
+        .withColumn("o_r", F.col("c_all") - F.col("o_g"))
+        .withColumn("n_r", F.col("n_all") - F.col("n_g"))
+    )
+    num = F.abs(
+        F.col("o_g") * F.col("n_r") - F.col("o_r") * F.col("n_g")
+    ).cast("decimal(38,0)")
+    return (
+        full.groupBy("g", "n_g", "n_r")
+        .agg(F.sum(num).alias("num_sum"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_g").cast("bigint").alias("n_group"),
+            (
+                F.col("num_sum").cast("double")
+                / (
+                    2.0
+                    * F.col("n_g").cast("double")
+                    * F.col("n_r").cast("double")
+                )
+            ).alias("tvd"),
+        )
+    )

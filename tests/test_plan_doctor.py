@@ -240,6 +240,9 @@ FUNNEL_REVIEWED = {
     # grand-total broadcast — everything feeding them is the |types|²
     # transition matrix (config grain)
     "seq_accuracy",
+    # brier_score: the calibration_bins justification — one-row min/max
+    # broadcast + the one-row final aggregate; per-doc work zero-shuffle
+    "brier_score",
     # abc_parts: the revenue_concentration justification — the
     # #partitions-grain offset table of the two-phase rank + the
     # one-row grand-total broadcast; part work is key-grain

@@ -764,3 +764,70 @@ class TestSeqAccuracyAndPeers:
             assert all(r["n_peers"] == len(rows) for r in rows)
             top = max(rows, key=lambda r: r["pct_rank"])
             assert top["revenue"] == max(r["revenue"] for r in rows)
+
+
+def test_drift_state_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming drift-monitor maintenance: after all micro-batches
+    drain, the persisted contingency equals the batch contingency
+    bit-for-bit, and the TVD answered FROM THE STATE equals
+    profile.tvd_drift over the full corpus."""
+    from p2_mapreduce_spark.operators.profile import tvd_drift
+    from p2_mapreduce_spark.session import load_table
+    from p2_mapreduce_spark.streaming.sinks import (
+        drift_state_sink,
+        load_latest_state,
+        tvd_from_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    src = str(tmp_path / "docs_src_drift")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state_path = str(tmp_path / "drift_state")
+    q = drift_state_sink(stream, state_path, str(tmp_path / "ck_drift"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import pyspark.sql.functions as F2
+
+    got = sorted(map(tuple, load_latest_state(spark, state_path).collect()))
+    want = sorted(map(tuple,
+        docs.groupBy("source", "lang").agg(
+            F2.count(F2.lit(1)).alias("n")).collect()))
+    assert got == want
+    live = {
+        r["source"]: r["tvd"]
+        for r in tvd_from_state(
+            load_latest_state(spark, state_path)
+        ).collect()
+    }
+    batch = {
+        r["source"]: r["tvd"]
+        for r in tvd_drift(load_table(spark, sf_dir, "documents")).collect()
+    }
+    assert live == batch
+
+
+def test_brier_score_bounds_and_degenerate(spark):
+    from p2_mapreduce_spark.operators.curation import brier_score
+
+    docs = spark.createDataFrame(
+        [(1, "the the the long text here", "en"),
+         (2, "corto", "es"), (3, "medio texto aqui", "es")],
+        ["doc_id", "text", "lang"],
+    )
+    r = brier_score(docs).collect()[0]
+    assert r["n_docs"] == 3 and r["n_pos"] == 1
+    assert 0.0 <= r["brier"] <= 1.0
+    # degenerate corpus (one doc → max == min → p = 0): brier = label²
+    one = spark.createDataFrame([(1, "solo", "en")],
+                                ["doc_id", "text", "lang"])
+    r1 = brier_score(one).collect()[0]
+    assert abs(r1["brier"] - 1.0) < 1e-9
