@@ -2301,9 +2301,10 @@ def tvd_drift(
         .withColumn("o_r", F.col("c_all") - F.col("o_g"))
         .withColumn("n_r", F.col("n_all") - F.col("n_g"))
     )
-    # |o_g·n_r − o_r·n_g| stays < 2^63 for any single table (counts <
-    # 2^31.5 each side), so the product runs in BIGINT; the cross-
-    # category SUM is widened to DECIMAL for the order-independent
+    # |o_g·n_r − o_r·n_g| < n_all², so the BIGINT product is safe while
+    # the audited table holds < ~3·10⁹ rows (n_all < 2^31.5); beyond
+    # that, widen the FACTORS to DECIMAL before multiplying.  The
+    # cross-category SUM is already DECIMAL for the order-independent
     # exact-sum protocol.
     num = F.abs(
         F.col("o_g") * F.col("n_r") - F.col("o_r") * F.col("n_g")
@@ -2388,8 +2389,10 @@ def conformal_band(
     slots in upstream).
 
     Exactness protocol: residuals scale by n to stay integer —
-    ``R_i = |v_i·n − S|`` in cents·n (BIGINT: cents < 2^40, n < 2^22
-    at any per-group grain this table reaches) — the radius is the
+    ``R_i = |v_i·n − S|`` in cents·n — BIGINT-safe while
+    ``max_cents · n_group < 2^62`` (fixture cents < 2^17 admit ~10¹³
+    rows per group; re-center on a coarser pre-mean beyond that) — the
+    radius is the
     ``min(n, ceil((n+1)·q/10))``-th smallest R (an exact rank pick,
     value-deterministic under ties like pinball_eval's quantile), and
     mean/radius surface with single pinned divisions.
