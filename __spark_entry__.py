@@ -3495,12 +3495,26 @@ def _q_blocking_quality(spark, sf_dir):
 
 
 #: Query ids that have already appeared in a driver CORRECTNESS_r{N}.json
-#: sample (the union of r01-r04).  The driver verifies the FIRST 50
+#: sample (the union of r01-r05).  The driver verifies the FIRST 50
 #: registered ids each round, so ``queries()`` registers
 #: never-driver-checked ids first — rotating the sample window across the
 #: full suite round over round.  Append each new round's sampled ids here.
-_DRIVER_CHECKED_R01_R04 = frozenset(
+_DRIVER_CHECKED_R01_R05 = frozenset(
     {
+        # --- sampled in r05 ---
+        "video_bmpstream", "tvd_drift", "gk_lambda", "runs_test",
+        "spearman_daily", "kendall_tau", "mase_eval", "pinball_eval",
+        "decile_lift", "token_dropout", "blocking_quality",
+        "media_jpeg420", "abc_parts", "holt_linear", "conformal_band",
+        "degree_histogram", "link_prediction", "search_snippets",
+        "fuzzy_search", "kmeans_purity", "average_precision",
+        "isotonic_calibration", "raking_weights", "dup_cluster_sizes",
+        "audio_adpcm", "media_jpeg_prog", "seq_accuracy",
+        "peer_percentile", "brier_score", "video_frames",
+        "media_frames", "media_mixed", "chi2_drift", "k_anonymity",
+        "activity_islands", "knn_ivf", "knn_np", "media_decode",
+        "media_resize", "media_pixels", "media_png", "audio_wav",
+        "weighted_median", "kmv_distinct", "cramers_v", "mad_outliers",
         # --- sampled in r04 ---
         "ann_recall", "benford", "bitmap_count", "calibration_bins",
         "cdc_chunks", "classifier_auc", "clustering_coeff",
@@ -3540,46 +3554,30 @@ _DRIVER_CHECKED_R01_R04 = frozenset(
 #: Queries added THIS round (never existed when any driver sample ran) —
 #: registered first so the newest, highest-risk operators are always
 #: inside the driver's 50-query window.
-_ROUND5_NEW = (
-    "video_bmpstream", "tvd_drift", "gk_lambda", "runs_test",
-    "spearman_daily", "kendall_tau", "mase_eval", "pinball_eval",
-    "decile_lift", "token_dropout", "blocking_quality", "media_jpeg420",
-    "abc_parts", "holt_linear", "conformal_band", "degree_histogram",
-    "link_prediction", "search_snippets", "fuzzy_search", "kmeans_purity",
-    "average_precision", "isotonic_calibration", "raking_weights",
-    "dup_cluster_sizes", "audio_adpcm", "media_jpeg_prog",
-    "seq_accuracy", "peer_percentile", "brier_score",
-)
+_ROUND6_NEW = ()
 
 #: Queries whose implementation or oracle materially CHANGED this round
 #: (r04 ADVICE: a prior driver check validated the OLD code, so changed
-#: ids re-enter the sample window exactly like new ids):
-#:   winnow_fingerprints / winnow_pairs — in-row fold rewrite (r04 verdict
-#:     item 2); logrank — day-grain suffix-sum rewrite (item 3);
-#:   media_jpeg — color 4:4:4 + DRI branch (item 4); video_frames /
-#:     media_frames / media_mixed — MJPEG demux payloads (item 5).
-_ROUND5_CHANGED = (
-    "winnow_fingerprints", "winnow_pairs", "logrank", "media_jpeg",
-    "video_frames", "media_frames", "media_mixed",
-)
+#: ids re-enter the sample window exactly like new ids).
+_ROUND6_CHANGED = ()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
     newest = {
         k: base[k]
-        for k in (*_ROUND5_NEW, *_ROUND5_CHANGED)
+        for k in (*_ROUND6_NEW, *_ROUND6_CHANGED)
         if k in base
     }
     fresh = {
         k: v
         for k, v in base.items()
-        if k not in _DRIVER_CHECKED_R01_R04 and k not in newest
+        if k not in _DRIVER_CHECKED_R01_R05 and k not in newest
     }
     seen = {
         k: v
         for k, v in base.items()
-        if k in _DRIVER_CHECKED_R01_R04 and k not in newest
+        if k in _DRIVER_CHECKED_R01_R05 and k not in newest
     }
     return {**newest, **fresh, **seen}
 

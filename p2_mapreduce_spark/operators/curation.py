@@ -1718,8 +1718,10 @@ def decile_lift(
         .crossJoin(F.broadcast(total))
         .withColumn(
             "decile",
-            ((F.col("rank") - 1) * 10 / F.col("n_tot"))
-            .cast("bigint") + 1,
+            # exact BIGINT // (SQL `div`), matching the DuckDB oracle's
+            # integer division — double division + cast can disagree when
+            # the quotient lands within half an ulp of an integer.
+            F.expr("((rank - 1) * 10) div n_tot") + F.lit(1),
         )
     )
     per = ranked.groupBy("decile", "n_tot", "pos_tot").agg(

@@ -2320,14 +2320,20 @@ def tvd_drift(
             F.col("n_g").cast("bigint").alias("n_group"),
             F.col("n_r").cast("bigint").alias("n_rest"),
             "n_categories",
-            (
+            # n_r == 0 means the group IS the whole corpus: both
+            # distributions are identical, so TVD is 0 by definition —
+            # guard the division (mirrors runs_test / spearman_daily)
+            # instead of letting the degenerate case surface as
+            # null/NaN with unpinned cross-engine behavior.
+            F.when(
+                F.col("n_r") > 0,
                 F.col("num_sum").cast("double")
                 / (
                     2.0
                     * F.col("n_g").cast("double")
                     * F.col("n_r").cast("double")
-                )
-            ).alias("tvd"),
+                ),
+            ).otherwise(F.lit(0.0)).alias("tvd"),
         )
     )
 

@@ -469,16 +469,22 @@ def drift_state_sink(
     )
 
 
-def tvd_from_state(state: DataFrame, group_col: str = "source") -> DataFrame:
+def tvd_from_state(
+    state: DataFrame, group_col: str = "source", cat_col: str = "lang"
+) -> DataFrame:
     """Group-vs-rest total-variation drift from a persisted contingency
     state (the :func:`drift_state_sink` output) — the same exact-BIGINT
     common-denominator protocol as ``profile.tvd_drift``, reading the
-    vocabulary-grain state instead of the corpus."""
+    vocabulary-grain state instead of the corpus.  The category column
+    is named explicitly (defaulting to ``lang`` like
+    :func:`drift_state_sink`) — binding it positionally would silently
+    compute TVD over the wrong column if a caller reordered the
+    persisted state's projection."""
     from pyspark.sql import functions as F
 
     cells = state.select(
         F.col(group_col).alias("g"),
-        F.col(state.columns[1]).alias("cat"),
+        F.col(cat_col).alias("cat"),
         F.col("n").alias("o_g"),
     )
     groups = cells.select("g").distinct()
@@ -503,13 +509,16 @@ def tvd_from_state(state: DataFrame, group_col: str = "source") -> DataFrame:
         .select(
             F.col("g").alias(group_col),
             F.col("n_g").cast("bigint").alias("n_group"),
-            (
+            # n_r == 0 → the group IS the whole corpus → TVD 0 by
+            # definition (same guard as profile.tvd_drift).
+            F.when(
+                F.col("n_r") > 0,
                 F.col("num_sum").cast("double")
                 / (
                     2.0
                     * F.col("n_g").cast("double")
                     * F.col("n_r").cast("double")
-                )
-            ).alias("tvd"),
+                ),
+            ).otherwise(F.lit(0.0)).alias("tvd"),
         )
     )

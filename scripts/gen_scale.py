@@ -183,7 +183,11 @@ def main() -> None:
                 F.lit(1704067200000000)  # 2024-01-01 UTC in micros
                 + F.pmod(_h("ets", F.col("event_id")), F.lit(30 * 86400 * 1000000)).cast("bigint")
             ).alias("ts"),
-            F.pmod(_h("eu", F.col("event_id")), F.lit(1500 * 10)).alias("user_id"),
+            # user cardinality scales with --mult so a 10x dataset has
+            # 10x MORE users at the same per-user event density (not
+            # 10x-denser chains), preserving the user-grain window /
+            # sessionize scaling shape the panel reports.
+            F.pmod(_h("eu", F.col("event_id")), F.lit(15_000 * mult)).alias("user_id"),
             F.element_at(et, (F.pmod(_h("ee", F.col("event_id")), F.lit(5)) + 1).cast("int")).alias("event_type"),
             (F.pmod(_h("ev", F.col("event_id")), F.lit(100000)) / 100.0).alias("value"),
             F.format_string('{"k": %d}', F.pmod(_h("ek", F.col("event_id")), F.lit(100)).cast("int")).alias("props"),
