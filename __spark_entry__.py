@@ -1709,8 +1709,9 @@ def _q_degree_histogram(spark, sf_dir):
 
 
 def _q_link_prediction(spark, sf_dir):
-    """Common-neighbor link prediction over a deterministic supplier
-    panel of the trade graph: top customer pairs by shared suppliers."""
+    """Common-neighbor link prediction over an absolute hash-ranked
+    supplier panel (top-K by md5 order — size pinned regardless of
+    corpus growth): top customer pairs by shared suppliers."""
     from p2_mapreduce_spark.operators.graph import link_prediction
 
     return link_prediction(
@@ -3558,8 +3559,10 @@ _ROUND6_NEW = ()
 
 #: Queries whose implementation or oracle materially CHANGED this round
 #: (r04 ADVICE: a prior driver check validated the OLD code, so changed
-#: ids re-enter the sample window exactly like new ids).
-_ROUND6_CHANGED = ()
+#: ids re-enter the sample window exactly like new ids):
+#:   link_prediction — absolute hash-ranked top-K supplier panel
+#:     replaces the fractional 1/supplier_mod panel (r05 verdict weak #1).
+_ROUND6_CHANGED = ("link_prediction",)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -12873,10 +12876,15 @@ def oracle_sql() -> dict[str, str]:
         FROM deg GROUP BY 1
     """
     out["link_prediction"] = """
-        WITH pairs AS (
+        WITH panel AS (
+            SELECT s FROM (SELECT DISTINCT l_suppkey AS s FROM lineitem)
+            ORDER BY md5(CAST(s AS VARCHAR)), s LIMIT 50
+        ),
+        pairs AS (
             SELECT DISTINCT l_suppkey AS s, o_custkey AS c
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-            WHERE l_suppkey % 20 = 0
+            FROM lineitem
+            JOIN panel ON l_suppkey = panel.s
+            JOIN orders ON l_orderkey = o_orderkey
         ),
         w AS (
             SELECT a.c AS cust_a, b.c AS cust_b
