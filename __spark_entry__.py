@@ -3561,8 +3561,11 @@ _ROUND6_NEW = ()
 #: (r04 ADVICE: a prior driver check validated the OLD code, so changed
 #: ids re-enter the sample window exactly like new ids):
 #:   link_prediction — absolute hash-ranked top-K supplier panel
-#:     replaces the fractional 1/supplier_mod panel (r05 verdict weak #1).
-_ROUND6_CHANGED = ("link_prediction",)
+#:     replaces the fractional 1/supplier_mod panel (r05 verdict weak #1);
+#:   otsu_threshold / degree_assort — sufficient-statistic frames now
+#:     materialize once instead of re-running the corpus scan per plan
+#:     branch (r05 verdict weak #2, the bench-persist regression).
+_ROUND6_CHANGED = ("link_prediction", "otsu_threshold", "degree_assort")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -803,6 +803,13 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     degree count is the reference's M5/M8 group-by-key + count at node
     grain.
     """
+    # the deduped edge list and the degree table are each referenced by
+    # MULTIPLE plan branches (stats uses stubs twice + deg twice, meta
+    # uses sym + deg again) — materialize each ONCE so the upstream
+    # edge-extraction join doesn't re-run per branch (measured 1.6 s →
+    # 3.1 s at sf0.1 when the base tables are InMemoryRelations, the
+    # r05→r06 bench regression).  Edge/node grain, dropped by the bench
+    # harness's tracked unpersist after the query.
     sym = (
         edges.select(F.col(edges.columns[0]).alias("u"),
                      F.col(edges.columns[1]).alias("w"))
@@ -811,11 +818,12 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             F.least("u", "w").alias("a"), F.greatest("u", "w").alias("b")
         )
         .distinct()
+        .persist()
     )
     stubs = sym.select("a", "b").union(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    deg = stubs.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    deg = stubs.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).persist()
     joined = (
         stubs.join(deg.select(F.col("a"), F.col("deg").alias("dx")), "a")
         .join(
