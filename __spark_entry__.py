@@ -1813,6 +1813,22 @@ def _q_media_jpeg_prog(spark, sf_dir):
     return jpeg_pixel_sums(attach_jpeg_prog(docs))
 
 
+def _q_media_jpeg_prog_color(spark, sf_dir):
+    """Real COLOR progressive-JPEG (SOF2) decode: interleaved DC
+    scans, per-component AC first scans, and AC successive-
+    approximation REFINEMENT scans (correction bits, insertion,
+    post-EOB sweeps) — closed-form RGB oracle over sums AND sums of
+    squares (the second moment sees the AC amplitudes plain sums
+    cancel)."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_jpeg_prog_color,
+        jpeg_pixel_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_pixel_stats(attach_jpeg_prog_color(docs))
+
+
 def _q_seq_accuracy(spark, sf_dir):
     """Markov next-event top-1 accuracy per current type with the
     majority-class baseline — the eval face of event_transitions."""
@@ -3555,7 +3571,7 @@ _DRIVER_CHECKED_R01_R05 = frozenset(
 #: Queries added THIS round (never existed when any driver sample ran) —
 #: registered first so the newest, highest-risk operators are always
 #: inside the driver's 50-query window.
-_ROUND6_NEW = ()
+_ROUND6_NEW = ("media_jpeg_prog_color",)
 
 #: Queries whose implementation or oracle materially CHANGED this round
 #: (r04 ADVICE: a prior driver check validated the OLD code, so changed
@@ -3733,6 +3749,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_sizes": _q_dup_cluster_sizes,
         "audio_adpcm": _q_audio_adpcm,
         "media_jpeg_prog": _q_media_jpeg_prog,
+        "media_jpeg_prog_color": _q_media_jpeg_prog_color,
         "seq_accuracy": _q_seq_accuracy,
         "peer_percentile": _q_peer_percentile,
         "brier_score": _q_brier_score,
@@ -13060,6 +13077,58 @@ def oracle_sql() -> dict[str, str]:
                CAST(64 * (n * (128 + a8) + 16 * ne) AS BIGINT) AS sum_g,
                CAST(64 * (n * (128 + a8) + 16 * ne) AS BIGINT) AS sum_b
         FROM m
+    """
+    out["media_jpeg_prog_color"] = """
+        -- color-progressive closed form: per component the DC chain
+        -- is id%K + 16·(1−m%2) (K = 8/5/7 for Y/Cb/Cr) and the single
+        -- AC coefficient at basis (4,4) is the exact ±amp
+        -- checkerboard (amp: Y +3, Cb ±1 by id parity, Cr −2), so
+        -- every 8×8 block splits 32/32 between two exact pixel values
+        -- per channel; e0 literals force DOUBLE for the JFIF
+        -- FLOOR(x+0.5) RGB transform
+        WITH d AS (
+            SELECT doc_id AS media_id,
+                   1 + doc_id % 2 AS wb,
+                   1 + (doc_id % 4) // 2 AS hb,
+                   doc_id % 8 AS a8,
+                   doc_id % 5 AS a5,
+                   doc_id % 7 AS a7,
+                   CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS scb
+            FROM documents
+        ),
+        -- one row per (image, MCU parity, checkerboard sign); even
+        -- MCUs (par=1) count ne, odd count nodd; each sign covers 32
+        -- pixels per block
+        px AS (
+            SELECT media_id, wb, hb,
+                   CASE WHEN par = 1 THEN (wb * hb + 1) // 2
+                        ELSE wb * hb - (wb * hb + 1) // 2 END AS cnt,
+                   FLOOR((128 + a8 + 16 * par + 3 * sgn)
+                       + 1.402e0 * (a7 + 16 * par - 2 * sgn)
+                       + 0.5e0) AS r,
+                   FLOOR((128 + a8 + 16 * par + 3 * sgn)
+                       - 0.344136e0 * (a5 + 16 * par + scb * sgn)
+                       - 0.714136e0 * (a7 + 16 * par - 2 * sgn)
+                       + 0.5e0) AS g,
+                   FLOOR((128 + a8 + 16 * par + 3 * sgn)
+                       + 1.772e0 * (a5 + 16 * par + scb * sgn)
+                       + 0.5e0) AS b
+            FROM d,
+                 (SELECT unnest([1, 0]) AS par),
+                 (SELECT unnest([1, -1]) AS sgn)
+        )
+        SELECT media_id,
+               CAST(8 * MAX(wb) AS INT) AS width,
+               CAST(8 * MAX(hb) AS INT) AS height,
+               CAST(3 AS INT) AS n_comp,
+               CAST(SUM(cnt * 32 * r) AS BIGINT) AS sum_r,
+               CAST(SUM(cnt * 32 * g) AS BIGINT) AS sum_g,
+               CAST(SUM(cnt * 32 * b) AS BIGINT) AS sum_b,
+               CAST(SUM(cnt * 32 * r * r) AS BIGINT) AS ssq_r,
+               CAST(SUM(cnt * 32 * g * g) AS BIGINT) AS ssq_g,
+               CAST(SUM(cnt * 32 * b * b) AS BIGINT) AS ssq_b
+        FROM px
+        GROUP BY media_id
     """
     out["average_precision"] = f"""
         WITH m AS (

@@ -12,18 +12,25 @@ for audio, frame-walking demux + per-frame decode for video;
 ``decoder="pixels"`` is the full BMP pixel codec with integer box-filter
 resize and BMP re-encode (attach_bmp builds genuine BMP files JVM-side);
 :func:`jpeg_pixel_sums` runs a real baseline-JPEG decoder — GRAYSCALE
-and 4:4:4 YCbCr COLOR with DRI restart markers (canonical Huffman +
-per-component DPCM + dequant + IDCT + JFIF RGB transform) — over
-attach_jpeg's spec-valid entropy-coded payloads;
+and 4:4:4 / 4:2:0 / 4:2:2 YCbCr COLOR with DRI restart markers
+(canonical Huffman + per-component DPCM + dequant + IDCT + JFIF RGB
+transform) — over attach_jpeg's spec-valid entropy-coded payloads;
+:func:`_decode_jpeg_progressive` the PROGRESSIVE (SOF2) discipline for
+grayscale AND 3-component color: interleaved DC scans with point
+transform + refinement, AC first scans with EOBRUN, and AC
+successive-approximation refinement (correction bits / insertions /
+post-EOB sweeps), audited through :func:`jpeg_pixel_stats` (sums +
+sums of squares);
 :func:`video_frame_sums` demuxes MJPEG (concatenated baseline JPEGs)
 and decodes every sampled frame through the same codec;
 :func:`png_pixel_sums` a full PNG decoder (CRC + inflate + filters);
+:func:`adpcm_sample_sums` a real IMA-ADPCM predictive audio decoder;
 ``decoder="headers"`` is a real header codec that parses dimensions
 from PNG IHDR / JPEG SOF bytes; ``decoder="fake"`` derives
 deterministic pseudo-metadata from the payload hash (the
 oracle-checkable stand-in, query id ``media_digest``);
 ``decoder="none"`` raises ``NotImplementedError``, marking exactly
-where color/AC-refinement progressive JPEG and perceptual-audio
+where chroma-subsampled/DRI progressive JPEG and perceptual-audio
 (MP3/AAC-class) codecs (Pillow/torchaudio/PyAV — not in this
 container) plug in.  The
 Spark-side contract (schemas, batch iteration, partitioning) is
@@ -284,12 +291,13 @@ def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """
     if decoder == "none":
         raise NotImplementedError(
-            "color/AC-refinement progressive JPEG and perceptual-audio "
+            "chroma-subsampled/DRI progressive JPEG and perceptual-audio "
             "(MP3/AAC-class) codecs (Pillow/torchaudio/PyAV) are not "
             "available in this environment; use decoder='real' (full "
-            "BMP/WAV kernels; baseline gray/4:4:4/4:2:0-color and "
-            "grayscale-progressive JPEG via jpeg_pixel_sums; IMA-ADPCM "
-            "via adpcm_sample_sums; MJPEG via video_frame_sums), "
+            "BMP/WAV kernels; baseline gray/4:4:4/4:2:0-color JPEG and "
+            "gray/color PROGRESSIVE JPEG incl. AC refinement via "
+            "jpeg_pixel_sums/jpeg_pixel_stats; IMA-ADPCM via "
+            "adpcm_sample_sums; MJPEG via video_frame_sums), "
             "'headers' (headers), "
             "or 'fake' (deterministic stub)"
         )
@@ -2212,19 +2220,31 @@ def adpcm_sample_sums(media: DataFrame) -> DataFrame:
 
 
 def _decode_jpeg_progressive(b: bytes):
-    """Real PROGRESSIVE-JPEG decoder for the grayscale envelope (SOF2,
-    one 1×1 component, no restart intervals): the multi-scan
-    coefficient-accumulation discipline T.81 Annex G defines — DC first
-    scan with the Al point transform (``coef = diff << Al``), DC
-    successive-approximation refinement (one raw bit per block ORed in
-    at Al), and AC first scans with the EOBRUN band skip
-    (``eobrun = (1<<r) − 1 + bits(r)``) — then one dequantize +
-    de-zigzag + IDCT pass over the ACCUMULATED coefficients (the
-    defining difference from baseline's per-block inline decode).
+    """Real PROGRESSIVE-JPEG decoder (SOF2, T.81 Annex G) for 1- and
+    3-COMPONENT frames with 1x1 sampling: the multi-scan coefficient-
+    accumulation discipline — DC first scans (interleaved MCU order
+    when Ns > 1, per B.2.3) with the Al point transform
+    (``coef = diff << Al``), DC successive-approximation refinement
+    (one raw bit per block per component ORed in at Al), AC first
+    scans (always single-component) with the EOBRUN band skip
+    (``eobrun = (1<<r) − 1 + bits(r)``), and — round 6 — AC
+    SUCCESSIVE-APPROXIMATION REFINEMENT scans (Ah > 0, Ss > 0): the
+    correction-bit discipline of G.1.2.3.  In a refinement scan every
+    already-nonzero coefficient crossed by a zero-run, an insertion,
+    or the post-EOB band sweep consumes ONE raw bit that bumps its
+    magnitude away from zero by 1<<Al iff the bit is 1 and the Al bit
+    is not already set; ``(r, s=1)`` symbols insert a NEW ±1<<Al
+    coefficient at the (r+1)-th zero-HISTORY position; EOB runs cover
+    whole blocks whose nonzero history still receives correction
+    bits.  After all scans: one dequantize + de-zigzag + IDCT pass
+    over the ACCUMULATED coefficients per component, and for
+    3-component frames the same JFIF floor(x+0.5) YCbCr→RGB transform
+    as the baseline decoder, so the color closed-form oracles carry
+    over verbatim.
 
-    Gated (returns None): multi-component progressive frames, AC
-    successive-approximation refinement scans (Ah > 0 with Ss > 0),
-    restart intervals, 16-bit quant tables, malformed streams — the
+    Gated (returns None): subsampled progressive frames (any sampling
+    factor other than 1×1), restart intervals, 16-bit quant tables,
+    2-/4-component frames, malformed streams — the
     ``decode_media(decoder='none')`` message names what remains.
     """
     import math
@@ -2236,8 +2256,8 @@ def _decode_jpeg_progressive(b: bytes):
     qt: dict = {}
     huff: dict = {}
     w = h = None
-    comp_tq = None
-    scans = []  # (ss, se, ah, al, td, ta, data)
+    comps = None  # [(component id, quant table id)], frame order
+    scans = []  # (comp_idxs, tabs, ss, se, ah, al, data)
     pos = 2
     try:
         while pos + 2 <= len(b):
@@ -2285,36 +2305,56 @@ def _decode_jpeg_progressive(b: bytes):
                     huff[(tc, th)] = table
                     i += 17 + n
             elif m == 0xC2:
-                if seg[0] != 8 or seg[5] != 1 or seg[7] != 0x11:
-                    return None  # grayscale 1×1 progressive only
+                if seg[0] != 8 or seg[5] not in (1, 3):
+                    return None  # 8-bit gray or YCbCr progressive only
                 h = int.from_bytes(seg[1:3], "big")
                 w = int.from_bytes(seg[3:5], "big")
-                comp_tq = seg[8]
+                comps = []
+                for ci in range(seg[5]):
+                    if seg[7 + 3 * ci] != 0x11:
+                        return None  # subsampled progressive gated
+                    comps.append((seg[6 + 3 * ci], seg[8 + 3 * ci]))
             elif m == 0xDD:
                 return None  # restart intervals gated in progressive
             elif m == 0xDA:
-                if comp_tq is None or seg[0] != 1:
+                if comps is None:
                     return None
-                td, ta = seg[2] >> 4, seg[2] & 15
-                ss, se = seg[3], seg[4]
-                ah, al = seg[5] >> 4, seg[5] & 15
+                ns = seg[0]
+                if not 1 <= ns <= len(comps) or len(seg) != 4 + 2 * ns:
+                    return None
+                idxs, tabs = [], []
+                for j in range(ns):
+                    cid = seg[1 + 2 * j]
+                    hits = [i for i, c in enumerate(comps) if c[0] == cid]
+                    if len(hits) != 1:
+                        return None
+                    idxs.append(hits[0])
+                    t = seg[2 + 2 * j]
+                    tabs.append((t >> 4, t & 15))
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                aa = seg[3 + 2 * ns]
                 start = pos + 2 + seglen
                 i = start
                 while i + 1 < len(b):
                     if b[i] == 0xFF and b[i + 1] != 0x00:
                         break
                     i += 1
-                scans.append((ss, se, ah, al, td, ta, b[start:i]))
+                scans.append(
+                    (idxs, tabs, ss, se, aa >> 4, aa & 15, b[start:i])
+                )
                 pos = i
                 continue
             pos += 2 + seglen
-        if w is None or not scans or comp_tq not in qt:
+        if w is None or not scans:
             return None
+        for _cid, tq in comps:
+            if tq not in qt:
+                return None
         nbx, nby = (w + 7) // 8, (h + 7) // 8
         nb = nbx * nby
-        coef = np.zeros((nb, 64), dtype=np.int64)
+        coef = [np.zeros((nb, 64), dtype=np.int64) for _ in comps]
 
-        for ss, se, ah, al, td, ta, data in scans:
+        for idxs, tabs, ss, se, ah, al, data in scans:
             spos, cur, nbits = 0, 0, 0
 
             def read_bit():
@@ -2354,52 +2394,110 @@ def _decode_jpeg_progressive(b: bytes):
                     v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
                 )
 
-            if ss == 0:
+            if ss == 0:  # DC scan: interleaved MCU order iff Ns > 1
                 if se != 0:
                     return None
                 if ah == 0:  # DC first scan
-                    dch = huff.get((0, td))
-                    if dch is None:
-                        return None
-                    pred = 0
+                    dcts = []
+                    for td, _ta in tabs:
+                        t = huff.get((0, td))
+                        if t is None:
+                            return None
+                        dcts.append(t)
+                    preds = [0] * len(idxs)
                     for blk in range(nb):
-                        t = read_symbol(dch)
-                        diff = extend(read_bits(t), t) if t else 0
-                        pred += diff
-                        coef[blk][0] = pred << al
-                else:  # DC refinement: one raw bit per block
+                        for j, ci in enumerate(idxs):
+                            t = read_symbol(dcts[j])
+                            diff = extend(read_bits(t), t) if t else 0
+                            preds[j] += diff
+                            coef[ci][blk][0] = preds[j] << al
+                else:  # DC refinement: one raw bit per block/component
                     for blk in range(nb):
-                        coef[blk][0] |= read_bit() << al
-            else:
-                if ah != 0:
-                    return None  # AC refinement gated
-                ach = huff.get((1, ta))
+                        for ci in idxs:
+                            coef[ci][blk][0] |= read_bit() << al
+            else:  # AC scan: single component only (T.81 B.2.3)
+                if len(idxs) != 1 or se < ss or se > 63:
+                    return None
+                cfs = coef[idxs[0]]
+                ach = huff.get((1, tabs[0][1]))
                 if ach is None:
                     return None
-                eobrun = 0
-                for blk in range(nb):
-                    if eobrun:
-                        eobrun -= 1
-                        continue
-                    k = ss
-                    while k <= se:
-                        rs = read_symbol(ach)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            eobrun = (1 << r) - 1 + (
-                                read_bits(r) if r else 0
-                            )
-                            break
-                        k += r
-                        if k > se:
-                            return None
-                        coef[blk][k] = extend(read_bits(s), s) << al
-                        k += 1
+                if ah == 0:  # AC first scan
+                    eobrun = 0
+                    for blk in range(nb):
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = read_symbol(ach)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1 + (
+                                    read_bits(r) if r else 0
+                                )
+                                break
+                            k += r
+                            if k > se:
+                                return None
+                            cfs[blk][k] = extend(read_bits(s), s) << al
+                            k += 1
+                else:  # AC refinement (T.81 G.1.2.3 / correction bits)
+                    p1, m1 = 1 << al, -(1 << al)
+                    eobrun = 0
+                    for blk in range(nb):
+                        cf = cfs[blk]
+                        k = ss
+                        hit_eob = False
+                        if eobrun:
+                            eobrun -= 1
+                            hit_eob = True
+                        else:
+                            while k <= se:
+                                rs = read_symbol(ach)
+                                r, s = rs >> 4, rs & 15
+                                newval = 0
+                                if s == 1:
+                                    newval = p1 if read_bit() else m1
+                                elif s:
+                                    return None
+                                elif r != 15:
+                                    eobrun = (1 << r) - 1 + (
+                                        read_bits(r) if r else 0
+                                    )
+                                    hit_eob = True
+                                    break
+                                # advance over r zero-HISTORY positions;
+                                # each nonzero coefficient crossed takes
+                                # one correction bit
+                                while k <= se:
+                                    v = int(cf[k])
+                                    if v != 0:
+                                        if read_bit() and (v & p1) == 0:
+                                            cf[k] = v + (
+                                                p1 if v >= 0 else m1
+                                            )
+                                    else:
+                                        r -= 1
+                                        if r < 0:
+                                            break
+                                    k += 1
+                                if newval:
+                                    if k > se:
+                                        return None
+                                    cf[k] = newval
+                                k += 1
+                        if hit_eob:
+                            # post-EOB sweep: remaining nonzero history
+                            # in the band still gets correction bits
+                            for kk in range(k, se + 1):
+                                v = int(cf[kk])
+                                if v != 0 and read_bit() and (v & p1) == 0:
+                                    cf[kk] = v + (p1 if v >= 0 else m1)
 
-        q = qt[comp_tq]
         a = np.array(
             [
                 [
@@ -2411,18 +2509,41 @@ def _decode_jpeg_progressive(b: bytes):
                 for u in range(8)
             ]
         )
-        plane = np.zeros((nby * 8, nbx * 8), dtype=np.int64)
-        for blk in range(nb):
-            grid = np.zeros(64)
-            for zi, rix in enumerate(_JPEG_ZIGZAG):
-                grid[rix] = coef[blk][zi] * q[zi]
-            f = a.T @ grid.reshape(8, 8) @ a
-            by, bx = divmod(blk, nbx)
-            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.rint(f) + 128, 0, 255
-            ).astype(np.int64)
-        gray = plane[:h, :w]
-        return w, h, [[[int(v) for v in row] for row in gray]]
+        planes = []
+        for ci, (_cid, tq) in enumerate(comps):
+            q = qt[tq]
+            plane = np.zeros((nby * 8, nbx * 8), dtype=np.int64)
+            for blk in range(nb):
+                grid = np.zeros(64)
+                for zi, rix in enumerate(_JPEG_ZIGZAG):
+                    grid[rix] = coef[ci][blk][zi] * q[zi]
+                f = a.T @ grid.reshape(8, 8) @ a
+                by, bx = divmod(blk, nbx)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.rint(f) + 128, 0, 255
+                ).astype(np.int64)
+            planes.append(plane)
+        if len(comps) == 1:
+            gray = planes[0][:h, :w]
+            return w, h, [[[int(v) for v in row] for row in gray]]
+        # JFIF YCbCr -> RGB, floor(x + 0.5) rounding — byte-identical
+        # to the baseline color path so one oracle device covers both
+        y = planes[0][:h, :w].astype(np.float64)
+        cb = planes[1][:h, :w].astype(np.float64)
+        cr = planes[2][:h, :w].astype(np.float64)
+        r = np.clip(np.floor(y + 1.402 * (cr - 128.0) + 0.5), 0, 255)
+        g = np.clip(
+            np.floor(
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5
+            ),
+            0,
+            255,
+        )
+        bl = np.clip(np.floor(y + 1.772 * (cb - 128.0) + 0.5), 0, 255)
+        return w, h, [
+            [[int(v) for v in row] for row in ch.astype(np.int64)]
+            for ch in (r, g, bl)
+        ]
     except Exception:
         return None
 
@@ -2512,4 +2633,214 @@ def attach_jpeg_prog(docs: DataFrame) -> DataFrame:
         "media_id",
         F.lit("image").alias("modality"),
         F.unhex(payload_hex).alias("payload"),
+    )
+
+
+def attach_jpeg_prog_color(docs: DataFrame) -> DataFrame:
+    """Multimodal table of REAL 3-component (YCbCr 4:4:4) PROGRESSIVE
+    JPEGs — the full Annex-G scan script a real encoder emits — built
+    entirely JVM-side (bit-string fold + one ``unhex``).  EIGHT scans
+    per file: an INTERLEAVED DC first scan (Al=1, all three components
+    per MCU), an interleaved DC successive-approximation refinement,
+    one AC first scan per component (Al=1: Y and Cr place a coefficient
+    behind two ZRL band skips; Cb's band is all-EOB empty), and one AC
+    SUCCESSIVE-APPROXIMATION REFINEMENT scan per component (Ah=1,
+    Al=0) covering the three correction disciplines the grayscale table
+    never reaches:
+
+    - Y: post-EOB band sweep with correction bit 1 (|coef| 2 → 3);
+    - Cb: INSERTION of a brand-new ±1 coefficient behind two
+      zero-history ZRL skips (sign = + for even ids, − for odd);
+    - Cr: post-EOB sweep with correction bit 0 (coef stays −2).
+
+    All three AC coefficients sit at zigzag 39 = basis (4,4) — the
+    exact ±1/8 checkerboard — and the quant table carries 8 there, so
+    each component plane is the exact integer ``base ± amp`` on a
+    32/32 cell split and the decode has a closed-form oracle through
+    the JFIF floor(x+0.5) RGB transform.  Plain pixel sums CANCEL a
+    zero-mean AC pattern, so the paired kernel
+    (:func:`jpeg_pixel_stats`) also emits per-channel sums of squares,
+    which see the amplitudes (Σ(μ±c)² = 64μ² + 64c² per block).
+
+    DC design per component (K = 8 for Y, 5 for Cb, 7 for Cr):
+    ``DC_m = id%K + 16·(1 − m%2)`` via the same two-scan point
+    transform as :func:`attach_jpeg_prog` (first scan carries
+    ``DC >> 1`` as ±8 category-4 diffs, the refinement restores bit
+    0).  Final pixel values: Y = 128 + DCy ± 3, Cb = 128 + DCcb ± s,
+    Cr = 128 + DCcr ∓ 2 — ranges stay inside [100, 192], so no clamp
+    ever fires and the closed form is exact.
+
+    Reference analog: none — the reference stores media as opaque
+    blobs (storage-node/main.go:881-908); this table exists to prove
+    the decode PLUMBING (Arrow batches over binary columns) against
+    a real multi-scan entropy codec.
+    """
+    wb = (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(2))).cast("int")
+    hb = (F.lit(1) + (F.pmod(F.col("doc_id"), F.lit(4)) / 2).cast("int")).cast("int")
+    d = spread(docs).select(
+        F.col("doc_id").alias("media_id"),
+        wb.alias("wb"),
+        hb.alias("hb"),
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("id8"),
+        F.pmod(F.col("doc_id"), F.lit(5)).cast("int").alias("id5"),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("int").alias("id7"),
+    )
+    # q0 = 8, zigzag-39 (= raster (4,4)) = 8, all other steps 1
+    dqt_hex = "ffdb" + "0043" + "00" + "08" + "01" * 38 + "08" + "01" * 24
+    dht_dc_hex = (
+        "ffc4" + "001b" + "00"
+        + "00000701" + "00" * 12
+        + "0001020304050607"
+    )
+    # AC table: EOB0 -> '0', ZRL (0xF0) -> '10', (r=6,s=1) (0x61) -> '110'
+    dht_ac_hex = "ffc4" + "0016" + "10" + "010101" + "00" * 13 + "00f061"
+    sof2_hex = F.concat(
+        F.lit("ffc2" + "0011" + "08"),
+        F.format_string("%04x", F.col("hb") * 8),
+        F.format_string("%04x", F.col("wb") * 8),
+        F.lit("03" + "011100" + "021100" + "031100"),
+    )
+
+    def _pack(bits_expr: str) -> str:
+        """SQL: bit string -> stuffed hex (1-padded to the byte edge)."""
+        padded = (
+            f"concat({bits_expr},"
+            f" repeat('1', (8 - length({bits_expr}) % 8) % 8))"
+        )
+        return (
+            f"array_join(transform(sequence(1, length({padded}) div 8),"
+            f" j -> CASE WHEN substring({padded}, (j-1)*8 + 1, 8)"
+            f" = '11111111' THEN 'ff00' ELSE"
+            f" lpad(conv(substring({padded}, (j-1)*8 + 1, 8), 2, 16),"
+            f" 2, '0') END), '')"
+        )
+
+    def _dc_mag(idk: str) -> str:
+        """Category-4 magnitude bits for component value column idk."""
+        return (
+            f" CASE WHEN m = 0 THEN lpad(conv(8 + {idk} div 2, 10, 2),"
+            f" 4, '0')"
+            f" WHEN m % 2 = 1 THEN '0111' ELSE '1000' END"
+        )
+
+    # scan 1 — interleaved DC first (Ss=Se=0, Ah=0, Al=1): per MCU the
+    # three components' cat-4 code '100' + 4 magnitude bits each
+    s1_bits = (
+        "array_join(transform(sequence(0, wb*hb - 1), m -> concat("
+        "'100'," + _dc_mag("id8") + ", '100'," + _dc_mag("id5")
+        + ", '100'," + _dc_mag("id7") + ")), '')"
+    )
+    # scan 2 — interleaved DC refinement: bit 0 of each DC per MCU
+    s2_bits = (
+        "repeat(concat("
+        "CASE WHEN id8 % 2 = 1 THEN '1' ELSE '0' END,"
+        "CASE WHEN id5 % 2 = 1 THEN '1' ELSE '0' END,"
+        "CASE WHEN id7 % 2 = 1 THEN '1' ELSE '0' END), wb*hb)"
+    )
+    # scan 3 — Y AC first: ZRL ZRL (6,1)+mag'1'(+1) EOB per block
+    s3_bits = "repeat('101011010', wb*hb)"
+    # scan 4 — Cb AC first: every block pure EOB (empty band)
+    s4_bits = "repeat('0', wb*hb)"
+    # scan 5 — Cr AC first: ZRL ZRL (6,1)+mag'0'(-1) EOB per block
+    s5_bits = "repeat('101011000', wb*hb)"
+    # scan 6 — Y AC refinement: EOB + correction bit 1 per block
+    s6_bits = "repeat('01', wb*hb)"
+    # scan 7 — Cb AC refinement: ZRL ZRL (6,1)+sign EOB per block
+    s7_bits = (
+        "repeat(concat('1010110',"
+        " CASE WHEN id8 % 2 = 0 THEN '1' ELSE '0' END, '0'), wb*hb)"
+    )
+    # scan 8 — Cr AC refinement: EOB + correction bit 0 per block
+    s8_bits = "repeat('00', wb*hb)"
+    sos3 = "'ffda', '000c', '03', '0100', '0200', '0300'"
+    scans_hex = F.expr(
+        "concat("
+        + sos3 + ", '00', '00', '01', " + _pack(s1_bits)
+        + ", " + sos3 + ", '00', '00', '10', " + _pack(s2_bits)
+        + ", 'ffda', '0008', '01', '0100', '01', '3f', '01', "
+        + _pack(s3_bits)
+        + ", 'ffda', '0008', '01', '0200', '01', '3f', '01', "
+        + _pack(s4_bits)
+        + ", 'ffda', '0008', '01', '0300', '01', '3f', '01', "
+        + _pack(s5_bits)
+        + ", 'ffda', '0008', '01', '0100', '01', '3f', '10', "
+        + _pack(s6_bits)
+        + ", 'ffda', '0008', '01', '0200', '01', '3f', '10', "
+        + _pack(s7_bits)
+        + ", 'ffda', '0008', '01', '0300', '01', '3f', '10', "
+        + _pack(s8_bits)
+        + ")"
+    )
+    payload_hex = F.concat(
+        F.lit("ffd8"),
+        F.lit(dqt_hex),
+        F.lit(dht_dc_hex),
+        F.lit(dht_ac_hex),
+        sof2_hex,
+        scans_hex,
+        F.lit("ffd9"),
+    )
+    return d.select(
+        "media_id",
+        F.lit("image").alias("modality"),
+        F.unhex(payload_hex).alias("payload"),
+    )
+
+
+def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
+    """Per-image per-channel pixel sums AND sums of squares from the
+    REAL JPEG decode (baseline or progressive — :func:`_decode_jpeg`
+    dispatches on the frame marker).  The second moment is what makes
+    zero-mean AC detail auditable: an AC basis function sums to zero
+    over its 8×8 block, so the plain sums of :func:`jpeg_pixel_sums`
+    cancel it, while Σ(μ±c)² = 64μ² + 64c² sees the amplitude — a
+    refinement-bit slip, insertion misplace, EOB-sweep miss, or sign
+    error moves ssq even when it can't move sum.  Malformed payloads
+    surface as the zero row.  Same Arrow-batched ``mapInPandas``
+    plumbing as :func:`decode_media`.
+    """
+    from p2_mapreduce_spark.mapreduce import _ship_by_value
+
+    _ship_by_value(_decode_jpeg)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            parsed = _decode_jpeg(payload or b"")
+            if parsed is None:
+                return 0, 0, 0, 0, 0, 0, 0, 0, 0
+            w, h, planes = parsed
+            sums = [sum(v for row in ch for v in row) for ch in planes]
+            ssqs = [
+                sum(v * v for row in ch for v in row) for ch in planes
+            ]
+            if len(planes) == 1:
+                return (w, h, 1, sums[0], sums[0], sums[0],
+                        ssqs[0], ssqs[0], ssqs[0])
+            return (w, h, 3, sums[0], sums[1], sums[2],
+                    ssqs[0], ssqs[1], ssqs[2])
+
+        for pdf in it:
+            vals = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": [v[0] for v in vals],
+                    "height": [v[1] for v in vals],
+                    "n_comp": [v[2] for v in vals],
+                    "sum_r": [v[3] for v in vals],
+                    "sum_g": [v[4] for v in vals],
+                    "sum_b": [v[5] for v in vals],
+                    "ssq_r": [v[6] for v in vals],
+                    "ssq_g": [v[7] for v in vals],
+                    "ssq_b": [v[8] for v in vals],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, width int, height int, n_comp int,"
+            " sum_r long, sum_g long, sum_b long,"
+            " ssq_r long, ssq_g long, ssq_b long"
+        ),
     )

@@ -639,18 +639,73 @@ class TestProgressiveJpeg:
             _decode_jpeg_progressive,
         )
 
-        # 3-component progressive frame → gated
+        # 3-component progressive frame with no scans → malformed
         sof3 = bytes.fromhex(
             "ffd8" + "ffc2" + "0011" + "08" + "0008" + "0008"
             + "03" + "011100" + "021100" + "031100" + "ffd9"
         )
         assert _decode_jpeg_progressive(sof3) is None
+        # chroma-SUBSAMPLED progressive (luma 2x2) → still gated
+        sub = bytes.fromhex(
+            "ffd8" + "ffc2" + "0011" + "08" + "0010" + "0010"
+            + "03" + "012200" + "021100" + "031100" + "ffd9"
+        )
+        assert _decode_jpeg_progressive(sub) is None
         # DRI in progressive → gated
         dri = bytes.fromhex(
             "ffd8" + "ffc2" + "000b" + "08" + "0008" + "0008"
             + "01" + "01" + "11" + "00" + "ffdd" + "0004" + "0002" + "ffd9"
         )
         assert _decode_jpeg_progressive(dri) is None
+
+    def test_color_progressive_matches_closed_form(self, spark):
+        """The 8-scan color table round-trips: DC point transform +
+        refinement per component, AC first scans, and all three AC
+        refinement disciplines (correction 1, insertion, correction 0)
+        reconstruct the exact base ± amp checkerboards."""
+        import math
+
+        from p2_mapreduce_spark.operators.multimodal import (
+            _decode_jpeg,
+            attach_jpeg_prog_color,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(16)], ["doc_id", "text"]
+        )
+        for r in attach_jpeg_prog_color(docs).collect():
+            mid = r["media_id"]
+            parsed = _decode_jpeg(bytes(r["payload"]))
+            assert parsed is not None, f"id {mid} quarantined"
+            w, h, planes = parsed
+            wb, hb = 1 + mid % 2, 1 + (mid % 4) // 2
+            assert (w, h) == (8 * wb, 8 * hb) and len(planes) == 3
+            a8, a5, a7 = mid % 8, mid % 5, mid % 7
+            scb = 1 if mid % 2 == 0 else -1
+            ne = (wb * hb + 1) // 2
+            nodd = wb * hb - ne
+            exp_sum, exp_ssq = [0, 0, 0], [0, 0, 0]
+            for par, cnt in ((1, ne), (0, nodd)):
+                for sgn in (1, -1):
+                    yv = 128 + a8 + 16 * par + 3 * sgn
+                    cbo = a5 + 16 * par + scb * sgn
+                    cro = a7 + 16 * par - 2 * sgn
+                    vals = (
+                        math.floor(yv + 1.402 * cro + 0.5),
+                        math.floor(
+                            yv - 0.344136 * cbo - 0.714136 * cro + 0.5
+                        ),
+                        math.floor(yv + 1.772 * cbo + 0.5),
+                    )
+                    for i, v in enumerate(vals):
+                        exp_sum[i] += cnt * 32 * v
+                        exp_ssq[i] += cnt * 32 * v * v
+            got_sum = [sum(v for row in ch for v in row) for ch in planes]
+            got_ssq = [
+                sum(v * v for row in ch for v in row) for ch in planes
+            ]
+            assert got_sum == exp_sum, f"id {mid} sums"
+            assert got_ssq == exp_ssq, f"id {mid} ssq"
 
 
 class TestRound5Properties:
