@@ -1813,6 +1813,20 @@ def _q_media_jpeg_prog(spark, sf_dir):
     return jpeg_pixel_sums(attach_jpeg_prog(docs))
 
 
+def _q_audio_flac(spark, sf_dir):
+    """Real FLAC (lossless-predictive audio, RFC 9639) decode of
+    JVM-built spec-valid files: CRC-8/CRC-16-verified frames, fixed
+    order-2 polynomial prediction, partitioned-Rice residuals —
+    oracle-checked against the closed-form quadratic signal."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_flac,
+        flac_sample_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return flac_sample_stats(attach_flac(docs))
+
+
 def _q_media_jpeg_prog_color(spark, sf_dir):
     """Real COLOR progressive-JPEG (SOF2) decode: interleaved DC
     scans, per-component AC first scans, and AC successive-
@@ -3571,7 +3585,7 @@ _DRIVER_CHECKED_R01_R05 = frozenset(
 #: Queries added THIS round (never existed when any driver sample ran) —
 #: registered first so the newest, highest-risk operators are always
 #: inside the driver's 50-query window.
-_ROUND6_NEW = ("media_jpeg_prog_color",)
+_ROUND6_NEW = ("media_jpeg_prog_color", "audio_flac")
 
 #: Queries whose implementation or oracle materially CHANGED this round
 #: (r04 ADVICE: a prior driver check validated the OLD code, so changed
@@ -3750,6 +3764,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_adpcm": _q_audio_adpcm,
         "media_jpeg_prog": _q_media_jpeg_prog,
         "media_jpeg_prog_color": _q_media_jpeg_prog_color,
+        "audio_flac": _q_audio_flac,
         "seq_accuracy": _q_seq_accuracy,
         "peer_percentile": _q_peer_percentile,
         "brier_score": _q_brier_score,
@@ -13077,6 +13092,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(64 * (n * (128 + a8) + 16 * ne) AS BIGINT) AS sum_g,
                CAST(64 * (n * (128 + a8) + 16 * ne) AS BIGINT) AS sum_b
         FROM m
+    """
+    out["audio_flac"] = """
+        -- FLAC closed form: the fixed-order-2 predictor reconstructs
+        -- the integer quadratic s[n] = a + b*n + c*n*(n-1)/2 exactly
+        -- (its second difference IS the constant Rice-coded residual c)
+        WITH d AS (
+            SELECT doc_id AS media_id,
+                   16 + 8 * (doc_id % 4) AS n,
+                   10 + doc_id % 50 AS a,
+                   doc_id % 7 - 3 AS b1,
+                   doc_id % 5 - 2 AS c
+            FROM documents
+        ),
+        s0 AS (
+            SELECT media_id, n, a, b1, c,
+                   unnest(generate_series(0, n - 1)) AS t
+            FROM d
+        ),
+        s AS (
+            SELECT media_id, n,
+                   a + b1 * t + c * (t * (t - 1) // 2) AS v
+            FROM s0
+        )
+        SELECT media_id,
+               CAST(8000 AS INT) AS rate,
+               CAST(1 AS INT) AS n_channels,
+               CAST(MAX(n) AS BIGINT) AS n_samples,
+               CAST(SUM(v) AS BIGINT) AS sum_s,
+               CAST(SUM(v * v) AS BIGINT) AS ssq_s,
+               CAST(MIN(v) AS BIGINT) AS min_s,
+               CAST(MAX(v) AS BIGINT) AS max_s
+        FROM s
+        GROUP BY media_id
     """
     out["media_jpeg_prog_color"] = """
         -- color-progressive closed form: per component the DC chain
