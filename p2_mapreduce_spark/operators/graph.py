@@ -900,13 +900,22 @@ def two_hop_reach(
     and the exact face of HyperBall-style reach estimation.
 
     The node sample (``node % sample_mod == 0``) bounds the output and
-    the 2-hop expansion to sampled sources only: the first hop joins
-    the SAMPLE against the symmetrized edge list (hash join at edge
-    grain), the second hop re-joins only those frontier rows, and both
-    distincts collapse map-side.  Self and first-hop nodes are
-    excluded from the 2-hop ring (strict "exactly distance 2" would
-    need distance bookkeeping; this reports the standard "within 2
-    hops, excluding self" ball minus the 1-hop ring).
+    the 2-hop expansion to sampled sources only: the first hop is a
+    FILTER on the symmetrized edge list (a sampled node's 1-hop ring is
+    exactly its stub rows — no join needed), the second hop joins only
+    those frontier rows back against the stubs, and both distincts
+    collapse map-side.  Self and first-hop nodes are excluded from the
+    2-hop ring (strict "exactly distance 2" would need distance
+    bookkeeping; this reports the standard "within 2 hops, excluding
+    self" ball minus the 1-hop ring).
+
+    The stub list and the hop-1 frontier each feed MULTIPLE plan
+    branches (stubs → hop1 + the hop-2 probe side; hop1 → hop2 + the
+    ring-2 anti-join + the 1-hop count), so both ``persist()`` —
+    the same shared-stage discipline as the other multi-branch graph
+    audits — instead of re-running the upstream edge derivation per
+    branch (the round-6 fix for this being the suite's slowest query:
+    the edge derivation executed three times).
 
     At 100 TB the guard against hub blow-up is the sample itself plus
     edge-grain shuffles — no per-node adjacency materialization.  The
@@ -926,14 +935,13 @@ def two_hop_reach(
     )
     stubs = sym.select("a", "b").union(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
-    sample = stubs.select(F.col("a").alias("node")).distinct().filter(
-        F.col("node") % sample_mod == 0
-    )
+    ).persist()
+    # stub rows are already unique (sym is a distinct undirected pair
+    # list), so the filtered hop-1 frontier needs no distinct shuffle
     hop1 = (
-        sample.join(stubs, sample.node == stubs.a)
-        .select("node", F.col("b").alias("n1"))
-        .distinct()
+        stubs.filter(F.col("a") % sample_mod == 0)
+        .select(F.col("a").alias("node"), F.col("b").alias("n1"))
+        .persist()
     )
     hop2 = (
         hop1.join(stubs, hop1.n1 == stubs.a)
