@@ -1813,6 +1813,108 @@ def _q_media_jpeg_prog(spark, sf_dir):
     return jpeg_pixel_sums(attach_jpeg_prog(docs))
 
 
+def _q_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis k-group rank test on daily revenue across event
+    types (doubled midranks, group-sorted fold for the rational sum,
+    tie-adjusted H)."""
+    from p2_mapreduce_spark.operators.timeseries import kruskal_wallis
+
+    return kruskal_wallis(load_table(spark, sf_dir, "events"))
+
+
+def _q_anova_f(spark, sf_dir):
+    """One-way ANOVA F on daily revenue across event types — exact
+    integer sufficient statistics, group-sorted fold, pinned F tree."""
+    from p2_mapreduce_spark.operators.timeseries import anova_f
+
+    return anova_f(load_table(spark, sf_dir, "events"))
+
+
+def _q_ccf_daily(spark, sf_dir):
+    """Cross-correlation at lags 0-3 between the two first event
+    types' daily revenue series (exact cents sufficient statistics
+    per lag)."""
+    from p2_mapreduce_spark.operators.timeseries import ccf_daily
+
+    return ccf_daily(load_table(spark, sf_dir, "events"))
+
+
+def _q_croston(spark, sf_dir):
+    """Croston intermittent-demand smoothing per event type over the
+    gap-filled day grid (day-ordered IEEE fold, alpha = 1/2)."""
+    from p2_mapreduce_spark.operators.timeseries import croston
+
+    return croston(load_table(spark, sf_dir, "events"))
+
+
+def _q_rmst(spark, sf_dir):
+    """Restricted mean survival time of user lifetimes at 7/14/30-day
+    horizons — the KM integral telescoped to sum(min(L, tau))/N."""
+    from p2_mapreduce_spark.operators.events_analytics import rmst
+
+    return rmst(load_table(spark, sf_dir, "events"))
+
+
+def _q_period_balance(spark, sf_dir):
+    """Semi-additive monthly balance book (last order total per
+    customer-month, summed over accounts) + MoM delta."""
+    from p2_mapreduce_spark.operators.analytics import period_balance
+
+    return period_balance(load_table(spark, sf_dir, "orders"))
+
+
+def _q_receivables_aging(spark, sf_dir):
+    """AR aging schedule: open orders bucketed 0-30/31-60/61-90/91+
+    days against the snapshot anchor (global max order date)."""
+    from p2_mapreduce_spark.operators.analytics import receivables_aging
+
+    return receivables_aging(load_table(spark, sf_dir, "orders"))
+
+
+def _q_rich_club(spark, sf_dir):
+    """Rich-club coefficient curve over the trade graph: edge density
+    among nodes of degree > k for a threshold ladder."""
+    from p2_mapreduce_spark.operators.graph import trade_rich_club
+
+    return trade_rich_club(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def _q_mcc_eval(spark, sf_dir):
+    """Matthews correlation of the quality classifier vs the language
+    label — exact confusion cells, one pinned MCC tree."""
+    from p2_mapreduce_spark.operators.curation import mcc_eval
+
+    return mcc_eval(load_table(spark, sf_dir, "documents"))
+
+
+def _q_label_noise(spark, sf_dir):
+    """Confident-learning label-noise audit: per given label, docs
+    whose confident class (mean-threshold rule, exact integer
+    cross-multiplication) disagrees."""
+    from p2_mapreduce_spark.operators.curation import label_noise
+
+    return label_noise(load_table(spark, sf_dir, "documents"))
+
+
+def _q_ht_estimate(spark, sf_dir):
+    """Horvitz-Thompson revenue-total estimate from a 1/16 md5 hash
+    sample, reported against the true total with realized error."""
+    from p2_mapreduce_spark.operators.curation import ht_estimate
+
+    return ht_estimate(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_sentence_stats(spark, sf_dir):
+    """Per-source sentence-structure profile (in-row sentence split +
+    tokenize, exact counts, ppm short-sentence share)."""
+    from p2_mapreduce_spark.operators.text_analysis import sentence_stats
+
+    return sentence_stats(load_table(spark, sf_dir, "documents"))
+
+
 def _q_audio_flac(spark, sf_dir):
     """Real FLAC (lossless-predictive audio, RFC 9639) decode of
     JVM-built spec-valid files: CRC-8/CRC-16-verified frames, fixed
@@ -3585,7 +3687,12 @@ _DRIVER_CHECKED_R01_R05 = frozenset(
 #: Queries added THIS round (never existed when any driver sample ran) —
 #: registered first so the newest, highest-risk operators are always
 #: inside the driver's 50-query window.
-_ROUND6_NEW = ("media_jpeg_prog_color", "audio_flac")
+_ROUND6_NEW = (
+    "media_jpeg_prog_color", "audio_flac", "kruskal_wallis", "anova_f",
+    "ccf_daily", "croston", "rmst", "period_balance",
+    "receivables_aging", "rich_club", "mcc_eval", "label_noise",
+    "ht_estimate", "sentence_stats",
+)
 
 #: Queries whose implementation or oracle materially CHANGED this round
 #: (r04 ADVICE: a prior driver check validated the OLD code, so changed
@@ -3765,6 +3872,18 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg_prog": _q_media_jpeg_prog,
         "media_jpeg_prog_color": _q_media_jpeg_prog_color,
         "audio_flac": _q_audio_flac,
+        "kruskal_wallis": _q_kruskal_wallis,
+        "anova_f": _q_anova_f,
+        "ccf_daily": _q_ccf_daily,
+        "croston": _q_croston,
+        "rmst": _q_rmst,
+        "period_balance": _q_period_balance,
+        "receivables_aging": _q_receivables_aging,
+        "rich_club": _q_rich_club,
+        "mcc_eval": _q_mcc_eval,
+        "label_noise": _q_label_noise,
+        "ht_estimate": _q_ht_estimate,
+        "sentence_stats": _q_sentence_stats,
         "seq_accuracy": _q_seq_accuracy,
         "peer_percentile": _q_peer_percentile,
         "brier_score": _q_brier_score,
@@ -13125,6 +13244,495 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(v) AS BIGINT) AS max_s
         FROM s
         GROUP BY media_id
+    """
+    out["kruskal_wallis"] = f"""
+        -- doubled midranks over the pooled day-grain series; the one
+        -- rational sum S = sum_j (Rj/2)^2/nj folds group-sorted
+        -- (recursive CTE = the Spark array fold, same IEEE order)
+        WITH RECURSIVE daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev} GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT g,
+                   CAST(2 * rank() OVER (ORDER BY y)
+                        + COUNT(*) OVER (PARTITION BY y) - 1
+                        AS BIGINT) AS r2
+            FROM daily
+        ),
+        per_g AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS nj,
+                   CAST(SUM(r2) AS BIGINT) AS rj2
+            FROM ranked GROUP BY g
+        ),
+        idx AS (
+            SELECT g, nj, rj2,
+                   row_number() OVER (ORDER BY g) AS i,
+                   COUNT(*) OVER () AS k
+            FROM per_g
+        ),
+        fold AS (
+            SELECT i, k,
+                   0.0e0 + (CAST(rj2 AS DOUBLE) * 0.5e0)
+                         * (CAST(rj2 AS DOUBLE) * 0.5e0)
+                         / CAST(nj AS DOUBLE) AS s
+            FROM idx WHERE i = 1
+            UNION ALL
+            SELECT p.i, p.k,
+                   f.s + (CAST(p.rj2 AS DOUBLE) * 0.5e0)
+                       * (CAST(p.rj2 AS DOUBLE) * 0.5e0)
+                       / CAST(p.nj AS DOUBLE)
+            FROM fold f JOIN idx p ON p.i = f.i + 1
+        ),
+        ties AS (
+            SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum,
+                   CAST(SUM(t) AS BIGINT) AS n_rows
+            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+                  FROM daily GROUP BY y)
+        )
+        SELECT n_rows,
+               CAST(k AS BIGINT) AS n_groups,
+               12.0e0 * s / (CAST(n_rows AS DOUBLE)
+                             * (CAST(n_rows AS DOUBLE) + 1.0e0))
+                 - 3.0e0 * (CAST(n_rows AS DOUBLE) + 1.0e0) AS h,
+               CASE WHEN n_rows > 1
+                     AND (1.0e0 - CAST(tie_sum AS DOUBLE)
+                          / (CAST(n_rows AS DOUBLE)
+                             * CAST(n_rows AS DOUBLE)
+                             * CAST(n_rows AS DOUBLE)
+                             - CAST(n_rows AS DOUBLE))) > 0.0e0
+                    THEN (12.0e0 * s / (CAST(n_rows AS DOUBLE)
+                              * (CAST(n_rows AS DOUBLE) + 1.0e0))
+                          - 3.0e0 * (CAST(n_rows AS DOUBLE) + 1.0e0))
+                         / (1.0e0 - CAST(tie_sum AS DOUBLE)
+                            / (CAST(n_rows AS DOUBLE)
+                               * CAST(n_rows AS DOUBLE)
+                               * CAST(n_rows AS DOUBLE)
+                               - CAST(n_rows AS DOUBLE)))
+                    ELSE 0.0e0 END AS h_tie_adj
+        FROM fold, ties
+        WHERE i = k
+    """
+    out["anova_f"] = f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev} GROUP BY 1, 2
+        ),
+        per_g AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS nj,
+                   CAST(SUM(y) AS BIGINT) AS zj
+            FROM daily GROUP BY g
+        ),
+        idx AS (
+            SELECT g, nj, zj,
+                   row_number() OVER (ORDER BY g) AS i,
+                   COUNT(*) OVER () AS k
+            FROM per_g
+        ),
+        fold AS (
+            SELECT i, k,
+                   0.0e0 + CAST(zj AS DOUBLE) * CAST(zj AS DOUBLE)
+                         / CAST(nj AS DOUBLE) AS t
+            FROM idx WHERE i = 1
+            UNION ALL
+            SELECT p.i, p.k,
+                   f.t + CAST(p.zj AS DOUBLE) * CAST(p.zj AS DOUBLE)
+                       / CAST(p.nj AS DOUBLE)
+            FROM fold f JOIN idx p ON p.i = f.i + 1
+        ),
+        gtot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(y) AS BIGINT) AS z,
+                   CAST(SUM(y * y) AS BIGINT) AS q
+            FROM daily
+        )
+        SELECT n_rows,
+               CAST(k AS BIGINT) AS n_groups,
+               t - CAST(z AS DOUBLE) * CAST(z AS DOUBLE)
+                   / CAST(n_rows AS DOUBLE) AS ssb,
+               CAST(q AS DOUBLE) - t AS ssw,
+               CASE WHEN k > 1 AND n_rows > k
+                     AND (CAST(q AS DOUBLE) - t) > 0.0e0
+                    THEN ((t - CAST(z AS DOUBLE) * CAST(z AS DOUBLE)
+                               / CAST(n_rows AS DOUBLE))
+                          / (CAST(k AS DOUBLE) - 1.0e0))
+                         / ((CAST(q AS DOUBLE) - t)
+                            / (CAST(n_rows AS DOUBLE)
+                               - CAST(k AS DOUBLE)))
+                    ELSE 0.0e0 END AS f_stat
+        FROM fold, gtot
+        WHERE i = k
+    """
+    out["ccf_daily"] = f"""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev} GROUP BY 1, 2
+        ),
+        pair AS (
+            SELECT MIN(g) AS gx, MAX(g) AS gy
+            FROM (SELECT DISTINCT g FROM daily ORDER BY g LIMIT 2)
+        ),
+        x AS (
+            SELECT d AS dx, y AS x FROM daily JOIN pair ON g = gx
+        ),
+        y2 AS (
+            SELECT d AS dy, y AS yv FROM daily JOIN pair ON g = gy
+        ),
+        j AS (
+            SELECT lag, x, yv
+            FROM x,
+                 (SELECT unnest(generate_series(0, 3)) AS lag) lags,
+                 y2
+            WHERE dx + CAST(lag AS INTEGER) = dy
+        ),
+        agg AS (
+            SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(yv) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(yv * yv) AS BIGINT) AS syy,
+                   CAST(SUM(x * yv) AS BIGINT) AS sxy
+            FROM j GROUP BY lag
+        )
+        SELECT CAST(lag AS INT) AS lag, n_overlap,
+               CASE WHEN (CAST(n_overlap AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          <= 0.0
+                      OR (CAST(n_overlap AS DOUBLE) * syy
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                          <= 0.0
+                    THEN 0.0
+                    ELSE (CAST(n_overlap AS DOUBLE) * sxy
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / sqrt((CAST(n_overlap AS DOUBLE) * sxx
+                                 - CAST(sx AS DOUBLE)
+                                   * CAST(sx AS DOUBLE))
+                                * (CAST(n_overlap AS DOUBLE) * syy
+                                   - CAST(sy AS DOUBLE)
+                                     * CAST(sy AS DOUBLE)))
+               END AS r
+        FROM agg
+    """
+    out["croston"] = f"""
+        -- day-ordered state recursion = the Spark in-row fold, same
+        -- pinned IEEE tree per step (z' = .5(y+z); p' = .5(q+p))
+        WITH RECURSIVE daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev} GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT g,
+                   CAST(unnest(generate_series(d0, d1,
+                        INTERVAL 1 DAY)) AS DATE) AS d
+            FROM (SELECT g, MIN(d) AS d0, MAX(d) AS d1
+                  FROM daily GROUP BY g)
+        ),
+        dense AS (
+            SELECT grid.g, grid.d, COALESCE(daily.y, 0) AS y,
+                   row_number() OVER (PARTITION BY grid.g
+                                      ORDER BY grid.d) AS i,
+                   COUNT(*) OVER (PARTITION BY grid.g) AS n
+            FROM grid LEFT JOIN daily
+              ON daily.g = grid.g AND daily.d = grid.d
+        ),
+        st AS (
+            SELECT g, i, n,
+                   CASE WHEN y > 0 THEN CAST(y AS DOUBLE)
+                        ELSE 0.0e0 END AS z,
+                   CASE WHEN y > 0 THEN 1.0e0 ELSE 0.0e0 END AS p,
+                   1.0e0 AS q,
+                   y > 0 AS started
+            FROM dense WHERE i = 1
+            UNION ALL
+            SELECT d.g, d.i, d.n,
+                   CASE WHEN d.y <= 0 THEN st.z
+                        WHEN NOT st.started THEN CAST(d.y AS DOUBLE)
+                        ELSE 0.5e0 * (CAST(d.y AS DOUBLE) + st.z) END,
+                   CASE WHEN d.y <= 0 THEN st.p
+                        WHEN NOT st.started THEN 1.0e0
+                        ELSE 0.5e0 * (st.q + st.p) END,
+                   CASE WHEN d.y <= 0 THEN st.q + 1.0e0
+                        ELSE 1.0e0 END,
+                   st.started OR d.y > 0
+            FROM st JOIN dense d ON d.g = st.g AND d.i = st.i + 1
+        ),
+        demand AS (
+            SELECT g, CAST(SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_demand_days
+            FROM dense GROUP BY g
+        )
+        SELECT st.g AS event_type,
+               CAST(st.n AS BIGINT) AS n_days,
+               demand.n_demand_days,
+               st.z / 1.0e2 AS z_hat,
+               st.p AS p_hat,
+               CASE WHEN st.p > 0.0e0 THEN (st.z / st.p) / 1.0e2
+                    ELSE 0.0e0 END AS forecast
+        FROM st JOIN demand USING (g)
+        WHERE st.i = st.n
+    """
+    out["rmst"] = f"""
+        WITH lt AS (
+            SELECT user_id,
+                   date_diff('day', MIN(CAST(ts AS DATE)),
+                             MAX(CAST(ts AS DATE))) AS life
+            FROM {ev} GROUP BY user_id
+        )
+        SELECT CAST(tau AS INT) AS tau,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(LEAST(life, tau)) AS BIGINT) AS sum_capped_days,
+               CAST(SUM(LEAST(life, tau)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS rmst_days
+        FROM lt, (SELECT unnest([7, 14, 30]) AS tau)
+        GROUP BY tau
+    """
+    out["period_balance"] = """
+        WITH po AS (
+            SELECT o_custkey,
+                   strftime(o_orderdate, '%Y-%m') AS m,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+                   row_number() OVER (
+                       PARTITION BY o_custkey,
+                           strftime(o_orderdate, '%Y-%m')
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders
+        ),
+        mb AS (
+            SELECT m, CAST(COUNT(*) AS BIGINT) AS n_accounts,
+                   CAST(SUM(cents) AS BIGINT) AS bal
+            FROM po WHERE rn = 1 GROUP BY m
+        )
+        SELECT m AS month, n_accounts,
+               CAST(bal AS DOUBLE) / 1.0e2 AS total_balance,
+               CAST(bal - COALESCE(lag(bal) OVER (ORDER BY m), 0)
+                    AS DOUBLE) / 1.0e2 AS mom_delta
+        FROM mb
+    """
+    out["receivables_aging"] = """
+        WITH snap AS (
+            SELECT MAX(CAST(o_orderdate AS DATE)) AS snap_d FROM orders
+        ),
+        aged AS (
+            SELECT CASE
+                     WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                    snap_d) <= 30 THEN '0-30'
+                     WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                    snap_d) <= 60 THEN '31-60'
+                     WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                    snap_d) <= 90 THEN '61-90'
+                     ELSE '91+' END AS bucket,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders, snap
+            WHERE o_orderstatus = 'O'
+        )
+        SELECT b.bucket,
+               CAST(SUM(CASE WHEN cents IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orders,
+               CAST(COALESCE(SUM(cents), 0) AS DOUBLE) / 1.0e2
+                   AS total_open
+        FROM (SELECT unnest(['0-30', '31-60', '61-90', '91+'])
+                  AS bucket) b
+        LEFT JOIN aged USING (bucket)
+        GROUP BY b.bucket
+    """
+    out["rich_club"] = """
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS w
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        sym AS (
+            SELECT DISTINCT LEAST(u, w) AS a, GREATEST(u, w) AS b
+            FROM pairs WHERE u <> w
+        ),
+        stubs AS (
+            SELECT a, b FROM sym UNION ALL SELECT b, a FROM sym
+        ),
+        deg AS (
+            SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM stubs GROUP BY a
+        ),
+        ks AS (SELECT unnest([1, 2, 4, 8, 16]) AS k),
+        nk AS (
+            SELECT k,
+                   CAST(SUM(CASE WHEN deg > k THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nodes
+            FROM deg, ks GROUP BY k
+        ),
+        ej AS (
+            SELECT sym.a, sym.b, da.deg AS da, db.deg AS db
+            FROM sym
+            JOIN deg da ON sym.a = da.node
+            JOIN deg db ON sym.b = db.node
+        ),
+        ek AS (
+            SELECT k,
+                   CAST(SUM(CASE WHEN da > k AND db > k THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_edges
+            FROM ej, ks GROUP BY k
+        )
+        SELECT CAST(k AS INT) AS k, n_nodes, n_edges,
+               CASE WHEN n_nodes > 1
+                    THEN 2.0e0 * CAST(n_edges AS DOUBLE)
+                         / (CAST(n_nodes AS DOUBLE)
+                            * (CAST(n_nodes AS DOUBLE) - 1.0e0))
+                    ELSE 0.0e0 END AS phi
+        FROM nk JOIN ek USING (k)
+    """
+    out["mcc_eval"] = f"""
+        WITH m AS (
+            SELECT lang,
+                   CAST(-500 + 5 * len(t) + 20 * len(list_distinct(t))
+                        - 2 * strlen(text)
+                        + 100 * len(regexp_extract_all(lower(text),
+                              '\\b(the|and|of|to|a|in)\\b'))
+                        AS BIGINT) AS margin
+            FROM ({toks})
+        ),
+        cells AS (
+            SELECT
+              CAST(SUM(CASE WHEN margin > 0 AND lang = 'en'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              CAST(SUM(CASE WHEN margin > 0 AND lang <> 'en'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              CAST(SUM(CASE WHEN margin <= 0 AND lang <> 'en'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+              CAST(SUM(CASE WHEN margin <= 0 AND lang = 'en'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fn
+            FROM m
+        )
+        SELECT tp, fp, tn, fn,
+               CASE WHEN (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+                          + CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))
+                          > 0.0e0
+                    THEN (CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE))
+                         / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+                            + CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))
+                    ELSE 0.0e0 END AS accuracy,
+               CASE WHEN (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+                         * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+                         * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+                         * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))
+                         > 0.0e0
+                    THEN (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+                          - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+                         / sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+                                * (CAST(tp AS DOUBLE)
+                                   + CAST(fn AS DOUBLE))
+                                * (CAST(tn AS DOUBLE)
+                                   + CAST(fp AS DOUBLE))
+                                * (CAST(tn AS DOUBLE)
+                                   + CAST(fn AS DOUBLE)))
+                    ELSE 0.0e0 END AS mcc
+        FROM cells
+    """
+    out["label_noise"] = f"""
+        WITH m AS (
+            SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END
+                       AS label,
+                   CAST(-500 + 5 * len(t) + 20 * len(list_distinct(t))
+                        - 2 * strlen(text)
+                        + 100 * len(regexp_extract_all(lower(text),
+                              '\\b(the|and|of|to|a|in)\\b'))
+                        AS BIGINT) AS margin
+            FROM ({toks})
+        ),
+        thr AS (
+            SELECT
+              CAST(COALESCE(SUM(CASE WHEN label = 'en' THEN 1 END), 0)
+                   AS BIGINT) AS pos_n,
+              CAST(COALESCE(SUM(CASE WHEN label = 'en' THEN margin END),
+                   0) AS BIGINT) AS pos_s,
+              CAST(COALESCE(SUM(CASE WHEN label = 'other' THEN 1 END),
+                   0) AS BIGINT) AS neg_n,
+              CAST(COALESCE(SUM(CASE WHEN label = 'other' THEN margin
+                   END), 0) AS BIGINT) AS neg_s
+            FROM m
+        ),
+        conf AS (
+            SELECT label,
+                   CASE WHEN (pos_n > 0 AND margin * pos_n >= pos_s)
+                         AND (NOT (neg_n > 0 AND margin * neg_n <= neg_s)
+                              OR margin >= 0)
+                        THEN 'en'
+                        WHEN neg_n > 0 AND margin * neg_n <= neg_s
+                        THEN 'other'
+                        ELSE '' END AS conf
+            FROM m, thr
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN conf = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_conf_pos,
+               CAST(SUM(CASE WHEN conf = 'other' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_conf_neg,
+               CAST(SUM(CASE WHEN conf = '' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unconfident,
+               CAST(SUM(CASE WHEN conf <> '' AND conf <> label
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
+        FROM conf GROUP BY label
+    """
+    out["ht_estimate"] = """
+        WITH base AS (
+            SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+                   substring(md5(l_orderkey || ':' || l_linenumber),
+                             1, 1) = '0' AS picked
+            FROM lineitem
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+                   CAST(SUM(cents) AS BIGINT) AS true_cents,
+                   CAST(SUM(CASE WHEN picked THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sampled,
+                   CAST(COALESCE(SUM(CASE WHEN picked THEN cents
+                        END), 0) AS BIGINT) AS samp_cents
+            FROM base
+        )
+        SELECT n_total, n_sampled,
+               CAST(true_cents AS DOUBLE) / 1.0e2 AS true_total,
+               CAST(samp_cents * 16 AS DOUBLE) / 1.0e2 AS ht_estimate,
+               CASE WHEN true_cents > 0
+                    THEN CAST(samp_cents * 16 - true_cents AS DOUBLE)
+                         / CAST(true_cents AS DOUBLE)
+                    ELSE 0.0e0 END AS rel_err
+        FROM agg
+    """
+    out["sentence_stats"] = """
+        WITH per_doc AS (
+            SELECT source,
+                   list_filter(list_transform(
+                       regexp_split_to_array(text, '[.!?]+'),
+                       s -> len(list_filter(regexp_split_to_array(s,
+                                '[^\\p{L}\\p{N}]+'),
+                                x -> x <> ''))), c -> c > 0) AS cs
+            FROM documents
+        ),
+        agg AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(cs)) AS BIGINT) AS n_sentences,
+                   CAST(COALESCE(SUM(list_sum(cs)), 0) AS BIGINT)
+                       AS n_tokens,
+                   CAST(SUM(len(list_filter(cs, c -> c < 4)))
+                        AS BIGINT) AS n_short,
+                   CAST(MAX(COALESCE(list_max(cs), 0)) AS BIGINT)
+                       AS max_tokens
+            FROM per_doc GROUP BY source
+        )
+        SELECT source, n_docs, n_sentences, n_tokens,
+               CASE WHEN n_sentences > 0
+                    THEN CAST((n_short * 1000000) // n_sentences
+                              AS BIGINT)
+                    ELSE 0 END AS short_share_ppm,
+               CASE WHEN n_sentences > 0
+                    THEN CAST(n_tokens AS DOUBLE)
+                         / CAST(n_sentences AS DOUBLE)
+                    ELSE 0.0e0 END AS avg_tokens,
+               max_tokens
+        FROM agg
     """
     out["media_jpeg_prog_color"] = """
         -- color-progressive closed form: per component the DC chain

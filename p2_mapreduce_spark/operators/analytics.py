@@ -1037,3 +1037,114 @@ def peer_percentile(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
         F.count(F.lit(1)).over(wn).cast("bigint").alias("n_peers"),
         F.percent_rank().over(w).alias("pct_rank"),
     )
+
+
+def period_balance(orders: DataFrame) -> DataFrame:
+    """Semi-additive balance rollup — the warehouse pattern every
+    account/inventory/AUM report uses: a balance-like measure (here:
+    each customer's LAST order total in the month) must be aggregated
+    with LAST-VALUE over time but SUM over accounts, never SUM over
+    time.  Reports the monthly book of balances and its month-over-
+    month delta.
+
+    Exactness: cents-grain BIGINTs; the last-per-(customer, month)
+    pick is a ``row_number`` window ordered by (date, orderkey) DESC —
+    deterministic under ties; the MoM delta is a month-grain lag.
+
+    Scale shape: one window at (customer, month) grain (hash-
+    partitioned by customer — the calendar does not fan out), one
+    month-grain aggregate, one calendar-grain lag window.
+    Output: (month, n_accounts, total_balance, mom_delta).
+    """
+    po = orders.select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderdate",
+        "o_orderkey",
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("o_custkey", "m").orderBy(
+                F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+            )
+        ),
+    )
+    mb = (
+        po.filter(F.col("rn") == 1)
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_accounts"),
+            F.sum("cents").cast("bigint").alias("bal"),
+        )
+    )
+    wl = Window.orderBy("m")
+    return mb.select(
+        F.col("m").alias("month"),  # 'YYYY-MM' string (engine-portable)
+        "n_accounts",
+        (F.col("bal").cast("double") / 100.0).alias("total_balance"),
+        (
+            (
+                F.col("bal") - F.coalesce(F.lag("bal").over(wl), F.lit(0))
+            ).cast("double")
+            / 100.0
+        ).alias("mom_delta"),
+    )
+
+
+def receivables_aging(orders: DataFrame) -> DataFrame:
+    """Receivables aging report: open orders bucketed by age at the
+    snapshot date (the global max order date) — 0-30 / 31-60 / 61-90 /
+    91+ days, the AR schedule every finance close produces and the
+    canonical "bucket by age against a derived anchor" query shape.
+
+    The snapshot anchor is a one-row broadcast aggregate (the
+    decayed_engagement device); ages and buckets are exact integer
+    day arithmetic, amounts exact cents.
+
+    Output: (bucket, n_orders, total_open) — all four buckets always
+    present (conditional aggregation over a broadcast bucket list), so
+    the report shape is stable even when a bucket is empty.
+    """
+    snap = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("snap_d")
+    )
+    aged = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(snap))
+        .select(
+            F.datediff(F.col("snap_d"), F.to_date("o_orderdate")).alias(
+                "age"
+            ),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .select(
+            F.when(F.col("age") <= 30, "0-30")
+            .when(F.col("age") <= 60, "31-60")
+            .when(F.col("age") <= 90, "61-90")
+            .otherwise("91+")
+            .alias("bucket"),
+            "cents",
+        )
+    )
+    buckets = orders.sparkSession.createDataFrame(
+        [("0-30",), ("31-60",), ("61-90",), ("91+",)], ["bucket"]
+    )
+    return (
+        F.broadcast(buckets)
+        .join(aged, "bucket", "left")
+        .groupBy("bucket")
+        .agg(
+            F.sum(
+                F.when(F.col("cents").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_orders"),
+            (
+                F.coalesce(F.sum("cents"), F.lit(0)).cast("double")
+                / 100.0
+            ).alias("total_open"),
+        )
+    )

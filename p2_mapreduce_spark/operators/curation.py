@@ -2129,3 +2129,206 @@ def brier_score(
             / F.col("n_docs").cast("double")
         ).alias("brier"),
     )
+
+
+def mcc_eval(docs: DataFrame, pos_lang: str = "en") -> DataFrame:
+    """Matthews correlation coefficient of the quality classifier
+    against the language label — the single-threshold summary that,
+    unlike accuracy or F1, stays honest under class imbalance (a
+    filter that flags everything scores 0, not the base rate), and
+    the standard headline number for a production keep/drop gate next
+    to the threshold-free :func:`classifier_auc`.
+
+    The four confusion cells are exact BIGINT conditional counts from
+    one corpus scan over the :func:`quality_classifier` margin
+    (pred = margin > 0, label = lang == pos_lang); MCC =
+    (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)) is one pinned
+    IEEE tree (the four marginal factors multiply as doubles — their
+    BIGINT product could overflow at 10⁹ rows, the doubles cannot).
+
+    Output: one row (tp, fp, tn, fn, accuracy, mcc).
+    """
+    scored = quality_classifier(docs).join(
+        spread(docs).select("doc_id", "lang"), "doc_id"
+    )
+    cells = scored.select(
+        (F.col("margin") > 0).alias("pred"),
+        (F.col("lang") == pos_lang).alias("label"),
+    ).agg(
+        F.sum(F.when(F.col("pred") & F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~F.col("pred") & ~F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+        F.sum(F.when(~F.col("pred") & F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+    )
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    tn, fn = F.col("tn").cast("double"), F.col("fn").cast("double")
+    denom = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    n = tp + fp + tn + fn
+    return cells.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.when(n > 0.0, (tp + tn) / n).otherwise(F.lit(0.0)).alias(
+            "accuracy"
+        ),
+        F.when(denom > 0.0, (tp * tn - fp * fn) / F.sqrt(denom))
+        .otherwise(F.lit(0.0))
+        .alias("mcc"),
+    )
+
+
+def label_noise(docs: DataFrame, pos_lang: str = "en") -> DataFrame:
+    """Confident-learning label-noise audit (Northcutt's cleanlab
+    counting argument, reduced to the binary case): a document is
+    CONFIDENTLY class j when its class-j score clears the class's
+    mean score threshold; docs whose confident class disagrees with
+    their given label are the suspected noise a relabeling pass
+    should look at first.
+
+    Exactness: with score_en = margin and score_other = −margin, the
+    threshold comparisons cross-multiply to pure BIGINT tests
+    (margin·n_en ≥ sum_en, margin·n_other ≤ sum_other) — no double
+    means, no ties ambiguity; when both classes clear, the argmax is
+    ``margin ≥ 0``.  The two (count, sum) thresholds are a one-row
+    broadcast aggregate; everything else is one conditional-count
+    pass.
+
+    Output: one row per given label: (label, n_docs, n_conf_pos,
+    n_conf_neg, n_unconfident, n_suspect).
+    """
+    scored = quality_classifier(docs).join(
+        spread(docs).select("doc_id", "lang"), "doc_id"
+    ).select(
+        F.when(F.col("lang") == pos_lang, pos_lang)
+        .otherwise("other")
+        .alias("label"),
+        "margin",
+    )
+    thr = scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("margin").cast("bigint").alias("s"),
+    )
+    t = (
+        thr.groupBy()
+        .pivot("label", [pos_lang, "other"])
+        .agg(F.first("n").alias("n"), F.first("s").alias("s"))
+    )
+    pos_n = F.coalesce(F.col(f"{pos_lang}_n"), F.lit(0))
+    pos_s = F.coalesce(F.col(f"{pos_lang}_s"), F.lit(0))
+    neg_n = F.coalesce(F.col("other_n"), F.lit(0))
+    neg_s = F.coalesce(F.col("other_s"), F.lit(0))
+    flagged = scored.crossJoin(F.broadcast(t)).select(
+        "label",
+        (
+            (pos_n > 0) & (F.col("margin") * pos_n >= pos_s)
+        ).alias("c_pos"),
+        (
+            (neg_n > 0) & (F.col("margin") * neg_n <= neg_s)
+        ).alias("c_neg"),
+        "margin",
+    ).select(
+        "label",
+        F.when(
+            F.col("c_pos") & (~F.col("c_neg") | (F.col("margin") >= 0)),
+            F.lit(pos_lang),
+        )
+        .when(F.col("c_neg"), F.lit("other"))
+        .otherwise(F.lit(""))
+        .alias("conf"),
+    )
+    return (
+        flagged.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("conf") == pos_lang, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_conf_pos"),
+            F.sum(F.when(F.col("conf") == "other", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_conf_neg"),
+            F.sum(F.when(F.col("conf") == "", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unconfident"),
+            F.sum(
+                F.when(
+                    (F.col("conf") != "") & (F.col("conf") != F.col("label")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_suspect"),
+        )
+    )
+
+
+def ht_estimate(lineitem: DataFrame, rate_mod: int = 16) -> DataFrame:
+    """Horvitz–Thompson total estimation from a deterministic hash
+    sample — the honesty gate for every sampled dashboard: sample
+    1/``rate_mod`` of the rows by md5 bucket (known inclusion
+    probability π = 1/rate_mod), estimate the revenue total as
+    Σ_sample v/π, and report the estimate NEXT TO the true total and
+    the realized relative error, so the sampling machinery itself is
+    what the query audits.
+
+    Exactness: cents-grain BIGINTs; the HT estimate is
+    rate_mod · Σ_sample cents (exact); the relative error is one
+    pinned IEEE tree.  The hash bucket reuses the md5 device of
+    :func:`sample_exact_k` (uniform, deterministic, engine-portable).
+
+    Output: one row (n_total, n_sampled, true_total, ht_estimate,
+    rel_err).
+    """
+    base = spread(lineitem).select(
+        F.floor(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        (
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            )
+            == "0"
+        ).alias("picked"),  # first hex nibble: exactly 1/16
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("cents").cast("bigint").alias("true_cents"),
+        F.sum(F.when(F.col("picked"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sampled"),
+        F.coalesce(
+            F.sum(F.when(F.col("picked"), F.col("cents"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("samp_cents"),
+    )
+    est = F.col("samp_cents") * rate_mod
+    err = F.when(
+        F.col("true_cents") > 0,
+        (est - F.col("true_cents")).cast("double")
+        / F.col("true_cents").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_total",
+        "n_sampled",
+        (F.col("true_cents").cast("double") / 100.0).alias("true_total"),
+        (est.cast("double") / 100.0).alias("ht_estimate"),
+        err.alias("rel_err"),
+    )

@@ -1405,3 +1405,308 @@ def link_prediction(
     return scored.orderBy(
         F.col("n_common").desc(), F.col("cust_a"), F.col("cust_b")
     ).limit(top_n)
+
+
+def rich_club(
+    edges: DataFrame, thresholds: tuple[int, ...] = (1, 2, 4, 8, 16)
+) -> DataFrame:
+    """Rich-club coefficient curve φ(k): among nodes of degree > k,
+    the realized fraction of possible edges — "do the hubs trade with
+    each other?", the graph-shape audit that distinguishes a
+    hub-interconnected core (φ → 1) from hubs that only serve the
+    periphery, complementing :func:`degree_assortativity` (which
+    averages the same tendency into one number).
+
+    Plan: one node-grain degree aggregate from the symmetrized edge
+    list, re-joined onto the edges for both endpoints (key-grain hash
+    joins), then ONE pass over a #thresholds-sized broadcast list with
+    conditional counts — every threshold is answered from the same
+    joined frame, so the curve costs one edge scan regardless of how
+    many k's are asked.  φ is one pinned IEEE tree over exact BIGINTs.
+
+    Output: (k, n_nodes, n_edges, phi) — a row per threshold, zeros
+    when no node qualifies.
+    """
+    sym = (
+        edges.select(F.col(edges.columns[0]).alias("u"),
+                     F.col(edges.columns[1]).alias("w"))
+        .filter(F.col("u") != F.col("w"))
+        .select(F.least("u", "w").alias("a"), F.greatest("u", "w").alias("b"))
+        .distinct()
+    )
+    stubs = sym.select("a", "b").union(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = stubs.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    ks = edges.sparkSession.createDataFrame(
+        [(int(k),) for k in thresholds], ["k"]
+    )
+    nk = (
+        deg.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("deg") > F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nodes")
+        )
+    )
+    ej = (
+        sym.join(deg.withColumnRenamed("node", "a").withColumnRenamed(
+            "deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed(
+            "deg", "db"), "b")
+    )
+    ek = (
+        ej.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("da") > F.col("k")) & (F.col("db") > F.col("k")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_edges")
+        )
+    )
+    n = F.col("n_nodes").cast("double")
+    return (
+        nk.join(ek, "k")
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "n_nodes",
+            "n_edges",
+            F.when(
+                F.col("n_nodes") > 1,
+                F.lit(2.0)
+                * F.col("n_edges").cast("double")
+                / (n * (n - F.lit(1.0))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("phi"),
+        )
+    )
+
+
+def trade_rich_club(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """:func:`rich_club` over the customer-supplier trade graph (same
+    distinct-pair edge derivation as :func:`trade_graph_pagerank`)."""
+    pairs = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return rich_club(pairs)
+
+
+def link_prediction_jaccard(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    panel_k: int = 50,
+    top_n: int = 20,
+) -> DataFrame:
+    """Jaccard-normalized link prediction on the trade graph — the
+    degree-corrected sibling of :func:`link_prediction`: raw
+    common-neighbor counts crown whoever buys the most; Jaccard
+    |Γa∩Γb| / |Γa∪Γb| surfaces pairs whose supplier PORTFOLIOS
+    overlap, the score that actually ranks "similar customers"
+    (Adamic-Adar stays out of scope — no cross-engine-pinned ln,
+    the PSI/MI stance).
+
+    Same absolute hash-ranked ``panel_k`` supplier panel and in-row
+    wedge expansion as the common-neighbor op (wedge volume pinned at
+    panel_k · deg² regardless of corpus growth); degrees are
+    panel-restricted distinct-supplier counts per customer, so the
+    score is exactly |∩|/(da + db − |∩|) over BIGINTs — one IEEE
+    division per pair, ties broken by keys.
+
+    Output: top ``top_n`` pairs by (jaccard desc, cust_a, cust_b):
+    (cust_a, cust_b, n_common, deg_a, deg_b, jaccard).
+    """
+    panel = (
+        lineitem.select(F.col("l_suppkey").alias("s"))
+        .distinct()
+        .orderBy(F.md5(F.col("s").cast("string")), F.col("s"))
+        .limit(panel_k)
+    )
+    pairs = (
+        lineitem.join(F.broadcast(panel), lineitem.l_suppkey == panel.s)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(F.col("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    from p2_mapreduce_spark.session import spread
+
+    deg = pairs.groupBy(F.col("c").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    adj = spread(
+        pairs.groupBy("s").agg(
+            F.array_sort(F.collect_list("c")).alias("cs")
+        )
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("cs"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("cs"), i + 2,
+                    F.greatest(F.size("cs") - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("cust_a"), y.alias("cust_b")),
+            ),
+        )
+    )
+    wedges = adj.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.cust_a"), F.col("p.cust_b")
+    )
+    scored = wedges.groupBy("cust_a", "cust_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    out = (
+        scored.join(
+            deg.withColumnRenamed("node", "cust_a").withColumnRenamed(
+                "deg", "deg_a"
+            ),
+            "cust_a",
+        )
+        .join(
+            deg.withColumnRenamed("node", "cust_b").withColumnRenamed(
+                "deg", "deg_b"
+            ),
+            "cust_b",
+        )
+        .select(
+            "cust_a",
+            "cust_b",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("n_common").cast("double")
+                / (
+                    F.col("deg_a") + F.col("deg_b") - F.col("n_common")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out.orderBy(
+        F.col("jaccard").desc(), F.col("cust_a"), F.col("cust_b")
+    ).limit(top_n)
+
+
+def graph_modularity(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """Newman modularity Q of the NATION partition of the trade graph
+    — "does trade cluster inside nations?": for each community c,
+    compare the realized within-community edge fraction e_c/m against
+    the degree-preserving random expectation (k_c/2m)².  The standard
+    community-quality readout, here evaluating a REAL partition
+    (entity nations from the dimension tables) rather than a detected
+    one.
+
+    Exactness: Q telescopes to exact integers — Q = Σ_c (4·m·e_c −
+    k_c²) / (4m²), so the cross-community sum is an order-free BIGINT
+    (m ≤ edge count, k_c ≤ 2m → terms < 2^62 for any graph whose edge
+    count fits in 2^30) and the division is one pinned IEEE op.
+    Per-community rows expose (e_c, k_c, contribution) alongside the
+    global Q so the report shows WHICH nations drive it.
+
+    Scale shape: edge derivation at fact grain, two broadcast dim
+    joins for the community labels, community-grain aggregates.
+    Output: (nation, n_edges_within, degree_sum, q_contrib, q_total).
+    """
+    pairs = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("w"),
+        )
+        .distinct()
+    )
+    nat = customer.select(
+        (F.col("c_custkey") * 2).alias("node"),
+        F.col("c_nationkey").alias("nation"),
+    ).union(
+        supplier.select(
+            (F.col("s_suppkey") * 2 + 1).alias("node"),
+            F.col("s_nationkey").alias("nation"),
+        )
+    )
+    edges = (
+        pairs.join(
+            F.broadcast(nat).withColumnRenamed("node", "u")
+            .withColumnRenamed("nation", "nu"),
+            "u",
+        )
+        .join(
+            F.broadcast(nat).withColumnRenamed("node", "w")
+            .withColumnRenamed("nation", "nw"),
+            "w",
+        )
+    )
+    m_row = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    ec = (
+        edges.filter(F.col("nu") == F.col("nw"))
+        .groupBy(F.col("nu").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
+    )
+    kc = (
+        edges.select(F.col("nu").alias("nation"))
+        .union(edges.select(F.col("nw").alias("nation")))
+        .groupBy("nation")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k_c"))
+    )
+    per = (
+        kc.join(ec, "nation", "left")
+        .select(
+            "nation",
+            F.coalesce("e_c", F.lit(0)).cast("bigint").alias(
+                "n_edges_within"
+            ),
+            "k_c",
+        )
+        .crossJoin(F.broadcast(m_row))
+        .withColumn(
+            "num",
+            (
+                F.lit(4) * F.col("m") * F.col("n_edges_within")
+                - F.col("k_c") * F.col("k_c")
+            ).cast("bigint"),
+        )
+    )
+    tot = per.agg(F.sum("num").cast("bigint").alias("num_tot"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("nation").cast("bigint").alias("nation"),
+            "n_edges_within",
+            F.col("k_c").alias("degree_sum"),
+            (
+                F.col("num").cast("double")
+                / (
+                    F.lit(4.0)
+                    * F.col("m").cast("double")
+                    * F.col("m").cast("double")
+                )
+            ).alias("q_contrib"),
+            (
+                F.col("num_tot").cast("double")
+                / (
+                    F.lit(4.0)
+                    * F.col("m").cast("double")
+                    * F.col("m").cast("double")
+                )
+            ).alias("q_total"),
+        )
+    )

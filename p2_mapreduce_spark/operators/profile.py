@@ -2436,3 +2436,134 @@ def conformal_band(
         (mean - radius).alias("lo"),
         (mean + radius).alias("hi"),
     )
+
+
+def chi2_residuals(docs: DataFrame) -> DataFrame:
+    """Standardized-residual drill-down of the (source × lang)
+    contingency — the cell-level answer to the question the scalar χ²
+    drift gate raises: WHICH cells drive the signal.  Pearson residual
+    r = (obs − exp)/√exp per grid cell, with the full source × lang
+    grid materialized (absent cells matter: a language a source never
+    produces is a −√exp residual, not a missing row).
+
+    Exactness: obs, row totals, column totals and N are exact BIGINTs;
+    exp = rt·ct/N is one pinned division of an exact BIGINT product
+    (rt·ct < 2^62 for any corpus under 2^31 rows), and the residual is
+    one pinned tree with the correctly-rounded sqrt.  The grid is a
+    broadcast cross join of the two distinct key lists — #sources ×
+    #langs rows, config grain.
+
+    Output: (source, lang, n_obs, expected, residual).
+    """
+    base = spread(docs).select("source", "lang")
+    obs = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    rt = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rt")
+    )
+    ct = base.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    )
+    n_row = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(obs, ["source", "lang"], "left")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "source",
+            "lang",
+            F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
+            "rt",
+            "ct",
+            "n",
+        )
+    )
+    exp = (F.col("rt") * F.col("ct")).cast("double") / F.col("n").cast(
+        "double"
+    )
+    return grid.select(
+        "source",
+        "lang",
+        "n_obs",
+        exp.alias("expected"),
+        F.when(
+            exp > 0.0,
+            (F.col("n_obs").cast("double") - exp) / F.sqrt(exp),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("residual"),
+    )
+
+
+def hbos_outliers(orders: DataFrame, top_n: int = 20) -> DataFrame:
+    """Histogram-based outlier score (HBOS) over three order features
+    — the ln-free, training-free anomaly ranking that scales where
+    isolation forests don't: score each row by the product of its
+    per-feature bin frequencies (rarer bins ⇒ smaller product ⇒ more
+    anomalous), the independence-assumption density estimate of
+    Goldstein & Dengel's HBOS reduced to exact integers.
+
+    Features: price bin (10 equi-width bins over the observed cents
+    range — boundaries from a one-row broadcast min/max, assignment by
+    exact integer division), order month (calendar), order priority
+    (categorical).  The rarity denominator c_price·c_month·c_prio is
+    an exact BIGINT (< n³); the surfaced score is one pinned division.
+    Ranking is (product asc, orderkey) — a TakeOrdered heap, no global
+    sort.
+
+    Output: top ``top_n`` most anomalous orders:
+    (o_orderkey, price_bin, month, priority, c_price, c_month,
+    c_prio, rarity).
+    """
+    mm = orders.agg(
+        F.min(F.floor(F.col("o_totalprice") * 100)).alias("mn"),
+        F.max(F.floor(F.col("o_totalprice") * 100)).alias("mx"),
+    )
+    feats = (
+        spread(orders)
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "o_orderkey",
+            F.expr(
+                "CAST(((CAST(floor(o_totalprice * 100) AS BIGINT) - mn)"
+                " * 10) div (mx - mn + 1) AS INT)"
+            ).alias("price_bin"),
+            F.month("o_orderdate").cast("int").alias("month"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    c1 = feats.groupBy("price_bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_price")
+    )
+    c2 = feats.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_month")
+    )
+    c3 = feats.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_prio")
+    )
+    scored = (
+        feats.join(F.broadcast(c1), "price_bin")
+        .join(F.broadcast(c2), "month")
+        .join(F.broadcast(c3), "priority")
+        .withColumn(
+            "prod",
+            (
+                F.col("c_price") * F.col("c_month") * F.col("c_prio")
+            ).cast("bigint"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("prod"), F.col("o_orderkey"))
+        .limit(top_n)
+        .select(
+            "o_orderkey",
+            "price_bin",
+            "month",
+            "priority",
+            "c_price",
+            "c_month",
+            "c_prio",
+            (F.lit(1.0) / F.col("prod").cast("double")).alias("rarity"),
+        )
+    )

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from p2_mapreduce_spark.functions.numeric import dsum
-from p2_mapreduce_spark.functions.text import tokens_array
+from p2_mapreduce_spark.functions.text import TOKEN_SPLIT_REGEX, tokens_array
 from p2_mapreduce_spark.session import spread
 
 #: (language, marker regex) — tiny n-gram/stopword heuristic. Real
@@ -1307,4 +1307,77 @@ def detector_kappa(docs: DataFrame) -> DataFrame:
             .otherwise(F.lit(0.0))
             .alias("kappa"),
         )
+    )
+
+
+def sentence_stats(docs: DataFrame) -> DataFrame:
+    """Per-source sentence-structure profile: sentence count, token
+    mass inside sentences, mean sentence length, short-sentence share,
+    and the longest sentence — the structural quality signal (boiler-
+    plate and navigation debris skew short; scraped run-ons skew long)
+    that complements the character-level ratios of ``quality_score``
+    and the token-level Flesch readability score.
+
+    All in-row, JVM-only: documents split on sentence enders
+    (``[.!?]+`` — the same regex class in Java and RE2, so the oracle
+    splits identically), each sentence tokenized with the house
+    ``\\p{L}\\p{N}`` splitter, empty sentences dropped, and the
+    per-document count array reduced by built-in higher-order
+    functions before one source-grain aggregate of exact BIGINTs.
+    The only double is the final mean (one IEEE division).
+
+    Output: (source, n_docs, n_sentences, n_tokens, short_share_ppm,
+    avg_tokens, max_tokens); ``short`` = fewer than 4 tokens,
+    surfaced exactly in ppm (the life_table device).
+    """
+    sents = F.split(F.col("text"), r"[.!?]+")
+    counts = F.transform(
+        sents,
+        lambda s: F.size(
+            F.filter(
+                F.split(s, TOKEN_SPLIT_REGEX), lambda t: t != F.lit("")
+            )
+        ),
+    )
+    nonempty = F.filter(counts, lambda c: c > 0)
+    per_doc = spread(docs).select(
+        "source",
+        F.size(nonempty).cast("bigint").alias("n_sent"),
+        F.aggregate(
+            nonempty, F.lit(0).cast("bigint"), lambda a, c: a + c
+        ).alias("n_tok"),
+        F.size(F.filter(nonempty, lambda c: c < 4))
+        .cast("bigint")
+        .alias("n_short"),
+        F.coalesce(F.array_max(nonempty), F.lit(0))
+        .cast("bigint")
+        .alias("max_tok"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_sent").cast("bigint").alias("n_sentences"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum("n_short").cast("bigint").alias("n_short"),
+        F.max("max_tok").cast("bigint").alias("max_tokens"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_sentences",
+        "n_tokens",
+        F.when(
+            F.col("n_sentences") > 0,
+            F.expr("(n_short * 1000000) div n_sentences"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("short_share_ppm"),
+        F.when(
+            F.col("n_sentences") > 0,
+            F.col("n_tokens").cast("double")
+            / F.col("n_sentences").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_tokens"),
+        "max_tokens",
     )

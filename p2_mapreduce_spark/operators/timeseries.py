@@ -1926,3 +1926,402 @@ def holt_linear(events: DataFrame, group_col: str = "event_type") -> DataFrame:
             "forecast7"
         ),
     )
+
+
+def kruskal_wallis(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Kruskal–Wallis H test across ALL groups at once — the k-group
+    extension of the pairwise Mann–Whitney drift gate: "is at least one
+    event type's daily-revenue distribution shifted?", answered with
+    one rank pass instead of k² pairwise MWUs.  Runs on the day-grain
+    revenue series (exact cents), the same contraction every rank test
+    here shares.
+
+    Exactness protocol: tie-aware midranks over the POOLED series are
+    ``.5``-granular, so DOUBLED ranks are exact BIGINTs (2·midrank =
+    2·min_rank + ties − 1).  Per-group doubled rank sums R2_j and the
+    tie-correction sum T = Σ(t³−t) are exact integers; the only
+    rational reduction — S = Σ_j (R2_j/2)²/n_j, a sum of k group
+    fractions — folds over the GROUP-SORTED array (the logrank/Holt
+    cross-group device), so every engine adds the same doubles in the
+    same order.  H = 12·S/(N(N+1)) − 3(N+1) and the tie-adjusted
+    H/C (C = 1 − T/(N³−N)) are then single pinned IEEE trees.
+
+    Scale shape: day-grain contraction (map-side), ONE global rank
+    window over ≤ (groups × calendar days) rows, one k-row fold.
+    Output: one row (n_rows, n_groups, h, h_tie_adj).
+    """
+    daily = _daily_cents(events, group_col)
+    wv = Window.orderBy("y")
+    ranked = daily.withColumn(
+        "r2",
+        (
+            2 * F.rank().over(wv)
+            + F.count(F.lit(1)).over(Window.partitionBy("y"))
+            - 1
+        ).cast("bigint"),
+    )
+    per_g = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nj"),
+        F.sum("r2").cast("bigint").alias("rj2"),
+    )
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("bigint")
+            .alias("tie_sum"),
+            F.sum("t").cast("bigint").alias("n_rows"),
+        )
+    )
+    folded = per_g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("g"), F.col("rj2"), F.col("nj")))
+        ).alias("gs"),
+    ).withColumn(
+        "s",
+        F.aggregate(
+            F.col("gs"),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + (
+                (x["rj2"].cast("double") * F.lit(0.5))
+                * (x["rj2"].cast("double") * F.lit(0.5))
+            )
+            / x["nj"].cast("double"),
+        ),
+    )
+    out = folded.crossJoin(ties)  # one row × one row
+    n = F.col("n_rows").cast("double")
+    h = (
+        F.lit(12.0) * F.col("s") / (n * (n + F.lit(1.0)))
+        - F.lit(3.0) * (n + F.lit(1.0))
+    )
+    c = F.lit(1.0) - F.col("tie_sum").cast("double") / (
+        n * n * n - n
+    )
+    return out.select(
+        "n_rows",
+        "n_groups",
+        h.alias("h"),
+        F.when((F.col("n_rows") > 1) & (c > 0.0), h / c)
+        .otherwise(F.lit(0.0))
+        .alias("h_tie_adj"),
+    )
+
+
+def anova_f(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """One-way ANOVA F on the day-grain revenue series across groups —
+    the parametric sibling of :func:`kruskal_wallis` (means instead of
+    ranks): between-group sum of squares over within-group, each from
+    exact-integer sufficient statistics.
+
+    Exactness protocol: Σy and Σy² per group are exact BIGINTs (cents);
+    the one rational reduction — T = Σ_j Z_j²/n_j — folds over the
+    group-sorted array like the KW statistic; SSB = T − Z²/N and
+    SSW = Q − T are then pinned IEEE trees (Z = global Σy, Q = global
+    Σy², both exact), and F = (SSB/(k−1))/(SSW/(N−k)).
+
+    Scale shape: one day-grain contraction, one k-row fold, one row
+    out: (n_rows, n_groups, ssb, ssw, f_stat).
+    """
+    daily = _daily_cents(events, group_col)
+    per_g = daily.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nj"),
+        F.sum("y").cast("bigint").alias("zj"),
+    )
+    glob = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("y").cast("bigint").alias("z"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("q"),
+    )
+    folded = per_g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("g"), F.col("zj"), F.col("nj")))
+        ).alias("gs"),
+    ).withColumn(
+        "t",
+        F.aggregate(
+            F.col("gs"),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + (x["zj"].cast("double") * x["zj"].cast("double"))
+            / x["nj"].cast("double"),
+        ),
+    )
+    out = folded.crossJoin(glob)  # one row × one row
+    n = F.col("n_rows").cast("double")
+    k = F.col("n_groups").cast("double")
+    ssb = F.col("t") - F.col("z").cast("double") * F.col("z").cast(
+        "double"
+    ) / n
+    ssw = F.col("q").cast("double") - F.col("t")
+    f_stat = F.when(
+        (F.col("n_groups") > 1)
+        & (F.col("n_rows") > F.col("n_groups"))
+        & (ssw > 0.0),
+        (ssb / (k - F.lit(1.0))) / (ssw / (n - k)),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "n_rows", "n_groups", ssb.alias("ssb"), ssw.alias("ssw"),
+        f_stat.alias("f_stat"),
+    )
+
+
+def ccf_daily(
+    events: DataFrame, max_lag: int = 3, group_col: str = "event_type"
+) -> DataFrame:
+    """Cross-correlation function between the daily revenue series of
+    the two lexicographically-first groups, at lags 0..max_lag — "do
+    views on day t predict purchases on day t+k?", the lead/lag
+    diagnostic behind every marketing-mix and capacity model, and the
+    cross-series completion of the ACF (same protocol, two series).
+
+    Per lag k the statistic is the Pearson correlation of the
+    OVERLAPPED pairs (x_t, y_{t+k}): all five sufficient statistics
+    (n, Σx, Σy, Σx², Σy², Σxy) are exact BIGINTs from the cents-grain
+    join on ``d_y = d_x + k``, and r is one pinned tree per lag row —
+    no cross-row double sums anywhere.
+
+    Scale shape: day-grain contraction, one self-join per lag on the
+    (calendar-bounded) day grid — the join explodes to ≤ max_lag+1 ×
+    n_days rows total.  Output: (lag, n_overlap, r).
+    """
+    daily = _daily_cents(events, group_col)
+    gs = daily.select("g").distinct().orderBy("g").limit(2)
+    pair = gs.agg(
+        F.min("g").alias("gx"), F.max("g").alias("gy")
+    )
+    x = daily.join(F.broadcast(pair), daily.g == pair.gx).select(
+        F.col("d").alias("dx"), F.col("y").alias("x")
+    )
+    y = daily.join(F.broadcast(pair), daily.g == pair.gy).select(
+        F.col("d").alias("dy"), F.col("y").alias("yv")
+    )
+    lags = events.sparkSession.range(0, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    joined = (
+        x.crossJoin(F.broadcast(lags))
+        .join(y, F.date_add(F.col("dx"), F.col("lag")) == F.col("dy"))
+    )
+    agg = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("yv").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("yv")).cast("bigint").alias("sxy"),
+    )
+    n = F.col("n_overlap").cast("double")
+    cov = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    vx = n * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vy = n * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    r = F.when((vx <= 0.0) | (vy <= 0.0), F.lit(0.0)).otherwise(
+        cov / F.sqrt(vx * vy)
+    )
+    return agg.select(
+        F.col("lag").cast("int").alias("lag"), "n_overlap", r.alias("r")
+    )
+
+
+def croston(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Croston's method per group — THE forecasting baseline for
+    INTERMITTENT demand (series with zero-demand days, where EWMA/Holt
+    systematically under-forecast): separate exponential smoothing of
+    the nonzero demand sizes (z) and of the inter-demand intervals (p),
+    forecast = z/p, both at α = ½.
+
+    The day grid is gap-filled per group (``sequence`` over the
+    group's [min, max] day — calendar-bounded), so zero-demand days
+    genuinely advance the interval counter.  Determinism: the
+    recurrence is a DAY-ORDERED in-row ``aggregate()`` fold (the Holt
+    device) with state (z, p, q, started): demand day → z' = ½(y + z),
+    p' = ½(q + p), q' = 1; zero day → q' = q + 1.  Every step is the
+    same pinned IEEE tree, so the float states are bit-identical
+    cross-engine.
+
+    Scale shape: day-grain contraction, per-group calendar-bounded
+    gap-fill + one in-row fold — no shuffle after the contraction.
+    Output: (group, n_days, n_demand_days, z_hat, p_hat, forecast) in
+    currency units (z folds in cents, surfaced /100).
+    """
+    daily = _daily_cents(events, group_col)
+    grid = (
+        daily.groupBy("g")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "g",
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"))
+            ).alias("d"),
+        )
+    )
+    dense = grid.join(daily, ["g", "d"], "left").select(
+        "g", "d", F.coalesce("y", F.lit(0)).cast("bigint").alias("y")
+    )
+    arr = dense.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum((F.col("y") > 0).cast("bigint")).alias("n_demand_days"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("d"), F.col("y")))
+        ).alias("ys"),
+    )
+    fold = F.aggregate(
+        F.col("ys"),
+        F.struct(
+            F.lit(0.0).alias("z"),
+            F.lit(0.0).alias("p"),
+            F.lit(0.0).alias("q"),
+            F.lit(False).alias("started"),
+        ),
+        lambda acc, s: F.when(
+            s["y"] <= 0,
+            F.struct(
+                acc["z"].alias("z"),
+                acc["p"].alias("p"),
+                (acc["q"] + F.lit(1.0)).alias("q"),
+                acc["started"].alias("started"),
+            ),
+        )
+        .when(
+            ~acc["started"],
+            F.struct(
+                s["y"].cast("double").alias("z"),
+                F.lit(1.0).alias("p"),
+                F.lit(1.0).alias("q"),
+                F.lit(True).alias("started"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                (
+                    F.lit(0.5) * (s["y"].cast("double") + acc["z"])
+                ).alias("z"),
+                (
+                    F.lit(0.5) * (acc["q"] + acc["p"])
+                ).alias("p"),
+                F.lit(1.0).alias("q"),
+                F.lit(True).alias("started"),
+            )
+        ),
+    )
+    out = arr.withColumn("st", fold)
+    return out.select(
+        F.col("g").alias(group_col),
+        "n_days",
+        "n_demand_days",
+        (F.col("st.z") / 100.0).alias("z_hat"),
+        F.col("st.p").alias("p_hat"),
+        F.when(
+            F.col("st.p") > 0.0, (F.col("st.z") / F.col("st.p")) / 100.0
+        )
+        .otherwise(F.lit(0.0))
+        .alias("forecast"),
+    )
+
+
+def holt_winters(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Additive Holt–Winters (level + trend + weekly seasonality) per
+    group with α = β = γ = ½ — the seasonal completion of the smoothing
+    family (:func:`ewma_daily` → :func:`holt_linear` → here): the
+    baseline every weekly-cycled ops series (traffic, orders, revenue)
+    actually needs, where Holt alone chases the weekend dip as trend.
+
+    Recurrence (T.37 additive form), on the GAP-FILLED day grid so the
+    7-slot seasonal register stays calendar-aligned:
+    ``l' = ½(y − s_i) + ½(l + b); b' = ½(l' − l) + ½b;
+    s_i' = ½(y − l') + ½s_i`` with ``i = day_index mod 7``; init
+    l = y₀, b = 0, s = 0⃗ (deterministic cold start — γ learns the
+    profile within two cycles).
+
+    Determinism protocol: a DAY-ORDERED in-row ``aggregate()`` fold
+    (the Holt/Croston device) whose state carries (l, b, s[7], i);
+    every step is the same pinned IEEE tree, so the float states are
+    bit-identical cross-engine (the oracle carries s0..s6 as recursive
+    CTE columns).
+
+    Scale shape: day-grain contraction, per-group calendar-bounded
+    gap-fill, one in-row fold — no shuffle after the contraction.
+    Output: (group, n_days, level, trend, s_next, forecast1) — the
+    one-day-ahead forecast l + b + s[(i) mod 7], all /100 to currency.
+    """
+    daily = _daily_cents(events, group_col)
+    grid = (
+        daily.groupBy("g")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "g",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d"),
+        )
+    )
+    dense = grid.join(daily, ["g", "d"], "left").select(
+        "g", "d", F.coalesce("y", F.lit(0)).cast("bigint").alias("y")
+    )
+    arr = dense.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("d"), F.col("y")))
+        ).alias("ys"),
+    )
+    zeros7 = F.array(*[F.lit(0.0) for _ in range(7)])
+
+    def step(acc, s):
+        y = s["y"].cast("double")
+        si = F.element_at(acc["s"], F.pmod(acc["i"], F.lit(7)) + 1)
+        l_new = F.when(
+            acc["i"] == 0, y
+        ).otherwise(
+            F.lit(0.5) * (y - si) + F.lit(0.5) * (acc["l"] + acc["b"])
+        )
+        b_new = F.when(acc["i"] == 0, F.lit(0.0)).otherwise(
+            F.lit(0.5) * (l_new - acc["l"]) + F.lit(0.5) * acc["b"]
+        )
+        s_upd = F.when(acc["i"] == 0, F.lit(0.5) * (y - l_new)).otherwise(
+            F.lit(0.5) * (y - l_new) + F.lit(0.5) * si
+        )
+        s_new = F.transform(
+            acc["s"],
+            lambda v, j: F.when(
+                j == F.pmod(acc["i"], F.lit(7)), s_upd
+            ).otherwise(v),
+        )
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            s_new.alias("s"),
+            (acc["i"] + 1).alias("i"),
+        )
+
+    fold = F.aggregate(
+        F.col("ys"),
+        F.struct(
+            F.lit(0.0).alias("l"),
+            F.lit(0.0).alias("b"),
+            zeros7.alias("s"),
+            F.lit(0).alias("i"),
+        ),
+        step,
+    )
+    out = arr.withColumn("st", fold)
+    s_next = F.element_at(
+        F.col("st.s"), F.pmod(F.col("st.i"), F.lit(7)) + 1
+    )
+    return out.select(
+        F.col("g").alias(group_col),
+        "n_days",
+        (F.col("st.l") / 100.0).alias("level"),
+        (F.col("st.b") / 100.0).alias("trend"),
+        (s_next / 100.0).alias("s_next"),
+        ((F.col("st.l") + F.col("st.b") + s_next) / 100.0).alias(
+            "forecast1"
+        ),
+    )

@@ -255,6 +255,19 @@ FUNNEL_REVIEWED = {
     # ≤ n_bins structs (config grain — the neyman_alloc justification)
     # plus calibration_bins' reviewed one-row min/max broadcast
     "isotonic_calibration",
+    # round-6 additions:
+    # kruskal_wallis: ONE global rank window over the day-grain series
+    # (≤ groups × calendar days rows) + a k-row group-sorted fold;
+    # anova_f: one-row global sufficient-statistic aggregate + k-row fold;
+    # mcc_eval / ht_estimate: one-row global conditional-count aggregates
+    # (the fold_ci device) — all upstream work is map-side;
+    # label_noise: one-row pivoted (count, sum) threshold broadcast;
+    # period_balance: the MoM lag window runs at MONTH grain
+    # (calendar-bounded) after the (customer, month) hash-partitioned pick;
+    # receivables_aging: one-row snapshot-anchor broadcast + a 4-row
+    # bucket report
+    "kruskal_wallis", "anova_f", "mcc_eval", "ht_estimate",
+    "label_noise", "period_balance", "receivables_aging",
 }
 
 

@@ -80,3 +80,266 @@ class TestFlac:
         bad2 = bytearray(payload)
         bad2[frame_start + 7] = 0x40
         assert _decode_flac(bytes(bad2)) is None
+
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _events6(spark, rows):
+    """rows: (day, user, event_type, value) → events frame."""
+    base = dt.datetime(2024, 3, 1)
+    return spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(days=d, hours=i % 4), u, g, float(v), "{}")
+            for i, (d, u, g, v) in enumerate(rows)
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+
+
+class TestKgroupTests:
+    def _fixture(self, spark):
+        rows = []
+        vals = {"a": [1, 2, 3, 4], "b": [3, 4, 5, 6], "c": [10, 11, 12, 13]}
+        for g, vs in vals.items():
+            for d, v in enumerate(vs):
+                rows.append((d, 1, g, v))
+        return _events6(spark, rows), vals
+
+    def test_kruskal_wallis_hand(self, spark):
+        from p2_mapreduce_spark.operators.timeseries import kruskal_wallis
+
+        ev, vals = self._fixture(spark)
+        row = kruskal_wallis(ev).collect()[0]
+        # pooled midranks over cents values
+        pooled = sorted(v for vs in vals.values() for v in vs)
+        import collections
+        cnt = collections.Counter(pooled)
+        mid = {}
+        r = 1
+        for v in sorted(cnt):
+            mid[v] = r + (cnt[v] - 1) / 2
+            r += cnt[v]
+        n = len(pooled)
+        s = sum(
+            sum(mid[v] for v in vs) ** 2 / len(vs) for vs in vals.values()
+        )
+        h = 12.0 * s / (n * (n + 1)) - 3.0 * (n + 1)
+        t_sum = sum(c**3 - c for c in cnt.values())
+        c_adj = 1 - t_sum / (n**3 - n)
+        assert row["n_rows"] == n and row["n_groups"] == 3
+        assert abs(row["h"] - h) < 1e-9
+        assert abs(row["h_tie_adj"] - h / c_adj) < 1e-9
+
+    def test_anova_f_hand(self, spark):
+        from p2_mapreduce_spark.operators.timeseries import anova_f
+
+        ev, vals = self._fixture(spark)
+        row = anova_f(ev).collect()[0]
+        cents = {g: [v * 100 for v in vs] for g, vs in vals.items()}
+        n = sum(len(v) for v in cents.values())
+        k = len(cents)
+        z = sum(sum(v) for v in cents.values())
+        q = sum(x * x for v in cents.values() for x in v)
+        t = sum(sum(v) ** 2 / len(v) for v in cents.values())
+        ssb, ssw = t - z * z / n, q - t
+        f = (ssb / (k - 1)) / (ssw / (n - k))
+        assert abs(row["ssb"] - ssb) < 1e-6 * abs(ssb)
+        assert abs(row["f_stat"] - f) < 1e-9 * abs(f)
+
+    def test_group_invariance(self, spark):
+        """Relabeling groups permutes nothing: H and F are label-free."""
+        from p2_mapreduce_spark.operators.timeseries import (
+            anova_f,
+            kruskal_wallis,
+        )
+
+        ev, _ = self._fixture(spark)
+        swapped = ev.withColumn(
+            "event_type",
+            F.when(F.col("event_type") == "a", "zz").otherwise(
+                F.col("event_type")
+            ),
+        )
+        assert (
+            kruskal_wallis(ev).collect()[0]["h"]
+            == kruskal_wallis(swapped).collect()[0]["h"]
+        )
+        assert (
+            anova_f(ev).collect()[0]["f_stat"]
+            == anova_f(swapped).collect()[0]["f_stat"]
+        )
+
+
+class TestCcfCroston:
+    def test_ccf_perfect_lag(self, spark):
+        """y is x shifted by 2 days → r = 1.0 exactly at lag 2."""
+        from p2_mapreduce_spark.operators.timeseries import ccf_daily
+
+        xs = [1, 5, 2, 8, 3, 9, 4]
+        rows = [(d, 1, "a", v) for d, v in enumerate(xs)]
+        rows += [(d + 2, 1, "b", v) for d, v in enumerate(xs)]
+        got = {r["lag"]: r for r in ccf_daily(_events6(spark, rows)).collect()}
+        assert abs(got[2]["r"] - 1.0) < 1e-12
+        assert got[2]["n_overlap"] == 7
+        assert abs(got[0]["r"]) < 1.0  # misaligned lags are weaker
+
+    def test_croston_hand(self, spark):
+        from p2_mapreduce_spark.operators.timeseries import croston
+
+        # demand on days 0, 3, 5 (values 4, 8, 6), zeros between
+        rows = [(0, 1, "a", 4), (3, 1, "a", 8), (5, 1, "a", 6)]
+        row = croston(_events6(spark, rows)).collect()[0]
+        # fold: d0 start z=400,p=1,q=1; d1,d2 zero q=2,3; d3 z=.5(800+400)
+        # =600 p=.5(3+1)=2 q=1; d4 zero q=2; d5 z=.5(600+600)=600
+        # p=.5(2+2)=2
+        assert row["n_days"] == 6 and row["n_demand_days"] == 3
+        assert abs(row["z_hat"] - 6.0) < 1e-12
+        assert abs(row["p_hat"] - 2.0) < 1e-12
+        assert abs(row["forecast"] - 3.0) < 1e-12
+
+
+class TestSurvivalAndLedger:
+    def test_rmst_hand(self, spark):
+        from p2_mapreduce_spark.operators.events_analytics import rmst
+
+        # lifetimes: user1 = 0 days, user2 = 10, user3 = 40
+        rows = [(0, 1, "a", 1), (0, 2, "a", 1), (10, 2, "a", 1),
+                (0, 3, "a", 1), (40, 3, "a", 1)]
+        got = {r["tau"]: r for r in rmst(_events6(spark, rows)).collect()}
+        assert got[7]["sum_capped_days"] == 0 + 7 + 7
+        assert got[14]["sum_capped_days"] == 0 + 10 + 14
+        assert got[30]["sum_capped_days"] == 0 + 10 + 30
+        assert abs(got[30]["rmst_days"] - 40 / 3) < 1e-12
+
+    def test_period_balance_hand(self, spark):
+        from p2_mapreduce_spark.operators.analytics import period_balance
+
+        orders = spark.createDataFrame(
+            [
+                (1, 10, "O", 100.0, dt.datetime(2024, 1, 5), "x"),
+                (2, 10, "O", 250.0, dt.datetime(2024, 1, 20), "x"),
+                (3, 11, "O", 40.0, dt.datetime(2024, 1, 10), "x"),
+                (4, 10, "O", 70.0, dt.datetime(2024, 2, 2), "x"),
+            ],
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderdate", "o_orderpriority"],
+        )
+        got = {r["month"]: r for r in period_balance(orders).collect()}
+        # Jan: cust10 last = 250, cust11 = 40 → 290; Feb: cust10 = 70
+        assert got["2024-01"]["n_accounts"] == 2
+        assert abs(got["2024-01"]["total_balance"] - 290.0) < 1e-9
+        assert abs(got["2024-02"]["mom_delta"] - (70.0 - 290.0)) < 1e-9
+
+    def test_receivables_aging_hand(self, spark):
+        from p2_mapreduce_spark.operators.analytics import receivables_aging
+
+        snap = dt.datetime(2024, 6, 1)
+        orders = spark.createDataFrame(
+            [
+                (1, 1, "O", 10.0, snap, "x"),                      # age 0
+                (2, 1, "O", 20.0, snap - dt.timedelta(days=45), "x"),
+                (3, 1, "F", 99.0, snap - dt.timedelta(days=45), "x"),
+                (4, 1, "O", 30.0, snap - dt.timedelta(days=200), "x"),
+            ],
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderdate", "o_orderpriority"],
+        )
+        got = {r["bucket"]: r for r in receivables_aging(orders).collect()}
+        assert got["0-30"]["n_orders"] == 1
+        assert abs(got["31-60"]["total_open"] - 20.0) < 1e-9
+        assert got["61-90"]["n_orders"] == 0
+        assert abs(got["91+"]["total_open"] - 30.0) < 1e-9
+
+
+class TestRichClub:
+    def test_clique_plus_pendants(self, spark):
+        from p2_mapreduce_spark.operators.graph import rich_club
+
+        # K4 on {1,2,3,4} (deg 3+pendant) + one pendant per clique node
+        edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        edges += [(i, i + 10) for i in range(1, 5)]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r["k"]: r for r in rich_club(df, (1, 2, 4)).collect()}
+        # deg>1: the 4 clique nodes (deg 4 each); pendants have deg 1
+        assert got[1]["n_nodes"] == 4 and got[1]["n_edges"] == 6
+        assert abs(got[1]["phi"] - 1.0) < 1e-12
+        assert got[2]["n_nodes"] == 4
+        assert got[4]["n_nodes"] == 0 and got[4]["phi"] == 0.0
+
+
+class TestCurationRound6:
+    def test_mcc_perfect_and_inverted(self, spark):
+        from p2_mapreduce_spark.operators.curation import mcc_eval
+
+        good = "the cat and the dog walked to a tree in town " * 8
+        bad = "zzzz " * 3
+        docs = spark.createDataFrame(
+            [(i, good, "en", "s", len(good)) for i in range(4)]
+            + [(i + 10, bad, "fr", "s", len(bad)) for i in range(4)],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        row = mcc_eval(docs).collect()[0]
+        assert row["tp"] == 4 and row["tn"] == 4
+        assert abs(row["mcc"] - 1.0) < 1e-12
+        # flip the labels → perfect anti-correlation
+        flipped = docs.withColumn(
+            "lang", F.when(F.col("lang") == "en", "fr").otherwise("en")
+        )
+        assert abs(mcc_eval(flipped).collect()[0]["mcc"] + 1.0) < 1e-12
+
+    def test_label_noise_flags_the_outlier(self, spark):
+        from p2_mapreduce_spark.operators.curation import label_noise
+
+        good = "the cat and the dog walked to a tree in town " * 8
+        bad = "zzzz " * 3
+        docs = spark.createDataFrame(
+            [(i, good, "en", "s", len(good)) for i in range(4)]
+            + [(i + 10, bad, "fr", "s", len(bad)) for i in range(4)]
+            + [(99, good, "fr", "s", len(good))],  # mislabeled
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        got = {r["label"]: r for r in label_noise(docs).collect()}
+        assert got["other"]["n_suspect"] >= 1  # the mislabeled good doc
+        assert got["en"]["n_suspect"] == 0
+
+    def test_ht_estimate_invariants(self, spark):
+        from p2_mapreduce_spark.operators.curation import ht_estimate
+
+        li = spark.createDataFrame(
+            [(i, i % 7, 1, i % 4 + 1, 1.0, float(i % 50) + 0.25, 0.0,
+              0.0, "N", "O", dt.datetime(2024, 1, 1))
+             for i in range(800)],
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+             "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+             "l_returnflag", "l_linestatus", "l_shipdate"],
+        )
+        row = ht_estimate(li).collect()[0]
+        assert row["n_total"] == 800
+        assert 0 < row["n_sampled"] < 800
+        # estimate is exactly 16x the sampled mass; error consistent
+        est_err = (row["ht_estimate"] - row["true_total"]) / row["true_total"]
+        assert abs(row["rel_err"] - est_err) < 1e-9
+
+    def test_sentence_stats_hand(self, spark):
+        from p2_mapreduce_spark.operators.text_analysis import sentence_stats
+
+        docs = spark.createDataFrame(
+            [
+                (1, "One two three four. Short one! And a fifth token here?",
+                 "en", "s1", 10),
+                (2, "No enders at all just words", "en", "s1", 10),
+                (3, "...", "en", "s2", 3),
+            ],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        got = {r["source"]: r for r in sentence_stats(docs).collect()}
+        s1 = got["s1"]
+        # doc1: sentences 4/2/5 tokens; doc2: one 6-token sentence
+        assert s1["n_sentences"] == 4
+        assert s1["n_tokens"] == 4 + 2 + 5 + 6
+        assert s1["max_tokens"] == 6
+        assert s1["short_share_ppm"] == 250000  # 1 of 4 under 4 tokens
+        assert got["s2"]["n_sentences"] == 0 and got["s2"]["avg_tokens"] == 0.0
