@@ -1915,6 +1915,71 @@ def _q_sentence_stats(spark, sf_dir):
     return sentence_stats(load_table(spark, sf_dir, "documents"))
 
 
+def _q_holt_winters(spark, sf_dir):
+    """Additive Holt-Winters (level+trend+weekly seasonal) per event
+    type over the gap-filled day grid — day-ordered IEEE fold with a
+    7-slot seasonal register."""
+    from p2_mapreduce_spark.operators.timeseries import holt_winters
+
+    return holt_winters(load_table(spark, sf_dir, "events"))
+
+
+def _q_link_jaccard(spark, sf_dir):
+    """Jaccard-normalized link prediction over the absolute supplier
+    panel (degree-corrected portfolio overlap)."""
+    from p2_mapreduce_spark.operators.graph import link_prediction_jaccard
+
+    return link_prediction_jaccard(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def _q_graph_modularity(spark, sf_dir):
+    """Newman modularity of the NATION partition of the trade graph —
+    exact-integer numerator, per-nation contributions + global Q."""
+    from p2_mapreduce_spark.operators.graph import graph_modularity
+
+    return graph_modularity(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def _q_chi2_residuals(spark, sf_dir):
+    """Pearson standardized residuals per (source, lang) grid cell —
+    the drill-down behind the scalar chi-square drift gate."""
+    from p2_mapreduce_spark.operators.profile import chi2_residuals
+
+    return chi2_residuals(load_table(spark, sf_dir, "documents"))
+
+
+def _q_hbos_outliers(spark, sf_dir):
+    """Histogram-based outlier score over three order features — the
+    ln-free anomaly ranking, exact integer bin-frequency products."""
+    from p2_mapreduce_spark.operators.profile import hbos_outliers
+
+    return hbos_outliers(load_table(spark, sf_dir, "orders"))
+
+
+def _q_rbo_ranks(spark, sf_dir):
+    """Rank-biased overlap between the revenue and quantity supplier
+    leaderboards (top-weighted rank agreement, depth 20, p=0.9)."""
+    from p2_mapreduce_spark.operators.analytics import rbo_ranks
+
+    return rbo_ranks(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_xyz_class(spark, sf_dir):
+    """XYZ demand-variability classes per part via exact integer
+    CV-squared cross-multiplications."""
+    from p2_mapreduce_spark.operators.analytics import xyz_class
+
+    return xyz_class(load_table(spark, sf_dir, "lineitem"))
+
+
 def _q_audio_flac(spark, sf_dir):
     """Real FLAC (lossless-predictive audio, RFC 9639) decode of
     JVM-built spec-valid files: CRC-8/CRC-16-verified frames, fixed
@@ -3691,7 +3756,9 @@ _ROUND6_NEW = (
     "media_jpeg_prog_color", "audio_flac", "kruskal_wallis", "anova_f",
     "ccf_daily", "croston", "rmst", "period_balance",
     "receivables_aging", "rich_club", "mcc_eval", "label_noise",
-    "ht_estimate", "sentence_stats",
+    "ht_estimate", "sentence_stats", "holt_winters", "link_jaccard",
+    "graph_modularity", "chi2_residuals", "hbos_outliers", "rbo_ranks",
+    "xyz_class",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -3884,6 +3951,13 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_noise": _q_label_noise,
         "ht_estimate": _q_ht_estimate,
         "sentence_stats": _q_sentence_stats,
+        "holt_winters": _q_holt_winters,
+        "link_jaccard": _q_link_jaccard,
+        "graph_modularity": _q_graph_modularity,
+        "chi2_residuals": _q_chi2_residuals,
+        "hbos_outliers": _q_hbos_outliers,
+        "rbo_ranks": _q_rbo_ranks,
+        "xyz_class": _q_xyz_class,
         "seq_accuracy": _q_seq_accuracy,
         "peer_percentile": _q_peer_percentile,
         "brier_score": _q_brier_score,
@@ -4561,6 +4635,71 @@ def _kmeans_purity_oracle(
                CAST(t.n_cl AS DOUBLE) / CAST(s.n_members AS DOUBLE)
                    AS purity
         FROM topc t JOIN sizes s USING (cluster)"""
+
+
+def _holt_winters_oracle() -> str:
+    """Recursive-CTE twin of the holt_winters day-ordered fold: the
+    7-slot seasonal register rides as columns s0..s6; the level
+    expression is inlined wherever the Spark fold references l_new
+    (same pinned IEEE tree)."""
+    si = ("CASE (d.rn - 1) % 7 "
+          + " ".join(f"WHEN {j} THEN st.s{j}" for j in range(7))
+          + " END")
+    lp = f"(0.3e0 * (CAST(d.y AS DOUBLE) - {si})" \
+         " + 0.7e0 * (st.l + st.b))"
+    s_cols_base = ", ".join(
+        ("0.0e0 AS s" + str(j)) for j in range(7)
+    )
+    s_cols_step = ", ".join(
+        f"CASE WHEN (d.rn - 1) % 7 = {j} THEN"
+        f" 0.4e0 * (CAST(d.y AS DOUBLE) - {lp}) + 0.6e0 * st.s{j}"
+        f" ELSE st.s{j} END"
+        for j in range(7)
+    )
+    s_next = ("CASE n % 7 "
+              + " ".join(f"WHEN {j} THEN s{j}" for j in range(7))
+              + " END")
+    return f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+                  FROM events)
+            GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT g, CAST(unnest(generate_series(d0, d1,
+                       INTERVAL 1 DAY)) AS DATE) AS d
+            FROM (SELECT g, MIN(d) AS d0, MAX(d) AS d1
+                  FROM daily GROUP BY g)
+        ),
+        dense AS (
+            SELECT grid.g, COALESCE(daily.y, 0) AS y,
+                   row_number() OVER (PARTITION BY grid.g
+                                      ORDER BY grid.d) AS rn,
+                   COUNT(*) OVER (PARTITION BY grid.g) AS n
+            FROM grid LEFT JOIN daily
+              ON daily.g = grid.g AND daily.d = grid.d
+        ),
+        st AS (
+            SELECT g, rn, n, CAST(y AS DOUBLE) AS l, 0.0e0 AS b,
+                   {s_cols_base}
+            FROM dense WHERE rn = 1
+            UNION ALL
+            SELECT d.g, d.rn, d.n,
+                   {lp},
+                   0.05e0 * ({lp} - st.l) + 0.95e0 * st.b,
+                   {s_cols_step}
+            FROM st JOIN dense d ON d.g = st.g AND d.rn = st.rn + 1
+        )
+        SELECT g AS event_type,
+               CAST(n AS BIGINT) AS n_days,
+               l / 1.0e2 AS level,
+               b / 1.0e2 AS trend,
+               ({s_next}) / 1.0e2 AS s_next,
+               (l + b + ({s_next})) / 1.0e2 AS forecast1
+        FROM st WHERE rn = n
+    """
 
 
 def _adpcm_oracle() -> str:
@@ -13733,6 +13872,229 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 0.0e0 END AS avg_tokens,
                max_tokens
         FROM agg
+    """
+    out["holt_winters"] = _holt_winters_oracle()
+    out["link_jaccard"] = """
+        WITH panel AS (
+            SELECT s FROM (SELECT DISTINCT l_suppkey AS s FROM lineitem)
+            ORDER BY md5(CAST(s AS VARCHAR)), s LIMIT 50
+        ),
+        pairs AS (
+            SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+            FROM lineitem
+            JOIN panel ON l_suppkey = panel.s
+            JOIN orders ON l_orderkey = o_orderkey
+        ),
+        deg AS (
+            SELECT c AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM pairs GROUP BY c
+        ),
+        w AS (
+            SELECT a.c AS cust_a, b.c AS cust_b
+            FROM pairs a JOIN pairs b ON a.s = b.s AND a.c < b.c
+        ),
+        sc AS (
+            SELECT cust_a, cust_b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM w GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT cust_a, cust_b, n_common,
+                   da.deg AS deg_a, db.deg AS deg_b,
+                   CAST(n_common AS DOUBLE)
+                     / CAST(da.deg + db.deg - n_common AS DOUBLE)
+                       AS jaccard
+            FROM sc
+            JOIN deg da ON sc.cust_a = da.node
+            JOIN deg db ON sc.cust_b = db.node
+        )
+        SELECT * FROM j
+        ORDER BY jaccard DESC, cust_a, cust_b LIMIT 20
+    """
+    out["graph_modularity"] = """
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS w
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        nat AS (
+            SELECT c_custkey * 2 AS node, c_nationkey AS nation
+            FROM customer
+            UNION ALL
+            SELECT s_suppkey * 2 + 1 AS node, s_nationkey AS nation
+            FROM supplier
+        ),
+        edges AS (
+            SELECT nu.nation AS nu, nw.nation AS nw
+            FROM pairs
+            JOIN nat nu ON pairs.u = nu.node
+            JOIN nat nw ON pairs.w = nw.node
+        ),
+        mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+        ec AS (
+            SELECT nu AS nation, CAST(COUNT(*) AS BIGINT) AS e_c
+            FROM edges WHERE nu = nw GROUP BY nu
+        ),
+        kc AS (
+            SELECT nation, CAST(COUNT(*) AS BIGINT) AS k_c
+            FROM (SELECT nu AS nation FROM edges
+                  UNION ALL SELECT nw FROM edges)
+            GROUP BY nation
+        ),
+        per AS (
+            SELECT kc.nation,
+                   CAST(COALESCE(e_c, 0) AS BIGINT) AS n_edges_within,
+                   k_c,
+                   CAST(4 * m * COALESCE(e_c, 0) - k_c * k_c
+                        AS BIGINT) AS num,
+                   m
+            FROM kc LEFT JOIN ec ON kc.nation = ec.nation, mm
+        ),
+        tot AS (SELECT CAST(SUM(num) AS BIGINT) AS num_tot FROM per)
+        SELECT CAST(nation AS BIGINT) AS nation,
+               n_edges_within,
+               k_c AS degree_sum,
+               CAST(num AS DOUBLE)
+                 / (4.0e0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
+                   AS q_contrib,
+               CAST(num_tot AS DOUBLE)
+                 / (4.0e0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
+                   AS q_total
+        FROM per, tot
+    """
+    out["chi2_residuals"] = """
+        WITH base AS (SELECT source, lang FROM documents),
+        obs AS (
+            SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM base GROUP BY 1, 2
+        ),
+        rt AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS rt
+            FROM base GROUP BY 1
+        ),
+        ct AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS ct
+            FROM base GROUP BY 1
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+        grid0 AS (
+            SELECT rt.source, rt.rt, ct.lang, ct.ct FROM rt, ct
+        ),
+        grid AS (
+            SELECT g.source, g.lang,
+                   CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs,
+                   g.rt, g.ct, nn.n
+            FROM grid0 g
+            LEFT JOIN obs ON obs.source = g.source
+                         AND obs.lang = g.lang, nn
+        )
+        SELECT source, lang, n_obs,
+               CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+               CASE WHEN CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)
+                         > 0.0e0
+                    THEN (CAST(n_obs AS DOUBLE)
+                          - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+                         / sqrt(CAST(rt * ct AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                    ELSE 0.0e0 END AS residual
+        FROM grid
+    """
+    out["hbos_outliers"] = """
+        WITH mm AS (
+            SELECT MIN(CAST(floor(o_totalprice * 100) AS BIGINT)) AS mn,
+                   MAX(CAST(floor(o_totalprice * 100) AS BIGINT)) AS mx
+            FROM orders
+        ),
+        feats AS (
+            SELECT o_orderkey,
+                   CAST(((CAST(floor(o_totalprice * 100) AS BIGINT)
+                          - mn) * 10) // (mx - mn + 1) AS INT)
+                       AS price_bin,
+                   CAST(month(o_orderdate) AS INT) AS month,
+                   o_orderpriority AS priority
+            FROM orders, mm
+        ),
+        c1 AS (SELECT price_bin, CAST(COUNT(*) AS BIGINT) AS c_price
+               FROM feats GROUP BY 1),
+        c2 AS (SELECT month, CAST(COUNT(*) AS BIGINT) AS c_month
+               FROM feats GROUP BY 1),
+        c3 AS (SELECT priority, CAST(COUNT(*) AS BIGINT) AS c_prio
+               FROM feats GROUP BY 1)
+        SELECT o_orderkey, price_bin, month, priority,
+               c_price, c_month, c_prio,
+               1.0e0 / CAST(c_price * c_month * c_prio AS DOUBLE)
+                   AS rarity
+        FROM feats
+        JOIN c1 USING (price_bin)
+        JOIN c2 USING (month)
+        JOIN c3 USING (priority)
+        ORDER BY c_price * c_month * c_prio, o_orderkey
+        LIMIT 20
+    """
+    out["rbo_ranks"] = """
+        WITH RECURSIVE per_supp AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(floor(l_extendedprice * 100)
+                        AS BIGINT)) AS BIGINT) AS rev,
+                   CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS qty
+            FROM lineitem GROUP BY 1
+        ),
+        ranked AS (
+            SELECT l_suppkey,
+                   row_number() OVER (ORDER BY rev DESC, l_suppkey)
+                       AS ra,
+                   row_number() OVER (ORDER BY qty DESC, l_suppkey)
+                       AS rb
+            FROM per_supp
+        ),
+        xd AS (
+            SELECT d,
+                   CAST(SUM(CASE WHEN ra <= d AND rb <= d THEN 1
+                            ELSE 0 END) AS BIGINT) AS x
+            FROM ranked, (SELECT unnest(generate_series(1, 20)) AS d)
+            GROUP BY d
+        ),
+        fold AS (
+            SELECT d,
+                   0.0e0 + 1.0e0 * (CAST(x AS DOUBLE)
+                                    / CAST(d AS DOUBLE)) AS s,
+                   1.0e0 * 0.9e0 AS pw,
+                   x
+            FROM xd WHERE d = 1
+            UNION ALL
+            SELECT n.d,
+                   f.s + f.pw * (CAST(n.x AS DOUBLE)
+                                 / CAST(n.d AS DOUBLE)),
+                   f.pw * 0.9e0,
+                   n.x
+            FROM fold f JOIN xd n ON n.d = f.d + 1
+        )
+        SELECT CAST(20 AS INT) AS depth,
+               CAST(x AS BIGINT) AS overlap_at_depth,
+               (1.0e0 - 0.9e0) * s AS rbo
+        FROM fold WHERE d = 20
+    """
+    out["xyz_class"] = """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS s,
+                   CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)
+                            * CAST(floor(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS q
+            FROM lineitem GROUP BY 1
+        ),
+        cls AS (
+            SELECT CASE
+                     WHEN 4 * (n * q - s * s) <= s * s THEN 'X'
+                     WHEN (n * q - s * s) <= s * s THEN 'Y'
+                     ELSE 'Z' END AS xyz,
+                   s
+            FROM per_part
+        )
+        SELECT xyz, CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(s) AS DOUBLE) / 1.0e2 AS total_qty
+        FROM cls GROUP BY xyz
     """
     out["media_jpeg_prog_color"] = """
         -- color-progressive closed form: per component the DC chain

@@ -1148,3 +1148,126 @@ def receivables_aging(orders: DataFrame) -> DataFrame:
             ).alias("total_open"),
         )
     )
+
+
+def rbo_ranks(lineitem: DataFrame, depth: int = 20, p: float = 0.9) -> DataFrame:
+    """Rank-biased overlap (Webber's RBO, truncated) between the two
+    supplier leaderboards every review meeting juggles — by revenue
+    and by shipped quantity: "is volume leadership the same story as
+    revenue leadership?".  RBO is the principled top-weighted rank
+    agreement (Kendall/Spearman weight the tail equally; RBO's
+    geometric weights match how people read leaderboards).
+
+    Exactness: both rankings are row_number over exact BIGINTs
+    (revenue cents / centi-quantity) with key tie-breaks; the overlap
+    X_d = |top-d ∩ top-d| per depth is an exact conditional count over
+    a broadcast depth list, and the truncated RBO
+    (1−p)·Σ_{d≤D} p^(d−1)·X_d/d folds DEPTH-ORDERED over the D-row
+    array (the group-sorted-fold device) with p's powers produced by
+    repeated multiplication — bit-identical cross-engine.
+
+    Output: one row (depth, overlap_at_depth, rbo).
+    """
+    per_supp = lineitem.groupBy("l_suppkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100))
+        .cast("bigint")
+        .alias("rev"),
+        F.sum(F.floor(F.col("l_quantity") * 100))
+        .cast("bigint")
+        .alias("qty"),
+    )
+    ranked = per_supp.select(
+        "l_suppkey",
+        F.row_number()
+        .over(Window.orderBy(F.col("rev").desc(), F.col("l_suppkey")))
+        .alias("ra"),
+        F.row_number()
+        .over(Window.orderBy(F.col("qty").desc(), F.col("l_suppkey")))
+        .alias("rb"),
+    )
+    ds = lineitem.sparkSession.range(1, depth + 1).select(
+        F.col("id").cast("int").alias("d")
+    )
+    xd = (
+        ranked.crossJoin(F.broadcast(ds))
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("ra") <= F.col("d"))
+                    & (F.col("rb") <= F.col("d")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    folded = xd.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("d"), F.col("x")))
+        ).alias("xs")
+    ).withColumn(
+        "st",
+        F.aggregate(
+            F.col("xs"),
+            F.struct(F.lit(0.0).alias("s"), F.lit(1.0).alias("pw")),
+            lambda acc, e: F.struct(
+                (
+                    acc["s"]
+                    + acc["pw"]
+                    * (e["x"].cast("double") / e["d"].cast("double"))
+                ).alias("s"),
+                (acc["pw"] * F.lit(p)).alias("pw"),
+            ),
+        ),
+    )
+    last_x = F.element_at(F.col("xs"), -1)["x"]
+    return folded.select(
+        F.lit(depth).cast("int").alias("depth"),
+        last_x.cast("bigint").alias("overlap_at_depth"),
+        ((F.lit(1.0) - F.lit(p)) * F.col("st.s")).alias("rbo"),
+    )
+
+
+def xyz_class(lineitem: DataFrame) -> DataFrame:
+    """XYZ demand-variability classification per part — the supply-
+    chain twin of the ABC revenue classes: X = steady demand
+    (CV ≤ ½), Y = variable (CV ≤ 1), Z = erratic — deciding which
+    parts get forecast-driven replenishment (X) vs safety stock (Z).
+
+    Exactness: CV² = (n·Σq² − S²)/S² over centi-quantity BIGINTs, so
+    the class cuts are pure integer cross-multiplications
+    (4·(nΣq²−S²) ≤ S² for X; ≤ S² undoubled for Y) — no double means,
+    no sqrt, no ties ambiguity.  Single-line parts (n = 1) have zero
+    variance and class X by definition.
+
+    Scale shape: one part-grain aggregate (map-side combined), one
+    3-row report.  Output: (xyz, n_parts, total_qty) sorted by class.
+    """
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("l_quantity") * 100))
+        .cast("bigint")
+        .alias("s"),
+        F.sum(
+            F.floor(F.col("l_quantity") * 100)
+            * F.floor(F.col("l_quantity") * 100)
+        )
+        .cast("bigint")
+        .alias("q"),
+    )
+    var_num = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    cls = (
+        F.when(F.lit(4) * var_num <= F.col("s") * F.col("s"), "X")
+        .when(var_num <= F.col("s") * F.col("s"), "Y")
+        .otherwise("Z")
+    )
+    return (
+        per_part.select(cls.alias("xyz"), "s")
+        .groupBy("xyz")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            (F.sum("s").cast("double") / 100.0).alias("total_qty"),
+        )
+    )

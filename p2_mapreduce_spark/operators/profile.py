@@ -17,6 +17,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from p2_mapreduce_spark.session import spread
+
 
 def profile_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     """Per-column profile: row count, null count, distinct count (exact),

@@ -2231,15 +2231,17 @@ def croston(events: DataFrame, group_col: str = "event_type") -> DataFrame:
 
 def holt_winters(events: DataFrame, group_col: str = "event_type") -> DataFrame:
     """Additive Holt–Winters (level + trend + weekly seasonality) per
-    group with α = β = γ = ½ — the seasonal completion of the smoothing
+    group with α = 0.3, β = 0.05, γ = 0.4 (textbook defaults — an
+    α = ½ level chases the raw signal and fights the seasonal
+    register) — the seasonal completion of the smoothing
     family (:func:`ewma_daily` → :func:`holt_linear` → here): the
     baseline every weekly-cycled ops series (traffic, orders, revenue)
     actually needs, where Holt alone chases the weekend dip as trend.
 
     Recurrence (T.37 additive form), on the GAP-FILLED day grid so the
     7-slot seasonal register stays calendar-aligned:
-    ``l' = ½(y − s_i) + ½(l + b); b' = ½(l' − l) + ½b;
-    s_i' = ½(y − l') + ½s_i`` with ``i = day_index mod 7``; init
+    ``l' = α(y − s_i) + (1−α)(l + b); b' = β(l' − l) + (1−β)b;
+    s_i' = γ(y − l') + (1−γ)s_i`` with ``i = day_index mod 7``; init
     l = y₀, b = 0, s = 0⃗ (deterministic cold start — γ learns the
     profile within two cycles).
 
@@ -2280,13 +2282,13 @@ def holt_winters(events: DataFrame, group_col: str = "event_type") -> DataFrame:
         l_new = F.when(
             acc["i"] == 0, y
         ).otherwise(
-            F.lit(0.5) * (y - si) + F.lit(0.5) * (acc["l"] + acc["b"])
+            F.lit(0.3) * (y - si) + F.lit(0.7) * (acc["l"] + acc["b"])
         )
         b_new = F.when(acc["i"] == 0, F.lit(0.0)).otherwise(
-            F.lit(0.5) * (l_new - acc["l"]) + F.lit(0.5) * acc["b"]
+            F.lit(0.05) * (l_new - acc["l"]) + F.lit(0.95) * acc["b"]
         )
-        s_upd = F.when(acc["i"] == 0, F.lit(0.5) * (y - l_new)).otherwise(
-            F.lit(0.5) * (y - l_new) + F.lit(0.5) * si
+        s_upd = F.when(acc["i"] == 0, F.lit(0.4) * (y - l_new)).otherwise(
+            F.lit(0.4) * (y - l_new) + F.lit(0.6) * si
         )
         s_new = F.transform(
             acc["s"],

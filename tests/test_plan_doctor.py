@@ -268,6 +268,16 @@ FUNNEL_REVIEWED = {
     # bucket report
     "kruskal_wallis", "anova_f", "mcc_eval", "ht_estimate",
     "label_noise", "period_balance", "receivables_aging",
+    # chi2_residuals: one-row N broadcast + the #sources × #langs grid
+    # cross join (config grain); counts are key-grain aggregates;
+    # graph_modularity: one-row m / one-row Q-numerator broadcasts over
+    # a #nations-grain report;
+    # hbos_outliers: one-row price min/max broadcast + three
+    # bin-grain count broadcasts; ranking is TakeOrdered;
+    # rbo_ranks: both leaderboard row_number windows and the 20-row
+    # depth fold run at SUPPLIER grain (dimension-bounded), fed by a
+    # map-side-combined per-supplier aggregate
+    "chi2_residuals", "graph_modularity", "hbos_outliers", "rbo_ranks",
 }
 
 

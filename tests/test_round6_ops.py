@@ -343,3 +343,183 @@ class TestCurationRound6:
         assert s1["max_tokens"] == 6
         assert s1["short_share_ppm"] == 250000  # 1 of 4 under 4 tokens
         assert got["s2"]["n_sentences"] == 0 and got["s2"]["avg_tokens"] == 0.0
+
+
+class TestHoltWinters:
+    def test_constant_series_converges_to_level(self, spark):
+        """A constant series: level → the constant, trend → 0,
+        seasonals → 0 (the additive decomposition of a flat line)."""
+        from p2_mapreduce_spark.operators.timeseries import holt_winters
+
+        rows = [(d, 1, "a", 10) for d in range(28)]
+        row = holt_winters(_events6(spark, rows)).collect()[0]
+        assert row["n_days"] == 28
+        assert abs(row["level"] - 10.0) < 0.5
+        assert abs(row["trend"]) < 0.2
+        assert abs(row["forecast1"] - 10.0) < 0.5
+
+    def test_weekly_cycle_learned(self, spark):
+        """A pure weekly pattern: after 6 cycles the seasonal register
+        carries the cycle and the 1-ahead forecast tracks the next
+        day's value far better than the level alone."""
+        from p2_mapreduce_spark.operators.timeseries import holt_winters
+
+        cycle = [10, 10, 10, 10, 10, 50, 50]  # weekend spike
+        rows = [(d, 1, "a", cycle[d % 7]) for d in range(42)]
+        row = holt_winters(_events6(spark, rows)).collect()[0]
+        # day 42 is a d%7==0 day → forecast should be near 10, not the
+        # series mean (~21.4)
+        assert abs(row["forecast1"] - 10.0) < 3.0
+
+    def test_hand_trace_two_days(self, spark):
+        from p2_mapreduce_spark.operators.timeseries import holt_winters
+
+        rows = [(0, 1, "a", 4), (1, 1, "a", 8)]
+        row = holt_winters(_events6(spark, rows)).collect()[0]
+        # fold: d0 l=400 b=0 s0=0; d1 (slot 1, s1=0):
+        # l' = .3*(800-0) + .7*(400+0) = 520;
+        # b' = .05*(520-400) + .95*0 = 6;
+        # s1' = .4*(800-520) + .6*0 = 112
+        assert abs(row["level"] - 5.2) < 1e-12
+        assert abs(row["trend"] - 0.06) < 1e-12
+        # next slot = 2 % 7 = 2 → s2 = 0
+        assert row["s_next"] == 0.0
+        assert abs(row["forecast1"] - 5.26) < 1e-12
+
+
+class TestGraphRound6:
+    def test_jaccard_orders_by_overlap_share(self, spark):
+        from p2_mapreduce_spark.operators.graph import (
+            link_prediction_jaccard,
+        )
+
+        # suppliers 1..3; cust 10,11 share ALL their suppliers (1,2);
+        # cust 12 shares supplier 1 with both but also has 3
+        li = spark.createDataFrame(
+            [(o, 1, s, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+              dt.datetime(2024, 1, 1))
+             for o, s in [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3)]],
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+             "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+             "l_returnflag", "l_linestatus", "l_shipdate"],
+        )
+        orders = spark.createDataFrame(
+            [(1, 10, "O", 1.0, dt.datetime(2024, 1, 1), "x"),
+             (2, 11, "O", 1.0, dt.datetime(2024, 1, 1), "x"),
+             (3, 12, "O", 1.0, dt.datetime(2024, 1, 1), "x")],
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderdate", "o_orderpriority"],
+        )
+        got = link_prediction_jaccard(li, orders, panel_k=10).collect()
+        top = got[0]
+        assert (top["cust_a"], top["cust_b"]) == (10, 11)
+        assert abs(top["jaccard"] - 1.0) < 1e-12  # identical portfolios
+        rest = {(r["cust_a"], r["cust_b"]): r["jaccard"] for r in got[1:]}
+        assert abs(rest[(10, 12)] - 1 / 3) < 1e-12
+
+    def test_modularity_perfect_split_and_sum(self, spark):
+        from p2_mapreduce_spark.operators.graph import graph_modularity
+
+        # two nations, trade strictly within nation → strong positive Q
+        li = spark.createDataFrame(
+            [(o, 1, s, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+              dt.datetime(2024, 1, 1))
+             for o, s in [(1, 1), (2, 1), (3, 2), (4, 2)]],
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+             "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+             "l_returnflag", "l_linestatus", "l_shipdate"],
+        )
+        orders = spark.createDataFrame(
+            [(1, 10, "O", 1.0, dt.datetime(2024, 1, 1), "x"),
+             (2, 11, "O", 1.0, dt.datetime(2024, 1, 1), "x"),
+             (3, 12, "O", 1.0, dt.datetime(2024, 1, 1), "x"),
+             (4, 13, "O", 1.0, dt.datetime(2024, 1, 1), "x")],
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderdate", "o_orderpriority"],
+        )
+        customer = spark.createDataFrame(
+            [(10, 0), (11, 0), (12, 1), (13, 1)],
+            ["c_custkey", "c_nationkey"],
+        )
+        supplier = spark.createDataFrame(
+            [(1, 0), (2, 1)], ["s_suppkey", "s_nationkey"]
+        )
+        rows = graph_modularity(li, orders, customer, supplier).collect()
+        # 4 edges, all within-community, k balanced → Q = 1 − 2·(1/2)²
+        q = rows[0]["q_total"]
+        assert abs(q - 0.5) < 1e-12
+        assert abs(sum(r["q_contrib"] for r in rows) - q) < 1e-12
+
+
+class TestProfileRound6:
+    def test_chi2_residuals_grid_and_zero_cells(self, spark):
+        from p2_mapreduce_spark.operators.profile import chi2_residuals
+
+        docs = spark.createDataFrame(
+            [(i, "t", "en", "A", 1) for i in range(8)]
+            + [(i + 10, "t", "fr", "B", 1) for i in range(8)],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        got = {(r["source"], r["lang"]): r
+               for r in chi2_residuals(docs).collect()}
+        assert len(got) == 4  # full grid incl. the two absent cells
+        import math
+        # exp = 8*8/16 = 4 everywhere; present cells (8−4)/2 = 2
+        assert abs(got[("A", "en")]["residual"] - (8 - 4) / math.sqrt(4)) < 1e-12
+        assert abs(got[("A", "fr")]["residual"] - (0 - 4) / math.sqrt(4)) < 1e-12
+
+    def test_hbos_ranks_the_singleton(self, spark):
+        from p2_mapreduce_spark.operators.profile import hbos_outliers
+
+        rows = [(i, 1, "O", 100.0 + (i % 3), dt.datetime(2024, 1, 1),
+                 "1-URGENT") for i in range(50)]
+        # one order far away in price, alone in month and priority
+        rows.append((99, 1, "O", 9999.0, dt.datetime(2024, 7, 1),
+                     "5-LOW"))
+        orders = spark.createDataFrame(
+            rows,
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderdate", "o_orderpriority"],
+        )
+        top = hbos_outliers(orders, top_n=3).collect()[0]
+        assert top["o_orderkey"] == 99
+        assert top["c_price"] == 1 and top["c_month"] == 1
+        assert abs(top["rarity"] - 1.0) < 1e-12
+
+
+class TestAnalyticsRound6:
+    def test_rbo_identical_and_disjoint(self, spark):
+        from p2_mapreduce_spark.operators.analytics import rbo_ranks
+
+        # qty proportional to revenue → identical rankings → rbo =
+        # (1−p)·Σ p^(d−1) (overlap X_d = d at every depth)
+        li = spark.createDataFrame(
+            [(i, 1, i, 1, float(100 - i), float(1000 - i), 0.0, 0.0,
+              "N", "O", dt.datetime(2024, 1, 1)) for i in range(1, 31)],
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+             "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+             "l_returnflag", "l_linestatus", "l_shipdate"],
+        )
+        row = rbo_ranks(li).collect()[0]
+        expect = 0.1 * sum(0.9 ** (d - 1) for d in range(1, 21))
+        assert row["overlap_at_depth"] == 20
+        assert abs(row["rbo"] - expect) < 1e-12
+
+    def test_xyz_classes_hand(self, spark):
+        from p2_mapreduce_spark.operators.analytics import xyz_class
+
+        # part 1: constant qty (X); part 2: wildly varying (Z);
+        # part 3: single line (X by definition)
+        rows = [(1, 1, 5.0), (1, 1, 5.0), (1, 1, 5.0),
+                (2, 2, 1.0), (2, 2, 50.0), (2, 2, 1.0),
+                (3, 3, 7.0)]
+        li = spark.createDataFrame(
+            [(o, p, 1, 1, q, 1.0, 0.0, 0.0, "N", "O",
+              dt.datetime(2024, 1, 1)) for (o, p, q) in rows],
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+             "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+             "l_returnflag", "l_linestatus", "l_shipdate"],
+        )
+        got = {r["xyz"]: r for r in xyz_class(li).collect()}
+        assert got["X"]["n_parts"] == 2
+        assert got["Z"]["n_parts"] == 1
