@@ -2590,17 +2590,20 @@ def attach_jpeg_prog(docs: DataFrame) -> DataFrame:
         F.lit("01" + "01" + "11" + "00"),
     )
 
-    def _pack(bits_expr: str) -> str:
-        """SQL: bit string → stuffed hex (1-padded to the byte edge)."""
+    def _pack(col: str) -> str:
+        """SQL: bit-string COLUMN → stuffed hex (1-padded to the byte
+        edge); operates on a materialized column so the per-byte
+        lambda never re-evaluates the bit-string construction
+        (interpreted HOFs do not CSE — the round-6 FLAC lesson)."""
+        padded = f"concat({col}, repeat('1', (8 - length({col}) % 8) % 8))"
         return (
-            f"array_join(transform(sequence(1, length({bits_expr}) div 8),"
-            f" j -> CASE WHEN substring({bits_expr}, (j-1)*8 + 1, 8)"
+            f"array_join(transform(sequence(1, (length({col}) + 7)"
+            f" div 8),"
+            f" j -> CASE WHEN substring({padded}, (j-1)*8 + 1, 8)"
             f" = '11111111' THEN 'ff00' ELSE"
-            f" lpad(conv(substring({bits_expr}, (j-1)*8 + 1, 8), 2, 16),"
+            f" lpad(conv(substring({padded}, (j-1)*8 + 1, 8), 2, 16),"
             f" 2, '0') END), '')"
         )
-
-    pad = "repeat('1', (8 - length({0}) % 8) % 8)"
     # scan 1: per block 7 bits — cat-4 code '100' + 4 magnitude bits
     # (m=0: +8+id8 div 2; odd m: −8 → '0111'; even m>0: +8 → '1000')
     s1_bits = (
@@ -2612,15 +2615,20 @@ def attach_jpeg_prog(docs: DataFrame) -> DataFrame:
     s2_bits = "repeat(CASE WHEN id8 % 2 = 1 THEN '1' ELSE '0' END, wb*hb)"
     # scan 3: AC 1-63 first scan, every block EOB0 (1-bit code '0')
     s3_bits = "repeat('0', wb*hb)"
+    d = (
+        d.withColumn("b1", F.expr(s1_bits))
+        .withColumn("b2", F.expr(s2_bits))
+        .withColumn("b3", F.expr(s3_bits))
+    )
     scans_hex = F.expr(
         "concat("
         # SOS 1: Ss=0 Se=0 Ah=0 Al=1
         "'ffda', '0008', '01', '01', '00', '00', '00', '01', "
-        + _pack(f"concat({s1_bits}, {pad.format(s1_bits)})")
+        + _pack("b1")
         + ", 'ffda', '0008', '01', '01', '00', '00', '00', '10', "
-        + _pack(f"concat({s2_bits}, {pad.format(s2_bits)})")
+        + _pack("b2")
         + ", 'ffda', '0008', '01', '01', '00', '01', '3f', '00', "
-        + _pack(f"concat({s3_bits}, {pad.format(s3_bits)})")
+        + _pack("b3")
         + ")"
     )
     payload_hex = F.concat(
@@ -2704,14 +2712,16 @@ def attach_jpeg_prog_color(docs: DataFrame) -> DataFrame:
         F.lit("03" + "011100" + "021100" + "031100"),
     )
 
-    def _pack(bits_expr: str) -> str:
-        """SQL: bit string -> stuffed hex (1-padded to the byte edge)."""
-        padded = (
-            f"concat({bits_expr},"
-            f" repeat('1', (8 - length({bits_expr}) % 8) % 8))"
-        )
+    def _pack(col: str) -> str:
+        """SQL: bit-string COLUMN -> stuffed hex (1-padded to the byte
+        edge).  Operates on a materialized column, never an inline
+        construction: interpreted higher-order functions do not CSE,
+        so packing an inline bits expression would rebuild it once per
+        output byte (the quadratic the FLAC builder hit)."""
+        padded = f"concat({col}, repeat('1', (8 - length({col}) % 8) % 8))"
         return (
-            f"array_join(transform(sequence(1, length({padded}) div 8),"
+            f"array_join(transform(sequence(1, (length({col}) + 7)"
+            f" div 8),"
             f" j -> CASE WHEN substring({padded}, (j-1)*8 + 1, 8)"
             f" = '11111111' THEN 'ff00' ELSE"
             f" lpad(conv(substring({padded}, (j-1)*8 + 1, 8), 2, 16),"
@@ -2755,24 +2765,34 @@ def attach_jpeg_prog_color(docs: DataFrame) -> DataFrame:
     )
     # scan 8 — Cr AC refinement: EOB + correction bit 0 per block
     s8_bits = "repeat('00', wb*hb)"
+    # materialize each scan's bit string as its own column (see _pack)
+    for name, expr in (
+        ("b1", s1_bits), ("b2", s2_bits), ("b3", s3_bits),
+        ("b4", s4_bits), ("b5", s5_bits), ("b6", s6_bits),
+        ("b7", s7_bits), ("b8", s8_bits),
+    ):
+        d = d.withColumn(name, F.expr(expr))
     sos3 = "'ffda', '000c', '03', '0100', '0200', '0300'"
-    scans_hex = F.expr(
-        "concat("
-        + sos3 + ", '00', '00', '01', " + _pack(s1_bits)
-        + ", " + sos3 + ", '00', '00', '10', " + _pack(s2_bits)
-        + ", 'ffda', '0008', '01', '0100', '01', '3f', '01', "
-        + _pack(s3_bits)
-        + ", 'ffda', '0008', '01', '0200', '01', '3f', '01', "
-        + _pack(s4_bits)
-        + ", 'ffda', '0008', '01', '0300', '01', '3f', '01', "
-        + _pack(s5_bits)
-        + ", 'ffda', '0008', '01', '0100', '01', '3f', '10', "
-        + _pack(s6_bits)
-        + ", 'ffda', '0008', '01', '0200', '01', '3f', '10', "
-        + _pack(s7_bits)
-        + ", 'ffda', '0008', '01', '0300', '01', '3f', '10', "
-        + _pack(s8_bits)
-        + ")"
+    d = d.withColumn(
+        "scans_hex",
+        F.expr(
+            "concat("
+            + sos3 + ", '00', '00', '01', " + _pack("b1")
+            + ", " + sos3 + ", '00', '00', '10', " + _pack("b2")
+            + ", 'ffda', '0008', '01', '0100', '01', '3f', '01', "
+            + _pack("b3")
+            + ", 'ffda', '0008', '01', '0200', '01', '3f', '01', "
+            + _pack("b4")
+            + ", 'ffda', '0008', '01', '0300', '01', '3f', '01', "
+            + _pack("b5")
+            + ", 'ffda', '0008', '01', '0100', '01', '3f', '10', "
+            + _pack("b6")
+            + ", 'ffda', '0008', '01', '0200', '01', '3f', '10', "
+            + _pack("b7")
+            + ", 'ffda', '0008', '01', '0300', '01', '3f', '10', "
+            + _pack("b8")
+            + ")"
+        ),
     )
     payload_hex = F.concat(
         F.lit("ffd8"),
@@ -2780,7 +2800,7 @@ def attach_jpeg_prog_color(docs: DataFrame) -> DataFrame:
         F.lit(dht_dc_hex),
         F.lit(dht_ac_hex),
         sof2_hex,
-        scans_hex,
+        F.col("scans_hex"),
         F.lit("ffd9"),
     )
     return d.select(
@@ -3185,37 +3205,60 @@ def attach_flac(docs: DataFrame) -> DataFrame:
     )
     # subframe bits: pad0+type(001010)+wasted0, two 16-bit warmups,
     # residual method 00 + partition order 0000 + k=0010, N−2 residuals,
-    # zero-pad to the byte edge (FLAC frame padding is 0-bits)
-    body_bits = (
-        "concat('00010100', lpad(conv(a, 10, 2), 16, '0'),"
-        " lpad(conv(a + b1, 10, 2), 16, '0'), '0000000010',"
-        " repeat(res_bits, n - 2))"
-    )
-    body_hex = (
-        f"array_join(transform(sequence(1, (length({body_bits}) + 7)"
-        f" div 8), j -> lpad(conv(substring(concat({body_bits},"
-        f" repeat('0', (8 - length({body_bits}) % 8) % 8)),"
-        f" (j-1)*8 + 1, 8), 2, 16), 2, '0')), '')"
+    # zero-pad to the byte edge (FLAC frame padding is 0-bits).
+    # Each stage materializes as its OWN COLUMN: interpreted
+    # higher-order functions do not common-subexpression-eliminate, so
+    # a CRC fold whose per-byte lambda re-references the full hex
+    # CONSTRUCTION would rebuild the bit string once per byte
+    # (quadratic per row — measured 3-5× on the whole query); column
+    # references keep every stage evaluated once per row, and
+    # CollapseProject leaves multi-referenced non-cheap projections
+    # alone.
+    d = d.withColumn(
+        "body_bits",
+        F.expr(
+            "concat('00010100', lpad(conv(a, 10, 2), 16, '0'),"
+            " lpad(conv(a + b1, 10, 2), 16, '0'), '0000000010',"
+            " repeat(res_bits, n - 2))"
+        ),
+    ).withColumn(
+        "padded_bits",
+        F.expr(
+            "concat(body_bits,"
+            " repeat('0', (8 - length(body_bits) % 8) % 8))"
+        ),
+    ).withColumn(
+        "body_hex",
+        F.expr(
+            "array_join(transform(sequence(1, length(padded_bits)"
+            " div 8), j -> lpad(conv(substring(padded_bits,"
+            " (j-1)*8 + 1, 8), 2, 16), 2, '0')), '')"
+        ),
+    ).withColumn(
+        "frame_hex", F.expr("concat(substring(prefix, 85), body_hex)")
     )
     # frame CRC-16 (poly 0x8005, init 0) over header+subframe bytes:
     # nested aggregate = per-byte fold of 8 single-bit shift steps
-    frame_hex = f"concat(substring(prefix, 85), {body_hex})"
-    crc16 = (
-        f"aggregate(transform(sequence(1, length({frame_hex}) div 2),"
-        f" i -> cast(conv(substring({frame_hex}, 2*i - 1, 2), 16, 10)"
-        f" as bigint)), cast(0 as bigint), (acc, v) ->"
-        f" aggregate(sequence(1, 8), cast(acc ^ (v * 256) as bigint),"
-        f" (x, i) -> cast(IF(x >= 32768,"
-        f" ((x % 32768) * 2) ^ 32773, x * 2) as bigint)))"
-    )
-    payload_hex = F.expr(
-        f"concat(prefix, {body_hex},"
-        f" lpad(lower(conv({crc16}, 10, 16)), 4, '0'))"
+    d = d.withColumn(
+        "crc16",
+        F.expr(
+            "aggregate(transform(sequence(1, length(frame_hex) div 2),"
+            " i -> cast(conv(substring(frame_hex, 2*i - 1, 2), 16, 10)"
+            " as bigint)), cast(0 as bigint), (acc, v) ->"
+            " aggregate(sequence(1, 8), cast(acc ^ (v * 256) as bigint),"
+            " (x, i) -> cast(IF(x >= 32768,"
+            " ((x % 32768) * 2) ^ 32773, x * 2) as bigint)))"
+        ),
     )
     return d.select(
         "media_id",
         F.lit("audio").alias("modality"),
-        F.unhex(payload_hex).alias("payload"),
+        F.unhex(
+            F.expr(
+                "concat(prefix, body_hex,"
+                " lpad(lower(conv(crc16, 10, 16)), 4, '0'))"
+            )
+        ).alias("payload"),
     )
 
 
