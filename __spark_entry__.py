@@ -1980,6 +1980,29 @@ def _q_xyz_class(spark, sf_dir):
     return xyz_class(load_table(spark, sf_dir, "lineitem"))
 
 
+def _q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape on the fixture schema: per-part minimum observed
+    unit price (exact integer), window-decorrelated, 50-row report."""
+    from p2_mapreduce_spark.operators.tpch import min_cost_supplier
+
+    return min_cost_supplier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _q_custdist(spark, sf_dir):
+    """TPC-H Q13: per-customer order-count histogram including the
+    zero-order bucket (left join at customer grain)."""
+    from p2_mapreduce_spark.operators.tpch import custdist
+
+    return custdist(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 def _q_audio_flac(spark, sf_dir):
     """Real FLAC (lossless-predictive audio, RFC 9639) decode of
     JVM-built spec-valid files: CRC-8/CRC-16-verified frames, fixed
@@ -3758,7 +3781,7 @@ _ROUND6_NEW = (
     "receivables_aging", "rich_club", "mcc_eval", "label_noise",
     "ht_estimate", "sentence_stats", "holt_winters", "link_jaccard",
     "graph_modularity", "chi2_residuals", "hbos_outliers", "rbo_ranks",
-    "xyz_class",
+    "xyz_class", "min_cost_supplier", "custdist",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -3958,6 +3981,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbos_outliers": _q_hbos_outliers,
         "rbo_ranks": _q_rbo_ranks,
         "xyz_class": _q_xyz_class,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "custdist": _q_custdist,
         "seq_accuracy": _q_seq_accuracy,
         "peer_percentile": _q_peer_percentile,
         "brier_score": _q_brier_score,
@@ -14095,6 +14120,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT xyz, CAST(COUNT(*) AS BIGINT) AS n_parts,
                CAST(SUM(s) AS DOUBLE) / 1.0e2 AS total_qty
         FROM cls GROUP BY xyz
+    """
+    out["min_cost_supplier"] = """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(CAST((CAST(floor(l_extendedprice * 100)
+                        AS BIGINT) * 10000)
+                        // CAST(floor(l_quantity * 100) AS BIGINT)
+                        AS BIGINT)) AS unit_price
+            FROM lineitem GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT l_partkey, l_suppkey, unit_price,
+                   row_number() OVER (PARTITION BY l_partkey
+                       ORDER BY unit_price, l_suppkey) AS rn
+            FROM ps
+        )
+        SELECT l_partkey AS p_partkey, s_suppkey, s_name, n_name,
+               unit_price
+        FROM best
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE rn = 1
+        ORDER BY unit_price, p_partkey
+        LIMIT 50
+    """
+    out["custdist"] = """
+        WITH per_cust AS (
+            SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(COALESCE(n_orders, 0) AS BIGINT) AS c_count,
+               CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM customer LEFT JOIN per_cust ON c_custkey = ck
+        GROUP BY 1
     """
     out["media_jpeg_prog_color"] = """
         -- color-progressive closed form: per component the DC chain

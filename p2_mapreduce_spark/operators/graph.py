@@ -1540,6 +1540,9 @@ def link_prediction_jaccard(
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .select(F.col("s"), F.col("o_custkey").alias("c"))
         .distinct()
+        # feeds BOTH the degree table and the wedge adjacency — persist
+        # so the panel-filtered fact join runs once (shared-stage rule)
+        .persist()
     )
     from p2_mapreduce_spark.session import spread
 

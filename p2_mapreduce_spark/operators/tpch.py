@@ -21,7 +21,7 @@ column so it reaches the parquet scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from p2_mapreduce_spark.functions.numeric import dsum
@@ -617,4 +617,88 @@ def dominant_suppliers(
             per_supp.l_suppkey == F.col("s_suppkey"),
         )
         .select("s_suppkey", "s_name", "n_dominated_parts", "dominated_qty")
+    )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+    top_n: int = 50,
+) -> DataFrame:
+    """TPC-H Q2's shape on the trimmed fixture schema (no partsupp
+    table, so ps_supplycost becomes the OBSERVED best unit price): for
+    each part, the supplier offering the minimum unit price — the
+    correlated ``WHERE cost = (SELECT min(cost) ... WHERE same part)``
+    decorrelated the Spark way: one window min per part, equality
+    filter, deterministic tie-break.
+
+    Exactness: unit price = floor(cents·10000 / centi-qty) — an exact
+    integer both engines divide identically (a DOUBLE ratio would make
+    the min's tie set engine-dependent); ties inside a part break on
+    (unit price, suppkey) via row_number, so exactly ONE winner per
+    part.  Output is the ``top_n`` parts by (unit_price asc, partkey)
+    — Q2's 100-row report shape, a TakeOrdered heap.
+
+    Plan: lineitem contracts map-side to (part, supplier) grain before
+    the window (the partsupp table Q2 scans is exactly this
+    contraction); supplier/nation are broadcast dims.
+    """
+    ps = (
+        lineitem.select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr(
+                "CAST((CAST(floor(l_extendedprice * 100) AS BIGINT)"
+                " * 10000) div CAST(floor(l_quantity * 100) AS BIGINT)"
+                " AS BIGINT)"
+            ).alias("unit_price"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_price").alias("unit_price"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_price"), F.col("l_suppkey")
+    )
+    best = (
+        ps.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    out = (
+        best.join(F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.col("n_name"),
+            "unit_price",
+        )
+    )
+    return out.orderBy(
+        F.col("unit_price"), F.col("p_partkey")
+    ).limit(top_n)
+
+
+def custdist(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 (customer distribution): the histogram of per-customer
+    order counts INCLUDING zero-order customers — the left-join-then-
+    count-then-histogram double aggregation that trips naive engines
+    (an inner join silently drops the zero bucket, the most
+    interesting row of the report).
+
+    Plan: one left join at customer grain (orders pre-contracted to
+    per-customer counts, so the join build side is customer-grain, not
+    fact-grain), then a #distinct-counts-grain histogram.  Output:
+    (c_count, custdist) ordered by the driver's hash-insensitive sort.
+    """
+    per_cust = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    joined = customer.join(
+        per_cust, customer.c_custkey == per_cust.ck, "left"
+    ).select(
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("c_count")
+    )
+    return joined.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
     )

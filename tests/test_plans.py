@@ -343,6 +343,16 @@ PYTHON_ALLOWED = {
     # round 5: grayscale progressive JPEG (SOF2 multi-scan coefficient
     # accumulation) through the same jpeg_pixel_sums Arrow kernel
     "media_jpeg_prog",
+    # round 6: color progressive JPEG (AC successive-approximation
+    # refinement) through the jpeg_pixel_stats Arrow kernel — the
+    # sums-of-squares sibling of jpeg_pixel_sums, payload-touching by
+    # design
+    "media_jpeg_prog_color",
+    # round 6: FLAC lossless-predictive audio decode (CRC-verified
+    # frames, fixed predictors, partitioned Rice) — the stateful
+    # bit-level recurrence is the payload-touching Arrow kernel, like
+    # audio_adpcm
+    "audio_flac",
 }
 
 

@@ -523,3 +523,52 @@ class TestAnalyticsRound6:
         got = {r["xyz"]: r for r in xyz_class(li).collect()}
         assert got["X"]["n_parts"] == 2
         assert got["Z"]["n_parts"] == 1
+
+
+class TestTpchRound6:
+    def test_custdist_includes_zero_bucket(self, spark):
+        from p2_mapreduce_spark.operators.tpch import custdist
+
+        customer = spark.createDataFrame(
+            [(i,) for i in range(1, 6)], ["c_custkey"]
+        )
+        orders = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 2), (4, 3), (5, 3), (6, 3)],
+            ["o_orderkey", "o_custkey"],
+        )
+        got = {r["c_count"]: r["custdist"] for r in
+               custdist(customer, orders).collect()}
+        # cust1: 2 orders, cust2: 1, cust3: 3, cust4/5: 0
+        assert got == {0: 2, 1: 1, 2: 1, 3: 1}
+
+    def test_min_cost_supplier_picks_cheapest_with_tiebreak(self, spark):
+        from p2_mapreduce_spark.operators.tpch import min_cost_supplier
+
+        # part 1: supp 2 cheaper; part 2: exact unit-price tie -> lower
+        # suppkey wins
+        li = spark.createDataFrame(
+            [
+                (1, 1, 1, 1, 2.0, 10.0, 0.0, 0.0, "N", "O",
+                 dt.datetime(2024, 1, 1)),   # unit 5.0
+                (2, 1, 2, 1, 4.0, 10.0, 0.0, 0.0, "N", "O",
+                 dt.datetime(2024, 1, 1)),   # unit 2.5 -> winner
+                (3, 2, 3, 1, 1.0, 7.0, 0.0, 0.0, "N", "O",
+                 dt.datetime(2024, 1, 1)),   # unit 7.0
+                (4, 2, 4, 1, 2.0, 14.0, 0.0, 0.0, "N", "O",
+                 dt.datetime(2024, 1, 1)),   # unit 7.0 tie -> supp 3
+            ],
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+             "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+             "l_returnflag", "l_linestatus", "l_shipdate"],
+        )
+        supplier = spark.createDataFrame(
+            [(i, f"S{i}", i % 2) for i in range(1, 5)],
+            ["s_suppkey", "s_name", "s_nationkey"],
+        )
+        nation = spark.createDataFrame(
+            [(0, "A"), (1, "B")], ["n_nationkey", "n_name"]
+        )
+        got = {r["p_partkey"]: r for r in
+               min_cost_supplier(li, supplier, nation).collect()}
+        assert got[1]["s_suppkey"] == 2 and got[1]["unit_price"] == 25000
+        assert got[2]["s_suppkey"] == 3  # tie broken by suppkey
