@@ -572,3 +572,102 @@ class TestTpchRound6:
                min_cost_supplier(li, supplier, nation).collect()}
         assert got[1]["s_suppkey"] == 2 and got[1]["unit_price"] == 25000
         assert got[2]["s_suppkey"] == 3  # tie broken by suppkey
+
+
+class TestDecoderEdgePaths:
+    """Pure-Python payloads for decoder paths the JVM attach tables
+    don't reach: multi-frame FLAC streams and AC-refinement EOB runs
+    spanning multiple blocks."""
+
+    def test_flac_two_frames(self):
+        from p2_mapreduce_spark.operators.multimodal import (
+            _crc8_flac,
+            _crc16_flac,
+            _decode_flac,
+        )
+
+        n = 16
+        total = 2 * n
+        si = n.to_bytes(2, "big") * 2 + b"\x00" * 6
+        bits = (
+            format(8000, "020b") + "000" + format(15, "05b")
+            + format(total, "036b")
+        )
+        si += int(bits, 2).to_bytes(8, "big") + b"\x00" * 16
+        payload = b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + si
+        samples = []
+        for fno in (0, 1):
+            a, b1, c = 20 + fno, 1, -1
+            fh = bytes([0xFF, 0xF8, 0x60, 0x08, fno, n - 1])
+            fh += bytes([_crc8_flac(fh)])
+            body = "00010100"
+            body += format(a, "016b") + format(a + b1, "016b")
+            body += "00" + "0000" + "0010"
+            u = -2 * c - 1  # c = −1 → u = 1
+            body += ("0" * (u >> 2) + "1" + format(u & 3, "02b")) * (n - 2)
+            body += "0" * ((8 - len(body) % 8) % 8)
+            frame = fh + bytes(
+                int(body[i:i + 8], 2) for i in range(0, len(body), 8)
+            )
+            frame += _crc16_flac(frame).to_bytes(2, "big")
+            payload += frame
+            samples += [
+                a + b1 * t + c * t * (t - 1) // 2 for t in range(n)
+            ]
+        rate, nch, chans = _decode_flac(payload)
+        assert rate == 8000 and nch == 1
+        assert chans[0] == samples
+
+    def test_ac_refinement_eobrun_spans_blocks(self):
+        """A refinement scan whose ONLY symbol is an EOB-run covering
+        both blocks must still hand every covered block's nonzero
+        history its correction bit (the post-EOB sweep path)."""
+        from p2_mapreduce_spark.operators.multimodal import (
+            _decode_jpeg_progressive,
+        )
+
+        def pack(bits):
+            bits += "1" * ((8 - len(bits) % 8) % 8)
+            out = bytearray()
+            for i in range(0, len(bits), 8):
+                byte = int(bits[i:i + 8], 2)
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+            return bytes(out)
+
+        hexs = "ffd8"
+        hexs += "ffdb" + "0043" + "00" + "08" + "01" * 38 + "08" + "01" * 24
+        hexs += ("ffc4" + "001b" + "00" + "00000701" + "00" * 12
+                 + "0001020304050607")
+        # AC table: EOB0 '0', ZRL '10', 0x61 '110', EOB-r1 (0x10)
+        # '1110' — the 4th code lets ONE refinement symbol cover both
+        # blocks via eobrun
+        hexs += ("ffc4" + "0017" + "10" + "01010101" + "00" * 12
+                 + "00f06110")
+        # grayscale SOF2, 16×8 → two blocks
+        hexs += "ffc2" + "000b" + "08" + "0008" + "0010" + "01" + "01" + "11" + "00"
+        payload = bytes.fromhex(hexs)
+        # DC first scan (Al=0): two blocks, DC = +8 then −8 (cat 4)
+        payload += bytes.fromhex("ffda00080101000000" + "00")
+        payload += pack("100" + "1000" + "100" + "0111")
+        # AC first scan (Al=1): each block coef +1 at z39
+        payload += bytes.fromhex("ffda00080101000" + "13f01")
+        payload += pack(("1010" + "110" + "1" + "0") * 2)
+        # AC refinement (Ah=1, Al=0): ONE EOB-r1 symbol ('1110' +
+        # 1 appended bit '0' → eobrun covers block 2 as well), then the
+        # post-EOB sweeps still hand each block its correction bit:
+        # block 1 gets '1' (|coef| 2 → 3), block 2 gets '0' (stays 2)
+        payload += bytes.fromhex("ffda00080101000" + "13f10")
+        payload += pack("1110" + "0" + "1" + "0")
+        payload += bytes.fromhex("ffd9")
+        res = _decode_jpeg_progressive(payload)
+        assert res is not None
+        w, h, planes = res
+        assert (w, h) == (16, 8)
+        # block 1: DC 8 → 136 base, AC amp now 3 (2 +1 correction);
+        # block 2: DC 0 → 128 base, amp stays 2
+        vals1 = {v for row in planes[0] for v in row[:8]}
+        vals2 = {v for row in planes[0] for v in row[8:]}
+        assert vals1 == {133, 139}
+        assert vals2 == {126, 130}
