@@ -2003,6 +2003,20 @@ def _q_custdist(spark, sf_dir):
     )
 
 
+def _q_media_jpeg_prog_dri(spark, sf_dir):
+    """Progressive JPEG with RESTART INTERVALS: per-segment byte
+    realign + RSTn verify + DC-predictor reset across all three
+    Annex-G scan kinds; same closed-form oracle as media_jpeg_prog
+    because the per-segment reset reproduces the no-DRI DC chain."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_jpeg_prog_dri,
+        jpeg_pixel_sums,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_pixel_sums(attach_jpeg_prog_dri(docs))
+
+
 def _q_audio_flac(spark, sf_dir):
     """Real FLAC (lossless-predictive audio, RFC 9639) decode of
     JVM-built spec-valid files: CRC-8/CRC-16-verified frames, fixed
@@ -3782,6 +3796,7 @@ _ROUND6_NEW = (
     "ht_estimate", "sentence_stats", "holt_winters", "link_jaccard",
     "graph_modularity", "chi2_residuals", "hbos_outliers", "rbo_ranks",
     "xyz_class", "min_cost_supplier", "custdist",
+    "media_jpeg_prog_dri",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -3983,6 +3998,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xyz_class": _q_xyz_class,
         "min_cost_supplier": _q_min_cost_supplier,
         "custdist": _q_custdist,
+        "media_jpeg_prog_dri": _q_media_jpeg_prog_dri,
         "seq_accuracy": _q_seq_accuracy,
         "peer_percentile": _q_peer_percentile,
         "brier_score": _q_brier_score,
@@ -13354,6 +13370,29 @@ def oracle_sql() -> dict[str, str]:
         FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
     """
     out["media_jpeg_prog"] = """
+        -- progressive grayscale closed form: DC_m = id%8 + 16·(1−m%2)
+        -- reconstructed exactly by (scan1 << 1) | scan2-bit; every
+        -- block is uniform 128 + DC_m
+        WITH d AS (
+            SELECT doc_id AS media_id,
+                   1 + doc_id % 2 AS wb,
+                   1 + (doc_id % 4) // 2 AS hb,
+                   doc_id % 8 AS a8
+            FROM documents
+        ),
+        m AS (
+            SELECT *, wb * hb AS n, (wb * hb + 1) // 2 AS ne FROM d
+        )
+        SELECT media_id,
+               CAST(8 * wb AS INT) AS width,
+               CAST(8 * hb AS INT) AS height,
+               CAST(1 AS INT) AS n_comp,
+               CAST(64 * (n * (128 + a8) + 16 * ne) AS BIGINT) AS sum_r,
+               CAST(64 * (n * (128 + a8) + 16 * ne) AS BIGINT) AS sum_g,
+               CAST(64 * (n * (128 + a8) + 16 * ne) AS BIGINT) AS sum_b
+        FROM m
+    """
+    out["media_jpeg_prog_dri"] = """
         -- progressive grayscale closed form: DC_m = id%8 + 16·(1−m%2)
         -- reconstructed exactly by (scan1 << 1) | scan2-bit; every
         -- block is uniform 128 + DC_m

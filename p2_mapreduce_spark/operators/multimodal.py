@@ -32,7 +32,7 @@ from PNG IHDR / JPEG SOF bytes; ``decoder="fake"`` derives
 deterministic pseudo-metadata from the payload hash (the
 oracle-checkable stand-in, query id ``media_digest``);
 ``decoder="none"`` raises ``NotImplementedError``, marking exactly
-where chroma-subsampled/DRI progressive JPEG and perceptual-audio
+where chroma-subsampled progressive JPEG and perceptual-audio
 (MP3/AAC-class) codecs (Pillow/torchaudio/PyAV — not in this
 container) plug in.  The
 Spark-side contract (schemas, batch iteration, partitioning) is
@@ -293,7 +293,7 @@ def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """
     if decoder == "none":
         raise NotImplementedError(
-            "chroma-subsampled/DRI progressive JPEG and perceptual-audio "
+            "chroma-subsampled progressive JPEG and perceptual-audio "
             "(MP3/AAC-class) codecs (Pillow/torchaudio/PyAV) are not "
             "available in this environment; use decoder='real' (full "
             "BMP/WAV kernels; baseline gray/4:4:4/4:2:0-color JPEG and "
@@ -2245,10 +2245,15 @@ def _decode_jpeg_progressive(b: bytes):
     as the baseline decoder, so the color closed-form oracles carry
     over verbatim.
 
+    Round 6 also handles DRI RESTART INTERVALS inside progressive
+    scans (byte realign + RSTn verify every ``ri`` MCUs, DC-predictor
+    reset in DC scans, EOBRUN reset in AC scans — E.2.4 applied to the
+    Annex-G scan kinds).
+
     Gated (returns None): subsampled progressive frames (any sampling
-    factor other than 1×1), restart intervals, 16-bit quant tables,
-    2-/4-component frames, malformed streams — the
-    ``decode_media(decoder='none')`` message names what remains.
+    factor other than 1×1), 16-bit quant tables, 2-/4-component
+    frames, malformed streams — the ``decode_media(decoder='none')``
+    message names what remains.
     """
     import math
 
@@ -2261,6 +2266,7 @@ def _decode_jpeg_progressive(b: bytes):
     w = h = None
     comps = None  # [(component id, quant table id)], frame order
     scans = []  # (comp_idxs, tabs, ss, se, ah, al, data)
+    ri = 0  # restart interval in MCUs (0 = none)
     pos = 2
     try:
         while pos + 2 <= len(b):
@@ -2318,7 +2324,9 @@ def _decode_jpeg_progressive(b: bytes):
                         return None  # subsampled progressive gated
                     comps.append((seg[6 + 3 * ci], seg[8 + 3 * ci]))
             elif m == 0xDD:
-                return None  # restart intervals gated in progressive
+                if seglen != 4:
+                    return None
+                ri = int.from_bytes(seg[:2], "big")
             elif m == 0xDA:
                 if comps is None:
                     return None
@@ -2339,7 +2347,13 @@ def _decode_jpeg_progressive(b: bytes):
                 start = pos + 2 + seglen
                 i = start
                 while i + 1 < len(b):
-                    if b[i] == 0xFF and b[i + 1] != 0x00:
+                    # RSTn markers live INSIDE scan data; any other
+                    # unstuffed marker ends the scan
+                    if (
+                        b[i] == 0xFF
+                        and b[i + 1] != 0x00
+                        and not 0xD0 <= b[i + 1] <= 0xD7
+                    ):
                         break
                     i += 1
                 scans.append(
@@ -2397,6 +2411,19 @@ def _decode_jpeg_progressive(b: bytes):
                     v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
                 )
 
+            def consume_rst(n):
+                # E.2.4 in a progressive scan: discard bits to the byte
+                # boundary, then FF D0+(n mod 8) must follow
+                nonlocal spos, nbits
+                nbits = 0
+                if (
+                    spos + 2 > len(data)
+                    or data[spos] != 0xFF
+                    or data[spos + 1] != 0xD0 + (n & 7)
+                ):
+                    raise ValueError("bad restart marker")
+                spos += 2
+
             if ss == 0:  # DC scan: interleaved MCU order iff Ns > 1
                 if se != 0:
                     return None
@@ -2409,6 +2436,9 @@ def _decode_jpeg_progressive(b: bytes):
                         dcts.append(t)
                     preds = [0] * len(idxs)
                     for blk in range(nb):
+                        if ri and blk and blk % ri == 0:
+                            consume_rst(blk // ri - 1)
+                            preds = [0] * len(idxs)
                         for j, ci in enumerate(idxs):
                             t = read_symbol(dcts[j])
                             diff = extend(read_bits(t), t) if t else 0
@@ -2416,6 +2446,8 @@ def _decode_jpeg_progressive(b: bytes):
                             coef[ci][blk][0] = preds[j] << al
                 else:  # DC refinement: one raw bit per block/component
                     for blk in range(nb):
+                        if ri and blk and blk % ri == 0:
+                            consume_rst(blk // ri - 1)
                         for ci in idxs:
                             coef[ci][blk][0] |= read_bit() << al
             else:  # AC scan: single component only (T.81 B.2.3)
@@ -2428,6 +2460,10 @@ def _decode_jpeg_progressive(b: bytes):
                 if ah == 0:  # AC first scan
                     eobrun = 0
                     for blk in range(nb):
+                        if ri and blk and blk % ri == 0:
+                            if eobrun:
+                                return None  # EOB run across a restart
+                            consume_rst(blk // ri - 1)
                         if eobrun:
                             eobrun -= 1
                             continue
@@ -2452,6 +2488,10 @@ def _decode_jpeg_progressive(b: bytes):
                     p1, m1 = 1 << al, -(1 << al)
                     eobrun = 0
                     for blk in range(nb):
+                        if ri and blk and blk % ri == 0:
+                            if eobrun:
+                                return None  # EOB run across a restart
+                            consume_rst(blk // ri - 1)
                         cf = cfs[blk]
                         k = ss
                         hit_eob = False
@@ -3313,4 +3353,111 @@ def flac_sample_stats(media: DataFrame) -> DataFrame:
             "media_id long, rate int, n_channels int, n_samples long,"
             " sum_s long, ssq_s long, min_s long, max_s long"
         ),
+    )
+
+
+def attach_jpeg_prog_dri(docs: DataFrame) -> DataFrame:
+    """Multimodal table of REAL grayscale PROGRESSIVE JPEGs WITH
+    RESTART INTERVALS (SOF2 + DRI, ri = 2 MCUs) — the last progressive
+    structural feature behind the gate after round 6's color/AC
+    refinement work: every scan's entropy stream is cut into
+    byte-aligned restart segments separated by cycling RSTn markers,
+    and the decoder must realign, verify the marker sequence, and
+    reset the DC predictor (DC scans) per segment (T.81 E.2.4 applied
+    to the Annex-G scan kinds).
+
+    Three scans per file: DC first (Al=1), DC refinement, and an
+    all-EOB AC first scan.  The per-segment DC diff pattern
+    (+8+id%8 div 2 then −8) with the per-segment predictor RESET
+    reproduces exactly the no-DRI value sequence, so the closed form
+    ``DC_m = id%8 + 16·(1 − m%2)`` — and therefore the
+    media_jpeg_prog oracle — carries over verbatim: a missed reset or
+    misaligned marker shifts every later block and breaks the hash.
+
+    nb ∈ {1, 2, 4} MCUs → 0 or 1 restart markers per scan; each
+    segment's bits materialize as a column before packing (the HOF
+    no-CSE rule).
+    """
+    wb = (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(2))).cast("int")
+    hb = (F.lit(1) + (F.pmod(F.col("doc_id"), F.lit(4)) / 2).cast("int")).cast("int")
+    d = spread(docs).select(
+        F.col("doc_id").alias("media_id"),
+        (wb * hb).alias("nb"),
+        wb.alias("wb"),
+        hb.alias("hb"),
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("id8"),
+    )
+    dqt_hex = "ffdb" + "0043" + "00" + "08" + "01" * 63
+    dht_dc_hex = (
+        "ffc4" + "001b" + "00"
+        + "00000701" + "00" * 12
+        + "0001020304050607"
+    )
+    dht_ac_hex = "ffc4" + "0014" + "10" + "01" + "00" * 15 + "00"
+    sof2_hex = F.concat(
+        F.lit("ffc2" + "000b" + "08"),
+        F.format_string("%04x", F.col("hb") * 8),
+        F.format_string("%04x", F.col("wb") * 8),
+        F.lit("01" + "01" + "11" + "00"),
+    )
+    dri_hex = "ffdd" + "0004" + "0002"  # restart every 2 MCUs
+
+    def _pack(col: str) -> str:
+        padded = f"concat({col}, repeat('1', (8 - length({col}) % 8) % 8))"
+        return (
+            f"array_join(transform(sequence(1, (length({col}) + 7)"
+            f" div 8),"
+            f" j -> CASE WHEN substring({padded}, (j-1)*8 + 1, 8)"
+            f" = '11111111' THEN 'ff00' ELSE"
+            f" lpad(conv(substring({padded}, (j-1)*8 + 1, 8), 2, 16),"
+            f" 2, '0') END), '')"
+        )
+
+    # segment bit strings (a full 2-MCU segment and a 1-MCU head)
+    d = (
+        d.withColumn(
+            "mag0", F.expr("lpad(conv(8 + id8 div 2, 10, 2), 4, '0')")
+        )
+        .withColumn("s1f", F.expr("concat('100', mag0, '100', '0111')"))
+        .withColumn("s1s", F.expr("concat('100', mag0)"))
+        .withColumn(
+            "rb", F.expr("CASE WHEN id8 % 2 = 1 THEN '1' ELSE '0' END")
+        )
+        .withColumn("s2f", F.expr("concat(rb, rb)"))
+        .withColumn("s3f", F.lit("00"))
+    )
+
+    def seg_scan(full: str, single: str) -> str:
+        """CASE over nb: 1 MCU → one short segment; 2 → one full
+        segment; 4 → two full segments split by RST0."""
+        return (
+            f"CASE nb WHEN 1 THEN {_pack(single)}"
+            f" WHEN 2 THEN {_pack(full)}"
+            f" ELSE concat({_pack(full)}, 'ffd0', {_pack(full)}) END"
+        )
+
+    scans_hex = F.expr(
+        "concat("
+        "'ffda', '0008', '01', '01', '00', '00', '00', '01', "
+        + seg_scan("s1f", "s1s")
+        + ", 'ffda', '0008', '01', '01', '00', '00', '00', '10', "
+        + seg_scan("s2f", "rb")
+        + ", 'ffda', '0008', '01', '01', '00', '01', '3f', '00', "
+        + seg_scan("s3f", "'0'")
+        + ")"
+    )
+    payload_hex = F.concat(
+        F.lit("ffd8"),
+        F.lit(dqt_hex),
+        F.lit(dht_dc_hex),
+        F.lit(dht_ac_hex),
+        sof2_hex,
+        F.lit(dri_hex),
+        scans_hex,
+        F.lit("ffd9"),
+    )
+    return d.select(
+        "media_id",
+        F.lit("image").alias("modality"),
+        F.unhex(payload_hex).alias("payload"),
     )

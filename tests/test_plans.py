@@ -353,6 +353,9 @@ PYTHON_ALLOWED = {
     # bit-level recurrence is the payload-touching Arrow kernel, like
     # audio_adpcm
     "audio_flac",
+    # round 6: progressive JPEG with restart intervals through the
+    # same jpeg_pixel_sums Arrow kernel (payload-touching by design)
+    "media_jpeg_prog_dri",
 }
 
 

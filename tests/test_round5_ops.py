@@ -651,7 +651,8 @@ class TestProgressiveJpeg:
             + "03" + "012200" + "021100" + "031100" + "ffd9"
         )
         assert _decode_jpeg_progressive(sub) is None
-        # DRI in progressive → gated
+        # DRI header with no scans → malformed (DRI itself is
+        # SUPPORTED since round 6 — see media_jpeg_prog_dri)
         dri = bytes.fromhex(
             "ffd8" + "ffc2" + "000b" + "08" + "0008" + "0008"
             + "01" + "01" + "11" + "00" + "ffdd" + "0004" + "0002" + "ffd9"

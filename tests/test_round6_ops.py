@@ -671,3 +671,46 @@ class TestDecoderEdgePaths:
         vals2 = {v for row in planes[0] for v in row[8:]}
         assert vals1 == {133, 139}
         assert vals2 == {126, 130}
+
+
+class TestProgressiveDri:
+    def test_dri_decode_matches_closed_form(self, spark):
+        """Restart segments byte-realign and reset the DC predictor;
+        the per-segment diff pattern reproduces the no-DRI chain."""
+        from p2_mapreduce_spark.operators.multimodal import (
+            _decode_jpeg,
+            attach_jpeg_prog_dri,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(8)], ["doc_id", "text"]
+        )
+        for r in attach_jpeg_prog_dri(docs).collect():
+            mid = r["media_id"]
+            parsed = _decode_jpeg(bytes(r["payload"]))
+            assert parsed is not None, f"id {mid} quarantined"
+            w, h, planes = parsed
+            wb, hb = 1 + mid % 2, 1 + (mid % 4) // 2
+            n, a8 = wb * hb, mid % 8
+            assert (w, h) == (8 * wb, 8 * hb)
+            got = sum(v for row in planes[0] for v in row)
+            exp = sum(
+                64 * (128 + a8 + 16 * (1 - m % 2)) for m in range(n)
+            )
+            assert got == exp, f"id {mid}"
+
+    def test_bad_restart_marker_quarantines(self, spark):
+        """Corrupting an RSTn byte must quarantine, proving the marker
+        verify is load-bearing."""
+        from p2_mapreduce_spark.operators.multimodal import (
+            _decode_jpeg_progressive,
+            attach_jpeg_prog_dri,
+        )
+
+        docs = spark.createDataFrame([(3, "x")], ["doc_id", "text"])
+        payload = bytearray(attach_jpeg_prog_dri(docs).collect()[0]["payload"])
+        # id 3 → nb = 4 → RST0 markers present; break the first one
+        idx = bytes(payload).find(b"\xff\xd0")
+        assert idx > 0
+        payload[idx + 1] = 0xD5  # wrong restart number
+        assert _decode_jpeg_progressive(bytes(payload)) is None
