@@ -2017,6 +2017,20 @@ def _q_media_jpeg_prog_dri(spark, sf_dir):
     return jpeg_pixel_sums(attach_jpeg_prog_dri(docs))
 
 
+def _q_media_jpeg420_prog(spark, sf_dir):
+    """4:2:0 chroma-subsampled PROGRESSIVE JPEG decode: interleaved
+    multi-unit DC scans + per-component AC block rasters + replicate
+    upsample — the configuration that closes the still-image gate;
+    oracle = the media_jpeg420 closed form verbatim."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_jpeg420_prog,
+        jpeg_pixel_sums,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_pixel_sums(attach_jpeg420_prog(docs))
+
+
 def _q_audio_flac(spark, sf_dir):
     """Real FLAC (lossless-predictive audio, RFC 9639) decode of
     JVM-built spec-valid files: CRC-8/CRC-16-verified frames, fixed
@@ -3796,7 +3810,7 @@ _ROUND6_NEW = (
     "ht_estimate", "sentence_stats", "holt_winters", "link_jaccard",
     "graph_modularity", "chi2_residuals", "hbos_outliers", "rbo_ranks",
     "xyz_class", "min_cost_supplier", "custdist",
-    "media_jpeg_prog_dri",
+    "media_jpeg_prog_dri", "media_jpeg420_prog",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -3999,6 +4013,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": _q_min_cost_supplier,
         "custdist": _q_custdist,
         "media_jpeg_prog_dri": _q_media_jpeg_prog_dri,
+        "media_jpeg420_prog": _q_media_jpeg420_prog,
         "seq_accuracy": _q_seq_accuracy,
         "peer_percentile": _q_peer_percentile,
         "brier_score": _q_brier_score,
@@ -14325,6 +14340,67 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
     """
     out["media_jpeg420"] = """
+        -- closed-form twin of the 4:2:0 payload design: Y alternates
+        -- by 8-px STRIPE inside each MCU (block index 4m+2v+u → parity
+        -- u), chroma by MCU parity; JFIF RGB with FLOOR(x+0.5); each
+        -- (MCU, stripe) cell is 8×16 = 128 constant pixels; e0
+        -- literals force DOUBLE
+        WITH d AS (
+            SELECT doc_id AS media_id,
+                   1 + doc_id % 2 AS wb,
+                   1 + (doc_id % 4) // 2 AS hb,
+                   doc_id % 8 AS a8,
+                   doc_id % 5 AS b5,
+                   doc_id % 7 AS c7
+            FROM documents
+        ),
+        m AS (
+            SELECT *,
+                   (wb * hb + 1) // 2 AS ne,
+                   wb * hb - (wb * hb + 1) // 2 AS nodd
+            FROM d
+        )
+        SELECT media_id,
+               CAST(16 * wb AS INT) AS width,
+               CAST(16 * hb AS INT) AS height,
+               CAST(3 AS INT) AS n_comp,
+               CAST(128 * (
+                    ne * (CAST(FLOOR((136 + a8)
+                              + 1.402e0 * (c7 + 8) + 0.5e0) AS BIGINT)
+                        + CAST(FLOOR((128 + a8)
+                              + 1.402e0 * (c7 + 8) + 0.5e0) AS BIGINT))
+                  + nodd * (CAST(FLOOR((136 + a8)
+                                + 1.402e0 * c7 + 0.5e0) AS BIGINT)
+                          + CAST(FLOOR((128 + a8)
+                                + 1.402e0 * c7 + 0.5e0) AS BIGINT)))
+                    AS BIGINT) AS sum_r,
+               CAST(128 * (
+                    ne * (CAST(FLOOR((136 + a8)
+                              - 0.344136e0 * (b5 + 8)
+                              - 0.714136e0 * (c7 + 8) + 0.5e0) AS BIGINT)
+                        + CAST(FLOOR((128 + a8)
+                              - 0.344136e0 * (b5 + 8)
+                              - 0.714136e0 * (c7 + 8) + 0.5e0) AS BIGINT))
+                  + nodd * (CAST(FLOOR((136 + a8)
+                                - 0.344136e0 * b5
+                                - 0.714136e0 * c7 + 0.5e0) AS BIGINT)
+                          + CAST(FLOOR((128 + a8)
+                                - 0.344136e0 * b5
+                                - 0.714136e0 * c7 + 0.5e0) AS BIGINT)))
+                    AS BIGINT) AS sum_g,
+               CAST(128 * (
+                    ne * (CAST(FLOOR((136 + a8)
+                              + 1.772e0 * (b5 + 8) + 0.5e0) AS BIGINT)
+                        + CAST(FLOOR((128 + a8)
+                              + 1.772e0 * (b5 + 8) + 0.5e0) AS BIGINT))
+                  + nodd * (CAST(FLOOR((136 + a8)
+                                + 1.772e0 * b5 + 0.5e0) AS BIGINT)
+                          + CAST(FLOOR((128 + a8)
+                                + 1.772e0 * b5 + 0.5e0) AS BIGINT)))
+                    AS BIGINT) AS sum_b
+        FROM m
+    """
+    out["media_jpeg420_prog"] = """
         -- closed-form twin of the 4:2:0 payload design: Y alternates
         -- by 8-px STRIPE inside each MCU (block index 4m+2v+u → parity
         -- u), chroma by MCU parity; JFIF RGB with FLOOR(x+0.5); each

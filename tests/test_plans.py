@@ -356,6 +356,8 @@ PYTHON_ALLOWED = {
     # round 6: progressive JPEG with restart intervals through the
     # same jpeg_pixel_sums Arrow kernel (payload-touching by design)
     "media_jpeg_prog_dri",
+    # round 6: 4:2:0 chroma-subsampled progressive JPEG — same kernel
+    "media_jpeg420_prog",
 }
 
 

@@ -714,3 +714,57 @@ class TestProgressiveDri:
         assert idx > 0
         payload[idx + 1] = 0xD5  # wrong restart number
         assert _decode_jpeg_progressive(bytes(payload)) is None
+
+
+class TestSubsampledProgressive:
+    def test_420_prog_matches_420_closed_form(self, spark):
+        """The 4:2:0 progressive table reconstructs exactly the
+        attach_jpeg420 pixel layout: luma stripes checker by sub-block
+        column, whole MCUs alternate chroma."""
+        import math
+
+        from p2_mapreduce_spark.operators.multimodal import (
+            _decode_jpeg,
+            attach_jpeg420_prog,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(8)], ["doc_id", "text"]
+        )
+        for r in attach_jpeg420_prog(docs).collect():
+            mid = r["media_id"]
+            parsed = _decode_jpeg(bytes(r["payload"]))
+            assert parsed is not None, f"id {mid} quarantined"
+            w, h, planes = parsed
+            wb, hb = 1 + mid % 2, 1 + (mid % 4) // 2
+            id8, id5, id7 = mid % 8, mid % 5, mid % 7
+            assert (w, h) == (16 * wb, 16 * hb) and len(planes) == 3
+            exp = [0, 0, 0]
+            for m in range(wb * hb):
+                cpar = 1 - m % 2
+                for stripe in (1, 0):
+                    yv = 128 + id8 + 8 * stripe
+                    cbo = id5 + 8 * cpar
+                    cro = id7 + 8 * cpar
+                    vals = (
+                        math.floor(yv + 1.402 * cro + 0.5),
+                        math.floor(
+                            yv - 0.344136 * cbo - 0.714136 * cro + 0.5
+                        ),
+                        math.floor(yv + 1.772 * cbo + 0.5),
+                    )
+                    for i, v in enumerate(vals):
+                        exp[i] += 128 * v
+            got = [sum(v for row in ch for v in row) for ch in planes]
+            assert got == exp, f"id {mid}"
+
+    def test_beyond_2x2_sampling_still_gated(self):
+        from p2_mapreduce_spark.operators.multimodal import (
+            _decode_jpeg_progressive,
+        )
+
+        bad = bytes.fromhex(
+            "ffd8" + "ffc2" + "0011" + "08" + "0010" + "0010"
+            + "03" + "014400" + "021100" + "031100" + "ffd9"
+        )
+        assert _decode_jpeg_progressive(bad) is None
