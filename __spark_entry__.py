@@ -13563,7 +13563,7 @@ def oracle_sql() -> dict[str, str]:
         gtot AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(y) AS BIGINT) AS z,
-                   CAST(SUM(y * y) AS BIGINT) AS q
+                   SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS q
             FROM daily
         )
         SELECT n_rows,
@@ -13610,9 +13610,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_overlap,
                    CAST(SUM(x) AS BIGINT) AS sx,
                    CAST(SUM(yv) AS BIGINT) AS sy,
-                   CAST(SUM(x * x) AS BIGINT) AS sxx,
-                   CAST(SUM(yv * yv) AS BIGINT) AS syy,
-                   CAST(SUM(x * yv) AS BIGINT) AS sxy
+                   SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                   SUM(CAST(yv AS HUGEINT) * CAST(yv AS HUGEINT)) AS syy,
+                   SUM(CAST(x AS HUGEINT) * CAST(yv AS HUGEINT)) AS sxy
             FROM j GROUP BY lag
         )
         SELECT CAST(lag AS INT) AS lag, n_overlap,

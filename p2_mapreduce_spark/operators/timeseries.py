@@ -2031,10 +2031,17 @@ def anova_f(events: DataFrame, group_col: str = "event_type") -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("nj"),
         F.sum("y").cast("bigint").alias("zj"),
     )
+    # Σy is BIGINT-safe (daily cents × calendar days), but Σy² is not:
+    # a $10M-revenue day is ~1e9 cents → y² ~1e18, and a season of such
+    # days overflows 2^63.  The squares therefore accumulate as exact
+    # DECIMAL(38,0) (the value_outliers moment device; DuckDB twin uses
+    # HUGEINT) — identical doubles after the final cast at any scale
+    # that fits 38 digits.
+    yd = F.col("y").cast("decimal(19,0)")
     glob = daily.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("y").cast("bigint").alias("z"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("q"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("q"),
     )
     folded = per_g.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_groups"),
@@ -2107,13 +2114,17 @@ def ccf_daily(
         x.crossJoin(F.broadcast(lags))
         .join(y, F.date_add(F.col("dx"), F.col("lag")) == F.col("dy"))
     )
+    # first moments are BIGINT-safe; the products are not at large SF
+    # (see anova_f) — they accumulate as exact DECIMAL(38,0)
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("yv").cast("decimal(19,0)")
     agg = joined.groupBy("lag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("yv").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("yv") * F.col("yv")).cast("bigint").alias("syy"),
-        F.sum(F.col("x") * F.col("yv")).cast("bigint").alias("sxy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
     )
     n = F.col("n_overlap").cast("double")
     cov = n * F.col("sxy").cast("double") - F.col("sx").cast(
