@@ -14099,13 +14099,13 @@ def oracle_sql() -> dict[str, str]:
                FROM feats GROUP BY 1)
         SELECT o_orderkey, price_bin, month, priority,
                c_price, c_month, c_prio,
-               1.0e0 / CAST(c_price * c_month * c_prio AS DOUBLE)
-                   AS rarity
+               1.0e0 / CAST(CAST(c_price AS HUGEINT) * c_month * c_prio
+                            AS DOUBLE) AS rarity
         FROM feats
         JOIN c1 USING (price_bin)
         JOIN c2 USING (month)
         JOIN c3 USING (priority)
-        ORDER BY c_price * c_month * c_prio, o_orderkey
+        ORDER BY CAST(c_price AS HUGEINT) * c_month * c_prio, o_orderkey
         LIMIT 20
     """
     out["rbo_ranks"] = """

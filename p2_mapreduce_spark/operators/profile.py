@@ -2549,10 +2549,15 @@ def hbos_outliers(orders: DataFrame, top_n: int = 20) -> DataFrame:
         .join(F.broadcast(c2), "month")
         .join(F.broadcast(c3), "priority")
         .withColumn(
+            # three counts each ≤ n multiply to n³ — BIGINT would wrap
+            # past ~2M rows per bin, so the product is exact
+            # DECIMAL(38,0) (HUGEINT in the oracle)
             "prod",
             (
-                F.col("c_price") * F.col("c_month") * F.col("c_prio")
-            ).cast("bigint"),
+                F.col("c_price").cast("decimal(19,0)")
+                * F.col("c_month").cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+            * F.col("c_prio").cast("decimal(19,0)"),
         )
     )
     return (
