@@ -2165,7 +2165,17 @@ def croston(events: DataFrame, group_col: str = "event_type") -> DataFrame:
     Output: (group, n_days, n_demand_days, z_hat, p_hat, forecast) in
     currency units (z folds in cents, surfaced /100).
     """
-    daily = _daily_cents(events, group_col)
+    return croston_from_daily(_daily_cents(events, group_col), group_col)
+
+
+def croston_from_daily(
+    daily: DataFrame, group_col: str = "event_type"
+) -> DataFrame:
+    """:func:`croston` from an already-contracted ``(g, d, y)``
+    day-grain frame — the entry point the STREAMING state sink uses
+    (streaming/sinks.daily_cents_state_sink maintains exactly this
+    frame), so the live forecast is bit-identical to the batch one by
+    construction: same fold over the same calendar-bounded state."""
     grid = (
         daily.groupBy("g")
         .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))

@@ -522,3 +522,74 @@ def tvd_from_state(
             ).otherwise(F.lit(0.0)).alias("tvd"),
         )
     )
+
+
+def daily_cents_state_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    group_col: str = "event_type",
+):
+    """Streaming FORECAST-STATE maintenance: each micro-batch's
+    (group, day) revenue cents fold into the persisted DAY-GRAIN
+    CONTRACTION by the associative SUM — daily cents are a linear
+    state, so the live day table always equals the batch
+    ``_daily_cents`` over all data seen (bit-for-bit), and every
+    smoothing forecaster built on that contraction (EWMA, Holt,
+    Holt–Winters, Croston) answers FROM THE STATE at any moment
+    without rescanning the event history.  The forecaster's
+    day-ordered fold then runs over ≤ groups × calendar-days rows —
+    the state is calendar-bounded, never event-bounded, which is what
+    makes a 100 TB stream's live forecast cheap.
+
+    Same versioned replay-idempotent fold protocol as
+    :func:`hist_state_sink` / :func:`drift_state_sink`.
+    """
+    from pyspark.sql import functions as F
+
+    def merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.unionByName(b)
+            .groupBy(group_col, "d")
+            .agg(F.sum("y").alias("y"))
+        )
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        delta = (
+            df.select(
+                F.col(group_col),
+                F.to_date("ts").alias("d"),
+                F.floor(F.col("value") * 100)
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .groupBy(group_col, "d")
+            .agg(F.sum("cents").alias("y"))
+        )
+        _fold_versioned(df.sparkSession, delta, batch_id, path, merge)
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def croston_from_state(
+    state: DataFrame, group_col: str = "event_type"
+) -> DataFrame:
+    """Croston intermittent-demand forecast answered FROM the
+    persisted day-grain state of :func:`daily_cents_state_sink` — the
+    live face of the round-6 forecasting family.  Delegates to the
+    same day-ordered fold as the batch operator
+    (:func:`~p2_mapreduce_spark.operators.timeseries.croston_from_daily`),
+    so live == batch bit-for-bit by construction (pinned in pytest).
+    """
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.timeseries import croston_from_daily
+
+    return croston_from_daily(
+        state.select(F.col(group_col).alias("g"), "d", "y"), group_col
+    )

@@ -768,3 +768,69 @@ class TestSubsampledProgressive:
             + "03" + "014400" + "021100" + "031100" + "ffd9"
         )
         assert _decode_jpeg_progressive(bad) is None
+
+
+def test_croston_state_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming forecast-state maintenance: after all micro-batches
+    drain, the persisted day-grain contraction equals the batch one
+    bit-for-bit, and Croston answered FROM THE STATE equals the batch
+    operator over the full event history."""
+    import pyspark.sql.functions as F2
+
+    from p2_mapreduce_spark.operators.timeseries import croston
+    from p2_mapreduce_spark.session import load_table
+    from p2_mapreduce_spark.streaming.sinks import (
+        croston_from_state,
+        daily_cents_state_sink,
+        load_latest_state,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    src = str(tmp_path / "events_src_croston")
+    events.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state_path = str(tmp_path / "croston_state")
+    q = daily_cents_state_sink(
+        stream, state_path, str(tmp_path / "ck_croston")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        map(tuple, load_latest_state(spark, state_path).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            events.select(
+                "event_type",
+                F2.to_date("ts").alias("d"),
+                F2.floor(F2.col("value") * 100)
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .groupBy("event_type", "d")
+            .agg(F2.sum("cents").alias("y"))
+            .collect(),
+        )
+    )
+    assert got == want
+    live = sorted(
+        map(
+            tuple,
+            croston_from_state(
+                load_latest_state(spark, state_path)
+            ).collect(),
+        )
+    )
+    batch = sorted(
+        map(tuple, croston(load_table(spark, sf_dir, "events")).collect())
+    )
+    assert live == batch
