@@ -375,19 +375,25 @@ def materialize(df) -> None:
     df.sparkSession.catalog.clearCache()
 
 
-#: Queries that consume the dedup-closure shared stage
-#: (__spark_entry__._DEDUP_STAGE_MEMO): the FIRST of these to run pays
-#: the one-off candidate-generation materialization for the whole
+#: Query families that consume a memoized shared stage
+#: (__spark_entry__._DEDUP_STAGE_MEMO): within each family the FIRST
+#: query to run pays the one-off stage materialization for the whole
 #: family (ADVICE r04: make the payer visible so per-query
 #: round-over-round comparisons aren't misread).  With min-of-2 timing
 #: the recorded value sheds most of that one-off cost — the raw first
 #: sample in "queries_raw" retains it.
-_SHARED_STAGE_FAMILY = (
-    "dup_clusters",
-    "dup_clusters_star",
-    "golden_record",
-    "dup_matrix",
-)
+_SHARED_STAGE_FAMILIES = {
+    # exact n-gram-Jaccard pair list + closure (dedup family)
+    "dedup_closure": (
+        "dup_clusters",
+        "dup_clusters_star",
+        "golden_record",
+        "dup_matrix",
+    ),
+    # panel-filtered (s, c) incidence list (link-prediction family,
+    # VERDICT r06 item 5)
+    "link_pairs": ("link_prediction", "link_jaccard"),
+}
 
 
 def main() -> None:
@@ -484,8 +490,25 @@ def main() -> None:
     # (this round's new operators) append in sorted order at the end —
     # so a new operator can never silently escape the benchmark.
     names = list(HEADLINE) + sorted(set(queries) - set(HEADLINE))
+    # Noise sentinel (VERDICT r06 item 6): round-6's driver record
+    # carried 2-5x PHANTOM regressions from co-tenant contention
+    # (media_histogram 3.60 s recorded vs 0.75 s solo) that min-of-2 /
+    # median-of-3 did not shed.  Re-measure, at END of suite, any query
+    # that came out >2x its previous-round recorded time, and keep the
+    # min — a genuine regression survives the re-run; a contention
+    # ghost does not.
+    prev_timings: dict[str, float] = {}
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+    )
+    try:
+        with open(out_path) as fh:
+            prev_timings = json.load(fh).get("queries", {})
+    except Exception:
+        prev_timings = {}
     timings: dict[str, float] = {}
     raw: dict[str, float] = {}
+    resampled: dict[str, list[float]] = {}
     try:
         for name in names:
             t1 = timed(name)
@@ -496,12 +519,19 @@ def main() -> None:
                 t3 = timed(name)
                 t = round(sorted((t1, t2, t3))[1], 3)
             timings[name] = t
+        for name in names:
+            prev = prev_timings.get(name)
+            if prev and timings[name] > 2.0 * prev and timings[name] > 0.5:
+                t4 = timed(name)
+                resampled[name] = [timings[name], t4]
+                timings[name] = min(timings[name], t4)
     finally:
         _DF.persist = orig_persist
     total = round(sum(timings.values()), 3)
-    shared_payer = next(
-        (n for n in names if n in _SHARED_STAGE_FAMILY), None
-    )
+    shared_payers = {
+        fam: next((n for n in names if n in members), None)
+        for fam, members in _SHARED_STAGE_FAMILIES.items()
+    }
     compact = json.dumps(
         {
             "metric": "headline_suite_seconds",
@@ -519,10 +549,14 @@ def main() -> None:
             "queries": timings,
             "queries_raw": raw,
             "sf": float(sf),
-            # the dedup-closure family shares one localCheckpointed pair
-            # stage; this query's RAW first sample paid its one-off
-            # materialization (min-of-2 sheds it from "queries")
-            "shared_stage_payer": shared_payer,
+            # each shared-stage family's named query paid the one-off
+            # localCheckpoint materialization in its RAW first sample
+            # (min-of-2 sheds it from "queries")
+            "shared_stage_payers": shared_payers,
+            # queries whose recorded time exceeded 2x the previous
+            # round's and were re-measured at end of suite (noise
+            # sentinel): [recorded_before, resample]; the min stands
+            "noise_resampled": resampled,
         }
     )
     # Emission contract (round-3 verdict item 2: three rounds of
@@ -535,7 +569,6 @@ def main() -> None:
     print(full)
     print(compact)
     # bench_out.json remains the canonical full copy.
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
     with open(out_path, "w") as fh:
         fh.write(full + "\n")
     spark.stop()

@@ -1227,7 +1227,8 @@ def rbo_ranks(lineitem: DataFrame, depth: int = 20, p: float = 0.9) -> DataFrame
         F.lit(depth).cast("int").alias("depth"),
         last_x.cast("bigint").alias("overlap_at_depth"),
         ((F.lit(1.0) - F.lit(p)) * F.col("st.s")).alias("rbo"),
-    )
+        # empty-input stability (ADVICE r06): zero rows, not one null row
+    ).filter(F.size(F.col("xs")) > 0)
 
 
 def xyz_class(lineitem: DataFrame) -> DataFrame:

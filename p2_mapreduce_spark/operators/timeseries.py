@@ -2008,7 +2008,10 @@ def kruskal_wallis(events: DataFrame, group_col: str = "event_type") -> DataFram
         F.when((F.col("n_rows") > 1) & (c > 0.0), h / c)
         .otherwise(F.lit(0.0))
         .alias("h_tie_adj"),
-    )
+        # empty-input stability (ADVICE r06): the global agg emits one
+        # null/zero row on empty input while the recursive-CTE oracle
+        # emits zero rows — return zero rows, like every other gate
+    ).filter((F.col("n_groups") > 0) & F.col("n_rows").isNotNull())
 
 
 def anova_f(events: DataFrame, group_col: str = "event_type") -> DataFrame:
@@ -2074,7 +2077,8 @@ def anova_f(events: DataFrame, group_col: str = "event_type") -> DataFrame:
     return out.select(
         "n_rows", "n_groups", ssb.alias("ssb"), ssw.alias("ssw"),
         f_stat.alias("f_stat"),
-    )
+        # empty-input stability (ADVICE r06): zero rows, not one null row
+    ).filter((F.col("n_groups") > 0) & F.col("n_rows").isNotNull())
 
 
 def ccf_daily(
@@ -2094,13 +2098,19 @@ def ccf_daily(
 
     Scale shape: day-grain contraction, one self-join per lag on the
     (calendar-bounded) day grid — the join explodes to ≤ max_lag+1 ×
-    n_days rows total.  Output: (lag, n_overlap, r).
+    n_days rows total.  Output: (lag, n_overlap, r); zero rows when
+    fewer than two groups are present (ADVICE r06: a single group
+    would otherwise report its own autocorrelation under a
+    cross-correlation contract).
     """
     daily = _daily_cents(events, group_col)
     gs = daily.select("g").distinct().orderBy("g").limit(2)
+    # single-group degenerate guard (ADVICE r06): with one event type
+    # present gx == gy would silently report the series' AUTOcorrelation
+    # under a cross-correlation contract — emit zero rows instead
     pair = gs.agg(
         F.min("g").alias("gx"), F.max("g").alias("gy")
-    )
+    ).filter(F.col("gx") != F.col("gy"))
     x = daily.join(F.broadcast(pair), daily.g == pair.gx).select(
         F.col("d").alias("dx"), F.col("y").alias("x")
     )

@@ -295,14 +295,18 @@ def test_two_hop_reach_on_path_graph(spark):
     path = spark.createDataFrame(
         [(0, 20), (20, 40), (40, 60)], ["u", "v"]
     )
-    out = {r["node"]: r for r in two_hop_reach(path, sample_mod=20).collect()}
+    # panel_k covers all nodes here, so every node is scored (the
+    # absolute hash-ranked panel replaced the fractional sample, r07)
+    out = {r["node"]: r for r in two_hop_reach(path, panel_k=10).collect()}
     assert out[0]["n_1hop"] == 1 and out[0]["n_2hop_new"] == 1
     assert out[20]["n_1hop"] == 2 and out[20]["n_2hop_new"] == 1
     assert out[60]["n_1hop"] == 1 and out[60]["n_2hop_new"] == 1
     # triangle: every node's 2-hop ring is empty (all reached at hop 1)
     tri = spark.createDataFrame([(0, 20), (20, 40), (40, 0)], ["u", "v"])
-    t = {r["node"]: r for r in two_hop_reach(tri, sample_mod=20).collect()}
+    t = {r["node"]: r for r in two_hop_reach(tri, panel_k=10).collect()}
     assert all(r["n_1hop"] == 2 and r["n_2hop_new"] == 0 for r in t.values())
+    # the panel BOUND binds: panel_k=2 scores exactly two nodes
+    assert two_hop_reach(path, panel_k=2).count() == 2
 
 
 class TestPersonalizedPagerank:

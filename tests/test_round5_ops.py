@@ -645,12 +645,22 @@ class TestProgressiveJpeg:
             + "03" + "011100" + "021100" + "031100" + "ffd9"
         )
         assert _decode_jpeg_progressive(sof3) is None
-        # chroma-SUBSAMPLED progressive (luma 2x2) → still gated
+        # luma-2x2-sampled progressive is SUPPORTED since round 6
+        # (media_jpeg420_prog); this scanless frame is rejected as
+        # malformed, not for its sampling (ADVICE r06 comment fix)
         sub = bytes.fromhex(
             "ffd8" + "ffc2" + "0011" + "08" + "0010" + "0010"
             + "03" + "012200" + "021100" + "031100" + "ffd9"
         )
         assert _decode_jpeg_progressive(sub) is None
+        # sampling factors beyond 2x2 (luma 3x3) remain GATED — the
+        # decoder rejects at SOF parse (multimodal.py "sampling beyond
+        # 2x2 gated"), before the scanless check can fire
+        sub33 = bytes.fromhex(
+            "ffd8" + "ffc2" + "0011" + "08" + "0018" + "0018"
+            + "03" + "013300" + "021100" + "031100" + "ffd9"
+        )
+        assert _decode_jpeg_progressive(sub33) is None
         # DRI header with no scans → malformed (DRI itself is
         # SUPPORTED since round 6 — see media_jpeg_prog_dri)
         dri = bytes.fromhex(

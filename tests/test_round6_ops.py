@@ -201,6 +201,43 @@ class TestCcfCroston:
         assert abs(row["forecast"] - 3.0) < 1e-12
 
 
+class TestRound6EmptyInputs:
+    def test_kgroup_and_rank_ops_empty(self, spark):
+        """ADVICE r06: the global-agg reports must emit ZERO rows on
+        empty input (their recursive-CTE oracles do), not one
+        null/zero row."""
+        from p2_mapreduce_spark.operators.analytics import rbo_ranks
+        from p2_mapreduce_spark.operators.timeseries import (
+            anova_f,
+            ccf_daily,
+            kruskal_wallis,
+        )
+
+        ev = spark.createDataFrame(
+            [],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        assert kruskal_wallis(ev).count() == 0
+        assert anova_f(ev).count() == 0
+        assert ccf_daily(ev).count() == 0
+        li = spark.createDataFrame(
+            [],
+            "l_orderkey long, l_suppkey long, l_partkey long,"
+            " l_quantity double, l_extendedprice double",
+        )
+        assert rbo_ranks(li).count() == 0
+
+    def test_ccf_single_group_emits_zero_rows(self, spark):
+        """ADVICE r06: one event type present would set gx == gy and
+        report the series' AUTOcorrelation under a cross-correlation
+        contract — the guard returns zero rows instead."""
+        from p2_mapreduce_spark.operators.timeseries import ccf_daily
+
+        rows = [(d, 1, "only", v) for d, v in enumerate([1, 5, 2, 8, 3])]
+        assert ccf_daily(_events6(spark, rows)).count() == 0
+
+
 class TestSurvivalAndLedger:
     def test_rmst_hand(self, spark):
         from p2_mapreduce_spark.operators.events_analytics import rmst
