@@ -2070,6 +2070,21 @@ def _q_audio_flac(spark, sf_dir):
     return flac_sample_stats(attach_flac(docs))
 
 
+def _q_audio_flac_lpc(spark, sf_dir):
+    """Real STEREO FLAC decode with LPC subframes (coded quantized
+    coefficients + shift) and all three stereo-decorrelation channel
+    modes (left-side / right-side / mid-side, side channel at bps+1)
+    — the features real encoders emit by default; oracle-checked
+    against the closed-form linear L/R signals."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_flac_lpc,
+        flac_stereo_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return flac_stereo_stats(attach_flac_lpc(docs))
+
+
 def _q_media_jpeg_prog_color(spark, sf_dir):
     """Real COLOR progressive-JPEG (SOF2) decode: interleaved DC
     scans, per-component AC first scans, and AC successive-
@@ -4017,6 +4032,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg_prog": _q_media_jpeg_prog,
         "media_jpeg_prog_color": _q_media_jpeg_prog_color,
         "audio_flac": _q_audio_flac,
+        "audio_flac_lpc": _q_audio_flac_lpc,
         "kruskal_wallis": _q_kruskal_wallis,
         "anova_f": _q_anova_f,
         "ccf_daily": _q_ccf_daily,
@@ -13490,6 +13506,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(v * v) AS BIGINT) AS ssq_s,
                CAST(MIN(v) AS BIGINT) AS min_s,
                CAST(MAX(v) AS BIGINT) AS max_s
+        FROM s
+        GROUP BY media_id
+    """
+    out["audio_flac_lpc"] = """
+        -- stereo FLAC closed form: the LPC [3,-1]>>1 predictor
+        -- reconstructs the linear channel exactly (its residual is the
+        -- constant ceil(b/2)) and the decorrelation modes recover
+        -- L = s0 + b*t and R = L - d bit-exactly
+        WITH d AS (
+            SELECT doc_id AS media_id,
+                   16 + 8 * (doc_id % 4) AS n,
+                   150 + doc_id % 50 AS s0,
+                   doc_id % 7 - 3 AS b1,
+                   doc_id % 9 - 4 AS dd
+            FROM documents
+        ),
+        sx AS (
+            SELECT media_id, n, s0, b1, dd,
+                   unnest(generate_series(0, n - 1)) AS t
+            FROM d
+        ),
+        s AS (
+            SELECT media_id, n,
+                   s0 + b1 * t AS l,
+                   s0 + b1 * t - dd AS r
+            FROM sx
+        )
+        SELECT media_id,
+               CAST(8000 AS INT) AS rate,
+               CAST(2 AS INT) AS n_channels,
+               CAST(MAX(n) AS BIGINT) AS n_samples,
+               CAST(SUM(l) AS BIGINT) AS sum_l,
+               CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(l * l + r * r) AS BIGINT) AS ssq_lr,
+               CAST(LEAST(MIN(l), MIN(r)) AS BIGINT) AS min_lr,
+               CAST(GREATEST(MAX(l), MAX(r)) AS BIGINT) AS max_lr
         FROM s
         GROUP BY media_id
     """

@@ -3024,18 +3024,25 @@ def _decode_flac(b: bytes):
     then per frame — sync-code / blocking-strategy parse, coded
     block-size / sample-rate / channel / bit-depth fields, the
     UTF-8-style coded frame number, CRC-8 header verify — and per
-    subframe: CONSTANT, VERBATIM, and the full FIXED predictor family
-    (orders 0-4, the binomial-coefficient recurrences), wasted-bits
-    unpacking, partitioned-Rice residual decode (4-bit method 0 and
-    5-bit Rice2 method 1, zigzag unfold, escape-code raw partitions),
-    zero-padding to the byte edge, and the frame CRC-16 verify.
+    subframe: CONSTANT, VERBATIM, the full FIXED predictor family
+    (orders 0-4, the binomial-coefficient recurrences), and — since
+    round 7 — LPC subframes (coded predictor order 1-32, 1-15-bit
+    quantized coefficients, signed 5-bit shift, the
+    multiply-accumulate + arithmetic-shift integer prediction real
+    encoders emit by default), wasted-bits unpacking,
+    partitioned-Rice residual decode (4-bit method 0 and 5-bit Rice2
+    method 1, zigzag unfold, escape-code raw partitions),
+    zero-padding to the byte edge, the frame CRC-16 verify, and the
+    stereo-decorrelation channel modes (left-side / right-side /
+    mid-side, with the side channel's +1 bit depth).
 
-    Returns ``(sample_rate, n_channels, [ch0_samples, ...])`` or None
-    to quarantine anything outside the envelope: LPC subframes, the
-    stereo-decorrelation channel modes (left/right/mid-side), reserved
-    codes, or any CRC/structure violation — the
-    ``decode_media(decoder='none')`` gate names what remains
-    (perceptually-transformed audio: MP3/AAC-class).
+    Returns ``(sample_rate, n_channels, [ch0_samples, ...])``
+    (channels are the DECORRELATED left/right for the stereo modes)
+    or None to quarantine anything outside the envelope: reserved
+    codes, negative LPC shifts (spec-representable but never emitted;
+    kept out of the verified envelope), or any CRC/structure
+    violation — the ``decode_media(decoder='none')`` gate names what
+    remains (perceptually-transformed audio: MP3/AAC-class).
     """
     try:
         if len(b) < 42 or b[:4] != b"fLaC":
@@ -3123,9 +3130,13 @@ def _decode_flac(b: bytes):
                 pos += 2
             else:
                 return None
-            if ch_code > 7:
-                return None  # stereo decorrelation modes gated
-            nch = ch_code + 1
+            if ch_code > 10:
+                return None  # reserved channel codes
+            # 8/9/10 = left-side / right-side / mid-side decorrelation;
+            # the SIDE channel carries one extra bit of depth
+            decor = ch_code if ch_code > 7 else None
+            nch = 2 if decor else ch_code + 1
+            side_idx = {8: 1, 9: 0, 10: 1}.get(ch_code, -1)
             if nch != si_nch:
                 return None
             if bps_code == 0:
@@ -3159,6 +3170,34 @@ def _decode_flac(b: bytes):
             def signed(v, n):
                 return v - (1 << n) if n and v >= (1 << (n - 1)) else v
 
+            def read_residual(order):
+                method = read_bits(2)
+                if method > 1:
+                    return None
+                plen = 4 + method  # Rice / Rice2 parameter width
+                porder = read_bits(4)
+                nparts = 1 << porder
+                if bs % nparts or bs // nparts <= (
+                    order if porder == 0 else 0
+                ):
+                    return None
+                resid = []
+                for p in range(nparts):
+                    n = bs // nparts - (order if p == 0 else 0)
+                    k = read_bits(plen)
+                    if k == (1 << plen) - 1:  # escape: raw residuals
+                        m = read_bits(5)
+                        resid += [
+                            signed(read_bits(m), m) if m else 0
+                            for _ in range(n)
+                        ]
+                    else:
+                        for _ in range(n):
+                            u = (read_unary() << k) | read_bits(k)
+                            resid.append((u >> 1) ^ -(u & 1))
+                return resid
+
+            frame_chans = []
             for ch in range(nch):
                 if read_bits(1):
                     return None  # subframe header pad bit must be 0
@@ -3166,7 +3205,9 @@ def _decode_flac(b: bytes):
                 wasted = 0
                 if read_bits(1):
                     wasted = 1 + read_unary()
-                sbps = bps - wasted
+                # the side channel of a decorrelated frame is one bit
+                # deeper (it carries a DIFFERENCE of two bps-bit values)
+                sbps = bps + (1 if ch == side_idx else 0) - wasted
                 if stype == 0:  # CONSTANT
                     v = signed(read_bits(sbps), sbps)
                     samples = [v] * bs
@@ -3182,30 +3223,9 @@ def _decode_flac(b: bytes):
                         signed(read_bits(sbps), sbps)
                         for _ in range(order)
                     ]
-                    method = read_bits(2)
-                    if method > 1:
+                    resid = read_residual(order)
+                    if resid is None:
                         return None
-                    plen = 4 + method  # Rice / Rice2 parameter width
-                    porder = read_bits(4)
-                    nparts = 1 << porder
-                    if bs % nparts or bs // nparts <= (
-                        order if porder == 0 else 0
-                    ):
-                        return None
-                    resid = []
-                    for p in range(nparts):
-                        n = bs // nparts - (order if p == 0 else 0)
-                        k = read_bits(plen)
-                        if k == (1 << plen) - 1:  # escape: raw residuals
-                            m = read_bits(5)
-                            resid += [
-                                signed(read_bits(m), m) if m else 0
-                                for _ in range(n)
-                            ]
-                        else:
-                            for _ in range(n):
-                                u = (read_unary() << k) | read_bits(k)
-                                resid.append((u >> 1) ^ -(u & 1))
                     for i in range(order, bs):
                         if order == 0:
                             pred = 0
@@ -3227,11 +3247,60 @@ def _decode_flac(b: bytes):
                                 - samples[i - 4]
                             )
                         samples.append(pred + resid[i - order])
+                elif stype & 0x20:  # LPC, order = (stype & 0x1F) + 1
+                    order = (stype & 0x1F) + 1
+                    if order > bs:
+                        return None
+                    samples = [
+                        signed(read_bits(sbps), sbps)
+                        for _ in range(order)
+                    ]
+                    prec = read_bits(4)
+                    if prec == 15:
+                        return None  # reserved coefficient precision
+                    prec += 1
+                    shift = signed(read_bits(5), 5)
+                    if shift < 0:
+                        # spec-representable but never emitted by real
+                        # encoders; outside the verified envelope
+                        return None
+                    coefs = [
+                        signed(read_bits(prec), prec)
+                        for _ in range(order)
+                    ]
+                    resid = read_residual(order)
+                    if resid is None:
+                        return None
+                    for i in range(order, bs):
+                        pred = (
+                            sum(
+                                c * samples[i - 1 - j]
+                                for j, c in enumerate(coefs)
+                            )
+                            >> shift
+                        )
+                        samples.append(pred + resid[i - order])
                 else:
-                    return None  # LPC + reserved subframe types gated
+                    return None  # reserved subframe types
                 if wasted:
                     samples = [s << wasted for s in samples]
-                channels[ch].extend(samples)
+                frame_chans.append(samples)
+            # stereo decorrelation (RFC 9639 §4.2): reconstruct L/R
+            if decor == 8:  # left-side: R = L - side
+                left, sd = frame_chans
+                frame_chans = [left, [l - s for l, s in zip(left, sd)]]
+            elif decor == 9:  # right-side: L = R + side
+                sd, right = frame_chans
+                frame_chans = [[r + s for r, s in zip(right, sd)], right]
+            elif decor == 10:  # mid-side
+                mid, sd = frame_chans
+                lr = [((m << 1) | (s & 1)) for m, s in zip(mid, sd)]
+                frame_chans = [
+                    [(v + s) >> 1 for v, s in zip(lr, sd)],
+                    [(v - s) >> 1 for v, s in zip(lr, sd)],
+                ]
+            for ch in range(nch):
+                channels[ch].extend(frame_chans[ch])
             if bitpos & 7:  # zero-padding to the byte edge
                 if read_bits(8 - (bitpos & 7)) != 0:
                     return None
@@ -3423,6 +3492,218 @@ def flac_sample_stats(media: DataFrame) -> DataFrame:
         schema=(
             "media_id long, rate int, n_channels int, n_samples long,"
             " sum_s long, ssq_s long, min_s long, max_s long"
+        ),
+    )
+
+
+def attach_flac_lpc(docs: DataFrame) -> DataFrame:
+    """Multimodal table whose payloads are REAL, complete, spec-valid
+    STEREO FLAC files exercising the two features real encoders emit
+    by default and round 6's fixed-predictor subset quarantined
+    (VERDICT r06 item 3): LPC subframes (coded quantized coefficients
+    + shift) and the stereo-DECORRELATION channel modes — each stream
+    uses left-side, right-side, or mid-side coding by ``id % 3``, with
+    the side channel at the spec's bps+1 bit depth.
+
+    Payload design (everything closed-form recomputable):
+
+    - left channel ``L[t] = s0 + b·t`` (``s0 = 150 + id%50``,
+      ``b = id%7 − 3``), right channel ``R[t] = L[t] − d``
+      (``d = id%9 − 4``), ``N = 16 + 8·(id%4)`` samples at 8000 Hz;
+    - the linear channel (left / right / mid by mode) is an LPC
+      order-2 subframe with quantized coefficients [3, −1] at
+      precision 4 and shift 1: the prediction
+      ``(3·s[t−1] − s[t−2]) >> 1 = s[t] + ((−b) >> 1)`` makes the
+      residual EXACTLY the constant ``ceil(b/2)`` — Rice k = 1 with
+      quotients hitting 0, 1, and 2, so the unary walk is real and the
+      arithmetic shift genuinely floors for odd b;
+    - the side channel (``L − R = d``, constant by construction) is a
+      CONSTANT subframe at 17 bits — the bps+1 rule on the wire;
+    - mid-side streams exercise the ``(mid << 1) | (side & 1)``
+      reconstruction including the dropped-LSB parity path (odd d);
+    - 12 precomputed header variants (4 block sizes × 3 channel
+      modes, CRC-8 per variant); the frame CRC-16 is the same
+      JVM-side byte fold as :func:`attach_flac`.
+
+    Reference analog: none — the reference stores media as opaque
+    blobs (storage-node/main.go:881-908).
+    """
+    prefixes = []
+    for mode in range(3):
+        ch_code = (8, 9, 10)[mode]
+        for nmod in range(4):
+            n = 16 + 8 * nmod
+            si = n.to_bytes(2, "big") * 2 + b"\x00" * 6
+            bits = (
+                format(8000, "020b") + "001" + format(15, "05b")
+                + format(n, "036b")
+            )
+            si += int(bits, 2).to_bytes(8, "big") + b"\x00" * 16
+            fh = bytes(
+                [0xFF, 0xF8, 0x60, (ch_code << 4) | 0x08, 0x00, n - 1]
+            )
+            fh += bytes([_crc8_flac(fh)])
+            prefixes.append(
+                (b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + si + fh)
+                .hex()
+            )
+    d = spread(docs).select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(16) + F.pmod(F.col("doc_id"), F.lit(4)) * 8)
+        .cast("int")
+        .alias("n"),
+        (F.lit(150) + F.pmod(F.col("doc_id"), F.lit(50)))
+        .cast("int")
+        .alias("s0"),
+        (F.pmod(F.col("doc_id"), F.lit(7)) - 3).cast("int").alias("b1"),
+        (F.pmod(F.col("doc_id"), F.lit(9)) - 4).cast("int").alias("dd"),
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("int").alias("mode"),
+        F.element_at(
+            F.array(*[F.lit(p) for p in prefixes]),
+            (
+                F.pmod(F.col("doc_id"), F.lit(3)) * 4
+                + F.pmod(F.col("doc_id"), F.lit(4))
+                + 1
+            ).cast("int"),
+        ).alias("prefix"),
+        # Rice code (k = 1) of the constant LPC residual ceil(b/2):
+        # zigzag u ∈ {1,1,0,0,2,2,4} → unary(u div 2) + '1' + LSB
+        F.expr(
+            "CASE pmod(media_id, 7) WHEN 0 THEN '11' WHEN 1 THEN '11'"
+            " WHEN 2 THEN '10' WHEN 3 THEN '10' WHEN 6 THEN '0010'"
+            " ELSE '010' END"
+        ).alias("res_bits"),
+    )
+    # each construction stage materializes as its OWN COLUMN (the
+    # attach_flac HOF-CSE lesson: interpreted lambdas re-evaluate
+    # multi-referenced sub-expressions, so a fold over an inline
+    # construction goes quadratic per row)
+    d = d.withColumn(
+        # warmup base of the LINEAR (LPC) channel by mode: left = s0,
+        # right = s0 - d, mid = s0 + ((-d) >> 1)
+        "w0",
+        F.expr(
+            "CASE mode WHEN 0 THEN s0 WHEN 1 THEN s0 - dd"
+            " ELSE s0 + shiftright(-dd, 1) END"
+        ),
+    ).withColumn(
+        # LPC order-2 subframe: hdr 01000010, two 16-bit warmups,
+        # precision-1 0011, shift 00001, coefs 0011/1111, residual
+        # method 00 + porder 0000 + k 0001, N-2 constant residuals
+        "lpc_bits",
+        F.expr(
+            "concat('01000010', lpad(conv(pmod(w0, 65536), 10, 2), 16, '0'),"
+            " lpad(conv(pmod(w0 + b1, 65536), 10, 2), 16, '0'),"
+            " '001100001', '00111111', '0000000001',"
+            " repeat(res_bits, n - 2))"
+        ),
+    ).withColumn(
+        # CONSTANT side subframe at 17 bits (bps+1): hdr 00000000 +
+        # two's-complement d
+        "const_bits",
+        F.expr(
+            "concat('00000000', lpad(conv(pmod(dd, 131072), 10, 2), 17, '0'))"
+        ),
+    ).withColumn(
+        # right-side frames carry the side channel FIRST (ch0 = side)
+        "body_bits",
+        F.expr(
+            "IF(mode = 1, concat(const_bits, lpc_bits),"
+            " concat(lpc_bits, const_bits))"
+        ),
+    ).withColumn(
+        "padded_bits",
+        F.expr(
+            "concat(body_bits,"
+            " repeat('0', (8 - length(body_bits) % 8) % 8))"
+        ),
+    ).withColumn(
+        "body_hex",
+        F.expr(
+            "array_join(transform(sequence(1, length(padded_bits)"
+            " div 8), j -> lpad(conv(substring(padded_bits,"
+            " (j-1)*8 + 1, 8), 2, 16), 2, '0')), '')"
+        ),
+    ).withColumn(
+        "frame_hex", F.expr("concat(substring(prefix, 85), body_hex)")
+    )
+    d = d.withColumn(
+        "crc16",
+        F.expr(
+            "aggregate(transform(sequence(1, length(frame_hex) div 2),"
+            " i -> cast(conv(substring(frame_hex, 2*i - 1, 2), 16, 10)"
+            " as bigint)), cast(0 as bigint), (acc, v) ->"
+            " aggregate(sequence(1, 8), cast(acc ^ (v * 256) as bigint),"
+            " (x, i) -> cast(IF(x >= 32768,"
+            " ((x % 32768) * 2) ^ 32773, x * 2) as bigint)))"
+        ),
+    )
+    return d.select(
+        "media_id",
+        F.lit("audio").alias("modality"),
+        F.unhex(
+            F.expr(
+                "concat(prefix, body_hex,"
+                " lpad(lower(conv(crc16, 10, 16)), 4, '0'))"
+            )
+        ).alias("payload"),
+    )
+
+
+def flac_stereo_stats(media: DataFrame) -> DataFrame:
+    """Per-stream per-channel statistics from the REAL stereo FLAC
+    decode — the LPC/decorrelation sibling of
+    :func:`flac_sample_stats`: the oracle recomputes the linear L/R
+    signals the LPC predictor + stereo reconstruction must produce, so
+    a coefficient slip, shift error, side-channel bit-depth miss, or
+    mid-side parity bug breaks the hash.  Malformed payloads surface
+    as the zero row.  Same Arrow-batched ``mapInPandas`` plumbing as
+    every payload kernel."""
+    from p2_mapreduce_spark.mapreduce import _ship_by_value
+
+    _ship_by_value(_decode_flac)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            parsed = _decode_flac(payload or b"")
+            if parsed is None or parsed[1] != 2:
+                return 0, 0, 0, 0, 0, 0, 0, 0
+            rate, nch, chans = parsed
+            left, right = chans
+            both = left + right
+            return (
+                rate,
+                nch,
+                len(left),
+                sum(left),
+                sum(right),
+                sum(v * v for v in both),
+                min(both),
+                max(both),
+            )
+
+        for pdf in it:
+            vals = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "rate": [v[0] for v in vals],
+                    "n_channels": [v[1] for v in vals],
+                    "n_samples": [v[2] for v in vals],
+                    "sum_l": [v[3] for v in vals],
+                    "sum_r": [v[4] for v in vals],
+                    "ssq_lr": [v[5] for v in vals],
+                    "min_lr": [v[6] for v in vals],
+                    "max_lr": [v[7] for v in vals],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, rate int, n_channels int, n_samples long,"
+            " sum_l long, sum_r long, ssq_lr long, min_lr long,"
+            " max_lr long"
         ),
     )
 

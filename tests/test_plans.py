@@ -358,6 +358,13 @@ PYTHON_ALLOWED = {
     "media_jpeg_prog_dri",
     # round 6: 4:2:0 chroma-subsampled progressive JPEG — same kernel
     "media_jpeg420_prog",
+    # round 7: stereo FLAC with LPC subframes + decorrelation modes —
+    # the flac_stereo_stats Arrow kernel, like audio_flac
+    "audio_flac_lpc",
+    # round 7: MPEG-1 Layer I subband decode (header/bit-allocation/
+    # scalefactor/requantization half of the perceptual-audio gate) —
+    # Arrow-batched payload kernel like audio_adpcm
+    "audio_mp1",
 }
 
 

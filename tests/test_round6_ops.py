@@ -55,9 +55,12 @@ class TestFlac:
         )
         assert _decode_flac(pcm) is None
 
-    def test_lpc_and_stereo_gated(self, spark):
-        """An LPC subframe type or a decorrelated-stereo channel code
-        quarantines instead of mis-decoding."""
+    def test_frame_channel_and_bitstream_cross_checks(self, spark):
+        """LPC subframes and decorrelated-stereo channel codes are
+        SUPPORTED since round 7 (audio_flac_lpc) — what must still
+        quarantine here: a stereo channel code against a mono
+        STREAMINFO (channel-count cross-check), and a subframe-type
+        rewrite whose reinterpretation breaks the frame CRC."""
         from p2_mapreduce_spark.operators.multimodal import (
             _crc8_flac,
             _decode_flac,
@@ -67,16 +70,19 @@ class TestFlac:
         docs = spark.createDataFrame([(2, "x")], ["doc_id", "text"])
         payload = bytearray(attach_flac(docs).collect()[0]["payload"])
         frame_start = 42
-        # channel code 8 (left/side) in frame-header byte 3 → gated
-        # even with the CRC-8 recomputed to match
+        # channel code 8 (left/side, 2 channels) in frame-header byte 3
+        # contradicts the mono STREAMINFO → quarantined even with the
+        # CRC-8 recomputed to match
         bad = bytearray(payload)
         bad[frame_start + 3] = (8 << 4) | (bad[frame_start + 3] & 0x0F)
         bad[frame_start + 6] = _crc8_flac(
             bytes(bad[frame_start : frame_start + 6])
         )
         assert _decode_flac(bytes(bad)) is None
-        # subframe type bits 100000 (LPC order 1) → gated: rewrite the
-        # subframe header byte (pad 0 + 100000 + wasted 0 = 0x40)
+        # rewriting the subframe header to LPC order 1 (0x40) makes the
+        # remaining bits parse as coefficients/residuals the CRC-16 (or
+        # structure walk) rejects — a bit-level integrity check, since
+        # LPC itself now decodes
         bad2 = bytearray(payload)
         bad2[frame_start + 7] = 0x40
         assert _decode_flac(bytes(bad2)) is None
