@@ -2085,6 +2085,22 @@ def _q_audio_flac_lpc(spark, sf_dir):
     return flac_stereo_stats(attach_flac_lpc(docs))
 
 
+def _q_audio_mp1(spark, sf_dir):
+    """Real MPEG-1 Audio Layer I decode to the dequantized SUBBAND
+    domain (header/bit-allocation/scalefactor/requantization — the
+    bitstream half of the perceptual-audio codec family; the PCM
+    synthesis filterbank needs the normative ISO Annex 3-B.3 window
+    table and stays gated).  Oracle-checked against the closed-form
+    requantization on the exact power-of-two scalefactor lattice."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_mp1,
+        mp1_subband_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mp1_subband_stats(attach_mp1(docs))
+
+
 def _q_media_jpeg_prog_color(spark, sf_dir):
     """Real COLOR progressive-JPEG (SOF2) decode: interleaved DC
     scans, per-component AC first scans, and AC successive-
@@ -4033,6 +4049,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg_prog_color": _q_media_jpeg_prog_color,
         "audio_flac": _q_audio_flac,
         "audio_flac_lpc": _q_audio_flac_lpc,
+        "audio_mp1": _q_audio_mp1,
         "kruskal_wallis": _q_kruskal_wallis,
         "anova_f": _q_anova_f,
         "ccf_daily": _q_ccf_daily,
@@ -13543,6 +13560,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(LEAST(MIN(l), MIN(r)) AS BIGINT) AS min_lr,
                CAST(GREATEST(MAX(l), MAX(r)) AS BIGINT) AS max_lr
         FROM s
+        GROUP BY media_id
+    """
+    out["audio_mp1"] = """
+        -- Layer I closed form: requantization collapsed to ONE IEEE
+        -- division per sample (2·(c − 2^(nb−1) + 1)/(2^nb − 1)), the
+        -- scalefactor an exact power of two 2^(31−j) after the ·2^30
+        -- quantize — bit-identical to the Python kernel's doubles
+        WITH sb AS (
+            SELECT doc_id AS media_id,
+                   unnest(generate_series(0, 4 + doc_id % 5 - 1)) AS sb
+            FROM documents
+        ),
+        g AS (
+            SELECT media_id, sb,
+                   2 + (media_id + sb) % 7 AS nb,
+                   (media_id + 2 * sb) % 16 AS j,
+                   unnest(generate_series(0, 11)) AS t
+            FROM sb
+        ),
+        v AS (
+            SELECT media_id,
+                   CAST(floor(
+                       ((2.0 * ((media_id + 3 * sb + 5 * t)
+                                % ((1 << nb) - 1)
+                                - (1 << (nb - 1)) + 1))
+                        / ((1 << nb) - 1))
+                       * CAST(1::BIGINT << (31 - j) AS DOUBLE)
+                   ) AS BIGINT) AS vq
+            FROM g
+        )
+        SELECT media_id,
+               CAST(32000 AS INT) AS rate,
+               CAST(4 + media_id % 5 AS INT) AS n_subbands,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(vq) AS BIGINT) AS sum_q,
+               CAST(SUM(abs(vq)) AS BIGINT) AS sum_abs_q,
+               CAST(MIN(vq) AS BIGINT) AS min_q,
+               CAST(MAX(vq) AS BIGINT) AS max_q
+        FROM v
         GROUP BY media_id
     """
     out["kruskal_wallis"] = f"""

@@ -295,15 +295,23 @@ def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """
     if decoder == "none":
         raise NotImplementedError(
-            "perceptually-transformed audio (MP3/AAC-class) codecs "
-            "(torchaudio/PyAV) are not available in this environment — "
-            "the ONLY remaining codec gate: every shipped still-image "
-            "JPEG configuration now decodes (baseline gray/4:4:4/4:2:0 "
-            "with DRI; progressive gray/color incl. AC refinement, "
-            "restart intervals, AND 4:2:0 subsampling via "
-            "jpeg_pixel_sums/jpeg_pixel_stats), plus BMP/PNG, "
-            "RIFF/PCM + IMA-ADPCM + FLAC audio, and MJPEG video; use "
-            "decoder='real', 'headers', or 'fake' (deterministic stub)"
+            "the remaining codec gate, PERMANENTLY re-scoped in round "
+            "7: PCM synthesis for perceptually-coded audio. MPEG-1 "
+            "Layer I now decodes to the dequantized SUBBAND domain "
+            "(_decode_mp1: sync/header, bit allocation, scalefactors, "
+            "forbidden-code checks, ISO 11172-3 §2.4.3.3 "
+            "requantization), but subband→PCM needs the normative "
+            "512-coefficient synthesis window of Annex 3-B.3 — a "
+            "lookup table with NO closed form and no source in this "
+            "container (torchaudio/PyAV absent) — and MP3/AAC "
+            "additionally need their Huffman tables + IMDCT. "
+            "Everything else decodes fully: every shipped JPEG "
+            "configuration (baseline gray/4:4:4/4:2:0 with DRI; "
+            "progressive gray/color incl. AC refinement, restart "
+            "intervals, 4:2:0), BMP/PNG stills, RIFF/PCM + IMA-ADPCM "
+            "audio, FLAC incl. LPC + left/right/mid-side stereo, and "
+            "MJPEG video; use decoder='real', 'headers', or 'fake' "
+            "(deterministic stub)"
         )
     if decoder not in _DECODERS:
         raise ValueError(f"unknown decoder {decoder!r}")
@@ -3927,4 +3935,261 @@ def attach_jpeg420_prog(docs: DataFrame) -> DataFrame:
         "media_id",
         F.lit("image").alias("modality"),
         F.unhex(payload_hex).alias("payload"),
+    )
+
+
+#: MPEG-1 Audio (ISO/IEC 11172-3) Layer I bitrate table (kbit/s),
+#: indexed by the header's 4-bit bitrate_index (0 = free format,
+#: 15 = forbidden) — Table B.1 alongside the sampling-frequency codes.
+_MP1_BITRATES = (
+    0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448,
+)
+_MPEG1_RATES = (44100, 48000, 32000)
+
+
+def _decode_mp1(b: bytes):
+    """Real MPEG-1 Audio Layer I decoder to the DEQUANTIZED SUBBAND
+    domain (ISO/IEC 11172-3 §2.4, stdlib only): 11-bit syncword + ID/
+    layer/protection parse, bitrate + sampling-frequency tables and
+    the slot-exact frame length, per-subband 4-bit bit allocation
+    (code 15 forbidden), 6-bit scalefactor indices (63 reserved),
+    12 samples per allocated subband with the ALL-ONES forbidden-code
+    check, and the §2.4.3.3 requantization
+    ``s'' = (2^nb/(2^nb−1)) · (s''' + 2^(1−nb))`` with the MSB-inverted
+    two's-complement fraction s''' — algebraically collapsed to the
+    single-rounding form ``s'' = 2·(c − 2^(nb−1) + 1) / (2^nb − 1)``
+    (identical by exact dyadic arithmetic; one IEEE division per
+    sample, so the doubles are engine-portable), then scaled by the
+    Table B.1 scalefactor ``2 · 2^(−idx/3)``.
+
+    What is NOT here — and is the codec gate's remaining honest scope
+    (see :func:`decode_media`): the polyphase SYNTHESIS filterbank to
+    PCM requires the 512-coefficient analysis/synthesis window of
+    ISO 11172-3 Annex 3-B.3, a normative lookup table with no closed
+    form, which this container has no source for (torchaudio/PyAV
+    absent); everything bitstream-side of that table is decoded here.
+
+    Returns ``(sample_rate, [(subband, scf_idx, [12 dequantized
+    subband samples as floor(s·2^30) ints]), ...])`` or None to
+    quarantine: free-format/forbidden bitrates, reserved sampling
+    codes, CRC-protected or non-mono frames (envelope), allocation
+    code 15, scalefactor 63, the all-ones sample code, or any
+    length/structure violation.
+    """
+    try:
+        if len(b) < 4 or b[0] != 0xFF or (b[1] & 0xE0) != 0xE0:
+            return None  # 11-bit syncword
+        if not b[1] & 0x08:
+            return None  # ID = 0 (MPEG-2) out of envelope
+        if (b[1] >> 1) & 0x3 != 0x3:
+            return None  # layer bits '11' = Layer I
+        if not b[1] & 0x1:
+            return None  # protection_bit 0 (CRC frame) out of envelope
+        br_idx, sf_idx = b[2] >> 4, (b[2] >> 2) & 0x3
+        if br_idx in (0, 15) or sf_idx == 3:
+            return None  # free-format / forbidden / reserved
+        rate = _MPEG1_RATES[sf_idx]
+        padding = (b[2] >> 1) & 1
+        n_slots = 12 * _MP1_BITRATES[br_idx] * 1000 // rate + padding
+        if len(b) != 4 * n_slots:
+            return None  # single-frame envelope, slot-exact length
+        if b[3] >> 6 != 0x3:
+            return None  # mono (single_channel) envelope
+        bitpos = 32
+
+        def read_bits(n):
+            nonlocal bitpos
+            out = 0
+            for _ in range(n):
+                out = (out << 1) | (
+                    (b[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+                )
+                bitpos += 1
+            return out
+
+        alloc = []
+        for _sb in range(32):
+            a = read_bits(4)
+            if a == 15:
+                return None  # forbidden allocation code
+            alloc.append(a + 1 if a else 0)
+        scf = {}
+        for sb in range(32):
+            if alloc[sb]:
+                idx = read_bits(6)
+                if idx == 63:
+                    return None  # reserved scalefactor index
+                scf[sb] = idx
+        codes = {sb: [] for sb in range(32) if alloc[sb]}
+        for _t in range(12):
+            for sb in range(32):
+                nb = alloc[sb]
+                if nb:
+                    c = read_bits(nb)
+                    if c == (1 << nb) - 1:
+                        return None  # all-ones code is forbidden
+                    codes[sb].append(c)
+        if bitpos > 8 * len(b):
+            return None
+        import math
+
+        out = []
+        for sb in sorted(codes):
+            nb, idx = alloc[sb], scf[sb]
+            half, levels = 1 << (nb - 1), (1 << nb) - 1
+            vals = []
+            for c in codes[sb]:
+                s2 = (2.0 * (c - half + 1)) / levels  # one IEEE division
+                if idx % 3 == 0:
+                    # sf = 2^(1 - idx/3): sf · 2^30 is the exact
+                    # power of two 2^(31 - idx/3) — no pow() anywhere
+                    # on the oracle-checked lattice
+                    v = math.floor(s2 * (1 << (31 - idx // 3)))
+                else:
+                    sf = 2.0 * 2.0 ** (-idx / 3.0)
+                    v = math.floor(s2 * sf * (1 << 30))
+                vals.append(v)
+            out.append((sb, idx, vals))
+        return rate, out
+    except Exception:
+        return None
+
+
+def attach_mp1(docs: DataFrame) -> DataFrame:
+    """Multimodal table whose payloads are REAL, complete, spec-valid
+    MPEG-1 Audio Layer I frames (ISO/IEC 11172-3) — the bitstream/
+    requantization half of the perceptual-audio codec family, built
+    entirely JVM-side like every payload builder:
+
+    - header ``FF FF 48 C0``: sync + MPEG-1 + Layer I + no-CRC,
+      128 kbit/s @ 32 kHz (48 slots → one exact 192-byte frame),
+      single-channel;
+    - ``nalloc = 4 + id%5`` allocated subbands (0..nalloc−1), each
+      with ``nb = 2 + (id+sb)%7`` sample bits (allocation code nb−1);
+    - scalefactor indices ``3·((id + 2·sb) % 16)`` — every emitted
+      index is ≡ 0 (mod 3), so the Table B.1 value ``2·2^(−idx/3)``
+      is the EXACT power of two ``2^(1−idx/3)`` and the oracle's
+      per-sample quantized doubles are engine-portable (the decoder
+      implements the full table; the builder stays on the exact
+      lattice — same stance as the pinned-IEEE trees everywhere);
+    - sample codes ``c = (id + 3·sb + 5·t) % (2^nb − 1)`` — never the
+      forbidden all-ones pattern, covering the full level range;
+    - zero ancillary bytes pad the frame to its slot-exact length.
+
+    Reference analog: none — the reference stores media as opaque
+    blobs (storage-node/main.go:881-908).
+    """
+    d = spread(docs).select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(4) + F.pmod(F.col("doc_id"), F.lit(5)))
+        .cast("int")
+        .alias("nalloc"),
+    )
+    # each construction stage is its OWN COLUMN (HOF-CSE discipline —
+    # interpreted lambdas re-evaluate multi-referenced subexpressions)
+    d = d.withColumn(
+        "alloc_bits",
+        F.expr(
+            "array_join(transform(sequence(0, 31), sb ->"
+            " IF(sb < nalloc,"
+            " lpad(conv(1 + pmod(media_id + sb, 7), 10, 2), 4, '0'),"
+            " '0000')), '')"
+        ),
+    ).withColumn(
+        "scf_bits",
+        F.expr(
+            "array_join(transform(sequence(0, nalloc - 1), sb ->"
+            " lpad(conv(3 * pmod(media_id + 2 * sb, 16), 10, 2), 6,"
+            " '0')), '')"
+        ),
+    ).withColumn(
+        "sample_bits",
+        F.expr(
+            "array_join(transform(sequence(0, 11), t ->"
+            " array_join(transform(sequence(0, nalloc - 1), sb ->"
+            " lpad(conv(pmod(media_id + 3 * sb + 5 * t,"
+            " shiftleft(1, 2 + pmod(media_id + sb, 7)) - 1), 10, 2),"
+            " 2 + pmod(media_id + sb, 7), '0')), '')), '')"
+        ),
+    ).withColumn(
+        "body_bits",
+        F.expr("concat(alloc_bits, scf_bits, sample_bits)"),
+    ).withColumn(
+        "padded_bits",
+        F.expr(
+            "concat(body_bits,"
+            " repeat('0', (8 - length(body_bits) % 8) % 8))"
+        ),
+    ).withColumn(
+        "body_hex",
+        F.expr(
+            "array_join(transform(sequence(1, length(padded_bits)"
+            " div 8), j -> lpad(conv(substring(padded_bits,"
+            " (j-1)*8 + 1, 8), 2, 16), 2, '0')), '')"
+        ),
+    )
+    return d.select(
+        "media_id",
+        F.lit("audio").alias("modality"),
+        F.unhex(
+            F.expr(
+                "concat('ffff48c0', body_hex,"
+                " repeat('00', 188 - length(body_hex) div 2))"
+            )
+        ).alias("payload"),
+    )
+
+
+def mp1_subband_stats(media: DataFrame) -> DataFrame:
+    """Per-stream statistics over the REAL Layer I subband decode —
+    the perceptual-audio sibling of :func:`flac_sample_stats`: the
+    oracle regenerates every dequantized subband sample closed-form
+    (requantization collapsed to one pinned IEEE division per sample,
+    scalefactors on the exact power-of-two lattice), so a bit-
+    allocation walk slip, scalefactor misread, MSB-inversion error,
+    or forbidden-code miss breaks the hash.  Malformed payloads
+    surface as the zero row.  Same Arrow-batched ``mapInPandas``
+    plumbing as every payload kernel."""
+    from p2_mapreduce_spark.mapreduce import _ship_by_value
+
+    _ship_by_value(_decode_mp1)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            parsed = _decode_mp1(payload or b"")
+            if parsed is None:
+                return 0, 0, 0, 0, 0, 0, 0
+            rate, subbands = parsed
+            vals = [v for _sb, _idx, vs in subbands for v in vs]
+            return (
+                rate,
+                len(subbands),
+                len(vals),
+                sum(vals),
+                sum(abs(v) for v in vals),
+                min(vals),
+                max(vals),
+            )
+
+        for pdf in it:
+            vals = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "rate": [v[0] for v in vals],
+                    "n_subbands": [v[1] for v in vals],
+                    "n_samples": [v[2] for v in vals],
+                    "sum_q": [v[3] for v in vals],
+                    "sum_abs_q": [v[4] for v in vals],
+                    "min_q": [v[5] for v in vals],
+                    "max_q": [v[6] for v in vals],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, rate int, n_subbands int, n_samples long,"
+            " sum_q long, sum_abs_q long, min_q long, max_q long"
+        ),
     )

@@ -129,3 +129,114 @@ class TestFlacLpc:
         left = [s0 + b * t for t in range(n)]
         assert parsed[2][0] == left
         assert parsed[2][1] == [v - d for v in left]
+
+
+def _mp1_bytes(doc_id, header=None, mutate_bits=None):
+    """Python twin of attach_mp1's JVM hex fold, with knobs for
+    out-of-envelope variants."""
+    nalloc = 4 + doc_id % 5
+    bits = ""
+    nbs = {}
+    for sb in range(32):
+        if sb < nalloc:
+            nb = 2 + (doc_id + sb) % 7
+            nbs[sb] = nb
+            bits += format(nb - 1, "04b")
+        else:
+            bits += "0000"
+    for sb in range(nalloc):
+        bits += format(3 * ((doc_id + 2 * sb) % 16), "06b")
+    for t in range(12):
+        for sb in range(nalloc):
+            nb = nbs[sb]
+            c = (doc_id + 3 * sb + 5 * t) % ((1 << nb) - 1)
+            bits += format(c, f"0{nb}b")
+    if mutate_bits:
+        bits = mutate_bits(bits)
+    bits += "0" * ((8 - len(bits) % 8) % 8)
+    body = int(bits, 2).to_bytes(len(bits) // 8, "big")
+    frame = bytes.fromhex(header or "ffff48c0") + body
+    return frame + b"\x00" * (192 - len(frame))
+
+
+class TestMp1:
+    def test_decode_matches_closed_form(self, spark):
+        """Bit allocation walk, scalefactor lattice, MSB-inverted
+        requantization: every dequantized subband sample must equal
+        the single-division closed form."""
+        import math
+
+        from p2_mapreduce_spark.operators.multimodal import (
+            _decode_mp1,
+            attach_mp1,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(25)], ["doc_id", "text"]
+        )
+        for r in attach_mp1(docs).collect():
+            mid = r["media_id"]
+            assert bytes(r["payload"]) == _mp1_bytes(mid), f"id {mid} bytes"
+            parsed = _decode_mp1(bytes(r["payload"]))
+            assert parsed is not None, f"id {mid} quarantined"
+            rate, subbands = parsed
+            assert rate == 32000 and len(subbands) == 4 + mid % 5
+            for sb, idx, vals in subbands:
+                nb = 2 + (mid + sb) % 7
+                assert idx == 3 * ((mid + 2 * sb) % 16)
+                half, levels = 1 << (nb - 1), (1 << nb) - 1
+                exp = [
+                    math.floor(
+                        ((2.0 * ((mid + 3 * sb + 5 * t) % levels
+                                 - half + 1)) / levels)
+                        * (1 << (31 - idx // 3))
+                    )
+                    for t in range(12)
+                ]
+                assert vals == exp, f"id {mid} sb {sb}"
+
+    def test_out_of_envelope_headers_quarantine(self):
+        from p2_mapreduce_spark.operators.multimodal import _decode_mp1
+
+        assert _decode_mp1(b"") is None
+        assert _decode_mp1(_mp1_bytes(3)) is not None
+        # broken sync
+        assert _decode_mp1(b"\x00" + _mp1_bytes(3)[1:]) is None
+        # Layer II bits (fd instead of ff in byte 1)
+        assert _decode_mp1(_mp1_bytes(3, header="fffd48c0")) is None
+        # protection_bit 0 (CRC frame) out of envelope
+        assert _decode_mp1(_mp1_bytes(3, header="fffe48c0")) is None
+        # free-format bitrate
+        assert _decode_mp1(_mp1_bytes(3, header="ffff08c0")) is None
+        # reserved sampling code
+        assert _decode_mp1(_mp1_bytes(3, header="ffff4cc0")) is None
+        # stereo mode out of envelope
+        assert _decode_mp1(_mp1_bytes(3, header="ffff4800")) is None
+        # wrong frame length (truncated / extended)
+        assert _decode_mp1(_mp1_bytes(3)[:-1]) is None
+        assert _decode_mp1(_mp1_bytes(3) + b"\x00") is None
+
+    def test_forbidden_codes_quarantine(self):
+        """Allocation code 15, scalefactor 63, and the all-ones sample
+        code must each quarantine."""
+        from p2_mapreduce_spark.operators.multimodal import _decode_mp1
+
+        def set_alloc15(bits):
+            return "1111" + bits[4:]
+
+        assert _decode_mp1(_mp1_bytes(3, mutate_bits=set_alloc15)) is None
+
+        def set_scf63(bits):
+            return bits[:128] + "111111" + bits[134:]
+
+        assert _decode_mp1(_mp1_bytes(3, mutate_bits=set_scf63)) is None
+
+        def set_allones_sample(bits):
+            # id 3: nalloc 7, first sample subband 0 has nb = 2 + 3%7 = 5
+            start = 128 + 6 * 7
+            return bits[:start] + "1" * 5 + bits[start + 5:]
+
+        assert (
+            _decode_mp1(_mp1_bytes(3, mutate_bits=set_allones_sample))
+            is None
+        )
