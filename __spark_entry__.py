@@ -3493,13 +3493,10 @@ def _q_nearest_join(spark, sf_dir):
 def _q_two_hop(spark, sf_dir):
     """Friend-of-friend reach: exact 1-hop and 2-hop-ring sizes for an
     absolute hash-ranked node panel of the trade graph (size pinned
-    regardless of corpus growth — the round-6 link_prediction fix)."""
-    from p2_mapreduce_spark.operators.graph import trade_two_hop
-
-    return trade_two_hop(
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "orders"),
-    )
+    regardless of corpus growth — the round-6 link_prediction fix).
+    Answered from the memoized shared reach stage (one execution per
+    suite run, shared with ``harmonic``)."""
+    return _shared_trade_reach(spark, sf_dir)
 
 
 def _q_hybrid_join(spark, sf_dir):
@@ -3800,13 +3797,174 @@ def _q_blocking_quality(spark, sf_dir):
     return blocking_quality(load_table(spark, sf_dir, "documents"))
 
 
+def _shared_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized two-hop reach stage over the trade graph (the
+    link-pairs device): ``two_hop`` surfaces it as-is and
+    ``harmonic`` derives H₂ from the same counts — one execution of
+    the reach expansion per suite run."""
+    _memo_scope(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "trade_reach")
+    if key not in _DEDUP_STAGE_MEMO:
+        from p2_mapreduce_spark.operators.graph import trade_two_hop
+
+        reach = trade_two_hop(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "orders"),
+        )
+        _DEDUP_STAGE_MEMO[key] = reach.localCheckpoint()
+    return _DEDUP_STAGE_MEMO[key]
+
+
+def _q_durbin_watson(spark, sf_dir):
+    """Durbin–Watson serial-correlation statistic of the global daily
+    revenue series (Σdiff²/Σdev², exact moments)."""
+    from p2_mapreduce_spark.operators.timeseries import durbin_watson
+
+    return durbin_watson(load_table(spark, sf_dir, "events"))
+
+
+def _q_pettitt(spark, sf_dir):
+    """Pettitt rank-based change-point test on the global daily
+    series: K = max|U_t| from exact doubled-midrank cumsums."""
+    from p2_mapreduce_spark.operators.timeseries import pettitt_test
+
+    return pettitt_test(load_table(spark, sf_dir, "events"))
+
+
+def _q_tsb(spark, sf_dir):
+    """TSB intermittent-demand forecast per event type (probability ×
+    size smoothing, day-ordered IEEE fold on the gap-filled grid)."""
+    from p2_mapreduce_spark.operators.timeseries import tsb_forecast
+
+    return tsb_forecast(load_table(spark, sf_dir, "events"))
+
+
+def _q_page_hinkley(spark, sf_dir):
+    """Page–Hinkley sequential mean-shift statistic per event type
+    (running-mean deviation fold, up/down alarms)."""
+    from p2_mapreduce_spark.operators.timeseries import page_hinkley
+
+    return page_hinkley(load_table(spark, sf_dir, "events"))
+
+
+def _q_friedman(spark, sf_dir):
+    """Friedman test of event types blocked by weekday (within-block
+    doubled midranks, KW-style fold)."""
+    from p2_mapreduce_spark.operators.timeseries import friedman_test
+
+    return friedman_test(load_table(spark, sf_dir, "events"))
+
+
+def _q_hhi(spark, sf_dir):
+    """Herfindahl–Hirschman supplier-concentration index per nation
+    (Σshare² telescoped to Σcents²/S², exact moments)."""
+    from p2_mapreduce_spark.operators.analytics import hhi_concentration
+
+    return hhi_concentration(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def _q_kendall_w(spark, sf_dir):
+    """Kendall's W concordance across the revenue/quantity/line-count
+    supplier rankings (doubled midranks, tie-corrected)."""
+    from p2_mapreduce_spark.operators.analytics import kendall_w
+
+    return kendall_w(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_bday_lag(spark, sf_dir):
+    """Order-to-ship lag histogram in BUSINESS days (closed-form
+    weekday arithmetic from an epoch Monday, no calendar table)."""
+    from p2_mapreduce_spark.operators.analytics import business_day_lag
+
+    return business_day_lag(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def _q_cliffs_delta(spark, sf_dir):
+    """Cliff's delta ordinal effect size per source vs rest (δ =
+    2·AUC − 1 over the shared exact-U machinery)."""
+    from p2_mapreduce_spark.operators.profile import cliffs_delta
+
+    return cliffs_delta(load_table(spark, sf_dir, "documents"))
+
+
+def _q_null_cooccur(spark, sf_dir):
+    """Sentinel-missingness co-occurrence lift across lineitem's
+    soft-missing columns (one-scan conditional counts)."""
+    from p2_mapreduce_spark.operators.profile import null_cooccurrence
+
+    return null_cooccurrence(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_cohens_d(spark, sf_dir):
+    """Cohen's d pooled-SD effect size between view and click values
+    (exact sufficient statistics, one sqrt)."""
+    from p2_mapreduce_spark.operators.events_analytics import cohens_d
+
+    return cohens_d(load_table(spark, sf_dir, "events"))
+
+
+def _q_mcnemar(spark, sf_dir):
+    """McNemar paired test of per-user purchasing across the two
+    calendar halves (discordant-cell χ²)."""
+    from p2_mapreduce_spark.operators.events_analytics import mcnemar_test
+
+    return mcnemar_test(load_table(spark, sf_dir, "events"))
+
+
+def _q_odds_ratio(spark, sf_dir):
+    """First-touch-view → ever-purchase odds ratio with the
+    Haldane–Anscombe ½ correction (user-grain 2×2)."""
+    from p2_mapreduce_spark.operators.events_analytics import odds_ratio
+
+    return odds_ratio(load_table(spark, sf_dir, "events"))
+
+
+def _q_burstiness(spark, sf_dir):
+    """Church–Gale term burstiness ranking (cf/df in exact ppm,
+    top-k total order)."""
+    from p2_mapreduce_spark.operators.text_analysis import text_burstiness
+
+    return text_burstiness(load_table(spark, sf_dir, "documents"))
+
+
+def _q_harmonic(spark, sf_dir):
+    """Radius-2 harmonic centrality for the absolute node panel of the
+    trade graph (H₂ = n₁ + n₂/2, exact doubled form) — derived from
+    the memoized shared reach stage."""
+    from p2_mapreduce_spark.operators.graph import harmonic_from_reach
+
+    return harmonic_from_reach(_shared_trade_reach(spark, sf_dir))
+
+
 #: Query ids that have already appeared in a driver CORRECTNESS_r{N}.json
-#: sample (the union of r01-r05).  The driver verifies the FIRST 50
+#: sample (the union of r01-r06).  The driver verifies the FIRST 50
 #: registered ids each round, so ``queries()`` registers
 #: never-driver-checked ids first — rotating the sample window across the
 #: full suite round over round.  Append each new round's sampled ids here.
-_DRIVER_CHECKED_R01_R05 = frozenset(
+_DRIVER_CHECKED_R01_R06 = frozenset(
     {
+        # --- sampled in r06 ---
+        "media_jpeg_prog_color", "audio_flac", "kruskal_wallis", "anova_f",
+        "ccf_daily", "croston", "rmst", "period_balance",
+        "receivables_aging", "rich_club", "mcc_eval", "label_noise",
+        "ht_estimate", "sentence_stats", "holt_winters", "link_jaccard",
+        "graph_modularity", "chi2_residuals", "hbos_outliers", "rbo_ranks",
+        "xyz_class", "min_cost_supplier", "custdist",
+        "media_jpeg_prog_dri", "media_jpeg420_prog", "link_prediction",
+        "otsu_threshold", "degree_assort", "token_diversity",
+        "part_ancestry", "prorate_pool", "quantile_normalize",
+        "systematic_sample", "kmv_overlap", "merkle_ranges", "twap",
+        "vocab_growth", "wilson_ci", "decayed_engagement",
+        "join_size_estimate", "label_affinity", "theil_sen", "ewma_daily",
+        "audience_overlap", "cms_sketch", "trimmed_mean", "neyman_alloc",
+        "ooo_rate", "assoc_rules", "zipf_buckets",
         # --- sampled in r05 ---
         "video_bmpstream", "tvd_drift", "gk_lambda", "runs_test",
         "spearman_daily", "kendall_tau", "mase_eval", "pinball_eval",
@@ -3860,43 +4018,48 @@ _DRIVER_CHECKED_R01_R05 = frozenset(
 #: Queries added THIS round (never existed when any driver sample ran) —
 #: registered first so the newest, highest-risk operators are always
 #: inside the driver's 50-query window.
-_ROUND6_NEW = (
-    "media_jpeg_prog_color", "audio_flac", "kruskal_wallis", "anova_f",
-    "ccf_daily", "croston", "rmst", "period_balance",
-    "receivables_aging", "rich_club", "mcc_eval", "label_noise",
-    "ht_estimate", "sentence_stats", "holt_winters", "link_jaccard",
-    "graph_modularity", "chi2_residuals", "hbos_outliers", "rbo_ranks",
-    "xyz_class", "min_cost_supplier", "custdist",
-    "media_jpeg_prog_dri", "media_jpeg420_prog",
+_ROUND7_NEW = (
+    "audio_flac_lpc", "audio_mp1", "durbin_watson", "pettitt", "tsb",
+    "page_hinkley", "friedman", "hhi", "kendall_w", "bday_lag",
+    "cliffs_delta", "null_cooccur", "cohens_d", "mcnemar", "odds_ratio",
+    "burstiness", "harmonic",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
 #: (r04 ADVICE: a prior driver check validated the OLD code, so changed
 #: ids re-enter the sample window exactly like new ids):
-#:   link_prediction — absolute hash-ranked top-K supplier panel
-#:     replaces the fractional 1/supplier_mod panel (r05 verdict weak #1);
-#:   otsu_threshold / degree_assort — sufficient-statistic frames now
-#:     materialize once instead of re-running the corpus scan per plan
-#:     branch (r05 verdict weak #2, the bench-persist regression).
-_ROUND6_CHANGED = ("link_prediction", "otsu_threshold", "degree_assort")
+#:   two_hop — absolute hash-ranked top-K node panel replaces the
+#:     fractional node%100 sample (r06 verdict weak #1, the
+#:     link_prediction fix applied), now answered from the memoized
+#:     shared reach stage;
+#:   link_prediction / link_jaccard — both consume the memoized shared
+#:     (s, c) incidence stage (r06 verdict item 5);
+#:   kruskal_wallis / anova_f / ccf_daily / rbo_ranks — empty-input /
+#:     single-group guards (r06 ADVICE);
+#:   audio_flac — the shared _decode_flac grew LPC + stereo
+#:     decorrelation; the fixed-subset query re-validates the decoder.
+_ROUND7_CHANGED = (
+    "two_hop", "link_prediction", "link_jaccard", "kruskal_wallis",
+    "anova_f", "ccf_daily", "rbo_ranks", "audio_flac",
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
     newest = {
         k: base[k]
-        for k in (*_ROUND6_NEW, *_ROUND6_CHANGED)
+        for k in (*_ROUND7_NEW, *_ROUND7_CHANGED)
         if k in base
     }
     fresh = {
         k: v
         for k, v in base.items()
-        if k not in _DRIVER_CHECKED_R01_R05 and k not in newest
+        if k not in _DRIVER_CHECKED_R01_R06 and k not in newest
     }
     seen = {
         k: v
         for k, v in base.items()
-        if k in _DRIVER_CHECKED_R01_R05 and k not in newest
+        if k in _DRIVER_CHECKED_R01_R06 and k not in newest
     }
     return {**newest, **fresh, **seen}
 
@@ -4050,6 +4213,21 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_flac": _q_audio_flac,
         "audio_flac_lpc": _q_audio_flac_lpc,
         "audio_mp1": _q_audio_mp1,
+        "durbin_watson": _q_durbin_watson,
+        "pettitt": _q_pettitt,
+        "tsb": _q_tsb,
+        "page_hinkley": _q_page_hinkley,
+        "friedman": _q_friedman,
+        "hhi": _q_hhi,
+        "kendall_w": _q_kendall_w,
+        "bday_lag": _q_bday_lag,
+        "cliffs_delta": _q_cliffs_delta,
+        "null_cooccur": _q_null_cooccur,
+        "cohens_d": _q_cohens_d,
+        "mcnemar": _q_mcnemar,
+        "odds_ratio": _q_odds_ratio,
+        "burstiness": _q_burstiness,
+        "harmonic": _q_harmonic,
         "kruskal_wallis": _q_kruskal_wallis,
         "anova_f": _q_anova_f,
         "ccf_daily": _q_ccf_daily,
@@ -13600,6 +13778,593 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(vq) AS BIGINT) AS max_q
         FROM v
         GROUP BY media_id
+    """
+    out["durbin_watson"] = f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev} GROUP BY 1
+        ),
+        diffed AS (
+            SELECT y, y - lag(y) OVER (ORDER BY d) AS dy FROM daily
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(y) AS BIGINT) AS s,
+                   SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS q,
+                   SUM(CAST(dy AS HUGEINT) * CAST(dy AS HUGEINT)) AS sd2
+            FROM diffed
+        )
+        SELECT n_days,
+               CASE WHEN n_days > 1
+                     AND (CAST(q AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n_days AS DOUBLE)) > 0.0
+                    THEN CAST(sd2 AS DOUBLE)
+                         / (CAST(q AS DOUBLE)
+                            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                              / CAST(n_days AS DOUBLE))
+                    ELSE 0.0 END AS dw
+        FROM agg WHERE n_days > 1
+    """
+    out["pettitt"] = f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev} GROUP BY 1
+        ),
+        ranked AS (
+            SELECT d,
+                   CAST(2 * rank() OVER (ORDER BY y)
+                        + COUNT(*) OVER (PARTITION BY y) - 1
+                        AS BIGINT) AS d2r
+            FROM daily
+        ),
+        cum AS (
+            SELECT d,
+                   CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+                   CAST(SUM(d2r) OVER (ORDER BY d) AS BIGINT) AS cum_d2r
+            FROM ranked
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        u AS (
+            SELECT n_days, d, t,
+                   CAST(cum_d2r - t * (n_days + 1) AS BIGINT) AS u_t
+            FROM cum, n WHERE t < n_days
+        )
+        SELECT n_days, CAST(abs(u_t) AS BIGINT) AS k_stat,
+               strftime(d, '%Y-%m-%d') AS cp_day, u_t AS u_at_cp
+        FROM u ORDER BY abs(u_t) DESC, d LIMIT 1
+    """
+    out["tsb"] = f"""
+        -- day-ordered state recursion = the Spark in-row fold, same
+        -- pinned IEEE tree per step (demand: p' = p + (1-p)/4,
+        -- z' = (y+z)/2; zero: p' = 3p/4; first demand seeds (1, y))
+        WITH RECURSIVE daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev} GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT g,
+                   CAST(unnest(generate_series(d0, d1,
+                        INTERVAL 1 DAY)) AS DATE) AS d
+            FROM (SELECT g, MIN(d) AS d0, MAX(d) AS d1
+                  FROM daily GROUP BY g)
+        ),
+        filled AS (
+            SELECT grid.g, grid.d, COALESCE(daily.y, 0) AS y,
+                   row_number() OVER (
+                       PARTITION BY grid.g ORDER BY grid.d) AS i
+            FROM grid LEFT JOIN daily
+              ON grid.g = daily.g AND grid.d = daily.d
+        ),
+        nn AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(CASE WHEN y <> 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_demand_days,
+                   MAX(i) AS last_i
+            FROM filled GROUP BY g
+        ),
+        fold AS (
+            SELECT g, i,
+                   CASE WHEN y <> 0 THEN 1.0e0 ELSE 0.0e0 END AS p,
+                   CASE WHEN y <> 0 THEN CAST(y AS DOUBLE)
+                        ELSE 0.0e0 END AS z,
+                   CASE WHEN y <> 0 THEN 1 ELSE 0 END AS started
+            FROM filled WHERE i = 1
+            UNION ALL
+            SELECT f2.g, f2.i,
+                   CASE WHEN f2.y <> 0 THEN
+                            CASE WHEN f.started = 0 THEN 1.0e0
+                                 ELSE f.p + (1.0e0 - f.p) * 0.25e0 END
+                        WHEN f.started = 0 THEN f.p
+                        ELSE f.p * 0.75e0 END,
+                   CASE WHEN f2.y <> 0 THEN
+                            CASE WHEN f.started = 0
+                                 THEN CAST(f2.y AS DOUBLE)
+                                 ELSE (CAST(f2.y AS DOUBLE) + f.z)
+                                      * 0.5e0 END
+                        ELSE f.z END,
+                   CASE WHEN f2.y <> 0 OR f.started = 1 THEN 1
+                        ELSE 0 END
+            FROM fold f JOIN filled f2
+              ON f2.g = f.g AND f2.i = f.i + 1
+        )
+        SELECT fold.g AS event_type, n_days, n_demand_days,
+               p AS p_hat, z / 100.0e0 AS z_hat,
+               p * z / 100.0e0 AS forecast
+        FROM fold JOIN nn ON fold.g = nn.g AND fold.i = nn.last_i
+        WHERE started = 1
+    """
+    out["page_hinkley"] = f"""
+        -- running-mean deviation fold: every step the same pinned
+        -- IEEE tree as the Spark aggregate() lambda
+        WITH RECURSIVE daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev} GROUP BY 1, 2
+        ),
+        seq AS (
+            SELECT g, y,
+                   row_number() OVER (PARTITION BY g ORDER BY d) AS i
+            FROM daily
+        ),
+        nn AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days,
+                   MAX(i) AS last_i
+            FROM seq GROUP BY g
+        ),
+        fold AS (
+            SELECT g, i,
+                   1.0e0 AS n, CAST(y AS DOUBLE) AS s,
+                   0.0e0 + (CAST(y AS DOUBLE)
+                            - (0.0e0 + CAST(y AS DOUBLE))
+                              / (0.0e0 + 1.0e0)) AS m,
+                   least(0.0e0,
+                         0.0e0 + (CAST(y AS DOUBLE)
+                                  - (0.0e0 + CAST(y AS DOUBLE))
+                                    / (0.0e0 + 1.0e0))) AS mn,
+                   greatest(0.0e0,
+                            0.0e0 + (CAST(y AS DOUBLE)
+                                     - (0.0e0 + CAST(y AS DOUBLE))
+                                       / (0.0e0 + 1.0e0))) AS mx
+            FROM seq WHERE i = 1
+            UNION ALL
+            SELECT s2.g, s2.i,
+                   f.n + 1.0e0,
+                   f.s + CAST(s2.y AS DOUBLE),
+                   f.m + (CAST(s2.y AS DOUBLE)
+                          - (f.s + CAST(s2.y AS DOUBLE))
+                            / (f.n + 1.0e0)),
+                   least(f.mn,
+                         f.m + (CAST(s2.y AS DOUBLE)
+                                - (f.s + CAST(s2.y AS DOUBLE))
+                                  / (f.n + 1.0e0))),
+                   greatest(f.mx,
+                            f.m + (CAST(s2.y AS DOUBLE)
+                                   - (f.s + CAST(s2.y AS DOUBLE))
+                                     / (f.n + 1.0e0)))
+            FROM fold f JOIN seq s2
+              ON s2.g = f.g AND s2.i = f.i + 1
+        )
+        SELECT fold.g AS event_type, n_days,
+               m - mn AS ph_up, mx - m AS ph_down, m AS m_final
+        FROM fold JOIN nn ON fold.g = nn.g AND fold.i = nn.last_i
+    """
+    out["friedman"] = f"""
+        WITH RECURSIVE cell AS (
+            SELECT event_type AS g,
+                   CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INT) AS blk,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev} GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT g, blk,
+                   CAST(2 * rank() OVER (PARTITION BY blk ORDER BY y)
+                        + COUNT(*) OVER (PARTITION BY blk, y) - 1
+                        AS BIGINT) AS d2r
+            FROM cell
+        ),
+        per_g AS (
+            SELECT g, CAST(SUM(d2r) AS BIGINT) AS r2j
+            FROM ranked GROUP BY g
+        ),
+        blocks AS (
+            SELECT CAST(COUNT(DISTINCT blk) AS BIGINT) AS n_blocks
+            FROM ranked
+        ),
+        idx AS (
+            SELECT g, r2j, row_number() OVER (ORDER BY g) AS i,
+                   COUNT(*) OVER () AS k
+            FROM per_g
+        ),
+        fold AS (
+            SELECT i, k,
+                   0.0e0 + (CAST(r2j AS DOUBLE) * 0.5e0)
+                         * (CAST(r2j AS DOUBLE) * 0.5e0) AS srq
+            FROM idx WHERE i = 1
+            UNION ALL
+            SELECT p.i, p.k,
+                   f.srq + (CAST(p.r2j AS DOUBLE) * 0.5e0)
+                         * (CAST(p.r2j AS DOUBLE) * 0.5e0)
+            FROM fold f JOIN idx p ON p.i = f.i + 1
+        )
+        SELECT n_blocks, CAST(k AS BIGINT) AS n_groups,
+               CASE WHEN k > 1 THEN
+                    12.0e0 * srq
+                    / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+                       * (CAST(k AS DOUBLE) + 1.0e0))
+                    - 3.0e0 * CAST(n_blocks AS DOUBLE)
+                      * (CAST(k AS DOUBLE) + 1.0e0)
+                    ELSE 0.0e0 END AS chi2_f
+        FROM fold, blocks WHERE i = k
+    """
+    out["hhi"] = """
+        WITH per AS (
+            SELECT l_suppkey,
+                   CAST(SUM(floor(l_extendedprice * 100)) AS BIGINT)
+                       AS cents
+            FROM lineitem GROUP BY 1
+        ),
+        wn AS (
+            SELECT n_name AS nation, cents
+            FROM per JOIN supplier ON l_suppkey = s_suppkey
+                     JOIN nation ON s_nationkey = n_nationkey
+        ),
+        agg AS (
+            SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
+                       AS ssq
+            FROM wn GROUP BY 1
+        )
+        SELECT nation, n_suppliers, total_cents,
+               CASE WHEN total_cents > 0
+                    THEN CAST(ssq AS DOUBLE)
+                         / (CAST(total_cents AS DOUBLE)
+                            * CAST(total_cents AS DOUBLE))
+                    ELSE 0.0 END AS hhi,
+               CASE WHEN ssq > 0
+                    THEN (CAST(total_cents AS DOUBLE)
+                          * CAST(total_cents AS DOUBLE))
+                         / CAST(ssq AS DOUBLE)
+                    ELSE 0.0 END AS effective_n
+        FROM agg ORDER BY nation
+    """
+    out["kendall_w"] = """
+        WITH per AS (
+            SELECT l_suppkey,
+                   CAST(SUM(floor(l_extendedprice * 100)) AS BIGINT)
+                       AS rev,
+                   CAST(SUM(floor(l_quantity * 100)) AS BIGINT) AS qty,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY 1
+        ),
+        ranked AS (
+            SELECT CAST(2 * rank() OVER (ORDER BY rev)
+                        + COUNT(*) OVER (PARTITION BY rev) - 1
+                        AS BIGINT)
+                 + CAST(2 * rank() OVER (ORDER BY qty)
+                        + COUNT(*) OVER (PARTITION BY qty) - 1
+                        AS BIGINT)
+                 + CAST(2 * rank() OVER (ORDER BY cnt)
+                        + COUNT(*) OVER (PARTITION BY cnt) - 1
+                        AS BIGINT) AS di
+            FROM per
+        ),
+        tsum AS (
+            SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tsum
+            FROM (
+                SELECT CAST(COUNT(*) AS BIGINT) AS t
+                FROM (
+                    SELECT rev AS v, 'a' AS j FROM per
+                    UNION ALL SELECT qty, 'b' FROM per
+                    UNION ALL SELECT cnt, 'c' FROM per
+                ) GROUP BY j, v
+            )
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(di) AS BIGINT) AS sd,
+                   SUM(CAST(di AS HUGEINT) * CAST(di AS HUGEINT)) AS sdd
+            FROM ranked
+        )
+        SELECT n_items, CAST(3 AS INT) AS k_judges,
+               CASE WHEN n_items > 1 AND
+                    (3.0 * 3.0 * (CAST(n_items AS DOUBLE)
+                                  * CAST(n_items AS DOUBLE)
+                                  * CAST(n_items AS DOUBLE)
+                                  - CAST(n_items AS DOUBLE))
+                     - 3.0 * CAST(tsum AS DOUBLE)) > 0.0
+                    THEN 3.0 * (CAST(sdd AS DOUBLE)
+                                - CAST(sd AS DOUBLE)
+                                  * CAST(sd AS DOUBLE)
+                                  / CAST(n_items AS DOUBLE))
+                         / (3.0 * 3.0 * (CAST(n_items AS DOUBLE)
+                                         * CAST(n_items AS DOUBLE)
+                                         * CAST(n_items AS DOUBLE)
+                                         - CAST(n_items AS DOUBLE))
+                            - 3.0 * CAST(tsum AS DOUBLE))
+                    ELSE 0.0 END AS w
+        FROM m, tsum WHERE n_items > 0
+    """
+    out["bday_lag"] = """
+        WITH lagged AS (
+            SELECT (5 * (date_diff('day', DATE '1992-01-06',
+                                   CAST(l_shipdate AS DATE)) // 7)
+                    + least(date_diff('day', DATE '1992-01-06',
+                                      CAST(l_shipdate AS DATE)) % 7, 5))
+                 - (5 * (date_diff('day', DATE '1992-01-06',
+                                   CAST(o_orderdate AS DATE)) // 7)
+                    + least(date_diff('day', DATE '1992-01-06',
+                                      CAST(o_orderdate AS DATE)) % 7, 5))
+                   AS bd_lag
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM lagged)
+        SELECT CAST(bd_lag AS BIGINT) AS bd_lag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(COUNT(*) AS DOUBLE) / CAST(n_all AS DOUBLE)
+                   AS pct_items
+        FROM lagged, tot GROUP BY 1, n_all ORDER BY 1
+    """
+    out["cliffs_delta"] = """
+        WITH per AS (
+            SELECT source AS g, n_chars AS v, COUNT(*) AS c
+            FROM documents GROUP BY 1, 2
+        ),
+        totals AS (SELECT g, SUM(c) AS n_g FROM per GROUP BY 1),
+        grand AS (SELECT SUM(c) AS n_all FROM per),
+        allv AS (SELECT v, SUM(c) AS c_all FROM per GROUP BY 1),
+        joined AS (
+            SELECT gs.g, a.v,
+                   COALESCE(o.c, 0) AS c_g,
+                   a.c_all - COALESCE(o.c, 0) AS c_r
+            FROM (SELECT DISTINCT g FROM per) gs
+            CROSS JOIN allv a
+            LEFT JOIN per o ON o.g = gs.g AND o.v = a.v
+        ),
+        terms AS (
+            SELECT g,
+                   CAST(c_g AS HUGEINT)
+                   * (2 * COALESCE(SUM(c_r) OVER (
+                       PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) + c_r) AS t
+            FROM joined
+        )
+        SELECT g AS source,
+               CAST(n_g AS BIGINT) AS n_group,
+               CAST(n_all - n_g AS BIGINT) AS n_rest,
+               CAST(SUM(t) AS BIGINT) AS u2,
+               2.0 * (CAST(SUM(t) AS DOUBLE)
+                      / (2.0 * n_g * (n_all - n_g))) - 1.0 AS delta
+        FROM terms JOIN totals USING (g), grand
+        GROUP BY g, n_g, n_all
+    """
+    out["null_cooccur"] = """
+        WITH f AS (
+            SELECT CAST(l_discount = 0 AS INT) AS md,
+                   CAST(l_tax = 0 AS INT) AS mt,
+                   CAST(l_returnflag = 'N' AS INT) AS mr
+            FROM lineitem
+        ),
+        a AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(md) AS BIGINT) AS ad,
+                   CAST(SUM(mt) AS BIGINT) AS at_,
+                   CAST(SUM(mr) AS BIGINT) AS ar,
+                   CAST(SUM(md * mt) AS BIGINT) AS bdt,
+                   CAST(SUM(md * mr) AS BIGINT) AS bdr,
+                   CAST(SUM(mt * mr) AS BIGINT) AS btr
+            FROM f
+        )
+        SELECT * FROM (
+            SELECT 'discount' AS col_a, 'returnflag' AS col_b, n_rows,
+                   ad AS n_a, ar AS n_b, bdr AS n_both,
+                   CASE WHEN ad > 0 AND ar > 0
+                        THEN CAST(bdr AS DOUBLE) * CAST(n_rows AS DOUBLE)
+                             / (CAST(ad AS DOUBLE) * CAST(ar AS DOUBLE))
+                        ELSE 0.0 END AS lift
+            FROM a
+            UNION ALL
+            SELECT 'discount', 'tax', n_rows, ad, at_, bdt,
+                   CASE WHEN ad > 0 AND at_ > 0
+                        THEN CAST(bdt AS DOUBLE) * CAST(n_rows AS DOUBLE)
+                             / (CAST(ad AS DOUBLE) * CAST(at_ AS DOUBLE))
+                        ELSE 0.0 END
+            FROM a
+            UNION ALL
+            SELECT 'tax', 'returnflag', n_rows, at_, ar, btr,
+                   CASE WHEN at_ > 0 AND ar > 0
+                        THEN CAST(btr AS DOUBLE) * CAST(n_rows AS DOUBLE)
+                             / (CAST(at_ AS DOUBLE) * CAST(ar AS DOUBLE))
+                        ELSE 0.0 END
+            FROM a
+        ) ORDER BY col_a, col_b
+    """
+    out["cohens_d"] = f"""
+        WITH sides AS (
+            SELECT CAST(event_type = 'view' AS INT) AS is_a,
+                   CAST(floor(value * 100) AS BIGINT) AS c
+            FROM {ev} WHERE event_type IN ('view', 'click')
+        ),
+        agg AS (
+            SELECT is_a, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS BIGINT) AS s,
+                   SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS q
+            FROM sides GROUP BY 1
+        ),
+        ab AS (
+            SELECT av.n AS n_a, av.s AS s_a, av.q AS q_a,
+                   bv.n AS n_b, bv.s AS s_b, bv.q AS q_b
+            FROM (SELECT * FROM agg WHERE is_a = 1) av,
+                 (SELECT * FROM agg WHERE is_a = 0) bv
+        )
+        SELECT n_a, n_b,
+               CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0
+                   AS mean_a,
+               CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0
+                   AS mean_b,
+               CASE WHEN n_a + n_b > 2 AND
+                    ((CAST(n_a AS DOUBLE) * CAST(q_a AS DOUBLE)
+                      - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+                     / CAST(n_a AS DOUBLE)
+                     + (CAST(n_b AS DOUBLE) * CAST(q_b AS DOUBLE)
+                        - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+                       / CAST(n_b AS DOUBLE)) > 0.0
+                    THEN (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                          - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                         / sqrt(((CAST(n_a AS DOUBLE)
+                                  * CAST(q_a AS DOUBLE)
+                                  - CAST(s_a AS DOUBLE)
+                                    * CAST(s_a AS DOUBLE))
+                                 / CAST(n_a AS DOUBLE)
+                                 + (CAST(n_b AS DOUBLE)
+                                    * CAST(q_b AS DOUBLE)
+                                    - CAST(s_b AS DOUBLE)
+                                      * CAST(s_b AS DOUBLE))
+                                   / CAST(n_b AS DOUBLE))
+                                / (CAST(n_a AS DOUBLE)
+                                   + CAST(n_b AS DOUBLE) - 2.0))
+                    ELSE 0.0 END AS cohens_d
+        FROM ab WHERE n_a > 0 AND n_b > 0
+    """
+    out["mcnemar"] = f"""
+        WITH span AS (
+            SELECT MIN(CAST(ts AS DATE)) AS d0,
+                   MAX(CAST(ts AS DATE)) AS d1
+            FROM {ev}
+        ),
+        midd AS (
+            SELECT d0 + CAST((d1 - d0) // 2 AS INT) AS mid FROM span
+        ),
+        pu AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase'
+                             AND CAST(ts AS DATE) <= mid
+                            THEN 1 ELSE 0 END) AS y1,
+                   MAX(CASE WHEN event_type = 'purchase'
+                             AND CAST(ts AS DATE) > mid
+                            THEN 1 ELSE 0 END) AS y2
+            FROM {ev}, midd GROUP BY user_id
+        ),
+        a AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(CASE WHEN y1 = 1 AND y2 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt,
+                   CAST(SUM(CASE WHEN y1 = 0 AND y2 = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS c_cnt
+            FROM pu
+        )
+        SELECT n_users, b_cnt, c_cnt,
+               CASE WHEN b_cnt + c_cnt > 0
+                    THEN CAST(b_cnt - c_cnt AS DOUBLE)
+                         * CAST(b_cnt - c_cnt AS DOUBLE)
+                         / CAST(b_cnt + c_cnt AS DOUBLE)
+                    ELSE 0.0 END AS mcnemar_chi2
+        FROM a WHERE n_users > 0
+    """
+    out["odds_ratio"] = f"""
+        WITH firsts AS (
+            SELECT user_id, event_type AS first_type
+            FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn
+                FROM {ev}
+            ) WHERE rn = 1
+        ),
+        outc AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS o
+            FROM {ev} GROUP BY 1
+        ),
+        fl AS (
+            SELECT CAST(first_type = 'view' AS INT) AS e, o
+            FROM firsts JOIN outc USING (user_id)
+        ),
+        a AS (
+            SELECT CAST(SUM(e * o) AS BIGINT) AS a,
+                   CAST(SUM(e * (1 - o)) AS BIGINT) AS b,
+                   CAST(SUM((1 - e) * o) AS BIGINT) AS c,
+                   CAST(SUM((1 - e) * (1 - o)) AS BIGINT) AS d
+            FROM fl
+        )
+        SELECT CAST(a + b AS BIGINT) AS n_exposed,
+               CAST(c + d AS BIGINT) AS n_unexposed,
+               a, b, c, d,
+               ((CAST(a AS DOUBLE) + 0.5) * (CAST(d AS DOUBLE) + 0.5))
+               / ((CAST(b AS DOUBLE) + 0.5)
+                  * (CAST(c AS DOUBLE) + 0.5)) AS odds_ratio
+        FROM a WHERE a + b + c + d > 0
+    """
+    out["burstiness"] = f"""
+        WITH tok AS (SELECT doc_id, unnest(t) AS token FROM ({toks})),
+        per AS (
+            SELECT doc_id, token, COUNT(*) AS tf
+            FROM tok GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT token, CAST(SUM(tf) AS BIGINT) AS cf,
+                   CAST(COUNT(*) AS BIGINT) AS df
+            FROM per GROUP BY 1
+        )
+        SELECT token, cf, df,
+               CAST(floor(1000000.0 * cf / df) AS BIGINT) AS burst_ppm
+        FROM stats WHERE df >= 5
+        ORDER BY burst_ppm DESC, token LIMIT 25
+    """
+    out["harmonic"] = """
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS w
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        sym AS (
+            SELECT DISTINCT least(u, w) AS a, greatest(u, w) AS b
+            FROM pairs WHERE u <> w
+        ),
+        stubs AS (
+            SELECT a, b FROM sym UNION ALL SELECT b, a FROM sym
+        ),
+        sample_n AS (
+            SELECT node FROM (
+                SELECT DISTINCT a AS node FROM stubs
+            ) ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT 100
+        ),
+        hop1 AS (
+            SELECT DISTINCT node, b AS n1
+            FROM sample_n JOIN stubs ON node = a
+        ),
+        hop2 AS (
+            SELECT DISTINCT node, s2.b AS n2
+            FROM hop1 JOIN stubs s2 ON n1 = s2.a
+        ),
+        ring2 AS (
+            SELECT h2.node, h2.n2
+            FROM hop2 h2
+            LEFT JOIN hop1 h1
+              ON h2.node = h1.node AND h2.n2 = h1.n1
+            WHERE h1.n1 IS NULL AND h2.n2 <> h2.node
+        ),
+        c1 AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_1hop
+            FROM hop1 GROUP BY 1
+        ),
+        c2 AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_2hop_new
+            FROM ring2 GROUP BY 1
+        )
+        SELECT CAST(c1.node AS BIGINT) AS node, n_1hop,
+               CAST(COALESCE(n_2hop_new, 0) AS BIGINT) AS n_2hop_new,
+               CAST(2 * n_1hop + COALESCE(n_2hop_new, 0) AS BIGINT)
+                   AS h2x,
+               CAST(2 * n_1hop + COALESCE(n_2hop_new, 0) AS DOUBLE)
+                   / 2.0 AS harmonic
+        FROM c1 LEFT JOIN c2 ON c1.node = c2.node
     """
     out["kruskal_wallis"] = f"""
         -- doubled midranks over the pooled day-grain series; the one

@@ -1272,3 +1272,194 @@ def xyz_class(lineitem: DataFrame) -> DataFrame:
             (F.sum("s").cast("double") / 100.0).alias("total_qty"),
         )
     )
+
+
+def hhi_concentration(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per nation —
+    the antitrust/supply-risk readout: HHI = Σᵢ sᵢ² over supplier
+    revenue shares sᵢ within each nation (1/n for perfect competition
+    → 1.0 for monopoly), with the effective supplier count 1/HHI
+    riding along.  Complements :func:`revenue_concentration` (Lorenz
+    points, global curve) with the per-market scalar every
+    concentration screen uses.
+
+    Exactness: per-supplier revenue is exact cents; HHI telescopes to
+    ``Σsᵢ² / S²`` so the share divisions never happen per supplier —
+    Σ cents² accumulates as exact DECIMAL(38,0) (the anova_f moment
+    device) and HHI / effective_n are two pinned IEEE trees.
+
+    Scale shape: one supplier-grain aggregate (map-side combined), a
+    broadcast dim join, one nation-grain fold.  Output:
+    (nation, n_suppliers, total_cents, hhi, effective_n).
+    """
+    per_supp = lineitem.groupBy("l_suppkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100))
+        .cast("bigint")
+        .alias("cents")
+    )
+    with_nation = per_supp.join(
+        F.broadcast(
+            supplier.join(
+                F.broadcast(nation),
+                supplier.s_nationkey == nation.n_nationkey,
+            ).select(
+                F.col("s_suppkey"), F.col("n_name").alias("nation")
+            )
+        ),
+        per_supp.l_suppkey == F.col("s_suppkey"),
+    )
+    cd = F.col("cents").cast("decimal(19,0)")
+    agg = with_nation.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(cd * cd).cast("decimal(38,0)").alias("ssq"),
+    )
+    s = F.col("total_cents").cast("double")
+    hhi = F.col("ssq").cast("double") / (s * s)
+    return agg.select(
+        "nation",
+        "n_suppliers",
+        "total_cents",
+        F.when(F.col("total_cents") > 0, hhi)
+        .otherwise(F.lit(0.0))
+        .alias("hhi"),
+        F.when(
+            F.col("ssq") > 0, (s * s) / F.col("ssq").cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("effective_n"),
+    ).orderBy("nation")
+
+
+def kendall_w(lineitem: DataFrame) -> DataFrame:
+    """Kendall's W (coefficient of concordance) across the three
+    supplier leaderboards every ops review juggles — revenue, shipped
+    quantity, and line count: "do our rankings even agree?" (W = 1
+    perfect agreement, 0 none).  The k-judges generalization of the
+    pairwise rank correlations (:func:`spearman_daily` et al.) and the
+    principled pre-check before averaging ranks into a composite
+    score.
+
+    Exactness: the three per-supplier metrics are exact BIGINTs;
+    midranks per judge are ``.5``-granular so DOUBLED ranks are exact;
+    with Dᵢ = Σⱼ 2·rᵢⱼ, the deviation sum telescopes to
+    ``S4 = Σ Dᵢ² − (Σ Dᵢ)²/n`` (= 4S) and the tie-corrected
+    ``W = 3·S4·… / (k²(n³−n) − k·ΣT)`` is one pinned tree over
+    DECIMAL(38,0) moments (n³ outgrows BIGINT at ~2M items).
+
+    Scale shape: one supplier-grain aggregate, three rank windows,
+    one fold.  Output: one row (n_items, k_judges, w).
+    """
+    per = lineitem.groupBy("l_suppkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100))
+        .cast("bigint")
+        .alias("rev"),
+        F.sum(F.floor(F.col("l_quantity") * 100))
+        .cast("bigint")
+        .alias("qty"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    def d2(col):
+        return (
+            2 * F.rank().over(Window.orderBy(col))
+            + F.count(F.lit(1)).over(Window.partitionBy(col))
+            - 1
+        ).cast("bigint")
+
+    ranked = per.select(
+        "l_suppkey",
+        d2(F.col("rev")).alias("da"),
+        d2(F.col("qty")).alias("db"),
+        d2(F.col("cnt")).alias("dc"),
+    ).select(
+        "l_suppkey",
+        (F.col("da") + F.col("db") + F.col("dc")).alias("di"),
+    )
+    # per-judge tie sums: judges are the three metric columns — count
+    # multiplicity per (judge, value); t is an ITEM COUNT, so doubling
+    # the ranks leaves T = Σ(t³−t) in original units
+    tie_sum = (
+        per.select(F.col("rev").alias("v"), F.lit("a").alias("j"))
+        .union(per.select(F.col("qty").alias("v"), F.lit("b").alias("j")))
+        .union(per.select(F.col("cnt").alias("v"), F.lit("c").alias("j")))
+        .groupBy("j", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("bigint")
+            .alias("tsum")
+        )
+    )
+    did = F.col("di").cast("decimal(19,0)")
+    moments = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("di").cast("bigint").alias("sd"),
+        F.sum(did * did).cast("decimal(38,0)").alias("sdd"),
+    )
+    out = moments.crossJoin(tie_sum)  # one row × one row
+    n = F.col("n_items").cast("double")
+    # S4 = Σ D² − (ΣD)²/n  (D = doubled rank sums; S4 = 4·S)
+    s4 = F.col("sdd").cast("double") - F.col("sd").cast("double") * F.col(
+        "sd"
+    ).cast("double") / n
+    k = F.lit(3.0)
+    # W = 12·S / (k²(n³−n) − k·ΣT) with S = S4/4 (doubled-rank
+    # deviations scale S by 4) → W = 3·S4 / (k²(n³−n) − k·ΣT)
+    den = k * k * (n * n * n - n) - k * F.col("tsum").cast("double")
+    w = F.when(
+        (F.col("n_items") > 1) & (den > 0.0),
+        F.lit(3.0) * s4 / den,
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "n_items",
+        F.lit(3).cast("int").alias("k_judges"),
+        w.alias("w"),
+    ).filter(F.col("n_items") > 0)
+
+
+def business_day_lag(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Order-to-ship lag in BUSINESS DAYS (weekends excluded) — the
+    SLA readout operations actually quotes ("ships within 5 business
+    days"), which calendar-day lags (:func:`ship_lag` shapes)
+    systematically overstate by ~2/7.  Histogram over the lag.
+
+    Exactness: business days from a fixed epoch Monday (1992-01-06)
+    telescope to the closed form ``bd(d) = 5·(days div 7) +
+    least(days mod 7, 5)`` (days = calendar days since the epoch) —
+    pure integer arithmetic both engines share; the lag is the
+    difference of two such values.  No calendar table, no iteration.
+
+    Scale shape: one fact join (orders key-grain), one lag-grain
+    aggregate (map-side combined).  Output: (bd_lag, n_items,
+    pct_items) ordered by lag.
+    """
+    def bd(col):
+        days = F.datediff(col, F.lit("1992-01-06").cast("date"))
+        return 5 * F.floor(days / 7) + F.least(
+            F.pmod(days, F.lit(7)), F.lit(5)
+        )
+
+    lagged = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).select(
+        (bd(F.col("l_shipdate")) - bd(F.col("o_orderdate")))
+        .cast("bigint")
+        .alias("bd_lag")
+    )
+    total = lagged.agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    return (
+        lagged.groupBy("bd_lag")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_items"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bd_lag",
+            "n_items",
+            (
+                F.col("n_items").cast("double")
+                / F.col("n_all").cast("double")
+            ).alias("pct_items"),
+        )
+        .orderBy("bd_lag")
+    )

@@ -1907,3 +1907,193 @@ def rmst(
             ).alias("rmst_days"),
         )
     )
+
+
+def cohens_d(
+    events: DataFrame, group_a: str = "view", group_b: str = "click"
+) -> DataFrame:
+    """Cohen's d between two event types' per-event values — the
+    standardized mean-difference EFFECT SIZE that belongs next to
+    :func:`welch_ttest` (the t answers "is the difference real?";
+    d answers "is it big enough to matter?" in pooled-SD units):
+    ``d = (m_a − m_b) / s_p``, ``s_p² = ((n_a−1)s_a² + (n_b−1)s_b²) /
+    (n_a + n_b − 2)``.
+
+    Exactness: per-group Σ and Σ² over exact cents (second moments in
+    DECIMAL(38,0) — the anova_f device); variances clear the means by
+    ``n·Σx² − (Σx)²`` over n(n−1), and d is one pinned IEEE tree whose
+    only non-rational step is the IEEE-exact sqrt.  Output: one row
+    (n_a, n_b, mean_a, mean_b, cohens_d) in currency units — zero rows
+    if either group is absent or the pooled variance degenerates.
+    """
+    sides = events.filter(
+        F.col("event_type").isin(group_a, group_b)
+    ).select(
+        (F.col("event_type") == group_a).cast("int").alias("is_a"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    cd = F.col("c").cast("decimal(19,0)")
+    agg = sides.groupBy("is_a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(cd * cd).cast("decimal(38,0)").alias("q"),
+    )
+    a = agg.filter(F.col("is_a") == 1).select(
+        F.col("n").alias("n_a"), F.col("s").alias("s_a"),
+        F.col("q").alias("q_a"),
+    )
+    b = agg.filter(F.col("is_a") == 0).select(
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"),
+        F.col("q").alias("q_b"),
+    )
+    out = a.crossJoin(b)  # one row × one row
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    # (n−1)·s² = (n·Σx² − (Σx)²) / n — exact numerators, one division
+    ssa = (
+        na * F.col("q_a").cast("double")
+        - F.col("s_a").cast("double") * F.col("s_a").cast("double")
+    ) / na
+    ssb = (
+        nb * F.col("q_b").cast("double")
+        - F.col("s_b").cast("double") * F.col("s_b").cast("double")
+    ) / nb
+    sp = F.sqrt((ssa + ssb) / (na + nb - F.lit(2.0)))
+    d = (
+        F.col("s_a").cast("double") / na
+        - F.col("s_b").cast("double") / nb
+    ) / sp
+    return out.select(
+        "n_a",
+        "n_b",
+        (F.col("s_a").cast("double") / na / F.lit(100.0)).alias("mean_a"),
+        (F.col("s_b").cast("double") / nb / F.lit(100.0)).alias("mean_b"),
+        F.when(
+            (F.col("n_a") + F.col("n_b") > 2) & (ssa + ssb > 0.0), d
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cohens_d"),
+    ).filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+
+
+def mcnemar_test(events: DataFrame, event_type: str = "purchase") -> DataFrame:
+    """McNemar's test on PAIRED user behavior across the two halves of
+    the observed calendar — "did the purchasing population change?",
+    asked the paired way (each user is their own control): only the
+    DISCORDANT users matter, b = purchased-then-stopped, c =
+    started-purchasing, ``χ² = (b − c)² / (b + c)``.  The paired
+    sibling of :func:`ab_conversion` (which compares independent
+    groups).
+
+    Exactness: the calendar midpoint is day-grain integer arithmetic
+    from the global (min, max) date (one broadcast row); per-user
+    half-flags are exact conditional aggregates; b, c are exact
+    BIGINTs and χ² is one pinned division.  Output: one row
+    (n_users, b_cnt, c_cnt, mcnemar_chi2).
+
+    Scale shape: one user-grain aggregate (map-side combined) against
+    a broadcast midpoint — no window, no self-join.
+    """
+    days = events.select(F.to_date("ts").alias("d"))
+    span = days.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    ).select(
+        # integer `div`, not /2-then-cast: double→int casts truncate in
+        # Spark but round in DuckDB — floor division agrees everywhere
+        F.expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))").alias(
+            "mid"
+        )
+    )
+    per_user = (
+        events.crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            (
+                (F.col("event_type") == event_type)
+                & (F.to_date("ts") <= F.col("mid"))
+            ).cast("int").alias("h1"),
+            (
+                (F.col("event_type") == event_type)
+                & (F.to_date("ts") > F.col("mid"))
+            ).cast("int").alias("h2"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("h1").alias("y1"),
+            F.max("h2").alias("y2"),
+        )
+    )
+    agg = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(
+            ((F.col("y1") == 1) & (F.col("y2") == 0)).cast("int")
+        ).cast("bigint").alias("b_cnt"),
+        F.sum(
+            ((F.col("y1") == 0) & (F.col("y2") == 1)).cast("int")
+        ).cast("bigint").alias("c_cnt"),
+    )
+    chi2 = F.when(
+        F.col("b_cnt") + F.col("c_cnt") > 0,
+        (
+            (F.col("b_cnt") - F.col("c_cnt")).cast("double")
+            * (F.col("b_cnt") - F.col("c_cnt")).cast("double")
+        )
+        / (F.col("b_cnt") + F.col("c_cnt")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_users", "b_cnt", "c_cnt", chi2.alias("mcnemar_chi2")
+    ).filter(F.col("n_users") > 0)
+
+
+def odds_ratio(
+    events: DataFrame,
+    exposure_type: str = "view",
+    outcome_type: str = "purchase",
+) -> DataFrame:
+    """Exposure→outcome odds ratio per user with the Haldane–Anscombe
+    ½ correction — the epidemiology-grade association readout ("are
+    first-touch viewers more likely to ever purchase?") that the
+    funnel rates don't standardize: exposure = the user's FIRST event
+    (by ts, event_id) is ``exposure_type``; outcome = the user ever
+    fires ``outcome_type``.  OR = (a+½)(d+½) / ((b+½)(c+½)) — finite
+    even with empty cells.
+
+    Exactness: the first event comes from one min_by struct aggregate
+    (total order by (ts, event_id)); a, b, c, d are exact conditional
+    counts; the OR is one pinned IEEE tree over half-integer doubles
+    (k + 0.5 is exactly representable).  Output: one row
+    (n_exposed, n_unexposed, a, b, c, d, odds_ratio).
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.min(
+            F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+        )["event_type"].alias("first_type"),
+        F.max(
+            (F.col("event_type") == outcome_type).cast("int")
+        ).alias("outcome"),
+    )
+    flags = per_user.select(
+        (F.col("first_type") == exposure_type).cast("int").alias("e"),
+        F.col("outcome").alias("o"),
+    )
+    agg = flags.agg(
+        F.sum(F.col("e") * F.col("o")).cast("bigint").alias("a"),
+        F.sum(F.col("e") * (1 - F.col("o"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("e")) * F.col("o")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("e")) * (1 - F.col("o")))
+        .cast("bigint")
+        .alias("d"),
+    )
+    orr = (
+        (F.col("a").cast("double") + F.lit(0.5))
+        * (F.col("d").cast("double") + F.lit(0.5))
+    ) / (
+        (F.col("b").cast("double") + F.lit(0.5))
+        * (F.col("c").cast("double") + F.lit(0.5))
+    )
+    return agg.select(
+        (F.col("a") + F.col("b")).alias("n_exposed"),
+        (F.col("c") + F.col("d")).alias("n_unexposed"),
+        "a", "b", "c", "d",
+        orr.alias("odds_ratio"),
+    ).filter((F.col("a") + F.col("b") + F.col("c") + F.col("d")) > 0)

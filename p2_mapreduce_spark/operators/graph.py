@@ -1751,3 +1751,44 @@ def graph_modularity(
             ).alias("q_total"),
         )
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame, panel_k: int = 100
+) -> DataFrame:
+    """Bounded-radius harmonic centrality for the absolute hash-ranked
+    node panel: ``H(u) = Σ_{v≠u} 1/d(u,v)`` truncated at radius 2 —
+    the centrality that stays defined on disconnected graphs (closeness
+    does not) and the standard exact face of HyperBall's harmonic
+    estimator.  Within radius 2 it is a pure function of the reach
+    counts :func:`two_hop_reach` already computes:
+    ``H₂(u) = n_1hop + n_2hop_new / 2``.
+
+    Exactness: surfaced as the exact integer ``h2x = 2·n_1hop +
+    n_2hop_new`` plus the single pinned division h2x/2 — no per-node
+    float sums.  Same absolute-panel scale story as two_hop_reach:
+    the expansion is pinned at panel_k · deg² regardless of corpus
+    growth.
+
+    Output: (node, n_1hop, n_2hop_new, h2x, harmonic).
+    """
+    return harmonic_from_reach(two_hop_reach(edges, panel_k=panel_k))
+
+
+def harmonic_from_reach(reach: DataFrame) -> DataFrame:
+    """:func:`harmonic_centrality` from an already-computed
+    :func:`two_hop_reach` frame — the entry point the suite's memoized
+    shared reach stage uses (``two_hop`` and ``harmonic`` answer from
+    ONE execution of the expansion)."""
+    return reach.select(
+        "node",
+        "n_1hop",
+        "n_2hop_new",
+        (2 * F.col("n_1hop") + F.col("n_2hop_new"))
+        .cast("bigint")
+        .alias("h2x"),
+        (
+            (2 * F.col("n_1hop") + F.col("n_2hop_new")).cast("double")
+            / F.lit(2.0)
+        ).alias("harmonic"),
+    )

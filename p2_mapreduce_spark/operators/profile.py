@@ -2574,3 +2574,111 @@ def hbos_outliers(orders: DataFrame, top_n: int = 20) -> DataFrame:
             (F.lit(1.0) / F.col("prod").cast("double")).alias("rarity"),
         )
     )
+
+
+def cliffs_delta(
+    docs: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Cliff's delta per group vs rest-of-corpus — the standardized
+    ordinal EFFECT SIZE the Mann–Whitney test statistic lacks:
+    ``δ = (#(x>y) − #(x<y)) / (n₁·n₂)`` ∈ [−1, 1], i.e. how much more
+    often a group's values dominate the rest than the reverse
+    (δ = 2·AUC − 1).  :func:`mwu_drift` answers "is there drift?";
+    Cliff's δ answers "how big is it?" on a scale that survives any
+    monotone value transform.
+
+    Implementation IS the shared :func:`mwu_drift` machinery (one
+    value-ordered cumsum per group, exact BIGINT/DECIMAL u2) plus the
+    single pinned tree δ = 2·AUC − 1 — no second scan, no new shuffle
+    shape.  Output: (group, n_group, n_rest, u2, delta).
+    """
+    u = mwu_drift(docs, group_col, value_col)
+    return u.select(
+        group_col,
+        "n_group",
+        "n_rest",
+        "u2",
+        (F.lit(2.0) * F.col("auc") - F.lit(1.0)).alias("delta"),
+    )
+
+
+def null_cooccurrence(lineitem: DataFrame) -> DataFrame:
+    """Sentinel-missingness co-occurrence audit — the MCAR screen for
+    columns where a placeholder value encodes "not recorded": for
+    every pair of soft-missing flags, compare the JOINT missing rate
+    against the independence expectation (lift = n_both·N /
+    (n_a·n_b)); lift ≫ 1 means the columns go missing TOGETHER
+    (an upstream-join or ingestion-path failure, not random noise).
+
+    Flags (sentinel conventions on the trade fact): discount = 0
+    ("no discount recorded"), tax = 0, returnflag = 'N' ("no return
+    disposition").  Exactness: all four counts per pair are exact
+    conditional BIGINTs from ONE scan (a 3-pair broadcast list ×
+    conditional aggregates — no self-join), and lift is one pinned
+    IEEE division tree.
+
+    Output: (col_a, col_b, n_rows, n_a, n_b, n_both, lift), one row
+    per unordered pair, ordered by (col_a, col_b).
+    """
+    flagged = lineitem.select(
+        (F.col("l_discount") == 0).cast("int").alias("m_discount"),
+        (F.col("l_tax") == 0).cast("int").alias("m_tax"),
+        (F.col("l_returnflag") == "N").cast("int").alias("m_returnflag"),
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("m_discount").cast("bigint").alias("a_discount"),
+        F.sum("m_tax").cast("bigint").alias("a_tax"),
+        F.sum("m_returnflag").cast("bigint").alias("a_returnflag"),
+        F.sum(F.col("m_discount") * F.col("m_tax"))
+        .cast("bigint")
+        .alias("b_discount_tax"),
+        F.sum(F.col("m_discount") * F.col("m_returnflag"))
+        .cast("bigint")
+        .alias("b_discount_returnflag"),
+        F.sum(F.col("m_tax") * F.col("m_returnflag"))
+        .cast("bigint")
+        .alias("b_tax_returnflag"),
+    )
+    pairs = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("discount").alias("col_a"),
+                    F.lit("returnflag").alias("col_b"),
+                    F.col("n_rows"),
+                    F.col("a_discount").alias("n_a"),
+                    F.col("a_returnflag").alias("n_b"),
+                    F.col("b_discount_returnflag").alias("n_both"),
+                ),
+                F.struct(
+                    F.lit("discount").alias("col_a"),
+                    F.lit("tax").alias("col_b"),
+                    F.col("n_rows"),
+                    F.col("a_discount").alias("n_a"),
+                    F.col("a_tax").alias("n_b"),
+                    F.col("b_discount_tax").alias("n_both"),
+                ),
+                F.struct(
+                    F.lit("tax").alias("col_a"),
+                    F.lit("returnflag").alias("col_b"),
+                    F.col("n_rows"),
+                    F.col("a_tax").alias("n_a"),
+                    F.col("a_returnflag").alias("n_b"),
+                    F.col("b_tax_returnflag").alias("n_both"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    lift = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.col("n_both").cast("double")
+        * F.col("n_rows").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+    ).otherwise(F.lit(0.0))
+    return pairs.select(
+        "col_a", "col_b", "n_rows", "n_a", "n_b", "n_both",
+        lift.alias("lift"),
+    ).orderBy("col_a", "col_b")

@@ -1381,3 +1381,49 @@ def sentence_stats(docs: DataFrame) -> DataFrame:
         .alias("avg_tokens"),
         "max_tokens",
     )
+
+
+def text_burstiness(
+    docs: DataFrame, min_df: int = 5, top_k: int = 25
+) -> DataFrame:
+    """Church–Gale term burstiness: collection frequency over document
+    frequency (mean occurrences PER CONTAINING DOC) — the classical
+    diagnostic separating topical/bursty terms (an article about a
+    thing repeats its name) from function words (everywhere exactly
+    once or twice).  Complements :func:`distinctive_tokens` (which
+    contrasts sources) with the corpus-global burstiness ranking that
+    drives stopword lists and dedup shingle choices.
+
+    Exactness: cf and df are exact BIGINTs from ONE (doc, token)
+    contraction; the surfaced ranking key is ``burst_ppm =
+    floor(1e6·cf/df)`` (one IEEE division + floor — bit-stable), and
+    the top-k order (burst_ppm desc, token) is total.
+
+    Scale shape: token explode → (doc, token) map-side combine →
+    token-grain aggregate → TakeOrdered top-k.  Output:
+    (token, cf, df, burst_ppm).
+    """
+    toks = spread(docs).select(
+        F.col("doc_id"),
+        F.explode(tokens_array(F.col("text"))).alias("token"),
+    )
+    per = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stats = per.groupBy("token").agg(
+        F.sum("tf").cast("bigint").alias("cf"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+    )
+    return (
+        stats.filter(F.col("df") >= min_df)
+        .select(
+            "token",
+            "cf",
+            "df",
+            F.floor(F.lit(1_000_000.0) * F.col("cf") / F.col("df"))
+            .cast("bigint")
+            .alias("burst_ppm"),
+        )
+        .orderBy(F.col("burst_ppm").desc(), F.col("token"))
+        .limit(top_k)
+    )

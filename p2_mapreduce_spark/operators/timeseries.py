@@ -2358,3 +2358,369 @@ def holt_winters(events: DataFrame, group_col: str = "event_type") -> DataFrame:
             "forecast1"
         ),
     )
+
+
+def durbin_watson(events: DataFrame) -> DataFrame:
+    """Durbin–Watson statistic of the GLOBAL daily-revenue series —
+    the first-line serial-correlation screen (DW ≈ 2 means white
+    residuals; → 0 strong positive autocorrelation; → 4 negative):
+    ``DW = Σ(y_t − y_{t−1})² / Σ(y_t − ȳ)²`` over the day-ordered
+    series.  Complements :func:`acf_lags` (per-lag correlogram) with
+    the single standard regression-diagnostic number.
+
+    Exactness: cents are exact BIGINTs; successive differences come
+    from one LAG window over the day order; Σd² and Σy² accumulate as
+    exact DECIMAL(38,0) (the anova_f second-moment device), and DW is
+    the pinned tree ``Σd² / (Σy² − (Σy)²/n)`` — two divisions, no
+    cross-row double sums.
+
+    Scale shape: one day-grain contraction (map-side), one window over
+    ≤ #calendar-days rows, one global fold.  Output: one row
+    (n_days, dw) — zero rows on an empty or 1-day series.
+    """
+    daily = (
+        events.select(
+            F.to_date("ts").alias("d"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("y"))
+    )
+    w = Window.orderBy("d")
+    diffed = daily.withColumn("y_prev", F.lag("y").over(w))
+    yd = F.col("y").cast("decimal(19,0)")
+    dd = (F.col("y") - F.col("y_prev")).cast("decimal(19,0)")
+    agg = diffed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("q"),
+        F.sum(dd * dd).cast("decimal(38,0)").alias("sd2"),
+    )
+    n = F.col("n_days").cast("double")
+    den = F.col("q").cast("double") - F.col("s").cast("double") * F.col(
+        "s"
+    ).cast("double") / n
+    return agg.select(
+        "n_days",
+        F.when(
+            (F.col("n_days") > 1) & (den > 0.0),
+            F.col("sd2").cast("double") / den,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dw"),
+    ).filter((F.col("n_days") > 1) & F.col("n_days").isNotNull())
+
+
+def pettitt_test(events: DataFrame) -> DataFrame:
+    """Pettitt change-point test on the GLOBAL daily-revenue series —
+    the rank-based (distribution-free) single-change-point locator:
+    ``U_t = Σ_{i≤t} Σ_{j>t} sgn(y_i − y_j)``, change point at
+    ``argmax |U_t|``.  The nonparametric sibling of
+    :func:`cusum_changepoint` (which tracks mean shifts in value
+    units and is outlier-sensitive where Pettitt is not).
+
+    Exactness: with tie-aware midranks, ``Σ_j sgn(y_i − y_j) =
+    2·R_i − (n+1)`` (the cross-terms over i≤t cancel by antisymmetry),
+    so ``U_t = Σ_{i≤t} 2·R_i − t(n+1)`` — and DOUBLED midranks
+    ``D_i = 2·rank + ties − 1`` are exact BIGINTs, making every U_t an
+    exact integer from one cumulative-sum window.  K = max |U_t| over
+    t < n, first day wins ties (deterministic ordering).
+
+    Scale shape: day-grain contraction, one rank window + one
+    cumulative window over ≤ #calendar-days rows, one top-1 reduce.
+    Output: one row (n_days, k_stat, cp_day, u_at_cp).
+    """
+    daily = (
+        events.select(
+            F.to_date("ts").alias("d"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("y"))
+    )
+    wv = Window.orderBy("y")
+    ranked = daily.withColumn(
+        "d2r",
+        (
+            2 * F.rank().over(wv)
+            + F.count(F.lit(1)).over(Window.partitionBy("y"))
+            - 1
+        ).cast("bigint"),
+    )
+    wd = Window.orderBy("d")
+    cum = ranked.withColumn(
+        "t", F.row_number().over(wd).cast("bigint")
+    ).withColumn(
+        "cum_d2r", F.sum("d2r").over(wd).cast("bigint")
+    )
+    n_row = cum.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    # U_t from doubled ranks: Σ D_i = 2·Σ R_i, so U_t = cum − t(n+1)
+    u = cum.crossJoin(F.broadcast(n_row)).select(
+        "n_days",
+        "d",
+        "t",
+        (F.col("cum_d2r") - F.col("t") * (F.col("n_days") + 1))
+        .cast("bigint")
+        .alias("u_t"),
+    ).filter(F.col("t") < F.col("n_days"))
+    return (
+        u.orderBy(F.abs(F.col("u_t")).desc(), F.col("d"))
+        .limit(1)
+        .select(
+            "n_days",
+            F.abs(F.col("u_t")).cast("bigint").alias("k_stat"),
+            # calendar string: engines disagree on DATE vs TIMESTAMP
+            # surfacing (the cusum_changepoint convention)
+            F.date_format("d", "yyyy-MM-dd").alias("cp_day"),
+            F.col("u_t").alias("u_at_cp"),
+        )
+    )
+
+
+def tsb_forecast(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Teunter–Syntetos–Babai (TSB) intermittent-demand forecast per
+    group — the modern successor to :func:`croston` that updates the
+    demand PROBABILITY every period (croston's interval estimate only
+    updates on demand days, so it never decays on obsolete items):
+    demand day → ``p' = p + α(1−p)``, ``z' = z + β(y−z)``; zero day →
+    ``p' = (1−α)p``; forecast = p·z.  α = ¼, β = ½ (dyadic, so each
+    step is a short pinned IEEE tree).
+
+    Same calendar-bounded gap-filled day grid and DAY-ORDERED in-row
+    ``aggregate()`` fold as croston (state (p, z) seeded from the
+    first demand day: p = 1, z = y₀); the float states are
+    bit-identical cross-engine by the fold-order protocol.
+
+    Scale shape: day-grain contraction, per-group gap-fill + one
+    in-row fold — no shuffle after the contraction.  Output:
+    (group, n_days, n_demand_days, p_hat, z_hat, forecast) in currency
+    units (z folds in cents, surfaced /100).
+    """
+    daily = _daily_cents(events, group_col)
+    grid = (
+        daily.groupBy("g")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "g",
+            F.explode(
+                F.expr("sequence(d0, d1, interval 1 day)")
+            ).alias("d"),
+        )
+    )
+    filled = (
+        grid.join(daily, ["g", "d"], "left")
+        .select("g", "d", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    arr = filled.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.when(F.col("y") != 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_demand_days"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("d"), F.col("y")))
+        ).alias("ds"),
+    )
+    # state (p, z, started): demand → p' = p + (1-p)/4, z' = (y+z)/2;
+    # zero → p' = 3p/4; the first demand day seeds (1, y)
+    step = lambda acc, e: F.when(  # noqa: E731
+        e["y"] != 0,
+        F.when(
+            acc["started"] == 0,
+            F.struct(
+                F.lit(1.0).alias("p"),
+                e["y"].cast("double").alias("z"),
+                F.lit(1).alias("started"),
+            ),
+        ).otherwise(
+            F.struct(
+                (acc["p"] + (F.lit(1.0) - acc["p"]) * F.lit(0.25)).alias(
+                    "p"
+                ),
+                ((e["y"].cast("double") + acc["z"]) * F.lit(0.5)).alias(
+                    "z"
+                ),
+                F.lit(1).alias("started"),
+            ),
+        ),
+    ).otherwise(
+        F.when(
+            acc["started"] == 0, acc
+        ).otherwise(
+            F.struct(
+                (acc["p"] * F.lit(0.75)).alias("p"),
+                acc["z"].alias("z"),
+                F.lit(1).alias("started"),
+            )
+        )
+    )
+    fold = F.aggregate(
+        F.col("ds"),
+        F.struct(
+            F.lit(0.0).alias("p"), F.lit(0.0).alias("z"),
+            F.lit(0).alias("started"),
+        ),
+        step,
+    )
+    out = arr.withColumn("st", fold).filter(F.col("st.started") == 1)
+    return out.select(
+        F.col("g").alias(group_col),
+        "n_days",
+        "n_demand_days",
+        F.col("st.p").alias("p_hat"),
+        (F.col("st.z") / 100.0).alias("z_hat"),
+        (F.col("st.p") * F.col("st.z") / 100.0).alias("forecast"),
+    )
+
+
+def page_hinkley(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Page–Hinkley drift statistic per group — the sequential
+    mean-shift monitor streaming systems run per metric: maintain the
+    running mean x̄_t and the cumulative deviation
+    ``m_t = Σ_{i≤t} (x_i − x̄_i)``; the alarm statistic is
+    ``PH = m_T − min_t m_t`` (large when the recent mean rose above
+    history; the mirrored ``max_t m_t − m_T`` catches drops).  The
+    sequential sibling of :func:`cusum_changepoint` (which needs the
+    global mean up front; PH is one-pass).
+
+    Determinism: the recurrence is a DAY-ORDERED in-row
+    ``aggregate()`` fold with state (n, sum, m, mn, mx) over the
+    day-grain cents series; x̄_t = sum/n is one division per step and
+    every step is the same pinned IEEE tree — bit-identical
+    cross-engine (the croston/Holt device).
+
+    Scale shape: day-grain contraction + one in-row fold per group.
+    Output: (group, n_days, ph_up, ph_down, m_final) in cents units.
+    """
+    daily = _daily_cents(events, group_col)
+    arr = daily.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("d"), F.col("y")))
+        ).alias("ds"),
+    )
+    step = lambda acc, e: F.struct(  # noqa: E731
+        (acc["n"] + F.lit(1.0)).alias("n"),
+        (acc["s"] + e["y"].cast("double")).alias("s"),
+        (
+            acc["m"]
+            + (
+                e["y"].cast("double")
+                - (acc["s"] + e["y"].cast("double"))
+                / (acc["n"] + F.lit(1.0))
+            )
+        ).alias("m"),
+        F.least(
+            acc["mn"],
+            acc["m"]
+            + (
+                e["y"].cast("double")
+                - (acc["s"] + e["y"].cast("double"))
+                / (acc["n"] + F.lit(1.0))
+            ),
+        ).alias("mn"),
+        F.greatest(
+            acc["mx"],
+            acc["m"]
+            + (
+                e["y"].cast("double")
+                - (acc["s"] + e["y"].cast("double"))
+                / (acc["n"] + F.lit(1.0))
+            ),
+        ).alias("mx"),
+    )
+    fold = F.aggregate(
+        F.col("ds"),
+        F.struct(
+            F.lit(0.0).alias("n"), F.lit(0.0).alias("s"),
+            F.lit(0.0).alias("m"), F.lit(0.0).alias("mn"),
+            F.lit(0.0).alias("mx"),
+        ),
+        step,
+    )
+    out = arr.withColumn("st", fold)
+    return out.select(
+        F.col("g").alias(group_col),
+        "n_days",
+        (F.col("st.m") - F.col("st.mn")).alias("ph_up"),
+        (F.col("st.mx") - F.col("st.m")).alias("ph_down"),
+        F.col("st.m").alias("m_final"),
+    )
+
+
+def friedman_test(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Friedman test across groups BLOCKED by weekday — the
+    repeated-measures sibling of :func:`kruskal_wallis`: within each
+    weekday block, rank the groups by their block total; a group that
+    consistently ranks high across all 7 blocks is a real effect even
+    when pooled ranks (KW) would drown it in weekday seasonality.
+    ``χ²_F = 12/(b·k·(k+1)) · Σ_j R_j² − 3·b·(k+1)`` with the standard
+    tie-adjusted denominator left out (midranks keep the statistic
+    conservative; same stance as the KW tie adjustment being reported
+    separately there).
+
+    Exactness: block totals are exact cents; within-block DOUBLED
+    midranks are exact BIGINTs; per-group doubled rank sums R2_j are
+    exact; the one rational reduction Σ (R2_j/2)² folds over the
+    group-sorted array (the KW device), then χ²_F is one pinned tree.
+    Only (block, group) cells present in the data rank — a group
+    absent from a block simply isn't in that block's ranking (b = 7
+    calendar blocks, k from the data).
+
+    Scale shape: one (weekday × group) contraction, one rank window
+    per 7-row block, one k-row fold.  Output: one row
+    (n_blocks, n_groups, chi2_f) — zero rows on empty input.
+    """
+    cell = (
+        events.select(
+            F.col(group_col).alias("g"),
+            F.dayofweek(F.to_date("ts")).alias("blk"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("g", "blk")
+        .agg(F.sum("cents").alias("y"))
+    )
+    wb = Window.partitionBy("blk").orderBy("y")
+    ranked = cell.withColumn(
+        "d2r",
+        (
+            2 * F.rank().over(wb)
+            + F.count(F.lit(1)).over(Window.partitionBy("blk", "y"))
+            - 1
+        ).cast("bigint"),
+    )
+    per_g = ranked.groupBy("g").agg(
+        F.sum("d2r").cast("bigint").alias("r2j"),
+        F.count(F.lit(1)).cast("bigint").alias("bj"),
+    )
+    blocks = ranked.agg(
+        F.countDistinct("blk").cast("bigint").alias("n_blocks")
+    )
+    folded = per_g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("g"), F.col("r2j")))
+        ).alias("gs"),
+    ).withColumn(
+        "srq",
+        F.aggregate(
+            F.col("gs"),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + (x["r2j"].cast("double") * F.lit(0.5))
+            * (x["r2j"].cast("double") * F.lit(0.5)),
+        ),
+    )
+    out = folded.crossJoin(blocks)  # one row × one row
+    b = F.col("n_blocks").cast("double")
+    k = F.col("n_groups").cast("double")
+    chi2 = (
+        F.lit(12.0) * F.col("srq") / (b * k * (k + F.lit(1.0)))
+        - F.lit(3.0) * b * (k + F.lit(1.0))
+    )
+    return out.select(
+        "n_blocks",
+        "n_groups",
+        F.when(F.col("n_groups") > 1, chi2)
+        .otherwise(F.lit(0.0))
+        .alias("chi2_f"),
+    ).filter((F.col("n_groups") > 0) & F.col("n_blocks").isNotNull())

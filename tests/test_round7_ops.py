@@ -240,3 +240,288 @@ class TestMp1:
             _decode_mp1(_mp1_bytes(3, mutate_bits=set_allones_sample))
             is None
         )
+
+
+def _events7(spark, rows):
+    """rows: (day, user, event_type, value) → events frame."""
+    base = dt.datetime(2024, 3, 1)
+    return spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(days=d, hours=i % 4), u, g, float(v), "{}")
+            for i, (d, u, g, v) in enumerate(rows)
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+
+
+class TestRound7Stats:
+    def test_durbin_watson_hand(self, spark):
+        from p2_mapreduce_spark.operators.timeseries import durbin_watson
+
+        vals = [3, 1, 4, 1, 5, 9, 2]
+        ev = _events7(spark, [(d, 1, "a", v) for d, v in enumerate(vals)])
+        row = durbin_watson(ev).collect()[0]
+        c = [v * 100 for v in vals]
+        m = sum(c) / len(c)
+        dw = sum(
+            (c[i] - c[i - 1]) ** 2 for i in range(1, len(c))
+        ) / sum((v - m) ** 2 for v in c)
+        assert row["n_days"] == 7
+        assert abs(row["dw"] - dw) < 1e-9
+
+    def test_durbin_watson_alternating_vs_trending(self, spark):
+        """Alternating series → DW near 4; smooth trend → DW near 0."""
+        from p2_mapreduce_spark.operators.timeseries import durbin_watson
+
+        alt = _events7(
+            spark, [(d, 1, "a", 10 if d % 2 else 1) for d in range(20)]
+        )
+        trend = _events7(spark, [(d, 1, "a", d + 1) for d in range(20)])
+        assert durbin_watson(alt).collect()[0]["dw"] > 3.0
+        assert durbin_watson(trend).collect()[0]["dw"] < 0.5
+
+    def test_pettitt_finds_level_shift(self, spark):
+        from p2_mapreduce_spark.operators.timeseries import pettitt_test
+
+        vals = [1, 2, 1, 2, 1, 50, 51, 50, 51, 50]
+        ev = _events7(spark, [(d, 1, "a", v) for d, v in enumerate(vals)])
+        row = pettitt_test(ev).collect()[0]
+        # change point after day index 4 (2024-03-05)
+        assert row["cp_day"] == "2024-03-05"
+        # U at the break: all 5 lows below all 5 highs → |U| = 25
+        assert row["k_stat"] == 25 and row["u_at_cp"] == -25
+
+    def test_tsb_hand_fold(self, spark):
+        from p2_mapreduce_spark.operators.timeseries import tsb_forecast
+
+        # demand on days 0 and 2 (values 4, 8), zero on days 1, 3
+        rows = [(0, 1, "a", 4), (2, 1, "a", 8), (3, 1, "a", 0)]
+        row = tsb_forecast(_events7(spark, rows)).collect()[0]
+        # d0: seed (p=1, z=400); d1 zero: p=.75; d2 demand:
+        # p=.75+.25*.25=.8125, z=(800+400)/2=600; d3 zero: p=.609375
+        assert row["n_days"] == 4 and row["n_demand_days"] == 2
+        assert abs(row["p_hat"] - 0.609375) < 1e-12
+        assert abs(row["z_hat"] - 6.0) < 1e-12
+        assert abs(row["forecast"] - 0.609375 * 6.0) < 1e-12
+
+    def test_page_hinkley_detects_upshift(self, spark):
+        from p2_mapreduce_spark.operators.timeseries import page_hinkley
+
+        flat = [(d, 1, "a", 5) for d in range(10)]
+        shifted = flat + [(d, 1, "a", 50) for d in range(10, 15)]
+        ph_flat = page_hinkley(_events7(spark, flat)).collect()[0]
+        ph_shift = page_hinkley(_events7(spark, shifted)).collect()[0]
+        assert abs(ph_flat["ph_up"]) < 1e-9  # constant series: no alarm
+        assert ph_shift["ph_up"] > 1000.0  # cents-scale alarm
+
+    def test_friedman_hand(self, spark):
+        from p2_mapreduce_spark.operators.timeseries import friedman_test
+
+        # 3 groups × 3 weekdays (days 0,1,2 = Fri,Sat,Sun blocks),
+        # group c always top, b middle, a lowest → perfect concordance
+        rows = []
+        for d in range(3):
+            rows += [(d, 1, "a", 1 + d), (d, 1, "b", 10 + d),
+                     (d, 1, "c", 100 + d)]
+        row = friedman_test(_events7(spark, rows)).collect()[0]
+        # perfect concordance: chi2_F = b·(k−1)·12/(k(k+1))·?? — use the
+        # formula directly: R = (3, 6, 9), b=3, k=3
+        b, k, ranks = 3.0, 3.0, [3.0, 6.0, 9.0]
+        chi2 = 12.0 * sum(r * r for r in ranks) / (b * k * (k + 1)) \
+            - 3.0 * b * (k + 1)
+        assert row["n_blocks"] == 3 and row["n_groups"] == 3
+        assert abs(row["chi2_f"] - chi2) < 1e-9
+        assert abs(row["chi2_f"] - 6.0) < 1e-9  # b(k-1) for perfect
+
+    def test_cohens_d_hand(self, spark):
+        from p2_mapreduce_spark.operators.events_analytics import cohens_d
+
+        rows = [(d, 1, "view", v) for d, v in enumerate([1, 2, 3, 4])]
+        rows += [(d, 1, "click", v) for d, v in enumerate([2, 4, 6, 8])]
+        row = cohens_d(_events7(spark, rows)).collect()[0]
+        import statistics
+
+        a = [100, 200, 300, 400]
+        b = [200, 400, 600, 800]
+        sp = (
+            (3 * statistics.variance(a) + 3 * statistics.variance(b)) / 6
+        ) ** 0.5
+        d = (statistics.mean(a) - statistics.mean(b)) / sp
+        assert row["n_a"] == 4 and row["n_b"] == 4
+        assert abs(row["cohens_d"] - d) < 1e-9
+        assert abs(row["mean_a"] - 2.5) < 1e-12
+
+    def test_mcnemar_hand(self, spark):
+        from p2_mapreduce_spark.operators.events_analytics import (
+            mcnemar_test,
+        )
+
+        # 20-day span, midpoint day 10 (2024-03-11).  users: 1 buys in
+        # both halves, 2 only first, 3 only second, 4 never
+        rows = [
+            (0, 1, "purchase", 1), (15, 1, "purchase", 1),
+            (2, 2, "purchase", 1),
+            (18, 3, "purchase", 1),
+            (5, 4, "view", 1),
+            (0, 5, "view", 1), (20, 5, "view", 1),  # span anchors
+        ]
+        row = mcnemar_test(_events7(spark, rows)).collect()[0]
+        assert row["n_users"] == 5
+        assert row["b_cnt"] == 1 and row["c_cnt"] == 1
+        assert row["mcnemar_chi2"] == 0.0
+
+    def test_odds_ratio_hand(self, spark):
+        from p2_mapreduce_spark.operators.events_analytics import odds_ratio
+
+        # exposed (first=view): u1 purchases, u2 doesn't;
+        # unexposed: u3 purchases, u4 doesn't → a=b=c=d=1, OR=1
+        rows = [
+            (0, 1, "view", 1), (1, 1, "purchase", 1),
+            (0, 2, "view", 1), (1, 2, "click", 1),
+            (0, 3, "click", 1), (1, 3, "purchase", 1),
+            (0, 4, "click", 1), (1, 4, "error", 1),
+        ]
+        row = odds_ratio(_events7(spark, rows)).collect()[0]
+        assert (row["a"], row["b"], row["c"], row["d"]) == (1, 1, 1, 1)
+        assert abs(row["odds_ratio"] - 1.0) < 1e-12
+
+    def test_hhi_monopoly_and_uniform(self, spark):
+        from p2_mapreduce_spark.operators.analytics import hhi_concentration
+
+        li = spark.createDataFrame(
+            [(1, 1, 1, 1.0, 100.0), (2, 2, 1, 1.0, 25.0),
+             (3, 3, 1, 1.0, 25.0), (4, 4, 1, 1.0, 25.0),
+             (5, 5, 1, 1.0, 25.0)],
+            ["l_orderkey", "l_suppkey", "l_partkey", "l_quantity",
+             "l_extendedprice"],
+        )
+        supp = spark.createDataFrame(
+            [(1, "s1", 0, 0.0), (2, "s2", 0, 0.0), (3, "s3", 1, 0.0),
+             (4, "s4", 1, 0.0), (5, "s5", 1, 0.0)],
+            ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+        )
+        nat = spark.createDataFrame(
+            [(0, "MONO", 0), (1, "TRIO", 0)],
+            ["n_nationkey", "n_name", "n_regionkey"],
+        )
+        got = {
+            r["nation"]: r
+            for r in hhi_concentration(li, supp, nat).collect()
+        }
+        # MONO: one 100 + one 25 supplier → (100²+25²)/125²
+        assert abs(got["MONO"]["hhi"] - (100**2 + 25**2) / 125**2) < 1e-12
+        # TRIO: three equal suppliers → HHI = 1/3, effective_n = 3
+        assert abs(got["TRIO"]["hhi"] - 1 / 3) < 1e-12
+        assert abs(got["TRIO"]["effective_n"] - 3.0) < 1e-12
+
+    def test_kendall_w_perfect_and_formula(self, spark):
+        from p2_mapreduce_spark.operators.analytics import kendall_w
+
+        # suppliers with rev/qty/cnt all ranking identically (no ties)
+        rows = []
+        for s in range(1, 6):
+            for _ in range(s):  # cnt rank == s rank
+                rows.append((s, s, 1, float(s), float(s * 100)))
+        li = spark.createDataFrame(
+            rows,
+            ["l_orderkey", "l_suppkey", "l_partkey", "l_quantity",
+             "l_extendedprice"],
+        )
+        row = kendall_w(li).collect()[0]
+        assert row["n_items"] == 5
+        assert abs(row["w"] - 1.0) < 1e-12  # perfect concordance
+
+    def test_business_day_lag_weekend_skip(self, spark):
+        from p2_mapreduce_spark.operators.analytics import business_day_lag
+
+        # 2024-03-01 is a Friday; shipping Monday 03-04 = 1 business day
+        li = spark.createDataFrame(
+            [(1, 1, 1, 1.0, 1.0, dt.date(2024, 3, 4)),
+             (2, 2, 1, 1.0, 1.0, dt.date(2024, 3, 8)),
+             (3, 3, 1, 1.0, 1.0, dt.date(2024, 3, 1))],
+            ["l_orderkey", "l_suppkey", "l_partkey", "l_quantity",
+             "l_extendedprice", "l_shipdate"],
+        )
+        orders = spark.createDataFrame(
+            [(1, dt.date(2024, 3, 1)), (2, dt.date(2024, 3, 1)),
+             (3, dt.date(2024, 3, 1))],
+            ["o_orderkey", "o_orderdate"],
+        )
+        got = {
+            r["bd_lag"]: r["n_items"]
+            for r in business_day_lag(li, orders).collect()
+        }
+        assert got == {0: 1, 1: 1, 5: 1}  # same-day, Fri→Mon, Fri→Fri+1wk
+
+    def test_cliffs_delta_extremes(self, spark):
+        from p2_mapreduce_spark.operators.profile import cliffs_delta
+
+        rows = [(i, "x" * 10, "en", "hi", 1000 + i) for i in range(5)]
+        rows += [(i + 5, "y", "en", "lo", i) for i in range(5)]
+        docs = spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        got = {r["source"]: r["delta"] for r in cliffs_delta(docs).collect()}
+        assert abs(got["hi"] - 1.0) < 1e-12  # hi dominates completely
+        assert abs(got["lo"] + 1.0) < 1e-12
+
+    def test_null_cooccurrence_lift(self, spark):
+        from p2_mapreduce_spark.operators.profile import null_cooccurrence
+
+        # discount and tax "missing" always together (lift = N/n), the
+        # returnflag flag independent
+        rows = []
+        for i in range(8):
+            miss = i < 4
+            rows.append(
+                (i, 1, 1, 1.0, 1.0,
+                 0.0 if miss else 0.05,
+                 0.0 if miss else 0.08,
+                 "N" if i % 2 == 0 else "R", "O", dt.date(2024, 1, 1))
+            )
+        li = spark.createDataFrame(
+            rows,
+            ["l_orderkey", "l_suppkey", "l_partkey", "l_quantity",
+             "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+             "l_linestatus", "l_shipdate"],
+        )
+        got = {
+            (r["col_a"], r["col_b"]): r
+            for r in null_cooccurrence(li).collect()
+        }
+        dt_pair = got[("discount", "tax")]
+        assert dt_pair["n_both"] == 4 and abs(dt_pair["lift"] - 2.0) < 1e-12
+        dr = got[("discount", "returnflag")]
+        assert abs(dr["lift"] - 1.0) < 1e-12  # independent
+
+    def test_burstiness_hand(self, spark):
+        from p2_mapreduce_spark.operators.text_analysis import (
+            text_burstiness,
+        )
+
+        # "spark" appears 3x in each of 5 docs (bursty); "the" once per
+        # doc in 6 docs (flat)
+        rows = [(i, "spark spark spark the", "en", "s", 1) for i in range(5)]
+        rows += [(5, "the", "en", "s", 1)]
+        docs = spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        got = {
+            r["token"]: r for r in text_burstiness(docs, min_df=5).collect()
+        }
+        assert got["spark"]["burst_ppm"] == 3_000_000
+        assert got["the"]["burst_ppm"] == 1_000_000
+
+    def test_harmonic_on_path(self, spark):
+        from p2_mapreduce_spark.operators.graph import harmonic_centrality
+
+        path = spark.createDataFrame(
+            [(0, 20), (20, 40), (40, 60)], ["u", "v"]
+        )
+        got = {
+            r["node"]: r for r in harmonic_centrality(path, panel_k=10).collect()
+        }
+        # end node 0: one 1-hop + one 2-hop → H2 = 1 + 0.5 = 1.5
+        assert got[0]["h2x"] == 3 and abs(got[0]["harmonic"] - 1.5) < 1e-12
+        # middle node 20: two 1-hop + one 2-hop → 2.5
+        assert got[20]["h2x"] == 5
