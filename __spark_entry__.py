@@ -2101,6 +2101,20 @@ def _q_audio_mp1(spark, sf_dir):
     return mp1_subband_stats(attach_mp1(docs))
 
 
+def _q_audio_g711(spark, sf_dir):
+    """Real G.711 telephony audio decode (ITU-T µ-law + A-law WAV,
+    format tags 7/6): companded byte → linear expansion via the
+    tables-as-formulas, oracle-checked closed-form over the full code
+    range — pure integer arithmetic end to end."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_g711,
+        g711_sample_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return g711_sample_stats(attach_g711(docs))
+
+
 def _q_media_jpeg_prog_color(spark, sf_dir):
     """Real COLOR progressive-JPEG (SOF2) decode: interleaved DC
     scans, per-component AC first scans, and AC successive-
@@ -4019,10 +4033,10 @@ _DRIVER_CHECKED_R01_R06 = frozenset(
 #: registered first so the newest, highest-risk operators are always
 #: inside the driver's 50-query window.
 _ROUND7_NEW = (
-    "audio_flac_lpc", "audio_mp1", "durbin_watson", "pettitt", "tsb",
-    "page_hinkley", "friedman", "hhi", "kendall_w", "bday_lag",
-    "cliffs_delta", "null_cooccur", "cohens_d", "mcnemar", "odds_ratio",
-    "burstiness", "harmonic",
+    "audio_flac_lpc", "audio_mp1", "audio_g711", "durbin_watson",
+    "pettitt", "tsb", "page_hinkley", "friedman", "hhi", "kendall_w",
+    "bday_lag", "cliffs_delta", "null_cooccur", "cohens_d", "mcnemar",
+    "odds_ratio", "burstiness", "harmonic",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -4213,6 +4227,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_flac": _q_audio_flac,
         "audio_flac_lpc": _q_audio_flac_lpc,
         "audio_mp1": _q_audio_mp1,
+        "audio_g711": _q_audio_g711,
         "durbin_watson": _q_durbin_watson,
         "pettitt": _q_pettitt,
         "tsb": _q_tsb,
@@ -14365,6 +14380,54 @@ def oracle_sql() -> dict[str, str]:
                CAST(2 * n_1hop + COALESCE(n_2hop_new, 0) AS DOUBLE)
                    / 2.0 AS harmonic
         FROM c1 LEFT JOIN c2 ON c1.node = c2.node
+    """
+    out["audio_g711"] = """
+        -- G.711 closed form: both companding expansions are pure
+        -- integer trees over the byte stream (id*7 + i*13) mod 256
+        WITH d AS (
+            SELECT doc_id AS media_id,
+                   32 + doc_id % 32 AS n,
+                   doc_id % 2 AS par
+            FROM documents
+        ),
+        sx AS (
+            SELECT media_id, n, par,
+                   (media_id * 7
+                    + unnest(generate_series(0, n - 1)) * 13) % 256 AS c
+            FROM d
+        ),
+        s AS (
+            SELECT media_id, n, par,
+                   CASE WHEN par = 0 THEN
+                       -- mu-law: u = ~c; chord rebuild with 132 bias
+                       CASE WHEN (255 - c) >= 128
+                            THEN 132 - ((((255 - c) % 16) * 8 + 132)
+                                        * (1 << (((255 - c) // 16) % 8)))
+                            ELSE ((((255 - c) % 16) * 8 + 132)
+                                  * (1 << (((255 - c) // 16) % 8))) - 132
+                       END
+                   ELSE
+                       -- A-law: a = c XOR 0x55; segment 0 linear,
+                       -- else implicit-1 chord shifted
+                       CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END *
+                       CASE WHEN ((xor(c, 85) // 16) % 8) = 0
+                            THEN (xor(c, 85) % 16) * 16 + 8
+                            ELSE ((xor(c, 85) % 16) * 16 + 264)
+                                 * (1 << (((xor(c, 85) // 16) % 8) - 1))
+                       END
+                   END AS v
+            FROM sx
+        )
+        SELECT media_id,
+               CASE WHEN MAX(par) = 0 THEN 'ulaw' ELSE 'alaw' END
+                   AS codec,
+               CAST(8000 AS INT) AS rate,
+               CAST(MAX(n) AS BIGINT) AS n_samples,
+               CAST(SUM(v) AS BIGINT) AS sum_s,
+               CAST(MIN(v) AS BIGINT) AS min_s,
+               CAST(MAX(v) AS BIGINT) AS max_s
+        FROM s
+        GROUP BY media_id
     """
     out["kruskal_wallis"] = f"""
         -- doubled midranks over the pooled day-grain series; the one

@@ -4193,3 +4193,153 @@ def mp1_subband_stats(media: DataFrame) -> DataFrame:
             " sum_q long, sum_abs_q long, min_q long, max_q long"
         ),
     )
+
+
+def attach_g711(docs: DataFrame) -> DataFrame:
+    """Multimodal table whose payloads are REAL, complete G.711
+    telephony WAV files (ITU-T G.711 companded audio inside RIFF/WAVE
+    — format tag 7 = µ-law, 6 = A-law, the encoding every PSTN/VoIP
+    capture pipeline emits): proper ``fmt `` chunk (8-bit, mono,
+    8 kHz, byte rate = sample rate) and a data chunk of companded
+    bytes.  Codec alternates by ``id % 2``; sample ``i`` of stream
+    ``id`` is the byte ``(id·7 + i·13) mod 256`` — every code point is
+    hit across the corpus, so both decode tables are exercised over
+    their full range; ``n = 32 + id % 32`` samples.  Built entirely
+    JVM-side (hex fold + ``unhex``) like :func:`attach_wav`.
+
+    Reference analog: none — the reference stores media as opaque
+    blobs (storage-node/main.go:881-908).
+    """
+    n = (F.lit(32) + F.pmod(F.col("doc_id"), F.lit(32))).cast("int")
+    fmt = (F.lit(7) - F.pmod(F.col("doc_id"), F.lit(2))).cast("int")
+    d = spread(docs).select(
+        F.col("doc_id").alias("media_id"), n.alias("n"), fmt.alias("fmt")
+    )
+    header_hex = F.concat(
+        F.lit("52494646"),                     # 'RIFF'
+        _le_hex(F.lit(36) + F.col("n"), 4),    # chunk size
+        F.lit("57415645"),                     # 'WAVE'
+        F.lit("666d7420"),                     # 'fmt '
+        _le_hex(F.lit(16), 4),                 # fmt chunk size
+        _le_hex(F.col("fmt"), 2),              # 7 = mu-law, 6 = A-law
+        _le_hex(F.lit(1), 2),                  # mono
+        _le_hex(F.lit(8000), 4),               # sample rate
+        _le_hex(F.lit(8000), 4),               # byte rate (1 B/sample)
+        _le_hex(F.lit(1), 2),                  # block align
+        _le_hex(F.lit(8), 2),                  # bits/sample
+        F.lit("64617461"),                     # 'data'
+        _le_hex(F.col("n"), 4),
+    )
+    samples_hex = F.expr(
+        "array_join(transform(sequence(0, n-1), i ->"
+        " lpad(conv(pmod(media_id*7 + i*13, 256), 10, 16), 2, '0')), '')"
+    )
+    return d.select(
+        "media_id",
+        F.lit("audio").alias("modality"),
+        F.unhex(F.concat(header_hex, samples_hex)).alias("payload"),
+    )
+
+
+def _g711_ulaw(b: int) -> int:
+    """ITU-T G.711 µ-law byte → linear sample (the CCITT reference
+    expansion): complement, split sign/exponent/mantissa, rebuild the
+    chord with the 0x84 (132) bias."""
+    u = ~b & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return 0x84 - t if u & 0x80 else t - 0x84
+
+
+def _g711_alaw(b: int) -> int:
+    """ITU-T G.711 A-law byte → linear sample: XOR 0x55, segment 0 is
+    linear, segments 1-7 prepend the implicit 1 bit and shift."""
+    a = b ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+def _decode_g711(b: bytes):
+    """Real G.711 WAV decoder (stdlib only): RIFF/WAVE chunk walk
+    (``fmt `` and ``data`` may be separated by arbitrary chunks),
+    format tag 7 (µ-law) / 6 (A-law) with 8-bit mono samples, byte
+    stream expanded through the ITU-T G.711 tables-as-formulas
+    (:func:`_g711_ulaw` / :func:`_g711_alaw`).  Returns
+    ``(codec, rate, [samples])`` or None to quarantine anything that
+    is not an 8-bit G.711 WAV."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt_tag, rate, bits, data = None, None, None, None
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            return None
+        if cid == b"fmt " and len(body) >= 16:
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if fmt_tag not in (6, 7) or bits != 8 or data is None or rate is None:
+        return None
+    dec = _g711_ulaw if fmt_tag == 7 else _g711_alaw
+    return ("ulaw" if fmt_tag == 7 else "alaw", rate,
+            [dec(x) for x in data])
+
+
+def g711_sample_stats(media: DataFrame) -> DataFrame:
+    """Per-stream decoded-sample statistics from the REAL G.711 decode
+    — the telephony sibling of :func:`adpcm_sample_sums`: the oracle
+    recomputes both companding expansions closed-form (pure integer
+    arithmetic, bit-identical by construction), so a complement slip,
+    segment-shift error, or sign-convention bug breaks the hash.
+    Malformed payloads surface as the zero row.  Same Arrow-batched
+    ``mapInPandas`` plumbing as every payload kernel."""
+    from p2_mapreduce_spark.mapreduce import _ship_by_value
+
+    _ship_by_value(_decode_g711)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            parsed = _decode_g711(payload or b"")
+            if parsed is None:
+                return "", 0, 0, 0, 0, 0
+            codec, rate, samples = parsed
+            return (
+                codec,
+                rate,
+                len(samples),
+                sum(samples),
+                min(samples),
+                max(samples),
+            )
+
+        for pdf in it:
+            vals = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "codec": [v[0] for v in vals],
+                    "rate": [v[1] for v in vals],
+                    "n_samples": [v[2] for v in vals],
+                    "sum_s": [v[3] for v in vals],
+                    "min_s": [v[4] for v in vals],
+                    "max_s": [v[5] for v in vals],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, codec string, rate int, n_samples long,"
+            " sum_s long, min_s long, max_s long"
+        ),
+    )

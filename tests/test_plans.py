@@ -365,6 +365,9 @@ PYTHON_ALLOWED = {
     # scalefactor/requantization half of the perceptual-audio gate) —
     # Arrow-batched payload kernel like audio_adpcm
     "audio_mp1",
+    # round 7: G.711 mu-law/A-law telephony decode — same Arrow-batched
+    # payload kernel justification
+    "audio_g711",
 }
 
 

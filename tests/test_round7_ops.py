@@ -525,3 +525,60 @@ class TestRound7Stats:
         assert got[0]["h2x"] == 3 and abs(got[0]["harmonic"] - 1.5) < 1e-12
         # middle node 20: two 1-hop + one 2-hop → 2.5
         assert got[20]["h2x"] == 5
+
+
+class TestG711:
+    def test_formulas_match_stdlib_tables(self):
+        """Both companding expansions must equal the canonical CCITT
+        tables (stdlib audioop) on every one of the 256 code points."""
+        import audioop
+
+        from p2_mapreduce_spark.operators.multimodal import (
+            _g711_alaw,
+            _g711_ulaw,
+        )
+
+        for b in range(256):
+            exp_u = int.from_bytes(
+                audioop.ulaw2lin(bytes([b]), 2), "little", signed=True
+            )
+            exp_a = int.from_bytes(
+                audioop.alaw2lin(bytes([b]), 2), "little", signed=True
+            )
+            assert _g711_ulaw(b) == exp_u, f"ulaw {b}"
+            assert _g711_alaw(b) == exp_a, f"alaw {b}"
+
+    def test_decode_matches_closed_form(self, spark):
+        from p2_mapreduce_spark.operators.multimodal import (
+            _decode_g711,
+            _g711_alaw,
+            _g711_ulaw,
+            attach_g711,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(16)], ["doc_id", "text"]
+        )
+        for r in attach_g711(docs).collect():
+            mid = r["media_id"]
+            parsed = _decode_g711(bytes(r["payload"]))
+            assert parsed is not None, f"id {mid} quarantined"
+            codec, rate, samples = parsed
+            assert rate == 8000
+            assert codec == ("ulaw" if mid % 2 == 0 else "alaw")
+            dec = _g711_ulaw if mid % 2 == 0 else _g711_alaw
+            n = 32 + mid % 32
+            exp = [dec((mid * 7 + i * 13) % 256) for i in range(n)]
+            assert samples == exp, f"id {mid}"
+
+    def test_quarantine_non_g711(self):
+        from p2_mapreduce_spark.operators.multimodal import _decode_g711
+
+        assert _decode_g711(b"") is None
+        # 16-bit PCM must not decode through the G.711 kernel
+        pcm = (
+            b"RIFF$\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01\x00\x01\x00"
+            b"\x40\x1f\x00\x00\x80>\x00\x00\x02\x00\x10\x00"
+            b"data\x00\x00\x00\x00"
+        )
+        assert _decode_g711(pcm) is None
