@@ -2115,6 +2115,20 @@ def _q_audio_g711(spark, sf_dir):
     return g711_sample_stats(attach_g711(docs))
 
 
+def _q_media_bmp_rle(spark, sf_dir):
+    """Real RLE8-compressed BMP decode (BI_RLE8 runs, absolute mode,
+    EOL/EOB escapes, bottom-up unflip, grayscale palette) — the first
+    COMPRESSED bitmap codec; oracle-checked against the closed-form
+    run/absolute pixel plan."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_bmp_rle,
+        bmp_rle_pixel_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bmp_rle_pixel_stats(attach_bmp_rle(docs))
+
+
 def _q_media_jpeg_prog_color(spark, sf_dir):
     """Real COLOR progressive-JPEG (SOF2) decode: interleaved DC
     scans, per-component AC first scans, and AC successive-
@@ -4033,10 +4047,10 @@ _DRIVER_CHECKED_R01_R06 = frozenset(
 #: registered first so the newest, highest-risk operators are always
 #: inside the driver's 50-query window.
 _ROUND7_NEW = (
-    "audio_flac_lpc", "audio_mp1", "audio_g711", "durbin_watson",
-    "pettitt", "tsb", "page_hinkley", "friedman", "hhi", "kendall_w",
-    "bday_lag", "cliffs_delta", "null_cooccur", "cohens_d", "mcnemar",
-    "odds_ratio", "burstiness", "harmonic",
+    "audio_flac_lpc", "audio_mp1", "audio_g711", "media_bmp_rle",
+    "durbin_watson", "pettitt", "tsb", "page_hinkley", "friedman",
+    "hhi", "kendall_w", "bday_lag", "cliffs_delta", "null_cooccur",
+    "cohens_d", "mcnemar", "odds_ratio", "burstiness", "harmonic",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -4228,6 +4242,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_flac_lpc": _q_audio_flac_lpc,
         "audio_mp1": _q_audio_mp1,
         "audio_g711": _q_audio_g711,
+        "media_bmp_rle": _q_media_bmp_rle,
         "durbin_watson": _q_durbin_watson,
         "pettitt": _q_pettitt,
         "tsb": _q_tsb,
@@ -14427,6 +14442,49 @@ def oracle_sql() -> dict[str, str]:
                CAST(MIN(v) AS BIGINT) AS min_s,
                CAST(MAX(v) AS BIGINT) AS max_s
         FROM s
+        GROUP BY media_id
+    """
+    out["media_bmp_rle"] = """
+        -- RLE8 closed form: stored row ys is two runs (c1 × w/2,
+        -- c2 × w/2) or, when (id + ys) % 3 = 0, four absolute
+        -- indices + a c2 run — regenerated per pixel
+        WITH d AS (
+            SELECT doc_id AS media_id,
+                   8 + (doc_id % 4) * 4 AS w,
+                   2 + doc_id % 3 AS h
+            FROM documents
+        ),
+        ys AS (
+            SELECT media_id, w, h,
+                   unnest(generate_series(0, h - 1)) AS y
+            FROM d
+        ),
+        px AS (
+            SELECT media_id, w, h, y,
+                   unnest(generate_series(0, w - 1)) AS x
+            FROM ys
+        ),
+        v AS (
+            SELECT media_id, w, h,
+                   CASE WHEN (media_id + y) % 3 = 0 THEN
+                        CASE WHEN x < 4
+                             THEN (media_id + y + x) % 256
+                             ELSE (media_id * 5 + 7 * y) % 256 END
+                   ELSE
+                        CASE WHEN x < w // 2
+                             THEN (media_id + 3 * y) % 256
+                             ELSE (media_id * 5 + 7 * y) % 256 END
+                   END AS px
+            FROM px
+        )
+        SELECT media_id,
+               CAST(MAX(w) AS INT) AS width,
+               CAST(MAX(h) AS INT) AS height,
+               CAST(COUNT(*) AS BIGINT) AS n_pixels,
+               CAST(SUM(px) AS BIGINT) AS sum_px,
+               CAST(MIN(px) AS BIGINT) AS min_px,
+               CAST(MAX(px) AS BIGINT) AS max_px
+        FROM v
         GROUP BY media_id
     """
     out["kruskal_wallis"] = f"""

@@ -4343,3 +4343,199 @@ def g711_sample_stats(media: DataFrame) -> DataFrame:
             " sum_s long, min_s long, max_s long"
         ),
     )
+
+
+def _decode_bmp_rle8(b: bytes):
+    """Real RLE8-compressed BMP decoder (BI_RLE8, the Windows bitmap
+    run-length format; stdlib only): 'BM' header, 8-bpp palettized
+    DIB with compression = 1, 256-entry BGRX palette, then the RLE
+    stream — encoded runs (count, index), end-of-line and end-of-
+    bitmap escapes, and ABSOLUTE mode (0, n≥3, n literal indices,
+    word-aligned) — reconstructed bottom-up into image coordinates
+    like :func:`_parse_bmp`.
+
+    Returns ``(w, h, grid)`` with ``grid[y][x]`` = the palette GRAY
+    value (payloads use a grayscale palette; a non-gray palette entry
+    quarantines), or None for: the delta escape (0,2 — leaves pixels
+    undefined; outside the verified envelope), uncovered pixels,
+    stream overruns, or any structure violation.
+    """
+    try:
+        if len(b) < 54 or b[:2] != b"BM":
+            return None
+        off = int.from_bytes(b[10:14], "little")
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        bpp = int.from_bytes(b[28:30], "little")
+        comp = int.from_bytes(b[30:34], "little")
+        if bpp != 8 or comp != 1 or w <= 0 or h <= 0:
+            return None
+        pal_off = 14 + int.from_bytes(b[14:18], "little")
+        pal = []
+        for i in range(256):
+            e = b[pal_off + 4 * i : pal_off + 4 * i + 4]
+            if len(e) < 4 or not (e[0] == e[1] == e[2]):
+                return None  # non-grayscale palette out of envelope
+            pal.append(e[0])
+        grid = [[None] * w for _ in range(h)]
+        pos, x, y = off, 0, 0  # y = stored row index (bottom-up)
+        done = False
+        while pos + 2 <= len(b) and not done:
+            n, v = b[pos], b[pos + 1]
+            pos += 2
+            if n > 0:  # encoded run
+                if y >= h or x + n > w:
+                    return None
+                for _ in range(n):
+                    grid[y][x] = pal[v]
+                    x += 1
+            elif v == 0:  # end of line
+                x, y = 0, y + 1
+            elif v == 1:  # end of bitmap
+                done = True
+            elif v == 2:  # delta escape: undefined pixels — gated
+                return None
+            else:  # absolute mode: v literal indices, word-aligned
+                if y >= h or x + v > w or pos + v > len(b):
+                    return None
+                for i in range(v):
+                    grid[y][x] = pal[b[pos + i]]
+                    x += 1
+                pos += v + (v & 1)
+        if not done:
+            return None
+        if any(px is None for row in grid for px in row):
+            return None  # uncovered pixels
+        # unflip: stored bottom-up → image coordinates
+        return w, h, grid[::-1]
+    except Exception:
+        return None
+
+
+#: grayscale BGRX palette shared by every attach_bmp_rle payload
+_RLE8_PALETTE_HEX = "".join(f"{i:02x}{i:02x}{i:02x}00" for i in range(256))
+
+
+def attach_bmp_rle(docs: DataFrame) -> DataFrame:
+    """Multimodal table whose payloads are REAL, complete RLE8-
+    compressed BMPs (BI_RLE8) — the first COMPRESSED bitmap through
+    the gate (the uncompressed 24-bpp codec is attach_bmp): 8-bpp
+    grayscale 256-entry palette, and per stored row either two encoded
+    runs or an ABSOLUTE-mode segment + run (rows with
+    ``(id + row) % 3 == 0``), each row closed by the end-of-line
+    escape, the stream by end-of-bitmap.
+
+    Closed-form pixel plan (stored row ys, bottom-up):
+    ``c1 = (id + 3·ys) % 256``, ``c2 = (id·5 + 7·ys) % 256``; normal
+    rows are w/2 of c1 then w/2 of c2; absolute rows carry 4 literal
+    indices ``(id + ys + i) % 256`` then w−4 of c2.  ``w = 8 +
+    4·(id % 4)``, ``h = 2 + id % 3`` — absolute count 4 is even, so
+    the word-alignment pad is exercised as a no-op by construction
+    and the alignment PATH is still walked.
+
+    Reference analog: none — the reference stores media as opaque
+    blobs (storage-node/main.go:881-908).
+    """
+    d = spread(docs).select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(8) + F.pmod(F.col("doc_id"), F.lit(4)) * 4)
+        .cast("int")
+        .alias("w"),
+        (F.lit(2) + F.pmod(F.col("doc_id"), F.lit(3)))
+        .cast("int")
+        .alias("h"),
+    )
+    # per stored row: absolute-mode rows interleave with two-run rows
+    d = d.withColumn(
+        "rows_hex",
+        F.expr(
+            "array_join(transform(sequence(0, h - 1), ys ->"
+            " concat("
+            "  IF(pmod(media_id + ys, 3) = 0,"
+            "   concat('0004',"
+            "    array_join(transform(sequence(0, 3), i ->"
+            "     lpad(conv(pmod(media_id + ys + i, 256), 10, 16), 2,"
+            "          '0')), ''),"
+            "    lpad(conv(w - 4, 10, 16), 2, '0'),"
+            "    lpad(conv(pmod(media_id * 5 + 7 * ys, 256), 10, 16),"
+            "         2, '0')),"
+            "   concat("
+            "    lpad(conv(w div 2, 10, 16), 2, '0'),"
+            "    lpad(conv(pmod(media_id + 3 * ys, 256), 10, 16), 2,"
+            "         '0'),"
+            "    lpad(conv(w div 2, 10, 16), 2, '0'),"
+            "    lpad(conv(pmod(media_id * 5 + 7 * ys, 256), 10, 16),"
+            "         2, '0'))),"
+            "  '0000')), '')"
+        ),
+    ).withColumn(
+        "data_hex", F.expr("concat(rows_hex, '0001')")
+    )
+    data_size = F.length(F.col("data_hex")) / 2
+    header_hex = F.concat(
+        F.lit("424d"),                                     # 'BM'
+        _le_hex((F.lit(1078) + data_size).cast("int"), 4),  # file size
+        F.lit("00000000"),
+        _le_hex(F.lit(1078), 4),                           # pixel offset
+        _le_hex(F.lit(40), 4),                             # biSize
+        _le_hex(F.col("w"), 4),
+        _le_hex(F.col("h"), 4),                            # bottom-up
+        _le_hex(F.lit(1), 2),                              # planes
+        _le_hex(F.lit(8), 2),                              # 8 bpp
+        _le_hex(F.lit(1), 4),                              # BI_RLE8
+        _le_hex(data_size.cast("int"), 4),                 # biSizeImage
+        F.lit("00000000" * 4),                             # dpi/colors
+    )
+    return d.select(
+        "media_id",
+        F.lit("image").alias("modality"),
+        F.unhex(
+            F.concat(
+                header_hex, F.lit(_RLE8_PALETTE_HEX), F.col("data_hex")
+            )
+        ).alias("payload"),
+    )
+
+
+def bmp_rle_pixel_stats(media: DataFrame) -> DataFrame:
+    """Per-image pixel statistics from the REAL RLE8 decode — the
+    compressed-bitmap sibling of :func:`pixel_sums`: the oracle
+    regenerates the run/absolute pixel plan closed-form, so a run-
+    length slip, absolute-mode misalignment, bottom-up unflip error,
+    or palette misread breaks the hash.  Malformed payloads surface as
+    the zero row.  Same Arrow-batched ``mapInPandas`` plumbing as
+    every payload kernel."""
+    from p2_mapreduce_spark.mapreduce import _ship_by_value
+
+    _ship_by_value(_decode_bmp_rle8)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            parsed = _decode_bmp_rle8(payload or b"")
+            if parsed is None:
+                return 0, 0, 0, 0, 0, 0
+            w, h, grid = parsed
+            px = [v for row in grid for v in row]
+            return w, h, len(px), sum(px), min(px), max(px)
+
+        for pdf in it:
+            vals = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": [v[0] for v in vals],
+                    "height": [v[1] for v in vals],
+                    "n_pixels": [v[2] for v in vals],
+                    "sum_px": [v[3] for v in vals],
+                    "min_px": [v[4] for v in vals],
+                    "max_px": [v[5] for v in vals],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, width int, height int, n_pixels long,"
+            " sum_px long, min_px long, max_px long"
+        ),
+    )

@@ -368,6 +368,9 @@ PYTHON_ALLOWED = {
     # round 7: G.711 mu-law/A-law telephony decode — same Arrow-batched
     # payload kernel justification
     "audio_g711",
+    # round 7: RLE8-compressed BMP decode — same Arrow-batched payload
+    # kernel justification (bmp_rle_pixel_stats)
+    "media_bmp_rle",
 }
 
 

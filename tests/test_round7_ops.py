@@ -582,3 +582,59 @@ class TestG711:
             b"data\x00\x00\x00\x00"
         )
         assert _decode_g711(pcm) is None
+
+
+class TestBmpRle:
+    def test_decode_matches_closed_form(self, spark):
+        from p2_mapreduce_spark.operators.multimodal import (
+            _decode_bmp_rle8,
+            attach_bmp_rle,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(24)], ["doc_id", "text"]
+        )
+        for r in attach_bmp_rle(docs).collect():
+            mid = r["media_id"]
+            parsed = _decode_bmp_rle8(bytes(r["payload"]))
+            assert parsed is not None, f"id {mid} quarantined"
+            w, h, grid = parsed
+            assert (w, h) == (8 + (mid % 4) * 4, 2 + mid % 3)
+            for ys in range(h):
+                c1 = (mid + 3 * ys) % 256
+                c2 = (mid * 5 + 7 * ys) % 256
+                if (mid + ys) % 3 == 0:
+                    exp = [(mid + ys + i) % 256 for i in range(4)]
+                    exp += [c2] * (w - 4)
+                else:
+                    exp = [c1] * (w // 2) + [c2] * (w // 2)
+                # stored row ys is image row h-1-ys (bottom-up unflip)
+                assert grid[h - 1 - ys] == exp, f"id {mid} row {ys}"
+
+    def test_out_of_envelope_quarantines(self, spark):
+        from p2_mapreduce_spark.operators.multimodal import (
+            _decode_bmp_rle8,
+            attach_bmp_rle,
+        )
+
+        docs = spark.createDataFrame([(5, "x")], ["doc_id", "text"])
+        payload = bytearray(
+            attach_bmp_rle(docs).collect()[0]["payload"]
+        )
+        assert _decode_bmp_rle8(bytes(payload)) is not None
+        # delta escape (0, 2) leaves pixels undefined → gated
+        bad = bytearray(payload)
+        bad[1078] = 0
+        bad[1079] = 2
+        assert _decode_bmp_rle8(bytes(bad)) is None
+        # truncated stream (no end-of-bitmap) → gated
+        assert _decode_bmp_rle8(bytes(payload[:-2])) is None
+        # uncompressed 24-bpp BMP must not decode through this kernel
+        from p2_mapreduce_spark.operators.multimodal import attach_bmp
+
+        plain = bytes(attach_bmp(docs).collect()[0]["payload"])
+        assert _decode_bmp_rle8(plain) is None
+        # run overrunning the row width → gated
+        bad2 = bytearray(payload)
+        bad2[1078] = 255  # first run count > w
+        assert _decode_bmp_rle8(bytes(bad2)) is None
