@@ -2129,6 +2129,41 @@ def _q_media_bmp_rle(spark, sf_dir):
     return bmp_rle_pixel_stats(attach_bmp_rle(docs))
 
 
+def _q_ljung_box(spark, sf_dir):
+    """Ljung–Box portmanteau whiteness statistic per event type over
+    the first 7 autocorrelations (acf machinery + lag-ordered fold)."""
+    from p2_mapreduce_spark.operators.timeseries import ljung_box
+
+    return ljung_box(load_table(spark, sf_dir, "events"))
+
+
+def _q_seasonal_mk(spark, sf_dir):
+    """Seasonal (weekday-blocked) Mann–Kendall trend test per event
+    type — Hirsch–Slack S and variance summed over the 7 subseries."""
+    from p2_mapreduce_spark.operators.timeseries import (
+        seasonal_mann_kendall,
+    )
+
+    return seasonal_mann_kendall(load_table(spark, sf_dir, "events"))
+
+
+def _q_cochran_q(spark, sf_dir):
+    """Cochran's Q across the per-user event-type repertoire (k binary
+    outcomes per user block)."""
+    from p2_mapreduce_spark.operators.events_analytics import cochran_q
+
+    return cochran_q(load_table(spark, sf_dir, "events"))
+
+
+def _q_price_index(spark, sf_dir):
+    """Monthly Laspeyres/Paasche/Fisher price indexes vs the first
+    ship month (micro-unit quantized prices, exact basket dot
+    products)."""
+    from p2_mapreduce_spark.operators.analytics import price_index
+
+    return price_index(load_table(spark, sf_dir, "lineitem"))
+
+
 def _q_media_jpeg_prog_color(spark, sf_dir):
     """Real COLOR progressive-JPEG (SOF2) decode: interleaved DC
     scans, per-component AC first scans, and AC successive-
@@ -4051,6 +4086,7 @@ _ROUND7_NEW = (
     "durbin_watson", "pettitt", "tsb", "page_hinkley", "friedman",
     "hhi", "kendall_w", "bday_lag", "cliffs_delta", "null_cooccur",
     "cohens_d", "mcnemar", "odds_ratio", "burstiness", "harmonic",
+    "ljung_box", "seasonal_mk", "cochran_q", "price_index",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -4258,6 +4294,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "odds_ratio": _q_odds_ratio,
         "burstiness": _q_burstiness,
         "harmonic": _q_harmonic,
+        "ljung_box": _q_ljung_box,
+        "seasonal_mk": _q_seasonal_mk,
+        "cochran_q": _q_cochran_q,
+        "price_index": _q_price_index,
         "kruskal_wallis": _q_kruskal_wallis,
         "anova_f": _q_anova_f,
         "ccf_daily": _q_ccf_daily,
@@ -14486,6 +14526,198 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(px) AS BIGINT) AS max_px
         FROM v
         GROUP BY media_id
+    """
+    out["ljung_box"] = """
+        -- acf machinery verbatim + lag-ordered recursive fold (the
+        -- Spark in-row aggregate), Q = n(n+2)·Σ r²/(n−k)
+        WITH RECURSIVE daily AS (
+            SELECT event_type AS g,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS x,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(y) AS BIGINT) AS s
+            FROM daily GROUP BY g
+        ),
+        centered AS (
+            SELECT daily.g, x, n_days,
+                   CAST(n_days AS HUGEINT) * y - s AS dev
+            FROM daily JOIN stats USING (g)
+        ),
+        den AS (
+            SELECT g, SUM(dev * dev) AS den_scaled,
+                   MAX(n_days) AS n_days
+            FROM centered GROUP BY g
+        ),
+        pairs AS (
+            SELECT a.g, (b.x - a.x) AS lag, a.dev AS dev_a, b.dev AS dev_b
+            FROM centered a JOIN centered b
+              ON a.g = b.g AND b.x BETWEEN a.x + 1 AND a.x + 7
+        ),
+        num AS (
+            SELECT g, CAST(lag AS BIGINT) AS lag,
+                   SUM(dev_a * dev_b) AS num_scaled
+            FROM pairs GROUP BY g, lag
+        ),
+        r AS (
+            SELECT num.g, lag, den.n_days,
+                   CAST(num_scaled AS DOUBLE)
+                   / CAST(den_scaled AS DOUBLE) AS acf
+            FROM num JOIN den USING (g)
+            WHERE den_scaled <> 0
+        ),
+        idx AS (
+            SELECT g, lag, acf, n_days,
+                   row_number() OVER (PARTITION BY g ORDER BY lag) AS i,
+                   COUNT(*) OVER (PARTITION BY g) AS k
+            FROM r
+        ),
+        fold AS (
+            SELECT g, i, k, n_days,
+                   0.0e0 + (acf * acf)
+                   / (CAST(n_days AS DOUBLE) - CAST(lag AS DOUBLE)) AS sq
+            FROM idx WHERE i = 1
+            UNION ALL
+            SELECT p.g, p.i, p.k, p.n_days,
+                   f.sq + (p.acf * p.acf)
+                   / (CAST(p.n_days AS DOUBLE) - CAST(p.lag AS DOUBLE))
+            FROM fold f JOIN idx p ON p.g = f.g AND p.i = f.i + 1
+        )
+        SELECT g AS event_type,
+               CAST(n_days AS BIGINT) AS n_days,
+               CAST(k AS BIGINT) AS k_lags,
+               CAST(n_days AS DOUBLE)
+               * (CAST(n_days AS DOUBLE) + 2.0e0) * sq AS q_lb
+        FROM fold WHERE i = k
+    """
+    out["seasonal_mk"] = """
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        dw AS (
+            SELECT g, d, y, dayofweek(d) + 1 AS wd FROM daily
+        ),
+        s AS (
+            SELECT a.g,
+                   CAST(SUM(CAST(sign(CAST(b.y - a.y AS DOUBLE))
+                                 AS BIGINT)) AS BIGINT) AS s_stat
+            FROM dw a JOIN dw b
+              ON a.g = b.g AND a.wd = b.wd AND a.d < b.d
+            GROUP BY 1
+        ),
+        nw AS (SELECT g, wd, COUNT(*) AS nw FROM dw GROUP BY 1, 2),
+        ties AS (
+            SELECT g, wd, SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+            FROM (SELECT g, wd, y, COUNT(*) AS t
+                  FROM dw GROUP BY 1, 2, 3)
+            WHERE t > 1 GROUP BY 1, 2
+        ),
+        vw AS (
+            SELECT nw.g,
+                   nw.nw,
+                   nw.nw * (nw.nw - 1) * (2 * nw.nw + 5)
+                       - COALESCE(tie_term, 0) AS v18w
+            FROM nw LEFT JOIN ties USING (g, wd)
+        ),
+        base AS (
+            SELECT g, CAST(SUM(nw) AS BIGINT) AS n_days,
+                   CAST(SUM(v18w) AS BIGINT) AS var18
+            FROM vw GROUP BY g
+        )
+        SELECT base.g AS event_type, n_days,
+               CAST(COALESCE(s_stat, 0) AS BIGINT) AS s_stat, var18,
+               CASE WHEN var18 <= 0 OR COALESCE(s_stat, 0) = 0 THEN 0.0
+                    WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                         / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                    ELSE CAST(s_stat + 1 AS DOUBLE)
+                         / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+               END AS z
+        FROM base LEFT JOIN s USING (g)
+    """
+    out["cochran_q"] = """
+        WITH flags AS (
+            SELECT DISTINCT user_id, event_type FROM events
+        ),
+        cj AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+            FROM flags GROUP BY 1
+        ),
+        ri AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS r
+            FROM flags GROUP BY 1
+        ),
+        cm AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k_types,
+                   CAST(SUM(c) AS BIGINT) AS sum_c,
+                   SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sum_c2
+            FROM cj
+        ),
+        rm AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(r) AS BIGINT) AS sum_r,
+                   SUM(CAST(r AS HUGEINT) * CAST(r AS HUGEINT)) AS sum_r2
+            FROM ri
+        )
+        SELECT n_users, CAST(k_types AS INT) AS k_types,
+               CASE WHEN k_types > 1 AND
+                    (CAST(k_types AS DOUBLE) * CAST(sum_r AS DOUBLE)
+                     - CAST(sum_r2 AS DOUBLE)) > 0.0
+                    THEN (CAST(k_types AS DOUBLE) - 1.0)
+                         * (CAST(k_types AS DOUBLE)
+                            * CAST(sum_c2 AS DOUBLE)
+                            - CAST(sum_c AS DOUBLE)
+                              * CAST(sum_c AS DOUBLE))
+                         / (CAST(k_types AS DOUBLE)
+                            * CAST(sum_r AS DOUBLE)
+                            - CAST(sum_r2 AS DOUBLE))
+                    ELSE 0.0 END AS q_stat
+        FROM cm, rm WHERE n_users > 0
+    """
+    out["price_index"] = """
+        WITH cell AS (
+            SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+                   l_partkey AS part,
+                   CAST(SUM(floor(l_extendedprice * 100)) AS BIGINT)
+                       AS rev,
+                   CAST(SUM(floor(l_quantity * 100)) AS BIGINT) AS qty
+            FROM lineitem GROUP BY 1, 2
+            HAVING SUM(floor(l_quantity * 100)) > 0
+        ),
+        p AS (
+            SELECT month, part, qty,
+                   CAST(floor(1000000.0 * rev / qty) AS BIGINT) AS p
+            FROM cell
+        ),
+        m0 AS (SELECT MIN(month) AS m0 FROM p),
+        base AS (
+            SELECT part, p AS p0, qty AS q0
+            FROM p, m0 WHERE month = m0
+        ),
+        j AS (
+            SELECT month, p.part, p.p, p.qty, p0, q0
+            FROM p JOIN base USING (part)
+        ),
+        agg AS (
+            SELECT month, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   SUM(CAST(p AS HUGEINT) * q0) AS l_num,
+                   SUM(CAST(p0 AS HUGEINT) * q0) AS l_den,
+                   SUM(CAST(p AS HUGEINT) * qty) AS p_num,
+                   SUM(CAST(p0 AS HUGEINT) * qty) AS p_den
+            FROM j GROUP BY month
+        )
+        SELECT month, n_parts,
+               CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE)
+                   AS laspeyres,
+               CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE) AS paasche,
+               sqrt((CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))
+                    * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)))
+                   AS fisher
+        FROM agg ORDER BY month
     """
     out["kruskal_wallis"] = f"""
         -- doubled midranks over the pooled day-grain series; the one

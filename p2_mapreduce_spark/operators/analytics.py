@@ -1463,3 +1463,70 @@ def business_day_lag(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         )
         .orderBy("bd_lag")
     )
+
+
+def price_index(lineitem: DataFrame) -> DataFrame:
+    """Monthly Laspeyres / Paasche / Fisher price indexes vs the first
+    observed ship month — THE inflation-adjusted revenue readout
+    ("how much of growth is price vs volume?"), the index-number
+    formalization of :func:`price_volume_bridge`'s one-step split.
+
+    Exactness: per-(part, month) unit price is quantized ONCE to
+    exact micro-units — ``p = floor(1e6·rev_cents / qty_centi)``, one
+    IEEE division + floor per cell (the rarity_ppm device; the 1e6·rev
+    product stays under 2^53 at part-month grain) — then both baskets
+    are exact integer dot products in DECIMAL(38,0):
+    Laspeyres = Σp_t·q₀ / Σp₀·q₀ (base basket), Paasche =
+    Σp_t·q_t / Σp₀·q_t (current basket), each ONE division; Fisher is
+    the IEEE-exact sqrt of their product.  Only parts present in both
+    the base month and month t enter (the matched-sample convention).
+
+    Scale shape: one (part, month) contraction (map-side combined),
+    the base-month slice re-joined at part grain, one month-grain
+    fold.  Output: (month, n_parts, laspeyres, paasche, fisher).
+    """
+    cell = (
+        lineitem.select(
+            F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+            F.col("l_partkey").alias("part"),
+            F.floor(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("rev"),
+            F.floor(F.col("l_quantity") * 100).cast("bigint").alias("qty"),
+        )
+        .groupBy("month", "part")
+        .agg(F.sum("rev").alias("rev"), F.sum("qty").alias("qty"))
+        .filter(F.col("qty") > 0)
+        .withColumn(
+            "p",
+            F.floor(F.lit(1_000_000.0) * F.col("rev") / F.col("qty"))
+            .cast("bigint"),
+        )
+    )
+    base_month = cell.agg(F.min("month").alias("m0"))
+    base = (
+        cell.join(F.broadcast(base_month), cell.month == F.col("m0"))
+        .select(
+            F.col("part"),
+            F.col("p").alias("p0"),
+            F.col("qty").alias("q0"),
+        )
+    )
+    joined = cell.join(base, "part")
+    pd_ = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    agg = joined.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum(pd_("p") * pd_("q0")).cast("decimal(38,0)").alias("l_num"),
+        F.sum(pd_("p0") * pd_("q0")).cast("decimal(38,0)").alias("l_den"),
+        F.sum(pd_("p") * pd_("qty")).cast("decimal(38,0)").alias("p_num"),
+        F.sum(pd_("p0") * pd_("qty")).cast("decimal(38,0)").alias("p_den"),
+    )
+    lasp = F.col("l_num").cast("double") / F.col("l_den").cast("double")
+    paas = F.col("p_num").cast("double") / F.col("p_den").cast("double")
+    return agg.select(
+        "month",
+        "n_parts",
+        lasp.alias("laspeyres"),
+        paas.alias("paasche"),
+        F.sqrt(lasp * paas).alias("fisher"),
+    ).orderBy("month")

@@ -2097,3 +2097,58 @@ def odds_ratio(
         "a", "b", "c", "d",
         orr.alias("odds_ratio"),
     ).filter((F.col("a") + F.col("b") + F.col("c") + F.col("d")) > 0)
+
+
+def cochran_q(events: DataFrame) -> DataFrame:
+    """Cochran's Q test across the event-type REPERTOIRE — "do the
+    k behaviors differ in adoption?", asked the within-subject way
+    (each user is a block of k binary outcomes: fired the type or
+    not): ``Q = (k−1)·(k·ΣC_j² − (ΣC_j)²) / (k·ΣR_i − ΣR_i²)`` over
+    column totals C_j (users per type) and row totals R_i (types per
+    user).  The binary sibling of :func:`friedman` blocking and the
+    k-group extension of :func:`mcnemar_test`.
+
+    Exactness: all four moments are exact integers from the distinct
+    (user, type) incidence list — squares in DECIMAL(38,0) (the
+    anova_f device) — and Q is one pinned IEEE division.  Degenerate
+    denominators (every user fired every type) surface Q = 0.
+
+    Scale shape: one (user, type)-distinct contraction, one user-grain
+    and one type-grain aggregate, one-row report.  Output:
+    (n_users, k_types, q_stat).
+    """
+    flags = events.select("user_id", "event_type").distinct()
+    cj = flags.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ri = flags.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r")
+    )
+    cd = F.col("c").cast("decimal(19,0)")
+    rd = F.col("r").cast("decimal(19,0)")
+    col_m = cj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_types"),
+        F.sum("c").cast("bigint").alias("sum_c"),
+        F.sum(cd * cd).cast("decimal(38,0)").alias("sum_c2"),
+    )
+    row_m = ri.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("r").cast("bigint").alias("sum_r"),
+        F.sum(rd * rd).cast("decimal(38,0)").alias("sum_r2"),
+    )
+    out = col_m.crossJoin(row_m)  # one row × one row
+    k = F.col("k_types").cast("double")
+    num = k * F.col("sum_c2").cast("double") - F.col("sum_c").cast(
+        "double"
+    ) * F.col("sum_c").cast("double")
+    den = k * F.col("sum_r").cast("double") - F.col("sum_r2").cast(
+        "double"
+    )
+    q = F.when(
+        (F.col("k_types") > 1) & (den > 0.0),
+        (k - F.lit(1.0)) * num / den,
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "n_users", F.col("k_types").cast("int").alias("k_types"),
+        q.alias("q_stat"),
+    ).filter(F.col("n_users") > 0)

@@ -2724,3 +2724,148 @@ def friedman_test(events: DataFrame, group_col: str = "event_type") -> DataFrame
         .otherwise(F.lit(0.0))
         .alias("chi2_f"),
     ).filter((F.col("n_groups") > 0) & F.col("n_blocks").isNotNull())
+
+
+def ljung_box(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Ljung–Box portmanteau statistic per group — the ONE-NUMBER
+    whiteness test over the first ``max_lag`` autocorrelations
+    (:func:`acf_lags` shows the correlogram; Q summarizes it the way
+    forecasting residual checks consume it):
+    ``Q = n(n+2) · Σ_{k≤K} r_k² / (n−k)``.
+
+    Composition: the r_k come verbatim from the :func:`acf_lags`
+    machinery (exact DECIMAL moments, one pinned division per lag);
+    the cross-lag sum folds LAG-ORDERED over the ≤K-row per-group
+    array (the logrank/KW device), so the doubles add in the same
+    order in every engine.  Lags with no overlapped pairs or a
+    zero-variance series contribute nothing on either side.
+
+    Output: (event_type, n_days, k_lags, q_lb).
+    """
+    acf = acf_lags(events, max_lag=max_lag).filter(
+        F.col("acf").isNotNull()
+    )
+    folded = acf.groupBy("event_type").agg(
+        F.max("n_days").cast("bigint").alias("n_days"),
+        F.count(F.lit(1)).cast("bigint").alias("k_lags"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("lag"), F.col("acf")))
+        ).alias("rs"),
+    )
+    n = F.col("n_days").cast("double")
+    s = F.aggregate(
+        F.col("rs"),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + (e["acf"] * e["acf"]) / (n - e["lag"].cast("double")),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        "k_lags",
+        (n * (n + F.lit(2.0)) * s).alias("q_lb"),
+    )
+
+
+def seasonal_mann_kendall(
+    events: DataFrame, group_col: str = "event_type"
+) -> DataFrame:
+    """Seasonal Mann–Kendall trend test per group — the Hirsch–Slack
+    deseasonalized form of :func:`mann_kendall`: sign pairs are only
+    compared WITHIN the same weekday subseries (Monday vs Monday …),
+    so a strong weekly cycle can neither fake nor mask a monotone
+    drift; ``S = Σ_w S_w`` and ``Var = Σ_w Var_w`` over the 7
+    subseries, z with the same continuity correction.
+
+    Exactness: identical integer protocol to mann_kendall per
+    (group, weekday) — S_w and the ×18 tie-corrected variance are
+    exact BIGINTs — summed across weekdays (still exact), with the
+    one IEEE-exact sqrt in z.
+
+    Scale shape: the same Θ(days²)/7-per-weekday calendar-grain
+    envelope, never event grain.  Output:
+    (group, n_days, s_stat, var18, z).
+    """
+    daily = (
+        events.select(
+            F.col(group_col).alias("g"),
+            F.to_date("ts").alias("d"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("g", "d")
+        .agg(F.sum("cents").alias("y"))
+        .withColumn("wd", F.dayofweek("d"))
+    )
+    a = daily.select(
+        "g", "wd", F.col("d").alias("di"), F.col("y").alias("yi")
+    )
+    b = daily.select(
+        F.col("g").alias("g2"), F.col("wd").alias("wd2"),
+        F.col("d").alias("dj"), F.col("y").alias("yj"),
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("g") == F.col("g2"))
+            & (F.col("wd") == F.col("wd2"))
+            & (F.col("di") < F.col("dj")),
+        )
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.signum((F.col("yj") - F.col("yi")).cast("double"))
+                .cast("bigint")
+            ).cast("bigint").alias("s_stat")
+        )
+    )
+    per_wd = daily.groupBy("g", "wd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nw")
+    )
+    ties = (
+        daily.groupBy("g", "wd", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("g", "wd")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("bigint").alias("tie_term")
+        )
+    )
+    var_wd = per_wd.join(ties, ["g", "wd"], "left").select(
+        "g",
+        (
+            F.col("nw") * (F.col("nw") - 1) * (2 * F.col("nw") + 5)
+            - F.coalesce("tie_term", F.lit(0))
+        ).cast("bigint").alias("v18w"),
+        F.col("nw"),
+    )
+    base = (
+        var_wd.groupBy("g")
+        .agg(
+            F.sum("nw").cast("bigint").alias("n_days"),
+            F.sum("v18w").cast("bigint").alias("var18"),
+        )
+        .join(s, "g", "left")
+        .select(
+            "g",
+            "n_days",
+            F.coalesce("s_stat", F.lit(0)).cast("bigint").alias("s_stat"),
+            "var18",
+        )
+    )
+    sqrt_var = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    z = (
+        F.when(
+            (F.col("var18") <= 0) | (F.col("s_stat") == 0), F.lit(0.0)
+        )
+        .when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1).cast("double") / sqrt_var,
+        )
+        .otherwise((F.col("s_stat") + 1).cast("double") / sqrt_var)
+    )
+    return base.select(
+        F.col("g").alias(group_col), "n_days", "s_stat", "var18",
+        z.alias("z"),
+    )

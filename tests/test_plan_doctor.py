@@ -278,6 +278,35 @@ FUNNEL_REVIEWED = {
     # depth fold run at SUPPLIER grain (dimension-bounded), fed by a
     # map-side-combined per-supplier aggregate
     "chi2_residuals", "graph_modularity", "hbos_outliers", "rbo_ranks",
+    # round-7 additions:
+    # durbin_watson: ONE global lag window over the day-grain series
+    # (calendar-bounded) + a one-row moment aggregate;
+    # pettitt: global rank + cumsum windows at day grain + the 1-row
+    # argmax TakeOrdered;
+    # friedman: per-weekday-block rank windows (7 blocks × k groups,
+    # config grain) + the kruskal_wallis k-row fold;
+    # kendall_w: three global rank windows at SUPPLIER grain
+    # (dimension-bounded, the rbo_ranks justification) + one-row
+    # moment/tie aggregates broadcast-crossed;
+    # mcnemar: one-row calendar-midpoint broadcast + the one-row
+    # discordant-cell aggregate (user work hash-partitioned);
+    # odds_ratio: one-row 2x2-cell aggregate over user-grain
+    # map-side-combined flags (the did justification);
+    # null_cooccur: ONE 1-row all-flags conditional aggregate exploded
+    # to 3 pair rows (the column_churn justification);
+    # cliffs_delta: the reviewed mwu_drift machinery verbatim (one-row
+    # grand-total broadcast) + a derived column;
+    # bday_lag: one-row n_all total broadcast into the lag-grain
+    # histogram (the decayed_engagement device)
+    "durbin_watson", "pettitt", "friedman", "kendall_w", "mcnemar",
+    "odds_ratio", "null_cooccur", "cliffs_delta", "bday_lag",
+    # cochran_q: two one-row moment aggregates (user-grain and
+    # type-grain inputs both map-side combined) crossed to the 1-row
+    # report — the anova_f/welch_ttest justification;
+    # price_index: one-row base-month MIN broadcast into the
+    # (part, month)-grain cell table (the decayed_engagement anchor
+    # device); basket sums are month-grain
+    "cochran_q", "price_index",
 }
 
 

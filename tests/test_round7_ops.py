@@ -638,3 +638,82 @@ class TestBmpRle:
         bad2 = bytearray(payload)
         bad2[1078] = 255  # first run count > w
         assert _decode_bmp_rle8(bytes(bad2)) is None
+
+
+class TestRound7Batch2:
+    def test_ljung_box_white_vs_trending(self, spark):
+        """A strongly trending series must score a far larger Q than
+        an alternating one, and Q must equal the hand fold."""
+        from p2_mapreduce_spark.operators.timeseries import (
+            acf_lags,
+            ljung_box,
+        )
+
+        rows = [(d, 1, "a", (d + 1) * 10) for d in range(30)]
+        ev = _events7(spark, rows)
+        row = ljung_box(ev).collect()[0]
+        acf = {
+            r["lag"]: r["acf"] for r in acf_lags(ev).collect()
+        }
+        n = row["n_days"]
+        s = 0.0
+        for lag in sorted(acf):
+            s += (acf[lag] * acf[lag]) / (n - lag)
+        assert abs(row["q_lb"] - n * (n + 2.0) * s) < 1e-9
+        assert row["q_lb"] > 50.0  # trending → large Q
+
+    def test_seasonal_mk_blocks_out_weekly_cycle(self, spark):
+        """A pure weekly cycle (no drift) has S = 0 in the seasonal
+        test; adding a drift makes S strongly positive."""
+        from p2_mapreduce_spark.operators.timeseries import (
+            seasonal_mann_kendall,
+        )
+
+        cyc = [(d, 1, "a", 10 + (d % 7)) for d in range(28)]
+        r0 = seasonal_mann_kendall(_events7(spark, cyc)).collect()[0]
+        assert r0["s_stat"] == 0 and r0["z"] == 0.0
+        drift = [(d, 1, "a", 10 + (d % 7) + d) for d in range(28)]
+        r1 = seasonal_mann_kendall(_events7(spark, drift)).collect()[0]
+        # 7 weekday subseries x C(4,2)=6 pairs, all rising → S = 42
+        assert r1["s_stat"] == 42 and r1["z"] > 0.0
+        assert r1["n_days"] == 28
+
+    def test_cochran_q_hand(self, spark):
+        from p2_mapreduce_spark.operators.events_analytics import cochran_q
+
+        # users 1-4; types a (all 4), b (2 users), c (1 user)
+        rows = [(0, u, "a", 1) for u in (1, 2, 3, 4)]
+        rows += [(1, u, "b", 1) for u in (1, 2)]
+        rows += [(2, 1, "c", 1)]
+        row = cochran_q(_events7(spark, rows)).collect()[0]
+        k, cjs = 3, [4, 2, 1]
+        ris = [3, 2, 1, 1]
+        num = k * sum(c * c for c in cjs) - sum(cjs) ** 2
+        den = k * sum(ris) - sum(r * r for r in ris)
+        assert row["n_users"] == 4 and row["k_types"] == 3
+        assert abs(row["q_stat"] - (k - 1) * num / den) < 1e-12
+
+    def test_price_index_pure_inflation(self, spark):
+        """Doubling every price month-over-month with constant
+        quantities gives L = P = Fisher = 2 exactly."""
+        from p2_mapreduce_spark.operators.analytics import price_index
+
+        rows = []
+        for month, mult in ((1, 1), (2, 2)):
+            for part in (1, 2, 3):
+                rows.append(
+                    (part * 10 + month, part, part, 1, 5.0,
+                     float(part * mult * 10), 0.0, 0.0, "N", "O",
+                     dt.date(2024, month, 15))
+                )
+        li = spark.createDataFrame(
+            rows,
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+             "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+             "l_returnflag", "l_linestatus", "l_shipdate"],
+        )
+        got = {r["month"]: r for r in price_index(li).collect()}
+        assert abs(got["2024-01"]["laspeyres"] - 1.0) < 1e-12
+        assert abs(got["2024-02"]["laspeyres"] - 2.0) < 1e-12
+        assert abs(got["2024-02"]["paasche"] - 2.0) < 1e-12
+        assert abs(got["2024-02"]["fisher"] - 2.0) < 1e-12
