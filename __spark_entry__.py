@@ -2164,6 +2164,20 @@ def _q_price_index(spark, sf_dir):
     return price_index(load_table(spark, sf_dir, "lineitem"))
 
 
+def _q_media_gif(spark, sf_dir):
+    """Real GIF87a decode: LZW decompression with variable code widths
+    (giflib growth rule), clear/EOI/KwKwK, sub-block reassembly,
+    id-dependent grayscale palettes — oracle-checked against the
+    closed-form per-variant index counts × palette grays."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_gif,
+        gif_pixel_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gif_pixel_stats(attach_gif(docs))
+
+
 def _q_media_jpeg_prog_color(spark, sf_dir):
     """Real COLOR progressive-JPEG (SOF2) decode: interleaved DC
     scans, per-component AC first scans, and AC successive-
@@ -4083,6 +4097,7 @@ _DRIVER_CHECKED_R01_R06 = frozenset(
 #: inside the driver's 50-query window.
 _ROUND7_NEW = (
     "audio_flac_lpc", "audio_mp1", "audio_g711", "media_bmp_rle",
+    "media_gif",
     "durbin_watson", "pettitt", "tsb", "page_hinkley", "friedman",
     "hhi", "kendall_w", "bday_lag", "cliffs_delta", "null_cooccur",
     "cohens_d", "mcnemar", "odds_ratio", "burstiness", "harmonic",
@@ -4279,6 +4294,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_mp1": _q_audio_mp1,
         "audio_g711": _q_audio_g711,
         "media_bmp_rle": _q_media_bmp_rle,
+        "media_gif": _q_media_gif,
         "durbin_watson": _q_durbin_watson,
         "pettitt": _q_pettitt,
         "tsb": _q_tsb,
@@ -14718,6 +14734,48 @@ def oracle_sql() -> dict[str, str]:
                     * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)))
                    AS fisher
         FROM agg ORDER BY month
+    """
+    out["media_gif"] = """
+        -- GIF closed form: per shape variant the pixel-INDEX pattern
+        -- (and so its per-index counts) is a constant; the decoded
+        -- grays are the id-derived palette entries
+        WITH d AS (
+            SELECT doc_id AS media_id, doc_id % 4 AS v,
+                   (doc_id * 11) % 256 AS g0,
+                   (doc_id * 11 + 37) % 256 AS g1,
+                   (doc_id * 11 + 74) % 256 AS g2,
+                   (doc_id * 11 + 111) % 256 AS g3
+            FROM documents
+        ),
+        shaped AS (
+            SELECT media_id, v, g0, g1, g2, g3,
+                   CASE v WHEN 0 THEN 8 WHEN 1 THEN 10
+                          WHEN 2 THEN 12 ELSE 14 END AS w,
+                   CASE v WHEN 0 THEN 2 WHEN 1 THEN 3
+                          WHEN 2 THEN 4 ELSE 5 END AS h,
+                   CASE v WHEN 0 THEN 9 WHEN 1 THEN 15
+                          WHEN 2 THEN 22 ELSE 30 END AS c0,
+                   CASE v WHEN 0 THEN 6 WHEN 1 THEN 9
+                          WHEN 2 THEN 14 ELSE 20 END AS c1,
+                   CASE v WHEN 0 THEN 1 WHEN 1 THEN 3
+                          WHEN 2 THEN 6 ELSE 10 END AS c2,
+                   CASE v WHEN 0 THEN 0 WHEN 1 THEN 3
+                          WHEN 2 THEN 6 ELSE 10 END AS c3
+            FROM d
+        )
+        SELECT media_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               CAST(c0 * g0 + c1 * g1 + c2 * g2 + c3 * g3 AS BIGINT)
+                   AS sum_px,
+               CAST(CASE WHEN v = 0 THEN least(g0, g1, g2)
+                         ELSE least(g0, g1, g2, g3) END AS BIGINT)
+                   AS min_px,
+               CAST(CASE WHEN v = 0 THEN greatest(g0, g1, g2)
+                         ELSE greatest(g0, g1, g2, g3) END AS BIGINT)
+                   AS max_px
+        FROM shaped
     """
     out["kruskal_wallis"] = f"""
         -- doubled midranks over the pooled day-grain series; the one

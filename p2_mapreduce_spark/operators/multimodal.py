@@ -4539,3 +4539,252 @@ def bmp_rle_pixel_stats(media: DataFrame) -> DataFrame:
             " sum_px long, min_px long, max_px long"
         ),
     )
+
+
+def _decode_gif(b: bytes):
+    """Real GIF decoder (GIF87a/89a, stdlib only): signature + logical
+    screen descriptor, global color table, extension-block skip walk,
+    image descriptor, and FULL LZW decompression — variable code
+    width with the giflib per-code growth rule (``running > 2^width``,
+    so real encoder output parses), clear-code dictionary resets, the
+    KwKwK first-character case, the 12-bit table cap, end-of-
+    information code, and sub-block reassembly.
+
+    Returns ``(w, h, grid)`` with ``grid[y][x]`` = the palette GRAY
+    value, or None to quarantine: non-gray palettes, interlaced
+    images, local color tables, sub-frames (left/top ≠ 0 or size ≠
+    screen), pixel over/underflow, or any LZW/structure violation.
+    """
+    try:
+        if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        flags = b[10]
+        if not flags & 0x80:
+            return None  # no global color table out of envelope
+        gct_n = 2 << (flags & 0x07)
+        pos = 13
+        pal = []
+        for i in range(gct_n):
+            e = b[pos + 3 * i : pos + 3 * i + 3]
+            if len(e) < 3 or not (e[0] == e[1] == e[2]):
+                return None  # non-grayscale palette out of envelope
+            pal.append(e[0])
+        pos += 3 * gct_n
+        while pos < len(b):
+            marker = b[pos]
+            pos += 1
+            if marker == 0x21:  # extension: label + sub-block skip
+                pos += 1
+                while b[pos]:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif marker == 0x2C:  # image descriptor
+                left = int.from_bytes(b[pos : pos + 2], "little")
+                top = int.from_bytes(b[pos + 2 : pos + 4], "little")
+                iw = int.from_bytes(b[pos + 4 : pos + 6], "little")
+                ih = int.from_bytes(b[pos + 6 : pos + 8], "little")
+                iflags = b[pos + 8]
+                pos += 9
+                if (left, top) != (0, 0) or (iw, ih) != (w, h):
+                    return None  # sub-frames out of envelope
+                if iflags & 0xC0:
+                    return None  # LCT / interlace out of envelope
+                mcs = b[pos]
+                pos += 1
+                if not 2 <= mcs <= 8:
+                    return None
+                data = bytearray()
+                while b[pos]:
+                    n = b[pos]
+                    data += b[pos + 1 : pos + 1 + n]
+                    pos += 1 + n
+                pos += 1
+                px = _lzw_decode_gif(bytes(data), mcs)
+                if px is None or len(px) != w * h:
+                    return None
+                if any(p >= gct_n for p in px):
+                    return None
+                grid = [
+                    [pal[px[y * w + x]] for x in range(w)]
+                    for y in range(h)
+                ]
+                return w, h, grid
+            elif marker == 0x3B:
+                return None  # trailer before any image
+            else:
+                return None
+        return None
+    except Exception:
+        return None
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int):
+    """GIF-flavor LZW decompression (LSB-first variable-width codes):
+    clear/EOI codes, dictionary rebuild, KwKwK, 12-bit cap, and the
+    giflib width rule — a per-code running counter grows the width
+    when it EXCEEDS 2^width, independent of table adds, which is what
+    real encoder output requires at the end-of-stream boundary."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+    total_bits = len(data) * 8
+
+    def reset():
+        return (
+            {i: (i,) for i in range(clear)},
+            eoi + 1,
+            eoi + 1,
+            min_code_size + 1,
+        )
+
+    table, next_code, running, width = reset()
+    out: list = []
+    prev = None
+    while True:
+        if pos + width > total_bits:
+            return None
+        code = 0
+        for k in range(width):
+            code |= (
+                ((data[(pos + k) >> 3] >> ((pos + k) & 7)) & 1) << k
+            )
+        pos += width
+        if code == clear:
+            table, next_code, running, width = reset()
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + (prev[0],)  # KwKwK
+        else:
+            return None
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+        running += 1
+        if running > (1 << width) and width < 12:
+            width += 1
+        prev = entry
+
+
+#: GIF payload plan: 4 shape variants; per variant the INDEX pattern is
+#: fixed (so its LZW stream precomputes to a constant, like the FLAC
+#: header CRCs) and per-id variability rides in the 4-entry grayscale
+#: palette.  Pattern row y = [0,0,0] + [(x+y)%4 ...] + [1,0,1] — the
+#: leading run exercises KwKwK, the repeats exercise dictionary hits,
+#: and every stream crosses the 3→4-bit width boundary.
+#: (w, h, per-index pixel counts, LZW stream hex) — stream generated by
+#: a spec-faithful LZW encoder and round-trip-verified in pytest.
+_GIF_VARIANTS = (
+    (8, 2, (9, 6, 1, 0), "84118117a25100"),
+    (10, 3, (15, 9, 3, 3), "8411328197d39851888502"),
+    (12, 4, (22, 14, 6, 6), "8411321878b9526b4621354fb4b300"),
+    (14, 5, (30, 20, 10, 10),
+     "841132a88197567cce28265d05f2267d60985600"),
+)
+
+
+def attach_gif(docs: DataFrame) -> DataFrame:
+    """Multimodal table whose payloads are REAL, complete GIF87a files
+    — the first DICTIONARY-CODED image format through the gate (PNG is
+    LZ77/Huffman via zlib; GIF is LZW with variable code widths):
+    logical screen descriptor, 4-entry GLOBAL grayscale palette
+    (id-dependent: gray_i = (id·11 + 37·i) mod 256 — built JVM-side),
+    image descriptor, and a precomputed spec-valid LZW stream per
+    shape variant (``id % 4``; the pixel-INDEX pattern is fixed per
+    variant so the compressed bytes are constants, the decoded GRAYS
+    vary per id through the palette).
+
+    Reference analog: none — the reference stores media as opaque
+    blobs (storage-node/main.go:881-908).
+    """
+    pres, posts = [], []
+    for w, h, _counts, lzw_hex in _GIF_VARIANTS:
+        lsd = (
+            w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + bytes([0x91, 0, 0])  # GCT, res 1, size 4; bg 0; aspect 0
+        )
+        pres.append((b"GIF87a" + lsd).hex())
+        desc = (
+            b"\x2c" + b"\x00" * 4
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + b"\x00"
+        )
+        lzw = bytes.fromhex(lzw_hex)
+        posts.append(
+            (desc + b"\x02" + bytes([len(lzw)]) + lzw + b"\x00\x3b")
+            .hex()
+        )
+    d = spread(docs).select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(p) for p in pres]),
+            (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+        ).alias("pre"),
+        F.element_at(
+            F.array(*[F.lit(p) for p in posts]),
+            (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+        ).alias("post"),
+        # 4-entry grayscale palette: each gray byte repeated over R,G,B
+        F.expr(
+            "array_join(transform(sequence(0, 3), i ->"
+            " repeat(lpad(conv(pmod(media_id * 11 + 37 * i, 256),"
+            " 10, 16), 2, '0'), 3)), '')"
+        ).alias("palette_hex"),
+    )
+    return d.select(
+        "media_id",
+        F.lit("image").alias("modality"),
+        F.unhex(F.concat("pre", "palette_hex", "post")).alias("payload"),
+    )
+
+
+def gif_pixel_stats(media: DataFrame) -> DataFrame:
+    """Per-image pixel statistics from the REAL GIF decode — the
+    LZW sibling of :func:`bmp_rle_pixel_stats`: the oracle regenerates
+    the per-variant index counts times the id-derived palette grays
+    closed-form, so a width-rule slip, KwKwK error, dictionary-reset
+    bug, or palette misread breaks the hash.  Malformed payloads
+    surface as the zero row.  Same Arrow-batched ``mapInPandas``
+    plumbing as every payload kernel."""
+    from p2_mapreduce_spark.mapreduce import _ship_by_value
+
+    _ship_by_value(_decode_gif)
+    _ship_by_value(_lzw_decode_gif)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            parsed = _decode_gif(payload or b"")
+            if parsed is None:
+                return 0, 0, 0, 0, 0, 0
+            w, h, grid = parsed
+            px = [v for row in grid for v in row]
+            return w, h, len(px), sum(px), min(px), max(px)
+
+        for pdf in it:
+            vals = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": [v[0] for v in vals],
+                    "height": [v[1] for v in vals],
+                    "n_pixels": [v[2] for v in vals],
+                    "sum_px": [v[3] for v in vals],
+                    "min_px": [v[4] for v in vals],
+                    "max_px": [v[5] for v in vals],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, width int, height int, n_pixels long,"
+            " sum_px long, min_px long, max_px long"
+        ),
+    )

@@ -371,6 +371,9 @@ PYTHON_ALLOWED = {
     # round 7: RLE8-compressed BMP decode — same Arrow-batched payload
     # kernel justification (bmp_rle_pixel_stats)
     "media_bmp_rle",
+    # round 7: GIF LZW decode — same Arrow-batched payload kernel
+    # justification (gif_pixel_stats)
+    "media_gif",
 }
 
 

@@ -717,3 +717,140 @@ class TestRound7Batch2:
         assert abs(got["2024-02"]["laspeyres"] - 2.0) < 1e-12
         assert abs(got["2024-02"]["paasche"] - 2.0) < 1e-12
         assert abs(got["2024-02"]["fisher"] - 2.0) < 1e-12
+
+
+def _gif_lzw_encode(indices, min_code_size):
+    """Spec-faithful GIF LZW encoder (test-side reference): giflib
+    per-code width rule, clear prologue, EOI epilogue, LSB packing —
+    the generator that produced the _GIF_VARIANTS constants."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_codes = [(clear, min_code_size + 1)]
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    running = eoi + 1
+    width = min_code_size + 1
+
+    def emit(code):
+        nonlocal running, width
+        out_codes.append((code, width))
+        running += 1
+        if running > (1 << width) and width < 12:
+            width += 1
+
+    cur = ()
+    for px in indices:
+        cand = cur + (px,)
+        if cand in table:
+            cur = cand
+        else:
+            emit(table[cur])
+            if next_code < 4096:
+                table[cand] = next_code
+                next_code += 1
+            cur = (px,)
+    emit(table[cur])
+    out_codes.append((eoi, width))
+    acc, nbits, out = 0, 0, bytearray()
+    for c, w in out_codes:
+        acc |= c << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+class TestGif:
+    def test_variant_streams_are_true_lzw_of_patterns(self):
+        """The embedded _GIF_VARIANTS streams must be exactly the LZW
+        encoding of the documented index patterns (regenerated here by
+        the reference encoder) and must decode back pixel-exact."""
+        from p2_mapreduce_spark.operators.multimodal import (
+            _GIF_VARIANTS,
+            _lzw_decode_gif,
+        )
+
+        for v, (w, h, counts, lzw_hex) in enumerate(_GIF_VARIANTS):
+            pat = []
+            for y in range(h):
+                pat += (
+                    [0, 0, 0]
+                    + [(x + y) % 4 for x in range(w - 6)]
+                    + [1, 0, 1]
+                )
+            assert _gif_lzw_encode(pat, 2).hex() == lzw_hex, v
+            assert _lzw_decode_gif(bytes.fromhex(lzw_hex), 2) == pat, v
+            for i in range(4):
+                assert counts[i] == pat.count(i), (v, i)
+
+    def test_lzw_roundtrip_stress(self):
+        """Randomized repeat-heavy sequences roundtrip through the
+        width-growth / dictionary / KwKwK machinery."""
+        import random
+
+        from p2_mapreduce_spark.operators.multimodal import (
+            _lzw_decode_gif,
+        )
+
+        rng = random.Random(7)
+        for trial in range(30):
+            n = rng.randrange(5, 400)
+            seq = [rng.randrange(4) for _ in range(n)]
+            for _ in range(n // 4):
+                i = rng.randrange(max(1, n - 8))
+                seq[i : i + 4] = seq[max(0, i - 4) : max(0, i - 4) + 4]
+            enc = _gif_lzw_encode(seq, 2)
+            assert _lzw_decode_gif(enc, 2) == seq, trial
+        # KwKwK on a leading run
+        assert _lzw_decode_gif(
+            _gif_lzw_encode([1, 1, 1, 1, 1], 2), 2
+        ) == [1, 1, 1, 1, 1]
+
+    def test_decode_matches_closed_form(self, spark):
+        from p2_mapreduce_spark.operators.multimodal import (
+            _GIF_VARIANTS,
+            _decode_gif,
+            attach_gif,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(16)], ["doc_id", "text"]
+        )
+        for r in attach_gif(docs).collect():
+            mid = r["media_id"]
+            parsed = _decode_gif(bytes(r["payload"]))
+            assert parsed is not None, f"id {mid} quarantined"
+            w, h, grid = parsed
+            vw, vh, counts, _ = _GIF_VARIANTS[mid % 4]
+            assert (w, h) == (vw, vh)
+            grays = [(mid * 11 + 37 * i) % 256 for i in range(4)]
+            got = sum(v for row in grid for v in row)
+            assert got == sum(c * g for c, g in zip(counts, grays))
+
+    def test_out_of_envelope_quarantines(self, spark):
+        from p2_mapreduce_spark.operators.multimodal import (
+            _decode_gif,
+            attach_gif,
+        )
+
+        docs = spark.createDataFrame([(5, "x")], ["doc_id", "text"])
+        payload = bytearray(attach_gif(docs).collect()[0]["payload"])
+        assert _decode_gif(bytes(payload)) is not None
+        assert _decode_gif(b"") is None
+        assert _decode_gif(b"GIF87a") is None
+        # interlace flag on the image descriptor → gated
+        bad = bytearray(payload)
+        desc_at = 13 + 12  # header+LSD + 4-entry palette
+        assert bad[desc_at] == 0x2C
+        bad[desc_at + 9] |= 0x40
+        assert _decode_gif(bytes(bad)) is None
+        # non-gray palette → gated
+        bad2 = bytearray(payload)
+        bad2[13] = (bad2[13] + 1) % 256
+        assert _decode_gif(bytes(bad2)) is None
+        # truncated LZW stream → gated
+        assert _decode_gif(bytes(payload[:-4])) is None
