@@ -854,3 +854,31 @@ class TestGif:
         assert _decode_gif(bytes(bad2)) is None
         # truncated LZW stream → gated
         assert _decode_gif(bytes(payload[:-4])) is None
+
+
+class TestAbsolutePanels:
+    def test_two_hop_panel_is_partition_invariant(self, spark):
+        """The md5-ranked top-K node panel (and so the whole reach
+        report) must be identical under any input partitioning — the
+        property that makes the absolute panel deterministic at any
+        cluster layout."""
+        from p2_mapreduce_spark.operators.graph import two_hop_reach
+
+        edges = [(i, (i * 7) % 40) for i in range(40)]
+        one = spark.createDataFrame(edges, ["u", "v"]).coalesce(1)
+        many = spark.createDataFrame(edges, ["u", "v"]).repartition(13)
+        a = sorted(map(tuple, two_hop_reach(one, panel_k=9).collect()))
+        b = sorted(map(tuple, two_hop_reach(many, panel_k=9).collect()))
+        assert a == b and len(a) == 9
+
+    def test_harmonic_consistent_with_reach(self, spark):
+        """h2x must equal 2·n_1hop + n_2hop_new row-for-row (the
+        doubled-exact contract)."""
+        from p2_mapreduce_spark.operators.graph import harmonic_centrality
+
+        edges = spark.createDataFrame(
+            [(i, (i * 3) % 20) for i in range(20)], ["u", "v"]
+        )
+        for r in harmonic_centrality(edges, panel_k=8).collect():
+            assert r["h2x"] == 2 * r["n_1hop"] + r["n_2hop_new"]
+            assert abs(r["harmonic"] - r["h2x"] / 2.0) < 1e-15
