@@ -2178,6 +2178,35 @@ def _q_media_gif(spark, sf_dir):
     return gif_pixel_stats(attach_gif(docs))
 
 
+def _q_theta(spark, sf_dir):
+    """Theta-method forecast per event type (θ=0 trend line + SES of
+    the θ=2 line, averaged one-step extrapolations — the M3 winner)."""
+    from p2_mapreduce_spark.operators.timeseries import theta_forecast
+
+    return theta_forecast(load_table(spark, sf_dir, "events"))
+
+
+def _q_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa across three document size raters (chars /
+    tokens / distinct tokens into short/medium/long classes)."""
+    from p2_mapreduce_spark.operators.text_analysis import fleiss_kappa
+
+    return fleiss_kappa(load_table(spark, sf_dir, "documents"))
+
+
+def _q_video_y4m(spark, sf_dir):
+    """Real YUV4MPEG2 parse: stream-header parameters, FRAME walk,
+    planar 4:2:0 plane sums — oracle-checked against the closed-form
+    plane bytes."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_y4m,
+        y4m_frame_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return y4m_frame_stats(attach_y4m(docs))
+
+
 def _q_media_jpeg_prog_color(spark, sf_dir):
     """Real COLOR progressive-JPEG (SOF2) decode: interleaved DC
     scans, per-component AC first scans, and AC successive-
@@ -4102,6 +4131,7 @@ _ROUND7_NEW = (
     "hhi", "kendall_w", "bday_lag", "cliffs_delta", "null_cooccur",
     "cohens_d", "mcnemar", "odds_ratio", "burstiness", "harmonic",
     "ljung_box", "seasonal_mk", "cochran_q", "price_index",
+    "theta", "fleiss_kappa", "video_y4m",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -4314,6 +4344,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_mk": _q_seasonal_mk,
         "cochran_q": _q_cochran_q,
         "price_index": _q_price_index,
+        "theta": _q_theta,
+        "fleiss_kappa": _q_fleiss_kappa,
+        "video_y4m": _q_video_y4m,
         "kruskal_wallis": _q_kruskal_wallis,
         "anova_f": _q_anova_f,
         "ccf_daily": _q_ccf_daily,
@@ -14776,6 +14809,180 @@ def oracle_sql() -> dict[str, str]:
                          ELSE greatest(g0, g1, g2, g3) END AS BIGINT)
                    AS max_px
         FROM shaped
+    """
+    out["theta"] = f"""
+        -- grouped_trend sufficient-statistic trees + the day-ordered
+        -- SES recursion over the theta-2 line (the Spark in-row fold)
+        WITH RECURSIVE daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev} GROUP BY 1, 2
+        ),
+        xd AS (
+            SELECT daily.g,
+                   CAST(datediff('day', d0, d) AS BIGINT) AS x, y
+            FROM daily JOIN (
+                SELECT g, MIN(d) AS d0 FROM daily GROUP BY g
+            ) b ON daily.g = b.g
+        ),
+        agg AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(x AS HUGEINT)) AS sx,
+                   SUM(CAST(y AS HUGEINT)) AS sy,
+                   SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx
+            FROM xd GROUP BY g
+        ),
+        ab AS (
+            SELECT g, n,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+                   (CAST(sy AS DOUBLE)
+                    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                      * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS a
+            FROM agg
+            WHERE n > 1
+              AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0
+        ),
+        seq AS (
+            SELECT xd.g, x, y, a, b,
+                   row_number() OVER (
+                       PARTITION BY xd.g ORDER BY x) AS i
+            FROM xd JOIN ab ON xd.g = ab.g
+        ),
+        nn AS (
+            SELECT g, MAX(i) AS last_i,
+                   CAST(MAX(x) AS BIGINT) AS x_last
+            FROM seq GROUP BY g
+        ),
+        fold AS (
+            SELECT g, i, a, b,
+                   2.0e0 * CAST(y AS DOUBLE)
+                   - (a + b * CAST(x AS DOUBLE)) AS s
+            FROM seq WHERE i = 1
+            UNION ALL
+            SELECT p.g, p.i, p.a, p.b,
+                   ((2.0e0 * CAST(p.y AS DOUBLE)
+                     - (p.a + p.b * CAST(p.x AS DOUBLE))) + f.s)
+                   * 0.5e0
+            FROM fold f JOIN seq p ON p.g = f.g AND p.i = f.i + 1
+        ),
+        cnt AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days
+                FROM xd GROUP BY g)
+        SELECT fold.g AS event_type, n_days,
+               b / 100.0e0 AS slope,
+               s / 100.0e0 AS ses_theta2,
+               ((s + (a + b * CAST(x_last + 1 AS DOUBLE))) * 0.5e0)
+                   / 100.0e0 AS forecast1
+        FROM fold
+        JOIN nn ON fold.g = nn.g AND fold.i = nn.last_i
+        JOIN cnt ON fold.g = cnt.g
+    """
+    out["fleiss_kappa"] = f"""
+        WITH rated AS (
+            SELECT CASE WHEN length(text) < 200 THEN 0
+                        WHEN length(text) < 800 THEN 1 ELSE 2 END AS r1,
+                   CASE WHEN len(t) < 40 THEN 0
+                        WHEN len(t) < 160 THEN 1 ELSE 2 END AS r2,
+                   CASE WHEN len(list_distinct(t)) < 30 THEN 0
+                        WHEN len(list_distinct(t)) < 100 THEN 1
+                        ELSE 2 END AS r3
+            FROM ({toks})
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(3 + 2 * (CAST(r1 = r2 AS INT)
+                                     + CAST(r1 = r3 AS INT)
+                                     + CAST(r2 = r3 AS INT)))
+                        AS BIGINT) AS s1
+            FROM rated
+        ),
+        cats AS (
+            SELECT SUM(CAST(cc AS HUGEINT) * cc) AS pe_num
+            FROM (
+                SELECT CAST(COUNT(*) AS BIGINT) AS cc
+                FROM (SELECT unnest([r1, r2, r3]) AS c FROM rated)
+                GROUP BY c
+            )
+        )
+        SELECT n_docs, CAST(3 AS INT) AS k_raters,
+               (CAST(s1 AS DOUBLE) - CAST(n_docs AS DOUBLE) * 3.0)
+               / (CAST(n_docs AS DOUBLE) * 3.0 * (3.0 - 1.0)) AS p_bar,
+               CAST(pe_num AS DOUBLE)
+               / ((CAST(n_docs AS DOUBLE) * 3.0)
+                  * (CAST(n_docs AS DOUBLE) * 3.0)) AS p_e,
+               CASE WHEN CAST(pe_num AS DOUBLE)
+                         / ((CAST(n_docs AS DOUBLE) * 3.0)
+                            * (CAST(n_docs AS DOUBLE) * 3.0)) <> 1.0
+                    THEN ((CAST(s1 AS DOUBLE)
+                           - CAST(n_docs AS DOUBLE) * 3.0)
+                          / (CAST(n_docs AS DOUBLE) * 3.0 * (3.0 - 1.0))
+                          - CAST(pe_num AS DOUBLE)
+                            / ((CAST(n_docs AS DOUBLE) * 3.0)
+                               * (CAST(n_docs AS DOUBLE) * 3.0)))
+                         / (1.0 - CAST(pe_num AS DOUBLE)
+                              / ((CAST(n_docs AS DOUBLE) * 3.0)
+                                 * (CAST(n_docs AS DOUBLE) * 3.0)))
+                    ELSE 0.0 END AS fleiss_kappa
+        FROM m, cats WHERE n_docs > 0
+    """
+    out["video_y4m"] = """
+        WITH d AS (
+            SELECT doc_id AS media_id,
+                   4 + (doc_id % 3) * 2 AS w,
+                   2 + (doc_id % 2) * 2 AS h,
+                   1 + doc_id % 3 AS nf
+            FROM documents
+        ),
+        fr AS (
+            SELECT media_id, w, h, nf,
+                   unnest(generate_series(0, nf - 1)) AS f
+            FROM d
+        ),
+        ys AS (
+            SELECT media_id, f,
+                   unnest(generate_series(0, w * h - 1)) AS i
+            FROM fr
+        ),
+        us AS (
+            SELECT media_id, f,
+                   unnest(generate_series(0,
+                       (w // 2) * (h // 2) - 1)) AS i
+            FROM fr
+        ),
+        sy AS (
+            SELECT media_id,
+                   CAST(SUM((media_id * 13 + f * 17 + i * 7) % 256)
+                        AS BIGINT) AS s
+            FROM ys GROUP BY 1
+        ),
+        su AS (
+            SELECT media_id,
+                   CAST(SUM((media_id * 5 + f * 11 + i * 3) % 256)
+                        AS BIGINT) AS s
+            FROM us GROUP BY 1
+        ),
+        sv AS (
+            SELECT media_id,
+                   CAST(SUM((media_id * 3 + f * 7 + i * 19) % 256)
+                        AS BIGINT) AS s
+            FROM us GROUP BY 1
+        )
+        SELECT d.media_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(25 AS INT) AS fps_num,
+               CAST(nf AS INT) AS n_frames,
+               sy.s AS sum_y, su.s AS sum_u, sv.s AS sum_v
+        FROM d JOIN sy USING (media_id) JOIN su USING (media_id)
+               JOIN sv USING (media_id)
     """
     out["kruskal_wallis"] = f"""
         -- doubled midranks over the pooled day-grain series; the one

@@ -4788,3 +4788,174 @@ def gif_pixel_stats(media: DataFrame) -> DataFrame:
             " sum_px long, min_px long, max_px long"
         ),
     )
+
+
+def _decode_y4m(b: bytes):
+    """Real YUV4MPEG2 (.y4m) parser + planar frame walk (stdlib only):
+    the 'YUV4MPEG2' ASCII stream header with W/H/F/I/A/C parameters,
+    then per frame a 'FRAME' line and raw planar YCbCr 4:2:0 data
+    (Y w×h, then Cb and Cr at w/2×h/2) — the uncompressed interchange
+    format every video toolchain (ffmpeg/x264/VMAF) speaks.
+
+    Returns ``(w, h, fps_num, fps_den, [(sum_y, sum_u, sum_v), ...])``
+    per frame, or None to quarantine: non-4:2:0 chroma tags, odd
+    dimensions under 4:2:0, interlaced streams (Ip only), short/extra
+    frame data, or any header violation.
+    """
+    try:
+        nl = b.index(b"\n")
+        head = b[:nl].decode("ascii")
+        if not head.startswith("YUV4MPEG2"):
+            return None
+        w = h = None
+        fn, fd = 25, 1
+        chroma = "420"
+        for tok in head.split(" ")[1:]:
+            if not tok:
+                continue
+            key, val = tok[0], tok[1:]
+            if key == "W":
+                w = int(val)
+            elif key == "H":
+                h = int(val)
+            elif key == "F":
+                fn, fd = (int(x) for x in val.split(":"))
+            elif key == "I":
+                if val != "p":
+                    return None  # interlaced out of envelope
+            elif key == "C":
+                chroma = val
+        if not chroma.startswith("420"):
+            return None
+        if not w or not h or w % 2 or h % 2:
+            return None
+        frame_len = w * h + 2 * (w // 2) * (h // 2)
+        pos = nl + 1
+        frames = []
+        while pos < len(b):
+            fnl = b.index(b"\n", pos)
+            if b[pos : pos + 5] != b"FRAME":
+                return None
+            pos = fnl + 1
+            if pos + frame_len > len(b):
+                return None
+            y = b[pos : pos + w * h]
+            u = b[pos + w * h : pos + w * h + (w // 2) * (h // 2)]
+            v = b[
+                pos + w * h + (w // 2) * (h // 2) : pos + frame_len
+            ]
+            frames.append((sum(y), sum(u), sum(v)))
+            pos += frame_len
+        if not frames:
+            return None
+        return w, h, fn, fd, frames
+    except Exception:
+        return None
+
+
+def attach_y4m(docs: DataFrame) -> DataFrame:
+    """Multimodal table whose payloads are REAL, complete YUV4MPEG2
+    streams — the uncompressed planar-video interchange format
+    (ffmpeg's `.y4m`), giving the video plane a RAW-frame source next
+    to the compressed MJPEG demux: ASCII stream header (W/H F25:1 Ip
+    A1:1 C420), ``1 + id%3`` frames, each a FRAME line + planar
+    4:2:0 data whose bytes are closed-form recomputable —
+    ``Y[i] = (id·13 + f·17 + i·7) % 256``, ``U[i] = (id·5 + f·11 +
+    i·3) % 256``, ``V[i] = (id·3 + f·7 + i·19) % 256`` for frame f;
+    ``w = 4 + 2·(id%3)``, ``h = 2 + 2·(id%2)``.  Built entirely
+    JVM-side (hex fold + ``unhex``).
+
+    Reference analog: none — the reference stores media as opaque
+    blobs (storage-node/main.go:881-908).
+    """
+    d = spread(docs).select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(4) + F.pmod(F.col("doc_id"), F.lit(3)) * 2)
+        .cast("int")
+        .alias("w"),
+        (F.lit(2) + F.pmod(F.col("doc_id"), F.lit(2)) * 2)
+        .cast("int")
+        .alias("h"),
+        (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(3)))
+        .cast("int")
+        .alias("nf"),
+    )
+    d = d.withColumn(
+        "header_hex",
+        F.expr(
+            "hex(cast(concat('YUV4MPEG2 W', w, ' H', h,"
+            " ' F25:1 Ip A1:1 C420\\n') as binary))"
+        ),
+    ).withColumn(
+        # one frame: 'FRAME\n' + Y(w*h) + U(w/2*h/2) + V(w/2*h/2)
+        "frames_hex",
+        F.expr(
+            "array_join(transform(sequence(0, nf - 1), f -> concat("
+            " '4652414d450a',"
+            " array_join(transform(sequence(0, w * h - 1), i ->"
+            "  lpad(conv(pmod(media_id * 13 + f * 17 + i * 7, 256),"
+            "  10, 16), 2, '0')), ''),"
+            " array_join(transform(sequence(0, (w div 2) * (h div 2)"
+            "  - 1), i -> lpad(conv(pmod(media_id * 5 + f * 11 + i * 3,"
+            "  256), 10, 16), 2, '0')), ''),"
+            " array_join(transform(sequence(0, (w div 2) * (h div 2)"
+            "  - 1), i -> lpad(conv(pmod(media_id * 3 + f * 7 + i * 19,"
+            "  256), 10, 16), 2, '0')), ''))), '')"
+        ),
+    )
+    return d.select(
+        "media_id",
+        F.lit("video").alias("modality"),
+        F.unhex(F.concat("header_hex", "frames_hex")).alias("payload"),
+    )
+
+
+def y4m_frame_stats(media: DataFrame) -> DataFrame:
+    """Per-stream planar statistics from the REAL Y4M parse — the
+    raw-video sibling of :func:`video_frame_sums`: the oracle
+    recomputes every plane byte closed-form, so a header-parameter
+    slip, plane-boundary error, or frame-walk bug breaks the hash.
+    Malformed payloads surface as the zero row.  Same Arrow-batched
+    ``mapInPandas`` plumbing as every payload kernel."""
+    from p2_mapreduce_spark.mapreduce import _ship_by_value
+
+    _ship_by_value(_decode_y4m)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            parsed = _decode_y4m(payload or b"")
+            if parsed is None:
+                return 0, 0, 0, 0, 0, 0, 0
+            w, h, fn, fd, frames = parsed
+            return (
+                w,
+                h,
+                fn,
+                len(frames),
+                sum(f[0] for f in frames),
+                sum(f[1] for f in frames),
+                sum(f[2] for f in frames),
+            )
+
+        for pdf in it:
+            vals = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": [v[0] for v in vals],
+                    "height": [v[1] for v in vals],
+                    "fps_num": [v[2] for v in vals],
+                    "n_frames": [v[3] for v in vals],
+                    "sum_y": [v[4] for v in vals],
+                    "sum_u": [v[5] for v in vals],
+                    "sum_v": [v[6] for v in vals],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, width int, height int, fps_num int,"
+            " n_frames int, sum_y long, sum_u long, sum_v long"
+        ),
+    )

@@ -1427,3 +1427,78 @@ def text_burstiness(
         .orderBy(F.col("burst_ppm").desc(), F.col("token"))
         .limit(top_k)
     )
+
+
+def fleiss_kappa(docs: DataFrame) -> DataFrame:
+    """Fleiss' kappa across THREE size raters — the multi-rater
+    generalization of :func:`detector_kappa`'s Cohen form (Cohen only
+    handles 2 raters; Fleiss is what annotation-agreement audits run
+    when k ≥ 3): each document is "rated" short/medium/long by three
+    measures (characters, tokens, distinct tokens, fixed thresholds),
+    and kappa asks whether the measures agree beyond the chance their
+    marginals imply — the consistency audit behind using any single
+    length proxy for curation cuts.
+
+    Exactness: per-item Σ_c n_ic² collapses to ``3 + 2·(#equal rater
+    pairs)`` (exact int per doc, zero-shuffle); P̄ =
+    (Σ_i Σ_c n_ic² − N·k)/(N·k·(k−1)) and P̄e = Σ_c C_c²/(N·k)² are
+    each one pinned division over exact BIGINT/DECIMAL moments, and
+    κ = (P̄ − P̄e)/(1 − P̄e) is a fixed tree.
+
+    Scale shape: one zero-shuffle per-doc map, one global moment
+    aggregate + one 3-row category aggregate.  Output: one row
+    (n_docs, k_raters, p_bar, p_e, fleiss_kappa).
+    """
+    toks = tokens_array(F.col("text"))
+    cls = lambda c, lo, hi: (  # noqa: E731
+        F.when(c < lo, 0).when(c < hi, 1).otherwise(2)
+    )
+    rated = spread(docs).select(
+        cls(F.length("text"), 200, 800).alias("r1"),
+        cls(F.size(toks), 40, 160).alias("r2"),
+        cls(F.size(F.array_distinct(toks)), 30, 100).alias("r3"),
+    )
+    per = rated.select(
+        "r1", "r2", "r3",
+        (
+            F.lit(3)
+            + 2
+            * (
+                (F.col("r1") == F.col("r2")).cast("int")
+                + (F.col("r1") == F.col("r3")).cast("int")
+                + (F.col("r2") == F.col("r3")).cast("int")
+            )
+        ).alias("s_i"),
+    )
+    moments = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("s_i").cast("bigint").alias("s1"),
+    )
+    cats = (
+        per.select(F.explode(F.array("r1", "r2", "r3")).alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cc"))
+        .agg(
+            F.sum(
+                F.col("cc").cast("decimal(19,0)")
+                * F.col("cc").cast("decimal(19,0)")
+            ).cast("decimal(38,0)").alias("pe_num")
+        )
+    )
+    out = moments.crossJoin(cats)  # one row × one row
+    n = F.col("n_docs").cast("double")
+    k = F.lit(3.0)
+    p_bar = (F.col("s1").cast("double") - n * k) / (
+        n * k * (k - F.lit(1.0))
+    )
+    p_e = F.col("pe_num").cast("double") / ((n * k) * (n * k))
+    kappa = F.when(
+        p_e != 1.0, (p_bar - p_e) / (F.lit(1.0) - p_e)
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "n_docs",
+        F.lit(3).cast("int").alias("k_raters"),
+        p_bar.alias("p_bar"),
+        p_e.alias("p_e"),
+        kappa.alias("fleiss_kappa"),
+    ).filter(F.col("n_docs") > 0)

@@ -2869,3 +2869,100 @@ def seasonal_mann_kendall(
         F.col("g").alias(group_col), "n_days", "s_stat", "var18",
         z.alias("z"),
     )
+
+
+def theta_forecast(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Theta-method forecast per group (Assimakopoulos & Nikolopoulos;
+    the M3-competition winner): decompose the daily series into the
+    θ=0 line (the OLS linear trend — long-run direction) and the θ=2
+    line (``z_t = 2·y_t − trend_t`` — doubled local curvature), SES
+    the θ=2 line, and average the two lines' one-step extrapolations.
+    Complements :func:`holt_linear` (one smoother with a trend state)
+    with the decomposition forecasters actually benchmark against.
+
+    Exactness: the trend comes from exact sufficient statistics on
+    (day-offset, cents) — the :func:`grouped_trend` protocol, one
+    pinned tree for slope/intercept — and the SES fold is DAY-ORDERED
+    in-row with α = ½ (each step ``s' = (z + s)·½`` a short pinned
+    tree over z = 2·y − (a + b·x)), so every double is bit-identical
+    cross-engine.  Groups with <2 days or zero x-variance are dropped.
+
+    Scale shape: day-grain contraction, one stats aggregate + one
+    in-row fold per group.  Output: (group, n_days, slope,
+    ses_theta2, forecast1) in currency units (cents folds, /100
+    surfaced).
+    """
+    daily = _daily_cents(events, group_col)
+    base = daily.groupBy("g").agg(F.min("d").alias("d0"))
+    xd = daily.join(base, "g").select(
+        "g",
+        F.datediff("d", "d0").cast("bigint").alias("x"),
+        "y",
+    )
+    agg = xd.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    derived = agg.select(
+        "g",
+        "n",
+        F.expr(
+            "cast(n as double) * cast(sxy as double)"
+            " - cast(sx as double) * cast(sy as double)"
+        ).alias("num"),
+        F.expr(
+            "cast(n as double) * cast(sxx as double)"
+            " - cast(sx as double) * cast(sx as double)"
+        ).alias("den"),
+        F.expr("cast(sx as double)").alias("dsx"),
+        F.expr("cast(sy as double)").alias("dsy"),
+    ).filter((F.col("n") > 1) & (F.col("den") != 0.0)).select(
+        "g",
+        "n",
+        (F.col("num") / F.col("den")).alias("b"),
+        (
+            (F.col("dsy") - (F.col("num") / F.col("den")) * F.col("dsx"))
+            / F.col("n").cast("double")
+        ).alias("a"),
+    )
+    arr = xd.groupBy("g").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("x"), F.col("y")))
+        ).alias("xs"),
+        F.max("x").cast("bigint").alias("x_last"),
+    )
+    joined = arr.join(derived, "g")
+    # SES over the theta-2 line: z = 2y − (a + b·x), s' = (z + s)/2
+    z = lambda e: (  # noqa: E731
+        F.lit(2.0) * e["y"].cast("double")
+        - (F.col("a") + F.col("b") * e["x"].cast("double"))
+    )
+    fold = F.aggregate(
+        F.col("xs"),
+        F.struct(F.lit(0.0).alias("s"), F.lit(0).alias("started")),
+        lambda acc, e: F.when(
+            acc["started"] == 0,
+            F.struct(z(e).alias("s"), F.lit(1).alias("started")),
+        ).otherwise(
+            F.struct(
+                ((z(e) + acc["s"]) * F.lit(0.5)).alias("s"),
+                F.lit(1).alias("started"),
+            )
+        ),
+    )
+    out = joined.withColumn("st", fold)
+    trend_next = F.col("a") + F.col("b") * (
+        F.col("x_last") + F.lit(1)
+    ).cast("double")
+    return out.select(
+        F.col("g").alias(group_col),
+        F.col("n").alias("n_days"),
+        (F.col("b") / F.lit(100.0)).alias("slope"),
+        (F.col("st.s") / F.lit(100.0)).alias("ses_theta2"),
+        (
+            (F.col("st.s") + trend_next) * F.lit(0.5) / F.lit(100.0)
+        ).alias("forecast1"),
+    )

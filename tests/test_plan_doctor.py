@@ -307,6 +307,10 @@ FUNNEL_REVIEWED = {
     # (part, month)-grain cell table (the decayed_engagement anchor
     # device); basket sums are month-grain
     "cochran_q", "price_index",
+    # fleiss_kappa: one-row moment aggregate + a 3-row category
+    # aggregate crossed to the 1-row report; the per-doc rating map
+    # is zero-shuffle (the cochran_q justification)
+    "fleiss_kappa",
 }
 
 

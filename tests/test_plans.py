@@ -374,6 +374,9 @@ PYTHON_ALLOWED = {
     # round 7: GIF LZW decode — same Arrow-batched payload kernel
     # justification (gif_pixel_stats)
     "media_gif",
+    # round 7: YUV4MPEG2 raw-video parse — same Arrow-batched payload
+    # kernel justification (y4m_frame_stats)
+    "video_y4m",
 }
 
 

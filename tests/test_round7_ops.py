@@ -882,3 +882,95 @@ class TestAbsolutePanels:
         for r in harmonic_centrality(edges, panel_k=8).collect():
             assert r["h2x"] == 2 * r["n_1hop"] + r["n_2hop_new"]
             assert abs(r["harmonic"] - r["h2x"] / 2.0) < 1e-15
+
+
+class TestRound7Batch3:
+    def test_theta_on_perfect_line(self, spark):
+        """On an exact line the θ=2 residual line IS the series, and
+        the forecast averages SES with the next trend point."""
+        from p2_mapreduce_spark.operators.timeseries import theta_forecast
+
+        rows = [(d, 1, "a", (d + 1) * 10) for d in range(4)]
+        row = theta_forecast(_events7(spark, rows)).collect()[0]
+        # cents line 1000+1000x: z = y; SES(1/2): 1000, 1500, 2250,
+        # 3125; forecast = .5*(3125 + 5000) = 4062.5 cents
+        assert row["n_days"] == 4
+        assert abs(row["slope"] - 10.0) < 1e-9
+        assert abs(row["ses_theta2"] - 31.25) < 1e-9
+        assert abs(row["forecast1"] - 40.625) < 1e-9
+
+    def test_theta_drops_degenerate_groups(self, spark):
+        from p2_mapreduce_spark.operators.timeseries import theta_forecast
+
+        one_day = _events7(spark, [(0, 1, "only", 5)])
+        assert theta_forecast(one_day).count() == 0
+
+    def test_fleiss_perfect_and_formula(self, spark):
+        """All raters agreeing on every doc gives kappa = 1; a hand
+        fixture checks the exact formula."""
+        from p2_mapreduce_spark.operators.text_analysis import fleiss_kappa
+
+        # perfect agreement over TWO classes (all-one-category is the
+        # p_e = 1 degenerate, where kappa is defined as 0): tiny docs
+        # rate short on all three measures, long docs long on all three
+        long_text = " ".join(f"word{i}" for i in range(200))
+        rows = [(i, "tiny words here") for i in range(3)]
+        rows += [(i + 3, long_text) for i in range(3)]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        r = fleiss_kappa(docs).collect()[0]
+        assert abs(r["p_bar"] - 1.0) < 1e-12
+        assert abs(r["p_e"] - 0.5) < 1e-12
+        assert abs(r["fleiss_kappa"] - 1.0) < 1e-12
+        # the all-one-category degenerate: kappa surfaced as 0
+        uni = spark.createDataFrame(
+            [(i, "tiny words here") for i in range(4)],
+            ["doc_id", "text"],
+        )
+        r0 = fleiss_kappa(uni).collect()[0]
+        assert abs(r0["p_bar"] - 1.0) < 1e-12
+        assert r0["fleiss_kappa"] == 0.0
+
+    def test_y4m_decode_matches_closed_form(self, spark):
+        from p2_mapreduce_spark.operators.multimodal import (
+            _decode_y4m,
+            attach_y4m,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(12)], ["doc_id", "text"]
+        )
+        for r in attach_y4m(docs).collect():
+            mid = r["media_id"]
+            parsed = _decode_y4m(bytes(r["payload"]))
+            assert parsed is not None, f"id {mid}"
+            w, h, fn, fd, frames = parsed
+            assert (w, h, fn, fd) == (
+                4 + 2 * (mid % 3), 2 + 2 * (mid % 2), 25, 1
+            )
+            assert len(frames) == 1 + mid % 3
+            for f, (sy, su, sv) in enumerate(frames):
+                assert sy == sum(
+                    (mid * 13 + f * 17 + i * 7) % 256
+                    for i in range(w * h)
+                )
+                assert su == sum(
+                    (mid * 5 + f * 11 + i * 3) % 256
+                    for i in range((w // 2) * (h // 2))
+                )
+
+    def test_y4m_out_of_envelope_quarantines(self, spark):
+        from p2_mapreduce_spark.operators.multimodal import (
+            _decode_y4m,
+            attach_y4m,
+        )
+
+        docs = spark.createDataFrame([(5, "x")], ["doc_id", "text"])
+        payload = bytes(attach_y4m(docs).collect()[0]["payload"])
+        assert _decode_y4m(payload) is not None
+        assert _decode_y4m(b"") is None
+        # interlaced stream → gated
+        assert _decode_y4m(payload.replace(b" Ip ", b" It ", 1)) is None
+        # non-4:2:0 chroma → gated
+        assert _decode_y4m(payload.replace(b"C420", b"C444", 1)) is None
+        # truncated frame → gated
+        assert _decode_y4m(payload[:-3]) is None
