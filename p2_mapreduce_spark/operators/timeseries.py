@@ -2496,7 +2496,17 @@ def tsb_forecast(events: DataFrame, group_col: str = "event_type") -> DataFrame:
     (group, n_days, n_demand_days, p_hat, z_hat, forecast) in currency
     units (z folds in cents, surfaced /100).
     """
-    daily = _daily_cents(events, group_col)
+    return tsb_from_daily(_daily_cents(events, group_col), group_col)
+
+
+def tsb_from_daily(
+    daily: DataFrame, group_col: str = "event_type"
+) -> DataFrame:
+    """:func:`tsb_forecast` from an already-contracted ``(g, d, y)``
+    day-grain frame — the entry point the streaming state sink uses
+    (streaming/sinks.daily_cents_state_sink maintains exactly this
+    frame), so the live TSB forecast is bit-identical to the batch one
+    by construction (the croston_from_daily device)."""
     grid = (
         daily.groupBy("g")
         .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
@@ -2591,7 +2601,16 @@ def page_hinkley(events: DataFrame, group_col: str = "event_type") -> DataFrame:
     Scale shape: day-grain contraction + one in-row fold per group.
     Output: (group, n_days, ph_up, ph_down, m_final) in cents units.
     """
-    daily = _daily_cents(events, group_col)
+    return page_hinkley_from_daily(_daily_cents(events, group_col), group_col)
+
+
+def page_hinkley_from_daily(
+    daily: DataFrame, group_col: str = "event_type"
+) -> DataFrame:
+    """:func:`page_hinkley` from an already-contracted ``(g, d, y)``
+    day-grain frame — the entry point the streaming state sink uses,
+    making the live drift alarm bit-identical to the batch one (the
+    croston_from_daily device)."""
     arr = daily.groupBy("g").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.array_sort(

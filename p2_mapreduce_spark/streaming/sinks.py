@@ -593,3 +593,39 @@ def croston_from_state(
     return croston_from_daily(
         state.select(F.col(group_col).alias("g"), "d", "y"), group_col
     )
+
+
+def tsb_from_state(
+    state: DataFrame, group_col: str = "event_type"
+) -> DataFrame:
+    """TSB intermittent-demand forecast answered FROM the persisted
+    day-grain state of :func:`daily_cents_state_sink` — the modern
+    successor living next to :func:`croston_from_state` on the same
+    maintained contraction; live == batch bit-for-bit by construction
+    (pinned in pytest)."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.timeseries import tsb_from_daily
+
+    return tsb_from_daily(
+        state.select(F.col(group_col).alias("g"), "d", "y"), group_col
+    )
+
+
+def page_hinkley_from_state(
+    state: DataFrame, group_col: str = "event_type"
+) -> DataFrame:
+    """Page–Hinkley sequential drift alarm answered FROM the persisted
+    day-grain state — the live mean-shift monitor the PH statistic was
+    designed to be: every micro-batch folds into the calendar-bounded
+    state and the alarm re-evaluates without rescanning event history;
+    live == batch bit-for-bit by construction (pinned in pytest)."""
+    from pyspark.sql import functions as F
+
+    from p2_mapreduce_spark.operators.timeseries import (
+        page_hinkley_from_daily,
+    )
+
+    return page_hinkley_from_daily(
+        state.select(F.col(group_col).alias("g"), "d", "y"), group_col
+    )

@@ -974,3 +974,123 @@ class TestRound7Batch3:
         assert _decode_y4m(payload.replace(b"C420", b"C444", 1)) is None
         # truncated frame → gated
         assert _decode_y4m(payload[:-3]) is None
+
+
+def test_tsb_and_ph_answer_from_stream_state(spark, sf_dir, tmp_path):
+    """The round-7 forecasters/monitors answer FROM the maintained
+    day-grain stream state bit-for-bit equal to their batch twins
+    (the croston_from_state contract extended)."""
+    from p2_mapreduce_spark.operators.timeseries import (
+        page_hinkley,
+        tsb_forecast,
+    )
+    from p2_mapreduce_spark.session import load_table
+    from p2_mapreduce_spark.streaming.sinks import (
+        daily_cents_state_sink,
+        load_latest_state,
+        page_hinkley_from_state,
+        tsb_from_state,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    src = str(tmp_path / "events_src_r7")
+    events.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state_path = str(tmp_path / "r7_state")
+    q = daily_cents_state_sink(stream, state_path, str(tmp_path / "ck_r7"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = load_latest_state(spark, state_path)
+    full = load_table(spark, sf_dir, "events")
+    assert sorted(map(tuple, tsb_from_state(state).collect())) == sorted(
+        map(tuple, tsb_forecast(full).collect())
+    )
+    assert sorted(
+        map(tuple, page_hinkley_from_state(state).collect())
+    ) == sorted(map(tuple, page_hinkley(full).collect()))
+
+
+def test_round7_stats_ops_tolerate_empty_inputs(spark):
+    """Every round-7 report emits ZERO rows on empty input (the
+    round-6 ADVICE discipline, applied up front)."""
+    from p2_mapreduce_spark.operators.analytics import (
+        business_day_lag,
+        hhi_concentration,
+        kendall_w,
+        price_index,
+    )
+    from p2_mapreduce_spark.operators.events_analytics import (
+        cochran_q,
+        cohens_d,
+        mcnemar_test,
+        odds_ratio,
+    )
+    from p2_mapreduce_spark.operators.profile import (
+        cliffs_delta,
+        null_cooccurrence,
+    )
+    from p2_mapreduce_spark.operators.text_analysis import (
+        fleiss_kappa,
+        text_burstiness,
+    )
+    from p2_mapreduce_spark.operators.timeseries import (
+        durbin_watson,
+        friedman_test,
+        ljung_box,
+        page_hinkley,
+        pettitt_test,
+        seasonal_mann_kendall,
+        theta_forecast,
+        tsb_forecast,
+    )
+
+    ev = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    for op in (
+        durbin_watson, pettitt_test, tsb_forecast, page_hinkley,
+        friedman_test, ljung_box, seasonal_mann_kendall, theta_forecast,
+        cochran_q, cohens_d, mcnemar_test, odds_ratio,
+    ):
+        assert op(ev).count() == 0, op.__name__
+    li = spark.createDataFrame(
+        [],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    orders = spark.createDataFrame(
+        [], "o_orderkey long, o_orderdate timestamp"
+    )
+    supp = spark.createDataFrame(
+        [], "s_suppkey long, s_name string, s_nationkey int,"
+        " s_acctbal double"
+    )
+    nat = spark.createDataFrame(
+        [], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    assert hhi_concentration(li, supp, nat).count() == 0
+    assert kendall_w(li).count() == 0
+    assert business_day_lag(li, orders).count() == 0
+    assert price_index(li).count() == 0
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    assert cliffs_delta(docs).count() == 0
+    assert text_burstiness(docs).count() == 0
+    assert fleiss_kappa(docs).count() == 0
+    # null_cooccurrence's 3-pair report stays shaped on empty input
+    # (counts zero, lift 0.0) — a profile table, not a test statistic
+    assert null_cooccurrence(li).count() == 3
