@@ -2207,6 +2207,15 @@ def _q_video_y4m(spark, sf_dir):
     return y4m_frame_stats(attach_y4m(docs))
 
 
+def _q_binary_seg(spark, sf_dir):
+    """Two-level binary segmentation per event type: global CUSUM
+    argmax split + the strongest secondary candidate inside each
+    half (exact-integer scaled CUSUM at every level)."""
+    from p2_mapreduce_spark.operators.timeseries import binary_segmentation
+
+    return binary_segmentation(load_table(spark, sf_dir, "events"))
+
+
 def _q_media_jpeg_prog_color(spark, sf_dir):
     """Real COLOR progressive-JPEG (SOF2) decode: interleaved DC
     scans, per-component AC first scans, and AC successive-
@@ -4131,7 +4140,7 @@ _ROUND7_NEW = (
     "hhi", "kendall_w", "bday_lag", "cliffs_delta", "null_cooccur",
     "cohens_d", "mcnemar", "odds_ratio", "burstiness", "harmonic",
     "ljung_box", "seasonal_mk", "cochran_q", "price_index",
-    "theta", "fleiss_kappa", "video_y4m",
+    "theta", "fleiss_kappa", "video_y4m", "binary_seg",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -4347,6 +4356,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta": _q_theta,
         "fleiss_kappa": _q_fleiss_kappa,
         "video_y4m": _q_video_y4m,
+        "binary_seg": _q_binary_seg,
         "kruskal_wallis": _q_kruskal_wallis,
         "anova_f": _q_anova_f,
         "ccf_daily": _q_ccf_daily,
@@ -14983,6 +14993,74 @@ def oracle_sql() -> dict[str, str]:
                sy.s AS sum_y, su.s AS sum_u, sv.s AS sum_v
         FROM d JOIN sy USING (media_id) JOIN su USING (media_id)
                JOIN sv USING (media_id)
+    """
+    out["binary_seg"] = f"""
+        -- two nested scaled-CUSUM argmaxes (the cusum_changepoint
+        -- device): every intermediate an exact BIGINT, earliest day
+        -- wins peak ties at both levels
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev} GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT g, d,
+                   CAST(COUNT(*) OVER (PARTITION BY g)
+                        * SUM(y) OVER (PARTITION BY g ORDER BY d
+                                       ROWS UNBOUNDED PRECEDING)
+                        - row_number() OVER (PARTITION BY g ORDER BY d)
+                        * SUM(y) OVER (PARTITION BY g)
+                        AS BIGINT) AS c,
+                   CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT)
+                       AS n_days
+            FROM daily
+        ),
+        top AS (
+            SELECT g, n_days, d AS cp1, c AS c1
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY g
+                      ORDER BY abs(c) DESC, d ASC) AS rk
+                  FROM scored) WHERE rk = 1 AND n_days > 1
+        ),
+        tagged AS (
+            SELECT daily.g,
+                   CASE WHEN d <= cp1 THEN 'left' ELSE 'right' END
+                       AS segment,
+                   d, y
+            FROM daily JOIN top ON daily.g = top.g
+        ),
+        scored2 AS (
+            SELECT g, segment, d,
+                   CAST(COUNT(*) OVER (PARTITION BY g, segment)
+                        * SUM(y) OVER (PARTITION BY g, segment
+                                       ORDER BY d
+                                       ROWS UNBOUNDED PRECEDING)
+                        - row_number() OVER (PARTITION BY g, segment
+                                             ORDER BY d)
+                        * SUM(y) OVER (PARTITION BY g, segment)
+                        AS BIGINT) AS c,
+                   CAST(COUNT(*) OVER (PARTITION BY g, segment)
+                        AS BIGINT) AS n_days
+            FROM tagged
+        ),
+        sides AS (
+            SELECT g, segment, n_days, d AS day, c
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY g, segment
+                      ORDER BY abs(c) DESC, d ASC) AS rk
+                  FROM scored2) WHERE rk = 1 AND n_days > 1
+        ),
+        unioned AS (
+            SELECT g, 'all' AS segment, n_days, cp1 AS day, c1 AS c
+            FROM top
+            UNION ALL
+            SELECT g, segment, n_days, day, c FROM sides
+        )
+        SELECT g AS event_type, segment, n_days,
+               strftime(day, '%Y-%m-%d') AS change_day,
+               CAST(c AS DOUBLE) / CAST(n_days AS DOUBLE) / 100.0
+                   AS peak_dev
+        FROM unioned ORDER BY event_type, segment
     """
     out["kruskal_wallis"] = f"""
         -- doubled midranks over the pooled day-grain series; the one

@@ -2985,3 +2985,106 @@ def theta_forecast(events: DataFrame, group_col: str = "event_type") -> DataFram
             (F.col("st.s") + trend_next) * F.lit(0.5) / F.lit(100.0)
         ).alias("forecast1"),
     )
+
+
+def binary_segmentation(
+    events: DataFrame, group_col: str = "event_type"
+) -> DataFrame:
+    """Two-level binary segmentation per group — the standard
+    multi-change-point extension of :func:`cusum_changepoint` (which
+    finds exactly one): split at the global CUSUM argmax, then re-run
+    the same argmax INSIDE each half, reporting the top-level change
+    point and the strongest secondary candidate per side — the
+    three-segment readout a regime-shift review actually wants.
+
+    Integer-exact throughout (the cusum device): per segment the
+    statistic is multiplied through by the segment length —
+    ``C'_k = n_s·prefix_k − k·total_s`` — so every intermediate is an
+    exact BIGINT and every argmax is bit-deterministic (earliest day
+    wins ties); peak magnitudes surface with two IEEE ops
+    (``/n_s /100``).  Segments shorter than 2 days have no interior
+    change point and emit no row.
+
+    Scale shape: one day-grain contraction, one global-window pass,
+    a broadcast of the per-group split day, one more windowed pass at
+    (group, side) grain — all over the calendar-bounded series.
+    Output: (group, segment ∈ all/left/right, n_days,
+    change_day, peak_dev) ordered by (group, segment).
+    """
+    daily = _daily_cents(events, group_col)
+
+    def argmax_scored(df: DataFrame, keys: list) -> DataFrame:
+        w_all = Window.partitionBy(*keys)
+        w_ord = (
+            Window.partitionBy(*keys)
+            .orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        rn = F.row_number().over(
+            Window.partitionBy(*keys).orderBy("d")
+        )
+        scored = df.select(
+            *keys,
+            "d",
+            (
+                F.count(F.lit(1)).over(w_all) * F.sum("y").over(w_ord)
+                - rn * F.sum("y").over(w_all)
+            ).cast("bigint").alias("c_scaled"),
+            F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_days"),
+        )
+        pick = F.max(
+            F.struct(
+                F.abs("c_scaled").alias("mag"),
+                # earliest day wins equal magnitudes
+                (-F.datediff("d", F.lit("1970-01-01").cast("date")))
+                .alias("neg_day"),
+                F.col("c_scaled").alias("c"),
+                F.col("d").alias("d"),
+            )
+        )
+        return (
+            scored.groupBy(*keys)
+            .agg(F.max("n_days").alias("n_days"), pick.alias("p"))
+            .filter(F.col("n_days") > 1)
+        )
+
+    top = argmax_scored(daily, ["g"]).select(
+        "g",
+        F.col("n_days").alias("n_all"),
+        F.col("p.d").alias("cp1"),
+        F.col("p.c").alias("c1"),
+    )
+    tagged = daily.join(F.broadcast(top.select("g", "cp1")), "g").select(
+        "g",
+        F.when(F.col("d") <= F.col("cp1"), F.lit("left"))
+        .otherwise(F.lit("right"))
+        .alias("segment"),
+        "d",
+        "y",
+    )
+    sides = argmax_scored(tagged, ["g", "segment"]).select(
+        "g",
+        "segment",
+        "n_days",
+        F.col("p.d").alias("day"),
+        F.col("p.c").alias("c"),
+    )
+    all_rows = top.select(
+        "g",
+        F.lit("all").alias("segment"),
+        F.col("n_all").alias("n_days"),
+        F.col("cp1").alias("day"),
+        F.col("c1").alias("c"),
+    )
+    out = all_rows.unionByName(sides)
+    return out.select(
+        F.col("g").alias(group_col),
+        "segment",
+        "n_days",
+        F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+        (
+            F.col("c").cast("double")
+            / F.col("n_days").cast("double")
+            / 100.0
+        ).alias("peak_dev"),
+    ).orderBy(group_col, "segment")

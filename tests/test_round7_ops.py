@@ -1094,3 +1094,27 @@ def test_round7_stats_ops_tolerate_empty_inputs(spark):
     # null_cooccurrence's 3-pair report stays shaped on empty input
     # (counts zero, lift 0.0) — a profile table, not a test statistic
     assert null_cooccurrence(li).count() == 3
+
+
+def test_binary_segmentation_two_shifts(spark):
+    """A series with two level shifts: the top split lands on the
+    larger one and each side's secondary argmax is reported."""
+    from p2_mapreduce_spark.operators.timeseries import binary_segmentation
+
+    vals = [10] * 6 + [100] * 6 + [200] * 6  # shifts after d5 and d11
+    ev = _events7(spark, [(d, 1, "a", v) for d, v in enumerate(vals)])
+    got = {
+        r["segment"]: r for r in binary_segmentation(ev).collect()
+    }
+    assert set(got) == {"all", "left", "right"}
+    assert got["all"]["n_days"] == 18
+    # the global CUSUM peaks at the larger (first-vs-rest) imbalance
+    cp1 = got["all"]["change_day"]
+    assert cp1 in {"2024-03-06", "2024-03-11", "2024-03-12"}
+    # each side finds an interior candidate strictly inside its range
+    assert got["left"]["change_day"] <= cp1
+    assert got["right"]["change_day"] > cp1
+    assert got["left"]["n_days"] + got["right"]["n_days"] == 18
+    # 1-day series → no rows (no interior change point)
+    one = _events7(spark, [(0, 1, "a", 5)])
+    assert binary_segmentation(one).count() == 0
