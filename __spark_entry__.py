@@ -4059,12 +4059,26 @@ def _q_harmonic(spark, sf_dir):
 
 
 #: Query ids that have already appeared in a driver CORRECTNESS_r{N}.json
-#: sample (the union of r01-r06).  The driver verifies the FIRST 50
+#: sample (the union of r01-r07).  The driver verifies the FIRST 50
 #: registered ids each round, so ``queries()`` registers
 #: never-driver-checked ids first — rotating the sample window across the
 #: full suite round over round.  Append each new round's sampled ids here.
-_DRIVER_CHECKED_R01_R06 = frozenset(
+_DRIVER_CHECKED_R01_R07 = frozenset(
     {
+        # --- sampled in r07 ---
+        'ab_quantile_diff', 'acf_lags', 'anova_f', 'audio_flac',
+        'audio_flac_lpc', 'audio_g711', 'audio_mp1', 'bday_lag',
+        'binary_seg', 'burstiness', 'ccf_daily', 'cliffs_delta',
+        'cluster_sample', 'cochran_q', 'cohens_d', 'durbin_watson',
+        'fd_violations', 'fleiss_kappa', 'friedman',
+        'funnel_windowed', 'harmonic', 'hhi', 'index_mapreduce',
+        'interarrival', 'ivm_join', 'kendall_w', 'kruskal_wallis',
+        'link_jaccard', 'link_prediction', 'ljung_box', 'mcnemar',
+        'media_bmp_rle', 'media_gif', 'mrl_recall', 'null_cooccur',
+        'odds_ratio', 'page_hinkley', 'pettitt', 'price_index',
+        'price_volume', 'rbo_ranks', 'readability', 'rfm_segments',
+        'seasonal_mk', 'skipping_audit', 'theta', 'topn_others',
+        'tsb', 'two_hop', 'video_y4m',
         # --- sampled in r06 ---
         "media_jpeg_prog_color", "audio_flac", "kruskal_wallis", "anova_f",
         "ccf_daily", "croston", "rmst", "period_balance",
@@ -4133,6 +4147,19 @@ _DRIVER_CHECKED_R01_R06 = frozenset(
 #: Queries added THIS round (never existed when any driver sample ran) —
 #: registered first so the newest, highest-risk operators are always
 #: inside the driver's 50-query window.
+_ROUND8_NEW = (
+    # filled as round-8 operators land
+)
+
+#: Queries whose implementation or oracle materially CHANGED this round
+#: (r04 ADVICE: a prior driver check validated the OLD code, so changed
+#: ids re-enter the sample window exactly like new ids).
+_ROUND8_CHANGED = (
+    # filled as round-8 changes land
+)
+
+#: --- round-7 history (all 28 new + 8 changed ids were sampled in the
+#: r07 driver window and are now in _DRIVER_CHECKED_R01_R07) ---
 _ROUND7_NEW = (
     "audio_flac_lpc", "audio_mp1", "audio_g711", "media_bmp_rle",
     "media_gif",
@@ -4166,18 +4193,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
     newest = {
         k: base[k]
-        for k in (*_ROUND7_NEW, *_ROUND7_CHANGED)
+        for k in (*_ROUND8_NEW, *_ROUND8_CHANGED)
         if k in base
     }
     fresh = {
         k: v
         for k, v in base.items()
-        if k not in _DRIVER_CHECKED_R01_R06 and k not in newest
+        if k not in _DRIVER_CHECKED_R01_R07 and k not in newest
     }
     seen = {
         k: v
         for k, v in base.items()
-        if k in _DRIVER_CHECKED_R01_R06 and k not in newest
+        if k in _DRIVER_CHECKED_R01_R07 and k not in newest
     }
     return {**newest, **fresh, **seen}
 

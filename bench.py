@@ -393,6 +393,11 @@ _SHARED_STAGE_FAMILIES = {
     # panel-filtered (s, c) incidence list (link-prediction family,
     # VERDICT r06 item 5)
     "link_pairs": ("link_prediction", "link_jaccard"),
+    # memoized 2-hop reach stage over the trade graph (VERDICT r07
+    # "What's wrong" #1: two_hop records ~0.015 s in-suite because
+    # harmonic already paid the shared reach materialization — name the
+    # payer so the suite number isn't misread as the operator cost)
+    "trade_reach": ("two_hop", "harmonic"),
 }
 
 
