@@ -4155,7 +4155,9 @@ _ROUND8_NEW = (
 #: (r04 ADVICE: a prior driver check validated the OLD code, so changed
 #: ids re-enter the sample window exactly like new ids).
 _ROUND8_CHANGED = (
-    # filled as round-8 changes land
+    # range_join — BNLJ replaced by the docstring'd bucketized-band
+    # equi-join (r07 verdict weak #2 / next-round item 3)
+    "range_join",
 )
 
 #: --- round-7 history (all 28 new + 8 changed ids were sampled in the
