@@ -3268,6 +3268,18 @@ def _q_pq_search(spark, sf_dir):
     return pq_search(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_ivf_pq_search(spark, sf_dir):
+    from p2_mapreduce_spark.operators.similarity import ivf_pq_search
+
+    return ivf_pq_search(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_ivf_pq_recall(spark, sf_dir):
+    from p2_mapreduce_spark.operators.similarity import ivf_pq_recall
+
+    return ivf_pq_recall(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_yoy_revenue(spark, sf_dir):
     from p2_mapreduce_spark.operators.timeseries import yoy_revenue
 
@@ -4148,7 +4160,9 @@ _DRIVER_CHECKED_R01_R07 = frozenset(
 #: registered first so the newest, highest-risk operators are always
 #: inside the driver's 50-query window.
 _ROUND8_NEW = (
-    # filled as round-8 operators land
+    # IVF-PQ composed retrieval + its recall acceptance gate (r07
+    # verdict missing #3 / next-round item 4)
+    "ivf_pq_search", "ivf_pq_recall",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -4158,6 +4172,10 @@ _ROUND8_CHANGED = (
     # range_join — BNLJ replaced by the docstring'd bucketized-band
     # equi-join (r07 verdict weak #2 / next-round item 3)
     "range_join",
+    # pq_encode / pq_search — sub-codebook construction extracted into
+    # the shared _pq_codebook helper (same plan, but the code moved, so
+    # they re-enter the window; both were never-sampled anyway)
+    "pq_encode", "pq_search",
 )
 
 #: --- round-7 history (all 28 new + 8 changed ids were sampled in the
@@ -4614,6 +4632,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_asof": _q_scd2_asof,
         "pq_encode": _q_pq_encode,
         "pq_search": _q_pq_search,
+        "ivf_pq_search": _q_ivf_pq_search,
+        "ivf_pq_recall": _q_ivf_pq_recall,
         "quality_budget": _q_quality_budget,
         "yoy_revenue": _q_yoy_revenue,
         "bounce_rate": _q_bounce_rate,
@@ -13185,6 +13205,141 @@ def oracle_sql() -> dict[str, str]:
                    ON e.q_id = a.q_id AND e.n_id = a.n_id
                  GROUP BY 1
              )
+        SELECT q_id, n_exact,
+               COALESCE(n_approx, 0) AS n_approx,
+               COALESCE(n_hit, 0) AS n_hit,
+               CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_exact AS recall
+        FROM n_exact
+        LEFT JOIN n_approx USING (q_id)
+        LEFT JOIN n_hit USING (q_id)
+    """
+    # IVF-PQ composed retrieval: IVF coarse probe (16 md5-seeded
+    # centroids, cosine, nprobe=4) restricts candidates; ADC over the
+    # PQ codes (8 seeds x 4 subspaces of 16 dims) ranks them.  Twin of
+    # similarity.ivf_pq_search — same seeds, slices, and tie-breaks as
+    # the knn_ivf and pq_search oracles it composes.
+    out["ivf_pq_search"] = """
+        WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                          sqrt(list_dot_product(
+                              CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings),
+        iseeds AS (SELECT vec_id, v, nrm FROM n
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        icents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+                          v AS cv, nrm AS cn
+                   FROM iseeds),
+        assign AS (
+            SELECT vec_id, cell FROM (
+                SELECT n.vec_id, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                           ORDER BY list_dot_product(n.v, c.cv)
+                                    / (n.nrm * c.cn) DESC, c.cell) AS r
+                FROM n, icents c
+            ) WHERE r = 1
+        ),
+        pseeds AS (SELECT vec_id, v FROM n
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        pcb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+                       v AS cv
+                FROM pseeds),
+        sub AS (SELECT unnest(generate_series(0, 3)) AS s),
+        pcents AS (SELECT s, cell, cv[s*16+1 : s*16+16] AS cvs
+                   FROM pcb, sub),
+        scored AS (
+            SELECT n.vec_id, c.s, c.cell,
+                   (list_dot_product(n.v[c.s*16+1 : c.s*16+16],
+                                     n.v[c.s*16+1 : c.s*16+16])
+                    - 2.0 * list_dot_product(n.v[c.s*16+1 : c.s*16+16],
+                                             c.cvs))
+                   + list_dot_product(c.cvs, c.cvs) AS dist2
+            FROM n, pcents c
+        ),
+        best AS (
+            SELECT vec_id, s, cell FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY vec_id, s
+                           ORDER BY dist2, cell) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn
+              FROM n WHERE vec_id < 3),
+        probes AS (
+            SELECT q_id, cell FROM (
+                SELECT q.q_id, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY q.q_id
+                           ORDER BY list_dot_product(q.qv, c.cv)
+                                    / (q.qn * c.cn) DESC, c.cell) AS pr
+                FROM q, icents c
+            ) WHERE pr <= 4
+        ),
+        cand AS (
+            SELECT p.q_id, a.vec_id AS n_id
+            FROM probes p JOIN assign a ON a.cell = p.cell
+        ),
+        dtab AS (
+            SELECT q.q_id, c.s, c.cell,
+                   (list_dot_product(q.qv[c.s*16+1 : c.s*16+16],
+                                     q.qv[c.s*16+1 : c.s*16+16])
+                    - 2.0 * list_dot_product(q.qv[c.s*16+1 : c.s*16+16],
+                                             c.cvs))
+                   + list_dot_product(c.cvs, c.cvs) AS qd
+            FROM q, pcents c
+        ),
+        per AS (
+            SELECT cand.q_id, cand.n_id,
+                   MAX(CASE WHEN b.s = 0 THEN d.qd END) AS d0,
+                   MAX(CASE WHEN b.s = 1 THEN d.qd END) AS d1,
+                   MAX(CASE WHEN b.s = 2 THEN d.qd END) AS d2,
+                   MAX(CASE WHEN b.s = 3 THEN d.qd END) AS d3
+            FROM cand
+            JOIN best b ON b.vec_id = cand.n_id
+            JOIN dtab d ON d.q_id = cand.q_id
+                       AND d.s = b.s AND d.cell = b.cell
+            GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT q_id, n_id, 0.0 + d0 + d1 + d2 + d3 AS adc_dist
+            FROM per WHERE n_id <> q_id
+        )
+        SELECT * FROM (
+            SELECT q_id, n_id, adc_dist,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q_id
+                       ORDER BY adc_dist, n_id) AS BIGINT) AS rnk
+            FROM r
+        ) WHERE rnk <= 10
+    """
+    out["ivf_pq_recall"] = f"""
+        WITH approx AS ({out['ivf_pq_search']}),
+        q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 3),
+        c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv
+              FROM embeddings),
+        exact AS (
+            SELECT q_id, n_id FROM (
+                SELECT q_id, n_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q_id
+                           ORDER BY list_dot_product(qv, nv)
+                                    / (sqrt(list_dot_product(qv, qv))
+                                       * sqrt(list_dot_product(nv, nv)))
+                                    DESC, n_id
+                       ) AS rnk
+                FROM q, c WHERE n_id <> q_id
+            ) WHERE rnk <= 10
+        ),
+        n_exact AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+                    FROM exact GROUP BY 1),
+        n_approx AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_approx
+                     FROM approx GROUP BY 1),
+        n_hit AS (
+            SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+            FROM exact e JOIN approx a
+              ON e.q_id = a.q_id AND e.n_id = a.n_id
+            GROUP BY 1
+        )
         SELECT q_id, n_exact,
                COALESCE(n_approx, 0) AS n_approx,
                COALESCE(n_hit, 0) AS n_hit,

@@ -607,6 +607,41 @@ def semantic_dedup(
     )
 
 
+def _pq_codebook(
+    emb: DataFrame, m: int, k: int, sub: int, vec_col: str, id_col: str
+) -> DataFrame:
+    """The shared PQ sub-codebook ``(s, cell, cv, cc)``: sub-codebook c
+    of subspace s = the s-th slice of the md5-seeded sample's c-th
+    vector, with squared norms (``cc``) precomputed.  m·k rows —
+    broadcast-sized by construction.  Extracted so pq_encode, pq_search
+    and ivf_pq_search derive the IDENTICAL codebook (and so does the SQL
+    oracle)."""
+    seeds = (
+        emb.withColumn("h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("h", id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("seed_id"), F.col(vec_col).alias("c_vec"))
+    )
+    seeds = seeds.withColumn(
+        "cell",
+        F.row_number().over(Window.orderBy("seed_id")).cast("bigint") - 1,
+    )
+    subspaces = emb.sparkSession.range(m).select(
+        F.col("id").cast("int").alias("s")
+    )
+    return (
+        seeds.crossJoin(F.broadcast(subspaces))
+        .select(
+            "s",
+            "cell",
+            F.slice(F.col("c_vec"), F.col("s") * sub + 1, F.lit(sub)).alias(
+                "cv"
+            ),
+        )
+        .withColumn("cc", _dot(F.col("cv"), F.col("cv")))
+    )
+
+
 def pq_encode(
     embeddings: DataFrame,
     m: int = 4,
@@ -639,29 +674,7 @@ def pq_encode(
     """
     sub = dim // m
     emb = embeddings.select(id_col, vec_col)
-    seeds = (
-        emb.withColumn("h", F.md5(F.col(id_col).cast("string")))
-        .orderBy("h", id_col)
-        .limit(k)
-        .select(F.col(id_col).alias("seed_id"), F.col(vec_col).alias("c_vec"))
-    )
-    seeds = seeds.withColumn(
-        "cell", F.row_number().over(Window.orderBy("seed_id")).cast("int") - 1
-    )
-    subspaces = emb.sparkSession.range(m).select(
-        F.col("id").cast("int").alias("s")
-    )
-    cents = (
-        seeds.crossJoin(F.broadcast(subspaces))
-        .select(
-            "s",
-            "cell",
-            F.slice(
-                F.col("c_vec"), F.col("s") * sub + 1, F.lit(sub)
-            ).alias("cv"),
-        )
-        .withColumn("cc", _dot(F.col("cv"), F.col("cv")))
-    )
+    cents = _pq_codebook(emb, m, k, sub, vec_col, id_col)
     scored = (
         emb.crossJoin(F.broadcast(cents))
         .withColumn(
@@ -745,29 +758,7 @@ def pq_search(
         ).alias("p"),
     ).select(id_col, F.col("p.s").alias("s"), F.col("p.cell").alias("cell"))
     emb = embeddings.select(id_col, vec_col)
-    seeds = (
-        emb.withColumn("h", F.md5(F.col(id_col).cast("string")))
-        .orderBy("h", id_col)
-        .limit(k)
-        .select(F.col(id_col).alias("seed_id"), F.col(vec_col).alias("c_vec"))
-    )
-    seeds = seeds.withColumn(
-        "cell", F.row_number().over(Window.orderBy("seed_id")).cast("int") - 1
-    )
-    subspaces = emb.sparkSession.range(m).select(
-        F.col("id").cast("int").alias("s")
-    )
-    cents = (
-        seeds.crossJoin(F.broadcast(subspaces))
-        .select(
-            "s",
-            F.col("cell").cast("bigint").alias("cell"),
-            F.slice(F.col("c_vec"), F.col("s") * sub + 1, F.lit(sub)).alias(
-                "cv"
-            ),
-        )
-        .withColumn("cc", _dot(F.col("cv"), F.col("cv")))
-    )
+    cents = _pq_codebook(emb, m, k, sub, vec_col, id_col)
     queries = emb.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
     )
@@ -804,6 +795,171 @@ def pq_search(
         .filter(F.col("n_id") != F.col("q_id"))
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= top_k)
+    )
+
+
+def ivf_pq_search(
+    embeddings: DataFrame,
+    n_queries: int = 3,
+    top_k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    k: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ end-to-end retrieval — the production billion-vector
+    serving shape (Jégou et al., 2011; FAISS IndexIVFPQ): the IVF
+    coarse quantizer restricts each query to its ``nprobe`` nearest
+    cells, and asymmetric distances (ADC) are computed over the PQ
+    CODES of those cells' members only — never the original vectors.
+
+    Composition of the two audited halves: :func:`build_ivf_cells` /
+    the :func:`probe_ivf` probe device (coarse stage, cosine) and
+    :func:`pq_encode` / the :func:`pq_search` ADC device (fine stage,
+    L2) — same seeds, same codebooks, same tie-breaks, so the whole
+    pipeline stays bit-reproducible and oracle-checkable.
+
+    Plan shape & the 100 TB story: codes (m bytes/vector) and cell
+    assignments are ingest-time artifacts (``save_ivf_index`` layout:
+    partitioned by cell); a probe is then a partition-pruned scan of
+    nprobe/n_cells of the CODES — a ~(64·4/m)·(n_cells/nprobe)× I/O
+    reduction vs brute force (~1000× at these defaults).  Here the
+    index is built inline (the corpus-grain argmax + encode shuffles);
+    the serving joins are all broadcast (probe lists and distance
+    tables are n_queries·m·k-sized), and the candidate scan partial-
+    aggregates per (q_id, n_id) before ranking.  Recall < 1 by
+    construction (both stages approximate); :func:`ivf_pq_recall` is
+    the acceptance gate, and recall(ivf_pq) ≤ recall(pq_search) with
+    nprobe → n_cells recovering pq_search exactly (pinned in pytest).
+    """
+    sub = dim // m
+    cents, assign = build_ivf_cells(embeddings, n_cells, vec_col, id_col)
+    codes = pq_encode(embeddings, m, k, dim, vec_col, id_col)
+    emb_n = with_norm(embeddings, vec_col)
+    queries = emb_n.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    # coarse stage: top-nprobe cells per query by centroid cosine (the
+    # probe_ivf device; n_queries x n_cells rows, single broadcast)
+    q_cells = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "c_sim",
+        _dot(F.col("qv"), F.col("c_vec")) / (F.col("qn") * F.col("c_norm")),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("c_sim").desc(), "cell")
+    probes = (
+        q_cells.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("q_id", "qv", "cell")
+    )
+    # fine stage candidates: PQ codes of the probed cells' members only
+    cand = (
+        assign.select(F.col(id_col).alias("n_id"), "cell")
+        .join(
+            codes.select(
+                F.col(id_col).alias("n_id"), *[f"c{i}" for i in range(m)]
+            ),
+            "n_id",
+        )
+        .join(F.broadcast(probes.select("q_id", "cell")), "cell")
+    )
+    melted = cand.select(
+        "q_id",
+        "n_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("s"), F.col(f"c{i}").alias("cell")
+                    )
+                    for i in range(m)
+                ]
+            )
+        ).alias("p"),
+    ).select("q_id", "n_id", F.col("p.s").alias("s"), F.col("p.cell").alias("cell"))
+    # ADC distance table: query x subspace x code entry (n_queries·m·k
+    # rows — broadcast); candidate distances are m lookups + adds
+    pq_cents = _pq_codebook(
+        embeddings.select(id_col, vec_col), m, k, sub, vec_col, id_col
+    )
+    dtab = (
+        queries.crossJoin(F.broadcast(pq_cents))
+        .withColumn(
+            "qs", F.slice(F.col("qv"), F.col("s") * sub + 1, F.lit(sub))
+        )
+        .select(
+            "q_id",
+            "s",
+            "cell",
+            (
+                (
+                    _dot(F.col("qs"), F.col("qs"))
+                    - F.lit(2.0) * _dot(F.col("qs"), F.col("cv"))
+                )
+                + F.col("cc")
+            ).alias("qd"),
+        )
+    )
+    joined = melted.join(F.broadcast(dtab), ["q_id", "s", "cell"])
+    aggs = [
+        F.max(F.when(F.col("s") == i, F.col("qd"))).alias(f"_d{i}")
+        for i in range(m)
+    ]
+    per = joined.groupBy("q_id", "n_id").agg(*aggs)
+    adc = F.lit(0.0)
+    for i in range(m):
+        adc = adc + F.col(f"_d{i}")
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "n_id")
+    return (
+        per.select("q_id", "n_id", adc.alias("adc_dist"))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= top_k)
+    )
+
+
+def ivf_pq_recall(
+    embeddings: DataFrame,
+    n_queries: int = 3,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Acceptance gate for the composed IVF-PQ path: per-query recall@k
+    of :func:`ivf_pq_search` against the exact cosine scan
+    (:func:`knn_bruteforce`) — the ann_recall pattern applied to the
+    production serving shape.  Both sides deterministic, so the gate is
+    reproducible and oracle-checkable.  Cost: the two top-k runs plus
+    O(n_queries · k) bookkeeping."""
+    exact = knn_bruteforce(embeddings, n_queries, k, vec_col, id_col).select(
+        "q_id", "n_id"
+    )
+    approx = ivf_pq_search(
+        embeddings, n_queries, k, n_cells, nprobe, vec_col=vec_col, id_col=id_col
+    ).select("q_id", "n_id")
+    n_exact = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_approx = approx.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    n_hit = (
+        exact.join(approx, ["q_id", "n_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        n_exact.join(n_approx, "q_id", "left")
+        .join(n_hit, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce("n_approx", F.lit(0)).alias("n_approx"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")).alias("recall"),
+        )
     )
 
 

@@ -55,6 +55,23 @@ def audit_plan(df: DataFrame) -> list[dict]:
             "data-grain running totals use range partitioning + two-phase "
             "prefix aggregation (see curation.pack_sequences).",
         )
+    if "BroadcastNestedLoopJoin" in nodes:
+        # a non-equi join condition compiles to BNLJ: every streamed row
+        # is tested against the whole broadcast side. Deliberate uses
+        # (a config-small literal probe table) are fine — an ACCIDENTAL
+        # one (typo'd join key, cast mismatch) is linear-in-broadcast
+        # per row and explodes when the "small" side isn't.
+        add(
+            "broadcast-nested-loop-join",
+            "warn",
+            "BroadcastNestedLoopJoin tests EVERY streamed row against "
+            "the ENTIRE broadcast side (no hash lookup): cost is "
+            "rows x broadcast_size. Intended only for config-small "
+            "probe tables; if the condition was meant to be an equi "
+            "join, fix the key (a cast or expression around it defeats "
+            "hash join selection), or bucketize a range predicate into "
+            "an equi join (see relational.range_join_quantity_bands).",
+        )
     if "BatchEvalPython" in plan:
         add(
             "row-python-udf",

@@ -39,6 +39,18 @@ class TestDoctorFlagsBadPlans:
         bad = li.select(slow("l_extendedprice").alias("y"))
         assert "row-python-udf" in _rules(audit_plan(bad))
 
+    def test_accidental_non_equi_join_bnlj(self, spark, sf_dir):
+        # an "equi" join whose key got wrapped in a non-deterministic-ish
+        # expression compiles to BroadcastNestedLoopJoin when one side is
+        # small: every orders row tests against the whole broadcast side
+        orders = load_table(spark, sf_dir, "orders")
+        nation = load_table(spark, sf_dir, "nation")
+        bad = orders.join(
+            F.broadcast(nation),
+            orders.o_custkey % 25 >= nation.n_nationkey,  # typo'd: >= not ==
+        )
+        assert "broadcast-nested-loop-join" in _rules(audit_plan(bad))
+
     def test_defeated_pushdown(self, spark, sf_dir):
         li = load_table(spark, sf_dir, "lineitem")
         # wrapping the column in a Python-opaque cast chain defeats

@@ -30,6 +30,103 @@ def test_range_join_bucketized_boundaries(spark):
     assert got == {10: (3, 10.00 + 14.99 + 12.50)}
 
 
+def _recall(exact_df, approx_df):
+    exact = {(r["q_id"], r["n_id"]) for r in exact_df.collect()}
+    approx = {(r["q_id"], r["n_id"]) for r in approx_df.collect()}
+    return len(exact & approx) / len(exact)
+
+
+class TestIvfPq:
+    def test_nprobe_all_cells_recovers_pq_search(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.similarity import (
+            ivf_pq_search,
+            pq_search,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        full = ivf_pq_search(emb, nprobe=16)
+        pq = pq_search(emb)
+        assert sorted(map(tuple, full.collect())) == sorted(
+            map(tuple, pq.collect())
+        )
+
+    def test_candidate_set_monotone_in_nprobe(self, spark, sf_dir):
+        """The PROVABLE nprobe invariant: each query's candidate pool
+        (members of its probed cells) grows as a superset chain with
+        nprobe, reaching the whole corpus at nprobe=n_cells.
+
+        Note recall@k vs the exact scan is deliberately NOT pinned
+        monotone: the fine stage is approximate, so a wider candidate
+        pool can admit a PQ-quantization impostor that displaces a true
+        neighbor from the top-k (measured at sf0.001-0.01: recall can
+        DIP as nprobe grows).  The honest gates are this superset chain
+        + exact pq_search equality at full probe + the ivf_pq_recall
+        readout."""
+        from pyspark.sql import Window
+        from p2_mapreduce_spark.operators.similarity import (
+            _dot,
+            build_ivf_cells,
+            with_norm,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents, assign = build_ivf_cells(emb)
+        queries = with_norm(emb.filter(F.col("vec_id") < 3)).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qv"),
+            F.col("norm").alias("qn"),
+        )
+        q_cells = queries.crossJoin(F.broadcast(cents)).withColumn(
+            "c_sim",
+            _dot(F.col("qv"), F.col("c_vec"))
+            / (F.col("qn") * F.col("c_norm")),
+        )
+        wq = Window.partitionBy("q_id").orderBy(
+            F.col("c_sim").desc(), "cell"
+        )
+        ranked = q_cells.withColumn("pr", F.row_number().over(wq)).select(
+            "q_id", "cell", "pr"
+        )
+        n_corpus = emb.count()
+        prev: set = set()
+        for p in (1, 4, 16):
+            cand = {
+                (r["q_id"], r["n_id"])
+                for r in ranked.filter(F.col("pr") <= p)
+                .join(
+                    assign.select(
+                        F.col("vec_id").alias("n_id"), "cell"
+                    ),
+                    "cell",
+                )
+                .select("q_id", "n_id")
+                .collect()
+            }
+            assert prev <= cand
+            prev = cand
+        assert len(prev) == 3 * n_corpus  # full probe == whole corpus
+
+    def test_ivf_pq_recall_gate_matches_manual(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.similarity import (
+            ivf_pq_recall,
+            ivf_pq_search,
+            knn_bruteforce,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        gate = {r["q_id"]: r["recall"] for r in ivf_pq_recall(emb).collect()}
+        exact = knn_bruteforce(emb, n_queries=3, k=10).select("q_id", "n_id")
+        approx = ivf_pq_search(emb).select("q_id", "n_id")
+        e = {}
+        for r in exact.collect():
+            e.setdefault(r["q_id"], set()).add(r["n_id"])
+        a = {}
+        for r in approx.collect():
+            a.setdefault(r["q_id"], set()).add(r["n_id"])
+        manual = {q: len(e[q] & a.get(q, set())) / len(e[q]) for q in e}
+        assert gate == manual
+
+
 def test_range_join_bucketized_matches_theta(spark):
     """Property pin: the explode-candidates equi-join equals the direct
     theta predicate on a randomized small input."""
