@@ -302,9 +302,15 @@ def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
             "forbidden-code checks, ISO 11172-3 §2.4.3.3 "
             "requantization), but subband→PCM needs the normative "
             "512-coefficient synthesis window of Annex 3-B.3 — a "
-            "lookup table with NO closed form and no source in this "
-            "container (torchaudio/PyAV absent) — and MP3/AAC "
-            "additionally need their Huffman tables + IMDCT. "
+            "lookup table with NO closed form whose 512 decimal "
+            "values must be transcribed VERBATIM from the spec; no "
+            "verbatim copy exists in this container to transcribe "
+            "from, and embedding a from-memory approximation would "
+            "silently corrupt a 'real' decoder (this repo's media "
+            "features are exact-integer oracle-checked — a wrong "
+            "window would masquerade as correct until cross-checked "
+            "against a reference decoder). MP3/AAC additionally need "
+            "their Huffman tables + IMDCT. "
             "Everything else decodes fully: every shipped JPEG "
             "configuration (baseline gray/4:4:4/4:2:0 with DRI; "
             "progressive gray/color incl. AC refinement, restart "
@@ -3964,10 +3970,16 @@ def _decode_mp1(b: bytes):
 
     What is NOT here — and is the codec gate's remaining honest scope
     (see :func:`decode_media`): the polyphase SYNTHESIS filterbank to
-    PCM requires the 512-coefficient analysis/synthesis window of
-    ISO 11172-3 Annex 3-B.3, a normative lookup table with no closed
-    form, which this container has no source for (torchaudio/PyAV
-    absent); everything bitstream-side of that table is decoded here.
+    PCM requires the 512-coefficient window of ISO 11172-3 Annex
+    3-B.3, a normative lookup table with no closed form.  The
+    matrixing/windowing ALGORITHM around it is public and simple; the
+    blocker is the table DATA — its 512 decimal values must be
+    transcribed verbatim from the spec, this container holds no
+    verbatim copy to transcribe from, and a from-memory approximation
+    would silently corrupt the decode (unverifiable by this repo's
+    exact-integer oracle protocol, which can only confirm
+    self-consistency, not fidelity to the normative window).
+    Everything bitstream-side of that table is decoded here.
 
     Returns ``(sample_rate, [(subband, scf_idx, [12 dequantized
     subband samples as floor(s·2^30) ints]), ...])`` or None to
