@@ -44,8 +44,10 @@ identical across all of them.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -215,7 +217,7 @@ def _real_decode(payload: bytes, modality: str) -> dict:
         if parsed is None:
             return zero
         w, h, grid = parsed
-        total = sum(c for row in grid for px in row for c in px)
+        total = sum(sum(map(sum, row)) for row in grid)
         return {
             "width": w, "height": h, "n_frames": 1, "sample_rate": 0,
             "feature_hash": total,
@@ -242,9 +244,9 @@ def _real_decode(payload: bytes, modality: str) -> dict:
                 w, h, planes = parsed
                 if nf == 0:
                     w0, h0 = w, h
-                total += sum(
-                    v for ch in planes for row in ch for v in row
-                )
+                # nested map(sum, ...) keeps the per-pixel loop at C
+                # speed (integer sum — order-insensitive, exact)
+                total += sum(sum(map(sum, ch)) for ch in planes)
                 nf += 1
                 pos = end + 2
         else:  # concatenated-BMP stream
@@ -258,7 +260,7 @@ def _real_decode(payload: bytes, modality: str) -> dict:
                 w, h, grid = parsed
                 if nf == 0:
                     w0, h0 = w, h
-                total += sum(c for row in grid for px in row for c in px)
+                total += sum(sum(map(sum, row)) for row in grid)
                 nf += 1
                 pos += size
         if nf == 0:
@@ -1450,6 +1452,25 @@ _JPEG_ZIGZAG = (
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 )
 
+#: the same permutation as a numpy index (one vectorized de-zigzag
+#: scatter per block instead of a 64-step Python loop) and the 8x8 IDCT
+#: basis A[u, x] = C(u)/2 * cos((2x+1)u*pi/16) — both CONSTANT, hoisted
+#: to module level (round 8: they were rebuilt per _decode_jpeg call,
+#: a measurable slice of the media_mixed kernel time; values identical,
+#: so decoded pixels are bit-for-bit unchanged)
+_JPEG_ZIGZAG_NP = np.array(_JPEG_ZIGZAG, dtype=np.int64)
+_JPEG_IDCT_BASIS = np.array(
+    [
+        [
+            (math.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * math.cos((2 * x + 1) * u * math.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
 
 def attach_jpeg(docs: DataFrame) -> DataFrame:
     """Multimodal table whose payloads are REAL, complete, spec-valid
@@ -1852,18 +1873,9 @@ def _decode_jpeg(b: bytes):
         def extend(v, t):  # T.81 F.12
             return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
-        # 8×8 IDCT basis: A[u, x] = C(u)/2 · cos((2x+1)uπ/16)
-        a = np.array(
-            [
-                [
-                    (math.sqrt(0.5) if u == 0 else 1.0)
-                    / 2.0
-                    * math.cos((2 * x + 1) * u * math.pi / 16.0)
-                    for x in range(8)
-                ]
-                for u in range(8)
-            ]
-        )
+        # 8×8 IDCT basis: A[u, x] = C(u)/2 · cos((2x+1)uπ/16) —
+        # module-level constant (_JPEG_IDCT_BASIS)
+        a = _JPEG_IDCT_BASIS
         hmax = max(s[0] for s in samp)
         vmax = max(s[1] for s in samp)
         nbx = (w + 8 * hmax - 1) // (8 * hmax)
@@ -1899,9 +1911,9 @@ def _decode_jpeg(b: bytes):
                     return np.zeros((8, 8))
                 zz[k] = extend(read_bits(size), size) * q[k]
                 k += 1
+            # vectorized de-zigzag scatter: coef[zigzag[i]] = zz[i]
             coef = np.zeros(64)
-            for zi, rix in enumerate(_JPEG_ZIGZAG):
-                coef[rix] = zz[zi]
+            coef[_JPEG_ZIGZAG_NP] = zz
             f = a.T @ coef.reshape(8, 8) @ a
             return np.clip(np.rint(f) + 128, 0, 255).astype(np.int64)
 
@@ -1933,8 +1945,9 @@ def _decode_jpeg(b: bytes):
             if hmax // hi > 1:
                 planes[ci] = np.repeat(planes[ci], hmax // hi, axis=1)
         if len(comps) == 1:
+            # .tolist() converts int64 -> Python int at C speed
             gray = planes[0][:h, :w]
-            return w, h, [[[int(v) for v in row] for row in gray]]
+            return w, h, [gray.tolist()]
         # JFIF YCbCr -> RGB, floor(x + 0.5) rounding (half away from
         # negative — matches SQL FLOOR(x + 0.5), NOT np.rint's banker's
         # rounding), clamp to [0, 255]
@@ -1951,8 +1964,7 @@ def _decode_jpeg(b: bytes):
         )
         bl = np.clip(np.floor(y + 1.772 * (cb - 128.0) + 0.5), 0, 255)
         return w, h, [
-            [[int(v) for v in row] for row in ch.astype(np.int64)]
-            for ch in (r, g, bl)
+            ch.astype(np.int64).tolist() for ch in (r, g, bl)
         ]
     except Exception:
         return None  # quarantine malformed streams
@@ -2618,17 +2630,7 @@ def _decode_jpeg_progressive(b: bytes):
                                 if v != 0 and read_bit() and (v & p1) == 0:
                                     cf[kk] = v + (p1 if v >= 0 else m1)
 
-        a = np.array(
-            [
-                [
-                    (math.sqrt(0.5) if u == 0 else 1.0)
-                    / 2.0
-                    * math.cos((2 * x + 1) * u * math.pi / 16.0)
-                    for x in range(8)
-                ]
-                for u in range(8)
-            ]
-        )
+        a = _JPEG_IDCT_BASIS  # module-level constant
         planes = []
         for ci, (_cid, tq, hi, vi) in enumerate(comps):
             q = qt[tq]
@@ -2638,8 +2640,7 @@ def _decode_jpeg_progressive(b: bytes):
                 for bx in range(cbx):
                     blk = by * bw + bx
                     grid = np.zeros(64)
-                    for zi, rix in enumerate(_JPEG_ZIGZAG):
-                        grid[rix] = coef[ci][blk][zi] * q[zi]
+                    grid[_JPEG_ZIGZAG_NP] = coef[ci][blk] * np.asarray(q)
                     f = a.T @ grid.reshape(8, 8) @ a
                     plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                         np.clip(np.rint(f) + 128, 0, 255).astype(np.int64)
@@ -2652,8 +2653,9 @@ def _decode_jpeg_progressive(b: bytes):
                 plane = np.repeat(plane, hmax // hi, axis=1)
             planes.append(plane)
         if len(comps) == 1:
+            # .tolist() converts int64 -> Python int at C speed
             gray = planes[0][:h, :w]
-            return w, h, [[[int(v) for v in row] for row in gray]]
+            return w, h, [gray.tolist()]
         # JFIF YCbCr -> RGB, floor(x + 0.5) rounding — byte-identical
         # to the baseline color path so one oracle device covers both
         y = planes[0][:h, :w].astype(np.float64)
@@ -2669,8 +2671,7 @@ def _decode_jpeg_progressive(b: bytes):
         )
         bl = np.clip(np.floor(y + 1.772 * (cb - 128.0) + 0.5), 0, 255)
         return w, h, [
-            [[int(v) for v in row] for row in ch.astype(np.int64)]
-            for ch in (r, g, bl)
+            ch.astype(np.int64).tolist() for ch in (r, g, bl)
         ]
     except Exception:
         return None
