@@ -1852,6 +1852,30 @@ def _q_anova_f(spark, sf_dir):
     return anova_f(load_table(spark, sf_dir, "events"))
 
 
+def _q_jarque_bera(spark, sf_dir):
+    """Jarque-Bera normality test per event type — exact decimal power
+    sums to the 4th moment, pinned skewness/kurtosis/JB tree."""
+    from p2_mapreduce_spark.operators.timeseries import jarque_bera
+
+    return jarque_bera(load_table(spark, sf_dir, "events"))
+
+
+def _q_levene_bf(spark, sf_dir):
+    """Brown-Forsythe variance-homogeneity test across event types —
+    exact-integer |2c - 2*median| deviations, anova-device fold."""
+    from p2_mapreduce_spark.operators.timeseries import levene_bf
+
+    return levene_bf(load_table(spark, sf_dir, "events"))
+
+
+def _q_mood_median(spark, sf_dir):
+    """Mood's median test across event types — one-bit-per-row
+    location test on the exact 2x grand median split."""
+    from p2_mapreduce_spark.operators.timeseries import mood_median
+
+    return mood_median(load_table(spark, sf_dir, "events"))
+
+
 def _q_ccf_daily(spark, sf_dir):
     """Cross-correlation at lags 0-3 between the two first event
     types' daily revenue series (exact cents sufficient statistics
@@ -2153,6 +2177,30 @@ def _q_cochran_q(spark, sf_dir):
     from p2_mapreduce_spark.operators.events_analytics import cochran_q
 
     return cochran_q(load_table(spark, sf_dir, "events"))
+
+
+def _q_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage trend test: fulfillment rate vs ordinal order
+    priority — exact integer sufficient stats, one pinned chi2 tree."""
+    from p2_mapreduce_spark.operators.analytics import cochran_armitage
+
+    return cochran_armitage(load_table(spark, sf_dir, "orders"))
+
+
+def _q_partial_corr(spark, sf_dir):
+    """Partial correlation r(quantity, price | discount) — nine exact
+    moment sums, hi/lo 2^60 double conversion, pinned r trees."""
+    from p2_mapreduce_spark.operators.profile import partial_corr
+
+    return partial_corr(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_ordinal_assoc(spark, sf_dir):
+    """Goodman-Kruskal gamma + Somers' d_yx over quantity-decile x
+    discount-level contingency cells — exact pair-class counts."""
+    from p2_mapreduce_spark.operators.profile import ordinal_association
+
+    return ordinal_association(load_table(spark, sf_dir, "lineitem"))
 
 
 def _q_price_index(spark, sf_dir):
@@ -4163,6 +4211,10 @@ _ROUND8_NEW = (
     # IVF-PQ composed retrieval + its recall acceptance gate (r07
     # verdict missing #3 / next-round item 4)
     "ivf_pq_search", "ivf_pq_recall",
+    # round-8 stats-test batch (distribution shape / scale / location /
+    # trend / partialled and ordinal association)
+    "jarque_bera", "levene_bf", "mood_median", "cochran_armitage",
+    "partial_corr", "ordinal_assoc",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -4406,6 +4458,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_seg": _q_binary_seg,
         "kruskal_wallis": _q_kruskal_wallis,
         "anova_f": _q_anova_f,
+        "jarque_bera": _q_jarque_bera,
+        "levene_bf": _q_levene_bf,
+        "mood_median": _q_mood_median,
+        "cochran_armitage": _q_cochran_armitage,
+        "partial_corr": _q_partial_corr,
+        "ordinal_assoc": _q_ordinal_assoc,
         "ccf_daily": _q_ccf_daily,
         "croston": _q_croston,
         "rmst": _q_rmst,
@@ -15365,6 +15423,368 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 0.0e0 END AS f_stat
         FROM fold, gtot
         WHERE i = k
+    """
+    # Jarque-Bera twin: exact HUGEINT power sums to the 4th, pinned
+    # moment tree in the identical textual order as the Spark column.
+    out["jarque_bera"] = """
+        WITH rows_c AS (
+            SELECT event_type AS g,
+                   CAST(floor(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        agg AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS BIGINT) AS s1,
+                   SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2,
+                   SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+                       * CAST(c AS HUGEINT)) AS s3,
+                   SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+                       * CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s4
+            FROM rows_c GROUP BY g
+        ),
+        m AS (
+            -- pinned big-integer -> double: hi*2^60 (exact) + lo, the
+            -- Spark twin's engine-portable conversion for sums > 2^53
+            SELECT g, n,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                   (CAST(CAST(s2 // 1152921504606846976 AS BIGINT)
+                         AS DOUBLE) * 1152921504606846976.0e0
+                    + CAST(CAST(s2 % 1152921504606846976 AS BIGINT)
+                           AS DOUBLE)) / CAST(n AS DOUBLE) AS r2,
+                   (CAST(CAST(s3 // 1152921504606846976 AS BIGINT)
+                         AS DOUBLE) * 1152921504606846976.0e0
+                    + CAST(CAST(s3 % 1152921504606846976 AS BIGINT)
+                           AS DOUBLE)) / CAST(n AS DOUBLE) AS r3,
+                   (CAST(CAST(s4 // 1152921504606846976 AS BIGINT)
+                         AS DOUBLE) * 1152921504606846976.0e0
+                    + CAST(CAST(s4 % 1152921504606846976 AS BIGINT)
+                           AS DOUBLE)) / CAST(n AS DOUBLE) AS r4
+            FROM agg
+        ),
+        cm AS (
+            SELECT g, n,
+                   r2 - mu * mu AS m2,
+                   r3 - 3.0e0 * mu * r2 + 2.0e0 * mu * mu * mu AS m3,
+                   r4 - 4.0e0 * mu * r3 + 6.0e0 * mu * mu * r2
+                      - 3.0e0 * mu * mu * mu * mu AS m4
+            FROM m
+        )
+        SELECT g AS event_type, n,
+               m3 / (m2 * sqrt(m2)) AS skewness,
+               m4 / (m2 * m2) - 3.0e0 AS kurtosis_excess,
+               CAST(n AS DOUBLE) / 6.0e0
+                   * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+                      + (m4 / (m2 * m2) - 3.0e0)
+                        * (m4 / (m2 * m2) - 3.0e0) / 4.0e0) AS jb_stat
+        FROM cm WHERE n >= 4 AND m2 > 0.0e0
+        ORDER BY event_type
+    """
+    # Brown-Forsythe twin: |2c - 2*median| exact-integer deviations,
+    # the anova recursive fold, pinned F tree.
+    out["levene_bf"] = """
+        WITH RECURSIVE rows_c AS (
+            SELECT event_type AS g,
+                   CAST(floor(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        med AS (
+            SELECT g,
+                   CAST(quantile_cont(c, 0.5) * 2 AS BIGINT) AS m2x
+            FROM rows_c GROUP BY g
+        ),
+        z AS (
+            SELECT rows_c.g, abs(rows_c.c * 2 - med.m2x) AS z
+            FROM rows_c JOIN med ON rows_c.g = med.g
+        ),
+        per_g AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS nj,
+                   CAST(SUM(z) AS BIGINT) AS zj
+            FROM z GROUP BY g
+        ),
+        idx AS (
+            SELECT g, nj, zj,
+                   row_number() OVER (ORDER BY g) AS i,
+                   COUNT(*) OVER () AS k
+            FROM per_g
+        ),
+        fold AS (
+            SELECT i, k,
+                   0.0e0 + CAST(zj AS DOUBLE) * CAST(zj AS DOUBLE)
+                         / CAST(nj AS DOUBLE) AS t
+            FROM idx WHERE i = 1
+            UNION ALL
+            SELECT p.i, p.k,
+                   f.t + CAST(p.zj AS DOUBLE) * CAST(p.zj AS DOUBLE)
+                       / CAST(p.nj AS DOUBLE)
+            FROM fold f JOIN idx p ON p.i = f.i + 1
+        ),
+        gtot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(z) AS BIGINT) AS zsum,
+                   SUM(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS q
+            FROM z
+        )
+        SELECT n_rows,
+               CAST(k AS BIGINT) AS n_groups,
+               t - CAST(zsum AS DOUBLE) * CAST(zsum AS DOUBLE)
+                   / CAST(n_rows AS DOUBLE) AS ssb,
+               CAST(q AS DOUBLE) - t AS ssw,
+               CASE WHEN k > 1 AND n_rows > k
+                     AND (CAST(q AS DOUBLE) - t) > 0.0e0
+                    THEN ((t - CAST(zsum AS DOUBLE)
+                               * CAST(zsum AS DOUBLE)
+                               / CAST(n_rows AS DOUBLE))
+                          / (CAST(k AS DOUBLE) - 1.0e0))
+                         / ((CAST(q AS DOUBLE) - t)
+                            / (CAST(n_rows AS DOUBLE)
+                               - CAST(k AS DOUBLE)))
+                    ELSE 0.0e0 END AS bf_stat
+        FROM fold, gtot
+        WHERE i = k
+    """
+    # Mood's median twin: 2x grand median split, group-sorted recursive
+    # chi-square fold with both cells added per step in textual order.
+    out["mood_median"] = """
+        WITH RECURSIVE rows_c AS (
+            SELECT event_type AS g,
+                   CAST(floor(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        grand AS (
+            SELECT CAST(quantile_cont(c, 0.5) * 2 AS BIGINT) AS m2x
+            FROM rows_c
+        ),
+        per_g AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS nj,
+                   CAST(SUM(CASE WHEN c * 2 > m2x THEN 1 ELSE 0 END)
+                        AS BIGINT) AS aj
+            FROM rows_c, grand GROUP BY g
+        ),
+        tot AS (
+            SELECT CAST(SUM(nj) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(aj) AS BIGINT) AS n_above
+            FROM per_g
+        ),
+        idx AS (
+            SELECT g, nj, aj,
+                   row_number() OVER (ORDER BY g) AS i,
+                   COUNT(*) OVER () AS k
+            FROM per_g
+        ),
+        terms AS (
+            SELECT i, k,
+                   (CAST(aj AS DOUBLE)
+                    - CAST(nj AS DOUBLE) * CAST(n_above AS DOUBLE)
+                      / CAST(n_rows AS DOUBLE))
+                   * (CAST(aj AS DOUBLE)
+                      - CAST(nj AS DOUBLE) * CAST(n_above AS DOUBLE)
+                        / CAST(n_rows AS DOUBLE))
+                   / (CAST(nj AS DOUBLE) * CAST(n_above AS DOUBLE)
+                      / CAST(n_rows AS DOUBLE)) AS ta,
+                   (CAST(nj - aj AS DOUBLE)
+                    - CAST(nj AS DOUBLE)
+                      * (CAST(n_rows AS DOUBLE)
+                         - CAST(n_above AS DOUBLE))
+                      / CAST(n_rows AS DOUBLE))
+                   * (CAST(nj - aj AS DOUBLE)
+                      - CAST(nj AS DOUBLE)
+                        * (CAST(n_rows AS DOUBLE)
+                           - CAST(n_above AS DOUBLE))
+                        / CAST(n_rows AS DOUBLE))
+                   / (CAST(nj AS DOUBLE)
+                      * (CAST(n_rows AS DOUBLE)
+                         - CAST(n_above AS DOUBLE))
+                      / CAST(n_rows AS DOUBLE)) AS tb
+            FROM idx, tot
+        ),
+        fold AS (
+            SELECT i, k, 0.0e0 + ta + tb AS chi2
+            FROM terms WHERE i = 1
+            UNION ALL
+            SELECT p.i, p.k, f.chi2 + p.ta + p.tb
+            FROM fold f JOIN terms p ON p.i = f.i + 1
+        )
+        SELECT n_rows, n_groups, n_above,
+               CASE WHEN n_groups > 1 AND n_above > 0
+                         AND n_above < n_rows
+                    THEN (SELECT chi2 FROM fold WHERE i = k)
+                    ELSE 0.0e0 END AS chi2
+        FROM tot WHERE n_rows > 0
+    """
+    # Cochran-Armitage twin: exact integer sufficient stats, one
+    # pinned chi-square tree in the Spark column's textual order.
+    out["cochran_armitage"] = """
+        WITH rows_w AS (
+            SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS w,
+                   CAST(o_orderstatus = 'F' AS BIGINT) AS s
+            FROM orders
+        ),
+        per AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS nj,
+                   CAST(SUM(s) AS BIGINT) AS rj
+            FROM rows_w GROUP BY w
+        ),
+        folded AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_levels,
+                   CAST(SUM(nj) AS BIGINT) AS n_total,
+                   CAST(SUM(rj) AS BIGINT) AS n_success,
+                   CAST(SUM(nj * w) AS BIGINT) AS snw,
+                   CAST(SUM(nj * w * w) AS BIGINT) AS snw2,
+                   CAST(SUM(rj * w) AS BIGINT) AS srw
+            FROM per
+        )
+        SELECT n_total, n_success, n_levels,
+               CASE WHEN n_levels > 1 AND n_success > 0
+                         AND n_success < n_total
+                    THEN (CAST(srw AS DOUBLE)
+                          - CAST(n_success AS DOUBLE)
+                            * CAST(snw AS DOUBLE)
+                            / CAST(n_total AS DOUBLE))
+                         * (CAST(srw AS DOUBLE)
+                            - CAST(n_success AS DOUBLE)
+                              * CAST(snw AS DOUBLE)
+                              / CAST(n_total AS DOUBLE))
+                         / ((CAST(n_success AS DOUBLE)
+                             / CAST(n_total AS DOUBLE))
+                            * (1.0e0 - CAST(n_success AS DOUBLE)
+                                       / CAST(n_total AS DOUBLE))
+                            * (CAST(snw2 AS DOUBLE)
+                               - CAST(snw AS DOUBLE)
+                                 * CAST(snw AS DOUBLE)
+                                 / CAST(n_total AS DOUBLE)))
+                    ELSE 0.0e0 END AS ca_chi2
+        FROM folded WHERE n_total > 0
+    """
+    # partial correlation twin: nine exact moment sums, the hi/lo 2^60
+    # big-integer->double device, pinned r trees.
+    out["partial_corr"] = """
+        WITH rows_v AS (
+            SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+                   CAST(floor(l_extendedprice * 100) AS BIGINT) AS y,
+                   CAST(floor(l_discount * 10000) AS BIGINT) AS z
+            FROM lineitem
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(z) AS BIGINT) AS sz,
+                   SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                   SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+                   SUM(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS szz,
+                   SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+                   SUM(CAST(x AS HUGEINT) * CAST(z AS HUGEINT)) AS sxz,
+                   SUM(CAST(y AS HUGEINT) * CAST(z AS HUGEINT)) AS syz
+            FROM rows_v
+        ),
+        dbl AS (
+            SELECT n, sx, sy, sz,
+                   CAST(CAST(sxx // 1152921504606846976 AS BIGINT)
+                        AS DOUBLE) * 1152921504606846976.0e0
+                   + CAST(CAST(sxx % 1152921504606846976 AS BIGINT)
+                          AS DOUBLE) AS dxx,
+                   CAST(CAST(syy // 1152921504606846976 AS BIGINT)
+                        AS DOUBLE) * 1152921504606846976.0e0
+                   + CAST(CAST(syy % 1152921504606846976 AS BIGINT)
+                          AS DOUBLE) AS dyy,
+                   CAST(CAST(szz // 1152921504606846976 AS BIGINT)
+                        AS DOUBLE) * 1152921504606846976.0e0
+                   + CAST(CAST(szz % 1152921504606846976 AS BIGINT)
+                          AS DOUBLE) AS dzz,
+                   CAST(CAST(sxy // 1152921504606846976 AS BIGINT)
+                        AS DOUBLE) * 1152921504606846976.0e0
+                   + CAST(CAST(sxy % 1152921504606846976 AS BIGINT)
+                          AS DOUBLE) AS dxy,
+                   CAST(CAST(sxz // 1152921504606846976 AS BIGINT)
+                        AS DOUBLE) * 1152921504606846976.0e0
+                   + CAST(CAST(sxz % 1152921504606846976 AS BIGINT)
+                          AS DOUBLE) AS dxz,
+                   CAST(CAST(syz // 1152921504606846976 AS BIGINT)
+                        AS DOUBLE) * 1152921504606846976.0e0
+                   + CAST(CAST(syz % 1152921504606846976 AS BIGINT)
+                          AS DOUBLE) AS dyz
+            FROM agg
+        ),
+        rr AS (
+            SELECT n,
+                   (dxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                   / sqrt((dxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                 / CAST(n AS DOUBLE))
+                          * (dyy - CAST(sy AS DOUBLE)
+                                   * CAST(sy AS DOUBLE)
+                                   / CAST(n AS DOUBLE))) AS r_xy,
+                   (dxz - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                   / sqrt((dxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                 / CAST(n AS DOUBLE))
+                          * (dzz - CAST(sz AS DOUBLE)
+                                   * CAST(sz AS DOUBLE)
+                                   / CAST(n AS DOUBLE))) AS r_xz,
+                   (dyz - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                   / sqrt((dyy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                                 / CAST(n AS DOUBLE))
+                          * (dzz - CAST(sz AS DOUBLE)
+                                   * CAST(sz AS DOUBLE)
+                                   / CAST(n AS DOUBLE))) AS r_yz,
+                   dxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                         / CAST(n AS DOUBLE) AS vx,
+                   dyy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                         / CAST(n AS DOUBLE) AS vy,
+                   dzz - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                         / CAST(n AS DOUBLE) AS vz
+            FROM dbl
+        )
+        SELECT n, r_xy, r_xz, r_yz,
+               (r_xy - r_xz * r_yz)
+               / sqrt((1.0e0 - r_xz * r_xz)
+                      * (1.0e0 - r_yz * r_yz)) AS partial_r_xy_z
+        FROM rr
+        WHERE n > 1 AND vx > 0.0e0 AND vy > 0.0e0 AND vz > 0.0e0
+    """
+    # gamma / Somers' d twin: contingency-cell pair-class enumeration,
+    # exact BIGINT pair counts, one IEEE division per measure.
+    out["ordinal_assoc"] = """
+        WITH cells AS (
+            SELECT CAST(floor(l_quantity) AS BIGINT) // 10 AS a,
+                   CAST(floor(l_discount * 100) AS BIGINT) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT l.cnt * r.cnt AS p,
+                   CASE WHEN r.b > l.b THEN 'c'
+                        WHEN r.b < l.b THEN 'd'
+                        ELSE 't' END AS kind
+            FROM cells l JOIN cells r ON r.a > l.a
+        ),
+        folded AS (
+            SELECT CAST(COALESCE(SUM(CASE WHEN kind = 'c' THEN p END),
+                                 0) AS BIGINT) AS c_pairs,
+                   CAST(COALESCE(SUM(CASE WHEN kind = 'd' THEN p END),
+                                 0) AS BIGINT) AS d_pairs,
+                   CAST(COALESCE(SUM(CASE WHEN kind = 't' THEN p END),
+                                 0) AS BIGINT) AS ties_y
+            FROM pairs
+        ),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows FROM cells)
+        SELECT n_rows, c_pairs, d_pairs, ties_y,
+               CASE WHEN c_pairs + d_pairs > 0
+                    THEN (CAST(c_pairs AS DOUBLE)
+                          - CAST(d_pairs AS DOUBLE))
+                         / (CAST(c_pairs AS DOUBLE)
+                            + CAST(d_pairs AS DOUBLE))
+                    ELSE 0.0e0 END AS gamma,
+               CASE WHEN c_pairs + d_pairs + ties_y > 0
+                    THEN (CAST(c_pairs AS DOUBLE)
+                          - CAST(d_pairs AS DOUBLE))
+                         / (CAST(c_pairs AS DOUBLE)
+                            + CAST(d_pairs AS DOUBLE)
+                            + CAST(ties_y AS DOUBLE))
+                    ELSE 0.0e0 END AS somers_dyx
+        FROM folded, tot WHERE n_rows > 0
     """
     out["ccf_daily"] = f"""
         WITH daily AS (

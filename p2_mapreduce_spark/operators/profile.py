@@ -2682,3 +2682,168 @@ def null_cooccurrence(lineitem: DataFrame) -> DataFrame:
         "col_a", "col_b", "n_rows", "n_a", "n_b", "n_both",
         lift.alias("lift"),
     ).orderBy("col_a", "col_b")
+
+
+def partial_corr(lineitem: DataFrame) -> DataFrame:
+    """Partial correlation r(quantity, price | discount): does quantity
+    still track price once the discount's influence on both is held
+    fixed?  ``r_xy.z = (r_xy − r_xz·r_yz) / sqrt((1−r_xz²)(1−r_yz²))``
+    — the confounder-controlled sibling of plain Pearson, the standard
+    first tool when a shared driver fakes (or masks) an association.
+
+    Exactness: the three variables enter as exact integers (whole
+    quantity units, price cents, discount basis points); all nine
+    sufficient statistics (Σx, Σy, Σz, Σx², Σy², Σz², Σxy, Σxz, Σyz,
+    plus n) accumulate exactly — squares/products as DECIMAL(38,0),
+    the jarque_bera hi/lo 2⁶⁰ split converts anything above 2⁵³ to
+    double engine-portably — and each pairwise r plus the partial
+    composition is one pinned IEEE tree.
+
+    Scale shape: ONE map-side-combined global aggregate; one row out:
+    (n, r_xy, r_xz, r_yz, partial_r_xy_z); zero rows when empty or any
+    marginal variance degenerates.
+    """
+    rows = lineitem.select(
+        F.floor(F.col("l_quantity")).cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+        F.floor(F.col("l_discount") * 10000).cast("bigint").alias("z"),
+    )
+    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    agg = rows.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum(d("x") * d("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(d("y") * d("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(d("z") * d("z")).cast("decimal(38,0)").alias("szz"),
+        F.sum(d("x") * d("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(d("x") * d("z")).cast("decimal(38,0)").alias("sxz"),
+        F.sum(d("y") * d("z")).cast("decimal(38,0)").alias("syz"),
+    )
+    two60 = 1152921504606846976  # 2^60
+
+    def big_dbl(col: str):
+        hi = F.expr(f"{col} div {two60}").cast("double")
+        lo = F.expr(f"CAST({col} % {two60} AS BIGINT)").cast("double")
+        return hi * F.lit(float(two60)) + lo
+
+    n = F.col("n").cast("double")
+
+    def r_of(spq, sp, sq, spp, sqq):
+        cov = big_dbl(spq) - F.col(sp).cast("double") * F.col(sq).cast(
+            "double"
+        ) / n
+        vp = big_dbl(spp) - F.col(sp).cast("double") * F.col(sp).cast(
+            "double"
+        ) / n
+        vq = big_dbl(sqq) - F.col(sq).cast("double") * F.col(sq).cast(
+            "double"
+        ) / n
+        return cov / F.sqrt(vp * vq)
+
+    r_xy = r_of("sxy", "sx", "sy", "sxx", "syy")
+    r_xz = r_of("sxz", "sx", "sz", "sxx", "szz")
+    r_yz = r_of("syz", "sy", "sz", "syy", "szz")
+    pr = (r_xy - r_xz * r_yz) / F.sqrt(
+        (F.lit(1.0) - r_xz * r_xz) * (F.lit(1.0) - r_yz * r_yz)
+    )
+    vx = big_dbl("sxx") - F.col("sx").cast("double") * F.col("sx").cast(
+        "double"
+    ) / n
+    vy = big_dbl("syy") - F.col("sy").cast("double") * F.col("sy").cast(
+        "double"
+    ) / n
+    vz = big_dbl("szz") - F.col("sz").cast("double") * F.col("sz").cast(
+        "double"
+    ) / n
+    return agg.select(
+        "n",
+        r_xy.alias("r_xy"),
+        r_xz.alias("r_xz"),
+        r_yz.alias("r_yz"),
+        pr.alias("partial_r_xy_z"),
+    ).filter(
+        (F.col("n") > 1) & (vx > 0.0) & (vy > 0.0) & (vz > 0.0)
+    )
+
+
+def ordinal_association(lineitem: DataFrame) -> DataFrame:
+    """Goodman-Kruskal γ and Somers' d_yx between two ORDINAL business
+    dimensions — quantity decile bucket (x) vs discount level (y):
+    cramers_v answers nominal association; these answer "do higher
+    quantities come with higher discounts?" with a SIGNED, ordered
+    measure built from concordant/discordant pair counts.
+
+    ``γ = (C−D)/(C+D)``;  ``d_yx = (C−D)/(C+D+T_y)`` where T_y counts
+    pairs tied on y only (the asymmetric version that treats y as the
+    response).  C, D, T_y enumerate over the CONTINGENCY CELLS, never
+    the rows: with a and b the cell coordinates and n_ab the exact
+    counts, concordance is a join of the k² cells against themselves
+    (k ≤ ~70 here — config-grain, broadcast) — the standard way these
+    statistics stay computable when n is 10¹¹ but the grid is tiny.
+
+    Exactness: all pair counts are exact BIGINTs (cell products summed
+    once per ordered cell pair class); each measure is one IEEE
+    division.  Output one row: (n_rows, c_pairs, d_pairs, ties_y,
+    gamma, somers_dyx); zero rows when empty, 0.0 measures when C+D=0.
+    """
+    cells = (
+        lineitem.select(
+            # integer div, not /10-then-cast: double->int casts truncate
+            # in Spark but round in DuckDB — div agrees everywhere
+            F.expr("CAST(floor(l_quantity) AS BIGINT) div 10").alias("a"),
+            F.floor(F.col("l_discount") * 100).cast("bigint").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    left = cells.select(
+        F.col("a").alias("a1"), F.col("b").alias("b1"),
+        F.col("cnt").alias("n1"),
+    )
+    right = cells.select(
+        F.col("a").alias("a2"), F.col("b").alias("b2"),
+        F.col("cnt").alias("n2"),
+    )
+    pairs = left.join(
+        F.broadcast(right), F.col("a2") > F.col("a1"), "inner"
+    ).select(
+        (F.col("n1") * F.col("n2")).alias("p"),
+        F.when(F.col("b2") > F.col("b1"), F.lit("c"))
+        .when(F.col("b2") < F.col("b1"), F.lit("d"))
+        .otherwise(F.lit("t"))
+        .alias("kind"),
+    )
+    counts = pairs.groupBy("kind").agg(F.sum("p").cast("bigint").alias("v"))
+    folded = counts.agg(
+        F.sum(F.when(F.col("kind") == "c", F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("c_pairs"),
+        F.sum(F.when(F.col("kind") == "d", F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("d_pairs"),
+        F.sum(F.when(F.col("kind") == "t", F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("ties_y"),
+    )
+    tot = cells.agg(F.sum("cnt").cast("bigint").alias("n_rows"))
+    out = folded.crossJoin(tot)
+    c = F.col("c_pairs").cast("double")
+    dd = F.col("d_pairs").cast("double")
+    ty = F.col("ties_y").cast("double")
+    return out.select(
+        "n_rows",
+        "c_pairs",
+        "d_pairs",
+        "ties_y",
+        F.when(F.col("c_pairs") + F.col("d_pairs") > 0, (c - dd) / (c + dd))
+        .otherwise(F.lit(0.0))
+        .alias("gamma"),
+        F.when(
+            F.col("c_pairs") + F.col("d_pairs") + F.col("ties_y") > 0,
+            (c - dd) / (c + dd + ty),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("somers_dyx"),
+    ).filter(F.col("n_rows") > 0)

@@ -3088,3 +3088,240 @@ def binary_segmentation(
             / 100.0
         ).alias("peak_dev"),
     ).orderBy(group_col, "segment")
+
+
+def jarque_bera(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Jarque-Bera normality test per group over event-grain value
+    cents: ``JB = n/6 · (S² + K²/4)`` with skewness ``S = m₃/m₂^1.5``
+    and excess kurtosis ``K = m₄/m₂² − 3`` — the moment-based
+    normality gate (ln-free by construction: its only irrational step
+    is the IEEE-exact sqrt), the distribution-shape sibling of the
+    location (anova_f) and scale (levene_bf) tests.
+
+    Exactness protocol: raw power sums Σc, Σc², Σc³, Σc⁴ accumulate as
+    exact DECIMAL(38,0) over BIGINT cents (the anova_f moment device;
+    DuckDB twin uses HUGEINT).  Power sums beyond 2⁵³ do NOT cast to
+    double directly — Spark's BigDecimal→double and DuckDB's
+    HUGEINT→double round differently in the last ulp — so each sum is
+    split exactly as ``hi·2⁶⁰ + lo`` (both BIGINT; sums are
+    non-negative, so truncating div agrees cross-engine) and
+    reassembled as ``double(hi)·2⁶⁰ + double(lo)``: the scale by a
+    power of two is exact, int64→double conversion is correctly
+    rounded on both engines, and the single add rounds identically —
+    a pinned, engine-portable big-integer→double.  Central moments
+    then evaluate in one pinned IEEE tree per group — m₂ = Σc²/n − μ²,
+    m₃ and m₄ by the binomial expansions around the mean μ = Σc/n, in
+    textual order both engines share.
+
+    Scale shape: ONE map-side-combined aggregate at group grain; k rows
+    out: (group, n, skewness, kurtosis_excess, jb_stat).  Groups with
+    zero variance or n < 4 are dropped (the statistic is undefined);
+    empty input → zero rows.
+    """
+    c = F.floor(F.col("value") * 100).cast("bigint")
+    cd = c.cast("decimal(19,0)")
+    agg = (
+        events.select(F.col(group_col).alias("g"), c.alias("c"), cd.alias("cd"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("s1"),
+            F.sum(F.col("cd") * F.col("cd")).cast("decimal(38,0)").alias("s2"),
+            F.sum(F.col("cd") * F.col("cd") * F.col("cd"))
+            .cast("decimal(38,0)")
+            .alias("s3"),
+            F.sum(F.col("cd") * F.col("cd") * F.col("cd") * F.col("cd"))
+            .cast("decimal(38,0)")
+            .alias("s4"),
+        )
+    )
+    two60 = 1152921504606846976  # 2^60
+
+    def big_dbl(col: str):
+        # pinned big-integer -> double: hi*2^60 (exact) + lo (one add)
+        hi = F.expr(f"{col} div {two60}").cast("double")
+        lo = F.expr(f"CAST({col} % {two60} AS BIGINT)").cast("double")
+        return hi * F.lit(float(two60)) + lo
+
+    n = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / n
+    m2 = big_dbl("s2") / n - mu * mu
+    m3 = (
+        big_dbl("s3") / n
+        - F.lit(3.0) * mu * (big_dbl("s2") / n)
+        + F.lit(2.0) * mu * mu * mu
+    )
+    m4 = (
+        big_dbl("s4") / n
+        - F.lit(4.0) * mu * (big_dbl("s3") / n)
+        + F.lit(6.0) * mu * mu * (big_dbl("s2") / n)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = m4 / (m2 * m2) - F.lit(3.0)
+    jb = n / F.lit(6.0) * (skew * skew + kurt * kurt / F.lit(4.0))
+    return (
+        agg.filter((F.col("n") >= 4) & (m2 > 0.0))
+        .select(
+            F.col("g").alias(group_col),
+            "n",
+            skew.alias("skewness"),
+            kurt.alias("kurtosis_excess"),
+            jb.alias("jb_stat"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def levene_bf(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Brown-Forsythe test (Levene with group MEDIANS) for variance
+    homogeneity across groups — "is the spread the same?", the
+    robust pre-check behind anova_f's equal-variance assumption (and
+    the deviation-based sibling of the rank tests: KW asks location,
+    this asks scale).
+
+    Device: the deviations fold on exact INTEGERS.  Each group's exact
+    interpolated median m_j of the cents c has 2·m_j ∈ ℤ (it is either
+    a value or the midpoint of two), so ``z = |2c − 2m_j|`` is an exact
+    BIGINT per row — twice the classic |c − m_j|, and the F statistic
+    is invariant to that uniform ×2.  Sufficient statistics per group
+    (n_j, Σz, Σz²) are then exact, the k-row fold reuses the anova_f
+    T = Σ Z_j²/n_j device, and F = [(N−k)/(k−1)]·SSB/SSW is one pinned
+    tree.
+
+    Scale shape: one exact-median aggregate per group (sort-based
+    percentile at group grain), one broadcast join of the k medians
+    back onto the rows, one map-side-combined moment aggregate.
+    Output one row: (n_rows, n_groups, ssb, ssw, bf_stat); zero rows on
+    empty input, bf_stat = 0.0 when degenerate (k < 2 or SSW ≤ 0).
+    """
+    c = F.floor(F.col("value") * 100).cast("bigint")
+    rows = events.select(F.col(group_col).alias("g"), c.alias("c"))
+    med = rows.groupBy("g").agg(
+        # exact interpolated median: 2·median is integer-valued
+        (F.percentile(F.col("c"), F.lit(0.5)) * 2).cast("bigint").alias("m2x")
+    )
+    z = (
+        rows.join(F.broadcast(med), "g")
+        .select("g", F.abs(F.col("c") * 2 - F.col("m2x")).alias("z"))
+    )
+    zd = F.col("z").cast("decimal(19,0)")
+    per_g = z.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nj"),
+        F.sum("z").cast("bigint").alias("zj"),
+    )
+    glob = z.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("z").cast("bigint").alias("zsum"),
+        F.sum(zd * zd).cast("decimal(38,0)").alias("q"),
+    )
+    folded = per_g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("g"), F.col("zj"), F.col("nj")))
+        ).alias("gs"),
+    ).withColumn(
+        "t",
+        F.aggregate(
+            F.col("gs"),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + (x["zj"].cast("double") * x["zj"].cast("double"))
+            / x["nj"].cast("double"),
+        ),
+    )
+    out = folded.crossJoin(glob)
+    n = F.col("n_rows").cast("double")
+    k = F.col("n_groups").cast("double")
+    ssb = F.col("t") - F.col("zsum").cast("double") * F.col("zsum").cast(
+        "double"
+    ) / n
+    ssw = F.col("q").cast("double") - F.col("t")
+    f_stat = F.when(
+        (F.col("n_groups") > 1)
+        & (F.col("n_rows") > F.col("n_groups"))
+        & (ssw > 0.0),
+        (ssb / (k - F.lit(1.0))) / (ssw / (n - k)),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "n_rows", "n_groups", ssb.alias("ssb"), ssw.alias("ssw"),
+        f_stat.alias("bf_stat"),
+    ).filter((F.col("n_groups") > 0) & F.col("n_rows").isNotNull())
+
+
+def mood_median(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Mood's median test: a 2×k χ² on per-group counts above vs
+    at-or-below the GRAND median — the crudest, most outlier-proof of
+    the k-sample location tests (kruskal_wallis uses full ranks; this
+    uses one bit per row), and the one whose null distribution
+    survives any monotone transform of the values.
+
+    Device: the grand exact interpolated median again enters as the
+    integer 2·M (levene_bf's trick), so the above/below split
+    ``2c > 2M`` is exact integer comparison — no float boundary.  The
+    χ² over the 2×k table uses the standard expected counts
+    E_aj = n_j·A/N with exact integer inputs and one pinned tree per
+    cell, folded in group-sorted order.
+
+    Output one row: (n_rows, n_groups, n_above, chi2); groups appear in
+    the statistic regardless of size; zero rows on empty input;
+    chi2 = 0.0 when degenerate (k < 2, or the median splits nothing).
+    """
+    c = F.floor(F.col("value") * 100).cast("bigint")
+    rows = events.select(F.col(group_col).alias("g"), c.alias("c"))
+    grand = rows.agg(
+        (F.percentile(F.col("c"), F.lit(0.5)) * 2).cast("bigint").alias("m2x")
+    )
+    tagged = rows.crossJoin(F.broadcast(grand)).select(
+        "g", (F.col("c") * 2 > F.col("m2x")).cast("bigint").alias("above")
+    )
+    per_g = tagged.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nj"),
+        F.sum("above").cast("bigint").alias("aj"),
+    )
+    folded = per_g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("nj").cast("bigint").alias("n_rows"),
+        F.sum("aj").cast("bigint").alias("n_above"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("g"), F.col("nj"), F.col("aj")))
+        ).alias("gs"),
+    )
+    n = F.col("n_rows").cast("double")
+    a = F.col("n_above").cast("double")
+    b = n - a
+    # χ² fold in group-sorted order: above cell + below cell per group
+    chi2 = F.aggregate(
+        F.col("gs"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (
+            (x["aj"].cast("double") - x["nj"].cast("double") * a / n)
+            * (x["aj"].cast("double") - x["nj"].cast("double") * a / n)
+            / (x["nj"].cast("double") * a / n)
+        )
+        + (
+            (
+                (x["nj"] - x["aj"]).cast("double")
+                - x["nj"].cast("double") * b / n
+            )
+            * (
+                (x["nj"] - x["aj"]).cast("double")
+                - x["nj"].cast("double") * b / n
+            )
+            / (x["nj"].cast("double") * b / n)
+        ),
+    )
+    return folded.select(
+        "n_rows",
+        "n_groups",
+        "n_above",
+        F.when(
+            (F.col("n_groups") > 1)
+            & (F.col("n_above") > 0)
+            & (F.col("n_above") < F.col("n_rows")),
+            chi2,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("chi2"),
+    ).filter((F.col("n_rows") > 0) & F.col("n_groups").isNotNull())
