@@ -1852,6 +1852,54 @@ def _q_anova_f(spark, sf_dir):
     return anova_f(load_table(spark, sf_dir, "events"))
 
 
+def _q_ar1_forecast(spark, sf_dir):
+    """AR(1) Yule-Walker fit + one-step forecast per event type —
+    exact lag-pair sums, closed-form SSE, pinned trees."""
+    from p2_mapreduce_spark.operators.timeseries import ar1_forecast
+
+    return ar1_forecast(load_table(spark, sf_dir, "events"))
+
+
+def _q_seasonal_strength(spark, sf_dir):
+    """Weekday seasonal-strength index (SSB/SST over weekday classes)
+    per event type — the anova device on the daily series."""
+    from p2_mapreduce_spark.operators.timeseries import seasonal_strength
+
+    return seasonal_strength(load_table(spark, sf_dir, "events"))
+
+
+def _q_granger_lag1(spark, sf_dir):
+    """Lag-1 Granger causality F (views -> purchases) — closed-form
+    two-regressor OLS over exact day-grid triple sums."""
+    from p2_mapreduce_spark.operators.timeseries import granger_lag1
+
+    return granger_lag1(load_table(spark, sf_dir, "events"))
+
+
+def _q_rsi_daily(spark, sf_dir):
+    """Cutler's RSI (SMA variant) on daily revenue per event type —
+    exact integer moves, calendar RANGE frames, one division."""
+    from p2_mapreduce_spark.operators.timeseries import rsi_daily
+
+    return rsi_daily(load_table(spark, sf_dir, "events"))
+
+
+def _q_price_osc(spark, sf_dir):
+    """SMA price oscillator (fast minus slow daily-revenue mean) per
+    event type — exact range-frame sums, full-window gating."""
+    from p2_mapreduce_spark.operators.timeseries import price_osc
+
+    return price_osc(load_table(spark, sf_dir, "events"))
+
+
+def _q_sprt_daily(spark, sf_dir):
+    """Wald SPRT conversion monitor over the daily stream — literal
+    log constants, exact cumulative counts, sticky decision."""
+    from p2_mapreduce_spark.operators.events_analytics import sprt_daily
+
+    return sprt_daily(load_table(spark, sf_dir, "events"))
+
+
 def _q_jarque_bera(spark, sf_dir):
     """Jarque-Bera normality test per event type — exact decimal power
     sums to the 4th moment, pinned skewness/kurtosis/JB tree."""
@@ -4215,6 +4263,10 @@ _ROUND8_NEW = (
     # trend / partialled and ordinal association)
     "jarque_bera", "levene_bf", "mood_median", "cochran_armitage",
     "partial_corr", "ordinal_assoc",
+    # round-8 time-series batch (autoregression, seasonal score, lead
+    # tests, momentum indicators, sequential monitoring)
+    "ar1_forecast", "seasonal_strength", "granger_lag1", "rsi_daily",
+    "price_osc", "sprt_daily",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -4464,6 +4516,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cochran_armitage": _q_cochran_armitage,
         "partial_corr": _q_partial_corr,
         "ordinal_assoc": _q_ordinal_assoc,
+        "ar1_forecast": _q_ar1_forecast,
+        "seasonal_strength": _q_seasonal_strength,
+        "granger_lag1": _q_granger_lag1,
+        "rsi_daily": _q_rsi_daily,
+        "price_osc": _q_price_osc,
+        "sprt_daily": _q_sprt_daily,
         "ccf_daily": _q_ccf_daily,
         "croston": _q_croston,
         "rmst": _q_rmst,
@@ -15785,6 +15843,299 @@ def oracle_sql() -> dict[str, str]:
                             + CAST(ties_y AS DOUBLE))
                     ELSE 0.0e0 END AS somers_dyx
         FROM folded, tot WHERE n_rows > 0
+    """
+    # shared big-integer -> double SQL fragment (the hi/lo 2^60 device)
+    _bd = (
+        "(CAST(CAST({0} // 1152921504606846976 AS BIGINT) AS DOUBLE)"
+        " * 1152921504606846976.0e0"
+        " + CAST(CAST({0} % 1152921504606846976 AS BIGINT) AS DOUBLE))"
+    ).format
+    # AR(1) Yule-Walker twin: exact lag-pair sums, pinned phi/forecast/
+    # closed-form SSE trees in the Spark columns' textual order.
+    out["ar1_forecast"] = f"""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev} GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT c.g, c.y AS a, p.y AS b
+            FROM daily c JOIN daily p
+              ON p.g = c.g AND p.d + 1 = c.d
+        ),
+        agg AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n1,
+                   CAST(SUM(a) AS BIGINT) AS sa,
+                   CAST(SUM(b) AS BIGINT) AS sb,
+                   SUM(CAST(a AS HUGEINT) * CAST(b AS HUGEINT)) AS sab,
+                   SUM(CAST(b AS HUGEINT) * CAST(b AS HUGEINT)) AS sbb,
+                   SUM(CAST(a AS HUGEINT) * CAST(a AS HUGEINT)) AS saa
+            FROM pairs GROUP BY g
+        ),
+        lastv AS (SELECT g, max_by(y, d) AS y_last FROM daily GROUP BY g),
+        full_g AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(y) AS BIGINT) AS sy
+            FROM daily GROUP BY g
+        ),
+        m AS (
+            SELECT agg.g, n1, sa, sb, y_last, n_days, sy,
+                   {_bd('sab')} AS dsab, {_bd('sbb')} AS dsbb,
+                   {_bd('saa')} AS dsaa
+            FROM agg JOIN lastv ON agg.g = lastv.g
+                     JOIN full_g ON agg.g = full_g.g
+        ),
+        t AS (
+            SELECT g, n1, dsaa, dsab, dsbb, sa, sb, y_last,
+                   (dsab - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                           / CAST(n1 AS DOUBLE))
+                   / (dsbb - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                             / CAST(n1 AS DOUBLE)) AS phi,
+                   dsbb - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                          / CAST(n1 AS DOUBLE) AS vb,
+                   CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE) AS mc
+            FROM m
+        )
+        SELECT g AS event_type, n1 AS n_pairs, phi,
+               mc AS mean_cents,
+               mc + phi * (CAST(y_last AS DOUBLE) - mc)
+                   AS forecast_cents,
+               dsaa + phi * phi * dsbb
+                    + CAST(n1 AS DOUBLE) * (mc * (1.0e0 - phi))
+                                         * (mc * (1.0e0 - phi))
+                    - 2.0e0 * phi * dsab
+                    - 2.0e0 * (mc * (1.0e0 - phi)) * CAST(sa AS DOUBLE)
+                    + 2.0e0 * phi * (mc * (1.0e0 - phi))
+                            * CAST(sb AS DOUBLE) AS sse
+        FROM t WHERE n1 >= 3 AND vb > 0.0e0
+        ORDER BY event_type
+    """
+    # weekday seasonal strength twin: the anova recursive fold per
+    # group over weekday classes (both engines index Sunday first, so
+    # the fold order agrees without conversion).
+    out["seasonal_strength"] = f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev} GROUP BY 1, 2
+        ),
+        wdaily AS (SELECT g, dayofweek(d) AS wd, y FROM daily),
+        per_w AS (
+            SELECT g, wd, CAST(COUNT(*) AS BIGINT) AS nj,
+                   CAST(SUM(y) AS BIGINT) AS zj
+            FROM wdaily GROUP BY g, wd
+        ),
+        idx AS (
+            SELECT g, nj, zj,
+                   row_number() OVER (PARTITION BY g ORDER BY wd) AS i,
+                   COUNT(*) OVER (PARTITION BY g) AS k
+            FROM per_w
+        ),
+        fold AS (
+            SELECT g, i, k,
+                   0.0e0 + CAST(zj AS DOUBLE) * CAST(zj AS DOUBLE)
+                         / CAST(nj AS DOUBLE) AS t
+            FROM idx WHERE i = 1
+            UNION ALL
+            SELECT p.g, p.i, p.k,
+                   f.t + CAST(p.zj AS DOUBLE) * CAST(p.zj AS DOUBLE)
+                       / CAST(p.nj AS DOUBLE)
+            FROM fold f JOIN idx p ON p.g = f.g AND p.i = f.i + 1
+        ),
+        g_tot AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(y) AS BIGINT) AS z,
+                   SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS q
+            FROM daily GROUP BY g
+        ),
+        m AS (
+            SELECT fold.g, n_days,
+                   t - CAST(z AS DOUBLE) * CAST(z AS DOUBLE)
+                       / CAST(n_days AS DOUBLE) AS ssb,
+                   {_bd('q')} - CAST(z AS DOUBLE) * CAST(z AS DOUBLE)
+                       / CAST(n_days AS DOUBLE) AS sst
+            FROM fold JOIN g_tot ON fold.g = g_tot.g
+            WHERE fold.i = fold.k
+        )
+        SELECT g AS event_type, n_days, ssb, sst,
+               ssb / sst AS strength
+        FROM m WHERE n_days > 7 AND sst > 0.0e0
+        ORDER BY event_type
+    """
+    # Granger lag-1 twin: closed-form restricted/unrestricted OLS over
+    # exact day-grid triple sums (Cramer's rule, pinned trees).
+    out["granger_lag1"] = f"""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev} GROUP BY 1, 2
+        ),
+        tri AS (
+            SELECT yd.y AS w, yl.y AS u, xl.y AS v
+            FROM (SELECT d, y FROM daily WHERE g = 'purchase') yd
+            JOIN (SELECT d + 1 AS d, y FROM daily
+                  WHERE g = 'purchase') yl ON yl.d = yd.d
+            JOIN (SELECT d + 1 AS d, y FROM daily
+                  WHERE g = 'view') xl ON xl.d = yd.d
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(w) AS BIGINT) AS sw,
+                   CAST(SUM(u) AS BIGINT) AS su,
+                   CAST(SUM(v) AS BIGINT) AS sv,
+                   SUM(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS sww,
+                   SUM(CAST(u AS HUGEINT) * CAST(u AS HUGEINT)) AS suu,
+                   SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS svv,
+                   SUM(CAST(u AS HUGEINT) * CAST(w AS HUGEINT)) AS suw,
+                   SUM(CAST(v AS HUGEINT) * CAST(w AS HUGEINT)) AS svw,
+                   SUM(CAST(u AS HUGEINT) * CAST(v AS HUGEINT)) AS suv
+            FROM tri
+        ),
+        c AS (
+            SELECT n,
+                   {_bd('sww')} - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS cww,
+                   {_bd('suu')} - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS cuu,
+                   {_bd('svv')} - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS cvv,
+                   {_bd('suw')} - CAST(su AS DOUBLE) * CAST(sw AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS cuw,
+                   {_bd('svw')} - CAST(sv AS DOUBLE) * CAST(sw AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS cvw,
+                   {_bd('suv')} - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS cuv
+            FROM agg
+        ),
+        fit AS (
+            SELECT n, cuu,
+                   cww - cuw * cuw / cuu AS rss_r,
+                   cuu * cvv - cuv * cuv AS det,
+                   cww - ((cuw * cvv - cvw * cuv)
+                          / (cuu * cvv - cuv * cuv) * cuw
+                          + (cvw * cuu - cuw * cuv)
+                            / (cuu * cvv - cuv * cuv) * cvw) AS rss_u
+            FROM c
+        )
+        SELECT n AS n_triples,
+               rss_r AS rss_restricted,
+               rss_u AS rss_unrestricted,
+               CASE WHEN rss_u > 0.0e0
+                    THEN (rss_r - rss_u)
+                         / (rss_u / (CAST(n AS DOUBLE) - 3.0e0))
+                    ELSE 0.0e0 END AS f_granger
+        FROM fit WHERE n >= 5 AND cuu > 0.0e0 AND det > 0.0e0
+    """
+    # Cutler RSI twin: exact integer moves, calendar RANGE frames.
+    out["rsi_daily"] = f"""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS x,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev} GROUP BY 1, 2, 3
+        ),
+        moves AS (
+            SELECT c.g, c.d, c.x, c.y - p.y AS delta
+            FROM daily c JOIN daily p
+              ON p.g = c.g AND p.x + 1 = c.x
+        ),
+        framed AS (
+            SELECT g, d,
+                   CAST(SUM(greatest(delta, 0)) OVER w AS BIGINT)
+                       AS gains_cents,
+                   CAST(SUM(greatest(-delta, 0)) OVER w AS BIGINT)
+                       AS losses_cents,
+                   COUNT(*) OVER w AS n_moves
+            FROM moves
+            WINDOW w AS (PARTITION BY g ORDER BY x
+                         RANGE BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT g AS event_type, strftime(d, '%Y-%m-%d') AS day,
+               gains_cents, losses_cents,
+               CASE WHEN gains_cents + losses_cents > 0
+                    THEN 100.0e0 * CAST(gains_cents AS DOUBLE)
+                         / (CAST(gains_cents AS DOUBLE)
+                            + CAST(losses_cents AS DOUBLE))
+                    ELSE 50.0e0 END AS rsi
+        FROM framed WHERE n_moves = 14
+    """
+    # SMA price-oscillator twin: exact range-frame sums, full-window
+    # gating, pinned mean/osc trees.
+    out["price_osc"] = f"""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS x,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev} GROUP BY 1, 2, 3
+        ),
+        framed AS (
+            SELECT g, d,
+                   CAST(SUM(y) OVER wf AS BIGINT) AS sf,
+                   COUNT(*) OVER wf AS nf,
+                   CAST(SUM(y) OVER ws AS BIGINT) AS ss,
+                   COUNT(*) OVER ws AS ns
+            FROM daily
+            WINDOW wf AS (PARTITION BY g ORDER BY x
+                          RANGE BETWEEN 4 PRECEDING AND CURRENT ROW),
+                   ws AS (PARTITION BY g ORDER BY x
+                          RANGE BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT g AS event_type, strftime(d, '%Y-%m-%d') AS day,
+               CAST(sf AS DOUBLE) / 5.0e0 / 100.0e0 AS sma_fast,
+               CAST(ss AS DOUBLE) / 20.0e0 / 100.0e0 AS sma_slow,
+               CAST(sf AS DOUBLE) / 5.0e0 / 100.0e0
+                   - CAST(ss AS DOUBLE) / 20.0e0 / 100.0e0 AS osc,
+               CASE WHEN ss > 0
+                    THEN (CAST(sf AS DOUBLE) / 5.0e0 / 100.0e0
+                          - CAST(ss AS DOUBLE) / 20.0e0 / 100.0e0)
+                         / (CAST(ss AS DOUBLE) / 20.0e0 / 100.0e0)
+                         * 100.0e0
+                    ELSE 0.0e0 END AS osc_pct
+        FROM framed WHERE nf = 5 AND ns = 20
+    """
+    # SPRT twin: the four transcendental constants are the SAME Python
+    # doubles the Spark plan ships (single evaluation, two engines).
+    from p2_mapreduce_spark.operators.events_analytics import _sprt_consts
+
+    _l1, _l0, _sa, _sb = _sprt_consts()
+    out["sprt_daily"] = f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS k
+            FROM {ev} GROUP BY 1
+        ),
+        cum AS (
+            SELECT d,
+                   CAST(SUM(n) OVER w AS BIGINT) AS n_cum,
+                   CAST(SUM(k) OVER w AS BIGINT) AS k_cum
+            FROM daily
+            WINDOW w AS (ORDER BY d
+                         ROWS UNBOUNDED PRECEDING)
+        ),
+        with_llr AS (
+            SELECT d, n_cum, k_cum,
+                   CAST(k_cum AS DOUBLE) * {_l1!r}
+                   + CAST(n_cum - k_cum AS DOUBLE) * {_l0!r} AS llr
+            FROM cum
+        ),
+        crossings AS (
+            SELECT min(CASE WHEN llr >= {_sa!r} THEN d END) AS d_h1,
+                   min(CASE WHEN llr <= {_sb!r} THEN d END) AS d_h0
+            FROM with_llr
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS day, n_cum, k_cum, llr,
+               CASE WHEN d_h1 IS NOT NULL
+                         AND (d_h0 IS NULL OR d_h1 <= d_h0)
+                         AND d >= d_h1 THEN 'accept_h1'
+                    WHEN d_h0 IS NOT NULL
+                         AND (d_h1 IS NULL OR d_h0 < d_h1)
+                         AND d >= d_h0 THEN 'accept_h0'
+                    ELSE 'continue' END AS state
+        FROM with_llr, crossings
     """
     out["ccf_daily"] = f"""
         WITH daily AS (

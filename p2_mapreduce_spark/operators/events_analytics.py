@@ -2152,3 +2152,99 @@ def cochran_q(events: DataFrame) -> DataFrame:
         "n_users", F.col("k_types").cast("int").alias("k_types"),
         q.alias("q_stat"),
     ).filter(F.col("n_users") > 0)
+
+
+#: SPRT constants for :func:`sprt_daily`, computed ONCE in Python and
+#: embedded as the SAME double literals in both the Spark plan and the
+#: SQL oracle (__spark_entry__ imports these) — the engine-portable way
+#: to use ln in a statistic: the transcendental evaluates at BUILD time
+#: in one runtime (CPython libm), never independently per engine.
+SPRT_P0 = 0.15
+SPRT_P1 = 0.25
+SPRT_ALPHA = 0.05
+SPRT_BETA = 0.05
+
+
+def _sprt_consts() -> tuple[float, float, float, float]:
+    import math
+
+    l1 = math.log(SPRT_P1 / SPRT_P0)  # per-success LLR increment
+    l0 = math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))  # per-failure
+    a = math.log((1.0 - SPRT_BETA) / SPRT_ALPHA)  # accept-H1 boundary
+    b = math.log(SPRT_BETA / (1.0 - SPRT_ALPHA))  # accept-H0 boundary
+    return l1, l0, a, b
+
+
+def sprt_daily(events: DataFrame, success_type: str = "purchase") -> DataFrame:
+    """Wald's sequential probability ratio test on the daily conversion
+    stream: monitor P(event is a ``success_type``) day by day and emit
+    the running log-likelihood ratio against H0: p = 0.15 vs
+    H1: p = 0.25 with the classic decision boundaries — the sequential
+    monitor that STOPS as soon as the evidence is decisive, where
+    ab_conversion / wilson_ci wait for a fixed horizon.
+
+    ``LLR_n = k_n·ln(p1/p0) + (n_n−k_n)·ln((1−p1)/(1−p0))`` is LINEAR
+    in the exact cumulative counts (k_n, n_n), so the only
+    transcendentals are four CONSTANTS evaluated once in Python and
+    shipped as identical double literals to both engines (module
+    docstring above) — the statistic itself is one pinned
+    multiply-add per day.
+
+    Scale shape: the fact stream contracts to (day, trials, successes)
+    map-side; the cumulative window runs at CALENDAR grain (one
+    bounded partition — the reviewed-funnel pattern).  Output per day:
+    (day, n_cum, k_cum, llr, state) where state ∈ accept_h1 /
+    accept_h0 / continue, sticky once a boundary is crossed (the
+    sequential test's stopping rule).
+    """
+    l1, l0, a, b = _sprt_consts()
+    daily = (
+        events.select(
+            F.to_date("ts").alias("d"),
+            (F.col("event_type") == success_type).cast("bigint").alias("s"),
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("s").cast("bigint").alias("k"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "d",
+        F.sum("n").over(w).cast("bigint").alias("n_cum"),
+        F.sum("k").over(w).cast("bigint").alias("k_cum"),
+    )
+    llr = F.col("k_cum").cast("double") * F.lit(l1) + (
+        F.col("n_cum") - F.col("k_cum")
+    ).cast("double") * F.lit(l0)
+    with_llr = cum.select(
+        "d", "n_cum", "k_cum", llr.alias("llr")
+    )
+    # sticky decision: the FIRST boundary crossing decides; later days
+    # report that decision (min-day-of-crossing broadcast, one row)
+    crossings = with_llr.select(
+        F.min(F.when(F.col("llr") >= F.lit(a), F.col("d"))).alias("d_h1"),
+        F.min(F.when(F.col("llr") <= F.lit(b), F.col("d"))).alias("d_h0"),
+    )
+    out = with_llr.crossJoin(F.broadcast(crossings))
+    decided_h1 = (
+        F.col("d_h1").isNotNull()
+        & (F.col("d_h0").isNull() | (F.col("d_h1") <= F.col("d_h0")))
+        & (F.col("d") >= F.col("d_h1"))
+    )
+    decided_h0 = (
+        F.col("d_h0").isNotNull()
+        & (F.col("d_h1").isNull() | (F.col("d_h0") < F.col("d_h1")))
+        & (F.col("d") >= F.col("d_h0"))
+    )
+    return out.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_cum",
+        "k_cum",
+        "llr",
+        F.when(decided_h1, F.lit("accept_h1"))
+        .when(decided_h0, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("state"),
+    )

@@ -3325,3 +3325,358 @@ def mood_median(events: DataFrame, group_col: str = "event_type") -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("chi2"),
     ).filter((F.col("n_rows") > 0) & F.col("n_groups").isNotNull())
+
+
+def ar1_forecast(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """AR(1) fit by Yule-Walker on each group's daily revenue series +
+    the one-step-ahead forecast: ``φ = Σ(y_t−ȳ)(y_{t−1}−ȳ) /
+    Σ(y_{t−1}−ȳ)²`` over CONSECUTIVE calendar days, ``ŷ_{T+1} = ȳ +
+    φ·(y_T − ȳ)`` — the minimal autoregressive model, one notch above
+    ewma_daily (which fixes the memory) and the modeling counterpart
+    of acf_lags (which only reports the correlogram).
+
+    Exactness: lag pairs come from a day-grid self-join (d−1); all raw
+    sums (n₁, Σa, Σb, Σab, Σbb, Σaa over pairs) are exact BIGINTs
+    (squares in DECIMAL(38,0) via the hi/lo 2⁶⁰ double conversion);
+    φ, the forecast, and the closed-form in-sample SSE
+    ``Σ(a − φb − c)² = Σa² + φ²Σb² + n₁c² − 2φΣab − 2cΣa + 2φcΣb``
+    (c = ȳ·(1−φ), means over the PAIR overlap) are pinned IEEE trees —
+    no cross-row double sums anywhere.
+
+    Output per group: (group, n_pairs, phi, mean_cents, forecast_cents,
+    sse); groups need ≥ 3 pairs and a non-degenerate lag variance.
+    """
+    daily = _daily_cents(events, group_col)
+    cur = daily.select(
+        "g", F.col("d"), F.col("y").alias("a"),
+    )
+    prev = daily.select(
+        F.col("g").alias("g2"),
+        F.date_add(F.col("d"), 1).alias("d"),
+        F.col("y").alias("b"),
+    )
+    pairs = cur.join(
+        prev, (F.col("g") == F.col("g2")) & (cur["d"] == prev["d"])
+    ).select("g", "a", "b")
+    dd = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    agg = pairs.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.sum("a").cast("bigint").alias("sa"),
+        F.sum("b").cast("bigint").alias("sb"),
+        F.sum(dd("a") * dd("b")).cast("decimal(38,0)").alias("sab"),
+        F.sum(dd("b") * dd("b")).cast("decimal(38,0)").alias("sbb"),
+        F.sum(dd("a") * dd("a")).cast("decimal(38,0)").alias("saa"),
+    )
+    last = daily.groupBy("g").agg(F.max_by("y", "d").alias("y_last"))
+    two60 = 1152921504606846976
+
+    def big_dbl(col: str):
+        hi = F.expr(f"{col} div {two60}").cast("double")
+        lo = F.expr(f"CAST({col} % {two60} AS BIGINT)").cast("double")
+        return hi * F.lit(float(two60)) + lo
+
+    n1 = F.col("n1").cast("double")
+    ma = F.col("sa").cast("double") / n1
+    mb = F.col("sb").cast("double") / n1
+    cov = big_dbl("sab") - F.col("sa").cast("double") * F.col("sb").cast(
+        "double"
+    ) / n1
+    vb = big_dbl("sbb") - F.col("sb").cast("double") * F.col("sb").cast(
+        "double"
+    ) / n1
+    phi = cov / vb
+    # series mean over the full day grid for the forecast anchor
+    full = daily.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    mean_c = F.col("sy").cast("double") / F.col("n_days").cast("double")
+    out = agg.join(last, "g").join(full, "g")
+    c = mean_c * (F.lit(1.0) - phi)
+    sse = (
+        big_dbl("saa")
+        + phi * phi * big_dbl("sbb")
+        + n1 * c * c
+        - F.lit(2.0) * phi * big_dbl("sab")
+        - F.lit(2.0) * c * F.col("sa").cast("double")
+        + F.lit(2.0) * phi * c * F.col("sb").cast("double")
+    )
+    return (
+        out.filter((F.col("n1") >= 3) & (vb > 0.0))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n1").alias("n_pairs"),
+            phi.alias("phi"),
+            mean_c.alias("mean_cents"),
+            (mean_c + phi * (F.col("y_last").cast("double") - mean_c)).alias(
+                "forecast_cents"
+            ),
+            sse.alias("sse"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def seasonal_strength(
+    events: DataFrame, group_col: str = "event_type"
+) -> DataFrame:
+    """Weekday seasonal-strength index per group: the share of the
+    daily series' variance explained by the day-of-week profile —
+    ``F_s = SSB/SST`` over the 7 weekday classes (the ANOVA identity:
+    Var(residual)/Var(series) = 1 − SSB/SST, so this IS Hyndman's
+    seasonal strength with the weekday means as the seasonal
+    component).  seasonal_baseline reports the profile; this scores
+    how much the profile MATTERS — the one-number gate for "should the
+    forecast be weekday-aware?".
+
+    Exactness: the anova_f device verbatim (exact BIGINT day cents,
+    Σy² in DECIMAL(38,0) via the hi/lo 2⁶⁰ conversion, group-sorted
+    T-fold, pinned SSB/SST trees).  Output per group:
+    (group, n_days, ssb, sst, strength) — zero rows on empty input.
+    """
+    daily = _daily_cents(events, group_col).select(
+        "g", F.dayofweek("d").alias("wd"), "y"
+    )
+    per_w = daily.groupBy("g", "wd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nj"),
+        F.sum("y").cast("bigint").alias("zj"),
+    )
+    yd = F.col("y").cast("decimal(19,0)")
+    glob = daily.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("y").cast("bigint").alias("z"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("q"),
+    )
+    folded = per_w.groupBy("g").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("wd"), F.col("zj"), F.col("nj")))
+        ).alias("gs")
+    ).withColumn(
+        "t",
+        F.aggregate(
+            F.col("gs"),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + (x["zj"].cast("double") * x["zj"].cast("double"))
+            / x["nj"].cast("double"),
+        ),
+    )
+    two60 = 1152921504606846976
+
+    def big_dbl(col: str):
+        hi = F.expr(f"{col} div {two60}").cast("double")
+        lo = F.expr(f"CAST({col} % {two60} AS BIGINT)").cast("double")
+        return hi * F.lit(float(two60)) + lo
+
+    out = folded.join(glob, "g")
+    n = F.col("n_days").cast("double")
+    ssb = F.col("t") - F.col("z").cast("double") * F.col("z").cast(
+        "double"
+    ) / n
+    sst = big_dbl("q") - F.col("z").cast("double") * F.col("z").cast(
+        "double"
+    ) / n
+    return (
+        out.filter((F.col("n_days") > 7) & (sst > 0.0))
+        .select(
+            F.col("g").alias(group_col),
+            "n_days",
+            ssb.alias("ssb"),
+            sst.alias("sst"),
+            (ssb / sst).alias("strength"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def granger_lag1(
+    events: DataFrame,
+    cause: str = "view",
+    effect: str = "purchase",
+) -> DataFrame:
+    """Lag-1 Granger causality F-test: do yesterday's ``cause`` events
+    improve today's ``effect`` forecast beyond the effect's own
+    history?  Restricted model ``y_t ~ 1 + y_{t−1}``, unrestricted
+    adds ``x_{t−1}``; ``F = (RSS_r − RSS_u) / (RSS_u/(n−3))`` — the
+    directional upgrade of ccf_daily (correlation is symmetric;
+    Granger asks who LEADS).
+
+    Exactness: day-grid triples (y_t, y_{t−1}, x_{t−1}) from two
+    consecutive-day joins; ALL raw sums exact (BIGINT / DECIMAL(38,0)
+    with hi/lo 2⁶⁰ conversion); both OLS fits evaluate in closed form
+    over centered sums (2×2 normal equations by Cramer's rule), so
+    RSS_r, RSS_u, F are pinned IEEE trees — no per-row residual sums.
+
+    Output one row: (n_triples, rss_restricted, rss_unrestricted,
+    f_granger); zero rows when < 5 triples or either fit degenerates.
+    """
+    daily = _daily_cents(events, "event_type")
+    yd = daily.filter(F.col("g") == effect).select("d", F.col("y").alias("w"))
+    yl = daily.filter(F.col("g") == effect).select(
+        F.date_add("d", 1).alias("d"), F.col("y").alias("u")
+    )
+    xl = daily.filter(F.col("g") == cause).select(
+        F.date_add("d", 1).alias("d"), F.col("y").alias("v")
+    )
+    tri = yd.join(yl, "d").join(xl, "d").select("w", "u", "v")
+    dd = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    agg = tri.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum("u").cast("bigint").alias("su"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum(dd("w") * dd("w")).cast("decimal(38,0)").alias("sww"),
+        F.sum(dd("u") * dd("u")).cast("decimal(38,0)").alias("suu"),
+        F.sum(dd("v") * dd("v")).cast("decimal(38,0)").alias("svv"),
+        F.sum(dd("u") * dd("w")).cast("decimal(38,0)").alias("suw"),
+        F.sum(dd("v") * dd("w")).cast("decimal(38,0)").alias("svw"),
+        F.sum(dd("u") * dd("v")).cast("decimal(38,0)").alias("suv"),
+    )
+    two60 = 1152921504606846976
+
+    def big_dbl(col: str):
+        hi = F.expr(f"{col} div {two60}").cast("double")
+        lo = F.expr(f"CAST({col} % {two60} AS BIGINT)").cast("double")
+        return hi * F.lit(float(two60)) + lo
+
+    n = F.col("n").cast("double")
+    cww = big_dbl("sww") - F.col("sw").cast("double") * F.col("sw").cast("double") / n
+    cuu = big_dbl("suu") - F.col("su").cast("double") * F.col("su").cast("double") / n
+    cvv = big_dbl("svv") - F.col("sv").cast("double") * F.col("sv").cast("double") / n
+    cuw = big_dbl("suw") - F.col("su").cast("double") * F.col("sw").cast("double") / n
+    cvw = big_dbl("svw") - F.col("sv").cast("double") * F.col("sw").cast("double") / n
+    cuv = big_dbl("suv") - F.col("su").cast("double") * F.col("sv").cast("double") / n
+    rss_r = cww - cuw * cuw / cuu
+    det = cuu * cvv - cuv * cuv
+    bu = (cuw * cvv - cvw * cuv) / det
+    bv = (cvw * cuu - cuw * cuv) / det
+    rss_u = cww - (bu * cuw + bv * cvw)
+    f = (rss_r - rss_u) / (rss_u / (n - F.lit(3.0)))
+    return agg.filter(
+        (F.col("n") >= 5) & (cuu > 0.0) & (det > 0.0)
+    ).select(
+        F.col("n").alias("n_triples"),
+        rss_r.alias("rss_restricted"),
+        rss_u.alias("rss_unrestricted"),
+        F.when(rss_u > 0.0, f).otherwise(F.lit(0.0)).alias("f_granger"),
+    )
+
+
+def rsi_daily(
+    events: DataFrame, period: int = 14, group_col: str = "event_type"
+) -> DataFrame:
+    """Cutler's RSI (the SMA variant of the relative strength index)
+    over each group's daily revenue: ``RSI = 100·G/(G+L)`` where G/L
+    sum the up/down moves of the last ``period`` CALENDAR days — the
+    classic overbought/oversold momentum gauge; Cutler's SMA form is
+    used deliberately because Wilder's recursive smoothing has no
+    exact cross-engine fold, while windowed integer sums do.
+
+    Exactness: day-over-day moves Δ are exact BIGINTs from the d−1
+    grid join; G and L are range-frame window sums of exact integers
+    (calendar RANGE on the epoch-day ordinal, so gaps cannot shift the
+    frame); RSI is one IEEE division, 50.0 exactly when the window is
+    flat.  Rows emit only where the frame holds a full ``period`` of
+    moves.  Output: (group, day, gains_cents, losses_cents, rsi).
+    """
+    daily = _daily_cents(events, group_col).select(
+        "g",
+        "d",
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).alias("x"),
+        "y",
+    )
+    prev = daily.select(
+        F.col("g").alias("g2"), (F.col("x") + 1).alias("x"),
+        F.col("y").alias("y_prev"),
+    )
+    moves = daily.join(
+        prev, (F.col("g") == F.col("g2")) & (daily["x"] == prev["x"])
+    ).select(
+        "g", "d", daily["x"].alias("x"),
+        (F.col("y") - F.col("y_prev")).alias("delta"),
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("x")
+        .rangeBetween(-(period - 1), 0)
+    )
+    framed = moves.select(
+        "g",
+        "d",
+        F.sum(F.greatest(F.col("delta"), F.lit(0)))
+        .over(w)
+        .cast("bigint")
+        .alias("gains_cents"),
+        F.sum(F.greatest(-F.col("delta"), F.lit(0)))
+        .over(w)
+        .cast("bigint")
+        .alias("losses_cents"),
+        F.count(F.lit(1)).over(w).alias("n_moves"),
+    )
+    g_ = F.col("gains_cents").cast("double")
+    l_ = F.col("losses_cents").cast("double")
+    return framed.filter(F.col("n_moves") == period).select(
+        F.col("g").alias(group_col),
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "gains_cents",
+        "losses_cents",
+        F.when(
+            F.col("gains_cents") + F.col("losses_cents") > 0,
+            F.lit(100.0) * g_ / (g_ + l_),
+        )
+        .otherwise(F.lit(50.0))
+        .alias("rsi"),
+    )
+
+
+def price_osc(
+    events: DataFrame,
+    fast: int = 5,
+    slow: int = 20,
+    group_col: str = "event_type",
+) -> DataFrame:
+    """SMA price oscillator over each group's daily revenue: fast-window
+    mean minus slow-window mean, plus the percentage form — the
+    crossing-zero momentum signal (the SMA-based sibling of MACD,
+    chosen because EWMA-of-EWMA has no exact cross-engine fold while
+    calendar-range integer sums do; ewma_daily covers the dyadic
+    exponential face).
+
+    Exactness: both numerators are range-frame sums of exact BIGINT
+    cents over calendar RANGE frames; each mean is one IEEE division
+    and the oscillator one subtraction.  Rows emit only where the slow
+    frame is FULL (``slow`` consecutive observed days).  Output:
+    (group, day, sma_fast, sma_slow, osc, osc_pct).
+    """
+    daily = _daily_cents(events, group_col).select(
+        "g",
+        "d",
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).alias("x"),
+        "y",
+    )
+    wf = Window.partitionBy("g").orderBy("x").rangeBetween(-(fast - 1), 0)
+    ws = Window.partitionBy("g").orderBy("x").rangeBetween(-(slow - 1), 0)
+    framed = daily.select(
+        "g",
+        "d",
+        F.sum("y").over(wf).cast("bigint").alias("sf"),
+        F.count(F.lit(1)).over(wf).alias("nf"),
+        F.sum("y").over(ws).cast("bigint").alias("ss"),
+        F.count(F.lit(1)).over(ws).alias("ns"),
+    )
+    sma_f = F.col("sf").cast("double") / F.lit(float(fast)) / F.lit(100.0)
+    sma_s = F.col("ss").cast("double") / F.lit(float(slow)) / F.lit(100.0)
+    return framed.filter(
+        (F.col("nf") == fast) & (F.col("ns") == slow)
+    ).select(
+        F.col("g").alias(group_col),
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        sma_f.alias("sma_fast"),
+        sma_s.alias("sma_slow"),
+        (sma_f - sma_s).alias("osc"),
+        F.when(
+            F.col("ss") > 0, (sma_f - sma_s) / sma_s * F.lit(100.0)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("osc_pct"),
+    )

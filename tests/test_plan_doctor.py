@@ -92,6 +92,12 @@ class TestDoctorPassesGoodPlans:
 #: that review, and any query newly entering or leaving it must be
 #: re-reviewed (the assert below fails either way).
 FUNNEL_REVIEWED = {
+    # round-8 stats/timeseries ops: every SinglePartition input is a
+    # one-row global sufficient-statistic aggregate, a k-row median /
+    # crossings broadcast, or (sprt_daily) the calendar-grain
+    # cumulative window — all grain-bounded
+    "levene_bf", "mood_median", "cochran_armitage", "partial_corr",
+    "granger_lag1", "sprt_daily", "ordinal_assoc",
     "ab_conversion", "benford", "bitmap_count", "bm25_search", "bounce_rate",
     "chi2_drift", "compaction_plan", "conversion_lag", "cramers_v",
     "cumulative_revenue",

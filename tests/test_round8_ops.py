@@ -375,3 +375,229 @@ def test_round8_stats_ops_tolerate_empty_inputs(spark):
         (ordinal_association, li),
     ):
         assert op(df).count() == 0, op.__name__
+
+
+class TestRound8TimeseriesParity:
+    """Third-implementation parity for the round-8 time-series batch:
+    pure-Python textbook recomputation from the same parquet rows."""
+
+    def _daily(self, spark, sf_dir):
+        import math
+        rows = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("event_type", "ts", "value")
+            .collect()
+        )
+        by = {}
+        for r in rows:
+            d = r["ts"].date()
+            key = (r["event_type"], d)
+            by[key] = by.get(key, 0) + math.floor(r["value"] * 100)
+        out = {}
+        for (g, d), y in by.items():
+            out.setdefault(g, {})[d] = y
+        return out
+
+    def test_ar1_matches_textbook(self, spark, sf_dir):
+        import datetime as dt
+
+        from p2_mapreduce_spark.operators.timeseries import ar1_forecast
+
+        got = {
+            r["event_type"]: r
+            for r in ar1_forecast(
+                spark.read.parquet(f"{sf_dir}/events.parquet")
+            ).collect()
+        }
+        for g, series in self._daily(spark, sf_dir).items():
+            pairs = [
+                (series[d], series[d - dt.timedelta(days=1)])
+                for d in series
+                if d - dt.timedelta(days=1) in series
+            ]
+            if len(pairs) < 3:
+                assert g not in got
+                continue
+            n1 = len(pairs)
+            sa = sum(a for a, _ in pairs)
+            sb = sum(b for _, b in pairs)
+            cov = sum(a * b for a, b in pairs) - sa * sb / n1
+            vb = sum(b * b for _, b in pairs) - sb * sb / n1
+            if vb <= 0:
+                assert g not in got
+                continue
+            phi = cov / vb
+            mean_c = sum(series.values()) / len(series)
+            y_last = series[max(series)]
+            fc = mean_c + phi * (y_last - mean_c)
+            r = got[g]
+            assert r["n_pairs"] == n1
+            assert abs(r["phi"] - phi) < 1e-12
+            assert abs(r["forecast_cents"] - fc) < 1e-6 * max(1.0, abs(fc))
+            # closed-form SSE == direct residual sum
+            sse = sum(
+                (a - mean_c - phi * (b - mean_c)) ** 2 for a, b in pairs
+            )
+            assert abs(r["sse"] - sse) < 1e-6 * max(1.0, sse)
+
+    def test_seasonal_strength_is_weekday_anova_r2(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.timeseries import (
+            seasonal_strength,
+        )
+
+        got = {
+            r["event_type"]: r["strength"]
+            for r in seasonal_strength(
+                spark.read.parquet(f"{sf_dir}/events.parquet")
+            ).collect()
+        }
+        for g, series in self._daily(spark, sf_dir).items():
+            vals = list(series.values())
+            n = len(vals)
+            if n <= 7:
+                assert g not in got
+                continue
+            mean = sum(vals) / n
+            sst = sum((v - mean) ** 2 for v in vals)
+            bywd = {}
+            for d, y in series.items():
+                bywd.setdefault(d.isoweekday() % 7, []).append(y)
+            ssb = sum(
+                len(v) * (sum(v) / len(v) - mean) ** 2 for v in bywd.values()
+            )
+            assert abs(got[g] - ssb / sst) < 1e-9
+
+    def test_granger_matches_statsmodels_style(self, spark, sf_dir):
+        import datetime as dt
+
+        from p2_mapreduce_spark.operators.timeseries import granger_lag1
+
+        rows = granger_lag1(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        ).collect()
+        daily = self._daily(spark, sf_dir)
+        y, x = daily["purchase"], daily["view"]
+        tri = [
+            (y[d], y[d - dt.timedelta(days=1)], x[d - dt.timedelta(days=1)])
+            for d in y
+            if d - dt.timedelta(days=1) in y
+            and d - dt.timedelta(days=1) in x
+        ]
+        n = len(tri)
+        if n < 5:
+            assert rows == []
+            return
+        mw = sum(t[0] for t in tri) / n
+        mu = sum(t[1] for t in tri) / n
+        mv = sum(t[2] for t in tri) / n
+        cww = sum((t[0] - mw) ** 2 for t in tri)
+        cuu = sum((t[1] - mu) ** 2 for t in tri)
+        cvv = sum((t[2] - mv) ** 2 for t in tri)
+        cuw = sum((t[1] - mu) * (t[0] - mw) for t in tri)
+        cvw = sum((t[2] - mv) * (t[0] - mw) for t in tri)
+        cuv = sum((t[1] - mu) * (t[2] - mv) for t in tri)
+        rss_r = cww - cuw**2 / cuu
+        det = cuu * cvv - cuv**2
+        bu = (cuw * cvv - cvw * cuv) / det
+        bv = (cvw * cuu - cuw * cuv) / det
+        rss_u = cww - (bu * cuw + bv * cvw)
+        f = (rss_r - rss_u) / (rss_u / (n - 3))
+        r = rows[0]
+        assert r["n_triples"] == n
+        assert abs(r["f_granger"] - f) < 1e-6 * max(1.0, abs(f))
+
+    def test_rsi_matches_textbook(self, spark, sf_dir):
+        import datetime as dt
+
+        from p2_mapreduce_spark.operators.timeseries import rsi_daily
+
+        got = {
+            (r["event_type"], r["day"]): r["rsi"]
+            for r in rsi_daily(
+                spark.read.parquet(f"{sf_dir}/events.parquet")
+            ).collect()
+        }
+        daily = self._daily(spark, sf_dir)
+        expected = {}
+        for g, series in daily.items():
+            moves = {
+                d: series[d] - series[d - dt.timedelta(days=1)]
+                for d in series
+                if d - dt.timedelta(days=1) in series
+            }
+            for d in moves:
+                frame = [
+                    moves[d - dt.timedelta(days=i)]
+                    for i in range(14)
+                    if d - dt.timedelta(days=i) in moves
+                ]
+                if len(frame) != 14:
+                    continue
+                gains = sum(m for m in frame if m > 0)
+                losses = sum(-m for m in frame if m < 0)
+                expected[(g, d.isoformat())] = (
+                    100.0 * gains / (gains + losses)
+                    if gains + losses > 0
+                    else 50.0
+                )
+        assert set(got) == set(expected)
+        for k in got:
+            assert abs(got[k] - expected[k]) < 1e-9
+
+    def test_sprt_decision_and_llr(self, spark, sf_dir):
+        import math
+
+        from p2_mapreduce_spark.operators.events_analytics import (
+            SPRT_ALPHA,
+            SPRT_BETA,
+            SPRT_P0,
+            SPRT_P1,
+            sprt_daily,
+        )
+
+        rows = sorted(
+            sprt_daily(
+                spark.read.parquet(f"{sf_dir}/events.parquet")
+            ).collect(),
+            key=lambda r: r["day"],
+        )
+        l1 = math.log(SPRT_P1 / SPRT_P0)
+        l0 = math.log((1 - SPRT_P1) / (1 - SPRT_P0))
+        a = math.log((1 - SPRT_BETA) / SPRT_ALPHA)
+        b = math.log(SPRT_BETA / (1 - SPRT_ALPHA))
+        decided = None
+        for r in rows:
+            llr = r["k_cum"] * l1 + (r["n_cum"] - r["k_cum"]) * l0
+            assert abs(r["llr"] - llr) < 1e-9
+            if decided is None:
+                if llr >= a:
+                    decided = "accept_h1"
+                elif llr <= b:
+                    decided = "accept_h0"
+            assert r["state"] == (decided or "continue")
+
+
+def test_round8_timeseries_ops_tolerate_empty_inputs(spark):
+    from p2_mapreduce_spark.operators.events_analytics import sprt_daily
+    from p2_mapreduce_spark.operators.timeseries import (
+        ar1_forecast,
+        granger_lag1,
+        price_osc,
+        rsi_daily,
+        seasonal_strength,
+    )
+
+    ev = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    for op in (
+        ar1_forecast,
+        seasonal_strength,
+        granger_lag1,
+        rsi_daily,
+        price_osc,
+        sprt_daily,
+    ):
+        assert op(ev).count() == 0, op.__name__
