@@ -1852,6 +1852,58 @@ def _q_anova_f(spark, sf_dir):
     return anova_f(load_table(spark, sf_dir, "events"))
 
 
+def _q_hits_trade(spark, sf_dir):
+    """HITS hubs & authorities on the customer->supplier trade graph —
+    unnormalized exact-integer power iteration, max-normalized at the
+    surface."""
+    from p2_mapreduce_spark.operators.graph import trade_hits
+
+    return trade_hits(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def _q_hellinger_drift(spark, sf_dir):
+    """Per-source Hellinger distance of the language mix vs the rest of
+    the corpus — zero-completed grid, lang-sorted fold, ln-free."""
+    from p2_mapreduce_spark.operators.profile import hellinger_drift
+
+    return hellinger_drift(load_table(spark, sf_dir, "documents"))
+
+
+def _q_stuart_maxwell(spark, sf_dir):
+    """Stuart-Maxwell marginal homogeneity on paired per-user modal
+    event types across the calendar halves (k=3 McNemar)."""
+    from p2_mapreduce_spark.operators.events_analytics import stuart_maxwell
+
+    return stuart_maxwell(load_table(spark, sf_dir, "events"))
+
+
+def _q_squared_rank_scale(spark, sf_dir):
+    """Mood/Conover squared-rank scale test between two event types'
+    daily revenues — exact quadrupled scores, permutation moments."""
+    from p2_mapreduce_spark.operators.timeseries import squared_rank_scale
+
+    return squared_rank_scale(load_table(spark, sf_dir, "events"))
+
+
+def _q_dup_roi(spark, sf_dir):
+    """Dedup threshold operating curve: pairs fired + docs dropped per
+    candidate Jaccard threshold from ONE pair-stage pass."""
+    from p2_mapreduce_spark.operators.dedup import dedup_roi_curve
+
+    return dedup_roi_curve(load_table(spark, sf_dir, "documents"))
+
+
+def _q_staleness_audit(spark, sf_dir):
+    """Freshness / week-over-week volume audit per event stream against
+    the corpus frontier."""
+    from p2_mapreduce_spark.operators.profile import staleness_audit
+
+    return staleness_audit(load_table(spark, sf_dir, "events"))
+
+
 def _q_ar1_forecast(spark, sf_dir):
     """AR(1) Yule-Walker fit + one-step forecast per event type —
     exact lag-pair sums, closed-form SSE, pinned trees."""
@@ -4267,6 +4319,9 @@ _ROUND8_NEW = (
     # tests, momentum indicators, sequential monitoring)
     "ar1_forecast", "seasonal_strength", "granger_lag1", "rsi_daily",
     "price_osc", "sprt_daily",
+    # round-8 graph / drift / dedup-ops batch
+    "hits_trade", "hellinger_drift", "stuart_maxwell",
+    "squared_rank_scale", "dup_roi", "staleness_audit",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -4522,6 +4577,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rsi_daily": _q_rsi_daily,
         "price_osc": _q_price_osc,
         "sprt_daily": _q_sprt_daily,
+        "hits_trade": _q_hits_trade,
+        "hellinger_drift": _q_hellinger_drift,
+        "stuart_maxwell": _q_stuart_maxwell,
+        "squared_rank_scale": _q_squared_rank_scale,
+        "dup_roi": _q_dup_roi,
+        "staleness_audit": _q_staleness_audit,
         "ccf_daily": _q_ccf_daily,
         "croston": _q_croston,
         "rmst": _q_rmst,
@@ -16136,6 +16197,277 @@ def oracle_sql() -> dict[str, str]:
                          AND d >= d_h0 THEN 'accept_h0'
                     ELSE 'continue' END AS state
         FROM with_llr, crossings
+    """
+    # HITS twin: the unnormalized exact-integer power iteration
+    # unrolled (2 iterations), max-normalized once at the surface.
+    out["hits_trade"] = """
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        h0 AS (SELECT DISTINCT src, CAST(1 AS BIGINT) AS h FROM pairs),
+        a1 AS (SELECT dst, CAST(SUM(h) AS BIGINT) AS a
+               FROM pairs JOIN h0 USING (src) GROUP BY dst),
+        h1 AS (SELECT src, CAST(SUM(a) AS BIGINT) AS h
+               FROM pairs JOIN a1 USING (dst) GROUP BY src),
+        a2 AS (SELECT dst, CAST(SUM(h) AS BIGINT) AS a
+               FROM pairs JOIN h1 USING (src) GROUP BY dst),
+        h2 AS (SELECT src, CAST(SUM(a) AS BIGINT) AS h
+               FROM pairs JOIN a2 USING (dst) GROUP BY src),
+        hm AS (SELECT MAX(h) AS m FROM h2),
+        am AS (SELECT MAX(a) AS m FROM a2)
+        SELECT src AS node, 'hub' AS side, h AS score_q,
+               CAST(h AS DOUBLE) / CAST(m AS DOUBLE) AS score
+        FROM h2, hm
+        UNION ALL
+        SELECT dst AS node, 'auth' AS side, a AS score_q,
+               CAST(a AS DOUBLE) / CAST(m AS DOUBLE) AS score
+        FROM a2, am
+    """
+    # Hellinger twin: zero-completed (source x lang) grid, lang-sorted
+    # recursive fold of (sqrt p - sqrt q)^2 in the Spark term order.
+    out["hellinger_drift"] = """
+        WITH RECURSIVE cells AS (
+            SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1, 2
+        ),
+        langs AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS lang_tot
+                  FROM cells GROUP BY lang),
+        srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs
+                 FROM cells GROUP BY source),
+        grand AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM cells),
+        grid AS (
+            SELECT s.source, l.lang, s.n_docs, g.n_all,
+                   CAST(COALESCE(c.c, 0) AS BIGINT) AS c, l.lang_tot
+            FROM srcs s CROSS JOIN langs l
+            LEFT JOIN cells c
+              ON c.source = s.source AND c.lang = l.lang
+            CROSS JOIN grand g
+            WHERE g.n_all > s.n_docs
+        ),
+        idx AS (
+            SELECT source, n_docs, n_all, c, lang_tot,
+                   (sqrt(CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    - sqrt(CAST(lang_tot - c AS DOUBLE)
+                           / CAST(n_all - n_docs AS DOUBLE)))
+                   * (sqrt(CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                      - sqrt(CAST(lang_tot - c AS DOUBLE)
+                             / CAST(n_all - n_docs AS DOUBLE))) AS term,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY lang) AS i,
+                   COUNT(*) OVER (PARTITION BY source) AS k
+            FROM grid
+        ),
+        fold AS (
+            SELECT source, n_docs, i, k, 0.0e0 + term AS h2
+            FROM idx WHERE i = 1
+            UNION ALL
+            SELECT p.source, p.n_docs, p.i, p.k, f.h2 + p.term
+            FROM fold f JOIN idx p
+              ON p.source = f.source AND p.i = f.i + 1
+        )
+        SELECT source, n_docs, CAST(k AS BIGINT) AS n_langs,
+               sqrt(h2 * 0.5e0) AS hellinger
+        FROM fold WHERE i = k
+        ORDER BY source
+    """
+    # Stuart-Maxwell twin: mcnemar's midpoint device, deterministic
+    # modal pick, nine exact cells, closed-form 2x2 inverse.
+    out["stuart_maxwell"] = f"""
+        WITH span AS (
+            SELECT CAST(min(CAST(ts AS DATE))
+                        + CAST(datediff('day', min(CAST(ts AS DATE)),
+                                        max(CAST(ts AS DATE))) // 2
+                               AS INT) AS DATE) AS mid
+            FROM {ev}
+        ),
+        tagged AS (
+            SELECT user_id, CAST(ts AS DATE) <= mid AS first_half,
+                   event_type
+            FROM {ev}, span
+            WHERE event_type IN ('click', 'purchase', 'view')
+        ),
+        counts AS (
+            SELECT user_id, first_half, event_type, COUNT(*) AS cnt
+            FROM tagged GROUP BY 1, 2, 3
+        ),
+        modal AS (
+            SELECT user_id, first_half, event_type AS m FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY user_id, first_half
+                           ORDER BY cnt DESC, event_type) AS rn
+                FROM counts
+            ) WHERE rn = 1
+        ),
+        pr AS (
+            SELECT a.user_id, a.m AS m1, b.m AS m2
+            FROM (SELECT * FROM modal WHERE first_half) a
+            JOIN (SELECT * FROM modal WHERE NOT first_half) b
+              ON a.user_id = b.user_id
+        ),
+        kinds AS (SELECT ['click', 'purchase', 'view'] AS ks),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(CASE WHEN m1 = 'click' AND m2 = 'click'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+                   CAST(SUM(CASE WHEN m1 = 'click' AND m2 = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                   CAST(SUM(CASE WHEN m1 = 'click' AND m2 = 'view'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n02,
+                   CAST(SUM(CASE WHEN m1 = 'purchase' AND m2 = 'click'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                   CAST(SUM(CASE WHEN m1 = 'purchase' AND m2 = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+                   CAST(SUM(CASE WHEN m1 = 'purchase' AND m2 = 'view'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n12,
+                   CAST(SUM(CASE WHEN m1 = 'view' AND m2 = 'click'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n20,
+                   CAST(SUM(CASE WHEN m1 = 'view' AND m2 = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n21,
+                   CAST(SUM(CASE WHEN m1 = 'view' AND m2 = 'view'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n22
+            FROM pr
+        ),
+        m AS (
+            SELECT n_users,
+                   CAST(n00 + n01 + n02 - (n00 + n10 + n20) AS DOUBLE)
+                       AS d1,
+                   CAST(n10 + n11 + n12 - (n01 + n11 + n21) AS DOUBLE)
+                       AS d2,
+                   CAST(n00 + n01 + n02 + n00 + n10 + n20 - 2 * n00
+                        AS DOUBLE) AS s11,
+                   CAST(n10 + n11 + n12 + n01 + n11 + n21 - 2 * n11
+                        AS DOUBLE) AS s22,
+                   CAST(-(n01 + n10) AS DOUBLE) AS s12
+            FROM agg
+        )
+        SELECT n_users,
+               CASE WHEN s11 * s22 - s12 * s12 > 0.0e0
+                    THEN (d1 * d1 * s22 - 2.0e0 * d1 * d2 * s12
+                          + d2 * d2 * s11)
+                         / (s11 * s22 - s12 * s12)
+                    ELSE 0.0e0 END AS chi2,
+               CAST(2 AS BIGINT) AS df
+        FROM m WHERE n_users > 0
+    """
+    # squared-rank scale twin: kruskal's doubled-midrank device,
+    # quadrupled scores, exact permutation moments, hi/lo conversion.
+    out["squared_rank_scale"] = f"""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev}
+            WHERE event_type IN ('view', 'click')
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT g,
+                   CAST(2 * rank() OVER (ORDER BY y)
+                        + COUNT(*) OVER (PARTITION BY y) - 1
+                        AS BIGINT) AS r2
+            FROM daily
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM ranked),
+        scored AS (
+            SELECT g, (r2 - (n_rows + 1)) * (r2 - (n_rows + 1)) AS q4
+            FROM ranked, tot
+        ),
+        per_g AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS nj,
+                   CAST(SUM(q4) AS BIGINT) AS tj
+            FROM scored GROUP BY g
+        ),
+        g_tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(q4) AS BIGINT) AS s1,
+                   SUM(CAST(q4 AS HUGEINT) * CAST(q4 AS HUGEINT)) AS s2
+            FROM scored
+        ),
+        ab AS (
+            SELECT av.nj AS n_a, av.tj AS t4_a, bv.nj AS n_b,
+                   g_tot.n, g_tot.s1, g_tot.s2
+            FROM (SELECT * FROM per_g WHERE g = 'view') av,
+                 (SELECT * FROM per_g WHERE g = 'click') bv,
+                 g_tot
+        ),
+        m AS (
+            SELECT n_a, n_b, t4_a, n,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS sbar,
+                   {_bd('s2')} AS ds2
+            FROM ab
+        )
+        SELECT n_a, n_b, t4_a,
+               CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                         / (CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) - 1.0e0))
+                         * (ds2 - CAST(n AS DOUBLE) * sbar * sbar)
+                         > 0.0e0
+                    THEN (CAST(t4_a AS DOUBLE)
+                          - CAST(n_a AS DOUBLE) * sbar)
+                         / sqrt(CAST(n_a AS DOUBLE)
+                                * CAST(n_b AS DOUBLE)
+                                / (CAST(n AS DOUBLE)
+                                   * (CAST(n AS DOUBLE) - 1.0e0))
+                                * (ds2 - CAST(n AS DOUBLE)
+                                         * sbar * sbar))
+                    ELSE 0.0e0 END AS z_scale
+        FROM m WHERE n_a > 0 AND n_b > 0
+    """
+    # dedup ROI twin: the exact pair stage once, threshold fan-out.
+    out["dup_roi"] = f"""
+        WITH pairs AS ({out['dedup_ngram']}),
+        th AS (SELECT unnest([0.5e0, 0.6e0, 0.7e0, 0.8e0, 0.9e0])
+                   AS threshold),
+        hit AS (
+            SELECT th.threshold, pairs.doc_b
+            FROM pairs, th WHERE pairs.jaccard >= th.threshold
+        ),
+        per_t AS (
+            SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COUNT(DISTINCT doc_b) AS BIGINT)
+                       AS n_docs_dropped
+            FROM hit GROUP BY threshold
+        ),
+        corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+                   FROM documents)
+        SELECT th.threshold,
+               CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(n_docs_dropped, 0) AS BIGINT)
+                   AS n_docs_dropped,
+               CAST(COALESCE(n_docs_dropped, 0) AS DOUBLE)
+                   / CAST(n_docs AS DOUBLE) AS drop_ratio
+        FROM th LEFT JOIN per_t ON th.threshold = per_t.threshold,
+             corpus
+        ORDER BY th.threshold
+    """
+    # staleness twin: one-row frontier broadcast, exact counts.
+    out["staleness_audit"] = f"""
+        WITH rows_d AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d FROM {ev}
+        ),
+        frontier AS (SELECT max(d) AS fmax FROM rows_d),
+        per_g AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   max(d) AS last_day, max(fmax) AS fmax,
+                   CAST(SUM(CASE WHEN datediff('day', d, fmax) < 7
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS last7_cnt,
+                   CAST(SUM(CASE WHEN datediff('day', d, fmax) >= 7
+                                  AND datediff('day', d, fmax) < 14
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS prior7_cnt
+            FROM rows_d, frontier GROUP BY g
+        )
+        SELECT g AS event_type, n_events,
+               strftime(last_day, '%Y-%m-%d') AS last_day,
+               CAST(datediff('day', last_day, fmax) AS BIGINT)
+                   AS days_stale,
+               last7_cnt, prior7_cnt,
+               CASE WHEN prior7_cnt > 0
+                    THEN CAST(last7_cnt AS DOUBLE)
+                         / CAST(prior7_cnt AS DOUBLE)
+                    ELSE -1.0e0 END AS wow_ratio
+        FROM per_g ORDER BY event_type
     """
     out["ccf_daily"] = f"""
         WITH daily AS (

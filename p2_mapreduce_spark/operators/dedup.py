@@ -1551,3 +1551,62 @@ def blocking_quality(
             F.lit(1.0) - F.col("n_candidates").cast("double") / total_pairs,
         ).alias("reduction_ratio"),
     )
+
+
+def dedup_roi_curve(
+    docs: DataFrame,
+    thresholds: tuple = (0.5, 0.6, 0.7, 0.8, 0.9),
+    n: int = 3,
+) -> DataFrame:
+    """Dedup operating curve: for each candidate Jaccard threshold, how
+    many near-dup pairs fire and how many documents the keep-lowest-id
+    rule would DROP — the ROI readout that turns "pick a threshold"
+    from folklore into a measured trade-off (pair count ~ verification
+    cost; drop count ~ data saved), the dedup-family sibling of the
+    selection curves in curation (coverage_curve, decile_lift).
+
+    One pair-stage pass: the exact n-gram Jaccard pairs at the LOOSEST
+    threshold are computed once (:func:`ngram_jaccard_pairs` — at
+    100 TB that stage is the banded/prefix-filtered index, identical
+    economics), then each pair replicates onto the ≤ |thresholds| rows
+    it clears — a config-grain explode, no second corpus pass.
+    ``n_docs_dropped`` counts distinct higher-id pair members (the
+    keep-first survivorship rule dup_clusters uses).
+
+    Output: (threshold, n_pairs, n_docs_dropped, drop_ratio) per
+    threshold, drop_ratio over the full corpus count — exact integers
+    + one division.
+    """
+    base = min(thresholds)
+    pairs = ngram_jaccard_pairs(docs, threshold=base, n=n)
+    tdf = docs.sparkSession.createDataFrame(
+        [(float(t),) for t in sorted(thresholds)], "threshold double"
+    )
+    hit = pairs.crossJoin(F.broadcast(tdf)).filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    per_t = hit.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.count_distinct("doc_b").cast("bigint").alias("n_docs_dropped"),
+    )
+    corpus = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    # thresholds that fire NO pair still report a zero row
+    return (
+        tdf.join(per_t, "threshold", "left")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs_dropped", F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_dropped"),
+            F.when(
+                F.col("n_docs") > 0,
+                F.coalesce("n_docs_dropped", F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("drop_ratio"),
+        )
+        .orderBy("threshold")
+    )

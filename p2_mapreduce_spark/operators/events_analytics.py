@@ -2248,3 +2248,104 @@ def sprt_daily(events: DataFrame, success_type: str = "purchase") -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("state"),
     )
+
+
+def stuart_maxwell(events: DataFrame) -> DataFrame:
+    """Stuart-Maxwell marginal-homogeneity test: did the POPULATION's
+    dominant behavior shift between the two calendar halves?  The k=3
+    generalization of :func:`mcnemar_test` — each user contributes one
+    PAIRED categorical observation (their modal event type among
+    view/click/purchase in each half; ties break lexicographically),
+    and the test asks whether the first-half and second-half marginal
+    distributions of that 3×3 transition table agree.
+
+    ``χ² = d' S⁻¹ d`` on the first two categories, with
+    d_i = row_i − col_i and S the 2×2 covariance
+    (S_ii = r_i + c_i − 2·n_ii, S_12 = −(n_12 + n_21)) — the 2×2
+    inverse in closed form (Cramer), so with the nine exact BIGINT
+    cell counts the statistic is one pinned IEEE tree.
+
+    Scale shape: the calendar midpoint is one broadcast row (the
+    mcnemar device); per-user modal picks are two user-grain argmax
+    aggregates; the 3×3 table is a 9-row contraction.  Output one
+    row: (n_users, chi2, df); zero rows when no user qualifies,
+    chi2 = 0.0 when S degenerates.
+    """
+    kinds = ("click", "purchase", "view")  # lexicographic, k=3
+    days = events.select(F.to_date("ts").alias("d"))
+    span = days.agg(F.min("d").alias("d0"), F.max("d").alias("d1")).select(
+        F.expr(
+            "date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"
+        ).alias("mid")
+    )
+    tagged = (
+        events.filter(F.col("event_type").isin(*kinds))
+        .crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            (F.to_date("ts") <= F.col("mid")).alias("first_half"),
+            "event_type",
+        )
+    )
+    counts = tagged.groupBy("user_id", "first_half", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # modal pick: max count, ties to the lexicographically smallest type
+    modal = counts.groupBy("user_id", "first_half").agg(
+        F.min_by(
+            "event_type",
+            F.struct((-F.col("cnt")).alias("neg"), "event_type"),
+        ).alias("m")
+    )
+    pairs = (
+        modal.filter(F.col("first_half"))
+        .select("user_id", F.col("m").alias("m1"))
+        .join(
+            modal.filter(~F.col("first_half")).select(
+                "user_id", F.col("m").alias("m2")
+            ),
+            "user_id",
+        )
+    )
+    cell = pairs.groupBy("m1", "m2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+    def c(i: int, j: int):
+        return F.sum(
+            F.when(
+                (F.col("m1") == kinds[i]) & (F.col("m2") == kinds[j]),
+                F.col("n"),
+            ).otherwise(0)
+        ).cast("bigint")
+
+    agg = cell.agg(
+        F.sum("n").cast("bigint").alias("n_users"),
+        *[
+            c(i, j).alias(f"n{i}{j}")
+            for i in range(3)
+            for j in range(3)
+        ],
+    )
+    r = [
+        sum((F.col(f"n{i}{j}") for j in range(3)), F.lit(0).cast("bigint"))
+        for i in range(3)
+    ]
+    cc = [
+        sum((F.col(f"n{i}{j}") for i in range(3)), F.lit(0).cast("bigint"))
+        for j in range(3)
+    ]
+    d1 = (r[0] - cc[0]).cast("double")
+    d2 = (r[1] - cc[1]).cast("double")
+    s11 = (r[0] + cc[0] - 2 * F.col("n00")).cast("double")
+    s22 = (r[1] + cc[1] - 2 * F.col("n11")).cast("double")
+    s12 = -(F.col("n01") + F.col("n10")).cast("double")
+    det = s11 * s22 - s12 * s12
+    chi2 = (
+        d1 * d1 * s22 - F.lit(2.0) * d1 * d2 * s12 + d2 * d2 * s11
+    ) / det
+    return agg.select(
+        "n_users",
+        F.when(det > 0.0, chi2).otherwise(F.lit(0.0)).alias("chi2"),
+        F.lit(2).cast("bigint").alias("df"),
+    ).filter(F.col("n_users") > 0)

@@ -2847,3 +2847,146 @@ def ordinal_association(lineitem: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("somers_dyx"),
     ).filter(F.col("n_rows") > 0)
+
+
+def hellinger_drift(docs: DataFrame) -> DataFrame:
+    """Per-source Hellinger distance between the source's language
+    distribution and the REST of the corpus — the bounded, symmetric,
+    ln-free drift metric (``H² = ½·Σ(√p−√q)²``, H ∈ [0,1]) that sits
+    between tvd_drift (no curvature near 0) and the KL family (needs
+    ln, which has no cross-engine bit contract; sqrt is IEEE-exact).
+
+    Exactness: cell counts are exact BIGINTs on the (source × lang)
+    grid COMPLETED with zero cells (a language absent from one side
+    still contributes to H); each probability is one IEEE division
+    and the Σ folds over the LANG-SORTED array (the logrank cross-
+    group device), so both engines add identical doubles in identical
+    order; H = sqrt(H²·½) as the final pinned step.
+
+    Output: (source, n_docs, n_langs, hellinger), one row per source.
+    """
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    langs = cells.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("lang_tot")
+    )
+    srcs = cells.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs")
+    )
+    grand = cells.agg(F.sum("c").cast("bigint").alias("n_all"))
+    # complete grid: every (source, lang), zero-filled
+    grid = (
+        srcs.crossJoin(langs)
+        .join(cells, ["source", "lang"], "left")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_all",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+            "lang_tot",
+        )
+    )
+    folded = (
+        # a single-source corpus has no "rest" side: drop it (zero rows)
+        grid.filter(F.col("n_all") > F.col("n_docs"))
+        .groupBy("source", "n_docs")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct("lang", "c", "lang_tot", "n_docs", "n_all")
+                )
+            ).alias("gs"),
+        )
+        .withColumn(
+            "h2",
+            F.aggregate(
+                F.col("gs").alias("gs"),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + (
+                    F.sqrt(
+                        x["c"].cast("double") / x["n_docs"].cast("double")
+                    )
+                    - F.sqrt(
+                        (x["lang_tot"] - x["c"]).cast("double")
+                        / (x["n_all"] - x["n_docs"]).cast("double")
+                    )
+                )
+                * (
+                    F.sqrt(
+                        x["c"].cast("double") / x["n_docs"].cast("double")
+                    )
+                    - F.sqrt(
+                        (x["lang_tot"] - x["c"]).cast("double")
+                        / (x["n_all"] - x["n_docs"]).cast("double")
+                    )
+                ),
+            ),
+        )
+    )
+    return folded.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        F.sqrt(F.col("h2") * F.lit(0.5)).alias("hellinger"),
+    ).orderBy("source")
+
+
+def staleness_audit(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Data-freshness / volume-drop audit per stream: when did each
+    group last produce an event, how stale is it against the corpus
+    frontier, and did its trailing-week volume fall off a cliff vs the
+    week before — the first dashboard an ingestion on-call opens, and
+    the batch face of the out-of-order audit (ooo_rate asks "is the
+    stream late?"; this asks "did it STOP?").
+
+    Exactness: day-grain integer arithmetic against the one-row global
+    frontier (broadcast); counts exact BIGINTs; the week-over-week
+    ratio is one IEEE division (−1.0 sentinel when the prior week is
+    empty).  Output: (group, n_events, last_day, days_stale,
+    last7_cnt, prior7_cnt, wow_ratio).
+    """
+    rows = events.select(
+        F.col(group_col).alias("g"), F.to_date("ts").alias("d")
+    )
+    frontier = rows.agg(F.max("d").alias("fmax"))
+    tagged = rows.crossJoin(F.broadcast(frontier))
+    per_g = tagged.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("d").alias("last_day"),
+        F.max("fmax").alias("fmax"),
+        F.sum(
+            (F.datediff(F.col("fmax"), F.col("d")) < 7).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("last7_cnt"),
+        F.sum(
+            (
+                (F.datediff(F.col("fmax"), F.col("d")) >= 7)
+                & (F.datediff(F.col("fmax"), F.col("d")) < 14)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("prior7_cnt"),
+    )
+    return per_g.select(
+        F.col("g").alias(group_col),
+        "n_events",
+        F.date_format("last_day", "yyyy-MM-dd").alias("last_day"),
+        F.datediff(F.col("fmax"), F.col("last_day"))
+        .cast("bigint")
+        .alias("days_stale"),
+        "last7_cnt",
+        "prior7_cnt",
+        F.when(
+            F.col("prior7_cnt") > 0,
+            F.col("last7_cnt").cast("double")
+            / F.col("prior7_cnt").cast("double"),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("wow_ratio"),
+    ).orderBy(group_col)

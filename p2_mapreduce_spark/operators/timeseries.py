@@ -3680,3 +3680,92 @@ def price_osc(
         .otherwise(F.lit(0.0))
         .alias("osc_pct"),
     )
+
+
+def squared_rank_scale(
+    events: DataFrame,
+    group_a: str = "view",
+    group_b: str = "click",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Mood's squared-rank test for SCALE (Conover): are two groups'
+    daily revenues equally DISPERSED?  mwu_drift asks location with
+    ranks; this squares the centered ranks so extreme ranks (either
+    end) score high — a nonparametric Brown-Forsythe that needs no
+    median and survives any monotone outlier.
+
+    Statistic: ``T = Σ_{i∈A} (rank_i − (N+1)/2)²`` over the pooled
+    daily series, against its exact permutation moments
+    ``E[T] = n_A·S̄``, ``Var[T] = n_A·n_B/(N(N−1))·(S₂ − N·S̄²)``
+    (S̄, S₂ the pooled mean/raw-second-moment of the scores) —
+    tie-aware via midranks.
+
+    Exactness: doubled midranks r2 are exact BIGINTs (the
+    kruskal_wallis device), so QUADRUPLED scores ``q4 = (r2−(N+1))²``
+    are exact BIGINTs too; T, ΣS, ΣS² accumulate exactly (the hi/lo
+    2⁶⁰ conversion for ΣS²) and z = (T − E)/√Var is one pinned tree.
+    Output one row: (n_a, n_b, t4_a, z_scale); zero rows unless both
+    groups are present, z = 0.0 when Var degenerates.
+    """
+    daily = _daily_cents(
+        events.filter(F.col(group_col).isin(group_a, group_b)), group_col
+    )
+    wv = Window.orderBy("y")
+    ranked = daily.withColumn(
+        "r2",
+        (
+            2 * F.rank().over(wv)
+            + F.count(F.lit(1)).over(Window.partitionBy("y"))
+            - 1
+        ).cast("bigint"),
+    )
+    tot = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    scored = ranked.crossJoin(F.broadcast(tot)).select(
+        "g",
+        (
+            (F.col("r2") - (F.col("n_rows") + 1))
+            * (F.col("r2") - (F.col("n_rows") + 1))
+        ).alias("q4"),
+    )
+    qd = F.col("q4").cast("decimal(19,0)")
+    per_g = scored.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nj"),
+        F.sum("q4").cast("bigint").alias("tj"),
+    )
+    glob = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q4").cast("bigint").alias("s1"),
+        F.sum(qd * qd).cast("decimal(38,0)").alias("s2"),
+    )
+    a = per_g.filter(F.col("g") == group_a).select(
+        F.col("nj").alias("n_a"), F.col("tj").alias("t4_a")
+    )
+    b = per_g.filter(F.col("g") == group_b).select(
+        F.col("nj").alias("n_b")
+    )
+    out = a.crossJoin(b).crossJoin(glob)
+    two60 = 1152921504606846976
+
+    def big_dbl(col: str):
+        hi = F.expr(f"{col} div {two60}").cast("double")
+        lo = F.expr(f"CAST({col} % {two60} AS BIGINT)").cast("double")
+        return hi * F.lit(float(two60)) + lo
+
+    n = F.col("n").cast("double")
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    sbar = F.col("s1").cast("double") / n
+    e_t = na * sbar
+    var_t = (
+        na
+        * nb
+        / (n * (n - F.lit(1.0)))
+        * (big_dbl("s2") - n * sbar * sbar)
+    )
+    z = (F.col("t4_a").cast("double") - e_t) / F.sqrt(var_t)
+    return out.select(
+        "n_a",
+        "n_b",
+        "t4_a",
+        F.when(var_t > 0.0, z).otherwise(F.lit(0.0)).alias("z_scale"),
+    ).filter((F.col("n_a") > 0) & (F.col("n_b") > 0))

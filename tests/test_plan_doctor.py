@@ -98,6 +98,13 @@ FUNNEL_REVIEWED = {
     # cumulative window — all grain-bounded
     "levene_bf", "mood_median", "cochran_armitage", "partial_corr",
     "granger_lag1", "sprt_daily", "ordinal_assoc",
+    # round-8 batch C: hits_trade / dup_roi / staleness_audit carry a
+    # one-row max/corpus/frontier aggregate; stuart_maxwell the one-row
+    # midpoint + one-row 3x3 table; hellinger_drift the one-row grand
+    # total; squared_rank_scale the pooled rank window at DAY grain
+    # (calendar-bounded, the kruskal_wallis pattern)
+    "hits_trade", "hellinger_drift", "stuart_maxwell",
+    "squared_rank_scale", "dup_roi", "staleness_audit",
     "ab_conversion", "benford", "bitmap_count", "bm25_search", "bounce_rate",
     "chi2_drift", "compaction_plan", "conversion_lag", "cramers_v",
     "cumulative_revenue",

@@ -601,3 +601,194 @@ def test_round8_timeseries_ops_tolerate_empty_inputs(spark):
         sprt_daily,
     ):
         assert op(ev).count() == 0, op.__name__
+
+
+class TestRound8BatchCParity:
+    """Third-implementation parity for HITS, Hellinger, Stuart-Maxwell
+    and the squared-rank scale test."""
+
+    def test_hits_matches_numpy_power_iteration(self, spark, sf_dir):
+        from collections import defaultdict
+
+        from p2_mapreduce_spark.operators.graph import trade_hits
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        got = {
+            (r["side"], r["node"]): (r["score_q"], r["score"])
+            for r in trade_hits(li, od).collect()
+        }
+        edges = {
+            (r["o_custkey"] * 2, r["l_suppkey"] * 2 + 1)
+            for r in li.join(od, li.l_orderkey == od.o_orderkey)
+            .select("o_custkey", "l_suppkey")
+            .collect()
+        }
+        h = {s: 1 for s, _ in edges}
+        a = None
+        for _ in range(2):
+            a = defaultdict(int)
+            for s, d in edges:
+                a[d] += h[s]
+            h2 = defaultdict(int)
+            for s, d in edges:
+                h2[s] += a[d]
+            h = h2
+        hm, am = max(h.values()), max(a.values())
+        exp = {("hub", k): (v, v / hm) for k, v in h.items()}
+        exp.update({("auth", k): (v, v / am) for k, v in a.items()})
+        assert got == exp
+
+    def test_hellinger_matches_textbook(self, spark, sf_dir):
+        import math
+        from collections import Counter
+
+        from p2_mapreduce_spark.operators.profile import hellinger_drift
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        got = {
+            r["source"]: r["hellinger"] for r in hellinger_drift(docs).collect()
+        }
+        rows = docs.select("source", "lang").collect()
+        cells = Counter((r["source"], r["lang"]) for r in rows)
+        langs = sorted({lg for _, lg in cells})
+        srcs = sorted({s for s, _ in cells})
+        n_all = len(rows)
+        for s in srcs:
+            n_s = sum(c for (src, _), c in cells.items() if src == s)
+            h2 = 0.0
+            for lg in langs:
+                c = cells.get((s, lg), 0)
+                tot = sum(v for (_, l2), v in cells.items() if l2 == lg)
+                p = c / n_s
+                q = (tot - c) / (n_all - n_s)
+                h2 += (math.sqrt(p) - math.sqrt(q)) ** 2
+            assert abs(got[s] - math.sqrt(h2 * 0.5)) < 1e-12, s
+
+    def test_stuart_maxwell_matches_textbook(self, spark, sf_dir):
+        from collections import Counter, defaultdict
+
+        from p2_mapreduce_spark.operators.events_analytics import (
+            stuart_maxwell,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        row = stuart_maxwell(ev).collect()[0]
+        recs = ev.select("user_id", "ts", "event_type").collect()
+        kinds = ("click", "purchase", "view")
+        days = sorted({r["ts"].date() for r in recs})
+        mid = days[0] + __import__("datetime").timedelta(
+            days=(days[-1] - days[0]).days // 2
+        )
+        per = defaultdict(Counter)
+        for r in recs:
+            if r["event_type"] in kinds:
+                half = r["ts"].date() <= mid
+                per[(r["user_id"], half)][r["event_type"]] += 1
+
+        def modal(c):
+            return min(c, key=lambda k: (-c[k], k))
+
+        cells = Counter()
+        users = {u for u, _ in per}
+        n_users = 0
+        for u in users:
+            if (u, True) in per and (u, False) in per:
+                cells[(modal(per[(u, True)]), modal(per[(u, False)]))] += 1
+                n_users += 1
+        n = {
+            (i, j): cells.get((kinds[i], kinds[j]), 0)
+            for i in range(3)
+            for j in range(3)
+        }
+        r_ = [sum(n[(i, j)] for j in range(3)) for i in range(3)]
+        c_ = [sum(n[(i, j)] for i in range(3)) for j in range(3)]
+        d1, d2 = r_[0] - c_[0], r_[1] - c_[1]
+        s11 = r_[0] + c_[0] - 2 * n[(0, 0)]
+        s22 = r_[1] + c_[1] - 2 * n[(1, 1)]
+        s12 = -(n[(0, 1)] + n[(1, 0)])
+        det = s11 * s22 - s12 * s12
+        chi2 = (
+            (d1 * d1 * s22 - 2 * d1 * d2 * s12 + d2 * d2 * s11) / det
+            if det > 0
+            else 0.0
+        )
+        assert row["n_users"] == n_users
+        assert abs(row["chi2"] - chi2) < 1e-9 * max(1.0, abs(chi2))
+
+    def test_squared_rank_scale_matches_textbook(self, spark, sf_dir):
+        import math
+        from collections import defaultdict
+
+        from p2_mapreduce_spark.operators.timeseries import (
+            squared_rank_scale,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        row = squared_rank_scale(ev).collect()[0]
+        recs = ev.filter(
+            ev.event_type.isin("view", "click")
+        ).select("event_type", "ts", "value").collect()
+        daily = defaultdict(int)
+        for r in recs:
+            daily[(r["event_type"], r["ts"].date())] += math.floor(
+                r["value"] * 100
+            )
+        pooled = sorted(daily.items(), key=lambda kv: kv[1])
+        vals = [v for _, v in pooled]
+        n = len(vals)
+        # tie-aware midranks
+        mid = {}
+        i = 0
+        while i < n:
+            j = i
+            while j < n and vals[j] == vals[i]:
+                j += 1
+            for k in range(i, j):
+                mid[k] = (i + 1 + j) / 2
+            i = j
+        scores = [(mid[k] - (n + 1) / 2) ** 2 for k in range(n)]
+        t_a = sum(
+            s
+            for k, s in enumerate(scores)
+            if pooled[k][0][0] == "view"
+        )
+        n_a = sum(1 for (g, _), _v in pooled if g == "view")
+        n_b = n - n_a
+        sbar = sum(scores) / n
+        s2 = sum(s * s for s in scores)
+        var = n_a * n_b / (n * (n - 1)) * (s2 - n * sbar**2)
+        z = (t_a - n_a * sbar) / math.sqrt(var)
+        assert row["n_a"] == n_a and row["n_b"] == n_b
+        assert row["t4_a"] == round(4 * t_a)
+        assert abs(row["z_scale"] - z) < 1e-9
+
+
+def test_round8_batch_c_tolerate_empty_inputs(spark):
+    from p2_mapreduce_spark.operators.dedup import dedup_roi_curve
+    from p2_mapreduce_spark.operators.events_analytics import stuart_maxwell
+    from p2_mapreduce_spark.operators.graph import hits_scores
+    from p2_mapreduce_spark.operators.profile import (
+        hellinger_drift,
+        staleness_audit,
+    )
+    from p2_mapreduce_spark.operators.timeseries import squared_rank_scale
+
+    ev = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert stuart_maxwell(ev).count() == 0
+    assert squared_rank_scale(ev).count() == 0
+    assert staleness_audit(ev).count() == 0
+    assert hellinger_drift(docs).count() == 0
+    assert hits_scores(edges).count() == 0
+    # dup_roi on an empty corpus: 5 threshold rows, all zero counts
+    roi = dedup_roi_curve(docs).collect()
+    assert len(roi) == 5 and all(r["n_pairs"] == 0 for r in roi)
