@@ -1852,6 +1852,45 @@ def _q_anova_f(spark, sf_dir):
     return anova_f(load_table(spark, sf_dir, "events"))
 
 
+def _q_ansari_bradley(spark, sf_dir):
+    """Ansari-Bradley folded-rank scale test between two event types'
+    daily revenues — exact doubled scores, permutation moments."""
+    from p2_mapreduce_spark.operators.timeseries import ansari_bradley
+
+    return ansari_bradley(load_table(spark, sf_dir, "events"))
+
+
+def _q_wilcoxon_signed(spark, sf_dir):
+    """Wilcoxon signed-rank on day-paired view-vs-click revenues —
+    doubled midranks of |d|, exact tie-corrected moments."""
+    from p2_mapreduce_spark.operators.timeseries import wilcoxon_signed
+
+    return wilcoxon_signed(load_table(spark, sf_dir, "events"))
+
+
+def _q_page_trend(spark, sf_dir):
+    """Page's L ordered-alternative test across event types blocked by
+    weekday — exact doubled rank sums, classical moments."""
+    from p2_mapreduce_spark.operators.timeseries import page_trend
+
+    return page_trend(load_table(spark, sf_dir, "events"))
+
+
+def _q_cox_stuart(spark, sf_dir):
+    """Cox-Stuart positional sign-pair trend test per event type."""
+    from p2_mapreduce_spark.operators.timeseries import cox_stuart
+
+    return cox_stuart(load_table(spark, sf_dir, "events"))
+
+
+def _q_dixon_q(spark, sf_dir):
+    """Dixon's Q single-outlier screen per event type — order-statistic
+    gaps over the daily series, one division each."""
+    from p2_mapreduce_spark.operators.timeseries import dixon_q
+
+    return dixon_q(load_table(spark, sf_dir, "events"))
+
+
 def _q_hits_trade(spark, sf_dir):
     """HITS hubs & authorities on the customer->supplier trade graph —
     unnormalized exact-integer power iteration, max-normalized at the
@@ -4322,6 +4361,9 @@ _ROUND8_NEW = (
     # round-8 graph / drift / dedup-ops batch
     "hits_trade", "hellinger_drift", "stuart_maxwell",
     "squared_rank_scale", "dup_roi", "staleness_audit",
+    # round-8 rank/trend/outlier completion batch
+    "ansari_bradley", "wilcoxon_signed", "page_trend", "cox_stuart",
+    "dixon_q",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -4583,6 +4625,11 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "squared_rank_scale": _q_squared_rank_scale,
         "dup_roi": _q_dup_roi,
         "staleness_audit": _q_staleness_audit,
+        "ansari_bradley": _q_ansari_bradley,
+        "wilcoxon_signed": _q_wilcoxon_signed,
+        "page_trend": _q_page_trend,
+        "cox_stuart": _q_cox_stuart,
+        "dixon_q": _q_dixon_q,
         "ccf_daily": _q_ccf_daily,
         "croston": _q_croston,
         "rmst": _q_rmst,
@@ -16439,6 +16486,246 @@ def oracle_sql() -> dict[str, str]:
         FROM th LEFT JOIN per_t ON th.threshold = per_t.threshold,
              corpus
         ORDER BY th.threshold
+    """
+    # Ansari-Bradley twin: doubled folded-rank scores, the exact
+    # permutation-moment device shared with squared_rank_scale.
+    out["ansari_bradley"] = f"""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev}
+            WHERE event_type IN ('view', 'click')
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT g,
+                   CAST(2 * rank() OVER (ORDER BY y)
+                        + COUNT(*) OVER (PARTITION BY y) - 1
+                        AS BIGINT) AS r2
+            FROM daily
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM ranked),
+        scored AS (
+            SELECT g, least(r2, 2 * (n_rows + 1) - r2) AS s2
+            FROM ranked, tot
+        ),
+        per_g AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS nj,
+                   CAST(SUM(s2) AS BIGINT) AS tj
+            FROM scored GROUP BY g
+        ),
+        g_tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(s2) AS BIGINT) AS s1,
+                   SUM(CAST(s2 AS HUGEINT) * CAST(s2 AS HUGEINT)) AS sq
+            FROM scored
+        ),
+        ab AS (
+            SELECT av.nj AS n_a, av.tj AS t2_a, bv.nj AS n_b,
+                   g_tot.n, g_tot.s1, g_tot.sq
+            FROM (SELECT * FROM per_g WHERE g = 'view') av,
+                 (SELECT * FROM per_g WHERE g = 'click') bv,
+                 g_tot
+        ),
+        m AS (
+            SELECT n_a, n_b, t2_a, n,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS sbar,
+                   {_bd('sq')} AS dsq
+            FROM ab
+        )
+        SELECT n_a, n_b, t2_a,
+               CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                         / (CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) - 1.0e0))
+                         * (dsq - CAST(n AS DOUBLE) * sbar * sbar)
+                         > 0.0e0
+                    THEN (CAST(t2_a AS DOUBLE)
+                          - CAST(n_a AS DOUBLE) * sbar)
+                         / sqrt(CAST(n_a AS DOUBLE)
+                                * CAST(n_b AS DOUBLE)
+                                / (CAST(n AS DOUBLE)
+                                   * (CAST(n AS DOUBLE) - 1.0e0))
+                                * (dsq - CAST(n AS DOUBLE)
+                                         * sbar * sbar))
+                    ELSE 0.0e0 END AS z_scale
+        FROM m WHERE n_a > 0 AND n_b > 0
+    """
+    # Wilcoxon signed-rank twin: day-paired differences, doubled
+    # |d|-midranks, exact tie-corrected moments.
+    out["wilcoxon_signed"] = f"""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev}
+            WHERE event_type IN ('view', 'click')
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.y - b.y AS diff
+            FROM (SELECT d, y FROM daily WHERE g = 'view') a
+            JOIN (SELECT d, y FROM daily WHERE g = 'click') b
+              ON a.d = b.d
+        ),
+        pcount AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs),
+        nz AS (
+            SELECT abs(diff) AS ad,
+                   CAST(diff > 0 AS BIGINT) AS pos
+            FROM pairs WHERE diff <> 0
+        ),
+        ranked AS (
+            SELECT pos,
+                   CAST(2 * rank() OVER (ORDER BY ad)
+                        + COUNT(*) OVER (PARTITION BY ad) - 1
+                        AS BIGINT) AS r2
+            FROM nz
+        ),
+        ties AS (
+            SELECT CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT)
+                       AS tie_sum
+            FROM (SELECT COUNT(*) AS t FROM nz GROUP BY ad)
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COALESCE(SUM(r2 * pos), 0) AS BIGINT) AS w2_plus
+            FROM ranked
+        )
+        SELECT n_pairs, n AS n_nonzero, w2_plus,
+               CASE WHEN n > 0 AND
+                    (2.0e0 * CAST(n AS DOUBLE)
+                     * (CAST(n AS DOUBLE) + 1.0e0)
+                     * (2.0e0 * CAST(n AS DOUBLE) + 1.0e0)
+                     - CAST(tie_sum AS DOUBLE)) > 0.0e0
+                    THEN (CAST(w2_plus AS DOUBLE)
+                          - CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) + 1.0e0) / 2.0e0)
+                         / sqrt((2.0e0 * CAST(n AS DOUBLE)
+                                 * (CAST(n AS DOUBLE) + 1.0e0)
+                                 * (2.0e0 * CAST(n AS DOUBLE) + 1.0e0)
+                                 - CAST(tie_sum AS DOUBLE)) / 12.0e0)
+                    ELSE 0.0e0 END AS z_signed
+        FROM agg, ties, pcount WHERE n_pairs > 0
+    """
+    # Page's L twin: friedman's doubled block ranks, lexicographic
+    # treatment scores, classical (tie-naive) moments.
+    out["page_trend"] = f"""
+        WITH cell AS (
+            SELECT event_type AS g,
+                   dayofweek(CAST(ts AS DATE)) + 1 AS blk,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev} GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT g, blk,
+                   CAST(2 * rank() OVER (PARTITION BY blk ORDER BY y)
+                        + COUNT(*) OVER (PARTITION BY blk, y) - 1
+                        AS BIGINT) AS d2r
+            FROM cell
+        ),
+        per_g AS (
+            SELECT g, CAST(SUM(d2r) AS BIGINT) AS r2j,
+                   CAST(COUNT(*) AS BIGINT) AS bj
+            FROM ranked GROUP BY g
+        ),
+        scored AS (
+            SELECT g, r2j, bj,
+                   CAST(row_number() OVER (ORDER BY g) AS BIGINT) AS cj
+            FROM per_g
+        ),
+        blocks AS (
+            SELECT CAST(COUNT(DISTINCT blk) AS BIGINT) AS n_blocks
+            FROM ranked
+        ),
+        folded AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(cj * r2j) AS BIGINT) AS l2,
+                   CAST(MIN(bj) AS BIGINT) AS min_bj,
+                   CAST(MAX(bj) AS BIGINT) AS max_bj
+            FROM scored
+        )
+        SELECT n_blocks, n_groups, l2,
+               CASE WHEN n_groups >= 3 AND min_bj = n_blocks
+                         AND max_bj = n_blocks
+                         AND CAST(n_blocks AS DOUBLE)
+                             * CAST(n_groups AS DOUBLE)
+                             * CAST(n_groups AS DOUBLE)
+                             * (CAST(n_groups AS DOUBLE) + 1.0e0)
+                             * (CAST(n_groups AS DOUBLE)
+                                * CAST(n_groups AS DOUBLE) - 1.0e0)
+                             / 36.0e0 > 0.0e0
+                    THEN (CAST(l2 AS DOUBLE)
+                          - CAST(n_blocks AS DOUBLE)
+                            * CAST(n_groups AS DOUBLE)
+                            * (CAST(n_groups AS DOUBLE) + 1.0e0)
+                            * (CAST(n_groups AS DOUBLE) + 1.0e0)
+                            / 2.0e0)
+                         / sqrt(CAST(n_blocks AS DOUBLE)
+                                * CAST(n_groups AS DOUBLE)
+                                * CAST(n_groups AS DOUBLE)
+                                * (CAST(n_groups AS DOUBLE) + 1.0e0)
+                                * (CAST(n_groups AS DOUBLE)
+                                   * CAST(n_groups AS DOUBLE) - 1.0e0)
+                                / 36.0e0)
+                    ELSE 0.0e0 END AS z_trend
+        FROM folded, blocks WHERE n_blocks > 0
+    """
+    # Cox-Stuart twin: positional pairing at lag floor(n/2), exact
+    # sign counts, one pinned binomial z.
+    out["cox_stuart"] = f"""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev} GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT g, y,
+                   CAST(row_number() OVER (PARTITION BY g ORDER BY d)
+                        AS BIGINT) AS i,
+                   CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS nd
+            FROM daily
+        ),
+        pairs AS (
+            SELECT a.g, a.nd, b.y - a.y AS diff
+            FROM idx a JOIN idx b
+              ON b.g = a.g AND b.i = a.i + a.nd // 2
+            WHERE a.i <= a.nd // 2
+        ),
+        agg AS (
+            SELECT g, nd,
+                   CAST(SUM(CASE WHEN diff <> 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS m,
+                   CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS s_plus
+            FROM pairs GROUP BY g, nd
+        )
+        SELECT g AS event_type, nd AS n_days, m AS n_diffs, s_plus,
+               CASE WHEN m > 0
+                    THEN (CAST(s_plus AS DOUBLE)
+                          - CAST(m AS DOUBLE) / 2.0e0)
+                         / sqrt(CAST(m AS DOUBLE) / 4.0e0)
+                    ELSE 0.0e0 END AS z_trend
+        FROM agg ORDER BY event_type
+    """
+    # Dixon's Q twin: order-statistic gaps from the sorted day list.
+    out["dixon_q"] = f"""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev} GROUP BY 1, 2
+        ),
+        per_g AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(MIN(y) AS BIGINT) AS x1,
+                   CAST(MAX(y) AS BIGINT) AS xn,
+                   list_sort(list(y)) AS ys
+            FROM daily GROUP BY g
+        )
+        SELECT g AS event_type, n_days,
+               CAST(ys[2] - x1 AS DOUBLE)
+                   / CAST(xn - x1 AS DOUBLE) AS q_low,
+               CAST(xn - ys[-2] AS DOUBLE)
+                   / CAST(xn - x1 AS DOUBLE) AS q_high
+        FROM per_g WHERE n_days >= 3 AND xn > x1
+        ORDER BY event_type
     """
     # staleness twin: one-row frontier broadcast, exact counts.
     out["staleness_audit"] = f"""

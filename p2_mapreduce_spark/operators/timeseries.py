@@ -3769,3 +3769,339 @@ def squared_rank_scale(
         "t4_a",
         F.when(var_t > 0.0, z).otherwise(F.lit(0.0)).alias("z_scale"),
     ).filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+
+
+def ansari_bradley(
+    events: DataFrame,
+    group_a: str = "view",
+    group_b: str = "click",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Ansari-Bradley two-sample scale test on the pooled daily
+    revenues: ranks folded from BOTH ends (extreme ranks score LOW),
+    so a group whose values crowd the edges of the pooled ordering —
+    higher dispersion — collects a small score sum.  The folded-rank
+    complement of :func:`squared_rank_scale` (which squares centered
+    ranks instead); classical practice runs both since they weight the
+    tails differently.
+
+    Exactness: doubled midranks r2 are exact BIGINTs, so DOUBLED AB
+    scores ``s2 = min(r2, 2(N+1) − r2)`` are exact BIGINTs; the test
+    compares T2_A = Σ_{i∈A} s2 against its exact permutation moments
+    E[T2_A] = n_A·mean(s2), Var[T2_A] = n_A·n_B/(N(N−1))·(Σs2²
+    − N·mean²) — the same tie-robust moment device, z one pinned tree.
+    Output one row: (n_a, n_b, t2_a, z_scale); zero rows unless both
+    groups present, z = 0.0 when Var degenerates.
+    """
+    daily = _daily_cents(
+        events.filter(F.col(group_col).isin(group_a, group_b)), group_col
+    )
+    wv = Window.orderBy("y")
+    ranked = daily.withColumn(
+        "r2",
+        (
+            2 * F.rank().over(wv)
+            + F.count(F.lit(1)).over(Window.partitionBy("y"))
+            - 1
+        ).cast("bigint"),
+    )
+    tot = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    scored = ranked.crossJoin(F.broadcast(tot)).select(
+        "g",
+        F.least(
+            F.col("r2"), 2 * (F.col("n_rows") + 1) - F.col("r2")
+        ).alias("s2"),
+    )
+    sd = F.col("s2").cast("decimal(19,0)")
+    per_g = scored.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nj"),
+        F.sum("s2").cast("bigint").alias("tj"),
+    )
+    glob = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("s2").cast("bigint").alias("s1"),
+        F.sum(sd * sd).cast("decimal(38,0)").alias("sq"),
+    )
+    a = per_g.filter(F.col("g") == group_a).select(
+        F.col("nj").alias("n_a"), F.col("tj").alias("t2_a")
+    )
+    b = per_g.filter(F.col("g") == group_b).select(
+        F.col("nj").alias("n_b")
+    )
+    out = a.crossJoin(b).crossJoin(glob)
+    two60 = 1152921504606846976
+
+    def big_dbl(col: str):
+        hi = F.expr(f"{col} div {two60}").cast("double")
+        lo = F.expr(f"CAST({col} % {two60} AS BIGINT)").cast("double")
+        return hi * F.lit(float(two60)) + lo
+
+    n = F.col("n").cast("double")
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    sbar = F.col("s1").cast("double") / n
+    var_t = (
+        na
+        * nb
+        / (n * (n - F.lit(1.0)))
+        * (big_dbl("sq") - n * sbar * sbar)
+    )
+    z = (F.col("t2_a").cast("double") - na * sbar) / F.sqrt(var_t)
+    return out.select(
+        "n_a",
+        "n_b",
+        "t2_a",
+        F.when(var_t > 0.0, z).otherwise(F.lit(0.0)).alias("z_scale"),
+    ).filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+
+
+def wilcoxon_signed(
+    events: DataFrame,
+    group_a: str = "view",
+    group_b: str = "click",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Wilcoxon signed-rank test on the DAY-PAIRED daily revenues of
+    two groups — the paired sibling of mwu_drift: each calendar day
+    contributes one difference d = A − B, zero differences drop
+    (classical practice), and W⁺ sums the |d|-midranks of the positive
+    days.  Pairing removes the shared daily seasonality both groups
+    ride, exactly like mcnemar vs ab_conversion on the binary side.
+
+    Exactness: d is an exact BIGINT (cents); doubled midranks of |d|
+    are exact (the KW device), so the DOUBLED statistic
+    ``W2⁺ = Σ_{d>0} r2`` is an exact BIGINT with exact moments
+    ``E[W2⁺] = n(n+1)/2`` and ``12·Var[W2⁺] = 2n(n+1)(2n+1)
+    − Σ(t³−t)`` (tie-corrected) — both exact integers, z one pinned
+    tree.  Output one row: (n_pairs, n_nonzero, w2_plus, z_signed);
+    zero rows when no day has both groups.
+    """
+    daily = _daily_cents(
+        events.filter(F.col(group_col).isin(group_a, group_b)), group_col
+    )
+    a = daily.filter(F.col("g") == group_a).select("d", F.col("y").alias("ya"))
+    b = daily.filter(F.col("g") == group_b).select("d", F.col("y").alias("yb"))
+    pairs = a.join(b, "d").select(
+        (F.col("ya") - F.col("yb")).alias("diff")
+    )
+    pcount = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    nz = pairs.filter(F.col("diff") != 0).select(
+        F.abs(F.col("diff")).alias("ad"),
+        (F.col("diff") > 0).cast("bigint").alias("pos"),
+    )
+    wv = Window.orderBy("ad")
+    ranked = nz.withColumn(
+        "r2",
+        (
+            2 * F.rank().over(wv)
+            + F.count(F.lit(1)).over(Window.partitionBy("ad"))
+            - 1
+        ).cast("bigint"),
+    )
+    ties = (
+        nz.groupBy("ad")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("bigint")
+            .alias("tie_sum")
+        )
+    )
+    agg = (
+        ranked.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("r2") * F.col("pos"))
+            .cast("bigint")
+            .alias("w2_plus"),
+        )
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(pcount))
+    )
+    n = F.col("n").cast("double")
+    e_w2 = n * (n + F.lit(1.0)) / F.lit(2.0)
+    var12 = (
+        F.lit(2.0) * n * (n + F.lit(1.0)) * (F.lit(2.0) * n + F.lit(1.0))
+        - F.col("tie_sum").cast("double")
+    )
+    z = (F.col("w2_plus").cast("double") - e_w2) / F.sqrt(
+        var12 / F.lit(12.0)
+    )
+    return agg.select(
+        "n_pairs",
+        F.col("n").alias("n_nonzero"),
+        F.coalesce("w2_plus", F.lit(0)).cast("bigint").alias("w2_plus"),
+        F.when((F.col("n") > 0) & (var12 > 0.0), z)
+        .otherwise(F.lit(0.0))
+        .alias("z_signed"),
+    ).filter(F.col("n_pairs") > 0)
+
+
+def page_trend(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Page's L test for an ORDERED alternative across groups, blocked
+    by weekday — the trend-powered sibling of :func:`friedman_test`
+    exactly as cochran_armitage is to the 2×k χ²: Friedman asks "do
+    the groups differ?"; Page asks "do they INCREASE along the
+    hypothesized order?" (here: lexicographic group order, the
+    documented convention), one degree of freedom, far more power
+    against monotone orderings.
+
+    ``L = Σ_j c_j·R_j`` with c_j the group's 1-based rank in the
+    hypothesized order and R_j its Friedman rank sum; doubled ranks
+    make ``L2 = Σ c_j·R2_j`` an exact BIGINT.  Moments (tie-naive, the
+    classical table's assumption — midranks keep L2 conservative, the
+    friedman stance): ``E[L2] = b·k(k+1)²/2``,
+    ``Var[L2] = b·k²(k+1)(k²−1)/36``; z is one pinned tree.  Output
+    one row: (n_blocks, n_groups, l2, z_trend) — zero rows when empty,
+    0.0 when k < 3 or any block is incomplete (the statistic's moments
+    assume complete blocks).
+    """
+    cell = (
+        events.select(
+            F.col(group_col).alias("g"),
+            F.dayofweek(F.to_date("ts")).alias("blk"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("g", "blk")
+        .agg(F.sum("cents").alias("y"))
+    )
+    wb = Window.partitionBy("blk").orderBy("y")
+    ranked = cell.withColumn(
+        "d2r",
+        (
+            2 * F.rank().over(wb)
+            + F.count(F.lit(1)).over(Window.partitionBy("blk", "y"))
+            - 1
+        ).cast("bigint"),
+    )
+    per_g = ranked.groupBy("g").agg(
+        F.sum("d2r").cast("bigint").alias("r2j"),
+        F.count(F.lit(1)).cast("bigint").alias("bj"),
+    )
+    wg = Window.orderBy("g")
+    scored = per_g.withColumn(
+        "cj", F.row_number().over(wg).cast("bigint")
+    )
+    blocks = ranked.agg(
+        F.countDistinct("blk").cast("bigint").alias("n_blocks")
+    )
+    folded = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.col("cj") * F.col("r2j")).cast("bigint").alias("l2"),
+        F.min("bj").cast("bigint").alias("min_bj"),
+        F.max("bj").cast("bigint").alias("max_bj"),
+    ).crossJoin(blocks)
+    b = F.col("n_blocks").cast("double")
+    k = F.col("n_groups").cast("double")
+    e_l2 = b * k * (k + F.lit(1.0)) * (k + F.lit(1.0)) / F.lit(2.0)
+    var_l2 = (
+        b * k * k * (k + F.lit(1.0)) * (k * k - F.lit(1.0)) / F.lit(36.0)
+    )
+    z = (F.col("l2").cast("double") - e_l2) / F.sqrt(var_l2)
+    complete = (
+        (F.col("min_bj") == F.col("n_blocks"))
+        & (F.col("max_bj") == F.col("n_blocks"))
+    )
+    return folded.select(
+        "n_blocks",
+        "n_groups",
+        "l2",
+        F.when((F.col("n_groups") >= 3) & complete & (var_l2 > 0.0), z)
+        .otherwise(F.lit(0.0))
+        .alias("z_trend"),
+    ).filter(F.col("n_blocks") > 0)
+
+
+def cox_stuart(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Cox-Stuart trend test per group: pair day i with day i + ⌊n'/2⌋
+    over the group's day-ordered revenue series and SIGN-test the
+    differences — the assumption-free trend check that needs neither
+    ranks (mann_kendall's O(n²) pairs) nor a model (grouped_trend's
+    OLS): just "is the second half systematically above the first?".
+
+    Classical construction: odd-length series drop the middle day;
+    zero differences drop; S⁺ ~ Binomial(m, ½) under H0, so
+    ``z = (S⁺ − m/2)/√(m/4)`` — counts exact BIGINTs, z one pinned
+    tree.  Day alignment is POSITIONAL (i-th observed day), matching
+    the classical test on possibly-gapped series.
+
+    Output per group: (group, n_days, n_diffs, s_plus, z_trend); zero
+    rows on empty input, z = 0.0 when m = 0.
+    """
+    daily = _daily_cents(events, group_col)
+    wd = Window.partitionBy("g").orderBy("d")
+    idx = daily.withColumn(
+        "i", F.row_number().over(wd).cast("bigint")
+    )
+    counts = idx.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    lead = idx.join(counts, "g").select(
+        "g",
+        "nd",
+        "i",
+        "y",
+        (F.col("i") + F.expr("nd div 2")).alias("j"),
+    )
+    second = idx.select(
+        F.col("g").alias("g2"), F.col("i").alias("j"), F.col("y").alias("y2")
+    )
+    # first-half rows pair with their +floor(n/2) partner; odd length
+    # drops the middle row automatically (i <= floor(n/2))
+    pairs = (
+        lead.filter(F.col("i") <= F.expr("nd div 2"))
+        .join(
+            second,
+            (F.col("g") == F.col("g2")) & (lead["j"] == second["j"]),
+        )
+        .select("g", "nd", (F.col("y2") - F.col("y")).alias("diff"))
+    )
+    agg = pairs.groupBy("g", "nd").agg(
+        F.sum((F.col("diff") != 0).cast("bigint")).cast("bigint").alias("m"),
+        F.sum((F.col("diff") > 0).cast("bigint")).cast("bigint").alias("s_plus"),
+    )
+    m = F.col("m").cast("double")
+    z = (
+        F.col("s_plus").cast("double") - m / F.lit(2.0)
+    ) / F.sqrt(m / F.lit(4.0))
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("nd").alias("n_days"),
+        F.col("m").alias("n_diffs"),
+        "s_plus",
+        F.when(F.col("m") > 0, z).otherwise(F.lit(0.0)).alias("z_trend"),
+    ).orderBy(group_col)
+
+
+def dixon_q(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Dixon's Q for single-outlier screening per group: the gap
+    between the most extreme daily revenue and its nearest neighbor,
+    over the full range — ``Q_low = (x₍₂₎−x₍₁₎)/(x₍ₙ₎−x₍₁₎)``,
+    ``Q_high = (x₍ₙ₎−x₍ₙ₋₁₎)/(x₍ₙ₎−x₍₁₎)`` — the small-sample
+    complement of mad_outliers (which scores every point): Q asks
+    specifically "is the single most extreme day discordant?", the
+    classical lab-data screen for n ≲ 30 (a daily month).
+
+    Exactness: the four order statistics (min, 2nd-min, max, 2nd-max)
+    are exact BIGINT cents from one sorted-array fold per group; each
+    Q is one IEEE division.  Output per group: (group, n_days, q_low,
+    q_high); groups need n ≥ 3 and a nonzero range.
+    """
+    daily = _daily_cents(events, group_col)
+    per_g = daily.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.min("y").cast("bigint").alias("x1"),
+        F.max("y").cast("bigint").alias("xn"),
+        # 2nd smallest / largest via the sorted distinct-2 slice
+        F.array_sort(F.collect_list("y")).alias("ys"),
+    )
+    x2 = F.element_at(F.col("ys"), 2).cast("bigint")
+    xn1 = F.element_at(F.col("ys"), -2).cast("bigint")
+    rng = (F.col("xn") - F.col("x1")).cast("double")
+    return (
+        per_g.filter((F.col("n_days") >= 3) & (F.col("xn") > F.col("x1")))
+        .select(
+            F.col("g").alias(group_col),
+            "n_days",
+            ((x2 - F.col("x1")).cast("double") / rng).alias("q_low"),
+            ((F.col("xn") - xn1).cast("double") / rng).alias("q_high"),
+        )
+        .orderBy(group_col)
+    )

@@ -105,6 +105,9 @@ FUNNEL_REVIEWED = {
     # (calendar-bounded, the kruskal_wallis pattern)
     "hits_trade", "hellinger_drift", "stuart_maxwell",
     "squared_rank_scale", "dup_roi", "staleness_audit",
+    # ansari/wilcoxon pool ranks at DAY grain (calendar-bounded, the
+    # kruskal pattern); page_trend's one-row L fold
+    "ansari_bradley", "wilcoxon_signed", "page_trend",
     "ab_conversion", "benford", "bitmap_count", "bm25_search", "bounce_rate",
     "chi2_drift", "compaction_plan", "conversion_lag", "cramers_v",
     "cumulative_revenue",

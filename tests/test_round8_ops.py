@@ -792,3 +792,200 @@ def test_round8_batch_c_tolerate_empty_inputs(spark):
     # dup_roi on an empty corpus: 5 threshold rows, all zero counts
     roi = dedup_roi_curve(docs).collect()
     assert len(roi) == 5 and all(r["n_pairs"] == 0 for r in roi)
+
+
+class TestRound8RankTestParity:
+    """Third-implementation parity for the rank/trend/outlier batch."""
+
+    def _daily2(self, spark, sf_dir):
+        import math
+        from collections import defaultdict
+
+        rows = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("event_type", "ts", "value")
+            .collect()
+        )
+        daily = defaultdict(int)
+        for r in rows:
+            daily[(r["event_type"], r["ts"].date())] += math.floor(
+                r["value"] * 100
+            )
+        return daily
+
+    @staticmethod
+    def _midranks(vals):
+        out = {}
+        i, n = 0, len(vals)
+        sv = sorted(range(n), key=lambda k: vals[k])
+        i = 0
+        while i < n:
+            j = i
+            while j < n and vals[sv[j]] == vals[sv[i]]:
+                j += 1
+            for k in range(i, j):
+                out[sv[k]] = (i + 1 + j) / 2
+            i = j
+        return [out[k] for k in range(n)]
+
+    def test_ansari_bradley_matches_textbook(self, spark, sf_dir):
+        import math
+
+        from p2_mapreduce_spark.operators.timeseries import ansari_bradley
+
+        row = ansari_bradley(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        ).collect()[0]
+        daily = self._daily2(spark, sf_dir)
+        pooled = [
+            (g, y) for (g, _), y in sorted(daily.items())
+            if g in ("view", "click")
+        ]
+        ranks = self._midranks([y for _, y in pooled])
+        n = len(pooled)
+        scores = [min(r, n + 1 - r) for r in ranks]
+        t_a = sum(s for (g, _), s in zip(pooled, scores) if g == "view")
+        n_a = sum(1 for g, _ in pooled if g == "view")
+        n_b = n - n_a
+        sbar = sum(scores) / n
+        var = (
+            n_a * n_b / (n * (n - 1))
+            * (sum(s * s for s in scores) - n * sbar**2)
+        )
+        z = (t_a - n_a * sbar) / math.sqrt(var)
+        assert row["t2_a"] == round(2 * t_a)
+        assert abs(row["z_scale"] - z) < 1e-9
+
+    def test_wilcoxon_signed_matches_textbook(self, spark, sf_dir):
+        import math
+
+        from p2_mapreduce_spark.operators.timeseries import wilcoxon_signed
+
+        row = wilcoxon_signed(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        ).collect()[0]
+        daily = self._daily2(spark, sf_dir)
+        days = {
+            d for g, d in daily if g == "view"
+        } & {d for g, d in daily if g == "click"}
+        diffs = [
+            daily[("view", d)] - daily[("click", d)] for d in sorted(days)
+        ]
+        nz = [d for d in diffs if d != 0]
+        ranks = self._midranks([abs(d) for d in nz])
+        n = len(nz)
+        w_plus = sum(r for d, r in zip(nz, ranks) if d > 0)
+        tie = {}
+        for d in nz:
+            tie[abs(d)] = tie.get(abs(d), 0) + 1
+        tie_sum = sum(t**3 - t for t in tie.values())
+        var = n * (n + 1) * (2 * n + 1) / 24 - tie_sum / 48
+        z = (w_plus - n * (n + 1) / 4) / math.sqrt(var)
+        assert row["n_pairs"] == len(diffs)
+        assert row["n_nonzero"] == n
+        assert row["w2_plus"] == round(2 * w_plus)
+        assert abs(row["z_signed"] - z) < 1e-9
+
+    def test_page_trend_matches_textbook(self, spark, sf_dir):
+        import math
+        from collections import defaultdict
+
+        from p2_mapreduce_spark.operators.timeseries import page_trend
+
+        row = page_trend(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        ).collect()[0]
+        rows = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("event_type", "ts", "value")
+            .collect()
+        )
+        cell = defaultdict(int)
+        for r in rows:
+            wd = r["ts"].date().isoweekday() % 7  # block id only
+            cell[(r["event_type"], wd)] += math.floor(r["value"] * 100)
+        groups = sorted({g for g, _ in cell})
+        blocks = sorted({b for _, b in cell})
+        rank_sum = {g: 0.0 for g in groups}
+        for b in blocks:
+            col = [(g, cell.get((g, b))) for g in groups if (g, b) in cell]
+            ranks = self._midranks([y for _, y in col])
+            for (g, _), r in zip(col, ranks):
+                rank_sum[g] += r
+        l = sum((j + 1) * rank_sum[g] for j, g in enumerate(groups))
+        k, b = len(groups), len(blocks)
+        e = b * k * (k + 1) ** 2 / 4
+        var = b * k**2 * (k + 1) * (k**2 - 1) / 144
+        z = (l - e) / math.sqrt(var)
+        assert row["l2"] == round(2 * l)
+        complete = all((g, bb) in cell for g in groups for bb in blocks)
+        if k >= 3 and complete and var > 0:
+            assert abs(row["z_trend"] - z) < 1e-9
+
+    def test_cox_stuart_matches_textbook(self, spark, sf_dir):
+        import math
+
+        from p2_mapreduce_spark.operators.timeseries import cox_stuart
+
+        got = {
+            r["event_type"]: r
+            for r in cox_stuart(
+                spark.read.parquet(f"{sf_dir}/events.parquet")
+            ).collect()
+        }
+        daily = self._daily2(spark, sf_dir)
+        series = {}
+        for (g, d), y in sorted(daily.items()):
+            series.setdefault(g, []).append(y)
+        for g, ys in series.items():
+            nd = len(ys)
+            h = nd // 2
+            diffs = [ys[i + h] - ys[i] for i in range(h)]
+            m = sum(1 for d in diffs if d != 0)
+            sp = sum(1 for d in diffs if d > 0)
+            r = got[g]
+            assert r["n_days"] == nd and r["s_plus"] == sp
+            if m:
+                z = (sp - m / 2) / math.sqrt(m / 4)
+                assert abs(r["z_trend"] - z) < 1e-12
+
+    def test_dixon_q_matches_textbook(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.timeseries import dixon_q
+
+        got = {
+            r["event_type"]: (r["q_low"], r["q_high"])
+            for r in dixon_q(
+                spark.read.parquet(f"{sf_dir}/events.parquet")
+            ).collect()
+        }
+        daily = self._daily2(spark, sf_dir)
+        series = {}
+        for (g, d), y in daily.items():
+            series.setdefault(g, []).append(y)
+        for g, ys in series.items():
+            ys = sorted(ys)
+            if len(ys) < 3 or ys[-1] == ys[0]:
+                assert g not in got
+                continue
+            rng = ys[-1] - ys[0]
+            assert abs(got[g][0] - (ys[1] - ys[0]) / rng) < 1e-15
+            assert abs(got[g][1] - (ys[-1] - ys[-2]) / rng) < 1e-15
+
+
+def test_round8_rank_tests_tolerate_empty_inputs(spark):
+    from p2_mapreduce_spark.operators.timeseries import (
+        ansari_bradley,
+        cox_stuart,
+        dixon_q,
+        page_trend,
+        wilcoxon_signed,
+    )
+
+    ev = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    for op in (ansari_bradley, wilcoxon_signed, page_trend, cox_stuart,
+               dixon_q):
+        assert op(ev).count() == 0, op.__name__
