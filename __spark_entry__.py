@@ -1852,6 +1852,22 @@ def _q_anova_f(spark, sf_dir):
     return anova_f(load_table(spark, sf_dir, "events"))
 
 
+def _q_textrank(spark, sf_dir):
+    """TextRank keywords: exact-integer PageRank over the adjacent-word
+    co-occurrence graph, top-20 by centrality."""
+    from p2_mapreduce_spark.operators.text_analysis import textrank_keywords
+
+    return textrank_keywords(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dup_edge_support(spark, sf_dir):
+    """Near-dup edge embeddedness histogram: triangle support per pair
+    edge; support-0 rows are the bridge edges a cautious dedup reviews."""
+    from p2_mapreduce_spark.operators.dedup import dup_edge_support
+
+    return dup_edge_support(load_table(spark, sf_dir, "documents"))
+
+
 def _q_ansari_bradley(spark, sf_dir):
     """Ansari-Bradley folded-rank scale test between two event types'
     daily revenues — exact doubled scores, permutation moments."""
@@ -4364,6 +4380,8 @@ _ROUND8_NEW = (
     # round-8 rank/trend/outlier completion batch
     "ansari_bradley", "wilcoxon_signed", "page_trend", "cox_stuart",
     "dixon_q",
+    # round-8 graph-composition batch
+    "textrank", "dup_edge_support",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -4630,6 +4648,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_trend": _q_page_trend,
         "cox_stuart": _q_cox_stuart,
         "dixon_q": _q_dixon_q,
+        "textrank": _q_textrank,
+        "dup_edge_support": _q_dup_edge_support,
         "ccf_daily": _q_ccf_daily,
         "croston": _q_croston,
         "rmst": _q_rmst,
@@ -16726,6 +16746,71 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(xn - x1 AS DOUBLE) AS q_high
         FROM per_g WHERE n_days >= 3 AND xn > x1
         ORDER BY event_type
+    """
+    # TextRank twin: the pagerank integer device unrolled over the
+    # adjacent-word co-occurrence graph (string node ids).
+    from p2_mapreduce_spark.operators.graph import PR_SCALE as _PRS
+
+    _tr_cte = f"""
+        WITH toks AS ({toks}),
+        adjp AS (
+            SELECT t[g.i] AS a, t[g.i+1] AS b
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(
+                     1, greatest(len(t)-1, 0))) AS i) g
+        ),
+        adj AS (
+            SELECT DISTINCT least(a, b) AS w1, greatest(a, b) AS w2
+            FROM adjp WHERE a <> b
+        ),
+        bi AS (SELECT w1 AS u, w2 AS w FROM adj
+               UNION ALL SELECT w2, w1 FROM adj),
+        deg AS (SELECT u AS node, COUNT(*) AS deg FROM bi GROUP BY 1),
+        nn AS (SELECT COUNT(*) AS n FROM deg),
+        r0 AS (SELECT node, deg, n,
+                      CAST({_PRS} // n AS BIGINT) AS rank_q
+               FROM deg, nn)"""
+    for _i in range(1, 4):
+        _tr_cte += f""",
+        i{_i} AS (SELECT w AS node,
+                        CAST(SUM(rank_q // deg) AS BIGINT) AS s
+                 FROM bi JOIN r{_i - 1} ON bi.u = r{_i - 1}.node
+                 GROUP BY 1),
+        r{_i} AS (SELECT p.node, p.deg, p.n,
+                        CAST(floor((1.0 - 0.85) * {float(_PRS)} / p.n)
+                             AS BIGINT)
+                        + CAST(floor(0.85 * i{_i}.s) AS BIGINT) AS rank_q
+                 FROM r{_i - 1} p JOIN i{_i} ON p.node = i{_i}.node)"""
+    out["textrank"] = _tr_cte + """
+        SELECT word, rank_q, rnk FROM (
+            SELECT node AS word, rank_q,
+                   CAST(row_number() OVER (
+                       ORDER BY rank_q DESC, node) AS BIGINT) AS rnk
+            FROM r3
+        ) WHERE rnk <= 20
+    """
+    # dup edge-support twin: the exact pair stage + one wedge join.
+    out["dup_edge_support"] = f"""
+        WITH pairs AS (
+            SELECT doc_a, doc_b FROM ({out['dedup_ngram']})
+        ),
+        sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+        closed AS (
+            SELECT p.doc_a, p.doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS support
+            FROM pairs p
+            JOIN sym a ON a.u = p.doc_a
+            JOIN sym b ON b.u = p.doc_b AND b.v = a.v
+            GROUP BY 1, 2
+        ),
+        per_edge AS (
+            SELECT CAST(COALESCE(c.support, 0) AS BIGINT) AS support
+            FROM pairs p LEFT JOIN closed c
+              ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+        )
+        SELECT support, CAST(COUNT(*) AS BIGINT) AS n_edges
+        FROM per_edge GROUP BY support ORDER BY support
     """
     # staleness twin: one-row frontier broadcast, exact counts.
     out["staleness_audit"] = f"""

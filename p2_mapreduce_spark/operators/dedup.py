@@ -1610,3 +1610,49 @@ def dedup_roi_curve(
         )
         .orderBy("threshold")
     )
+
+
+def dup_edge_support(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Embeddedness histogram of the near-dup pair graph: for every
+    near-dup edge, how many OTHER documents are near-dups of both
+    endpoints (its triangle support), summarized as (support →
+    n_edges).  Support 0 edges are BRIDGES — pairs whose merge is
+    witnessed by no third document — exactly the edges a conservative
+    dedup reviews before fusing clusters (dup_clusters treats every
+    edge alike; this ranks their evidence), the structural-cohesion
+    audit of the provenance matrix family.
+
+    One pair-stage pass + one wedge join: support(a,b) =
+    |{x: (a,x) ∈ E ∧ (b,x) ∈ E}| via the symmetrized edge list joined
+    to itself on the witness x — the standard triangle-support shape
+    (at 100 TB: oriented by degree like triangle_stats; the pair graph
+    is MAX_DF-capped so hub blowup is bounded upstream).  Exact
+    integer counts throughout.
+
+    Output: (support, n_edges) ascending; bridges are the support-0
+    row.
+    """
+    pairs = ngram_jaccard_pairs(docs, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    wa = sym.select(F.col("u").alias("doc_a"), F.col("v").alias("x"))
+    wb = sym.select(F.col("u").alias("doc_b"), F.col("v").alias("x"))
+    closed = (
+        pairs.join(wa, "doc_a")
+        .join(wb, ["doc_b", "x"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+    per_edge = pairs.join(closed, ["doc_a", "doc_b"], "left").select(
+        F.coalesce("support", F.lit(0)).cast("bigint").alias("support")
+    )
+    return (
+        per_edge.groupBy("support")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        .orderBy("support")
+    )

@@ -1502,3 +1502,60 @@ def fleiss_kappa(docs: DataFrame) -> DataFrame:
         p_e.alias("p_e"),
         kappa.alias("fleiss_kappa"),
     ).filter(F.col("n_docs") > 0)
+
+
+def textrank_keywords(
+    docs: DataFrame, top_k: int = 20, iterations: int = 3
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, 2004) at corpus
+    grain: PageRank over the word co-occurrence graph (an undirected
+    edge per ADJACENT token pair, the paper's window-2 unweighted
+    variant), top-k words by centrality — the graph-centrality member
+    of the keyword family next to tfidf_top_terms (contrast against
+    other docs) and rake_keywords (phrase structure): TextRank scores
+    a word by the company it keeps, no frequency table at all.
+
+    Composition, not re-implementation: the graph is fed to
+    :func:`~p2_mapreduce_spark.operators.graph.pagerank`, whose
+    exact fixed-point integer protocol (rank_q = PR_SCALE-quantized,
+    integer div per contribution) makes every iteration bit-identical
+    cross-engine — node ids here are the WORDS themselves (pagerank
+    only does arithmetic on rank/degree; the node is just a join key).
+
+    Scale shape: adjacent pairs are an in-row array transform (no
+    shuffle), the distinct edge set contracts at vocab² ceiling (in
+    practice ~vocab·avg-degree), each PageRank round is one join +
+    one aggregate on the word key; top-k is a TakeOrderedAndProject
+    heap, not a global sort.  Output: (word, rank_q, rnk).
+    """
+    from p2_mapreduce_spark.operators.graph import pagerank
+
+    toks = spread(docs).select(
+        "doc_id", tokens_array(F.col("text")).alias("t")
+    )
+    adj = (
+        toks.where(F.expr("size(t) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS a, "
+                    "element_at(t, i + 1) AS b))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("w1"), F.greatest("a", "b").alias("w2")
+        )
+        .distinct()
+    )
+    pr = pagerank(adj, src="w1", dst="w2", iterations=iterations)
+    top = pr.orderBy(F.col("rank_q").desc(), F.col("node")).limit(top_k)
+    w = Window.orderBy(F.col("rank_q").desc(), F.col("node"))
+    return top.select(
+        F.col("node").alias("word"),
+        "rank_q",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )

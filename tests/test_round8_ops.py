@@ -989,3 +989,89 @@ def test_round8_rank_tests_tolerate_empty_inputs(spark):
     for op in (ansari_bradley, wilcoxon_signed, page_trend, cox_stuart,
                dixon_q):
         assert op(ev).count() == 0, op.__name__
+
+
+class TestRound8GraphComposition:
+    def test_textrank_matches_pure_python_pagerank(self, spark, sf_dir):
+        import re
+        from collections import defaultdict
+
+        from p2_mapreduce_spark.operators.graph import PR_SCALE
+        from p2_mapreduce_spark.operators.text_analysis import (
+            textrank_keywords,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        got = [
+            (r["word"], r["rank_q"], r["rnk"])
+            for r in textrank_keywords(docs).collect()
+        ]
+        # pure-python twin of the exact integer pagerank on the same graph
+        texts = [r["text"] for r in docs.select("text").collect()]
+        edges = set()
+        for t in texts:
+            toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+            for x, y in zip(toks, toks[1:]):
+                if x != y:
+                    edges.add((min(x, y), max(x, y)))
+        sym = defaultdict(list)
+        for a, b in edges:
+            sym[a].append(b)
+            sym[b].append(a)
+        deg = {w: len(vs) for w, vs in sym.items()}
+        n = len(deg)
+        rank = {w: PR_SCALE // n for w in deg}
+        import math
+        base = math.floor(0.15 * float(PR_SCALE) / n)
+        for _ in range(3):
+            inflow = defaultdict(int)
+            for w, vs in sym.items():
+                c = rank[w] // deg[w]
+                for v in vs:
+                    inflow[v] += c
+            rank = {
+                w: base + math.floor(0.85 * inflow[w]) for w in deg
+            }
+        exp = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        assert got == [
+            (w, q, i + 1) for i, (w, q) in enumerate(exp)
+        ]
+
+    def test_dup_edge_support_matches_manual(self, spark, sf_dir):
+        from collections import Counter, defaultdict
+
+        from p2_mapreduce_spark.operators.dedup import (
+            dup_edge_support,
+            ngram_jaccard_pairs,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        got = {
+            r["support"]: r["n_edges"]
+            for r in dup_edge_support(docs).collect()
+        }
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in ngram_jaccard_pairs(docs, threshold=0.5)
+            .select("doc_a", "doc_b")
+            .collect()
+        }
+        nbr = defaultdict(set)
+        for a, b in pairs:
+            nbr[a].add(b)
+            nbr[b].add(a)
+        hist = Counter(len(nbr[a] & nbr[b]) for a, b in pairs)
+        assert got == dict(hist)
+
+    def test_textrank_and_support_empty_inputs(self, spark):
+        from p2_mapreduce_spark.operators.dedup import dup_edge_support
+        from p2_mapreduce_spark.operators.text_analysis import (
+            textrank_keywords,
+        )
+
+        docs = spark.createDataFrame(
+            [], "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        )
+        assert textrank_keywords(docs).count() == 0
+        assert dup_edge_support(docs).count() == 0
