@@ -23,6 +23,7 @@ from typing import Any, Iterable, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
@@ -452,6 +453,80 @@ def pattern_match_stream(
         _pattern_fn(pattern),
         outputStructType=PATTERN_OUTPUT_SCHEMA,
         stateStructType=PATTERN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SPRT_OUTPUT_SCHEMA = (
+    "monitor string, n_cum long, k_cum long, llr double, state string"
+)
+#: (trials, successes, decided: '' | 'accept_h0' | 'accept_h1')
+SPRT_STATE_SCHEMA = "n long, k long, decided string"
+
+
+def _sprt_fn(success_type: str):
+    from p2_mapreduce_spark.operators.events_analytics import _sprt_consts
+
+    l1, l0, a, b = _sprt_consts()
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (monitor,) = key
+        n, k, decided = state.get if state.exists else (0, 0, "")
+        for pdf in pdfs:
+            n += int(len(pdf))
+            k += int((pdf["event_type"] == success_type).sum())
+        llr = k * l1 + (n - k) * l0
+        # sticky decision: once a boundary is crossed the monitor stays
+        # decided (the sequential test's stopping rule) — later batches
+        # keep reporting the decision with the running counts
+        if not decided:
+            if llr >= a:
+                decided = "accept_h1"
+            elif llr <= b:
+                decided = "accept_h0"
+        state.update((n, k, decided))
+        yield pd.DataFrame(
+            {
+                "monitor": [monitor],
+                "n_cum": [n],
+                "k_cum": [k],
+                "llr": [llr],
+                "state": [decided or "continue"],
+            }
+        )
+
+    return fn
+
+
+def sprt_stream(
+    events_stream: DataFrame, success_type: str = "purchase"
+) -> DataFrame:
+    """Streaming Wald SPRT conversion monitor — the live face of
+    :func:`p2_mapreduce_spark.operators.events_analytics.sprt_daily`:
+    one state row (trials, successes, decision) under a constant key,
+    updated per micro-batch, emitting the running LLR and the STICKY
+    decision the moment a boundary is crossed.  The four ln constants
+    are the same Python doubles the batch operator and its SQL oracle
+    ship, so at any prefix the emitted llr equals the batch
+    recomputation bit-for-bit (pinned in pytest).
+
+    State is ONE fixed-size row total (the monitor key is constant) —
+    the cheapest possible stateful operator; at scale the interesting
+    part is upstream partial aggregation of each micro-batch, which
+    Spark does before the single-key state update.
+    """
+    keyed = events_stream.select(
+        F.lit("conversion").alias("monitor"), "event_type"
+    )
+    return keyed.groupBy("monitor").applyInPandasWithState(
+        _sprt_fn(success_type),
+        outputStructType=SPRT_OUTPUT_SCHEMA,
+        stateStructType=SPRT_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -900,3 +900,52 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == batch
     assert None in got  # the quarantined dimension misses
+
+
+def test_sprt_stream_matches_batch_prefixes(spark, sf_dir, tmp_path):
+    """Streaming SPRT: every emitted (n_cum, k_cum, llr) is exactly the
+    batch recomputation at that prefix (same literal ln constants), and
+    the decision is sticky once a boundary crosses."""
+    import math
+
+    from p2_mapreduce_spark.operators.events_analytics import _sprt_consts
+    from p2_mapreduce_spark.streaming.stateful import sprt_stream
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "sprt_src")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        sprt_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sprt_monitor")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = sorted(
+            spark.sql("SELECT * FROM sprt_monitor").collect(),
+            key=lambda r: r["n_cum"],
+        )
+    finally:
+        q.stop()
+
+    l1, l0, a, b = _sprt_consts()
+    decided = None
+    for r in rows:
+        llr = r["k_cum"] * l1 + (r["n_cum"] - r["k_cum"]) * l0
+        assert math.isclose(r["llr"], llr, rel_tol=0, abs_tol=0)
+        if decided is None:
+            if llr >= a:
+                decided = "accept_h1"
+            elif llr <= b:
+                decided = "accept_h0"
+        assert r["state"] == (decided or "continue")
+    # final row must agree with the batch operator's final day
+    assert rows[-1]["n_cum"] == events.count()
