@@ -1852,6 +1852,19 @@ def _q_anova_f(spark, sf_dir):
     return anova_f(load_table(spark, sf_dir, "events"))
 
 
+def _q_media_tiff(spark, sf_dir):
+    """REAL baseline-TIFF decode: II and MM byte orders, typed IFD walk
+    with inline left-justified values, single-strip grayscale read —
+    exact pixel stats the oracle recomputes closed-form."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_tiff,
+        tiff_pixel_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tiff_pixel_stats(attach_tiff(docs))
+
+
 def _q_textrank(spark, sf_dir):
     """TextRank keywords: exact-integer PageRank over the adjacent-word
     co-occurrence graph, top-20 by centrality."""
@@ -4382,6 +4395,8 @@ _ROUND8_NEW = (
     "dixon_q",
     # round-8 graph-composition batch
     "textrank", "dup_edge_support",
+    # round-8 media plane: 4th still format, 1st tag-directory codec
+    "media_tiff",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -4650,6 +4665,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dixon_q": _q_dixon_q,
         "textrank": _q_textrank,
         "dup_edge_support": _q_dup_edge_support,
+        "media_tiff": _q_media_tiff,
         "ccf_daily": _q_ccf_daily,
         "croston": _q_croston,
         "rmst": _q_rmst,
@@ -16788,6 +16804,35 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY rank_q DESC, node) AS BIGINT) AS rnk
             FROM r3
         ) WHERE rnk <= 20
+    """
+    # TIFF twin: the builder's pixel formula regenerated closed-form
+    # per id — an endianness slip, IFD misread, or strip-bounds bug in
+    # the decoder breaks the hash.
+    out["media_tiff"] = """
+        WITH dims AS (
+            SELECT doc_id AS media_id,
+                   4 + doc_id % 9 AS w,
+                   4 + (doc_id * 5) % 9 AS h,
+                   (doc_id % 32) * 2 AS base
+            FROM documents
+        ),
+        px AS (
+            SELECT media_id, w, h,
+                   (base + 3 * x.i + 7 * y.i) % 256 AS v
+            FROM dims,
+                 LATERAL (SELECT unnest(generate_series(0, w - 1))
+                              AS i) x,
+                 LATERAL (SELECT unnest(generate_series(0, h - 1))
+                              AS i) y
+        )
+        SELECT media_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(COUNT(*) AS BIGINT) AS n_pixels,
+               CAST(SUM(v) AS BIGINT) AS sum_px,
+               CAST(MIN(v) AS BIGINT) AS min_px,
+               CAST(MAX(v) AS BIGINT) AS max_px
+        FROM px GROUP BY media_id, w, h
     """
     # dup edge-support twin: the exact pair stage + one wedge join.
     out["dup_edge_support"] = f"""

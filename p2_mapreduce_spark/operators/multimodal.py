@@ -4972,3 +4972,211 @@ def y4m_frame_stats(media: DataFrame) -> DataFrame:
             " n_frames int, sum_y long, sum_u long, sum_v long"
         ),
     )
+
+
+#: TIFF pixel formula shared by the JVM-side builder and the SQL
+#: oracle: value(x, y) = (base + 3x + 7y) % 256, base = (id % 32)·2;
+#: dims 4..12 per side.  EVEN ids write little-endian ('II') files,
+#: ODD ids big-endian ('MM') — the point of TIFF as the fourth still
+#: format is its BYTE-ORDER-PARAMETERIZED tag directory, so both
+#: orders must round-trip through one decoder.
+TIFF_TAGS = 9
+
+
+def attach_tiff(docs: DataFrame) -> DataFrame:
+    """Multimodal table whose payloads are REAL, complete, spec-valid
+    baseline TIFF files (TIFF 6.0 §2, bilevel/grayscale baseline):
+    II/MM byte-order header, 8-bit grayscale strip (single strip,
+    uncompressed, BlackIsZero), and a 9-entry IFD with ascending tags
+    (ImageWidth, ImageLength, BitsPerSample, Compression,
+    PhotometricInterpretation, StripOffsets, SamplesPerPixel,
+    RowsPerStrip, StripByteCounts) — the first TAG-DIRECTORY format in
+    the media plane (BMP/PNG/JPEG/GIF are all fixed-layout or chunked):
+    the decoder must walk a typed, counted, byte-order-parameterized
+    directory where values ≤ 4 bytes are left-justified INLINE.
+
+    Layout: header (8 B) → pixel strip at offset 8 → IFD at 8 + w·h.
+    The whole file is a hex fold + one ``unhex`` (the attach_bmp
+    device); even ids are 'II', odd 'MM'."""
+    w = (F.lit(4) + F.pmod(F.col("doc_id"), F.lit(9))).cast("int")
+    h = (F.lit(4) + F.pmod(F.col("doc_id") * 5, F.lit(9))).cast("int")
+    base = (F.pmod(F.col("doc_id"), F.lit(32)) * 2).cast("int")
+    d = spread(docs).select(
+        F.col("doc_id").alias("media_id"),
+        w.alias("w"),
+        h.alias("h"),
+        base.alias("base"),
+        (F.pmod(F.col("doc_id"), F.lit(2)) == 0).alias("le"),
+    )
+    wh = (F.col("w") * F.col("h")).cast("long")
+    pixels_hex = F.expr(
+        "array_join(transform(sequence(0, h-1), y -> "
+        "array_join(transform(sequence(0, w-1), x -> "
+        "format_string('%02x', (base + 3*x + 7*y) % 256)), '')), '')"
+    )
+
+    def be16(col):
+        return F.format_string("%04x", col.cast("long"))
+
+    def be32(col):
+        return F.format_string("%08x", col.cast("long"))
+
+    def entry(tag: int, typ: int, count, val, short: bool):
+        # one 12-byte IFD entry in BOTH byte orders; SHORT values are
+        # left-justified in the 4-byte value field (TIFF 6.0 p.15)
+        le = F.concat(
+            _le_hex(F.lit(tag), 2),
+            _le_hex(F.lit(typ), 2),
+            _le_hex(count, 4),
+            F.concat(_le_hex(val, 2), F.lit("0000"))
+            if short
+            else _le_hex(val, 4),
+        )
+        be = F.concat(
+            be16(F.lit(tag)),
+            be16(F.lit(typ)),
+            be32(count),
+            F.concat(be16(val), F.lit("0000")) if short else be32(val),
+        )
+        return le, be
+
+    one = F.lit(1)
+    entries = [
+        entry(256, 3, one, F.col("w"), True),      # ImageWidth
+        entry(257, 3, one, F.col("h"), True),      # ImageLength
+        entry(258, 3, one, F.lit(8), True),        # BitsPerSample
+        entry(259, 3, one, F.lit(1), True),        # Compression = none
+        entry(262, 3, one, F.lit(1), True),        # BlackIsZero
+        entry(273, 4, one, F.lit(8), False),       # StripOffsets
+        entry(277, 3, one, F.lit(1), True),        # SamplesPerPixel
+        entry(278, 3, one, F.col("h"), True),      # RowsPerStrip
+        entry(279, 4, one, wh, False),             # StripByteCounts
+    ]
+    ifd_le = F.concat(
+        _le_hex(F.lit(TIFF_TAGS), 2),
+        *[e[0] for e in entries],
+        F.lit("00000000"),
+    )
+    ifd_be = F.concat(
+        be16(F.lit(TIFF_TAGS)),
+        *[e[1] for e in entries],
+        F.lit("00000000"),
+    )
+    head_le = F.concat(F.lit("49492a00"), _le_hex(F.lit(8) + wh, 4))
+    head_be = F.concat(F.lit("4d4d002a"), be32(F.lit(8) + wh))
+    payload_hex = F.when(
+        F.col("le"), F.concat(head_le, pixels_hex, ifd_le)
+    ).otherwise(F.concat(head_be, pixels_hex, ifd_be))
+    return d.select(
+        "media_id",
+        F.lit("image").alias("modality"),
+        F.unhex(payload_hex).alias("payload"),
+    )
+
+
+def _decode_tiff(b: bytes):
+    """Real baseline-TIFF grayscale decode (TIFF 6.0, stdlib only):
+    II/MM byte-order dispatch, 42 magic, IFD walk with typed 12-byte
+    entries (SHORT/LONG, inline left-justified values), required-tag
+    validation, single uncompressed 8-bit BlackIsZero strip read.
+    Returns ``(w, h, grid)`` with grid[y][x] ∈ [0, 255], or None to
+    quarantine: wrong magic/order mark, compressed or multi-strip or
+    multi-sample files, bits-per-sample ≠ 8, palette/RGB photometric,
+    value types outside SHORT/LONG, out-of-bounds strip or IFD, or a
+    chained second IFD (baseline single-image envelope)."""
+    try:
+        if len(b) < 8 or b[:2] not in (b"II", b"MM"):
+            return None
+        bo = "little" if b[:2] == b"II" else "big"
+
+        def rd(off, n):
+            if off + n > len(b):
+                raise ValueError("oob")
+            return int.from_bytes(b[off : off + n], bo)
+
+        if rd(2, 2) != 42:
+            return None
+        ifd = rd(4, 4)
+        n_ent = rd(ifd, 2)
+        tags = {}
+        for i in range(n_ent):
+            e = ifd + 2 + 12 * i
+            tag, typ, cnt = rd(e, 2), rd(e + 2, 2), rd(e + 4, 4)
+            if typ == 3:  # SHORT, left-justified inline
+                val = rd(e + 8, 2)
+            elif typ == 4:  # LONG
+                val = rd(e + 8, 4)
+            else:
+                return None  # baseline envelope: SHORT/LONG only
+            if cnt != 1:
+                return None  # single strip / single sample envelope
+            tags[tag] = val
+        if rd(ifd + 2 + 12 * n_ent, 4) != 0:
+            return None  # chained IFD out of envelope
+        req = (256, 257, 258, 259, 262, 273, 277, 278, 279)
+        if any(t not in tags for t in req):
+            return None
+        w, h = tags[256], tags[257]
+        if (
+            w <= 0
+            or h <= 0
+            or tags[258] != 8
+            or tags[259] != 1
+            or tags[262] != 1
+            or tags[277] != 1
+            or tags[278] < h
+            or tags[279] != w * h
+        ):
+            return None
+        off = tags[273]
+        if off + w * h > len(b):
+            return None
+        grid = [
+            list(b[off + y * w : off + y * w + w]) for y in range(h)
+        ]
+        return w, h, grid
+    except Exception:
+        return None
+
+
+def tiff_pixel_stats(media: DataFrame) -> DataFrame:
+    """Per-image pixel statistics from the REAL TIFF decode — the
+    tag-directory sibling of :func:`gif_pixel_stats`: the oracle
+    regenerates (base + 3x + 7y) % 256 closed-form per id, so an
+    endianness slip, inline-value misread, or strip-bounds bug breaks
+    the hash.  Malformed payloads surface as the zero row.  Same
+    Arrow-batched ``mapInPandas`` plumbing as every payload kernel."""
+    from p2_mapreduce_spark.mapreduce import _ship_by_value
+
+    _ship_by_value(_decode_tiff)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            parsed = _decode_tiff(payload or b"")
+            if parsed is None:
+                return 0, 0, 0, 0, 0, 0
+            w, h, grid = parsed
+            px = [v for row in grid for v in row]
+            return w, h, len(px), sum(px), min(px), max(px)
+
+        for pdf in it:
+            vals = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": [v[0] for v in vals],
+                    "height": [v[1] for v in vals],
+                    "n_pixels": [v[2] for v in vals],
+                    "sum_px": [v[3] for v in vals],
+                    "min_px": [v[4] for v in vals],
+                    "max_px": [v[5] for v in vals],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, width int, height int, n_pixels long,"
+            " sum_px long, min_px long, max_px long"
+        ),
+    )

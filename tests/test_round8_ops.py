@@ -1075,3 +1075,114 @@ class TestRound8GraphComposition:
         )
         assert textrank_keywords(docs).count() == 0
         assert dup_edge_support(docs).count() == 0
+
+
+class TestTiffCodec:
+    """TIFF decoder: real-bytes round-trip on both byte orders plus the
+    quarantine envelope (the round-5 JPEG-gate test discipline: every
+    guard exercised with a payload that is truly gated)."""
+
+    @staticmethod
+    def _build(mid, mutate=None):
+        """Pure-python twin of attach_tiff's hex fold."""
+        w, h, base = 4 + mid % 9, 4 + (mid * 5) % 9, (mid % 32) * 2
+        le = mid % 2 == 0
+        bo = "little" if le else "big"
+        px = bytes(
+            (base + 3 * x + 7 * y) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        ents = [
+            (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8),
+            (259, 3, 1, 1), (262, 3, 1, 1), (273, 4, 1, 8),
+            (277, 3, 1, 1), (278, 3, 1, h), (279, 4, 1, w * h),
+        ]
+        if mutate:
+            ents = [mutate(e) for e in ents]
+        ifd = len(ents).to_bytes(2, bo)
+        for tag, typ, cnt, val in ents:
+            vf = (
+                val.to_bytes(2, bo) + b"\x00\x00"
+                if typ == 3
+                else val.to_bytes(4, bo)
+            )
+            ifd += (
+                tag.to_bytes(2, bo) + typ.to_bytes(2, bo)
+                + cnt.to_bytes(4, bo) + vf
+            )
+        ifd += b"\x00\x00\x00\x00"
+        head = (
+            (b"II" if le else b"MM")
+            + (42).to_bytes(2, bo)
+            + (8 + w * h).to_bytes(4, bo)
+        )
+        return head + px + ifd
+
+    def test_roundtrip_both_byte_orders(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.multimodal import (
+            _decode_tiff,
+            attach_tiff,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        rows = attach_tiff(docs).orderBy("media_id").limit(8).collect()
+        for r in rows:
+            mid = r["media_id"]
+            payload = bytes(r["payload"])
+            assert payload == self._build(mid), mid  # byte-exact builder
+            w, h, grid = _decode_tiff(payload)
+            assert (w, h) == (4 + mid % 9, 4 + (mid * 5) % 9)
+            base = (mid % 32) * 2
+            assert grid[0][0] == base % 256
+            assert grid[h - 1][w - 1] == (base + 3 * (w - 1) + 7 * (h - 1)) % 256
+
+    def test_quarantine_envelope(self):
+        from p2_mapreduce_spark.operators.multimodal import _decode_tiff
+
+        good = self._build(7)
+        assert _decode_tiff(good) is not None
+        # wrong order mark / magic
+        assert _decode_tiff(b"XX" + good[2:]) is None
+        assert _decode_tiff(good[:2] + b"\x00\x29" + good[4:]) is None
+        # compressed file (tag 259 = 5, LZW)
+        assert (
+            _decode_tiff(
+                self._build(7, lambda e: (259, 3, 1, 5) if e[0] == 259 else e)
+            )
+            is None
+        )
+        # 16-bit samples
+        assert (
+            _decode_tiff(
+                self._build(7, lambda e: (258, 3, 1, 16) if e[0] == 258 else e)
+            )
+            is None
+        )
+        # RATIONAL value type out of the baseline envelope
+        assert (
+            _decode_tiff(
+                self._build(7, lambda e: (256, 5, 1, e[3]) if e[0] == 256 else e)
+            )
+            is None
+        )
+        # multi-count entry (multi-strip)
+        assert (
+            _decode_tiff(
+                self._build(7, lambda e: (273, 4, 2, 8) if e[0] == 273 else e)
+            )
+            is None
+        )
+        # strip byte count mismatch
+        assert (
+            _decode_tiff(
+                self._build(7, lambda e: (279, 4, 1, 9999) if e[0] == 279 else e)
+            )
+            is None
+        )
+        # truncated strip
+        assert _decode_tiff(good[:20]) is None
+        # chained second IFD
+        bad = bytearray(good)
+        bad[-4:] = (1).to_bytes(4, "big" if good[:2] == b"MM" else "little")
+        assert _decode_tiff(bytes(bad)) is None
