@@ -1865,6 +1865,26 @@ def _q_media_tiff(spark, sf_dir):
     return tiff_pixel_stats(attach_tiff(docs))
 
 
+def _q_media_pgm(spark, sf_dir):
+    """REAL binary-PGM decode: full netpbm ASCII header grammar
+    (whitespace tokens + '#' comments), raw pixel block, exact stats."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_pgm,
+        pgm_pixel_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pgm_pixel_stats(attach_pgm(docs))
+
+
+def _q_stump_gini(spark, sf_dir):
+    """Decision-stump feature ranking: Gini impurity decrease of three
+    one-level splits on the returned-flag label, one fact scan."""
+    from p2_mapreduce_spark.operators.curation import stump_gini
+
+    return stump_gini(load_table(spark, sf_dir, "lineitem"))
+
+
 def _q_textrank(spark, sf_dir):
     """TextRank keywords: exact-integer PageRank over the adjacent-word
     co-occurrence graph, top-20 by centrality."""
@@ -4395,8 +4415,9 @@ _ROUND8_NEW = (
     "dixon_q",
     # round-8 graph-composition batch
     "textrank", "dup_edge_support",
-    # round-8 media plane: 4th still format, 1st tag-directory codec
-    "media_tiff",
+    # round-8 media plane: 4th/5th still formats (tag-directory TIFF,
+    # ASCII-grammar PGM) + the ML-prep feature screen
+    "media_tiff", "media_pgm", "stump_gini",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -4666,6 +4687,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank": _q_textrank,
         "dup_edge_support": _q_dup_edge_support,
         "media_tiff": _q_media_tiff,
+        "media_pgm": _q_media_pgm,
+        "stump_gini": _q_stump_gini,
         "ccf_daily": _q_ccf_daily,
         "croston": _q_croston,
         "rmst": _q_rmst,
@@ -16833,6 +16856,108 @@ def oracle_sql() -> dict[str, str]:
                CAST(MIN(v) AS BIGINT) AS min_px,
                CAST(MAX(v) AS BIGINT) AS max_px
         FROM px GROUP BY media_id, w, h
+    """
+    # PGM twin: the builder's pixel formula closed-form per id — a
+    # header-tokenizer or comment-handling bug breaks the hash.
+    out["media_pgm"] = """
+        WITH dims AS (
+            SELECT doc_id AS media_id,
+                   4 + doc_id % 9 AS w,
+                   4 + (doc_id * 7) % 9 AS h,
+                   (doc_id % 24) * 3 AS base
+            FROM documents
+        ),
+        px AS (
+            SELECT media_id, w, h,
+                   (base + 11 * x.i + 5 * y.i) % 256 AS v
+            FROM dims,
+                 LATERAL (SELECT unnest(generate_series(0, w - 1))
+                              AS i) x,
+                 LATERAL (SELECT unnest(generate_series(0, h - 1))
+                              AS i) y
+        )
+        SELECT media_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(COUNT(*) AS BIGINT) AS n_pixels,
+               CAST(SUM(v) AS BIGINT) AS sum_px,
+               CAST(MIN(v) AS BIGINT) AS min_px,
+               CAST(MAX(v) AS BIGINT) AS max_px
+        FROM px GROUP BY media_id, w, h
+    """
+    # stump-gini twin: exact bucket counts, bucket-sorted recursive
+    # fold of the weighted Gini terms in the Spark lambda's tree order.
+    out["stump_gini"] = """
+        WITH RECURSIVE feats AS (
+            SELECT CAST(l_returnflag = 'R' AS BIGINT) AS y,
+                   f.feature, f.bucket
+            FROM lineitem,
+                 LATERAL (
+                     SELECT 'qty_decile' AS feature,
+                            CAST(floor(l_quantity) AS BIGINT) // 10
+                                AS bucket
+                     UNION ALL
+                     SELECT 'discount_level',
+                            CAST(floor(l_discount * 100) AS BIGINT)
+                     UNION ALL
+                     SELECT 'ship_month',
+                            CAST(month(CAST(l_shipdate AS TIMESTAMP))
+                                 AS BIGINT)
+                 ) f
+        ),
+        cells AS (
+            SELECT feature, bucket,
+                   CAST(COUNT(*) AS BIGINT) AS nb,
+                   CAST(SUM(y) AS BIGINT) AS pb
+            FROM feats GROUP BY 1, 2
+        ),
+        g_tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS p
+            FROM lineitem
+        ),
+        idx AS (
+            SELECT feature, bucket, nb, pb,
+                   row_number() OVER (PARTITION BY feature
+                                      ORDER BY bucket) AS i,
+                   COUNT(*) OVER (PARTITION BY feature) AS k
+            FROM cells
+        ),
+        terms AS (
+            SELECT feature, i, k,
+                   (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (1.0e0
+                      - (CAST(pb AS DOUBLE) / CAST(nb AS DOUBLE))
+                        * (CAST(pb AS DOUBLE) / CAST(nb AS DOUBLE))
+                      - (CAST(nb - pb AS DOUBLE) / CAST(nb AS DOUBLE))
+                        * (CAST(nb - pb AS DOUBLE)
+                           / CAST(nb AS DOUBLE))) AS t
+            FROM idx, g_tot
+        ),
+        fold AS (
+            SELECT feature, i, k, 0.0e0 + t AS gs
+            FROM terms WHERE i = 1
+            UNION ALL
+            SELECT p.feature, p.i, p.k, f.gs + p.t
+            FROM fold f JOIN terms p
+              ON p.feature = f.feature AND p.i = f.i + 1
+        )
+        SELECT feature, CAST(k AS BIGINT) AS n_buckets,
+               1.0e0 - (CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+                     - (CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE))
+                   AS gini_parent,
+               gs AS gini_split,
+               (1.0e0 - (CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+                      - (CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE)))
+               - gs AS decrease
+        FROM fold, g_tot
+        WHERE i = k AND n > 0
+        ORDER BY feature
     """
     # dup edge-support twin: the exact pair stage + one wedge join.
     out["dup_edge_support"] = f"""

@@ -2332,3 +2332,101 @@ def ht_estimate(lineitem: DataFrame, rate_mod: int = 16) -> DataFrame:
         (est.cast("double") / 100.0).alias("ht_estimate"),
         err.alias("rel_err"),
     )
+
+
+def stump_gini(lineitem: DataFrame) -> DataFrame:
+    """Decision-stump feature ranking by Gini impurity decrease: for
+    each candidate feature (quantity decile, discount level, ship
+    month), the weighted Gini impurity of the one-level split against
+    the parent impurity on the binary label ``l_returnflag = 'R'`` —
+    the first thing a tree learner computes, and the standard
+    model-free "which columns matter" screen for ML prep (target
+    encoding's diagnostic sibling: that transforms the feature, this
+    SCORES it).
+
+    Exactness: all bucket counts (n_b, positives p_b) are exact
+    BIGINTs from ONE scan (the three features unpivot in-row, so the
+    fact table is read once); parent and per-bucket Gini terms are
+    pinned IEEE trees, and the split impurity folds over the
+    BUCKET-SORTED array (the logrank cross-group device) so both
+    engines add identical doubles in identical order.
+
+    Output: (feature, n_buckets, gini_parent, gini_split, decrease),
+    one row per feature, ordered by feature; zero rows on empty input.
+    """
+    feats = lineitem.select(
+        (F.col("l_returnflag") == "R").cast("bigint").alias("y"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("qty_decile").alias("feature"),
+                    F.expr(
+                        "CAST(floor(l_quantity) AS BIGINT) div 10"
+                    ).alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("discount_level").alias("feature"),
+                    F.floor(F.col("l_discount") * 100)
+                    .cast("bigint")
+                    .alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("ship_month").alias("feature"),
+                    F.month("l_shipdate").cast("bigint").alias("bucket"),
+                ),
+            )
+        ).alias("f"),
+    ).select("y", F.col("f.feature").alias("feature"), F.col("f.bucket").alias("bucket"))
+    cells = feats.groupBy("feature", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("y").cast("bigint").alias("pb"),
+    )
+    glob = lineitem.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("bigint"))
+        .cast("bigint")
+        .alias("p"),
+    )
+    folded = cells.groupBy("feature").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.array_sort(
+            F.collect_list(F.struct("bucket", "nb", "pb"))
+        ).alias("gs"),
+    ).crossJoin(F.broadcast(glob))
+    n = F.col("n").cast("double")
+    p = F.col("p").cast("double")
+    g_parent = (
+        F.lit(1.0)
+        - (p / n) * (p / n)
+        - ((n - p) / n) * ((n - p) / n)
+    )
+    g_split = F.aggregate(
+        F.col("gs"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (x["nb"].cast("double") / F.col("n").cast("double"))
+        * (
+            F.lit(1.0)
+            - (x["pb"].cast("double") / x["nb"].cast("double"))
+            * (x["pb"].cast("double") / x["nb"].cast("double"))
+            - (
+                (x["nb"] - x["pb"]).cast("double")
+                / x["nb"].cast("double")
+            )
+            * (
+                (x["nb"] - x["pb"]).cast("double")
+                / x["nb"].cast("double")
+            )
+        ),
+    )
+    return (
+        folded.filter(F.col("n") > 0)
+        .select(
+            "feature",
+            "n_buckets",
+            g_parent.alias("gini_parent"),
+            g_split.alias("gini_split"),
+            (g_parent - g_split).alias("decrease"),
+        )
+        .orderBy("feature")
+    )

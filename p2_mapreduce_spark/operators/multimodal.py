@@ -5180,3 +5180,136 @@ def tiff_pixel_stats(media: DataFrame) -> DataFrame:
             " sum_px long, min_px long, max_px long"
         ),
     )
+
+
+def attach_pgm(docs: DataFrame) -> DataFrame:
+    """Multimodal table whose payloads are REAL binary PGM (netpbm P5)
+    files — the fifth still format and the first with an ASCII-GRAMMAR
+    header: magic 'P5', whitespace-separated width/height/maxval with
+    optional '#' comment lines, one single whitespace byte before the
+    raw pixel block.  Every third id (doc_id % 3 == 0) carries a
+    comment line between the dimensions — the decoder must implement
+    the real tokenizer, not a fixed offset.
+
+    Pixels reuse the TIFF formula family: value(x, y) =
+    (base + 11x + 5y) % 256, base = (id % 24)·3; dims 4..12."""
+    w = (F.lit(4) + F.pmod(F.col("doc_id"), F.lit(9))).cast("int")
+    h = (F.lit(4) + F.pmod(F.col("doc_id") * 7, F.lit(9))).cast("int")
+    base = (F.pmod(F.col("doc_id"), F.lit(24)) * 3).cast("int")
+    d = spread(docs).select(
+        F.col("doc_id").alias("media_id"),
+        w.alias("w"),
+        h.alias("h"),
+        base.alias("base"),
+        (F.pmod(F.col("doc_id"), F.lit(3)) == 0).alias("cmt"),
+    )
+    pixels_hex = F.expr(
+        "array_join(transform(sequence(0, h-1), y -> "
+        "array_join(transform(sequence(0, w-1), x -> "
+        "format_string('%02x', (base + 11*x + 5*y) % 256)), '')), '')"
+    )
+    # ASCII header as hex: 'P5\n{w} {h}\n255\n' with an optional
+    # '# synthetic\n' comment line between dims and maxval
+    head = F.concat(
+        F.lit("P5\n"),
+        F.col("w").cast("string"),
+        F.lit(" "),
+        F.col("h").cast("string"),
+        F.lit("\n"),
+        F.when(F.col("cmt"), F.lit("# synthetic\n")).otherwise(F.lit("")),
+        F.lit("255\n"),
+    )
+    return d.select(
+        "media_id",
+        F.lit("image").alias("modality"),
+        F.unhex(F.concat(F.hex(head.cast("binary")), pixels_hex)).alias(
+            "payload"
+        ),
+    )
+
+
+def _decode_pgm(b: bytes):
+    """Real binary-PGM (P5) decode with the full netpbm header grammar
+    (stdlib only): 'P5' magic, then three whitespace-separated decimal
+    tokens (width, height, maxval) where '#' starts a comment running
+    to end-of-line ANYWHERE whitespace is allowed, then exactly ONE
+    whitespace byte, then w·h raw bytes.  Returns ``(w, h, grid)`` or
+    None to quarantine: ASCII-variant magics (P2), maxval ≠ 255
+    (16-bit PGMs), short/overlong pixel blocks, or any grammar
+    violation."""
+    try:
+        if len(b) < 2 or b[:2] != b"P5":
+            return None
+        pos = 2
+        vals = []
+        while len(vals) < 3:
+            # skip whitespace and comments
+            while pos < len(b):
+                if b[pos : pos + 1].isspace():
+                    pos += 1
+                elif b[pos : pos + 1] == b"#":
+                    while pos < len(b) and b[pos] != 0x0A:
+                        pos += 1
+                else:
+                    break
+            start = pos
+            while pos < len(b) and b[pos : pos + 1].isdigit():
+                pos += 1
+            if pos == start:
+                return None  # grammar violation
+            vals.append(int(b[start:pos]))
+        if pos >= len(b) or not b[pos : pos + 1].isspace():
+            return None  # exactly one whitespace byte before pixels
+        pos += 1
+        w, h, maxval = vals
+        if w <= 0 or h <= 0 or maxval != 255:
+            return None
+        if len(b) != pos + w * h:
+            return None  # short or overlong pixel block
+        grid = [
+            list(b[pos + y * w : pos + y * w + w]) for y in range(h)
+        ]
+        return w, h, grid
+    except Exception:
+        return None
+
+
+def pgm_pixel_stats(media: DataFrame) -> DataFrame:
+    """Per-image pixel statistics from the REAL PGM decode — the
+    ASCII-grammar sibling of :func:`tiff_pixel_stats`: comment-line
+    handling, tokenizer bugs, or off-by-one pixel offsets break the
+    closed-form hash.  Same Arrow-batched plumbing."""
+    from p2_mapreduce_spark.mapreduce import _ship_by_value
+
+    _ship_by_value(_decode_pgm)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            parsed = _decode_pgm(payload or b"")
+            if parsed is None:
+                return 0, 0, 0, 0, 0, 0
+            w, h, grid = parsed
+            px = [v for row in grid for v in row]
+            return w, h, len(px), sum(px), min(px), max(px)
+
+        for pdf in it:
+            vals = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": [v[0] for v in vals],
+                    "height": [v[1] for v in vals],
+                    "n_pixels": [v[2] for v in vals],
+                    "sum_px": [v[3] for v in vals],
+                    "min_px": [v[4] for v in vals],
+                    "max_px": [v[5] for v in vals],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, width int, height int, n_pixels long,"
+            " sum_px long, min_px long, max_px long"
+        ),
+    )

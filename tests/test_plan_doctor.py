@@ -108,6 +108,8 @@ FUNNEL_REVIEWED = {
     # ansari/wilcoxon pool ranks at DAY grain (calendar-bounded, the
     # kruskal pattern); page_trend's one-row L fold
     "ansari_bradley", "wilcoxon_signed", "page_trend",
+    # stump_gini: one-row global (n, p) label-total aggregate broadcast
+    "stump_gini",
     "ab_conversion", "benford", "bitmap_count", "bm25_search", "bounce_rate",
     "chi2_drift", "compaction_plan", "conversion_lag", "cramers_v",
     "cumulative_revenue",

@@ -1186,3 +1186,86 @@ class TestTiffCodec:
         bad = bytearray(good)
         bad[-4:] = (1).to_bytes(4, "big" if good[:2] == b"MM" else "little")
         assert _decode_tiff(bytes(bad)) is None
+
+
+class TestPgmAndStump:
+    def test_pgm_grammar_and_quarantine(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.multimodal import (
+            _decode_pgm,
+            attach_pgm,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        rows = attach_pgm(docs).orderBy("media_id").limit(6).collect()
+        for r in rows:
+            mid = r["media_id"]
+            payload = bytes(r["payload"])
+            if mid % 3 == 0:
+                assert b"# synthetic\n" in payload  # comment exercised
+            w, h, grid = _decode_pgm(payload)
+            assert (w, h) == (4 + mid % 9, 4 + (mid * 7) % 9)
+            base = (mid % 24) * 3
+            assert grid[0][0] == base % 256
+        good = bytes(rows[1]["payload"])
+        assert _decode_pgm(b"P2" + good[2:]) is None  # ASCII variant
+        assert _decode_pgm(good[:-1]) is None  # short pixel block
+        assert _decode_pgm(good + b"\x00") is None  # overlong block
+        # maxval != 255
+        bad = good.replace(b"255\n", b"65535\n", 1)
+        assert _decode_pgm(bad) is None
+
+    def test_stump_gini_matches_textbook(self, spark, sf_dir):
+        import math
+        from collections import defaultdict
+
+        from p2_mapreduce_spark.operators.curation import stump_gini
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        got = {
+            r["feature"]: (r["gini_parent"], r["gini_split"], r["decrease"])
+            for r in stump_gini(li).collect()
+        }
+        recs = li.select(
+            "l_quantity", "l_discount", "l_shipdate", "l_returnflag"
+        ).collect()
+        n = len(recs)
+        p = sum(1 for r in recs if r["l_returnflag"] == "R")
+        gp = 1 - (p / n) ** 2 - ((n - p) / n) ** 2
+        feats = {
+            "qty_decile": lambda r: math.floor(r["l_quantity"]) // 10,
+            "discount_level": lambda r: math.floor(r["l_discount"] * 100),
+            "ship_month": lambda r: r["l_shipdate"].month,
+        }
+        for name, fn in feats.items():
+            cells = defaultdict(lambda: [0, 0])
+            for r in recs:
+                c = cells[fn(r)]
+                c[0] += 1
+                c[1] += 1 if r["l_returnflag"] == "R" else 0
+            gs = sum(
+                (nb / n) * (1 - (pb / nb) ** 2 - ((nb - pb) / nb) ** 2)
+                for nb, pb in cells.values()
+            )
+            ggp, ggs, gd = got[name]
+            assert abs(ggp - gp) < 1e-12
+            assert abs(ggs - gs) < 1e-12
+            assert abs(gd - (gp - gs)) < 1e-12
+
+    def test_pgm_stump_empty_inputs(self, spark):
+        from p2_mapreduce_spark.operators.curation import stump_gini
+        from p2_mapreduce_spark.operators.multimodal import (
+            attach_pgm,
+            pgm_pixel_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [], "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        )
+        li = spark.createDataFrame(
+            [],
+            "l_orderkey long, l_quantity double, l_extendedprice double,"
+            " l_discount double, l_returnflag string, l_shipdate timestamp",
+        )
+        assert pgm_pixel_stats(attach_pgm(docs)).count() == 0
+        assert stump_gini(li).count() == 0
