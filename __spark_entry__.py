@@ -1895,10 +1895,14 @@ def _q_textrank(spark, sf_dir):
 
 def _q_dup_edge_support(spark, sf_dir):
     """Near-dup edge embeddedness histogram: triangle support per pair
-    edge; support-0 rows are the bridge edges a cautious dedup reviews."""
+    edge; support-0 rows are the bridge edges a cautious dedup reviews.
+    Consumes the MEMOIZED shared pair stage (dedup_closure family)."""
     from p2_mapreduce_spark.operators.dedup import dup_edge_support
 
-    return dup_edge_support(load_table(spark, sf_dir, "documents"))
+    return dup_edge_support(
+        load_table(spark, sf_dir, "documents"),
+        pairs=_shared_ngram_pairs(spark, sf_dir),
+    )
 
 
 def _q_ansari_bradley(spark, sf_dir):
@@ -1978,10 +1982,14 @@ def _q_squared_rank_scale(spark, sf_dir):
 
 def _q_dup_roi(spark, sf_dir):
     """Dedup threshold operating curve: pairs fired + docs dropped per
-    candidate Jaccard threshold from ONE pair-stage pass."""
+    candidate Jaccard threshold, consuming the MEMOIZED shared pair
+    stage (the dedup_closure family; bench names the payer)."""
     from p2_mapreduce_spark.operators.dedup import dedup_roi_curve
 
-    return dedup_roi_curve(load_table(spark, sf_dir, "documents"))
+    return dedup_roi_curve(
+        load_table(spark, sf_dir, "documents"),
+        pairs=_shared_ngram_pairs(spark, sf_dir),
+    )
 
 
 def _q_staleness_audit(spark, sf_dir):

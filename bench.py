@@ -389,6 +389,9 @@ _SHARED_STAGE_FAMILIES = {
         "dup_clusters_star",
         "golden_record",
         "dup_matrix",
+        # round-8 consumers of the same memoized pair stage
+        "dup_roi",
+        "dup_edge_support",
     ),
     # panel-filtered (s, c) incidence list (link-prediction family,
     # VERDICT r06 item 5)

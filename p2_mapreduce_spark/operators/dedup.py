@@ -1557,6 +1557,7 @@ def dedup_roi_curve(
     docs: DataFrame,
     thresholds: tuple = (0.5, 0.6, 0.7, 0.8, 0.9),
     n: int = 3,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup operating curve: for each candidate Jaccard threshold, how
     many near-dup pairs fire and how many documents the keep-lowest-id
@@ -1577,8 +1578,8 @@ def dedup_roi_curve(
     threshold, drop_ratio over the full corpus count — exact integers
     + one division.
     """
-    base = min(thresholds)
-    pairs = ngram_jaccard_pairs(docs, threshold=base, n=n)
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(docs, threshold=min(thresholds), n=n)
     tdf = docs.sparkSession.createDataFrame(
         [(float(t),) for t in sorted(thresholds)], "threshold double"
     )
@@ -1612,7 +1613,11 @@ def dedup_roi_curve(
     )
 
 
-def dup_edge_support(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def dup_edge_support(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
     """Embeddedness histogram of the near-dup pair graph: for every
     near-dup edge, how many OTHER documents are near-dups of both
     endpoints (its triangle support), summarized as (support →
@@ -1636,11 +1641,18 @@ def dup_edge_support(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     # times (edges + both witness sides) and the shingle-join pair
     # stage is the expensive part — without this the stage recomputes
     # 3x (measured 6.6 s -> ~2 s at sf0.1, 43 s -> ~14 s at sf1)
-    pairs = (
-        ngram_jaccard_pairs(docs, threshold=threshold)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
-    )
+    if pairs is None:
+        pairs = (
+            ngram_jaccard_pairs(docs, threshold=threshold)
+            .select("doc_a", "doc_b")
+            .localCheckpoint()
+        )
+    else:
+        # caller supplies the (possibly memoized) pair stage — already
+        # materialized, so no extra checkpoint here
+        pairs = pairs.filter(F.col("jaccard") >= threshold).select(
+            "doc_a", "doc_b"
+        )
     sym = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(
