@@ -377,6 +377,12 @@ PYTHON_ALLOWED = {
     # round 7: YUV4MPEG2 raw-video parse — same Arrow-batched payload
     # kernel justification (y4m_frame_stats)
     "video_y4m",
+    # round 8: baseline TIFF (II/MM tag-directory walk) — same
+    # Arrow-batched payload kernel justification (tiff_pixel_stats)
+    "media_tiff",
+    # round 8: binary PGM (netpbm ASCII-grammar header) — same
+    # Arrow-batched payload kernel justification (pgm_pixel_stats)
+    "media_pgm",
 }
 
 
