@@ -1818,7 +1818,14 @@ def hits_scores(
     aggregate).  Output: (node, side, score_q, score) for every node,
     side ∈ hub/auth, score = score_q / max(score_q within side).
     """
-    e = edges.select("src", "dst")
+    # materialize the edge list once (read 2·iterations times) and the
+    # final score tables once each — the hub/auth mutual recursion
+    # otherwise RECOMPUTES the whole chain for every consumer (scores +
+    # the max aggregate on each side: 4.0 s → ~3.0 s solo at sf0.1;
+    # the remaining cost is the edge-derivation join + the iteration
+    # shuffles themselves, in line with pagerank_trade's 2.5 s), the
+    # pagerank per-round localCheckpoint discipline
+    e = edges.select("src", "dst").localCheckpoint()
     # h0 = 1 per distinct source
     hub = e.select("src").distinct().select(
         "src", F.lit(1).cast("bigint").alias("h")
@@ -1835,6 +1842,8 @@ def hits_scores(
             .groupBy("src")
             .agg(F.sum("a").cast("bigint").alias("h"))
         )
+    auth = auth.localCheckpoint()
+    hub = hub.localCheckpoint()
     h_max = hub.agg(F.max("h").alias("m"))
     a_max = auth.agg(F.max("a").alias("m"))
     hubs = hub.crossJoin(F.broadcast(h_max)).select(
