@@ -1865,6 +1865,29 @@ def _q_media_tiff(spark, sf_dir):
     return tiff_pixel_stats(attach_tiff(docs))
 
 
+def _q_cronbach_alpha(spark, sf_dir):
+    """Cronbach's alpha over the doc-size item trio — one-scan exact
+    moment sums, pinned variance trees."""
+    from p2_mapreduce_spark.operators.text_analysis import cronbach_alpha
+
+    return cronbach_alpha(load_table(spark, sf_dir, "documents"))
+
+
+def _q_lins_ccc(spark, sf_dir):
+    """Lin's concordance correlation on day-paired view/click revenues
+    — population moments per Lin 1989, precision x accuracy split."""
+    from p2_mapreduce_spark.operators.timeseries import lins_ccc
+
+    return lins_ccc(load_table(spark, sf_dir, "events"))
+
+
+def _q_bland_altman(spark, sf_dir):
+    """Bland-Altman limits of agreement on the same day pairs."""
+    from p2_mapreduce_spark.operators.timeseries import bland_altman
+
+    return bland_altman(load_table(spark, sf_dir, "events"))
+
+
 def _q_media_pgm(spark, sf_dir):
     """REAL binary-PGM decode: full netpbm ASCII header grammar
     (whitespace tokens + '#' comments), raw pixel block, exact stats."""
@@ -4426,6 +4449,8 @@ _ROUND8_NEW = (
     # round-8 media plane: 4th/5th still formats (tag-directory TIFF,
     # ASCII-grammar PGM) + the ML-prep feature screen
     "media_tiff", "media_pgm", "stump_gini",
+    # round-8 reliability / method-comparison batch
+    "cronbach_alpha", "lins_ccc", "bland_altman",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -4697,6 +4722,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_tiff": _q_media_tiff,
         "media_pgm": _q_media_pgm,
         "stump_gini": _q_stump_gini,
+        "cronbach_alpha": _q_cronbach_alpha,
+        "lins_ccc": _q_lins_ccc,
+        "bland_altman": _q_bland_altman,
         "ccf_daily": _q_ccf_daily,
         "croston": _q_croston,
         "rmst": _q_rmst,
@@ -16864,6 +16892,136 @@ def oracle_sql() -> dict[str, str]:
                CAST(MIN(v) AS BIGINT) AS min_px,
                CAST(MAX(v) AS BIGINT) AS max_px
         FROM px GROUP BY media_id, w, h
+    """
+    # Cronbach twin: same item trio from the shared tokenizer, exact
+    # moment sums, pinned variance/alpha trees.
+    out["cronbach_alpha"] = f"""
+        WITH items AS (
+            SELECT n_chars AS x1,
+                   CAST(len(t) AS BIGINT) AS x2,
+                   CAST(len(list_distinct(t)) AS BIGINT) AS x3,
+                   n_chars + CAST(len(t) AS BIGINT)
+                           + CAST(len(list_distinct(t)) AS BIGINT) AS t_
+            FROM ({toks})
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x1) AS BIGINT) AS s_x1,
+                   CAST(SUM(x2) AS BIGINT) AS s_x2,
+                   CAST(SUM(x3) AS BIGINT) AS s_x3,
+                   CAST(SUM(t_) AS BIGINT) AS s_t,
+                   SUM(CAST(x1 AS HUGEINT) * CAST(x1 AS HUGEINT)) AS q_x1,
+                   SUM(CAST(x2 AS HUGEINT) * CAST(x2 AS HUGEINT)) AS q_x2,
+                   SUM(CAST(x3 AS HUGEINT) * CAST(x3 AS HUGEINT)) AS q_x3,
+                   SUM(CAST(t_ AS HUGEINT) * CAST(t_ AS HUGEINT)) AS q_t
+            FROM items
+        ),
+        v AS (
+            SELECT n,
+                   (CAST(n AS DOUBLE) * {_bd('q_x1')}
+                    - CAST(s_x1 AS DOUBLE) * CAST(s_x1 AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0))
+                   + (CAST(n AS DOUBLE) * {_bd('q_x2')}
+                      - CAST(s_x2 AS DOUBLE) * CAST(s_x2 AS DOUBLE))
+                     / (CAST(n AS DOUBLE)
+                        * (CAST(n AS DOUBLE) - 1.0e0))
+                   + (CAST(n AS DOUBLE) * {_bd('q_x3')}
+                      - CAST(s_x3 AS DOUBLE) * CAST(s_x3 AS DOUBLE))
+                     / (CAST(n AS DOUBLE)
+                        * (CAST(n AS DOUBLE) - 1.0e0)) AS var_items,
+                   (CAST(n AS DOUBLE) * {_bd('q_t')}
+                    - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0))
+                       AS var_total
+            FROM agg
+        )
+        SELECT n AS n_docs, var_items AS var_items_sum, var_total,
+               3.0e0 / 2.0e0 * (1.0e0 - var_items / var_total) AS alpha
+        FROM v WHERE n > 1 AND var_total > 0.0e0
+    """
+    # Lin's CCC twin: population moments over day pairs, pinned trees.
+    out["lins_ccc"] = f"""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev}
+            WHERE event_type IN ('view', 'click')
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.y AS x, b.y AS y
+            FROM (SELECT d, y FROM daily WHERE g = 'view') a
+            JOIN (SELECT d, y FROM daily WHERE g = 'click') b
+              ON a.d = b.d
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                   SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+                   SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+            FROM pairs
+        ),
+        m AS (
+            SELECT n,
+                   CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+                   CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+                   {_bd('sxx')} / CAST(n AS DOUBLE)
+                   - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS vx,
+                   {_bd('syy')} / CAST(n AS DOUBLE)
+                   - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS vy,
+                   {_bd('sxy')} / CAST(n AS DOUBLE)
+                   - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cov
+            FROM agg
+        )
+        SELECT n AS n_pairs,
+               cov / sqrt(vx * vy) AS pearson_r,
+               (2.0e0 * cov / (vx + vy + (mx - my) * (mx - my)))
+                   / (cov / sqrt(vx * vy)) AS c_b,
+               2.0e0 * cov / (vx + vy + (mx - my) * (mx - my)) AS ccc
+        FROM m WHERE n > 1 AND vx > 0.0e0 AND vy > 0.0e0
+    """
+    # Bland-Altman twin: exact difference moments, literal 1.96.
+    out["bland_altman"] = f"""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM {ev}
+            WHERE event_type IN ('view', 'click')
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.y - b.y AS diff
+            FROM (SELECT d, y FROM daily WHERE g = 'view') a
+            JOIN (SELECT d, y FROM daily WHERE g = 'click') b
+              ON a.d = b.d
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(diff) AS BIGINT) AS s,
+                   SUM(CAST(diff AS HUGEINT) * CAST(diff AS HUGEINT))
+                       AS q
+            FROM pairs
+        ),
+        m AS (
+            SELECT n,
+                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+                   sqrt((CAST(n AS DOUBLE) * {_bd('q')}
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) - 1.0e0))) AS sd_c
+            FROM agg
+        )
+        SELECT n AS n_pairs,
+               mean_c / 100.0e0 AS mean_diff,
+               sd_c / 100.0e0 AS sd_diff,
+               (mean_c - 1.96e0 * sd_c) / 100.0e0 AS loa_low,
+               (mean_c + 1.96e0 * sd_c) / 100.0e0 AS loa_high
+        FROM m WHERE n > 1
     """
     # PGM twin: the builder's pixel formula closed-form per id — a
     # header-tokenizer or comment-handling bug breaks the hash.

@@ -1559,3 +1559,61 @@ def textrank_keywords(
         "rank_q",
         F.row_number().over(w).cast("bigint").alias("rnk"),
     )
+
+
+def cronbach_alpha(docs: DataFrame) -> DataFrame:
+    """Cronbach's α over the document-size "item" trio (characters,
+    tokens, distinct tokens — the fleiss_kappa raters kept at their
+    raw scales): the internal-consistency coefficient ``α = k/(k−1) ·
+    (1 − Σσ²ᵢ / σ²_total)`` — the reliability-analysis complement of
+    fleiss_kappa (kappa asks "do categorical raters agree?"; alpha
+    asks "do continuous items measure one construct?").
+
+    Exactness: per-item and total-score sums/squares are exact BIGINT/
+    DECIMAL(38,0) from ONE scan (items derive in-row); sample
+    variances clear means by ``(n·Σx² − (Σx)²)/(n(n−1))`` in pinned
+    trees, the Σσ²ᵢ fold is k = 3 FIXED columns added in textual
+    order, and α is one final tree.  Output one row: (n_docs,
+    var_items_sum, var_total, alpha); zero rows when n < 2 or the
+    total variance degenerates.
+    """
+    toks = spread(docs).select(
+        F.col("n_chars").alias("x1"),
+        F.size(tokens_array(F.col("text"))).cast("bigint").alias("x2"),
+        F.size(F.array_distinct(tokens_array(F.col("text"))))
+        .cast("bigint")
+        .alias("x3"),
+    ).withColumn("t", F.col("x1") + F.col("x2") + F.col("x3"))
+    dd = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    agg = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[F.sum(c).cast("bigint").alias(f"s_{c}") for c in ("x1", "x2", "x3", "t")],
+        *[
+            F.sum(dd(c) * dd(c)).cast("decimal(38,0)").alias(f"q_{c}")
+            for c in ("x1", "x2", "x3", "t")
+        ],
+    )
+    two60 = 1152921504606846976
+
+    def big_dbl(col: str):
+        hi = F.expr(f"{col} div {two60}").cast("double")
+        lo = F.expr(f"CAST({col} % {two60} AS BIGINT)").cast("double")
+        return hi * F.lit(float(two60)) + lo
+
+    n = F.col("n").cast("double")
+
+    def var(c: str):
+        s = F.col(f"s_{c}").cast("double")
+        return (n * big_dbl(f"q_{c}") - s * s) / (n * (n - F.lit(1.0)))
+
+    var_items = var("x1") + var("x2") + var("x3")
+    var_total = var("t")
+    alpha = (
+        F.lit(3.0) / F.lit(2.0) * (F.lit(1.0) - var_items / var_total)
+    )
+    return agg.filter((F.col("n") > 1) & (var_total > 0.0)).select(
+        F.col("n").alias("n_docs"),
+        var_items.alias("var_items_sum"),
+        var_total.alias("var_total"),
+        alpha.alias("alpha"),
+    )

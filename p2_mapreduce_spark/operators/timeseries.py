@@ -4105,3 +4105,123 @@ def dixon_q(events: DataFrame, group_col: str = "event_type") -> DataFrame:
         )
         .orderBy(group_col)
     )
+
+
+def _day_paired_cents(
+    events: DataFrame, group_a: str, group_b: str, group_col: str
+) -> DataFrame:
+    """(x, y) exact daily cents of two groups inner-joined on calendar
+    day — the shared pairing of wilcoxon_signed / lins_ccc /
+    bland_altman."""
+    daily = _daily_cents(
+        events.filter(F.col(group_col).isin(group_a, group_b)), group_col
+    )
+    a = daily.filter(F.col("g") == group_a).select(
+        "d", F.col("y").alias("x")
+    )
+    b = daily.filter(F.col("g") == group_b).select(
+        "d", F.col("y").alias("y")
+    )
+    return a.join(b, "d").select("x", "y")
+
+
+def lins_ccc(
+    events: DataFrame,
+    group_a: str = "view",
+    group_b: str = "click",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Lin's concordance correlation coefficient between two groups'
+    day-paired daily revenues: ``CCC = 2·s_xy / (s_x² + s_y² +
+    (x̄−ȳ)²)`` (population moments, Lin 1989) — agreement along the
+    45° line, the method-comparison statistic that penalizes both
+    scatter (like Pearson) AND location/scale bias (unlike Pearson).
+    CCC = r·C_b factors into precision (r) and accuracy (the bias
+    correction C_b), both reported.
+
+    Exactness: the five sufficient statistics over day pairs are exact
+    (BIGINT / DECIMAL(38,0) with the hi/lo 2⁶⁰ conversion); CCC, r,
+    and C_b are pinned IEEE trees.  Output one row: (n_pairs,
+    pearson_r, c_b, ccc); zero rows without ≥ 2 pairs or degenerate
+    variance on either side.
+    """
+    pairs = _day_paired_cents(events, group_a, group_b, group_col)
+    dd = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(dd("x") * dd("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dd("y") * dd("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(dd("x") * dd("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    two60 = 1152921504606846976
+
+    def big_dbl(col: str):
+        hi = F.expr(f"{col} div {two60}").cast("double")
+        lo = F.expr(f"CAST({col} % {two60} AS BIGINT)").cast("double")
+        return hi * F.lit(float(two60)) + lo
+
+    n = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / n
+    my = F.col("sy").cast("double") / n
+    # population (1/n) moments, per Lin's original definition
+    vx = big_dbl("sxx") / n - mx * mx
+    vy = big_dbl("syy") / n - my * my
+    cov = big_dbl("sxy") / n - mx * my
+    ccc = F.lit(2.0) * cov / (vx + vy + (mx - my) * (mx - my))
+    r = cov / F.sqrt(vx * vy)
+    return agg.filter(
+        (F.col("n") > 1) & (vx > 0.0) & (vy > 0.0)
+    ).select(
+        F.col("n").alias("n_pairs"),
+        r.alias("pearson_r"),
+        (ccc / r).alias("c_b"),
+        ccc.alias("ccc"),
+    )
+
+
+def bland_altman(
+    events: DataFrame,
+    group_a: str = "view",
+    group_b: str = "click",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Bland-Altman limits of agreement on the same day-paired series:
+    mean difference ± 1.96·SD(differences) — the method-comparison
+    companion of :func:`lins_ccc` (CCC gives one number; Bland-Altman
+    gives the INTERVAL a difference should fall in, the form clinical
+    and measurement studies actually report).
+
+    Exactness: differences are exact BIGINT cents; mean and sample SD
+    come from exact sums via pinned trees, the 1.96 multiplier is a
+    literal, and the surface divides by 100 once.  Output one row:
+    (n_pairs, mean_diff, sd_diff, loa_low, loa_high); zero rows
+    without ≥ 2 pairs.
+    """
+    pairs = _day_paired_cents(events, group_a, group_b, group_col).select(
+        (F.col("x") - F.col("y")).alias("diff")
+    )
+    dd = F.col("diff").cast("decimal(19,0)")
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("diff").cast("bigint").alias("s"),
+        F.sum(dd * dd).cast("decimal(38,0)").alias("q"),
+    )
+    two60 = 1152921504606846976
+    hi = F.expr(f"q div {two60}").cast("double")
+    lo = F.expr(f"CAST(q % {two60} AS BIGINT)").cast("double")
+    qd = hi * F.lit(float(two60)) + lo
+    n = F.col("n").cast("double")
+    mean_c = F.col("s").cast("double") / n
+    sd_c = F.sqrt(
+        (n * qd - F.col("s").cast("double") * F.col("s").cast("double"))
+        / (n * (n - F.lit(1.0)))
+    )
+    return agg.filter(F.col("n") > 1).select(
+        F.col("n").alias("n_pairs"),
+        (mean_c / F.lit(100.0)).alias("mean_diff"),
+        (sd_c / F.lit(100.0)).alias("sd_diff"),
+        ((mean_c - F.lit(1.96) * sd_c) / F.lit(100.0)).alias("loa_low"),
+        ((mean_c + F.lit(1.96) * sd_c) / F.lit(100.0)).alias("loa_high"),
+    )

@@ -110,6 +110,8 @@ FUNNEL_REVIEWED = {
     "ansari_bradley", "wilcoxon_signed", "page_trend",
     # stump_gini: one-row global (n, p) label-total aggregate broadcast
     "stump_gini",
+    # reliability batch: one-row global sufficient-statistic aggregates
+    "cronbach_alpha", "lins_ccc", "bland_altman",
     "ab_conversion", "benford", "bitmap_count", "bm25_search", "bounce_rate",
     "chi2_drift", "compaction_plan", "conversion_lag", "cramers_v",
     "cumulative_revenue",

@@ -1269,3 +1269,92 @@ class TestPgmAndStump:
         )
         assert pgm_pixel_stats(attach_pgm(docs)).count() == 0
         assert stump_gini(li).count() == 0
+
+
+class TestReliabilityBatch:
+    def test_cronbach_matches_textbook(self, spark, sf_dir):
+        import re
+        import statistics
+
+        from p2_mapreduce_spark.operators.text_analysis import (
+            cronbach_alpha,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        row = cronbach_alpha(docs).collect()[0]
+        recs = docs.select("text", "n_chars").collect()
+        x1, x2, x3 = [], [], []
+        for r in recs:
+            toks = [w for w in re.split(r"[^a-z0-9]+", r["text"].lower()) if w]
+            x1.append(r["n_chars"])
+            x2.append(len(toks))
+            x3.append(len(set(toks)))
+        tot = [a + b + c for a, b, c in zip(x1, x2, x3)]
+        vi = sum(statistics.variance(x) for x in (x1, x2, x3))
+        vt = statistics.variance(tot)
+        alpha = 1.5 * (1 - vi / vt)
+        assert row["n_docs"] == len(recs)
+        assert abs(row["alpha"] - alpha) < 1e-9
+
+    def test_lins_ccc_and_bland_altman_match_textbook(self, spark, sf_dir):
+        import math
+        from collections import defaultdict
+
+        from p2_mapreduce_spark.operators.timeseries import (
+            bland_altman,
+            lins_ccc,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ccc_row = lins_ccc(ev).collect()[0]
+        ba_row = bland_altman(ev).collect()[0]
+        daily = defaultdict(int)
+        for r in ev.select("event_type", "ts", "value").collect():
+            if r["event_type"] in ("view", "click"):
+                daily[(r["event_type"], r["ts"].date())] += math.floor(
+                    r["value"] * 100
+                )
+        days = {d for g, d in daily if g == "view"} & {
+            d for g, d in daily if g == "click"
+        }
+        xs = [daily[("view", d)] for d in sorted(days)]
+        ys = [daily[("click", d)] for d in sorted(days)]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        vx = sum((v - mx) ** 2 for v in xs) / n
+        vy = sum((v - my) ** 2 for v in ys) / n
+        cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / n
+        ccc = 2 * cov / (vx + vy + (mx - my) ** 2)
+        r = cov / math.sqrt(vx * vy)
+        assert ccc_row["n_pairs"] == n
+        assert abs(ccc_row["ccc"] - ccc) < 1e-9
+        assert abs(ccc_row["pearson_r"] - r) < 1e-9
+        assert abs(ccc_row["c_b"] - ccc / r) < 1e-9
+        diffs = [a - b for a, b in zip(xs, ys)]
+        md = sum(diffs) / n
+        sd = math.sqrt(sum((d - md) ** 2 for d in diffs) / (n - 1))
+        assert abs(ba_row["mean_diff"] - md / 100) < 1e-6
+        assert abs(ba_row["sd_diff"] - sd / 100) < 1e-6
+        assert abs(ba_row["loa_high"] - (md + 1.96 * sd) / 100) < 1e-6
+
+    def test_reliability_empty_inputs(self, spark):
+        from p2_mapreduce_spark.operators.text_analysis import (
+            cronbach_alpha,
+        )
+        from p2_mapreduce_spark.operators.timeseries import (
+            bland_altman,
+            lins_ccc,
+        )
+
+        docs = spark.createDataFrame(
+            [], "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        )
+        ev = spark.createDataFrame(
+            [],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        assert cronbach_alpha(docs).count() == 0
+        assert lins_ccc(ev).count() == 0
+        assert bland_altman(ev).count() == 0
