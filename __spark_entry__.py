@@ -1865,6 +1865,14 @@ def _q_media_tiff(spark, sf_dir):
     return tiff_pixel_stats(attach_tiff(docs))
 
 
+def _q_risk_ratio(spark, sf_dir):
+    """Relative risk + risk difference on the odds_ratio 2x2 — the
+    epidemiology trio completed from one user-grain table."""
+    from p2_mapreduce_spark.operators.events_analytics import risk_ratio
+
+    return risk_ratio(load_table(spark, sf_dir, "events"))
+
+
 def _q_cronbach_alpha(spark, sf_dir):
     """Cronbach's alpha over the doc-size item trio — one-scan exact
     moment sums, pinned variance trees."""
@@ -4451,6 +4459,8 @@ _ROUND8_NEW = (
     "media_tiff", "media_pgm", "stump_gini",
     # round-8 reliability / method-comparison batch
     "cronbach_alpha", "lins_ccc", "bland_altman",
+    # round-8 epidemiology-trio completion
+    "risk_ratio",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -4723,6 +4733,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pgm": _q_media_pgm,
         "stump_gini": _q_stump_gini,
         "cronbach_alpha": _q_cronbach_alpha,
+        "risk_ratio": _q_risk_ratio,
         "lins_ccc": _q_lins_ccc,
         "bland_altman": _q_bland_altman,
         "ccf_daily": _q_ccf_daily,
@@ -14934,6 +14945,54 @@ def oracle_sql() -> dict[str, str]:
                   * (CAST(c AS DOUBLE) + 0.5)) AS odds_ratio
         FROM a WHERE a + b + c + d > 0
     """
+    out["risk_ratio"] = f'''
+        WITH firsts AS (
+            SELECT user_id, event_type AS first_type
+            FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn
+                FROM {ev}
+            ) WHERE rn = 1
+        ),
+        outc AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS o
+            FROM {ev} GROUP BY 1
+        ),
+        fl AS (
+            SELECT CAST(first_type = 'view' AS INT) AS e, o
+            FROM firsts JOIN outc USING (user_id)
+        ),
+        ag AS (
+            SELECT CAST(SUM(e * o) AS BIGINT) AS a,
+                   CAST(SUM(e * (1 - o)) AS BIGINT) AS b,
+                   CAST(SUM((1 - e) * o) AS BIGINT) AS c,
+                   CAST(SUM((1 - e) * (1 - o)) AS BIGINT) AS d
+            FROM fl
+        )
+        SELECT CAST(a + b AS BIGINT) AS n_exposed,
+               CAST(c + d AS BIGINT) AS n_unexposed,
+               CASE WHEN a + b > 0
+                    THEN CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE)
+                    ELSE 0.0e0 END AS risk_exposed,
+               CASE WHEN c + d > 0
+                    THEN CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE)
+                    ELSE 0.0e0 END AS risk_unexposed,
+               CASE WHEN a + b > 0 AND c + d > 0
+                         AND CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE)
+                             > 0.0e0
+                    THEN (CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
+                         / (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE))
+                    ELSE 0.0e0 END AS risk_ratio,
+               CASE WHEN a + b > 0 AND c + d > 0
+                    THEN CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE)
+                         - CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE)
+                    ELSE 0.0e0 END AS risk_diff
+        FROM ag WHERE a + b + c + d > 0
+    '''
     out["burstiness"] = f"""
         WITH tok AS (SELECT doc_id, unnest(t) AS token FROM ({toks})),
         per AS (

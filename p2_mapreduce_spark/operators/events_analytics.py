@@ -2349,3 +2349,60 @@ def stuart_maxwell(events: DataFrame) -> DataFrame:
         F.when(det > 0.0, chi2).otherwise(F.lit(0.0)).alias("chi2"),
         F.lit(2).cast("bigint").alias("df"),
     ).filter(F.col("n_users") > 0)
+
+
+def risk_ratio(
+    events: DataFrame,
+    exposure_type: str = "view",
+    outcome_type: str = "purchase",
+) -> DataFrame:
+    """Relative risk + risk difference on :func:`odds_ratio`'s exact
+    2×2 table — the other two thirds of the epidemiology trio: OR is
+    symmetric and case-control-safe; RR = [a/(a+b)] / [c/(c+d)] is the
+    number people actually mean by "X times more likely", and
+    RD = a/(a+b) − c/(c+d) is the absolute-impact form (1/RD = number
+    needed to treat).  Same exposure/outcome construction (first event
+    by (ts, event_id); ever-fires outcome) so the three measures read
+    off ONE user-grain table.
+
+    Exactness: the four cells are exact BIGINTs; each risk is one IEEE
+    division and RR/RD are pinned trees; degenerate margins (no
+    exposed or no unexposed users) emit 0.0 sentinels rather than
+    dividing by zero.  Output: one row (n_exposed, n_unexposed,
+    risk_exposed, risk_unexposed, risk_ratio, risk_diff).
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.min(
+            F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+        )["event_type"].alias("first_type"),
+        F.max(
+            (F.col("event_type") == outcome_type).cast("int")
+        ).alias("outcome"),
+    )
+    flags = per_user.select(
+        (F.col("first_type") == exposure_type).cast("int").alias("e"),
+        F.col("outcome").alias("o"),
+    )
+    agg = flags.agg(
+        F.sum(F.col("e") * F.col("o")).cast("bigint").alias("a"),
+        F.sum(F.col("e") * (1 - F.col("o"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("e")) * F.col("o")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("e")) * (1 - F.col("o")))
+        .cast("bigint")
+        .alias("d"),
+    )
+    ne = F.col("a") + F.col("b")
+    nu = F.col("c") + F.col("d")
+    re_ = F.col("a").cast("double") / ne.cast("double")
+    ru = F.col("c").cast("double") / nu.cast("double")
+    ok = (ne > 0) & (nu > 0)
+    return agg.select(
+        ne.alias("n_exposed"),
+        nu.alias("n_unexposed"),
+        F.when(ne > 0, re_).otherwise(F.lit(0.0)).alias("risk_exposed"),
+        F.when(nu > 0, ru).otherwise(F.lit(0.0)).alias("risk_unexposed"),
+        F.when(ok & (ru > 0.0), re_ / ru)
+        .otherwise(F.lit(0.0))
+        .alias("risk_ratio"),
+        F.when(ok, re_ - ru).otherwise(F.lit(0.0)).alias("risk_diff"),
+    ).filter((ne + nu) > 0)

@@ -112,6 +112,8 @@ FUNNEL_REVIEWED = {
     "stump_gini",
     # reliability batch: one-row global sufficient-statistic aggregates
     "cronbach_alpha", "lins_ccc", "bland_altman",
+    # risk_ratio: the odds_ratio one-row 2x2 aggregate
+    "risk_ratio",
     "ab_conversion", "benford", "bitmap_count", "bm25_search", "bounce_rate",
     "chi2_drift", "compaction_plan", "conversion_lag", "cramers_v",
     "cumulative_revenue",

@@ -1358,3 +1358,41 @@ class TestReliabilityBatch:
         assert cronbach_alpha(docs).count() == 0
         assert lins_ccc(ev).count() == 0
         assert bland_altman(ev).count() == 0
+
+
+def test_risk_ratio_matches_textbook_and_empty(spark, sf_dir):
+    from collections import defaultdict
+
+    from p2_mapreduce_spark.operators.events_analytics import risk_ratio
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    row = risk_ratio(ev).collect()[0]
+    per = defaultdict(lambda: [None, 0])
+    for r in sorted(
+        ev.select("user_id", "ts", "event_id", "event_type").collect(),
+        key=lambda r: (r["ts"], r["event_id"]),
+    ):
+        u = per[r["user_id"]]
+        if u[0] is None:
+            u[0] = r["event_type"]
+        if r["event_type"] == "purchase":
+            u[1] = 1
+    a = sum(1 for f, o in per.values() if f == "view" and o)
+    b = sum(1 for f, o in per.values() if f == "view" and not o)
+    c = sum(1 for f, o in per.values() if f != "view" and o)
+    d = sum(1 for f, o in per.values() if f != "view" and not o)
+    assert (row["n_exposed"], row["n_unexposed"]) == (a + b, c + d)
+    if a + b > 0 and c + d > 0:
+        re_, ru = a / (a + b), c / (c + d)
+        if ru > 0:
+            assert abs(row["risk_ratio"] - re_ / ru) < 1e-12
+        assert abs(row["risk_diff"] - (re_ - ru)) < 1e-12
+    else:
+        # degenerate margin: the operator's documented 0.0 sentinels
+        assert row["risk_ratio"] == 0.0 and row["risk_diff"] == 0.0
+    empty = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    assert risk_ratio(empty).count() == 0
