@@ -1627,12 +1627,22 @@ def dup_edge_support(
     edge alike; this ranks their evidence), the structural-cohesion
     audit of the provenance matrix family.
 
-    One pair-stage pass + one wedge join: support(a,b) =
-    |{x: (a,x) ∈ E ∧ (b,x) ∈ E}| via the symmetrized edge list joined
-    to itself on the witness x — the standard triangle-support shape
-    (at 100 TB: oriented by degree like triangle_stats; the pair graph
-    is MAX_DF-capped so hub blowup is bounded upstream).  Exact
-    integer counts throughout.
+    Degree-ordered wedge kernel (the same Cohen / Suri-Vassilvitskii
+    orientation as ``triangle_stats``): every pair edge is directed
+    from its lower-``(degree, id)`` endpoint to the higher, wedges are
+    enumerated only between a node's HIGHER-keyed out-neighbors
+    (out-degree bounded O(sqrt(m)), so a hub of degree d contributes
+    O(m) oriented wedges, never d·(d-1)/2 in one task), and each
+    closed wedge yields its triangle exactly once.  Each triangle is
+    then exploded to its three canonical edges and counted per edge:
+    support(a,b) = |{x: (a,x) ∈ E ∧ (b,x) ∈ E}| — identical values to
+    the naive symmetric self-join (Σ deg² work), pinned equal in
+    tests/test_round8_ops.py, but the wedge volume is Σ out-deg²
+    ≤ O(m^1.5) so the sf0.1→sf1 ratio tracks edge growth, not
+    squared-degree growth (SCALE.md r8 panel's 3.7× residual).  The
+    orientation key packs ``degree * 2^32 + doc_id`` into one exact
+    BIGINT (doc ids are < 2^32 at every SF).  Exact integer counts
+    throughout.
 
     Output: (support, n_edges) ascending; bridges are the support-0
     row.
@@ -1653,18 +1663,77 @@ def dup_edge_support(
         pairs = pairs.filter(F.col("jaccard") >= threshold).select(
             "doc_a", "doc_b"
         )
-    sym = pairs.select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionByName(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
     )
-    wa = sym.select(F.col("u").alias("doc_a"), F.col("v").alias("x"))
-    wb = sym.select(F.col("u").alias("doc_b"), F.col("v").alias("x"))
-    closed = (
-        pairs.join(wa, "doc_a")
-        .join(wb, ["doc_b", "x"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    keyed = deg.select(
+        "node", (F.col("deg") * F.lit(2**32) + F.col("node")).alias("k")
+    )
+    # node-grain lookups (|V| rows) — AQE broadcasts them when they fit
+    ek = (
+        pairs.join(
+            keyed.select(F.col("node").alias("doc_a"), F.col("k").alias("ka")),
+            "doc_a",
+        )
+        .join(
+            keyed.select(F.col("node").alias("doc_b"), F.col("k").alias("kb")),
+            "doc_b",
+        )
+        .select(
+            F.when(F.col("ka") < F.col("kb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("src"),
+            F.when(F.col("ka") < F.col("kb"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("dst"),
+            F.greatest("ka", "kb").alias("kdst"),
+        )
+        # read 3x below (two wedge sides + the closing join); without
+        # this the upstream pair stage re-derives each time
+        .localCheckpoint()
+    )
+    e1, e2 = ek.alias("e1"), ek.alias("e2")
+    triangles = (
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.kdst") < F.col("e2.kdst")),
+        )
+        .select(
+            F.col("e1.src").alias("u"),
+            F.col("e1.dst").alias("v"),
+            F.col("e2.dst").alias("w"),
+        )
+        .join(
+            ek.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+            ["v", "w"],
+        )
+    )
+    # each triangle supports each of its three edges once; canonical
+    # (min id, max id) form matches the pair list's doc_a < doc_b
+    tri_edges = triangles.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("u", "v").alias("doc_a"),
+                    F.greatest("u", "v").alias("doc_b"),
+                ),
+                F.struct(
+                    F.least("u", "w").alias("doc_a"),
+                    F.greatest("u", "w").alias("doc_b"),
+                ),
+                F.struct(
+                    F.least("v", "w").alias("doc_a"),
+                    F.greatest("v", "w").alias("doc_b"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.doc_a", "e.doc_b")
+    closed = tri_edges.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("support")
     )
     per_edge = pairs.join(closed, ["doc_a", "doc_b"], "left").select(
         F.coalesce("support", F.lit(0)).cast("bigint").alias("support")
