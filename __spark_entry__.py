@@ -4346,12 +4346,28 @@ def _q_harmonic(spark, sf_dir):
 
 
 #: Query ids that have already appeared in a driver CORRECTNESS_r{N}.json
-#: sample (the union of r01-r07).  The driver verifies the FIRST 50
+#: sample (the union of r01-r08).  The driver verifies the FIRST 50
 #: registered ids each round, so ``queries()`` registers
 #: never-driver-checked ids first — rotating the sample window across the
 #: full suite round over round.  Append each new round's sampled ids here.
-_DRIVER_CHECKED_R01_R07 = frozenset(
+_DRIVER_CHECKED_R01_R08 = frozenset(
     {
+        # --- sampled in r08 (all 50 green, CORRECTNESS_r08.json) ---
+        'ivf_pq_search', 'ivf_pq_recall', 'jarque_bera', 'levene_bf',
+        'mood_median', 'cochran_armitage', 'partial_corr',
+        'ordinal_assoc', 'ar1_forecast', 'seasonal_strength',
+        'granger_lag1', 'rsi_daily', 'price_osc', 'sprt_daily',
+        'hits_trade', 'hellinger_drift', 'stuart_maxwell',
+        'squared_rank_scale', 'dup_roi', 'staleness_audit',
+        'ansari_bradley', 'wilcoxon_signed', 'page_trend', 'cox_stuart',
+        'dixon_q', 'textrank', 'dup_edge_support', 'media_tiff',
+        'media_pgm', 'stump_gini', 'cronbach_alpha', 'lins_ccc',
+        'bland_altman', 'risk_ratio', 'range_join', 'pq_encode',
+        'pq_search', 'lsh_recall', 'column_churn',
+        'revenue_concentration', 'activity_histogram', 'cuped',
+        'nearest_join', 'hybrid_join', 'did', 'partition_advisor',
+        'seasonal_outliers', 'label_separation', 'ivf_append',
+        'funnel_lag',
         # --- sampled in r07 ---
         'ab_quantile_diff', 'acf_lags', 'anova_f', 'audio_flac',
         'audio_flac_lpc', 'audio_g711', 'audio_mp1', 'bday_lag',
@@ -4433,7 +4449,27 @@ _DRIVER_CHECKED_R01_R07 = frozenset(
 
 #: Queries added THIS round (never existed when any driver sample ran) —
 #: registered first so the newest, highest-risk operators are always
-#: inside the driver's 50-query window.
+#: inside the driver's 50-query window.  ROUND 9 IS A CONSOLIDATION
+#: ROUND (r08 verdict item 1): new+changed ids are capped at ~15 so
+#: ≥35 of the driver's 50 slots go to the 149 ids never externally
+#: sampled through r08.
+_ROUND9_NEW = (
+    # first container video codec: MJPEG-in-AVI (r08 verdict item 4)
+    "video_avi_mjpeg",
+)
+
+#: Queries whose implementation or oracle materially CHANGED this round
+#: (r04 ADVICE: a prior driver check validated the OLD code, so changed
+#: ids re-enter the sample window exactly like new ids).
+_ROUND9_CHANGED = (
+    # dup_edge_support — naive symmetric wedge self-join replaced by the
+    # degree-ordered orientation (r08 verdict item 2); values identical
+    # (parity pytest + contract re-check green), plan changed
+    "dup_edge_support",
+)
+
+#: --- round-8 history (all 34 new + 3 changed ids were sampled in the
+#: r08 driver window and are now in _DRIVER_CHECKED_R01_R08) ---
 _ROUND8_NEW = (
     # IVF-PQ composed retrieval + its recall acceptance gate (r07
     # verdict missing #3 / next-round item 4)
@@ -4463,9 +4499,6 @@ _ROUND8_NEW = (
     "risk_ratio",
 )
 
-#: Queries whose implementation or oracle materially CHANGED this round
-#: (r04 ADVICE: a prior driver check validated the OLD code, so changed
-#: ids re-enter the sample window exactly like new ids).
 _ROUND8_CHANGED = (
     # range_join — BNLJ replaced by the docstring'd bucketized-band
     # equi-join (r07 verdict weak #2 / next-round item 3)
@@ -4477,7 +4510,7 @@ _ROUND8_CHANGED = (
 )
 
 #: --- round-7 history (all 28 new + 8 changed ids were sampled in the
-#: r07 driver window and are now in _DRIVER_CHECKED_R01_R07) ---
+#: r07 driver window and are now in _DRIVER_CHECKED_R01_R08) ---
 _ROUND7_NEW = (
     "audio_flac_lpc", "audio_mp1", "audio_g711", "media_bmp_rle",
     "media_gif",
@@ -4511,18 +4544,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
     newest = {
         k: base[k]
-        for k in (*_ROUND8_NEW, *_ROUND8_CHANGED)
+        for k in (*_ROUND9_NEW, *_ROUND9_CHANGED)
         if k in base
     }
     fresh = {
         k: v
         for k, v in base.items()
-        if k not in _DRIVER_CHECKED_R01_R07 and k not in newest
+        if k not in _DRIVER_CHECKED_R01_R08 and k not in newest
     }
     seen = {
         k: v
         for k, v in base.items()
-        if k in _DRIVER_CHECKED_R01_R07 and k not in newest
+        if k in _DRIVER_CHECKED_R01_R08 and k not in newest
     }
     return {**newest, **fresh, **seen}
 
