@@ -405,6 +405,85 @@ def test_every_query_plan_is_jvm_side_unless_allowlisted(spark, sf_dir):
     assert not missing, f"stale PYTHON_ALLOWED entries: {missing}"
 
 
+#: The DECLARED Python-stage shape per allowlist family (r08 verdict
+#: item 6): an allowlist entry is not a blank check — each id's plan
+#: must contain exactly the Python node kinds its justification names,
+#: and every MapInPandas stage must consume the payload column the
+#: kernel was written for.  A refactor that swaps an Arrow kernel for a
+#: row-at-a-time UDF (BatchEvalPython) — or routes it off the payload
+#: column — now fails here even though the id is still allowlisted.
+_PLUGIN_PLANE = {
+    # run_mapreduce plugin plane: mapInPandas over (filename, contents)
+    # plus the Arrow-batched shuffle-key eval — both by design
+    "partition_count",
+    "udf_roundtrip",
+    "grep_mapreduce",
+    "index_mapreduce",
+}
+_UDTF_PLANE = {
+    # the registry's row-generating UDTF path IS the declared
+    # row-Python escape hatch — the ONLY id allowed BatchEvalPython
+    "udtf_sentences",
+}
+#: payload columns an Arrow kernel may consume, by plane
+_KERNEL_PAYLOAD_COLS = ("payload", "contents", "embedding")
+
+_PY_NODE_KINDS = (
+    "MapInPandas",
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "FlatMapGroupsInPandas",
+    "PythonMapInArrow",
+    "FlatMapGroupsInPandasWithState",
+)
+
+
+def test_allowlisted_python_stages_have_declared_shape(spark, sf_dir):
+    """Self-audit of PYTHON_ALLOWED: every allowlisted query's Python
+    stages must match the declared shape — Arrow-batched MapInPandas on
+    a payload/contents/embedding column for kernel ids, the plugin
+    plane's MapInPandas+ArrowEval pair, BatchEvalPython only for the
+    declared UDTF id.  Guards against a stale allowlist entry hiding an
+    accidental row-UDF."""
+    import re as _re
+
+    import __spark_entry__ as entry_mod
+
+    from p2_mapreduce_spark.plans import physical_plan
+
+    qs = entry_mod.queries()
+    bad = []
+    for name in sorted(PYTHON_ALLOWED):
+        plan = physical_plan(qs[name](spark, sf_dir))
+        kinds = {k for k in _PY_NODE_KINDS if k in plan}
+        mip_inputs = _re.findall(
+            r"\(\d+\) MapInPandas.*?Input \[\d+\]: \[([^\]]*)\]",
+            plan,
+            _re.S,
+        )
+        if name in _UDTF_PLANE:
+            ok = kinds == {"BatchEvalPython"}
+        elif name in _PLUGIN_PLANE:
+            ok = kinds <= {"MapInPandas", "ArrowEvalPython"} and all(
+                any(c in inp for c in _KERNEL_PAYLOAD_COLS)
+                for inp in mip_inputs
+            ) and mip_inputs
+        else:
+            # Arrow payload kernels: MapInPandas ONLY, every such stage
+            # fed by a declared payload column
+            ok = (
+                kinds == {"MapInPandas"}
+                and mip_inputs
+                and all(
+                    any(c in inp for c in _KERNEL_PAYLOAD_COLS)
+                    for inp in mip_inputs
+                )
+            )
+        if not ok:
+            bad.append((name, sorted(kinds), mip_inputs))
+    assert not bad, f"allowlisted ids off their declared shape: {bad}"
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """AQE's skew-join handling is part of the engine's 100 TB story:
     with skew thresholds lowered, a join against a 90%-one-key table
