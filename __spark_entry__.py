@@ -1429,6 +1429,23 @@ def _q_video_frames(spark, sf_dir):
     return video_frame_sums(attach_mjpeg(docs), every_n=2)
 
 
+def _q_video_avi_mjpeg(spark, sf_dir):
+    """First CONTAINER video codec (round 9): spec-valid RIFF/AVI files
+    (hdrl: avih + strl/strh 'vids'/'MJPG' + strf BITMAPINFOHEADER;
+    movi: word-aligned 00dc chunks) built JVM-side, demuxed by a real
+    RIFF walk with header cross-check (avih dwTotalFrames emitted as
+    declared_frames, non-MJPG handlers quarantined), every 2nd frame
+    through the full baseline-JPEG decoder.  Frames share video_frames'
+    DC-DPCM + JFIF closed forms, so the oracle is exact."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_avi_mjpeg,
+        avi_frame_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return avi_frame_stats(attach_avi_mjpeg(docs), every_n=2)
+
+
 def _q_video_bmpstream(spark, sf_dir):
     """The round-4 concatenated-BMP stream demux under its own honest
     id (MJPEG took over the flagship ``video_frames``): walk each
@@ -4679,6 +4696,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logrank": _q_logrank,
         "detector_kappa": _q_detector_kappa,
         "video_frames": _q_video_frames,
+        "video_avi_mjpeg": _q_video_avi_mjpeg,
         "video_bmpstream": _q_video_bmpstream,
         "tvd_drift": _q_tvd_drift,
         "gk_lambda": _q_gk_lambda,
@@ -9227,6 +9245,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 * wb AS INT) AS width,
                    CAST(8 * hb AS INT) AS height,
                    CAST(3 AS INT) AS n_comp,
+                   CAST(64 * (
+                        ne * CAST(FLOOR((136 + af)
+                            + 1.402e0 * (c7 + 8) + 0.5e0) AS BIGINT)
+                      + nodd * CAST(FLOOR((128 + af)
+                            + 1.402e0 * c7 + 0.5e0) AS BIGINT))
+                       AS BIGINT) AS sum_r,
+                   CAST(64 * (
+                        ne * CAST(FLOOR((136 + af)
+                            - 0.344136e0 * (b5 + 8)
+                            - 0.714136e0 * (c7 + 8) + 0.5e0) AS BIGINT)
+                      + nodd * CAST(FLOOR((128 + af)
+                            - 0.344136e0 * b5
+                            - 0.714136e0 * c7 + 0.5e0) AS BIGINT))
+                       AS BIGINT) AS sum_g,
+                   CAST(64 * (
+                        ne * CAST(FLOOR((136 + af)
+                            + 1.772e0 * (b5 + 8) + 0.5e0) AS BIGINT)
+                      + nodd * CAST(FLOOR((128 + af)
+                            + 1.772e0 * b5 + 0.5e0) AS BIGINT))
+                       AS BIGINT) AS sum_b
+            FROM fr
+        """,
+        "video_avi_mjpeg": """
+            -- same MJPEG closed forms as video_frames; the container
+            -- adds the header plane: declared_frames = avih
+            -- dwTotalFrames = nf
+            WITH dims AS (
+                SELECT doc_id AS media_id,
+                       1 + doc_id % 2 AS wb,
+                       1 + (doc_id % 4) // 2 AS hb,
+                       doc_id % 8 AS id8,
+                       doc_id % 5 AS b5,
+                       doc_id % 7 AS c7,
+                       2 + doc_id % 8 AS nf
+                FROM documents
+            ),
+            fr0 AS (
+                SELECT media_id, wb, hb, id8, b5, c7, nf,
+                       (wb * hb + 1) // 2 AS ne,
+                       wb * hb - (wb * hb + 1) // 2 AS nodd,
+                       unnest(generate_series(0, nf - 1, 2)) AS f
+                FROM dims
+            ),
+            fr AS (
+                SELECT *, (id8 + f) % 8 AS af FROM fr0
+            )
+            SELECT media_id,
+                   CAST(f AS INT) AS frame_idx,
+                   CAST(8 * wb AS INT) AS width,
+                   CAST(8 * hb AS INT) AS height,
+                   CAST(3 AS INT) AS n_comp,
+                   CAST(nf AS INT) AS declared_frames,
                    CAST(64 * (
                         ne * CAST(FLOOR((136 + af)
                             + 1.402e0 * (c7 + 8) + 0.5e0) AS BIGINT)

@@ -383,6 +383,10 @@ PYTHON_ALLOWED = {
     # round 8: binary PGM (netpbm ASCII-grammar header) — same
     # Arrow-batched payload kernel justification (pgm_pixel_stats)
     "media_pgm",
+    # round 9: MJPEG-in-AVI — RIFF/AVI container walk + per-frame JPEG
+    # decode (avi_frame_stats), same Arrow-batched payload kernel
+    # justification as video_frames
+    "video_avi_mjpeg",
 }
 
 
