@@ -1913,6 +1913,69 @@ def _q_bland_altman(spark, sf_dir):
     return bland_altman(load_table(spark, sf_dir, "events"))
 
 
+def _q_max_drawdown(spark, sf_dir):
+    """Maximum drawdown per group's daily-revenue series: exact-cents
+    running-peak window + one IEEE division per day (round 9)."""
+    from p2_mapreduce_spark.operators.timeseries import max_drawdown
+
+    return max_drawdown(load_table(spark, sf_dir, "events"))
+
+
+def _q_bollinger_bands(spark, sf_dir):
+    """Bollinger volatility bands on calendar RANGE frames: exact
+    bigint S/SS sums, pinned mean/var/sqrt tree, full-frame gating."""
+    from p2_mapreduce_spark.operators.timeseries import bollinger_bands
+
+    return bollinger_bands(load_table(spark, sf_dir, "events"))
+
+
+def _q_ma_crossover(spark, sf_dir):
+    """Golden/death-cross signal days — fully integer-exact SMA
+    comparison via cross-multiplication, consecutive-day gating."""
+    from p2_mapreduce_spark.operators.timeseries import ma_crossover
+
+    return ma_crossover(load_table(spark, sf_dir, "events"))
+
+
+def _q_jonckheere(spark, sf_dir):
+    """Jonckheere-Terpstra ordered-alternative test over the groups'
+    daily revenues — doubled-U exact bigints from a value-grid
+    cumulative fold (no pairwise join)."""
+    from p2_mapreduce_spark.operators.timeseries import jonckheere
+
+    return jonckheere(load_table(spark, sf_dir, "events"))
+
+
+def _q_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard over user lifetimes — the
+    life_table's integral companion at observed-lifetime grain."""
+    from p2_mapreduce_spark.operators.events_analytics import nelson_aalen
+
+    return nelson_aalen(load_table(spark, sf_dir, "events"))
+
+
+def _q_icc_reliability(spark, sf_dir):
+    """ICC(2,1) two-way random-effects absolute agreement over the
+    day x event-type revenue grid (reliability family completion)."""
+    from p2_mapreduce_spark.operators.events_analytics import icc_reliability
+
+    return icc_reliability(load_table(spark, sf_dir, "events"))
+
+
+def _q_reciprocity(spark, sf_dir):
+    """Directed nation-to-nation trade-graph reciprocity: fact joins
+    contract to dictionary-grain edges, then one reversed-key semi
+    join."""
+    from p2_mapreduce_spark.operators.graph import nation_trade_reciprocity
+
+    return nation_trade_reciprocity(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
 def _q_media_pgm(spark, sf_dir):
     """REAL binary-PGM decode: full netpbm ASCII header grammar
     (whitespace tokens + '#' comments), raw pixel block, exact stats."""
@@ -4473,6 +4536,14 @@ _DRIVER_CHECKED_R01_R08 = frozenset(
 _ROUND9_NEW = (
     # first container video codec: MJPEG-in-AVI (r08 verdict item 4)
     "video_avi_mjpeg",
+    # financial/momentum day-grid trio (exact-cent frames)
+    "max_drawdown", "bollinger_bands", "ma_crossover",
+    # ordered-alternative rank test (value-grid fold, no pairwise join)
+    "jonckheere",
+    # survival + reliability completions
+    "nelson_aalen", "icc_reliability",
+    # directed-graph symmetry audit
+    "reciprocity",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -4785,6 +4856,13 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_gini": _q_stump_gini,
         "cronbach_alpha": _q_cronbach_alpha,
         "risk_ratio": _q_risk_ratio,
+        "max_drawdown": _q_max_drawdown,
+        "bollinger_bands": _q_bollinger_bands,
+        "ma_crossover": _q_ma_crossover,
+        "jonckheere": _q_jonckheere,
+        "nelson_aalen": _q_nelson_aalen,
+        "icc_reliability": _q_icc_reliability,
+        "reciprocity": _q_reciprocity,
         "lins_ccc": _q_lins_ccc,
         "bland_altman": _q_bland_altman,
         "ccf_daily": _q_ccf_daily,
@@ -18219,5 +18297,265 @@ def oracle_sql() -> dict[str, str]:
                                 + 1.772e0 * b5 + 0.5e0) AS BIGINT)))
                     AS BIGINT) AS sum_b
         FROM m
+    """
+    # --- round 9: financial day-grid trio -----------------------------
+    out["max_drawdown"] = """
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        run AS (
+            SELECT g, y,
+                   MAX(y) OVER (PARTITION BY g ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS peak
+            FROM daily
+        )
+        SELECT g AS event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(MAX(peak) AS BIGINT) AS peak_cents,
+               CAST(MAX(peak - y) AS BIGINT) AS dd_cents,
+               MAX(CASE WHEN peak > 0
+                        THEN CAST(peak - y AS DOUBLE)
+                             / CAST(peak AS DOUBLE)
+                        ELSE 0.0e0 END) AS dd_frac
+        FROM run GROUP BY g
+    """
+    out["bollinger_bands"] = """
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS x,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM events GROUP BY 1, 2, 3
+        ),
+        framed AS (
+            SELECT g, d, y,
+                   CAST(SUM(y) OVER w AS BIGINT) AS s,
+                   CAST(SUM(y * y) OVER w AS BIGINT) AS ss,
+                   COUNT(*) OVER w AS n
+            FROM daily
+            WINDOW w AS (PARTITION BY g ORDER BY x
+                         RANGE BETWEEN 19 PRECEDING AND CURRENT ROW)
+        ),
+        calc AS (
+            SELECT g, d, y,
+                   CAST(s AS DOUBLE) / 20.0e0 AS m,
+                   CAST(ss AS DOUBLE) / 20.0e0
+                       - (CAST(s AS DOUBLE) / 20.0e0)
+                         * (CAST(s AS DOUBLE) / 20.0e0) AS var
+            FROM framed WHERE n = 20
+        ),
+        bands AS (
+            SELECT g, d, y, m,
+                   sqrt(greatest(var, 0.0e0)) AS sd,
+                   m - 2.0e0 * sqrt(greatest(var, 0.0e0)) AS lo,
+                   m + 2.0e0 * sqrt(greatest(var, 0.0e0)) AS hi
+            FROM calc
+        )
+        SELECT g AS event_type, strftime(d, '%Y-%m-%d') AS day,
+               m / 100.0e0 AS mean_rev,
+               sd / 100.0e0 AS sd_rev,
+               lo / 100.0e0 AS band_low,
+               hi / 100.0e0 AS band_high,
+               CASE WHEN hi > lo
+                    THEN (CAST(y AS DOUBLE) - lo) / (hi - lo)
+                    ELSE 0.5e0 END AS pct_b
+        FROM bands
+    """
+    out["ma_crossover"] = """
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS x,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM events GROUP BY 1, 2, 3
+        ),
+        framed AS (
+            SELECT g, d, x,
+                   CAST(SUM(y) OVER wf AS BIGINT) AS sf,
+                   COUNT(*) OVER wf AS nf,
+                   CAST(SUM(y) OVER ws AS BIGINT) AS ss,
+                   COUNT(*) OVER ws AS ns
+            FROM daily
+            WINDOW wf AS (PARTITION BY g ORDER BY x
+                          RANGE BETWEEN 4 PRECEDING AND CURRENT ROW),
+                   ws AS (PARTITION BY g ORDER BY x
+                          RANGE BETWEEN 19 PRECEDING AND CURRENT ROW)
+        ),
+        cmp AS (
+            SELECT g, d, x, sf, ss,
+                   CASE WHEN sf * 20 > ss * 5 THEN 1 ELSE 0 END AS above
+            FROM framed WHERE nf = 5 AND ns = 20
+        )
+        SELECT c.g AS event_type, strftime(c.d, '%Y-%m-%d') AS day,
+               CASE WHEN c.above = 1 THEN 'golden' ELSE 'death' END
+                   AS direction,
+               c.sf AS sf_cents, c.ss AS ss_cents
+        FROM cmp c JOIN cmp p
+          ON p.g = c.g AND p.x + 1 = c.x AND p.above <> c.above
+    """
+    # --- round 9: Jonckheere-Terpstra (value-grid fold) ----------------
+    out["jonckheere"] = """
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        grid0 AS (SELECT g, y, COUNT(*) AS c FROM daily GROUP BY 1, 2),
+        vals AS (SELECT DISTINCT y FROM daily),
+        grps AS (SELECT DISTINCT g FROM daily),
+        grid AS (
+            SELECT gr.g, v.y, COALESCE(g0.c, 0) AS c
+            FROM grps gr CROSS JOIN vals v
+            LEFT JOIN grid0 g0 ON g0.g = gr.g AND g0.y = v.y
+        ),
+        cum AS (
+            SELECT g, y, c,
+                   COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS b
+            FROM grid
+        ),
+        jt AS (
+            SELECT CAST(SUM((2 * a.b + a.c) * bb.c) AS BIGINT) AS jt2
+            FROM cum a JOIN cum bb ON a.y = bb.y AND a.g < bb.g
+        ),
+        ns AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS INT) AS n_groups,
+                   CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq,
+                   CAST(SUM(cnt * cnt * (2 * cnt + 3)) AS BIGINT)
+                       AS sum_cub
+            FROM (SELECT g, SUM(c) AS cnt FROM grid0 GROUP BY g)
+        )
+        SELECT n_total, n_groups, jt2,
+               CAST((n_total * n_total - sum_sq) / 2 AS BIGINT) AS mu2,
+               CASE WHEN n_total * n_total * (2 * n_total + 3) - sum_cub
+                         > 0
+                    THEN CAST(jt2 - CAST((n_total * n_total - sum_sq) / 2
+                                         AS BIGINT) AS DOUBLE)
+                         / (2.0e0 * sqrt(CAST(n_total * n_total
+                                * (2 * n_total + 3) - sum_cub AS DOUBLE)
+                                / 72.0e0))
+                    ELSE 0.0e0 END AS z
+        FROM jt, ns
+    """
+    # --- round 9: survival + reliability completions -------------------
+    out["nelson_aalen"] = """
+        WITH lt AS (
+            SELECT user_id,
+                   date_diff('day', MIN(CAST(ts AS DATE)),
+                             MAX(CAST(ts AS DATE))) AS t_days
+            FROM events GROUP BY user_id
+        ),
+        d AS (SELECT t_days, COUNT(*) AS n_churn FROM lt GROUP BY 1),
+        cum AS (
+            SELECT t_days, n_churn,
+                   SUM(n_churn) OVER (ORDER BY t_days DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS n_at_risk
+            FROM d
+        ),
+        base AS (
+            SELECT CAST(t_days AS BIGINT) AS t_days,
+                   CAST(n_at_risk AS BIGINT) AS n_at_risk,
+                   CAST(n_churn AS BIGINT) AS n_churn,
+                   CAST(floor(CAST(1000000 AS DOUBLE) * n_churn
+                              / n_at_risk) AS BIGINT) AS hazard_ppm
+            FROM cum
+        )
+        SELECT t_days, n_at_risk, n_churn, hazard_ppm,
+               CAST(SUM(hazard_ppm) OVER (ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_hazard_ppm
+        FROM base
+    """
+    out["icc_reliability"] = """
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        kk AS (SELECT COUNT(DISTINCT g) AS k FROM daily),
+        full_days AS (
+            SELECT d, SUM(y) AS row_sum
+            FROM daily GROUP BY d
+            HAVING COUNT(*) = (SELECT k FROM kk)
+        ),
+        cells AS (SELECT daily.* FROM daily JOIN full_days USING (d)),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nk_cells,
+                   CAST(SUM(y) AS BIGINT) AS total,
+                   CAST(SUM(y * y) AS BIGINT) AS ss_cells
+            FROM cells
+        ),
+        rows_ AS (
+            SELECT CAST(SUM(row_sum * row_sum) AS BIGINT) AS ss_rows
+            FROM full_days
+        ),
+        cols_ AS (
+            SELECT CAST(SUM(cs * cs) AS BIGINT) AS ss_cols
+            FROM (SELECT g, SUM(y) AS cs FROM cells GROUP BY g)
+        ),
+        calc AS (
+            SELECT CAST(nk_cells / (SELECT k FROM kk) AS BIGINT) AS n,
+                   CAST((SELECT k FROM kk) AS DOUBLE) AS kd,
+                   CAST(nk_cells / (SELECT k FROM kk) AS DOUBLE) AS nd,
+                   CAST(total AS DOUBLE) AS total_d,
+                   CAST(ss_cells AS DOUBLE) AS ss_cells_d,
+                   CAST(ss_rows AS DOUBLE) AS ss_rows_d,
+                   CAST(ss_cols AS DOUBLE) AS ss_cols_d
+            FROM agg, rows_, cols_
+        ),
+        ms AS (
+            SELECT n, kd, nd,
+                   (ss_rows_d / kd - total_d * total_d / (nd * kd))
+                       / (nd - 1.0e0) AS msr,
+                   (ss_cols_d / nd - total_d * total_d / (nd * kd))
+                       / (kd - 1.0e0) AS msc,
+                   (ss_cells_d - total_d * total_d / (nd * kd)
+                    - (ss_rows_d / kd - total_d * total_d / (nd * kd))
+                    - (ss_cols_d / nd - total_d * total_d / (nd * kd)))
+                       / ((nd - 1.0e0) * (kd - 1.0e0)) AS mse
+            FROM calc
+        )
+        SELECT n AS n_days,
+               CAST(kd AS INT) AS k_raters,
+               msr, msc, mse,
+               CASE WHEN msr + (kd - 1.0e0) * mse
+                         + (kd / nd) * (msc - mse) <> 0.0e0
+                    THEN (msr - mse)
+                         / (msr + (kd - 1.0e0) * mse
+                            + (kd / nd) * (msc - mse))
+                    ELSE 0.0e0 END AS icc
+        FROM ms WHERE n >= 2
+    """
+    # --- round 9: directed trade-graph reciprocity ---------------------
+    out["reciprocity"] = """
+        WITH e AS (
+            SELECT DISTINCT CAST(s.s_nationkey AS BIGINT) AS src,
+                            CAST(c.c_nationkey AS BIGINT) AS dst
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE s.s_nationkey <> c.c_nationkey
+        )
+        SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+               CAST((SELECT COUNT(*) FROM e a
+                     WHERE EXISTS (SELECT 1 FROM e b
+                                   WHERE b.src = a.dst
+                                     AND b.dst = a.src))
+                    AS BIGINT) AS n_reciprocated,
+               CASE WHEN (SELECT COUNT(*) FROM e) > 0
+                    THEN CAST((SELECT COUNT(*) FROM e a
+                               WHERE EXISTS (SELECT 1 FROM e b
+                                             WHERE b.src = a.dst
+                                               AND b.dst = a.src))
+                              AS DOUBLE)
+                         / CAST((SELECT COUNT(*) FROM e) AS DOUBLE)
+                    ELSE 0.0e0 END AS reciprocity
     """
     return out

@@ -2406,3 +2406,157 @@ def risk_ratio(
         .alias("risk_ratio"),
         F.when(ok, re_ - ru).otherwise(F.lit(0.0)).alias("risk_diff"),
     ).filter((ne + nu) > 0)
+
+
+def nelson_aalen(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Nelson–Aalen cumulative hazard over user lifetimes — the
+    integral companion to :func:`life_table`'s Kaplan–Meier face: for
+    each observed lifetime t, ``H(t) = Σ_{t' ≤ t} d(t')/n(t')`` where
+    d/n are the churn events and the at-risk set at t'.  H(t) is the
+    estimator survival modelers feed to proportional-hazard baselines;
+    KM answers "what fraction survives", NA answers "how much hazard
+    has accrued" (and −ln S(t) ≈ H(t) is the classic cross-check).
+
+    Exactness: d and n are exact BIGINTs from the same two aggregates
+    as life_table, and the estimator follows the repo's exact-ppm
+    protocol (life_table's device): each increment is floor-quantized
+    to ppm FIRST (one IEEE division + floor, bit-identical in both
+    engines), then the cumulative sum runs over exact BIGINT ppm — so
+    the fold is order-free and hash-comparable (a float cumulative sum
+    would depend on the engines' window summation order).  The grid is
+    at OBSERVED-LIFETIME grain, bounded by the observation window in
+    days — never user/event grain.
+
+    Output: (t_days, n_at_risk, n_churn, hazard_ppm, cum_hazard_ppm).
+    """
+    lt = (
+        events.select(F.col(user_col).alias("u"), F.to_date("ts").alias("d"))
+        .groupBy("u")
+        .agg(F.datediff(F.max("d"), F.min("d")).alias("t_days"))
+        .groupBy("t_days")
+        .agg(F.count(F.lit(1)).alias("n_churn"))
+    )
+    w_desc = Window.orderBy(F.col("t_days").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    base = lt.select(
+        F.col("t_days").cast("bigint").alias("t_days"),
+        F.sum("n_churn").over(w_desc).cast("bigint").alias("n_at_risk"),
+        F.col("n_churn").cast("bigint").alias("n_churn"),
+    ).select(
+        "t_days",
+        "n_at_risk",
+        "n_churn",
+        F.floor(
+            F.lit(1_000_000.0) * F.col("n_churn") / F.col("n_at_risk")
+        ).cast("bigint").alias("hazard_ppm"),
+    )
+    w_asc = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return base.select(
+        "t_days",
+        "n_at_risk",
+        "n_churn",
+        "hazard_ppm",
+        F.sum("hazard_ppm").over(w_asc).cast("bigint").alias(
+            "cum_hazard_ppm"
+        ),
+    )
+
+
+def icc_reliability(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """ICC(2,1) — the two-way random-effects, absolute-agreement,
+    single-measure intraclass correlation (Shrout & Fleiss) — treating
+    each calendar DAY as a subject and each group (event type) as a
+    rater scoring it with its daily revenue.  Completes the round-8
+    reliability batch: Cronbach's α asks internal consistency, Lin's
+    CCC compares two raters; ICC(2,1) generalizes agreement to k
+    raters with rater effects in the model.
+
+    Only days where ALL k raters observed (a full row of the day ×
+    rater grid) enter, making the design balanced as the estimator
+    requires.  From exact BIGINT cent sums: the two-way mean squares
+    ``MSR`` (rows/days), ``MSC`` (columns/raters), ``MSE`` (residual),
+    then ``ICC = (MSR − MSE) / (MSR + (k−1)·MSE + (k/n)·(MSC − MSE))``.
+    Every sum of squares is a pinned IEEE tree over exactly-represented
+    integers (sums and squared sums of cents), identical in both
+    engines.
+
+    Output: one row (n_days, k_raters, msr, msc, mse, icc).
+    """
+    daily = _daily_cents_ea(events, group_col)
+    k_groups = [
+        r["g"] for r in daily.select("g").distinct().orderBy("g").collect()
+    ]  # config-grain: #event types
+    k = len(k_groups)
+    if k < 2:
+        return events.sparkSession.createDataFrame(
+            [], "n_days bigint, k_raters int, msr double, msc double,"
+            " mse double, icc double"
+        )
+    full_days = (
+        daily.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("nk"),
+            F.sum("y").alias("row_sum"),
+            F.sum(F.col("y") * F.col("y")).alias("row_ss"),
+        )
+        .filter(F.col("nk") == k)
+    )
+    cells = daily.join(full_days.select("d"), "d")
+    per_rater = cells.groupBy("g").agg(F.sum("y").alias("col_sum"))
+    stats = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk_cells"),
+        F.sum("y").cast("bigint").alias("total"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("ss_cells"),
+    )
+    row_part = full_days.agg(
+        F.sum(F.col("row_sum") * F.col("row_sum")).cast("bigint").alias("ss_rows")
+    )
+    col_part = per_rater.agg(
+        F.sum(F.col("col_sum") * F.col("col_sum")).cast("bigint").alias("ss_cols")
+    )
+    j = stats.join(F.broadcast(row_part)).join(F.broadcast(col_part))
+    n_ = (F.col("nk_cells") / F.lit(k)).cast("bigint")  # exact: nk = n·k
+    kd = F.lit(float(k))
+    nd = n_.cast("double")
+    total_d = F.col("total").cast("double")
+    grand = total_d * total_d / (nd * kd)
+    ss_rows_d = F.col("ss_rows").cast("double") / kd - grand
+    ss_cols_d = F.col("ss_cols").cast("double") / nd - grand
+    ss_tot = F.col("ss_cells").cast("double") - grand
+    ss_err = ss_tot - ss_rows_d - ss_cols_d
+    msr = ss_rows_d / (nd - F.lit(1.0))
+    msc = ss_cols_d / (kd - F.lit(1.0))
+    mse = ss_err / ((nd - F.lit(1.0)) * (kd - F.lit(1.0)))
+    denom = (
+        msr
+        + (kd - F.lit(1.0)) * mse
+        + (kd / nd) * (msc - mse)
+    )
+    return j.filter(n_ >= 2).select(
+        n_.alias("n_days"),
+        F.lit(int(k)).cast("int").alias("k_raters"),
+        msr.alias("msr"),
+        msc.alias("msc"),
+        mse.alias("mse"),
+        F.when(denom != 0.0, (msr - mse) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("icc"),
+    )
+
+
+def _daily_cents_ea(events: DataFrame, group_col: str) -> DataFrame:
+    """(g, d, y): daily exact-cent revenue per group (the timeseries
+    module's shared contraction, local twin to avoid a cross-module
+    import cycle)."""
+    return (
+        events.select(
+            F.col(group_col).alias("g"),
+            F.to_date("ts").alias("d"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("g", "d")
+        .agg(F.sum("cents").alias("y"))
+    )

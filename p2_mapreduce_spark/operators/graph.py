@@ -1878,3 +1878,63 @@ def trade_hits(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         .distinct()
     )
     return hits_scores(pairs)
+
+
+def nation_trade_reciprocity(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """Reciprocity of the DIRECTED nation-to-nation trade graph: one
+    edge per distinct (supplier nation → customer nation) trading
+    relationship (self-loops excluded), and the fraction of edges whose
+    REVERSE edge also exists — the standard directed-graph symmetry
+    audit (trade-balance / mutual-dependency screening) that the
+    undirected census family (triangle_stats, degree_assort) cannot
+    ask.
+
+    Shape at 100 TB: the fact-grain joins contract to the distinct
+    nation-pair list FIRST (≤ nations² rows — dictionary grain), then
+    reciprocity is one self-join on the reversed key over that tiny
+    edge list.  Exact integer counts; the ratio is one IEEE division.
+
+    Output: one row (n_edges, n_reciprocated, reciprocity).
+    """
+    edges = (
+        lineitem.join(
+            orders, lineitem["l_orderkey"] == orders["o_orderkey"]
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_nationkey").cast("bigint").alias("src"),
+            F.col("c_nationkey").cast("bigint").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = edges.join(rev, ["src", "dst"], "left_semi")
+    counts = edges.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    ).join(
+        F.broadcast(
+            recip.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_reciprocated")
+            )
+        )
+    )
+    return counts.select(
+        "n_edges",
+        "n_reciprocated",
+        F.when(
+            F.col("n_edges") > 0,
+            F.col("n_reciprocated").cast("double")
+            / F.col("n_edges").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("reciprocity"),
+    )

@@ -4225,3 +4225,302 @@ def bland_altman(
         ((mean_c - F.lit(1.96) * sd_c) / F.lit(100.0)).alias("loa_low"),
         ((mean_c + F.lit(1.96) * sd_c) / F.lit(100.0)).alias("loa_high"),
     )
+
+
+def max_drawdown(
+    events: DataFrame, group_col: str = "event_type"
+) -> DataFrame:
+    """Maximum drawdown of each group's daily-revenue series: the
+    largest peak-to-trough fall, both in exact cents (``dd_cents =
+    max_t(peak_t − y_t)``) and as a fraction of the running peak
+    (``dd_frac = max_t((peak_t − y_t)/peak_t)``) — the standard
+    worst-case-decline risk statistic (finance's counterpart of the
+    CUSUM family above).  The two maxima are reported independently
+    (each is a well-defined max; an argmax tie-break would be
+    arbitrary).
+
+    Exactness: the running peak is a window MAX over exact BIGINT
+    cents, the cents drawdown stays integer end-to-end, and the
+    fractional form is one IEEE division per day followed by a MAX
+    over doubles (deterministic in both engines).
+
+    Shape at 100 TB: day-grain contraction first (one map-side-combined
+    aggregate), then a per-group ordered window over CALENDAR-bounded
+    rows — never event grain.  Output: (group, n_days, peak_cents,
+    dd_cents, dd_frac).
+    """
+    daily = _daily_cents(events, group_col)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = daily.select(
+        "g",
+        "y",
+        F.max("y").over(w).alias("peak"),
+    ).select(
+        "g",
+        "peak",
+        (F.col("peak") - F.col("y")).alias("dd"),
+        F.when(
+            F.col("peak") > 0,
+            (F.col("peak") - F.col("y")).cast("double")
+            / F.col("peak").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ddf"),
+    )
+    return (
+        dd.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.max("peak").cast("bigint").alias("peak_cents"),
+            F.max("dd").cast("bigint").alias("dd_cents"),
+            F.max("ddf").alias("dd_frac"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_days",
+            "peak_cents",
+            "dd_cents",
+            "dd_frac",
+        )
+    )
+
+
+def bollinger_bands(
+    events: DataFrame,
+    period: int = 20,
+    k: float = 2.0,
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Bollinger bands over each group's daily revenue: rolling mean ±
+    ``k`` population standard deviations of the last ``period``
+    CALENDAR days, plus %B (where today sits inside the band) — the
+    volatility envelope that complements the SMA oscillator
+    (:func:`price_osc` asks direction; bands ask dispersion).
+
+    Exactness: S and SS are calendar-RANGE window sums of exact BIGINT
+    cents (and their squares), so the pinned tree ``m = S/n``,
+    ``var = SS/n − m²``, ``sd = sqrt(max(var, 0))`` is a fixed IEEE
+    sequence from exactly-represented integers in both engines;
+    rows emit only on FULL frames.  %B is one further division,
+    0.5 exactly when the band is degenerate (sd = 0).
+
+    Output: (group, day, mean_rev, sd_rev, band_low, band_high, pct_b)
+    in currency units.
+    """
+    daily = _daily_cents(events, group_col).select(
+        "g",
+        "d",
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).alias("x"),
+        "y",
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("x")
+        .rangeBetween(-(period - 1), 0)
+    )
+    framed = daily.select(
+        "g",
+        "d",
+        "y",
+        F.sum("y").over(w).cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("ss"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).filter(F.col("n") == period)
+    n_ = F.lit(float(period))
+    m = F.col("s").cast("double") / n_
+    var = F.col("ss").cast("double") / n_ - m * m
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    lo = m - F.lit(float(k)) * sd
+    hi = m + F.lit(float(k)) * sd
+    y_ = F.col("y").cast("double")
+    return framed.select(
+        F.col("g").alias(group_col),
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        (m / F.lit(100.0)).alias("mean_rev"),
+        (sd / F.lit(100.0)).alias("sd_rev"),
+        (lo / F.lit(100.0)).alias("band_low"),
+        (hi / F.lit(100.0)).alias("band_high"),
+        F.when(hi > lo, (y_ - lo) / (hi - lo))
+        .otherwise(F.lit(0.5))
+        .alias("pct_b"),
+    )
+
+
+def ma_crossover(
+    events: DataFrame,
+    fast: int = 5,
+    slow: int = 20,
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Moving-average crossover signals ("golden cross" / "death
+    cross") on each group's daily revenue: the days where the
+    ``fast``-day SMA crosses the ``slow``-day SMA from below (golden)
+    or above (death) — the classic regime-change trigger built on the
+    same calendar frames as :func:`price_osc`.
+
+    FULLY integer-exact — no floats anywhere: ``SMA_f > SMA_s`` is
+    evaluated as ``S_f·slow > S_s·fast`` in exact BIGINT cents (the
+    cross-multiplication dodge), and a cross requires yesterday's
+    comparison on the CONSECUTIVE previous calendar day (a gap day
+    cannot fabricate a signal).  Rows emit only on days whose slow
+    frame and whose previous day's slow frame are both FULL.
+
+    Output: (group, day, direction, sf_cents, ss_cents) — one row per
+    signal day, direction ∈ {'golden', 'death'}.
+    """
+    daily = _daily_cents(events, group_col).select(
+        "g",
+        "d",
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).alias("x"),
+        "y",
+    )
+    wf = Window.partitionBy("g").orderBy("x").rangeBetween(-(fast - 1), 0)
+    ws = Window.partitionBy("g").orderBy("x").rangeBetween(-(slow - 1), 0)
+    framed = daily.select(
+        "g",
+        "d",
+        "x",
+        F.sum("y").over(wf).cast("bigint").alias("sf"),
+        F.count(F.lit(1)).over(wf).alias("nf"),
+        F.sum("y").over(ws).cast("bigint").alias("ss"),
+        F.count(F.lit(1)).over(ws).alias("ns"),
+    ).filter((F.col("nf") == fast) & (F.col("ns") == slow))
+    # above = 1 iff fast SMA strictly above slow SMA (exact integers)
+    cmp_ = framed.select(
+        "g",
+        "d",
+        "x",
+        "sf",
+        "ss",
+        (
+            F.col("sf") * F.lit(int(slow)) > F.col("ss") * F.lit(int(fast))
+        ).cast("int").alias("above"),
+    )
+    prev = cmp_.select(
+        F.col("g").alias("g2"),
+        (F.col("x") + 1).alias("x"),
+        F.col("above").alias("above_prev"),
+    )
+    crossed = cmp_.join(
+        prev, (F.col("g") == F.col("g2")) & (cmp_["x"] == prev["x"])
+    ).filter(F.col("above") != F.col("above_prev"))
+    return crossed.select(
+        F.col("g").alias(group_col),
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("above") == 1, F.lit("golden"))
+        .otherwise(F.lit("death"))
+        .alias("direction"),
+        F.col("sf").alias("sf_cents"),
+        F.col("ss").alias("ss_cents"),
+    )
+
+
+def jonckheere(
+    events: DataFrame, group_col: str = "event_type"
+) -> DataFrame:
+    """Jonckheere–Terpstra test for an ORDERED alternative across the
+    groups' daily revenues (groups ordered lexicographically): are the
+    k distributions stochastically increasing in group order?  The
+    ordered-alternative companion to :func:`kruskal_wallis` (any
+    difference) and Page's trend test (ranked blocks) — strictly more
+    powerful than KW when the hypothesis IS an ordering.
+
+    ``JT = Σ_{i<j} U_ij`` with ``U_ij = #{a∈i, b∈j: y_a < y_b} +
+    ½·ties``.  The doubled statistic ``jt2 = 2·JT`` is an exact BIGINT
+    computed WITHOUT any pairwise join: contract to the distinct-value
+    grid (value, group → count), take per-group cumulative counts up
+    the value order (one window), and fold ``Σ_v Σ_{i<j} (2·cum_i(<v)
+    + c_i(v))·c_j(v)`` with the k ordered groups pivoted to columns —
+    value-dictionary grain, never data² (the two_hop / distributed-rank
+    discipline).  Under H0: ``μ = (N² − Σn_i²)/4`` and the no-tie
+    ``σ² = (N²(2N+3) − Σn_i²(2n_i+3))/72``; z is one pinned IEEE tree
+    over exact integers (doubled forms, the kruskal_wallis device).
+
+    Output: one row (n_total, n_groups, jt2, mu2, z).
+    """
+    daily = _daily_cents(events, group_col).select(
+        F.col("g"), F.col("y")
+    )
+    groups = [
+        r["g"]
+        for r in daily.select("g").distinct().orderBy("g").collect()
+    ]  # config-grain collect: k = #event types
+    k = len(groups)
+    if k < 2:
+        return daily.sparkSession.createDataFrame(
+            [],
+            "n_total bigint, n_groups int, jt2 bigint, mu2 bigint,"
+            " z double",
+        )
+    # distinct-value grid with one count column per ordered group
+    grid = (
+        daily.groupBy("y")
+        .pivot("g", groups)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    cols = [F.col(f"`{g}`").cast("bigint").alias(f"c{i}") for i, g in enumerate(groups)]
+    grid = grid.select(F.col("y"), *cols)
+    # cum_i(<v): strictly-below cumulative — value-dictionary grain
+    # (≤ calendar days × k rows), so the global window is bounded
+    wle = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    below = [
+        F.coalesce(F.sum(f"c{i}").over(wle), F.lit(0)).alias(f"b{i}")
+        for i in range(k)
+    ]
+    g2 = grid.select("*", *below)
+    pair_terms = None
+    for i in range(k):
+        for j in range(i + 1, k):
+            term = (
+                (F.lit(2) * F.col(f"b{i}") + F.col(f"c{i}"))
+                * F.col(f"c{j}")
+            )
+            pair_terms = term if pair_terms is None else pair_terms + term
+    agg = g2.agg(
+        F.sum(pair_terms).cast("bigint").alias("jt2"),
+        *[F.sum(f"c{i}").cast("bigint").alias(f"n{i}") for i in range(k)],
+    )
+    n_total = None
+    sum_sq = None
+    sum_cub = None
+    for i in range(k):
+        ni = F.col(f"n{i}")
+        n_total = ni if n_total is None else n_total + ni
+        sq = ni * ni
+        sum_sq = sq if sum_sq is None else sum_sq + sq
+        cb = sq * (F.lit(2) * ni + F.lit(3))
+        sum_cub = cb if sum_cub is None else sum_cub + cb
+    res = agg.select(
+        n_total.cast("bigint").alias("n_total"),
+        F.lit(int(k)).cast("int").alias("n_groups"),
+        "jt2",
+        # mu2 = 2·μ = (N² − Σn_i²)/2, exact (N² − Σn_i² is always even)
+        ((n_total * n_total - sum_sq) / F.lit(2))
+        .cast("bigint")
+        .alias("mu2"),
+        (
+            n_total * n_total * (F.lit(2) * n_total + F.lit(3)) - sum_cub
+        ).cast("bigint").alias("var72"),
+    )
+    # z = (jt2 − mu2) / (2·sqrt(var72/72)) — pinned IEEE tree
+    return res.select(
+        "n_total",
+        "n_groups",
+        "jt2",
+        "mu2",
+        F.when(
+            F.col("var72") > 0,
+            (F.col("jt2") - F.col("mu2")).cast("double")
+            / (
+                F.lit(2.0)
+                * F.sqrt(F.col("var72").cast("double") / F.lit(72.0))
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )

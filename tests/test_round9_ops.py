@@ -133,3 +133,220 @@ class TestAviMjpeg:
         out = avi_frame_stats(avi, every_n=1)
         n_expected = sum(2 + i % 8 for i in range(16))
         assert out.count() == n_expected
+
+
+def _daily(spark, sf_dir):
+    """(g, d, y) exact-cent daily revenue, computed in plain Python."""
+    import math
+    from collections import defaultdict
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d"), "value"
+    ).collect()
+    out = defaultdict(int)
+    for r in ev:
+        out[(r["event_type"], r["d"])] += math.floor(r["value"] * 100)
+    return out
+
+
+class TestFinancialTrio:
+    def test_max_drawdown_matches_manual(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.timeseries import max_drawdown
+
+        daily = _daily(spark, sf_dir)
+        series = {}
+        for (g, d), y in sorted(daily.items(), key=lambda kv: kv[0][1]):
+            series.setdefault(g, []).append(y)
+        got = {
+            r["event_type"]: (
+                r["n_days"], r["peak_cents"], r["dd_cents"], r["dd_frac"]
+            )
+            for r in max_drawdown(
+                load_table(spark, sf_dir, "events")
+            ).collect()
+        }
+        for g, ys in series.items():
+            peak, ddc, ddf = 0, 0, 0.0
+            for y in ys:
+                peak = max(peak, y)
+                ddc = max(ddc, peak - y)
+                if peak > 0:
+                    ddf = max(ddf, (peak - y) / peak)
+            assert got[g] == (len(ys), peak, ddc, ddf)
+
+    def test_ma_crossover_integer_semantics(self, spark, sf_dir):
+        """Signals require full frames on consecutive days and flip the
+        exact integer comparison sf*slow vs ss*fast."""
+        from p2_mapreduce_spark.operators.timeseries import ma_crossover
+
+        rows = ma_crossover(load_table(spark, sf_dir, "events")).collect()
+        daily = _daily(spark, sf_dir)
+        series = {}
+        for (g, d), y in sorted(daily.items(), key=lambda kv: kv[0][1]):
+            series.setdefault(g, []).append((d, y))
+        expect = set()
+        for g, pts in series.items():
+            by_x = {d.toordinal(): y for d, y in pts}
+            xs = sorted(by_x)
+            state = {}
+            for x in xs:
+                wf = [by_x[i] for i in range(x - 4, x + 1) if i in by_x]
+                ws = [by_x[i] for i in range(x - 19, x + 1) if i in by_x]
+                if len(wf) == 5 and len(ws) == 20:
+                    above = int(sum(wf) * 20 > sum(ws) * 5)
+                    if x - 1 in state and state[x - 1] != above:
+                        expect.add(
+                            (g, x, "golden" if above else "death")
+                        )
+                    state[x] = above
+        import datetime
+
+        got = {
+            (
+                r["event_type"],
+                datetime.date.fromisoformat(r["day"]).toordinal(),
+                r["direction"],
+            )
+            for r in rows
+        }
+        assert got == expect
+
+    def test_bollinger_pinned_tree(self, spark, sf_dir):
+        import math
+
+        from p2_mapreduce_spark.operators.timeseries import bollinger_bands
+
+        rows = bollinger_bands(load_table(spark, sf_dir, "events")).collect()
+        daily = _daily(spark, sf_dir)
+        by_g = {}
+        for (g, d), y in sorted(daily.items(), key=lambda kv: kv[0][1]):
+            by_g.setdefault(g, {})[d.toordinal()] = y
+        for r in rows:
+            import datetime
+
+            g = r["event_type"]
+            x = datetime.date.fromisoformat(r["day"]).toordinal()
+            w = [by_g[g][i] for i in range(x - 19, x + 1) if i in by_g[g]]
+            assert len(w) == 20
+            s, ss = sum(w), sum(v * v for v in w)
+            m = s / 20.0
+            var = ss / 20.0 - m * m
+            sd = math.sqrt(max(var, 0.0))
+            assert r["mean_rev"] == m / 100.0
+            assert r["sd_rev"] == sd / 100.0
+            assert r["band_low"] == (m - 2.0 * sd) / 100.0
+            assert r["band_high"] == (m + 2.0 * sd) / 100.0
+
+
+class TestOrderedAndReliability:
+    def test_jonckheere_matches_bruteforce(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.timeseries import jonckheere
+
+        daily = _daily(spark, sf_dir)
+        groups = sorted({g for g, _ in daily})
+        vals = {g: [y for (gg, _), y in daily.items() if gg == g] for g in groups}
+        jt2 = 0
+        for i in range(len(groups)):
+            for j in range(i + 1, len(groups)):
+                for a in vals[groups[i]]:
+                    for b in vals[groups[j]]:
+                        jt2 += 2 if a < b else (1 if a == b else 0)
+        row = jonckheere(load_table(spark, sf_dir, "events")).collect()[0]
+        n = sum(len(v) for v in vals.values())
+        sum_sq = sum(len(v) ** 2 for v in vals.values())
+        assert row["jt2"] == jt2
+        assert row["n_total"] == n
+        assert row["mu2"] == (n * n - sum_sq) // 2
+
+    def test_jonckheere_single_group_empty(self, spark):
+        from p2_mapreduce_spark.operators.timeseries import jonckheere
+
+        import datetime
+
+        ev = spark.createDataFrame(
+            [(1, datetime.datetime(2024, 1, 1), 1, "view", 5.0, "{}")],
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        )
+        assert jonckheere(ev).count() == 0
+
+    def test_icc_matches_manual_anova(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.events_analytics import (
+            icc_reliability,
+        )
+
+        daily = _daily(spark, sf_dir)
+        groups = sorted({g for g, _ in daily})
+        k = len(groups)
+        days = sorted(
+            d
+            for d in {d for _, d in daily}
+            if all((g, d) in daily for g in groups)
+        )
+        n = len(days)
+        cells = {(g, d): daily[(g, d)] for g in groups for d in days}
+        total = sum(cells.values())
+        ss_cells = sum(v * v for v in cells.values())
+        ss_rows = sum(
+            sum(cells[(g, d)] for g in groups) ** 2 for d in days
+        )
+        ss_cols = sum(
+            sum(cells[(g, d)] for d in days) ** 2 for g in groups
+        )
+        kd, nd, td = float(k), float(n), float(total)
+        grand = td * td / (nd * kd)
+        ssr = ss_rows / kd - grand
+        ssc = ss_cols / nd - grand
+        sse = (ss_cells - grand) - ssr - ssc
+        msr = ssr / (nd - 1.0)
+        msc = ssc / (kd - 1.0)
+        mse = sse / ((nd - 1.0) * (kd - 1.0))
+        icc = (msr - mse) / (msr + (kd - 1.0) * mse + (kd / nd) * (msc - mse))
+        row = icc_reliability(load_table(spark, sf_dir, "events")).collect()[0]
+        assert (row["n_days"], row["k_raters"]) == (n, k)
+        assert abs(row["msr"] - msr) < 1e-9 * max(1.0, abs(msr))
+        assert abs(row["icc"] - icc) < 1e-12
+
+    def test_nelson_aalen_consistent_with_life_table(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.events_analytics import (
+            life_table,
+            nelson_aalen,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        na = {r["t_days"]: r for r in nelson_aalen(ev).collect()}
+        lt = {r["t_days"]: r for r in life_table(ev).collect()}
+        assert set(na) == set(lt)
+        cum = 0
+        for t in sorted(na):
+            assert na[t]["n_at_risk"] == lt[t]["n_at_risk"]
+            assert na[t]["hazard_ppm"] == lt[t]["hazard_ppm"]
+            cum += na[t]["hazard_ppm"]
+            assert na[t]["cum_hazard_ppm"] == cum
+
+
+class TestReciprocity:
+    def test_matches_manual(self, spark, sf_dir):
+        from p2_mapreduce_spark.operators.graph import (
+            nation_trade_reciprocity,
+        )
+
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer")
+        supp = load_table(spark, sf_dir, "supplier")
+        snat = {r["s_suppkey"]: r["s_nationkey"] for r in supp.collect()}
+        cnat = {r["c_custkey"]: r["c_nationkey"] for r in cust.collect()}
+        ocust = {r["o_orderkey"]: r["o_custkey"] for r in orders.collect()}
+        edges = set()
+        for r in li.select("l_orderkey", "l_suppkey").collect():
+            s = snat[r["l_suppkey"]]
+            c = cnat[ocust[r["l_orderkey"]]]
+            if s != c:
+                edges.add((s, c))
+        rec = sum(1 for (s, c) in edges if (c, s) in edges)
+        row = nation_trade_reciprocity(li, orders, cust, supp).collect()[0]
+        assert row["n_edges"] == len(edges)
+        assert row["n_reciprocated"] == rec
+        if edges:
+            assert row["reciprocity"] == rec / len(edges)
