@@ -114,6 +114,20 @@ FUNNEL_REVIEWED = {
     "cronbach_alpha", "lins_ccc", "bland_altman",
     # risk_ratio: the odds_ratio one-row 2x2 aggregate
     "risk_ratio",
+    # round-9 additions, each grain-bounded:
+    # jonckheere: the strictly-below cumulative window runs at the
+    # distinct-daily-value grid (calendar days x k groups, value-
+    # dictionary grain) and the final fold is a one-row aggregate
+    "jonckheere",
+    # nelson_aalen: both windows at observed-lifetime grain (bounded by
+    # the observation window in days) — the life_table justification
+    "nelson_aalen",
+    # icc_reliability: one-row sufficient-statistic aggregates (cells /
+    # rows / cols sums) joined broadcast — the cronbach_alpha pattern
+    "icc_reliability",
+    # reciprocity: fact joins contract to the <= nations^2 dictionary-
+    # grain edge list FIRST; the one-row edge counts ride on that
+    "reciprocity",
     "ab_conversion", "benford", "bitmap_count", "bm25_search", "bounce_rate",
     "chi2_drift", "compaction_plan", "conversion_lag", "cramers_v",
     "cumulative_revenue",
