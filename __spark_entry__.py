@@ -18331,9 +18331,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2, 3
         ),
         framed AS (
+            -- HUGEINT: squared cents overflow BIGINT above bench scale
             SELECT g, d, y,
                    CAST(SUM(y) OVER w AS BIGINT) AS s,
-                   CAST(SUM(y * y) OVER w AS BIGINT) AS ss,
+                   CAST(SUM(CAST(y AS HUGEINT) * y) OVER w AS HUGEINT)
+                       AS ss,
                    COUNT(*) OVER w AS n
             FROM daily
             WINDOW w AS (PARTITION BY g ORDER BY x
@@ -18486,17 +18488,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         cells AS (SELECT daily.* FROM daily JOIN full_days USING (d)),
         agg AS (
+            -- HUGEINT: squared cents overflow BIGINT above bench scale
             SELECT CAST(COUNT(*) AS BIGINT) AS nk_cells,
                    CAST(SUM(y) AS BIGINT) AS total,
-                   CAST(SUM(y * y) AS BIGINT) AS ss_cells
+                   CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT)
+                       AS ss_cells
             FROM cells
         ),
         rows_ AS (
-            SELECT CAST(SUM(row_sum * row_sum) AS BIGINT) AS ss_rows
+            SELECT CAST(SUM(CAST(row_sum AS HUGEINT) * row_sum)
+                        AS HUGEINT) AS ss_rows
             FROM full_days
         ),
         cols_ AS (
-            SELECT CAST(SUM(cs * cs) AS BIGINT) AS ss_cols
+            SELECT CAST(SUM(CAST(cs AS HUGEINT) * cs) AS HUGEINT)
+                       AS ss_cols
             FROM (SELECT g, SUM(y) AS cs FROM cells GROUP BY g)
         ),
         calc AS (

@@ -2500,22 +2500,28 @@ def icc_reliability(events: DataFrame, group_col: str = "event_type") -> DataFra
         .agg(
             F.count(F.lit(1)).alias("nk"),
             F.sum("y").alias("row_sum"),
-            F.sum(F.col("y") * F.col("y")).alias("row_ss"),
         )
         .filter(F.col("nk") == k)
     )
     cells = daily.join(full_days.select("d"), "d")
     per_rater = cells.groupBy("g").agg(F.sum("y").alias("col_sum"))
+    # squared cent sums overflow BIGINT already at ~10x the bench scale
+    # (a day's all-rater revenue squared is ~2.7e18 cents² at sf1) —
+    # exact DECIMAL(38,0) arithmetic here, HUGEINT on the DuckDB side:
+    # same exact integer, hence the same final double
+    ydec = F.col("y").cast("decimal(38,0)")
     stats = cells.agg(
         F.count(F.lit(1)).cast("bigint").alias("nk_cells"),
         F.sum("y").cast("bigint").alias("total"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("ss_cells"),
+        F.sum(ydec * ydec).cast("decimal(38,0)").alias("ss_cells"),
     )
+    rdec = F.col("row_sum").cast("decimal(38,0)")
     row_part = full_days.agg(
-        F.sum(F.col("row_sum") * F.col("row_sum")).cast("bigint").alias("ss_rows")
+        F.sum(rdec * rdec).cast("decimal(38,0)").alias("ss_rows")
     )
+    cdec = F.col("col_sum").cast("decimal(38,0)")
     col_part = per_rater.agg(
-        F.sum(F.col("col_sum") * F.col("col_sum")).cast("bigint").alias("ss_cols")
+        F.sum(cdec * cdec).cast("decimal(38,0)").alias("ss_cols")
     )
     j = stats.join(F.broadcast(row_part)).join(F.broadcast(col_part))
     n_ = (F.col("nk_cells") / F.lit(k)).cast("bigint")  # exact: nk = n·k

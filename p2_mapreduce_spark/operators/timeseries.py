@@ -4322,12 +4322,16 @@ def bollinger_bands(
         .orderBy("x")
         .rangeBetween(-(period - 1), 0)
     )
+    # squared cents overflow BIGINT a few multiples above the bench
+    # scale — exact DECIMAL(38,0) here, HUGEINT in the oracle (same
+    # exact integer, hence the same final double)
+    ydec = F.col("y").cast("decimal(38,0)")
     framed = daily.select(
         "g",
         "d",
         "y",
         F.sum("y").over(w).cast("bigint").alias("s"),
-        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("ss"),
+        F.sum(ydec * ydec).over(w).cast("decimal(38,0)").alias("ss"),
         F.count(F.lit(1)).over(w).alias("n"),
     ).filter(F.col("n") == period)
     n_ = F.lit(float(period))
