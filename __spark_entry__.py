@@ -1446,6 +1446,22 @@ def _q_video_avi_mjpeg(spark, sf_dir):
     return avi_frame_stats(attach_avi_mjpeg(docs), every_n=2)
 
 
+def _q_avi_demux_av(spark, sf_dir):
+    """Multiplexed A/V AVI demux (round 9): two streams in one RIFF
+    container — 'vids'/MJPG + 'auds'/PCM s16 validated from BOTH
+    stream headers, interleaved 00dc/01wb movi chunks split into the
+    demuxed video (JPEG-decoded) and audio (PCM-decoded) row planes.
+    Frames share video_frames' closed forms; audio blocks telescope to
+    one line of oracle SQL."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        attach_avi_av,
+        avi_av_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return avi_av_stats(attach_avi_av(docs))
+
+
 def _q_video_bmpstream(spark, sf_dir):
     """The round-4 concatenated-BMP stream demux under its own honest
     id (MJPEG took over the flagship ``video_frames``): walk each
@@ -4535,7 +4551,8 @@ _DRIVER_CHECKED_R01_R08 = frozenset(
 #: sampled through r08.
 _ROUND9_NEW = (
     # first container video codec: MJPEG-in-AVI (r08 verdict item 4)
-    "video_avi_mjpeg",
+    # + the multiplexed two-stream (MJPEG video + PCM audio) demux
+    "video_avi_mjpeg", "avi_demux_av",
     # financial/momentum day-grid trio (exact-cent frames)
     "max_drawdown", "bollinger_bands", "ma_crossover",
     # ordered-alternative rank test (value-grid fold, no pairwise join)
@@ -4768,6 +4785,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detector_kappa": _q_detector_kappa,
         "video_frames": _q_video_frames,
         "video_avi_mjpeg": _q_video_avi_mjpeg,
+        "avi_demux_av": _q_avi_demux_av,
         "video_bmpstream": _q_video_bmpstream,
         "tvd_drift": _q_tvd_drift,
         "gk_lambda": _q_gk_lambda,
@@ -9395,6 +9413,76 @@ def oracle_sql() -> dict[str, str]:
                       + nodd * CAST(FLOOR((128 + af)
                             + 1.772e0 * b5 + 0.5e0) AS BIGINT))
                        AS BIGINT) AS sum_b
+            FROM fr
+        """,
+        "avi_demux_av": """
+            -- two-stream AVI: video rows are video_frames' closed
+            -- forms over EVERY frame; audio rows telescope (no wrap:
+            -- base <= 99, ns <= 149, base-64+j in s16 range)
+            WITH dims AS (
+                SELECT doc_id AS media_id,
+                       1 + doc_id % 2 AS wb,
+                       1 + (doc_id % 4) // 2 AS hb,
+                       doc_id % 8 AS id8,
+                       doc_id % 5 AS b5,
+                       doc_id % 7 AS c7,
+                       2 + doc_id % 8 AS nf,
+                       100 + doc_id % 50 AS ns,
+                       (doc_id * 7) % 100 AS abase0
+                FROM documents
+            ),
+            fr0 AS (
+                SELECT media_id, wb, hb, id8, b5, c7, ns, abase0,
+                       (wb * hb + 1) // 2 AS ne,
+                       wb * hb - (wb * hb + 1) // 2 AS nodd,
+                       unnest(generate_series(0, nf - 1, 1)) AS f
+                FROM dims
+            ),
+            fr AS (
+                SELECT *, (id8 + f) % 8 AS af,
+                       (abase0 + 3 * f) % 100 AS abase
+                FROM fr0
+            )
+            SELECT media_id,
+                   'video' AS stream,
+                   CAST(f AS INT) AS idx,
+                   CAST(8 * wb AS INT) AS width,
+                   CAST(8 * hb AS INT) AS height,
+                   CAST(64 * (
+                        ne * CAST(FLOOR((136 + af)
+                            + 1.402e0 * (c7 + 8) + 0.5e0) AS BIGINT)
+                      + nodd * CAST(FLOOR((128 + af)
+                            + 1.402e0 * c7 + 0.5e0) AS BIGINT))
+                       AS BIGINT) AS sum_r,
+                   CAST(64 * (
+                        ne * CAST(FLOOR((136 + af)
+                            - 0.344136e0 * (b5 + 8)
+                            - 0.714136e0 * (c7 + 8) + 0.5e0) AS BIGINT)
+                      + nodd * CAST(FLOOR((128 + af)
+                            - 0.344136e0 * b5
+                            - 0.714136e0 * c7 + 0.5e0) AS BIGINT))
+                       AS BIGINT) AS sum_g,
+                   CAST(64 * (
+                        ne * CAST(FLOOR((136 + af)
+                            + 1.772e0 * (b5 + 8) + 0.5e0) AS BIGINT)
+                      + nodd * CAST(FLOOR((128 + af)
+                            + 1.772e0 * b5 + 0.5e0) AS BIGINT))
+                       AS BIGINT) AS sum_b,
+                   CAST(0 AS BIGINT) AS n_samples,
+                   CAST(0 AS BIGINT) AS sum_samples
+            FROM fr
+            UNION ALL
+            SELECT media_id,
+                   'audio' AS stream,
+                   CAST(f AS INT) AS idx,
+                   CAST(0 AS INT) AS width,
+                   CAST(0 AS INT) AS height,
+                   CAST(0 AS BIGINT) AS sum_r,
+                   CAST(0 AS BIGINT) AS sum_g,
+                   CAST(0 AS BIGINT) AS sum_b,
+                   CAST(ns AS BIGINT) AS n_samples,
+                   CAST(ns * (abase - 64) + ns * (ns - 1) // 2
+                        AS BIGINT) AS sum_samples
             FROM fr
         """,
         "video_bmpstream": """

@@ -1219,6 +1219,318 @@ def attach_avi_mjpeg(docs: DataFrame, n_frames_max: int = 8) -> DataFrame:
     )
 
 
+def attach_avi_av(docs: DataFrame, n_frames_max: int = 8) -> DataFrame:
+    """Multimodal table whose payloads are spec-valid **multiplexed
+    A/V AVI** files — TWO streams in one RIFF container, the real
+    muxer shape: stream 0 is :func:`attach_avi_mjpeg`'s MJPEG video
+    (``strh`` 'vids'/'MJPG' + BITMAPINFOHEADER), stream 1 is 16-bit
+    mono 8 kHz PCM audio (``strh`` 'auds' + 16-byte PCMWAVEFORMAT
+    ``strf``), and ``LIST('movi')`` interleaves one ``00dc`` video
+    chunk with one ``01wb`` audio chunk per frame period — the
+    composition milestone that joins the video plane (``_decode_jpeg``)
+    and the audio plane (PCM s16le) in a single demux.
+
+    Closed forms: video frames are attach_avi_mjpeg's exact JPEG
+    machinery; audio block ``f`` carries ``ns = 100 + id % 50``
+    samples ``s_j = base − 64 + j`` with ``base = (7·id + 3·f) % 100``
+    (no modular wrap, so the per-block sum telescopes to
+    ``ns·(base − 64) + ns(ns−1)/2`` — one line of oracle SQL).  The
+    whole file is codegen hex folds + one ``unhex``; the video frame
+    array and audio block array are materialized as columns BEFORE the
+    interleaving ``zip_with`` (HOF lambdas don't CSE)."""
+    wb = (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(2))).cast("int")
+    hb = (F.lit(1) + (F.pmod(F.col("doc_id"), F.lit(4)) / 2).cast("int")).cast("int")
+    nf = (F.lit(2) + F.pmod(F.col("doc_id"), F.lit(int(n_frames_max)))).cast(
+        "int"
+    )
+    d = spread(docs).select(
+        F.col("doc_id").alias("media_id"),
+        wb.alias("wb"),
+        hb.alias("hb"),
+        nf.alias("nf"),
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("id8"),
+        F.pmod(F.col("doc_id"), F.lit(5)).cast("int").alias("id5"),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("int").alias("id7"),
+        (F.lit(100) + F.pmod(F.col("doc_id"), F.lit(50)))
+        .cast("int")
+        .alias("ns"),
+        F.pmod(F.col("doc_id") * 7, F.lit(100)).cast("int").alias("abase0"),
+    )
+    dqt_hex = "ffdb" + "0043" + "00" + "08" + "01" * 63
+    dht_dc_hex = (
+        "ffc4" + "001b" + "00" + "00000701" + "00" * 12
+        + "0001020304050607"
+    )
+    dht_ac_hex = "ffc4" + "0014" + "10" + "01" + "00" * 15 + "00"
+    sof0_hex = F.concat(
+        F.lit("ffc0" + "0011" + "08"),
+        F.format_string("%04x", F.col("hb") * 8),
+        F.format_string("%04x", F.col("wb") * 8),
+        F.lit("03" + "011100" + "021100" + "031100"),
+    )
+    sos_hex = "ffda" + "000c" + "03" + "0100" + "0200" + "0300" + "003f00"
+    d = d.withColumn(
+        "hdr",
+        F.concat(
+            F.lit("ffd8" + dqt_hex + dht_dc_hex + dht_ac_hex),
+            sof0_hex,
+            F.lit(sos_hex),
+        ),
+    )
+    # identical frame generator to attach_avi_mjpeg / attach_mjpeg —
+    # the parity pytest pins the three byte-for-byte
+    frame_hex = (
+        "concat(hdr, array_join(transform(sequence(0, wb*hb - 1), m -> "
+        "concat("
+        " format_string('%02x', CASE WHEN m = 0"
+        "   THEN 144 + 2*((id8 + f) % 8)"
+        "   WHEN m % 2 = 1 THEN 142 ELSE 144 END),"
+        " format_string('%02x', CASE WHEN m = 0 THEN 144 + 2*id5"
+        "   WHEN m % 2 = 1 THEN 142 ELSE 144 END),"
+        " format_string('%02x', CASE WHEN m = 0 THEN 144 + 2*id7"
+        "   WHEN m % 2 = 1 THEN 142 ELSE 144 END))), ''), 'ffd9')"
+    )
+    d = d.withColumn(
+        "frames", F.expr(f"transform(sequence(0, nf-1), f -> {frame_hex})")
+    )
+    # audio block f: ns s16le samples (base - 64 + j), two's complement
+    ablock_hex = (
+        "array_join(transform(sequence(0, ns - 1), j -> "
+        "format_string('%02x%02x',"
+        " pmod((abase0 + 3*f) % 100 - 64 + j, 65536) % 256,"
+        " (pmod((abase0 + 3*f) % 100 - 64 + j, 65536) div 256) % 256"
+        ")), '')"
+    )
+    d = d.withColumn(
+        "ablocks",
+        F.expr(f"transform(sequence(0, nf-1), f -> {ablock_hex})"),
+    )
+    d = d.withColumn(
+        "flen", (F.length(F.element_at("frames", 1)) / 2).cast("long")
+    ).withColumn("pad", F.pmod(F.col("flen"), F.lit(2)).cast("long"))
+    d = (
+        d.withColumn("flen_le", _le32_hex(F.col("flen")))
+        .withColumn("alen", (F.col("ns") * 2).cast("long"))
+        .withColumn("alen_le", _le32_hex(F.col("ns") * 2))
+    )
+    w8 = (F.col("wb") * 8).cast("long")
+    h8 = (F.col("hb") * 8).cast("long")
+    zero32 = "00000000"
+    avih = F.concat(
+        F.lit("61766968"), F.lit("38000000"),
+        _le32_hex(F.lit(40000)),
+        F.lit(zero32 * 3),
+        _le32_hex(F.col("nf")),
+        F.lit(zero32),
+        _le32_hex(F.lit(2)),  # dwStreams = 2
+        F.lit(zero32),
+        _le32_hex(w8),
+        _le32_hex(h8),
+        F.lit("00" * 16),
+    )
+    strh_v = F.concat(
+        F.lit("73747268"), F.lit("38000000"),
+        F.lit("76696473"), F.lit("4d4a5047"),
+        F.lit(zero32), F.lit("0000" + "0000"), F.lit(zero32),
+        _le32_hex(F.lit(1)), _le32_hex(F.lit(25)),
+        F.lit(zero32), _le32_hex(F.col("nf")),
+        F.lit(zero32 * 3),
+        _le16_hex(F.lit(0)), _le16_hex(F.lit(0)),
+        _le16_hex(w8), _le16_hex(h8),
+    )
+    strf_v = F.concat(
+        F.lit("73747266"), F.lit("28000000"),
+        _le32_hex(F.lit(40)), _le32_hex(w8), _le32_hex(h8),
+        _le16_hex(F.lit(1)), _le16_hex(F.lit(24)),
+        F.lit("4d4a5047"), _le32_hex(w8 * h8 * 3),
+        F.lit(zero32 * 4),
+    )
+    strl_v = F.concat(
+        F.lit("4c495354"), _le32_hex(F.lit(116)), F.lit("7374726c"),
+        strh_v, strf_v,
+    )
+    total_samples = (F.col("nf") * F.col("ns")).cast("long")
+    strh_a = F.concat(
+        F.lit("73747268"), F.lit("38000000"),
+        F.lit("61756473"),  # fccType 'auds'
+        F.lit(zero32),  # fccHandler 0 (PCM)
+        F.lit(zero32), F.lit("0000" + "0000"), F.lit(zero32),
+        _le32_hex(F.lit(1)),  # dwScale
+        _le32_hex(F.lit(8000)),  # dwRate -> 8 kHz
+        F.lit(zero32),
+        _le32_hex(total_samples),  # dwLength in samples
+        F.lit(zero32),  # bufsize
+        F.lit(zero32),  # quality
+        _le32_hex(F.lit(2)),  # dwSampleSize = block align
+        F.lit("00" * 8),  # rcFrame (unused for audio)
+    )
+    strf_a = F.concat(
+        F.lit("73747266"), _le32_hex(F.lit(16)),
+        _le16_hex(F.lit(1)),  # wFormatTag = PCM
+        _le16_hex(F.lit(1)),  # nChannels = 1
+        _le32_hex(F.lit(8000)),  # nSamplesPerSec
+        _le32_hex(F.lit(16000)),  # nAvgBytesPerSec
+        _le16_hex(F.lit(2)),  # nBlockAlign
+        _le16_hex(F.lit(16)),  # wBitsPerSample
+    )
+    strl_a = F.concat(
+        F.lit("4c495354"), _le32_hex(F.lit(92)), F.lit("7374726c"),
+        strh_a, strf_a,
+    )
+    hdrl = F.concat(
+        F.lit("4c495354"), _le32_hex(F.lit(292)), F.lit("6864726c"),
+        avih, strl_v, strl_a,
+    )
+    # interleave: (00dc frame_f)(01wb block_f) per period
+    chunks = F.expr(
+        "array_join(zip_with(frames, ablocks, (fr, ab) -> concat("
+        "'30306463', flen_le, fr, IF(pad = 1, '00', ''),"
+        "'30317762', alen_le, ab)), '')"
+    )
+    movi_size = F.lit(4) + F.col("nf").cast("long") * (
+        F.lit(8) + F.col("flen") + F.col("pad") + F.lit(8) + F.col("alen")
+    )
+    movi = F.concat(
+        F.lit("4c495354"), _le32_hex(movi_size), F.lit("6d6f7669"), chunks
+    )
+    riff_size = F.lit(4 + 8 + 292 + 8) + movi_size
+    payload_hex = F.concat(
+        F.lit("52494646"), _le32_hex(riff_size), F.lit("41564920"),
+        hdrl, movi,
+    )
+    return d.select(
+        "media_id",
+        F.lit("video").alias("modality"),
+        F.unhex(payload_hex).alias("payload"),
+    )
+
+
+def avi_av_stats(media: DataFrame) -> DataFrame:
+    """REAL multiplexed-AVI demux: RIFF walk, BOTH stream headers
+    parsed and validated (stream 0 must be 'vids'/MJPG, stream 1
+    'auds' with PCM wFormatTag=1 / 16-bit — anything else quarantines
+    the file), then one pass over the interleaved ``movi`` chunks:
+    every ``00dc`` runs the full baseline-JPEG decoder, every ``01wb``
+    decodes s16le PCM.  One row per chunk, tagged by stream — the
+    demuxed twin tables a real pipeline would fan out to the video and
+    audio kernels.  Truncated/corrupt chunks quarantine the file's
+    remainder, pinned in pytest."""
+    from p2_mapreduce_spark.mapreduce import _ship_by_value
+
+    _ship_by_value(_decode_jpeg)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def u32(b: bytes, pos: int) -> int:
+            return int.from_bytes(b[pos : pos + 4], "little")
+
+        def u16(b: bytes, pos: int) -> int:
+            return int.from_bytes(b[pos : pos + 2], "little")
+
+        def rows(payload: bytes):
+            b = payload or b""
+            if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+                return
+            end = min(8 + u32(b, 4), len(b))
+            vhandler = None
+            audio_ok = False
+            pos = 12
+            while pos + 8 <= end:
+                fourcc, size = b[pos : pos + 4], u32(b, pos + 4)
+                body = pos + 8
+                if body + size > end:
+                    return
+                if fourcc == b"LIST":
+                    ltype = b[body : body + 4]
+                    if ltype == b"hdrl":
+                        p2 = body + 4
+                        while p2 + 8 <= body + size:
+                            fc2, sz2 = b[p2 : p2 + 4], u32(b, p2 + 4)
+                            if fc2 == b"LIST" and b[p2 + 8 : p2 + 12] == b"strl":
+                                p3 = p2 + 12
+                                if b[p3 : p3 + 4] == b"strh":
+                                    stype = b[p3 + 8 : p3 + 12]
+                                    if stype == b"vids":
+                                        vhandler = b[p3 + 12 : p3 + 16]
+                                    elif stype == b"auds":
+                                        # strf follows strh (word-aligned)
+                                        sh = u32(b, p3 + 4)
+                                        p4 = p3 + 8 + sh + (sh & 1)
+                                        if b[p4 : p4 + 4] == b"strf":
+                                            tag = u16(b, p4 + 8)
+                                            bits = u16(b, p4 + 8 + 14)
+                                            audio_ok = (
+                                                tag == 1 and bits == 16
+                                            )
+                            p2 += 8 + sz2 + (sz2 & 1)
+                    elif ltype == b"movi":
+                        if vhandler != b"MJPG" or not audio_ok:
+                            return  # not the declared A/V shape
+                        p2 = body + 4
+                        vidx = aidx = 0
+                        while p2 + 8 <= body + size:
+                            fc2, sz2 = b[p2 : p2 + 4], u32(b, p2 + 4)
+                            if p2 + 8 + sz2 > body + size:
+                                return
+                            data = b[p2 + 8 : p2 + 8 + sz2]
+                            if fc2[2:4] in (b"dc", b"db"):
+                                parsed = _decode_jpeg(data)
+                                if parsed is None:
+                                    return
+                                w, h, planes = parsed
+                                sums = [
+                                    sum(v for row in ch for v in row)
+                                    for ch in planes
+                                ]
+                                if len(planes) == 1:
+                                    sums = [sums[0]] * 3
+                                yield (
+                                    "video", vidx, w, h,
+                                    sums[0], sums[1], sums[2], 0, 0,
+                                )
+                                vidx += 1
+                            elif fc2[2:4] == b"wb":
+                                if sz2 % 2:
+                                    return  # s16 stream must be even
+                                n = sz2 // 2
+                                tot = sum(
+                                    int.from_bytes(
+                                        data[2 * i : 2 * i + 2],
+                                        "little",
+                                        signed=True,
+                                    )
+                                    for i in range(n)
+                                )
+                                yield (
+                                    "audio", aidx, 0, 0, 0, 0, 0, n, tot,
+                                )
+                                aidx += 1
+                            p2 += 8 + sz2 + (sz2 & 1)
+                pos += 8 + size + (size & 1)
+
+        for pdf in it:
+            out = [
+                (mid,) + r
+                for mid, p in zip(pdf["media_id"], pdf["payload"])
+                for r in rows(p)
+            ]
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "stream", "idx", "width", "height",
+                    "sum_r", "sum_g", "sum_b", "n_samples", "sum_samples",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, stream string, idx int, width int,"
+            " height int, sum_r long, sum_g long, sum_b long,"
+            " n_samples bigint, sum_samples bigint"
+        ),
+    )
+
+
 def avi_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
     """REAL AVI demux + per-frame MJPEG decode: RIFF chunk walk
     (``RIFF`` magic + ``AVI `` form type), header parse — the stream's

@@ -387,6 +387,9 @@ PYTHON_ALLOWED = {
     # decode (avi_frame_stats), same Arrow-batched payload kernel
     # justification as video_frames
     "video_avi_mjpeg",
+    # round 9: multiplexed A/V AVI demux (avi_av_stats) — two-stream
+    # RIFF walk + JPEG/PCM decode, same payload-kernel justification
+    "avi_demux_av",
 }
 
 

@@ -350,3 +350,87 @@ class TestReciprocity:
         assert row["n_reciprocated"] == rec
         if edges:
             assert row["reciprocity"] == rec / len(edges)
+
+
+class TestAviAv:
+    def test_video_plane_parity_and_audio_closed_form(self, spark, sf_dir):
+        """The multiplexed container's video rows equal the
+        single-stream AVI decode (every frame); audio rows match the
+        telescoped closed form."""
+        from p2_mapreduce_spark.operators.multimodal import (
+            attach_avi_av,
+            attach_avi_mjpeg,
+            avi_av_stats,
+            avi_frame_stats,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = avi_av_stats(attach_avi_av(docs)).collect()
+        vid = {
+            (r["media_id"], r["idx"]): (
+                r["width"], r["height"], r["sum_r"], r["sum_g"], r["sum_b"]
+            )
+            for r in out
+            if r["stream"] == "video"
+        }
+        ref = {
+            (r["media_id"], r["frame_idx"]): (
+                r["width"], r["height"], r["sum_r"], r["sum_g"], r["sum_b"]
+            )
+            for r in avi_frame_stats(
+                attach_avi_mjpeg(docs), every_n=1
+            ).collect()
+        }
+        assert vid == ref and vid
+        for r in out:
+            if r["stream"] != "audio":
+                continue
+            i, f = r["media_id"], r["idx"]
+            ns = 100 + i % 50
+            base = (7 * i + 3 * f) % 100
+            assert r["n_samples"] == ns
+            assert r["sum_samples"] == ns * (base - 64) + ns * (ns - 1) // 2
+
+    def test_bad_audio_format_quarantines(self, spark):
+        """A container whose audio strf is not 16-bit PCM yields zero
+        rows — the demux refuses codecs it doesn't have (same contract
+        as the video handler check)."""
+        from p2_mapreduce_spark.operators.multimodal import (
+            attach_avi_av,
+            avi_av_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [(2, "x", "en", "s", 1)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        full = bytearray(bytes(attach_avi_av(docs).collect()[0]["payload"]))
+        # wFormatTag lives 8 bytes into the audio strf chunk body;
+        # find 'auds' strh then its strf
+        p = full.find(b"auds")
+        p = full.find(b"strf", p)
+        full[p + 8 : p + 10] = (85).to_bytes(2, "little")  # MP3 tag
+        broken = spark.createDataFrame(
+            [(2, "video", bytes(full))],
+            "media_id long, modality string, payload binary",
+        )
+        assert avi_av_stats(broken).count() == 0
+
+    def test_truncated_av_quarantines(self, spark):
+        from p2_mapreduce_spark.operators.multimodal import (
+            attach_avi_av,
+            avi_av_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [(5, "x", "en", "s", 1)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        full = bytes(attach_avi_av(docs).collect()[0]["payload"])
+        broken = spark.createDataFrame(
+            [(5, "video", full[: len(full) * 2 // 3])],
+            "media_id long, modality string, payload binary",
+        )
+        assert avi_av_stats(broken).count() == 0
