@@ -1992,6 +1992,22 @@ def _q_reciprocity(spark, sf_dir):
     )
 
 
+def _q_obv_daily(spark, sf_dir):
+    """On-balance volume: integer signs from the d-1 grid join times
+    daily volumes, order-free cumulative BIGINT window."""
+    from p2_mapreduce_spark.operators.timeseries import obv_daily
+
+    return obv_daily(load_table(spark, sf_dir, "events"))
+
+
+def _q_capm_beta(spark, sf_dir):
+    """Market beta per group: consecutive-day move pairs, DECIMAL(38,0)
+    product sums, beta/alpha as single IEEE divisions of exact ints."""
+    from p2_mapreduce_spark.operators.timeseries import capm_beta
+
+    return capm_beta(load_table(spark, sf_dir, "events"))
+
+
 def _q_media_pgm(spark, sf_dir):
     """REAL binary-PGM decode: full netpbm ASCII header grammar
     (whitespace tokens + '#' comments), raw pixel block, exact stats."""
@@ -4553,8 +4569,9 @@ _ROUND9_NEW = (
     # first container video codec: MJPEG-in-AVI (r08 verdict item 4)
     # + the multiplexed two-stream (MJPEG video + PCM audio) demux
     "video_avi_mjpeg", "avi_demux_av",
-    # financial/momentum day-grid trio (exact-cent frames)
-    "max_drawdown", "bollinger_bands", "ma_crossover",
+    # financial/momentum day-grid batch (exact-cent frames)
+    "max_drawdown", "bollinger_bands", "ma_crossover", "obv_daily",
+    "capm_beta",
     # ordered-alternative rank test (value-grid fold, no pairwise join)
     "jonckheere",
     # survival + reliability completions
@@ -4881,6 +4898,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nelson_aalen": _q_nelson_aalen,
         "icc_reliability": _q_icc_reliability,
         "reciprocity": _q_reciprocity,
+        "obv_daily": _q_obv_daily,
+        "capm_beta": _q_capm_beta,
         "lins_ccc": _q_lins_ccc,
         "bland_altman": _q_bland_altman,
         "ccf_daily": _q_ccf_daily,
@@ -18625,6 +18644,81 @@ def oracle_sql() -> dict[str, str]:
                             + (kd / nd) * (msc - mse))
                     ELSE 0.0e0 END AS icc
         FROM ms WHERE n >= 2
+    """
+    out["obv_daily"] = """
+        WITH day AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS x,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y,
+                   COUNT(*) AS v
+            FROM events GROUP BY 1, 2, 3
+        ),
+        signed AS (
+            SELECT c.g, c.d, c.x, c.v,
+                   CASE WHEN p.y IS NULL THEN 0
+                        WHEN c.y > p.y THEN 1
+                        WHEN c.y < p.y THEN -1
+                        ELSE 0 END AS move_sign
+            FROM day c LEFT JOIN day p
+              ON p.g = c.g AND p.x + 1 = c.x
+        )
+        SELECT g AS event_type, strftime(d, '%Y-%m-%d') AS day,
+               CAST(move_sign AS INT) AS move_sign,
+               CAST(v AS BIGINT) AS volume,
+               CAST(SUM(move_sign * v) OVER (PARTITION BY g ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS obv
+        FROM signed
+    """
+    out["capm_beta"] = """
+        WITH daily AS (
+            SELECT event_type AS g,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS x,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        market AS (SELECT x, SUM(y) AS m FROM daily GROUP BY x),
+        dm AS (
+            SELECT c.x, c.m - p.m AS dx
+            FROM market c JOIN market p ON p.x + 1 = c.x
+        ),
+        dg AS (
+            SELECT c.g, c.x, c.y - p.y AS dy
+            FROM daily c JOIN daily p
+              ON p.g = c.g AND p.x + 1 = c.x
+        ),
+        agg AS (
+            -- HUGEINT: squared moves overflow BIGINT above bench scale
+            SELECT g,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(dx) AS HUGEINT) AS sx,
+                   CAST(SUM(dy) AS HUGEINT) AS sy,
+                   CAST(SUM(CAST(dx AS HUGEINT) * dx) AS HUGEINT)
+                       AS sxx,
+                   CAST(SUM(CAST(dx AS HUGEINT) * dy) AS HUGEINT)
+                       AS sxy
+            FROM dg JOIN dm USING (x) GROUP BY g
+        ),
+        calc AS (
+            SELECT g, n,
+                   CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+                   CAST(n AS HUGEINT) * sxx - sx * sx AS den,
+                   sx, sy
+            FROM agg
+        ),
+        beta_ AS (
+            SELECT g, n, sx, sy,
+                   CASE WHEN den <> 0
+                        THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                        ELSE 0.0e0 END AS beta
+            FROM calc
+        )
+        SELECT g AS event_type, n AS n_days, beta,
+               (CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS alpha
+        FROM beta_
     """
     # --- round 9: directed trade-graph reciprocity ---------------------
     out["reciprocity"] = """

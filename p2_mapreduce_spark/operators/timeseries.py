@@ -4528,3 +4528,147 @@ def jonckheere(
         .otherwise(F.lit(0.0))
         .alias("z"),
     )
+
+
+def obv_daily(
+    events: DataFrame, group_col: str = "event_type"
+) -> DataFrame:
+    """On-balance volume per group: the running sum of each day's
+    activity VOLUME (event count) signed by that day's revenue
+    direction — volume-confirms-price, the classic accumulation/
+    distribution gauge complementing the price-only momentum family
+    (:func:`rsi_daily`, :func:`price_osc`).
+
+    A day contributes ``sign(y_d − y_{d−1}) · v_d`` only when the
+    previous CALENDAR day was observed (a gap contributes zero — no
+    fabricated direction).  Everything is exact BIGINT: signs from an
+    integer comparison on the d−1 grid join, volumes are counts, and
+    the cumulative sum is an order-free integer window.
+
+    Output: (group, day, move_sign, volume, obv).
+    """
+    day = (
+        events.select(
+            F.col(group_col).alias("g"),
+            F.to_date("ts").alias("d"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("g", "d")
+        .agg(
+            F.sum("cents").alias("y"),
+            F.count(F.lit(1)).cast("bigint").alias("v"),
+        )
+        .select(
+            "g",
+            "d",
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).alias(
+                "x"
+            ),
+            "y",
+            "v",
+        )
+    )
+    prev = day.select(
+        F.col("g").alias("g2"), (F.col("x") + 1).alias("x"),
+        F.col("y").alias("y_prev"),
+    )
+    signed = day.join(
+        prev,
+        (F.col("g") == F.col("g2")) & (day["x"] == prev["x"]),
+        "left",
+    ).select(
+        "g",
+        "d",
+        day["x"].alias("x"),
+        "v",
+        F.when(F.col("y_prev").isNull(), F.lit(0))
+        .when(F.col("y") > F.col("y_prev"), F.lit(1))
+        .when(F.col("y") < F.col("y_prev"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("move_sign"),
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return signed.select(
+        F.col("g").alias(group_col),
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "move_sign",
+        F.col("v").alias("volume"),
+        F.sum(F.col("move_sign") * F.col("v"))
+        .over(w)
+        .cast("bigint")
+        .alias("obv"),
+    )
+
+
+def capm_beta(
+    events: DataFrame, group_col: str = "event_type"
+) -> DataFrame:
+    """Per-group market beta: regress each group's day-over-day revenue
+    MOVES against the all-groups ("market") moves — the systematic- vs
+    idiosyncratic-variation split (CAPM's slope), the cross-series
+    counterpart of :func:`grouped_trend`'s time regression.
+
+    Moves pair only CONSECUTIVE calendar days, and both sides are
+    exact BIGINT cents.  ``β = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` and
+    ``α = (Σy − β·Σx)/n`` with every product sum carried in exact
+    DECIMAL(38,0) (squared moves overflow BIGINT ~10× above bench
+    scale — the icc_reliability lesson applied at design time) —
+    numerator and denominator are exactly-represented integers, so β
+    is ONE IEEE division in both engines.
+
+    Output: (group, n_days, beta, alpha).
+    """
+    daily = _daily_cents(events, group_col).select(
+        "g",
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).alias("x"),
+        "y",
+    )
+    market = daily.groupBy("x").agg(F.sum("y").alias("m"))
+    mprev = market.select((F.col("x") + 1).alias("x"), F.col("m").alias("m_prev"))
+    dm = market.join(mprev, "x").select(
+        "x", (F.col("m") - F.col("m_prev")).alias("dx")
+    )
+    gprev = daily.select(
+        F.col("g").alias("g2"), (F.col("x") + 1).alias("x"),
+        F.col("y").alias("y_prev"),
+    )
+    dg = daily.join(
+        gprev, (F.col("g") == F.col("g2")) & (daily["x"] == gprev["x"])
+    ).select("g", daily["x"].alias("x"), (F.col("y") - F.col("y_prev")).alias("dy"))
+    j = dg.join(dm, "x")
+    xdec = F.col("dx").cast("decimal(38,0)")
+    ydec = F.col("dy").cast("decimal(38,0)")
+    agg = j.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dx").cast("decimal(38,0)").alias("sx"),
+        F.sum("dy").cast("decimal(38,0)").alias("sy"),
+        F.sum(xdec * xdec).cast("decimal(38,0)").alias("sxx"),
+        F.sum(xdec * ydec).cast("decimal(38,0)").alias("sxy"),
+    )
+    ndec = F.col("n").cast("decimal(38,0)")
+    num = (ndec * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "decimal(38,0)"
+    )
+    den = (ndec * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "decimal(38,0)"
+    )
+    beta = F.when(
+        den != 0, num.cast("double") / den.cast("double")
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").alias("n_days"),
+        beta.alias("beta"),
+        (
+            (
+                F.col("sy").cast("double")
+                - beta * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double")
+        ).alias("alpha"),
+    )
