@@ -480,3 +480,42 @@ def test_fnv1a32_sql_matches_go_fold_for_any_token(spark, words):
         for r in df.selectExpr("w", f"{fnv1a32_sql('w')} as h").collect()
     }
     assert got == {w: fnv(w.encode()) for w in words}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_dup_edge_support_orientation_matches_naive(spark, edges):
+    """The round-9 degree-ordered wedge kernel must equal the naive
+    common-neighbor count on ARBITRARY pair graphs (hubs, ties in the
+    (degree, id) key, isolated edges) — guards the orientation change
+    against the exact semantics it replaced."""
+    from collections import Counter
+
+    from p2_mapreduce_spark.operators.dedup import dup_edge_support
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not canon:
+        return
+    nbr: dict[int, set[int]] = {}
+    for a, b in canon:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    want = Counter(len(nbr[a] & nbr[b]) for a, b in canon)
+    pairs = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in canon], "doc_a long, doc_b long, jaccard double"
+    )
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    got = {
+        r["support"]: r["n_edges"]
+        for r in dup_edge_support(docs, pairs=pairs).collect()
+    }
+    assert got == dict(want)
