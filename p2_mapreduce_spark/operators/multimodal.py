@@ -1492,13 +1492,10 @@ def avi_av_stats(media: DataFrame) -> DataFrame:
                                 if sz2 % 2:
                                     return  # s16 stream must be even
                                 n = sz2 // 2
-                                tot = sum(
-                                    int.from_bytes(
-                                        data[2 * i : 2 * i + 2],
-                                        "little",
-                                        signed=True,
-                                    )
-                                    for i in range(n)
+                                tot = int(
+                                    np.frombuffer(data, dtype="<i2")
+                                    .astype(np.int64)
+                                    .sum()
                                 )
                                 yield (
                                     "audio", aidx, 0, 0, 0, 0, 0, n, tot,

@@ -4623,10 +4623,19 @@ def capm_beta(
 
     Output: (group, n_days, beta, alpha).
     """
-    daily = _daily_cents(events, group_col).select(
-        "g",
-        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).alias("x"),
-        "y",
+    # the day-grain contraction feeds THREE derivations (market, the
+    # group moves, and the group lag side) — persist it or the fact
+    # scan re-executes three times
+    daily = (
+        _daily_cents(events, group_col)
+        .select(
+            "g",
+            F.datediff(
+                F.col("d"), F.lit("1970-01-01").cast("date")
+            ).alias("x"),
+            "y",
+        )
+        .persist()
     )
     market = daily.groupBy("x").agg(F.sum("y").alias("m"))
     mprev = market.select((F.col("x") + 1).alias("x"), F.col("m").alias("m_prev"))
