@@ -1992,6 +1992,17 @@ def _q_reciprocity(spark, sf_dir):
     )
 
 
+def _q_krippendorff(spark, sf_dir):
+    """Krippendorff's nominal alpha on the stuart_maxwell user-grain
+    half-period pairing — the agreement family's reliability face,
+    one IEEE division of exact BIGINTs."""
+    from p2_mapreduce_spark.operators.events_analytics import (
+        krippendorff_alpha,
+    )
+
+    return krippendorff_alpha(load_table(spark, sf_dir, "events"))
+
+
 def _q_obv_daily(spark, sf_dir):
     """On-balance volume: integer signs from the d-1 grid join times
     daily volumes, order-free cumulative BIGINT window."""
@@ -4574,8 +4585,8 @@ _ROUND9_NEW = (
     "capm_beta",
     # ordered-alternative rank test (value-grid fold, no pairwise join)
     "jonckheere",
-    # survival + reliability completions
-    "nelson_aalen", "icc_reliability",
+    # survival + reliability/agreement completions
+    "nelson_aalen", "icc_reliability", "krippendorff",
     # directed-graph symmetry audit
     "reciprocity",
 )
@@ -4900,6 +4911,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": _q_reciprocity,
         "obv_daily": _q_obv_daily,
         "capm_beta": _q_capm_beta,
+        "krippendorff": _q_krippendorff,
         "lins_ccc": _q_lins_ccc,
         "bland_altman": _q_bland_altman,
         "ccf_daily": _q_ccf_daily,
@@ -18644,6 +18656,64 @@ def oracle_sql() -> dict[str, str]:
                             + (kd / nd) * (msc - mse))
                     ELSE 0.0e0 END AS icc
         FROM ms WHERE n >= 2
+    """
+    out["krippendorff"] = f"""
+        WITH span AS (
+            SELECT CAST(min(CAST(ts AS DATE))
+                        + CAST(datediff('day', min(CAST(ts AS DATE)),
+                                        max(CAST(ts AS DATE))) // 2
+                               AS INT) AS DATE) AS mid
+            FROM {ev}
+        ),
+        tagged AS (
+            SELECT user_id, CAST(ts AS DATE) <= mid AS first_half,
+                   event_type
+            FROM {ev}, span
+            WHERE event_type IN ('click', 'purchase', 'view')
+        ),
+        counts AS (
+            SELECT user_id, first_half, event_type, COUNT(*) AS cnt
+            FROM tagged GROUP BY 1, 2, 3
+        ),
+        modal AS (
+            SELECT user_id, first_half, event_type AS m FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY user_id, first_half
+                           ORDER BY cnt DESC, event_type) AS rn
+                FROM counts
+            ) WHERE rn = 1
+        ),
+        pr AS (
+            SELECT a.user_id, a.m AS m1, b.m AS m2
+            FROM (SELECT * FROM modal WHERE first_half) a
+            JOIN (SELECT * FROM modal WHERE NOT first_half) b
+              ON a.user_id = b.user_id
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+                   CAST(2 * SUM(CASE WHEN m1 <> m2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS do_pairs
+            FROM pr
+        ),
+        mm AS (
+            SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq
+            FROM (
+                SELECT c, COUNT(*) AS cnt FROM (
+                    SELECT m1 AS c FROM pr
+                    UNION ALL SELECT m2 AS c FROM pr
+                ) GROUP BY c
+            )
+        )
+        SELECT n_units, do_pairs,
+               CAST(4 * n_units * n_units - sum_sq AS BIGINT) AS de_num,
+               CASE WHEN 4 * n_units * n_units - sum_sq > 0
+                    THEN 1.0e0
+                         - CAST(do_pairs * (2 * n_units - 1) AS DOUBLE)
+                           / CAST(4 * n_units * n_units - sum_sq
+                                  AS DOUBLE)
+                    ELSE 0.0e0 END AS alpha
+        FROM agg, mm
+        WHERE n_units > 0
     """
     out["obv_daily"] = """
         WITH day AS (

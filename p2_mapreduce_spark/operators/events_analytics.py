@@ -2566,3 +2566,92 @@ def _daily_cents_ea(events: DataFrame, group_col: str) -> DataFrame:
         .groupBy("g", "d")
         .agg(F.sum("cents").alias("y"))
     )
+
+
+def krippendorff_alpha(events: DataFrame) -> DataFrame:
+    """Krippendorff's α (nominal, two raters) on the SAME paired
+    user-grain observation :func:`stuart_maxwell` tests: each user's
+    modal event type in the first vs second calendar half.  Completes
+    the chance-corrected agreement family — Cohen's κ (two fixed
+    raters), Fleiss' κ (many raters, fixed n), Stuart–Maxwell
+    (marginal shift); α is the reliability face that generalizes to
+    missing data and is THE standard for annotation-quality gates on
+    training corpora.
+
+    For two complete raters the coincidence matrix is ``o_ck = n_ck +
+    n_kc``, so ``α = 1 − D_o/D_e`` reduces to exact integers:
+    ``D_o·N = 2·offdiag``, ``D_e·N(N−1) = N² − Σ_c m_c²`` with margins
+    ``m_c = row_c + col_c`` and ``N = 2·n_units`` — the final α is ONE
+    IEEE division of exact BIGINTs (pinned tree, hash-comparable).
+
+    Scale shape: identical to stuart_maxwell — one broadcast midpoint
+    row, two user-grain argmax aggregates, then category-grain (k ≤ 3)
+    margins.  Output one row: (n_units, do_pairs, de_num, alpha);
+    α = 0.0 sentinel when D_e degenerates (all ratings one category).
+    """
+    kinds = ("click", "purchase", "view")
+    days = events.select(F.to_date("ts").alias("d"))
+    span = days.agg(F.min("d").alias("d0"), F.max("d").alias("d1")).select(
+        F.expr(
+            "date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"
+        ).alias("mid")
+    )
+    tagged = (
+        events.filter(F.col("event_type").isin(*kinds))
+        .crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            (F.to_date("ts") <= F.col("mid")).alias("first_half"),
+            "event_type",
+        )
+    )
+    counts = tagged.groupBy("user_id", "first_half", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    modal = counts.groupBy("user_id", "first_half").agg(
+        F.min_by(
+            "event_type",
+            F.struct((-F.col("cnt")).alias("neg"), "event_type"),
+        ).alias("m")
+    )
+    pairs = (
+        modal.filter(F.col("first_half"))
+        .select("user_id", F.col("m").alias("m1"))
+        .join(
+            modal.filter(~F.col("first_half")).select(
+                "user_id", F.col("m").alias("m2")
+            ),
+            "user_id",
+        )
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        (
+            F.lit(2)
+            * F.sum((F.col("m1") != F.col("m2")).cast("bigint"))
+        ).cast("bigint").alias("do_pairs"),
+    )
+    margins = (
+        pairs.select(F.explode(F.array("m1", "m2")).alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sum_sq"))
+    )
+    j = agg.join(F.broadcast(margins))
+    de = (
+        F.lit(4) * F.col("n_units") * F.col("n_units") - F.col("sum_sq")
+    ).cast("bigint")
+    num = (F.col("do_pairs") * (F.lit(2) * F.col("n_units") - F.lit(1))).cast(
+        "bigint"
+    )
+    return j.filter(F.col("n_units") > 0).select(
+        "n_units",
+        "do_pairs",
+        de.alias("de_num"),
+        F.when(
+            de > 0,
+            F.lit(1.0) - num.cast("double") / de.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("alpha"),
+    )

@@ -526,3 +526,90 @@ class TestObvAndBeta:
         # consecutive-day pair; fixtures are dense, so expect near-1
         assert rows
         assert abs(sum(r["beta"] for r in rows) - 1.0) < 0.2
+
+
+class TestKrippendorff:
+    def test_matches_manual_coincidence_matrix(self, spark, sf_dir):
+        from collections import Counter, defaultdict
+
+        from p2_mapreduce_spark.operators.events_analytics import (
+            krippendorff_alpha,
+        )
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", F.to_date("ts").alias("d"), "event_type"
+        ).collect()
+        kinds = {"click", "purchase", "view"}
+        days = [r["d"] for r in ev]
+        d0, d1 = min(days), max(days)
+        mid = d0 + __import__("datetime").timedelta(
+            days=(d1 - d0).days // 2
+        )
+        cnt = defaultdict(Counter)
+        for r in ev:
+            if r["event_type"] in kinds:
+                cnt[(r["user_id"], r["d"] <= mid)][r["event_type"]] += 1
+        modal = {
+            k: min(c, key=lambda t: (-c[t], t)) for k, c in cnt.items()
+        }
+        pairs = [
+            (modal[(u, True)], modal[(u, False)])
+            for u in {u for u, _ in modal}
+            if (u, True) in modal and (u, False) in modal
+        ]
+        n = len(pairs)
+        do = 2 * sum(1 for a, b in pairs if a != b)
+        marg = Counter()
+        for a, b in pairs:
+            marg[a] += 1
+            marg[b] += 1
+        de = 4 * n * n - sum(v * v for v in marg.values())
+        alpha = 1.0 - float(do * (2 * n - 1)) / float(de) if de else 0.0
+        row = krippendorff_alpha(
+            load_table(spark, sf_dir, "events")
+        ).collect()[0]
+        assert (row["n_units"], row["do_pairs"], row["de_num"]) == (
+            n, do, de,
+        )
+        assert row["alpha"] == alpha
+
+    def test_perfect_agreement_is_one(self, spark):
+        import datetime
+
+        from p2_mapreduce_spark.operators.events_analytics import (
+            krippendorff_alpha,
+        )
+
+        rows = []
+        eid = 0
+        for u, t in ((1, "view"), (2, "click"), (3, "purchase")):
+            for day in (1, 20):  # one event each half, same type
+                eid += 1
+                rows.append(
+                    (eid, datetime.datetime(2024, 1, day), u, t, 1.0, "{}")
+                )
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        )
+        row = krippendorff_alpha(ev).collect()[0]
+        assert row["do_pairs"] == 0 and row["alpha"] == 1.0
+
+    def test_degenerate_single_category_sentinel(self, spark):
+        import datetime
+
+        from p2_mapreduce_spark.operators.events_analytics import (
+            krippendorff_alpha,
+        )
+
+        ev = spark.createDataFrame(
+            [
+                (1, datetime.datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+                (2, datetime.datetime(2024, 1, 20), 1, "view", 1.0, "{}"),
+            ],
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        )
+        row = krippendorff_alpha(ev).collect()[0]
+        assert row["de_num"] == 0 and row["alpha"] == 0.0
