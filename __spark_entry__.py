@@ -1992,6 +1992,16 @@ def _q_reciprocity(spark, sf_dir):
     )
 
 
+def _q_hilbert_cluster(spark, sf_dir):
+    """Hilbert-curve layout audit (round 9): per-bucket locality
+    profile over lineitem's (partkey, suppkey) plane — zorder_cluster
+    on the curve Delta/Iceberg offer next to Z; the portable
+    arithmetic-only transform runs identically in DuckDB."""
+    from p2_mapreduce_spark.operators.layout import hilbert_cluster
+
+    return hilbert_cluster(load_table(spark, sf_dir, "lineitem"))
+
+
 def _q_krippendorff(spark, sf_dir):
     """Krippendorff's nominal alpha on the stuart_maxwell user-grain
     half-period pairing — the agreement family's reliability face,
@@ -4589,6 +4599,8 @@ _ROUND9_NEW = (
     "nelson_aalen", "icc_reliability", "krippendorff",
     # directed-graph symmetry audit
     "reciprocity",
+    # Hilbert-curve layout audit (the other space-filling curve)
+    "hilbert_cluster",
 )
 
 #: Queries whose implementation or oracle materially CHANGED this round
@@ -4912,6 +4924,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "obv_daily": _q_obv_daily,
         "capm_beta": _q_capm_beta,
         "krippendorff": _q_krippendorff,
+        "hilbert_cluster": _q_hilbert_cluster,
         "lins_ccc": _q_lins_ccc,
         "bland_altman": _q_bland_altman,
         "ccf_daily": _q_ccf_daily,
@@ -18657,6 +18670,32 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 0.0e0 END AS icc
         FROM ms WHERE n >= 2
     """
+    # Hilbert layout audit: the SAME portable arithmetic fragments the
+    # Spark selectExpr chain uses, unrolled as nested SELECTs
+    from p2_mapreduce_spark.operators.layout import hilbert_level_exprs
+
+    _hq = (
+        "SELECT CAST(l_partkey % 256 AS BIGINT) AS m_l_partkey,"
+        " CAST(l_suppkey % 256 AS BIGINT) AS m_l_suppkey,"
+        " CAST(l_partkey % 256 AS BIGINT) AS x,"
+        " CAST(l_suppkey % 256 AS BIGINT) AS y,"
+        " CAST(0 AS BIGINT) AS d FROM lineitem"
+    )
+    for _lvl in hilbert_level_exprs(8):
+        _hq = (
+            "SELECT m_l_partkey, m_l_suppkey, "
+            + _lvl["x"] + " AS x, " + _lvl["y"] + " AS y, CAST("
+            + _lvl["d"] + " AS BIGINT) AS d FROM (" + _hq + ")"
+        )
+    out["hilbert_cluster"] = (
+        "SELECT CAST((d - d % 256) / 256 AS BIGINT) AS bucket,"
+        " CAST(COUNT(*) AS BIGINT) AS n_lines,"
+        " MIN(m_l_partkey) AS min_l_partkey,"
+        " MAX(m_l_partkey) AS max_l_partkey,"
+        " MIN(m_l_suppkey) AS min_l_suppkey,"
+        " MAX(m_l_suppkey) AS max_l_suppkey"
+        " FROM (" + _hq + ") GROUP BY 1"
+    )
     out["krippendorff"] = f"""
         WITH span AS (
             SELECT CAST(min(CAST(ts AS DATE))

@@ -398,3 +398,123 @@ def partition_advisor(
         ).alias("skew_ratio"),
         F.expr("(n_tiny * 1000000) div n_partitions").alias("tiny_ppm"),
     )
+
+
+def hilbert_level_exprs(bits: int) -> list[dict[str, str]]:
+    """Per-level SQL expression fragments of the iterative Hilbert
+    ``(x, y) → d`` transform (the classical quadrant-rotation walk),
+    written in PORTABLE arithmetic — only ``%``, ``*``, ``+``, ``−``
+    and CASE, no engine-specific integer division or bit operators —
+    so the SAME text runs as a Spark ``selectExpr`` chain and as the
+    DuckDB oracle's nested SELECTs.  ``(3·rx) XOR ry`` is replaced by
+    its arithmetic identity ``rx·(3−ry) + (1−rx)·ry`` (rx, ry ∈
+    {0,1}); bit tests become ``x % 2s >= s``.
+
+    Returns one dict per level with keys ``d``, ``x``, ``y`` — each an
+    expression over the previous level's ``x``, ``y``, ``d`` columns.
+    """
+    n = 1 << bits
+    out = []
+    for k in range(bits - 1, -1, -1):
+        s = 1 << k
+        rx = f"(CASE WHEN x % {2 * s} >= {s} THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN y % {2 * s} >= {s} THEN 1 ELSE 0 END)"
+        xf = (
+            f"(CASE WHEN {ry} = 0 AND {rx} = 1 THEN {n - 1} - x"
+            " ELSE x END)"
+        )
+        yf = (
+            f"(CASE WHEN {ry} = 0 AND {rx} = 1 THEN {n - 1} - y"
+            " ELSE y END)"
+        )
+        out.append(
+            {
+                "d": (
+                    f"d + {s * s} * ({rx} * (3 - {ry})"
+                    f" + (1 - {rx}) * {ry})"
+                ),
+                "x": f"CASE WHEN {ry} = 0 THEN {yf} ELSE {xf} END",
+                "y": f"CASE WHEN {ry} = 0 THEN {xf} ELSE {yf} END",
+            }
+        )
+    return out
+
+
+def with_hilbert(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    out_col: str = "hval",
+) -> DataFrame:
+    """``df`` plus the Hilbert index of ``(cols[0] % 2^bits,
+    cols[1] % 2^bits)`` — a chain of ``bits`` narrow projections (the
+    CASE state columns are referenced more than once per level, so
+    Catalyst keeps the layers instead of inlining an exponential
+    tree); everything stays in whole-stage codegen, no UDF."""
+    assert len(cols) == 2, "the 2-D curve"
+    n = 1 << bits
+    cur = df.selectExpr(
+        "*",
+        f"CAST({cols[0]} % {n} AS BIGINT) AS x",
+        f"CAST({cols[1]} % {n} AS BIGINT) AS y",
+        "CAST(0 AS BIGINT) AS d",
+    )
+    for lvl in hilbert_level_exprs(bits):
+        keep = [c for c in cur.columns if c not in ("x", "y", "d")]
+        cur = cur.selectExpr(
+            *keep,
+            f"{lvl['x']} AS x",
+            f"{lvl['y']} AS y",
+            f"CAST({lvl['d']} AS BIGINT) AS d",
+        )
+    keep = [c for c in cur.columns if c not in ("x", "y", "d")]
+    return cur.selectExpr(*keep, f"d AS {out_col}")
+
+
+def hilbert_cluster(
+    lineitem: DataFrame,
+    cols: Sequence[str] = ("l_partkey", "l_suppkey"),
+    bits: int = 8,
+    drop_bits: int = 8,
+) -> DataFrame:
+    """Per-Hilbert-bucket locality profile — :func:`zorder_cluster`'s
+    audit run on the OTHER space-filling curve production table
+    formats offer (Delta/Iceberg ``OPTIMIZE ... ZORDER/HILBERT``):
+    bucket = hval with the low ``drop_bits`` bits dropped, and per
+    bucket the row count plus min/max of every masked coordinate.
+
+    Hilbert shares Z's quadrant property — dropping ``2k`` bits
+    confines a bucket to one aligned ``2^k × 2^k`` square (so
+    ``max−min ≤ 2^k − 1`` per dimension, the parquet-footer tightness
+    contract) — and improves on it: consecutive buckets are spatially
+    ADJACENT (no Z-curve "jumps"), so a range predicate touching
+    several buckets reads files that are neighbors in key space.
+    Both properties are pinned in tests/test_round9_ops.py (full-grid
+    curve validity: each step moves exactly one cell).
+
+    One narrow aggregate over the chained-projection curve fold;
+    output is O(#buckets) rows.
+    """
+    n = 1 << bits
+    masked = [f"m_{c}" for c in cols]
+    base = lineitem.selectExpr(
+        *[f"CAST({c} % {n} AS BIGINT) AS m_{c}" for c in cols]
+    )
+    hb = with_hilbert(
+        base.selectExpr(
+            *masked,
+            f"m_{cols[0]} AS k0",
+            f"m_{cols[1]} AS k1",
+        ),
+        ("k0", "k1"),
+        bits,
+    )
+    aggs = [F.count(F.lit(1)).alias("n_lines")]
+    for c in cols:
+        aggs.append(F.min(f"m_{c}").alias(f"min_{c}"))
+        aggs.append(F.max(f"m_{c}").alias(f"max_{c}"))
+    return (
+        hb.select(*masked, F.shiftright(F.col("hval"), drop_bits).alias("bucket"))
+        .groupBy("bucket")
+        .agg(*aggs)
+    )

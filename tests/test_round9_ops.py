@@ -613,3 +613,52 @@ class TestKrippendorff:
         )
         row = krippendorff_alpha(ev).collect()[0]
         assert row["de_num"] == 0 and row["alpha"] == 0.0
+
+
+class TestHilbert:
+    def test_full_grid_curve_validity_and_classic_parity(self, spark):
+        """The 32x32 curve is a bijection, every consecutive pair of
+        indices is one grid step apart (THE Hilbert property Z lacks),
+        and every cell matches the classical xy2d algorithm."""
+        from p2_mapreduce_spark.operators.layout import with_hilbert
+
+        bits, n = 5, 32
+        grid = spark.range(n * n).selectExpr(
+            f"CAST(id % {n} AS BIGINT) AS gx",
+            f"CAST(id div {n} AS BIGINT) AS gy",
+        )
+        cells = {
+            r["hval"]: (r["gx"], r["gy"])
+            for r in with_hilbert(grid, ("gx", "gy"), bits).collect()
+        }
+        assert len(cells) == n * n
+
+        def xy2d(x, y):
+            d, s = 0, n // 2
+            while s > 0:
+                rx = 1 if (x & s) > 0 else 0
+                ry = 1 if (y & s) > 0 else 0
+                d += s * s * ((3 * rx) ^ ry)
+                if ry == 0:
+                    if rx == 1:
+                        x, y = n - 1 - x, n - 1 - y
+                    x, y = y, x
+                s //= 2
+            return d
+
+        for h, (x, y) in cells.items():
+            assert xy2d(x, y) == h
+        for i in range(n * n - 1):
+            (x1, y1), (x2, y2) = cells[i], cells[i + 1]
+            assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+    def test_bucket_confinement(self, spark, sf_dir):
+        """Dropping 2k bits confines each bucket to an aligned
+        2^k x 2^k square — the parquet min/max tightness contract."""
+        from p2_mapreduce_spark.operators.layout import hilbert_cluster
+
+        li = load_table(spark, sf_dir, "lineitem")
+        k = 4  # drop_bits=8
+        for r in hilbert_cluster(li).collect():
+            assert r["max_l_partkey"] - r["min_l_partkey"] <= (1 << k) - 1
+            assert r["max_l_suppkey"] - r["min_l_suppkey"] <= (1 << k) - 1
