@@ -525,7 +525,16 @@ def main() -> None:
     # unchanged since r07.  They stay force-resampled below so every
     # future bench_out.noise_resampled carries the end-of-suite
     # re-measurement on record.
-    force_resample = {"price_volume", "clustering_coeff", "item_cosine"}
+    # round-9 in-round addition: triangle_census recorded 5.42 s in the
+    # r9 suite (1.88x its r8 value, just under the >2.5 s tail's 2x
+    # trigger) on unchanged code; solo re-measurement in a fresh JVM
+    # gave [16.9 cold, 3.79, 2.81, 2.43] — warm runs at the r8 value,
+    # so the 5.42 was co-tenant contention.  Force-resampled so the
+    # end-of-suite verdict lands in noise_resampled every run.
+    force_resample = {
+        "price_volume", "clustering_coeff", "item_cosine",
+        "triangle_census",
+    }
     timings: dict[str, float] = {}
     raw: dict[str, float] = {}
     resampled: dict[str, list[float]] = {}
