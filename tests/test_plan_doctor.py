@@ -128,6 +128,9 @@ FUNNEL_REVIEWED = {
     # reciprocity: fact joins contract to the <= nations^2 dictionary-
     # grain edge list FIRST; the one-row edge counts ride on that
     "reciprocity",
+    # krippendorff: one-row pair aggregate + one-row k-grain margin
+    # total broadcast — the stuart_maxwell justification verbatim
+    "krippendorff",
     "ab_conversion", "benford", "bitmap_count", "bm25_search", "bounce_rate",
     "chi2_drift", "compaction_plan", "conversion_lag", "cramers_v",
     "cumulative_revenue",
