@@ -530,3 +530,88 @@ def sprt_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+OBV_OUTPUT_SCHEMA = "event_type string, n_days long, last_day string, obv long"
+#: per-group day ledger: epoch-day ordinals + their cent/volume totals
+OBV_STATE_SCHEMA = "xs array<long>, ys array<long>, vs array<long>"
+
+
+def _obv_fn():
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import datetime as _dt
+
+        (g,) = key
+        if state.exists:
+            xs0, ys0, vs0 = state.get
+            acc = {int(x): [int(y), int(v)] for x, y, v in zip(xs0, ys0, vs0)}
+        else:
+            acc = {}
+        for pdf in pdfs:
+            for x, c in zip(pdf["x"], pdf["cents"]):
+                e = acc.setdefault(int(x), [0, 0])
+                e[0] += int(c)
+                e[1] += 1
+        xs = sorted(acc)
+        state.update(
+            (xs, [acc[x][0] for x in xs], [acc[x][1] for x in xs])
+        )
+        obv, prev_x, prev_y = 0, None, None
+        for x in xs:
+            y, v = acc[x]
+            s = 0
+            if prev_x is not None and prev_x == x - 1:
+                s = 1 if y > prev_y else (-1 if y < prev_y else 0)
+            obv += s * v
+            prev_x, prev_y = x, y
+        last = (
+            (_dt.date(1970, 1, 1) + _dt.timedelta(days=xs[-1])).isoformat()
+            if xs
+            else ""
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [g],
+                "n_days": [len(xs)],
+                "last_day": [last],
+                "obv": [obv],
+            }
+        )
+
+    return fn
+
+
+def obv_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming on-balance volume — the live face of
+    :func:`p2_mapreduce_spark.operators.timeseries.obv_daily`: per
+    group, a DAY LEDGER (epoch day → exact cent/volume totals) held in
+    state and the OBV recomputed over the closed ledger each
+    micro-batch with obv_daily's exact integer rules (a day only
+    contributes when its CONSECUTIVE predecessor is observed).
+
+    The state merge is COMMUTATIVE (per-day integer totals), so the
+    emitted value is independent of micro-batch arrival order and
+    replay-idempotent — after any set of batches the emitted obv
+    equals the batch operator on the union of the data, bit for bit
+    (pinned in tests/test_streaming.py).  State is day-grain per
+    group: bounded by the observation window in days, never by event
+    volume — the same calendar-grain contract as the batch op.
+    """
+    keyed = events_stream.select(
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("x"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        _obv_fn(),
+        outputStructType=OBV_OUTPUT_SCHEMA,
+        stateStructType=OBV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

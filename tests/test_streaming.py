@@ -949,3 +949,55 @@ def test_sprt_stream_matches_batch_prefixes(spark, sf_dir, tmp_path):
         assert r["state"] == (decided or "continue")
     # final row must agree with the batch operator's final day
     assert rows[-1]["n_cum"] == events.count()
+
+
+def test_obv_stream_matches_batch_on_union(spark, sf_dir, tmp_path):
+    """Streaming OBV: the day-ledger state merge is commutative, so
+    after processing ALL micro-batches (any order) the final emitted
+    obv per group equals the batch operator on the full data — exact
+    integers, no tolerance."""
+    from p2_mapreduce_spark.operators.timeseries import obv_daily
+    from p2_mapreduce_spark.streaming.stateful import obv_stream
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "obv_src")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        obv_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("obv_monitor")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM obv_monitor").collect()
+    finally:
+        q.stop()
+
+    # last emission per group (highest n_days at that group)
+    final = {}
+    for r in rows:
+        cur = final.get(r["event_type"])
+        if cur is None or r["n_days"] >= cur["n_days"]:
+            final[r["event_type"]] = r
+    batch = obv_daily(events).collect()
+    last_batch = {}
+    for r in batch:
+        cur = last_batch.get(r["event_type"])
+        if cur is None or r["day"] > cur["day"]:
+            last_batch[r["event_type"]] = r
+    per_group_days = {}
+    for r in batch:
+        per_group_days[r["event_type"]] = per_group_days.get(r["event_type"], 0) + 1
+    assert set(final) == set(last_batch)
+    for g, fr in final.items():
+        assert fr["obv"] == last_batch[g]["obv"]
+        assert fr["last_day"] == last_batch[g]["day"]
+        assert fr["n_days"] == per_group_days[g]
