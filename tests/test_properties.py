@@ -519,3 +519,31 @@ def test_dup_edge_support_orientation_matches_naive(spark, edges):
         for r in dup_edge_support(docs, pairs=pairs).collect()
     }
     assert got == dict(want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.binary(min_size=0, max_size=400), min_size=1, max_size=6)
+)
+def test_avi_kernels_never_raise_on_arbitrary_bytes(spark, payloads):
+    """Demux robustness: ARBITRARY byte payloads — including ones that
+    start with valid RIFF magic but carry garbage sizes — must
+    quarantine (zero or partial rows), never fail the stage."""
+    from p2_mapreduce_spark.operators.multimodal import (
+        avi_av_stats,
+        avi_frame_stats,
+    )
+
+    rows = [(i, "video", p) for i, p in enumerate(payloads)]
+    # adversarial variants: valid magic + garbage body
+    rows += [
+        (100 + i, "video", b"RIFF" + p[:4] + b"AVI " + p)
+        for i, p in enumerate(payloads)
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, payload binary"
+    )
+    # must complete without raising; any emitted row is well-typed
+    for df in (avi_frame_stats(media), avi_av_stats(media)):
+        out = df.collect()
+        assert isinstance(out, list)
