@@ -534,17 +534,28 @@ def sprt_stream(
 
 OBV_OUTPUT_SCHEMA = "event_type string, n_days long, last_day string, obv long"
 #: per-group day ledger: epoch-day ordinals + their cent/volume totals
-OBV_STATE_SCHEMA = "xs array<long>, ys array<long>, vs array<long>"
+LEDGER_STATE_SCHEMA = "xs array<long>, ys array<long>, vs array<long>"
+OBV_STATE_SCHEMA = LEDGER_STATE_SCHEMA  # back-compat alias
+DRAWDOWN_OUTPUT_SCHEMA = (
+    "event_type string, n_days long, peak_cents long, dd_cents long,"
+    " dd_frac double"
+)
 
 
-def _obv_fn():
+def _day_ledger_fn(fold):
+    """Shared stateful kernel of the calendar-ledger monitor family:
+    per group, merge each micro-batch's (epoch day, cents) rows into a
+    day → (cent total, volume) ledger held in state — a COMMUTATIVE
+    merge, so every derived monitor is micro-batch-order-independent
+    and replay-idempotent — then emit ``fold(sorted days, ledger)``
+    recomputed over the closed ledger.  State is day-grain per group
+    (bounded by the observation window), never event-grain."""
+
     def fn(
         key: Tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        import datetime as _dt
-
         (g,) = key
         if state.exists:
             xs0, ys0, vs0 = state.get
@@ -560,29 +571,47 @@ def _obv_fn():
         state.update(
             (xs, [acc[x][0] for x in xs], [acc[x][1] for x in xs])
         )
-        obv, prev_x, prev_y = 0, None, None
-        for x in xs:
-            y, v = acc[x]
-            s = 0
-            if prev_x is not None and prev_x == x - 1:
-                s = 1 if y > prev_y else (-1 if y < prev_y else 0)
-            obv += s * v
-            prev_x, prev_y = x, y
-        last = (
-            (_dt.date(1970, 1, 1) + _dt.timedelta(days=xs[-1])).isoformat()
-            if xs
-            else ""
-        )
+        out = fold(xs, acc)
         yield pd.DataFrame(
-            {
-                "event_type": [g],
-                "n_days": [len(xs)],
-                "last_day": [last],
-                "obv": [obv],
-            }
+            {"event_type": [g], **{k: [v] for k, v in out.items()}}
         )
 
     return fn
+
+
+def _obv_fold(xs, acc):
+    import datetime as _dt
+
+    obv, prev_x, prev_y = 0, None, None
+    for x in xs:
+        y, v = acc[x]
+        s = 0
+        if prev_x is not None and prev_x == x - 1:
+            s = 1 if y > prev_y else (-1 if y < prev_y else 0)
+        obv += s * v
+        prev_x, prev_y = x, y
+    last = (
+        (_dt.date(1970, 1, 1) + _dt.timedelta(days=xs[-1])).isoformat()
+        if xs
+        else ""
+    )
+    return {"n_days": len(xs), "last_day": last, "obv": obv}
+
+
+def _drawdown_fold(xs, acc):
+    peak, ddc, ddf = 0, 0, 0.0
+    for x in xs:
+        y = acc[x][0]
+        peak = max(peak, y)
+        ddc = max(ddc, peak - y)
+        if peak > 0:
+            ddf = max(ddf, (peak - y) / peak)
+    return {
+        "n_days": len(xs),
+        "peak_cents": peak,
+        "dd_cents": ddc,
+        "dd_frac": ddf,
+    }
 
 
 def obv_stream(events_stream: DataFrame) -> DataFrame:
@@ -601,6 +630,23 @@ def obv_stream(events_stream: DataFrame) -> DataFrame:
     group: bounded by the observation window in days, never by event
     volume — the same calendar-grain contract as the batch op.
     """
+    return _ledger_monitor(events_stream, _obv_fold, OBV_OUTPUT_SCHEMA)
+
+
+def drawdown_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming maximum drawdown — the live face of
+    :func:`p2_mapreduce_spark.operators.timeseries.max_drawdown` on
+    the same commutative day-ledger state as :func:`obv_stream`: per
+    group, the running-peak walk recomputed over the closed ledger
+    each micro-batch, emitting (n_days, peak_cents, dd_cents,
+    dd_frac) equal to the batch operator on the union of the data,
+    bit for bit (pinned in tests/test_streaming.py)."""
+    return _ledger_monitor(
+        events_stream, _drawdown_fold, DRAWDOWN_OUTPUT_SCHEMA
+    )
+
+
+def _ledger_monitor(events_stream: DataFrame, fold, out_schema: str) -> DataFrame:
     keyed = events_stream.select(
         "event_type",
         F.datediff(
@@ -609,9 +655,9 @@ def obv_stream(events_stream: DataFrame) -> DataFrame:
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
     )
     return keyed.groupBy("event_type").applyInPandasWithState(
-        _obv_fn(),
-        outputStructType=OBV_OUTPUT_SCHEMA,
-        stateStructType=OBV_STATE_SCHEMA,
+        _day_ledger_fn(fold),
+        outputStructType=out_schema,
+        stateStructType=LEDGER_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -1001,3 +1001,48 @@ def test_obv_stream_matches_batch_on_union(spark, sf_dir, tmp_path):
         assert fr["obv"] == last_batch[g]["obv"]
         assert fr["last_day"] == last_batch[g]["day"]
         assert fr["n_days"] == per_group_days[g]
+
+
+def test_drawdown_stream_matches_batch_on_union(spark, sf_dir, tmp_path):
+    """Streaming max drawdown on the shared day-ledger state: final
+    emission per group equals the batch operator on the full data."""
+    from p2_mapreduce_spark.operators.timeseries import max_drawdown
+    from p2_mapreduce_spark.streaming.stateful import drawdown_stream
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "dd_src")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        drawdown_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dd_monitor")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM dd_monitor").collect()
+    finally:
+        q.stop()
+
+    final = {}
+    for r in rows:
+        cur = final.get(r["event_type"])
+        if cur is None or r["n_days"] >= cur["n_days"]:
+            final[r["event_type"]] = r
+    batch = {
+        r["event_type"]: r for r in max_drawdown(events).collect()
+    }
+    assert set(final) == set(batch)
+    for g, fr in final.items():
+        br = batch[g]
+        assert fr["n_days"] == br["n_days"]
+        assert fr["peak_cents"] == br["peak_cents"]
+        assert fr["dd_cents"] == br["dd_cents"]
+        assert fr["dd_frac"] == br["dd_frac"]
