@@ -661,3 +661,55 @@ def _ledger_monitor(events_stream: DataFrame, fold, out_schema: str) -> DataFram
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CROSSOVER_OUTPUT_SCHEMA = (
+    "event_type string, n_days long, n_signals long,"
+    " last_signal_day string, last_direction string"
+)
+
+
+def _crossover_fold(fast=5, slow=20):
+    def fold(xs, acc):
+        import datetime as _dt
+
+        by_x = {x: acc[x][0] for x in xs}
+        state = {}
+        signals = []
+        for x in xs:
+            wf = [by_x[i] for i in range(x - fast + 1, x + 1) if i in by_x]
+            ws = [by_x[i] for i in range(x - slow + 1, x + 1) if i in by_x]
+            if len(wf) == fast and len(ws) == slow:
+                above = int(sum(wf) * slow > sum(ws) * fast)
+                if x - 1 in state and state[x - 1] != above:
+                    signals.append((x, "golden" if above else "death"))
+                state[x] = above
+        last_x, last_dir = (signals[-1] if signals else (None, ""))
+        last_day = (
+            (_dt.date(1970, 1, 1) + _dt.timedelta(days=last_x)).isoformat()
+            if last_x is not None
+            else ""
+        )
+        return {
+            "n_days": len(xs),
+            "n_signals": len(signals),
+            "last_signal_day": last_day,
+            "last_direction": last_dir,
+        }
+
+    return fold
+
+
+def crossover_stream(
+    events_stream: DataFrame, fast: int = 5, slow: int = 20
+) -> DataFrame:
+    """Streaming SMA-crossover monitor — the live face of
+    :func:`p2_mapreduce_spark.operators.timeseries.ma_crossover` on
+    the shared commutative day ledger: per micro-batch the full
+    integer-exact signal walk (S_f·slow vs S_s·fast, consecutive-day
+    gating) is recomputed over the closed ledger, emitting the signal
+    COUNT and the latest signal — equal to the batch operator's rows
+    on the union of the data (pinned in tests/test_streaming.py)."""
+    return _ledger_monitor(
+        events_stream, _crossover_fold(fast, slow), CROSSOVER_OUTPUT_SCHEMA
+    )

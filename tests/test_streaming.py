@@ -1046,3 +1046,53 @@ def test_drawdown_stream_matches_batch_on_union(spark, sf_dir, tmp_path):
         assert fr["peak_cents"] == br["peak_cents"]
         assert fr["dd_cents"] == br["dd_cents"]
         assert fr["dd_frac"] == br["dd_frac"]
+
+
+def test_crossover_stream_matches_batch_on_union(spark, sf_dir, tmp_path):
+    """Streaming SMA-crossover monitor: final emission per group equals
+    the batch signal table (count + latest signal) on the full data."""
+    from p2_mapreduce_spark.operators.timeseries import ma_crossover
+    from p2_mapreduce_spark.streaming.stateful import crossover_stream
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "xo_src")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        crossover_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("xo_monitor")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM xo_monitor").collect()
+    finally:
+        q.stop()
+
+    final = {}
+    for r in rows:
+        cur = final.get(r["event_type"])
+        if cur is None or r["n_days"] >= cur["n_days"]:
+            final[r["event_type"]] = r
+    batch = {}
+    for r in ma_crossover(events).collect():
+        batch.setdefault(r["event_type"], []).append(
+            (r["day"], r["direction"])
+        )
+    for g, sigs in batch.items():
+        sigs.sort()
+        fr = final[g]
+        assert fr["n_signals"] == len(sigs)
+        assert fr["last_signal_day"] == sigs[-1][0]
+        assert fr["last_direction"] == sigs[-1][1]
+    # groups with zero signals still emit (count 0, empty latest)
+    for g, fr in final.items():
+        if g not in batch:
+            assert fr["n_signals"] == 0 and fr["last_direction"] == ""
