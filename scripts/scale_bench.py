@@ -45,6 +45,11 @@ PANEL = (
     "media_frames",           # MJPEG demux + decode at doc grain
     "logrank",                # day-grain survival suffix sums
     "cohort_retention",       # events cohort matrix
+    # round-9 standing additions
+    "avi_demux_av",           # two-stream AVI demux + JPEG/PCM kernels
+    "dup_edge_support",       # ORIENTED wedge join over the pair graph
+    "hits_trade",             # 2-iter integer HITS power iteration
+    "hilbert_cluster",        # chained-projection curve fold
 )
 
 
