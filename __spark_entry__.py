@@ -55,6 +55,60 @@ def _memo_scope(spark: SparkSession, sf_dir: str) -> None:
         del _DEDUP_STAGE_MEMO[k]
 
 
+def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc, h) hashed-shingle table (dedup.hashed_shingles,
+    n=3) — the corpus explode every shingle-set dedup path opens with:
+    the exact pair stage (dedup_ngram / the closure family's truth),
+    the AllPairs prefix join, the MinHash-LSH index, and the LSH-recall
+    gate's two pipelines all consume the identical table, so the
+    tokenize+shingle+hash explode runs once per suite instead of five
+    times.  Values bit-identical (the table IS each operator's first
+    intermediate); at 100 TB this is the standard composition — one
+    shingle materialization feeding every index the pipeline builds."""
+    _memo_scope(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "shingles")
+    if key not in _DEDUP_STAGE_MEMO:
+        from p2_mapreduce_spark.operators.dedup import hashed_shingles
+
+        _DEDUP_STAGE_MEMO[key] = hashed_shingles(
+            load_table(spark, sf_dir, "documents"), 3
+        ).localCheckpoint()
+    return _DEDUP_STAGE_MEMO[key]
+
+
+def _shared_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized MinHash-LSH band table (doc, band, band_hash) over the
+    whole corpus at the family defaults (64 hashes × 16 bands), derived
+    from the shared shingle stage: dedup_minhash consumes it whole and
+    dedup_incremental slices it per ingest side (band hashes are pure
+    per-doc functions, so the slice equals a per-side rebuild) — the
+    64-min signature aggregate runs once per suite instead of three
+    times.  This mirrors save_lsh_index: the band table IS the
+    write-once index artifact."""
+    _memo_scope(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "minhash_bands")
+    if key not in _DEDUP_STAGE_MEMO:
+        from pyspark.sql import functions as F
+
+        from p2_mapreduce_spark.operators.dedup import (
+            NUM_BANDS,
+            NUM_HASHES,
+            _band_hash_array,
+            _minhash_aggs,
+        )
+
+        hs = _shared_shingles(spark, sf_dir)
+        per_doc = hs.groupBy("doc").agg(*_minhash_aggs(NUM_HASHES))
+        bands = per_doc.select(
+            "doc",
+            F.posexplode(
+                _band_hash_array(NUM_BANDS, NUM_HASHES // NUM_BANDS)
+            ).alias("band", "band_hash"),
+        )
+        _DEDUP_STAGE_MEMO[key] = bands.localCheckpoint()
+    return _DEDUP_STAGE_MEMO[key]
+
+
 def _shared_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _memo_scope(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir, "pairs")
@@ -62,7 +116,9 @@ def _shared_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         from p2_mapreduce_spark.operators.dedup import ngram_jaccard_pairs
 
         pairs = ngram_jaccard_pairs(
-            load_table(spark, sf_dir, "documents"), threshold=0.5
+            load_table(spark, sf_dir, "documents"),
+            threshold=0.5,
+            shingles=_shared_shingles(spark, sf_dir),
         )
         _DEDUP_STAGE_MEMO[key] = pairs.localCheckpoint()
     return _DEDUP_STAGE_MEMO[key]
@@ -97,6 +153,65 @@ def _shared_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "orders"),
         )
         _DEDUP_STAGE_MEMO[key] = pairs.localCheckpoint()
+    return _DEDUP_STAGE_MEMO[key]
+
+
+def _shared_trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized distinct (cust, supp, w) trading-pair dictionary of the
+    trade-graph family (graph.trade_pairs, weighted): pagerank_trade /
+    bfs_trade / sssp_trade / ppr_trade / hits_trade / degree_assort /
+    rich_club / graph_modularity / reciprocity and the two_hop reach
+    stage all derive their edges from this ONE order-line join — one
+    execution per suite run instead of ten, same localCheckpoint
+    discipline as the dedup-closure memo.  Unweighted consumers project
+    (cust, supp); sssp keeps ``w`` (min ship lag).  This is the
+    production composition: a graph-analytics pipeline materializes the
+    edge dictionary once and fans out every centrality/shape report."""
+    _memo_scope(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "trade_pairs")
+    if key not in _DEDUP_STAGE_MEMO:
+        from p2_mapreduce_spark.operators.graph import trade_pairs
+
+        pairs = trade_pairs(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "orders"),
+            weighted=True,
+        )
+        _DEDUP_STAGE_MEMO[key] = pairs.localCheckpoint()
+    return _DEDUP_STAGE_MEMO[key]
+
+
+def _shared_cosupply_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized distinct supplier co-supply edge dictionary
+    (graph.cosupply_pairs): triangle_census / triangle_doulion / k_core
+    all dedup their edges anyway (the DOULION coin commutes with the
+    dedup — graph.py documents the proof), so the quadratic-in-basket
+    pair expansion runs once per suite instead of three times, values
+    bit-identical."""
+    _memo_scope(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "cosupply_pairs")
+    if key not in _DEDUP_STAGE_MEMO:
+        from p2_mapreduce_spark.operators.graph import cosupply_pairs
+
+        _DEDUP_STAGE_MEMO[key] = cosupply_pairs(
+            load_table(spark, sf_dir, "lineitem")
+        ).localCheckpoint()
+    return _DEDUP_STAGE_MEMO[key]
+
+
+def _shared_basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized distinct (l_orderkey, l_partkey) basket membership table
+    (analytics.basket_items): copurchase / item_cosine / assoc_rules /
+    clustering_coeff all open with the identical fact-grain distinct —
+    one execution per suite run, values bit-identical."""
+    _memo_scope(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "basket_items")
+    if key not in _DEDUP_STAGE_MEMO:
+        from p2_mapreduce_spark.operators.analytics import basket_items
+
+        _DEDUP_STAGE_MEMO[key] = basket_items(
+            load_table(spark, sf_dir, "lineitem")
+        ).localCheckpoint()
     return _DEDUP_STAGE_MEMO[key]
 
 
@@ -648,9 +763,10 @@ def _q_target_encode(spark, sf_dir):
 
 
 def _q_dedup_ngram(spark, sf_dir):
-    from p2_mapreduce_spark.operators.dedup import ngram_jaccard_pairs
-
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    # the query IS the dedup-closure family's shared truth-pair stage
+    # (ngram_jaccard_pairs at threshold 0.5) — surface the one
+    # materialization instead of recomputing it next to the memo
+    return _shared_ngram_pairs(spark, sf_dir)
 
 
 def _q_dedup_allpairs(spark, sf_dir):
@@ -660,7 +776,11 @@ def _q_dedup_allpairs(spark, sf_dir):
     as a row-count mismatch."""
     from p2_mapreduce_spark.operators.dedup import allpairs_jaccard
 
-    return allpairs_jaccard(load_table(spark, sf_dir, "documents"), threshold=0.45)
+    return allpairs_jaccard(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.45,
+        shingles=_shared_shingles(spark, sf_dir),
+    )
 
 
 def _q_record_linkage(spark, sf_dir):
@@ -675,7 +795,12 @@ def _q_record_linkage(spark, sf_dir):
 def _q_dedup_minhash(spark, sf_dir):
     from p2_mapreduce_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        shingles=_shared_shingles(spark, sf_dir),
+        bands=_shared_minhash_bands(spark, sf_dir),
+    )
 
 
 def _q_dedup_simhash(spark, sf_dir):
@@ -982,6 +1107,7 @@ def _q_pagerank_trade(spark, sf_dir):
     return trade_graph_pagerank(
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "orders"),
+        pairs=_shared_trade_pairs(spark, sf_dir).select("cust", "supp"),
     )
 
 
@@ -1041,10 +1167,30 @@ def _q_dedup_incremental(spark, sf_dir):
     from p2_mapreduce_spark.operators.dedup import minhash_lsh_incremental
 
     docs = load_table(spark, sf_dir, "documents")
-    # deterministic ingest split: the "new batch" is doc_id % 5 == 4
+    # deterministic ingest split: the "new batch" is doc_id % 5 == 4.
+    # Both sides' per-doc LSH artifacts (shingles, sizes, bands) are
+    # SLICES of the whole-corpus shared-stage memos — per-doc pure
+    # functions, so the slice is value-identical to a per-side rebuild
+    # and the shingle explode + 64-min signature aggregate run once per
+    # suite instead of once per side.
+    hs = _shared_shingles(spark, sf_dir)
+    bands = _shared_minhash_bands(spark, sf_dir)
+
+    def _side(is_new: bool):
+        pred = (
+            (F.col("doc") % 5) == 4 if is_new else (F.col("doc") % 5) != 4
+        )
+        hs_s = hs.filter(pred)
+        sizes_s = hs_s.groupBy("doc").agg(
+            F.count(F.lit(1)).alias("n_shingles")
+        )
+        return hs_s, sizes_s, bands.filter(pred)
+
     return minhash_lsh_incremental(
         docs.filter((F.col("doc_id") % 5) == 4),
         docs.filter((F.col("doc_id") % 5) != 4),
+        new_index=_side(True),
+        corpus_index=_side(False),
     )
 
 
@@ -1582,7 +1728,10 @@ def _q_clustering_coeff(spark, sf_dir):
     — degree-ordered wedge kernel, exact triangle counts."""
     from p2_mapreduce_spark.operators.graph import copurchase_clustering
 
-    return copurchase_clustering(load_table(spark, sf_dir, "lineitem"))
+    return copurchase_clustering(
+        load_table(spark, sf_dir, "lineitem"),
+        items=_shared_basket_items(spark, sf_dir),
+    )
 
 
 def _q_ppr_trade(spark, sf_dir):
@@ -1594,6 +1743,7 @@ def _q_ppr_trade(spark, sf_dir):
     return trade_ppr(
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "orders"),
+        pairs=_shared_trade_pairs(spark, sf_dir).select("cust", "supp"),
     )
 
 
@@ -1675,6 +1825,7 @@ def _q_sssp_trade(spark, sf_dir):
     return trade_sssp(
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "orders"),
+        pairs=_shared_trade_pairs(spark, sf_dir),
     )
 
 
@@ -1757,6 +1908,7 @@ def _q_degree_histogram(spark, sf_dir):
     return trade_degree_histogram(
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "orders"),
+        pairs=_shared_trade_pairs(spark, sf_dir).select("cust", "supp"),
     )
 
 
@@ -1989,6 +2141,7 @@ def _q_reciprocity(spark, sf_dir):
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "supplier"),
+        pairs=_shared_trade_pairs(spark, sf_dir).select("cust", "supp"),
     )
 
 
@@ -2117,6 +2270,7 @@ def _q_hits_trade(spark, sf_dir):
     return trade_hits(
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "orders"),
+        pairs=_shared_trade_pairs(spark, sf_dir).select("cust", "supp"),
     )
 
 
@@ -2285,6 +2439,7 @@ def _q_rich_club(spark, sf_dir):
     return trade_rich_club(
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "orders"),
+        pairs=_shared_trade_pairs(spark, sf_dir).select("cust", "supp"),
     )
 
 
@@ -2354,6 +2509,7 @@ def _q_graph_modularity(spark, sf_dir):
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "supplier"),
+        pairs=_shared_trade_pairs(spark, sf_dir).select("cust", "supp"),
     )
 
 
@@ -2813,7 +2969,10 @@ def _q_assoc_rules(spark, sf_dir):
     baskets — basket-bounded joins, deterministic top-N cut."""
     from p2_mapreduce_spark.operators.analytics import assoc_rules
 
-    return assoc_rules(load_table(spark, sf_dir, "lineitem"))
+    return assoc_rules(
+        load_table(spark, sf_dir, "lineitem"),
+        items=_shared_basket_items(spark, sf_dir),
+    )
 
 
 def _q_zipf_buckets(spark, sf_dir):
@@ -2972,7 +3131,10 @@ def _q_tfidf_top_terms(spark, sf_dir):
 def _q_triangle_census(spark, sf_dir):
     from p2_mapreduce_spark.operators.graph import cosupply_triangle_stats
 
-    return cosupply_triangle_stats(load_table(spark, sf_dir, "lineitem"))
+    return cosupply_triangle_stats(
+        load_table(spark, sf_dir, "lineitem"),
+        pairs=_shared_cosupply_pairs(spark, sf_dir),
+    )
 
 
 def _q_chunk_documents(spark, sf_dir):
@@ -3054,7 +3216,11 @@ def _kcore_oracle(k: int = 8, rounds: int = 4) -> str:
 def _q_k_core(spark, sf_dir):
     from p2_mapreduce_spark.operators.graph import cosupply_k_core
 
-    return cosupply_k_core(load_table(spark, sf_dir, "lineitem"), k=8)
+    return cosupply_k_core(
+        load_table(spark, sf_dir, "lineitem"),
+        k=8,
+        pairs=_shared_cosupply_pairs(spark, sf_dir),
+    )
 
 
 #: mixture rates used by the sampling query and its oracle — exact
@@ -3100,14 +3266,19 @@ def _q_udtf_sentences(spark, sf_dir):
 def _q_triangle_doulion(spark, sf_dir):
     from p2_mapreduce_spark.operators.graph import cosupply_triangle_doulion
 
-    return cosupply_triangle_doulion(load_table(spark, sf_dir, "lineitem"))
+    return cosupply_triangle_doulion(
+        load_table(spark, sf_dir, "lineitem"),
+        pairs=_shared_cosupply_pairs(spark, sf_dir),
+    )
 
 
 def _q_bfs_trade(spark, sf_dir):
     from p2_mapreduce_spark.operators.graph import trade_graph_bfs
 
     return trade_graph_bfs(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        pairs=_shared_trade_pairs(spark, sf_dir).select("cust", "supp"),
     )
 
 
@@ -3241,7 +3412,10 @@ def _q_kmeans_silhouette(spark, sf_dir):
 def _q_copurchase(spark, sf_dir):
     from p2_mapreduce_spark.operators.analytics import copurchase_pairs
 
-    return copurchase_pairs(load_table(spark, sf_dir, "lineitem"))
+    return copurchase_pairs(
+        load_table(spark, sf_dir, "lineitem"),
+        items=_shared_basket_items(spark, sf_dir),
+    )
 
 
 def _q_span_dedup(spark, sf_dir):
@@ -3536,7 +3710,10 @@ def _q_changelog_compact(spark, sf_dir):
 def _q_item_cosine(spark, sf_dir):
     from p2_mapreduce_spark.operators.analytics import item_cosine
 
-    return item_cosine(load_table(spark, sf_dir, "lineitem"))
+    return item_cosine(
+        load_table(spark, sf_dir, "lineitem"),
+        items=_shared_basket_items(spark, sf_dir),
+    )
 
 
 def _q_top_paths(spark, sf_dir):
@@ -3798,6 +3975,7 @@ def _q_degree_assort(spark, sf_dir):
     return trade_degree_assortativity(
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "orders"),
+        pairs=_shared_trade_pairs(spark, sf_dir).select("cust", "supp"),
     )
 
 
@@ -3959,7 +4137,10 @@ def _q_lsh_recall(spark, sf_dir):
     AllPairs join at the same threshold — one-row report."""
     from p2_mapreduce_spark.operators.dedup import lsh_recall
 
-    return lsh_recall(load_table(spark, sf_dir, "documents"))
+    return lsh_recall(
+        load_table(spark, sf_dir, "documents"),
+        shingles=_shared_shingles(spark, sf_dir),
+    )
 
 
 def _q_column_churn(spark, sf_dir):
@@ -4329,7 +4510,10 @@ def _q_blocking_quality(spark, sf_dir):
     blocking vs exact n-gram-Jaccard truth pairs."""
     from p2_mapreduce_spark.operators.dedup import blocking_quality
 
-    return blocking_quality(load_table(spark, sf_dir, "documents"))
+    return blocking_quality(
+        load_table(spark, sf_dir, "documents"),
+        truth_pairs=_shared_ngram_pairs(spark, sf_dir),
+    )
 
 
 def _shared_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4345,6 +4529,7 @@ def _shared_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         reach = trade_two_hop(
             load_table(spark, sf_dir, "lineitem"),
             load_table(spark, sf_dir, "orders"),
+            pairs=_shared_trade_pairs(spark, sf_dir).select("cust", "supp"),
         )
         _DEDUP_STAGE_MEMO[key] = reach.localCheckpoint()
     return _DEDUP_STAGE_MEMO[key]
@@ -4611,6 +4796,21 @@ _ROUND9_CHANGED = (
     # degree-ordered orientation (r08 verdict item 2); values identical
     # (parity pytest + contract re-check green), plan changed
     "dup_edge_support",
+    # --- optimization round (r09): shared-stage refactors — values
+    # identical (full contract re-sweep green at both scales), plans
+    # changed, so every consumer re-enters the driver sample window ---
+    # trade-graph family now consumes the memoized trade_pairs stage
+    "pagerank_trade", "bfs_trade", "sssp_trade", "ppr_trade",
+    "hits_trade", "degree_assort", "rich_club", "graph_modularity",
+    "degree_histogram", "two_hop", "harmonic",
+    # co-supply family now consumes the memoized distinct pair dictionary
+    "triangle_census", "triangle_doulion", "k_core",
+    # basket family now consumes the memoized basket_items stage
+    "assoc_rules", "copurchase", "item_cosine", "clustering_coeff",
+    # dedup family now consumes the memoized hashed-shingle stage /
+    # the memoized exact truth-pair stage
+    "dedup_ngram", "dedup_allpairs", "dedup_minhash", "lsh_recall",
+    "blocking_quality", "dedup_incremental",
 )
 
 #: --- round-8 history (all 34 new + 3 changed ids were sampled in the

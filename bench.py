@@ -392,6 +392,11 @@ _SHARED_STAGE_FAMILIES = {
         # round-8 consumers of the same memoized pair stage
         "dup_roi",
         "dup_edge_support",
+        # round-9 optimization: dedup_ngram IS the shared truth-pair
+        # stage (it now surfaces the memo) and blocking_quality grades
+        # its blocking against it
+        "dedup_ngram",
+        "blocking_quality",
     ),
     # panel-filtered (s, c) incidence list (link-prediction family,
     # VERDICT r06 item 5)
@@ -401,6 +406,30 @@ _SHARED_STAGE_FAMILIES = {
     # harmonic already paid the shared reach materialization — name the
     # payer so the suite number isn't misread as the operator cost)
     "trade_reach": ("two_hop", "harmonic"),
+    # --- round-9 optimization: four new shared stages (same memo
+    # discipline; the FIRST family member in suite order pays the
+    # localCheckpoint materialization in its raw first sample) ---
+    # distinct (cust, supp, min-ship-lag) trading-pair dictionary
+    "trade_pairs": (
+        "pagerank_trade", "bfs_trade", "sssp_trade", "ppr_trade",
+        "hits_trade", "degree_assort", "rich_club", "graph_modularity",
+        "reciprocity", "degree_histogram", "two_hop", "harmonic",
+    ),
+    # distinct supplier co-supply edge dictionary
+    "cosupply_pairs": ("triangle_census", "triangle_doulion", "k_core"),
+    # distinct (order, part) basket membership table
+    "basket_items": (
+        "assoc_rules", "copurchase", "item_cosine", "clustering_coeff",
+    ),
+    # (doc, h) hashed-shingle table (n=3) under every shingle-set path
+    "shingles": (
+        "dedup_ngram", "dedup_allpairs", "dedup_minhash", "lsh_recall",
+        "blocking_quality", "dedup_incremental", "dup_clusters",
+        "dup_clusters_star", "golden_record", "dup_matrix", "dup_roi",
+        "dup_edge_support",
+    ),
+    # MinHash band index (64×16) over the shared shingles
+    "minhash_bands": ("dedup_minhash", "dedup_incremental"),
 }
 
 

@@ -181,7 +181,18 @@ def outer_join_status(orders: DataFrame) -> DataFrame:
     )
 
 
-def copurchase_pairs(lineitem: DataFrame, top_n: int = 50) -> DataFrame:
+def basket_items(lineitem: DataFrame) -> DataFrame:
+    """The distinct (l_orderkey, l_partkey) basket membership table —
+    the ONE fact-grain pass every market-basket operator (copurchase /
+    item_cosine / assoc_rules) opens with, factored out so the suite
+    can compute it once and fan it out (the ``__spark_entry__``
+    shared-stage memo)."""
+    return lineitem.select("l_orderkey", "l_partkey").distinct()
+
+
+def copurchase_pairs(
+    lineitem: DataFrame, top_n: int = 50, items: DataFrame | None = None
+) -> DataFrame:
     """Market-basket co-occurrence: the ``top_n`` part pairs most often
     bought in the same order — the counting core of item-item
     collaborative filtering ("customers who bought X also bought Y").
@@ -194,8 +205,13 @@ def copurchase_pairs(lineitem: DataFrame, top_n: int = 50) -> DataFrame:
     :func:`~p2_mapreduce_spark.operators.profile.key_skew_profile` on the
     order key before it hurt.  ``part_a < part_b`` halves the pairs and
     canonicalizes orientation; the final cut is TakeOrderedAndProject
-    (count desc, then pair asc — fully deterministic)."""
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    (count desc, then pair asc — fully deterministic).
+
+    ``items`` short-circuits the distinct (order, part) basket pass
+    with a pre-built :func:`basket_items` table — the shared stage of
+    the basket family (copurchase / item_cosine / assoc_rules)."""
+    if items is None:
+        items = basket_items(lineitem)
     a = items.alias("a")
     b = items.alias("b")
     return (
@@ -280,7 +296,9 @@ def skyline_frontier(
     return joined.filter(~dominated).select(*part.columns)
 
 
-def item_cosine(lineitem: DataFrame, top_n: int = 50) -> DataFrame:
+def item_cosine(
+    lineitem: DataFrame, top_n: int = 50, items: DataFrame | None = None
+) -> DataFrame:
     """Item-item cosine similarity over order baskets — the normalized
     form of :func:`copurchase_pairs`: ``cos(i,j) = n_ij / √(n_i · n_j)``
     with ``n_i`` = orders containing part i — ``(part_a, part_b,
@@ -296,13 +314,10 @@ def item_cosine(lineitem: DataFrame, top_n: int = 50) -> DataFrame:
     Ranking stays by the EXACT count (cosine is derived output), so the
     cut is deterministic.
     """
-    pairs = copurchase_pairs(lineitem, top_n)
-    freq = (
-        lineitem.select("l_orderkey", "l_partkey")
-        .distinct()
-        .groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    if items is None:
+        items = basket_items(lineitem)
+    pairs = copurchase_pairs(lineitem, top_n, items=items)
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
     fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
     fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
     return (
@@ -481,6 +496,7 @@ def assoc_rules(
     lineitem: DataFrame,
     min_pair_orders: int = 3,
     top_n: int = 100,
+    items: DataFrame | None = None,
 ) -> DataFrame:
     """Association rules over order baskets — the step after
     :func:`copurchase_pairs` that ranks DIRECTIONAL rules A→B by
@@ -499,8 +515,12 @@ def assoc_rules(
 
     Output: (antecedent, consequent, n_both, n_ante, n_cons,
     confidence, lift).
+
+    ``items`` short-circuits the distinct basket pass with a pre-built
+    :func:`basket_items` table (the family's shared stage).
     """
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    if items is None:
+        items = basket_items(lineitem)
     n_tot = items.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).cast("bigint").alias("n_total")
     )

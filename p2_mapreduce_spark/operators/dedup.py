@@ -63,6 +63,7 @@ def shingle_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int = MAX_DF,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Inverted-index pair generation: (doc_a, doc_b, n_common, size_a,
     size_b) for every doc pair sharing ≥1 shingle, doc_a < doc_b.
@@ -81,8 +82,14 @@ def shingle_pairs(
     shingles" — which both sizes and intersections use consistently."""
     # persist the RAW shingle table before deriving the df filter from it
     # — otherwise the explode pipeline (the dominant stage) runs once for
-    # the frequency aggregate and again for the join's probe side
-    base = hashed_shingles(docs, n, text_col, id_col).persist()
+    # the frequency aggregate and again for the join's probe side; a
+    # pre-built ``shingles`` table (the dedup family's shared stage) is
+    # already materialized and skips both the explode and the persist
+    base = (
+        shingles
+        if shingles is not None
+        else hashed_shingles(docs, n, text_col, id_col).persist()
+    )
     sh = base
     if max_df is not None:
         # the HOT set (df > cap) is tiny by construction — total/cap at
@@ -115,11 +122,12 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int = MAX_DF,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs at ``jaccard >= threshold``.
     Jaccard = |A∩B| / |A∪B| computed with one integer-exact division per
     pair (deterministic IEEE — oracle-comparable)."""
-    p = shingle_pairs(docs, n, text_col, id_col, max_df)
+    p = shingle_pairs(docs, n, text_col, id_col, max_df, shingles=shingles)
     jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
     return (
         p.withColumn("jaccard", jac)
@@ -218,6 +226,7 @@ def minhash_lsh_pairs(
     num_bands: int = NUM_BANDS,
     max_bucket: int = MAX_DF,
     shingles: DataFrame | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded LSH, verified with exact Jaccard.
 
@@ -251,19 +260,25 @@ def minhash_lsh_pairs(
     # The signature aggregate feeds only the band table; sizes come from
     # a separate cheap count over the persisted shingles — folding the
     # count into the signature agg looks free but makes every sizes
-    # consumer re-run the 64-min aggregate (per_doc is not persisted)
-    per_doc = hs.groupBy("doc").agg(*_minhash_aggs(num_hashes))
-    bands = per_doc.select(
-        "doc",
-        F.posexplode(_band_hash_array(num_bands, rows_per_band)).alias(
-            "band", "band_hash"
-        ),
-    )
+    # consumer re-run the 64-min aggregate (per_doc is not persisted).
+    # A pre-built ``bands`` table (the band index IS a per-doc artifact
+    # — build_lsh_artifacts / the suite's shared-stage memo) skips the
+    # signature aggregate entirely.
+    prebuilt_bands = bands is not None
+    if not prebuilt_bands:
+        per_doc = hs.groupBy("doc").agg(*_minhash_aggs(num_hashes))
+        bands = per_doc.select(
+            "doc",
+            F.posexplode(_band_hash_array(num_bands, rows_per_band)).alias(
+                "band", "band_hash"
+            ),
+        )
     if max_bucket is not None:
         # persist the band table (docs × num_bands rows — tiny) so the
         # bucket-size aggregate doesn't re-run the 64-min signature agg;
         # oversized buckets are a tiny set → broadcast anti-join
-        bands = bands.persist()
+        if not prebuilt_bands:
+            bands = bands.persist()
         hot = (
             bands.groupBy("band", "band_hash")
             .agg(F.count(F.lit(1)).alias("bsz"))
@@ -531,6 +546,7 @@ def minhash_lsh_incremental(
     num_bands: int = NUM_BANDS,
     max_bucket: int = MAX_DF,
     corpus_index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    new_index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental near-dup: which NEW documents duplicate the existing
     corpus — the daily-ingest contract.  Only cross-side candidate pairs
@@ -554,10 +570,17 @@ def minhash_lsh_incremental(
 
     ``corpus_index`` (from :func:`build_lsh_artifacts` /
     :func:`load_lsh_index`) replaces ``corpus_docs``: the batch then
-    touches only the new documents and the index files."""
-    hs_n, sizes_n, bands_n = build_lsh_artifacts(
-        new_docs, n, text_col, id_col, num_hashes, num_bands
-    )
+    touches only the new documents and the index files.  ``new_index``
+    is the symmetric short-circuit for the new side — per-doc artifacts
+    are pure functions of each document, so slicing them out of an
+    already-materialized whole-corpus artifact set (the suite's
+    shared-stage memo) is value-identical to rebuilding them."""
+    if new_index is not None:
+        hs_n, sizes_n, bands_n = new_index
+    else:
+        hs_n, sizes_n, bands_n = build_lsh_artifacts(
+            new_docs, n, text_col, id_col, num_hashes, num_bands
+        )
     if corpus_index is not None:
         hs_c, sizes_c, bands_c = corpus_index
     else:
@@ -1084,7 +1107,11 @@ def golden_record(
     )
 
 
-def lsh_recall(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def lsh_recall(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """Dedup-index honesty gate: recall of the MinHash-LSH pair finder
     (:func:`minhash_lsh_pairs` — probabilistic candidate generation,
     exact verify) against the exact prefix-filtered AllPairs join
@@ -1102,7 +1129,11 @@ def lsh_recall(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     Returns one row ``(n_exact, n_lsh, n_hit, recall)``; an empty
     exact set surfaces NULL recall.
     """
-    hs = hashed_shingles(docs, 3).persist()
+    hs = (
+        shingles
+        if shingles is not None
+        else hashed_shingles(docs, 3).persist()
+    )
     # each pair set feeds its count AND the intersection semi-join;
     # Spark does NOT reuse the exchanges across those branches (measured
     # 17 s vs 8 s at sf0.1), so persist the pair tables — output grain,
@@ -1486,6 +1517,7 @@ def blocking_quality(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int = MAX_DF,
+    truth_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Blocking-stage audit for the near-dup pipeline: pair completeness
     vs reduction ratio of the SimHash 4-band BLOCKING (candidates
@@ -1508,10 +1540,18 @@ def blocking_quality(
     Scale shape: fingerprints at doc grain, band buckets with the
     :data:`MAX_DF` hot-bucket guard (never all-pairs), truth from the
     prefix-capped shingle join — the same envelopes as the operators it
-    audits.
+    audits.  ``truth_pairs`` short-circuits the truth run with a
+    pre-built :func:`ngram_jaccard_pairs` table at the same threshold —
+    the dedup-closure family's shared stage, which this audit grades
+    blocking AGAINST, so consuming the one materialization is the
+    production composition.
     """
-    truth = ngram_jaccard_pairs(
-        docs, threshold, text_col=text_col, id_col=id_col, max_df=max_bucket
+    truth = (
+        truth_pairs
+        if truth_pairs is not None
+        else ngram_jaccard_pairs(
+            docs, threshold, text_col=text_col, id_col=id_col, max_df=max_bucket
+        )
     ).select("doc_a", "doc_b").persist()
     fps = simhash_fingerprints(docs, text_col, id_col, hash_fn="md5")
     # max_hamming = full width ⇒ NO Hamming verification: the raw

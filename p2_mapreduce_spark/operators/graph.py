@@ -295,25 +295,69 @@ def pagerank(
     return ranks.select("node", "rank_q")
 
 
+def trade_pairs(
+    lineitem: DataFrame, orders: DataFrame, weighted: bool = False
+) -> DataFrame:
+    """The distinct (customer, supplier) trading-pair dictionary every
+    trade-graph operator below derives its edges from — ONE order-line
+    join + one pair-grain aggregate, shuffle width the distinct pair
+    count, not line count.  ``weighted=True`` additionally carries
+    ``w`` = the pair's minimum ship lag in days (exact BIGINT
+    date_diff, clamped ≥ 1 — :func:`trade_sssp` documents why the
+    floor is part of the contract).
+
+    Factored out so the suite can compute the stage ONCE and fan it
+    out (the ``__spark_entry__`` shared-stage memo): ten operators
+    (pagerank / bfs / sssp / ppr / hits / assortativity / rich club /
+    modularity / reciprocity / degree histogram) consume the identical
+    dictionary, so at any scale the pair derivation is a
+    one-per-pipeline cost, not one-per-report.  Output: (cust, supp)
+    or (cust, supp, w).
+    """
+    j = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+    if not weighted:
+        return j.select(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        ).distinct()
+    lag = (
+        F.greatest(F.lit(1), F.datediff(F.col("l_shipdate"), F.col("o_orderdate")))
+        .cast("bigint")
+    )
+    return j.groupBy(
+        F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+    ).agg(F.min(lag).alias("w"))
+
+
+def _encode_trade(pairs: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Even/odd bipartite node encoding (customers 2k, suppliers 2k+1)
+    over a (cust, supp[, w]) pair table — a pure projection."""
+    cols = [
+        (F.col("cust") * 2).alias(src),
+        (F.col("supp") * 2 + 1).alias(dst),
+    ]
+    if "w" in pairs.columns:
+        cols.append(F.col("w"))
+    return pairs.select(*cols)
+
+
 def trade_graph_pagerank(
-    lineitem: DataFrame, orders: DataFrame, iterations: int = 3
+    lineitem: DataFrame,
+    orders: DataFrame,
+    iterations: int = 3,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank centrality of the customer-supplier trade graph: an edge
     per distinct (customer, supplier) trading pair, customers encoded as
     even node ids (2k) and suppliers odd (2k+1).
 
     The edge derivation is one distinct over the order-line join —
-    shuffle width is the distinct pair count, not line count.
+    shuffle width is the distinct pair count, not line count.  A
+    pre-built :func:`trade_pairs` table short-circuits it (the shared
+    stage the suite computes once).
     """
-    pairs = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    return pagerank(pairs, iterations=iterations)
+    if pairs is None:
+        pairs = trade_pairs(lineitem, orders)
+    return pagerank(_encode_trade(pairs), iterations=iterations)
 
 
 def _bitset_triangles(sym: DataFrame, deg: DataFrame, n: int) -> DataFrame:
@@ -496,21 +540,44 @@ def triangle_stats(edges: DataFrame, dense_max_nodes: int = 4096) -> DataFrame:
     )
 
 
-def cosupply_triangle_stats(lineitem: DataFrame) -> DataFrame:
-    """Triangle census of the supplier co-supply graph: suppliers are
-    adjacent when they supply the same order.  Order sizes are bounded
-    (≤7 lines in the TPC-H-ish generator), so the per-order supplier
-    pair expansion is O(lines), and the distinct projection collapses it
-    to the pair dictionary before any heavy work."""
+def cosupply_raw_pairs(lineitem: DataFrame) -> DataFrame:
+    """Per-order supplier co-supply pair stream ``(u, v)`` with u < v,
+    duplicates across orders retained — the base every co-supply graph
+    operator below derives from.  Order sizes are bounded (≤7 lines in
+    the TPC-H-ish generator), so the per-order pair expansion is
+    O(lines)."""
     sup = lineitem.select(
         F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s")
     ).distinct()
     a, b = sup.alias("sa"), sup.alias("sb")
-    pairs = (
+    return (
         a.join(b, (F.col("sa.k") == F.col("sb.k")) & (F.col("sa.s") < F.col("sb.s")))
         .select(F.col("sa.s").alias("u"), F.col("sb.s").alias("v"))
-        .distinct()
     )
+
+
+def cosupply_pairs(lineitem: DataFrame) -> DataFrame:
+    """The DISTINCT supplier co-supply edge dictionary — the shared
+    stage of the co-supply graph family (census / DOULION / k-core):
+    every consumer dedups its edges anyway (triangle_stats and k_core
+    both open with a canonical distinct; the DOULION coin is a pure
+    function of the pair value, so thinning commutes with the dedup),
+    so computing the dictionary once and fanning it out preserves
+    every consumer's values bit-for-bit while the quadratic-in-basket
+    pair expansion runs once per pipeline instead of once per report."""
+    return cosupply_raw_pairs(lineitem).distinct()
+
+
+def cosupply_triangle_stats(
+    lineitem: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Triangle census of the supplier co-supply graph: suppliers are
+    adjacent when they supply the same order.  The distinct projection
+    collapses the per-order pair expansion to the pair dictionary
+    before any heavy work (pre-built :func:`cosupply_pairs`
+    short-circuits both)."""
+    if pairs is None:
+        pairs = cosupply_pairs(lineitem)
     return triangle_stats(pairs)
 
 
@@ -589,21 +656,21 @@ def bfs_hops(
 
 
 def trade_graph_bfs(
-    lineitem: DataFrame, orders: DataFrame, source: int = 2, max_hops: int = 6
+    lineitem: DataFrame,
+    orders: DataFrame,
+    source: int = 2,
+    max_hops: int = 6,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """BFS hop counts over the bipartite customer↔supplier trade graph
     (customers at even node ids 2k, suppliers odd 2k+1 — the
     :func:`trade_graph_pagerank` encoding).  Default source = customer 1
-    (node 2); odd hops land on suppliers, even on customers."""
-    pairs = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("u"),
-            (F.col("l_suppkey") * 2 + 1).alias("v"),
-        )
-        .distinct()
-    )
-    return bfs_hops(pairs, source, max_hops)
+    (node 2); odd hops land on suppliers, even on customers.  A
+    pre-built :func:`trade_pairs` table short-circuits the edge
+    derivation."""
+    if pairs is None:
+        pairs = trade_pairs(lineitem, orders)
+    return bfs_hops(_encode_trade(pairs, "u", "v"), source, max_hops)
 
 
 def triangle_doulion(
@@ -651,21 +718,25 @@ def triangle_doulion(
     )
 
 
-def cosupply_triangle_doulion(lineitem: DataFrame, mod: int = 8) -> DataFrame:
+def cosupply_triangle_doulion(
+    lineitem: DataFrame, mod: int = 8, pairs: DataFrame | None = None
+) -> DataFrame:
     """DOULION estimate over the supplier co-supply graph — the bench-
     scale variant of :func:`cosupply_triangle_stats` (the synthetic
     fixture's co-supply graph is near-complete, where an exact census is
     Θ(n³) for ANY algorithm; the estimator is how production handles
-    dense graphs)."""
-    sup = lineitem.select(
-        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a, b = sup.alias("sa"), sup.alias("sb")
-    # no distinct here: triangle_doulion samples first, dedups after
-    pairs = (
-        a.join(b, (F.col("sa.k") == F.col("sb.k")) & (F.col("sa.s") < F.col("sb.s")))
-        .select(F.col("sa.s").alias("u"), F.col("sb.s").alias("v"))
-    )
+    dense graphs).
+
+    Solo (pairs=None) the raw pair stream feeds the sampler WITHOUT a
+    distinct — the coin is a pure function of the canonical pair, so
+    duplicates sample identically and the (shuffling) distinct inside
+    triangle_stats runs on the 1/mod subset instead of the full pair
+    stream.  A pre-built (deduped) :func:`cosupply_pairs` dictionary
+    yields the identical edge set — thinning commutes with the dedup —
+    and is the right input when the dictionary is already materialized
+    for the census/k-core siblings."""
+    if pairs is None:
+        pairs = cosupply_raw_pairs(lineitem)
     return triangle_doulion(pairs, mod)
 
 
@@ -720,18 +791,19 @@ def k_core(
     )
 
 
-def cosupply_k_core(lineitem: DataFrame, k: int = 8, mod: int = 8) -> DataFrame:
+def cosupply_k_core(
+    lineitem: DataFrame,
+    k: int = 8,
+    mod: int = 8,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
     """k-core of the DOULION-sampled supplier co-supply graph (the same
     md5-coin 1/``mod`` edge sample as :func:`cosupply_triangle_doulion`,
-    so the peeling runs on a realistically sparse graph)."""
-    sup = lineitem.select(
-        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a, b = sup.alias("sa"), sup.alias("sb")
-    pairs = (
-        a.join(b, (F.col("sa.k") == F.col("sb.k")) & (F.col("sa.s") < F.col("sb.s")))
-        .select(F.col("sa.s").alias("u"), F.col("sb.s").alias("v"))
-    )
+    so the peeling runs on a realistically sparse graph).  k_core opens
+    with a canonical distinct, so feeding the pre-built (deduped)
+    :func:`cosupply_pairs` dictionary is value-identical."""
+    if pairs is None:
+        pairs = cosupply_raw_pairs(lineitem)
     coin = F.conv(
         F.substring(F.md5(F.concat_ws(":", "u", "v")), 18, 15), 16, 10
     ).cast("long")
@@ -875,20 +947,15 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
 
 
 def trade_degree_assortativity(
-    lineitem: DataFrame, orders: DataFrame
+    lineitem: DataFrame, orders: DataFrame, pairs: DataFrame | None = None
 ) -> DataFrame:
     """:func:`degree_assortativity` over the customer-supplier trade
     graph (same edge derivation as :func:`trade_graph_pagerank` —
-    distinct pairs at join grain, even/odd node encoding)."""
-    pairs = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    return degree_assortativity(pairs)
+    distinct pairs at join grain, even/odd node encoding; a pre-built
+    :func:`trade_pairs` table short-circuits it)."""
+    if pairs is None:
+        pairs = trade_pairs(lineitem, orders)
+    return degree_assortativity(_encode_trade(pairs))
 
 
 def two_hop_reach(
@@ -990,18 +1057,15 @@ def two_hop_reach(
     )
 
 
-def trade_two_hop(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+def trade_two_hop(
+    lineitem: DataFrame, orders: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
     """:func:`two_hop_reach` over the customer-supplier trade graph
-    (same distinct-pair edge derivation as :func:`trade_graph_pagerank`)."""
-    pairs = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    return two_hop_reach(pairs)
+    (same distinct-pair edge derivation as :func:`trade_graph_pagerank`;
+    a pre-built :func:`trade_pairs` table short-circuits it)."""
+    if pairs is None:
+        pairs = trade_pairs(lineitem, orders)
+    return two_hop_reach(_encode_trade(pairs))
 
 
 def sssp(
@@ -1072,6 +1136,7 @@ def trade_sssp(
     orders: DataFrame,
     source: int = 2,
     rounds: int = 4,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`sssp` over the customer-supplier trade graph: edge weight
     = the pair's minimum ship lag in days (exact BIGINT date_diff),
@@ -1082,23 +1147,11 @@ def trade_sssp(
     is part of the operator's contract, not a fixture patch.  The
     distance is "fastest cumulative fulfillment path" — the same
     distinct-pair derivation as :func:`trade_graph_pagerank` plus one
-    min-aggregate for the weights."""
-    pairs = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-            F.greatest(
-                F.lit(1),
-                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")),
-            )
-            .cast("bigint")
-            .alias("lag"),
-        )
-        .groupBy("src", "dst")
-        .agg(F.min("lag").alias("w"))
-    )
-    return sssp(pairs, source=source, rounds=rounds)
+    min-aggregate for the weights (``trade_pairs(weighted=True)``; a
+    pre-built table short-circuits it)."""
+    if pairs is None:
+        pairs = trade_pairs(lineitem, orders, weighted=True)
+    return sssp(_encode_trade(pairs), source=source, rounds=rounds)
 
 
 def personalized_pagerank(
@@ -1183,20 +1236,18 @@ def trade_ppr(
     orders: DataFrame,
     source: int = 2,
     iterations: int = 3,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`personalized_pagerank` over the customer-supplier trade
     graph (same encoding as :func:`trade_graph_pagerank`), personalized
     to the source customer node — "which suppliers/customers are close
-    to THIS customer's trading neighborhood"."""
-    pairs = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
+    to THIS customer's trading neighborhood".  A pre-built
+    :func:`trade_pairs` table short-circuits the edge derivation."""
+    if pairs is None:
+        pairs = trade_pairs(lineitem, orders)
+    return personalized_pagerank(
+        _encode_trade(pairs), source=source, iterations=iterations
     )
-    return personalized_pagerank(pairs, source=source, iterations=iterations)
 
 
 def local_clustering(edges: DataFrame) -> DataFrame:
@@ -1277,7 +1328,9 @@ def local_clustering(edges: DataFrame) -> DataFrame:
 
 
 def copurchase_clustering(
-    lineitem: DataFrame, min_support: int = 2
+    lineitem: DataFrame,
+    min_support: int = 2,
+    items: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`local_clustering` over the part co-purchase graph (parts
     adjacent when ordered together — order sizes are generator-bounded,
@@ -1288,10 +1341,19 @@ def copurchase_clustering(
     AND the term that makes a basket graph near-complete (at sf0.1 the
     support filter takes 1.2M edges → 3.6k, and the exact wedge kernel
     from 13 s → sub-second) — the same signal-vs-noise cut
-    ``analytics.copurchase`` applies before ranking pairs."""
-    p = lineitem.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
-    ).distinct()
+    ``analytics.copurchase`` applies before ranking pairs.
+
+    ``items`` short-circuits the distinct basket pass with a pre-built
+    ``analytics.basket_items`` table (the basket family's shared
+    stage)."""
+    if items is None:
+        p = lineitem.select(
+            F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+        ).distinct()
+    else:
+        p = items.select(
+            F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+        )
     a, b = p.alias("pa"), p.alias("pb")
     pairs = (
         a.join(b, (F.col("pa.k") == F.col("pb.k")) & (F.col("pa.p") < F.col("pb.p")))
@@ -1329,18 +1391,15 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
     )
 
 
-def trade_degree_histogram(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+def trade_degree_histogram(
+    lineitem: DataFrame, orders: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
     """:func:`degree_histogram` over the customer-supplier trade graph
-    (same even/odd node encoding as :func:`trade_graph_pagerank`)."""
-    pairs = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("u"),
-            (F.col("l_suppkey") * 2 + 1).alias("v"),
-        )
-        .distinct()
-    )
-    return degree_histogram(pairs)
+    (same even/odd node encoding as :func:`trade_graph_pagerank`; a
+    pre-built :func:`trade_pairs` table short-circuits it)."""
+    if pairs is None:
+        pairs = trade_pairs(lineitem, orders)
+    return degree_histogram(_encode_trade(pairs, "u", "v"))
 
 
 def supplier_panel_pairs(
@@ -1534,18 +1593,15 @@ def rich_club(
     )
 
 
-def trade_rich_club(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+def trade_rich_club(
+    lineitem: DataFrame, orders: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
     """:func:`rich_club` over the customer-supplier trade graph (same
-    distinct-pair edge derivation as :func:`trade_graph_pagerank`)."""
-    pairs = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    return rich_club(pairs)
+    distinct-pair edge derivation as :func:`trade_graph_pagerank`; a
+    pre-built :func:`trade_pairs` table short-circuits it)."""
+    if pairs is None:
+        pairs = trade_pairs(lineitem, orders)
+    return rich_club(_encode_trade(pairs))
 
 
 def link_prediction_jaccard(
@@ -1647,6 +1703,7 @@ def graph_modularity(
     orders: DataFrame,
     customer: DataFrame,
     supplier: DataFrame,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Newman modularity Q of the NATION partition of the trade graph
     — "does trade cluster inside nations?": for each community c,
@@ -1667,14 +1724,9 @@ def graph_modularity(
     joins for the community labels, community-grain aggregates.
     Output: (nation, n_edges_within, degree_sum, q_contrib, q_total).
     """
-    pairs = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("u"),
-            (F.col("l_suppkey") * 2 + 1).alias("w"),
-        )
-        .distinct()
-    )
+    if pairs is None:
+        pairs = trade_pairs(lineitem, orders)
+    pairs = _encode_trade(pairs, "u", "w")
     nat = customer.select(
         (F.col("c_custkey") * 2).alias("node"),
         F.col("c_nationkey").alias("nation"),
@@ -1865,19 +1917,16 @@ def hits_scores(
     return hubs.unionByName(auths)
 
 
-def trade_hits(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+def trade_hits(
+    lineitem: DataFrame, orders: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
     """:func:`hits_scores` over the customer→supplier trade graph (the
     pagerank_trade edge derivation: one distinct over the order-line
-    join, customers even node ids, suppliers odd)."""
-    pairs = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    return hits_scores(pairs)
+    join, customers even node ids, suppliers odd; a pre-built
+    :func:`trade_pairs` table short-circuits it)."""
+    if pairs is None:
+        pairs = trade_pairs(lineitem, orders)
+    return hits_scores(_encode_trade(pairs))
 
 
 def nation_trade_reciprocity(
@@ -1885,6 +1934,7 @@ def nation_trade_reciprocity(
     orders: DataFrame,
     customer: DataFrame,
     supplier: DataFrame,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Reciprocity of the DIRECTED nation-to-nation trade graph: one
     edge per distinct (supplier nation → customer nation) trading
@@ -1900,13 +1950,25 @@ def nation_trade_reciprocity(
     edge list.  Exact integer counts; the ratio is one IEEE division.
 
     Output: one row (n_edges, n_reciprocated, reciprocity).
+
+    A pre-built :func:`trade_pairs` table short-circuits the fact-grain
+    join: the distinct (cust, supp) dictionary is a sufficient
+    statistic for the nation-pair edge set, so only the two dim joins
+    and the nation-grain distinct remain.
     """
-    edges = (
-        lineitem.join(
-            orders, lineitem["l_orderkey"] == orders["o_orderkey"]
+    if pairs is None:
+        pairs = (
+            lineitem.join(
+                orders, lineitem["l_orderkey"] == orders["o_orderkey"]
+            )
+            .select(
+                F.col("o_custkey").alias("cust"),
+                F.col("l_suppkey").alias("supp"),
+            )
         )
-        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+    edges = (
+        pairs.join(customer, F.col("cust") == F.col("c_custkey"))
+        .join(supplier, F.col("supp") == F.col("s_suppkey"))
         .select(
             F.col("s_nationkey").cast("bigint").alias("src"),
             F.col("c_nationkey").cast("bigint").alias("dst"),
