@@ -4811,6 +4811,12 @@ _ROUND9_CHANGED = (
     # the memoized exact truth-pair stage
     "dedup_ngram", "dedup_allpairs", "dedup_minhash", "lsh_recall",
     "blocking_quality", "dedup_incremental",
+    # media kernels: per-plane pixel fold rewritten sum(genexpr) ->
+    # sum(map(sum, rows)) (3x faster per plane, bit-identical integer
+    # sums — values re-verified vs oracle)
+    "video_frames", "media_jpeg", "media_jpeg420",
+    "media_jpeg_prog_color", "media_decode", "media_mixed",
+    "media_frames",
 )
 
 #: --- round-8 history (all 34 new + 3 changed ids were sampled in the

@@ -1004,7 +1004,7 @@ def video_frame_sums(media: DataFrame, every_n: int = 2) -> DataFrame:
                         break
                     w, h, planes = parsed
                     sums = [
-                        sum(v for row in ch for v in row) for ch in planes
+                        sum(map(sum, ch)) for ch in planes
                     ]
                     if len(planes) == 1:
                         sums = [sums[0]] * 3
@@ -1478,7 +1478,7 @@ def avi_av_stats(media: DataFrame) -> DataFrame:
                                     return
                                 w, h, planes = parsed
                                 sums = [
-                                    sum(v for row in ch for v in row)
+                                    sum(map(sum, ch))
                                     for ch in planes
                                 ]
                                 if len(planes) == 1:
@@ -1593,7 +1593,7 @@ def avi_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
                                         return  # corrupt frame
                                     w, h, planes = parsed
                                     sums = [
-                                        sum(v for row in ch for v in row)
+                                        sum(map(sum, ch))
                                         for ch in planes
                                     ]
                                     if len(planes) == 1:
@@ -2581,7 +2581,7 @@ def jpeg_pixel_sums(media: DataFrame) -> DataFrame:
             if parsed is None:
                 return 0, 0, 0, 0, 0, 0
             w, h, planes = parsed
-            sums = [sum(v for row in ch for v in row) for ch in planes]
+            sums = [sum(map(sum, ch)) for ch in planes]
             if len(planes) == 1:
                 return w, h, 1, sums[0], sums[0], sums[0]
             return w, h, 3, sums[0], sums[1], sums[2]
@@ -3546,7 +3546,7 @@ def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
             if parsed is None:
                 return 0, 0, 0, 0, 0, 0, 0, 0, 0
             w, h, planes = parsed
-            sums = [sum(v for row in ch for v in row) for ch in planes]
+            sums = [sum(map(sum, ch)) for ch in planes]
             ssqs = [
                 sum(v * v for row in ch for v in row) for ch in planes
             ]
