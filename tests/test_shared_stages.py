@@ -1,0 +1,156 @@
+"""Round-9 optimization pins: a pre-built shared stage fed into an
+operator must be VALUE-IDENTICAL to the operator's own solo
+derivation — the invariant every `pairs=`/`items=`/`shingles=`
+parameter added this round relies on.  These are the focused tests
+for the optimization refactor (the oracle sweep proves the entry
+wrappers; these prove the operator-level contract directly, at
+fixture scale, so a future edit to one side of the derivation cannot
+drift silently)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from p2_mapreduce_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return load_table(spark, SF, "lineitem")
+
+
+@pytest.fixture(scope="module")
+def od(spark):
+    return load_table(spark, SF, "orders")
+
+
+def test_trade_pairs_feed_equals_solo_derivation(spark, li, od):
+    from p2_mapreduce_spark.operators.graph import (
+        trade_graph_pagerank,
+        trade_pairs,
+        trade_sssp,
+    )
+
+    pre = trade_pairs(li, od, weighted=True).localCheckpoint()
+    solo = trade_graph_pagerank(li, od)
+    fed = trade_graph_pagerank(li, od, pairs=pre.select("cust", "supp"))
+    assert _rows(solo) == _rows(fed)
+    # the weighted face feeds sssp identically
+    assert _rows(trade_sssp(li, od)) == _rows(trade_sssp(li, od, pairs=pre))
+
+
+def test_cosupply_dictionary_feed_equals_raw_stream(spark, li):
+    """DOULION coin + k-core peel both commute with the distinct, so
+    the deduped dictionary must reproduce the raw-stream results."""
+    from p2_mapreduce_spark.operators.graph import (
+        cosupply_k_core,
+        cosupply_pairs,
+        cosupply_triangle_doulion,
+        cosupply_triangle_stats,
+    )
+
+    pre = cosupply_pairs(li).localCheckpoint()
+    assert _rows(cosupply_triangle_stats(li)) == _rows(
+        cosupply_triangle_stats(li, pairs=pre)
+    )
+    assert _rows(cosupply_triangle_doulion(li)) == _rows(
+        cosupply_triangle_doulion(li, pairs=pre)
+    )
+    assert _rows(cosupply_k_core(li, k=8)) == _rows(
+        cosupply_k_core(li, k=8, pairs=pre)
+    )
+
+
+def test_basket_items_feed_equals_solo_derivation(spark, li):
+    from p2_mapreduce_spark.operators.analytics import (
+        assoc_rules,
+        basket_items,
+        item_cosine,
+    )
+
+    pre = basket_items(li).localCheckpoint()
+    assert _rows(assoc_rules(li)) == _rows(assoc_rules(li, items=pre))
+    assert _rows(item_cosine(li)) == _rows(item_cosine(li, items=pre))
+
+
+def test_shingle_and_band_feeds_equal_solo(spark):
+    from p2_mapreduce_spark.operators.dedup import (
+        NUM_BANDS,
+        NUM_HASHES,
+        _band_hash_array,
+        _minhash_aggs,
+        hashed_shingles,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    hs = hashed_shingles(docs, 3).localCheckpoint()
+    assert _rows(ngram_jaccard_pairs(docs, threshold=0.5)) == _rows(
+        ngram_jaccard_pairs(docs, threshold=0.5, shingles=hs)
+    )
+    bands = (
+        hs.groupBy("doc")
+        .agg(*_minhash_aggs(NUM_HASHES))
+        .select(
+            "doc",
+            F.posexplode(
+                _band_hash_array(NUM_BANDS, NUM_HASHES // NUM_BANDS)
+            ).alias("band", "band_hash"),
+        )
+        .localCheckpoint()
+    )
+    assert _rows(minhash_lsh_pairs(docs, threshold=0.5)) == _rows(
+        minhash_lsh_pairs(docs, threshold=0.5, shingles=hs, bands=bands)
+    )
+
+
+def test_incremental_side_slices_equal_rebuild(spark):
+    """Per-doc LSH artifacts are pure functions of each document, so
+    slicing a whole-corpus artifact set by ingest side must equal
+    rebuilding each side from its own documents."""
+    from p2_mapreduce_spark.operators.dedup import (
+        NUM_BANDS,
+        NUM_HASHES,
+        _band_hash_array,
+        _minhash_aggs,
+        hashed_shingles,
+        minhash_lsh_incremental,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    hs = hashed_shingles(docs, 3).localCheckpoint()
+    bands = (
+        hs.groupBy("doc")
+        .agg(*_minhash_aggs(NUM_HASHES))
+        .select(
+            "doc",
+            F.posexplode(
+                _band_hash_array(NUM_BANDS, NUM_HASHES // NUM_BANDS)
+            ).alias("band", "band_hash"),
+        )
+        .localCheckpoint()
+    )
+
+    def side(is_new):
+        pred = (F.col("doc") % 5) == 4 if is_new else (F.col("doc") % 5) != 4
+        hs_s = hs.filter(pred)
+        sizes = hs_s.groupBy("doc").agg(
+            F.count(F.lit(1)).alias("n_shingles")
+        )
+        return hs_s, sizes, bands.filter(pred)
+
+    new_docs = docs.filter((F.col("doc_id") % 5) == 4)
+    corpus_docs = docs.filter((F.col("doc_id") % 5) != 4)
+    solo = minhash_lsh_incremental(new_docs, corpus_docs)
+    fed = minhash_lsh_incremental(
+        new_docs, corpus_docs, new_index=side(True), corpus_index=side(False)
+    )
+    assert _rows(solo) == _rows(fed)
