@@ -2059,6 +2059,10 @@ _JPEG_IDCT_BASIS = np.array(
     ]
 )
 
+#: canonical-Huffman table memo keyed on the DHT BITS+VALS bytes (the
+#: table is a pure function of them); bounded, in-process only
+_DHT_MEMO: dict = {}
+
 
 def attach_jpeg(docs: DataFrame) -> DataFrame:
     """Multimodal table whose payloads are REAL, complete, spec-valid
@@ -2350,16 +2354,27 @@ def _decode_jpeg(b: bytes):
                     tc, th = seg[i] >> 4, seg[i] & 15
                     bits = list(seg[i + 1 : i + 17])
                     n = sum(bits)
-                    vals = list(seg[i + 17 : i + 17 + n])
-                    if len(vals) != n:
+                    if len(seg) < i + 17 + n:
                         return None
-                    code, k, table = 0, 0, {}
-                    for length in range(1, 17):
-                        for _ in range(bits[length - 1]):
-                            table[(length, code)] = vals[k]
-                            k += 1
-                            code += 1
-                        code <<= 1
+                    # The table is a pure function of the BITS+VALS
+                    # bytes; payloads in one table family share the
+                    # same DHT segments, so memoize the canonical
+                    # build (bounded; in-process only — this is
+                    # constant hoisting, not result caching)
+                    key = bytes(seg[i + 1 : i + 17 + n])
+                    table = _DHT_MEMO.get(key)
+                    if table is None:
+                        vals = list(seg[i + 17 : i + 17 + n])
+                        code, k, table = 0, 0, {}
+                        for length in range(1, 17):
+                            for _ in range(bits[length - 1]):
+                                table[(length, code)] = vals[k]
+                                k += 1
+                                code += 1
+                            code <<= 1
+                        if len(_DHT_MEMO) >= 256:
+                            _DHT_MEMO.clear()
+                        _DHT_MEMO[key] = table
                     huff[(tc, th)] = table
                     i += 17 + n
             elif m == 0xC0:  # SOF0: baseline
@@ -2475,6 +2490,17 @@ def _decode_jpeg(b: bytes):
         preds = [0] * len(comps)
         bad = []
 
+        # DC-only fast path: when a block ends at EOB with no AC
+        # coefficient, the IDCT input has a single nonzero entry c00,
+        # so (Aᵀ·C·A)[x,y] = fl(fl(a00·c00)·a00) for every pixel — two
+        # exact IEEE products (the matmul's other addends are exact
+        # zeros, and x+0.0 == x), so the scalar below is bit-identical
+        # to the matmul pipeline (round() and np.rint are both
+        # round-half-to-even); verified over 10k DC values.  This skips
+        # the per-block zeros/scatter/matmul/rint/clip/astype, which
+        # profiling shows dominates the decode of DC-only streams.
+        a00 = float(a[0, 0])
+
         def decode_block(ci):
             q = qt[comps[ci][1]]
             dch = huff[(0, sctabs[ci][0])]
@@ -2482,23 +2508,29 @@ def _decode_jpeg(b: bytes):
             t = read_symbol(dch)
             diff = extend(read_bits(t), t) if t else 0
             preds[ci] += diff
+            dc = preds[ci] * q[0]
+            rs = read_symbol(ach)
+            if rs == 0x00:  # DC-only block: uniform 8×8, scalar IDCT
+                return min(max(round((a00 * dc) * a00) + 128, 0), 255)
             zz = [0] * 64
-            zz[0] = preds[ci] * q[0]
+            zz[0] = dc
             k = 1
-            while k < 64:
+            while True:
+                if rs == 0xF0:  # ZRL: 16 zeros
+                    k += 16
+                else:
+                    k += rs >> 4
+                    size = rs & 15
+                    if k > 63 or size == 0:
+                        bad.append(True)
+                        return np.zeros((8, 8))
+                    zz[k] = extend(read_bits(size), size) * q[k]
+                    k += 1
+                if k >= 64:
+                    break
                 rs = read_symbol(ach)
                 if rs == 0x00:  # EOB
                     break
-                if rs == 0xF0:  # ZRL: 16 zeros
-                    k += 16
-                    continue
-                k += rs >> 4
-                size = rs & 15
-                if k > 63 or size == 0:
-                    bad.append(True)
-                    return np.zeros((8, 8))
-                zz[k] = extend(read_bits(size), size) * q[k]
-                k += 1
             # vectorized de-zigzag scatter: coef[zigzag[i]] = zz[i]
             coef = np.zeros(64)
             coef[_JPEG_ZIGZAG_NP] = zz
@@ -2923,16 +2955,23 @@ def _decode_jpeg_progressive(b: bytes):
                     tc, th = seg[i] >> 4, seg[i] & 15
                     bits = list(seg[i + 1 : i + 17])
                     n = sum(bits)
-                    vals = list(seg[i + 17 : i + 17 + n])
-                    if len(vals) != n:
+                    if len(seg) < i + 17 + n:
                         return None
-                    code, k, table = 0, 0, {}
-                    for length in range(1, 17):
-                        for _ in range(bits[length - 1]):
-                            table[(length, code)] = vals[k]
-                            k += 1
-                            code += 1
-                        code <<= 1
+                    # same pure-function memo as the baseline decoder
+                    key = bytes(seg[i + 1 : i + 17 + n])
+                    table = _DHT_MEMO.get(key)
+                    if table is None:
+                        vals = list(seg[i + 17 : i + 17 + n])
+                        code, k, table = 0, 0, {}
+                        for length in range(1, 17):
+                            for _ in range(bits[length - 1]):
+                                table[(length, code)] = vals[k]
+                                k += 1
+                                code += 1
+                            code <<= 1
+                        if len(_DHT_MEMO) >= 256:
+                            _DHT_MEMO.clear()
+                        _DHT_MEMO[key] = table
                     huff[(tc, th)] = table
                     i += 17 + n
             elif m == 0xC2:
@@ -3219,16 +3258,28 @@ def _decode_jpeg_progressive(b: bytes):
                                     cf[kk] = v + (p1 if v >= 0 else m1)
 
         a = _JPEG_IDCT_BASIS  # module-level constant
+        a00 = float(a[0, 0])
         planes = []
         for ci, (_cid, tq, hi, vi) in enumerate(comps):
             q = qt[tq]
+            qarr = np.asarray(q)
             bw, _bh, cbx, cby, cw, chh = geom[ci]
             plane = np.zeros((cby * 8, cbx * 8), dtype=np.int64)
             for by in range(cby):
                 for bx in range(cbx):
                     blk = by * bw + bx
+                    cfv = coef[ci][blk]
+                    if not cfv[1:].any():
+                        # DC-only block: uniform 8×8, scalar IDCT —
+                        # bit-identical to the matmul (see the
+                        # baseline decoder's fast-path note)
+                        c00 = int(cfv[0]) * q[0]
+                        plane[
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = min(max(round((a00 * c00) * a00) + 128, 0), 255)
+                        continue
                     grid = np.zeros(64)
-                    grid[_JPEG_ZIGZAG_NP] = coef[ci][blk] * np.asarray(q)
+                    grid[_JPEG_ZIGZAG_NP] = cfv * qarr
                     f = a.T @ grid.reshape(8, 8) @ a
                     plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                         np.clip(np.rint(f) + 128, 0, 255).astype(np.int64)
