@@ -4817,6 +4817,11 @@ _ROUND9_CHANGED = (
     "video_frames", "media_jpeg", "media_jpeg420",
     "media_jpeg_prog_color", "media_decode", "media_mixed",
     "media_frames",
+    # markov_attribution — the 12-round join-per-round fixed point
+    # folded into one JVM higher-order aggregate expression (same
+    # bigint arithmetic, value-identical; re-proved vs the unrolled
+    # oracle at both scales), removing all iteration barriers
+    "markov_attribution",
 )
 
 #: --- round-8 history (all 34 new + 3 changed ids were sampled in the

@@ -1479,8 +1479,15 @@ def markov_attribution(
 
     Scale shape: the corpus contracts to per-user journey arrays in ONE
     shuffle, then to a (variant, state, next) count table at CONFIG
-    grain (≤ (channels+1) variants × states²); every iteration is a
-    join + aggregate over that tiny table — cost is rounds × barrier,
+    grain (≤ (channels+1) variants × states²).  The fixed point itself
+    runs as ONE JVM higher-order ``aggregate`` expression over each
+    variant's collected transition array — the per-round recurrence
+    ``p'(s) = Σ n(s→t)·p(t) div tot(s)`` in the exact same bigint
+    arithmetic the former join-per-round loop used (integer ops are
+    associative/exact, so the fold is value-identical by construction;
+    re-proved against the unrolled oracle at both scales) — removing
+    all ``rounds`` iteration barriers/jobs; total cost is one shuffle
+    plus O(variants · rounds · states · transitions) scalar work,
     independent of event volume.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1552,51 +1559,61 @@ def markov_attribution(
         .agg(F.sum("n").alias("n"))
     )
     totals = vt.groupBy("removed", "s").agg(F.sum("n").alias("tot"))
-    vt = vt.join(totals, ["removed", "s"]).localCheckpoint()
-    states = (
-        vt.select("removed", F.col("s").alias("state")).distinct()
+    vt = vt.join(totals, ["removed", "s"])
+    # Fold the whole fixed point into one JVM expression per variant:
+    # collect each variant's (s, t, n, tot) transition rows into an
+    # array and iterate `rounds` times over a state→p_q map.  States
+    # with a p value are exactly the SOURCE states (`srcs`), matching
+    # the loop's groupBy grain; absorbers (CONV/NULL_ST) never appear
+    # as sources, so their pinned values live in the CASE — the same
+    # role the former LEFT join + coalesce played.  `element_at(acc,
+    # x.t)` is NULL for non-source targets, coalesced to 0 exactly as
+    # before; every add/multiply/div is the same bigint op in the same
+    # per-(removed, s) grouping, so each round is bit-identical to the
+    # former join-per-round job.
+    per = (
+        vt.groupBy("removed")
+        .agg(F.collect_list(F.struct("s", "t", "n", "tot")).alias("tr"))
+        .withColumn(
+            "srcs", F.expr("array_distinct(transform(tr, x -> x.s))")
+        )
     )
-    p = states.select(
-        "removed", "state", F.lit(0).cast("long").alias("p_q")
-    ).localCheckpoint()
-    for _ in range(int(rounds)):
-        # p(next) with absorbers pinned: CONV=SCALE, NULL=0
-        p_next = p.select(
-            "removed",
-            F.col("state").alias("t"),
-            F.col("p_q").alias("pt"),
-        )
-        # LEFT join: the absorbers (CONV/NULL_ST) never appear as
-        # sources, so they have no p row — their value is pinned by the
-        # CASE, and an inner join would silently drop exactly the
-        # transitions that carry conversion mass
-        stepped = vt.join(
-            p_next,
-            (vt.removed == p_next.removed) & (vt.t == p_next.t),
-            "left",
-        ).select(
-            vt.removed.alias("removed"),
-            vt.s.alias("s"),
-            (
-                F.col("n")
-                * F.when(vt.t == "CONV", F.lit(MARKOV_SCALE))
-                .when(vt.t == "NULL_ST", F.lit(0))
-                .otherwise(F.coalesce(F.col("pt"), F.lit(0)))
-            ).alias("m"),
-            F.col("tot"),
-        )
-        p = (
-            stepped.groupBy("removed", "s")
-            .agg(F.expr("sum(m) div first(tot)").alias("p_q"))
-            .select(
-                "removed", F.col("s").alias("state"),
-                F.col("p_q").cast("long").alias("p_q"),
+    zero_map = (
+        "map_from_entries(transform(srcs, "
+        "s0 -> struct(s0, cast(0 as bigint))))"
+    )
+    if int(rounds) < 1:
+        final_map = zero_map
+    else:
+        final_map = f"""
+        aggregate(
+          sequence(1, {int(rounds)}),
+          {zero_map},
+          (acc, i) -> map_from_entries(transform(srcs, s0 ->
+            struct(s0,
+              aggregate(
+                filter(tr, x -> x.s = s0),
+                cast(0 as bigint),
+                (a, x) -> a + x.n *
+                  (CASE WHEN x.t = 'CONV'
+                        THEN cast({MARKOV_SCALE} as bigint)
+                        WHEN x.t = 'NULL_ST' THEN cast(0 as bigint)
+                        ELSE coalesce(element_at(acc, x.t),
+                                      cast(0 as bigint)) END)
+              ) div element_at(filter(tr, x -> x.s = s0), 1).tot
             )
-            .localCheckpoint()
+          ))
         )
-    start = p.filter(F.col("state") == "START").select(
-        "removed", F.col("p_q")
-    )
+        """
+    # ONE checkpoint of the (variants)-row result: `start` feeds four
+    # downstream branches (full/rem × scored/tot_re) — without it the
+    # whole corpus contraction replans and re-executes per branch.
+    start = per.select(
+        "removed",
+        F.expr(f"element_at({final_map}, 'START')")
+        .cast("long")
+        .alias("p_q"),
+    ).localCheckpoint()
     full = start.filter(F.col("removed") == "full").select(
         F.col("p_q").alias("p_full_q")
     )
