@@ -4822,6 +4822,16 @@ _ROUND9_CHANGED = (
     # bigint arithmetic, value-identical; re-proved vs the unrolled
     # oracle at both scales), removing all iteration barriers
     "markov_attribution",
+    # embedding family — spread() added at the corpus-scan sites of
+    # knn_bruteforce / cosine_near_pairs / gram_matrix / pq_encode /
+    # knn_lsh / knn_lsh_multiprobe (the 2000-row embeddings table is
+    # ONE parquet split, so every interpreted-HOF dot product ran on
+    # one core until the first exchange; spread is a no-op at scale).
+    # Values partition-invariant by the operators' exact protocols;
+    # all 12 consumers re-proved hash-identical at both scales
+    "gram_matrix", "knn_embeddings", "knn_lsh", "knn_multiprobe",
+    "ann_recall", "mrl_recall", "embed_near_pairs", "pq_encode",
+    "pq_search", "ivf_pq_search", "ivf_pq_recall", "hybrid_rrf",
 )
 
 #: --- round-8 history (all 34 new + 3 changed ids were sampled in the

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from p2_mapreduce_spark.session import spread
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Sequential-fold double dot product of two array<float/double>."""
@@ -51,7 +53,9 @@ def knn_bruteforce(
     """Exact top-k cosine neighbors for the first ``n_queries`` vectors
     (deterministic query set: ``vec_id < n_queries``), self excluded.
     Ties broken by neighbor id, so ranks are total and reproducible."""
-    corpus = with_norm(embeddings, vec_col).select(
+    # spread(): corpus-side dots run in the scan stage (guide §2 —
+    # one parquet split at test scale would serialize them on one core)
+    corpus = with_norm(spread(embeddings), vec_col).select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), F.col("norm").alias("n_norm")
     )
     queries = with_norm(embeddings.filter(F.col(id_col) < n_queries), vec_col).select(
@@ -80,7 +84,8 @@ def cosine_near_pairs(
     LSH-bucket self-join (candidates share all ``n_planes`` sign bits —
     high-cosine pairs almost always do) + exact cosine verification.
     Probabilistic recall / exact precision, like minhash_lsh_pairs."""
-    bucketed = add_lsh_bucket(with_norm(embeddings, vec_col), n_planes, vec_col)
+    # spread(): norms + n_planes sign dots per corpus row run pre-exchange
+    bucketed = add_lsh_bucket(with_norm(spread(embeddings), vec_col), n_planes, vec_col)
     a = bucketed.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
         F.col("norm").alias("norm_a"), F.col("bucket").alias("bucket_a"),
@@ -469,7 +474,7 @@ def knn_lsh(
     """Approximate top-k: exact re-scoring restricted to the query's LSH
     bucket.  Recall < 1 by construction; rows-only in the driver check,
     recall measured against :func:`knn_bruteforce` in pytest."""
-    bucketed = add_lsh_bucket(with_norm(embeddings, vec_col), n_planes, vec_col)
+    bucketed = add_lsh_bucket(with_norm(spread(embeddings), vec_col), n_planes, vec_col)
     corpus = bucketed.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
         F.col("norm").alias("n_norm"), F.col("bucket").alias("n_bucket"),
@@ -526,7 +531,10 @@ def gram_matrix(
         "struct(i AS i, i + j AS j, xi * xj AS p))))"
     )
     return (
-        embeddings.select(q.alias("qarr"))
+        # spread(): the d(d+1)/2-per-row product generation is the
+        # heaviest interpreted-HOF stage in the suite — serializing it
+        # on one scan partition costs ~N·d²/2 lambda calls on one core
+        spread(embeddings).select(q.alias("qarr"))
         .select(F.explode(pairs).alias("e"))
         .select(
             F.col("e.i").cast("bigint").alias("i"),
@@ -676,7 +684,9 @@ def pq_encode(
     emb = embeddings.select(id_col, vec_col)
     cents = _pq_codebook(emb, m, k, sub, vec_col, id_col)
     scored = (
-        emb.crossJoin(F.broadcast(cents))
+        # spread(): the corpus×(m·k) scored expansion runs in the scan
+        # stage — one parquet split would serialize all its dots
+        spread(emb).crossJoin(F.broadcast(cents))
         .withColumn(
             "xs",
             F.slice(F.col(vec_col), F.col("s") * sub + 1, F.lit(sub)),
@@ -1034,7 +1044,7 @@ def knn_lsh_multiprobe(
     dedup is needed.  Exact re-scoring and the tie-broken rank are
     identical to :func:`knn_lsh` — the result differs only by recall.
     """
-    bucketed = add_lsh_bucket(with_norm(embeddings, vec_col), n_planes, vec_col)
+    bucketed = add_lsh_bucket(with_norm(spread(embeddings), vec_col), n_planes, vec_col)
     corpus = bucketed.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
         F.col("norm").alias("n_norm"), F.col("bucket").alias("n_bucket"),
