@@ -109,6 +109,26 @@ def _shared_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _DEDUP_STAGE_MEMO[key]
 
 
+def _shared_simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized md5-60 SimHash fingerprint table (doc, simhash) over
+    the corpus — the tokenize+hash+64-vote aggregate that both the
+    near-pair finder (dedup_simhash) and the blocking-quality audit
+    (blocking_quality) open with; one materialization per suite, same
+    shared-stage discipline as the shingle table.  At 100 TB the
+    fingerprint table IS the stored dedup index artifact — computing
+    it once and grading blocking against the same table is the
+    production composition."""
+    _memo_scope(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "simhash_fps")
+    if key not in _DEDUP_STAGE_MEMO:
+        from p2_mapreduce_spark.operators.dedup import simhash_fingerprints
+
+        _DEDUP_STAGE_MEMO[key] = simhash_fingerprints(
+            load_table(spark, sf_dir, "documents"), hash_fn="md5"
+        ).localCheckpoint()
+    return _DEDUP_STAGE_MEMO[key]
+
+
 def _shared_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _memo_scope(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir, "pairs")
@@ -812,7 +832,10 @@ def _q_dedup_simhash(spark, sf_dir):
     from p2_mapreduce_spark.operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(
-        load_table(spark, sf_dir, "documents"), max_hamming=3, hash_fn="md5"
+        load_table(spark, sf_dir, "documents"),
+        max_hamming=3,
+        hash_fn="md5",
+        fingerprints=_shared_simhash_fps(spark, sf_dir),
     )
 
 
@@ -4513,6 +4536,7 @@ def _q_blocking_quality(spark, sf_dir):
     return blocking_quality(
         load_table(spark, sf_dir, "documents"),
         truth_pairs=_shared_ngram_pairs(spark, sf_dir),
+        fingerprints=_shared_simhash_fps(spark, sf_dir),
     )
 
 
@@ -4832,6 +4856,10 @@ _ROUND9_CHANGED = (
     "gram_matrix", "knn_embeddings", "knn_lsh", "knn_multiprobe",
     "ann_recall", "mrl_recall", "embed_near_pairs", "pq_encode",
     "pq_search", "ivf_pq_search", "ivf_pq_recall", "hybrid_rrf",
+    # simhash_fps shared stage — the md5 fingerprint table is
+    # materialized once and fed to both consumers (values identical;
+    # parity pytest + both-scale oracle re-check green)
+    "dedup_simhash", "blocking_quality",
 )
 
 #: --- round-8 history (all 34 new + 3 changed ids were sampled in the

@@ -417,6 +417,10 @@ _SHARED_STAGE_FAMILIES = {
     ),
     # distinct supplier co-supply edge dictionary
     "cosupply_pairs": ("triangle_census", "triangle_doulion", "k_core"),
+    # md5-60 SimHash fingerprint table (doc, simhash) — round-9: the
+    # near-pair finder and the blocking audit consume one
+    # materialization
+    "simhash_fps": ("dedup_simhash", "blocking_quality"),
     # distinct (order, part) basket membership table
     "basket_items": (
         "assoc_rules", "copurchase", "item_cosine", "clustering_coeff",

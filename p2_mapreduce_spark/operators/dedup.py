@@ -461,15 +461,24 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_bucket: int = MAX_DF,
     hash_fn: str = "xx",
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates at Hamming distance ≤ ``max_hamming`` via
     4-band blocking (a pair within distance 3 matches exactly on ≥1
     band), then exact popcount verification.  ``max_bucket`` drops
     oversized band buckets before the self-join (:data:`MAX_DF`).
     Delegates to :func:`banded_hamming_pairs` (shared with the
-    perceptual-hash media path)."""
+    perceptual-hash media path).
+
+    ``fingerprints`` short-circuits the fingerprint pass with a
+    pre-built :func:`simhash_fingerprints` table over the same corpus
+    / ``hash_fn`` (``(doc, simhash)`` grain) — the shared-stage
+    contract: one fingerprint materialization feeds every audit built
+    on it (here: the near-pair finder and the blocking-quality grade)."""
     return banded_hamming_pairs(
-        simhash_fingerprints(docs, text_col, id_col, hash_fn),
+        fingerprints
+        if fingerprints is not None
+        else simhash_fingerprints(docs, text_col, id_col, hash_fn),
         "simhash",
         "doc",
         SIMHASH_BITS[hash_fn],
@@ -1518,6 +1527,7 @@ def blocking_quality(
     id_col: str = "doc_id",
     max_bucket: int = MAX_DF,
     truth_pairs: DataFrame | None = None,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Blocking-stage audit for the near-dup pipeline: pair completeness
     vs reduction ratio of the SimHash 4-band BLOCKING (candidates
@@ -1553,7 +1563,15 @@ def blocking_quality(
             docs, threshold, text_col=text_col, id_col=id_col, max_df=max_bucket
         )
     ).select("doc_a", "doc_b").persist()
-    fps = simhash_fingerprints(docs, text_col, id_col, hash_fn="md5")
+    # ``fingerprints`` short-circuits the fingerprint pass with a
+    # pre-built simhash_fingerprints(docs, ..., hash_fn='md5') table —
+    # the shared-stage contract with simhash_near_pairs (one corpus
+    # fingerprint materialization grades both the finder and blocking)
+    fps = (
+        fingerprints
+        if fingerprints is not None
+        else simhash_fingerprints(docs, text_col, id_col, hash_fn="md5")
+    )
     # max_hamming = full width ⇒ NO Hamming verification: the raw
     # band-collision candidate set is exactly what a blocking audit
     # must grade.

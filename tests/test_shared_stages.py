@@ -154,3 +154,23 @@ def test_incremental_side_slices_equal_rebuild(spark):
         new_docs, corpus_docs, new_index=side(True), corpus_index=side(False)
     )
     assert _rows(solo) == _rows(fed)
+
+
+def test_simhash_fingerprint_feed_equals_solo_derivation(spark):
+    """The md5 fingerprint table fed into simhash_near_pairs and
+    blocking_quality must reproduce each operator's solo results —
+    the round-9 simhash_fps shared-stage contract."""
+    from p2_mapreduce_spark.operators.dedup import (
+        blocking_quality,
+        simhash_fingerprints,
+        simhash_near_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    pre = simhash_fingerprints(docs, hash_fn="md5").localCheckpoint()
+    assert _rows(simhash_near_pairs(docs, hash_fn="md5")) == _rows(
+        simhash_near_pairs(docs, hash_fn="md5", fingerprints=pre)
+    )
+    assert _rows(blocking_quality(docs)) == _rows(
+        blocking_quality(docs, fingerprints=pre)
+    )
