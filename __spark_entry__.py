@@ -4860,6 +4860,11 @@ _ROUND9_CHANGED = (
     # materialized once and fed to both consumers (values identical;
     # parity pytest + both-scale oracle re-check green)
     "dedup_simhash", "blocking_quality",
+    # attach_avi_av now builds payloads once per doc_id residue class
+    # (period lcm(1400, n_frames_max)) and broadcast-joins them back —
+    # bytes identical (differential pytest over multiple periods +
+    # both-scale oracle re-check)
+    "avi_demux_av",
 )
 
 #: --- round-8 history (all 34 new + 3 changed ids were sampled in the

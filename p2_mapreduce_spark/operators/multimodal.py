@@ -543,6 +543,48 @@ def _le_hex(col, n_bytes: int):
 BMP_MAX_DIM = 12
 
 
+def _residue_media(docs: DataFrame, modulus: int, build) -> DataFrame:
+    """Build payloads ONCE PER doc_id RESIDUE CLASS and broadcast-join
+    them back onto the corpus (guide §1.2 step 1: don't compute things
+    you already computed).  Every synthetic payload builder below
+    derives its bytes from small ``pmod(doc_id, k)`` terms, so the
+    payload is a pure function of ``doc_id mod lcm(ks)``: calling the
+    ordinary row-sequential builder on ``range(modulus)`` yields one
+    exemplar per class, and the join reattaches them exactly.  The
+    expensive interpreted hex folds then run ``modulus`` times per
+    suite instead of once per corpus row — and the built side stays
+    config-bounded (``modulus`` rows) at ANY corpus scale, which is
+    the production argument: a generator keyed on small residues IS a
+    dictionary table.  Byte-identity per builder is pinned by the
+    differential pytest (tests/test_multimodal_residue.py) across
+    several periods and non-contiguous ids.
+
+    Applied ONLY where the sequential build measurably exceeds the
+    wrapper's own cost (one range job + broadcast + join, ~0.1-0.2 s
+    locally): attach_avi_av (per-row cost ~nf×(frame hex + ~125
+    format_string audio samples), interleaved A/B 2.3-2.5 → 1.7-2.0 s).
+    attach_bmp / attach_bmp_video / attach_avi_mjpeg / attach_tiff
+    measured at or below break-even and stay row-sequential."""
+    base = spread(docs).select(
+        F.col("doc_id").alias("__orig"),
+        F.pmod(F.col("doc_id"), F.lit(int(modulus)))
+        .cast("long")
+        .alias("__res"),
+    )
+    ids = (
+        docs.sparkSession.range(int(modulus))
+        .select(F.col("id").cast("long").alias("doc_id"))
+    )
+    built = build(ids)
+    other = [c for c in built.columns if c != "media_id"]
+    built = built.select(
+        F.col("media_id").cast("long").alias("__res"), *other
+    )
+    return base.join(F.broadcast(built), "__res").select(
+        F.col("__orig").alias("media_id"), *other
+    )
+
+
 def attach_bmp(docs: DataFrame) -> DataFrame:
     """Multimodal table whose payloads are REAL, complete, uncompressed
     24-bpp BMP files built entirely JVM-side — signature, BITMAPINFOHEADER,
@@ -1220,6 +1262,17 @@ def attach_avi_mjpeg(docs: DataFrame, n_frames_max: int = 8) -> DataFrame:
 
 
 def attach_avi_av(docs: DataFrame, n_frames_max: int = 8) -> DataFrame:
+    """Residue-wrapped :func:`_attach_avi_av_seq` (docstring there):
+    video params mod 2/4/8/5/7, audio ns mod 50 and abase mod 100,
+    frame count mod n_frames_max — period lcm(1400, n_frames_max)."""
+    return _residue_media(
+        docs,
+        math.lcm(1400, int(n_frames_max)),
+        lambda ids: _attach_avi_av_seq(ids, n_frames_max),
+    )
+
+
+def _attach_avi_av_seq(docs: DataFrame, n_frames_max: int = 8) -> DataFrame:
     """Multimodal table whose payloads are spec-valid **multiplexed
     A/V AVI** files — TWO streams in one RIFF container, the real
     muxer shape: stream 0 is :func:`attach_avi_mjpeg`'s MJPEG video
