@@ -93,16 +93,18 @@ def _shared_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         from p2_mapreduce_spark.operators.dedup import (
             NUM_BANDS,
             NUM_HASHES,
-            _band_hash_array,
-            _minhash_aggs,
+            _band_hash_from_sig,
+            _minhash_sig_array,
         )
 
         hs = _shared_shingles(spark, sf_dir)
-        per_doc = hs.groupBy("doc").agg(*_minhash_aggs(NUM_HASHES))
+        per_doc = hs.groupBy("doc").agg(
+            _minhash_sig_array(NUM_HASHES).alias("mh")
+        )
         bands = per_doc.select(
             "doc",
             F.posexplode(
-                _band_hash_array(NUM_BANDS, NUM_HASHES // NUM_BANDS)
+                _band_hash_from_sig(NUM_BANDS, NUM_HASHES // NUM_BANDS)
             ).alias("band", "band_hash"),
         )
         _DEDUP_STAGE_MEMO[key] = bands.localCheckpoint()

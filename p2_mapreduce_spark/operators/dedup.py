@@ -189,13 +189,50 @@ def _minhash_aggs(num_hashes: int) -> list[Column]:
 def _band_hash_array(num_bands: int, rows_per_band: int) -> Column:
     """array<long>[num_bands]: one xxhash64 per band over its signature
     rows — the LSH bucket keys (shared by the self-join and incremental
-    paths; the band hash IS the index format, so both must agree)."""
+    paths; the band hash IS the index format, so both must agree).
+
+    Column-composed form, kept as the independent twin the shared-stage
+    parity pytest builds by hand; production paths use the
+    single-expression variants below (same values, ~1 py4j round trip
+    instead of ~100)."""
     return F.array(*[
         F.xxhash64(*[
             F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
         ])
         for b in range(num_bands)
     ])
+
+
+def _minhash_sig_array(num_hashes: int) -> Column:
+    """Single-expression twin of :func:`_minhash_aggs`: ONE
+    array-of-aggregates Column — Catalyst still plans ``num_hashes``
+    separate partial-aggregating ``min`` functions; the array is
+    assembled in the result projection.  The seed literal is an INT in
+    both forms, so every xxhash64 input is type-identical and the
+    signature values are bit-for-bit the old ones (r10: the 64 composed
+    Columns were ~0.3 s of driver-side py4j construction per call)."""
+    return F.expr(
+        "array(" + ",".join(
+            f"min(xxhash64(h, {i}))" for i in range(num_hashes)
+        ) + ")"
+    )
+
+
+def _band_hash_from_sig(
+    num_bands: int, rows_per_band: int, sig_col: str = "mh"
+) -> Column:
+    """Single-expression twin of :func:`_band_hash_array` over the array
+    signature column: band b hashes signature slots [b·rpb, (b+1)·rpb)
+    in the same order with the same bigint element types."""
+    return F.expr(
+        "array(" + ",".join(
+            "xxhash64(" + ",".join(
+                f"{sig_col}[{b * rows_per_band + r}]"
+                for r in range(rows_per_band)
+            ) + ")"
+            for b in range(num_bands)
+        ) + ")"
+    )
 
 
 def minhash_signatures(
@@ -208,11 +245,8 @@ def minhash_signatures(
     whole-stage codegen and allocates 64 intermediate arrays per doc —
     measured 1.6× slower; the groupBy's partial aggregation keeps this
     shuffle at one row per doc per partition anyway.)"""
-    sig = hashed_shingles(docs, n, text_col, id_col).groupBy("doc").agg(
-        *_minhash_aggs(num_hashes)
-    )
-    return sig.select(
-        "doc", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
+    return hashed_shingles(docs, n, text_col, id_col).groupBy("doc").agg(
+        _minhash_sig_array(num_hashes).alias("sig")
     )
 
 
@@ -266,12 +300,14 @@ def minhash_lsh_pairs(
     # signature aggregate entirely.
     prebuilt_bands = bands is not None
     if not prebuilt_bands:
-        per_doc = hs.groupBy("doc").agg(*_minhash_aggs(num_hashes))
+        per_doc = hs.groupBy("doc").agg(
+            _minhash_sig_array(num_hashes).alias("mh")
+        )
         bands = per_doc.select(
             "doc",
-            F.posexplode(_band_hash_array(num_bands, rows_per_band)).alias(
-                "band", "band_hash"
-            ),
+            F.posexplode(
+                _band_hash_from_sig(num_bands, rows_per_band)
+            ).alias("band", "band_hash"),
         )
     if max_bucket is not None:
         # persist the band table (docs × num_bands rows — tiny) so the
@@ -369,19 +405,25 @@ def simhash_fingerprints(
     # count: sign(Σ±1) ≡ (2·Σbit_i > n).  Halves the per-token expression
     # work in the partial aggregate (no *2-1 per bit) and the token is
     # hashed once, pre-explode of the per-bit extractions.
-    votes = [
-        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"v{i}")
-        for i in range(bits)
-    ]
-    per_doc = tok.groupBy("doc").agg(*votes, F.count(F.lit(1)).alias("n_tok"))
-    fp = None
-    for i in range(bits):
-        bit = F.when(
-            F.col(f"v{i}") * 2 > F.col("n_tok"),
-            F.shiftleft(F.lit(1).cast("long"), i),
-        ).otherwise(F.lit(0).cast("long"))
-        fp = bit if fp is None else fp + bit
-    return per_doc.select("doc", fp.alias("simhash"))
+    # The `bits` per-bit sums travel as ONE array-of-aggregates
+    # expression and the fingerprint reassembly as ONE ascending-i fold
+    # (r10 guide §4: ~5 py4j round trips instead of ~360 — the Column
+    # objects themselves were ~0.45 s of driver-side construction per
+    # call at ~0.34 ms/round-trip; Catalyst still plans `bits` separate
+    # partial-aggregating sums, and the fold adds the same
+    # `IF(2·v_i > n, 1<<i, 0)` bigint terms in the same order).
+    votes = "array(" + ",".join(
+        f"sum(shiftright(h, {i}) & 1)" for i in range(bits)
+    ) + ")"
+    per_doc = tok.groupBy("doc").agg(
+        F.expr(votes).alias("v"), F.count(F.lit(1)).alias("n_tok")
+    )
+    fp = (
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), "
+        "(acc, i) -> acc + IF(element_at(v, i + 1) * 2 > n_tok, "
+        "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
+    )
+    return per_doc.select("doc", F.expr(fp).alias("simhash"))
 
 
 def banded_hamming_pairs(
@@ -506,7 +548,9 @@ def build_lsh_artifacts(
     # 64-hash MinHash aggregate in every downstream branch (the sizes
     # consumer only needs a count) — measured ~25% of the incremental
     # path's time at bench scale
-    per_doc = hs.groupBy("doc").agg(*_minhash_aggs(num_hashes))
+    per_doc = hs.groupBy("doc").agg(
+        _minhash_sig_array(num_hashes).alias("mh")
+    )
     # persist the band table (docs × num_bands rows — artifact grain,
     # exactly what save_lsh_index writes): the incremental path consumes
     # each side's bands in the hot-bucket count AND the anti-join AND the
@@ -514,9 +558,9 @@ def build_lsh_artifacts(
     # signature aggregate (the same lesson minhash_lsh_pairs pins)
     bands = per_doc.select(
         "doc",
-        F.posexplode(_band_hash_array(num_bands, rows_per_band)).alias(
-            "band", "band_hash"
-        ),
+        F.posexplode(
+            _band_hash_from_sig(num_bands, rows_per_band)
+        ).alias("band", "band_hash"),
     ).persist()
     sizes = hs.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     return hs, sizes, bands
@@ -1428,23 +1472,21 @@ def simhash_weighted_fingerprints(
             F.greatest(F.lit(1), F.expr("n_docs div df")).cast("bigint").alias("w"),
         )
     )
-    votes = [
-        F.sum(
-            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * F.col("w")
-        ).alias(f"v{i}")
-        for i in range(bits)
-    ]
+    # same single-expression construction as simhash_fingerprints (r10):
+    # one array of weighted per-bit sums, one ascending-i fold — the
+    # weighted majority arithmetic per bit is unchanged exact BIGINT
+    votes = "array(" + ",".join(
+        f"sum((shiftright(h, {i}) & 1) * w)" for i in range(bits)
+    ) + ")"
     per_doc = weighted.groupBy("doc").agg(
-        *votes, F.sum("w").alias("tw")
+        F.expr(votes).alias("v"), F.sum("w").alias("tw")
     )
-    fp = None
-    for i in range(bits):
-        bit = F.when(
-            F.col(f"v{i}") * 2 > F.col("tw"),
-            F.shiftleft(F.lit(1).cast("long"), i),
-        ).otherwise(F.lit(0).cast("long"))
-        fp = bit if fp is None else fp + bit
-    return per_doc.select("doc", fp.alias("simhash"))
+    fp = (
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), "
+        "(acc, i) -> acc + IF(element_at(v, i + 1) * 2 > tw, "
+        "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
+    )
+    return per_doc.select("doc", F.expr(fp).alias("simhash"))
 
 
 def simhash_idf_near_pairs(

@@ -1566,11 +1566,13 @@ def markov_attribution(
     # with a p value are exactly the SOURCE states (`srcs`), matching
     # the loop's groupBy grain; absorbers (CONV/NULL_ST) never appear
     # as sources, so their pinned values live in the CASE — the same
-    # role the former LEFT join + coalesce played.  `element_at(acc,
+    # role the former LEFT join + coalesce played.  `try_element_at(acc,
     # x.t)` is NULL for non-source targets, coalesced to 0 exactly as
-    # before; every add/multiply/div is the same bigint op in the same
-    # per-(removed, s) grouping, so each round is bit-identical to the
-    # former join-per-round job.
+    # before (plain `element_at` would THROW under Spark-4 ANSI mode if
+    # a non-absorber target were ever absent — ADVICE r09: keep the old
+    # LEFT-join NULL→0 degradation); every add/multiply/div is the same
+    # bigint op in the same per-(removed, s) grouping, so each round is
+    # bit-identical to the former join-per-round job.
     per = (
         vt.groupBy("removed")
         .agg(F.collect_list(F.struct("s", "t", "n", "tot")).alias("tr"))
@@ -1598,7 +1600,7 @@ def markov_attribution(
                   (CASE WHEN x.t = 'CONV'
                         THEN cast({MARKOV_SCALE} as bigint)
                         WHEN x.t = 'NULL_ST' THEN cast(0 as bigint)
-                        ELSE coalesce(element_at(acc, x.t),
+                        ELSE coalesce(try_element_at(acc, x.t),
                                       cast(0 as bigint)) END)
               ) div element_at(filter(tr, x -> x.s = s0), 1).tot
             )

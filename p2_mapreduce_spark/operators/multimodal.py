@@ -564,8 +564,15 @@ def _residue_media(docs: DataFrame, modulus: int, build) -> DataFrame:
     locally): attach_avi_av (per-row cost ~nf×(frame hex + ~125
     format_string audio samples), interleaved A/B 2.3-2.5 → 1.7-2.0 s).
     attach_bmp / attach_bmp_video / attach_avi_mjpeg / attach_tiff
-    measured at or below break-even and stay row-sequential."""
-    base = spread(docs).select(
+    measured at or below break-even and stay row-sequential.
+
+    A NULL ``doc_id`` has no residue class (``pmod(NULL, k)`` is NULL,
+    matching nothing), so NULL-id rows take the sequential builder
+    unchanged and are unioned back — row-count parity with the
+    pre-residue behavior holds for ANY corpus (ADVICE r09).  The
+    corpus ids are non-null by construction, so the null branch is
+    empty at runtime and its exprs evaluate over zero rows."""
+    base = spread(docs.where(F.col("doc_id").isNotNull())).select(
         F.col("doc_id").alias("__orig"),
         F.pmod(F.col("doc_id"), F.lit(int(modulus)))
         .cast("long")
@@ -580,9 +587,11 @@ def _residue_media(docs: DataFrame, modulus: int, build) -> DataFrame:
     built = built.select(
         F.col("media_id").cast("long").alias("__res"), *other
     )
-    return base.join(F.broadcast(built), "__res").select(
+    joined = base.join(F.broadcast(built), "__res").select(
         F.col("__orig").alias("media_id"), *other
     )
+    nulls = docs.where(F.col("doc_id").isNull()).select("doc_id")
+    return joined.unionByName(build(nulls))
 
 
 def attach_bmp(docs: DataFrame) -> DataFrame:
@@ -2112,9 +2121,35 @@ _JPEG_IDCT_BASIS = np.array(
     ]
 )
 
-#: canonical-Huffman table memo keyed on the DHT BITS+VALS bytes (the
-#: table is a pure function of them); bounded, in-process only
+#: canonical-Huffman table memo keyed on the DHT BITS+VALS bytes —
+#: bounded at 256 entries with OLDEST-ENTRY eviction (ADVICE r09: the
+#: previous wholesale ``clear()`` momentarily dropped every hot table).
+#: NOT ``functools.lru_cache``: its wrapper pickles by qualified name,
+#: which breaks the decoders' ship-by-value contract on executors that
+#: don't have this repo importable.
 _DHT_MEMO: dict = {}
+
+
+def _dht_table(key: bytes) -> dict:
+    """Canonical-Huffman table (ITU-T T.81 C.2) from one DHT segment's
+    BITS+VALS bytes.  Pure function of the key, so the memo is constant
+    hoisting, not result caching; in-process only."""
+    table = _DHT_MEMO.get(key)
+    if table is None:
+        bits = key[:16]
+        vals = key[16:]
+        code, k, table = 0, 0, {}
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                table[(length, code)] = vals[k]
+                k += 1
+                code += 1
+            code <<= 1
+        if len(_DHT_MEMO) >= 256:
+            # evict the single oldest entry (insertion-ordered dict)
+            del _DHT_MEMO[next(iter(_DHT_MEMO))]
+        _DHT_MEMO[key] = table
+    return table
 
 
 def attach_jpeg(docs: DataFrame) -> DataFrame:
@@ -2409,26 +2444,12 @@ def _decode_jpeg(b: bytes):
                     n = sum(bits)
                     if len(seg) < i + 17 + n:
                         return None
-                    # The table is a pure function of the BITS+VALS
-                    # bytes; payloads in one table family share the
-                    # same DHT segments, so memoize the canonical
-                    # build (bounded; in-process only — this is
-                    # constant hoisting, not result caching)
-                    key = bytes(seg[i + 1 : i + 17 + n])
-                    table = _DHT_MEMO.get(key)
-                    if table is None:
-                        vals = list(seg[i + 17 : i + 17 + n])
-                        code, k, table = 0, 0, {}
-                        for length in range(1, 17):
-                            for _ in range(bits[length - 1]):
-                                table[(length, code)] = vals[k]
-                                k += 1
-                                code += 1
-                            code <<= 1
-                        if len(_DHT_MEMO) >= 256:
-                            _DHT_MEMO.clear()
-                        _DHT_MEMO[key] = table
-                    huff[(tc, th)] = table
+                    # payloads in one table family share the same DHT
+                    # segments — the canonical build is memoized on the
+                    # BITS+VALS bytes (bounded LRU, _dht_table)
+                    huff[(tc, th)] = _dht_table(
+                        bytes(seg[i + 1 : i + 17 + n])
+                    )
                     i += 17 + n
             elif m == 0xC0:  # SOF0: baseline
                 if seg[0] != 8:
@@ -3011,21 +3032,9 @@ def _decode_jpeg_progressive(b: bytes):
                     if len(seg) < i + 17 + n:
                         return None
                     # same pure-function memo as the baseline decoder
-                    key = bytes(seg[i + 1 : i + 17 + n])
-                    table = _DHT_MEMO.get(key)
-                    if table is None:
-                        vals = list(seg[i + 17 : i + 17 + n])
-                        code, k, table = 0, 0, {}
-                        for length in range(1, 17):
-                            for _ in range(bits[length - 1]):
-                                table[(length, code)] = vals[k]
-                                k += 1
-                                code += 1
-                            code <<= 1
-                        if len(_DHT_MEMO) >= 256:
-                            _DHT_MEMO.clear()
-                        _DHT_MEMO[key] = table
-                    huff[(tc, th)] = table
+                    huff[(tc, th)] = _dht_table(
+                        bytes(seg[i + 1 : i + 17 + n])
+                    )
                     i += 17 + n
             elif m == 0xC2:
                 if seg[0] != 8 or seg[5] not in (1, 3):

@@ -1,8 +1,8 @@
 #!/usr/bin/env python3
 """Dump ``explain("formatted")`` for named queries() ids to
-plans/r09/<id>_<suffix>.txt — the optimization round's before/after
-plan evidence (guide §1: capture the plan shape for every query you
-touch).  Usage:
+plans/$PLAN_ROUND/<id>_<suffix>.txt (PLAN_ROUND defaults to r10) —
+the optimization round's before/after plan evidence (guide §1:
+capture the plan shape for every query you touch).  Usage:
 
     python scripts/dump_plans.py <suffix> <id> [<id> ...]
 
@@ -27,7 +27,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r09",
+        os.environ.get("PLAN_ROUND", "r10"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("p2-plan-dump")
