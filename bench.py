@@ -490,7 +490,15 @@ def main() -> None:
     # drop itself is unchanged policy: accumulated storage memory bleeds
     # eviction/GC pressure into later queries (measured: unpivot_pricing
     # 6.0 s mid-suite vs 1.0 s self-contained).
-    from pyspark.sql import DataFrame as _DF
+    # r10 measurement-bug fix: patch the CLASSIC DataFrame class, not the
+    # abstract parent — Spark 4's pyspark.sql.classic.dataframe.DataFrame
+    # overrides persist(), so patching pyspark.sql.DataFrame had been a
+    # silent no-op since the Spark-4 migration: tracked stayed empty, no
+    # query-scoped intermediate was ever unpersisted, and storage
+    # accumulated across the whole suite (the exact mid-suite cache
+    # pressure this policy was added to prevent).  Policy itself is
+    # unchanged; see OPTIMIZATION_r10.md for the before/after record.
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
 
     tracked: list = []
     orig_persist = _DF.persist
