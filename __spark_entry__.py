@@ -97,7 +97,16 @@ def _plan_memoized(name: str, build):
                 del _PLAN_MEMO[k]
             hit = build(spark, sf_dir)
             _PLAN_MEMO[key] = hit
-        return hit
+        # Hand each caller a fresh one-node wrapper (a single py4j call),
+        # NOT the shared object: a DataFrame's JVM QueryExecution caches
+        # its physical plan at first explain, so sharing the object would
+        # freeze plan audits at whatever cache/conf state existed when the
+        # plan was first inspected (caught by test_plans.py in-suite: a
+        # memoized rollup_nation explained under an earlier test's cached
+        # fragments pinned 4 broadcast joins instead of 2).  SubqueryAlias
+        # is eliminated by the optimizer, so actions plan and execute
+        # identically; the ~68 s/pass construction saving is unchanged.
+        return hit.alias(name)
 
     wrapped.__name__ = f"_memo_{name}"
     wrapped.__wrapped__ = build

@@ -37,12 +37,23 @@ def test_allowlist_ids_exist():
     assert not missing, f"allowlisted ids without builders: {missing}"
 
 
-def test_memo_returns_same_plan_object(spark, sf_dir):
+def test_memo_reuses_underlying_plan(spark, sf_dir):
+    """Two calls reuse ONE stored plan object (construction happens
+    once), but each caller gets a fresh alias wrapper — sharing the
+    DataFrame object itself would freeze its JVM QueryExecution's
+    physical plan at first explain (see _plan_memoized)."""
     qs = contract.queries()
     name = next(iter(sorted(contract._PLAN_PURE_IDS)))
+    key_of = lambda: {
+        k: v for k, v in contract._PLAN_MEMO.items() if k[2] == "q:" + name
+    }
     a = qs[name](spark, sf_dir)
+    stored = key_of()
     b = qs[name](spark, sf_dir)
-    assert a is b
+    assert key_of() == stored and len(stored) == 1  # one build, reused
+    assert a is not b  # fresh wrapper per call (fresh QueryExecution)
+    inner = next(iter(stored.values()))
+    assert a.schema == inner.schema == b.schema
 
 
 def test_non_allowlisted_not_wrapped():
