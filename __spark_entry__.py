@@ -941,7 +941,10 @@ def _q_doc_novelty(spark, sf_dir):
     twin of vocab_growth; no self-join, shingle-vocabulary-grain MIN."""
     from p2_mapreduce_spark.operators.dedup import doc_novelty
 
-    return doc_novelty(load_table(spark, sf_dir, "documents"))
+    return doc_novelty(
+        load_table(spark, sf_dir, "documents"),
+        shingles=_shared_shingles(spark, sf_dir),
+    )
 
 
 def _q_feature_hash(spark, sf_dir):
@@ -1479,7 +1482,11 @@ def _q_dedup_containment(spark, sf_dir):
     shingle sets — the relation Jaccard misses by design."""
     from p2_mapreduce_spark.operators.dedup import containment_pairs
 
-    return containment_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.8,
+        shingles=_shared_shingles(spark, sf_dir),
+    )
 
 
 def _q_ann_recall(spark, sf_dir):
@@ -5045,6 +5052,27 @@ _ROUND9_CHANGED = (
     "avi_demux_av",
 )
 
+#: --- round-10 (optimization round 2): every id whose PLAN or KERNEL
+#: changed this round re-enters the driver sample window; values proved
+#: identical (full contract sweeps at both scales, see
+#: OPTIMIZATION_r10.md) ---
+_ROUND10_CHANGED = (
+    # ADVICE hardening: NULL-doc_id residue guard (plan gains the
+    # zero-row sequential branch) / try_element_at markov fold
+    "avi_demux_av", "markov_attribution",
+    # SimHash/MinHash single-expression builders (same Catalyst plan,
+    # ~300-400 py4j trips -> ~3 per call) + DHT-memo eviction (JPEG
+    # kernel-internal, bit-identical)
+    "dedup_minhash", "dedup_incremental", "lsh_recall", "dedup_simhash",
+    "dedup_simhash_idf", "blocking_quality",
+    "media_jpeg", "media_jpeg420", "media_jpeg420_prog",
+    "media_jpeg_prog", "media_jpeg_prog_color", "media_jpeg_prog_dri",
+    "media_mixed", "media_decode", "media_frames", "video_avi_mjpeg",
+    # containment miner + novelty attribution now consume the shared
+    # hashed-shingle stage (plan: explode subtree -> checkpoint scan)
+    "dedup_containment", "doc_novelty",
+)
+
 #: --- round-8 history (all 34 new + 3 changed ids were sampled in the
 #: r08 driver window and are now in _DRIVER_CHECKED_R01_R08) ---
 _ROUND8_NEW = (
@@ -5124,7 +5152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             base[_n] = _plan_memoized(_n, base[_n])
     newest = {
         k: base[k]
-        for k in (*_ROUND9_NEW, *_ROUND9_CHANGED)
+        for k in (*_ROUND10_CHANGED, *_ROUND9_NEW, *_ROUND9_CHANGED)
         if k in base
     }
     fresh = {

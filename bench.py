@@ -431,6 +431,9 @@ _SHARED_STAGE_FAMILIES = {
         "blocking_quality", "dedup_incremental", "dup_clusters",
         "dup_clusters_star", "golden_record", "dup_matrix", "dup_roi",
         "dup_edge_support",
+        # round-10: the containment miner and the novelty attribution
+        # open with the identical (doc, h) table — joined to the family
+        "dedup_containment", "doc_novelty",
     ),
     # MinHash band index (64×16) over the shared shingles
     "minhash_bands": ("dedup_minhash", "dedup_incremental"),

@@ -1018,6 +1018,7 @@ def containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int = MAX_DF,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Containment detection (quote/excerpt mining): pairs where the
     SMALLER document's shingle set is (nearly) a subset of the larger's
@@ -1032,7 +1033,7 @@ def containment_pairs(
     shingles); only the final predicate differs — one extra integer
     ``least`` and the same single IEEE division.
     """
-    p = shingle_pairs(docs, n, text_col, id_col, max_df)
+    p = shingle_pairs(docs, n, text_col, id_col, max_df, shingles=shingles)
     cont = F.col("n_common") / F.least("size_a", "size_b")
     return (
         p.withColumn("containment", cont)
@@ -1046,6 +1047,7 @@ def doc_novelty(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document shingle NOVELTY in ingestion order: the fraction of
     a document's distinct n-gram shingles whose global FIRST occurrence
@@ -1063,7 +1065,14 @@ def doc_novelty(
     Documents with fewer than ``n`` tokens have no shingles and drop
     out (no 0/0 row).
     """
-    sh = hashed_shingles(docs, n, text_col, id_col).persist()
+    # the shingle table feeds both the MIN aggregate and the join probe;
+    # a pre-built ``shingles`` table (the dedup family's shared stage)
+    # is already materialized and skips the explode + persist
+    sh = (
+        shingles
+        if shingles is not None
+        else hashed_shingles(docs, n, text_col, id_col).persist()
+    )
     first = sh.groupBy("h").agg(F.min("doc").alias("first_doc"))
     return (
         sh.join(first, "h")

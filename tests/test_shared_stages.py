@@ -112,6 +112,24 @@ def test_shingle_and_band_feeds_equal_solo(spark):
     )
 
 
+def test_containment_and_novelty_feeds_equal_solo(spark):
+    """Round-10: the containment miner and the novelty attribution
+    consume the same shared (doc, h) table as the rest of the dedup
+    family — fed results must equal each operator's solo derivation."""
+    from p2_mapreduce_spark.operators.dedup import (
+        containment_pairs,
+        doc_novelty,
+        hashed_shingles,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    hs = hashed_shingles(docs, 3).localCheckpoint()
+    assert _rows(containment_pairs(docs, threshold=0.8)) == _rows(
+        containment_pairs(docs, threshold=0.8, shingles=hs)
+    )
+    assert _rows(doc_novelty(docs)) == _rows(doc_novelty(docs, shingles=hs))
+
+
 def test_incremental_side_slices_equal_rebuild(spark):
     """Per-doc LSH artifacts are pure functions of each document, so
     slicing a whole-corpus artifact set by ingest side must equal
