@@ -322,6 +322,27 @@ def _shared_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _DEDUP_STAGE_MEMO[key]
 
 
+def _shared_allpairs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized EXACT AllPairs/PPJoin pair table at the family's loosest
+    threshold (0.45, dedup_allpairs' contract) over the shared shingle
+    stage.  The exact pair set at any tighter threshold t is the slice
+    ``jaccard >= t`` of this table (same integer counts, same IEEE
+    division), so the LSH honesty gate's exact side reads the one
+    materialization instead of re-running the prefix join."""
+    _memo_scope(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "allpairs")
+    if key not in _DEDUP_STAGE_MEMO:
+        from p2_mapreduce_spark.operators.dedup import allpairs_jaccard
+
+        pairs = allpairs_jaccard(
+            load_table(spark, sf_dir, "documents"),
+            threshold=0.45,
+            shingles=_shared_shingles(spark, sf_dir),
+        )
+        _DEDUP_STAGE_MEMO[key] = pairs.localCheckpoint()
+    return _DEDUP_STAGE_MEMO[key]
+
+
 def _shared_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     _memo_scope(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir, "clusters")
@@ -974,14 +995,10 @@ def _q_dedup_allpairs(spark, sf_dir):
     """Prefix-filtered EXACT set-similarity self-join (AllPairs/PPJoin):
     bit-identical to the naive all-pairs Jaccard join, so the oracle is
     the unpruned SQL — any recall loss from the prefix index would show
-    as a row-count mismatch."""
-    from p2_mapreduce_spark.operators.dedup import allpairs_jaccard
-
-    return allpairs_jaccard(
-        load_table(spark, sf_dir, "documents"),
-        threshold=0.45,
-        shingles=_shared_shingles(spark, sf_dir),
-    )
+    as a row-count mismatch.  The query IS the family's shared AllPairs
+    stage (r10): it surfaces the one materialization the LSH honesty
+    gate's exact side also reads."""
+    return _shared_allpairs_pairs(spark, sf_dir)
 
 
 def _q_record_linkage(spark, sf_dir):
@@ -4343,11 +4360,21 @@ def _q_topn_others(spark, sf_dir):
 def _q_lsh_recall(spark, sf_dir):
     """Dedup honesty gate: MinHash-LSH pair recall vs the exact
     AllPairs join at the same threshold — one-row report."""
+    from pyspark.sql import functions as F
+
     from p2_mapreduce_spark.operators.dedup import lsh_recall
 
     return lsh_recall(
         load_table(spark, sf_dir, "documents"),
         shingles=_shared_shingles(spark, sf_dir),
+        # exact side: the shared AllPairs table (threshold 0.45) sliced
+        # to this gate's threshold — the exact pair set at 0.5 is the
+        # jaccard >= 0.5 slice of the 0.45 set (same integers, same
+        # IEEE division), pinned by test_shared_stages
+        exact_pairs=_shared_allpairs_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b"),
+        bands=_shared_minhash_bands(spark, sf_dir),
     )
 
 
@@ -5071,6 +5098,10 @@ _ROUND10_CHANGED = (
     # containment miner + novelty attribution now consume the shared
     # hashed-shingle stage (plan: explode subtree -> checkpoint scan)
     "dedup_containment", "doc_novelty",
+    # dedup_allpairs IS the family's shared AllPairs stage; lsh_recall's
+    # exact side reads its jaccard>=0.5 slice and its approximate side
+    # consumes the shared MinHash band table
+    "dedup_allpairs",
 )
 
 #: --- round-8 history (all 34 new + 3 changed ids were sampled in the

@@ -435,8 +435,12 @@ _SHARED_STAGE_FAMILIES = {
         # open with the identical (doc, h) table — joined to the family
         "dedup_containment", "doc_novelty",
     ),
-    # MinHash band index (64×16) over the shared shingles
-    "minhash_bands": ("dedup_minhash", "dedup_incremental"),
+    # MinHash band index (64×16) over the shared shingles (r10:
+    # lsh_recall's approximate side consumes it too)
+    "minhash_bands": ("dedup_minhash", "dedup_incremental", "lsh_recall"),
+    # exact AllPairs pair table at threshold 0.45 (r10): the honesty
+    # gate's exact side is the jaccard>=0.5 slice of the same table
+    "allpairs_pairs": ("dedup_allpairs", "lsh_recall"),
 }
 
 

@@ -1173,6 +1173,8 @@ def lsh_recall(
     docs: DataFrame,
     threshold: float = 0.5,
     shingles: DataFrame | None = None,
+    exact_pairs: DataFrame | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup-index honesty gate: recall of the MinHash-LSH pair finder
     (:func:`minhash_lsh_pairs` — probabilistic candidate generation,
@@ -1200,10 +1202,20 @@ def lsh_recall(
     # Spark does NOT reuse the exchanges across those branches (measured
     # 17 s vs 8 s at sf0.1), so persist the pair tables — output grain,
     # tiny by the dedup contract
-    exact = allpairs_jaccard(docs, threshold, shingles=hs).select(
-        "doc_a", "doc_b"
+    # ``exact_pairs``: a pre-built exact pair table at THIS threshold
+    # (e.g. a shared AllPairs run at a looser threshold filtered to
+    # ``jaccard >= threshold`` — the pair set at t is exactly the slice
+    # of the pair set at t' <= t, both sides of that identity being the
+    # same integer counts and one IEEE division).  ``bands``: a
+    # pre-built MinHash band table (minhash_lsh_pairs' own contract).
+    exact = (
+        exact_pairs
+        if exact_pairs is not None
+        else allpairs_jaccard(docs, threshold, shingles=hs).select(
+            "doc_a", "doc_b"
+        )
     ).persist()
-    lsh = minhash_lsh_pairs(docs, threshold, shingles=hs).select(
+    lsh = minhash_lsh_pairs(docs, threshold, shingles=hs, bands=bands).select(
         "doc_a", "doc_b"
     ).persist()
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))

@@ -130,6 +130,47 @@ def test_containment_and_novelty_feeds_equal_solo(spark):
     assert _rows(doc_novelty(docs)) == _rows(doc_novelty(docs, shingles=hs))
 
 
+def test_lsh_recall_fed_sides_equal_solo(spark):
+    """Round-10: the honesty gate's exact side is the jaccard>=t slice
+    of the shared AllPairs table built at a looser threshold, and its
+    approximate side consumes the shared MinHash band table — the fed
+    gate must emit the identical one-row report as the solo run."""
+    from p2_mapreduce_spark.operators.dedup import (
+        NUM_BANDS,
+        NUM_HASHES,
+        _band_hash_array,
+        _minhash_aggs,
+        allpairs_jaccard,
+        hashed_shingles,
+        lsh_recall,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    hs = hashed_shingles(docs, 3).localCheckpoint()
+    loose = allpairs_jaccard(docs, threshold=0.45, shingles=hs).localCheckpoint()
+    sliced = loose.filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    # the slice identity itself: pairs(0.5) == pairs(0.45) ∩ {j >= 0.5}
+    assert _rows(sliced) == _rows(
+        allpairs_jaccard(docs, threshold=0.5, shingles=hs).select(
+            "doc_a", "doc_b"
+        )
+    )
+    bands = (
+        hs.groupBy("doc")
+        .agg(*_minhash_aggs(NUM_HASHES))
+        .select(
+            "doc",
+            F.posexplode(
+                _band_hash_array(NUM_BANDS, NUM_HASHES // NUM_BANDS)
+            ).alias("band", "band_hash"),
+        )
+        .localCheckpoint()
+    )
+    assert _rows(lsh_recall(docs, 0.5)) == _rows(
+        lsh_recall(docs, 0.5, shingles=hs, exact_pairs=sliced, bands=bands)
+    )
+
+
 def test_incremental_side_slices_equal_rebuild(spark):
     """Per-doc LSH artifacts are pure functions of each document, so
     slicing a whole-corpus artifact set by ingest side must equal
