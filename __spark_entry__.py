@@ -322,6 +322,24 @@ def _shared_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _DEDUP_STAGE_MEMO[key]
 
 
+def _shared_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized winnowing fingerprint selection (doc_id, pos, fp) at the
+    family defaults (k=3, w=4): the MOSS selection face surfaces it
+    whole, the MOSS pair face self-joins its distinct (doc_id, fp)
+    projection — one in-row selection pass per suite instead of two.
+    The selection is a pure per-doc function, so the shared table equals
+    each consumer's solo derivation (parity pytest)."""
+    _memo_scope(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "winnow_fps")
+    if key not in _DEDUP_STAGE_MEMO:
+        from p2_mapreduce_spark.operators.dedup import winnow_fingerprints
+
+        _DEDUP_STAGE_MEMO[key] = winnow_fingerprints(
+            load_table(spark, sf_dir, "documents")
+        ).localCheckpoint()
+    return _DEDUP_STAGE_MEMO[key]
+
+
 def _shared_allpairs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized EXACT AllPairs/PPJoin pair table at the family's loosest
     threshold (0.45, dedup_allpairs' contract) over the shared shingle
@@ -1929,7 +1947,10 @@ def _q_winnow_pairs(spark, sf_dir):
     fingerprints, with the standard hot-fingerprint df cap."""
     from p2_mapreduce_spark.operators.dedup import winnow_pairs
 
-    return winnow_pairs(load_table(spark, sf_dir, "documents"))
+    return winnow_pairs(
+        load_table(spark, sf_dir, "documents"),
+        fingerprints=_shared_winnow_fps(spark, sf_dir),
+    )
 
 
 def _q_rake_keywords(spark, sf_dir):
@@ -2035,10 +2056,10 @@ def _q_mann_kendall(spark, sf_dir):
 
 def _q_winnow(spark, sf_dir):
     """Winnowing (MOSS) fingerprint selection: per-window minimal
-    k-gram hashes with the rightmost tie rule — (doc_id, pos, fp)."""
-    from p2_mapreduce_spark.operators.dedup import winnow_fingerprints
-
-    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    k-gram hashes with the rightmost tie rule — (doc_id, pos, fp).
+    The query IS the family's shared selection stage (r10): it surfaces
+    the one materialization the MOSS pair face also self-joins."""
+    return _shared_winnow_fps(spark, sf_dir)
 
 
 def _q_sssp_trade(spark, sf_dir):
@@ -5102,6 +5123,14 @@ _ROUND10_CHANGED = (
     # exact side reads its jaccard>=0.5 slice and its approximate side
     # consumes the shared MinHash band table
     "dedup_allpairs",
+    # SimHash vote regroup to distinct (doc, token) grain — same exact
+    # BIGINT sums (brute-force twin pytest), pair-grain join/aggregate
+    # inputs instead of the occurrence stream
+    # (dedup_simhash / dedup_simhash_idf / blocking_quality already
+    # listed above)
+    # winnow_fingerprints IS the MOSS family's shared selection stage;
+    # winnow_pairs self-joins its distinct (doc_id, fp) projection
+    "winnow_fingerprints", "winnow_pairs",
 )
 
 #: --- round-8 history (all 34 new + 3 changed ids were sampled in the

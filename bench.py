@@ -441,6 +441,9 @@ _SHARED_STAGE_FAMILIES = {
     # exact AllPairs pair table at threshold 0.45 (r10): the honesty
     # gate's exact side is the jaccard>=0.5 slice of the same table
     "allpairs_pairs": ("dedup_allpairs", "lsh_recall"),
+    # winnowing fingerprint selection (r10): the MOSS selection face
+    # surfaces it, the pair face self-joins it
+    "winnow_fps": ("winnow_fingerprints", "winnow_pairs"),
 }
 
 

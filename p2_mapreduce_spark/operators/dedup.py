@@ -393,13 +393,25 @@ def simhash_fingerprints(
     pandas_udf over token arrays is the alternative, but the agg form
     keeps partial aggregation."""
     bits = SIMHASH_BITS[hash_fn]
-    tok = (
+    # r10 regroup (guide §2.3 — aggregate before you shuffle): votes are
+    # summed at DISTINCT (doc, token) grain with an occurrence count,
+    # not at occurrence grain.  Σ_occurrences bit_i(h) ≡
+    # Σ_(doc,token) bit_i(h)·cnt and n_tok ≡ Σ cnt — the same exact
+    # BIGINT totals by associativity/commutativity of integer addition
+    # (pinned by the brute-force twin in test_dedup), while the token
+    # hash is computed once per distinct pair instead of once per
+    # occurrence and the vote aggregate's input shrinks to pair grain.
+    per_pair = (
         _spread(docs)
         .select(
             F.col(id_col).alias("doc"),
             F.explode(tokens_array(F.col(text_col))).alias("token"),
         )
-        .select("doc", _simhash_token_hash(F.col("token"), hash_fn).alias("h"))
+        .groupBy("doc", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            "doc", _simhash_token_hash(F.col("token"), hash_fn).alias("h"), "cnt"
+        )
     )
     # ±1 vote sums rewritten as one-bit sums plus a single shared token
     # count: sign(Σ±1) ≡ (2·Σbit_i > n).  Halves the per-token expression
@@ -413,10 +425,10 @@ def simhash_fingerprints(
     # partial-aggregating sums, and the fold adds the same
     # `IF(2·v_i > n, 1<<i, 0)` bigint terms in the same order).
     votes = "array(" + ",".join(
-        f"sum(shiftright(h, {i}) & 1)" for i in range(bits)
+        f"sum((shiftright(h, {i}) & 1) * cnt)" for i in range(bits)
     ) + ")"
-    per_doc = tok.groupBy("doc").agg(
-        F.expr(votes).alias("v"), F.count(F.lit(1)).alias("n_tok")
+    per_doc = per_pair.groupBy("doc").agg(
+        F.expr(votes).alias("v"), F.sum("cnt").alias("n_tok")
     )
     fp = (
         f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), "
@@ -1476,21 +1488,35 @@ def simhash_weighted_fingerprints(
     matrix stays one map-side-combinable groupBy, same as the
     unweighted :func:`simhash_fingerprints`."""
     bits = SIMHASH_BITS[hash_fn]
+    # r10 regroup (guide §2.3): occurrence stream contracts to DISTINCT
+    # (doc, token) pairs with an occurrence count in its FIRST shuffle
+    # (map-side combined); df is one more aggregate over the pair table
+    # (replacing the former tok.distinct() shuffle of the raw stream),
+    # and the df join now carries pair-grain rows instead of the whole
+    # occurrence stream.  Each pair votes w·cnt where every occurrence
+    # voted w — identical exact BIGINT sums (integer addition is
+    # associative/commutative; pinned by the brute-force twin).
     tok = _spread(docs).select(
         F.col(id_col).alias("doc"),
         F.explode(tokens_array(F.col(text_col))).alias("token"),
     )
-    df_t = tok.distinct().groupBy("token").agg(
+    per_pair = tok.groupBy("doc", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    df_t = per_pair.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
     n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     weighted = (
-        tok.join(df_t, "token")
+        per_pair.join(df_t, "token")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc",
             _simhash_token_hash(F.col("token"), hash_fn).alias("h"),
-            F.greatest(F.lit(1), F.expr("n_docs div df")).cast("bigint").alias("w"),
+            (
+                F.greatest(F.lit(1), F.expr("n_docs div df")).cast("bigint")
+                * F.col("cnt")
+            ).alias("w"),
         )
     )
     # same single-expression construction as simhash_fingerprints (r10):
@@ -1538,6 +1564,7 @@ def winnow_pairs(
     max_df: int = MAX_DF,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """MOSS-style similarity detection over winnowed fingerprints: the
     pair face of :func:`winnow_fingerprints` — documents sharing at
@@ -1552,8 +1579,15 @@ def winnow_pairs(
     pair generator (a boilerplate fingerprint in d docs would emit
     O(d²) pairs); everything after runs at shared-pair grain.
     """
+    # ``fingerprints``: a pre-built winnow_fingerprints(docs, k, w)
+    # table (the selection is a pure per-doc function, so a shared
+    # materialization equals a rebuild); solo calls derive it here
     fps = (
-        winnow_fingerprints(docs, k, w, text_col, id_col)
+        (
+            fingerprints
+            if fingerprints is not None
+            else winnow_fingerprints(docs, k, w, text_col, id_col)
+        )
         .select("doc_id", "fp")
         .distinct()
         .persist()

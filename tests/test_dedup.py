@@ -365,6 +365,65 @@ class TestWeightedSimhash:
         hu = hamming(simhash_fingerprints(docs, hash_fn="md5"))
         assert hw < hu  # weighting moves the shared-content pair closer
 
+    def test_regroup_matches_bruteforce_occurrence_votes(self, spark):
+        """r10: votes are summed at distinct (doc, token) grain with an
+        occurrence count.  A pure-Python occurrence-grain brute force
+        over a corpus with heavy token REPETITION must reproduce both
+        the weighted and unweighted fingerprints bit-for-bit."""
+        import hashlib
+        import re
+        from collections import Counter
+
+        from p2_mapreduce_spark.operators.dedup import (
+            simhash_fingerprints,
+            simhash_weighted_fingerprints,
+        )
+
+        rows = [
+            (1, "spark spark spark shuffle Shuffle JOIN join join join"),
+            (2, "spark shuffle join"),
+            (3, "alpha alpha beta beta beta gamma spark"),
+            (4, "alpha beta GAMMA gamma spark spark shuffle"),
+            (5, "unique tokens only here"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def toks(t):
+            return [w.lower() for w in re.split(r"[^0-9A-Za-z]+", t) if w]
+
+        def h60(tok):
+            return int(hashlib.md5(tok.encode()).hexdigest()[17:32], 16)
+
+        n_docs = len(rows)
+        df = Counter()
+        for _, t in rows:
+            for tok in set(toks(t)):
+                df[tok] += 1
+
+        def brute(weighted):
+            out = {}
+            for did, t in rows:
+                votes, tot = [0] * 60, 0
+                for tok in toks(t):  # occurrence grain — the old order
+                    w = max(1, n_docs // df[tok]) if weighted else 1
+                    tot += w
+                    hv = h60(tok)
+                    for i in range(60):
+                        votes[i] += ((hv >> i) & 1) * w
+                out[did] = sum(
+                    1 << i for i in range(60) if votes[i] * 2 > tot
+                )
+            return out
+
+        got_u = {r["doc"]: r["simhash"]
+                 for r in simhash_fingerprints(docs, hash_fn="md5").collect()}
+        got_w = {
+            r["doc"]: r["simhash"]
+            for r in simhash_weighted_fingerprints(docs, hash_fn="md5").collect()
+        }
+        assert got_u == brute(False)
+        assert got_w == brute(True)
+
     def test_uniform_df_reduces_to_unweighted(self, spark):
         """When every token has the same df, all weights are equal, so
         the weighted fingerprint must equal the unweighted one."""

@@ -171,6 +171,21 @@ def test_lsh_recall_fed_sides_equal_solo(spark):
     )
 
 
+def test_winnow_fingerprint_feed_equals_solo(spark):
+    """Round-10: the MOSS pair face consumes the shared winnowing
+    selection — fed pairs must equal the solo derivation."""
+    from p2_mapreduce_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    fps = winnow_fingerprints(docs).localCheckpoint()
+    assert _rows(winnow_pairs(docs)) == _rows(
+        winnow_pairs(docs, fingerprints=fps)
+    )
+
+
 def test_incremental_side_slices_equal_rebuild(spark):
     """Per-doc LSH artifacts are pure functions of each document, so
     slicing a whole-corpus artifact set by ingest side must equal
