@@ -393,6 +393,22 @@ def _shared_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _DEDUP_STAGE_MEMO[key]
 
 
+def _shared_link_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (cust_a, cust_b, n_common) wedge-count stage over the
+    shared panel incidence (r10): the common-neighbor ranking and the
+    Jaccard ranking consume the IDENTICAL ~8M-pair aggregate — one
+    wedge expansion + pair count per suite run instead of two."""
+    _memo_scope(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "link_scored")
+    if key not in _DEDUP_STAGE_MEMO:
+        from p2_mapreduce_spark.operators.graph import _panel_wedge_counts
+
+        _DEDUP_STAGE_MEMO[key] = _panel_wedge_counts(
+            _shared_link_pairs(spark, sf_dir)
+        ).localCheckpoint()
+    return _DEDUP_STAGE_MEMO[key]
+
+
 def _shared_trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized distinct (cust, supp, w) trading-pair dictionary of the
     trade-graph family (graph.trade_pairs, weighted): pagerank_trade /
@@ -2170,6 +2186,7 @@ def _q_link_prediction(spark, sf_dir):
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "orders"),
         pairs=_shared_link_pairs(spark, sf_dir),
+        scored=_shared_link_scored(spark, sf_dir),
     )
 
 
@@ -2742,6 +2759,7 @@ def _q_link_jaccard(spark, sf_dir):
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "orders"),
         pairs=_shared_link_pairs(spark, sf_dir),
+        scored=_shared_link_scored(spark, sf_dir),
     )
 
 
@@ -5131,6 +5149,9 @@ _ROUND10_CHANGED = (
     # winnow_fingerprints IS the MOSS family's shared selection stage;
     # winnow_pairs self-joins its distinct (doc_id, fp) projection
     "winnow_fingerprints", "winnow_pairs",
+    # the two link-prediction rankings consume ONE memoized wedge-count
+    # stage over the shared panel incidence
+    "link_prediction", "link_jaccard",
 )
 
 #: --- round-8 history (all 34 new + 3 changed ids were sampled in the

@@ -401,6 +401,9 @@ _SHARED_STAGE_FAMILIES = {
     # panel-filtered (s, c) incidence list (link-prediction family,
     # VERDICT r06 item 5)
     "link_pairs": ("link_prediction", "link_jaccard"),
+    # (cust_a, cust_b, n_common) wedge-count stage over the panel
+    # incidence (r10): both rankings consume one materialization
+    "link_scored": ("link_prediction", "link_jaccard"),
     # memoized 2-hop reach stage over the trade graph (VERDICT r07
     # "What's wrong" #1: two_hop records ~0.015 s in-suite because
     # harmonic already paid the shared reach materialization — name the

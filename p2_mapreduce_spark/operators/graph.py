@@ -1442,6 +1442,7 @@ def link_prediction(
     panel_k: int = 50,
     top_n: int = 20,
     pairs: DataFrame | None = None,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """Common-neighbor link prediction on the trade graph: the top
     customer pairs sharing the most suppliers — the bipartite
@@ -1470,13 +1471,29 @@ def link_prediction(
     prebuilt (typically memoized) :func:`supplier_panel_pairs` frame —
     the shared-stage composition with :func:`link_prediction_jaccard`.
     """
-    if pairs is None:
-        pairs = supplier_panel_pairs(lineitem, orders, panel_k)
-    # wedge generation IN-ROW from each supplier's sorted customer
-    # array instead of a (s, c)×(s, c) self-join: one shuffle to
-    # supplier grain, pair expansion map-side (the sorted array makes
-    # cust_a < cust_b free), then the pair-count aggregate — two
-    # exchanges total where the join form paid three plus a join build
+    # ``scored``: a prebuilt (cust_a, cust_b, n_common) wedge-count
+    # table (r10 shared stage — link_prediction_jaccard derives the
+    # identical 8M-pair aggregate from the same panel incidence; one
+    # materialization serves both rankings)
+    if scored is None:
+        if pairs is None:
+            pairs = supplier_panel_pairs(lineitem, orders, panel_k)
+        scored = _panel_wedge_counts(pairs)
+    return scored.orderBy(
+        F.col("n_common").desc(), F.col("cust_a"), F.col("cust_b")
+    ).limit(top_n)
+
+
+def _panel_wedge_counts(pairs: DataFrame) -> DataFrame:
+    """(cust_a, cust_b, n_common) over a (s, c) incidence table — the
+    wedge expansion + pair-count aggregate both link-prediction
+    rankings consume.
+
+    Wedge generation IN-ROW from each supplier's sorted customer
+    array instead of a (s, c)×(s, c) self-join: one shuffle to
+    supplier grain, pair expansion map-side (the sorted array makes
+    cust_a < cust_b free), then the pair-count aggregate — two
+    exchanges total where the join form paid three plus a join build."""
     from p2_mapreduce_spark.session import spread
 
     # the supplier-grain adjacency is tiny (AQE would coalesce it to one
@@ -1501,12 +1518,9 @@ def link_prediction(
     wedges = adj.select(F.explode(pair_structs).alias("p")).select(
         F.col("p.cust_a"), F.col("p.cust_b")
     )
-    scored = wedges.groupBy("cust_a", "cust_b").agg(
+    return wedges.groupBy("cust_a", "cust_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_common")
     )
-    return scored.orderBy(
-        F.col("n_common").desc(), F.col("cust_a"), F.col("cust_b")
-    ).limit(top_n)
 
 
 def rich_club(
@@ -1610,6 +1624,7 @@ def link_prediction_jaccard(
     panel_k: int = 50,
     top_n: int = 20,
     pairs: DataFrame | None = None,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """Jaccard-normalized link prediction on the trade graph — the
     degree-corrected sibling of :func:`link_prediction`: raw
@@ -1638,34 +1653,13 @@ def link_prediction_jaccard(
     """
     if pairs is None:
         pairs = supplier_panel_pairs(lineitem, orders, panel_k).persist()
-    from p2_mapreduce_spark.session import spread
-
     deg = pairs.groupBy(F.col("c").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     )
-    adj = spread(
-        pairs.groupBy("s").agg(
-            F.array_sort(F.collect_list("c")).alias("cs")
-        )
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("cs"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("cs"), i + 2,
-                    F.greatest(F.size("cs") - i - 1, F.lit(0)),
-                ),
-                lambda y: F.struct(x.alias("cust_a"), y.alias("cust_b")),
-            ),
-        )
-    )
-    wedges = adj.select(F.explode(pair_structs).alias("p")).select(
-        F.col("p.cust_a"), F.col("p.cust_b")
-    )
-    scored = wedges.groupBy("cust_a", "cust_b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_common")
-    )
+    # ``scored``: the shared wedge-count stage (see link_prediction) —
+    # built here from the same incidence table when not provided
+    if scored is None:
+        scored = _panel_wedge_counts(pairs)
     out = (
         scored.join(
             deg.withColumnRenamed("node", "cust_a").withColumnRenamed(

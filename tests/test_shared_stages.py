@@ -186,6 +186,26 @@ def test_winnow_fingerprint_feed_equals_solo(spark):
     )
 
 
+def test_link_scored_feed_equals_solo(spark, li, od):
+    """Round-10: both link-prediction rankings consume one memoized
+    wedge-count stage — fed results must equal the solo derivations."""
+    from p2_mapreduce_spark.operators.graph import (
+        _panel_wedge_counts,
+        link_prediction,
+        link_prediction_jaccard,
+        supplier_panel_pairs,
+    )
+
+    pairs = supplier_panel_pairs(li, od, 50).localCheckpoint()
+    scored = _panel_wedge_counts(pairs).localCheckpoint()
+    assert _rows(link_prediction(li, od)) == _rows(
+        link_prediction(li, od, pairs=pairs, scored=scored)
+    )
+    assert _rows(link_prediction_jaccard(li, od)) == _rows(
+        link_prediction_jaccard(li, od, pairs=pairs, scored=scored)
+    )
+
+
 def test_incremental_side_slices_equal_rebuild(spark):
     """Per-doc LSH artifacts are pure functions of each document, so
     slicing a whole-corpus artifact set by ingest side must equal
