@@ -307,6 +307,23 @@ def _shared_simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _DEDUP_STAGE_MEMO[key]
 
 
+def _shared_raw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized UNFILTERED shingle_pairs table (r10): the exact Jaccard
+    miner and the containment miner run the identical inverted-index
+    self-join over the shared shingles and differ only in the final
+    predicate — one 1.1M-row materialization serves both."""
+    _memo_scope(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "raw_pairs")
+    if key not in _DEDUP_STAGE_MEMO:
+        from p2_mapreduce_spark.operators.dedup import shingle_pairs
+
+        _DEDUP_STAGE_MEMO[key] = shingle_pairs(
+            load_table(spark, sf_dir, "documents"),
+            shingles=_shared_shingles(spark, sf_dir),
+        ).localCheckpoint()
+    return _DEDUP_STAGE_MEMO[key]
+
+
 def _shared_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _memo_scope(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir, "pairs")
@@ -316,7 +333,7 @@ def _shared_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = ngram_jaccard_pairs(
             load_table(spark, sf_dir, "documents"),
             threshold=0.5,
-            shingles=_shared_shingles(spark, sf_dir),
+            raw_pairs=_shared_raw_pairs(spark, sf_dir),
         )
         _DEDUP_STAGE_MEMO[key] = pairs.localCheckpoint()
     return _DEDUP_STAGE_MEMO[key]
@@ -1536,7 +1553,7 @@ def _q_dedup_containment(spark, sf_dir):
     return containment_pairs(
         load_table(spark, sf_dir, "documents"),
         threshold=0.8,
-        shingles=_shared_shingles(spark, sf_dir),
+        raw_pairs=_shared_raw_pairs(spark, sf_dir),
     )
 
 

@@ -447,6 +447,14 @@ _SHARED_STAGE_FAMILIES = {
     # winnowing fingerprint selection (r10): the MOSS selection face
     # surfaces it, the pair face self-joins it
     "winnow_fps": ("winnow_fingerprints", "winnow_pairs"),
+    # UNFILTERED shingle_pairs table (r10): the Jaccard truth-pair
+    # stage and the containment miner differ only in the final
+    # predicate — whoever runs first pays the inverted-index join
+    "raw_pairs": (
+        "dedup_ngram", "dedup_containment", "dup_clusters",
+        "dup_clusters_star", "golden_record", "dup_matrix", "dup_roi",
+        "dup_edge_support", "blocking_quality", "lsh_recall",
+    ),
 }
 
 

@@ -123,11 +123,21 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     max_df: int = MAX_DF,
     shingles: DataFrame | None = None,
+    raw_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs at ``jaccard >= threshold``.
     Jaccard = |A∩B| / |A∪B| computed with one integer-exact division per
-    pair (deterministic IEEE — oracle-comparable)."""
-    p = shingle_pairs(docs, n, text_col, id_col, max_df, shingles=shingles)
+    pair (deterministic IEEE — oracle-comparable).
+
+    ``raw_pairs``: a pre-built UNFILTERED :func:`shingle_pairs` table —
+    the r10 shared stage: the Jaccard miner and the containment miner
+    consume the identical inverted-index join and differ only in this
+    final predicate, so one materialization serves both."""
+    p = (
+        raw_pairs
+        if raw_pairs is not None
+        else shingle_pairs(docs, n, text_col, id_col, max_df, shingles=shingles)
+    )
     jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
     return (
         p.withColumn("jaccard", jac)
@@ -1031,6 +1041,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     max_df: int = MAX_DF,
     shingles: DataFrame | None = None,
+    raw_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Containment detection (quote/excerpt mining): pairs where the
     SMALLER document's shingle set is (nearly) a subset of the larger's
@@ -1045,7 +1056,13 @@ def containment_pairs(
     shingles); only the final predicate differs — one extra integer
     ``least`` and the same single IEEE division.
     """
-    p = shingle_pairs(docs, n, text_col, id_col, max_df, shingles=shingles)
+    # ``raw_pairs``: the shared unfiltered shingle_pairs table (see
+    # ngram_jaccard_pairs) — same integers, only this predicate differs
+    p = (
+        raw_pairs
+        if raw_pairs is not None
+        else shingle_pairs(docs, n, text_col, id_col, max_df, shingles=shingles)
+    )
     cont = F.col("n_common") / F.least("size_a", "size_b")
     return (
         p.withColumn("containment", cont)

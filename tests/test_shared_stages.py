@@ -130,6 +130,28 @@ def test_containment_and_novelty_feeds_equal_solo(spark):
     assert _rows(doc_novelty(docs)) == _rows(doc_novelty(docs, shingles=hs))
 
 
+def test_raw_pair_feed_equals_solo(spark):
+    """Round-10: the Jaccard miner and the containment miner consume
+    ONE unfiltered shingle_pairs materialization and differ only in
+    the final predicate — fed results must equal solo derivations."""
+    from p2_mapreduce_spark.operators.dedup import (
+        containment_pairs,
+        hashed_shingles,
+        ngram_jaccard_pairs,
+        shingle_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    hs = hashed_shingles(docs, 3).localCheckpoint()
+    raw = shingle_pairs(docs, shingles=hs).localCheckpoint()
+    assert _rows(ngram_jaccard_pairs(docs, threshold=0.5)) == _rows(
+        ngram_jaccard_pairs(docs, threshold=0.5, raw_pairs=raw)
+    )
+    assert _rows(containment_pairs(docs, threshold=0.8)) == _rows(
+        containment_pairs(docs, threshold=0.8, raw_pairs=raw)
+    )
+
+
 def test_lsh_recall_fed_sides_equal_solo(spark):
     """Round-10: the honesty gate's exact side is the jaccard>=t slice
     of the shared AllPairs table built at a looser threshold, and its
