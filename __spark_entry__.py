@@ -5169,6 +5169,10 @@ _ROUND10_CHANGED = (
     # the two link-prediction rankings consume ONE memoized wedge-count
     # stage over the shared panel incidence
     "link_prediction", "link_jaccard",
+    # the ngram truth-pair memo now derives from the shared UNFILTERED
+    # shingle_pairs table (dedup_containment reads the same table with
+    # its own predicate — both listed above / here)
+    "dedup_ngram",
 )
 
 #: --- round-8 history (all 34 new + 3 changed ids were sampled in the
