@@ -5173,6 +5173,9 @@ _ROUND10_CHANGED = (
     # shingle_pairs table (dedup_containment reads the same table with
     # its own predicate — both listed above / here)
     "dedup_ngram",
+    # dense-census bitset assembly rewritten to native bit_or
+    # aggregates (values pinned identical; plan changed)
+    "triangle_census",
 )
 
 #: --- round-8 history (all 34 new + 3 changed ids were sampled in the
